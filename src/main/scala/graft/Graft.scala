@@ -1,0 +1,182 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnShim
+
+/**
+ * Entry point: registers the full ST_* surface into a SparkSession's
+ * function registry (SQL callers) and exposes a typed Column API
+ * (DataFrame callers). Mirrors the reference's extension-load
+ * registration (spatial/src/spatial_extension.cpp → CoreModule::
+ * Register, core/module.cpp:19-36).
+ */
+object Graft {
+
+  val predicateNames: Seq[String] = Seq(
+    "st_intersects", "st_contains", "st_containsproperly", "st_within",
+    "st_covers", "st_coveredby", "st_crosses", "st_disjoint", "st_equals",
+    "st_overlaps", "st_touches", "st_intersects_extent")
+
+  /** Register every function into the session (idempotent). */
+  def install(spark: SparkSession): SparkSession = {
+    val reg = spark.sessionState.functionRegistry
+    GeoOps.ops.keys.foreach { name =>
+      reg.createOrReplaceTempFunction(name, exprs => GeoScalar(name, exprs), "scala_udf")
+    }
+    predicateNames.foreach { name =>
+      reg.createOrReplaceTempFunction(name, exprs => GeoPredicate(name, exprs(0), exprs(1)), "scala_udf")
+    }
+    reg.createOrReplaceTempFunction("st_extent_agg", e => StExtentAgg(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_envelope_agg", e => StExtentAgg(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_union_agg", e => StUnionAgg(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("st_intersection_agg", e => StIntersectionAgg(e.head), "scala_udf")
+    spark
+  }
+
+  /** A SparkSession tuned for this engine (local mode; shuffle
+   *  partitions sized for the core count, AQE on). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    install(spark)
+    spark
+  }
+}
+
+/** Typed Column API over the registered expression surface. Import
+ *  `graft.GeoFunctions._` like `org.apache.spark.sql.functions._`. */
+object GeoFunctions {
+  private def c(e: Expression): Column = ColumnShim.column(e)
+  private def x(col: Column): Expression = ColumnShim.expr(col)
+  /** Generic escape hatch: call any registered ST_ op by name. */
+  def st(name: String, cols: Column*): Column =
+    if (Graft.predicateNames.contains(name)) c(GeoPredicate(name, x(cols(0)), x(cols(1))))
+    else c(GeoScalar(name, cols.map(x)))
+
+  // constructors & IO
+  def st_point(xc: Column, yc: Column): Column = st("st_point", xc, yc)
+  def st_makepoint(cols: Column*): Column = st("st_makepoint", cols: _*)
+  def st_geomfromtext(wkt: Column): Column = st("st_geomfromtext", wkt)
+  def st_geomfromwkb(wkb: Column): Column = st("st_geomfromwkb", wkb)
+  def st_geomfromhexwkb(s: Column): Column = st("st_geomfromhexwkb", s)
+  def st_geomfromgeojson(s: Column): Column = st("st_geomfromgeojson", s)
+  def st_astext(g: Column): Column = st("st_astext", g)
+  def st_aswkb(g: Column): Column = st("st_aswkb", g)
+  def st_ashexwkb(g: Column): Column = st("st_ashexwkb", g)
+  def st_asgeojson(g: Column): Column = st("st_asgeojson", g)
+  def st_assvg(g: Column): Column = st("st_assvg", g)
+  def st_makeenvelope(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    st("st_makeenvelope", x1, y1, x2, y2)
+  def st_makeline(cols: Column*): Column = st("st_makeline", cols: _*)
+  def st_makepolygon(cols: Column*): Column = st("st_makepolygon", cols: _*)
+  def st_collect(arr: Column): Column = st("st_collect", arr)
+  def st_multi(g: Column): Column = st("st_multi", g)
+  def st_collectionextract(cols: Column*): Column = st("st_collectionextract", cols: _*)
+  def st_dump(g: Column): Column = st("st_dump", g)
+  def st_points(g: Column): Column = st("st_points", g)
+  def st_force2d(g: Column): Column = st("st_force2d", g)
+  def st_force3dz(cols: Column*): Column = st("st_force3dz", cols: _*)
+  def st_flipcoordinates(g: Column): Column = st("st_flipcoordinates", g)
+  def st_reverse(g: Column): Column = st("st_reverse", g)
+  def st_normalize(g: Column): Column = st("st_normalize", g)
+
+  // accessors
+  def st_x(g: Column): Column = st("st_x", g)
+  def st_y(g: Column): Column = st("st_y", g)
+  def st_z(g: Column): Column = st("st_z", g)
+  def st_m(g: Column): Column = st("st_m", g)
+  def st_xmin(g: Column): Column = st("st_xmin", g)
+  def st_xmax(g: Column): Column = st("st_xmax", g)
+  def st_ymin(g: Column): Column = st("st_ymin", g)
+  def st_ymax(g: Column): Column = st("st_ymax", g)
+  def st_zmin(g: Column): Column = st("st_zmin", g)
+  def st_zmax(g: Column): Column = st("st_zmax", g)
+  def st_extent(g: Column): Column = st("st_extent", g)
+  def st_envelope(g: Column): Column = st("st_envelope", g)
+  def st_npoints(g: Column): Column = st("st_npoints", g)
+  def st_ngeometries(g: Column): Column = st("st_ngeometries", g)
+  def st_ninteriorrings(g: Column): Column = st("st_ninteriorrings", g)
+  def st_geometrytype(g: Column): Column = st("st_geometrytype", g)
+  def st_isempty(g: Column): Column = st("st_isempty", g)
+  def st_isclosed(g: Column): Column = st("st_isclosed", g)
+  def st_isring(g: Column): Column = st("st_isring", g)
+  def st_issimple(g: Column): Column = st("st_issimple", g)
+  def st_isvalid(g: Column): Column = st("st_isvalid", g)
+  def st_dimension(g: Column): Column = st("st_dimension", g)
+  def st_startpoint(g: Column): Column = st("st_startpoint", g)
+  def st_endpoint(g: Column): Column = st("st_endpoint", g)
+  def st_pointn(g: Column, n: Column): Column = st("st_pointn", g, n)
+  def st_exteriorring(g: Column): Column = st("st_exteriorring", g)
+  def st_interiorringn(g: Column, n: Column): Column = st("st_interiorringn", g, n)
+  def st_hasz(g: Column): Column = st("st_hasz", g)
+  def st_hasm(g: Column): Column = st("st_hasm", g)
+  def st_zmflag(g: Column): Column = st("st_zmflag", g)
+
+  // measures
+  def st_area(g: Column): Column = st("st_area", g)
+  def st_length(g: Column): Column = st("st_length", g)
+  def st_perimeter(g: Column): Column = st("st_perimeter", g)
+  def st_distance(a: Column, b: Column): Column = st("st_distance", a, b)
+  def st_maxdistance(a: Column, b: Column): Column = st("st_maxdistance", a, b)
+  def st_distance_sphere(a: Column, b: Column): Column = st("st_distance_sphere", a, b)
+  def st_haversine(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    st("st_haversine", x1, y1, x2, y2)
+  def st_area_spheroid(g: Column): Column = st("st_area_spheroid", g)
+  def st_length_spheroid(g: Column): Column = st("st_length_spheroid", g)
+  def st_perimeter_spheroid(g: Column): Column = st("st_perimeter_spheroid", g)
+  def st_distance_spheroid(a: Column, b: Column): Column = st("st_distance_spheroid", a, b)
+  def st_dwithin_spheroid(a: Column, b: Column, d: Column): Column = st("st_dwithin_spheroid", a, b, d)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = st("st_dwithin", a, b, d)
+
+  // predicates
+  def st_intersects(a: Column, b: Column): Column = st("st_intersects", a, b)
+  def st_contains(a: Column, b: Column): Column = st("st_contains", a, b)
+  def st_containsproperly(a: Column, b: Column): Column = st("st_containsproperly", a, b)
+  def st_within(a: Column, b: Column): Column = st("st_within", a, b)
+  def st_covers(a: Column, b: Column): Column = st("st_covers", a, b)
+  def st_coveredby(a: Column, b: Column): Column = st("st_coveredby", a, b)
+  def st_crosses(a: Column, b: Column): Column = st("st_crosses", a, b)
+  def st_disjoint(a: Column, b: Column): Column = st("st_disjoint", a, b)
+  def st_equals(a: Column, b: Column): Column = st("st_equals", a, b)
+  def st_overlaps(a: Column, b: Column): Column = st("st_overlaps", a, b)
+  def st_touches(a: Column, b: Column): Column = st("st_touches", a, b)
+  def st_intersects_extent(a: Column, b: Column): Column = st("st_intersects_extent", a, b)
+
+  // constructive
+  def st_boundary(g: Column): Column = st("st_boundary", g)
+  def st_buffer(cols: Column*): Column = st("st_buffer", cols: _*)
+  def st_centroid(g: Column): Column = st("st_centroid", g)
+  def st_convexhull(g: Column): Column = st("st_convexhull", g)
+  def st_difference(a: Column, b: Column): Column = st("st_difference", a, b)
+  def st_intersection(a: Column, b: Column): Column = st("st_intersection", a, b)
+  def st_union(a: Column, b: Column): Column = st("st_union", a, b)
+  def st_union_list(arr: Column): Column = st("st_union", arr)
+  def st_linemerge(g: Column): Column = st("st_linemerge", g)
+  def st_makevalid(g: Column): Column = st("st_makevalid", g)
+  def st_pointonsurface(g: Column): Column = st("st_pointonsurface", g)
+  def st_reduceprecision(g: Column, p: Column): Column = st("st_reduceprecision", g, p)
+  def st_removerepeatedpoints(cols: Column*): Column = st("st_removerepeatedpoints", cols: _*)
+  def st_shortestline(a: Column, b: Column): Column = st("st_shortestline", a, b)
+  def st_simplify(g: Column, tol: Column): Column = st("st_simplify", g, tol)
+  def st_simplifypreservetopology(g: Column, tol: Column): Column = st("st_simplifypreservetopology", g, tol)
+  def st_translate(g: Column, dx: Column, dy: Column): Column = st("st_translate", g, dx, dy)
+
+  // curves / tiling / crs
+  def st_hilbert(cols: Column*): Column = st("st_hilbert", cols: _*)
+  def st_quadkey(cols: Column*): Column = st("st_quadkey", cols: _*)
+  def st_transform(cols: Column*): Column = st("st_transform", cols: _*)
+
+  // aggregates
+  def st_extent_agg(g: Column): Column = c(StExtentAgg(x(g)).toAggregateExpression())
+  def st_envelope_agg(g: Column): Column = st_extent_agg(g)
+  def st_union_agg(g: Column): Column = c(StUnionAgg(x(g)).toAggregateExpression())
+  def st_intersection_agg(g: Column): Column = c(StIntersectionAgg(x(g)).toAggregateExpression())
+}

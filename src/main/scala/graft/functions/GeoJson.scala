@@ -1,0 +1,172 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.locationtech.jts.geom._
+
+/** GeoJSON fragment reader/writer (reference: st_asgeojson.cpp — writer
+ *  + yyjson-based parser). Jackson is already on the Spark classpath. */
+object GeoJson {
+  private val mapper = new ObjectMapper()
+
+  def write(g: Geometry): String = {
+    val sb = new java.lang.StringBuilder(64)
+    writeGeom(g, sb)
+    sb.toString
+  }
+
+  private def fmt(d: Double, sb: java.lang.StringBuilder): Unit = {
+    if (d == math.floor(d) && math.abs(d) < 1e15) sb.append(d.toLong) else sb.append(d)
+  }
+
+  private def writeCoord(c: Coordinate, sb: java.lang.StringBuilder): Unit = {
+    sb.append('[');
+    fmt(c.x, sb); sb.append(','); fmt(c.y, sb)
+    if (!java.lang.Double.isNaN(c.getZ)) { sb.append(','); fmt(c.getZ, sb) }
+    sb.append(']')
+  }
+
+  private def writeCoords(cs: CoordinateSequence, sb: java.lang.StringBuilder): Unit = {
+    sb.append('[')
+    var i = 0
+    while (i < cs.size) {
+      if (i > 0) sb.append(',')
+      writeCoord(cs.getCoordinate(i), sb)
+      i += 1
+    }
+    sb.append(']')
+  }
+
+  private def writeRings(p: Polygon, sb: java.lang.StringBuilder): Unit = {
+    sb.append('[')
+    writeCoords(p.getExteriorRing.getCoordinateSequence, sb)
+    for (i <- 0 until p.getNumInteriorRing) {
+      sb.append(',')
+      writeCoords(p.getInteriorRingN(i).getCoordinateSequence, sb)
+    }
+    sb.append(']')
+  }
+
+  private def writeGeom(g: Geometry, sb: java.lang.StringBuilder): Unit = g match {
+    case p: Point =>
+      sb.append("{\"type\":\"Point\",\"coordinates\":")
+      if (p.isEmpty) sb.append("[]") else writeCoord(p.getCoordinate, sb)
+      sb.append('}')
+    case l: LineString =>
+      sb.append("{\"type\":\"LineString\",\"coordinates\":")
+      writeCoords(l.getCoordinateSequence, sb)
+      sb.append('}')
+    case p: Polygon =>
+      sb.append("{\"type\":\"Polygon\",\"coordinates\":")
+      if (p.isEmpty) sb.append("[]") else writeRings(p, sb)
+      sb.append('}')
+    case m: MultiPoint =>
+      sb.append("{\"type\":\"MultiPoint\",\"coordinates\":[")
+      for (i <- 0 until m.getNumGeometries) {
+        if (i > 0) sb.append(',')
+        writeCoord(m.getGeometryN(i).getCoordinate, sb)
+      }
+      sb.append("]}")
+    case m: MultiLineString =>
+      sb.append("{\"type\":\"MultiLineString\",\"coordinates\":[")
+      for (i <- 0 until m.getNumGeometries) {
+        if (i > 0) sb.append(',')
+        writeCoords(m.getGeometryN(i).asInstanceOf[LineString].getCoordinateSequence, sb)
+      }
+      sb.append("]}")
+    case m: MultiPolygon =>
+      sb.append("{\"type\":\"MultiPolygon\",\"coordinates\":[")
+      for (i <- 0 until m.getNumGeometries) {
+        if (i > 0) sb.append(',')
+        writeRings(m.getGeometryN(i).asInstanceOf[Polygon], sb)
+      }
+      sb.append("]}")
+    case c: GeometryCollection =>
+      sb.append("{\"type\":\"GeometryCollection\",\"geometries\":[")
+      for (i <- 0 until c.getNumGeometries) {
+        if (i > 0) sb.append(',')
+        writeGeom(c.getGeometryN(i), sb)
+      }
+      sb.append("]}")
+  }
+
+  def parse(json: String): Geometry = node2geom(mapper.readTree(json))
+
+  private def coord(n: JsonNode): Coordinate = {
+    if (n.size() > 2) new Coordinate(n.get(0).asDouble, n.get(1).asDouble, n.get(2).asDouble)
+    else new Coordinate(n.get(0).asDouble, n.get(1).asDouble)
+  }
+  private def coords(n: JsonNode): Array[Coordinate] =
+    (0 until n.size()).map(i => coord(n.get(i))).toArray
+  private def ring(n: JsonNode): LinearRing = Jts.gf.createLinearRing(coords(n))
+  private def polygon(n: JsonNode): Polygon = {
+    if (n.size() == 0) Jts.gf.createPolygon()
+    else Jts.gf.createPolygon(ring(n.get(0)), (1 until n.size()).map(i => ring(n.get(i))).toArray)
+  }
+
+  private def node2geom(n: JsonNode): Geometry = {
+    val t = n.get("type").asText
+    lazy val cs = n.get("coordinates")
+    t match {
+      case "Point" =>
+        if (cs.size() == 0) Jts.gf.createPoint() else Jts.gf.createPoint(coord(cs))
+      case "LineString" => Jts.gf.createLineString(coords(cs))
+      case "Polygon" => polygon(cs)
+      case "MultiPoint" =>
+        Jts.gf.createMultiPoint(coords(cs).map(Jts.gf.createPoint))
+      case "MultiLineString" =>
+        Jts.gf.createMultiLineString((0 until cs.size()).map(i => Jts.gf.createLineString(coords(cs.get(i)))).toArray)
+      case "MultiPolygon" =>
+        Jts.gf.createMultiPolygon((0 until cs.size()).map(i => polygon(cs.get(i))).toArray)
+      case "GeometryCollection" =>
+        val gs = n.get("geometries")
+        Jts.gf.createGeometryCollection((0 until gs.size()).map(i => node2geom(gs.get(i))).toArray)
+      case other => throw new IllegalArgumentException(s"unsupported GeoJSON type: $other")
+    }
+  }
+}
+
+/** Minimal SVG path writer (reference st_assvg.cpp; PostGIS-style:
+ *  y axis negated, points → cx/cy, lines/polygons → path data). */
+object Svg {
+  def write(g: Geometry, rel: Boolean, precision: Int): String = {
+    val sb = new java.lang.StringBuilder
+    val p = math.max(0, math.min(15, precision))
+    def f(d: Double): String = {
+      val bd = BigDecimal(d).setScale(p, BigDecimal.RoundingMode.HALF_UP)
+      val s = bd.bigDecimal.stripTrailingZeros.toPlainString
+      if (s == "-0") "0" else s
+    }
+    def path(cs: Array[Coordinate], close: Boolean): Unit = {
+      var i = 0
+      while (i < cs.length) {
+        if (i == 0) { sb.append("M ").append(f(cs(0).x)).append(' ').append(f(-cs(0).y)) }
+        else {
+          if (i == 1) sb.append(if (rel) " l" else " L")
+          if (rel) sb.append(' ').append(f(cs(i).x - cs(i - 1).x)).append(' ').append(f(-(cs(i).y - cs(i - 1).y)))
+          else sb.append(' ').append(f(cs(i).x)).append(' ').append(f(-cs(i).y))
+        }
+        i += 1
+      }
+      if (close) sb.append(" Z")
+    }
+    def writeOne(geom: Geometry): Unit = geom match {
+      case pt: Point if !pt.isEmpty =>
+        if (rel) sb.append("x=\"").append(f(pt.getX)).append("\" y=\"").append(f(-pt.getY)).append('"')
+        else sb.append("cx=\"").append(f(pt.getX)).append("\" cy=\"").append(f(-pt.getY)).append('"')
+      case l: LineString => path(l.getCoordinates, close = false)
+      case poly: Polygon if !poly.isEmpty =>
+        path(poly.getExteriorRing.getCoordinates.dropRight(1), close = true)
+        for (i <- 0 until poly.getNumInteriorRing) {
+          sb.append(' ')
+          path(poly.getInteriorRingN(i).getCoordinates.dropRight(1), close = true)
+        }
+      case coll =>
+        for (i <- 0 until coll.getNumGeometries) {
+          if (i > 0) sb.append(';')
+          writeOne(coll.getGeometryN(i))
+        }
+    }
+    writeOne(g)
+    sb.toString
+  }
+}

@@ -1,0 +1,446 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.algorithm.hull.ConcaveHull
+import org.locationtech.jts.dissolve.LineDissolver
+import org.locationtech.jts.geom.util.AffineTransformation
+import org.locationtech.jts.operation.linemerge.LineMerger
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.precision.GeometryPrecisionReducer
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Scalar ST_* implementations over WKB geometry (BinaryType).
+ * Coverage target: the reference's core + GEOS scalar surface —
+ * spatial/include/spatial/core/functions/scalar.hpp:11-66 and
+ * spatial/include/spatial/geos/functions/scalar.hpp:11-44 (behavioral
+ * spec in /root/reference/docs/functions.md).
+ */
+object GeoOps {
+  // Spark 4.1 also ships a types.Geometry (native GEOMETRY type); we
+  // use JTS's here — explicit import wins over the two wildcards.
+  import org.locationtech.jts.geom.Geometry
+
+  final case class Op(out: DataType, fn: Array[Any] => Any)
+
+  // ---- catalyst value helpers -------------------------------------------
+  private def dbl(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long => l.toDouble
+    case d: Decimal => d.toDouble
+    case s: java.lang.Short => s.toDouble
+    case b: java.lang.Byte => b.toDouble
+    case other => other.toString.toDouble
+  }
+  private def int(v: Any): Int = v match {
+    case i: java.lang.Integer => i
+    case l: java.lang.Long => l.toInt
+    case d: java.lang.Double => d.toInt
+    case s: java.lang.Short => s.toInt
+    case b: java.lang.Byte => b.toInt
+    case other => other.toString.toDouble.toInt
+  }
+  private def bool(v: Any): Boolean = v.asInstanceOf[Boolean]
+  private def str(v: Any): String = v.toString
+  private def geo(v: Any): Geometry = Jts.read(v.asInstanceOf[Array[Byte]])
+  private def out(g: Geometry): Array[Byte] = Jts.write(g)
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  private def geoList(v: Any): Seq[Geometry] = {
+    val arr = v.asInstanceOf[ArrayData]
+    (0 until arr.numElements()).flatMap { i =>
+      if (arr.isNullAt(i)) None else Some(Jts.read(arr.getBinary(i)))
+    }
+  }
+  /** BOX arg: either an InternalRow struct(min_x,min_y,max_x,max_y) or null. */
+  private def boxOf(v: Any): (Double, Double, Double, Double) = v match {
+    case r: InternalRow => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    case _ => sys.error("expected BOX struct(min_x,min_y,max_x,max_y)")
+  }
+
+  val boxType: StructType = StructType(Seq(
+    StructField("min_x", DoubleType, nullable = false),
+    StructField("min_y", DoubleType, nullable = false),
+    StructField("max_x", DoubleType, nullable = false),
+    StructField("max_y", DoubleType, nullable = false)))
+
+  val dumpType: DataType = ArrayType(StructType(Seq(
+    StructField("geom", BinaryType), StructField("path", ArrayType(IntegerType)))))
+
+  private def box(e: Envelope): InternalRow =
+    new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+
+  // Sum of linear-component lengths only (reference ST_Length: polygons
+  // contribute 0 — st_length.cpp; JTS getLength on a polygon would
+  // return its perimeter instead).
+  private def lineLength(g: Geometry): Double = g match {
+    case l: LineString => l.getLength
+    case _: Polygon => 0.0
+    case _: Point => 0.0
+    case coll =>
+      var s = 0.0
+      for (i <- 0 until coll.getNumGeometries) s += lineLength(coll.getGeometryN(i))
+      s
+  }
+
+  private def perimeter(g: Geometry): Double = g match {
+    case p: Polygon => p.getLength
+    case _: LineString | _: Point => 0.0
+    case coll =>
+      var s = 0.0
+      for (i <- 0 until coll.getNumGeometries) s += perimeter(coll.getGeometryN(i))
+      s
+  }
+
+  private def flatten(g: Geometry): Seq[Geometry] =
+    if (g.getGeometryType.startsWith("Multi") || g.getGeometryType == "GeometryCollection")
+      (0 until g.getNumGeometries).flatMap(i => flatten(g.getGeometryN(i)))
+    else Seq(g)
+
+  private def mapCoords(g: Geometry)(f: Coordinate => Coordinate): Geometry = {
+    val copy = g.copy()
+    copy.apply(new CoordinateFilter {
+      override def filter(c: Coordinate): Unit = { val n = f(c); c.setCoordinate(n) }
+    })
+    copy.geometryChanged()
+    copy
+  }
+
+  private def zmFlag(g: Geometry): Int = {
+    val c = Jts.firstCoord(g)
+    if (c == null) 0
+    else {
+      val hasZ = !java.lang.Double.isNaN(c.getZ)
+      val hasM = !java.lang.Double.isNaN(c.getM)
+      // reference ST_ZMFlag: 0=XY 1=XYM 2=XYZ 3=XYZM (st_has.cpp)
+      (hasZ, hasM) match {
+        case (false, false) => 0
+        case (false, true) => 1
+        case (true, false) => 2
+        case (true, true) => 3
+      }
+    }
+  }
+
+  private def quadKey(lonIn: Double, latIn: Double, level: Int): String = {
+    // Bing maps quadkey, same tile math as reference st_quadkey.cpp:16-38
+    require(level >= 1 && level <= 23, "ST_QuadKey: Level must be between 1 and 23")
+    val lat = math.max(-85.05112878, math.min(85.05112878, latIn))
+    val lon = math.max(-180.0, math.min(180.0, lonIn))
+    val latRad = lat * math.Pi / 180.0
+    val tileX = ((lon + 180.0) / 360.0 * (1 << level)).toInt
+    val tileY = ((1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * (1 << level)).toInt
+    val sb = new StringBuilder
+    var i = level
+    while (i > 0) {
+      var digit = '0'
+      val mask = 1 << (i - 1)
+      if ((tileX & mask) != 0) digit = (digit + 1).toChar
+      if ((tileY & mask) != 0) digit = (digit + 2).toChar
+      sb.append(digit)
+      i -= 1
+    }
+    sb.toString
+  }
+
+  // ---- the registry ------------------------------------------------------
+  val ops: Map[String, Op] = Map(
+    // constructors & IO
+    "st_point" -> Op(BinaryType, a => out(Jts.point(dbl(a(0)), dbl(a(1))))),
+    "st_makepoint" -> Op(BinaryType, a =>
+      if (a.length == 2) out(Jts.point(dbl(a(0)), dbl(a(1))))
+      else out(Jts.pointZ(dbl(a(0)), dbl(a(1)), dbl(a(2))))),
+    "st_geomfromtext" -> Op(BinaryType, a =>
+      try out(Jts.fromWkt(str(a(0))))
+      catch { case e: Exception =>
+        if (a.length > 1 && bool(a(1))) null
+        else throw new IllegalArgumentException(s"invalid WKT: ${str(a(0)).take(60)}", e) }),
+    "st_geomfromwkb" -> Op(BinaryType, a => out(geo(a(0)))),
+    "st_geomfromhexwkb" -> Op(BinaryType, a =>
+      out(Jts.read(org.locationtech.jts.io.WKBReader.hexToBytes(str(a(0)))))),
+    "st_geomfromgeojson" -> Op(BinaryType, a => out(GeoJson.parse(str(a(0))))),
+    "st_astext" -> Op(StringType, a => utf8(Jts.toWkt(geo(a(0))))),
+    "st_aswkb" -> Op(BinaryType, a => out(geo(a(0)))),
+    "st_ashexwkb" -> Op(StringType, a =>
+      utf8(org.locationtech.jts.io.WKBWriter.toHex(out(geo(a(0)))).toUpperCase)),
+    "st_asgeojson" -> Op(StringType, a => utf8(GeoJson.write(geo(a(0))))),
+    "st_assvg" -> Op(StringType, a => {
+      val g = geo(a(0))
+      val rel = if (a.length > 1) bool(a(1)) else false
+      val prec = if (a.length > 2) int(a(2)) else 15
+      utf8(Svg.write(g, rel, prec))
+    }),
+    "st_makeenvelope" -> Op(BinaryType, a =>
+      out(Jts.envelope(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))),
+    "st_makeline" -> Op(BinaryType, a => {
+      val pts =
+        if (a.length == 1) geoList(a(0)) else Seq(geo(a(0)), geo(a(1)))
+      val coords = pts.flatMap(p => p.getCoordinates.toSeq)
+      out(Jts.gf.createLineString(coords.toArray))
+    }),
+    "st_makepolygon" -> Op(BinaryType, a => {
+      val shell = geo(a(0)) match {
+        case l: LineString => Jts.gf.createLinearRing(l.getCoordinateSequence)
+        case other => sys.error(s"ST_MakePolygon shell must be LINESTRING, got ${other.getGeometryType}")
+      }
+      if (a.length == 1) out(Jts.gf.createPolygon(shell))
+      else {
+        val holes = geoList(a(1)).map {
+          case l: LineString => Jts.gf.createLinearRing(l.getCoordinateSequence)
+          case other => sys.error(s"hole must be LINESTRING, got ${other.getGeometryType}")
+        }
+        out(Jts.gf.createPolygon(shell, holes.toArray))
+      }
+    }),
+    "st_collect" -> Op(BinaryType, a => out(Jts.collect(geoList(a(0))))),
+    "st_multi" -> Op(BinaryType, a => {
+      val g = geo(a(0))
+      val m = g match {
+        case p: Point => Jts.gf.createMultiPoint(Array(p))
+        case l: LineString => Jts.gf.createMultiLineString(Array(l))
+        case p: Polygon => Jts.gf.createMultiPolygon(Array(p))
+        case other => other
+      }
+      out(m)
+    }),
+    "st_collectionextract" -> Op(BinaryType, a => {
+      val g = geo(a(0))
+      if (a.length == 1) {
+        // highest-dimension extraction (reference st_collectionextract.cpp)
+        val parts = flatten(g)
+        if (parts.isEmpty) out(g)
+        else {
+          val maxDim = parts.map(_.getDimension).max
+          out(Jts.collect(parts.filter(_.getDimension == maxDim)))
+        }
+      } else {
+        val wantDim = int(a(1)) - 1 // 1=point,2=line,3=polygon
+        out(Jts.collect(flatten(g).filter(_.getDimension == wantDim)))
+      }
+    }),
+    "st_dump" -> Op(dumpType, a => {
+      val g = geo(a(0))
+      val items = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def rec(geom: Geometry, path: List[Int]): Unit = {
+        if (geom.getGeometryType.startsWith("Multi") || geom.getGeometryType == "GeometryCollection") {
+          for (i <- 0 until geom.getNumGeometries) rec(geom.getGeometryN(i), path :+ (i + 1))
+        } else {
+          items += InternalRow(out(geom), new GenericArrayData(path.toArray))
+        }
+      }
+      rec(g, Nil)
+      new GenericArrayData(items.toArray)
+    }),
+    "st_points" -> Op(BinaryType, a => {
+      val coords = geo(a(0)).getCoordinates
+      out(Jts.gf.createMultiPoint(coords.map(Jts.gf.createPoint)))
+    }),
+    "st_force2d" -> Op(BinaryType, a =>
+      out(mapCoords(geo(a(0)))(c => new Coordinate(c.x, c.y)))),
+    "st_force3dz" -> Op(BinaryType, a => {
+      val z = if (a.length > 1) dbl(a(1)) else 0.0
+      out(mapCoords(geo(a(0)))(c =>
+        new Coordinate(c.x, c.y, if (java.lang.Double.isNaN(c.getZ)) z else c.getZ)))
+    }),
+    "st_flipcoordinates" -> Op(BinaryType, a =>
+      out(mapCoords(geo(a(0)))(c => new Coordinate(c.y, c.x, c.getZ)))),
+    "st_reverse" -> Op(BinaryType, a => out(geo(a(0)).reverse())),
+    "st_normalize" -> Op(BinaryType, a => { val g = geo(a(0)); g.normalize(); out(g) }),
+
+    // accessors
+    "st_x" -> Op(DoubleType, a => geo(a(0)) match { case p: Point if !p.isEmpty => p.getX; case _ => null }),
+    "st_y" -> Op(DoubleType, a => geo(a(0)) match { case p: Point if !p.isEmpty => p.getY; case _ => null }),
+    "st_z" -> Op(DoubleType, a => geo(a(0)) match {
+      case p: Point if !p.isEmpty && !java.lang.Double.isNaN(p.getCoordinate.getZ) => p.getCoordinate.getZ
+      case _ => null }),
+    "st_m" -> Op(DoubleType, a => geo(a(0)) match {
+      case p: Point if !p.isEmpty && !java.lang.Double.isNaN(p.getCoordinate.getM) => p.getCoordinate.getM
+      case _ => null }),
+    "st_xmin" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMinX }),
+    "st_xmax" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMaxX }),
+    "st_ymin" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMinY }),
+    "st_ymax" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMaxY }),
+    "st_zmin" -> Op(DoubleType, a => zFold(geo(a(0)), min = true)),
+    "st_zmax" -> Op(DoubleType, a => zFold(geo(a(0)), min = false)),
+    "st_extent" -> Op(boxType, a => { val g = geo(a(0)); if (g.isEmpty) null else box(g.getEnvelopeInternal) }),
+    "st_envelope" -> Op(BinaryType, a => out(geo(a(0)).getEnvelope)),
+    "st_npoints" -> Op(IntegerType, a => geo(a(0)).getNumPoints),
+    "st_ngeometries" -> Op(IntegerType, a => geo(a(0)).getNumGeometries),
+    "st_ninteriorrings" -> Op(IntegerType, a => geo(a(0)) match {
+      case p: Polygon => p.getNumInteriorRing
+      case _ => null }),
+    "st_geometrytype" -> Op(StringType, a => utf8(Jts.typeTag(geo(a(0))))),
+    "st_isempty" -> Op(BooleanType, a => geo(a(0)).isEmpty),
+    "st_isclosed" -> Op(BooleanType, a => geo(a(0)) match {
+      case l: LineString => l.isClosed
+      case m: MultiLineString => m.isClosed
+      case _: Point | _: MultiPoint => true
+      case g => !g.isEmpty }),
+    "st_isring" -> Op(BooleanType, a => geo(a(0)) match {
+      case l: LineString => l.isClosed && l.isSimple
+      case _ => false }),
+    "st_issimple" -> Op(BooleanType, a => geo(a(0)).isSimple),
+    "st_isvalid" -> Op(BooleanType, a => geo(a(0)).isValid),
+    "st_dimension" -> Op(IntegerType, a => geo(a(0)).getDimension),
+    "st_startpoint" -> Op(BinaryType, a => geo(a(0)) match {
+      case l: LineString if !l.isEmpty => out(l.getStartPoint)
+      case _ => null }),
+    "st_endpoint" -> Op(BinaryType, a => geo(a(0)) match {
+      case l: LineString if !l.isEmpty => out(l.getEndPoint)
+      case _ => null }),
+    "st_pointn" -> Op(BinaryType, a => geo(a(0)) match {
+      case l: LineString =>
+        val n = l.getNumPoints
+        val idx0 = int(a(1))
+        val idx = if (idx0 < 0) n + idx0 else idx0 - 1 // 1-based; negative from end
+        if (idx < 0 || idx >= n) null else out(l.getPointN(idx))
+      case _ => null }),
+    "st_exteriorring" -> Op(BinaryType, a => geo(a(0)) match {
+      case p: Polygon => out(Jts.gf.createLineString(p.getExteriorRing.getCoordinateSequence))
+      case _ => null }),
+    "st_interiorringn" -> Op(BinaryType, a => geo(a(0)) match {
+      case p: Polygon if int(a(1)) >= 1 && int(a(1)) <= p.getNumInteriorRing =>
+        out(Jts.gf.createLineString(p.getInteriorRingN(int(a(1)) - 1).getCoordinateSequence))
+      case _ => null }),
+    "st_hasz" -> Op(BooleanType, a => { val f = zmFlag(geo(a(0))); f == 2 || f == 3 }),
+    "st_hasm" -> Op(BooleanType, a => { val f = zmFlag(geo(a(0))); f == 1 || f == 3 }),
+    "st_zmflag" -> Op(IntegerType, a => zmFlag(geo(a(0)))),
+
+    // measures
+    "st_area" -> Op(DoubleType, a => geo(a(0)).getArea),
+    "st_length" -> Op(DoubleType, a => lineLength(geo(a(0)))),
+    "st_perimeter" -> Op(DoubleType, a => perimeter(geo(a(0)))),
+    "st_distance" -> Op(DoubleType, a => geo(a(0)).distance(geo(a(1)))),
+    "st_maxdistance" -> Op(DoubleType, a => {
+      val c1 = geo(a(0)).getCoordinates; val g2 = geo(a(1)).getCoordinates
+      var m = 0.0
+      for (p <- c1; q <- g2) m = math.max(m, p.distance(q))
+      m
+    }),
+    "st_distance_sphere" -> Op(DoubleType, a => (geo(a(0)), geo(a(1))) match {
+      case (p: Point, q: Point) => Geodesy.haversine(p.getX, p.getY, q.getX, q.getY)
+      case _ => sys.error("ST_Distance_Sphere expects two POINTs") }),
+    "st_haversine" -> Op(DoubleType, a =>
+      Geodesy.haversine(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)))),
+    "st_area_spheroid" -> Op(DoubleType, a => Geodesy.areaSpheroid(geo(a(0)))),
+    "st_length_spheroid" -> Op(DoubleType, a => Geodesy.lengthSpheroid(geo(a(0)))),
+    "st_perimeter_spheroid" -> Op(DoubleType, a => Geodesy.perimeterSpheroid(geo(a(0)))),
+    "st_distance_spheroid" -> Op(DoubleType, a => (geo(a(0)), geo(a(1))) match {
+      case (p: Point, q: Point) => Geodesy.vincenty(p.getX, p.getY, q.getX, q.getY)
+      case _ => sys.error("ST_Distance_Spheroid expects two POINTs") }),
+    "st_dwithin_spheroid" -> Op(BooleanType, a => (geo(a(0)), geo(a(1))) match {
+      case (p: Point, q: Point) => Geodesy.vincenty(p.getX, p.getY, q.getX, q.getY) <= dbl(a(2))
+      case _ => sys.error("ST_DWithin_Spheroid expects two POINTs") }),
+    "st_dwithin" -> Op(BooleanType, a => geo(a(0)).isWithinDistance(geo(a(1)), dbl(a(2)))),
+
+    // constructive / overlay (JTS; reference wraps GEOS — same lineage)
+    "st_boundary" -> Op(BinaryType, a => out(geo(a(0)).getBoundary)),
+    "st_buffer" -> Op(BinaryType, a => {
+      val g = geo(a(0)); val d = dbl(a(1))
+      if (a.length > 2) out(g.buffer(d, int(a(2)))) else out(g.buffer(d))
+    }),
+    "st_centroid" -> Op(BinaryType, a => out(geo(a(0)).getCentroid)),
+    "st_convexhull" -> Op(BinaryType, a => out(geo(a(0)).convexHull())),
+    "st_concavehull" -> Op(BinaryType, a =>
+      out(ConcaveHull.concaveHullByLengthRatio(geo(a(0)), dbl(a(1))))),
+    "st_difference" -> Op(BinaryType, a => out(geo(a(0)).difference(geo(a(1))))),
+    "st_intersection" -> Op(BinaryType, a => out(geo(a(0)).intersection(geo(a(1))))),
+    "st_union" -> Op(BinaryType, a =>
+      if (a.length == 1) out(UnaryUnionOp.union(geoList(a(0)).asJavaCollection))
+      else out(geo(a(0)).union(geo(a(1))))),
+    "st_linemerge" -> Op(BinaryType, a => {
+      val merger = new LineMerger
+      merger.add(geo(a(0)))
+      val merged = merger.getMergedLineStrings.asScala.toSeq.map(_.asInstanceOf[Geometry])
+      out(Jts.collect(merged) match {
+        case m: MultiLineString if m.getNumGeometries == 1 => m.getGeometryN(0)
+        case other => other
+      })
+    }),
+    "st_makevalid" -> Op(BinaryType, a => out(Jts.makeValid(geo(a(0))))),
+    "st_pointonsurface" -> Op(BinaryType, a => out(geo(a(0)).getInteriorPoint)),
+    "st_reduceprecision" -> Op(BinaryType, a =>
+      out(GeometryPrecisionReducer.reduce(geo(a(0)), new PrecisionModel(1.0 / dbl(a(1)))))),
+    "st_removerepeatedpoints" -> Op(BinaryType, a => {
+      val tol = if (a.length > 1) dbl(a(1)) else 0.0
+      out(removeRepeated(geo(a(0)), tol))
+    }),
+    "st_shortestline" -> Op(BinaryType, a => {
+      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(geo(a(0)), geo(a(1)))
+      out(Jts.gf.createLineString(pts))
+    }),
+    "st_simplify" -> Op(BinaryType, a => out(DouglasPeuckerSimplifier.simplify(geo(a(0)), dbl(a(1))))),
+    "st_simplifypreservetopology" -> Op(BinaryType, a =>
+      out(TopologyPreservingSimplifier.simplify(geo(a(0)), dbl(a(1))))),
+    "st_node" -> Op(BinaryType, a => out(LineDissolver.dissolve(geo(a(0))))),
+    "st_translate" -> Op(BinaryType, a =>
+      out(AffineTransformation.translationInstance(dbl(a(1)), dbl(a(2))).transform(geo(a(0))))),
+
+    // space-filling curves & tiling
+    "st_hilbert" -> Op(LongType, a => a.length match {
+      case 6 => HilbertCurve.encode(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)))
+      case 5 =>
+        val e = geo(a(0)).getEnvelopeInternal
+        HilbertCurve.encode((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2,
+          dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)))
+      case 3 =>
+        val (bx, by, bX, bY) = boxOf(a(2))
+        HilbertCurve.encode(dbl(a(0)), dbl(a(1)), bx, by, bX, bY)
+      case 2 =>
+        val (bx, by, bX, bY) = boxOf(a(1))
+        val e = geo(a(0)).getEnvelopeInternal
+        HilbertCurve.encode((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2, bx, by, bX, bY)
+      case _ => sys.error("ST_Hilbert arities: (x,y,box4)|(geom,box4)|(x,y,box)|(geom,box)")
+    }),
+    "st_quadkey" -> Op(StringType, a =>
+      if (a.length == 3) utf8(quadKey(dbl(a(0)), dbl(a(1)), int(a(2))))
+      else {
+        val c = geo(a(0)).getCentroid
+        utf8(quadKey(c.getX, c.getY, int(a(1))))
+      }),
+
+    // CRS transform
+    "st_transform" -> Op(BinaryType, a => {
+      val alwaysXy = if (a.length > 3) bool(a(3)) else false
+      out(Crs.transform(geo(a(0)), str(a(1)), str(a(2)), alwaysXy))
+    })
+  )
+
+  private def zFold(g: Geometry, min: Boolean): Any = {
+    var res: java.lang.Double = null
+    g.apply(new CoordinateFilter {
+      override def filter(c: Coordinate): Unit = {
+        val z = c.getZ
+        if (!java.lang.Double.isNaN(z)) {
+          if (res == null) res = z
+          else res = if (min) math.min(res, z) else math.max(res, z)
+        }
+      }
+    })
+    res
+  }
+
+  private def removeRepeated(g: Geometry, tol: Double): Geometry = g match {
+    case l: LineString =>
+      val cs = l.getCoordinates
+      val kept = scala.collection.mutable.ArrayBuffer[Coordinate]()
+      for (c <- cs) {
+        if (kept.isEmpty || kept.last.distance(c) > tol) kept += c
+      }
+      if (kept.length < 2 && cs.nonEmpty) Jts.gf.createLineString(Array(cs.head, cs.last))
+      else Jts.gf.createLineString(kept.toArray)
+    case m: MultiLineString =>
+      Jts.gf.createMultiLineString(
+        (0 until m.getNumGeometries)
+          .map(i => removeRepeated(m.getGeometryN(i), tol).asInstanceOf[LineString]).toArray)
+    case other => other
+  }
+}

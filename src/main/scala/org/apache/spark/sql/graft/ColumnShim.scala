@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between Catalyst [[Expression]]s and the public [[Column]]
+ *  API. Spark 4 moved Column to ColumnNode (Connect-compatible), so
+ *  expression wrapping lives in `org.apache.spark.sql.classic` and is
+ *  private[sql]; this shim (in a subpackage of org.apache.spark.sql)
+ *  re-exports just the two conversions our function surface needs. */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
