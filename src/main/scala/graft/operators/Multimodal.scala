@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads travel as
+ * opaque `binary` columns with a typed metadata struct, processed in
+ * batch via `mapPartitions` (the Scala analog of `mapInPandas` — one
+ * iterator per partition, so per-batch setup like codec init happens
+ * once per task, not per row).
+ *
+ * The actual codec calls are STUBBED with deterministic fakes (no
+ * image/audio libraries in this container); the Spark-side contract —
+ * schema, batching, partitioning, null handling — is real and tested.
+ * Swap `decodeStub` for a real codec (e.g. TwelveMonkeys/JavaCV) by
+ * replacing one function.
+ */
+object Multimodal {
+
+  /** Metadata schema carried alongside every media column. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("meta", mediaMetaType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /**
+   * STUB decode: derives deterministic pseudo-metadata from the
+   * payload bytes (stands in for a real header parse). Real impl:
+   * ImageIO.read / codec probe.
+   */
+  private[operators] def decodeStub(payload: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (payload == null || payload.isEmpty) ("empty", 0, 0, 0, 0L)
+    else {
+      val h = java.util.Arrays.hashCode(payload)
+      val fmt = Seq("jpeg", "png", "webp")(math.floorMod(h, 3))
+      val w = 64 + math.floorMod(h >> 4, 1984)
+      val ht = 64 + math.floorMod(h >> 8, 1984)
+      (fmt, w, ht, 3, payload.length.toLong)
+    }
+  }
+
+  /**
+   * STUB feature extraction: `dim` floats hashed from payload content
+   * (stands in for an embedding model / mel spectrogram). Deterministic.
+   */
+  private[operators] def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      while (i < dim) {
+        var acc = 1469598103934665603L ^ i
+        var j = i % payload.length
+        val step = math.max(1, payload.length / 64)
+        while (j < payload.length) {
+          acc = (acc ^ payload(j)) * 1099511628211L
+          j += step
+        }
+        out(i) = ((acc >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        i += 1
+      }
+    }
+    out
+  }
+
+  /**
+   * Decode + featurize a table of (id, payload) media rows. Batch
+   * shape: one `mapPartitions` pass, schema [[decodedSchema]].
+   * Partitioning is preserved (narrow transformation — no shuffle).
+   */
+  def decodeAndFeaturize(
+      df: DataFrame, idCol: String, payloadCol: String, featureDim: Int = 64): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        // per-partition setup would init the codec here (once per task)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (fmt, w, h, c, d) = decodeStub(payload)
+          Row(id, Row(fmt, w, h, c, d), featureStub(payload, featureDim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** STUB resize: real impl would transcode; the stub re-hashes bytes
+   *  to a deterministic `w*h`-proportional payload, keeping the
+   *  (binary in → binary out) contract and batch shape. */
+  def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
+    val fields = df.schema.fields.map(f => StructField(f.name, f.dataType, f.nullable))
+    val enc = RowEncoder.encoderFor(StructType(fields))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.map { r =>
+      val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+      val resized =
+        if (payload == null) null
+        else {
+          val target = math.max(16, (w * h) / 256)
+          val out = new Array[Byte](target)
+          var i = 0
+          while (i < target) { out(i) = payload(i % payload.length); i += 1 }
+          out
+        }
+      Row.fromSeq(r.toSeq.updated(idx, resized))
+    }(enc)
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th 1 KiB
+   *  block becomes a "frame" row (id, frame_no, frame_bytes). Real
+   *  impl: keyframe extraction. Uses flatMap — narrow, no shuffle. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, stride: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val payload = r.getAs[Array[Byte]](1)
+          val blocks = payload.grouped(1024).zipWithIndex
+          blocks.collect { case (b, i) if i % stride == 0 => Row(r.getLong(0), i, b) }
+        }
+      }(enc)
+  }
+}

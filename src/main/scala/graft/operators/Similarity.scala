@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.{CosineSimilarity, HyperplaneSignature}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+
+/**
+ * Embedding similarity search over `Array[Float]` columns.
+ *
+ * Baseline: brute-force cosine top-k (broadcast the query set, scan
+ * the corpus once — exact, O(|corpus|·|queries|)). Scale path:
+ * random-hyperplane LSH bucketing turns the all-pairs problem into an
+ * equi-join on bucket signature (same blocking-join skeleton as
+ * [[SpatialJoin]] and [[Dedup.minhashCandidates]]).
+ */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(ColumnShim.expr(a), ColumnShim.expr(b)))
+
+  /** LSH bucket id (random-hyperplane signs, deterministic planes). */
+  def lshBucket(vec: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
+    ColumnShim.column(HyperplaneSignature(ColumnShim.expr(vec), numPlanes, seed))
+
+  /**
+   * Exact brute-force cosine top-k: for every query row, the k most
+   * similar corpus rows. Queries are broadcast (they must be the small
+   * side); the corpus is scanned exactly once, no shuffle of the
+   * corpus itself — only the (|queries|·k)-sized result shuffles for
+   * the per-query window.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: Column, corpusVec: Column,
+      queryId: Column, queryVec: Column,
+      k: Int = 10): DataFrame = {
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /**
+   * Approximate all-pairs similarity: bucket by hyperplane signature
+   * (optionally multiple probe tables with different seeds to boost
+   * recall), equi-join within buckets, verify exact cosine ≥ threshold.
+   * Returns (id_a, id_b, cosine) with id_a < id_b.
+   */
+  def annPairs(
+      df: DataFrame, id: Column, vec: Column,
+      threshold: Double = 0.9, numPlanes: Int = 16, numTables: Int = 4): DataFrame = {
+    val base = df.select(id.as("__id"), vec.as("__v"))
+    val tables = (0 until numTables).map { t =>
+      base.select(col("__id"), col("__v"),
+        lit(t).as("__t"), lshBucket(col("__v"), numPlanes, seed = 42L + t).as("__bucket"))
+    }.reduce(_ unionAll _)
+    val a = tables.select(col("__t"), col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = tables.select(col("__t"), col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__t", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")           // collapse multi-table hits
+      .agg(first("__va").as("__va"), first("__vb").as("__vb"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate removal: greedy min-id survivor
+   *  over [[annPairs]] candidates. */
+  def dedupByEmbedding(
+      df: DataFrame, id: Column, vec: Column,
+      threshold: Double = 0.95, numPlanes: Int = 16, numTables: Int = 4): DataFrame = {
+    val dups = annPairs(df, id, vec, threshold, numPlanes, numTables)
+      .select(col("id_b").as("__dup_id")).distinct()
+    df.join(dups, id === col("__dup_id"), "left_anti")
+  }
+
+  /** Vector L2 norm (useful for filtering degenerate embeddings). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis operators for training-data pipelines: token counting,
+ * quality scoring, language identification, all as codegen-friendly
+ * built-in compositions (no UDFs, no JTS — these run in the hot path
+ * of 100 TB document scans).
+ */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count estimate: word-piece regex (letter runs,
+   *  digit runs, single punctuation marks), the standard cheap proxy
+   *  for LLM token counts without a vocab file. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")), length(text))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[0-9]", "")), length(text))
+
+  /** Fraction of characters that are uppercase. */
+  def upperRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[A-Z]", "")), length(text))
+
+  /** Mean word length. */
+  def meanWordLength(text: Column): Column =
+    ratio(length(regexp_replace(text, "\\s", "")), tokenCount(text))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> enStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en", "que", "no"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "per", "non", "sono", "con"))
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+   *  fluency signal (C4/Gopher-style quality filters). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    ratio(size(filter(toks, t => t.isin(enStop: _*))), size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1] (Gopher/C4-style heuristics):
+   * rewards stopword presence and sane word lengths, penalizes
+   * punctuation/digit/uppercase excess and degenerate repetition.
+   */
+  def qualityScore(text: Column): Column = {
+    val mwl = meanWordLength(text)
+    val lengthOk = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.0)
+    val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctOk = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val digitOk = greatest(lit(1.0) - digitRatio(text) * 4.0, lit(0.0))
+    val uniqueOk = ratio(size(array_distinct(tokens(text))), tokenCount(text))
+    (lengthOk * 0.2 + stopOk * 0.3 + punctOk * 0.2 + digitOk * 0.15 + uniqueOk * 0.15)
+  }
+
+  /**
+   * N-gram/stopword language ID over {en,de,fr,es} + CJK char-range
+   * detection for zh. Returns the language code with the most stopword
+   * hits, 'zh' if CJK chars dominate, 'und' if nothing matches.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val hits = stopwords.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"), lit(lang).as("lang"))
+    }.toSeq
+    val best = greatest(hits: _*)
+    when(ratio(cjk, length(text)) > 0.25, "zh")
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+}

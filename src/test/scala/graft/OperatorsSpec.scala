@@ -1,0 +1,234 @@
+package graft
+
+import graft.operators._
+import graft.GeoFunctions._
+import org.apache.spark.sql.functions._
+
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grid join == broadcast join == brute force (points in polygons)") {
+    // 200 points on a 20x20 area, 9 overlapping zones
+    val pts = (0 until 200).map(i => (i.toLong, (i % 20) + 0.5, (i / 20) + 0.5))
+      .toDF("pid", "x", "y").withColumn("pt", st_point($"x", $"y"))
+    val zones = (for (zx <- 0 until 3; zy <- 0 until 3)
+      yield (zx * 3 + zy, zx * 6.0, zy * 3.0, zx * 6.0 + 7.0, zy * 3.0 + 4.0))
+      .toDF("zid", "x0", "y0", "x1", "y1")
+      .withColumn("zone", st_makeenvelope($"x0", $"y0", $"x1", $"y1"))
+
+    val grid = SpatialJoin.join(pts, zones, $"pt", $"zone", "st_within", cellSize = 2.0)
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+    val bcast = SpatialJoin.join(pts, zones, $"pt", $"zone", "st_within", broadcastRight = true)
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+    val brute = pts.crossJoin(zones).filter(st_within($"pt", $"zone"))
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+
+    assert(brute.nonEmpty)
+    assert(grid == brute, s"grid join mismatch: missing=${brute -- grid} extra=${grid -- brute}")
+    assert(bcast == brute)
+  }
+
+  test("grid join polygons x polygons (intersects, multi-cell dedup)") {
+    val left = (0 until 30).map(i => (i, i * 1.0, 0.0, i * 1.0 + 5.0, 5.0))
+      .toDF("lid", "x0", "y0", "x1", "y1")
+      .withColumn("lg", st_makeenvelope($"x0", $"y0", $"x1", $"y1")).select("lid", "lg")
+    val right = (0 until 30).map(i => (i, i * 1.0 + 2.0, 2.0, i * 1.0 + 6.0, 8.0))
+      .toDF("rid", "x0", "y0", "x1", "y1")
+      .withColumn("rg", st_makeenvelope($"x0", $"y0", $"x1", $"y1")).select("rid", "rg")
+    val grid = SpatialJoin.join(left, right, $"lg", $"rg", "st_intersects", cellSize = 3.0)
+      .select("lid", "rid").as[(Int, Int)].collect()
+    val brute = left.crossJoin(right).filter(st_intersects($"lg", $"rg"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(grid.length == grid.toSet.size, "duplicate pairs emitted")
+    assert(grid.toSet == brute)
+  }
+
+  test("dwithin grid join") {
+    val a = (0 until 50).map(i => (i, i % 10 * 2.0, i / 10 * 2.0)).toDF("aid", "x", "y")
+      .withColumn("ag", st_point($"x", $"y")).select("aid", "ag")
+    val b = (0 until 50).map(i => (i, i % 10 * 2.0 + 0.6, i / 10 * 2.0)).toDF("bid", "x", "y")
+      .withColumn("bg", st_point($"x", $"y")).select("bid", "bg")
+    val grid = SpatialJoin.join(a, b, $"ag", $"bg", "st_dwithin", cellSize = 1.0, distance = 0.7)
+      .select("aid", "bid").as[(Int, Int)].collect().toSet
+    val brute = a.crossJoin(b).filter(st_dwithin($"ag", $"bg", lit(0.7)))
+      .select("aid", "bid").as[(Int, Int)].collect().toSet
+    assert(grid == brute)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup keeps min id per duplicate text") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other text")).toDF("id", "text")
+    val out = Dedup.exact(df, $"id", $"text").select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("minhash finds planted near-duplicates, not unrelated docs") {
+    val base = docs.select($"doc_id", $"text").limit(40)
+    // plant near-dups: copy of doc with tiny suffix change
+    val dups = base.filter($"doc_id" < 5)
+      .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" xyz")).as("text"))
+    val all = base.unionAll(dups)
+    val pairs = Dedup.minhashCandidates(all, $"doc_id", $"text", numHashes = 64, bands = 16)
+      .filter($"est_jaccard" >= 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // ground truth: brute-force exact word-shingle jaccard over all pairs
+    val truth = all.as("a").crossJoin(all.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("j", Dedup.jaccard($"a.text", $"b.text"))
+      .filter($"j" >= 0.7)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    // every planted pair is in the truth set and found by LSH
+    for (i <- 0L until 5L) assert(truth.contains((i, i + 100000)))
+    assert(pairs == truth, s"missing=${truth -- pairs} spurious=${pairs -- truth}")
+    val kept = Dedup.minhashDedup(all, $"doc_id", $"text", threshold = 0.7,
+      numHashes = 64, bands = 16)
+    val expectedDropped = truth.map(_._2)
+    assert(kept.count() == all.count() - expectedDropped.size)
+    assert(kept.filter($"doc_id".isin(expectedDropped.toSeq: _*)).count() == 0)
+  }
+
+  test("simhash hamming + candidates") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content about spark query engines at scale")
+    ).toDF("id", "text")
+    val pairs = Dedup.simhashCandidates(df, $"id", $"text", maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard column") {
+    val df = Seq(("abcdefghij", "abcdefghij"), ("abcdefghij", "zzzzzzzzzz")).toDF("a", "b")
+    val sims = df.select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect()
+    assert(sims(0) == 1.0)
+    assert(sims(1) == 0.0)
+  }
+
+  test("fingerprint is deterministic and shift-robust-ish") {
+    val df = Seq((1L, "some stable content here"), (2L, "some stable content here")).toDF("id", "t")
+    val fps = df.select(Dedup.fingerprint($"t").as("fp")).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine expression matches manual computation") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk returns k best, self excluded") {
+    val q = emb.filter($"vec_id" < 3)
+    val res = Similarity.bruteForceTopK(emb, q, $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+    val grouped = res.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(grouped.size == 3 && grouped.values.forall(_ == 5))
+    assert(res.filter($"query_id" === $"corpus_id").count() == 0)
+    // ranks ordered by cosine desc
+    val r0 = res.filter($"query_id" === 0).orderBy($"rank").select("cosine").as[Double].collect()
+    assert(r0.sliding(2).forall(w => w(0) >= w(1) - 1e-12))
+  }
+
+  test("ann pairs recall vs brute force at high threshold") {
+    val brute = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", Similarity.cosine($"a.embedding", $"b.embedding"))
+      .filter($"cos" >= 0.95)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annPairs(emb, $"vec_id", $"embedding", threshold = 0.95,
+      numPlanes = 12, numTables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every ann pair is a true pair (exact verify), recall is decent
+    assert(ann.subsetOf(brute))
+    if (brute.nonEmpty) {
+      val recall = ann.size.toDouble / brute.size
+      assert(recall >= 0.5, s"ANN recall too low: $recall (${ann.size}/${brute.size})")
+    }
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token + subword counts") {
+    val df = Seq("hello world  foo", "a b", "").toDF("t")
+    val counts = df.select(TextOps.tokenCount($"t").as("c")).as[Int].collect()
+    assert(counts(0) == 3 && counts(1) == 2)
+    val sub = Seq("don't stop-me now123").toDF("t")
+      .select(TextOps.subwordCount($"t").as("c")).as[Int].collect()
+    // don + ' + t + stop + - + me + now + 1 + 2 + 3 = 10
+    assert(sub(0) == 10)
+  }
+
+  test("quality + ratios") {
+    val good = "the quick brown fox jumps over the lazy dog and runs for it"
+    val bad = "$$$ !!! ### 12345 @@@@ %% ^^ && ** (( ))"
+    val df = Seq(good, bad).toDF("t")
+    val q = df.select(TextOps.qualityScore($"t").as("q")).as[Double].collect()
+    assert(q(0) > 0.7, s"good text scored ${q(0)}")
+    assert(q(1) < 0.4, s"garbage scored ${q(1)}")
+  }
+
+  test("langId picks stopword language / cjk") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund ist nicht auf der matte und das ist gut",
+      "el gato es una maravilla para la casa y no sale",
+      "le chat est dans la maison et les enfants sont pour",
+      "这是一个中文句子这是一个中文句子这是一个中文句子").toDF("t")
+    val langs = df.select(TextOps.langId($"t").as("l")).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "es", "fr", "zh"), langs.mkString(","))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeAndFeaturize contract: schema, determinism, null-safety") {
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      (2L, Array[Byte](9, 9, 9)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "payload")
+    val out = Multimodal.decodeAndFeaturize(df, "media_id", "payload", featureDim = 16)
+    assert(out.schema == Multimodal.decodedSchema)
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.length == 3)
+    val f1 = rows(0).getSeq[Float](2)
+    assert(f1.length == 16)
+    // deterministic
+    val again = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 16)
+      .orderBy("media_id").collect()(0).getSeq[Float](2)
+    assert(f1 == again)
+    // null payload → empty meta, zero features
+    assert(rows(2).getStruct(1).getString(0) == "empty")
+  }
+
+  test("sampleFrames explodes blocks with stride") {
+    val payload = Array.fill[Byte](5000)(7)
+    val df = Seq((10L, payload)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "media_id", "payload", stride = 2)
+    val got = frames.select("frame_no").as[Int].collect().sorted
+    assert(got.toSeq == Seq(0, 2, 4)) // 5 blocks, every 2nd
+  }
+
+  test("resize keeps schema and is deterministic") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.resize(df, "payload", 32, 32)
+    assert(out.schema == df.schema)
+    val bytes = out.collect()(0).getAs[Array[Byte]](1)
+    assert(bytes.length == math.max(16, 32 * 32 / 256))
+  }
+}
