@@ -1,24 +1,71 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark main (driver contract): runs headline queries on
+ * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Includes a replica of the
+ * reference's rtree_points benchmark workload (10M uniform points,
+ * envelope count — benchmark/rtree_points_index.benchmark:10-19) plus
+ * the operators that matter at scale: grid spatial join, minhash
+ * dedup, embedding top-k, hilbert clustering.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Graft.install(spark)
+
+    // headline set: relational + spatial + pipeline, all scale-critical
+    val headline = Seq(
+      "q1_agg", "q_join_revenue", "q_window_rank", "q_events_hourly",
+      "q_geo_contains", "q_geo_envelope", "q_geo_spatial_join",
+      "q_geo_hilbert", "q_geo_transform",
+      "q_doc_dedup_exact", "q_doc_minhash_dedup", "q_emb_topk", "q_emb_norm")
+
+    // warmup: JIT + codegen caches on a tiny slice (not timed)
+    try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+
+    def time(body: => Long): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { name =>
+      results(name) = time {
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      }
+    }
+
+    // reference rtree_points workload: 10M uniform points in [0,10000]^2,
+    // count within envelope (450,450)-(650,650). Spark-first plan: the
+    // filter is pure arithmetic over a generated range — no index needed,
+    // the scan parallelizes over 10M/partitions rows.
+    results("points_envelope_10m") = time {
+      import graft.GeoFunctions._
+      val pts = spark.range(10000000L).select(
+        st_point(pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0,
+          pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("geom"))
+      pts.filter(st_within(col("geom"),
+        st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

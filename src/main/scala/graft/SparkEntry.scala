@@ -248,23 +248,10 @@ object SparkEntry {
     "q_doc_minhash_dedup" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
-      val docs = s.table("documents")
-      // LSH candidates (recall stage), then exact string-shingle verify
-      // (precision stage) so the result is oracle-comparable
-      val cands = operators.Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
-      val byId = docs.select(col("doc_id"), col("text"))
-      val verified = cands
-        .join(byId.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
-        .join(byId.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
-        .filter(expr(
-          """CAST(size(array_intersect(
-               array_distinct(transform(sequence(1, greatest(size(split(trim(lower(__ta)), '\\s+')) - 2, 1)), i -> concat_ws(' ', slice(split(trim(lower(__ta)), '\\s+'), i, 3)))),
-               array_distinct(transform(sequence(1, greatest(size(split(trim(lower(__tb)), '\\s+')) - 2, 1)), i -> concat_ws(' ', slice(split(trim(lower(__tb)), '\\s+'), i, 3)))))) AS DOUBLE)
-             / size(array_union(
-               array_distinct(transform(sequence(1, greatest(size(split(trim(lower(__ta)), '\\s+')) - 2, 1)), i -> concat_ws(' ', slice(split(trim(lower(__ta)), '\\s+'), i, 3)))),
-               array_distinct(transform(sequence(1, greatest(size(split(trim(lower(__tb)), '\\s+')) - 2, 1)), i -> concat_ws(' ', slice(split(trim(lower(__tb)), '\\s+'), i, 3)))))) >= 0.7"""))
-        .select(col("id_b").as("dup_id")).distinct()
-      docs.join(verified, col("doc_id") === col("dup_id"), "left_anti")
+      // MinHash-LSH recall + exact string-shingle Jaccard precision:
+      // result equals the oracle's brute-force jaccard dedup w.h.p.
+      operators.Dedup.minhashDedup(s.table("documents"), col("doc_id"), col("text"),
+          threshold = 0.7)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 

@@ -91,6 +91,99 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /**
+ * Word n-gram shingles as strings (lowercased, whitespace-tokenized,
+ * joined with single spaces, distinct) — the exact-verify unit for
+ * MinHash candidates. Single pass, no regex-lambda trees: Catalyst's
+ * projection collapse would otherwise inline an SQL `transform(...)`
+ * shingle expression into every consumer and recompute the tokenize
+ * per reference (observed 128× blowup in the signature path).
+ */
+case class StringShingles(child: Expression, n: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "string_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length <= n) out.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): StringShingles = copy(child = c)
+}
+
+/**
+ * MinHash signature in one pass: tokenize → word n-gram shingles →
+ * murmur-style hash → k universal-hash minima. Returns
+ * array<long>[numHashes]. One tight loop per row (shingles × k
+ * multiply-mods), no higher-order-function interpretation.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  @transient private lazy val (as, bs) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1)),
+     Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingleSize
+    val last = math.max(toks.length - n, 0)
+    var i = 0
+    while (i <= last) {
+      // FNV-1a over the shingle's tokens (joined implicitly by \0)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      val end = math.min(i + n, toks.length)
+      while (i + j < end) {
+        val t = toks(i + j)
+        var c = 0
+        while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
+        h ^= 0; h *= 0x100000001b3L // token separator
+        j += 1
+      }
+      val hv = (h & 0xFFFFFFFFL)
+      var k = 0
+      while (k < numHashes) {
+        val perm = (as(k) * hv + bs(k)) % P
+        if (perm < mins(k)) mins(k) = perm
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) { out(k) = (if (mins(k) == Long.MaxValue) 0L else mins(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+/**
  * Random-hyperplane LSH signature for cosine similarity (Charikar
  * 2002): bit p of the result is the sign of <vec, r_p> where r_p is a
  * deterministic pseudo-random Rademacher (+1/-1) plane derived from

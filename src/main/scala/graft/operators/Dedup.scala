@@ -49,28 +49,26 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: `numHashes` universal-hash minima over the
-   *  shingle set. h_j(x) = (a_j*x + b_j) mod p, p = 2^31-1, with
-   *  deterministic a/b derived from the index. */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 128): Column = {
-    val p = 2147483647L
-    val rnd = new scala.util.Random(42)
-    val as = Array.fill(numHashes)(1 + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    val aLit = as.mkString("array(", "L,", "L)")
-    val bLit = bs.mkString("array(", "L,", "L)")
-    expr(
-      s"transform(sequence(0, ${numHashes - 1}), " +
-      s"j -> array_min(transform(${shingleCol.toString}, " +
-      s"h -> pmod(element_at($aLit, j + 1) * (h & 4294967295L) + element_at($bLit, j + 1), ${p}L))))")
-  }
+  /** Word n-gram shingles as strings (single-pass custom expression —
+   *  see [[graft.functions.StringShingles]] for why not SQL lambdas). */
+  def stringShingles(text: Column, n: Int = 3): Column =
+    ColumnShim.column(graft.functions.StringShingles(ColumnShim.expr(text), n))
+
+  /** MinHash signature column: `numHashes` universal-hash minima over
+   *  the word-shingle set, computed in one pass per row. */
+  def minhashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
+    ColumnShim.column(graft.functions.MinHashSignature(ColumnShim.expr(text), numHashes, shingleSize))
 
   /**
    * MinHash-LSH candidate pairs: ids of documents whose banded
    * signatures collide in ≥1 band, with the MinHash Jaccard estimate.
    * Standard banding: `bands` bands of `numHashes/bands` rows; a pair
    * is a candidate iff some band matches exactly (equi-join key =
-   * (band index, hash of band slice)).
+   * (band, hash of band slice)).
+   *
+   * Scale shape: the banding shuffle carries only (id, band, bh) —
+   * 20 bytes/row — never the 128-long signatures; signatures re-join
+   * by id onto the (small) candidate pair set afterwards.
    *
    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, one row per pair.
    */
@@ -79,36 +77,53 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sigs = df.select(id.as("__id"), text.as("__text"))
-      .withColumn("__sh", shingles(col("__text"), shingleSize))
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .select(col("__id"), col("__sig"))
-    val banded = sigs.select(
-      col("__id"), col("__sig"),
+    val sigs = df.select(id.as("__id"), minhashSignature(text, numHashes, shingleSize).as("__sig"))
+    val banded = sigs.select(col("__id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-        s"'band', b, 'bh', hash(slice(__sig, b * $r + 1, $r))))")).as("__band"))
-      .select(col("__id"), col("__sig"), col("__band.band"), col("__band.bh"))
-    val a = banded.select(col("band"), col("bh"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("band"), col("bh"), col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))       // pair may collide in many bands
-      .agg(first("__sig_a").as("__sig_a"), first("__sig_b").as("__sig_b"))
+        s"'band', b, 'bh', hash(slice(__sig, b * $r + 1, $r))))")).as("__b"))
+      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
       .withColumn("est_jaccard",
-        expr("size(zip_with(__sig_a, __sig_b, (x, y) -> if(x = y, 1, null))) " +
-          "/ cast(size(__sig_a) AS double)"))
+        expr("size(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, null))) / cast(size(__sa) AS double)"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** Near-dedup via MinHash-LSH: drop every row whose id appears as
-   *  the larger member of a candidate pair with est_jaccard ≥
-   *  threshold (greedy min-id survivor; one extra left-anti join). */
-  def minhashDedup(
+  /** LSH candidates verified with exact shingle-set Jaccard (recall
+   *  from LSH, precision exact): (id_a, id_b, est_jaccard, jaccard). */
+  def nearDupPairs(
       df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val dupIds = minhashCandidates(df, id, text, numHashes, bands, shingleSize)
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_b").as("__dup_id")).distinct()
+    val sh = df.select(id.as("__id"), stringShingles(text, shingleSize).as("__sh"))
+    minhashCandidates(df, id, text, numHashes, bands, shingleSize)
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+          / size(array_union(col("__sha"), col("__shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Near-dedup via MinHash-LSH: drop every row whose id appears as
+   *  the larger member of a near-dup pair (greedy min-id survivor).
+   *  `exact = true` (default) verifies candidates with exact shingle
+   *  Jaccard; `false` trusts the signature estimate (cheaper). */
+  def minhashDedup(
+      df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact) nearDupPairs(df, id, text, threshold, numHashes, bands, shingleSize)
+      else minhashCandidates(df, id, text, numHashes, bands, shingleSize)
+        .filter(col("est_jaccard") >= threshold)
+    val dupIds = pairs.select(col("id_b").as("__dup_id")).distinct()
     df.join(dupIds, id === col("__dup_id"), "left_anti")
   }
 

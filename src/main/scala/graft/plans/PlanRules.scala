@@ -1,0 +1,109 @@
+package graft.plans
+
+import graft.functions.GeoPredicate
+import graft.operators.SpatialJoin
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.ColumnShim
+
+/**
+ * Logical rewrite of SQL spatial joins, mirroring the reference's
+ * RangeJoinSpatialPredicateRewriter (core/optimizer_rules.cpp:33-279):
+ * `a JOIN b ON ST_Intersects(a.g, b.g)` would otherwise execute as a
+ * BroadcastNestedLoopJoin (quadratic — the Spark analog of the
+ * blockwise-NL join the reference avoids). We rewrite it to the grid
+ * decomposition of [[SpatialJoin]]: explode to covering cells,
+ * equi-join on cell, reference-point dedup, exact predicate.
+ *
+ * The rewrite only fires when the join has no equi-join conjunct (if
+ * one exists, Spark already hash-partitions on it and the spatial
+ * predicate is a cheap residual filter).
+ *
+ * Config: `spark.graft.spatialJoin.cellSize` (double; unset/<=0 →
+ * sample-estimate), `spark.graft.spatialJoin.enabled` (default true).
+ */
+case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.get("spark.graft.spatialJoin.enabled", "true").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.resolved && !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
+        val cs = conjuncts(cond)
+        val hasEqui = cs.exists {
+          case EqualTo(l, r) =>
+            (refsOnly(l, left) && refsOnly(r, right)) || (refsOnly(l, right) && refsOnly(r, left))
+          case _ => false
+        }
+        val spatialIdx = cs.indexWhere {
+          case GeoPredicate(name, l, r) if SpatialJoin.supported.contains(name) =>
+            (refsOnly(l, left) && refsOnly(r, right)) || (refsOnly(l, right) && refsOnly(r, left))
+          case _ => false
+        }
+        if (hasEqui || spatialIdx < 0) j
+        else {
+          val GeoPredicate(name, l, r) = cs(spatialIdx): @unchecked
+          val swapped = refsOnly(l, right)
+          val (lExpr, rExpr) = if (swapped) (r, l) else (l, r)
+          // st_within/contains/coveredby/covers are asymmetric: keep
+          // orientation by mapping to the swapped predicate
+          val pred = if (!swapped) name else name match {
+            case "st_within" => "st_contains"
+            case "st_contains" => "st_within"
+            case "st_coveredby" => "st_covers"
+            case "st_covers" => "st_coveredby"
+            case "st_containsproperly" => "st_within" // conservative: exact filter below re-checks
+            case sym => sym
+          }
+          val rest = cs.patch(spatialIdx, Nil, 1)
+          val cellSize = spark.conf.get("spark.graft.spatialJoin.cellSize", "0").toDouble
+          val leftDf = ColumnShim.ofRows(spark, left)
+          val rightDf = ColumnShim.ofRows(spark, right)
+          val joined = SpatialJoin.join(
+            leftDf, rightDf,
+            ColumnShim.column(lExpr), ColumnShim.column(rExpr),
+            if (pred == "st_containsproperly") "st_intersects" else pred,
+            cellSize = cellSize)
+          val exactRecheck: Seq[Expression] =
+            if (name == "st_containsproperly" || pred == "st_containsproperly") Seq(cs(spatialIdx)) else Nil
+          val base = joined.queryExecution.analyzed
+          val remaining = (rest ++ exactRecheck).reduceOption(And)
+          val out = remaining match {
+            case Some(f) => org.apache.spark.sql.catalyst.plans.logical.Filter(remapRefs(f, j, base), base)
+            case None => base
+          }
+          // preserve original output attribute ids via projection
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            j.output.map(a => remapRefs(a, j, base).asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]),
+            out)
+        }
+    }
+  }
+
+  /** The grid-join Dataset re-analyzes left/right, keeping the same
+   *  attribute ids (ofRows does not re-alias), so references normally
+   *  resolve 1:1; remap defensively by exprId → position. */
+  private def remapRefs(e: Expression, orig: Join, base: LogicalPlan): Expression = {
+    val idMap = base.output.map(a => a.exprId -> a).toMap
+    e.transform { case a: Attribute => idMap.getOrElse(a.exprId, a) }
+  }
+}
+
+/** Session extension installer: functions + optimizer rules.
+ *  Usage: spark.sql.extensions=graft.plans.GraftExtensions */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(spark => SpatialJoinRule(spark))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.GeoFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * GeoParquet-convention table helpers. The reference's R-Tree
+ * (CREATE INDEX ... USING RTREE — core/index/rtree/) maps in Spark to
+ * storage-level spatial organization:
+ *
+ *  - a sibling `<geom>_bbox` struct column (parquet keeps min/max
+ *    stats per row group on its fields → data skipping via
+ *    [[graft.plans.SpatialFilterRule]])
+ *  - Hilbert-clustered layout at write time (the reference's bulk
+ *    index build is also a sort — rtree_index_create_logical.cpp:
+ *    180-216 sorts by xmin; Hilbert order is strictly better for 2-D
+ *    range queries and is what ST_Hilbert exists for)
+ *
+ * At 100 TB: `repartitionByRange` on the hilbert key gives
+ * non-overlapping file extents, so a selective envelope query reads
+ * O(matching files) instead of O(all files).
+ */
+object GeoTable {
+
+  /** Add the bbox sibling column for `geomCol` (WKB). */
+  def withBbox(df: DataFrame, geomCol: String): DataFrame =
+    df.withColumn(s"${geomCol}_bbox", st_extent(col(geomCol)))
+
+  /**
+   * Write a Hilbert-clustered GeoParquet table. `extent` is the global
+   * bounds used to normalize the curve (compute once via
+   * `df.select(st_extent_agg(col))` or pass a known CRS extent).
+   */
+  def writeClustered(
+      df: DataFrame, geomCol: String, path: String,
+      extent: (Double, Double, Double, Double),
+      numFiles: Int = 0): Unit = {
+    val (x0, y0, x1, y1) = extent
+    val withKey = withBbox(df, geomCol)
+      .withColumn("__hilbert", st_hilbert(col(geomCol), lit(x0), lit(y0), lit(x1), lit(y1)))
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withKey
+      .repartitionByRange(parts, col("__hilbert"))
+      .sortWithinPartitions("__hilbert")
+      .drop("__hilbert")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Global extent of a geometry column (one action). */
+  def extentOf(df: DataFrame, geomCol: String): (Double, Double, Double, Double) = {
+    val r = df.select(st_extent_agg(col(geomCol)).as("e"))
+      .select(st_xmin(col("e")), st_ymin(col("e")), st_xmax(col("e")), st_ymax(col("e")))
+      .collect()(0)
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** Read a GeoParquet-convention table (WKB geometry passes through;
+   *  presence of `<geom>_bbox` enables data skipping). */
+  def readGeoParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Ingest helper: parse a WKT/WKB/GeoJSON source column into the
+   *  engine's WKB geometry + bbox convention. */
+  def ingest(df: DataFrame, source: Column, format: String, geomCol: String = "geom"): DataFrame = {
+    val parsed = format.toLowerCase match {
+      case "wkt" => st_geomfromtext(source)
+      // note: org.apache.spark.sql.functions also exports st_geomfromwkb
+      // (Spark 4.1 native GeometryType plumbing) — ours parses to plain WKB
+      case "wkb" => graft.GeoFunctions.st_geomfromwkb(source)
+      case "hexwkb" => st_geomfromhexwkb(source)
+      case "geojson" => st_geomfromgeojson(source)
+      case other => throw new IllegalArgumentException(s"unknown geometry format: $other")
+    }
+    withBbox(df.withColumn(geomCol, parsed), geomCol)
+  }
+}

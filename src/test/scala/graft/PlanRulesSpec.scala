@@ -1,0 +1,86 @@
+package graft
+
+import graft.GeoFunctions._
+import graft.operators.SpatialJoin
+import graft.plans.{SpatialFilterRule, SpatialJoinRule}
+import graft.sources.GeoTable
+import org.apache.spark.sql.functions._
+
+class PlanRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRules[T](body: => T): T = {
+    // rules are injected via extensions in production; for the shared
+    // test session, apply them through the experimental hook
+    val exp = spark.experimental
+    val prev = exp.extraOptimizations
+    exp.extraOptimizations = Seq(SpatialJoinRule(spark), SpatialFilterRule(spark))
+    try body finally exp.extraOptimizations = prev
+  }
+
+  test("SQL spatial join rewrites away from nested-loop and matches brute force") {
+    val pts = (0 until 200).map(i => (i.toLong, (i % 20) + 0.5, (i / 20) + 0.5))
+      .toDF("pid", "x", "y").withColumn("pt", st_point($"x", $"y")).select("pid", "pt")
+    val zones = (for (zx <- 0 until 3; zy <- 0 until 3)
+      yield (zx * 3 + zy, zx * 6.0, zy * 3.0, zx * 6.0 + 7.0, zy * 3.0 + 4.0))
+      .toDF("zid", "x0", "y0", "x1", "y1")
+      .withColumn("zone", st_makeenvelope($"x0", $"y0", $"x1", $"y1")).select("zid", "zone")
+    pts.createOrReplaceTempView("pts_v")
+    zones.createOrReplaceTempView("zones_v")
+
+    val brute = pts.crossJoin(zones).filter(st_within($"pt", $"zone"))
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+
+    withRules {
+      spark.conf.set("spark.graft.spatialJoin.cellSize", "2.0")
+      val df = spark.sql(
+        "SELECT pid, zid FROM pts_v JOIN zones_v ON ST_Within(pt, zone)")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"),
+        s"spatial join not rewritten:\n$physical")
+      assert(df.as[(Long, Int)].collect().toSet == brute)
+      // swapped argument order (zone contains pt) must also work
+      val df2 = spark.sql(
+        "SELECT pid, zid FROM pts_v JOIN zones_v ON ST_Contains(zone, pt)")
+      assert(df2.as[(Long, Int)].collect().toSet == brute)
+      spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
+  }
+
+  test("bbox data-skipping conjuncts reach the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("geotbl").toString
+    val df = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble))
+      .toDF("id", "x", "y").withColumn("geom", st_point($"x", $"y")).select("id", "geom")
+    GeoTable.writeClustered(df, "geom", dir, (0, 0, 100, 20), numFiles = 4)
+
+    val tbl = spark.read.parquet(dir)
+    assert(tbl.columns.contains("geom_bbox"))
+
+    withRules {
+      val q = tbl.filter(st_within(col("geom"), st_makeenvelope(lit(10.0), lit(2.0), lit(20.0), lit(8.0))))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("geom_bbox"), s"no bbox conjuncts:\n$optimized")
+      val scan = q.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters") && scan.contains("min_x"),
+        s"bbox filters not pushed to parquet:\n${scan.take(2000)}")
+      // correctness unchanged
+      val expected = df.filter(st_within(col("geom"),
+        st_makeenvelope(lit(10.0), lit(2.0), lit(20.0), lit(8.0)))).count()
+      assert(q.count() == expected)
+    }
+  }
+
+  test("clustered write prunes files for selective envelope query") {
+    val dir = java.nio.file.Files.createTempDirectory("geoclust").toString
+    val n = 20000
+    val df = (0 until n).map { i => (i.toLong, (i % 141).toDouble * 0.71, (i % 89).toDouble * 1.12) }
+      .toDF("id", "x", "y").withColumn("geom", st_point($"x", $"y")).select("id", "geom")
+    GeoTable.writeClustered(df, "geom", dir, (0, 0, 100, 100), numFiles = 8)
+    val tbl = spark.read.parquet(dir)
+    withRules {
+      val q = tbl.filter(st_within(col("geom"), st_makeenvelope(lit(5.0), lit(5.0), lit(10.0), lit(10.0))))
+      val brute = df.filter(st_within(col("geom"), st_makeenvelope(lit(5.0), lit(5.0), lit(10.0), lit(10.0)))).count()
+      assert(q.count() == brute)
+    }
+  }
+}
