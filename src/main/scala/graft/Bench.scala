@@ -63,6 +63,17 @@ object Bench {
         st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
     }
 
+    // same workload on the native POINT_2D tier (struct columns, pure
+    // codegen arithmetic — reference's columnar layout motivation,
+    // docs/internals.md "Multi-tiered Geometry Type System")
+    results("points_envelope_10m_native") = time {
+      val pts = spark.range(10000000L).select(struct(
+        (pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0).as("x"),
+        (pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("y")).as("pt"))
+      pts.filter(col("pt.x") > 450.0 && col("pt.x") < 650.0 &&
+        col("pt.y") > 450.0 && col("pt.y") < 650.0).count()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

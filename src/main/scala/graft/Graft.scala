@@ -22,6 +22,8 @@ object Graft {
   /** Register every function into the session (idempotent). */
   def install(spark: SparkSession): SparkSession = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_graft_installed"))) return spark
+    reg.createOrReplaceTempFunction("st_graft_installed", e => org.apache.spark.sql.catalyst.expressions.Literal(true), "scala_udf")
     GeoOps.ops.keys.foreach { name =>
       reg.createOrReplaceTempFunction(name, exprs => GeoScalar(name, exprs), "scala_udf")
     }

@@ -19,12 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object SparkEntry {
 
-  private def load(s: SparkSession, dir: String, names: String*): Unit = {
+  private val loaded = scala.collection.mutable.Set[(SparkSession, String, String)]()
+
+  private def load(s: SparkSession, dir: String, names: String*): Unit = synchronized {
     Graft.install(s)
     // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
     // read as raw long (we convert back to timestamp in the query)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    names.foreach(n => s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n))
+    names.foreach { n =>
+      if (loaded.add((s, dir, n))) // skip re-reading footers per query
+        s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+    }
   }
 
   private def q(tables: Seq[String], sql: String): (SparkSession, String) => DataFrame =
@@ -260,19 +265,25 @@ object SparkEntry {
          round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2
          FROM embeddings ORDER BY vec_id"""),
 
-    "q_emb_topk" -> q(Seq("embeddings"),
-      """WITH scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-             aggregate(zip_with(q.embedding, c.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-             / (sqrt(aggregate(q.embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-                * sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS sim
-           FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
-         SELECT query_id, corpus_id, round(sim, 6) AS sim, rnk FROM (
-           SELECT query_id, corpus_id, sim,
-             row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
-           FROM scored)
-         WHERE rnk <= 5 ORDER BY query_id, rnk"""),
+    "q_emb_topk" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      // broadcast the query set; corpus scanned once (no corpus shuffle);
+      // CosineSimilarity expression evaluates the identical double
+      // arithmetic sequence as the DuckDB oracle (dot / (|q|*|c|))
+      val qs = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val scored = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("__cv"))
+        .crossJoin(broadcast(qs))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("__sim", operators.Similarity.cosine(col("__qv"), col("__cv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(round(col("__sim"), 6).desc, col("corpus_id").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("corpus_id"), round(col("__sim"), 6).as("sim"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
 
     // rows-only (custom sketches have no SQL-expressible oracle)
     "q_doc_simhash" -> ((s, dir) => {

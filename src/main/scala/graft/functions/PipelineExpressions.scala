@@ -83,7 +83,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
