@@ -30,10 +30,31 @@ object Graft {
     predicateNames.foreach { name =>
       reg.createOrReplaceTempFunction(name, exprs => GeoPredicate(name, exprs(0), exprs(1)), "scala_udf")
     }
+    // reference-compatible aliases (docs/functions.md)
+    val aliases = Map(
+      "st_numpoints" -> "st_npoints",
+      "st_numgeometries" -> "st_ngeometries",
+      "st_numinteriorrings" -> "st_ninteriorrings",
+      "st_makepoint" -> "st_makepoint",
+      "st_geomfromhexewkb" -> "st_geomfromhexwkb",
+      "st_distance_spheroid_m" -> "st_distance_spheroid")
+    aliases.foreach { case (alias, target) =>
+      reg.createOrReplaceTempFunction(alias, exprs => GeoScalar(target, exprs), "scala_udf")
+    }
     reg.createOrReplaceTempFunction("st_extent_agg", e => StExtentAgg(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("st_envelope_agg", e => StExtentAgg(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("st_union_agg", e => StUnionAgg(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("st_intersection_agg", e => StIntersectionAgg(e.head), "scala_udf")
+    // pipeline expressions (SQL callers)
+    reg.createOrReplaceTempFunction("simhash", e => SimHash(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint", e => Fingerprint(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature", e => MinHashSignature(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("string_shingles", e => StringShingles(e.head), "scala_udf")
+    // optimizer rules (spatial join rewrite + bbox data skipping); also
+    // injectable via `spark.sql.extensions=graft.plans.GraftExtensions`
+    spark.experimental.extraOptimizations = Seq(
+      graft.plans.SpatialJoinRule(spark), graft.plans.SpatialFilterRule(spark))
     spark
   }
 

@@ -250,6 +250,18 @@ object GeoOps {
       out(mapCoords(geo(a(0)))(c =>
         new Coordinate(c.x, c.y, if (java.lang.Double.isNaN(c.getZ)) z else c.getZ)))
     }),
+    "st_force3dm" -> Op(BinaryType, a => {
+      val m = if (a.length > 1) dbl(a(1)) else 0.0
+      out(mapCoords(geo(a(0)))(c =>
+        new CoordinateXYM(c.x, c.y, if (java.lang.Double.isNaN(c.getM)) m else c.getM)))
+    }),
+    "st_force4d" -> Op(BinaryType, a => {
+      val z = if (a.length > 1) dbl(a(1)) else 0.0
+      val m = if (a.length > 2) dbl(a(2)) else 0.0
+      out(mapCoords(geo(a(0)))(c => new CoordinateXYZM(c.x, c.y,
+        if (java.lang.Double.isNaN(c.getZ)) z else c.getZ,
+        if (java.lang.Double.isNaN(c.getM)) m else c.getM)))
+    }),
     "st_flipcoordinates" -> Op(BinaryType, a =>
       out(mapCoords(geo(a(0)))(c => new Coordinate(c.y, c.x, c.getZ)))),
     "st_reverse" -> Op(BinaryType, a => out(geo(a(0)).reverse())),
@@ -268,8 +280,10 @@ object GeoOps {
     "st_xmax" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMaxX }),
     "st_ymin" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMinY }),
     "st_ymax" -> Op(DoubleType, a => { val g = geo(a(0)); if (g.isEmpty) null else g.getEnvelopeInternal.getMaxY }),
-    "st_zmin" -> Op(DoubleType, a => zFold(geo(a(0)), min = true)),
-    "st_zmax" -> Op(DoubleType, a => zFold(geo(a(0)), min = false)),
+    "st_zmin" -> Op(DoubleType, a => zFold(geo(a(0)), min = true, useM = false)),
+    "st_zmax" -> Op(DoubleType, a => zFold(geo(a(0)), min = false, useM = false)),
+    "st_mmin" -> Op(DoubleType, a => zFold(geo(a(0)), min = true, useM = true)),
+    "st_mmax" -> Op(DoubleType, a => zFold(geo(a(0)), min = false, useM = true)),
     "st_extent" -> Op(boxType, a => { val g = geo(a(0)); if (g.isEmpty) null else box(g.getEnvelopeInternal) }),
     "st_envelope" -> Op(BinaryType, a => out(geo(a(0)).getEnvelope)),
     "st_npoints" -> Op(IntegerType, a => geo(a(0)).getNumPoints),
@@ -343,9 +357,31 @@ object GeoOps {
 
     // constructive / overlay (JTS; reference wraps GEOS — same lineage)
     "st_boundary" -> Op(BinaryType, a => out(geo(a(0)).getBoundary)),
+    // ST_Buffer(geom, d [, segments [, cap_style, join_style, mitre_limit]])
+    // — reference geos/functions/scalar/st_buffer.cpp style-enum args
     "st_buffer" -> Op(BinaryType, a => {
       val g = geo(a(0)); val d = dbl(a(1))
-      if (a.length > 2) out(g.buffer(d, int(a(2)))) else out(g.buffer(d))
+      if (a.length <= 2) out(g.buffer(d))
+      else if (a.length == 3) out(g.buffer(d, int(a(2))))
+      else {
+        import org.locationtech.jts.operation.buffer.{BufferOp, BufferParameters}
+        val p = new BufferParameters()
+        p.setQuadrantSegments(int(a(2)))
+        p.setEndCapStyle(str(a(3)).toUpperCase match {
+          case "CAP_ROUND" => BufferParameters.CAP_ROUND
+          case "CAP_FLAT" => BufferParameters.CAP_FLAT
+          case "CAP_SQUARE" => BufferParameters.CAP_SQUARE
+          case other => sys.error(s"unknown cap style $other")
+        })
+        if (a.length > 4) p.setJoinStyle(str(a(4)).toUpperCase match {
+          case "JOIN_ROUND" => BufferParameters.JOIN_ROUND
+          case "JOIN_MITRE" => BufferParameters.JOIN_MITRE
+          case "JOIN_BEVEL" => BufferParameters.JOIN_BEVEL
+          case other => sys.error(s"unknown join style $other")
+        })
+        if (a.length > 5) p.setMitreLimit(dbl(a(5)))
+        out(BufferOp.bufferOp(g, d, p))
+      }
     }),
     "st_centroid" -> Op(BinaryType, a => out(geo(a(0)).getCentroid)),
     "st_convexhull" -> Op(BinaryType, a => out(geo(a(0)).convexHull())),
@@ -384,6 +420,19 @@ object GeoOps {
     "st_translate" -> Op(BinaryType, a =>
       out(AffineTransformation.translationInstance(dbl(a(1)), dbl(a(2))).transform(geo(a(0))))),
 
+    // native POINT_xD struct constructors (reference types.cpp:11-31)
+    "st_point2d" -> Op(StructType(Seq(
+      StructField("x", DoubleType, nullable = false), StructField("y", DoubleType, nullable = false))),
+      a => new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1))))),
+    "st_point3d" -> Op(StructType(Seq(
+      StructField("x", DoubleType, nullable = false), StructField("y", DoubleType, nullable = false),
+      StructField("z", DoubleType, nullable = false))),
+      a => new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1)), dbl(a(2))))),
+    "st_point4d" -> Op(StructType(Seq(
+      StructField("x", DoubleType, nullable = false), StructField("y", DoubleType, nullable = false),
+      StructField("z", DoubleType, nullable = false), StructField("m", DoubleType, nullable = false))),
+      a => new GenericInternalRow(Array[Any](dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))),
+
     // space-filling curves & tiling
     "st_hilbert" -> Op(LongType, a => a.length match {
       case 6 => HilbertCurve.encode(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)))
@@ -414,11 +463,11 @@ object GeoOps {
     })
   )
 
-  private def zFold(g: Geometry, min: Boolean): Any = {
+  private def zFold(g: Geometry, min: Boolean, useM: Boolean): Any = {
     var res: java.lang.Double = null
     g.apply(new CoordinateFilter {
       override def filter(c: Coordinate): Unit = {
-        val z = c.getZ
+        val z = if (useM) c.getM else c.getZ
         if (!java.lang.Double.isNaN(z)) {
           if (res == null) res = z
           else res = if (min) math.min(res, z) else math.max(res, z)

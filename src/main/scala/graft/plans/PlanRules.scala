@@ -41,8 +41,14 @@ case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), _)
           if j.resolved && !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
         val cs = conjuncts(cond)
+        // fire only on "pure" spatial joins (the reference rewrites
+        // LogicalAnyJoin — optimizer_rules.cpp:48-80); a join that
+        // already has cross-side equality (hash-partitionable) or
+        // range conjuncts (incl. our own broadcast-path bbox filter)
+        // executes fine without us
         val hasEqui = cs.exists {
-          case EqualTo(l, r) =>
+          case c: org.apache.spark.sql.catalyst.expressions.BinaryComparison =>
+            val (l, r) = (c.left, c.right)
             (refsOnly(l, left) && refsOnly(r, right)) || (refsOnly(l, right) && refsOnly(r, left))
           case _ => false
         }
@@ -101,9 +107,29 @@ case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** Session extension installer: functions + optimizer rules.
- *  Usage: spark.sql.extensions=graft.plans.GraftExtensions */
+ *  Usage: spark.sql.extensions=graft.plans.GraftExtensions
+ *  (or `Graft.install(spark)` on an existing session). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions._
+
   override def apply(e: SparkSessionExtensions): Unit = {
+    GeoOps.ops.keys.foreach { name =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), exprs => GeoScalar(name, exprs)))
+    }
+    graft.Graft.predicateNames.foreach { name =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), exprs => GeoPredicate(name, exprs(0), exprs(1))))
+    }
+    e.injectFunction((FunctionIdentifier("st_extent_agg"),
+      new ExpressionInfo("graft", "st_extent_agg"), exprs => StExtentAgg(exprs.head)))
+    e.injectFunction((FunctionIdentifier("st_union_agg"),
+      new ExpressionInfo("graft", "st_union_agg"), exprs => StUnionAgg(exprs.head)))
+    e.injectFunction((FunctionIdentifier("st_intersection_agg"),
+      new ExpressionInfo("graft", "st_intersection_agg"), exprs => StIntersectionAgg(exprs.head)))
     e.injectOptimizerRule(spark => SpatialJoinRule(spark))
+    e.injectOptimizerRule(spark => SpatialFilterRule(spark))
   }
 }

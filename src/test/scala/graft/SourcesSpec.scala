@@ -1,0 +1,103 @@
+package graft
+
+import graft.GeoFunctions._
+import graft.sources.{GeoJsonWriter, GeoRead, GeoTable, Shapefile}
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // real-world fixture from the reference's test data (read-only input;
+  // the reference loads the same file in its GDAL tests)
+  private val nycShp = {
+    val dir = new java.io.File("/root/reference/test/data/nyc_export")
+    Option(dir.listFiles()).flatMap(_.find(_.getName.endsWith(".shp"))).map(_.getAbsolutePath)
+  }
+
+  test("shapefile reader: NYC taxi zones fixture") {
+    assume(nycShp.isDefined, "reference fixture not present")
+    val df = Shapefile.read(spark, nycShp.get)
+    val n = df.count()
+    assert(n == 5, s"fixture ships 5 sample zones, got $n") // shx: (140-100)/8
+    // 5-borough sample: boro_code, boro_name, shape_area, shape_leng
+    val cols = df.columns.map(_.toLowerCase)
+    assert(cols.contains("boro_name") && cols.contains("shape_area"), cols.mkString(","))
+    // geometries parse and are polygonal
+    val types = df.select(st_geometrytype(col("geom")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(types.keySet.subsetOf(Set("POLYGON", "MULTIPOLYGON")), types.toString)
+    // strongest check: geometries are lon/lat; dbf's authoritative
+    // shape_area/shape_leng are in US-survey feet. Geodesic area and
+    // perimeter must agree after unit conversion (authalic-sphere area
+    // approximation → 1% tolerance).
+    val ft2 = 0.09290341161 // US survey ft^2 -> m^2
+    val ft = 0.30480060960
+    val mismatches = df
+      .withColumn("rel_a", abs(st_area_spheroid($"geom") - $"shape_area" * ft2) / ($"shape_area" * ft2))
+      .withColumn("rel_l", abs(st_perimeter_spheroid($"geom") - $"shape_leng" * ft) / ($"shape_leng" * ft))
+      .filter($"rel_a" > 0.01 || $"rel_l" > 0.01).count()
+    assert(mismatches == 0)
+    // multi-partition read returns identical rows
+    val df4 = Shapefile.read(spark, nycShp.get, numPartitions = 4)
+    assert(df4.count() == n)
+    val s1 = df.select(sum(st_npoints(col("geom")))).collect()(0).getLong(0)
+    val s4 = df4.select(sum(st_npoints(col("geom")))).collect()(0).getLong(0)
+    assert(s1 == s4)
+  }
+
+  test("geojson write/read roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("gj").toString + "/out"
+    val df = (0 until 50).map(i => (i.toLong, s"name_$i", i * 1.5, i * 2.5))
+      .toDF("id", "name", "x", "y")
+      .withColumn("geom", st_point($"x", $"y")).drop("x", "y")
+    GeoJsonWriter.write(df, "geom", dir)
+    val back = GeoRead.readGeoJson(spark, dir)
+    assert(back.count() == 50)
+    val row = back.withColumn("x", st_x($"geom"))
+      .withColumn("name", element_at($"properties", "name"))
+      .filter($"name" === "name_3").select("x").as[Double].collect()
+    assert(row.toSeq == Seq(4.5))
+  }
+
+  test("geojson FeatureCollection document") {
+    val tmp = java.nio.file.Files.createTempDirectory("gjfc")
+    val f = tmp.resolve("fc.geojson")
+    java.nio.file.Files.writeString(f,
+      """{"type":"FeatureCollection","features":[
+        {"type":"Feature","properties":{"id":1},"geometry":{"type":"Point","coordinates":[1.5,2.5]}},
+        {"type":"Feature","properties":{"id":2},"geometry":{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}}
+      ]}""")
+    val df = GeoRead.readGeoJson(spark, f.toString)
+    assert(df.count() == 2)
+    val areas = df.select(st_area($"geom").as("a")).as[Double].collect().sorted
+    assert(areas.toSeq == Seq(0.0, 1.0))
+  }
+
+  test("csv+wkt reader") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvwkt")
+    val f = tmp.resolve("pts.csv")
+    java.nio.file.Files.writeString(f, "id,wkt\n1,POINT (1 2)\n2,\"LINESTRING (0 0, 3 4)\"\n")
+    val df = GeoRead.read(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.select(st_length($"geom")).as[Double].collect().sorted.toSeq == Seq(0.0, 5.0))
+  }
+
+  test("generatePoints is deterministic and in-box") {
+    val a = GeoRead.generatePoints(spark, 0, 0, 100, 50, 10000, seed = 7)
+    val b = GeoRead.generatePoints(spark, 0, 0, 100, 50, 10000, seed = 7)
+    val ha = a.select(sum(st_x($"point") * $"id")).collect()(0).getDouble(0)
+    val hb = b.select(sum(st_x($"point") * $"id")).collect()(0).getDouble(0)
+    assert(ha == hb)
+    val bad = a.filter(st_x($"point") < 0 || st_x($"point") > 100 ||
+      st_y($"point") < 0 || st_y($"point") > 50).count()
+    assert(bad == 0)
+  }
+
+  test("drivers + read_meta") {
+    assert(GeoRead.drivers(spark).count() == 4)
+    assume(nycShp.isDefined)
+    val meta = GeoRead.readMeta(spark, nycShp.get).collect()(0)
+    assert(meta.getString(1) == "shapefile")
+    assert(meta.getString(2).contains("geom"))
+  }
+}
