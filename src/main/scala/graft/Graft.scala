@@ -51,6 +51,27 @@ object Graft {
     reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature", e => MinHashSignature(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("string_shingles", e => StringShingles(e.head), "scala_udf")
+    // table functions: SELECT * FROM st_read('path') etc. (reference's
+    // replacement-scan sugar, st_read.cpp:598-613)
+    val tfReg = spark.sessionState.tableFunctionRegistry
+    def litStr(e: Expression): String = e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other.toString
+    }
+    def litNum(e: Expression): Double = e.eval(null).asInstanceOf[Number].doubleValue()
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed
+    tfReg.createOrReplaceTempFunction("st_read",
+      exprs => planOf(graft.sources.GeoRead.read(SparkSession.active, litStr(exprs.head))), "scala_udf")
+    tfReg.createOrReplaceTempFunction("st_drivers",
+      _ => planOf(graft.sources.GeoRead.drivers(SparkSession.active)), "scala_udf")
+    tfReg.createOrReplaceTempFunction("st_read_meta",
+      exprs => planOf(graft.sources.GeoRead.readMeta(SparkSession.active, litStr(exprs.head))), "scala_udf")
+    tfReg.createOrReplaceTempFunction("st_generatepoints",
+      exprs => planOf(graft.sources.GeoRead.generatePoints(SparkSession.active,
+        litNum(exprs(0)), litNum(exprs(1)), litNum(exprs(2)), litNum(exprs(3)),
+        litNum(exprs(4)).toLong,
+        if (exprs.length > 5) litNum(exprs(5)).toLong else 42L)), "scala_udf")
     // optimizer rules (spatial join rewrite + bbox data skipping); also
     // injectable via `spark.sql.extensions=graft.plans.GraftExtensions`
     spark.experimental.extraOptimizations = Seq(

@@ -4,6 +4,7 @@ import graft.functions.{GeoJson, Jts}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /**
  * ST_Read analog: one entry point over the supported geo formats with
@@ -90,27 +91,32 @@ object GeoRead {
       .drop(geomCol)
   }
 
+  private def localDf(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
   /** ST_Drivers analog: the formats this engine reads/writes. */
-  def drivers(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq(
-      ("parquet", "GeoParquet / Parquet with WKB", true, true),
-      ("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, false),
-      ("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
-      ("csv_wkt", "CSV with WKT geometry column", true, true)
-    ).toDF("short_name", "long_name", "can_open", "can_create")
-  }
+  def drivers(spark: SparkSession): DataFrame =
+    localDf(spark, StructType(Seq(
+      StructField("short_name", StringType), StructField("long_name", StringType),
+      StructField("can_open", BooleanType), StructField("can_create", BooleanType))),
+      Seq(
+        Row("parquet", "GeoParquet / Parquet with WKB", true, true),
+        Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
+        Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
+        Row("csv_wkt", "CSV with WKT geometry column", true, true)))
 
   /** ST_Read_Meta analog: per-file metadata for supported formats. */
   def readMeta(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
     val lower = path.toLowerCase
     val (driver, schema) =
       if (lower.endsWith(".shp")) ("shapefile", Shapefile.schemaOf(path).simpleString)
       else if (lower.endsWith(".parquet")) ("parquet", spark.read.parquet(path).schema.simpleString)
       else if (lower.endsWith(".geojson") || lower.endsWith(".json")) ("geojson", "properties map<string,string>, geom binary")
       else ("unknown", "")
-    Seq((path, driver, schema)).toDF("path", "driver", "schema")
+    localDf(spark, StructType(Seq(
+      StructField("path", StringType), StructField("driver", StringType),
+      StructField("schema", StringType))),
+      Seq(Row(path, driver, schema)))
   }
 
   /**

@@ -1,0 +1,82 @@
+package graft
+
+import graft.GeoFunctions._
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsDir: String = {
+    // re-write sf0.001 events as micro-batch-able parquet (ns timestamps
+    // aren't streamable in Spark 4; convert to micros once)
+    val dir = "/tmp/graft-stream-events"
+    if (!new java.io.File(dir).exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  test("streaming windowed aggregation equals batch result") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val agg = Streams.windowedEventCounts(stream, "1 hour", "1 hour")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("window.start").as("w"), col("event_type"), col("n"))
+      val batch = spark.read.parquet(eventsDir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
+        .agg(count("*").as("n"))
+      assert(got.count() > 0)
+      assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming zone tagging (broadcast spatial enrich)") {
+    val zones = (for (i <- 0 until 4) yield (i, i * 25.0))
+      .toDF("zid", "x0")
+      .withColumn("zone", st_makeenvelope($"x0", lit(0.0), $"x0" + 25.0, lit(100.0)))
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .withColumn("pt", st_point(pmod($"event_id", lit(100)).cast("double") + 0.5, lit(50.0)))
+    val tagged = Streams.tagZones(stream, $"pt", zones, $"zone")
+    val q = tagged.writeStream.outputMode("append").format("memory")
+      .queryName("zones_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("zones_out")
+      val total = spark.read.parquet(eventsDir).count()
+      assert(got.count() == total) // left_outer keeps every event
+      // every event's x in [0,100) → exactly one zone matches
+      assert(got.filter($"zid".isNull).count() == 0)
+      val check = got.withColumn("expected", floor((pmod($"event_id", lit(100)) + 0.5) / 25.0))
+        .filter($"zid" =!= $"expected").count()
+      assert(check == 0)
+    } finally q.stop()
+  }
+
+  test("sessionization groups events by inactivity gap") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val sessions = Streams.sessionize(stream, gapMs = 3600 * 1000L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+      // closed sessions only (append mode); sanity: no negative durations,
+      // counts positive
+      assert(got.filter($"session_end" < $"session_start").count() == 0)
+      assert(got.filter($"n_events" <= 0).count() == 0)
+    } finally q.stop()
+  }
+}
