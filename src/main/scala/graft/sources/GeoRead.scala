@@ -19,12 +19,13 @@ object GeoRead {
   /** Read any supported geo format by extension. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
-    if (lower.endsWith(".shp")) Shapefile.read(spark, path)
+    if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf")) OsmPbf.read(spark, path)
+    else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json")) readGeoJson(spark, path)
     else if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".csv")) readCsvWkt(spark, path)
     else throw new IllegalArgumentException(
-      s"unsupported format for $path (supported: .shp, .geojson, .parquet, .csv)")
+      s"unsupported format for $path (supported: .shp, .geojson, .parquet, .csv, .osm.pbf)")
   }
 
   /**
@@ -103,7 +104,8 @@ object GeoRead {
         Row("parquet", "GeoParquet / Parquet with WKB", true, true),
         Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
         Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
-        Row("csv_wkt", "CSV with WKT geometry column", true, true)))
+        Row("csv_wkt", "CSV with WKT geometry column", true, true),
+        Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false)))
 
   /** ST_Read_Meta analog: per-file metadata for supported formats. */
   def readMeta(spark: SparkSession, path: String): DataFrame = {
