@@ -63,6 +63,27 @@ object Bench {
         st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
     }
 
+    // the reference's rtree_points_index A/B analog: build the
+    // Hilbert-clustered + bbox'd table (= CREATE INDEX), then run the
+    // same envelope count with bbox data skipping (files with
+    // non-overlapping hilbert ranges -> parquet row-group pruning)
+    val clusteredPath = "/tmp/graft-bench-points-clustered"
+    results("points_clustered_write_10m") = time {
+      import graft.GeoFunctions._
+      val pts = spark.range(10000000L).select(
+        st_point(pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0,
+          pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("geom"))
+      graft.sources.GeoTable.writeClustered(pts, "geom", clusteredPath,
+        (0.0, 0.0, 10000.0, 10000.0), numFiles = 64)
+      1L
+    }
+    results("points_envelope_10m_clustered") = time {
+      import graft.GeoFunctions._
+      spark.read.parquet(clusteredPath)
+        .filter(st_within(col("geom"),
+          st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
+    }
+
     // same workload on the native POINT_2D tier (struct columns, pure
     // codegen arithmetic — reference's columnar layout motivation,
     // docs/internals.md "Multi-tiered Geometry Type System")
