@@ -32,9 +32,12 @@ object Bench {
       "q_geo_hilbert", "q_geo_transform",
       "q_doc_dedup_exact", "q_doc_minhash_dedup", "q_emb_topk", "q_emb_norm")
 
-    // warmup: JIT + codegen caches on a tiny slice (not timed)
-    try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // warmup: JIT + whole-stage-codegen compilation per plan shape on a
+    // tiny slice (not timed) — measured numbers reflect steady state
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
 
     def time(body: => Long): Double = {
       val t0 = System.nanoTime()

@@ -51,9 +51,9 @@ object SparkEntry {
     // ================= relational substrate (SURVEY §2.9) ==============
     "q1_agg" -> q(Seq("lineitem"),
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
+         sum(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_c,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -62,7 +62,7 @@ object SparkEntry {
 
     "q_join_revenue" -> q(Seq("customer", "orders", "lineitem", "nation"),
       """SELECT n_name,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
          count(*) AS n_items
          FROM customer JOIN nation ON c_nationkey = n_nationkey
            JOIN orders ON o_custkey = c_custkey
@@ -332,9 +332,9 @@ object SparkEntry {
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
+           sum(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_c,
            count(*) AS count_order
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -343,7 +343,7 @@ object SparkEntry {
 
       "q_join_revenue" ->
         """SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
            count(*) AS n_items
            FROM customer JOIN nation ON c_nationkey = n_nationkey
              JOIN orders ON o_custkey = c_custkey
