@@ -105,13 +105,14 @@ object GeoOps {
       (0 until g.getNumGeometries).flatMap(i => flatten(g.getGeometryN(i)))
     else Seq(g)
 
+  // Rebuild with fresh coordinate arrays: in-place mutation silently
+  // drops Z/M on 2-D sequences (CoordinateXY has no z slot).
   private def mapCoords(g: Geometry)(f: Coordinate => Coordinate): Geometry = {
-    val copy = g.copy()
-    copy.apply(new CoordinateFilter {
-      override def filter(c: Coordinate): Unit = { val n = f(c); c.setCoordinate(n) }
+    val editor = new org.locationtech.jts.geom.util.GeometryEditor(Jts.gf)
+    editor.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+        coords.map(f)
     })
-    copy.geometryChanged()
-    copy
   }
 
   private def zmFlag(g: Geometry): Int = {

@@ -19,21 +19,92 @@ object Jts {
   val gf = new GeometryFactory(new PrecisionModel(PrecisionModel.FLOATING), 0)
 
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(gf))
-  // 2D and 3D writers (output dimension is fixed per writer instance).
-  private val wkbWriter2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
-  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => { val r = new WKTReader(gf); r.setIsOldJtsCoordinateSyntaxAllowed(false); r })
-  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => { val w = new WKTWriter(4); w.setOutputOrdinates(org.locationtech.jts.io.Ordinate.createXY()); w })
 
   def read(b: Array[Byte]): Geometry = wkbReader.get.read(b)
 
+  /** ISO WKB writer (little-endian, type code + 1000·Z + 2000·M).
+   *  Hand-rolled because JTS's WKBWriter cannot emit M-typed WKB
+   *  (an XYM sequence comes out Z-tagged); JTS's WKBReader reads ISO
+   *  dims fine, so roundtrips stay within JTS semantics. */
   def write(g: Geometry): Array[Byte] = {
-    if (hasZ(g)) wkbWriter3.get.write(g) else wkbWriter2.get.write(g)
+    val z = hasZ(g); val m = hasM(g)
+    val out = new java.io.ByteArrayOutputStream(64)
+    writeGeom(g, z, m, out)
+    out.toByteArray
+  }
+
+  private def writeGeom(g: Geometry, z: Boolean, m: Boolean, out: java.io.ByteArrayOutputStream): Unit = {
+    out.write(1) // little endian
+    val base = g.getGeometryType match {
+      case "Point" => 1
+      case "LineString" | "LinearRing" => 2
+      case "Polygon" => 3
+      case "MultiPoint" => 4
+      case "MultiLineString" => 5
+      case "MultiPolygon" => 6
+      case "GeometryCollection" => 7
+    }
+    writeInt(base + (if (z) 1000 else 0) + (if (m) 2000 else 0), out)
+    g match {
+      case p: Point =>
+        if (p.isEmpty) {
+          writeDouble(Double.NaN, out); writeDouble(Double.NaN, out)
+          if (z) writeDouble(Double.NaN, out)
+          if (m) writeDouble(Double.NaN, out)
+        } else writeCoord(p.getCoordinate, z, m, out)
+      case l: LineString =>
+        writeInt(l.getNumPoints, out)
+        val cs = l.getCoordinateSequence
+        var i = 0
+        while (i < cs.size) { writeCoord(cs.getCoordinate(i), z, m, out); i += 1 }
+      case p: Polygon =>
+        if (p.isEmpty) writeInt(0, out)
+        else {
+          writeInt(1 + p.getNumInteriorRing, out)
+          writeRing(p.getExteriorRing, z, m, out)
+          var r = 0
+          while (r < p.getNumInteriorRing) { writeRing(p.getInteriorRingN(r), z, m, out); r += 1 }
+        }
+      case coll =>
+        writeInt(coll.getNumGeometries, out)
+        var i = 0
+        while (i < coll.getNumGeometries) { writeGeom(coll.getGeometryN(i), z, m, out); i += 1 }
+    }
+  }
+
+  private def writeRing(ring: LineString, z: Boolean, m: Boolean, out: java.io.ByteArrayOutputStream): Unit = {
+    val cs = ring.getCoordinateSequence
+    writeInt(cs.size, out)
+    var i = 0
+    while (i < cs.size) { writeCoord(cs.getCoordinate(i), z, m, out); i += 1 }
+  }
+
+  private def writeCoord(c: Coordinate, z: Boolean, m: Boolean, out: java.io.ByteArrayOutputStream): Unit = {
+    writeDouble(c.x, out); writeDouble(c.y, out)
+    if (z) writeDouble(c.getZ, out)
+    if (m) writeDouble(c.getM, out)
+  }
+
+  private def writeInt(v: Int, out: java.io.ByteArrayOutputStream): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
+
+  private def writeDouble(v: Double, out: java.io.ByteArrayOutputStream): Unit = {
+    var bits = java.lang.Double.doubleToLongBits(v)
+    var i = 0
+    while (i < 8) { out.write((bits & 0xFF).toInt); bits >>>= 8; i += 1 }
   }
 
   def hasZ(g: Geometry): Boolean = {
     val c = firstCoord(g)
     c != null && !java.lang.Double.isNaN(c.getZ)
+  }
+
+  def hasM(g: Geometry): Boolean = {
+    val c = firstCoord(g)
+    c != null && !java.lang.Double.isNaN(c.getM)
   }
 
   def firstCoord(g: Geometry): Coordinate = {
@@ -43,13 +114,20 @@ object Jts {
   def fromWkt(s: String): Geometry = wktReader.get.read(s)
 
   /** WKT with the reference's formatting: full precision, no scientific
-   *  notation for typical coords (JTS trims trailing zeros like DuckDB). */
+   *  notation for typical coords (JTS trims trailing zeros like DuckDB);
+   *  Z/M/ZM tags follow the coordinate dimensions present. */
   def toWkt(g: Geometry): String = {
-    val w = new WKTWriter(outputDim(g))
+    val z = hasZ(g); val m = hasM(g)
+    val w = new WKTWriter(2 + (if (z) 1 else 0) + (if (m) 1 else 0))
+    import org.locationtech.jts.io.Ordinate
+    w.setOutputOrdinates((z, m) match {
+      case (true, true) => Ordinate.createXYZM()
+      case (true, false) => Ordinate.createXYZ()
+      case (false, true) => Ordinate.createXYM()
+      case _ => Ordinate.createXY()
+    })
     w.write(g)
   }
-
-  def outputDim(g: Geometry): Int = if (hasZ(g)) 3 else 2
 
   def point(x: Double, y: Double): Geometry = gf.createPoint(new Coordinate(x, y))
   def pointZ(x: Double, y: Double, z: Double): Geometry = gf.createPoint(new Coordinate(x, y, z))

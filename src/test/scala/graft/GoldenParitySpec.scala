@@ -1,0 +1,122 @@
+package graft
+
+/**
+ * Additional golden-value parity cases mirrored 1:1 from the reference
+ * sqllogictests (test/sql/geometry and test/sql/geos suites).
+ * Known formatting deviation (documented): JTS WKT writes MULTIPOINT
+ * with per-point parens `MULTIPOINT ((1 2))` where DuckDB writes
+ * `MULTIPOINT (1 2)` — both valid WKT, value-identical.
+ */
+class GoldenParitySpec extends SparkSpec {
+
+  test("st_dump paths (st_dump.test)") {
+    val rows = spark.sql(
+      """SELECT ST_AsText(d.geom) AS wkt, d.path FROM (
+           SELECT explode(ST_Dump(ST_GeomFromText(
+             'GEOMETRYCOLLECTION (POINT (1 1), POINT (2 2), GEOMETRYCOLLECTION(POINT (3 3)))'))) AS d)""")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](1).toList))
+    assert(rows.toList == List(
+      ("POINT (1 1)", List(1)), ("POINT (2 2)", List(2)), ("POINT (3 3)", List(3, 1))))
+    // out-of-order nesting
+    val rows2 = spark.sql(
+      """SELECT d.path FROM (
+           SELECT explode(ST_Dump(ST_GeomFromText(
+             'GEOMETRYCOLLECTION (POINT (1 1), GEOMETRYCOLLECTION(POINT (3 3)), POINT (2 2))'))) AS d)""")
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(rows2.toList == List(List(1), List(2, 1), List(3)))
+    // empty collection → empty array
+    assert(spark.sql("SELECT size(ST_Dump(ST_GeomFromText('GEOMETRYCOLLECTION EMPTY')))")
+      .collect()(0).getInt(0) == 0)
+  }
+
+  test("st_centroid golden values (st_centroid.test semantics)") {
+    assertSql("ST_AsText(ST_Centroid(ST_GeomFromText('LINESTRING(0 0, 10 0)')))", "POINT (5 0)")
+    assertSql("ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))')))", "POINT (2 2)")
+    assertSql("ST_AsText(ST_Centroid(ST_GeomFromText('MULTIPOINT(0 0, 2 0, 2 2, 0 2)')))", "POINT (1 1)")
+  }
+
+  test("st_makepolygon with holes (st_makepolygon.test semantics)") {
+    assertSql(
+      "ST_Area(ST_MakePolygon(ST_GeomFromText('LINESTRING(0 0, 1 0, 1 1, 0 1, 0 0)'), " +
+        "array(ST_GeomFromText('LINESTRING(0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2)'))))",
+      0.64)
+    // shell must be a linestring
+    val e = intercept[Exception] {
+      sql1("ST_MakePolygon(ST_Point(0, 0))")
+    }
+    assert(e.getMessage.contains("LINESTRING") || e.getCause != null)
+  }
+
+  test("st_exteriorring / interior rings (st_exteriorring.test)") {
+    assertSql(
+      "ST_AsText(ST_ExteriorRing(ST_GeomFromText('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))')))",
+      "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)")
+    assertSql("ST_NInteriorRings(ST_GeomFromText('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))'))", 1)
+    assertSql(
+      "ST_AsText(ST_InteriorRingN(ST_GeomFromText('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))'), 1))",
+      "LINESTRING (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2)")
+  }
+
+  test("Z/M handling (st_has.test, geometry_types.test semantics)") {
+    assertSql("ST_ZMFlag(ST_Point(1, 2))", 0)
+    assertSql("ST_ZMFlag(ST_GeomFromText('POINT Z (1 2 3)'))", 2)
+    assertSql("ST_ZMFlag(ST_GeomFromText('POINT M (1 2 3)'))", 1)
+    assertSql("ST_ZMFlag(ST_GeomFromText('POINT ZM (1 2 3 4)'))", 3)
+    assertSql("ST_M(ST_GeomFromText('POINT M (1 2 3)'))", 3.0)
+    assertSql("ST_ZMin(ST_GeomFromText('LINESTRING Z (0 0 5, 1 1 9)'))", 5.0)
+    assertSql("ST_ZMax(ST_GeomFromText('LINESTRING Z (0 0 5, 1 1 9)'))", 9.0)
+    assertSql("ST_MMin(ST_GeomFromText('POINT M (1 2 3)'))", 3.0)
+    // force2d drops Z
+    assertSql("ST_HasZ(ST_Force2D(ST_GeomFromText('POINT Z (1 2 3)')))", false)
+    assertSql("ST_Z(ST_Force3DZ(ST_Point(1, 2), 7.0))", 7.0)
+  }
+
+  test("distance_sphere golden (st_distance_sphere.test semantics: R=6371000)") {
+    // one degree of longitude at the equator on the 6371 km sphere
+    assertSqlApprox("ST_Distance_Sphere(ST_Point(0, 0), ST_Point(1, 0))",
+      6371000.0 * math.Pi / 180.0, 1e-6)
+    assertSql("ST_Distance_Sphere(ST_Point(5, 5), ST_Point(5, 5))", 0.0)
+  }
+
+  test("collection extract dims (st_collectionextract.test semantics)") {
+    val gc = "ST_GeomFromText('GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1), POLYGON((0 0, 1 0, 1 1, 0 1, 0 0)))')"
+    assertSql(s"ST_AsText(ST_CollectionExtract($gc, 2))", "MULTILINESTRING ((0 0, 1 1))")
+    assertSql(s"ST_GeometryType(ST_CollectionExtract($gc, 3))", "MULTIPOLYGON")
+    // default: highest dimension
+    assertSql(s"ST_GeometryType(ST_CollectionExtract($gc))", "MULTIPOLYGON")
+  }
+
+  test("envelope and extent round out (st_extent.test, st_makeenvelope.test)") {
+    // ring orientation: JTS emits the envelope clockwise; DuckDB CCW —
+    // same polygon, formatting-level difference
+    assertSql("ST_AsText(ST_Envelope(ST_GeomFromText('LINESTRING(1 3, 4 0)')))",
+      "POLYGON ((1 0, 1 3, 4 3, 4 0, 1 0))")
+    val r = spark.sql("SELECT ST_Extent(ST_GeomFromText('LINESTRING(1 3, 4 0)')) AS e")
+      .selectExpr("e.min_x", "e.min_y", "e.max_x", "e.max_y").collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == ((1.0, 0.0, 4.0, 3.0)))
+  }
+
+  test("buffer styles produce expected shapes") {
+    // flat cap on a line: area ≈ 2*d*len (no end caps)
+    assertSqlApprox(
+      "ST_Area(ST_Buffer(ST_GeomFromText('LINESTRING(0 0, 10 0)'), 1.0, 8, 'CAP_FLAT'))",
+      20.0, 0.1)
+    // round cap adds ~pi*d^2
+    assertSqlApprox(
+      "ST_Area(ST_Buffer(ST_GeomFromText('LINESTRING(0 0, 10 0)'), 1.0, 16, 'CAP_ROUND'))",
+      20.0 + math.Pi, 0.1)
+  }
+
+  test("svg + hexwkb formats (st_assvg.test, st_ashexwkb.test semantics)") {
+    assertSql("ST_AsSVG(ST_GeomFromText('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))'))",
+      "M 0 0 L 1 0 1 -1 0 -1 Z")
+    val hex = sql1("ST_AsHEXWKB(ST_Point(0, 0))").toString
+    assert(hex.matches("[0-9A-F]+") && hex.length == 42)
+  }
+
+  test("aliases registered (docs/functions.md)") {
+    assertSql("ST_NumPoints(ST_GeomFromText('LINESTRING(0 0, 1 1)'))", 2)
+    assertSql("ST_NumGeometries(ST_GeomFromText('MULTIPOINT(0 0, 1 1)'))", 2)
+    assertSql("ST_NumInteriorRings(ST_MakeEnvelope(0, 0, 1, 1))", 0)
+  }
+}
