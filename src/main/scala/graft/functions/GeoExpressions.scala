@@ -51,6 +51,36 @@ case class GeoScalar(name: String, children: Seq[Expression])
 }
 
 /**
+ * Whole-stage-codegen Hilbert index over raw coordinates: unlike the
+ * JTS-backed ops, this is pure arithmetic, so `doGenCode` emits a
+ * static call and the expression stays inside the generated loop
+ * (keystone of clustered writes — SURVEY §2.1 st_hilbert row).
+ */
+case class HilbertEncode(
+    x: Expression, y: Expression,
+    minX: Double, minY: Double, maxX: Double, maxY: Double)
+    extends BinaryExpression {
+  override def left: Expression = x
+  override def right: Expression = y
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_hilbert"
+
+  override def nullSafeEval(xv: Any, yv: Any): Any =
+    HilbertCurve.encode(xv.asInstanceOf[Double], yv.asInstanceOf[Double], minX, minY, maxX, maxY)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (xe, ye) =>
+      s"${ev.value} = graft.functions.HilbertCurve.encode($xe, $ye, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertEncode =
+    copy(x = l, y = r)
+}
+
+/**
  * Binary GEOMETRY predicate with a one-slot prepared-geometry cache.
  * Mirrors the reference's prepared-geometry constant fast path
  * (geos/geos_executor.hpp:22-70: prepare once when one side is a
