@@ -193,6 +193,54 @@ object SparkEntry {
            ST_Point(CAST((c_custkey + 37) % 300 AS DOUBLE) - 150.0, CAST((c_custkey + 53) % 140 AS DOUBLE) - 70.0)), 4) AS d
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
 
+    "q_geo_overlay" -> q(Seq("part"),
+      """SELECT p_partkey,
+         ST_Area(ST_Intersection(
+           ST_MakeEnvelope(0.0, 0.0, CAST(p_size % 10 + 3 AS DOUBLE), CAST(p_partkey % 7 + 3 AS DOUBLE)),
+           ST_MakeEnvelope(CAST(p_partkey % 5 AS DOUBLE), CAST(p_size % 4 AS DOUBLE),
+                           CAST(p_partkey % 5 + 4 AS DOUBLE), CAST(p_size % 4 + 5 AS DOUBLE)))) AS inter_area,
+         ST_Area(ST_Union(
+           ST_MakeEnvelope(0.0, 0.0, CAST(p_size % 10 + 3 AS DOUBLE), CAST(p_partkey % 7 + 3 AS DOUBLE)),
+           ST_MakeEnvelope(CAST(p_partkey % 5 AS DOUBLE), CAST(p_size % 4 AS DOUBLE),
+                           CAST(p_partkey % 5 + 4 AS DOUBLE), CAST(p_size % 4 + 5 AS DOUBLE)))) AS union_area,
+         ST_Area(ST_Difference(
+           ST_MakeEnvelope(0.0, 0.0, CAST(p_size % 10 + 3 AS DOUBLE), CAST(p_partkey % 7 + 3 AS DOUBLE)),
+           ST_MakeEnvelope(CAST(p_partkey % 5 AS DOUBLE), CAST(p_size % 4 AS DOUBLE),
+                           CAST(p_partkey % 5 + 4 AS DOUBLE), CAST(p_size % 4 + 5 AS DOUBLE)))) AS diff_area
+         FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
+
+    "q_geo_convexhull" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+         ST_Area(ST_ConvexHull(ST_Collect(array(
+           ST_Point(0.0, 0.0),
+           ST_Point(CAST(s_suppkey % 10 + 1 AS DOUBLE), 0.0),
+           ST_Point(CAST(s_suppkey % 6 AS DOUBLE), CAST(s_suppkey % 8 + 1 AS DOUBLE)))))) AS hull_area,
+         ST_NPoints(ST_ConvexHull(ST_Collect(array(
+           ST_Point(0.0, 0.0),
+           ST_Point(CAST(s_suppkey % 10 + 1 AS DOUBLE), 0.0),
+           ST_Point(CAST(s_suppkey % 6 AS DOUBLE), CAST(s_suppkey % 8 + 1 AS DOUBLE)))))) AS hull_np
+         FROM supplier ORDER BY s_suppkey"""),
+
+    "q_geo_dwithin" -> q(Seq("customer"),
+      """SELECT c_custkey,
+         ST_DWithin(ST_Point(CAST(c_custkey % 20 AS DOUBLE), CAST(c_custkey % 30 AS DOUBLE)),
+                    ST_Point(CAST(c_custkey % 23 AS DOUBLE), CAST(c_custkey % 17 AS DOUBLE)), 5.0) AS near
+         FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey"""),
+
+    "q_native_box" -> ((s, dir) => {
+      load(s, dir, "part")
+      import org.apache.spark.sql.functions._
+      import graft.functions.NativeGeo._
+      val df = s.table("part").filter(col("p_partkey") <= 300)
+        .withColumn("box", box2d(lit(0.0), lit(0.0),
+          expr("CAST(p_size % 10 + 1 AS DOUBLE)"), expr("CAST(p_partkey % 7 + 1 AS DOUBLE)")))
+        .withColumn("pt", point2d(expr("CAST(p_partkey % 12 AS DOUBLE)"), expr("CAST(p_partkey % 9 AS DOUBLE)")))
+      df.select(col("p_partkey"), boxArea(col("box")).as("area"),
+        boxPerimeter(col("box")).as("peri"),
+        boxContainsPoint(col("box"), col("pt")).as("inside"))
+        .orderBy("p_partkey")
+    }),
+
     // no closed-form oracle → rows-only checks
     "q_geo_hilbert" -> q(Seq("customer"),
       s"""SELECT c_custkey,
@@ -468,6 +516,38 @@ object SparkEntry {
             'POINT (' || $duckCustX::VARCHAR || ' ' || $duckCustY::VARCHAR || ')' AS wkt_rt2,
             'POINT' AS gtype, false AS is_empty
             FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+
+      "q_geo_overlay" ->
+        """SELECT p_partkey,
+           greatest(0, least(CAST(p_size % 10 + 3 AS DOUBLE), CAST(p_partkey % 5 + 4 AS DOUBLE)) - CAST(p_partkey % 5 AS DOUBLE))
+             * greatest(0, least(CAST(p_partkey % 7 + 3 AS DOUBLE), CAST(p_size % 4 + 5 AS DOUBLE)) - CAST(p_size % 4 AS DOUBLE)) AS inter_area,
+           CAST(p_size % 10 + 3 AS DOUBLE) * CAST(p_partkey % 7 + 3 AS DOUBLE) + 4.0 * 5.0
+             - greatest(0, least(CAST(p_size % 10 + 3 AS DOUBLE), CAST(p_partkey % 5 + 4 AS DOUBLE)) - CAST(p_partkey % 5 AS DOUBLE))
+             * greatest(0, least(CAST(p_partkey % 7 + 3 AS DOUBLE), CAST(p_size % 4 + 5 AS DOUBLE)) - CAST(p_size % 4 AS DOUBLE)) AS union_area,
+           CAST(p_size % 10 + 3 AS DOUBLE) * CAST(p_partkey % 7 + 3 AS DOUBLE)
+             - greatest(0, least(CAST(p_size % 10 + 3 AS DOUBLE), CAST(p_partkey % 5 + 4 AS DOUBLE)) - CAST(p_partkey % 5 AS DOUBLE))
+             * greatest(0, least(CAST(p_partkey % 7 + 3 AS DOUBLE), CAST(p_size % 4 + 5 AS DOUBLE)) - CAST(p_size % 4 AS DOUBLE)) AS diff_area
+           FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+
+      "q_geo_convexhull" ->
+        """SELECT s_suppkey,
+           CAST(s_suppkey % 10 + 1 AS DOUBLE) * CAST(s_suppkey % 8 + 1 AS DOUBLE) / 2 AS hull_area,
+           4 AS hull_np
+           FROM supplier ORDER BY s_suppkey""",
+
+      "q_geo_dwithin" ->
+        """SELECT c_custkey,
+           ((CAST(c_custkey % 20 AS DOUBLE) - CAST(c_custkey % 23 AS DOUBLE)) * (CAST(c_custkey % 20 AS DOUBLE) - CAST(c_custkey % 23 AS DOUBLE))
+            + (CAST(c_custkey % 30 AS DOUBLE) - CAST(c_custkey % 17 AS DOUBLE)) * (CAST(c_custkey % 30 AS DOUBLE) - CAST(c_custkey % 17 AS DOUBLE))) <= 25.0 AS near
+           FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""",
+
+      "q_native_box" ->
+        """SELECT p_partkey,
+           CAST(p_size % 10 + 1 AS DOUBLE) * CAST(p_partkey % 7 + 1 AS DOUBLE) AS area,
+           2 * (CAST(p_size % 10 + 1 AS DOUBLE) + CAST(p_partkey % 7 + 1 AS DOUBLE)) AS peri,
+           (CAST(p_partkey % 12 AS DOUBLE) > 0 AND CAST(p_partkey % 12 AS DOUBLE) < CAST(p_size % 10 + 1 AS DOUBLE)
+            AND CAST(p_partkey % 9 AS DOUBLE) > 0 AND CAST(p_partkey % 9 AS DOUBLE) < CAST(p_partkey % 7 + 1 AS DOUBLE)) AS inside
+           FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
 
       "q_doc_dedup_exact" ->
         """SELECT doc_id FROM (
