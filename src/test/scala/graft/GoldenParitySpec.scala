@@ -119,4 +119,25 @@ class GoldenParitySpec extends SparkSpec {
     assertSql("ST_NumGeometries(ST_GeomFromText('MULTIPOINT(0 0, 1 1)'))", 2)
     assertSql("ST_NumInteriorRings(ST_MakeEnvelope(0, 0, 1, 1))", 0)
   }
+
+  test("covers/contains boundary semantics (geos predicates.test, from GEOS unit tests)") {
+    // boundaries touch: covers but polygons don't contain their boundary
+    assertSql(
+      "ST_Covers(ST_GeomFromText('POLYGON ((0 0, 0 100, 100 100, 100 0, 0 0))'), " +
+        "ST_GeomFromText('POLYGON ((0 0, 0 100, 90 90, 90 0, 0 0))'))", true)
+    val a = "ST_GeomFromText('POLYGON ((0 0, 0 100, 100 100, 100 0, 0 0))')"
+    val line = "ST_GeomFromText('LINESTRING (0 0, 0 100)')"
+    assertSql(s"ST_Covers($a, $line) AND ST_CoveredBy($line, $a) AND NOT ST_Contains($a, $line)", true)
+    // line covers boundary point but doesn't contain it; contains interior point
+    val l = "ST_GeomFromText('LINESTRING (0 0, 0 100)')"
+    assertSql(s"ST_Covers($l, ST_Point(0, 0)) AND NOT ST_Contains($l, ST_Point(0, 0))", true)
+    assertSql(s"ST_Covers($l, ST_Point(0, 2)) AND ST_Contains($l, ST_Point(0, 2))", true)
+  }
+
+  test("st_normalize + st_reverse golden (geos normalize.test/st_reverse.test semantics)") {
+    assertSql("ST_AsText(ST_Normalize(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))",
+      "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")
+    assertSql("ST_AsText(ST_Reverse(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))",
+      "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")
+  }
 }
