@@ -107,24 +107,53 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
     cachedPrep
   }
 
+  // zero-allocation fast path for the hottest shape: a plain 2-D point
+  // WKB (21 bytes, type 1) probed against the prepared side — decode
+  // x/y straight from the bytes into a per-thread scratch Point
+  // instead of running the full WKBReader per row
+  @transient private lazy val scratch = new ThreadLocal[org.locationtech.jts.geom.Point] {
+    override def initialValue(): org.locationtech.jts.geom.Point =
+      Jts.gf.createPoint(new org.locationtech.jts.geom.Coordinate(0, 0))
+  }
+
+  private def asPoint(b: Array[Byte]): org.locationtech.jts.geom.Point = {
+    if (b.length != 21) return null
+    val le = b(0) == 1
+    val t = if (le)
+      (b(1) & 0xFF) | ((b(2) & 0xFF) << 8) | ((b(3) & 0xFF) << 16) | ((b(4) & 0xFF) << 24)
+    else
+      (b(4) & 0xFF) | ((b(3) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(1) & 0xFF) << 24)
+    if (t != 1) return null
+    val bb = java.nio.ByteBuffer.wrap(b, 5, 16)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    val p = scratch.get()
+    val c = p.getCoordinate
+    c.x = bb.getDouble; c.y = bb.getDouble
+    p.geometryChanged()
+    p
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lb = l.asInstanceOf[Array[Byte]]
     val rb = r.asInstanceOf[Array[Byte]]
     // Prepare the right side (constant in `geom PRED lit` filters); for
     // prepared ops JTS only accelerates ops anchored on the prepared geom.
+    def left: org.locationtech.jts.geom.Geometry = {
+      val p = asPoint(lb); if (p != null) p else Jts.read(lb)
+    }
     name match {
-      case "st_intersects" => prepared(rb).intersects(Jts.read(lb))
+      case "st_intersects" => prepared(rb).intersects(left)
       case "st_contains" => Jts.read(lb).contains(Jts.read(rb))
       case "st_containsproperly" =>
         PreparedGeometryFactory.prepare(Jts.read(lb)).containsProperly(Jts.read(rb))
-      case "st_within" => prepared(rb).contains(Jts.read(lb))
+      case "st_within" => prepared(rb).contains(left)
       case "st_covers" => Jts.read(lb).covers(Jts.read(rb))
-      case "st_coveredby" => prepared(rb).covers(Jts.read(lb))
+      case "st_coveredby" => prepared(rb).covers(left)
       case "st_crosses" => Jts.read(lb).crosses(Jts.read(rb))
-      case "st_disjoint" => prepared(rb).disjoint(Jts.read(lb))
+      case "st_disjoint" => prepared(rb).disjoint(left)
       case "st_equals" => Jts.read(lb).equalsTopo(Jts.read(rb))
       case "st_overlaps" => Jts.read(lb).overlaps(Jts.read(rb))
-      case "st_touches" => prepared(rb).touches(Jts.read(lb))
+      case "st_touches" => prepared(rb).touches(left)
       case "st_intersects_extent" =>
         // bbox-only test (reference st_intersects_extent.cpp:17-31)
         Jts.read(lb).getEnvelopeInternal.intersects(Jts.read(rb).getEnvelopeInternal)
