@@ -393,14 +393,48 @@ object GeoOps {
     "st_union" -> Op(BinaryType, a =>
       if (a.length == 1) out(UnaryUnionOp.union(geoList(a(0)).asJavaCollection))
       else out(geo(a(0)).union(geo(a(1))))),
+    // ST_LineMerge(geom [, preserve_direction]) — reference
+    // geos/functions/scalar/st_linemerge.cpp (directed variant merges
+    // only head-to-tail chains, never reversing a segment)
     "st_linemerge" -> Op(BinaryType, a => {
-      val merger = new LineMerger
-      merger.add(geo(a(0)))
-      val merged = merger.getMergedLineStrings.asScala.toSeq.map(_.asInstanceOf[Geometry])
-      out(Jts.collect(merged) match {
-        case m: MultiLineString if m.getNumGeometries == 1 => m.getGeometryN(0)
-        case other => other
-      })
+      val directed = a.length > 1 && bool(a(1))
+      if (!directed) {
+        val merger = new LineMerger
+        merger.add(geo(a(0)))
+        val merged = merger.getMergedLineStrings.asScala.toSeq.map(_.asInstanceOf[Geometry])
+        out(Jts.collect(merged) match {
+          case m: MultiLineString if m.getNumGeometries == 1 => m.getGeometryN(0)
+          case other => other
+        })
+      } else {
+        val lines = scala.collection.mutable.ArrayBuffer[Array[Coordinate]]()
+        def collect(g: Geometry): Unit = g match {
+          case l: LineString => lines += l.getCoordinates
+          case coll => for (i <- 0 until coll.getNumGeometries) collect(coll.getGeometryN(i))
+        }
+        collect(geo(a(0)))
+        // greedy head-to-tail chaining without reversal
+        val used = Array.fill(lines.length)(false)
+        val outLines = scala.collection.mutable.ArrayBuffer[Geometry]()
+        for (i <- lines.indices if !used(i)) {
+          used(i) = true
+          val chain = scala.collection.mutable.ArrayBuffer(lines(i): _*)
+          var extended = true
+          while (extended) {
+            extended = false
+            for (j <- lines.indices if !used(j)) {
+              if (!extended && chain.last.equals2D(lines(j).head)) {
+                chain ++= lines(j).drop(1); used(j) = true; extended = true
+              } else if (!extended && lines(j).last.equals2D(chain.head)) {
+                chain.prependAll(lines(j).dropRight(1)); used(j) = true; extended = true
+              }
+            }
+          }
+          outLines += Jts.gf.createLineString(chain.toArray)
+        }
+        out(if (outLines.size == 1) outLines.head
+          else Jts.gf.createMultiLineString(outLines.map(_.asInstanceOf[LineString]).toArray))
+      }
     }),
     "st_makevalid" -> Op(BinaryType, a => out(Jts.makeValid(geo(a(0))))),
     "st_pointonsurface" -> Op(BinaryType, a => out(geo(a(0)).getInteriorPoint)),

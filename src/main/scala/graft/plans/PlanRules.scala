@@ -55,11 +55,21 @@ case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val spatialIdx = cs.indexWhere {
           case GeoPredicate(name, l, r) if SpatialJoin.supported.contains(name) =>
             (refsOnly(l, left) && refsOnly(r, right)) || (refsOnly(l, right) && refsOnly(r, left))
+          case graft.functions.GeoScalar("st_dwithin", Seq(l, r, d)) if d.foldable =>
+            (refsOnly(l, left) && refsOnly(r, right)) || (refsOnly(l, right) && refsOnly(r, left))
           case _ => false
         }
         if (hasEqui || spatialIdx < 0) j
         else {
-          val GeoPredicate(name, l, r) = cs(spatialIdx): @unchecked
+          val (name, l, r, dist) = (cs(spatialIdx): @unchecked) match {
+            case GeoPredicate(n, a, b) => (n, a, b, 0.0)
+            case graft.functions.GeoScalar("st_dwithin", Seq(a, b, d)) =>
+              val dv = d.eval(null) match {
+                case n: java.lang.Number => n.doubleValue()
+                case other => other.toString.toDouble
+              }
+              ("st_dwithin", a, b, dv)
+          }
           val swapped = refsOnly(l, right)
           val (lExpr, rExpr) = if (swapped) (r, l) else (l, r)
           // st_within/contains/coveredby/covers are asymmetric: keep
@@ -80,7 +90,7 @@ case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
             leftDf, rightDf,
             ColumnShim.column(lExpr), ColumnShim.column(rExpr),
             if (pred == "st_containsproperly") "st_intersects" else pred,
-            cellSize = cellSize)
+            cellSize = cellSize, distance = dist)
           val exactRecheck: Seq[Expression] =
             if (name == "st_containsproperly" || pred == "st_containsproperly") Seq(cs(spatialIdx)) else Nil
           val base = joined.queryExecution.analyzed

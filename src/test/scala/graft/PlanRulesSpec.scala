@@ -43,6 +43,13 @@ class PlanRulesSpec extends SparkSpec {
       val df2 = spark.sql(
         "SELECT pid, zid FROM pts_v JOIN zones_v ON ST_Contains(zone, pt)")
       assert(df2.as[(Long, Int)].collect().toSet == brute)
+      // dwithin with a foldable distance also rewrites
+      val bruteD = pts.crossJoin(zones).filter(st_dwithin($"pt", $"zone", lit(1.5)))
+        .select("pid", "zid").as[(Long, Int)].collect().toSet
+      val dfD = spark.sql(
+        "SELECT pid, zid FROM pts_v JOIN zones_v ON ST_DWithin(pt, zone, 1.5)")
+      assert(!dfD.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(dfD.as[(Long, Int)].collect().toSet == bruteD)
       spark.conf.unset("spark.graft.spatialJoin.cellSize")
     }
   }
