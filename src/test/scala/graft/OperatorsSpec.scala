@@ -43,6 +43,19 @@ class SpatialJoinSpec extends SparkSpec {
     assert(grid.toSet == brute)
   }
 
+  test("auto cell-size estimation path matches brute force") {
+    val pts = (0 until 150).map(i => (i.toLong, (i % 15) * 3.1, (i / 15) * 2.7))
+      .toDF("pid", "x", "y").withColumn("pt", st_point($"x", $"y")).select("pid", "pt")
+    val zones = (0 until 6).map(i => (i, i * 8.0, 0.0, i * 8.0 + 9.0, 30.0))
+      .toDF("zid", "x0", "y0", "x1", "y1")
+      .withColumn("zone", st_makeenvelope($"x0", $"y0", $"x1", $"y1")).select("zid", "zone")
+    val auto = SpatialJoin.join(pts, zones, $"pt", $"zone", "st_within") // cellSize <= 0 → estimate
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+    val brute = pts.crossJoin(zones).filter(st_within($"pt", $"zone"))
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+    assert(auto == brute && brute.nonEmpty)
+  }
+
   test("dwithin grid join") {
     val a = (0 until 50).map(i => (i, i % 10 * 2.0, i / 10 * 2.0)).toDF("aid", "x", "y")
       .withColumn("ag", st_point($"x", $"y")).select("aid", "ag")
