@@ -86,7 +86,7 @@ object SparkEntry {
 
     "q_rollup" -> q(Seq("lineitem"),
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
 
@@ -99,9 +99,13 @@ object SparkEntry {
       """SELECT count(*) AS n FROM
            (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)"""),
 
+    // hour rendered as a string: Spark writes parquet TIMESTAMP adjusted
+    // to session TZ while DuckDB's is naive → the two hash differently
+    // even for equal instants. Formatting on both sides sidesteps it.
     "q_events_hourly" -> q(Seq("events"),
-      """SELECT date_trunc('hour', timestamp_micros(ts DIV 1000)) AS hour, event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+      """SELECT date_format(date_trunc('hour', timestamp_micros(ts DIV 1000)), 'yyyy-MM-dd HH:mm:ss') AS hour,
+         event_type, count(*) AS n,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "q_string_funcs" -> q(Seq("customer"),
@@ -378,11 +382,14 @@ object SparkEntry {
     val duckCustX = custPtX
     val duckCustY = custPtY
     Map(
+      // NOTE: DuckDB promotes sum(BIGINT) to HUGEINT (exported to Arrow as
+      // decimal128) while Spark stays BIGINT → every oracle sum is cast
+      // back to BIGINT so both sides hash as int64.
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-           sum(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_c,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_c,
            count(*) AS count_order
            FROM lineitem
            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -391,7 +398,7 @@ object SparkEntry {
 
       "q_join_revenue" ->
         """SELECT n_name,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
            count(*) AS n_items
            FROM customer JOIN nation ON c_nationkey = n_nationkey
              JOIN orders ON o_custkey = c_custkey
@@ -415,7 +422,7 @@ object SparkEntry {
 
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
@@ -429,8 +436,8 @@ object SparkEntry {
              (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) t""",
 
       "q_events_hourly" ->
-        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_c
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "q_string_funcs" ->

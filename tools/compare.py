@@ -32,14 +32,13 @@ for name in sorted(os.listdir(outdir)):
     if tbl.num_rows != want.num_rows:
         print(f"FAIL {name}: rows {tbl.num_rows} != {want.num_rows}"); fail += 1; continue
     bad = None
+    # Strict: repr() includes the Python type (Decimal vs int, aware vs
+    # naive datetime), mimicking the driver's type-sensitive value hash.
     for c in got_cols:
         g = tbl.column(c).to_pylist()
         w = want.column(c).to_pylist()
         for i, (a, b) in enumerate(zip(g, w)):
-            if isinstance(a, float) and isinstance(b, float):
-                if a != b and abs(a - b) > 1e-12 * max(1, abs(a), abs(b)):
-                    bad = (c, i, a, b); break
-            elif a != b:
+            if repr(a) != repr(b):
                 bad = (c, i, a, b); break
         if bad: break
     if bad:
