@@ -257,7 +257,7 @@ object SparkEntry {
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
 
     "q_geo_buffer" -> q(Seq("customer"),
-      s"""SELECT c_custkey, ST_Area(ST_Buffer($custPt, 2.0)) AS barea,
+      s"""SELECT c_custkey, round(ST_Area(ST_Buffer($custPt, 2.0)), 6) AS barea,
           ST_NPoints(ST_Buffer($custPt, 2.0)) AS bnp
           FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey"""),
 
@@ -376,6 +376,216 @@ object SparkEntry {
         .orderBy("media_id")
     })
   )
+
+  // ---- DuckDB SQL fragments replicating our 64-bit hash kernels --------
+  // DuckDB BIGINT multiplies trap on overflow, so mod-2^64 arithmetic is
+  // emulated in HUGEINT (signed 128-bit): products of two near-2^64
+  // values are split into 32-bit halves, and xor runs per 32-bit half
+  // (DuckDB's xor() is BIGINT-only). This lets the oracle reproduce
+  // splitmix64 / FNV-1a / Rabin-Karp bit-for-bit — turning the sketch
+  // operators (simhash, fingerprint, hyperplane LSH) from "rows-only"
+  // into hash-exact driver checks.
+  private val M64 = "18446744073709551616::HUGEINT"
+  /** (a * c) mod 2^64 for HUGEINT-held a < 2^64 and 64-bit constant c. */
+  private def mulmod(a: String, c: BigInt): String = {
+    val hi = c >> 32; val lo = c & 0xFFFFFFFFL
+    s"((($a) * $lo % $M64 + (($a) * $hi % 4294967296) * 4294967296) % $M64)"
+  }
+  /** Bitwise xor of two HUGEINT-held unsigned-64 values. */
+  private def xor64(a: String, b: String): String =
+    s"(xor((($a) // 4294967296)::BIGINT, (($b) // 4294967296)::BIGINT)::HUGEINT * 4294967296" +
+      s" + xor((($a) % 4294967296)::BIGINT, (($b) % 4294967296)::BIGINT)::HUGEINT)"
+  /** splitmix64 finalizer as 4 chained SELECT steps over column z. */
+  private def splitmixSteps(keyCols: String): String = {
+    val c1 = BigInt("bf58476d1ce4e5b9", 16); val c2 = BigInt("94d049bb133111eb", 16)
+    s"""z1 AS (SELECT $keyCols, ${mulmod(xor64("z", "z // 1073741824"), c1)} AS z FROM z0),
+       z2 AS (SELECT $keyCols, ${mulmod(xor64("z", "z // 134217728"), c2)} AS z FROM z1),
+       z3 AS (SELECT $keyCols, ${xor64("z", "z // 2147483648")} % $M64 AS z FROM z2)"""
+  }
+  /** Unsigned-64 HUGEINT → signed BIGINT (two's complement). */
+  private def toSigned(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN ($x) - $M64 ELSE ($x) END AS BIGINT)"
+  /** One FNV-1a step: h' = (h xor charcode) * prime mod 2^64; the char
+   *  code is < 2^16 so the xor only touches the low 16 bits. */
+  private def fnvStep(pos: Int): String =
+    s"((h - h % 65536 + xor((h % 65536)::BIGINT, ascii(substring(g,$pos,1)))) * 1099511628211) % $M64"
+
+  // ST_Hilbert golden oracle: the repo uses a bit-trick xy2d; these 100
+  // values come from an INDEPENDENT implementation of the classic
+  // rotation-based Hilbert d2xy algorithm (Wikipedia/public domain) over
+  // the same 2^16 grid mapping. Both query coords depend only on
+  // c_custkey % 100, so 100 entries cover every row at any sf.
+  private val hilbertGolden =
+    "(0,139306),(1,60841520),(2,70106434),(3,97910647),(4,976174882),(5,999839664),(6,1039185653)," +
+    "(7,1056563386),(8,1108548617),(9,1298955095),(10,1289677133),(11,1366131121),(12,1385522774)," +
+    "(13,1491259301),(14,1499532611),(15,239332809),(16,222031886),(17,166923445),(18,911270609)," +
+    "(19,882378339),(20,858772381),(21,819391373),(22,1166443473),(23,1184969152),(24,1235973765)," +
+    "(25,1610752041),(26,1671454258),(27,1680719175),(28,1708523378),(29,277845281),(30,296942905)," +
+    "(31,502930677),(32,475122244),(33,571677705),(34,762084183),(35,752806222),(36,2077043609)," +
+    "(37,2017445118),(38,1925727662),(39,1942685462),(40,1849945590),(41,1832644622),(42,1777536182)," +
+    "(43,351953520),(44,370320609),(45,421884189),(46,450128168),(47,629572561),(48,648098240)," +
+    "(49,699102928),(50,2147622954),(51,2164979224),(52,2391611373),(53,2407486930),(54,2424684426)," +
+    "(55,2469985701),(56,2539271242),(57,2522570899),(58,3902354444),(59,3890639356),(60,3832856934)," +
+    "(61,3687656342),(62,3628057854),(63,3536340397),(64,3553298198),(65,2221655902),(66,2266233519)," +
+    "(67,2338041396),(68,2666547419),(69,2628955847),(70,2609895863),(71,2591965571),(72,4012802427)," +
+    "(73,4003707754),(74,3774995674),(75,3400043139),(76,3406453944),(77,3425146823),(78,3481228763)," +
+    "(79,3122992523),(80,3104986895),(81,3075513951),(82,3035843097),(83,2721822372),(84,2815349591)," +
+    "(85,2799463363),(86,4050485825),(87,4069877334),(88,4175613863),(89,4183887153),(90,3337178593)," +
+    "(91,3350286341),(92,3254322720),(93,3160066169),(94,3191344205),(95,2978315058),(96,2960966443)," +
+    "(97,2945198448),(98,2886408384),(99,2869130362)"
+
+  // exact cosine between embeddings a/b — identical double op sequence
+  // as the CosineSimilarity expression (dot / (|a|*|b|))
+  private val duckCos =
+    """list_sum([(a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE) for i in range(1, length(a.embedding) + 1)])
+      / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in a.embedding]))
+         * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in b.embedding])))"""
+
+  private def stopList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ",", "]")
+  private val duckStops = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en", "que", "no"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "per", "non", "sono", "con"))
+
+  /** q_doc_simhash oracle: replicates both 64-bit sketches in SQL —
+   *  SimHash (FNV-1a over char 4-grams + bit-majority vote) and the
+   *  Rabin-Karp min-fingerprint (8-char polynomial window hash +
+   *  splitmix64 finalize, signed min). */
+  private lazy val simhashOracle: String = {
+    val fnv = "14695981039346656037::HUGEINT"
+    val f1 = s"(($fnv - $fnv % 65536 + xor(($fnv % 65536)::BIGINT, ascii(substring(g,1,1)))) * 1099511628211) % $M64"
+    val horner = (1 to 8).foldLeft("0::HUGEINT")((h, p) =>
+      s"(($h * 1000003 + ascii(substring(g,$p,1))) % $M64)")
+    s"""WITH grams AS (
+         SELECT doc_id, unnest([substring(text, i, 4) for i in range(1, greatest(length(text) - 3, 0) + 1)]) AS g
+         FROM documents),
+       f1 AS (SELECT doc_id, $f1 AS h, g FROM grams),
+       f2 AS (SELECT doc_id, ${fnvStep(2)} AS h, g FROM f1),
+       f3 AS (SELECT doc_id, ${fnvStep(3)} AS h, g FROM f2),
+       f4 AS (SELECT doc_id, ${fnvStep(4)} AS h FROM f3),
+       bits AS (
+         SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (h // (2::HUGEINT ^ b.b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM f4, (SELECT unnest(range(0, 64)) AS b) b
+         GROUP BY doc_id, b.b),
+       simsigs AS (
+         SELECT doc_id, sum(CASE WHEN vote > 0 THEN (2::HUGEINT ^ b)::HUGEINT ELSE 0::HUGEINT END) AS su
+         FROM bits GROUP BY doc_id),
+       wins AS (
+         SELECT doc_id, unnest([substring(text, i, 8) for i in range(1, greatest(length(text) - 7, 0) + 1)]) AS g
+         FROM documents),
+       z0 AS (SELECT doc_id, ($horner + 11400714819323198485::HUGEINT) % $M64 AS z FROM wins),
+       ${splitmixSteps("doc_id")},
+       mins AS (
+         SELECT doc_id, min(${toSigned("z")}) AS fp FROM z3 GROUP BY doc_id)
+       SELECT d.doc_id,
+         ${toSigned("coalesce(s.su, 0::HUGEINT)")} AS sig,
+         coalesce(m.fp, 0) AS fp
+       FROM documents d
+       LEFT JOIN simsigs s ON d.doc_id = s.doc_id
+       LEFT JOIN mins m ON d.doc_id = m.doc_id
+       ORDER BY d.doc_id"""
+  }
+
+  /** q_doc_langid oracle: stopword-hit argmax with the same tie-break
+   *  as Spark's greatest(struct(hits, lang)) — alphabetically-last
+   *  language wins ties — plus the full quality-score formula with the
+   *  identical double op sequence. */
+  private lazy val langidOracle: String = {
+    val hits = duckStops.map { case (lg, ws) =>
+      s"length(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS h_$lg"
+    }.mkString(",\n           ")
+    s"""WITH base AS (
+         SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           length(string_split_regex(trim(text), '\\s+')) AS ntok
+         FROM documents),
+       hits AS (
+         SELECT doc_id, text, toks, ntok,
+           $hits,
+           length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         FROM base),
+       lang AS (
+         SELECT doc_id, text, toks, ntok,
+           CASE WHEN length(text) > 0 AND CAST(cjk AS DOUBLE) / length(text) > 0.25 THEN 'zh'
+                WHEN greatest(h_en, h_de, h_fr, h_es, h_it) > 0 THEN
+                  CASE greatest(h_en, h_de, h_fr, h_es, h_it)
+                    WHEN h_it THEN 'it' WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+                    WHEN h_en THEN 'en' ELSE 'de' END
+                ELSE 'und' END AS lang_pred,
+           h_en
+         FROM hits),
+       q AS (
+         SELECT doc_id, lang_pred,
+           CASE WHEN ntok > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok ELSE 0.0 END AS mwl,
+           CASE WHEN length(toks) > 0 THEN CAST(h_en AS DOUBLE) / length(toks) ELSE 0.0 END AS swr,
+           CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS pr,
+           CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS dr,
+           CASE WHEN ntok > 0 THEN CAST(length(list_distinct(toks)) AS DOUBLE) / ntok ELSE 0.0 END AS uq
+         FROM lang)
+       SELECT doc_id, lang_pred,
+         round((CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2
+           + least(swr * 5.0, 1.0) * 0.3
+           + greatest(1.0 - pr * 4.0, 0.0) * 0.2
+           + greatest(1.0 - dr * 4.0, 0.0) * 0.15
+           + uq * 0.15, 4) AS quality
+       FROM q ORDER BY doc_id"""
+  }
+
+  /** q_emb_ann_pairs oracle: full replication of the hyperplane-LSH
+   *  pipeline — splitmix64 Rademacher signs per (table, plane, dim),
+   *  signature = sign bits of the plane dots, bucket equi-join per
+   *  table, exact-cosine ≥ threshold verify. Deterministic because the
+   *  planes are seed-derived. */
+  private lazy val annOracle: String =
+    s"""WITH dvals AS (
+         SELECT t.range AS t, p.range AS p, d.range AS d FROM range(0,6) t, range(0,10) p, range(0,64) d),
+       z0 AS (SELECT t, p, d, ((p * 4294967296 + xor(42 + t, d))::HUGEINT + 11400714819323198485::HUGEINT) % $M64 AS z FROM dvals),
+       ${splitmixSteps("t, p, d")},
+       signs AS (
+         SELECT t, p, list(CASE WHEN z % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
+         FROM z3 GROUP BY t, p),
+       dots AS (
+         SELECT e.vec_id, sg.t, sg.p,
+           list_sum([(e.embedding[i]::DOUBLE) * sg.s[i] for i in range(1, length(e.embedding) + 1)]) AS dot
+         FROM embeddings e, signs sg),
+       sigs AS (
+         SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (2::BIGINT << p) // 2 ELSE 0 END) AS sig
+         FROM dots GROUP BY vec_id, t),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM sigs x JOIN sigs y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id)
+       SELECT c.id_a, c.id_b, round($duckCos, 6) AS cosine
+       FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+       WHERE $duckCos >= 0.35
+       ORDER BY id_a, id_b"""
+
+  /** q_mm_decode oracle: the stub decode derives metadata from Java's
+   *  Arrays.hashCode over the payload bytes — h = 31^n + sum(b_i *
+   *  31^(n-1-i)) mod 2^32 signed, reproduced with a recursive
+   *  powers-of-31 CTE (payloads are ASCII so byte == codepoint). */
+  private lazy val mmDecodeOracle: String =
+    """WITH RECURSIVE pow(k, p) AS (
+         SELECT 0, 1::BIGINT UNION ALL SELECT k + 1, (p * 31) % 4294967296 FROM pow WHERE k < 600),
+       terms AS (
+         SELECT doc_id, length(text) AS n, unnest(range(1, length(text) + 1)) AS i FROM documents),
+       sums AS (
+         SELECT t.doc_id, t.n,
+           sum((ascii(substring(d.text, t.i, 1))::HUGEINT * p.p)) AS s
+         FROM terms t JOIN documents d ON d.doc_id = t.doc_id JOIN pow p ON p.k = t.n - t.i
+         GROUP BY t.doc_id, t.n),
+       hraw AS (
+         SELECT s.doc_id, ((s.s + p.p) % 4294967296)::BIGINT AS hu
+         FROM sums s JOIN pow p ON p.k = s.n),
+       hs AS (
+         SELECT doc_id, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h FROM hraw)
+       SELECT doc_id AS media_id,
+         ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
+         CAST(64 + (((h >> 4) % 1984) + 1984) % 1984 AS INT) AS w,
+         16 AS fdim
+       FROM hs ORDER BY media_id"""
 
   /** DuckDB-dialect oracle SQL per query (omitted → rows-only check). */
   val oracleSql: Map[String, String] = {
@@ -603,6 +813,45 @@ object SparkEntry {
         """SELECT vec_id,
            round(sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in embedding])), 6) AS l2
            FROM embeddings ORDER BY vec_id""",
+
+      // golden-table oracle (independent rotation-based Hilbert impl)
+      "q_geo_hilbert" ->
+        s"""WITH g(k, gh) AS (SELECT * FROM (VALUES $hilbertGolden) v)
+            SELECT c_custkey, CAST(g.gh AS BIGINT) AS h
+            FROM customer JOIN g ON c_custkey % 100 = g.k ORDER BY c_custkey""",
+
+      // closed-form Bing tile math (floor-truncating casts match the
+      // Scala .toInt since all intermediate values are non-negative)
+      "q_geo_quadkey" ->
+        """WITH t AS (
+             SELECT c_custkey,
+               CAST(c_custkey % 360 AS DOUBLE) - 179.5 AS lon,
+               CAST(c_custkey % 160 AS DOUBLE) - 79.5 AS lat
+             FROM customer WHERE c_custkey <= 300),
+           tiles AS (
+             SELECT c_custkey,
+               CAST(trunc((greatest(-180.0, least(180.0, lon)) + 180.0) / 360.0 * 1024) AS INT) AS tx,
+               CAST(trunc((1.0 - ln(tan(radians(greatest(-85.05112878, least(85.05112878, lat))))
+                 + 1.0 / cos(radians(greatest(-85.05112878, least(85.05112878, lat))))) / pi()) / 2.0 * 1024) AS INT) AS ty
+             FROM t)
+           SELECT c_custkey,
+             array_to_string([((tx // (1 << (i - 1))) % 2 + 2 * ((ty // (1 << (i - 1))) % 2))::VARCHAR
+                              for i in range(10, 0, -1)], '') AS qk
+           FROM tiles ORDER BY c_custkey""",
+
+      // JTS point-buffer is the regular 32-gon inscribed in the circle
+      // (quadrantSegments=8 → 4*8 vertices + closing point): area =
+      // n/2 * r^2 * sin(2*pi/n), translation-invariant
+      "q_geo_buffer" ->
+        """SELECT c_custkey,
+             round(0.5 * 32 * 4.0 * sin(2 * pi() / 32), 6) AS barea,
+             33 AS bnp
+           FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+
+      "q_doc_simhash" -> simhashOracle,
+      "q_doc_langid" -> langidOracle,
+      "q_emb_ann_pairs" -> annOracle,
+      "q_mm_decode" -> mmDecodeOracle,
 
       "q_emb_topk" ->
         """WITH scored AS (
