@@ -269,6 +269,115 @@ object SparkEntry {
           ST_IsEmpty($custPt) AS is_empty
           FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""),
 
+    // constructive/editing long tail: every op emits WKT built from
+    // .5/.25-grid coords so both dialects format identically
+    "q_geo_constructive" -> q(Seq("part"),
+      """SELECT p_partkey,
+         ST_AsText(ST_Boundary(ST_MakeEnvelope(0.5, 1.5, CAST(p_partkey % 7 AS DOUBLE) + 1.75, CAST(p_partkey % 5 AS DOUBLE) + 2.75))) AS bnd,
+         ST_AsText(ST_PointOnSurface(ST_MakeEnvelope(0.5, 1.5, CAST(p_partkey % 7 AS DOUBLE) + 1.75, CAST(p_partkey % 5 AS DOUBLE) + 2.75))) AS pos,
+         ST_AsText(ST_MakeValid(ST_MakeEnvelope(0.5, 1.5, CAST(p_partkey % 7 AS DOUBLE) + 1.75, CAST(p_partkey % 5 AS DOUBLE) + 2.75))) AS mv,
+         ST_AsText(ST_Points(ST_MakeEnvelope(0.5, 1.5, CAST(p_partkey % 7 AS DOUBLE) + 1.75, CAST(p_partkey % 5 AS DOUBLE) + 2.75))) AS pts,
+         ST_AsText(ST_ExteriorRing(ST_MakeEnvelope(0.5, 1.5, CAST(p_partkey % 7 AS DOUBLE) + 1.75, CAST(p_partkey % 5 AS DOUBLE) + 2.75))) AS ring,
+         ST_AsText(ST_Reverse(ST_MakeLine(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+                                          ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5)))) AS rev,
+         ST_AsText(ST_FlipCoordinates(ST_MakeLine(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+                                                  ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5)))) AS flp,
+         ST_AsText(ST_Normalize(ST_MakeLine(ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5),
+                                            ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5)))) AS nrm,
+         ST_AsText(ST_Simplify(ST_MakeLine(array(
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 4.5, CAST(p_partkey % 5 AS DOUBLE) + 5.5),
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 8.5, CAST(p_partkey % 5 AS DOUBLE) + 9.5))), 0.5)) AS simp,
+         ST_AsText(ST_SimplifyPreserveTopology(ST_MakeLine(array(
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 4.5, CAST(p_partkey % 5 AS DOUBLE) + 5.75),
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 8.5, CAST(p_partkey % 5 AS DOUBLE) + 9.5))), 1.0)) AS simpt,
+         ST_AsText(ST_RemoveRepeatedPoints(ST_MakeLine(array(
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+           ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+           ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5))))) AS dedup,
+         ST_AsText(ST_ShortestLine(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+                                   ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5))) AS shrt,
+         ST_AsText(ST_Collect(array(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+                                    ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5)))) AS mp,
+         ST_AsText(ST_CollectionExtract(ST_Collect(array(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5),
+                                                         ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5))), 1)) AS ce,
+         ST_AsText(ST_Multi(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5))) AS mlt,
+         ST_AsText(ST_ReducePrecision(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.623, CAST(p_partkey % 5 AS DOUBLE) + 1.571), 0.25)) AS rp,
+         ST_AsText(ST_MakePolygon(ST_MakeLine(array(
+           ST_Point(0.5, 0.5), ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, 0.5),
+           ST_Point(CAST(p_partkey % 9 AS DOUBLE) + 8.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5),
+           ST_Point(0.5, CAST(p_partkey % 3 AS DOUBLE) + 6.5), ST_Point(0.5, 0.5))))) AS poly,
+         ST_AsSVG(ST_Point(CAST(p_partkey % 7 AS DOUBLE) + 0.5, CAST(p_partkey % 5 AS DOUBLE) + 1.5)) AS svg
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""),
+
+    // Z/M dimension surface: Force2D/3DZ/3DM/4D, Z/M accessors, ZMFlag,
+    // HasZ/HasM, Start/End/PointN, IsClosed, Dimension
+    "q_geo_zm" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+         ST_AsText(ST_Force3DZ(ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5), CAST(s_suppkey % 4 AS DOUBLE) + 7.5)) AS f3z,
+         ST_AsText(ST_Force3DM(ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5), CAST(s_suppkey % 6 AS DOUBLE) + 8.25)) AS f3m,
+         ST_AsText(ST_Force4D(ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5), CAST(s_suppkey % 4 AS DOUBLE) + 7.5, CAST(s_suppkey % 6 AS DOUBLE) + 8.25)) AS f4,
+         ST_AsText(ST_Force2D(ST_MakePoint(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5, CAST(s_suppkey % 4 AS DOUBLE) + 7.5))) AS f2,
+         ST_Z(ST_MakePoint(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5, CAST(s_suppkey % 4 AS DOUBLE) + 7.5)) AS zval,
+         ST_M(ST_MakePoint(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5, CAST(s_suppkey % 4 AS DOUBLE) + 7.5, CAST(s_suppkey % 6 AS DOUBLE) + 8.25)) AS mval,
+         ST_ZMFlag(ST_Point(1.5, 2.5)) AS zmf0,
+         ST_ZMFlag(ST_MakePoint(1.5, 2.5, 7.5)) AS zmf2,
+         ST_ZMFlag(ST_MakePoint(1.5, 2.5, 7.5, 8.5)) AS zmf3,
+         ST_ZMFlag(ST_Force3DM(ST_Point(1.5, 2.5), 8.5)) AS zmf1,
+         ST_HasZ(ST_MakePoint(1.5, 2.5, 7.5)) AS hz,
+         ST_HasM(ST_MakePoint(1.5, 2.5, 7.5)) AS hm,
+         ST_AsText(ST_StartPoint(ST_MakeLine(ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5),
+                                             ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 2.5, CAST(s_suppkey % 13 AS DOUBLE) + 4.5)))) AS sp,
+         ST_AsText(ST_EndPoint(ST_MakeLine(ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5),
+                                           ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 2.5, CAST(s_suppkey % 13 AS DOUBLE) + 4.5)))) AS ep,
+         ST_AsText(ST_PointN(ST_MakeLine(ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 0.5, CAST(s_suppkey % 13 AS DOUBLE) + 1.5),
+                                         ST_Point(CAST(s_suppkey % 11 AS DOUBLE) + 2.5, CAST(s_suppkey % 13 AS DOUBLE) + 4.5)), 2)) AS pn,
+         ST_IsClosed(ST_MakeLine(ST_Point(0.5, 0.5), ST_Point(1.5, 1.5))) AS closed_f,
+         ST_Dimension(ST_Point(0.5, 0.5)) AS dim0,
+         ST_Dimension(ST_MakeLine(ST_Point(0.5, 0.5), ST_Point(1.5, 1.5))) AS dim1,
+         ST_NumInteriorRings(ST_MakeEnvelope(0.5, 0.5, 2.5, 2.5)) AS nir
+         FROM supplier ORDER BY s_suppkey"""),
+
+    "q_geo_dump" -> q(Seq("nation"),
+      """SELECT n_nationkey, pos, ST_AsText(col.geom) AS part_wkt, col.path AS path
+         FROM nation
+         LATERAL VIEW posexplode(ST_Dump(ST_Collect(array(
+           ST_Point(CAST(n_nationkey % 5 AS DOUBLE) + 0.5, CAST(n_nationkey % 7 AS DOUBLE) + 1.5),
+           ST_Point(CAST(n_nationkey % 9 AS DOUBLE) + 10.5, CAST(n_nationkey % 4 AS DOUBLE) + 6.5))))) t AS pos, col
+         ORDER BY n_nationkey, pos"""),
+
+    // spheroid family vs an independent-implementation golden table
+    "q_geo_spheroid" -> q(Seq("customer"),
+      """SELECT c_custkey,
+         round(ST_Distance_Spheroid(
+           ST_Point(CAST(c_custkey % 50 AS DOUBLE) - 25.5, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 39.5),
+           ST_Point(CAST(c_custkey % 50 AS DOUBLE) - 24.0, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 38.25)), 3) AS d3,
+         round(ST_Length_Spheroid(ST_MakeLine(
+           ST_Point(CAST(c_custkey % 50 AS DOUBLE) - 25.5, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 39.5),
+           ST_Point(CAST(c_custkey % 50 AS DOUBLE) - 24.0, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 38.25))), 3) AS len3,
+         round(ST_Perimeter_Spheroid(ST_MakeEnvelope(
+           CAST(c_custkey % 50 AS DOUBLE) - 25.5, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 39.5,
+           CAST(c_custkey % 50 AS DOUBLE) - 24.0, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 38.25)), 3) AS peri3,
+         round(ST_Area_Spheroid(ST_MakeEnvelope(
+           CAST(c_custkey % 50 AS DOUBLE) - 25.5, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 39.5,
+           CAST(c_custkey % 50 AS DOUBLE) - 24.0, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 38.25)) / 1000000.0, 3) AS area_km2,
+         ST_DWithin_Spheroid(
+           ST_Point(CAST(c_custkey % 50 AS DOUBLE) - 25.5, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 39.5),
+           ST_Point(CAST(c_custkey % 50 AS DOUBLE) - 24.0, CAST((c_custkey % 50) * 3 % 80 AS DOUBLE) - 38.25), 205000.0) AS near
+         FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
+
+    "q_geo_intersection_agg" -> q(Seq("nation"),
+      """SELECT grp,
+         ST_XMin(e) AS xmin, ST_YMin(e) AS ymin, ST_XMax(e) AS xmax, ST_YMax(e) AS ymax,
+         ST_Area(e) AS area
+         FROM (SELECT n_nationkey % 5 AS grp,
+                 ST_Intersection_Agg(ST_MakeEnvelope(
+                   CAST(n_nationkey AS DOUBLE) * 0.25, CAST(n_nationkey AS DOUBLE) * 0.25,
+                   100.0 - CAST(n_nationkey AS DOUBLE) * 0.25, 100.0 - CAST(n_nationkey AS DOUBLE) * 0.25)) AS e
+               FROM nation GROUP BY n_nationkey % 5)
+         ORDER BY grp"""),
+
     // ================= training-data pipeline ops ======================
     "q_doc_dedup_exact" -> q(Seq("documents"),
       """SELECT doc_id FROM (
@@ -587,6 +696,97 @@ object SparkEntry {
          16 AS fdim
        FROM hs ORDER BY media_id"""
 
+  /** q_geo_spheroid golden table: (k, vincenty_m, perimeter_m,
+   *  area_km2, within_205km) from an independent Python implementation
+   *  of the published Vincenty inverse + spherical-excess ring area
+   *  (same public formulas, separate code path/runtime). */
+  private val spheroidGolden =
+    "(0,190256.227,537850.142,18048.11,true),(1,193864.276,548290.216,18784.863,true)," +
+    "(2,197284.88,557990.861,19470.129,true),(3,200491.34,566927.523,20102.028,true)," +
+    "(4,203459.748,575077.705,20678.829,true),(5,206168.87,582421.0,21198.95,false)," +
+    "(6,208600.028,588939.109,21660.967,false),(7,210736.995,594615.862,22063.613,false)," +
+    "(8,212565.902,599437.233,22405.783,false),(9,214075.161,603391.352,22686.541,false)," +
+    "(10,215255.393,606468.511,22905.117,false),(11,216099.38,608661.175,23060.912,false)," +
+    "(12,216602.019,609963.985,23153.498,false),(13,216760.293,610373.759,23182.622,false)," +
+    "(14,216573.257,609889.497,23148.204,false),(15,216042.029,608512.381,23050.338,false)," +
+    "(16,215169.798,606245.774,22889.293,false),(17,213961.841,603095.217,22665.51,false)," +
+    "(18,212425.557,599068.427,22379.603,false),(19,210570.505,594175.29,22032.354,false)," +
+    "(20,208408.46,588427.859,21624.717,false),(21,205953.485,581840.338,21157.807,false)," +
+    "(22,203222.008,574429.075,20632.906,true),(23,200232.915,566212.544,20051.451,true)," +
+    "(24,197007.66,557211.329,19415.037,true),(25,193570.375,547448.098,18725.407,true)," +
+    "(26,189948.002,536947.578,17984.452,true),(27,191477.97,541410.726,18299.293,true)," +
+    "(28,195026.682,551607.178,19019.102,true),(29,198378.731,561055.789,19686.78,true)," +
+    "(30,201508.361,569732.688,20300.498,true),(31,204392.572,577616.072,20858.574,true)," +
+    "(32,207010.992,584686.233,21359.478,false),(33,209345.771,590925.58,21801.837,false)," +
+    "(34,211381.478,596318.658,22184.439,false),(35,213105.013,600852.158,22506.234,false)," +
+    "(36,214505.531,604514.928,22766.342,false),(37,215574.378,607297.986,22964.049,false)," +
+    "(38,216305.046,609194.52,23098.813,false),(39,216693.129,610199.897,23170.265,false)," +
+    "(40,216736.303,610311.662,23178.208,false),(41,216434.31,609529.543,23122.622,false)," +
+    "(42,215788.957,607855.449,23003.658,false),(43,214804.127,605293.469,22821.643,false)," +
+    "(44,213485.8,601849.869,22577.075,false),(45,211842.09,597533.091,22270.626,false)," +
+    "(46,209883.287,592353.744,21903.133,false),(47,207621.921,586324.599,21475.606,false)," +
+    "(48,205072.834,579460.575,20989.216,false),(49,202253.262,571778.732,20445.296,true)"
+
+  // DuckDB string fragments for the constructive-op WKT oracles
+  private def v(e: String): String = s"($e)::VARCHAR"
+  private lazy val constructiveOracle: String = {
+    val x1 = "(CAST(p_partkey % 7 AS DOUBLE) + 0.5)"
+    val y1 = "(CAST(p_partkey % 5 AS DOUBLE) + 1.5)"
+    val x2 = "(CAST(p_partkey % 9 AS DOUBLE) + 8.5)"
+    val y2 = "(CAST(p_partkey % 3 AS DOUBLE) + 6.5)"
+    val xe = "(CAST(p_partkey % 7 AS DOUBLE) + 1.75)"
+    val ye = "(CAST(p_partkey % 5 AS DOUBLE) + 2.75)"
+    val cx = s"((0.5 + $xe) / 2)"
+    val cy = s"((1.5 + $ye) / 2)"
+    val sx = "(CAST(p_partkey % 7 AS DOUBLE) + 8.5)"
+    val sy = "(CAST(p_partkey % 5 AS DOUBLE) + 9.5)"
+    val ringStr = s"'(0.5 1.5, ' || ${v(xe)} || ' 1.5, ' || ${v(xe)} || ' ' || ${v(ye)} || ', 0.5 ' || ${v(ye)} || ', 0.5 1.5)'"
+    val lineAB = s"'LINESTRING (' || ${v(x1)} || ' ' || ${v(y1)} || ', ' || ${v(x2)} || ' ' || ${v(y2)} || ')'"
+    val mpAB = s"'MULTIPOINT (' || ${v(x1)} || ' ' || ${v(y1)} || ', ' || ${v(x2)} || ' ' || ${v(y2)} || ')'"
+    s"""SELECT p_partkey,
+        'LINESTRING ' || $ringStr AS bnd,
+        'POINT (' || ${v(cx)} || ' ' || ${v(cy)} || ')' AS pos,
+        'POLYGON ((0.5 1.5, 0.5 ' || ${v(ye)} || ', ' || ${v(xe)} || ' ' || ${v(ye)} || ', ' || ${v(xe)} || ' 1.5, 0.5 1.5))' AS mv,
+        'MULTIPOINT ' || $ringStr AS pts,
+        'LINESTRING ' || $ringStr AS ring,
+        'LINESTRING (' || ${v(x2)} || ' ' || ${v(y2)} || ', ' || ${v(x1)} || ' ' || ${v(y1)} || ')' AS rev,
+        'LINESTRING (' || ${v(y1)} || ' ' || ${v(x1)} || ', ' || ${v(y2)} || ' ' || ${v(x2)} || ')' AS flp,
+        $lineAB AS nrm,
+        'LINESTRING (' || ${v(x1)} || ' ' || ${v(y1)} || ', ' || ${v(sx)} || ' ' || ${v(sy)} || ')' AS simp,
+        'LINESTRING (' || ${v(x1)} || ' ' || ${v(y1)} || ', ' || ${v(sx)} || ' ' || ${v(sy)} || ')' AS simpt,
+        $lineAB AS dedup,
+        $lineAB AS shrt,
+        $mpAB AS mp,
+        $mpAB AS ce,
+        'MULTIPOINT (' || ${v(x1)} || ' ' || ${v(y1)} || ')' AS mlt,
+        'POINT (' || ${v(x1)} || ' ' || ${v(y1)} || ')' AS rp,
+        'POLYGON ((0.5 0.5, ' || ${v(x2)} || ' 0.5, ' || ${v(x2)} || ' ' || ${v(y2)} || ', 0.5 ' || ${v(y2)} || ', 0.5 0.5))' AS poly,
+        'cx="' || ${v(x1)} || '" cy="-' || ${v(y1)} || '"' AS svg
+        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+  }
+
+  private lazy val zmOracle: String = {
+    val x = "(CAST(s_suppkey % 11 AS DOUBLE) + 0.5)"
+    val y = "(CAST(s_suppkey % 13 AS DOUBLE) + 1.5)"
+    val zc = "(CAST(s_suppkey % 4 AS DOUBLE) + 7.5)"
+    val mc = "(CAST(s_suppkey % 6 AS DOUBLE) + 8.25)"
+    val x3 = "(CAST(s_suppkey % 11 AS DOUBLE) + 2.5)"
+    val y3 = "(CAST(s_suppkey % 13 AS DOUBLE) + 4.5)"
+    s"""SELECT s_suppkey,
+        'POINT Z (' || ${v(x)} || ' ' || ${v(y)} || ' ' || ${v(zc)} || ')' AS f3z,
+        'POINT M (' || ${v(x)} || ' ' || ${v(y)} || ' ' || ${v(mc)} || ')' AS f3m,
+        'POINT ZM (' || ${v(x)} || ' ' || ${v(y)} || ' ' || ${v(zc)} || ' ' || ${v(mc)} || ')' AS f4,
+        'POINT (' || ${v(x)} || ' ' || ${v(y)} || ')' AS f2,
+        $zc AS zval, $mc AS mval,
+        0 AS zmf0, 2 AS zmf2, 3 AS zmf3, 1 AS zmf1,
+        true AS hz, false AS hm,
+        'POINT (' || ${v(x)} || ' ' || ${v(y)} || ')' AS sp,
+        'POINT (' || ${v(x3)} || ' ' || ${v(y3)} || ')' AS ep,
+        'POINT (' || ${v(x3)} || ' ' || ${v(y3)} || ')' AS pn,
+        false AS closed_f, 0 AS dim0, 1 AS dim1, 0 AS nir
+        FROM supplier ORDER BY s_suppkey"""
+  }
+
   /** DuckDB-dialect oracle SQL per query (omitted → rows-only check). */
   val oracleSql: Map[String, String] = {
     val duckCustX = custPtX
@@ -847,6 +1047,39 @@ object SparkEntry {
              round(0.5 * 32 * 4.0 * sin(2 * pi() / 32), 6) AS barea,
              33 AS bnp
            FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+
+      "q_geo_constructive" -> constructiveOracle,
+      "q_geo_zm" -> zmOracle,
+
+      "q_geo_dump" ->
+        """WITH parts AS (
+             SELECT n_nationkey, 0 AS pos,
+               'POINT (' || (CAST(n_nationkey % 5 AS DOUBLE) + 0.5)::VARCHAR || ' ' || (CAST(n_nationkey % 7 AS DOUBLE) + 1.5)::VARCHAR || ')' AS part_wkt,
+               [1] AS path FROM nation
+             UNION ALL
+             SELECT n_nationkey, 1,
+               'POINT (' || (CAST(n_nationkey % 9 AS DOUBLE) + 10.5)::VARCHAR || ' ' || (CAST(n_nationkey % 4 AS DOUBLE) + 6.5)::VARCHAR || ')',
+               [2] FROM nation)
+           SELECT * FROM parts ORDER BY n_nationkey, pos""",
+
+      "q_geo_spheroid" ->
+        s"""WITH g(k, gd, gperi, garea, gnear) AS (SELECT * FROM (VALUES $spheroidGolden) v)
+            SELECT c_custkey,
+              CAST(g.gd AS DOUBLE) AS d3, CAST(g.gd AS DOUBLE) AS len3,
+              CAST(g.gperi AS DOUBLE) AS peri3, CAST(g.garea AS DOUBLE) AS area_km2,
+              g.gnear AS near
+            FROM customer JOIN g ON c_custkey % 50 = g.k
+            WHERE c_custkey <= 250 ORDER BY c_custkey""",
+
+      "q_geo_intersection_agg" ->
+        """SELECT n_nationkey % 5 AS grp,
+           max(CAST(n_nationkey AS DOUBLE) * 0.25) AS xmin,
+           max(CAST(n_nationkey AS DOUBLE) * 0.25) AS ymin,
+           min(100.0 - CAST(n_nationkey AS DOUBLE) * 0.25) AS xmax,
+           min(100.0 - CAST(n_nationkey AS DOUBLE) * 0.25) AS ymax,
+           (min(100.0 - CAST(n_nationkey AS DOUBLE) * 0.25) - max(CAST(n_nationkey AS DOUBLE) * 0.25))
+             * (min(100.0 - CAST(n_nationkey AS DOUBLE) * 0.25) - max(CAST(n_nationkey AS DOUBLE) * 0.25)) AS area
+           FROM nation GROUP BY 1 ORDER BY grp""",
 
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,

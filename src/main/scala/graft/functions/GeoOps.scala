@@ -158,7 +158,8 @@ object GeoOps {
     "st_point" -> Op(BinaryType, a => out(Jts.point(dbl(a(0)), dbl(a(1))))),
     "st_makepoint" -> Op(BinaryType, a =>
       if (a.length == 2) out(Jts.point(dbl(a(0)), dbl(a(1))))
-      else out(Jts.pointZ(dbl(a(0)), dbl(a(1)), dbl(a(2))))),
+      else if (a.length == 3) out(Jts.pointZ(dbl(a(0)), dbl(a(1)), dbl(a(2))))
+      else out(Jts.pointZM(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))),
     "st_geomfromtext" -> Op(BinaryType, a =>
       try out(Jts.fromWkt(str(a(0))))
       catch { case e: Exception =>

@@ -113,24 +113,142 @@ object Jts {
 
   def fromWkt(s: String): Geometry = wktReader.get.read(s)
 
-  /** WKT with the reference's formatting: full precision, no scientific
-   *  notation for typical coords (JTS trims trailing zeros like DuckDB);
-   *  Z/M/ZM tags follow the coordinate dimensions present. */
+  /** Hand-rolled WKT writer matching the reference's output style
+   *  (st_astext.cpp + util/math.cpp format_coord): `TYPE [Z|M|ZM ]
+   *  (...)`, MULTIPOINT without per-point parens (`MULTIPOINT (1 2,
+   *  3 4)` — JTS's writer adds inner parens), `TYPE [TAG ]EMPTY`, and
+   *  Ryu-style fixed-15 numbers (round to 15 decimals, trailing zeros
+   *  trimmed, integral values without a decimal point). */
   def toWkt(g: Geometry): String = {
+    val sb = new java.lang.StringBuilder(64)
+    appendWkt(g, sb)
+    sb.toString
+  }
+
+  /** Fixed-15 double format, equivalent to geos_d2sfixed_buffered_n
+   *  (correctly-rounded 15-decimal fixed notation, zeros trimmed). */
+  def fmtNum(d: Double): String = {
+    if (d == Math.rint(d) && Math.abs(d) <= 9.007199254740992E15) {
+      val l = d.toLong
+      if (l == 0L && 1.0 / d < 0) "-0" else l.toString
+    } else {
+      new java.math.BigDecimal(d)
+        .setScale(15, java.math.RoundingMode.HALF_EVEN)
+        .stripTrailingZeros.toPlainString
+    }
+  }
+
+  private def dimTag(z: Boolean, m: Boolean): String =
+    (z, m) match {
+      case (true, true) => "ZM "
+      case (true, false) => "Z "
+      case (false, true) => "M "
+      case _ => ""
+    }
+
+  private def appendCoord(c: Coordinate, z: Boolean, m: Boolean, sb: java.lang.StringBuilder): Unit = {
+    sb.append(fmtNum(c.x)).append(' ').append(fmtNum(c.y))
+    if (z) sb.append(' ').append(fmtNum(c.getZ))
+    if (m) sb.append(' ').append(fmtNum(c.getM))
+  }
+
+  private def appendSeq(cs: CoordinateSequence, z: Boolean, m: Boolean, sb: java.lang.StringBuilder): Unit = {
+    sb.append('(')
+    var i = 0
+    while (i < cs.size) {
+      if (i > 0) sb.append(", ")
+      appendCoord(cs.getCoordinate(i), z, m, sb)
+      i += 1
+    }
+    sb.append(')')
+  }
+
+  private def appendPolyBody(p: Polygon, z: Boolean, m: Boolean, sb: java.lang.StringBuilder): Unit = {
+    sb.append('(')
+    appendSeq(p.getExteriorRing.getCoordinateSequence, z, m, sb)
+    var r = 0
+    while (r < p.getNumInteriorRing) {
+      sb.append(", ")
+      appendSeq(p.getInteriorRingN(r).getCoordinateSequence, z, m, sb)
+      r += 1
+    }
+    sb.append(')')
+  }
+
+  private def appendWkt(g: Geometry, sb: java.lang.StringBuilder): Unit = {
     val z = hasZ(g); val m = hasM(g)
-    val w = new WKTWriter(2 + (if (z) 1 else 0) + (if (m) 1 else 0))
-    import org.locationtech.jts.io.Ordinate
-    w.setOutputOrdinates((z, m) match {
-      case (true, true) => Ordinate.createXYZM()
-      case (true, false) => Ordinate.createXYZ()
-      case (false, true) => Ordinate.createXYM()
-      case _ => Ordinate.createXY()
-    })
-    w.write(g)
+    val tag = dimTag(z, m)
+    g match {
+      case p: Point =>
+        sb.append("POINT ").append(tag)
+        if (p.isEmpty) sb.append("EMPTY")
+        else { sb.append('('); appendCoord(p.getCoordinate, z, m, sb); sb.append(')') }
+      case l: LineString =>
+        sb.append("LINESTRING ").append(tag)
+        if (l.isEmpty) sb.append("EMPTY") else appendSeq(l.getCoordinateSequence, z, m, sb)
+      case p: Polygon =>
+        sb.append("POLYGON ").append(tag)
+        if (p.isEmpty) sb.append("EMPTY") else appendPolyBody(p, z, m, sb)
+      case mp: MultiPoint =>
+        sb.append("MULTIPOINT ").append(tag)
+        if (mp.isEmpty) sb.append("EMPTY")
+        else {
+          sb.append('(')
+          var i = 0
+          while (i < mp.getNumGeometries) {
+            if (i > 0) sb.append(", ")
+            val pt = mp.getGeometryN(i).asInstanceOf[Point]
+            if (pt.isEmpty) sb.append("EMPTY") else appendCoord(pt.getCoordinate, z, m, sb)
+            i += 1
+          }
+          sb.append(')')
+        }
+      case ml: MultiLineString =>
+        sb.append("MULTILINESTRING ").append(tag)
+        if (ml.isEmpty) sb.append("EMPTY")
+        else {
+          sb.append('(')
+          var i = 0
+          while (i < ml.getNumGeometries) {
+            if (i > 0) sb.append(", ")
+            appendSeq(ml.getGeometryN(i).asInstanceOf[LineString].getCoordinateSequence, z, m, sb)
+            i += 1
+          }
+          sb.append(')')
+        }
+      case mp: MultiPolygon =>
+        sb.append("MULTIPOLYGON ").append(tag)
+        if (mp.isEmpty) sb.append("EMPTY")
+        else {
+          sb.append('(')
+          var i = 0
+          while (i < mp.getNumGeometries) {
+            if (i > 0) sb.append(", ")
+            appendPolyBody(mp.getGeometryN(i).asInstanceOf[Polygon], z, m, sb)
+            i += 1
+          }
+          sb.append(')')
+        }
+      case gc: GeometryCollection =>
+        sb.append("GEOMETRYCOLLECTION ").append(tag)
+        if (gc.isEmpty) sb.append("EMPTY")
+        else {
+          sb.append('(')
+          var i = 0
+          while (i < gc.getNumGeometries) {
+            if (i > 0) sb.append(", ")
+            appendWkt(gc.getGeometryN(i), sb)
+            i += 1
+          }
+          sb.append(')')
+        }
+    }
   }
 
   def point(x: Double, y: Double): Geometry = gf.createPoint(new Coordinate(x, y))
   def pointZ(x: Double, y: Double, z: Double): Geometry = gf.createPoint(new Coordinate(x, y, z))
+  def pointZM(x: Double, y: Double, z: Double, m: Double): Geometry =
+    gf.createPoint(new org.locationtech.jts.geom.CoordinateXYZM(x, y, z, m))
 
   def envelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry = {
     gf.createPolygon(Array(

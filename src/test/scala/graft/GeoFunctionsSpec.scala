@@ -38,7 +38,7 @@ class GeoFunctionsSpec extends SparkSpec {
     assertSql("ST_AsGeoJSON(ST_Point(1.5, 2.5))", """{"type":"Point","coordinates":[1.5,2.5]}""")
     assertSql("ST_AsText(ST_GeomFromGeoJSON('{\"type\":\"Point\",\"coordinates\":[1.5,2.5]}'))", "POINT (1.5 2.5)")
     assertSql("ST_AsText(ST_MakeLine(ST_Point(0, 0), ST_Point(1, 1)))", "LINESTRING (0 0, 1 1)")
-    assertSql("ST_AsText(ST_Multi(ST_Point(1, 2)))", "MULTIPOINT ((1 2))")
+    assertSql("ST_AsText(ST_Multi(ST_Point(1, 2)))", "MULTIPOINT (1 2)")
   }
 
   test("accessors") {
@@ -107,7 +107,7 @@ class GeoFunctionsSpec extends SparkSpec {
   }
 
   test("st_collect") {
-    assertSql("ST_AsText(ST_Collect(array(ST_Point(0, 0), ST_Point(1, 1))))", "MULTIPOINT ((0 0), (1 1))")
+    assertSql("ST_AsText(ST_Collect(array(ST_Point(0, 0), ST_Point(1, 1))))", "MULTIPOINT (0 0, 1 1)")
     assertSql("ST_GeometryType(ST_Collect(array(ST_Point(0, 0), ST_GeomFromText('LINESTRING(0 0, 1 1)'))))", "GEOMETRYCOLLECTION")
   }
 

@@ -3,9 +3,9 @@ package graft
 /**
  * Additional golden-value parity cases mirrored 1:1 from the reference
  * sqllogictests (test/sql/geometry and test/sql/geos suites).
- * Known formatting deviation (documented): JTS WKT writes MULTIPOINT
- * with per-point parens `MULTIPOINT ((1 2))` where DuckDB writes
- * `MULTIPOINT (1 2)` — both valid WKT, value-identical.
+ * WKT output format matches the reference writer (st_astext.cpp):
+ * `MULTIPOINT (1 2, 3 4)` without per-point parens, `POINT Z (…)`
+ * with a space after the dimension tag, fixed-15 numbers.
  */
 class GoldenParitySpec extends SparkSpec {
 
