@@ -50,6 +50,13 @@ object SpatialJoin {
    * @param predicate one of [[supported]] (default st_intersects);
    *                  st_dwithin uses `distance`
    * @param cellSize  grid cell edge in coordinate units; <=0 → sample-estimate
+   * @param driverSample with cellSize<=0: true → estimate the cell
+   *                  size eagerly with a driver-side collect over a
+   *                  random sample (explicit-API convenience); false →
+   *                  embed the same estimator as a broadcast 1-row
+   *                  subplan so NO Spark job runs at plan time (the
+   *                  optimizer rule uses this — launching jobs inside
+   *                  logical optimization blocks planning at scale)
    */
   def join(
       left: DataFrame, right: DataFrame,
@@ -57,7 +64,8 @@ object SpatialJoin {
       predicate: String = "st_intersects",
       cellSize: Double = 0.0,
       distance: Double = 0.0,
-      broadcastRight: Boolean = false): DataFrame = {
+      broadcastRight: Boolean = false,
+      driverSample: Boolean = true): DataFrame = {
     require(supported.contains(predicate), s"unsupported spatial join predicate: $predicate")
 
     val pad = if (predicate == "st_dwithin") distance else 0.0
@@ -74,9 +82,17 @@ object SpatialJoin {
         .drop("__lg", "__lb", "__rg", "__rb")
     }
 
-    val cs = if (cellSize > 0) cellSize else estimateCellSize(left, leftGeom, right, rightGeom)
+    // resolve the grid cell size: fixed, driver-estimated, or deferred
+    // to a broadcast scalar computed within the job itself
+    val (attachEstimate, lcs, rcs) =
+      if (cellSize > 0)
+        (false, lit(cellSize), lit(cellSize))
+      else if (driverSample)
+        { val cs = estimateCellSize(left, leftGeom, right, rightGeom); (false, lit(cs), lit(cs)) }
+      else
+        (true, col("__lcs"), col("__rcs"))
 
-    def withCells(df: DataFrame, geom: Column, prefix: String, padBy: Double): DataFrame = {
+    def withCells(df: DataFrame, geom: Column, prefix: String, padBy: Double, cs: Column): DataFrame = {
       val g = col(s"${prefix}g")
       df.withColumn(s"${prefix}g", geom)
         .withColumn(s"${prefix}b", st_extent(g))
@@ -90,9 +106,22 @@ object SpatialJoin {
             floor((col(s"${prefix}b.max_y") + padBy) / cs).cast("long"))))
     }
 
+    val (leftIn, rightIn) =
+      if (!attachEstimate) (left, right)
+      else {
+        // NOTE: no broadcast() hint here — this path is invoked from
+        // inside the optimizer, after Spark's hint-resolution batch, so
+        // a ResolvedHint node would survive to physical planning and
+        // trip an internal error. The 1-row aggregate is far below
+        // autoBroadcastJoinThreshold and broadcasts on its own.
+        val est = cellSizeFrame(left, leftGeom, right, rightGeom)
+        (left.crossJoin(est.select(col("__cs").as("__lcs"))),
+         right.crossJoin(est.select(col("__cs").as("__rcs"))))
+      }
+
     // pad only one side for dwithin (padding both would double-count)
-    val l = withCells(left, leftGeom, "__l", pad)
-    val r = withCells(right, rightGeom, "__r", 0.0)
+    val l = withCells(leftIn, leftGeom, "__l", pad, lcs)
+    val r = withCells(rightIn, rightGeom, "__r", 0.0, rcs)
 
     val bboxOverlap =
       col("__lb.min_x") <= col("__rb.max_x") + pad && col("__lb.max_x") >= col("__rb.min_x") - pad &&
@@ -103,8 +132,8 @@ object SpatialJoin {
     val refX = greatest(col("__lb.min_x") - pad, col("__rb.min_x"))
     val refY = greatest(col("__lb.min_y") - pad, col("__rb.min_y"))
     val dedup =
-      floor(refX / cs).cast("long") === col("__lcx") &&
-      floor(refY / cs).cast("long") === col("__lcy")
+      floor(refX / lcs).cast("long") === col("__lcx") &&
+      floor(refY / lcs).cast("long") === col("__lcy")
 
     val joined = l.join(r,
       col("__lcx") === col("__rcx") && col("__lcy") === col("__rcy") &&
@@ -112,7 +141,8 @@ object SpatialJoin {
         exact(predicate, col("__lg"), col("__rg"), distance),
       "inner")
 
-    joined.drop("__lg", "__lb", "__lcx", "__lcy", "__rg", "__rb", "__rcx", "__rcy")
+    joined.drop("__lg", "__lb", "__lcx", "__lcy", "__rg", "__rb", "__rcx", "__rcy",
+      "__lcs", "__rcs")
   }
 
   private def exact(predicate: String, lg: Column, rg: Column, distance: Double): Column =
@@ -121,24 +151,40 @@ object SpatialJoin {
       case p => st(p, lg, rg)
     }
 
-  /** Sample both sides' bboxes and pick a cell edge ≈ 2× the larger
-   *  side's mean bbox extent (driver-side action over ≤1k rows/side —
-   *  plan-time only, like AQE's stats collection). */
-  def estimateCellSize(left: DataFrame, leftGeom: Column, right: DataFrame, rightGeom: Column): Double = {
-    def meanExtent(df: DataFrame, g: Column): Double = {
-      val row = df.select(st_extent(g).as("b")).limit(1000)
-        .select(
-          avg(col("b.max_x") - col("b.min_x")).as("w"),
-          avg(col("b.max_y") - col("b.min_y")).as("h"),
-          min(col("b.min_x")).as("x0"), max(col("b.max_x")).as("x1"),
-          min(col("b.min_y")).as("y0"), max(col("b.max_y")).as("y1"))
-        .collect()(0)
-      val meanWh = math.max(row.getDouble(0), row.getDouble(1))
-      val span = math.max(row.getDouble(3) - row.getDouble(2), row.getDouble(5) - row.getDouble(4))
-      // geometries with near-zero extent (points): fall back to span/256
-      if (meanWh <= 0 || meanWh.isNaN) span / 256.0 else meanWh
-    }
-    val cell = 2.0 * math.max(meanExtent(left, leftGeom), meanExtent(right, rightGeom))
-    if (cell <= 0 || cell.isNaN) 1.0 else cell
+  /** Per-side bbox statistics over a seeded random sample (plus the
+   *  first 64 rows so tiny inputs always contribute): mean bbox
+   *  width/height and global span. LocalLimit keeps the scan cheap —
+   *  each task stops after its share of rows. */
+  private def bboxStatsDf(df: DataFrame, g: Column): DataFrame = {
+    val b = df.select(st_extent(g).as("b"))
+    b.sample(withReplacement = false, 0.1, seed = 42).limit(4096)
+      .union(b.limit(64))
+      .select(
+        avg(col("b.max_x") - col("b.min_x")).as("w"),
+        avg(col("b.max_y") - col("b.min_y")).as("h"),
+        min(col("b.min_x")).as("x0"), max(col("b.max_x")).as("x1"),
+        min(col("b.min_y")).as("y0"), max(col("b.max_y")).as("y1"))
   }
+
+  /** 1-row, 1-column (`__cs`) frame computing the grid-cell estimate:
+   *  2× the larger side's mean bbox extent, span/256 for point-like
+   *  inputs, 1.0 as the degenerate fallback. Usable either collected
+   *  (driver path) or cross-joined as a broadcast scalar (plan path). */
+  def cellSizeFrame(left: DataFrame, leftGeom: Column, right: DataFrame, rightGeom: Column): DataFrame = {
+    val ls = bboxStatsDf(left, leftGeom)
+    val rs = bboxStatsDf(right, rightGeom).toDF("rw", "rh", "rx0", "rx1", "ry0", "ry1")
+    def me(w: Column, h: Column, x0: Column, x1: Column, y0: Column, y1: Column): Column =
+      when(greatest(w, h) > 0, greatest(w, h))
+        .otherwise(greatest(x1 - x0, y1 - y0) / 256.0)
+    val cell = lit(2.0) * greatest(
+      me(col("w"), col("h"), col("x0"), col("x1"), col("y0"), col("y1")),
+      me(col("rw"), col("rh"), col("rx0"), col("rx1"), col("ry0"), col("ry1")))
+    ls.crossJoin(rs).select(
+      coalesce(when(cell > 0, cell), lit(1.0)).as("__cs"))
+  }
+
+  /** Driver-side estimate (runs two small jobs; use from the explicit
+   *  API only — the optimizer rule defers to [[cellSizeFrame]]). */
+  def estimateCellSize(left: DataFrame, leftGeom: Column, right: DataFrame, rightGeom: Column): Double =
+    cellSizeFrame(left, leftGeom, right, rightGeom).collect()(0).getDouble(0)
 }

@@ -22,8 +22,10 @@ import org.apache.spark.sql.graft.ColumnShim
  * one exists, Spark already hash-partitions on it and the spatial
  * predicate is a cheap residual filter).
  *
- * Config: `spark.graft.spatialJoin.cellSize` (double; unset/<=0 →
- * sample-estimate), `spark.graft.spatialJoin.enabled` (default true).
+ * Config: `spark.graft.spatialJoin.cellSize` (double; unset/<=0 → the
+ * cell size is estimated at RUNTIME from a broadcast random-sample
+ * subplan — never via a plan-time collect), `spark.graft.spatialJoin
+ * .enabled` (default true).
  */
 case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -86,11 +88,15 @@ case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val cellSize = spark.conf.get("spark.graft.spatialJoin.cellSize", "0").toDouble
           val leftDf = ColumnShim.ofRows(spark, left)
           val rightDf = ColumnShim.ofRows(spark, right)
+          // driverSample=false: with no configured cell size the
+          // estimator is embedded as a broadcast subplan instead of a
+          // collect() — a Spark job inside logical optimization would
+          // block planning and re-enter the optimizer at scale
           val joined = SpatialJoin.join(
             leftDf, rightDf,
             ColumnShim.column(lExpr), ColumnShim.column(rExpr),
             if (pred == "st_containsproperly") "st_intersects" else pred,
-            cellSize = cellSize, distance = dist)
+            cellSize = cellSize, distance = dist, driverSample = false)
           val exactRecheck: Seq[Expression] =
             if (name == "st_containsproperly" || pred == "st_containsproperly") Seq(cs(spatialIdx)) else Nil
           val base = joined.queryExecution.analyzed
@@ -99,19 +105,29 @@ case class SpatialJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case Some(f) => org.apache.spark.sql.catalyst.plans.logical.Filter(remapRefs(f, j, base), base)
             case None => base
           }
-          // preserve original output attribute ids via projection
-          org.apache.spark.sql.catalyst.plans.logical.Project(
-            j.output.map(a => remapRefs(a, j, base).asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]),
-            out)
+          // preserve original output attribute ids: alias each (possibly
+          // re-aliased) grid-join output column back to the id the rest
+          // of the plan references
+          val projectList = j.output.zip(base.output).map { case (orig, nb) =>
+            if (nb.exprId == orig.exprId) orig
+            else org.apache.spark.sql.catalyst.expressions.Alias(nb, orig.name)(
+              exprId = orig.exprId, qualifier = orig.qualifier)
+          }
+          org.apache.spark.sql.catalyst.plans.logical.Project(projectList, out)
         }
     }
   }
 
-  /** The grid-join Dataset re-analyzes left/right, keeping the same
-   *  attribute ids (ofRows does not re-alias), so references normally
-   *  resolve 1:1; remap defensively by exprId → position. */
+  /** The grid join's output is the original join's columns in order
+   *  (left then right, helper columns dropped), but attribute ids may
+   *  have been re-aliased — e.g. the deferred cell-size subplan embeds
+   *  a sample of each side, and Spark's self-join dedup rewrites the
+   *  conflicting ids. Remap positionally (orig output i → base output
+   *  i), falling back to id identity for non-output refs. */
   private def remapRefs(e: Expression, orig: Join, base: LogicalPlan): Expression = {
-    val idMap = base.output.map(a => a.exprId -> a).toMap
+    require(base.output.length == orig.output.length,
+      s"grid join output arity ${base.output.length} != original ${orig.output.length}")
+    val idMap = orig.output.map(_.exprId).zip(base.output).toMap
     e.transform { case a: Attribute => idMap.getOrElse(a.exprId, a) }
   }
 }

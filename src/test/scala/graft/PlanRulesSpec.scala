@@ -54,6 +54,44 @@ class PlanRulesSpec extends SparkSpec {
     }
   }
 
+  test("spatial join rewrite plans without launching a job (deferred cell size)") {
+    val pts = (0 until 200).map(i => (i.toLong, (i % 20) + 0.5, (i / 20) + 0.5))
+      .toDF("pid", "x", "y").withColumn("pt", st_point($"x", $"y")).select("pid", "pt")
+    val zones = (for (zx <- 0 until 3; zy <- 0 until 3)
+      yield (zx * 3 + zy, zx * 6.0, zy * 3.0, zx * 6.0 + 7.0, zy * 3.0 + 4.0))
+      .toDF("zid", "x0", "y0", "x1", "y1")
+      .withColumn("zone", st_makeenvelope($"x0", $"y0", $"x1", $"y1")).select("zid", "zone")
+    pts.createOrReplaceTempView("pts_nj")
+    zones.createOrReplaceTempView("zones_nj")
+    val brute = pts.crossJoin(zones).filter(st_within($"pt", $"zone"))
+      .select("pid", "zid").as[(Long, Int)].collect().toSet
+
+    withRules {
+      assert(spark.conf.getOption("spark.graft.spatialJoin.cellSize").isEmpty)
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val df = spark.sql("SELECT pid, zid FROM pts_nj JOIN zones_nj ON ST_Within(pt, zone)")
+        // force analysis, optimization (where the rewrite runs), and
+        // physical planning — none of which may launch a Spark job
+        df.queryExecution.executedPlan
+        Thread.sleep(500)
+        assert(jobs == 0, s"plan-time launched $jobs job(s)")
+        // the spatial join itself is a hash join on grid cells (the
+        // 1-row cell-size attach may legitimately be a nested loop)
+        val physical = df.queryExecution.executedPlan.toString
+        assert(physical.contains("HashJoin [__lcx") || physical.contains("HashJoin[__lcx"),
+          s"grid equi-join missing:\n${physical.take(3000)}")
+        // execution (which runs the sample-estimate subplan) is exact
+        assert(df.as[(Long, Int)].collect().toSet == brute)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("bbox data-skipping conjuncts reach the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("geotbl").toString
     val df = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble))
