@@ -28,57 +28,93 @@ object GeoRead {
       s"unsupported format for $path (supported: .shp, .geojson, .parquet, .csv, .osm.pbf)")
   }
 
+  private val geoJsonSchema = StructType(Seq(
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("geom", BinaryType)))
+
   /**
-   * GeoJSON reader. Handles both a single FeatureCollection document
-   * and newline-delimited GeoJSON features (GeoJSONSeq). Properties
-   * come back as a map<string,string> plus the WKB geometry — schema
-   * inference over arbitrary property sets is left to the caller
-   * (select + cast), which keeps the scan single-pass.
+   * GeoJSON reader. Newline-delimited GeoJSON (GeoJSONSeq — the form
+   * large datasets actually ship as) reads LINE-PARALLEL via a plain
+   * splittable text scan: every partition parses its own lines, so a
+   * 100 GB .geojsonl spreads over the cluster instead of loading one
+   * 2 GB-capped JVM string in one task. Only a pretty-printed (multi-
+   * line) FeatureCollection document falls back to a wholetext scan —
+   * that form is inherently one JSON value.
+   *
+   * Properties come back as map<string,string> plus the WKB geometry —
+   * schema inference over arbitrary property sets is left to the
+   * caller (select + cast), keeping the scan single-pass.
    */
   def readGeoJson(spark: SparkSession, path: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("properties", MapType(StringType, StringType)),
-      StructField("geom", BinaryType)))
-    import com.fasterxml.jackson.databind.ObjectMapper
-    val text = spark.read.option("wholetext", "true").text(path)
-    val rows = text.rdd.flatMap { r =>
-      val mapper = new ObjectMapper()
-      val content = r.getString(0).trim
-      // newline-delimited if there are multiple lines and the first is
-      // itself a complete JSON object (Jackson would silently parse
-      // only the first object of an NDJSON blob)
-      val lines = content.linesIterator.filter(_.trim.nonEmpty).toSeq
-      val ndjson = lines.length > 1 && lines.head.trim.endsWith("}") &&
-        (try { mapper.readTree(lines.head); true } catch { case _: Exception => false })
-      val features: Iterator[com.fasterxml.jackson.databind.JsonNode] =
-        if (ndjson) lines.iterator.map(mapper.readTree)
-        else {
-          val root = mapper.readTree(content)
-          root.get("type").asText() match {
-            case "FeatureCollection" =>
-              val fs = root.get("features")
-              (0 until fs.size()).iterator.map(fs.get)
-            case "Feature" => Iterator.single(root)
-            case _ => Iterator.single(mapper.createObjectNode()
-              .set("geometry", root).asInstanceOf[com.fasterxml.jackson.databind.JsonNode])
-          }
+    if (isLineDelimited(spark, path)) {
+      val rows = spark.read.text(path).rdd.mapPartitions { lines =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper() // one per task, not per row
+        lines.filter(_.getString(0).trim.nonEmpty).flatMap { r =>
+          expandNode(mapper.readTree(r.getString(0)), mapper)
         }
-      features.map { f =>
-        val props = Option(f.get("properties")).filterNot(_.isNull).map { p =>
-          val it = p.properties().iterator()
-          val m = scala.collection.mutable.LinkedHashMap[String, String]()
-          while (it.hasNext) {
-            val e = it.next()
-            m(e.getKey) = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
-          }
-          m.toMap
-        }.getOrElse(Map.empty[String, String])
-        val geomNode = Option(f.get("geometry")).filterNot(_.isNull)
-        val wkb = geomNode.map(g => Jts.write(GeoJson.parse(g.toString))).orNull
-        Row(props, wkb)
       }
+      spark.createDataFrame(rows, geoJsonSchema)
+    } else {
+      val rows = spark.read.option("wholetext", "true").text(path).rdd.flatMap { r =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        expandNode(mapper.readTree(r.getString(0)), mapper)
+      }
+      spark.createDataFrame(rows, geoJsonSchema)
     }
-    spark.createDataFrame(rows, schema)
+  }
+
+  /** A path is line-delimited if it is a directory/glob (the partition-
+   *  parallel layout), a single line, or its first line parses as a
+   *  standalone JSON value; a pretty-printed document's first line
+   *  (`{`) does not. Peeks ≤64 KiB on the driver — no Spark job. */
+  private def isLineDelimited(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = try fs.globStatus(hPath) catch { case _: Exception => null }
+    if (statuses == null || statuses.isEmpty) return true
+    if (statuses.length > 1 || statuses(0).isDirectory) return true
+    val in = fs.open(statuses(0).getPath)
+    val head = try {
+      val buf = new Array[Byte](64 * 1024)
+      val n = in.read(buf)
+      if (n <= 0) "" else new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val firstLine = head.linesIterator.find(_.trim.nonEmpty).getOrElse("")
+    if (!head.stripLineEnd.contains('\n')) true // whole doc on one line
+    else
+      try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine); true }
+      catch { case _: Exception => false }
+  }
+
+  /** Expand one parsed GeoJSON value into feature rows: a
+   *  FeatureCollection yields its features, a Feature itself, a bare
+   *  geometry a propertyless feature. */
+  private def expandNode(
+      root: com.fasterxml.jackson.databind.JsonNode,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): Iterator[Row] = {
+    val features: Iterator[com.fasterxml.jackson.databind.JsonNode] =
+      Option(root.get("type")).map(_.asText()).getOrElse("") match {
+        case "FeatureCollection" =>
+          val fs = root.get("features")
+          (0 until fs.size()).iterator.map(fs.get)
+        case "Feature" => Iterator.single(root)
+        case _ => Iterator.single(mapper.createObjectNode()
+          .set("geometry", root).asInstanceOf[com.fasterxml.jackson.databind.JsonNode])
+      }
+    features.map { f =>
+      val props = Option(f.get("properties")).filterNot(_.isNull).map { p =>
+        val it = p.properties().iterator()
+        val m = scala.collection.mutable.LinkedHashMap[String, String]()
+        while (it.hasNext) {
+          val e = it.next()
+          m(e.getKey) = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
+        }
+        m.toMap
+      }.getOrElse(Map.empty[String, String])
+      val geomNode = Option(f.get("geometry")).filterNot(_.isNull)
+      val wkb = geomNode.map(g => Jts.write(GeoJson.parse(g.toString))).orNull
+      Row(props, wkb)
+    }
   }
 
   /** CSV with a WKT geometry column (header required; column named

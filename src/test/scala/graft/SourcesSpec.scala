@@ -73,6 +73,26 @@ class SourcesSpec extends SparkSpec {
     assert(areas.toSeq == Seq(0.0, 1.0))
   }
 
+  test("NDJSON geojson reads line-parallel across partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("gjnd")
+    val f = tmp.resolve("pts.geojsonl")
+    val lines = (0 until 500).map { i =>
+      s"""{"type":"Feature","properties":{"id":$i},"geometry":{"type":"Point","coordinates":[${i % 100}.5,${i / 100}.5]}}"""
+    }
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096") // force a multi-split scan
+      val df = GeoRead.readGeoJson(spark, f.toString)
+      assert(df.rdd.getNumPartitions > 1, s"expected multi-partition scan, got ${df.rdd.getNumPartitions}")
+      assert(df.count() == 500)
+      val ids = df.select(element_at($"properties", "id").cast("long")).as[Long].collect().toSet
+      assert(ids == (0L until 500L).toSet)
+      val xs = df.select(st_x($"geom")).as[Double].collect().sorted
+      assert(xs.head == 0.5 && xs.last == 99.5)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("csv+wkt reader") {
     val tmp = java.nio.file.Files.createTempDirectory("csvwkt")
     val f = tmp.resolve("pts.csv")
