@@ -125,16 +125,26 @@ object Jts {
     sb.toString
   }
 
-  /** Fixed-15 double format, equivalent to geos_d2sfixed_buffered_n
-   *  (correctly-rounded 15-decimal fixed notation, zeros trimmed). */
+  /** Double format equivalent to geos_d2sfixed_buffered_n(d, 15):
+   *  SHORTEST round-trip decimal (Ryu semantics — what Double.toString
+   *  produces) rendered in fixed notation, capped at 15 decimal
+   *  places, trailing zeros trimmed, integral values without a point. */
   def fmtNum(d: Double): String = {
     if (d == Math.rint(d) && Math.abs(d) <= 9.007199254740992E15) {
       val l = d.toLong
       if (l == 0L && 1.0 / d < 0) "-0" else l.toString
     } else {
-      new java.math.BigDecimal(d)
-        .setScale(15, java.math.RoundingMode.HALF_EVEN)
-        .stripTrailingZeros.toPlainString
+      val shortest = java.lang.Double.toString(d) // shortest round-trip
+      val plain =
+        if (shortest.indexOf('E') >= 0)
+          new java.math.BigDecimal(shortest).stripTrailingZeros.toPlainString
+        else shortest
+      val dot = plain.indexOf('.')
+      if (dot >= 0 && plain.length - dot - 1 > 15)
+        new java.math.BigDecimal(d)
+          .setScale(15, java.math.RoundingMode.HALF_EVEN)
+          .stripTrailingZeros.toPlainString
+      else plain
     }
   }
 

@@ -114,7 +114,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("drivers + read_meta") {
-    assert(GeoRead.drivers(spark).count() == 5)
+    assert(GeoRead.drivers(spark).count() == 6)
     assume(nycShp.isDefined)
     val meta = GeoRead.readMeta(spark, nycShp.get).collect()(0)
     assert(meta.getString(1) == "shapefile")
