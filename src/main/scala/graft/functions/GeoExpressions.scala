@@ -81,12 +81,16 @@ case class HilbertEncode(
 }
 
 /**
- * Binary GEOMETRY predicate with a one-slot prepared-geometry cache.
+ * Binary GEOMETRY predicate with per-side prepared-geometry caches.
  * Mirrors the reference's prepared-geometry constant fast path
  * (geos/geos_executor.hpp:22-70: prepare once when one side is a
- * constant vector). The cache keys on reference identity of the WKB
- * byte array — a Catalyst Literal returns the same array instance each
- * eval, so constant filters hit; streaming values miss harmlessly.
+ * constant vector) — but on BOTH operands: the anchor side is whichever
+ * operand is foldable (a folded Literal returns the same array instance
+ * each eval, so the identity cache hits), and asymmetric predicates use
+ * their inverse form when the constant is on the "wrong" side
+ * (contains ↔ within, covers ↔ coveredBy). With neither side constant
+ * (join residuals) no PreparedGeometry is ever built — plain JTS ops on
+ * the two parsed geometries, so nothing is prepared per row.
  */
 case class GeoPredicate(name: String, left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -96,27 +100,50 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = name
 
-  @transient private var cachedRef: AnyRef = _
-  @transient private var cachedPrep: PreparedGeometry = _
+  // ANCHOR_R when the right operand is constant (`geom PRED lit`, the
+  // common filter shape), ANCHOR_L when only the left is, PLAIN otherwise.
+  private final val PLAIN = 0; private final val ANCHOR_L = 1; private final val ANCHOR_R = 2
+  @transient private lazy val mode: Int =
+    if (right.foldable) ANCHOR_R else if (left.foldable) ANCHOR_L else PLAIN
 
-  private def prepared(bytes: Array[Byte]): PreparedGeometry = {
-    if (!(bytes eq cachedRef)) {
-      cachedPrep = PreparedGeometryFactory.prepare(Jts.read(bytes))
-      cachedRef = bytes
+  @transient private var lRef: AnyRef = _
+  @transient private var lPrep: PreparedGeometry = _
+  @transient private var rRef: AnyRef = _
+  @transient private var rPrep: PreparedGeometry = _
+
+  private def prepL(bytes: Array[Byte]): PreparedGeometry = {
+    if (!(bytes eq lRef)) {
+      lPrep = PreparedGeometryFactory.prepare(Jts.read(bytes))
+      lRef = bytes
     }
-    cachedPrep
+    lPrep
+  }
+
+  private def prepR(bytes: Array[Byte]): PreparedGeometry = {
+    if (!(bytes eq rRef)) {
+      rPrep = PreparedGeometryFactory.prepare(Jts.read(bytes))
+      rRef = bytes
+    }
+    rPrep
   }
 
   // zero-allocation fast path for the hottest shape: a plain 2-D point
   // WKB (21 bytes, type 1) probed against the prepared side — decode
   // x/y straight from the bytes into a per-thread scratch Point
-  // instead of running the full WKBReader per row
-  @transient private lazy val scratch = new ThreadLocal[org.locationtech.jts.geom.Point] {
+  // instead of running the full WKBReader per row. One scratch per
+  // operand side so PLAIN mode can decode both at once.
+  @transient private lazy val scratchL = new ThreadLocal[org.locationtech.jts.geom.Point] {
+    override def initialValue(): org.locationtech.jts.geom.Point =
+      Jts.gf.createPoint(new org.locationtech.jts.geom.Coordinate(0, 0))
+  }
+  @transient private lazy val scratchR = new ThreadLocal[org.locationtech.jts.geom.Point] {
     override def initialValue(): org.locationtech.jts.geom.Point =
       Jts.gf.createPoint(new org.locationtech.jts.geom.Coordinate(0, 0))
   }
 
-  private def asPoint(b: Array[Byte]): org.locationtech.jts.geom.Point = {
+  private def asPoint(
+      b: Array[Byte],
+      scratch: ThreadLocal[org.locationtech.jts.geom.Point]): org.locationtech.jts.geom.Point = {
     if (b.length != 21) return null
     val le = b(0) == 1
     val t = if (le)
@@ -133,31 +160,72 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
     p
   }
 
+  // containsProperly(A, B) = B touches A's interior and never A's
+  // boundary; expressible as a DE-9IM pattern so the non-anchored
+  // direction needs no PreparedGeometry (JTS only exposes the named
+  // method on PreparedGeometry).
+  private final val ContainsProperlyPattern = "T**FF*FF*"
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lb = l.asInstanceOf[Array[Byte]]
     val rb = r.asInstanceOf[Array[Byte]]
-    // Prepare the right side (constant in `geom PRED lit` filters); for
-    // prepared ops JTS only accelerates ops anchored on the prepared geom.
-    def left: org.locationtech.jts.geom.Geometry = {
-      val p = asPoint(lb); if (p != null) p else Jts.read(lb)
+    def lg: Geometry = {
+      val p = asPoint(lb, scratchL); if (p != null) p else Jts.read(lb)
     }
-    name match {
-      case "st_intersects" => prepared(rb).intersects(left)
-      case "st_contains" => Jts.read(lb).contains(Jts.read(rb))
-      case "st_containsproperly" =>
-        PreparedGeometryFactory.prepare(Jts.read(lb)).containsProperly(Jts.read(rb))
-      case "st_within" => prepared(rb).contains(left)
-      case "st_covers" => Jts.read(lb).covers(Jts.read(rb))
-      case "st_coveredby" => prepared(rb).covers(left)
-      case "st_crosses" => Jts.read(lb).crosses(Jts.read(rb))
-      case "st_disjoint" => prepared(rb).disjoint(left)
-      case "st_equals" => Jts.read(lb).equalsTopo(Jts.read(rb))
-      case "st_overlaps" => Jts.read(lb).overlaps(Jts.read(rb))
-      case "st_touches" => prepared(rb).touches(left)
-      case "st_intersects_extent" =>
-        // bbox-only test (reference st_intersects_extent.cpp:17-31)
-        Jts.read(lb).getEnvelopeInternal.intersects(Jts.read(rb).getEnvelopeInternal)
-      case other => sys.error(s"unknown predicate $other")
+    def rg: Geometry = {
+      val p = asPoint(rb, scratchR); if (p != null) p else Jts.read(rb)
+    }
+    if (name == "st_intersects_extent")
+      // bbox-only test (reference st_intersects_extent.cpp:17-31)
+      return lg.getEnvelopeInternal.intersects(rg.getEnvelopeInternal)
+    mode match {
+      case ANCHOR_R =>
+        val p = prepR(rb)
+        name match {
+          case "st_intersects" => p.intersects(lg)
+          case "st_contains" => p.within(lg)
+          case "st_containsproperly" => lg.relate(p.getGeometry, ContainsProperlyPattern)
+          case "st_within" => p.contains(lg)
+          case "st_covers" => p.coveredBy(lg)
+          case "st_coveredby" => p.covers(lg)
+          case "st_crosses" => p.crosses(lg)
+          case "st_disjoint" => p.disjoint(lg)
+          case "st_equals" => p.getGeometry.equalsTopo(lg)
+          case "st_overlaps" => p.overlaps(lg)
+          case "st_touches" => p.touches(lg)
+          case other => sys.error(s"unknown predicate $other")
+        }
+      case ANCHOR_L =>
+        val p = prepL(lb)
+        name match {
+          case "st_intersects" => p.intersects(rg)
+          case "st_contains" => p.contains(rg)
+          case "st_containsproperly" => p.containsProperly(rg)
+          case "st_within" => p.within(rg)
+          case "st_covers" => p.covers(rg)
+          case "st_coveredby" => p.coveredBy(rg)
+          case "st_crosses" => p.crosses(rg)
+          case "st_disjoint" => p.disjoint(rg)
+          case "st_equals" => p.getGeometry.equalsTopo(rg)
+          case "st_overlaps" => p.overlaps(rg)
+          case "st_touches" => p.touches(rg)
+          case other => sys.error(s"unknown predicate $other")
+        }
+      case _ =>
+        name match {
+          case "st_intersects" => lg.intersects(rg)
+          case "st_contains" => lg.contains(rg)
+          case "st_containsproperly" => lg.relate(rg, ContainsProperlyPattern)
+          case "st_within" => lg.within(rg)
+          case "st_covers" => lg.covers(rg)
+          case "st_coveredby" => lg.coveredBy(rg)
+          case "st_crosses" => lg.crosses(rg)
+          case "st_disjoint" => lg.disjoint(rg)
+          case "st_equals" => lg.equalsTopo(rg)
+          case "st_overlaps" => lg.overlaps(rg)
+          case "st_touches" => lg.touches(rg)
+          case other => sys.error(s"unknown predicate $other")
+        }
     }
   }
 

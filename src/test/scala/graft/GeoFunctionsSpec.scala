@@ -84,6 +84,58 @@ class GeoFunctionsSpec extends SparkSpec {
     assertSql(s"ST_Intersects_Extent($poly, ST_MakeEnvelope(9, 9, 12, 12))", true)
   }
 
+  test("predicate anchor modes agree: lit-right, lit-left, col-vs-col") {
+    // The prepared-geometry cache anchors on whichever operand is foldable
+    // (GeoPredicate.mode); all three shapes must produce identical truth
+    // tables for every predicate.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val polyWkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    val others = Seq(
+      "POINT (5 5)", "POINT (0 0)", "POINT (15 5)",
+      "LINESTRING (0 0, 0 10)", "LINESTRING (-5 5, 15 5)",
+      "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))",
+      "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](others.map(Row(_)).asJava),
+      StructType(Seq(StructField("wkt", StringType))))
+    df.createOrReplaceTempView("anchor_probe")
+    val preds = Seq("ST_Intersects", "ST_Contains", "ST_ContainsProperly", "ST_Within",
+      "ST_Covers", "ST_CoveredBy", "ST_Crosses", "ST_Disjoint", "ST_Equals",
+      "ST_Overlaps", "ST_Touches")
+    for (p <- preds) {
+      // polygon on the left of the predicate in all three shapes
+      val litLeft = spark.sql(
+        s"SELECT $p(ST_GeomFromText('$polyWkt'), ST_GeomFromText(wkt)) FROM anchor_probe")
+        .collect().map(_.get(0)).toSeq
+      val colCol = spark.sql(
+        s"SELECT $p(ST_GeomFromText(concat('$polyWkt', substr(wkt, 0, 0) )), ST_GeomFromText(wkt)) FROM anchor_probe")
+        .collect().map(_.get(0)).toSeq
+      assert(litLeft == colCol, s"$p: lit-left vs col-vs-col mismatch: $litLeft vs $colCol")
+      // and on the right (lit-right anchor) via the inverse operand order,
+      // checked for the symmetric predicates where order must not matter
+      if (Seq("ST_Intersects", "ST_Crosses", "ST_Disjoint", "ST_Equals", "ST_Overlaps", "ST_Touches").contains(p)) {
+        val swapped = spark.sql(
+          s"SELECT $p(ST_GeomFromText(wkt), ST_GeomFromText('$polyWkt')) FROM anchor_probe")
+          .collect().map(_.get(0)).toSeq
+        assert(litLeft == swapped, s"$p: not symmetric: $litLeft vs $swapped")
+      }
+    }
+    // asymmetric pairs: contains(a,b) == within(b,a), covers(a,b) == coveredby(b,a)
+    for ((a, b) <- Seq(("ST_Contains", "ST_Within"), ("ST_Covers", "ST_CoveredBy"))) {
+      val fwd = spark.sql(
+        s"SELECT $a(ST_GeomFromText('$polyWkt'), ST_GeomFromText(wkt)) FROM anchor_probe")
+        .collect().map(_.get(0)).toSeq
+      val inv = spark.sql(
+        s"SELECT $b(ST_GeomFromText(wkt), ST_GeomFromText('$polyWkt')) FROM anchor_probe")
+        .collect().map(_.get(0)).toSeq
+      assert(fwd == inv, s"$a/$b inverse mismatch: $fwd vs $inv")
+    }
+  }
+
   test("constructive ops") {
     assertSql("ST_Area(ST_Buffer(ST_Point(0, 0), 10)) > 310", true)
     assertSql("ST_AsText(ST_Centroid(ST_MakeEnvelope(0, 0, 2, 2)))", "POINT (1 1)")
