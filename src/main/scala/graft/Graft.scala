@@ -67,6 +67,8 @@ object Graft {
       _ => planOf(graft.sources.GeoRead.drivers(SparkSession.active)), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_read_meta",
       exprs => planOf(graft.sources.GeoRead.readMeta(SparkSession.active, litStr(exprs.head))), "scala_udf")
+    tfReg.createOrReplaceTempFunction("st_list_proj_crs",
+      _ => planOf(graft.sources.GeoRead.listProjCrs(SparkSession.active)), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_readosm",
       exprs => planOf(graft.sources.OsmPbf.read(SparkSession.active, litStr(exprs.head))), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_generatepoints",

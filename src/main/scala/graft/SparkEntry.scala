@@ -190,6 +190,17 @@ object SparkEntry {
            'EPSG:4326', 'EPSG:3857', true)), 4) AS my
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
 
+    // NAD83 / New York Long Island state plane (ftUS) — Lambert
+    // Conformal Conic 2SP over points inside the zone of validity;
+    // oracled by the closed-form Snyder formulas inlined in SQL.
+    "q_geo_stateplane" -> q(Seq("customer"),
+      """SELECT c_custkey,
+         round(ST_X(ST_Transform(ST_Point(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0,
+           40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0), 'EPSG:4326', 'EPSG:2263', true)), 4) AS spx,
+         round(ST_Y(ST_Transform(ST_Point(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0,
+           40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0), 'EPSG:4326', 'EPSG:2263', true)), 4) AS spy
+         FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
+
     "q_geo_haversine" -> q(Seq("customer"),
       """SELECT c_custkey,
          round(ST_Distance_Sphere(
@@ -916,6 +927,43 @@ object SparkEntry {
            round(radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5) * 6378137.0, 4) AS mx,
            round(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 160 AS DOUBLE) - 79.5) / 2)), 4) AS my
            FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
+
+      // Lambert Conformal Conic 2SP (Snyder PP1395) for EPSG:2263 in
+      // closed form, GRS80 ellipsoid, result re-expressed in US survey
+      // feet — operation order mirrors graft.functions.Crs.Lcc2sp so
+      // both engines agree to well under the 1e-4 rounding grid.
+      "q_geo_stateplane" ->
+        """WITH e AS (
+             SELECT 6378137.0 AS a,
+                    (1.0/298.257222101) * (2.0 - 1.0/298.257222101) AS e2,
+                    sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e,
+                    radians(40.6666666666667) AS p1,
+                    radians(41.0333333333333) AS p2,
+                    radians(40.1666666666667) AS p0,
+                    radians(-74.0) AS l0
+           ), k AS (
+             SELECT a, e2, e, l0,
+               (ln(cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1))) - ln(cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2))))
+                 / (ln(tan(pi()/4 - p1/2)/pow((1 - e*sin(p1))/(1 + e*sin(p1)), e/2))
+                  - ln(tan(pi()/4 - p2/2)/pow((1 - e*sin(p2))/(1 + e*sin(p2)), e/2))) AS n,
+               tan(pi()/4 - p0/2)/pow((1 - e*sin(p0))/(1 + e*sin(p0)), e/2) AS t0,
+               tan(pi()/4 - p1/2)/pow((1 - e*sin(p1))/(1 + e*sin(p1)), e/2) AS t1,
+               cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1
+             FROM e
+           ), kk AS (
+             SELECT a, e, l0, n, t0, m1/(n*pow(t1, n)) AS f FROM k
+           ), pts AS (
+             SELECT c_custkey,
+                    radians(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0) AS lon,
+                    radians(40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0) AS lat
+             FROM customer WHERE c_custkey <= 300
+           )
+           SELECT c_custkey,
+             round((300000.0 + a*f*pow(tan(pi()/4 - lat/2)/pow((1 - e*sin(lat))/(1 + e*sin(lat)), e/2), n)
+               * sin(n*(lon - l0))) / (1200.0/3937.0), 4) AS spx,
+             round((a*f*pow(t0, n) - a*f*pow(tan(pi()/4 - lat/2)/pow((1 - e*sin(lat))/(1 + e*sin(lat)), e/2), n)
+               * cos(n*(lon - l0))) / (1200.0/3937.0), 4) AS spy
+           FROM pts, kk ORDER BY c_custkey""",
 
       "q_geo_haversine" ->
         """SELECT c_custkey,

@@ -6,12 +6,16 @@ import org.locationtech.jts.geom.{Coordinate, Geometry}
  * Minimal CRS transform engine for ST_Transform (reference:
  * spatial/src/spatial/proj/functions.cpp — full PROJ). PROJ/proj4j is
  * not available offline, so we implement the published projection math
- * for the CRSs that appear in the reference tests and common workloads:
+ * (Snyder, USGS PP 1395; Karney/Krüger series) for the CRS families
+ * that appear in the reference tests and common workloads:
  *
  *  - EPSG:4326  WGS84 geographic (authority axis order lat/lon)
  *  - EPSG:4269  NAD83 geographic (treated as WGS84-compatible datum)
  *  - EPSG:3857  WGS84 Web Mercator
- *  - EPSG:326xx/327xx  WGS84 UTM zones (Karney/Krüger series, std. published)
+ *  - EPSG:326xx/327xx WGS84 UTM, EPSG:269xx NAD83(GRS80) UTM
+ *  - NAD83 State Plane zones (Lambert Conformal Conic 2SP and
+ *    Transverse Mercator, US survey feet or meters) — the zones real
+ *    datasets use (e.g. NYC taxi zones are EPSG:2263).
  *
  * `always_xy` mirrors PROJ's flag (proj/functions.cpp:64-81): when
  * false, geographic CRSs use authority order (lat,lon); when true,
@@ -19,8 +23,17 @@ import org.locationtech.jts.geom.{Coordinate, Geometry}
  * test/sql/proj.test:1-13 documents this behavior.
  */
 object Crs {
-  private val A = 6378137.0
-  private val F = 1.0 / 298.257223563
+
+  /** (semi-major axis, flattening) */
+  final case class Ellipsoid(a: Double, f: Double) {
+    val e2: Double = f * (2 - f)
+    val e: Double = math.sqrt(e2)
+  }
+  val WGS84: Ellipsoid = Ellipsoid(6378137.0, 1.0 / 298.257223563)
+  val GRS80: Ellipsoid = Ellipsoid(6378137.0, 1.0 / 298.257222101)
+
+  /** meters per US survey foot (exact: 1200/3937) */
+  val FtUs: Double = 1200.0 / 3937.0
 
   sealed trait System {
     /** project lon/lat (degrees) → crs coords */
@@ -37,6 +50,7 @@ object Crs {
   }
 
   private object WebMercator extends System {
+    private val A = WGS84.a
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val x = A * math.toRadians(lon)
       val y = A * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
@@ -49,18 +63,31 @@ object Crs {
     }
   }
 
+  /** Projected system re-expressed in another linear unit (US survey
+   *  feet for most state-plane zones). */
+  private final class Scaled(inner: System, metersPerUnit: Double) extends System {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y) = inner.forward(lon, lat)
+      (x / metersPerUnit, y / metersPerUnit)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      inner.inverse(x * metersPerUnit, y * metersPerUnit)
+  }
+
   /** Transverse Mercator via the Krüger n-series (6 terms), the same
-   *  published algorithm PROJ's etmerc/UTM uses; accurate to <0.1 mm. */
-  private final class Utm(zone: Int, north: Boolean) extends System {
-    private val k0 = 0.9996
-    private val e2 = F * (2 - F)
-    private val n = F / (2 - F)
+   *  published algorithm PROJ's etmerc uses; accurate to <0.1 mm.
+   *  Generalized over ellipsoid, natural origin (lat0/lon0), scale
+   *  factor and false origin so it serves both UTM and the TM
+   *  state-plane zones. */
+  private final class TransMerc(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double, k0: Double,
+      falseE: Double, falseN: Double) extends System {
+    private val e2 = ell.e2
+    private val n = ell.f / (2 - ell.f)
     private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
     private val n5 = n4 * n; private val n6 = n5 * n
-    private val AA = A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
-    private val lon0 = math.toRadians(zone * 6 - 183)
-    private val falseE = 500000.0
-    private val falseN = if (north) 0.0 else 10000000.0
+    private val AA = ell.a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    private val lon0 = math.toRadians(lon0Deg)
     private val alpha = Array(
       0.0,
       n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
@@ -78,11 +105,23 @@ object Crs {
       4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
       20648693.0 / 638668800 * n6)
 
+    /** ξ for a point on the central meridian at latitude `latDeg` (η=0). */
+    private def xiOf(latDeg: Double): Double = {
+      val lat = math.toRadians(latDeg)
+      val t = math.sinh(atanh(math.sin(lat)) - ell.e * atanh(ell.e * math.sin(lat)))
+      val xiP = math.atan(t)
+      var xi = xiP
+      var j = 1
+      while (j <= 6) { xi += alpha(j) * math.sin(2 * j * xiP); j += 1 }
+      xi
+    }
+    // meridian-arc northing of the natural origin (0 for UTM's lat0=0)
+    private val m0 = if (lat0Deg == 0.0) 0.0 else k0 * AA * xiOf(lat0Deg)
+
     def forward(lonD: Double, latD: Double): (Double, Double) = {
       val lat = math.toRadians(latD)
       val lon = math.toRadians(lonD) - lon0
-      val e = math.sqrt(e2)
-      val t = math.sinh(atanh(math.sin(lat)) - e * atanh(e * math.sin(lat)))
+      val t = math.sinh(atanh(math.sin(lat)) - ell.e * atanh(ell.e * math.sin(lat)))
       val xiP = math.atan2(t, math.cos(lon))
       val etaP = atanh(math.sin(lon) / math.sqrt(1 + t * t))
       var xi = xiP; var eta = etaP
@@ -92,11 +131,11 @@ object Crs {
         eta += alpha(j) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
         j += 1
       }
-      (falseE + k0 * AA * eta, falseN + k0 * AA * xi)
+      (falseE + k0 * AA * eta, falseN + k0 * AA * xi - m0)
     }
 
     def inverse(xIn: Double, yIn: Double): (Double, Double) = {
-      val xi = (yIn - falseN) / (k0 * AA)
+      val xi = (yIn - falseN + m0) / (k0 * AA)
       val eta = (xIn - falseE) / (k0 * AA)
       var xiP = xi; var etaP = eta
       var j = 1
@@ -105,7 +144,6 @@ object Crs {
         etaP -= beta(j) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
         j += 1
       }
-      val e = math.sqrt(e2)
       val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
       // fixed-point iteration conformal → geodetic latitude:
       // lat = asin(tanh(atanh(sin(chi)) + e*atanh(e*sin(lat))))
@@ -114,14 +152,139 @@ object Crs {
       var prev = 0.0
       do {
         prev = lat
-        lat = math.asin(math.tanh(atanh(math.sin(chi)) + e * atanh(e * math.sin(lat))))
+        lat = math.asin(math.tanh(atanh(math.sin(chi)) + ell.e * atanh(ell.e * math.sin(lat))))
         k += 1
       } while (math.abs(lat - prev) > 1e-14 && k < 25)
       val lon = lon0 + math.atan2(math.sinh(etaP), math.cos(xiP))
       (math.toDegrees(lon), math.toDegrees(lat))
     }
+  }
 
-    private def atanh(v: Double): Double = 0.5 * math.log((1 + v) / (1 - v))
+  /** Lambert Conformal Conic (2SP), Snyder PP 1395 pp. 104-110. */
+  private final class Lcc2sp(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      sp1Deg: Double, sp2Deg: Double, falseE: Double, falseN: Double) extends System {
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+
+    private def mOf(lat: Double): Double =
+      math.cos(lat) / math.sqrt(1 - ell.e2 * math.sin(lat) * math.sin(lat))
+    private def tOf(lat: Double): Double =
+      math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+
+    private val p1 = math.toRadians(sp1Deg)
+    private val p2 = math.toRadians(sp2Deg)
+    private val p0 = math.toRadians(lat0Deg)
+    private val nCone =
+      (math.log(mOf(p1)) - math.log(mOf(p2))) / (math.log(tOf(p1)) - math.log(tOf(p2)))
+    private val bigF = mOf(p1) / (nCone * math.pow(tOf(p1), nCone))
+    private val rho0 = ell.a * bigF * math.pow(tOf(p0), nCone)
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(latD)
+      val theta = nCone * (math.toRadians(lonD) - lon0)
+      val rho = ell.a * bigF * math.pow(tOf(lat), nCone)
+      (falseE + rho * math.sin(theta), falseN + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val dx = xIn - falseE
+      val dy = rho0 - (yIn - falseN)
+      val sgn = if (nCone >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val t = math.pow(rho / (ell.a * bigF), 1 / nCone)
+      // iterate lat = pi/2 - 2*atan(t * ((1-e sin lat)/(1+e sin lat))^(e/2))
+      var lat = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0
+      var prev = 0.0
+      do {
+        prev = lat
+        lat = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(lat))
+    }
+  }
+
+  private def atanh(v: Double): Double = 0.5 * math.log((1 + v) / (1 - v))
+
+  /** One registry row, mirroring the reference's ST_List_Proj_CRS
+   *  output columns (proj/functions.cpp:380-430). */
+  final case class CrsInfo(
+      authName: String, code: String, name: String, kind: String,
+      areaName: String, methodName: String, build: () => System)
+
+  private def lccFt(code: String, name: String, area: String,
+      lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+      feM: Double, fnM: Double): CrsInfo =
+    CrsInfo("EPSG", code, name, "projected", area, "Lambert Conic Conformal (2SP)",
+      () => new Scaled(new Lcc2sp(GRS80, lat0, lon0, sp1, sp2, feM, fnM), FtUs))
+
+  private def tmFt(code: String, name: String, area: String,
+      lat0: Double, lon0: Double, k0: Double, feM: Double, fnM: Double): CrsInfo =
+    CrsInfo("EPSG", code, name, "projected", area, "Transverse Mercator",
+      () => new Scaled(new TransMerc(GRS80, lat0, lon0, k0, feM, fnM), FtUs))
+
+  /** Static CRS catalog (beyond the parametric UTM families). State
+   *  plane parameters are the published EPSG/SPCS83 definitions; false
+   *  origins are entered in meters and re-expressed in US survey feet
+   *  by the unit wrapper (e.g. 300000 m = 984250 ftUS exactly). */
+  val registry: Seq[CrsInfo] = Seq(
+    CrsInfo("EPSG", "4326", "WGS 84", "geographic 2D", "World", "", () => Geographic),
+    CrsInfo("EPSG", "4269", "NAD83", "geographic 2D", "North America", "", () => Geographic),
+    CrsInfo("OGC", "CRS84", "WGS 84 (CRS84)", "geographic 2D", "World", "", () => Geographic),
+    CrsInfo("EPSG", "3857", "WGS 84 / Pseudo-Mercator", "projected", "World between 85.06°S and 85.06°N",
+      "Popular Visualisation Pseudo Mercator", () => WebMercator),
+    // NAD83 State Plane — New York (ftUS)
+    tmFt("2260", "NAD83 / New York East (ftUS)", "USA - New York - east of 73°40'W",
+      38.8333333333333, -74.5, 0.9999, 150000.0, 0.0),
+    tmFt("2261", "NAD83 / New York Central (ftUS)", "USA - New York - central",
+      40.0, -76.5833333333333, 0.9999, 250000.0, 0.0),
+    tmFt("2262", "NAD83 / New York West (ftUS)", "USA - New York - west",
+      40.0, -78.5833333333333, 0.9999, 350000.0, 0.0),
+    lccFt("2263", "NAD83 / New York Long Island (ftUS)", "USA - New York - Long Island",
+      40.1666666666667, -74.0, 40.6666666666667, 41.0333333333333, 300000.0, 0.0),
+    CrsInfo("EPSG", "32118", "NAD83 / New York Long Island", "projected",
+      "USA - New York - Long Island", "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 40.1666666666667, -74.0, 40.6666666666667, 41.0333333333333,
+        300000.0, 0.0)),
+    // NAD83 State Plane — California zone 5 (ftUS): LA metro
+    lccFt("2229", "NAD83 / California zone 5 (ftUS)", "USA - California - SPCS - 5",
+      33.5, -118.0, 34.0333333333333, 35.4666666666667, 2000000.0, 500000.0),
+    // NAD83 State Plane — Illinois East (ftUS): Chicago
+    tmFt("3435", "NAD83 / Illinois East (ftUS)", "USA - Illinois - east",
+      36.6666666666667, -88.3333333333333, 0.999975, 300000.0, 0.0),
+    // NAD83 State Plane — Pennsylvania South (ftUS): Philadelphia
+    lccFt("2272", "NAD83 / Pennsylvania South (ftUS)", "USA - Pennsylvania - south",
+      39.3333333333333, -77.75, 39.9333333333333, 40.9666666666667, 600000.0, 0.0),
+    // NAD83 State Plane — Texas Central (ftUS): Austin
+    lccFt("2277", "NAD83 / Texas Central (ftUS)", "USA - Texas - central",
+      29.6666666666667, -100.333333333333, 30.1166666666667, 31.8833333333333,
+      700000.0, 3000000.0))
+
+  private val byKey: Map[String, CrsInfo] =
+    registry.map(i => s"${i.authName}:${i.code}" -> i).toMap
+
+  /** Rows for the st_list_proj_crs table function: the static registry
+   *  plus the parametric UTM families. */
+  def listAll(): Seq[(String, String, String, String, Boolean, String, String, String)] = {
+    val fixed = registry.map(i =>
+      (i.authName, i.code, i.name, i.kind, false, i.areaName, i.methodName, "Earth"))
+    val utmWgs = (1 to 60).flatMap { z =>
+      Seq(
+        ("EPSG", s"${32600 + z}", s"WGS 84 / UTM zone ${z}N", "projected", false,
+          s"Between ${z * 6 - 186}°E and ${z * 6 - 180}°E, northern hemisphere", "Transverse Mercator", "Earth"),
+        ("EPSG", s"${32700 + z}", s"WGS 84 / UTM zone ${z}S", "projected", false,
+          s"Between ${z * 6 - 186}°E and ${z * 6 - 180}°E, southern hemisphere", "Transverse Mercator", "Earth"))
+    }
+    val utmNad = (1 to 23).map { z =>
+      ("EPSG", s"${26900 + z}", s"NAD83 / UTM zone ${z}N", "projected", false,
+        s"North America - ${z * 6 - 186}°W to ${z * 6 - 180}°W", "Transverse Mercator", "Earth")
+    }
+    fixed ++ utmWgs ++ utmNad
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -131,15 +294,23 @@ object Crs {
     val cached = cache.get(crs)
     if (cached != null) return cached
     val sys = crs match {
-      case "EPSG:4326" | "WGS84" | "EPSG:4269" | "OGC:CRS84" | "CRS84" => Geographic
-      case "EPSG:3857" | "EPSG:900913" => WebMercator
+      case "WGS84" | "CRS84" | "OGC:CRS84" => Geographic
+      case "EPSG:900913" => WebMercator
+      case c if byKey.contains(c) => byKey(c).build()
       case c if c.startsWith("EPSG:32") && c.length == 10 => // EPSG:326xx / EPSG:327xx
         val code = c.substring(5).toInt
-        if (code >= 32601 && code <= 32660) new Utm(code - 32600, north = true)
-        else if (code >= 32701 && code <= 32760) new Utm(code - 32700, north = false)
+        if (code >= 32601 && code <= 32660)
+          new TransMerc(WGS84, 0, (code - 32600) * 6 - 183, 0.9996, 500000.0, 0.0)
+        else if (code >= 32701 && code <= 32760)
+          new TransMerc(WGS84, 0, (code - 32700) * 6 - 183, 0.9996, 500000.0, 10000000.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:269") && c.length == 10 => // EPSG:269xx NAD83 UTM
+        val code = c.substring(5).toInt
+        if (code >= 26901 && code <= 26923)
+          new TransMerc(GRS80, 0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case _ => throw new IllegalArgumentException(
-        s"unsupported CRS: $crsIn (supported: EPSG:4326, EPSG:4269, OGC:CRS84, EPSG:3857, EPSG:326xx/327xx UTM)")
+        s"unsupported CRS: $crsIn (see st_list_proj_crs() for the supported catalog)")
     }
     cache.put(crs, sys)
     sys
@@ -161,4 +332,10 @@ object Crs {
     copy.geometryChanged()
     copy
   }
+
+  /** Test seam: Lambert 2SP on an arbitrary ellipsoid (Snyder's worked
+   *  example uses Clarke 1866). */
+  private[graft] def lccForTest(
+      ell: Ellipsoid, lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+      fe: Double, fn: Double): System = new Lcc2sp(ell, lat0, lon0, sp1, sp2, fe, fn)
 }

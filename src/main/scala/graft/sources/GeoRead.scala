@@ -145,6 +145,18 @@ object GeoRead {
         Row("csv_wkt", "CSV with WKT geometry column", true, true),
         Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false)))
 
+  /** ST_List_Proj_CRS analog (reference proj/functions.cpp:380-430):
+   *  dump of the supported CRS catalog with the reference's columns. */
+  def listProjCrs(spark: SparkSession): DataFrame =
+    localDf(spark, StructType(Seq(
+      StructField("auth_name", StringType), StructField("code", StringType),
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("deprecated", BooleanType), StructField("area_name", StringType),
+      StructField("projection_method_name", StringType),
+      StructField("celestial_body_name", StringType))),
+      graft.functions.Crs.listAll().map(t =>
+        Row(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)))
+
   /** ST_Read_Meta analog: per-file metadata for supported formats. */
   def readMeta(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase

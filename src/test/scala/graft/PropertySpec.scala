@@ -109,4 +109,72 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("state-plane CRSs roundtrip inside their zone of validity") {
+    val zones = Seq(
+      ("EPSG:2260", -75.5, 41.5), ("EPSG:2261", -76.5, 42.5), ("EPSG:2262", -78.6, 42.5),
+      ("EPSG:2263", -73.8, 40.7), ("EPSG:32118", -73.8, 40.7),
+      ("EPSG:2229", -118.2, 34.1), ("EPSG:3435", -88.0, 41.8),
+      ("EPSG:2272", -77.0, 40.0), ("EPSG:2277", -98.5, 30.5), ("EPSG:26918", -74.0, 40.7))
+    samples(Gen.zip(Gen.chooseNum(-0.4, 0.4), Gen.chooseNum(-0.4, 0.4)), 40).foreach { case (dx, dy) =>
+      zones.foreach { case (crs, lon0, lat0) =>
+        val (lon, lat) = (lon0 + dx, lat0 + dy)
+        val p = Jts.point(lon, lat)
+        val there = graft.functions.Crs.transform(p, "EPSG:4326", crs, alwaysXy = true)
+        val back = graft.functions.Crs.transform(there, crs, "EPSG:4326", alwaysXy = true)
+        val c = back.getCoordinate
+        assert(math.abs(c.x - lon) < 1e-8 && math.abs(c.y - lat) < 1e-8,
+          s"$crs roundtrip: ($lon,$lat) -> (${c.x},${c.y})")
+      }
+    }
+  }
+
+  test("Lambert 2SP matches Snyder's published worked example (PP 1395 p.296)") {
+    // Clarke 1866, SP 33°/45°, origin 23°N 96°W; point 35°N 75°W.
+    val clarke1866 = graft.functions.Crs.Ellipsoid(6378206.4, 1.0 / 294.9786982)
+    val sys = graft.functions.Crs.lccForTest(clarke1866, 23.0, -96.0, 33.0, 45.0, 0.0, 0.0)
+    val (x, y) = sys.forward(-75.0, 35.0)
+    assert(math.abs(x - 1894410.9) < 0.5, s"x=$x")
+    assert(math.abs(y - 1564649.5) < 0.5, s"y=$y")
+    val (lon, lat) = sys.inverse(x, y)
+    assert(math.abs(lon - -75.0) < 1e-9 && math.abs(lat - 35.0) < 1e-9)
+  }
+
+  test("ftUS zones are the metric zone re-expressed in US survey feet") {
+    // EPSG:2263 (ftUS) and EPSG:32118 (m) share projection parameters
+    val p = Jts.point(-73.9857, 40.7484)
+    val ft = graft.functions.Crs.transform(p, "EPSG:4326", "EPSG:2263", alwaysXy = true).getCoordinate
+    val m = graft.functions.Crs.transform(p, "EPSG:4326", "EPSG:32118", alwaysXy = true).getCoordinate
+    assert(math.abs(ft.x * graft.functions.Crs.FtUs - m.x) < 1e-6)
+    assert(math.abs(ft.y * graft.functions.Crs.FtUs - m.y) < 1e-6)
+    // and the LI false easting is the published 984250 ftUS exactly at lon0
+    val origin = Jts.point(-74.0, 40.1666666666667)
+    val o = graft.functions.Crs.transform(origin, "EPSG:4326", "EPSG:2263", alwaysXy = true).getCoordinate
+    assert(math.abs(o.x - 984250.0) < 1e-6 && math.abs(o.y) < 1e-6, s"(${o.x},${o.y})")
+  }
+
+  test("projected distances match geodesics within state-plane distortion") {
+    // grid scale error for SPCS zones is <= ~1/10000 by design; check a
+    // ~11 km segment in each zone against the spheroid distance
+    val zones = Seq(("EPSG:2263", -74.0, 40.7, graft.functions.Crs.FtUs),
+      ("EPSG:2229", -118.2, 34.1, graft.functions.Crs.FtUs),
+      ("EPSG:3435", -88.0, 41.8, graft.functions.Crs.FtUs),
+      ("EPSG:26918", -74.0, 40.7, 1.0))
+    zones.foreach { case (crs, lon, lat, unit) =>
+      val a = Jts.point(lon, lat); val b = Jts.point(lon + 0.1, lat + 0.05)
+      val pa = graft.functions.Crs.transform(a, "EPSG:4326", crs, alwaysXy = true).getCoordinate
+      val pb = graft.functions.Crs.transform(b, "EPSG:4326", crs, alwaysXy = true).getCoordinate
+      val planar = math.hypot((pa.x - pb.x) * unit, (pa.y - pb.y) * unit)
+      val geodesic = Geodesy.vincenty(lon, lat, lon + 0.1, lat + 0.05)
+      assert(math.abs(planar - geodesic) / geodesic < 5e-4,
+        s"$crs: planar $planar vs geodesic $geodesic")
+    }
+  }
+
+  test("NAD83 UTM matches WGS84 UTM to sub-millimeter (same frame in practice)") {
+    val p = Jts.point(-74.0, 40.7)
+    val a = graft.functions.Crs.transform(p, "EPSG:4326", "EPSG:26918", alwaysXy = true).getCoordinate
+    val b = graft.functions.Crs.transform(p, "EPSG:4326", "EPSG:32618", alwaysXy = true).getCoordinate
+    assert(math.abs(a.x - b.x) < 1e-3 && math.abs(a.y - b.y) < 1e-3)
+  }
 }

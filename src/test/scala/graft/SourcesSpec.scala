@@ -113,6 +113,19 @@ class SourcesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("st_list_proj_crs catalog") {
+    val crs = spark.sql("SELECT * FROM st_list_proj_crs()")
+    assert(crs.columns.toSeq == Seq("auth_name", "code", "name", "type", "deprecated",
+      "area_name", "projection_method_name", "celestial_body_name"))
+    assert(crs.count() > 130) // registry + 120 WGS84 UTM + 23 NAD83 UTM
+    val li = crs.filter("code = '2263'").collect()
+    assert(li.length == 1 && li(0).getString(2).contains("Long Island"))
+    // every listed CRS must actually resolve
+    crs.collect().foreach { r =>
+      graft.functions.Crs.resolve(s"${r.getString(0)}:${r.getString(1)}")
+    }
+  }
+
   test("drivers + read_meta") {
     assert(GeoRead.drivers(spark).count() == 6)
     assume(nycShp.isDefined)
