@@ -351,7 +351,7 @@ object SparkEntry {
          FROM supplier ORDER BY s_suppkey"""),
 
     "q_geo_dump" -> q(Seq("nation"),
-      """SELECT n_nationkey, pos, ST_AsText(col.geom) AS part_wkt, col.path AS path
+      """SELECT n_nationkey, pos, ST_AsText(col.geom) AS part_wkt, concat_ws(',', col.path) AS path
          FROM nation
          LATERAL VIEW posexplode(ST_Dump(ST_Collect(array(
            ST_Point(CAST(n_nationkey % 5 AS DOUBLE) + 0.5, CAST(n_nationkey % 7 AS DOUBLE) + 1.5),
@@ -388,6 +388,76 @@ object SparkEntry {
                    100.0 - CAST(n_nationkey AS DOUBLE) * 0.25, 100.0 - CAST(n_nationkey AS DOUBLE) * 0.25)) AS e
                FROM nation GROUP BY n_nationkey % 5)
          ORDER BY grp"""),
+
+    // predicate long tail over parameterized boxes whose DE-9IM
+    // relations have integer closed forms (mirrors the coverage of the
+    // reference's test/sql/geos/predicates.test):
+    //   box1 = [0,4]² fixed; box2 = [a,a+2]×[b,b+2], a=k%7, b=k%3;
+    //   line = vertical segment x=a+1, y∈[-1,2]
+    "q_geo_predicates" -> q(Seq("nation"),
+      """SELECT n_nationkey,
+         ST_Equals(box2, ST_MakeEnvelope(1.0, 1.0, 3.0, 3.0)) AS eq,
+         ST_Disjoint(box1, box2) AS disj,
+         ST_Touches(box1, box2) AS touch,
+         ST_Overlaps(box1, box2) AS ovl,
+         ST_Covers(box1, box2) AS cov,
+         ST_CoveredBy(box2, box1) AS covby,
+         ST_ContainsProperly(box1, box2) AS contp,
+         ST_Crosses(line, box1) AS crs,
+         ST_Intersects_Extent(box1, box2) AS ixext
+         FROM (SELECT n_nationkey,
+                 ST_MakeEnvelope(0.0, 0.0, 4.0, 4.0) AS box1,
+                 ST_MakeEnvelope(CAST(n_nationkey % 7 AS DOUBLE), CAST(n_nationkey % 3 AS DOUBLE),
+                                 CAST(n_nationkey % 7 AS DOUBLE) + 2.0, CAST(n_nationkey % 3 AS DOUBLE) + 2.0) AS box2,
+                 ST_MakeLine(ST_Point(CAST(n_nationkey % 7 AS DOUBLE) + 1.0, -1.0),
+                             ST_Point(CAST(n_nationkey % 7 AS DOUBLE) + 1.0, 2.0)) AS line
+               FROM nation)
+         ORDER BY n_nationkey"""),
+
+    // validity trio + LineMerge + NGeometries/NInteriorRings
+    "q_geo_validity" -> q(Seq("nation"),
+      """SELECT n_nationkey,
+         ST_IsValid(CASE WHEN n_nationkey % 2 = 0
+           THEN ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')
+           ELSE ST_GeomFromText('POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))') END) AS valid,
+         ST_IsSimple(CASE WHEN n_nationkey % 2 = 0
+           THEN ST_GeomFromText('LINESTRING (0 0, 1 1, 2 0)')
+           ELSE ST_GeomFromText('LINESTRING (0 0, 2 2, 2 0, 0 2)') END) AS simple,
+         ST_IsRing(CASE WHEN n_nationkey % 2 = 0
+           THEN ST_GeomFromText('LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)')
+           ELSE ST_GeomFromText('LINESTRING (0 0, 1 0, 1 1)') END) AS ring,
+         ST_NInteriorRings(CASE WHEN n_nationkey % 3 = 0
+           THEN ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))')
+           ELSE ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') END) AS nir,
+         ST_NGeometries(ST_Collect(CASE WHEN n_nationkey % 2 = 0
+           THEN array(ST_Point(0.5, 0.5), ST_Point(1.5, 1.5), ST_Point(2.5, 2.5))
+           ELSE array(ST_Point(0.5, 0.5), ST_Point(1.5, 1.5)) END)) AS ngeom,
+         ST_NumGeometries(mls) AS ngeom2,
+         ST_NPoints(ST_LineMerge(mls)) AS merged_np,
+         ST_AsText(ST_LineMerge(mls, true)) AS merged_wkt
+         FROM (SELECT n_nationkey,
+                 ST_Collect(array(
+                   ST_MakeLine(ST_Point(0.0, 0.0), ST_Point(CAST(n_nationkey % 5 AS DOUBLE), 1.0)),
+                   ST_MakeLine(ST_Point(CAST(n_nationkey % 5 AS DOUBLE), 1.0),
+                               ST_Point(CAST(n_nationkey % 5 AS DOUBLE) + 2.0, 2.0)))) AS mls
+               FROM nation)
+         ORDER BY n_nationkey"""),
+
+    // hex-WKB family + GeomFromGeoJSON: exact hex bytes for integer-
+    // coordinate points (IEEE754 hex is a closed-form CASE lookup on
+    // the oracle side), EWKB SRID-flag input, and roundtrips via WKT
+    "q_geo_hexwkb" -> q(Seq("nation"),
+      """SELECT n_nationkey,
+         ST_AsHEXWKB(ST_Point(CAST(n_nationkey % 3 AS DOUBLE), CAST(n_nationkey % 5 AS DOUBLE))) AS hex,
+         ST_AsText(ST_GeomFromHEXWKB(ST_AsHEXWKB(
+           ST_MakeLine(ST_Point(CAST(n_nationkey % 3 AS DOUBLE) + 0.5, 1.5),
+                       ST_Point(CAST(n_nationkey % 5 AS DOUBLE) + 2.5, 3.5))))) AS rt,
+         ST_AsText(ST_GeomFromHEXEWKB(concat('0101000020E6100000',
+           CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN '0000000000000000' WHEN 1 THEN '000000000000F03F' ELSE '0000000000000040' END,
+           CASE CAST(n_nationkey % 5 AS INT) WHEN 0 THEN '0000000000000000' WHEN 1 THEN '000000000000F03F' WHEN 2 THEN '0000000000000040' WHEN 3 THEN '0000000000000840' ELSE '0000000000001040' END))) AS ewkb_wkt,
+         ST_AsText(ST_GeomFromGeoJSON(concat('{"type":"Point","coordinates":[',
+           CAST(n_nationkey % 3 AS INT), ',', CAST(n_nationkey % 5 AS INT), ']}'))) AS gj_wkt
+         FROM nation ORDER BY n_nationkey"""),
 
     // ================= training-data pipeline ops ======================
     "q_doc_dedup_exact" -> q(Seq("documents"),
@@ -1103,11 +1173,11 @@ object SparkEntry {
         """WITH parts AS (
              SELECT n_nationkey, 0 AS pos,
                'POINT (' || (CAST(n_nationkey % 5 AS DOUBLE) + 0.5)::VARCHAR || ' ' || (CAST(n_nationkey % 7 AS DOUBLE) + 1.5)::VARCHAR || ')' AS part_wkt,
-               [1] AS path FROM nation
+               '1' AS path FROM nation
              UNION ALL
              SELECT n_nationkey, 1,
                'POINT (' || (CAST(n_nationkey % 9 AS DOUBLE) + 10.5)::VARCHAR || ' ' || (CAST(n_nationkey % 4 AS DOUBLE) + 6.5)::VARCHAR || ')',
-               [2] FROM nation)
+               '2' FROM nation)
            SELECT * FROM parts ORDER BY n_nationkey, pos""",
 
       "q_geo_spheroid" ->
@@ -1128,6 +1198,44 @@ object SparkEntry {
            (min(100.0 - CAST(n_nationkey AS DOUBLE) * 0.25) - max(CAST(n_nationkey AS DOUBLE) * 0.25))
              * (min(100.0 - CAST(n_nationkey AS DOUBLE) * 0.25) - max(CAST(n_nationkey AS DOUBLE) * 0.25)) AS area
            FROM nation GROUP BY 1 ORDER BY grp""",
+
+      // closed-form DE-9IM relations of box2=[a,a+2]×[b,b+2] vs box1=[0,4]²
+      "q_geo_predicates" ->
+        """SELECT n_nationkey,
+           (n_nationkey % 7 = 1 AND n_nationkey % 3 = 1) AS eq,
+           (n_nationkey % 7 > 4) AS disj,
+           (n_nationkey % 7 = 4) AS touch,
+           (n_nationkey % 7 = 3) AS ovl,
+           (n_nationkey % 7 <= 2) AS cov,
+           (n_nationkey % 7 <= 2) AS covby,
+           (n_nationkey % 7 = 1 AND n_nationkey % 3 = 1) AS contp,
+           (n_nationkey % 7 <= 2) AS crs,
+           (n_nationkey % 7 <= 4) AS ixext
+           FROM nation ORDER BY n_nationkey""",
+
+      "q_geo_validity" ->
+        """SELECT n_nationkey,
+           (n_nationkey % 2 = 0) AS valid,
+           (n_nationkey % 2 = 0) AS simple,
+           (n_nationkey % 2 = 0) AS ring,
+           CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END AS nir,
+           CASE WHEN n_nationkey % 2 = 0 THEN 3 ELSE 2 END AS ngeom,
+           2 AS ngeom2,
+           3 AS merged_np,
+           'LINESTRING (0 0, ' || (n_nationkey % 5)::BIGINT::VARCHAR || ' 1, '
+             || (n_nationkey % 5 + 2)::BIGINT::VARCHAR || ' 2)' AS merged_wkt
+           FROM nation ORDER BY n_nationkey""",
+
+      // IEEE754 little-endian double hex for 0..4 as a CASE lookup
+      "q_geo_hexwkb" ->
+        """SELECT n_nationkey,
+           '0101000000'
+             || CASE n_nationkey % 3 WHEN 0 THEN '0000000000000000' WHEN 1 THEN '000000000000F03F' ELSE '0000000000000040' END
+             || CASE n_nationkey % 5 WHEN 0 THEN '0000000000000000' WHEN 1 THEN '000000000000F03F' WHEN 2 THEN '0000000000000040' WHEN 3 THEN '0000000000000840' ELSE '0000000000001040' END AS hex,
+           'LINESTRING (' || (n_nationkey % 3 + 0.5)::VARCHAR || ' 1.5, ' || (n_nationkey % 5 + 2.5)::VARCHAR || ' 3.5)' AS rt,
+           'POINT (' || (n_nationkey % 3)::BIGINT::VARCHAR || ' ' || (n_nationkey % 5)::BIGINT::VARCHAR || ')' AS ewkb_wkt,
+           'POINT (' || (n_nationkey % 3)::BIGINT::VARCHAR || ' ' || (n_nationkey % 5)::BIGINT::VARCHAR || ')' AS gj_wkt
+           FROM nation ORDER BY n_nationkey""",
 
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,

@@ -75,9 +75,19 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    // persist: the signature frame is read by both the banding branch
+    // and the per-pair signature re-join — without it each branch would
+    // re-parse `text` from the source (the expensive part at scale)
+    val sigs = df.select(id.as("__id"), minhashSignature(text, numHashes, shingleSize).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashCandidatesFromSigs(sigs, numHashes, bands)
+  }
+
+  /** Banding + pair join over a precomputed (`__id`, `__sig`) frame —
+   *  lets callers derive signatures once (and persist) for reuse. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sigs = df.select(id.as("__id"), minhashSignature(text, numHashes, shingleSize).as("__sig"))
     val banded = sigs.select(col("__id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
         s"'band', b, 'bh', hash(slice(__sig, b * $r + 1, $r))))")).as("__b"))
@@ -96,14 +106,22 @@ object Dedup {
   }
 
   /** LSH candidates verified with exact shingle-set Jaccard (recall
-   *  from LSH, precision exact): (id_a, id_b, est_jaccard, jaccard). */
+   *  from LSH, precision exact): (id_a, id_b, est_jaccard, jaccard).
+   *
+   *  One `text` parse per document: signature AND shingle set come out
+   *  of the same persisted projection, so banding, the signature
+   *  re-join, and the exact verify all read derived columns. */
   def nearDupPairs(
       df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(id.as("__id"), stringShingles(text, shingleSize).as("__sh"))
-    minhashCandidates(df, id, text, numHashes, bands, shingleSize)
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+    val both = df.select(id.as("__id"),
+        minhashSignature(text, numHashes, shingleSize).as("__sig"),
+        stringShingles(text, shingleSize).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = both.select(col("__id"), col("__sig"))
+    minhashCandidatesFromSigs(sigs, numHashes, bands)
+      .join(both.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(both.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast("double")
           / size(array_union(col("__sha"), col("__shb"))))

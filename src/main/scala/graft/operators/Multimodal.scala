@@ -99,18 +99,21 @@ object Multimodal {
     val fields = df.schema.fields.map(f => StructField(f.name, f.dataType, f.nullable))
     val enc = RowEncoder.encoderFor(StructType(fields))
     val idx = df.schema.fieldIndex(payloadCol)
-    df.map { r =>
-      val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-      val resized =
-        if (payload == null) null
-        else {
-          val target = math.max(16, (w * h) / 256)
-          val out = new Array[Byte](target)
-          var i = 0
-          while (i < target) { out(i) = payload(i % payload.length); i += 1 }
-          out
-        }
-      Row.fromSeq(r.toSeq.updated(idx, resized))
+    df.mapPartitions { rows =>
+      // per-partition setup would init the transcoder here (once per task)
+      rows.map { r =>
+        val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val resized =
+          if (payload == null) null
+          else {
+            val target = math.max(16, (w * h) / 256)
+            val out = new Array[Byte](target)
+            var i = 0
+            while (i < target) { out(i) = payload(i % payload.length); i += 1 }
+            out
+          }
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
     }(enc)
   }
 

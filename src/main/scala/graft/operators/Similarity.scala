@@ -58,16 +58,24 @@ object Similarity {
       df: DataFrame, id: Column, vec: Column,
       threshold: Double = 0.9, numPlanes: Int = 16, numTables: Int = 4): DataFrame = {
     val base = df.select(id.as("__id"), vec.as("__v"))
-    val tables = (0 until numTables).map { t =>
-      base.select(col("__id"), col("__v"),
-        lit(t).as("__t"), lshBucket(col("__v"), numPlanes, seed = 42L + t).as("__bucket"))
+    // Scale shape (same as Dedup.minhashCandidates): the bucket join and
+    // the multi-table dedup carry ONLY (table, bucket, id) — never the
+    // embedding payload. At 100 TB the vectors dominate shuffle bytes;
+    // they re-join by id onto the (small) deduped pair set for the one
+    // exact-cosine verify.
+    val buckets = (0 until numTables).map { t =>
+      base.select(col("__id"), lit(t).as("__t"),
+        lshBucket(col("__v"), numPlanes, seed = 42L + t).as("__bucket"))
     }.reduce(_ unionAll _)
-    val a = tables.select(col("__t"), col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = tables.select(col("__t"), col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__t", "__bucket"))
+    val a = buckets.select(col("__t"), col("__bucket"), col("__id").as("id_a"))
+    val b = buckets.select(col("__t"), col("__bucket"), col("__id").as("id_b"))
+    val pairs = a.join(b, Seq("__t", "__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")           // collapse multi-table hits
-      .agg(first("__va").as("__va"), first("__vb").as("__vb"))
+      .select("id_a", "id_b")
+      .distinct()                        // collapse multi-table hits
+    pairs
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -179,8 +179,14 @@ object SpatialJoin {
     val cell = lit(2.0) * greatest(
       me(col("w"), col("h"), col("x0"), col("x1"), col("y0"), col("y1")),
       me(col("rw"), col("rh"), col("rx0"), col("rx1"), col("ry0"), col("ry1")))
-    ls.crossJoin(rs).select(
-      coalesce(when(cell > 0, cell), lit(1.0)).as("__cs"))
+    val raw = coalesce(when(cell > 0, cell), lit(1.0))
+    // Quantize to 2 significant digits: the deferred path embeds this
+    // subplan once per join side, and floor(x/cs) cell ids computed with
+    // cs values differing by an ulp (float-sum merge order, broadcast
+    // reuse off) would silently drop matching pairs. After rounding,
+    // ulp-level divergence cannot change the quantized value.
+    val step = pow(lit(10.0), floor(log(10.0, raw)) - 1)
+    ls.crossJoin(rs).select((round(raw / step) * step).as("__cs"))
   }
 
   /** Driver-side estimate (runs two small jobs; use from the explicit

@@ -219,7 +219,16 @@ object FlatGeobuf {
       case 5 =>
         gf.createMultiLineString(rings(xy, z).map(r => gf.createLineString(r)))
       case 6 =>
-        gf.createMultiPolygon(parts(3).map(_.asInstanceOf[Polygon]).toArray)
+        // Writers (GDAL/C++/TS) flatten a single-polygon MultiPolygon to
+        // bare xy/ends with no parts vector — decode that shape as one
+        // wrapped Polygon rather than an EMPTY MultiPolygon.
+        if (b.field(gt, 7) == 0 && xy.nonEmpty) {
+          val rs = rings(xy, z)
+          val poly = gf.createPolygon(gf.createLinearRing(rs.head),
+            rs.tail.map(r => gf.createLinearRing(r)))
+          gf.createMultiPolygon(Array(poly))
+        } else
+          gf.createMultiPolygon(parts(3).map(_.asInstanceOf[Polygon]).toArray)
       case 7 => gf.createGeometryCollection(parts(0).toArray)
       case other => throw new IllegalArgumentException(s"FlatGeobuf: unsupported geometry type $other")
     }
@@ -302,7 +311,10 @@ object FlatGeobuf {
         val item = i * items / p
         in.readFully(leafStart + item * 40L + 32L, buf)
         ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
-      }.toArray
+      // The spec sorts features by Hilbert value, but an indexed file may
+      // store features out of index order; sampled offsets are range
+      // starts, so sorting keeps every byte range (none silently dropped).
+      }.toArray.sorted
     } finally in.close()
   }
 
@@ -342,11 +354,16 @@ object FlatGeobuf {
         val in = fsL.open(p)
         in.seek(featureStart + start)
         var pos = start
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        // early termination (limit/take/task failure) must not leak the stream
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val lenBuf = new Array[Byte](4)
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val more = pos < end
-            if (!more) in.close()
+            if (!more) closeOnce()
             more
           }
           override def next(): Row = {

@@ -64,17 +64,30 @@ object GeoRead {
     }
   }
 
-  /** A path is line-delimited if it is a directory/glob (the partition-
-   *  parallel layout), a single line, or its first line parses as a
-   *  standalone JSON value; a pretty-printed document's first line
-   *  (`{`) does not. Peeks ≤64 KiB on the driver — no Spark job. */
+  /** A path is line-delimited if its first file's first non-empty line
+   *  parses as a standalone JSON value (or the whole doc is one line);
+   *  a pretty-printed document's first line (`{`) does not. For a
+   *  directory/glob the FIRST contained file is probed — a directory of
+   *  pretty-printed FeatureCollection documents must still take the
+   *  wholetext path. Peeks ≤64 KiB on the driver — no Spark job. */
   private def isLineDelimited(spark: SparkSession, path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = try fs.globStatus(hPath) catch { case _: Exception => null }
     if (statuses == null || statuses.isEmpty) return true
-    if (statuses.length > 1 || statuses(0).isDirectory) return true
-    val in = fs.open(statuses(0).getPath)
+    // resolve the first data file behind a glob/directory
+    val firstFile: org.apache.hadoop.fs.FileStatus = {
+      val head = statuses.sortBy(_.getPath.toString).head
+      if (!head.isDirectory) head
+      else {
+        val inside = fs.listStatus(head.getPath)
+          .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.toString)
+        if (inside.isEmpty) return true
+        inside.head
+      }
+    }
+    val in = fs.open(firstFile.getPath)
     val head = try {
       val buf = new Array[Byte](64 * 1024)
       val n = in.read(buf)
