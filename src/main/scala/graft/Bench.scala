@@ -98,9 +98,65 @@ object Bench {
         col("pt.y") > 450.0 && col("pt.y") < 650.0).count()
     }
 
+    // Oracle-engine (DuckDB) timings for the same headline queries at the
+    // same sf, via the driver-side python3+duckdb that also powers the
+    // correctness gate. Measurement harness only — the engine under test
+    // never links duckdb. Missing python/duckdb degrades to spark-only.
+    val duck = duckdbTimes(sfDir,
+      headline.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val vs = results.collect { case (k, v) if duck.get(k).exists(_ > 0) =>
+      val d = duck(k)
+      "\"" + k + "\":" + f"""{"spark_s":$v%.3f,"duck_s":$d%.3f,"ratio":${v / d}%.2f}"""
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"vs_oracle":$vs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Times each oracle SQL in DuckDB (warm run measured, matching the
+   *  Spark side's warmup) by shelling out to python3; returns seconds
+   *  per query, empty map if the oracle engine is unavailable. */
+  private def duckdbTimes(sfDir: String, oracles: Map[String, String]): Map[String, Double] = {
+    if (oracles.isEmpty) return Map.empty
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-duck")
+      oracles.foreach { case (n, sql) =>
+        java.nio.file.Files.write(dir.resolve(n + ".sql"), sql.getBytes("UTF-8"))
+      }
+      val py =
+        """import sys, time, glob, os
+          |import duckdb
+          |sfdir, qdir = sys.argv[1], sys.argv[2]
+          |con = duckdb.connect()
+          |for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+          |    p = f"{sfdir}/{t}.parquet"
+          |    if os.path.exists(p):
+          |        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+          |for f in sorted(glob.glob(f"{qdir}/*.sql")):
+          |    name = os.path.basename(f)[:-4]
+          |    sql = open(f).read()
+          |    try:
+          |        con.sql(sql).fetchall()
+          |        t0 = time.perf_counter()
+          |        con.sql(sql).fetchall()
+          |        print(f"{name}\t{time.perf_counter() - t0:.6f}")
+          |    except Exception:
+          |        print(f"{name}\t-1")
+          |""".stripMargin
+      val pyPath = dir.resolve("bench_duck.py")
+      java.nio.file.Files.write(pyPath, py.getBytes("UTF-8"))
+      val proc = new ProcessBuilder("python3", pyPath.toString, sfDir, dir.toString).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      proc.waitFor()
+      out.flatMap(_.split("\t") match {
+        case Array(n, s) => scala.util.Try(n -> s.toDouble).toOption
+        case _ => None
+      }).toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] oracle timing unavailable: $e"); Map.empty
+    }
   }
 }
