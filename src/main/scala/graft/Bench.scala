@@ -98,6 +98,36 @@ object Bench {
         col("pt.y") > 450.0 && col("pt.y") < 650.0).count()
     }
 
+    // Bucketed-layout analog of the reference's clustered fact storage:
+    // one-time write of both fact tables bucketed+sorted by orderkey,
+    // then the q_join_revenue aggregation with the fact-fact shuffle
+    // gone (dims still broadcast). At 1000-executor scale the
+    // lineitem<->orders Exchange is the dominant cost of the star join;
+    // the bucketed layout removes it entirely — amortized over every
+    // subsequent orderkey join, like the reference's index build.
+    val bwh = "/tmp/graft-bench-bucketed"
+    results("revenue_bucketed_write") = time {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").write.mode("overwrite")
+        .option("path", s"$bwh/lineitem_b").bucketBy(32, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_b")
+      spark.read.parquet(s"$sfDir/orders.parquet").write.mode("overwrite")
+        .option("path", s"$bwh/orders_b").bucketBy(32, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      1L
+    }
+    results("q_join_revenue_bucketed") = time {
+      spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer_v")
+      spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_v")
+      spark.sql(
+        """SELECT n_name,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
+           count(*) AS n_items
+           FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+             JOIN orders_b ON o_custkey = c_custkey
+             JOIN lineitem_b ON l_orderkey = o_orderkey
+           GROUP BY n_name ORDER BY n_name""").count()
+    }
+
     // Oracle-engine (DuckDB) timings for the same headline queries at the
     // same sf, via the driver-side python3+duckdb that also powers the
     // correctness gate. Measurement harness only — the engine under test

@@ -459,6 +459,25 @@ object SparkEntry {
            CAST(n_nationkey % 3 AS INT), ',', CAST(n_nationkey % 5 AS INT), ']}'))) AS gj_wkt
          FROM nation ORDER BY n_nationkey"""),
 
+    // GeoParquet interop: write a Hilbert-clustered geo-tagged table via
+    // our writer, read it back in Spark; the ORACLE reads the SAME files
+    // with its own parquet reader — certifying an external engine can
+    // consume the writer's output (footer rewrite keeps files valid).
+    "q_geoparquet_interop" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_geoparquet_interop"
+      val pts = s.table("customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(pts, "geom", out, (0.0, 0.0, 100.0, 100.0), numFiles = 4)
+      assert(sources.GeoParquetMeta.readGeoMetadata(out).exists(_.contains("\"primary_column\":\"geom\"")),
+        "geo footer metadata missing after writeClustered")
+      s.read.parquet(out)
+        .select(col("c_custkey"), hex(col("geom")).as("wkb_hex"),
+          col("geom_bbox.min_x").as("bx0"), col("geom_bbox.max_y").as("by1"))
+        .orderBy("c_custkey")
+    }),
+
     // ================= training-data pipeline ops ======================
     "q_doc_dedup_exact" -> q(Seq("documents"),
       """SELECT doc_id FROM (
@@ -1236,6 +1255,12 @@ object SparkEntry {
            'POINT (' || (n_nationkey % 3)::BIGINT::VARCHAR || ' ' || (n_nationkey % 5)::BIGINT::VARCHAR || ')' AS ewkb_wkt,
            'POINT (' || (n_nationkey % 3)::BIGINT::VARCHAR || ' ' || (n_nationkey % 5)::BIGINT::VARCHAR || ')' AS gj_wkt
            FROM nation ORDER BY n_nationkey""",
+
+      "q_geoparquet_interop" ->
+        """SELECT c_custkey, hex(geom) AS wkb_hex,
+           geom_bbox.min_x AS bx0, geom_bbox.max_y AS by1
+           FROM read_parquet('/tmp/graft_geoparquet_interop/*.parquet')
+           ORDER BY c_custkey""",
 
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, File, RandomAccessFile}
+
+import org.apache.parquet.format.{KeyValue, Util}
+
+/**
+ * GeoParquet file metadata: stamps the standard `geo` key-value entry
+ * into parquet footers so external engines (GDAL/DuckDB-spatial/Sedona/
+ * GeoPandas) recognize the geometry column. Mirrors the reference's
+ * writer, which tags geometry columns for interop
+ * (gdal/functions/st_write.cpp:340-376); the metadata layout follows
+ * the public GeoParquet 1.0.0 spec (geoparquet.org).
+ *
+ * Spark's parquet writer has no hook for file-level key-value metadata,
+ * so we rewrite each footer in place after the write: the thrift
+ * FileMetaData tail is re-serialized with the extra KeyValue — row
+ * group byte offsets are untouched, so the data pages stay valid. Works
+ * on any FS with random access; here implemented for local files (the
+ * bench/test environment). At cluster scale the same rewrite runs as a
+ * foreachPartition over file paths.
+ */
+object GeoParquetMeta {
+
+  private val Magic = "PAR1".getBytes("US-ASCII")
+
+  /** GeoParquet 1.0.0 `geo` metadata JSON for one WKB geometry column. */
+  def geoJson(
+      primaryColumn: String,
+      bbox: Option[(Double, Double, Double, Double)],
+      crs: Option[String]): String = {
+    val bboxJson = bbox.map { case (x0, y0, x1, y1) =>
+      s""","bbox":[$x0,$y0,$x1,$y1]"""
+    }.getOrElse("")
+    // crs omitted -> consumers default to OGC:CRS84 per spec §crs
+    val crsJson = crs.map(c => s""","crs":${jsonString(c)}""").getOrElse("")
+    s"""{"version":"1.0.0","primary_column":${jsonString(primaryColumn)},""" +
+      s""""columns":{${jsonString(primaryColumn)}:{"encoding":"WKB","geometry_types":[]$bboxJson$crsJson}}}"""
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Stamp `geo` metadata into every part file of a local parquet dir
+   *  (or a single file). Idempotent: replaces an existing `geo` entry. */
+  def tagDirectory(
+      path: String,
+      primaryColumn: String,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      crs: Option[String] = None): Unit = {
+    val json = geoJson(primaryColumn, bbox, crs)
+    partFiles(path).foreach { f =>
+      tagFile(f, json)
+      // Hadoop LocalFileSystem keeps a sibling checksum file; the
+      // rewritten tail no longer matches it — drop it (raw FS reads fine)
+      val crc = new File(f.getParentFile, "." + f.getName + ".crc")
+      if (crc.exists()) crc.delete()
+    }
+  }
+
+  private def partFiles(path: String): Seq[File] = {
+    val f = new File(path)
+    if (f.isFile) Seq(f)
+    else Option(f.listFiles()).getOrElse(Array.empty[File])
+      .filter(p => p.isFile && p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .toSeq
+  }
+
+  /** Rewrite one footer with the `geo` KeyValue added (local file). */
+  def tagFile(file: File, json: String): Unit = {
+    val raf = new RandomAccessFile(file, "rw")
+    try {
+      val len = raf.length()
+      require(len > 12, s"$file: not a parquet file")
+      raf.seek(len - 8)
+      val footerLen = readLeInt(raf)
+      val magic = new Array[Byte](4)
+      raf.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic), s"$file: missing PAR1 magic")
+      val footerStart = len - 8 - footerLen
+      raf.seek(footerStart)
+      val footerBytes = new Array[Byte](footerLen)
+      raf.readFully(footerBytes)
+      val md = Util.readFileMetaData(new ByteArrayInputStream(footerBytes))
+      if (md.getKey_value_metadata != null)
+        md.getKey_value_metadata.removeIf(kv => kv.getKey == "geo")
+      md.addToKey_value_metadata(new KeyValue("geo").setValue(json))
+      val out = new ByteArrayOutputStream(footerLen + json.length + 64)
+      Util.writeFileMetaData(md, out)
+      val newFooter = out.toByteArray
+      raf.seek(footerStart)
+      raf.write(newFooter)
+      writeLeInt(raf, newFooter.length)
+      raf.write(Magic)
+      raf.setLength(footerStart + newFooter.length + 8)
+    } finally raf.close()
+  }
+
+  /** Read back the `geo` metadata JSON from the first part file. */
+  def readGeoMetadata(path: String): Option[String] = {
+    partFiles(path).headOption.flatMap { f =>
+      val raf = new RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        raf.seek(len - 8)
+        val footerLen = readLeInt(raf)
+        raf.seek(len - 8 - footerLen)
+        val footerBytes = new Array[Byte](footerLen)
+        raf.readFully(footerBytes)
+        val md = Util.readFileMetaData(new ByteArrayInputStream(footerBytes))
+        Option(md.getKey_value_metadata).flatMap { kvs =>
+          val it = kvs.iterator()
+          var found: Option[String] = None
+          while (it.hasNext && found.isEmpty) {
+            val kv = it.next()
+            if (kv.getKey == "geo") found = Some(kv.getValue)
+          }
+          found
+        }
+      } finally raf.close()
+    }
+  }
+
+  private def readLeInt(raf: RandomAccessFile): Int = {
+    val b = new Array[Byte](4)
+    raf.readFully(b)
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+  }
+
+  private def writeLeInt(raf: RandomAccessFile, v: Int): Unit =
+    raf.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+}

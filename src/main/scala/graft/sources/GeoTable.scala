@@ -46,6 +46,17 @@ object GeoTable {
       .sortWithinPartitions("__hilbert")
       .drop("__hilbert")
       .write.mode("overwrite").parquet(path)
+    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent))
+  }
+
+  /** Plain (unclustered) GeoParquet write: parquet + the standard `geo`
+   *  footer metadata so external engines recognize the geometry column. */
+  def writeGeoParquet(
+      df: DataFrame, geomCol: String, path: String,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      crs: Option[String] = None): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    GeoParquetMeta.tagDirectory(path, geomCol, bbox, crs)
   }
 
   /** Global extent of a geometry column (one action). */
