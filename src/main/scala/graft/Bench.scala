@@ -155,25 +155,41 @@ object Bench {
       oracles.foreach { case (n, sql) =>
         java.nio.file.Files.write(dir.resolve(n + ".sql"), sql.getBytes("UTF-8"))
       }
+      // per-query interrupt watchdog: an oracle that is orders of
+      // magnitude slower than the engine under test (e.g. the minhash
+      // near-dup oracle at sf0.1) must not stall the whole bench run.
+      // Timed-out queries report -1 (ratio omitted); queries with a
+      // slow-but-finite cold run report the cold time (no warm rerun).
       val py =
-        """import sys, time, glob, os
+        """import sys, time, glob, os, threading
           |import duckdb
           |sfdir, qdir = sys.argv[1], sys.argv[2]
+          |LIMIT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "120"))
           |con = duckdb.connect()
           |for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
           |    p = f"{sfdir}/{t}.parquet"
           |    if os.path.exists(p):
           |        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+          |def timed(sql):
+          |    timer = threading.Timer(LIMIT, con.interrupt)
+          |    timer.start()
+          |    t0 = time.perf_counter()
+          |    try:
+          |        con.sql(sql).fetchall()
+          |        return time.perf_counter() - t0
+          |    except Exception:
+          |        return -1.0
+          |    finally:
+          |        timer.cancel()
           |for f in sorted(glob.glob(f"{qdir}/*.sql")):
           |    name = os.path.basename(f)[:-4]
           |    sql = open(f).read()
-          |    try:
-          |        con.sql(sql).fetchall()
-          |        t0 = time.perf_counter()
-          |        con.sql(sql).fetchall()
-          |        print(f"{name}\t{time.perf_counter() - t0:.6f}")
-          |    except Exception:
-          |        print(f"{name}\t-1")
+          |    cold = timed(sql)
+          |    if 0 <= cold < 5.0:
+          |        warm = timed(sql)
+          |        print(f"{name}\t{warm if warm >= 0 else cold:.6f}")
+          |    else:
+          |        print(f"{name}\t{cold:.6f}")
           |""".stripMargin
       val pyPath = dir.resolve("bench_duck.py")
       java.nio.file.Files.write(pyPath, py.getBytes("UTF-8"))

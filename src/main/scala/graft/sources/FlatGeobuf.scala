@@ -294,6 +294,96 @@ object FlatGeobuf {
     } finally in.close()
   }
 
+  /** Per-level node index bounds [start, end), bottom-up: index 0 =
+   *  leaves, last = root [0, 1) (spec packed_r_tree level layout). */
+  private def levelBounds(items: Long, nodeSize: Int): IndexedSeq[(Long, Long)] = {
+    var n = items
+    var numNodes = n
+    val levelNumNodes = scala.collection.mutable.ArrayBuffer(n)
+    while (n != 1) { n = (n + nodeSize - 1) / nodeSize; numNodes += n; levelNumNodes += n }
+    var acc = numNodes
+    levelNumNodes.map { size => val b = (acc - size, acc); acc -= size; b }.toIndexedSeq
+  }
+
+  /**
+   * Packed-Hilbert-R-tree search (spec streamSearch algorithm): BFS from
+   * the root, reading only the node ranges whose bbox intersects the
+   * query — a handful of driver-side seeks, never the feature data.
+   * Returns merged feature byte ranges [start, end) relative to the
+   * feature section. This is the reference's `spatial_filter` pushdown
+   * applied INSIDE the scan (st_read.cpp:52-62,243-260): candidates by
+   * stored bbox; the exact predicate stays a residual filter above.
+   */
+  private[sources] def searchRanges(
+      fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path,
+      header: FgbHeader, fileLen: Long,
+      bbox: (Double, Double, Double, Double)): Array[(Long, Long)] = {
+    val items = header.featuresCount
+    val nodeSize = math.min(math.max(header.indexNodeSize, 2), 65535)
+    val bounds = levelBounds(items, nodeSize)
+    val numNodes = bounds.head._2
+    val leafStartIdx = numNodes - items
+    val indexStart = (MagicLen + 4 + header.headerLen).toLong
+    val featureStart = indexStart + numNodes * 40L
+    val featuresLen = fileLen - featureStart
+    val (qx0, qy0, qx1, qy1) = bbox
+
+    val in = fs.open(path)
+    try {
+      // hits: (item index, feature byte offset), found via BFS
+      val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val queue = scala.collection.mutable.Queue[(Long, Int)]((0L, bounds.length - 1))
+      while (queue.nonEmpty) {
+        val (first, level) = queue.dequeue()
+        val end = math.min(first + nodeSize, bounds(level)._2)
+        val isLeaf = first >= leafStartIdx
+        val nBytes = ((end - first) * 40L).toInt
+        val block = new Array[Byte](nBytes)
+        in.readFully(indexStart + first * 40L, block)
+        val bb = ByteBuffer.wrap(block).order(ByteOrder.LITTLE_ENDIAN)
+        var pos = first
+        while (pos < end) {
+          val base = ((pos - first) * 40L).toInt
+          val minX = bb.getDouble(base); val minY = bb.getDouble(base + 8)
+          val maxX = bb.getDouble(base + 16); val maxY = bb.getDouble(base + 24)
+          val off = bb.getLong(base + 32)
+          if (maxX >= qx0 && minX <= qx1 && maxY >= qy0 && minY <= qy1) {
+            if (isLeaf) hits += ((pos - leafStartIdx, off))
+            else queue.enqueue((off, level - 1))
+          }
+          pos += 1
+        }
+      }
+      if (hits.isEmpty) return Array.empty
+      // merge runs of consecutive item indexes into byte ranges; the run
+      // end is the NEXT item's offset (read from its leaf node) or EOF
+      val sorted = hits.sortBy(_._1).toArray
+      // spec files store features in index (Hilbert) order; if this one
+      // does not, per-run ends would be wrong — full scan is still correct
+      var monotonic = true
+      var k = 1
+      while (k < sorted.length) { if (sorted(k)._2 < sorted(k - 1)._2) monotonic = false; k += 1 }
+      if (!monotonic) return Array((0L, featuresLen))
+      val leafOffsetOf: Long => Long = { item =>
+        val buf = new Array[Byte](8)
+        in.readFully(indexStart + (leafStartIdx + item) * 40L + 32L, buf)
+        ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+      }
+      val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(j)._1 + 1) j += 1
+        val start = sorted(i)._2
+        val endOff =
+          if (sorted(j)._1 + 1 < items) leafOffsetOf(sorted(j)._1 + 1) else featuresLen
+        ranges += ((start, endOff))
+        i = j + 1
+      }
+      ranges.toArray
+    } finally in.close()
+  }
+
   /** Sample P+1 leaf-node feature offsets from the packed index (a few
    *  driver-side seeks) so each task gets a feature-aligned byte range. */
   private def partitionOffsets(
@@ -322,8 +412,16 @@ object FlatGeobuf {
    * Read a .fgb file into (columns..., geom WKB). With a spatial index
    * present the scan is split across `numPartitions` feature-aligned
    * byte ranges (default: spark.default.parallelism).
+   *
+   * With `bbox` set and an index present, the packed R-tree prunes the
+   * scan to candidate byte ranges (features whose STORED bbox
+   * intersects the query) — callers apply the exact spatial predicate
+   * as a residual filter on top, same contract as the reference's
+   * `spatial_filter` st_read option.
    */
-  def read(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
+  def read(
+      spark: SparkSession, path: String, numPartitions: Int = 0,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = hPath.getFileSystem(conf)
@@ -331,14 +429,20 @@ object FlatGeobuf {
     val fileLen = fs.getFileStatus(hPath).getLen
     val schema = schemaOf(header)
     val nParts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val hasIndex = header.indexNodeSize > 0 && header.featuresCount > 1
 
     // feature-aligned [start, end) ranges relative to featureStart
-    val ranges: Array[(Long, Long)] =
-      if (header.indexNodeSize > 0 && header.featuresCount > 1 && nParts > 1) {
+    val ranges: Array[(Long, Long)] = bbox match {
+      case Some(box) if hasIndex =>
+        searchRanges(fs, hPath, header, fileLen, box)
+      case _ if hasIndex && nParts > 1 =>
         val offs = partitionOffsets(fs, hPath, header, nParts)
         val bounds = offs :+ (fileLen - featureStart)
         bounds.sliding(2).map(a => (a(0), a(1))).filter(r => r._2 > r._1).toArray
-      } else Array((0L, fileLen - featureStart))
+      case _ => Array((0L, fileLen - featureStart))
+    }
+    if (ranges.isEmpty) return spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
     val columns = header.columns
     val geomTypeHint = header.geometryType
@@ -347,21 +451,36 @@ object FlatGeobuf {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
 
-    val rows = spark.sparkContext.parallelize(ranges.toIndexedSeq, math.max(1, ranges.length))
-      .flatMap { case (start, end) =>
+    // a bbox search can return many small ranges — group them so one
+    // task streams several ranges off one open stream (seek between)
+    val grouped: IndexedSeq[IndexedSeq[(Long, Long)]] =
+      if (ranges.length <= nParts) ranges.map(IndexedSeq(_)).toIndexedSeq
+      else {
+        val per = (ranges.length + nParts - 1) / nParts
+        ranges.grouped(per).map(_.toIndexedSeq).toIndexedSeq
+      }
+
+    val rows = spark.sparkContext.parallelize(grouped, math.max(1, grouped.length))
+      .flatMap { rs =>
         val p = new org.apache.hadoop.fs.Path(pathStr)
         val fsL = p.getFileSystem(confBc.value.value)
         val in = fsL.open(p)
-        in.seek(featureStart + start)
-        var pos = start
         var closed = false
         def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
         // early termination (limit/take/task failure) must not leak the stream
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val lenBuf = new Array[Byte](4)
+        var rangeIdx = 0
+        var pos = 0L
+        var end = -1L
         new Iterator[Row] {
           override def hasNext: Boolean = {
+            while (pos >= end && rangeIdx < rs.length) {
+              val r = rs(rangeIdx); rangeIdx += 1
+              pos = r._1; end = r._2
+              if (pos < end) in.seek(featureStart + pos)
+            }
             val more = pos < end
             if (!more) closeOnce()
             more
@@ -395,11 +514,333 @@ object FlatGeobuf {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Bytes of feature data a bbox query would read (index-pruned vs
+   *  full) — exposed for tests/diagnostics. */
+  def prunedBytes(spark: SparkSession, path: String,
+      bbox: (Double, Double, Double, Double)): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (header, featureStart) = openHeader(fs, hPath)
+    val fileLen = fs.getFileStatus(hPath).getLen
+    val full = fileLen - featureStart
+    if (header.indexNodeSize <= 0 || header.featuresCount <= 1) return (full, full)
+    val pruned = searchRanges(fs, hPath, header, fileLen, bbox).map(r => r._2 - r._1).sum
+    (pruned, full)
+  }
+
   /** Header metadata for ST_Read_Meta. */
   def meta(spark: SparkSession, path: String): (FgbHeader, StructType) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (header, _) = openHeader(fs, hPath)
     (header, schemaOf(header))
+  }
+
+  // ---- writer ----------------------------------------------------------
+
+  /** Minimal back-to-front flatbuffers builder — the wire format is
+   *  public (flatbuffers.dev "FlatBuffers internals"); only what the
+   *  .fgb writer needs: LE scalars, scalar vectors, strings, tables,
+   *  vectors of table offsets. Mirrors the reference builder's
+   *  grow-to-front buffer + vtable layout. */
+  private final class FbBuilder(initialSize: Int = 256) {
+    private var buf = new Array[Byte](initialSize)
+    private var space = initialSize
+    private var minalign = 1
+    private var vtable: Array[Int] = _
+    private var objectStart = 0
+
+    private def offset: Int = buf.length - space
+
+    private def ensure(bytes: Int): Unit = {
+      if (space < bytes) {
+        val used = buf.length - space
+        var newLen = buf.length
+        while (newLen - used < bytes) newLen <<= 1
+        val nb = new Array[Byte](newLen)
+        System.arraycopy(buf, space, nb, newLen - used, used)
+        space = newLen - used
+        buf = nb
+      }
+    }
+    private def pad(n: Int): Unit = { var i = 0; while (i < n) { space -= 1; buf(space) = 0; i += 1 } }
+    private def prep(size: Int, additional: Int): Unit = {
+      if (size > minalign) minalign = size
+      val alignSize = (-(buf.length - space + additional)) & (size - 1)
+      ensure(alignSize + size + additional)
+      pad(alignSize)
+    }
+    private def putByte(v: Byte): Unit = { space -= 1; buf(space) = v }
+    private def putShort(v: Short): Unit = {
+      space -= 2; buf(space) = v.toByte; buf(space + 1) = (v >> 8).toByte
+    }
+    private def putInt(v: Int): Unit = {
+      space -= 4
+      buf(space) = v.toByte; buf(space + 1) = (v >> 8).toByte
+      buf(space + 2) = (v >> 16).toByte; buf(space + 3) = (v >> 24).toByte
+    }
+    private def putLong(v: Long): Unit = {
+      space -= 8
+      var i = 0
+      while (i < 8) { buf(space + i) = (v >> (8 * i)).toByte; i += 1 }
+    }
+    def addByte(v: Int): Unit = { prep(1, 0); putByte(v.toByte) }
+    def addShort(v: Int): Unit = { prep(2, 0); putShort(v.toShort) }
+    def addInt(v: Int): Unit = { prep(4, 0); putInt(v) }
+    def addLong(v: Long): Unit = { prep(8, 0); putLong(v) }
+    def addDouble(v: Double): Unit = { prep(8, 0); putLong(java.lang.Double.doubleToLongBits(v)) }
+    def addOffset(off: Int): Unit = { prep(4, 0); putInt(offset - off + 4) }
+
+    def createString(s: String): Int = {
+      val utf8 = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      addByte(0) // NUL terminator
+      prep(4, utf8.length)
+      space -= utf8.length
+      System.arraycopy(utf8, 0, buf, space, utf8.length)
+      putInt(utf8.length)
+      offset
+    }
+    def createDoubleVector(v: Array[Double]): Int = {
+      prep(4, v.length * 8); prep(8, v.length * 8)
+      var i = v.length - 1
+      while (i >= 0) { putLong(java.lang.Double.doubleToLongBits(v(i))); i -= 1 }
+      putInt(v.length)
+      offset
+    }
+    def createUIntVector(v: Array[Int]): Int = {
+      prep(4, v.length * 4)
+      var i = v.length - 1
+      while (i >= 0) { putInt(v(i)); i -= 1 }
+      putInt(v.length)
+      offset
+    }
+    def createByteVector(v: Array[Byte]): Int = {
+      prep(4, v.length)
+      space -= v.length
+      System.arraycopy(v, 0, buf, space, v.length)
+      putInt(v.length)
+      offset
+    }
+    def createOffsetVector(offs: Array[Int]): Int = {
+      prep(4, offs.length * 4)
+      var i = offs.length - 1
+      while (i >= 0) { putInt(offset - offs(i) + 4); i -= 1 }
+      putInt(offs.length)
+      offset
+    }
+
+    def startTable(numFields: Int): Unit = {
+      vtable = new Array[Int](numFields)
+      objectStart = offset
+    }
+    def slotByte(i: Int, v: Int): Unit = { addByte(v); vtable(i) = offset }
+    def slotShort(i: Int, v: Int): Unit = { addShort(v); vtable(i) = offset }
+    def slotLong(i: Int, v: Long): Unit = { addLong(v); vtable(i) = offset }
+    def slotOffset(i: Int, off: Int): Unit = { addOffset(off); vtable(i) = offset }
+    def endTable(): Int = {
+      addInt(0) // soffset placeholder
+      val vtableloc = offset
+      var i = vtable.length - 1
+      while (i >= 0 && vtable(i) == 0) i -= 1
+      val trimmed = i + 1
+      while (i >= 0) {
+        addShort(if (vtable(i) != 0) vtableloc - vtable(i) else 0)
+        i -= 1
+      }
+      addShort(vtableloc - objectStart)
+      addShort((trimmed + 2) * 2)
+      // patch the table's soffset to point at the vtable just written
+      val pos = buf.length - vtableloc
+      val so = offset - vtableloc
+      buf(pos) = so.toByte; buf(pos + 1) = (so >> 8).toByte
+      buf(pos + 2) = (so >> 16).toByte; buf(pos + 3) = (so >> 24).toByte
+      vtableloc
+    }
+    def finish(root: Int): Array[Byte] = {
+      prep(minalign, 4)
+      addOffset(root)
+      java.util.Arrays.copyOfRange(buf, space, buf.length)
+    }
+  }
+
+  private def jtsTypeCode(g: Geometry): Int = g.getGeometryType match {
+    case "Point" => 1
+    case "LineString" | "LinearRing" => 2
+    case "Polygon" => 3
+    case "MultiPoint" => 4
+    case "MultiLineString" => 5
+    case "MultiPolygon" => 6
+    case _ => 7
+  }
+
+  private def buildGeometryTable(b: FbBuilder, g: Geometry, hasZ: Boolean): Int = {
+    val typ = jtsTypeCode(g)
+
+    def flat(cs: Array[Coordinate]): (Array[Double], Array[Double]) = {
+      val xy = new Array[Double](cs.length * 2)
+      val z = if (hasZ) new Array[Double](cs.length) else null
+      var i = 0
+      while (i < cs.length) {
+        xy(2 * i) = cs(i).x; xy(2 * i + 1) = cs(i).y
+        if (z != null) z(i) = { val zv = cs(i).getZ; if (zv.isNaN) 0.0 else zv }
+        i += 1
+      }
+      (xy, z)
+    }
+    // xy/ends for single-part types; ends = cumulative coordinate counts
+    def ringed(rings: Seq[LineString]): (Array[Double], Array[Double], Array[Int]) = {
+      val all = rings.flatMap(_.getCoordinates).toArray
+      val (xy, z) = flat(all)
+      val ends = new Array[Int](rings.length)
+      var acc = 0
+      rings.indices.foreach { i => acc += rings(i).getNumPoints; ends(i) = acc }
+      (xy, z, ends)
+    }
+
+    val (xy, z, ends, parts): (Array[Double], Array[Double], Array[Int], Seq[Geometry]) = typ match {
+      case 1 | 2 | 4 =>
+        val (a, b2) = flat(g.getCoordinates); (a, b2, Array.empty[Int], Nil)
+      case 3 =>
+        val p = g.asInstanceOf[Polygon]
+        val rings = p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+        val (a, b2, e) = ringed(rings)
+        // single-ring polygon: ends may be omitted (spec flattening)
+        (a, b2, if (e.length <= 1) Array.empty[Int] else e, Nil)
+      case 5 =>
+        val ml = g.asInstanceOf[org.locationtech.jts.geom.MultiLineString]
+        val lines = (0 until ml.getNumGeometries).map(ml.getGeometryN(_).asInstanceOf[LineString])
+        val (a, b2, e) = ringed(lines)
+        (a, b2, if (e.length <= 1) Array.empty[Int] else e, Nil)
+      case _ =>
+        (Array.empty[Double], null, Array.empty[Int],
+          (0 until g.getNumGeometries).map(g.getGeometryN))
+    }
+
+    val partOffs = parts.map(p => buildGeometryTable(b, p, hasZ)).toArray
+    val partsVec = if (partOffs.nonEmpty) b.createOffsetVector(partOffs) else 0
+    val zVec = if (z != null && z.nonEmpty) b.createDoubleVector(z) else 0
+    val xyVec = if (xy.nonEmpty) b.createDoubleVector(xy) else 0
+    val endsVec = if (ends.nonEmpty) b.createUIntVector(ends) else 0
+
+    b.startTable(8)
+    if (endsVec != 0) b.slotOffset(0, endsVec)
+    if (xyVec != 0) b.slotOffset(1, xyVec)
+    if (zVec != 0) b.slotOffset(2, zVec)
+    b.slotByte(6, typ)
+    if (partsVec != 0) b.slotOffset(7, partsVec)
+    b.endTable()
+  }
+
+  private def sparkToColType(dt: DataType): Int = dt match {
+    case IntegerType | ShortType | ByteType => ColInt
+    case LongType => ColLong
+    case BooleanType => ColBool
+    case FloatType => ColFloat
+    case DoubleType => ColDouble
+    case BinaryType => ColBinary
+    case _ => ColString
+  }
+
+  /**
+   * Write a single .fgb file (magic · header · length-prefixed
+   * features; no spatial index — `index_node_size` is written as 0,
+   * readers fall back to a sequential feature scan). Features stream
+   * through the driver partition-by-partition (`toLocalIterator`) —
+   * FlatGeobuf is a single-file format, same shape as the reference's
+   * single-writer COPY TO (gdal/functions/st_write.cpp:558-569). For
+   * cluster-parallel output prefer [[GeoTable.writeGeoParquet]].
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val propFields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val colDefs = propFields.map { case (f, i) => (f.name, sparkToColType(f.dataType), i) }
+
+    // sniff dimensionality from the first row (header has_z is global)
+    val firstRows = df.head(1)
+    val hasZ = firstRows.nonEmpty && {
+      val wkb = firstRows(0).get(geomIdx)
+      wkb != null && {
+        val c = Jts.read(wkb.asInstanceOf[Array[Byte]]).getCoordinate
+        c != null && !c.getZ.isNaN
+      }
+    }
+
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try {
+      out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
+
+      val hb = new FbBuilder(512)
+      val colOffs = colDefs.map { case (name, ct, _) =>
+        val nameOff = hb.createString(name)
+        hb.startTable(2)
+        hb.slotOffset(0, nameOff)
+        hb.slotByte(1, ct)
+        hb.endTable()
+      }
+      val colsVec = if (colOffs.nonEmpty) hb.createOffsetVector(colOffs) else 0
+      hb.startTable(10)
+      hb.slotByte(2, 0)          // geometry_type: Unknown (each feature carries its own)
+      if (hasZ) hb.slotByte(3, 1)
+      if (colsVec != 0) hb.slotOffset(7, colsVec)
+      // index_node_size defaults to 16 in the schema — 0 must be explicit
+      hb.slotShort(9, 0)
+      val headerBytes = hb.finish(hb.endTable())
+      writeLe32(out, headerBytes.length)
+      out.write(headerBytes)
+
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val fbb = new FbBuilder(512)
+        val propBytes = encodeProperties(row, colDefs)
+        val geomRaw = row.get(geomIdx)
+        val geomOff =
+          if (geomRaw == null) 0
+          else buildGeometryTable(fbb, Jts.read(geomRaw.asInstanceOf[Array[Byte]]), hasZ)
+        val propsVec = if (propBytes.nonEmpty) fbb.createByteVector(propBytes) else 0
+        fbb.startTable(3)
+        if (geomOff != 0) fbb.slotOffset(0, geomOff)
+        if (propsVec != 0) fbb.slotOffset(1, propsVec)
+        val featBytes = fbb.finish(fbb.endTable())
+        writeLe32(out, featBytes.length)
+        out.write(featBytes)
+      }
+    } finally out.close()
+  }
+
+  private def writeLe32(out: java.io.OutputStream, v: Int): Unit =
+    out.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+
+  /** Encode one row's non-null properties as (u16 col idx · value). */
+  private def encodeProperties(row: Row, colDefs: Array[(String, Int, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+    colDefs.zipWithIndex.foreach { case ((_, ct, rowIdx), colIdx) =>
+      val v = row.get(rowIdx)
+      if (v != null) {
+        le16(colIdx)
+        ct match {
+          case ColInt => le32(v match {
+            case n: java.lang.Number => n.intValue(); case b: Boolean => if (b) 1 else 0
+          })
+          case ColLong => le64(v.asInstanceOf[java.lang.Number].longValue())
+          case ColBool => bos.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+          case ColFloat => le32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+          case ColDouble => le64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+          case ColBinary =>
+            val arr = v.asInstanceOf[Array[Byte]]
+            le32(arr.length); bos.write(arr)
+          case _ =>
+            val bytes = v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            le32(bytes.length); bos.write(bytes, 0, bytes.length)
+        }
+      }
+    }
+    bos.toByteArray
   }
 }

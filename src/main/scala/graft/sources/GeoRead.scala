@@ -154,7 +154,7 @@ object GeoRead {
         Row("parquet", "GeoParquet / Parquet with WKB", true, true),
         Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
         Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
-        Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, false),
+        Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
         Row("csv_wkt", "CSV with WKT geometry column", true, true),
         Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false)))
 

@@ -43,4 +43,60 @@ class FlatGeobufSpec extends SparkSpec {
     assert(meta.getString(1) == "flatgeobuf")
     assert(meta.getString(2).contains("kind"))
   }
+
+  test("bbox pushdown prunes bytes via the packed index and stays exact") {
+    assume(available)
+    val box = (554000.0, 6858000.0, 556000.0, 6860000.0)
+    val (pruned, full) = FlatGeobuf.prunedBytes(spark, fixture, box)
+    assert(pruned < full / 2, s"index pruned only $pruned of $full bytes")
+
+    val env = st_makeenvelope(lit(box._1), lit(box._2), lit(box._3), lit(box._4))
+    val exactFull = FlatGeobuf.read(spark, fixture)
+      .filter(st_intersects(col("geom"), env)).count()
+    val prunedDf = FlatGeobuf.read(spark, fixture, bbox = Some(box))
+    // candidates (stored bbox hit) are a superset of the exact matches...
+    assert(prunedDf.count() >= exactFull)
+    // ...and the residual exact filter recovers precisely the full answer
+    assert(prunedDf.filter(st_intersects(col("geom"), env)).count() == exactFull)
+    assert(exactFull > 0, "fixture box should match features")
+  }
+
+  test("fgb write/read roundtrip: mixed types, props, nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fgb-w").toString
+    val out = s"$dir/mixed.fgb"
+    val wkts = Seq(
+      (1L, "a", Some(1.5), "POINT (1 2)"),
+      (2L, null.asInstanceOf[String], Some(2.5), "LINESTRING (0 0, 1 1, 2 0)"),
+      (3L, "c", None, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+      (4L, "d", Some(4.0), "MULTIPOINT ((1 1), (2 2))"),
+      (5L, "e", Some(5.0), "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+      (6L, "f", Some(6.0), "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+      (7L, "g", Some(7.0), "GEOMETRYCOLLECTION (POINT (9 9), LINESTRING (0 0, 1 1))"))
+    val df = wkts.toDF("id", "tag", "score", "wkt")
+      .select($"id", $"tag", $"score".cast("double").as("score"),
+        st_geomfromtext($"wkt").as("geom"))
+    FlatGeobuf.write(df, "geom", out)
+
+    val back = GeoRead.read(spark, out)
+    assert(back.columns.toSeq == Seq("id", "tag", "score", "geom"))
+    val got = back.select($"id", $"tag", $"score", st_astext($"geom").as("wkt"))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    val want = df.select($"id", $"tag", $"score", st_astext($"geom").as("wkt"))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("fgb writer roundtrips the reference fixture exactly") {
+    assume(available)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fgb-rt").toString
+    val out = s"$dir/roads.fgb"
+    val src = FlatGeobuf.read(spark, fixture)
+    FlatGeobuf.write(src, "geom", out)
+    val back = GeoRead.read(spark, out)
+    assert(back.count() == 21648)
+    val a = src.select(sum(st_npoints(col("geom"))), sum(length(col("kind")))).collect()(0)
+    val b = back.select(sum(st_npoints(col("geom"))), sum(length(col("kind")))).collect()(0)
+    assert(a == b)
+  }
 }

@@ -92,6 +92,44 @@ class PlanRulesSpec extends SparkSpec {
     }
   }
 
+  test("self spatial join (a JOIN a) rewrites and matches brute force") {
+    // overlapping envelopes: each box [i, i+3]x[0, 2+i%3] intersects its
+    // neighbors — a self join with a non-trivial, non-reflexive result
+    val boxes = (0 until 40).map(i => (i, i * 1.0, 0.0, i * 1.0 + 3.0, 2.0 + (i % 3)))
+      .toDF("bid", "x0", "y0", "x1", "y1")
+      .withColumn("box", st_makeenvelope($"x0", $"y0", $"x1", $"y1")).select("bid", "box")
+    boxes.createOrReplaceTempView("boxes_self")
+
+    // brute force: same self join forced through the nested loop (rule off)
+    val l = boxes.select($"bid".as("lid"), $"box".as("lbox"))
+    val r = boxes.select($"bid".as("rid"), $"box".as("rbox"))
+    val brute = l.crossJoin(r).filter(st_intersects($"lbox", $"rbox"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(brute.size > 40, "fixture should produce cross-row matches")
+
+    withRules {
+      spark.conf.set("spark.graft.spatialJoin.cellSize", "3.0")
+      try {
+        val df = spark.sql(
+          """SELECT a.bid AS lid, b.bid AS rid
+             FROM boxes_self a JOIN boxes_self b ON ST_Intersects(a.box, b.box)""")
+        val physical = df.queryExecution.executedPlan.toString
+        assert(!physical.contains("BroadcastNestedLoopJoin"),
+          s"self spatial join not rewritten:\n${physical.take(3000)}")
+        assert(df.as[(Int, Int)].collect().toSet == brute)
+
+        // asymmetric predicate on a self join (orientation must survive
+        // the analyzer's exprId dedup of the two sides)
+        val bruteW = l.crossJoin(r).filter(st_within($"lbox", $"rbox"))
+          .select("lid", "rid").as[(Int, Int)].collect().toSet
+        val dfW = spark.sql(
+          """SELECT a.bid AS lid, b.bid AS rid
+             FROM boxes_self a JOIN boxes_self b ON ST_Within(a.box, b.box)""")
+        assert(dfW.as[(Int, Int)].collect().toSet == bruteW)
+      } finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
+    }
+  }
+
   test("bbox data-skipping conjuncts reach the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("geotbl").toString
     val df = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble))
