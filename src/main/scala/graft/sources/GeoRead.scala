@@ -22,11 +22,12 @@ object GeoRead {
     if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf")) OsmPbf.read(spark, path)
     else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
     else if (lower.endsWith(".fgb")) FlatGeobuf.read(spark, path)
+    else if (lower.endsWith(".gpkg")) GeoPackage.read(spark, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json")) readGeoJson(spark, path)
     else if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".csv")) readCsvWkt(spark, path)
     else throw new IllegalArgumentException(
-      s"unsupported format for $path (supported: .shp, .fgb, .geojson, .parquet, .csv, .osm.pbf)")
+      s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
   }
 
   private val geoJsonSchema = StructType(Seq(
@@ -155,6 +156,7 @@ object GeoRead {
         Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
         Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
         Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
+        Row("geopackage", "GeoPackage (.gpkg, SQLite container)", true, false),
         Row("csv_wkt", "CSV with WKT geometry column", true, true),
         Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false)))
 
@@ -176,6 +178,7 @@ object GeoRead {
     val (driver, schema) =
       if (lower.endsWith(".shp")) ("shapefile", Shapefile.schemaOf(path).simpleString)
       else if (lower.endsWith(".fgb")) ("flatgeobuf", FlatGeobuf.meta(spark, path)._2.simpleString)
+      else if (lower.endsWith(".gpkg")) ("geopackage", GeoPackage.read(spark, path).schema.simpleString)
       else if (lower.endsWith(".parquet")) ("parquet", spark.read.parquet(path).schema.simpleString)
       else if (lower.endsWith(".geojson") || lower.endsWith(".json")) ("geojson", "properties map<string,string>, geom binary")
       else ("unknown", "")

@@ -1,0 +1,69 @@
+package graft
+
+import graft.GeoFunctions._
+import graft.sources.{GeoPackage, GeoRead}
+import org.apache.spark.sql.functions._
+
+/** GeoPackage reader vs the committed fixture (generated once by
+ *  tools/make_gpkg_fixture.py — content is deterministic, so every
+ *  assertion below is closed-form). Exercises: multi-page table
+ *  b-trees, interior-page parallel subtrees, overflow chains (20000-
+ *  char text), NULLs, rowid-alias fid, GPB header stripping. */
+class GeoPackageSpec extends SparkSpec {
+
+  private val fixture = getClass.getResource("/sample.gpkg").getPath
+
+  test("layer catalog from gpkg_geometry_columns") {
+    val ls = GeoPackage.layers(spark, fixture)
+    assert(ls.map(l => (l._1, l._2, l._3)).toSet ==
+      Set(("pts", "geom", "POINT"), ("lines", "geom", "LINESTRING")))
+    assert(ls.forall(_._4 == 4326L))
+  }
+
+  test("reads the pts layer: schema, aggregates, nulls, overflow row") {
+    val df = GeoRead.read(spark, fixture) // first layer = pts
+    assert(df.columns.toSeq == Seq("fid", "name", "value", "flag", "tag", "geom"))
+    assert(df.count() == 3001)
+
+    val agg = df.agg(
+      sum("value"), sum("flag"), count("tag"), max("fid"), min("fid")).collect()(0)
+    assert(agg.getDouble(0) == 2250750.0)
+    assert(agg.getLong(1) == 1500L)
+    assert(agg.getLong(2) == 3001 - 428)   // 428 NULL tags
+    assert(agg.getLong(3) == 3001L && agg.getLong(4) == 1L)
+
+    // overflow row: 20000-char name, NULL geometry and value
+    val big = df.filter(col("fid") === 3001).collect()(0)
+    assert(big.getString(1).length == 20000 && big.getString(1).forall(_ == 'x'))
+    assert(big.isNullAt(2) && big.isNullAt(5))
+
+    // geometry decodes to the constructed points through the GPB header
+    val pt = df.filter(col("fid") === 123)
+      .select(st_x(col("geom")), st_y(col("geom"))).collect()(0)
+    assert(pt.getDouble(0) == 23.0 && pt.getDouble(1) == 1.0)
+    val sums = df.filter(col("fid") <= 3000)
+      .select(sum(st_x(col("geom"))), sum(st_y(col("geom")))).collect()(0)
+    assert(sums.getDouble(0) == (1 to 3000).map(_ % 100).sum.toDouble)
+    assert(sums.getDouble(1) == (1 to 3000).map(_ / 100).sum.toDouble)
+  }
+
+  test("reads a named layer and parallelizes over b-tree subtrees") {
+    val lines = GeoPackage.read(spark, fixture, layer = "lines")
+    assert(lines.count() == 10)
+    assert(lines.select(sum(st_npoints(col("geom")))).collect()(0).getLong(0) == 20L)
+    assert(lines.filter(col("kind") === "k1").count() == 5)
+
+    // the 3001-row layer spans multiple leaf pages → >1 partition
+    val pts = GeoPackage.read(spark, fixture)
+    assert(pts.rdd.getNumPartitions > 1,
+      s"expected parallel subtrees, got ${pts.rdd.getNumPartitions}")
+  }
+
+  test("readMeta and drivers report geopackage") {
+    val meta = GeoRead.readMeta(spark, fixture).collect()(0)
+    assert(meta.getString(1) == "geopackage")
+    assert(meta.getString(2).contains("fid"))
+    val drv = GeoRead.drivers(spark).filter(col("short_name") === "geopackage").collect()
+    assert(drv.length == 1 && drv(0).getBoolean(2))
+  }
+}

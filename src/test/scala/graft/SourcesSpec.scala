@@ -127,7 +127,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("drivers + read_meta") {
-    assert(GeoRead.drivers(spark).count() == 6)
+    assert(GeoRead.drivers(spark).count() == 7)
     assume(nycShp.isDefined)
     val meta = GeoRead.readMeta(spark, nycShp.get).collect()(0)
     assert(meta.getString(1) == "shapefile")
