@@ -154,7 +154,7 @@ object GeoRead {
       Seq(
         Row("parquet", "GeoParquet / Parquet with WKB", true, true),
         Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
-        Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, false),
+        Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, true),
         Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
         Row("geopackage", "GeoPackage (.gpkg, SQLite container)", true, false),
         Row("csv_wkt", "CSV with WKT geometry column", true, true),

@@ -48,7 +48,7 @@ object Shapefile {
   }
 
   private def dbfFieldType(f: DbfField): DataType = f.typ match {
-    case 'N' if f.dec == 0 && f.len < 19 => LongType
+    case 'N' if f.dec == 0 && f.len <= 20 => LongType
     case 'N' | 'F' => DoubleType
     case 'L' => BooleanType
     case _ => StringType // C, D (dates as yyyymmdd strings), memos
@@ -129,7 +129,7 @@ object Shapefile {
           val raw = new String(attr, pos, f.len, charset).trim
           pos += f.len
           f.typ match {
-            case 'N' if f.dec == 0 && f.len < 19 =>
+            case 'N' if f.dec == 0 && f.len <= 20 =>
               if (raw.isEmpty || raw == "*") null else try java.lang.Long.valueOf(raw.toLong) catch { case _: Exception => null }
             case 'N' | 'F' =>
               if (raw.isEmpty || raw == "*") null else try java.lang.Double.valueOf(raw.toDouble) catch { case _: Exception => null }
@@ -207,6 +207,279 @@ object Shapefile {
 
   private def closeRing(cs: Array[Coordinate]): Array[Coordinate] =
     if (cs.length >= 3 && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+
+  // ---- writer ----------------------------------------------------------
+
+  private val MNoData = -1e39 // spec: M < -1e38 means "no data"
+
+  /**
+   * Write a shapefile set (.shp/.shx/.dbf/.cpg, UTF-8 attributes) from
+   * a DataFrame with one geometry column. Shapefiles force one shape
+   * class per file — the class (and Z-ness) comes from the first
+   * non-null geometry; Point/MultiPoint/PolyLine/Polygon supported,
+   * matching the reader. Two passes: a Spark aggregation sizes the
+   * dBASE fields (max string bytes) and the extent; the records then
+   * stream through the driver (single-file format, same shape as the
+   * reference's GDAL COPY TO — gdal/functions/st_write.cpp:558-569).
+   * Local filesystem paths (like the reader).
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count => fcount, max => fmax, octet_length}
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+
+    // pass 1: row count, geometry extent, string field byte widths
+    val aggs = Seq(fcount(col("*")).as("__n"),
+      graft.GeoFunctions.st_extent_agg(col(geomCol)).as("__ext")) ++
+      attrs.collect { case (f, i) if f.dataType == StringType =>
+        fmax(octet_length(col(f.name))).as(s"__w$i")
+      }
+    val widthCols = attrs.collect { case (f, i) if f.dataType == StringType => col(s"__w$i") }
+    val stat = df.agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("__n"),
+        graft.GeoFunctions.st_xmin(col("__ext")).as("__x0"),
+        graft.GeoFunctions.st_ymin(col("__ext")).as("__y0"),
+        graft.GeoFunctions.st_xmax(col("__ext")).as("__x1"),
+        graft.GeoFunctions.st_ymax(col("__ext")).as("__y1")) ++ widthCols: _*)
+      .collect()(0)
+    val nRows = stat.getLong(0)
+    def d(idx: Int): Double = if (stat.isNullAt(idx)) 0.0 else stat.getDouble(idx)
+    val (x0, y0, x1, y1) = (d(1), d(2), d(3), d(4))
+    val strWidth: Map[Int, Int] = attrs.collect {
+      case (f, i) if f.dataType == StringType =>
+        i -> math.min(254, math.max(1, stat.getAs[Any](s"__w$i") match {
+          case null => 1; case n: Number => n.intValue()
+        }))
+    }.toMap
+
+    // dBASE field descriptors
+    case class OutField(name: String, typ: Char, len: Int, dec: Int, rowIdx: Int)
+    val outFields = attrs.map { case (f, i) =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => OutField(f.name, 'N', 20, 0, i)
+        case DoubleType | FloatType => OutField(f.name, 'N', 33, 9, i)
+        case BooleanType => OutField(f.name, 'L', 1, 0, i)
+        case StringType => OutField(f.name, 'C', strWidth(i), 0, i)
+        case other => throw new IllegalArgumentException(
+          s"shapefile .dbf cannot store column ${f.name}: $other")
+      }
+    }
+
+    // shape class from the first non-null geometry
+    val firstGeom = df.select(col(geomCol)).filter(col(geomCol).isNotNull).head(1)
+    val (baseType, hasZ) =
+      if (firstGeom.isEmpty) (1, false)
+      else {
+        val g = Jts.read(firstGeom(0).getAs[Array[Byte]](0))
+        val b = g.getGeometryType match {
+          case "Point" => 1
+          case "MultiPoint" => 8
+          case "LineString" | "MultiLineString" => 3
+          case "Polygon" | "MultiPolygon" => 5
+          case other => throw new IllegalArgumentException(s"shapefile cannot store $other")
+        }
+        val c = g.getCoordinate
+        (b, c != null && !c.getZ.isNaN)
+      }
+    val shapeType = if (hasZ) baseType + 10 else baseType
+
+    val base = path.replaceAll("\\.[sS][hH][pP]$", "")
+    val shp = new RandomAccessFile(s"$base.shp", "rw"); shp.setLength(0)
+    val shx = new RandomAccessFile(s"$base.shx", "rw"); shx.setLength(0)
+    val dbf = new RandomAccessFile(s"$base.dbf", "rw"); dbf.setLength(0)
+    try {
+      writeMainHeader(shp, shapeType, x0, y0, x1, y1)
+      writeMainHeader(shx, shapeType, x0, y0, x1, y1)
+      writeDbfHeader(dbf, nRows.toInt, outFields.map(f => (f.name, f.typ, f.len, f.dec)))
+
+      var recNo = 1
+      var shpWords = 50L // running .shp length in 16-bit words
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val wkb = row.get(geomIdx)
+        val content = shapeContent(
+          if (wkb == null) null else Jts.read(wkb.asInstanceOf[Array[Byte]]), baseType, hasZ)
+        val contentWords = content.length / 2
+        // .shx entry: offset + content length, both in words, big-endian
+        shx.writeInt(shpWords.toInt); shx.writeInt(contentWords)
+        // .shp record header (big-endian) + content (little-endian)
+        shp.writeInt(recNo); shp.writeInt(contentWords)
+        shp.write(content)
+        shpWords += 4 + contentWords
+        recNo += 1
+        // .dbf record
+        dbf.write(' ')
+        outFields.foreach { f =>
+          val cell = formatDbf(row.get(f.rowIdx), f.typ, f.len, f.dec)
+          dbf.write(cell)
+        }
+      }
+      dbf.write(0x1A) // dBASE EOF
+
+      // back-patch file lengths (16-bit words, big-endian at offset 24)
+      shp.seek(24); shp.writeInt(shpWords.toInt)
+      shx.seek(24); shx.writeInt(50 + (recNo - 1) * 4)
+    } finally { shp.close(); shx.close(); dbf.close() }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base.cpg"),
+      "UTF-8".getBytes("ASCII"))
+  }
+
+  private def writeMainHeader(
+      raf: RandomAccessFile, shapeType: Int,
+      x0: Double, y0: Double, x1: Double, y1: Double): Unit = {
+    val hdr = ByteBuffer.allocate(100)
+    hdr.order(ByteOrder.BIG_ENDIAN)
+    hdr.putInt(0, 9994)
+    hdr.putInt(24, 50) // patched later for .shp
+    hdr.order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(28, 1000)
+    hdr.putInt(32, shapeType)
+    hdr.putDouble(36, x0); hdr.putDouble(44, y0)
+    hdr.putDouble(52, x1); hdr.putDouble(60, y1)
+    // zmin/zmax/mmin/mmax left 0
+    raf.write(hdr.array())
+  }
+
+  private def writeDbfHeader(
+      raf: RandomAccessFile, nRecords: Int, fields: Seq[(String, Char, Int, Int)]): Unit = {
+    val headerSize = 32 + fields.length * 32 + 1
+    val recordSize = 1 + fields.map(_._3).sum
+    val bb = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 0x03.toByte)
+    bb.put(1, 26.toByte); bb.put(2, 8.toByte); bb.put(3, 12.toByte) // last-update YMD
+    bb.putInt(4, nRecords)
+    bb.putShort(8, headerSize.toShort)
+    bb.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, typ, len, dec), i) =>
+      val off = 32 + i * 32
+      val nameBytes = name.getBytes("ASCII").take(10)
+      var j = 0
+      while (j < nameBytes.length) { bb.put(off + j, nameBytes(j)); j += 1 }
+      bb.put(off + 11, typ.toByte)
+      bb.put(off + 16, len.toByte)
+      bb.put(off + 17, dec.toByte)
+    }
+    bb.put(headerSize - 1, 0x0D.toByte)
+    raf.write(bb.array())
+  }
+
+  /** One fixed-width dBASE cell (space-padded; numerics right-justified). */
+  private def formatDbf(v: Any, typ: Char, len: Int, dec: Int): Array[Byte] = {
+    val s = (v, typ) match {
+      case (null, 'L') => "?"
+      case (null, _) => ""
+      case (b: Boolean, 'L') => if (b) "T" else "F"
+      case (n: Number, 'N') if dec == 0 => n.longValue().toString
+      case (n: Number, 'N') =>
+        val f = s"%.${dec}f".format(n.doubleValue())
+        if (f.length > len) "*" else f // overflow -> dBASE null marker
+      case (other, _) => other.toString
+    }
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](len)
+    java.util.Arrays.fill(out, ' '.toByte)
+    if (typ == 'N') // right-justify
+      System.arraycopy(bytes, 0, out, math.max(0, len - bytes.length),
+        math.min(len, bytes.length))
+    else
+      System.arraycopy(bytes, 0, out, 0, math.min(len, bytes.length))
+    out
+  }
+
+  /** Little-endian record content for one geometry (null -> Null shape). */
+  private[sources] def shapeContent(g: Geometry, baseType: Int, hasZ: Boolean): Array[Byte] = {
+    if (g == null || g.isEmpty) {
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0, 0)
+      return bb.array()
+    }
+    val shapeType = if (hasZ) baseType + 10 else baseType
+    val env = g.getEnvelopeInternal
+    def zOf(c: Coordinate): Double = { val z = c.getZ; if (z.isNaN) 0.0 else z }
+
+    baseType match {
+      case 1 =>
+        val c = g.getCoordinate
+        val size = if (hasZ) 36 else 20
+        val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(0, shapeType)
+        bb.putDouble(4, c.x); bb.putDouble(12, c.y)
+        if (hasZ) { bb.putDouble(20, zOf(c)); bb.putDouble(28, MNoData) }
+        bb.array()
+      case 8 =>
+        val cs = g.getCoordinates
+        val n = cs.length
+        val size = 40 + n * 16 + (if (hasZ) 2 * (16 + n * 8) else 0)
+        val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(0, shapeType)
+        putBox(bb, 4, env)
+        bb.putInt(36, n)
+        var i = 0
+        while (i < n) { bb.putDouble(40 + i * 16, cs(i).x); bb.putDouble(48 + i * 16, cs(i).y); i += 1 }
+        if (hasZ) putZM(bb, 40 + n * 16, cs.map(zOf))
+        bb.array()
+      case 3 | 5 =>
+        // parts: lines as-is; polygon rings with spec winding (shell CW,
+        // holes CCW), all coordinate runs concatenated
+        val parts: Seq[Array[Coordinate]] = baseType match {
+          case 3 =>
+            (0 until g.getNumGeometries).map(g.getGeometryN(_).getCoordinates)
+          case _ =>
+            (0 until g.getNumGeometries).map(g.getGeometryN(_).asInstanceOf[Polygon]).flatMap { p =>
+              val shell = ringCoords(p.getExteriorRing, ccw = false)
+              val holes = (0 until p.getNumInteriorRing).map(k =>
+                ringCoords(p.getInteriorRingN(k), ccw = true))
+              shell +: holes
+            }
+        }
+        val nParts = parts.length
+        val nPoints = parts.map(_.length).sum
+        val size = 44 + nParts * 4 + nPoints * 16 + (if (hasZ) 2 * (16 + nPoints * 8) else 0)
+        val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(0, shapeType)
+        putBox(bb, 4, env)
+        bb.putInt(36, nParts); bb.putInt(40, nPoints)
+        var acc = 0
+        parts.indices.foreach { i => bb.putInt(44 + i * 4, acc); acc += parts(i).length }
+        val ptBase = 44 + nParts * 4
+        var i = 0
+        val flat = parts.flatten
+        while (i < nPoints) {
+          bb.putDouble(ptBase + i * 16, flat(i).x); bb.putDouble(ptBase + 8 + i * 16, flat(i).y)
+          i += 1
+        }
+        if (hasZ) putZM(bb, ptBase + nPoints * 16, flat.map(zOf).toArray)
+        bb.array()
+      case other => throw new IllegalArgumentException(s"unsupported shape class $other")
+    }
+  }
+
+  private def putBox(bb: ByteBuffer, off: Int, env: Envelope): Unit = {
+    bb.putDouble(off, env.getMinX); bb.putDouble(off + 8, env.getMinY)
+    bb.putDouble(off + 16, env.getMaxX); bb.putDouble(off + 24, env.getMaxY)
+  }
+
+  /** Z block (zmin,zmax,z[]) followed by an M block of no-data. */
+  private def putZM(bb: ByteBuffer, off: Int, zs: Array[Double]): Unit = {
+    val n = zs.length
+    bb.putDouble(off, if (n == 0) 0 else zs.min)
+    bb.putDouble(off + 8, if (n == 0) 0 else zs.max)
+    var i = 0
+    while (i < n) { bb.putDouble(off + 16 + i * 8, zs(i)); i += 1 }
+    val mOff = off + 16 + n * 8
+    bb.putDouble(mOff, MNoData); bb.putDouble(mOff + 8, MNoData)
+    i = 0
+    while (i < n) { bb.putDouble(mOff + 16 + i * 8, MNoData); i += 1 }
+  }
+
+  private def ringCoords(ring: LineString, ccw: Boolean): Array[Coordinate] = {
+    val cs = closeRing(ring.getCoordinates)
+    val isCcw = org.locationtech.jts.algorithm.Orientation.isCCW(
+      Jts.gf.getCoordinateSequenceFactory.create(cs))
+    if (isCcw == ccw) cs else cs.reverse
+  }
 
   /** Shapefile winding: clockwise rings are shells, counter-clockwise
    *  holes; each hole belongs to the shell that contains it. */
