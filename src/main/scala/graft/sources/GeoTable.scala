@@ -59,6 +59,54 @@ object GeoTable {
     GeoParquetMeta.tagDirectory(path, geomCol, bbox, crs)
   }
 
+  /**
+   * Append a batch to an existing clustered table WITHOUT rewriting it
+   * (the reference's R-Tree supports incremental insert via its WAL —
+   * rtree_index_create_physical.cpp, test/sql/index/rtree_crud.test;
+   * the clustered-layout analog is delta files). The batch is Hilbert-
+   * clustered among itself, so each new file still has a tight bbox /
+   * hilbert extent and data skipping keeps working — pruning degrades
+   * only gradually as deltas accumulate (extents of old and new files
+   * may overlap), and [[recluster]] restores the optimal layout.
+   */
+  def appendClustered(
+      df: DataFrame, geomCol: String, path: String,
+      extent: (Double, Double, Double, Double),
+      numFiles: Int = 0): Unit = {
+    val (x0, y0, x1, y1) = extent
+    val withKey = withBbox(df, geomCol)
+      .withColumn("__hilbert", st_hilbert(col(geomCol), lit(x0), lit(y0), lit(x1), lit(y1)))
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withKey
+      .repartitionByRange(parts, col("__hilbert"))
+      .sortWithinPartitions("__hilbert")
+      .drop("__hilbert")
+      .write.mode("append").parquet(path)
+    // retag every part file (idempotent) so new deltas carry `geo` too
+    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent))
+  }
+
+  /**
+   * Rewrite a clustered table into an optimal single-generation layout
+   * (compaction after a run of [[appendClustered]] deltas — the analog
+   * of the reference's index rebuild/vacuum). Atomic swap via a
+   * sibling temp dir.
+   */
+  def recluster(
+      spark: SparkSession, geomCol: String, path: String,
+      extent: (Double, Double, Double, Double),
+      numFiles: Int = 0): Unit = {
+    val df = spark.read.parquet(path).drop(s"${geomCol}_bbox")
+    val tmp = path.stripSuffix("/") + ".__recluster_tmp"
+    writeClustered(df, geomCol, tmp, extent, numFiles)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    fs.rename(hTmp, hPath)
+  }
+
   /** Global extent of a geometry column (one action). */
   def extentOf(df: DataFrame, geomCol: String): (Double, Double, Double, Double) = {
     val r = df.select(st_extent_agg(col(geomCol)).as("e"))
