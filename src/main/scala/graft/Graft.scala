@@ -58,11 +58,34 @@ object Graft {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case other => other.toString
     }
-    def litNum(e: Expression): Double = e.eval(null).asInstanceOf[Number].doubleValue()
+    def litNum(e: Expression): Double = e.eval(null) match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL decimal literals (1.5)
+      case n: java.lang.Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.analyzed
+    // arities (reference st_read options, st_read.cpp:676-695):
+    //   st_read(path)
+    //   st_read(path, layer)
+    //   st_read(path, x0, y0, x1, y1)          -- spatial_filter_box
+    //   st_read(path, layer, x0, y0, x1, y1)
     tfReg.createOrReplaceTempFunction("st_read",
-      exprs => planOf(graft.sources.GeoRead.read(SparkSession.active, litStr(exprs.head))), "scala_udf")
+      exprs => {
+        import graft.sources.GeoRead
+        val rest = exprs.tail
+        val opts = rest.length match {
+          case 0 => GeoRead.ReadOptions()
+          case 1 => GeoRead.ReadOptions(layer = litStr(rest(0)))
+          case 4 => GeoRead.ReadOptions(spatialFilterBox =
+            Some((litNum(rest(0)), litNum(rest(1)), litNum(rest(2)), litNum(rest(3)))))
+          case 5 => GeoRead.ReadOptions(layer = litStr(rest(0)), spatialFilterBox =
+            Some((litNum(rest(1)), litNum(rest(2)), litNum(rest(3)), litNum(rest(4)))))
+          case n => throw new IllegalArgumentException(
+            s"st_read takes (path[, layer][, x0, y0, x1, y1]); got ${n + 1} args")
+        }
+        planOf(GeoRead.read(SparkSession.active, litStr(exprs.head), opts))
+      }, "scala_udf")
     tfReg.createOrReplaceTempFunction("st_drivers",
       _ => planOf(graft.sources.GeoRead.drivers(SparkSession.active)), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_read_meta",

@@ -17,17 +17,48 @@ import scala.jdk.CollectionConverters._
 object GeoRead {
 
   /** Read any supported geo format by extension. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame = read(spark, path, ReadOptions())
+
+  /** ST_Read options (reference st_read.cpp:676-695): `layer` selects a
+   *  multi-layer container's table; `spatialFilterBox` restricts the
+   *  scan to features intersecting the box — pushed into the source
+   *  where an index exists (FlatGeobuf packed R-tree), applied as an
+   *  exact residual filter everywhere. */
+  case class ReadOptions(
+      layer: String = "",
+      spatialFilterBox: Option[(Double, Double, Double, Double)] = None)
+
+  def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
     val lower = path.toLowerCase
-    if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf")) OsmPbf.read(spark, path)
-    else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
-    else if (lower.endsWith(".fgb")) FlatGeobuf.read(spark, path)
-    else if (lower.endsWith(".gpkg")) GeoPackage.read(spark, path)
-    else if (lower.endsWith(".geojson") || lower.endsWith(".json")) readGeoJson(spark, path)
-    else if (lower.endsWith(".parquet")) spark.read.parquet(path)
-    else if (lower.endsWith(".csv")) readCsvWkt(spark, path)
-    else throw new IllegalArgumentException(
-      s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
+    val df =
+      if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf")) OsmPbf.read(spark, path)
+      else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
+      else if (lower.endsWith(".fgb"))
+        // index pushdown: candidates by stored bbox, exact filter below
+        FlatGeobuf.read(spark, path, bbox = opts.spatialFilterBox)
+      else if (lower.endsWith(".gpkg")) GeoPackage.read(spark, path, opts.layer)
+      else if (lower.endsWith(".geojson") || lower.endsWith(".json")) readGeoJson(spark, path)
+      else if (lower.endsWith(".parquet")) spark.read.parquet(path)
+      else if (lower.endsWith(".csv")) readCsvWkt(spark, path)
+      else throw new IllegalArgumentException(
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
+    opts.spatialFilterBox match {
+      case Some((x0, y0, x1, y1)) =>
+        // exact residual filter on the geometry column (conventional
+        // names first, else the first binary column)
+        val geomCol = df.schema.fields
+          .find(f => Seq("geom", "geometry", "wkb_geometry").contains(f.name.toLowerCase))
+          .orElse(df.schema.fields.find(_.dataType == BinaryType))
+          .map(_.name)
+        geomCol match {
+          case Some(gc) =>
+            import graft.GeoFunctions._
+            df.filter(st_intersects(col(gc),
+              st_makeenvelope(lit(x0), lit(y0), lit(x1), lit(y1))))
+          case None => df
+        }
+      case _ => df
+    }
   }
 
   private val geoJsonSchema = StructType(Seq(

@@ -59,6 +59,28 @@ class GeoPackageSpec extends SparkSpec {
       s"expected parallel subtrees, got ${pts.rdd.getNumPartitions}")
   }
 
+  test("st_read options: layer + spatial_filter_box (SQL table function)") {
+    Graft.install(spark)
+    val lines = spark.sql(s"SELECT * FROM st_read('$fixture', 'lines')")
+    assert(lines.count() == 10)
+    // box covering x in [0, 50.5] of the pts grid -> closed-form count:
+    // points (i%100, i/100) with x <= 50 and y <= 30 (all y <= 30)
+    val filtered = spark.sql(
+      s"SELECT * FROM st_read('$fixture', 'pts', 0.0, 0.0, 50.5, 100.0)")
+    val want = (1 to 3000).count(i => i % 100 <= 50)
+    assert(filtered.count() == want)
+    // fgb path goes through the index pushdown
+    val fgb = "/root/reference/test/data/amsterdam_roads.fgb"
+    if (new java.io.File(fgb).exists()) {
+      val n = spark.sql(
+        s"SELECT * FROM st_read('$fgb', 554000.0, 6858000.0, 556000.0, 6860000.0)").count()
+      val brute = spark.sql(s"SELECT * FROM st_read('$fgb')")
+        .filter(st_intersects(col("geom"),
+          st_makeenvelope(lit(554000.0), lit(6858000.0), lit(556000.0), lit(6860000.0)))).count()
+      assert(n == brute && n > 0)
+    }
+  }
+
   test("readMeta and drivers report geopackage") {
     val meta = GeoRead.readMeta(spark, fixture).collect()(0)
     assert(meta.getString(1) == "geopackage")
