@@ -574,6 +574,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // IVF-flat ANN with a DETERMINISTIC coarse quantizer (every 25th
+    // vector) so the whole index+search pipeline is closed-form and the
+    // oracle replicates it exactly — argmax list assignment, top-nprobe
+    // probing, exact cosine re-rank, all tie-broken on (round(sim,6), id)
+    "q_emb_ivf_topk" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val cent = emb.filter(col("vec_id") % 25 === 0)
+      val qs = emb.filter(col("vec_id") < 20)
+      operators.Similarity.ivfTopK(emb, qs, cent,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_mm_decode" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -1278,7 +1295,37 @@ object SparkEntry {
              SELECT query_id, corpus_id, sim,
                row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
              FROM scored) t
-           WHERE rnk <= 5 ORDER BY query_id, rnk"""
+           WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+      "q_emb_ivf_topk" -> {
+        def dCos(a: String, b: String): String =
+          s"""list_sum([($a.embedding[i]::DOUBLE) * ($b.embedding[i]::DOUBLE) for i in range(1, length($a.embedding) + 1)])
+              / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $a.embedding]))
+                 * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $b.embedding])))"""
+        s"""WITH assign AS (
+              SELECT c.vec_id AS corpus_id, k.vec_id AS cid,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY round(${dCos("c", "k")}, 6) DESC, k.vec_id) AS rn
+              FROM embeddings c JOIN embeddings k ON k.vec_id % 25 = 0),
+            lists AS (SELECT cid, corpus_id FROM assign WHERE rn = 1),
+            probes AS (
+              SELECT q.vec_id AS query_id, k.vec_id AS cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(${dCos("q", "k")}, 6) DESC, k.vec_id) AS rn
+              FROM embeddings q JOIN embeddings k ON q.vec_id < 20 AND k.vec_id % 25 = 0),
+            cand AS (
+              SELECT p.query_id, l.corpus_id, ${dCos("q", "c")} AS sim
+              FROM (SELECT query_id, cid FROM probes WHERE rn <= 3) p
+              JOIN lists l ON l.cid = p.cid
+              JOIN embeddings q ON q.vec_id = p.query_id
+              JOIN embeddings c ON c.vec_id = l.corpus_id
+              WHERE l.corpus_id <> p.query_id)
+            SELECT query_id, corpus_id, round(sim, 6) AS cosine, rnk FROM (
+              SELECT query_id, corpus_id, sim,
+                row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
+              FROM cand) t
+            WHERE rnk <= 5 ORDER BY query_id, rnk"""
+      }
     )
   }
 }

@@ -94,4 +94,61 @@ object Similarity {
   /** Vector L2 norm (useful for filtering degenerate embeddings). */
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /**
+   * IVF-flat approximate top-k — the inverted-file scale path for
+   * similarity search (vs [[bruteForceTopK]]'s exhaustive scan).
+   *
+   * `centroids` is the coarse quantizer (id, vector). It must be small
+   * enough to broadcast — at scale use a sampled/k-means subset (a few
+   * Lloyd rounds over a sample; the INDEX SHAPE is what matters here
+   * and is independent of how centroids were chosen):
+   *
+   *  - build: ONE corpus scan × broadcast(centroids) → argmax cosine →
+   *    inverted lists (list_id, id, vec), i.e. the corpus partitioned
+   *    by list id. No corpus×corpus or corpus×query product anywhere.
+   *  - search: queries × broadcast(centroids) → top-`nprobe` lists per
+   *    query; equi-join probes⋈lists on list_id reads ONLY probed
+   *    lists (1/`numLists`·`nprobe` of the corpus in expectation);
+   *    exact cosine + top-k window on the candidates.
+   *
+   * Ranking ties break on rounded cosine then id, keeping results
+   * deterministic across partitionings.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      corpusId: Column, corpusVec: Column,
+      queryId: Column, queryVec: Column,
+      centroidId: Column, centroidVec: Column,
+      k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val cent = centroids.select(centroidId.as("__cid"), centroidVec.as("__centv"))
+
+    val wAssign = Window.partitionBy(col("corpus_id"))
+      .orderBy(round(col("__cs"), 6).desc, col("__cid").asc)
+    val lists = c.crossJoin(broadcast(cent))
+      .withColumn("__cs", cosine(col("__cv"), col("__centv")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("__cid"), col("corpus_id"), col("__cv"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__qs"), 6).desc, col("__cid").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("__qs", cosine(col("__qv"), col("__centv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__cid"), col("query_id"), col("__qv"))
+
+    val cands = probes.join(lists, "__cid")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__sim"), 6).desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("__sim"), 6).as("cosine"), col("rank"))
+  }
 }

@@ -171,6 +171,24 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.5, s"ANN recall too low: $recall (${ann.size}/${brute.size})")
     }
   }
+
+  test("ivf topk: probed search recalls most brute-force neighbors, deterministic") {
+    val cent = emb.filter($"vec_id" % 25 === 0)
+    val qs = emb.filter($"vec_id" < 20)
+    def run() = Similarity.ivfTopK(emb, qs, cent,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", $"vec_id", $"embedding",
+      k = 5, nprobe = 3)
+    val ivf = run().select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(ivf == run().select("query_id", "corpus_id").as[(Long, Long)].collect().toSet)
+    assert(ivf.groupBy(_._1).size == 20 && ivf.groupBy(_._1).values.forall(_.size == 5))
+
+    val brute = Similarity.bruteForceTopK(emb, qs,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // 3 of 20 lists probed (15% of the corpus scanned per query)
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
