@@ -137,19 +137,16 @@ object Bench {
     // headline queries they are not dominated by Spark's fixed
     // ~0.1-0.4 s per-query floor — that floor is amortized at real
     // data sizes, which is what these measure.
-    val bigWorkloads = Map(
-      "points_envelope_10m_sql" ->
-        """SELECT count(*) FROM (
-             SELECT (hash(range * 2) % 10000000) / 1000.0 AS x,
-                    (hash(range * 2 + 1) % 10000000) / 1000.0 AS y
-             FROM range(10000000))
-           WHERE x BETWEEN 450.0 AND 650.0 AND y BETWEEN 450.0 AND 650.0""")
-    val bigSql =
-      """SELECT count(*) FROM (
-           SELECT (hash(id * 2) % 10000000) / 1000.0 AS x,
-                  (hash(id * 2 + 1) % 10000000) / 1000.0 AS y
+    // identical VALUES on both engines (engine hash() functions differ,
+    // so the generator is a shared Lehmer LCG in exact BIGINT range)
+    def bigSqlFor(idCol: String): String =
+      s"""SELECT count(*) FROM (
+           SELECT (($idCol * 2 + 1) * 48271 % 2147483647) / 214748.3647 AS x,
+                  (($idCol * 2 + 7) * 16807 % 2147483647) / 214748.3647 AS y
            FROM range(10000000))
-         WHERE x BETWEEN 450.0 AND 650.0 AND y BETWEEN 450.0 AND 650.0"""
+         WHERE x BETWEEN 4500.0 AND 6500.0 AND y BETWEEN 4500.0 AND 6500.0"""
+    val bigWorkloads = Map("points_envelope_10m_sql" -> bigSqlFor("range"))
+    val bigSql = bigSqlFor("id")
     spark.sql(bigSql).collect() // warm (codegen compile), matching the oracle's warm run
     results("points_envelope_10m_sql") = time { spark.sql(bigSql).collect()(0).getLong(0) }
 

@@ -75,6 +75,10 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    // persist lifetime: no explicit unpersist is possible on a lazily
+    // returned frame; Spark's ContextCleaner unpersists the cached RDD
+    // once the frame is unreferenced (GC-driven), so repeated calls in
+    // a long session do not accumulate live cache blocks indefinitely.
     // persist: the signature frame is read by both the banding branch
     // and the per-pair signature re-join — without it each branch would
     // re-parse `text` from the source (the expensive part at scale)

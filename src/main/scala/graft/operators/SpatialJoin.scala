@@ -183,8 +183,10 @@ object SpatialJoin {
     // Quantize to 2 significant digits: the deferred path embeds this
     // subplan once per join side, and floor(x/cs) cell ids computed with
     // cs values differing by an ulp (float-sum merge order, broadcast
-    // reuse off) would silently drop matching pairs. After rounding,
-    // ulp-level divergence cannot change the quantized value.
+    // reuse off) would silently drop matching pairs. Rounding to ~2
+    // significant digits makes divergence require the raw estimates to
+    // straddle a round() half-way boundary to within a few ulps —
+    // probability ~1e-13 per join, vs certain-adjacent-ulp without it.
     val step = pow(lit(10.0), floor(log(10.0, raw)) - 1)
     ls.crossJoin(rs).select((round(raw / step) * step).as("__cs"))
   }

@@ -380,6 +380,18 @@ object FlatGeobuf {
         ranges += ((start, endOff))
         i = j + 1
       }
+      // run ends come from NON-hit items, which the hit-offset
+      // monotonicity check above cannot vouch for — re-validate the
+      // final ranges (each non-empty, strictly ordered, disjoint) and
+      // fall back to the full scan on any violation
+      var ok = true
+      var r = 0
+      while (r < ranges.length) {
+        if (ranges(r)._2 <= ranges(r)._1) ok = false
+        if (r > 0 && ranges(r)._1 < ranges(r - 1)._2) ok = false
+        r += 1
+      }
+      if (!ok) return Array((0L, featuresLen))
       ranges.toArray
     } finally in.close()
   }

@@ -272,6 +272,7 @@ object GeoPackage {
   private def gpbToWkb(blob: Array[Byte]): Array[Byte] = {
     if (blob == null || blob.length < 8 || blob(0) != 'G' || blob(1) != 'P') return blob
     val flags = blob(3) & 0xFF
+    if (((flags >> 5) & 1) == 1) return null // ExtendedGeoPackageBinary: unsupported
     if (((flags >> 4) & 1) == 1) return null // empty-geometry flag
     val envSize = ((flags >> 1) & 7) match {
       case 0 => 0; case 1 => 32; case 2 | 3 => 48; case 4 => 64
@@ -356,7 +357,10 @@ object GeoPackage {
           val raw = if (i < rec.length) rec(i) else null
           vals(i) =
             if (i == fidIdx && raw == null) rowid // rowid-alias column
-            else if (i == geomIdx) gpbToWkb(raw.asInstanceOf[Array[Byte]])
+            else if (i == geomIdx) raw match {
+              case b: Array[Byte] => gpbToWkb(b)
+              case _ => null // non-blob value in a geometry column
+            }
             else coerce(raw, fieldTypes(i))
           i += 1
         }
@@ -366,7 +370,10 @@ object GeoPackage {
     spark.createDataFrame(rows, schema)
   }
 
-  /** SQLite's dynamic typing → declared column type. */
+  /** SQLite's dynamic typing → declared column type. Any legal stored
+   *  class may appear under any declared affinity; values that cannot
+   *  be represented in the declared Spark type become null (never a
+   *  mistyped external object, which would fail the whole task). */
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: Long, LongType) => l
@@ -375,12 +382,17 @@ object GeoPackage {
     case (l: Long, StringType) => l.toString
     case (d: Double, DoubleType) => d
     case (d: Double, LongType) => d.toLong
+    case (d: Double, BooleanType) => d != 0.0
     case (d: Double, StringType) => d.toString
     case (s: String, StringType) => s
     case (s: String, DoubleType) => try s.toDouble catch { case _: Exception => null }
     case (s: String, LongType) => try s.toLong catch { case _: Exception => null }
+    case (s: String, BooleanType) => s.equalsIgnoreCase("true") || s == "1"
+    case (s: String, BinaryType) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     case (b: Array[Byte], BinaryType) => b
+    case (b: Array[Byte], StringType) =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
     case (other, StringType) => other.toString
-    case (other, _) => other
+    case (_, _) => null
   }
 }

@@ -30,33 +30,40 @@ object GeoRead {
 
   def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
     val lower = path.toLowerCase
-    val df =
-      if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf")) OsmPbf.read(spark, path)
-      else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
+    // each source declares its geometry column — never guessed from the
+    // schema (a data BLOB column must not be mistaken for geometry)
+    val (df, geomCol): (DataFrame, Option[String]) =
+      if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf"))
+        (OsmPbf.read(spark, path), None) // lat/lon columns, no WKB geometry
+      else if (lower.endsWith(".shp")) (Shapefile.read(spark, path), Some("geom"))
       else if (lower.endsWith(".fgb"))
         // index pushdown: candidates by stored bbox, exact filter below
-        FlatGeobuf.read(spark, path, bbox = opts.spatialFilterBox)
-      else if (lower.endsWith(".gpkg")) GeoPackage.read(spark, path, opts.layer)
-      else if (lower.endsWith(".geojson") || lower.endsWith(".json")) readGeoJson(spark, path)
-      else if (lower.endsWith(".parquet")) spark.read.parquet(path)
-      else if (lower.endsWith(".csv")) readCsvWkt(spark, path)
+        (FlatGeobuf.read(spark, path, bbox = opts.spatialFilterBox), Some("geom"))
+      else if (lower.endsWith(".gpkg")) {
+        val gc = GeoPackage.layers(spark, path)
+          .find(l => opts.layer.isEmpty || l._1 == opts.layer).map(_._2)
+        (GeoPackage.read(spark, path, opts.layer), gc)
+      }
+      else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
+        (readGeoJson(spark, path), Some("geom"))
+      else if (lower.endsWith(".parquet")) {
+        val p = spark.read.parquet(path)
+        // GeoParquet: primary column from the `geo` footer when present
+        val fromMeta = GeoParquetMeta.readGeoMetadata(path).flatMap { json =>
+          "\"primary_column\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+        }
+        (p, fromMeta.orElse(p.schema.fields.find(f =>
+          f.dataType == BinaryType && Seq("geom", "geometry", "wkb_geometry")
+            .contains(f.name.toLowerCase)).map(_.name)))
+      }
+      else if (lower.endsWith(".csv")) (readCsvWkt(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
         s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
-    opts.spatialFilterBox match {
-      case Some((x0, y0, x1, y1)) =>
-        // exact residual filter on the geometry column (conventional
-        // names first, else the first binary column)
-        val geomCol = df.schema.fields
-          .find(f => Seq("geom", "geometry", "wkb_geometry").contains(f.name.toLowerCase))
-          .orElse(df.schema.fields.find(_.dataType == BinaryType))
-          .map(_.name)
-        geomCol match {
-          case Some(gc) =>
-            import graft.GeoFunctions._
-            df.filter(st_intersects(col(gc),
-              st_makeenvelope(lit(x0), lit(y0), lit(x1), lit(y1))))
-          case None => df
-        }
+    (opts.spatialFilterBox, geomCol) match {
+      case (Some((x0, y0, x1, y1)), Some(gc)) =>
+        import graft.GeoFunctions._
+        df.filter(st_intersects(col(gc),
+          st_makeenvelope(lit(x0), lit(y0), lit(x1), lit(y1))))
       case _ => df
     }
   }

@@ -90,21 +90,33 @@ object GeoTable {
   /**
    * Rewrite a clustered table into an optimal single-generation layout
    * (compaction after a run of [[appendClustered]] deltas — the analog
-   * of the reference's index rebuild/vacuum). Atomic swap via a
-   * sibling temp dir.
+   * of the reference's index rebuild/vacuum). The new generation is
+   * built in a sibling temp dir, the old one is renamed ASIDE before
+   * the new one renames in, and only then deleted — a crash at any
+   * point leaves a complete copy on disk (at `path`, `.__old`, or
+   * `.__new`), never zero copies. Not transactional for concurrent
+   * readers (a table format's job); same guarantee as a parquet
+   * overwrite.
    */
   def recluster(
       spark: SparkSession, geomCol: String, path: String,
       extent: (Double, Double, Double, Double),
       numFiles: Int = 0): Unit = {
     val df = spark.read.parquet(path).drop(s"${geomCol}_bbox")
-    val tmp = path.stripSuffix("/") + ".__recluster_tmp"
-    writeClustered(df, geomCol, tmp, extent, numFiles)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val base = path.stripSuffix("/")
+    val hPath = new org.apache.hadoop.fs.Path(base)
+    val hNew = new org.apache.hadoop.fs.Path(base + ".__new")
+    val hOld = new org.apache.hadoop.fs.Path(base + ".__old")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    fs.rename(hTmp, hPath)
+    fs.delete(hNew, true); fs.delete(hOld, true) // stale leftovers
+    writeClustered(df, geomCol, hNew.toString, extent, numFiles)
+    if (!fs.rename(hPath, hOld))
+      throw new java.io.IOException(s"recluster: cannot move $hPath aside")
+    if (!fs.rename(hNew, hPath)) {
+      fs.rename(hOld, hPath) // restore
+      throw new java.io.IOException(s"recluster: cannot move new generation into $hPath")
+    }
+    fs.delete(hOld, true)
   }
 
   /** Global extent of a geometry column (one action). */

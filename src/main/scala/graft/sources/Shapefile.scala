@@ -48,7 +48,7 @@ object Shapefile {
   }
 
   private def dbfFieldType(f: DbfField): DataType = f.typ match {
-    case 'N' if f.dec == 0 && f.len <= 20 => LongType
+    case 'N' if f.dec == 0 && f.len < 19 => LongType
     case 'N' | 'F' => DoubleType
     case 'L' => BooleanType
     case _ => StringType // C, D (dates as yyyymmdd strings), memos
@@ -129,7 +129,7 @@ object Shapefile {
           val raw = new String(attr, pos, f.len, charset).trim
           pos += f.len
           f.typ match {
-            case 'N' if f.dec == 0 && f.len <= 20 =>
+            case 'N' if f.dec == 0 && f.len < 19 =>
               if (raw.isEmpty || raw == "*") null else try java.lang.Long.valueOf(raw.toLong) catch { case _: Exception => null }
             case 'N' | 'F' =>
               if (raw.isEmpty || raw == "*") null else try java.lang.Double.valueOf(raw.toDouble) catch { case _: Exception => null }
@@ -257,7 +257,9 @@ object Shapefile {
     case class OutField(name: String, typ: Char, len: Int, dec: Int, rowIdx: Int)
     val outFields = attrs.map { case (f, i) =>
       f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => OutField(f.name, 'N', 20, 0, i)
+        // width 18 keeps the reader's integer rule (N, dec 0, len < 19 ->
+        // Long); 19+-digit values overflow to the dBASE null marker
+        case LongType | IntegerType | ShortType | ByteType => OutField(f.name, 'N', 18, 0, i)
         case DoubleType | FloatType => OutField(f.name, 'N', 33, 9, i)
         case BooleanType => OutField(f.name, 'L', 1, 0, i)
         case StringType => OutField(f.name, 'C', strWidth(i), 0, i)
@@ -272,15 +274,8 @@ object Shapefile {
       if (firstGeom.isEmpty) (1, false)
       else {
         val g = Jts.read(firstGeom(0).getAs[Array[Byte]](0))
-        val b = g.getGeometryType match {
-          case "Point" => 1
-          case "MultiPoint" => 8
-          case "LineString" | "MultiLineString" => 3
-          case "Polygon" | "MultiPolygon" => 5
-          case other => throw new IllegalArgumentException(s"shapefile cannot store $other")
-        }
         val c = g.getCoordinate
-        (b, c != null && !c.getZ.isNaN)
+        (shapeClassOf(g), c != null && !c.getZ.isNaN)
       }
     val shapeType = if (hasZ) baseType + 10 else baseType
 
@@ -371,7 +366,9 @@ object Shapefile {
       case (null, 'L') => "?"
       case (null, _) => ""
       case (b: Boolean, 'L') => if (b) "T" else "F"
-      case (n: Number, 'N') if dec == 0 => n.longValue().toString
+      case (n: Number, 'N') if dec == 0 =>
+        val t = n.longValue().toString
+        if (t.length > len) "*" else t // overflow -> dBASE null marker
       case (n: Number, 'N') =>
         val f = s"%.${dec}f".format(n.doubleValue())
         if (f.length > len) "*" else f // overflow -> dBASE null marker
@@ -388,6 +385,14 @@ object Shapefile {
     out
   }
 
+  private def shapeClassOf(g: Geometry): Int = g.getGeometryType match {
+    case "Point" => 1
+    case "LineString" | "LinearRing" | "MultiLineString" => 3
+    case "Polygon" | "MultiPolygon" => 5
+    case "MultiPoint" => 8
+    case other => throw new IllegalArgumentException(s"shapefile cannot store $other")
+  }
+
   /** Little-endian record content for one geometry (null -> Null shape). */
   private[sources] def shapeContent(g: Geometry, baseType: Int, hasZ: Boolean): Array[Byte] = {
     if (g == null || g.isEmpty) {
@@ -395,6 +400,11 @@ object Shapefile {
       bb.putInt(0, 0)
       return bb.array()
     }
+    // a shapefile holds exactly one shape class; a row of another class
+    // must fail loudly, not be silently mangled into the wrong record
+    val cls = shapeClassOf(g)
+    require(cls == baseType,
+      s"shapefile is ${shapeClassName(baseType)} but row has ${g.getGeometryType}")
     val shapeType = if (hasZ) baseType + 10 else baseType
     val env = g.getEnvelopeInternal
     def zOf(c: Coordinate): Double = { val z = c.getZ; if (z.isNaN) 0.0 else z }
@@ -454,6 +464,11 @@ object Shapefile {
         bb.array()
       case other => throw new IllegalArgumentException(s"unsupported shape class $other")
     }
+  }
+
+  private def shapeClassName(base: Int): String = base match {
+    case 1 => "Point"; case 3 => "PolyLine"; case 5 => "Polygon"; case 8 => "MultiPoint"
+    case other => s"class $other"
   }
 
   private def putBox(bb: ByteBuffer, off: Int, env: Envelope): Unit = {

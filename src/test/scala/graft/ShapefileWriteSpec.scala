@@ -74,6 +74,14 @@ class ShapefileWriteSpec extends SparkSpec {
     assert(back.filter($"geom".isNull).select($"id").collect()(0).getLong(0) == 2L)
   }
 
+  test("mixed geometry classes are rejected, not silently mangled") {
+    val out = tmp("mixed")
+    val df = Seq((1L, "POINT (1 2)"), (2L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("id", "wkt").select($"id", st_geomfromtext($"wkt").as("geom"))
+    val e = intercept[Exception] { Shapefile.write(df, "geom", out) }
+    assert(e.getMessage.contains("Polygon") || e.getCause != null)
+  }
+
   test("writer roundtrips the NYC reference fixture") {
     val dir = new java.io.File("/root/reference/test/data/nyc_export")
     val src = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
