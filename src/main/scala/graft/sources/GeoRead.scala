@@ -241,6 +241,25 @@ object GeoRead {
   }
 }
 
+/** ST_Write analog: one entry point over the writable geo formats with
+ *  path-extension dispatch — the same sugar the reference's
+ *  `COPY TO (FORMAT GDAL)` provides (gdal/functions/st_write.cpp:
+ *  558-569). Parquet (+`geo` metadata) and GeoJSON write cluster-
+ *  parallel; .fgb/.shp are single-file formats and stream through the
+ *  driver. */
+object GeoWrite {
+  def write(df: org.apache.spark.sql.DataFrame, path: String, geomCol: String = "geom"): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) GeoTable.writeGeoParquet(df, geomCol, path)
+    else if (lower.endsWith(".fgb")) FlatGeobuf.write(df, geomCol, path)
+    else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
+    else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
+      GeoJsonWriter.write(df, geomCol, path)
+    else throw new IllegalArgumentException(
+      s"unsupported write format for $path (supported: .parquet, .fgb, .shp, .geojson)")
+  }
+}
+
 /** GeoJSON writer: one feature per row, newline-delimited (streamable,
  *  partition-parallel — a FeatureCollection wrapper would serialize
  *  through one writer). Reference writes via GDAL COPY TO

@@ -80,4 +80,26 @@ object Streams {
           sessions.reverseIterator
       }.toDF("user_id", "session_start", "session_end", "n_events", "sum_value")
   }
+
+  /**
+   * Streaming exact dedup: keep the first occurrence of each key the
+   * stream has ever seen within the watermark horizon. State is
+   * Spark's dropDuplicates store, bounded by the event-time watermark
+   * (keys older than the horizon are evicted — at 100 TB/day the state
+   * cannot grow without bound, which an unwatermarked distinct would).
+   * Columns: `tsCol` event-time timestamp; `keyCols` the identity.
+   */
+  def dedupStream(
+      stream: DataFrame, tsCol: String, watermark: String,
+      keyCols: String*): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming near-dup candidate tagging: minhash-band bucket ids per
+   *  document, computed stateless per micro-batch (join the output
+   *  against a bucket store, or window-aggregate it, downstream). */
+  def minhashTagStream(stream: DataFrame, textCol: Column): DataFrame =
+    stream.withColumn("minhash_sig",
+      graft.operators.Dedup.minhashSignature(textCol))
 }

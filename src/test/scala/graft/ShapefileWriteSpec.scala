@@ -74,6 +74,21 @@ class ShapefileWriteSpec extends SparkSpec {
     assert(back.filter($"geom".isNull).select($"id").collect()(0).getLong(0) == 2L)
   }
 
+  test("GeoWrite dispatches by extension and roundtrips via GeoRead") {
+    val base = java.nio.file.Files.createTempDirectory("graft-geow").toString
+    val df = (1 to 20).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+      .select($"id", $"tag", st_point($"id".cast("double"), lit(2.0)).as("geom"))
+    for (ext <- Seq("parquet", "fgb", "shp", "geojson")) {
+      val p = s"$base/t.$ext"
+      graft.sources.GeoWrite.write(df, p)
+      val back = graft.sources.GeoRead.read(spark, p)
+      assert(back.count() == 20, s"roundtrip failed for .$ext")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.GeoWrite.write(df, s"$base/t.xyz")
+    }
+  }
+
   test("mixed geometry classes are rejected, not silently mangled") {
     val out = tmp("mixed")
     val df = Seq((1L, "POINT (1 2)"), (2L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))

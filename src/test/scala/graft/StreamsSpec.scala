@@ -65,6 +65,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per key; minhash tags match batch") {
+    // duplicate every event id by unioning the source with itself
+    val dir = eventsDir
+    val dupDir = "/tmp/graft-stream-events-dup"
+    if (!new java.io.File(dupDir).exists()) {
+      val e = spark.read.parquet(dir)
+      e.unionAll(e).write.mode("overwrite").parquet(dupDir)
+    }
+    val stream = spark.readStream.schema(eventsSchema).parquet(dupDir)
+    val deduped = Streams.dedupStream(stream, "ts", "1 hour", "event_id")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+      val distinctKeys = spark.read.parquet(dir).select("event_id", "ts").distinct().count()
+      assert(got.count() == distinctKeys)
+      assert(got.groupBy("event_id", "ts").count().filter($"count" > 1).count() == 0)
+    } finally q.stop()
+
+    // minhash tagging is stateless per micro-batch and equals the batch op
+    val docs = spark.read.parquet(dir).limit(50)
+      .select($"event_id", concat(lit("text payload nr "), $"event_id").as("text"))
+    val docsDir = "/tmp/graft-stream-docs"
+    docs.write.mode("overwrite").parquet(docsDir)
+    val dstream = spark.readStream.schema(docs.schema).parquet(docsDir)
+    val tagged = Streams.minhashTagStream(dstream, $"text")
+    val q2 = tagged.writeStream.outputMode("append").format("memory")
+      .queryName("mh_out").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("mh_out").select($"event_id", $"minhash_sig")
+      val batch = docs.select($"event_id",
+        graft.operators.Dedup.minhashSignature($"text").as("minhash_sig"))
+      assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+    } finally q2.stop()
+  }
+
   test("sessionization groups events by inactivity gap") {
     val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
     val sessions = Streams.sessionize(stream, gapMs = 3600 * 1000L)
