@@ -754,15 +754,35 @@ object FlatGeobuf {
   }
 
   /**
-   * Write a single .fgb file (magic · header · length-prefixed
-   * features; no spatial index — `index_node_size` is written as 0,
-   * readers fall back to a sequential feature scan). Features stream
-   * through the driver partition-by-partition (`toLocalIterator`) —
-   * FlatGeobuf is a single-file format, same shape as the reference's
-   * single-writer COPY TO (gdal/functions/st_write.cpp:558-569). For
-   * cluster-parallel output prefer [[GeoTable.writeGeoParquet]].
+   * Write an INDEXED .fgb: features Hilbert-ordered (the sort runs in
+   * Spark, not the driver), then magic · header (index_node_size=16,
+   * features_count=n) · packed Hilbert R-tree · features. The output
+   * both splits across partitions and serves bbox pushdown through our
+   * own reader (and any spec-conformant one). Feature bytes stream to
+   * a temp sidecar while (bbox, offset) accumulate (40 B/feature on
+   * the driver); the tree is then built bottom-up per the public
+   * packed_r_tree algorithm.
    */
-  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+  def writeIndexed(df: DataFrame, geomCol: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // global extent (one aggregation job) normalizes the Hilbert curve
+    val (x0, y0, x1, y1) = GeoTable.extentOf(df, geomCol)
+    val sorted = df.filter(col(geomCol).isNotNull).sort(
+      graft.GeoFunctions.st_hilbert(col(geomCol), lit(x0), lit(y0), lit(x1), lit(y1)))
+    write(sorted, geomCol, path, buildIndex = true)
+  }
+
+  /**
+   * Write a single .fgb file (magic · header · length-prefixed
+   * features; without `buildIndex` no spatial index is written —
+   * `index_node_size` 0, readers fall back to a sequential feature
+   * scan). Features stream through the driver partition-by-partition
+   * (`toLocalIterator`) — FlatGeobuf is a single-file format, same
+   * shape as the reference's single-writer COPY TO
+   * (gdal/functions/st_write.cpp:558-569). For cluster-parallel output
+   * prefer [[GeoTable.writeGeoParquet]].
+   */
+  def write(df: DataFrame, geomCol: String, path: String, buildIndex: Boolean = false): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val propFields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
@@ -777,6 +797,40 @@ object FlatGeobuf {
         c != null && !c.getZ.isNaN
       }
     }
+
+    // features stream to a local temp sidecar first: the header needs
+    // features_count, and an index must precede the features in-file
+    val tmp = java.io.File.createTempFile("graft-fgb", ".feat")
+    val items = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double, Long)]()
+    var count = 0L
+    val tout = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    try {
+      var offset = 0L
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val fbb = new FbBuilder(512)
+        val propBytes = encodeProperties(row, colDefs)
+        val geomRaw = row.get(geomIdx)
+        val g = if (geomRaw == null) null else Jts.read(geomRaw.asInstanceOf[Array[Byte]])
+        val geomOff = if (g == null) 0 else buildGeometryTable(fbb, g, hasZ)
+        val propsVec = if (propBytes.nonEmpty) fbb.createByteVector(propBytes) else 0
+        fbb.startTable(3)
+        if (geomOff != 0) fbb.slotOffset(0, geomOff)
+        if (propsVec != 0) fbb.slotOffset(1, propsVec)
+        val featBytes = fbb.finish(fbb.endTable())
+        writeLe32(tout, featBytes.length)
+        tout.write(featBytes)
+        if (buildIndex) {
+          require(g != null && !g.isEmpty,
+            "indexed .fgb write requires non-null geometries (writeIndexed filters them)")
+          val e = g.getEnvelopeInternal
+          items += ((e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, offset))
+        }
+        offset += 4 + featBytes.length
+        count += 1
+      }
+    } finally tout.close()
 
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -797,30 +851,70 @@ object FlatGeobuf {
       hb.slotByte(2, 0)          // geometry_type: Unknown (each feature carries its own)
       if (hasZ) hb.slotByte(3, 1)
       if (colsVec != 0) hb.slotOffset(7, colsVec)
+      if (count > 0) hb.slotLong(8, count)
       // index_node_size defaults to 16 in the schema — 0 must be explicit
-      hb.slotShort(9, 0)
+      hb.slotShort(9, if (buildIndex && count > 1) DefaultNodeSize else 0)
       val headerBytes = hb.finish(hb.endTable())
       writeLe32(out, headerBytes.length)
       out.write(headerBytes)
 
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
-        val fbb = new FbBuilder(512)
-        val propBytes = encodeProperties(row, colDefs)
-        val geomRaw = row.get(geomIdx)
-        val geomOff =
-          if (geomRaw == null) 0
-          else buildGeometryTable(fbb, Jts.read(geomRaw.asInstanceOf[Array[Byte]]), hasZ)
-        val propsVec = if (propBytes.nonEmpty) fbb.createByteVector(propBytes) else 0
-        fbb.startTable(3)
-        if (geomOff != 0) fbb.slotOffset(0, geomOff)
-        if (propsVec != 0) fbb.slotOffset(1, propsVec)
-        val featBytes = fbb.finish(fbb.endTable())
-        writeLe32(out, featBytes.length)
-        out.write(featBytes)
+      if (buildIndex && count > 1) out.write(buildPackedIndex(items.toIndexedSeq))
+
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp))
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally { out.close(); tmp.delete() }
+  }
+
+  private val DefaultNodeSize = 16
+
+  /** Packed Hilbert R-tree bytes (spec packed_r_tree layout): 40-byte
+   *  nodes root-first; leaves are the last `n` nodes in feature order
+   *  (the caller pre-sorts features by Hilbert value); an internal
+   *  node's offset is its first child's absolute node index, a leaf's
+   *  is the feature byte offset. */
+  private def buildPackedIndex(
+      items: IndexedSeq[(Double, Double, Double, Double, Long)]): Array[Byte] = {
+    val n = items.length.toLong
+    val nodeSize = DefaultNodeSize
+    val bounds = levelBounds(n, nodeSize) // (0)=leaves … last=root [0,1)
+    val numNodes = bounds.head._2
+    val bb = ByteBuffer.allocate((numNodes * 40L).toInt).order(ByteOrder.LITTLE_ENDIAN)
+    def put(node: Long, x0: Double, y0: Double, x1: Double, y1: Double, off: Long): Unit = {
+      val base = (node * 40L).toInt
+      bb.putDouble(base, x0); bb.putDouble(base + 8, y0)
+      bb.putDouble(base + 16, x1); bb.putDouble(base + 24, y1)
+      bb.putLong(base + 32, off)
+    }
+    val leafStart = numNodes - n
+    items.zipWithIndex.foreach { case ((x0, y0, x1, y1, off), i) =>
+      put(leafStart + i, x0, y0, x1, y1, off)
+    }
+    var level = 1
+    while (level < bounds.length) {
+      val (pStart, pEnd) = bounds(level)
+      val (cStart, cEnd) = bounds(level - 1)
+      var p = pStart
+      while (p < pEnd) {
+        val firstChild = cStart + (p - pStart) * nodeSize
+        val lastChild = math.min(firstChild + nodeSize, cEnd)
+        var (x0, y0, x1, y1) = (Double.MaxValue, Double.MaxValue, -Double.MaxValue, -Double.MaxValue)
+        var c = firstChild
+        while (c < lastChild) {
+          val base = (c * 40L).toInt
+          x0 = math.min(x0, bb.getDouble(base)); y0 = math.min(y0, bb.getDouble(base + 8))
+          x1 = math.max(x1, bb.getDouble(base + 16)); y1 = math.max(y1, bb.getDouble(base + 24))
+          c += 1
+        }
+        put(p, x0, y0, x1, y1, firstChild)
+        p += 1
       }
-    } finally out.close()
+      level += 1
+    }
+    bb.array()
   }
 
   private def writeLe32(out: java.io.OutputStream, v: Int): Unit =

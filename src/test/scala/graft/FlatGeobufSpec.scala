@@ -87,6 +87,31 @@ class FlatGeobufSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("writeIndexed emits a packed R-tree our reader splits and prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fgb-idx").toString
+    val out = s"$dir/pts.fgb"
+    val df = (0 until 5000).map(i => (i.toLong, (i % 141).toDouble * 0.71, (i % 89).toDouble * 1.12))
+      .toDF("id", "x", "y")
+      .select($"id", st_point($"x", $"y").as("geom"))
+    FlatGeobuf.writeIndexed(df, "geom", out)
+
+    // splits via the index
+    val split = FlatGeobuf.read(spark, out, numPartitions = 4)
+    assert(split.rdd.getNumPartitions == 4)
+    assert(split.count() == 5000)
+    assert(split.select(sum($"id")).collect()(0).getLong(0) == (0 until 5000).map(_.toLong).sum)
+
+    // bbox pushdown prunes bytes and stays exact under the residual filter
+    val box = (5.0, 5.0, 20.0, 20.0)
+    val (pruned, full) = FlatGeobuf.prunedBytes(spark, out, box)
+    assert(pruned < full / 2, s"index pruned only $pruned of $full bytes")
+    val env = st_makeenvelope(lit(box._1), lit(box._2), lit(box._3), lit(box._4))
+    val brute = df.filter(st_intersects($"geom", env)).count()
+    val prunedDf = FlatGeobuf.read(spark, out, bbox = Some(box))
+    assert(prunedDf.filter(st_intersects($"geom", env)).count() == brute && brute > 0)
+  }
+
   test("fgb writer roundtrips the reference fixture exactly") {
     assume(available)
     val dir = java.nio.file.Files.createTempDirectory("graft-fgb-rt").toString
