@@ -210,20 +210,34 @@ object GeoRead {
       graft.functions.Crs.listAll().map(t =>
         Row(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)))
 
-  /** ST_Read_Meta analog: per-file metadata for supported formats. */
+  /** ST_Read_Meta analog: per-file metadata — driver, schema, layer
+   *  list, and feature count where the format stores one (reference
+   *  returns layers LIST(STRUCT(name, feature_count, …)) —
+   *  st_read_meta.cpp:26-91). */
   def readMeta(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
-    val (driver, schema) =
-      if (lower.endsWith(".shp")) ("shapefile", Shapefile.schemaOf(path).simpleString)
-      else if (lower.endsWith(".fgb")) ("flatgeobuf", FlatGeobuf.meta(spark, path)._2.simpleString)
-      else if (lower.endsWith(".gpkg")) ("geopackage", GeoPackage.read(spark, path).schema.simpleString)
-      else if (lower.endsWith(".parquet")) ("parquet", spark.read.parquet(path).schema.simpleString)
-      else if (lower.endsWith(".geojson") || lower.endsWith(".json")) ("geojson", "properties map<string,string>, geom binary")
-      else ("unknown", "")
+    val (driver, schema, layers, featureCount) =
+      if (lower.endsWith(".shp"))
+        ("shapefile", Shapefile.schemaOf(path).simpleString, Seq.empty[String], -1L)
+      else if (lower.endsWith(".fgb")) {
+        val (h, s) = FlatGeobuf.meta(spark, path)
+        ("flatgeobuf", s.simpleString, Seq.empty[String], h.featuresCount)
+      }
+      else if (lower.endsWith(".gpkg")) {
+        val ls = GeoPackage.layers(spark, path)
+        ("geopackage", GeoPackage.read(spark, path).schema.simpleString,
+          ls.map(l => s"${l._1}(${l._3})"), -1L)
+      }
+      else if (lower.endsWith(".parquet"))
+        ("parquet", spark.read.parquet(path).schema.simpleString, Seq.empty[String], -1L)
+      else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
+        ("geojson", "properties map<string,string>, geom binary", Seq.empty[String], -1L)
+      else ("unknown", "", Seq.empty[String], -1L)
     localDf(spark, StructType(Seq(
       StructField("path", StringType), StructField("driver", StringType),
-      StructField("schema", StringType))),
-      Seq(Row(path, driver, schema)))
+      StructField("schema", StringType), StructField("layers", ArrayType(StringType)),
+      StructField("feature_count", LongType))),
+      Seq(Row(path, driver, schema, layers, featureCount)))
   }
 
   /**
@@ -252,6 +266,7 @@ object GeoWrite {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) GeoTable.writeGeoParquet(df, geomCol, path)
     else if (lower.endsWith(".fgb")) FlatGeobuf.write(df, geomCol, path)
+    else if (lower.endsWith(".gpkg")) GeoPackageWrite.write(df, geomCol, path)
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
       GeoJsonWriter.write(df, geomCol, path)
