@@ -513,15 +513,31 @@ object GeoOps {
     res
   }
 
+  /** GEOS/PostGIS RemoveRepeatedPoints semantics (reference delegates to
+   *  GEOSRemoveRepeatedPoints_r — geos/functions/scalar/
+   *  st_removerepeatedpoints.cpp:26-45; expectations in
+   *  test/sql/geometry/st_removerepeatedlines.test): points within `tol`
+   *  of the last kept point drop, but the ORIGINAL endpoint survives —
+   *  the final kept point is replaced by it when within tolerance (and
+   *  not the start), appended otherwise. Lines with <3 points copy
+   *  unchanged. */
   private def removeRepeated(g: Geometry, tol: Double): Geometry = g match {
     case l: LineString =>
       val cs = l.getCoordinates
-      val kept = scala.collection.mutable.ArrayBuffer[Coordinate]()
-      for (c <- cs) {
-        if (kept.isEmpty || kept.last.distance(c) > tol) kept += c
+      if (cs.length < 3) return l
+      val kept = scala.collection.mutable.ArrayBuffer[Coordinate](cs.head)
+      var i = 1
+      while (i < cs.length) {
+        if (kept.last.distance(cs(i)) > tol) kept += cs(i)
+        i += 1
       }
-      if (kept.length < 2 && cs.nonEmpty) Jts.gf.createLineString(Array(cs.head, cs.last))
-      else Jts.gf.createLineString(kept.toArray)
+      val last = cs.last
+      if (!kept.last.equals2D(last)) {
+        if (kept.length > 1 && kept.last.distance(last) <= tol) kept(kept.length - 1) = last
+        else kept += last
+      }
+      if (kept.length == 1) kept += last // all points coincide: keep start+end
+      Jts.gf.createLineString(kept.toArray)
     case m: MultiLineString =>
       Jts.gf.createMultiLineString(
         (0 until m.getNumGeometries)

@@ -194,7 +194,7 @@ object GeoRead {
         Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
         Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, true),
         Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
-        Row("geopackage", "GeoPackage (.gpkg, SQLite container)", true, false),
+        Row("geopackage", "GeoPackage (.gpkg, SQLite container)", true, true),
         Row("csv_wkt", "CSV with WKT geometry column", true, true),
         Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false)))
 

@@ -140,4 +140,37 @@ class GoldenParitySpec extends SparkSpec {
     assertSql("ST_AsText(ST_Reverse(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))",
       "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")
   }
+
+  test("st_removerepeatedpoints golden (st_removerepeatedlines.test, all cases)") {
+    def rrp(wkt: String, tol: String = "") =
+      s"ST_AsText(ST_RemoveRepeatedPoints(ST_GeomFromText('$wkt')$tol))"
+    // PostGIS behavior: degenerate line keeps start+end
+    assertSql(rrp("LINESTRING (1 1, 1 1, 1 1, 1 1)"), "LINESTRING (1 1, 1 1)")
+    assertSql(rrp("LINESTRING (1 1, 2 2, 2 2, 3 3)"), "LINESTRING (1 1, 2 2, 3 3)")
+    assertSql(rrp("LINESTRING (1 1, 2 2, 2 2, 2 2, 4 4, 4 4, 3 3)"),
+      "LINESTRING (1 1, 2 2, 4 4, 3 3)")
+    assertSql(rrp("LINESTRING (1 1, 1 1, 2 2, 3 3)"), "LINESTRING (1 1, 2 2, 3 3)")
+    assertSql(rrp("LINESTRING (1 1, 2 2, 3 3, 3 3)"), "LINESTRING (1 1, 2 2, 3 3)")
+    // tolerance: endpoint survives (replaces the last kept when in range)
+    assertSql(rrp("LINESTRING (2 2, 1 1, 5 5, 1 1, 0 0, 0 0)", ", 2"),
+      "LINESTRING (2 2, 5 5, 0 0)")
+    assertSql(rrp("LINESTRING (0 0, 0 0, 1 1, 5 5, 1 1, 2 2)", ", 2"),
+      "LINESTRING (0 0, 5 5, 2 2)")
+    assertSql(rrp("LINESTRING (0 0, 0.5 0, 1 0)", ", 0.75"), "LINESTRING (0 0, 1 0)")
+    assertSql(rrp("LINESTRING (0 0, 1 1, 2 2, 3 3)", ", 100"), "LINESTRING (0 0, 3 3)")
+    assertSql(rrp("LINESTRING (1 1, 1 1, 1 1, 1 1)", ", 2"), "LINESTRING (1 1, 1 1)")
+  }
+
+  test("st_makeline list semantics (st_makeline.test: nulls skip, empty ok)") {
+    assertSql("ST_AsText(ST_MakeLine(ST_Point(1,1), ST_Point(2,2)))", "LINESTRING (1 1, 2 2)")
+    assertSql("ST_AsText(ST_MakeLine(array(ST_Point(1,1), ST_Point(2,2), ST_Point(3,3))))",
+      "LINESTRING (1 1, 2 2, 3 3)")
+    assertSql("ST_AsText(ST_MakeLine(array(ST_Point(1,1), NULL, ST_Point(3,3))))",
+      "LINESTRING (1 1, 3 3)")
+    assertSql("ST_AsText(ST_MakeLine(array(CAST(NULL AS BINARY))))", "LINESTRING EMPTY")
+    // a single surviving point cannot form a line (reference: statement error)
+    intercept[Exception] {
+      sql1("ST_AsText(ST_MakeLine(array(ST_Point(1,1), CAST(NULL AS BINARY))))")
+    }
+  }
 }
