@@ -305,7 +305,9 @@ object GeoOps {
       case _ => false }),
     "st_issimple" -> Op(BooleanType, a => geo(a(0)).isSimple),
     "st_isvalid" -> Op(BooleanType, a => geo(a(0)).isValid),
-    "st_dimension" -> Op(IntegerType, a => geo(a(0)).getDimension),
+    // JTS yields -1 for an empty collection; the reference clamps to 0
+    // (st_dimension.test: GEOMETRYCOLLECTION EMPTY -> 0)
+    "st_dimension" -> Op(IntegerType, a => math.max(0, geo(a(0)).getDimension)),
     "st_startpoint" -> Op(BinaryType, a => geo(a(0)) match {
       case l: LineString if !l.isEmpty => out(l.getStartPoint)
       case _ => null }),

@@ -161,6 +161,29 @@ class GoldenParitySpec extends SparkSpec {
     assertSql(rrp("LINESTRING (1 1, 1 1, 1 1, 1 1)", ", 2"), "LINESTRING (1 1, 1 1)")
   }
 
+  test("st_pointn / st_startpoint / st_collect / st_dimension golden (reference tests)") {
+    val ls = "ST_GeomFromText('LINESTRING(0 0, 1 1, 2 2, 3 3)')"
+    assertSql(s"ST_AsText(ST_PointN($ls, 2))", "POINT (1 1)")
+    assertSql(s"ST_AsText(ST_PointN($ls, 4))", "POINT (3 3)")
+    assertSql(s"ST_AsText(ST_PointN($ls, -2))", "POINT (2 2)") // negative = from end
+    assert(sql1(s"ST_PointN($ls, 0)") == null)
+    assert(sql1(s"ST_PointN($ls, -10)") == null)
+    assert(sql1("ST_PointN(ST_GeomFromText('LINESTRING EMPTY'), 4)") == null)
+    assertSql("ST_AsText(ST_PointN(ST_GeomFromText('LINESTRING ZM(0 0 5 1, 1 1 6 2, 2 2 7 3, 3 3 8 4)'), 3))",
+      "POINT ZM (2 2 7 3)")
+    // startpoint: lines only (PostGIS), not polygons/points
+    assert(sql1("ST_StartPoint(ST_GeomFromText('POLYGON((0 0, 0 1, 1 1, 0 0))'))") == null)
+    assert(sql1("ST_StartPoint(ST_Point(0, 0))") == null)
+    // collect: homogeneous -> Multi*, mixed -> GC, empty -> GC EMPTY
+    assertSql("ST_AsText(ST_Collect(array()))", "GEOMETRYCOLLECTION EMPTY")
+    assertSql("ST_AsText(ST_Collect(array(ST_Point(1, 2))))", "MULTIPOINT (1 2)")
+    assertSql("ST_AsText(ST_Collect(array(ST_Point(1, 2), ST_GeomFromText('LINESTRING(3 4, 5 6)'))))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6))")
+    // dimension of a collection = max over members
+    assertSql("ST_Dimension(ST_GeomFromText('GEOMETRYCOLLECTION(POINT(1 2), LINESTRING(3 4, 5 6))'))", 1)
+    assertSql("ST_Dimension(ST_GeomFromText('GEOMETRYCOLLECTION EMPTY'))", 0)
+  }
+
   test("st_makeline list semantics (st_makeline.test: nulls skip, empty ok)") {
     assertSql("ST_AsText(ST_MakeLine(ST_Point(1,1), ST_Point(2,2)))", "LINESTRING (1 1, 2 2)")
     assertSql("ST_AsText(ST_MakeLine(array(ST_Point(1,1), ST_Point(2,2), ST_Point(3,3))))",
