@@ -159,10 +159,13 @@ object Bench {
       val d = duck(k)
       if (d > 0)
         "\"" + k + "\":" + f"""{"spark_s":$v%.3f,"duck_s":$d%.3f,"ratio":${v / d}%.2f}"""
-      else
+      else if (d == -1.0)
         // oracle exceeded the watchdog: report the bound, not silence —
         // the engine under test finished where the oracle did not
         "\"" + k + "\":" + f"""{"spark_s":$v%.3f,"duck_s":-1,"oracle_timeout_s":$timeoutS%s,"ratio_upper_bound":${v / timeoutS.toDouble}%.4f}"""
+      else
+        // oracle errored (SQL/feature gap) — say so, claim nothing
+        "\"" + k + "\":" + f"""{"spark_s":$v%.3f,"duck_s":-1,"oracle_error":true}"""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"vs_oracle":$vs,"sf":"$sfDir"}""")
@@ -195,14 +198,20 @@ object Bench {
           |    if os.path.exists(p):
           |        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
           |def timed(sql):
-          |    timer = threading.Timer(LIMIT, con.interrupt)
+          |    fired = []
+          |    def interrupt():
+          |        fired.append(True)
+          |        con.interrupt()
+          |    timer = threading.Timer(LIMIT, interrupt)
           |    timer.start()
           |    t0 = time.perf_counter()
           |    try:
           |        con.sql(sql).fetchall()
           |        return time.perf_counter() - t0
           |    except Exception:
-          |        return -1.0
+          |        # a watchdog interrupt means SLOW; anything else is an
+          |        # oracle-side error and must not masquerade as a timeout
+          |        return -1.0 if fired else -2.0
           |    finally:
           |        timer.cancel()
           |for f in sorted(glob.glob(f"{qdir}/*.sql")):

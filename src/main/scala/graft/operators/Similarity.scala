@@ -125,13 +125,16 @@ object Similarity {
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
     val cent = centroids.select(centroidId.as("__cid"), centroidVec.as("__centv"))
 
-    val wAssign = Window.partitionBy(col("corpus_id"))
-      .orderBy(round(col("__cs"), 6).desc, col("__cid").asc)
-    val lists = c.crossJoin(broadcast(cent))
-      .withColumn("__cs", cosine(col("__cv"), col("__centv")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("__cid"), col("corpus_id"), col("__cv"))
+    // list assignment: corpus × broadcast(centroids) is map-side; only
+    // (corpus_id, cid, rounded score) reaches the argmax shuffle — never
+    // the embedding payload — and max_by partial-aggregates map-side,
+    // so the exchange carries ~|corpus| rows. Tie-break: highest score,
+    // then lowest centroid id (negate for max ordering).
+    val assign = c.crossJoin(broadcast(cent))
+      .select(col("corpus_id"), col("__cid"),
+        round(cosine(col("__cv"), col("__centv")), 6).as("__cs"))
+      .groupBy("corpus_id")
+      .agg(max_by(col("__cid"), struct(col("__cs"), (-col("__cid")).as("__tb"))).as("__cid"))
 
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(round(col("__qs"), 6).desc, col("__cid").asc)
@@ -139,10 +142,16 @@ object Similarity {
       .withColumn("__qs", cosine(col("__qv"), col("__centv")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
-      .select(col("__cid"), col("query_id"), col("__qv"))
+      .select(col("__cid"), col("query_id"))
 
-    val cands = probes.join(lists, "__cid")
+    // candidates as id pairs first; corpus vectors join in only for
+    // members of probed lists, query vectors broadcast for the verify
+    val candIds = probes.join(assign, "__cid")
       .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id")
+    val cands = candIds
+      .join(c, "corpus_id")
+      .join(broadcast(q), "query_id")
       .withColumn("__sim", cosine(col("__qv"), col("__cv")))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(round(col("__sim"), 6).desc, col("corpus_id").asc)

@@ -766,8 +766,12 @@ object FlatGeobuf {
   def writeIndexed(df: DataFrame, geomCol: String, path: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     // global extent (one aggregation job) normalizes the Hilbert curve
-    val (x0, y0, x1, y1) = GeoTable.extentOf(df, geomCol)
-    val sorted = df.filter(col(geomCol).isNotNull).sort(
+    // the index stores a bbox per feature: null AND empty geometries
+    // cannot participate, so they are excluded up front
+    val indexable = df.filter(col(geomCol).isNotNull &&
+      !graft.GeoFunctions.st_isempty(col(geomCol)))
+    val (x0, y0, x1, y1) = GeoTable.extentOf(indexable, geomCol)
+    val sorted = indexable.sort(
       graft.GeoFunctions.st_hilbert(col(geomCol), lit(x0), lit(y0), lit(x1), lit(y1)))
     write(sorted, geomCol, path, buildIndex = true)
   }
@@ -801,6 +805,7 @@ object FlatGeobuf {
     // features stream to a local temp sidecar first: the header needs
     // features_count, and an index must precede the features in-file
     val tmp = java.io.File.createTempFile("graft-fgb", ".feat")
+    try {
     val items = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double, Long)]()
     var count = 0L
     val tout = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
@@ -823,7 +828,8 @@ object FlatGeobuf {
         tout.write(featBytes)
         if (buildIndex) {
           require(g != null && !g.isEmpty,
-            "indexed .fgb write requires non-null geometries (writeIndexed filters them)")
+            "indexed .fgb write requires non-null, non-empty geometries " +
+              "(use writeIndexed, which excludes them, or write(buildIndex=false))")
           val e = g.getEnvelopeInternal
           items += ((e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, offset))
         }
@@ -866,7 +872,8 @@ object FlatGeobuf {
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       } finally in.close()
-    } finally { out.close(); tmp.delete() }
+    } finally out.close()
+    } finally tmp.delete() // also on failures during the feature stream
   }
 
   private val DefaultNodeSize = 16
@@ -882,6 +889,9 @@ object FlatGeobuf {
     val nodeSize = DefaultNodeSize
     val bounds = levelBounds(n, nodeSize) // (0)=leaves … last=root [0,1)
     val numNodes = bounds.head._2
+    require(numNodes * 40L <= Int.MaxValue,
+      s"packed index for $n features needs ${numNodes * 40L} bytes (> 2 GiB); " +
+        "write without an index (buildIndex=false) or split the dataset")
     val bb = ByteBuffer.allocate((numNodes * 40L).toInt).order(ByteOrder.LITTLE_ENDIAN)
     def put(node: Long, x0: Double, y0: Double, x1: Double, y1: Double, off: Long): Unit = {
       val base = (node * 40L).toInt

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
@@ -299,6 +300,15 @@ object GeoPackageWrite {
       var rowid = 0L
       val featureRoot = writeTable(db, df.toLocalIterator().asScala.map { row =>
         rowid += 1
+        // one declared class per layer: a row of another class must fail
+        // loudly, never be silently written under the wrong declaration
+        row.get(geomIdx) match {
+          case b: Array[Byte] if geomType != "GEOMETRY" =>
+            val t = graft.functions.Jts.read(b).getGeometryType.toUpperCase
+            require(t == geomType || (t == "LINEARRING" && geomType == "LINESTRING"),
+              s"layer '$layer' is declared $geomType but row $rowid has $t")
+          case _ =>
+        }
         val vals = Seq[Any](null) ++ // fid = rowid alias
           attrs.map { case (f, i) =>
             (row.get(i), f.dataType) match {
@@ -365,10 +375,4 @@ object GeoPackageWrite {
     } finally raf.close()
   }
 
-  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
 }

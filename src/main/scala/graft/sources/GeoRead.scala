@@ -64,6 +64,10 @@ object GeoRead {
         import graft.GeoFunctions._
         df.filter(st_intersects(col(gc),
           st_makeenvelope(lit(x0), lit(y0), lit(x1), lit(y1))))
+      case (Some(_), None) =>
+        // never silently return an unfiltered full scan
+        throw new IllegalArgumentException(
+          s"spatial_filter_box is not supported for $path: the source has no WKB geometry column")
       case _ => df
     }
   }
@@ -271,7 +275,7 @@ object GeoWrite {
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
       GeoJsonWriter.write(df, geomCol, path)
     else throw new IllegalArgumentException(
-      s"unsupported write format for $path (supported: .parquet, .fgb, .shp, .geojson)")
+      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, .geojson, .geojsonl)")
   }
 }
 

@@ -119,12 +119,14 @@ object GeoTable {
     fs.delete(hOld, true)
   }
 
-  /** Global extent of a geometry column (one action). */
+  /** Global extent of a geometry column (one action); (0,0,0,0) when
+   *  the input has no rows or only null/empty geometries. */
   def extentOf(df: DataFrame, geomCol: String): (Double, Double, Double, Double) = {
     val r = df.select(st_extent_agg(col(geomCol)).as("e"))
       .select(st_xmin(col("e")), st_ymin(col("e")), st_xmax(col("e")), st_ymax(col("e")))
       .collect()(0)
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    if (r.isNullAt(0)) (0.0, 0.0, 0.0, 0.0)
+    else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 
   /** Read a GeoParquet-convention table (WKB geometry passes through;

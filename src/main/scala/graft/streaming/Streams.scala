@@ -83,9 +83,10 @@ object Streams {
 
   /**
    * Streaming exact dedup: keep the first occurrence of each key the
-   * stream has ever seen within the watermark horizon. State is
-   * Spark's dropDuplicates store, bounded by the event-time watermark
-   * (keys older than the horizon are evicted — at 100 TB/day the state
+   * stream has ever seen within the watermark horizon — duplicates
+   * with DIFFERENT event times still collapse (the key alone is the
+   * identity). State is bounded by the event-time watermark (keys
+   * older than the horizon are evicted — at 100 TB/day the state
    * cannot grow without bound, which an unwatermarked distinct would).
    * Columns: `tsCol` event-time timestamp; `keyCols` the identity.
    */
@@ -94,7 +95,7 @@ object Streams {
       keyCols: String*): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
   /** Streaming near-dup candidate tagging: minhash-band bucket ids per
    *  document, computed stateless per micro-batch (join the output

@@ -66,12 +66,15 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("streaming dedup keeps first occurrence per key; minhash tags match batch") {
-    // duplicate every event id by unioning the source with itself
+    // duplicate every event id twice: an exact copy AND a copy shifted
+    // +1 minute — both must collapse (the key alone is the identity)
     val dir = eventsDir
     val dupDir = "/tmp/graft-stream-events-dup"
     if (!new java.io.File(dupDir).exists()) {
       val e = spark.read.parquet(dir)
-      e.unionAll(e).write.mode("overwrite").parquet(dupDir)
+      e.unionAll(e)
+        .unionAll(e.withColumn("ts", $"ts" + expr("INTERVAL 1 MINUTE")))
+        .write.mode("overwrite").parquet(dupDir)
     }
     val stream = spark.readStream.schema(eventsSchema).parquet(dupDir)
     val deduped = Streams.dedupStream(stream, "ts", "1 hour", "event_id")
@@ -80,9 +83,9 @@ class StreamsSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("dedup_out")
-      val distinctKeys = spark.read.parquet(dir).select("event_id", "ts").distinct().count()
+      val distinctKeys = spark.read.parquet(dir).select("event_id").distinct().count()
       assert(got.count() == distinctKeys)
-      assert(got.groupBy("event_id", "ts").count().filter($"count" > 1).count() == 0)
+      assert(got.groupBy("event_id").count().filter($"count" > 1).count() == 0)
     } finally q.stop()
 
     // minhash tagging is stateless per micro-batch and equals the batch op
