@@ -184,6 +184,30 @@ class GoldenParitySpec extends SparkSpec {
     assertSql("ST_Dimension(ST_GeomFromText('GEOMETRYCOLLECTION EMPTY'))", 0)
   }
 
+  test("postgis parity: boundary, linemerge(+directed), pointonsurface, reduceprecision") {
+    assertSql("ST_AsText(ST_Boundary(ST_GeomFromText('LINESTRING(1 1,0 0, -1 1)')))",
+      "MULTIPOINT (1 1, -1 1)")
+    assertSql("ST_AsText(ST_Boundary(ST_GeomFromText('POLYGON((1 1,0 0, -1 1, 1 1))')))",
+      "LINESTRING (1 1, 0 0, -1 1, 1 1)")
+    assertSql("ST_AsText(ST_LineMerge(ST_GeomFromText(" +
+      "'MULTILINESTRING((10 160, 60 120), (120 140, 60 120), (120 140, 180 120))')))",
+      "LINESTRING (10 160, 60 120, 120 140, 180 120)")
+    assertSql("ST_AsText(ST_LineMerge(ST_GeomFromText(" +
+      "'MULTILINESTRING((10 160, 60 120), (120 140, 60 120), (120 140, 180 120), (100 180, 120 140))')))",
+      "MULTILINESTRING ((10 160, 60 120, 120 140), (100 180, 120 140), (120 140, 180 120))")
+    assertSql("ST_AsText(ST_LineMerge(ST_GeomFromText(" +
+      "'MULTILINESTRING((-29 -27,-30 -29.7,-36 -31,-45 -33),(-45.2 -33.2,-46 -32))')))",
+      "MULTILINESTRING ((-45.2 -33.2, -46 -32), (-29 -27, -30 -29.7, -36 -31, -45 -33))")
+    // directed=true never reverses segment orientation
+    assertSql("ST_AsText(ST_LineMerge(ST_GeomFromText(" +
+      "'MULTILINESTRING((60 30, 10 70), (120 50, 60 30), (120 50, 180 30))'), true))",
+      "MULTILINESTRING ((120 50, 60 30, 10 70), (120 50, 180 30))")
+    assertSql("ST_AsText(ST_PointOnSurface(ST_GeomFromText('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))')))",
+      "POINT (5 5)")
+    assertSql("ST_AsText(ST_ReducePrecision(ST_GeomFromText('POINT(1.412 19.323)'), 0.1))",
+      "POINT (1.4 19.3)")
+  }
+
   test("st_makeline list semantics (st_makeline.test: nulls skip, empty ok)") {
     assertSql("ST_AsText(ST_MakeLine(ST_Point(1,1), ST_Point(2,2)))", "LINESTRING (1 1, 2 2)")
     assertSql("ST_AsText(ST_MakeLine(array(ST_Point(1,1), ST_Point(2,2), ST_Point(3,3))))",
