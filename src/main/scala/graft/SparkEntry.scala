@@ -201,6 +201,21 @@ object SparkEntry {
            40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0), 'EPSG:4326', 'EPSG:2263', true)), 4) AS spy
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
 
+    // Equal-area projections: CONUS Albers (EPSG:5070) over the US,
+    // LAEA Europe (EPSG:3035) over the EU grid zone; oracled by the
+    // closed-form Snyder forward formulas inlined in SQL.
+    "q_geo_equalarea" -> q(Seq("customer"),
+      """SELECT c_custkey,
+         round(ST_X(ST_Transform(ST_Point(-120.0 + CAST(c_custkey % 200 AS DOUBLE) / 4.0,
+           28.0 + CAST(c_custkey % 80 AS DOUBLE) / 5.0), 'EPSG:4326', 'EPSG:5070', true)), 4) AS ax,
+         round(ST_Y(ST_Transform(ST_Point(-120.0 + CAST(c_custkey % 200 AS DOUBLE) / 4.0,
+           28.0 + CAST(c_custkey % 80 AS DOUBLE) / 5.0), 'EPSG:4326', 'EPSG:5070', true)), 4) AS ay,
+         round(ST_X(ST_Transform(ST_Point(-8.0 + CAST(c_custkey % 150 AS DOUBLE) / 4.0,
+           37.0 + CAST(c_custkey % 80 AS DOUBLE) / 4.0), 'EPSG:4326', 'EPSG:3035', true)), 4) AS ex,
+         round(ST_Y(ST_Transform(ST_Point(-8.0 + CAST(c_custkey % 150 AS DOUBLE) / 4.0,
+           37.0 + CAST(c_custkey % 80 AS DOUBLE) / 4.0), 'EPSG:4326', 'EPSG:3035', true)), 4) AS ey
+         FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
+
     "q_geo_haversine" -> q(Seq("customer"),
       """SELECT c_custkey,
          round(ST_Distance_Sphere(
@@ -1070,6 +1085,74 @@ object SparkEntry {
              round((a*f*pow(t0, n) - a*f*pow(tan(pi()/4 - lat/2)/pow((1 - e*sin(lat))/(1 + e*sin(lat)), e/2), n)
                * cos(n*(lon - l0))) / (1200.0/3937.0), 4) AS spy
            FROM pts, kk ORDER BY c_custkey""",
+
+      // Albers Equal-Area Conic (EPSG:5070) + oblique LAEA (EPSG:3035),
+      // Snyder PP 1395 forward formulas in closed form on GRS80;
+      // operation order mirrors graft.functions.Crs so both engines
+      // agree to well under the 1e-4 rounding grid.
+      "q_geo_equalarea" ->
+        """WITH e AS (
+             SELECT 6378137.0 AS a,
+                    (1.0/298.257222101) * (2.0 - 1.0/298.257222101) AS e2,
+                    sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e
+           ), alb0 AS (
+             SELECT a, e2, e,
+               radians(29.5) AS p1, radians(45.5) AS p2,
+               radians(23.0) AS p0, radians(-96.0) AS l0 FROM e
+           ), alb1 AS (
+             SELECT a, e2, e, l0,
+               cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1,
+               cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2)) AS m2,
+               (1-e2)*(sin(p1)/(1 - e2*sin(p1)*sin(p1)) - (1/(2*e))*ln((1 - e*sin(p1))/(1 + e*sin(p1)))) AS q1,
+               (1-e2)*(sin(p2)/(1 - e2*sin(p2)*sin(p2)) - (1/(2*e))*ln((1 - e*sin(p2))/(1 + e*sin(p2)))) AS q2,
+               (1-e2)*(sin(p0)/(1 - e2*sin(p0)*sin(p0)) - (1/(2*e))*ln((1 - e*sin(p0))/(1 + e*sin(p0)))) AS q0
+             FROM alb0
+           ), alb AS (
+             SELECT a, e2, e, l0,
+               (m1*m1 - m2*m2)/(q2 - q1) AS n,
+               m1*m1 + (m1*m1 - m2*m2)/(q2 - q1)*q1 AS c, q0
+             FROM alb1
+           ), alb2 AS (
+             SELECT a, e2, e, l0, n, c, a*sqrt(c - n*q0)/n AS rho0 FROM alb
+           ), la0 AS (
+             SELECT a, e2, e, radians(52.0) AS p0, radians(10.0) AS l0 FROM e
+           ), la1 AS (
+             SELECT a, e2, e, l0,
+               (1-e2)*(sin(p0)/(1 - e2*sin(p0)*sin(p0)) - (1/(2*e))*ln((1 - e*sin(p0))/(1 + e*sin(p0)))) AS laq0,
+               (1-e2)*(1.0/(1 - e2) - (1/(2*e))*ln((1 - e)/(1 + e))) AS qp,
+               cos(p0)/sqrt(1 - e2*sin(p0)*sin(p0)) AS m0
+             FROM la0
+           ), la AS (
+             SELECT a, e2, e, l0, qp,
+               sin(asin(laq0/qp)) AS sb1, cos(asin(laq0/qp)) AS cb1,
+               a*sqrt(qp/2) AS rq,
+               a*m0/(a*sqrt(qp/2)*cos(asin(laq0/qp))) AS d
+             FROM la1
+           ), pts AS (
+             SELECT c_custkey,
+               radians(-120.0 + CAST(c_custkey % 200 AS DOUBLE) / 4.0) AS alon,
+               radians(28.0 + CAST(c_custkey % 80 AS DOUBLE) / 5.0) AS alat,
+               radians(-8.0 + CAST(c_custkey % 150 AS DOUBLE) / 4.0) AS elon,
+               radians(37.0 + CAST(c_custkey % 80 AS DOUBLE) / 4.0) AS elat
+             FROM customer WHERE c_custkey <= 300
+           ), fwd AS (
+             SELECT c_custkey,
+               alb2.a*sqrt(alb2.c - alb2.n*((1-alb2.e2)*(sin(alat)/(1 - alb2.e2*sin(alat)*sin(alat))
+                 - (1/(2*alb2.e))*ln((1 - alb2.e*sin(alat))/(1 + alb2.e*sin(alat))))))/alb2.n AS arho,
+               alb2.n*(alon - alb2.l0) AS ath, alb2.rho0 AS arho0,
+               asin(((1-la.e2)*(sin(elat)/(1 - la.e2*sin(elat)*sin(elat))
+                 - (1/(2*la.e))*ln((1 - la.e*sin(elat))/(1 + la.e*sin(elat)))))/la.qp) AS beta,
+               elon - la.l0 AS dl, la.rq AS rq, la.d AS d, la.sb1 AS sb1, la.cb1 AS cb1
+             FROM pts, alb2, la
+           )
+           SELECT c_custkey,
+             round(arho*sin(ath), 4) AS ax,
+             round(arho0 - arho*cos(ath), 4) AS ay,
+             round(4321000.0 + rq*sqrt(2/(1 + sb1*sin(beta) + cb1*cos(beta)*cos(dl)))
+               * d * cos(beta) * sin(dl), 4) AS ex,
+             round(3210000.0 + (rq*sqrt(2/(1 + sb1*sin(beta) + cb1*cos(beta)*cos(dl))) / d)
+               * (cb1*sin(beta) - sb1*cos(beta)*cos(dl)), 4) AS ey
+           FROM fwd ORDER BY c_custkey""",
 
       "q_geo_haversine" ->
         """SELECT c_custkey,

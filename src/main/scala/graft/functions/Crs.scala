@@ -209,6 +209,105 @@ object Crs {
     }
   }
 
+  /** Authalic-latitude machinery shared by the equal-area projections
+   *  (Snyder PP 1395 eq. 3-12 / 14-15 and the φ-from-q iteration of
+   *  eq. 3-16). */
+  private final class EqualAreaHelper(ell: Ellipsoid) {
+    val e: Double = ell.e; val e2: Double = ell.e2
+    def mOf(lat: Double): Double =
+      math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+    def qOf(lat: Double): Double = {
+      val s = math.sin(lat)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    val qPole: Double = qOf(math.Pi / 2)
+    /** geodetic latitude from the authalic function value q (eq. 3-16) */
+    def latFromQ(qv: Double): Double = {
+      if (math.abs(qv) >= qPole - 1e-14) return if (qv > 0) math.Pi / 2 else -math.Pi / 2
+      var lat = math.asin(math.max(-1.0, math.min(1.0, qv / 2)))
+      var k = 0
+      var prev = 0.0
+      do {
+        prev = lat
+        val s = math.sin(lat)
+        val d = 1 - e2 * s * s
+        lat += d * d / (2 * math.cos(lat)) *
+          (qv / (1 - e2) - s / d + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      lat
+    }
+  }
+
+  /** Albers Equal-Area Conic (2SP), Snyder PP 1395 pp. 98-103
+   *  (eqs. 14-1..14-21) — the projection behind EPSG:5070/6350
+   *  (CONUS Albers) and the continent-scale equal-area grids. */
+  private final class Albers2sp(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      sp1Deg: Double, sp2Deg: Double, falseE: Double, falseN: Double) extends System {
+    private val h = new EqualAreaHelper(ell)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val p1 = math.toRadians(sp1Deg)
+    private val p2 = math.toRadians(sp2Deg)
+    private val m1 = h.mOf(p1)
+    private val nCone = (m1 * m1 - h.mOf(p2) * h.mOf(p2)) / (h.qOf(p2) - h.qOf(p1))
+    private val bigC = m1 * m1 + nCone * h.qOf(p1)
+    private def rhoOf(qv: Double): Double = ell.a * math.sqrt(bigC - nCone * qv) / nCone
+    private val rho0 = rhoOf(h.qOf(math.toRadians(lat0Deg)))
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val theta = nCone * (math.toRadians(lonD) - lon0)
+      val rho = rhoOf(h.qOf(math.toRadians(latD)))
+      (falseE + rho * math.sin(theta), falseN + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val dx = xIn - falseE
+      val dy = rho0 - (yIn - falseN)
+      val sgn = if (nCone >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val qv = (bigC - rho * rho * nCone * nCone / (ell.a * ell.a)) / nCone
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(h.latFromQ(qv)))
+    }
+  }
+
+  /** Lambert Azimuthal Equal-Area, oblique ellipsoidal case, Snyder
+   *  PP 1395 pp. 187-190 (eqs. 24-2..24-14, 3-11/3-12) — the
+   *  projection behind EPSG:3035 (the EU statistical grid). */
+  private final class Laea(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) extends System {
+    private val h = new EqualAreaHelper(ell)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val p0 = math.toRadians(lat0Deg)
+    private val beta1 = math.asin(h.qOf(p0) / h.qPole)
+    private val rq = ell.a * math.sqrt(h.qPole / 2)
+    private val bigD = ell.a * h.mOf(p0) / (rq * math.cos(beta1))
+    private val sinB1 = math.sin(beta1); private val cosB1 = math.cos(beta1)
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val dl = math.toRadians(lonD) - lon0
+      val beta = math.asin(math.max(-1.0, math.min(1.0, h.qOf(math.toRadians(latD)) / h.qPole)))
+      val b = rq * math.sqrt(2 / (1 + sinB1 * math.sin(beta) + cosB1 * math.cos(beta) * math.cos(dl)))
+      val x = b * bigD * math.cos(beta) * math.sin(dl)
+      val y = (b / bigD) * (cosB1 * math.sin(beta) - sinB1 * math.cos(beta) * math.cos(dl))
+      (falseE + x, falseN + y)
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val dx = xIn - falseE
+      val dy = yIn - falseN
+      val rho = math.sqrt((dx / bigD) * (dx / bigD) + (bigD * dy) * (bigD * dy))
+      if (rho < 1e-12) return (math.toDegrees(lon0), math.toDegrees(p0))
+      val ce = 2 * math.asin(math.max(-1.0, math.min(1.0, rho / (2 * rq))))
+      val qv = h.qPole * (math.cos(ce) * sinB1 + bigD * dy * math.sin(ce) * cosB1 / rho)
+      val lon = lon0 + math.atan2(dx * math.sin(ce),
+        bigD * rho * cosB1 * math.cos(ce) - bigD * bigD * dy * sinB1 * math.sin(ce))
+      (math.toDegrees(lon), math.toDegrees(h.latFromQ(qv)))
+    }
+  }
+
   private def atanh(v: Double): Double = 0.5 * math.log((1 + v) / (1 - v))
 
   /** One registry row, mirroring the reference's ST_List_Proj_CRS
@@ -263,7 +362,20 @@ object Crs {
     // NAD83 State Plane — Texas Central (ftUS): Austin
     lccFt("2277", "NAD83 / Texas Central (ftUS)", "USA - Texas - central",
       29.6666666666667, -100.333333333333, 30.1166666666667, 31.8833333333333,
-      700000.0, 3000000.0))
+      700000.0, 3000000.0),
+    // Equal-area projections (continent-scale statistics / raster grids)
+    CrsInfo("EPSG", "5070", "NAD83 / Conus Albers", "projected", "USA - CONUS onshore",
+      "Albers Equal Area",
+      () => new Albers2sp(GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)),
+    CrsInfo("EPSG", "6350", "NAD83(2011) / Conus Albers", "projected", "USA - CONUS onshore",
+      "Albers Equal Area",
+      () => new Albers2sp(GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)),
+    CrsInfo("ESRI", "102003", "USA Contiguous Albers Equal Area Conic", "projected",
+      "USA - CONUS", "Albers Equal Area",
+      () => new Albers2sp(GRS80, 37.5, -96.0, 29.5, 45.5, 0.0, 0.0)),
+    CrsInfo("EPSG", "3035", "ETRS89-extended / LAEA Europe", "projected", "Europe",
+      "Lambert Azimuthal Equal Area",
+      () => new Laea(GRS80, 52.0, 10.0, 4321000.0, 3210000.0)))
 
   private val byKey: Map[String, CrsInfo] =
     registry.map(i => s"${i.authName}:${i.code}" -> i).toMap
@@ -338,4 +450,114 @@ object Crs {
   private[graft] def lccForTest(
       ell: Ellipsoid, lat0: Double, lon0: Double, sp1: Double, sp2: Double,
       fe: Double, fn: Double): System = new Lcc2sp(ell, lat0, lon0, sp1, sp2, fe, fn)
+
+  // ---- ESRI WKT1 generation (for .prj sidecars / st_read_meta) --------
+
+  private val GeogWgs84 =
+    """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+  private val GeogNad83 =
+    """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+  private val GeogEtrs89 =
+    """GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+
+  private def projcs(name: String, geogcs: String, method: String,
+      params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
+    val ps = params.map { case (k, v) => s"""PARAMETER["$k",$v]""" }.mkString(",")
+    s"""PROJCS["$name",$geogcs,PROJECTION["$method"],$ps,UNIT["$unitName",$mpu]]"""
+  }
+
+  private def lccWkt(name: String, geogcs: String, lat0: Double, lon0: Double,
+      sp1: Double, sp2: Double, feU: Double, fnU: Double, unit: String, mpu: Double) =
+    projcs(name, geogcs, "Lambert_Conformal_Conic",
+      Seq("False_Easting" -> feU, "False_Northing" -> fnU, "Central_Meridian" -> lon0,
+        "Standard_Parallel_1" -> sp1, "Standard_Parallel_2" -> sp2,
+        "Latitude_Of_Origin" -> lat0), unit, mpu)
+
+  private def tmWkt(name: String, geogcs: String, lat0: Double, lon0: Double,
+      k0: Double, feU: Double, fnU: Double, unit: String, mpu: Double) =
+    projcs(name, geogcs, "Transverse_Mercator",
+      Seq("False_Easting" -> feU, "False_Northing" -> fnU, "Central_Meridian" -> lon0,
+        "Scale_Factor" -> k0, "Latitude_Of_Origin" -> lat0), unit, mpu)
+
+  /** ESRI WKT1 for a supported CRS (what a .prj sidecar contains).
+   *  Parameters restate the same published EPSG definitions the
+   *  `registry` builders use; false origins appear in the map unit. */
+  def esriWkt(crsIn: String): Option[String] = {
+    val crs = crsIn.trim.toUpperCase
+    def ftUs(m: Double) = m / FtUs
+    val wkt = crs match {
+      case "EPSG:4326" | "WGS84" | "CRS84" | "OGC:CRS84" => Some(GeogWgs84)
+      case "EPSG:4269" => Some(GeogNad83)
+      case "EPSG:3857" | "EPSG:900913" => Some(projcs(
+        "WGS_1984_Web_Mercator_Auxiliary_Sphere", GeogWgs84, "Mercator_Auxiliary_Sphere",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0,
+          "Standard_Parallel_1" -> 0.0, "Auxiliary_Sphere_Type" -> 0.0), "Meter", 1.0))
+      case "EPSG:2260" => Some(tmWkt("NAD_1983_StatePlane_New_York_East_FIPS_3101_Feet",
+        GeogNad83, 38.8333333333333, -74.5, 0.9999, ftUs(150000.0), 0.0, "Foot_US", FtUs))
+      case "EPSG:2261" => Some(tmWkt("NAD_1983_StatePlane_New_York_Central_FIPS_3102_Feet",
+        GeogNad83, 40.0, -76.5833333333333, 0.9999, ftUs(250000.0), 0.0, "Foot_US", FtUs))
+      case "EPSG:2262" => Some(tmWkt("NAD_1983_StatePlane_New_York_West_FIPS_3103_Feet",
+        GeogNad83, 40.0, -78.5833333333333, 0.9999, ftUs(350000.0), 0.0, "Foot_US", FtUs))
+      case "EPSG:2263" => Some(lccWkt("NAD_1983_StatePlane_New_York_Long_Island_FIPS_3104_Feet",
+        GeogNad83, 40.1666666666667, -74.0, 40.6666666666667, 41.0333333333333,
+        ftUs(300000.0), 0.0, "Foot_US", FtUs))
+      case "EPSG:32118" => Some(lccWkt("NAD_1983_StatePlane_New_York_Long_Island_FIPS_3104",
+        GeogNad83, 40.1666666666667, -74.0, 40.6666666666667, 41.0333333333333,
+        300000.0, 0.0, "Meter", 1.0))
+      case "EPSG:2229" => Some(lccWkt("NAD_1983_StatePlane_California_V_FIPS_0405_Feet",
+        GeogNad83, 33.5, -118.0, 34.0333333333333, 35.4666666666667,
+        ftUs(2000000.0), ftUs(500000.0), "Foot_US", FtUs))
+      case "EPSG:3435" => Some(tmWkt("NAD_1983_StatePlane_Illinois_East_FIPS_1201_Feet",
+        GeogNad83, 36.6666666666667, -88.3333333333333, 0.999975, ftUs(300000.0), 0.0,
+        "Foot_US", FtUs))
+      case "EPSG:2272" => Some(lccWkt("NAD_1983_StatePlane_Pennsylvania_South_FIPS_3702_Feet",
+        GeogNad83, 39.3333333333333, -77.75, 39.9333333333333, 40.9666666666667,
+        ftUs(600000.0), 0.0, "Foot_US", FtUs))
+      case "EPSG:2277" => Some(lccWkt("NAD_1983_StatePlane_Texas_Central_FIPS_4203_Feet",
+        GeogNad83, 29.6666666666667, -100.333333333333, 30.1166666666667, 31.8833333333333,
+        ftUs(700000.0), ftUs(3000000.0), "Foot_US", FtUs))
+      case "EPSG:5070" | "EPSG:6350" => Some(projcs(
+        if (crs == "EPSG:5070") "NAD_1983_Contiguous_USA_Albers"
+        else "NAD_1983_2011_Contiguous_USA_Albers",
+        GeogNad83, "Albers",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> -96.0,
+          "Standard_Parallel_1" -> 29.5, "Standard_Parallel_2" -> 45.5,
+          "Latitude_Of_Origin" -> 23.0), "Meter", 1.0))
+      case "ESRI:102003" => Some(projcs("USA_Contiguous_Albers_Equal_Area_Conic",
+        GeogNad83, "Albers",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> -96.0,
+          "Standard_Parallel_1" -> 29.5, "Standard_Parallel_2" -> 45.5,
+          "Latitude_Of_Origin" -> 37.5), "Meter", 1.0))
+      case "EPSG:3035" => Some(projcs("ETRS_1989_LAEA", GeogEtrs89,
+        "Lambert_Azimuthal_Equal_Area",
+        Seq("False_Easting" -> 4321000.0, "False_Northing" -> 3210000.0,
+          "Central_Meridian" -> 10.0, "Latitude_Of_Origin" -> 52.0), "Meter", 1.0))
+      case c if c.startsWith("EPSG:32") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 32601 && code <= 32660)
+          Some(tmWkt(s"WGS_1984_UTM_Zone_${code - 32600}N", GeogWgs84,
+            0.0, (code - 32600) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+        else if (code >= 32701 && code <= 32760)
+          Some(tmWkt(s"WGS_1984_UTM_Zone_${code - 32700}S", GeogWgs84,
+            0.0, (code - 32700) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:269") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 26901 && code <= 26923)
+          Some(tmWkt(s"NAD_1983_UTM_Zone_${code - 26900}N", GeogNad83,
+            0.0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+        else None
+      case _ => None
+    }
+    wkt
+  }
+
+  /** Test seams for the equal-area projections (Snyder's worked
+   *  examples use Clarke 1866). */
+  private[graft] def albersForTest(
+      ell: Ellipsoid, lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+      fe: Double, fn: Double): System = new Albers2sp(ell, lat0, lon0, sp1, sp2, fe, fn)
+  private[graft] def laeaForTest(
+      ell: Ellipsoid, lat0: Double, lon0: Double,
+      fe: Double, fn: Double): System = new Laea(ell, lat0, lon0, fe, fn)
 }

@@ -220,6 +220,19 @@ object GeoRead {
    *  st_read_meta.cpp:26-91). */
   def readMeta(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
+    // CRS text where the container stores one (reference surfaces crs
+    // wkt/proj4/projjson per geometry field — st_read_meta.cpp:26-91)
+    val crs: String =
+      if (lower.endsWith(".shp")) {
+        val prj = new java.io.File(path.replaceAll("\\.[sS][hH][pP]$", "") + ".prj")
+        if (prj.isFile)
+          new String(java.nio.file.Files.readAllBytes(prj.toPath), "UTF-8").trim
+        else ""
+      } else if (lower.endsWith(".parquet"))
+        GeoParquetMeta.readGeoMetadata(path).flatMap { json =>
+          "\"crs\"\\s*:\\s*(\\{[^}]*\\}|\"[^\"]*\")".r.findFirstMatchIn(json).map(_.group(1))
+        }.getOrElse("")
+      else ""
     val (driver, schema, layers, featureCount) =
       if (lower.endsWith(".shp"))
         ("shapefile", Shapefile.schemaOf(path).simpleString, Seq.empty[String], -1L)
@@ -240,8 +253,8 @@ object GeoRead {
     localDf(spark, StructType(Seq(
       StructField("path", StringType), StructField("driver", StringType),
       StructField("schema", StringType), StructField("layers", ArrayType(StringType)),
-      StructField("feature_count", LongType))),
-      Seq(Row(path, driver, schema, layers, featureCount)))
+      StructField("feature_count", LongType), StructField("crs", StringType))),
+      Seq(Row(path, driver, schema, layers, featureCount, crs)))
   }
 
   /**

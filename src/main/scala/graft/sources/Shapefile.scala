@@ -223,8 +223,20 @@ object Shapefile {
    * reference's GDAL COPY TO — gdal/functions/st_write.cpp:558-569).
    * Local filesystem paths (like the reader).
    */
-  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+  def write(df: DataFrame, geomCol: String, path: String): Unit =
+    write(df, geomCol, path, "EPSG:4326")
+
+  /** As `write`, with an explicit CRS for the .prj sidecar: either a
+   *  supported authority code (ESRI WKT is generated — the reference's
+   *  SRS copy option, gdal/functions/st_write.cpp:60-178) or a literal
+   *  WKT string (detected by the '[') written verbatim. */
+  def write(df: DataFrame, geomCol: String, path: String, srs: String): Unit = {
     import org.apache.spark.sql.functions.{col, count => fcount, max => fmax, octet_length}
+    val prjWkt: Option[String] =
+      if (srs == null || srs.isEmpty) None
+      else if (srs.contains("[")) Some(srs)
+      else graft.functions.Crs.esriWkt(srs).orElse(throw new IllegalArgumentException(
+        s"cannot generate .prj for unsupported CRS: $srs (pass literal WKT instead)"))
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
@@ -319,6 +331,8 @@ object Shapefile {
     } finally { shp.close(); shx.close(); dbf.close() }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base.cpg"),
       "UTF-8".getBytes("ASCII"))
+    prjWkt.foreach(w => java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base.prj"), w.getBytes("ASCII")))
   }
 
   private def writeMainHeader(

@@ -140,6 +140,83 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(lon - -75.0) < 1e-9 && math.abs(lat - 35.0) < 1e-9)
   }
 
+  test("Albers matches Snyder's published worked example (PP 1395 p.292)") {
+    // Clarke 1866, SP 29.5°/45.5°, origin 23°N 96°W; point 35°N 75°W.
+    val clarke1866 = graft.functions.Crs.Ellipsoid(6378206.4, 1.0 / 294.9786982)
+    val sys = graft.functions.Crs.albersForTest(clarke1866, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    val (x, y) = sys.forward(-75.0, 35.0)
+    assert(math.abs(x - 1885472.7) < 0.5, s"x=$x")
+    assert(math.abs(y - 1535925.0) < 0.5, s"y=$y")
+    val (lon, lat) = sys.inverse(x, y)
+    assert(math.abs(lon - -75.0) < 1e-9 && math.abs(lat - 35.0) < 1e-9)
+  }
+
+  test("LAEA matches Snyder's published worked example (PP 1395 p.358)") {
+    // Clarke 1866, oblique aspect centered 40°N 100°W; point 30°N 110°W.
+    val clarke1866 = graft.functions.Crs.Ellipsoid(6378206.4, 1.0 / 294.9786982)
+    val sys = graft.functions.Crs.laeaForTest(clarke1866, 40.0, -100.0, 0.0, 0.0)
+    val (x, y) = sys.forward(-110.0, 30.0)
+    assert(math.abs(x - -965932.1) < 0.5, s"x=$x")
+    assert(math.abs(y - -1056814.9) < 0.5, s"y=$y")
+    val (lon, lat) = sys.inverse(x, y)
+    assert(math.abs(lon - -110.0) < 1e-9 && math.abs(lat - 30.0) < 1e-9)
+  }
+
+  test("equal-area CRSs roundtrip across their zone of use") {
+    val zones = Seq(
+      ("EPSG:5070", -96.0, 38.0, 20.0, 8.0), ("EPSG:6350", -96.0, 38.0, 20.0, 8.0),
+      ("ESRI:102003", -96.0, 38.0, 20.0, 8.0), ("EPSG:3035", 10.0, 52.0, 20.0, 15.0))
+    samples(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(-1.0, 1.0)), 40).foreach {
+      case (fx, fy) =>
+        zones.foreach { case (crs, lon0, lat0, sx, sy) =>
+          val (lon, lat) = (lon0 + fx * sx, lat0 + fy * sy)
+          val p = Jts.point(lon, lat)
+          val there = graft.functions.Crs.transform(p, "EPSG:4326", crs, alwaysXy = true)
+          val back = graft.functions.Crs.transform(there, crs, "EPSG:4326", alwaysXy = true)
+          val c = back.getCoordinate
+          assert(math.abs(c.x - lon) < 1e-8 && math.abs(c.y - lat) < 1e-8,
+            s"$crs roundtrip: ($lon,$lat) -> (${c.x},${c.y})")
+        }
+    }
+  }
+
+  test("EPSG:3035 false origin: (10E, 52N) maps to exactly (4321000, 3210000)") {
+    val o = graft.functions.Crs.transform(Jts.point(10.0, 52.0),
+      "EPSG:4326", "EPSG:3035", alwaysXy = true).getCoordinate
+    assert(math.abs(o.x - 4321000.0) < 1e-6 && math.abs(o.y - 3210000.0) < 1e-6,
+      s"(${o.x},${o.y})")
+  }
+
+  test("equal-area projections preserve area (vs certified spheroid area)") {
+    // A lon/lat-aligned square projected to an equal-area CRS must keep
+    // the EXACT ellipsoidal area A = a²·Δλ·(q(top)−q(bot))/2 (that is
+    // the defining property; grid scale cancels). The authalic-sphere
+    // areaSpheroid path is only a cross-check: it uses geodetic
+    // latitudes on the authalic sphere, good to ~e² relative.
+    val e2 = graft.functions.Crs.GRS80.e2
+    val ee = math.sqrt(e2)
+    def qOf(latDeg: Double): Double = {
+      val s = math.sin(math.toRadians(latDeg))
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * ee)) * math.log((1 - ee * s) / (1 + ee * s)))
+    }
+    val cases = Seq(("EPSG:5070", -90.0, 40.0), ("EPSG:3035", 15.0, 50.0))
+    cases.foreach { case (crs, lon, lat) =>
+      val d = 0.5
+      val sq = Jts.fromWkt(
+        s"POLYGON(($lon $lat, ${lon + d} $lat, ${lon + d} ${lat + d}, $lon ${lat + d}, $lon $lat))")
+      // densify edges so the projected polygon tracks parallels/meridians
+      val dense = org.locationtech.jts.densify.Densifier.densify(sq, 0.005)
+      val planar = graft.functions.Crs.transform(dense, "EPSG:4326", crs, alwaysXy = true).getArea
+      val a = graft.functions.Crs.GRS80.a
+      val exact = a * a * math.toRadians(d) * (qOf(lat + d) - qOf(lat)) / 2
+      assert(math.abs(planar - exact) / exact < 1e-6,
+        s"$crs: planar $planar vs exact ellipsoidal $exact")
+      val spheroid = Geodesy.areaSpheroid(dense)
+      assert(math.abs(planar - spheroid) / spheroid < 5e-3,
+        s"$crs: planar $planar vs authalic-approx $spheroid")
+    }
+  }
+
   test("ftUS zones are the metric zone re-expressed in US survey feet") {
     // EPSG:2263 (ftUS) and EPSG:32118 (m) share projection parameters
     val p = Jts.point(-73.9857, 40.7484)

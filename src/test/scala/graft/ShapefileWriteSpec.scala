@@ -89,6 +89,48 @@ class ShapefileWriteSpec extends SparkSpec {
     }
   }
 
+  test(".prj sidecar: default WGS84, generated zone WKT, literal pass-through") {
+    val out = tmp("prj")
+    val df = Seq((1L, "a")).toDF("id", "name")
+      .select($"id", $"name", st_point(lit(-73.9), lit(40.7)).as("geom"))
+    Shapefile.write(df, "geom", out)
+    val base = out.stripSuffix(".shp")
+    val prj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base + ".prj")), "UTF-8")
+    assert(prj.startsWith("""GEOGCS["GCS_WGS_1984""""))
+    // readMeta surfaces the sidecar CRS
+    val meta = graft.sources.GeoRead.readMeta(spark, out).collect()(0)
+    assert(meta.getAs[String]("crs") == prj)
+
+    val out2 = tmp("prj2263")
+    Shapefile.write(df, "geom", out2, "EPSG:2263")
+    val prj2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out2.stripSuffix(".shp") + ".prj")), "UTF-8")
+    assert(prj2.contains("Lambert_Conformal_Conic") && prj2.contains("Foot_US")
+      && prj2.contains("""PARAMETER["False_Easting",984250"""))
+
+    val out3 = tmp("prjlit")
+    val literal = """PROJCS["custom",GEOGCS["GCS_WGS_1984"]]"""
+    Shapefile.write(df, "geom", out3, literal)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out3.stripSuffix(".shp") + ".prj")), "UTF-8") == literal)
+
+    intercept[IllegalArgumentException] {
+      Shapefile.write(df, "geom", tmp("prjbad"), "EPSG:99999")
+    }
+  }
+
+  test("every catalog CRS has ESRI WKT for the .prj sidecar") {
+    graft.functions.Crs.registry.foreach { i =>
+      assert(graft.functions.Crs.esriWkt(s"${i.authName}:${i.code}").isDefined,
+        s"${i.authName}:${i.code}")
+    }
+    // parametric UTM families
+    Seq("EPSG:32617", "EPSG:32733", "EPSG:26918").foreach { c =>
+      assert(graft.functions.Crs.esriWkt(c).isDefined, c)
+    }
+  }
+
   test("mixed geometry classes are rejected, not silently mangled") {
     val out = tmp("mixed")
     val df = Seq((1L, "POINT (1 2)"), (2L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
