@@ -68,21 +68,38 @@ object Graft {
     // arities (reference st_read options, st_read.cpp:676-695):
     //   st_read(path)
     //   st_read(path, layer)
+    //   st_read(path, 'POLYGON (...)')         -- spatial_filter (WKT)
+    //   st_read(path, layer, 'POLYGON (...)')
     //   st_read(path, x0, y0, x1, y1)          -- spatial_filter_box
     //   st_read(path, layer, x0, y0, x1, y1)
+    // a string argument is a spatial filter iff it parses as WKT (layer
+    // names never start with a geometry type tag)
+    def asWkt(s: String): Option[Array[Byte]] = {
+      val t = s.trim.toUpperCase
+      val isGeom = Seq("POINT", "LINESTRING", "POLYGON", "MULTIPOINT", "MULTILINESTRING",
+        "MULTIPOLYGON", "GEOMETRYCOLLECTION").exists(t.startsWith)
+      if (isGeom) Some(graft.functions.Jts.write(graft.functions.Jts.fromWkt(s))) else None
+    }
     tfReg.createOrReplaceTempFunction("st_read",
       exprs => {
         import graft.sources.GeoRead
         val rest = exprs.tail
         val opts = rest.length match {
           case 0 => GeoRead.ReadOptions()
-          case 1 => GeoRead.ReadOptions(layer = litStr(rest(0)))
+          case 1 =>
+            val s = litStr(rest(0))
+            asWkt(s).map(w => GeoRead.ReadOptions(spatialFilter = Some(w)))
+              .getOrElse(GeoRead.ReadOptions(layer = s))
+          case 2 => GeoRead.ReadOptions(layer = litStr(rest(0)),
+            spatialFilter = Some(asWkt(litStr(rest(1))).getOrElse(
+              throw new IllegalArgumentException(
+                s"st_read: third argument must be filter WKT, got ${litStr(rest(1))}"))))
           case 4 => GeoRead.ReadOptions(spatialFilterBox =
             Some((litNum(rest(0)), litNum(rest(1)), litNum(rest(2)), litNum(rest(3)))))
           case 5 => GeoRead.ReadOptions(layer = litStr(rest(0)), spatialFilterBox =
             Some((litNum(rest(1)), litNum(rest(2)), litNum(rest(3)), litNum(rest(4)))))
           case n => throw new IllegalArgumentException(
-            s"st_read takes (path[, layer][, x0, y0, x1, y1]); got ${n + 1} args")
+            s"st_read takes (path[, layer][, filter_wkt | x0, y0, x1, y1]); got ${n + 1} args")
         }
         planOf(GeoRead.read(SparkSession.active, litStr(exprs.head), opts))
       }, "scala_udf")

@@ -26,10 +26,22 @@ object GeoRead {
    *  exact residual filter everywhere. */
   case class ReadOptions(
       layer: String = "",
-      spatialFilterBox: Option[(Double, Double, Double, Double)] = None)
+      spatialFilterBox: Option[(Double, Double, Double, Double)] = None,
+      /** WKB of an arbitrary filter geometry: only features intersecting
+       *  it are returned (reference `spatial_filter`, st_read.cpp:52-62);
+       *  its envelope is pushed into index-aware sources, the exact
+       *  intersects stays a residual filter. */
+      spatialFilter: Option[Array[Byte]] = None)
 
   def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
     val lower = path.toLowerCase
+    // bbox used for source-level pushdown: the explicit box, else the
+    // filter geometry's envelope
+    val pushBox: Option[(Double, Double, Double, Double)] =
+      opts.spatialFilterBox.orElse(opts.spatialFilter.map { wkb =>
+        val env = graft.functions.Jts.read(wkb).getEnvelopeInternal
+        (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+      })
     // each source declares its geometry column — never guessed from the
     // schema (a data BLOB column must not be mistaken for geometry)
     val (df, geomCol): (DataFrame, Option[String]) =
@@ -38,7 +50,7 @@ object GeoRead {
       else if (lower.endsWith(".shp")) (Shapefile.read(spark, path), Some("geom"))
       else if (lower.endsWith(".fgb"))
         // index pushdown: candidates by stored bbox, exact filter below
-        (FlatGeobuf.read(spark, path, bbox = opts.spatialFilterBox), Some("geom"))
+        (FlatGeobuf.read(spark, path, bbox = pushBox), Some("geom"))
       else if (lower.endsWith(".gpkg")) {
         val gc = GeoPackage.layers(spark, path)
           .find(l => opts.layer.isEmpty || l._1 == opts.layer).map(_._2)
@@ -59,15 +71,18 @@ object GeoRead {
       else if (lower.endsWith(".csv")) (readCsvWkt(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
         s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
-    (opts.spatialFilterBox, geomCol) match {
-      case (Some((x0, y0, x1, y1)), Some(gc)) =>
+    (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
+      case (Some(wkb), _, Some(gc)) =>
+        import graft.GeoFunctions._
+        df.filter(st_intersects(col(gc), st_geomfromwkb(lit(wkb))))
+      case (None, Some((x0, y0, x1, y1)), Some(gc)) =>
         import graft.GeoFunctions._
         df.filter(st_intersects(col(gc),
           st_makeenvelope(lit(x0), lit(y0), lit(x1), lit(y1))))
-      case (Some(_), None) =>
+      case (f, b, None) if f.isDefined || b.isDefined =>
         // never silently return an unfiltered full scan
         throw new IllegalArgumentException(
-          s"spatial_filter_box is not supported for $path: the source has no WKB geometry column")
+          s"spatial_filter is not supported for $path: the source has no WKB geometry column")
       case _ => df
     }
   }
@@ -185,6 +200,15 @@ object GeoRead {
       .drop(geomCol)
   }
 
+  /** CSV writer: geometry re-expressed as a WKT text column (named
+   *  `wkt` so readCsvWkt auto-detects it), other columns as-is;
+   *  cluster-parallel via the Spark csv sink. */
+  def writeCsvWkt(df: DataFrame, geomCol: String, path: String): Unit = {
+    val others = df.columns.filter(_ != geomCol).map(col)
+    df.select(others :+ graft.GeoFunctions.st_astext(col(geomCol)).as("wkt"): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   private def localDf(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
 
@@ -287,8 +311,9 @@ object GeoWrite {
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
       GeoJsonWriter.write(df, geomCol, path)
+    else if (lower.endsWith(".csv")) GeoRead.writeCsvWkt(df, geomCol, path)
     else throw new IllegalArgumentException(
-      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, .geojson, .geojsonl)")
+      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, .geojson, .geojsonl, .csv)")
   }
 }
 
@@ -308,5 +333,33 @@ object GeoJsonWriter {
       st_asgeojson(col(geomCol)),
       lit("}")).as("value"))
       .write.mode("overwrite").text(path)
+  }
+
+  /** Single-file `{"type":"FeatureCollection","features":[...]}` form
+   *  (what many GeoJSON consumers require). Features stream through the
+   *  driver one at a time (toLocalIterator — single-file format, same
+   *  shape as the reference's GDAL COPY TO); use `write` (NDJSON) for
+   *  cluster-parallel output. */
+  def writeFeatureCollection(df: DataFrame, geomCol: String, path: String): Unit = {
+    import graft.GeoFunctions._
+    val props = df.columns.filter(_ != geomCol)
+    val features = df.select(concat(
+      lit("""{"type":"Feature","properties":"""),
+      to_json(struct(props.map(col): _*)),
+      lit(""","geometry":"""),
+      st_asgeojson(col(geomCol)),
+      lit("}")).as("value"))
+    val out = new java.io.BufferedWriter(new java.io.FileWriter(path))
+    try {
+      out.write("""{"type":"FeatureCollection","features":[""")
+      val it = features.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) out.write(",")
+        out.write(it.next().getString(0))
+        first = false
+      }
+      out.write("]}")
+    } finally out.close()
   }
 }

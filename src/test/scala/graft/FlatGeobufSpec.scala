@@ -61,6 +61,29 @@ class FlatGeobufSpec extends SparkSpec {
     assert(exactFull > 0, "fixture box should match features")
   }
 
+  test("spatial_filter geometry: envelope pushed down, exact residual applied") {
+    assume(available)
+    // a triangle over central Amsterdam (fixture is EPSG:3857 meters)
+    val wkt = "POLYGON ((544000 6865000, 556000 6865000, 550000 6872000, 544000 6865000))"
+    val tri = graft.functions.Jts.fromWkt(wkt)
+    val filtered = GeoRead.read(spark, fixture,
+      GeoRead.ReadOptions(spatialFilter = Some(graft.functions.Jts.write(tri))))
+    val full = GeoRead.read(spark, fixture)
+    val expected = full.filter(st_intersects(col("geom"), st_geomfromtext(lit(wkt))))
+    val n = filtered.count()
+    assert(n > 0 && n < full.count())
+    assert(n == expected.count())
+    // SQL arity: st_read(path, 'WKT') routes the string to spatial_filter
+    val viaSql = spark.sql(s"SELECT count(*) AS n FROM st_read('$fixture', '$wkt')")
+      .collect()(0).getLong(0)
+    assert(viaSql == n)
+    // ...while a non-WKT string still means layer selection (no layers in
+    // fgb -> unchanged scan), keeping the two one-string forms distinct
+    val asLayer = spark.sql(s"SELECT count(*) FROM st_read('$fixture', 'roads')")
+      .collect()(0).getLong(0)
+    assert(asLayer == full.count())
+  }
+
   test("fgb write/read roundtrip: mixed types, props, nulls") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fgb-w").toString

@@ -102,6 +102,36 @@ class SourcesSpec extends SparkSpec {
     assert(df.select(st_length($"geom")).as[Double].collect().sorted.toSeq == Seq(0.0, 5.0))
   }
 
+  test("csv+wkt writer roundtrips via GeoWrite/GeoRead dispatch") {
+    val dir = java.nio.file.Files.createTempDirectory("csvw").toString + "/out.csv"
+    val df = (0 until 40).map(i => (i.toLong, s"n_$i"))
+      .toDF("id", "name")
+      .withColumn("geom", st_point(lit(1.0) * ($"id" % 10), lit(2.0) * ($"id" % 5)))
+    graft.sources.GeoWrite.write(df, dir, "geom")
+    val back = GeoRead.read(spark, dir)
+    assert(back.count() == 40)
+    val got = back.select($"id", st_astext($"geom").as("w")).as[(Long, String)].collect().toSet
+    val want = df.select($"id", st_astext($"geom").as("w")).as[(Long, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("FeatureCollection writer emits one valid document readGeoJson parses") {
+    val tmp = java.nio.file.Files.createTempDirectory("gjfcw")
+    val f = tmp.resolve("out.geojson").toString
+    val df = (0 until 30).map(i => (i.toLong, s"n_$i"))
+      .toDF("id", "name")
+      .withColumn("geom", st_point(lit(1.0) * ($"id" % 10), lit(0.5) * $"id"))
+    GeoJsonWriter.writeFeatureCollection(df, "geom", f)
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+    assert(text.startsWith("""{"type":"FeatureCollection","features":["""))
+    // strict-JSON valid (jackson parses the whole document)
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val back = GeoRead.readGeoJson(spark, f)
+    assert(back.count() == 30)
+    val ids = back.select(element_at($"properties", "id").cast("long")).as[Long].collect().toSet
+    assert(ids == (0L until 30L).toSet)
+  }
+
   test("generatePoints is deterministic and in-box") {
     val a = GeoRead.generatePoints(spark, 0, 0, 100, 50, 10000, seed = 7)
     val b = GeoRead.generatePoints(spark, 0, 0, 100, 50, 10000, seed = 7)
