@@ -48,10 +48,15 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
-      results(name) = time {
+      def run(): Double = time {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       }
+      // same cold/warm protocol as the oracle harness below: a cold run
+      // under 5 s is re-measured warm (the cold run pays one-time file
+      // listing/footer reads both engines amortize in steady state)
+      val cold = run()
+      results(name) = if (cold >= 0 && cold < 5.0) run() else cold
     }
 
     // reference rtree_points workload: 10M uniform points in [0,10000]^2,

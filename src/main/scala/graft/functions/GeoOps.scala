@@ -265,7 +265,15 @@ object GeoOps {
         if (java.lang.Double.isNaN(c.getM)) m else c.getM)))
     }),
     "st_flipcoordinates" -> Op(BinaryType, a =>
-      out(mapCoords(geo(a(0)))(c => new Coordinate(c.y, c.x, c.getZ)))),
+      // swap x/y preserving the Z and M slots (reference keeps the full
+      // vertex type — st_flipcoordinates.test covers Z/M/ZM)
+      out(mapCoords(geo(a(0))) { c =>
+        val z = c.getZ; val m = c.getM
+        if (!java.lang.Double.isNaN(m) && !java.lang.Double.isNaN(z))
+          new CoordinateXYZM(c.y, c.x, z, m)
+        else if (!java.lang.Double.isNaN(m)) new CoordinateXYM(c.y, c.x, m)
+        else new Coordinate(c.y, c.x, z)
+      })),
     "st_reverse" -> Op(BinaryType, a => out(geo(a(0)).reverse())),
     "st_normalize" -> Op(BinaryType, a => { val g = geo(a(0)); g.normalize(); out(g) }),
 

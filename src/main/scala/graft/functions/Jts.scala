@@ -199,9 +199,13 @@ object Jts {
       case p: Polygon =>
         sb.append("POLYGON ").append(tag)
         if (p.isEmpty) sb.append("EMPTY") else appendPolyBody(p, z, m, sb)
+      // Multi*/collection EMPTY is decided by ELEMENT COUNT, not JTS
+      // isEmpty (which is also true when every element is empty):
+      // the reference writes MULTIPOINT (EMPTY) for a one-element
+      // multi holding an empty point (st_multi.test).
       case mp: MultiPoint =>
         sb.append("MULTIPOINT ").append(tag)
-        if (mp.isEmpty) sb.append("EMPTY")
+        if (mp.getNumGeometries == 0) sb.append("EMPTY")
         else {
           sb.append('(')
           var i = 0
@@ -215,33 +219,36 @@ object Jts {
         }
       case ml: MultiLineString =>
         sb.append("MULTILINESTRING ").append(tag)
-        if (ml.isEmpty) sb.append("EMPTY")
+        if (ml.getNumGeometries == 0) sb.append("EMPTY")
         else {
           sb.append('(')
           var i = 0
           while (i < ml.getNumGeometries) {
             if (i > 0) sb.append(", ")
-            appendSeq(ml.getGeometryN(i).asInstanceOf[LineString].getCoordinateSequence, z, m, sb)
+            val ls = ml.getGeometryN(i).asInstanceOf[LineString]
+            if (ls.isEmpty) sb.append("EMPTY")
+            else appendSeq(ls.getCoordinateSequence, z, m, sb)
             i += 1
           }
           sb.append(')')
         }
       case mp: MultiPolygon =>
         sb.append("MULTIPOLYGON ").append(tag)
-        if (mp.isEmpty) sb.append("EMPTY")
+        if (mp.getNumGeometries == 0) sb.append("EMPTY")
         else {
           sb.append('(')
           var i = 0
           while (i < mp.getNumGeometries) {
             if (i > 0) sb.append(", ")
-            appendPolyBody(mp.getGeometryN(i).asInstanceOf[Polygon], z, m, sb)
+            val poly = mp.getGeometryN(i).asInstanceOf[Polygon]
+            if (poly.isEmpty) sb.append("EMPTY") else appendPolyBody(poly, z, m, sb)
             i += 1
           }
           sb.append(')')
         }
       case gc: GeometryCollection =>
         sb.append("GEOMETRYCOLLECTION ").append(tag)
-        if (gc.isEmpty) sb.append("EMPTY")
+        if (gc.getNumGeometries == 0) sb.append("EMPTY")
         else {
           sb.append('(')
           var i = 0

@@ -208,6 +208,66 @@ class GoldenParitySpec extends SparkSpec {
       "POINT (1.4 19.3)")
   }
 
+  test("st_multi golden incl. wrapped empty (st_multi.test, all cases)") {
+    assertSql("ST_AsText(ST_Multi(ST_GeomFromText('POINT(1 2)')))", "MULTIPOINT (1 2)")
+    assertSql("ST_AsText(ST_Multi(ST_GeomFromText('LINESTRING(1 1, 2 2)')))",
+      "MULTILINESTRING ((1 1, 2 2))")
+    assertSql("ST_AsText(ST_Multi(ST_GeomFromText('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))')))",
+      "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)))")
+    // wrapping an empty point yields a one-element multi, not an empty one
+    assertSql("ST_AsText(ST_Multi(ST_GeomFromText('POINT EMPTY')))", "MULTIPOINT (EMPTY)")
+    // ...and genuinely empty multis still print the bare EMPTY form
+    assertSql("ST_AsText(ST_GeomFromText('MULTIPOINT EMPTY'))", "MULTIPOINT EMPTY")
+    assertSql("ST_AsText(ST_GeomFromText('GEOMETRYCOLLECTION EMPTY'))",
+      "GEOMETRYCOLLECTION EMPTY")
+  }
+
+  test("st_isempty across all geometry types (st_isempty.test)") {
+    val cases = Seq(
+      "POINT EMPTY" -> true, "POINT(0 0)" -> false,
+      "LINESTRING EMPTY" -> true, "LINESTRING(0 0, 1 1)" -> false,
+      "POLYGON EMPTY" -> true, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))" -> false,
+      "MULTIPOINT EMPTY" -> true, "MULTIPOINT(0 0, 1 1)" -> false,
+      "MULTILINESTRING EMPTY" -> true,
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))" -> false,
+      "MULTIPOLYGON EMPTY" -> true,
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))" -> false,
+      "GEOMETRYCOLLECTION EMPTY" -> true,
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1))" -> false)
+    cases.foreach { case (wkt, want) =>
+      assertSql(s"ST_IsEmpty(ST_GeomFromText('$wkt'))", want)
+    }
+  }
+
+  test("st_flipcoordinates preserves Z and M (st_flipcoordinates.test, all cases)") {
+    val cases = Seq(
+      "POINT(1 2)" -> "POINT (2 1)",
+      "LINESTRING(1 2, 3 4)" -> "LINESTRING (2 1, 4 3)",
+      "POLYGON((1 2, 3 4, 5 6, 1 2))" -> "POLYGON ((2 1, 4 3, 6 5, 2 1))",
+      "MULTIPOINT(1 2, 3 4)" -> "MULTIPOINT (2 1, 4 3)",
+      "MULTILINESTRING((1 2, 3 4), (5 6, 7 8))" -> "MULTILINESTRING ((2 1, 4 3), (6 5, 8 7))",
+      "MULTIPOLYGON(((1 2, 3 4, 5 6, 1 2)), ((7 8, 9 10, 11 12, 7 8)))" ->
+        "MULTIPOLYGON (((2 1, 4 3, 6 5, 2 1)), ((8 7, 10 9, 12 11, 8 7)))",
+      "GEOMETRYCOLLECTION(POINT(1 2), LINESTRING(3 4, 5 6))" ->
+        "GEOMETRYCOLLECTION (POINT (2 1), LINESTRING (4 3, 6 5))",
+      "GEOMETRYCOLLECTION EMPTY" -> "GEOMETRYCOLLECTION EMPTY",
+      "POINT EMPTY" -> "POINT EMPTY",
+      "POINT Z(1 2 3)" -> "POINT Z (2 1 3)",
+      "POINT M(1 2 3)" -> "POINT M (2 1 3)",
+      "POINT ZM(1 2 3 4)" -> "POINT ZM (2 1 3 4)")
+    cases.foreach { case (in, want) =>
+      assertSql(s"ST_AsText(ST_FlipCoordinates(ST_GeomFromText('$in')))", want)
+    }
+    assert(spark.sql("SELECT ST_FlipCoordinates(NULL)").collect()(0).isNullAt(0))
+  }
+
+  test("st_isvalid corner cases (geos st_isvalid.test)") {
+    assertSql("ST_IsValid(ST_GeomFromText('LINESTRING(1 1, 5 5)'))", true)
+    assertSql("ST_IsValid(ST_GeomFromText('POINT EMPTY'))", true)
+    // degenerate rings (<4 points / zero area) are invalid
+    assertSql("ST_IsValid(ST_MakePolygon(ST_GeomFromText('LINESTRING(2 2, 5 5, 2 2)')))", false)
+  }
+
   test("st_makeline list semantics (st_makeline.test: nulls skip, empty ok)") {
     assertSql("ST_AsText(ST_MakeLine(ST_Point(1,1), ST_Point(2,2)))", "LINESTRING (1 1, 2 2)")
     assertSql("ST_AsText(ST_MakeLine(array(ST_Point(1,1), ST_Point(2,2), ST_Point(3,3))))",
