@@ -63,45 +63,51 @@ object Bench {
     // count within envelope (450,450)-(650,650). Spark-first plan: the
     // filter is pure arithmetic over a generated range — no index needed,
     // the scan parallelizes over 10M/partitions rows.
-    results("points_envelope_10m") = time {
-      import graft.GeoFunctions._
-      val pts = spark.range(10000000L).select(
-        st_point(pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0,
-          pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("geom"))
-      pts.filter(st_within(col("geom"),
+    import graft.GeoFunctions._
+    def genPts(n: Long) = spark.range(n).select(
+      st_point(pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0,
+        pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("geom"))
+    def envCount(n: Long): Long =
+      genPts(n).filter(st_within(col("geom"),
         st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
-    }
+    // warm the plan shape at 1/10 size (JIT + whole-stage codegen of the
+    // st_point/st_within kernels — the same steady state the oracle's
+    // warm run measures), then time the full workload
+    envCount(1000000L); envCount(1000000L)
+    results("points_envelope_10m") = time { envCount(10000000L) }
 
     // the reference's rtree_points_index A/B analog: build the
     // Hilbert-clustered + bbox'd table (= CREATE INDEX), then run the
     // same envelope count with bbox data skipping (files with
     // non-overlapping hilbert ranges -> parquet row-group pruning)
     val clusteredPath = "/tmp/graft-bench-points-clustered"
+    def clusterWrite(n: Long, path: String, files: Int): Unit =
+      graft.sources.GeoTable.writeClustered(genPts(n), "geom", path,
+        (0.0, 0.0, 10000.0, 10000.0), numFiles = files)
+    clusterWrite(500000L, clusteredPath + "-warm", 4) // warm writer path
     results("points_clustered_write_10m") = time {
-      import graft.GeoFunctions._
-      val pts = spark.range(10000000L).select(
-        st_point(pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0,
-          pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("geom"))
-      graft.sources.GeoTable.writeClustered(pts, "geom", clusteredPath,
-        (0.0, 0.0, 10000.0, 10000.0), numFiles = 64)
-      1L
+      clusterWrite(10000000L, clusteredPath, 64); 1L
     }
-    results("points_envelope_10m_clustered") = time {
-      import graft.GeoFunctions._
-      spark.read.parquet(clusteredPath)
+    def clusteredCount(path: String): Long =
+      spark.read.parquet(path)
         .filter(st_within(col("geom"),
           st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
-    }
+    clusteredCount(clusteredPath + "-warm") // warm pruned-scan plan shape
+    results("points_envelope_10m_clustered") = time { clusteredCount(clusteredPath) }
 
     // same workload on the native POINT_2D tier (struct columns, pure
     // codegen arithmetic — reference's columnar layout motivation,
     // docs/internals.md "Multi-tiered Geometry Type System")
-    results("points_envelope_10m_native") = time {
-      val pts = spark.range(10000000L).select(struct(
+    def nativeCount(n: Long): Long = {
+      val pts = spark.range(n).select(struct(
         (pmod(hash(col("id") * 2), lit(10000000)).cast("double") / 1000.0).as("x"),
         (pmod(hash(col("id") * 2 + 1), lit(10000000)).cast("double") / 1000.0).as("y")).as("pt"))
       pts.filter(col("pt.x") > 450.0 && col("pt.x") < 650.0 &&
         col("pt.y") > 450.0 && col("pt.y") < 650.0).count()
+    }
+    nativeCount(1000000L) // warm
+    results("points_envelope_10m_native") = time {
+      nativeCount(10000000L)
     }
 
     // Bucketed-layout analog of the reference's clustered fact storage:

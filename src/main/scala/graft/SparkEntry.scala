@@ -515,15 +515,25 @@ object SparkEntry {
                / size(split(lower(text), '\\s+')), 6) AS distinct_ratio
          FROM documents ORDER BY doc_id"""),
 
+    // Exact n-gram Jaccard pairs via an inverted-index equi-join, not the
+    // all-pairs `a.doc_id < b.doc_id` nested loop the oracle runs: a pair
+    // with jaccard >= 0.5 shares at least one shingle, so joining exploded
+    // shingles finds exactly the same pairs (jaccard=0 pairs never meet).
+    // The shuffle key is the shingle — bounded-fanout at 100 TB (add
+    // prefix filtering to cap hot shingles); result set identical.
     "q_doc_jaccard_pairs" -> q(Seq("documents"),
       """WITH sh AS (
            SELECT doc_id, array_distinct(transform(sequence(1, greatest(size(split(trim(lower(text)), '\\s+')) - 2, 1)),
              i -> concat_ws(' ', slice(split(trim(lower(text)), '\\s+'), i, 3)))) AS s
-           FROM documents)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(size(array_intersect(a.s, b.s)) AS DOUBLE) / size(array_union(a.s, b.s)), 6) AS jac
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CAST(size(array_intersect(a.s, b.s)) AS DOUBLE) / size(array_union(a.s, b.s)) >= 0.5
+           FROM documents),
+         inv AS (SELECT doc_id, explode(s) AS g FROM sh),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b,
+           round(CAST(size(array_intersect(sa.s, sb.s)) AS DOUBLE) / size(array_union(sa.s, sb.s)), 6) AS jac
+         FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+         WHERE CAST(size(array_intersect(sa.s, sb.s)) AS DOUBLE) / size(array_union(sa.s, sb.s)) >= 0.5
          ORDER BY id_a, id_b"""),
 
     "q_doc_minhash_dedup" -> ((s, dir) => {

@@ -1,0 +1,46 @@
+package graft
+
+/**
+ * Scale regression guard: every SparkEntry query must plan without the
+ * operators that do not survive a 100x scale-up — CartesianProduct and
+ * BroadcastNestedLoopJoin (the reference avoids the same trap by
+ * rewriting arbitrary-predicate joins to comparison joins,
+ * core/optimizer_rules.cpp:33-279; our SpatialJoinRule plays that
+ * role, and the non-spatial queries must stay on equi-join paths).
+ *
+ * Runs at sf0.001: plan shape, not timing.
+ */
+class PlanAuditSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Brute-force similarity intentionally cross-joins the corpus with a
+  // BROADCAST side that is small by construction (the query set /
+  // centroid set, Similarity.scala:29,103): the corpus never shuffles,
+  // so the plan holds at 100 TB. Everything else must stay equi-join.
+  private val intendedBroadcastCross = Set("q_emb_topk", "q_emb_ivf_topk")
+
+  test("no query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val physical = df.queryExecution.executedPlan.toString
+      val disallowed = Seq("CartesianProduct") ++
+        (if (intendedBroadcastCross(name)) Nil else Seq("BroadcastNestedLoopJoin"))
+      val bad = disallowed.filter(physical.contains)
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile join operators in:\n${offenders.mkString("\n")}")
+  }
+
+  test("flagship scans prune columns and push filters") {
+    // q1_agg reads 7 of lineitem's 16 columns and pushes the shipdate
+    // filter; a full-width scan here would read ~2x the bytes at 100 TB.
+    val q1 = SparkEntry.queries("q1_agg")(spark, sfDir)
+    val scan = q1.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1_agg shipdate filter not pushed:\n$scan")
+    val readSchema = "ReadSchema: [^,]*struct<([^>]*)>".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").count(_.contains(":"))
+    assert(cols <= 7, s"q1_agg reads $cols lineitem columns (expected <= 7):\n$readSchema")
+  }
+}
