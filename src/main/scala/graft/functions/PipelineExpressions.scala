@@ -64,23 +64,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
-  private def values(a: ArrayData, et: DataType): Array[Double] = et match {
-    case FloatType => a.toFloatArray().map(_.toDouble)
-    case DoubleType => a.toDoubleArray()
-    case other => throw new IllegalArgumentException(s"cosine_similarity: unsupported element type $other")
-  }
-
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def checkElemType(e: Expression): Boolean = elemType(e) match {
+    case FloatType => true
+    case DoubleType => false
+    case other => throw new IllegalArgumentException(s"cosine_similarity: unsupported element type $other")
+  }
+  // element accessors resolved once, not per row — the eval below runs
+  // |corpus|x|centroids| times in the IVF assign stage, so it must not
+  // allocate (toFloatArray().map would churn two arrays per call)
+  @transient private lazy val leftIsFloat = checkElemType(left)
+  @transient private lazy val rightIsFloat = checkElemType(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val x = values(l.asInstanceOf[ArrayData], elemType(left))
-    val y = values(r.asInstanceOf[ArrayData], elemType(right))
-    require(x.length == y.length, s"vector length mismatch: ${x.length} vs ${y.length}")
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == y.numElements(), s"vector length mismatch: $n vs ${y.numElements()}")
+    val lf = leftIsFloat; val rf = rightIsFloat
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    while (i < x.length) {
-      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
