@@ -599,6 +599,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // embedding-cosine near-dup removal: the survivor set of annPairs
+    // under the greedy min-id policy (same LSH parameters, so the
+    // oracle's closed-form replication certifies the whole operator)
+    "q_emb_dedup" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.dedupByEmbedding(s.table("embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.35, numPlanes = 10, numTables = 6)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // IVF-flat ANN with a DETERMINISTIC coarse quantizer (every 25th
     // vector) so the whole index+search pipeline is closed-form and the
     // oracle replicates it exactly — argmax list assignment, top-nprobe
@@ -790,7 +801,7 @@ object SparkEntry {
    *  signature = sign bits of the plane dots, bucket equi-join per
    *  table, exact-cosine ≥ threshold verify. Deterministic because the
    *  planes are seed-derived. */
-  private lazy val annOracle: String =
+  private lazy val annPairsCtes: String =
     s"""WITH dvals AS (
          SELECT t.range AS t, p.range AS p, d.range AS d FROM range(0,6) t, range(0,10) p, range(0,64) d),
        z0 AS (SELECT t, p, d, ((p * 4294967296 + xor(42 + t, d))::HUGEINT + 11400714819323198485::HUGEINT) % $M64 AS z FROM dvals),
@@ -807,11 +818,22 @@ object SparkEntry {
          FROM dots GROUP BY vec_id, t),
        cand AS (
          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         FROM sigs x JOIN sigs y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id)
-       SELECT c.id_a, c.id_b, round($duckCos, 6) AS cosine
-       FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
-       WHERE $duckCos >= 0.35
-       ORDER BY id_a, id_b"""
+         FROM sigs x JOIN sigs y ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       pairs AS (
+         SELECT c.id_a, c.id_b, round($duckCos, 6) AS cosine
+         FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+         WHERE $duckCos >= 0.35)"""
+
+  private lazy val annOracle: String =
+    s"$annPairsCtes SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b"
+
+  /** q_emb_dedup oracle: survivors of the greedy min-id near-dup pass —
+   *  every vector that is never the higher id of a candidate pair. */
+  private lazy val embDedupOracle: String =
+    s"""$annPairsCtes
+       SELECT e.vec_id FROM embeddings e
+       WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+       ORDER BY vec_id"""
 
   /** q_mm_decode oracle: the stub decode derives metadata from Java's
    *  Arrays.hashCode over the payload bytes — h = 31^n + sum(b_i *
@@ -1375,6 +1397,7 @@ object SparkEntry {
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,
       "q_emb_ann_pairs" -> annOracle,
+      "q_emb_dedup" -> embDedupOracle,
       "q_mm_decode" -> mmDecodeOracle,
 
       "q_emb_topk" ->

@@ -172,6 +172,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedupByEmbedding keeps min-id survivors, drops every pair's higher id") {
+    val dropped = Similarity.annPairs(emb, $"vec_id", $"embedding", threshold = 0.35,
+      numPlanes = 10, numTables = 6)
+      .select("id_b").as[Long].collect().toSet
+    val survivors = Similarity.dedupByEmbedding(emb, $"vec_id", $"embedding",
+      threshold = 0.35, numPlanes = 10, numTables = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors == all -- dropped)
+  }
+
   test("ivf topk: probed search recalls most brute-force neighbors, deterministic") {
     val cent = emb.filter($"vec_id" % 25 === 0)
     val qs = emb.filter($"vec_id" < 20)
