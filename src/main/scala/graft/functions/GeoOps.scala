@@ -297,7 +297,11 @@ object GeoOps {
     "st_extent" -> Op(boxType, a => { val g = geo(a(0)); if (g.isEmpty) null else box(g.getEnvelopeInternal) }),
     "st_envelope" -> Op(BinaryType, a => out(geo(a(0)).getEnvelope)),
     "st_npoints" -> Op(IntegerType, a => geo(a(0)).getNumPoints),
-    "st_ngeometries" -> Op(IntegerType, a => geo(a(0)).getNumGeometries),
+    // reference counts an EMPTY singleton as 0 parts (st_ngeometries.test:
+    // POINT/LINESTRING/POLYGON EMPTY -> 0); JTS getNumGeometries says 1
+    "st_ngeometries" -> Op(IntegerType, a => geo(a(0)) match {
+      case c: GeometryCollection => c.getNumGeometries // incl. Multi* subclasses
+      case g => if (g.isEmpty) 0 else 1 }),
     "st_ninteriorrings" -> Op(IntegerType, a => geo(a(0)) match {
       case p: Polygon => p.getNumInteriorRing
       case _ => null }),

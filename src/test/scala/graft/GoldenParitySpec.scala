@@ -280,4 +280,93 @@ class GoldenParitySpec extends SparkSpec {
       sql1("ST_AsText(ST_MakeLine(array(ST_Point(1,1), CAST(NULL AS BINARY))))")
     }
   }
+
+  test("st_area golden incl. recursive collections (st_area.test, all cases)") {
+    val cases = Seq(
+      "POINT(0 0)" -> 0.0,
+      "LINESTRING(0 0, 1 1)" -> 0.0,
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))" -> 1.0,
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))" -> 0.64,
+      "MULTIPOINT(0 0, 1 1)" -> 0.0,
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))" -> 0.0,
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))" -> 2.0,
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2)), ((2 2, 3 2, 3 3, 2 3, 2 2), (2.2 2.2, 2.8 2.2, 2.8 2.8, 2.2 2.8, 2.2 2.2)))" -> 1.28,
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1), POLYGON((0 0, 1 0, 1 1, 0 1, 0 0)))" -> 1.0,
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1), POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), (0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2)))" -> 0.64)
+    cases.foreach { case (wkt, want) => assertSqlApprox(s"ST_Area(ST_GeomFromText('$wkt'))", want, 1e-9) }
+  }
+
+  test("st_length golden: polygons contribute 0, collections recurse (st_length.test)") {
+    val cases = Seq(
+      "LINESTRING(0 0, 0 1, 0 2, 0 3, 1 3, 2 3)" -> 5.0,
+      "LINESTRING EMPTY" -> 0.0,
+      "MULTILINESTRING EMPTY" -> 0.0,
+      "MULTILINESTRING((0 0, 0 1, 0 2, 0 3, 1 3, 2 3), (0 0, 0 1, 0 2, 0 3, 1 3, 2 3))" -> 10.0,
+      "POINT(0 0)" -> 0.0,
+      "MULTIPOINT(0 0, 1 1)" -> 0.0,
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))" -> 0.0,
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)),((0 0, 1 0, 1 1, 0 1, 0 0)))" -> 0.0,
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 0 1, 0 2, 0 3, 1 3, 2 3))" -> 5.0)
+    cases.foreach { case (wkt, want) => assertSqlApprox(s"ST_Length(ST_GeomFromText('$wkt'))", want, 1e-9) }
+    assert(spark.sql("SELECT ST_Length(NULL)").collect()(0).isNullAt(0))
+  }
+
+  test("st_perimeter golden: lines contribute 0, holes add (st_perimeter.test)") {
+    val cases = Seq(
+      "POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))" -> 4.0,
+      "POLYGON((-1 -1, -1 0, 0 0, 0 -1, -1 -1))" -> 4.0,
+      "POLYGON((0 0, 0 1, 1 1, 1 0, 0 0), (0.25 0.25, 0.25 0.75, 0.75 0.75, 0.75 0.25, 0.25 0.25))" -> 6.0,
+      "POLYGON EMPTY" -> 0.0,
+      "MULTIPOLYGON(((0 0, 0 1, 1 1, 1 0, 0 0)), ((0.25 0.25, 0.25 0.75, 0.75 0.75, 0.75 0.25, 0.25 0.25)))" -> 6.0,
+      "MULTIPOLYGON EMPTY" -> 0.0,
+      "MULTIPOLYGON(EMPTY, ((0 0, 0 1, 1 1, 1 0, 0 0)))" -> 4.0,
+      "GEOMETRYCOLLECTION(POLYGON((0 0, 0 1, 1 1, 1 0, 0 0)), POLYGON((0.25 0.25, 0.25 0.75, 0.75 0.75, 0.75 0.25, 0.25 0.25)))" -> 6.0,
+      "GEOMETRYCOLLECTION(LINESTRING(0 0, 5 5), POLYGON((0 0, 0 1, 1 1, 1 0, 0 0)))" -> 4.0)
+    cases.foreach { case (wkt, want) => assertSqlApprox(s"ST_Perimeter(ST_GeomFromText('$wkt'))", want, 1e-9) }
+  }
+
+  test("st_x/st_y on empty and negative zero (st_xy.test)") {
+    assertSql("ST_X(ST_GeomFromText('POINT(1 -2)'))", 1.0)
+    assertSql("ST_Y(ST_GeomFromText('POINT(1 -2)'))", -2.0)
+    assert(spark.sql("SELECT ST_X(ST_GeomFromText('POINT EMPTY'))").collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT ST_Y(ST_GeomFromText('POINT EMPTY'))").collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT ST_X(NULL)").collect()(0).isNullAt(0))
+    assertSql("ST_X(ST_GeomFromText('POINT ZM (0 1 2 3)'))", 0.0)
+    assertSql("ST_Y(ST_GeomFromText('POINT ZM (0 1 2 3)'))", 1.0)
+    assertSql("ST_Z(ST_GeomFromText('POINT ZM (0 1 2 3)'))", 2.0)
+    assertSql("ST_M(ST_GeomFromText('POINT ZM (0 1 2 3)'))", 3.0)
+  }
+
+  test("st_numgeometries: empty singletons are 0 parts, nested GC counts direct children (st_ngeometries.test)") {
+    val cases = Seq(
+      "POINT EMPTY" -> 0, "POINT(0 0)" -> 1,
+      "LINESTRING EMPTY" -> 0, "LINESTRING(0 0, 1 1)" -> 1,
+      "POLYGON EMPTY" -> 0, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))" -> 1,
+      "MULTIPOINT EMPTY" -> 0, "MULTIPOINT(0 0, 1 1)" -> 2,
+      "MULTILINESTRING EMPTY" -> 0, "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))" -> 2,
+      "MULTIPOLYGON EMPTY" -> 0, "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))" -> 2,
+      "GEOMETRYCOLLECTION EMPTY" -> 0,
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1))" -> 2,
+      "GEOMETRYCOLLECTION(GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1)))" -> 1)
+    cases.foreach { case (wkt, want) => assertSql(s"ST_NumGeometries(ST_GeomFromText('$wkt'))", want) }
+  }
+
+  test("st_numpoints recurses collections (st_npoints.test)") {
+    val cases = Seq(
+      "POINT EMPTY" -> 0, "POINT(0 0)" -> 1,
+      "LINESTRING(0 0, 1 1)" -> 2,
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))" -> 5,
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0), (0.5 0.5, 0.5 0.75, 0.75 0.75, 0.75 0.5, 0.5 0.5))" -> 10,
+      "MULTIPOINT(0 0, 1 1)" -> 2,
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))" -> 4,
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1))" -> 3,
+      "GEOMETRYCOLLECTION(GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1)))" -> 3)
+    cases.foreach { case (wkt, want) => assertSql(s"ST_NumPoints(ST_GeomFromText('$wkt'))", want) }
+  }
+
+  test("st_numinteriorrings golden (st_ninteriorrings.test)") {
+    assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))'))", 0)
+    assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON EMPTY'))", 0)
+    assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0), (0.25 0.25, 0.25 0.75, 0.75 0.75, 0.75 0.25, 0.25 0.25))'))", 1)
+  }
 }
