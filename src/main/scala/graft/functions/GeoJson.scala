@@ -14,8 +14,11 @@ object GeoJson {
     sb.toString
   }
 
+  // reference (yyjson writer) keeps a trailing .0 on integral doubles —
+  // `[0.0,0.0]`, not `[0,0]` (st_asgeojson.test); the WKT writer is the
+  // one that strips it
   private def fmt(d: Double, sb: java.lang.StringBuilder): Unit = {
-    if (d == math.floor(d) && math.abs(d) < 1e15) sb.append(d.toLong) else sb.append(d)
+    if (d == math.floor(d) && math.abs(d) < 1e15) sb.append(d.toLong).append(".0") else sb.append(d)
   }
 
   private def writeCoord(c: Coordinate, sb: java.lang.StringBuilder): Unit = {

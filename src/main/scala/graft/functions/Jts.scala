@@ -111,7 +111,18 @@ object Jts {
     if (g.isEmpty) null else g.getCoordinate
   }
 
-  def fromWkt(s: String): Geometry = wktReader.get.read(s)
+  /** Parse WKT; an EWKT `SRID=n;` prefix is accepted and dropped, like
+   *  the reference's parser (st_geomfromtext.test "Ignore SRID"). */
+  def fromWkt(s: String): Geometry = {
+    val t = s.trim
+    val body =
+      if (t.regionMatches(true, 0, "SRID=", 0, 5)) {
+        val semi = t.indexOf(';')
+        if (semi < 0) throw new IllegalArgumentException(s"EWKT missing ';' after SRID: ${t.take(30)}")
+        t.substring(semi + 1)
+      } else t
+    wktReader.get.read(body)
+  }
 
   /** Hand-rolled WKT writer matching the reference's output style
    *  (st_astext.cpp + util/math.cpp format_coord): `TYPE [Z|M|ZM ]

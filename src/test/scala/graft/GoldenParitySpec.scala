@@ -364,6 +364,36 @@ class GoldenParitySpec extends SparkSpec {
     cases.foreach { case (wkt, want) => assertSql(s"ST_NumPoints(ST_GeomFromText('$wkt'))", want) }
   }
 
+  test("st_geomfromtext: multipoint paren forms, EWKT SRID prefix, invalid rejects (st_geomfromtext.test)") {
+    assertSql("ST_AsText(ST_GeomFromText('MULTIPOINT ((0 0), (1 1))'))", "MULTIPOINT (0 0, 1 1)")
+    assertSql("ST_AsText(ST_GeomFromText('MULTIPOINT (0 0, 1 1)'))", "MULTIPOINT (0 0, 1 1)")
+    assertSql("ST_AsText(ST_GeomFromText('SRID=4326; POINT (0 1)'))", "POINT (0 1)")
+    intercept[Exception] { sql1("ST_AsText(ST_GeomFromText('POINT Z (1 2)'))") }
+    // ignore_invalid flag degrades the error to NULL
+    assert(spark.sql("SELECT ST_GeomFromText('POINT Z (1 2)', true)").collect()(0).isNullAt(0))
+  }
+
+  test("st_asgeojson golden formats: .0 on integral doubles, [] for EMPTY (st_asgeojson.test, all cases)") {
+    val cases = Seq(
+      "POINT EMPTY" -> """{"type":"Point","coordinates":[]}""",
+      "POINT(0 0)" -> """{"type":"Point","coordinates":[0.0,0.0]}""",
+      "LINESTRING EMPTY" -> """{"type":"LineString","coordinates":[]}""",
+      "LINESTRING(0 0, 1 1)" -> """{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}""",
+      "POLYGON EMPTY" -> """{"type":"Polygon","coordinates":[]}""",
+      "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))" -> """{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]]}""",
+      "MULTIPOINT EMPTY" -> """{"type":"MultiPoint","coordinates":[]}""",
+      "MULTIPOINT(0 0, 1 1)" -> """{"type":"MultiPoint","coordinates":[[0.0,0.0],[1.0,1.0]]}""",
+      "MULTILINESTRING EMPTY" -> """{"type":"MultiLineString","coordinates":[]}""",
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))" -> """{"type":"MultiLineString","coordinates":[[[0.0,0.0],[1.0,1.0]],[[2.0,2.0],[3.0,3.0]]]}""",
+      "MULTIPOLYGON EMPTY" -> """{"type":"MultiPolygon","coordinates":[]}""",
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))" -> """{"type":"MultiPolygon","coordinates":[[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]],[[[2.0,2.0],[3.0,2.0],[3.0,3.0],[2.0,3.0],[2.0,2.0]]]]}""",
+      "GEOMETRYCOLLECTION EMPTY" -> """{"type":"GeometryCollection","geometries":[]}""",
+      "GEOMETRYCOLLECTION(POINT(0 0), LINESTRING(0 0, 1 1))" -> """{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[0.0,0.0]},{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}]}""")
+    cases.foreach { case (wkt, want) => assertSql(s"ST_AsGeoJSON(ST_GeomFromText('$wkt'))", want) }
+    // non-integral coordinates keep their fraction, no forced .0
+    assertSql("ST_AsGeoJSON(ST_Point(0.5, 1.25))", """{"type":"Point","coordinates":[0.5,1.25]}""")
+  }
+
   test("st_numinteriorrings golden (st_ninteriorrings.test)") {
     assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))'))", 0)
     assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON EMPTY'))", 0)
