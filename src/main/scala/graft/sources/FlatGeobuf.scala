@@ -76,7 +76,8 @@ object FlatGeobuf {
   case class FgbColumn(name: String, colType: Int)
   case class FgbHeader(
       geometryType: Int, hasZ: Boolean, columns: IndexedSeq[FgbColumn],
-      featuresCount: Long, indexNodeSize: Int, headerLen: Int)
+      featuresCount: Long, indexNodeSize: Int, headerLen: Int,
+      name: String = "", crsOrg: String = "", crsCode: Int = 0, crsWkt: String = "")
 
   private def parseHeader(bytes: Array[Byte]): FgbHeader = {
     val b = fb(bytes)
@@ -105,7 +106,29 @@ object FlatGeobuf {
     val featuresCount = if (fcField == 0) 0L else b.i64(fcField)
     val nsField = b.field(t, 9)
     val nodeSize = if (nsField == 0) 16 else b.u16(nsField)
-    FgbHeader(geomType, hasZ, columns, featuresCount, nodeSize, bytes.length)
+    val nameField = b.field(t, 0)
+    val layerName = if (nameField == 0) "" else b.string(nameField)
+    // crs table (spec Header slot 10): org=0, code=1, name=2, desc=3, wkt=4
+    val crsField = b.field(t, 10)
+    val (crsOrg, crsCode, crsWkt) =
+      if (crsField == 0) ("", 0, "")
+      else {
+        val ct = b.indirect(crsField)
+        val orgF = b.field(ct, 0); val codeF = b.field(ct, 1); val wktF = b.field(ct, 4)
+        (if (orgF == 0) "" else b.string(orgF),
+         if (codeF == 0) 0 else b.i32(codeF),
+         if (wktF == 0) "" else b.string(wktF))
+      }
+    FgbHeader(geomType, hasZ, columns, featuresCount, nodeSize, bytes.length,
+      layerName, crsOrg, crsCode, crsWkt)
+  }
+
+  /** FlatGeobuf GeometryType enum name (spec geometry_type). */
+  def geometryTypeName(t: Int): String = t match {
+    case 0 => "Unknown"; case 1 => "Point"; case 2 => "LineString"
+    case 3 => "Polygon"; case 4 => "MultiPoint"; case 5 => "MultiLineString"
+    case 6 => "MultiPolygon"; case 7 => "GeometryCollection"
+    case other => s"Unknown($other)"
   }
 
   /** Packed Hilbert R-tree byte size (spec packed_r_tree algorithm):

@@ -301,6 +301,44 @@ object GeoPackage {
     } finally closer.close()
   }
 
+  /** Per-layer metadata for ST_Read_Meta: layer name, geometry column,
+   *  geometry type name, srs (name, organization, code, definition WKT),
+   *  feature count (b-tree walk, no payload decode), and the declared
+   *  attribute columns (name, declared type, rowid-alias flag). */
+  case class LayerMeta(
+      name: String, geomColumn: String, geomType: String,
+      srsName: String, srsOrg: String, srsCode: Long, srsWkt: String,
+      featureCount: Long, fields: Seq[(String, String, Boolean)])
+
+  def layerMetas(spark: SparkSession, path: String): Seq[LayerMeta] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (db, closer) = openDb(fs, hPath)
+    try {
+      val m = master(db)
+      // gpkg_spatial_ref_sys: srs_name, srs_id, organization, organization_coordsys_id, definition
+      val srs: Map[Long, (String, String, Long, String)] =
+        m.find(r => r.typ == "table" && r.name == "gpkg_spatial_ref_sys").map { t =>
+          walkTable(db, t.rootpage).map { case (_, p) =>
+            val v = decodeRecord(p)
+            val id = v(1) match { case l: Long => l; case _ => -1L }
+            id -> ((str(v(0)),
+              str(v(2)),
+              v(3) match { case l: Long => l; case _ => -1L },
+              str(v(4))))
+          }.toMap
+        }.getOrElse(Map.empty)
+      layers(spark, path).map { case (tbl, geomCol, geomType, srsId) =>
+        val row = m.find(r => r.typ == "table" && r.name == tbl)
+        val fields = row.map(r => parseCreateTable(r.sql)).getOrElse(Seq.empty)
+          .map(c => (c.name, c.declType, c.isRowidAlias))
+        val count = row.map(r => walkTable(db, r.rootpage).size.toLong).getOrElse(-1L)
+        val (sn, so, sc, sw) = srs.getOrElse(srsId, ("", "", srsId, ""))
+        LayerMeta(tbl, geomCol, geomType, sn, so, sc, sw, count, fields)
+      }
+    } finally closer.close()
+  }
+
   /**
    * Read one feature layer (default: the first in
    * `gpkg_geometry_columns`) as (columns..., geometry as WKB binary).

@@ -242,43 +242,105 @@ object GeoRead {
    *  list, and feature count where the format stores one (reference
    *  returns layers LIST(STRUCT(name, feature_count, …)) —
    *  st_read_meta.cpp:26-91). */
+  // reference-shaped nested metadata schema (st_read_meta.cpp:26-56):
+  // layers LIST(STRUCT(name, feature_count, geometry_fields, fields))
+  private val crsStruct = StructType(Seq(
+    StructField("name", StringType), StructField("auth_name", StringType),
+    StructField("auth_code", StringType), StructField("wkt", StringType),
+    StructField("proj4", StringType), StructField("projjson", StringType)))
+  private val geomFieldStruct = StructType(Seq(
+    StructField("name", StringType), StructField("type", StringType),
+    StructField("nullable", BooleanType), StructField("crs", crsStruct)))
+  private val stdFieldStruct = StructType(Seq(
+    StructField("name", StringType), StructField("type", StringType),
+    StructField("subtype", StringType), StructField("nullable", BooleanType),
+    StructField("unique", BooleanType), StructField("width", LongType),
+    StructField("precision", LongType)))
+  private val layerStruct = StructType(Seq(
+    StructField("name", StringType), StructField("feature_count", LongType),
+    StructField("geometry_fields", ArrayType(geomFieldStruct)),
+    StructField("fields", ArrayType(stdFieldStruct))))
+  val readMetaSchema: StructType = StructType(Seq(
+    StructField("file_name", StringType),
+    StructField("driver_short_name", StringType),
+    StructField("driver_long_name", StringType),
+    StructField("layers", ArrayType(layerStruct))))
+
+  private def crsRow(name: String, auth: String, code: String, wkt: String): Row =
+    Row(name, auth, code, wkt, "", "")
+  private def geomField(name: String, typ: String, crs: Row): Row = Row(name, typ, true, crs)
+  private def stdField(name: String, typ: String, subtype: String = "",
+      width: Long = 0L, precision: Long = 0L, unique: Boolean = false): Row =
+    Row(name, typ, subtype, true, unique, width, precision)
+
+  private def baseName(path: String): String = {
+    val f = new java.io.File(path).getName
+    val dot = f.lastIndexOf('.')
+    if (dot > 0) f.substring(0, dot) else f
+  }
+
   def readMeta(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
-    // CRS text where the container stores one (reference surfaces crs
-    // wkt/proj4/projjson per geometry field — st_read_meta.cpp:26-91)
-    val crs: String =
+    def sparkFields(schema: StructType, geomCols: Set[String]): Seq[Row] =
+      schema.fields.filterNot(f => geomCols(f.name))
+        .map(f => stdField(f.name, f.dataType.simpleString)).toSeq
+
+    val (driver, layers): (String, Seq[Row]) =
       if (lower.endsWith(".shp")) {
+        val (geomType, count, dbfFields) = Shapefile.metaOf(path)
         val prj = new java.io.File(path.replaceAll("\\.[sS][hH][pP]$", "") + ".prj")
-        if (prj.isFile)
-          new String(java.nio.file.Files.readAllBytes(prj.toPath), "UTF-8").trim
-        else ""
-      } else if (lower.endsWith(".parquet"))
-        GeoParquetMeta.readGeoMetadata(path).flatMap { json =>
-          "\"crs\"\\s*:\\s*(\\{[^}]*\\}|\"[^\"]*\")".r.findFirstMatchIn(json).map(_.group(1))
-        }.getOrElse("")
-      else ""
-    val (driver, schema, layers, featureCount) =
-      if (lower.endsWith(".shp"))
-        ("shapefile", Shapefile.schemaOf(path).simpleString, Seq.empty[String], -1L)
-      else if (lower.endsWith(".fgb")) {
+        val wkt = if (prj.isFile)
+          new String(java.nio.file.Files.readAllBytes(prj.toPath), "UTF-8").trim else ""
+        val fields = dbfFields.map { case (name, typ, len, dec) =>
+          val (t, sub) = typ match {
+            case 'N' if dec == 0 && len < 19 => ("Integer64", "")
+            case 'N' | 'F' => ("Real", "")
+            case 'L' => ("Integer", "Boolean")
+            case 'D' => ("Date", "")
+            case _ => ("String", "")
+          }
+          stdField(name, t, sub, len.toLong, dec.toLong)
+        }
+        ("shapefile", Seq(Row(baseName(path), count,
+          Seq(geomField("geom", geomType, crsRow("", "", "", wkt))), fields)))
+      } else if (lower.endsWith(".fgb")) {
         val (h, s) = FlatGeobuf.meta(spark, path)
-        ("flatgeobuf", s.simpleString, Seq.empty[String], h.featuresCount)
-      }
-      else if (lower.endsWith(".gpkg")) {
-        val ls = GeoPackage.layers(spark, path)
-        ("geopackage", GeoPackage.read(spark, path).schema.simpleString,
-          ls.map(l => s"${l._1}(${l._3})"), -1L)
-      }
-      else if (lower.endsWith(".parquet"))
-        ("parquet", spark.read.parquet(path).schema.simpleString, Seq.empty[String], -1L)
-      else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
-        ("geojson", "properties map<string,string>, geom binary", Seq.empty[String], -1L)
-      else ("unknown", "", Seq.empty[String], -1L)
-    localDf(spark, StructType(Seq(
-      StructField("path", StringType), StructField("driver", StringType),
-      StructField("schema", StringType), StructField("layers", ArrayType(StringType)),
-      StructField("feature_count", LongType), StructField("crs", StringType))),
-      Seq(Row(path, driver, schema, layers, featureCount, crs)))
+        val name = if (h.name.nonEmpty) h.name else baseName(path)
+        val crs = crsRow("", h.crsOrg, if (h.crsCode != 0) h.crsCode.toString else "", h.crsWkt)
+        val typ = FlatGeobuf.geometryTypeName(h.geometryType) + (if (h.hasZ) " Z" else "")
+        ("flatgeobuf", Seq(Row(name, h.featuresCount,
+          Seq(geomField("geom", typ, crs)), sparkFields(s, Set("geom")))))
+      } else if (lower.endsWith(".gpkg")) {
+        ("geopackage", GeoPackage.layerMetas(spark, path).map { lm =>
+          val crs = crsRow(lm.srsName, lm.srsOrg, lm.srsCode.toString, lm.srsWkt)
+          val fields = lm.fields.filterNot(_._1.equalsIgnoreCase(lm.geomColumn))
+            .map { case (n, declType, isRowid) => stdField(n, declType, unique = isRowid) }
+          Row(lm.name, lm.featureCount,
+            Seq(geomField(lm.geomColumn, lm.geomType, crs)), fields)
+        })
+      } else if (lower.endsWith(".parquet")) {
+        val schema = spark.read.parquet(path).schema
+        val geoJson = GeoParquetMeta.readGeoMetadata(path)
+        val primary = geoJson.flatMap(j =>
+          "\"primary_column\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(j).map(_.group(1)))
+        val crsTxt = geoJson.flatMap(j =>
+          "\"crs\"\\s*:\\s*(\\{[^}]*\\}|\"[^\"]*\")".r.findFirstMatchIn(j).map(_.group(1)))
+          .getOrElse("")
+        val geomCols = primary.toSet ++
+          schema.fields.filter(f => f.dataType == BinaryType && f.name == "geom").map(_.name)
+        ("parquet", Seq(Row(baseName(path), -1L,
+          geomCols.toSeq.sorted.map(c => geomField(c, "Unknown", crsRow("", "", "", crsTxt))),
+          sparkFields(schema, geomCols))))
+      } else if (lower.endsWith(".geojson") || lower.endsWith(".json")) {
+        // GeoJSON is WGS84 by spec (RFC 7946 §4)
+        ("geojson", Seq(Row(baseName(path), -1L,
+          Seq(geomField("geom", "Unknown", crsRow("WGS 84", "EPSG", "4326", ""))),
+          Seq(stdField("properties", "map<string,string>")))))
+      } else ("unknown", Seq.empty[Row])
+
+    val longName = drivers(spark).collect()
+      .find(_.getString(0) == driver).map(_.getString(1)).getOrElse("")
+    localDf(spark, readMetaSchema, Seq(Row(path, driver, longName, layers)))
   }
 
   /**

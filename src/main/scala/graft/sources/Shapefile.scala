@@ -69,6 +69,33 @@ object Shapefile {
       .getOrElse(s"$base.$ext")
   }
 
+  /** Shape-type code (shp header offset 32) → WKT-style geometry name. */
+  def shapeTypeName(code: Int): String = {
+    val tag = if (code >= 11 && code <= 18) " Z" else if (code >= 21 && code <= 28) " M" else ""
+    (code % 10) match {
+      case 0 => "Null"
+      case 1 => "Point" + tag
+      case 3 => "LineString" + tag
+      case 5 => "Polygon" + tag
+      case 8 => "MultiPoint" + tag
+      case _ => s"Unknown($code)"
+    }
+  }
+
+  /** Header-only metadata for ST_Read_Meta: (geometry type name,
+   *  feature count from .shx, raw dbf fields (name, type char, width,
+   *  decimals)). No record data is read. */
+  def metaOf(path: String): (String, Long, Seq[(String, Char, Int, Int)]) = {
+    val shp = new RandomAccessFile(path, "r")
+    val shapeType = try { shp.seek(32); java.lang.Integer.reverseBytes(shp.readInt()) }
+      finally shp.close()
+    val shxFile = new java.io.File(sibling(path, "shx"))
+    val count = if (shxFile.isFile) (shxFile.length() - 100) / 8 else -1L
+    val dbf = new RandomAccessFile(sibling(path, "dbf"), "r")
+    val fields = try readDbfHeader(dbf)._4 finally dbf.close()
+    (shapeTypeName(shapeType), count, fields.map(f => (f.name, f.typ, f.len, f.dec)))
+  }
+
   private def charsetOf(shpPath: String): String = {
     val cpg = sibling(shpPath, "cpg")
     if (Files.exists(Paths.get(cpg))) {

@@ -41,7 +41,10 @@ class FlatGeobufSpec extends SparkSpec {
     assume(available)
     val meta = GeoRead.readMeta(spark, fixture).collect()(0)
     assert(meta.getString(1) == "flatgeobuf")
-    assert(meta.getString(2).contains("kind"))
+    val l0 = meta.getSeq[org.apache.spark.sql.Row](3).head
+    assert(l0.getLong(1) > 0) // features_count from the header
+    assert(l0.getSeq[org.apache.spark.sql.Row](3).exists(_.getString(0) == "kind"))
+    assert(l0.getSeq[org.apache.spark.sql.Row](2).head.getString(1).nonEmpty)
   }
 
   test("bbox pushdown prunes bytes via the packed index and stays exact") {

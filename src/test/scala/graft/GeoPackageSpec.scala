@@ -84,7 +84,15 @@ class GeoPackageSpec extends SparkSpec {
   test("readMeta and drivers report geopackage") {
     val meta = GeoRead.readMeta(spark, fixture).collect()(0)
     assert(meta.getString(1) == "geopackage")
-    assert(meta.getString(2).contains("fid"))
+    val layers = meta.getSeq[org.apache.spark.sql.Row](3)
+    assert(layers.nonEmpty)
+    val l0 = layers.head
+    assert(l0.getLong(1) > 0, "feature_count should be counted from the b-tree")
+    assert(l0.getSeq[org.apache.spark.sql.Row](3).exists(_.getString(0) == "fid"))
+    val gf = l0.getSeq[org.apache.spark.sql.Row](2).head
+    assert(gf.getString(1).nonEmpty) // geometry type from gpkg_geometry_columns
+    val crs = gf.getStruct(3)
+    assert(crs.getString(2).nonEmpty, "srs code surfaced from gpkg_spatial_ref_sys")
     val drv = GeoRead.drivers(spark).filter(col("short_name") === "geopackage").collect()
     assert(drv.length == 1 && drv(0).getBoolean(2))
   }

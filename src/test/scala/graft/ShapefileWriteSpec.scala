@@ -98,9 +98,11 @@ class ShapefileWriteSpec extends SparkSpec {
     val prj = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(base + ".prj")), "UTF-8")
     assert(prj.startsWith("""GEOGCS["GCS_WGS_1984""""))
-    // readMeta surfaces the sidecar CRS
+    // readMeta surfaces the sidecar CRS on the geometry field
     val meta = graft.sources.GeoRead.readMeta(spark, out).collect()(0)
-    assert(meta.getAs[String]("crs") == prj)
+    val wkt = meta.getSeq[org.apache.spark.sql.Row](3).head
+      .getSeq[org.apache.spark.sql.Row](2).head.getStruct(3).getString(3)
+    assert(wkt == prj)
 
     val out2 = tmp("prj2263")
     Shapefile.write(df, "geom", out2, "EPSG:2263")

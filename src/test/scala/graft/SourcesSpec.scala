@@ -161,6 +161,11 @@ class SourcesSpec extends SparkSpec {
     assume(nycShp.isDefined)
     val meta = GeoRead.readMeta(spark, nycShp.get).collect()(0)
     assert(meta.getString(1) == "shapefile")
-    assert(meta.getString(2).contains("geom"))
+    val l0 = meta.getSeq[org.apache.spark.sql.Row](3).head
+    assert(l0.getLong(1) > 0, "feature_count from .shx")
+    assert(l0.getSeq[org.apache.spark.sql.Row](2).head.getString(0) == "geom")
+    // dbf fields carry width/precision
+    val fields = l0.getSeq[org.apache.spark.sql.Row](3)
+    assert(fields.nonEmpty && fields.forall(_.getLong(5) > 0))
   }
 }
