@@ -372,7 +372,12 @@ object GeoOps {
     "st_dwithin" -> Op(BooleanType, a => geo(a(0)).isWithinDistance(geo(a(1)), dbl(a(2)))),
 
     // constructive / overlay (JTS; reference wraps GEOS — same lineage)
-    "st_boundary" -> Op(BinaryType, a => out(geo(a(0)).getBoundary)),
+    // GEOS has no boundary for (non-Multi) GeometryCollection — the
+    // reference yields SQL NULL there (st_disjoint.test inserts
+    // ST_Boundary(GEOMETRYCOLLECTION EMPTY) and gets NULL); JTS throws
+    "st_boundary" -> Op(BinaryType, a => geo(a(0)) match {
+      case gc: GeometryCollection if gc.getGeometryType == "GeometryCollection" => null
+      case g => out(g.getBoundary) }),
     // ST_Buffer(geom, d [, segments [, cap_style, join_style, mitre_limit]])
     // — reference geos/functions/scalar/st_buffer.cpp style-enum args
     "st_buffer" -> Op(BinaryType, a => {

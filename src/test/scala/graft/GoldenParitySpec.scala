@@ -394,6 +394,40 @@ class GoldenParitySpec extends SparkSpec {
     assertSql("ST_AsGeoJSON(ST_Point(0.5, 1.25))", """{"type":"Point","coordinates":[0.5,1.25]}""")
   }
 
+  test("wkt roundtrip + type tags for every geometry type (geometry_types.test)") {
+    val wkts = Seq(
+      "POINT EMPTY" -> "POINT",
+      "POINT (0 0)" -> "POINT",
+      "LINESTRING EMPTY" -> "LINESTRING",
+      "LINESTRING (0 0, 1 1)" -> "LINESTRING",
+      "POLYGON EMPTY" -> "POLYGON",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))" -> "POLYGON",
+      "MULTIPOINT EMPTY" -> "MULTIPOINT",
+      "MULTIPOINT (0 0, 1 1)" -> "MULTIPOINT",
+      "MULTILINESTRING EMPTY" -> "MULTILINESTRING",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))" -> "MULTILINESTRING",
+      "MULTIPOLYGON EMPTY" -> "MULTIPOLYGON",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))" -> "MULTIPOLYGON",
+      "GEOMETRYCOLLECTION EMPTY" -> "GEOMETRYCOLLECTION",
+      "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1))" -> "GEOMETRYCOLLECTION")
+    wkts.foreach { case (wkt, tag) =>
+      assertSql(s"ST_AsText(ST_GeomFromText('$wkt'))", wkt)
+      assertSql(s"ST_GeometryType(ST_GeomFromText('$wkt'))", tag)
+    }
+  }
+
+  test("st_boundary of a GeometryCollection is NULL, null propagates (st_disjoint.test)") {
+    assert(spark.sql("SELECT ST_Boundary(ST_GeomFromText('GEOMETRYCOLLECTION EMPTY'))")
+      .collect()(0).isNullAt(0))
+    assert(spark.sql(
+      """SELECT ST_Disjoint(
+           ST_Boundary(ST_GeomFromText('MULTILINESTRING((7 33,4 31 ,9 31 ,13 27 ,7 33))')),
+           ST_Boundary(ST_GeomFromText('GEOMETRYCOLLECTION EMPTY')))""").collect()(0).isNullAt(0))
+    // Multi* boundaries still work (they are not bare collections)
+    assertSql("ST_AsText(ST_Boundary(ST_GeomFromText('MULTILINESTRING((0 0, 1 1), (2 2, 3 3))')))",
+      "MULTIPOINT (0 0, 1 1, 2 2, 3 3)")
+  }
+
   test("st_numinteriorrings golden (st_ninteriorrings.test)") {
     assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))'))", 0)
     assertSql("ST_NumInteriorRings(ST_GeomFromText('POLYGON EMPTY'))", 0)
