@@ -132,6 +132,14 @@ class GoldenParitySpec extends SparkSpec {
     val l = "ST_GeomFromText('LINESTRING (0 0, 0 100)')"
     assertSql(s"ST_Covers($l, ST_Point(0, 0)) AND NOT ST_Contains($l, ST_Point(0, 0))", true)
     assertSql(s"ST_Covers($l, ST_Point(0, 2)) AND ST_Contains($l, ST_Point(0, 2))", true)
+    // GEOS ticket 580: point-in-polygon near the ring at full double precision
+    val p580 = "ST_GeomFromText('POLYGON ((-1.183864 52.951915, -1.183862 52.951903, -1.183890 52.951900, -1.183924 52.951897, -1.183958 52.951894, -1.183954 52.951880, -1.183954 52.951878, -1.183932 52.951841, -1.183904 52.951844, -1.183870 52.951847, -1.183832 52.951852, -1.183824 52.951838, -1.183820 52.951830, -1.183870 52.951819, -1.183886 52.951815, -1.183890 52.951819, -1.183929 52.951810, -1.183909 52.951776, -1.183861 52.951787, -1.183853 52.951788, -1.183842 52.951770, -1.183970 52.951742, -1.183983 52.951763, -1.183963 52.951768, -1.183975 52.951788, -1.183994 52.951785, -1.184009 52.951807, -1.184002 52.951808, -1.184009 52.951835, -1.183990 52.951836, -1.183990 52.951836, -1.183990 52.951838, -1.184001 52.951880, -1.184018 52.951954, -1.184020 52.951956, -1.183998 52.951957, -1.183998 52.951956, -1.183996 52.951948, -1.183970 52.951906, -1.183936 52.951909, -1.183864 52.951915))')"
+    val pt580 = "ST_GeomFromText('POINT (-1.183972 52.951871)')"
+    assertSql(s"ST_Covers($p580, $pt580) AND ST_CoveredBy($pt580, $p580) AND ST_Contains($p580, $pt580)", true)
+    // centroid goldens from the same GEOS unit-test suite (centroid.test)
+    assertSql("ST_AsText(ST_Centroid(ST_GeomFromText('LINESTRING(100 100, 200 200)')))", "POINT (150 150)")
+    assertSql("ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON((0 0, 100 0, 100 100, 0 100, 0 0))')))", "POINT (50 50)")
+    assertSql("ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON EMPTY')))", "POINT EMPTY")
   }
 
   test("st_normalize + st_reverse golden (geos normalize.test/st_reverse.test semantics)") {
