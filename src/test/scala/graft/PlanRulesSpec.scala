@@ -166,4 +166,26 @@ class PlanRulesSpec extends SparkSpec {
       assert(q.count() == brute)
     }
   }
+
+  test("pruning never changes results: random envelope fuzz (rtree_fuzz.py analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("geofuzz").toString
+    val rnd = new scala.util.Random(1337)
+    val n = 10000
+    val df = (0 until n).map { _ => (rnd.nextDouble() * 100, rnd.nextDouble() * 100) }
+      .toDF("x", "y").withColumn("geom", st_point($"x", $"y")).select("geom")
+    df.cache().count()
+    GeoTable.writeClustered(df, "geom", dir, (0, 0, 100, 100), numFiles = 8)
+    val tbl = spark.read.parquet(dir)
+    withRules {
+      (1 to 25).foreach { _ =>
+        val x0 = rnd.nextDouble() * 95; val y0 = rnd.nextDouble() * 95
+        val x1 = x0 + rnd.nextDouble() * 20; val y1 = y0 + rnd.nextDouble() * 20
+        val env = st_makeenvelope(lit(x0), lit(y0), lit(x1), lit(y1))
+        val pruned = tbl.filter(st_within(col("geom"), env)).count()
+        val brute = df.filter(st_within(col("geom"), env)).count()
+        assert(pruned == brute, s"envelope ($x0,$y0)-($x1,$y1): pruned=$pruned brute=$brute")
+      }
+    }
+    df.unpersist()
+  }
 }
