@@ -87,15 +87,22 @@ object Dedup {
     minhashCandidatesFromSigs(sigs, numHashes, bands)
   }
 
-  /** Banding + pair join over a precomputed (`__id`, `__sig`) frame —
-   *  lets callers derive signatures once (and persist) for reuse. */
-  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** LSH band buckets of a precomputed (`__id`, `__sig`) frame:
+   *  (`__id`, band, bh) — ids only, never the signature or text, so the
+   *  bucket table stays narrow at corpus scale. */
+  def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val banded = sigs.select(col("__id"),
+    sigs.select(col("__id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
         s"'band', b, 'bh', hash(slice(__sig, b * $r + 1, $r))))")).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+  }
+
+  /** Banding + pair join over a precomputed (`__id`, `__sig`) frame —
+   *  lets callers derive signatures once (and persist) for reuse. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandBuckets(sigs, numHashes, bands)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__id") < col("b.__id"))
@@ -104,8 +111,10 @@ object Dedup {
     pairs
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
       .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+      // size() counts null slots, so filter the agreeing positions
+      // explicitly — est = fraction of minhash positions that agree
       .withColumn("est_jaccard",
-        expr("size(zip_with(__sa, __sb, (x, y) -> if(x = y, 1, null))) / cast(size(__sa) AS double)"))
+        expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v)) / cast(size(__sa) AS double)"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 

@@ -103,4 +103,50 @@ object Streams {
   def minhashTagStream(stream: DataFrame, textCol: Column): DataFrame =
     stream.withColumn("minhash_sig",
       graft.operators.Dedup.minhashSignature(textCol))
+
+  /** Band-bucket table of an accepted corpus for the streaming
+   *  ingestion gate: (`__id`, band, bh) — ids only, so at corpus scale
+   *  the table is narrow; persist or write it out and reuse it across
+   *  every micro-batch / ingestion run. */
+  def corpusBuckets(
+      corpus: DataFrame, id: Column, text: Column,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame =
+    graft.operators.Dedup.bandBuckets(
+      corpus.select(id.as("__id"),
+        graft.operators.Dedup.minhashSignature(text, numHashes, shingleSize).as("__sig")),
+      numHashes, bands)
+
+  /**
+   * Ingestion-gate near-dup filter: drop batch documents that LSH-
+   * collide with an already-accepted corpus (the standard training-data
+   * ingestion step — new crawl batches vs the corpus so far). The
+   * batch's bands equi-join the corpus bucket table on (band, bh);
+   * a document matching in ANY band is dropped. Batch semantics —
+   * stream-safe via [[nearDupGate]], which runs it per micro-batch
+   * where the batch-vs-derived-self join is legal.
+   */
+  def nearDupFilterBatch(
+      batch: DataFrame, id: Column, text: Column, corpusBuckets: DataFrame,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val withSig = batch.withColumn("__gate_id", id)
+      .withColumn("__sig",
+        graft.operators.Dedup.minhashSignature(text, numHashes, shingleSize))
+    val buckets = graft.operators.Dedup.bandBuckets(
+      withSig.select(col("__gate_id").as("__id"), col("__sig")), numHashes, bands)
+    val dupIds = buckets.join(corpusBuckets, Seq("band", "bh"), "left_semi")
+      .select(col("__id")).distinct()
+    withSig.join(dupIds, withSig("__gate_id") === dupIds("__id"), "left_anti")
+      .drop("__gate_id", "__sig")
+  }
+
+  /** Streaming wrapper for [[nearDupFilterBatch]]: apply the gate per
+   *  micro-batch via foreachBatch and hand survivors to `sink`. */
+  def nearDupGate(
+      stream: DataFrame, id: Column, text: Column, corpusBuckets: DataFrame,
+      sink: DataFrame => Unit,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(nearDupFilterBatch(batch, id, text, corpusBuckets, numHashes, bands, shingleSize))
+    }
 }

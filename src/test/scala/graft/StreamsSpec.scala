@@ -120,4 +120,35 @@ class StreamsSpec extends SparkSpec {
       assert(got.filter($"n_events" <= 0).count() == 0)
     } finally q.stop()
   }
+
+  test("ingestion gate drops near-dups of the accepted corpus, keeps fresh docs") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // accepted corpus: first 50 docs; incoming batch: 25 exact re-crawls
+    // (near-dups of the corpus) + 25 docs the corpus has never seen
+    val corpus = docs.filter($"doc_id" < 50)
+    val incomingDup = docs.filter($"doc_id" < 25)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val incomingFresh = docs.filter($"doc_id" >= 100 && $"doc_id" < 125)
+      .select(($"doc_id" + 2000).as("doc_id"), $"text")
+    val incoming = incomingDup.unionAll(incomingFresh)
+
+    val buckets = Streams.corpusBuckets(corpus, $"doc_id", $"text").cache()
+    // batch semantics first
+    val survivors = Streams.nearDupFilterBatch(incoming, $"doc_id", $"text", buckets)
+    val ids = survivors.select("doc_id").as[Long].collect().toSet
+    assert(ids.forall(_ >= 2000), s"re-crawled dups survived: ${ids.filter(_ < 2000)}")
+    assert(ids.size > 15, s"too few fresh survivors (LSH false positives?): ${ids.size}")
+
+    // stream path: same batch through the foreachBatch gate
+    val dir = "/tmp/graft-stream-gate"
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val out = scala.collection.mutable.Set[Long]()
+    val q = Streams.nearDupGate(stream, $"doc_id", $"text", buckets,
+      b => out ++= b.select("doc_id").as[Long].collect()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(out.toSet == ids, "stream gate disagrees with batch gate")
+  }
 }
