@@ -75,16 +75,25 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    // persist lifetime: no explicit unpersist is possible on a lazily
-    // returned frame; Spark's ContextCleaner unpersists the cached RDD
-    // once the frame is unreferenced (GC-driven), so repeated calls in
-    // a long session do not accumulate live cache blocks indefinitely.
     // persist: the signature frame is read by both the banding branch
     // and the per-pair signature re-join — without it each branch would
     // re-parse `text` from the source (the expensive part at scale)
     val sigs = df.select(id.as("__id"), minhashSignature(text, numHashes, shingleSize).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashCandidatesFromSigs(sigs, numHashes, bands)
+    materializeThenFree(minhashCandidatesFromSigs(sigs, numHashes, bands), sigs)
+  }
+
+  /** Materialize the NARROW pair frame, then immediately free the WIDE
+   *  signature/shingle cache it was derived from. Waiting for Spark's
+   *  GC-driven ContextCleaner instead leaves dead MEMORY_AND_DISK
+   *  blocks competing with later jobs for executor memory in a
+   *  long-lived session (one dedup call at 10M rows caches GiBs of
+   *  signatures that are never read again once the pairs exist). */
+  private def materializeThenFree(pairs: DataFrame, wide: DataFrame): DataFrame = {
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // one action: pairs now live independently of `wide`
+    wide.unpersist(blocking = false)
+    out
   }
 
   /** LSH band buckets of a precomputed (`__id`, `__sig`) frame:

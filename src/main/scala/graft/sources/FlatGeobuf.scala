@@ -549,6 +549,38 @@ object FlatGeobuf {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Test hook: encode a geometry table the way flattening writers
+   *  (GDAL/C++/TS) encode a SINGLE-part Multi* — the part's rings
+   *  spilled into bare top-level xy/ends with NO `parts` vector — then
+   *  decode it with the standard parser. Locks in the non-EMPTY decode
+   *  of that shape (our own writer always emits `parts`). */
+  private[graft] def decodeFlattenedSinglePart(wkt: String): Geometry = {
+    val g = Jts.fromWkt(wkt)
+    require(g.getNumGeometries == 1, "flattening only applies to single-part collections")
+    val rings: Seq[LineString] = g.getGeometryN(0) match {
+      case p: Polygon => p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN)
+      case l: LineString => Seq(l)
+      case other => throw new IllegalArgumentException(s"not a flattenable part: ${other.getGeometryType}")
+    }
+    val all = rings.flatMap(_.getCoordinates).toArray
+    val xy = new Array[Double](all.length * 2)
+    var i = 0
+    while (i < all.length) { xy(2 * i) = all(i).x; xy(2 * i + 1) = all(i).y; i += 1 }
+    val ends = new Array[Int](rings.length)
+    var acc = 0
+    rings.indices.foreach { j => acc += rings(j).getNumPoints; ends(j) = acc }
+    val b = new FbBuilder()
+    val xyVec = b.createDoubleVector(xy)
+    val endsVec = if (ends.length > 1) b.createUIntVector(ends) else 0
+    b.startTable(8)
+    if (endsVec != 0) b.slotOffset(0, endsVec)
+    b.slotOffset(1, xyVec)
+    b.slotByte(6, jtsTypeCode(g))
+    val bytes = b.finish(b.endTable())
+    val f = fb(bytes)
+    parseGeometry(f, f.root, jtsTypeCode(g), hasZ = false)
+  }
+
   /** Bytes of feature data a bbox query would read (index-pruned vs
    *  full) — exposed for tests/diagnostics. */
   def prunedBytes(spark: SparkSession, path: String,

@@ -138,6 +138,20 @@ class FlatGeobufSpec extends SparkSpec {
     assert(prunedDf.filter(st_intersects($"geom", env)).count() == brute && brute > 0)
   }
 
+  test("flattened single-polygon MultiPolygon (no parts vector) decodes non-EMPTY") {
+    // GDAL/C++/TS writers flatten a 1-part MultiPolygon to bare xy/ends
+    val simple = FlatGeobuf.decodeFlattenedSinglePart(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))")
+    assert(simple.getGeometryType == "MultiPolygon" && !simple.isEmpty)
+    assert(simple.getArea == 16.0)
+    val holed = FlatGeobuf.decodeFlattenedSinglePart(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)))")
+    assert(holed.getArea == 15.0)
+    val mls = FlatGeobuf.decodeFlattenedSinglePart(
+      "MULTILINESTRING ((0 0, 3 4))")
+    assert(mls.getGeometryType == "MultiLineString" && mls.getLength == 5.0)
+  }
+
   test("fgb writer roundtrips the reference fixture exactly") {
     assume(available)
     val dir = java.nio.file.Files.createTempDirectory("graft-fgb-rt").toString

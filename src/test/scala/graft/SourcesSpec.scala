@@ -73,6 +73,25 @@ class SourcesSpec extends SparkSpec {
     assert(areas.toSeq == Seq(0.0, 1.0))
   }
 
+  test("directory of pretty-printed FeatureCollection documents") {
+    // a directory/glob must probe the FIRST file, not assume NDJSON
+    val tmp = java.nio.file.Files.createTempDirectory("gjdir")
+    val doc =
+      """{
+        |  "type": "FeatureCollection",
+        |  "features": [
+        |    {"type": "Feature", "properties": {"id": %d},
+        |     "geometry": {"type": "Point", "coordinates": [%d, 1]}}
+        |  ]
+        |}""".stripMargin
+    java.nio.file.Files.writeString(tmp.resolve("a.geojson"), doc.format(1, 1))
+    java.nio.file.Files.writeString(tmp.resolve("b.geojson"), doc.format(2, 2))
+    val df = GeoRead.readGeoJson(spark, tmp.toString)
+    assert(df.count() == 2)
+    val xs = df.select(st_x($"geom").as("x")).as[Double].collect().sorted
+    assert(xs.toSeq == Seq(1.0, 2.0))
+  }
+
   test("NDJSON geojson reads line-parallel across partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("gjnd")
     val f = tmp.resolve("pts.geojsonl")
