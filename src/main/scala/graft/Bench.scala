@@ -50,16 +50,26 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
+    // median-of-N protocol: one cold run (pays one-time file listing /
+    // codegen both engines amortize in steady state), then N warm trials,
+    // report the median (+min/max spread). A cold run over the 5 s budget
+    // is reported as a single trial — re-running a minute-long workload
+    // 3x would blow the bench wall-clock for no extra signal.
+    val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
+    def medianOf(name: String, run: () => Double): Double = {
+      val cold = run()
+      if (cold < 0 || cold >= 5.0) { spreads(name) = (cold, cold, 1); return cold }
+      val ts = Seq.fill(trials)(run()).sorted
+      spreads(name) = (ts.head, ts.last, trials)
+      ts(ts.length / 2)
+    }
     headline.foreach { name =>
       def run(): Double = time {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       }
-      // same cold/warm protocol as the oracle harness below: a cold run
-      // under 5 s is re-measured warm (the cold run pays one-time file
-      // listing/footer reads both engines amortize in steady state)
-      val cold = run()
-      results(name) = if (cold >= 0 && cold < 5.0) run() else cold
+      results(name) = medianOf(name, () => run())
     }
 
     // reference rtree_points workload: 10M uniform points in [0,10000]^2,
@@ -77,7 +87,8 @@ object Bench {
     // st_point/st_within kernels — the same steady state the oracle's
     // warm run measures), then time the full workload
     envCount(1000000L); envCount(1000000L)
-    results("points_envelope_10m") = time { envCount(10000000L) }
+    results("points_envelope_10m") = medianOf("points_envelope_10m",
+      () => time { envCount(10000000L) })
 
     // the reference's rtree_points_index A/B analog: build the
     // Hilbert-clustered + bbox'd table (= CREATE INDEX), then run the
@@ -88,15 +99,15 @@ object Bench {
       graft.sources.GeoTable.writeClustered(genPts(n), "geom", path,
         (0.0, 0.0, 10000.0, 10000.0), numFiles = files)
     clusterWrite(500000L, clusteredPath + "-warm", 4) // warm writer path
-    results("points_clustered_write_10m") = time {
-      clusterWrite(10000000L, clusteredPath, 64); 1L
-    }
+    results("points_clustered_write_10m") = medianOf("points_clustered_write_10m",
+      () => time { clusterWrite(10000000L, clusteredPath, 64); 1L })
     def clusteredCount(path: String): Long =
       spark.read.parquet(path)
         .filter(st_within(col("geom"),
           st_makeenvelope(lit(450.0), lit(450.0), lit(650.0), lit(650.0)))).count()
     clusteredCount(clusteredPath + "-warm") // warm pruned-scan plan shape
-    results("points_envelope_10m_clustered") = time { clusteredCount(clusteredPath) }
+    results("points_envelope_10m_clustered") = medianOf("points_envelope_10m_clustered",
+      () => time { clusteredCount(clusteredPath) })
 
     // same workload on the native POINT_2D tier (struct columns, pure
     // codegen arithmetic — reference's columnar layout motivation,
@@ -109,9 +120,8 @@ object Bench {
         col("pt.y") > 450.0 && col("pt.y") < 650.0).count()
     }
     nativeCount(1000000L) // warm
-    results("points_envelope_10m_native") = time {
-      nativeCount(10000000L)
-    }
+    results("points_envelope_10m_native") = medianOf("points_envelope_10m_native",
+      () => time { nativeCount(10000000L) })
 
     // Bucketed-layout analog of the reference's clustered fact storage:
     // one-time write of both fact tables bucketed+sorted by orderkey,
@@ -121,6 +131,8 @@ object Bench {
     // the bucketed layout removes it entirely — amortized over every
     // subsequent orderkey join, like the reference's index build.
     val bwh = "/tmp/graft-bench-bucketed"
+    // one-time layout build: a single trial is the honest number (the
+    // amortization argument is the whole point of the workload)
     results("revenue_bucketed_write") = time {
       spark.read.parquet(s"$sfDir/lineitem.parquet").write.mode("overwrite")
         .option("path", s"$bwh/lineitem_b").bucketBy(32, "l_orderkey")
@@ -143,7 +155,8 @@ object Bench {
            GROUP BY n_name ORDER BY n_name""").count()
     }
     revenueBucketed() // warm, same protocol as every other workload
-    results("q_join_revenue_bucketed") = time { revenueBucketed() }
+    results("q_join_revenue_bucketed") = medianOf("q_join_revenue_bucketed",
+      () => time { revenueBucketed() })
 
     // Oracle-engine (DuckDB) timings for the same headline queries at the
     // same sf, via the driver-side python3+duckdb that also powers the
@@ -187,7 +200,7 @@ object Bench {
     val bigWorkloads = bigPairs.map { case (n, (_, duckSql)) => n -> duckSql }.toMap
     bigPairs.foreach { case (name, (sparkSql, _)) =>
       spark.sql(sparkSql).collect() // warm (codegen compile), matching the oracle's warm run
-      results(name) = time { spark.sql(sparkSql).collect(); 1L }
+      results(name) = medianOf(name, () => time { spark.sql(sparkSql).collect(); 1L })
     }
 
     val duck = duckdbTimes(sfDir,
@@ -208,7 +221,10 @@ object Bench {
         "\"" + k + "\":" + f"""{"spark_s":$v%.3f,"duck_s":-1,"oracle_error":true}"""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"vs_oracle":$vs,"sf":"$sfDir"}""")
+    val sp = spreads.map { case (k, (mn, mx, n)) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"trials":$n%d}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"vs_oracle":$vs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -254,13 +270,17 @@ object Bench {
           |        return -1.0 if fired else -2.0
           |    finally:
           |        timer.cancel()
+          |TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
           |for f in sorted(glob.glob(f"{qdir}/*.sql")):
           |    name = os.path.basename(f)[:-4]
           |    sql = open(f).read()
           |    cold = timed(sql)
           |    if 0 <= cold < 5.0:
-          |        warm = timed(sql)
-          |        print(f"{name}\t{warm if warm >= 0 else cold:.6f}")
+          |        # same median-of-N warm protocol as the Spark side
+          |        warm = sorted(timed(sql) for _ in range(TRIALS))
+          |        good = [t for t in warm if t >= 0]
+          |        best = good[len(good) // 2] if good else cold
+          |        print(f"{name}\t{best:.6f}")
           |    else:
           |        print(f"{name}\t{cold:.6f}")
           |""".stripMargin
