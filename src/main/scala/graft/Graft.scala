@@ -51,6 +51,8 @@ object Graft {
     reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature", e => MinHashSignature(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("string_shingles", e => StringShingles(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("topk_by_score", e =>
+      TopKByScore(e(0), e(1), e(2).eval(null).asInstanceOf[Number].intValue), "scala_udf")
     // table functions: SELECT * FROM st_read('path') etc. (reference's
     // replacement-scan sugar, st_read.cpp:598-613)
     val tfReg = spark.sessionState.tableFunctionRegistry

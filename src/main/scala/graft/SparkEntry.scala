@@ -564,10 +564,14 @@ object SparkEntry {
         .crossJoin(broadcast(qs))
         .filter(col("corpus_id") =!= col("query_id"))
         .withColumn("__sim", operators.Similarity.cosine(col("__qv"), col("__cv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(round(col("__sim"), 6).desc, col("corpus_id").asc)
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-        .select(col("query_id"), col("corpus_id"), round(col("__sim"), 6).as("sim"), col("rnk"))
+      // bounded top-k aggregate (map-side partial top-k) instead of a
+      // row_number window — the full corpus never reaches an exchange
+      scored.groupBy("query_id")
+        .agg(operators.Similarity.topKByScore(
+          round(col("__sim"), 6), col("corpus_id"), 5).as("__tk"))
+        .select(col("query_id"), posexplode(col("__tk")))
+        .select(col("query_id"), col("col.id").as("corpus_id"),
+          col("col.score").as("sim"), (col("pos") + lit(1)).as("rnk"))
         .orderBy("query_id", "rnk")
     }),
 

@@ -1,10 +1,11 @@
 package graft.operators
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, TopKByScore}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /**
  * Embedding similarity search over `Array[Float]` columns.
@@ -24,6 +25,41 @@ object Similarity {
   def lshBucket(vec: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
     ColumnShim.column(HyperplaneSignature(ColumnShim.expr(vec), numPlanes, seed))
 
+  /** Bounded top-k aggregate: `array<struct<id bigint, score double>>`
+   *  ranked by (score desc, id asc). See [[graft.functions.TopKByScore]]. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ColumnShim.column(
+      TopKByScore(ColumnShim.expr(score), ColumnShim.expr(id), k).toAggregateExpression())
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /**
+   * Per-group top-k over a scored candidate frame. With an integral id
+   * the bounded [[TopKByScore]] aggregate partial-aggregates map-side —
+   * only ≤ k rows per (group, partition) reach the exchange, vs the
+   * row_number window's shuffle+sort of EVERY candidate (the bottleneck
+   * at 100 TB candidate sets). Non-integral ids keep the window path.
+   */
+  private def rankTopK(
+      scored: DataFrame, groupCol: String, idCol: String, score: Column,
+      k: Int, idType: DataType, scoreName: String, rankName: String): DataFrame = {
+    if (isIntegral(idType)) {
+      scored.groupBy(groupCol)
+        .agg(topKByScore(score, col(idCol).cast("long"), k).as("__tk"))
+        .select(col(groupCol), posexplode(col("__tk")))
+        .select(col(groupCol), col("col.id").cast(idType).as(idCol),
+          col("col.score").as(scoreName), (col("pos") + lit(1)).as(rankName))
+    } else {
+      val w = Window.partitionBy(col(groupCol)).orderBy(score.desc, col(idCol).asc)
+      scored.withColumn(rankName, row_number().over(w))
+        .filter(col(rankName) <= k)
+        .select(col(groupCol), col(idCol), score.as(scoreName), col(rankName))
+    }
+  }
+
   /**
    * Exact brute-force cosine top-k: for every query row, the k most
    * similar corpus rows. Queries are broadcast (they must be the small
@@ -36,16 +72,13 @@ object Similarity {
       corpusId: Column, corpusVec: Column,
       queryId: Column, queryVec: Column,
       k: Int = 10): DataFrame = {
+    val idType = corpus.select(corpusId).schema.head.dataType
     val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankTopK(scored, "query_id", "corpus_id", col("cosine"), k, idType, "cosine", "rank")
   }
 
   /**
@@ -153,11 +186,10 @@ object Similarity {
       .join(c, "corpus_id")
       .join(broadcast(q), "query_id")
       .withColumn("__sim", cosine(col("__qv"), col("__cv")))
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("__sim"), 6).desc, col("corpus_id").asc)
-    cands.withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("__sim"), 6).as("cosine"), col("rank"))
+    // bounded top-k aggregate instead of a row_number window: candidates
+    // partial-aggregate map-side, so the exchange carries ≤ k rows per
+    // (query, partition) instead of every probed-list member
+    rankTopK(cands, "query_id", "corpus_id", round(col("__sim"), 6), k,
+      corpus.select(corpusId).schema.head.dataType, "cosine", "rank")
   }
 }

@@ -183,6 +183,49 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors == all -- dropped)
   }
 
+  test("topk_by_score aggregate equals row_number window, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // engineered ties: score has only 7 distinct values over 500 rows, so
+    // the (score desc, id asc) tie-break is exercised heavily
+    val df = spark.range(500).select(
+      (col("id") % 20).as("g"), col("id"),
+      ((col("id") * 37 % 7).cast("double") / 7.0).as("score"))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("g", "id", "score", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaAgg = df.groupBy("g")
+      .agg(Similarity.topKByScore(col("score"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("col.id"), col("col.score"), (col("pos") + lit(1)).as("rnk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // SQL registration works too
+    df.createOrReplaceTempView("tk_in")
+    val viaSql = spark.sql(
+      """SELECT g, e.id AS id, e.score AS score, pos + 1 AS rnk
+         FROM (SELECT g, topk_by_score(score, id, 5) AS tk FROM tk_in GROUP BY g)
+         LATERAL VIEW posexplode(tk) AS pos, e""")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaSql == viaWindow)
+  }
+
+  test("bruteForceTopK window fallback for non-integral ids matches agg semantics") {
+    import org.apache.spark.sql.functions._
+    val named = emb.select(concat(lit("doc-"), format_string("%04d", $"vec_id")).as("name"),
+      $"embedding")
+    val qs = named.filter($"name" < "doc-0003")
+    val res = Similarity.bruteForceTopK(named, qs, $"name", $"embedding", $"name", $"embedding", k = 5)
+    val viaLong = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      $"vec_id", $"embedding", $"vec_id", $"embedding", k = 5)
+      .select($"query_id", $"corpus_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val viaString = res.select($"query_id", $"corpus_id", $"rank")
+      .as[(String, String, Int)].collect()
+      .map { case (q, c, r) => (q.stripPrefix("doc-").toLong, c.stripPrefix("doc-").toLong, r) }.toSet
+    assert(viaString == viaLong)
+  }
+
   test("ivf topk: probed search recalls most brute-force neighbors, deterministic") {
     val cent = emb.filter($"vec_id" % 25 === 0)
     val qs = emb.filter($"vec_id" < 20)
