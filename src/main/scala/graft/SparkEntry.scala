@@ -631,6 +631,55 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // ============== file-source certification (SURVEY §2.6) =============
+    // The oracle engine has no spatial/GDAL extension in this
+    // environment, so each source row compares our binary parser against
+    // an INDEPENDENT producer of the same data: the .fgb against GDAL's
+    // own GeoJSON export of the same features (read via the oracle's
+    // json reader), the .gpkg against the fixture's closed-form content
+    // spec (tools/make_gpkg_fixture.py — written by python sqlite3, not
+    // by our code), and the .shp against a from-scratch python parse of
+    // the ESRI spec (tools/make_shp_golden.py → committed golden CSV).
+    "q_src_fgb" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      // single partition => rows surface in file order, so the first 50
+      // line up with GDAL's amsterdam_roads_50 export of the same file
+      graft.sources.FlatGeobuf.read(s,
+          "/root/reference/test/data/amsterdam_roads.fgb", numPartitions = 1)
+        .withColumn("seq", monotonically_increasing_id())
+        .filter(col("seq") < 50)
+        .select(col("seq"), col("kind"), st_astext(col("geom")).as("wkt"))
+        .orderBy("seq")
+    }),
+
+    "q_src_gpkg" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      graft.sources.GeoPackage.read(s,
+          "/root/repo/src/test/resources/sample.gpkg", "pts")
+        .select(col("fid"), col("name"), col("value"), col("flag"), col("tag"),
+          st_astext(col("geom")).as("wkt"))
+        .orderBy("fid")
+    }),
+
+    "q_src_shp" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      graft.sources.Shapefile.read(s,
+          "/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp")
+        .select(col("OBJECTID").as("objectid"), col("Shape_Leng").as("shape_leng"),
+          col("Shape_Area").as("shape_area"), col("zone"),
+          col("LocationID").as("locationid"), col("borough"),
+          st_npoints(col("geom")).as("npoints"),
+          st_xmin(col("geom")).as("xmin"), st_ymin(col("geom")).as("ymin"),
+          st_xmax(col("geom")).as("xmax"), st_ymax(col("geom")).as("ymax"))
+        .orderBy("objectid")
+    }),
+
     "q_mm_decode" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -1445,7 +1494,41 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
               FROM cand) t
             WHERE rnk <= 5 ORDER BY query_id, rnk"""
-      }
+      },
+
+      // file-source certification: the oracle reconstructs the same
+      // features from an INDEPENDENT producer (GDAL geojson export /
+      // closed-form fixture spec / from-scratch python shp parse)
+      "q_src_fgb" ->
+        """WITH doc AS (SELECT features FROM read_json_auto(
+             '/root/reference/test/data/amsterdam_roads_50.geojson.gz',
+             maximum_object_size=104857600)),
+           feat AS (SELECT i.i AS seq, features[CAST(i.i + 1 AS INT)] AS f
+                    FROM doc, range(50) i(i))
+           SELECT seq, f.properties.kind AS kind,
+             'LINESTRING (' || array_to_string(list_transform(
+               f.geometry.coordinates,
+               c -> c[1]::VARCHAR || ' ' || c[2]::VARCHAR), ', ') || ')' AS wkt
+           FROM feat ORDER BY seq""",
+
+      "q_src_gpkg" ->
+        """SELECT * FROM (
+             SELECT i AS fid, 'name_' || i AS name,
+               CAST(i AS DOUBLE) * 0.5 AS value,
+               i % 2 AS flag,
+               CASE WHEN i % 7 = 0 THEN NULL ELSE 'tag' || (i % 3) END AS tag,
+               'POINT (' || (i % 100) || ' ' || (i // 100) || ')' AS wkt
+             FROM range(1, 3001) t(i)
+             UNION ALL
+             SELECT 3001, repeat('x', 20000), NULL, NULL, 'big', NULL
+           ) ORDER BY fid""",
+
+      "q_src_shp" ->
+        """SELECT objectid, shape_leng, shape_area, zone, locationid, borough,
+             npoints, xmin, ymin, xmax, ymax
+           FROM read_csv('/root/repo/src/test/resources/golden/taxi_zones_golden.csv',
+             header=true)
+           ORDER BY objectid"""
     )
   }
 }
