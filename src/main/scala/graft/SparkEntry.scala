@@ -46,6 +46,23 @@ object SparkEntry {
   private val custPtX = "(CAST(c_custkey % 100 AS DOUBLE) + 0.5)"
   private val custPtY = "(CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5)"
 
+  // in-zone synthetic points for the extended-CRS certification (the
+  // same SQL text evaluates identically in both dialects)
+  private val LonLat2154 =
+    ("(-1.0 + CAST(c_custkey % 80 AS DOUBLE) / 10.0)", "(42.5 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)")
+  private val LonLat25832 =
+    ("(7.0 + CAST(c_custkey % 50 AS DOUBLE) / 10.0)", "(48.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)")
+  private val LonLat2193 =
+    ("(167.0 + CAST(c_custkey % 110 AS DOUBLE) / 10.0)", "(-46.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0)")
+  private val LonLat3577 =
+    ("(115.0 + CAST(c_custkey % 350 AS DOUBLE) / 10.0)", "(-40.0 + CAST(c_custkey % 280 AS DOUBLE) / 10.0)")
+  private val LonLat3395 =
+    ("(CAST(c_custkey % 360 AS DOUBLE) - 179.5)", "(CAST(c_custkey % 160 AS DOUBLE) - 79.5)")
+  private val LonLat3031 =
+    ("(CAST(c_custkey % 360 AS DOUBLE) - 179.5)", "(-85.0 + CAST(c_custkey % 200 AS DOUBLE) / 10.0)")
+  private val LonLat27700 =
+    ("(-5.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)", "(50.0 + CAST(c_custkey % 80 AS DOUBLE) / 10.0)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= relational substrate (SURVEY §2.9) ==============
@@ -215,6 +232,27 @@ object SparkEntry {
          round(ST_Y(ST_Transform(ST_Point(-8.0 + CAST(c_custkey % 150 AS DOUBLE) / 4.0,
            37.0 + CAST(c_custkey % 80 AS DOUBLE) / 4.0), 'EPSG:4326', 'EPSG:3035', true)), 4) AS ey
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
+
+    // Round-4 CRS catalog extension: the most-used national grids plus
+    // World Mercator, Antarctic Polar Stereographic, and the
+    // datum-shifted British National Grid (Airy 1830 + 7-param Helmert).
+    // Oracled by the same published formulas inlined in SQL with
+    // engine-computed series constants (see transformExtendedOracle).
+    "q_geo_transform_extended" -> q(Seq("customer"),
+      s"""SELECT c_custkey,
+         ${Seq(
+           ("EPSG:2154", "x2154", "y2154", LonLat2154),
+           ("EPSG:25832", "x25832", "y25832", LonLat25832),
+           ("EPSG:2193", "x2193", "y2193", LonLat2193),
+           ("EPSG:3577", "x3577", "y3577", LonLat3577),
+           ("EPSG:3395", "x3395", "y3395", LonLat3395),
+           ("EPSG:3031", "x3031", "y3031", LonLat3031),
+           ("EPSG:27700", "x27700", "y27700", LonLat27700)).map {
+             case (code, xa, ya, (lonE, latE)) =>
+               s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
+                  round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
+           }.mkString(",\n         ")}
+         FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
 
     "q_geo_haversine" -> q(Seq("customer"),
       """SELECT c_custkey,
@@ -877,6 +915,201 @@ object SparkEntry {
          FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
          WHERE $duckCos >= 0.35)"""
 
+  // ---- extended-CRS oracle: published projection formulas in SQL -----
+  // The oracle engine evaluates the same Snyder / Krüger / Bowring
+  // arithmetic as graft.functions.Crs; series and cone constants are
+  // computed HERE (same published formulas) and inlined as
+  // shortest-roundtrip literals, so both engines agree far inside the
+  // round(·, 4) grid.
+  private def dlit(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (v < 0) s"($s)" else s
+  }
+
+  /** Forward Transverse Mercator (Krüger n-series) as CTEs; `src` must
+   *  yield (c_custkey, lon, lat) in degrees; emits `${name}o(x, y)`. */
+  private def tmOracleCtes(
+      name: String, src: String, ell: graft.functions.Crs.Ellipsoid,
+      lat0: Double, lon0: Double, k0: Double, fe: Double, fn: Double): String = {
+    val (aa, al) = graft.functions.Crs.tmSeries(ell)
+    val m0 = graft.functions.Crs.tmM0(ell, lat0, k0)
+    val e = dlit(ell.e)
+    val kaa = dlit(k0 * aa)
+    val sinhT = (j: Int) => s"((exp(2*$j*etap) - exp(-(2*$j*etap)))/2)"
+    val coshT = (j: Int) => s"((exp(2*$j*etap) + exp(-(2*$j*etap)))/2)"
+    val etaSeries = (1 to 6).map(j => s"${dlit(al(j))}*cos(2*$j*xip)*${sinhT(j)}").mkString(" + ")
+    val xiSeries = (1 to 6).map(j => s"${dlit(al(j))}*sin(2*$j*xip)*${coshT(j)}").mkString(" + ")
+    s"""${name}a AS (
+         SELECT c_custkey,
+           0.5*ln((1 + sin(radians(lat)))/(1 - sin(radians(lat))))
+             - $e*0.5*ln((1 + $e*sin(radians(lat)))/(1 - $e*sin(radians(lat)))) AS u,
+           radians(lon) - ${dlit(math.toRadians(lon0))} AS dl
+         FROM $src),
+       ${name}b AS (
+         SELECT c_custkey, (exp(u) - exp(-u))/2 AS t, dl FROM ${name}a),
+       ${name}c AS (
+         SELECT c_custkey, atan2(t, cos(dl)) AS xip,
+           0.5*ln((1 + sin(dl)/sqrt(1 + t*t))/(1 - sin(dl)/sqrt(1 + t*t))) AS etap
+         FROM ${name}b),
+       ${name}o AS (
+         SELECT c_custkey,
+           ${dlit(fe)} + $kaa*(etap + $etaSeries) AS x,
+           ${dlit(fn - m0)} + $kaa*(xip + $xiSeries) AS y
+         FROM ${name}c)"""
+  }
+
+  private lazy val transformExtendedOracle: String = {
+    import graft.functions.Crs
+    val grs = Crs.GRS80; val wgs = Crs.WGS84; val airy = Crs.Airy1830
+    def rad(d: Double) = math.toRadians(d)
+
+    // Lambert-93 (LCC 2SP on GRS80): cone constants as in Crs.Lcc2sp
+    val lccCtes = {
+      val e = grs.e; val e2 = grs.e2
+      def mOf(lat: Double) = math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+      def tOf(lat: Double) = math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+      val (p0, p1, p2) = (rad(46.5), rad(44.0), rad(49.0))
+      val n = (math.log(mOf(p1)) - math.log(mOf(p2))) / (math.log(tOf(p1)) - math.log(tOf(p2)))
+      val bigF = mOf(p1) / (n * math.pow(tOf(p1), n))
+      val rho0 = grs.a * bigF * math.pow(tOf(p0), n)
+      val aF = dlit(grs.a * bigF)
+      s"""l2154 AS (
+           SELECT c_custkey,
+             pow(tan(pi()/4 - radians(lat)/2)
+               / pow((1 - ${dlit(e)}*sin(radians(lat)))/(1 + ${dlit(e)}*sin(radians(lat))), ${dlit(e / 2)}), ${dlit(n)}) AS tq,
+             ${dlit(n)}*(radians(lon) - ${dlit(rad(3.0))}) AS th
+           FROM s2154),
+         o2154 AS (
+           SELECT c_custkey, 700000.0 + $aF*tq*sin(th) AS x,
+             ${dlit(6600000.0 + rho0)} - $aF*tq*cos(th) AS y
+           FROM l2154)"""
+    }
+
+    // Australian Albers (2SP on GRS80): constants as in Crs.Albers2sp
+    val albCtes = {
+      val e = grs.e; val e2 = grs.e2
+      def mOf(lat: Double) = math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+      def qOf(lat: Double) = {
+        val s = math.sin(lat)
+        (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      }
+      val (p1, p2) = (rad(-18.0), rad(-36.0))
+      val m1 = mOf(p1)
+      val n = (m1 * m1 - mOf(p2) * mOf(p2)) / (qOf(p2) - qOf(p1))
+      val bigC = m1 * m1 + n * qOf(p1)
+      val rho0 = grs.a * math.sqrt(bigC - n * qOf(rad(0.0))) / n
+      s"""l3577 AS (
+           SELECT c_custkey,
+             ${dlit(1 - e2)}*(sin(radians(lat))/(1 - ${dlit(e2)}*sin(radians(lat))*sin(radians(lat)))
+               - ${dlit(1 / (2 * e))}*ln((1 - ${dlit(e)}*sin(radians(lat)))/(1 + ${dlit(e)}*sin(radians(lat))))) AS qv,
+             ${dlit(n)}*(radians(lon) - ${dlit(rad(132.0))}) AS th
+           FROM s3577),
+         o3577 AS (
+           SELECT c_custkey,
+             0.0 + (${dlit(grs.a)}*sqrt(${dlit(bigC)} - ${dlit(n)}*qv)/${dlit(n)})*sin(th) AS x,
+             ${dlit(rho0)} - (${dlit(grs.a)}*sqrt(${dlit(bigC)} - ${dlit(n)}*qv)/${dlit(n)})*cos(th) AS y
+           FROM l3577)"""
+    }
+
+    // World Mercator (ellipsoidal 1SP, k0 = 1)
+    val mercCtes = {
+      val e = wgs.e
+      s"""o3395 AS (
+           SELECT c_custkey,
+             ${dlit(wgs.a)}*1.0*(radians(lon) - 0.0) AS x,
+             ${dlit(wgs.a)}*1.0*ln(tan(pi()/4 + radians(lat)/2)
+               * pow((1 - ${dlit(e)}*sin(radians(lat)))/(1 + ${dlit(e)}*sin(radians(lat))), ${dlit(e / 2)})) AS y
+           FROM s3395)"""
+    }
+
+    // Antarctic Polar Stereographic (variant B, south aspect, lon0 = 0):
+    // K = a*mc/tc with mc/tc at the standard parallel (71°S)
+    val psCtes = {
+      val e = wgs.e
+      val ts = rad(71.0)
+      val mc = math.cos(ts) / math.sqrt(1 - wgs.e2 * math.sin(ts) * math.sin(ts))
+      val tc = math.tan(math.Pi / 4 - ts / 2) /
+        math.pow((1 - e * math.sin(ts)) / (1 + e * math.sin(ts)), e / 2)
+      val k = dlit(wgs.a * mc / tc)
+      val tn = s"""(tan(pi()/4 - (-radians(lat))/2)
+        / pow((1 - ${dlit(e)}*sin(-radians(lat)))/(1 + ${dlit(e)}*sin(-radians(lat))), ${dlit(e / 2)}))"""
+      s"""o3031 AS (
+           SELECT c_custkey,
+             $k*$tn*sin(radians(lon)) AS x,
+             $k*$tn*cos(radians(lon)) AS y
+           FROM s3031)"""
+    }
+
+    // British National Grid: WGS84 -> (reversed 7-param Helmert) ->
+    // Airy 1830 geodetic (Bowring) -> TM
+    val bngCtes = {
+      val h = -1 // reversed direction (WGS84 -> OSGB36)
+      val as = math.Pi / (180.0 * 3600.0)
+      val (tx, ty, tz) = (h * 446.448, h * -125.157, h * 542.060)
+      val (rx, ry, rz) = (h * 0.150 * as, h * 0.247 * as, h * 0.842 * as)
+      val m = 1 + h * -20.4894 * 1e-6
+      val bA = airy.a * (1 - airy.f)
+      val ep2bA = airy.e2 / (1 - airy.e2) * bA
+      val e2aA = airy.e2 * airy.a
+      s"""d27700a AS (
+           SELECT c_custkey,
+             (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*cos(radians(lon)) AS gx,
+             (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*sin(radians(lon)) AS gy,
+             (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*(1 - ${dlit(wgs.e2)})*sin(radians(lat)) AS gz
+           FROM s27700),
+         d27700b AS (
+           SELECT c_custkey,
+             ${dlit(m)}*(gx - ${dlit(rz)}*gy + ${dlit(ry)}*gz) + ${dlit(tx)} AS x1,
+             ${dlit(m)}*(${dlit(rz)}*gx + gy - ${dlit(rx)}*gz) + ${dlit(ty)} AS y1,
+             ${dlit(m)}*(-${dlit(ry)}*gx + ${dlit(rx)}*gy + gz) + ${dlit(tz)} AS z1
+           FROM d27700a),
+         d27700c AS (
+           SELECT c_custkey, x1, y1, z1, sqrt(x1*x1 + y1*y1) AS p,
+             atan2(z1*${dlit(airy.a)}, sqrt(x1*x1 + y1*y1)*${dlit(bA)}) AS th
+           FROM d27700b),
+         s27700l AS (
+           SELECT c_custkey, degrees(atan2(y1, x1)) AS lon,
+             degrees(atan2(z1 + ${dlit(ep2bA)}*pow(sin(th), 3),
+                           p - ${dlit(e2aA)}*pow(cos(th), 3))) AS lat
+           FROM d27700c),
+         ${tmOracleCtes("t27700", "s27700l", airy, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)}"""
+    }
+
+    def srcCte(name: String, ll: (String, String)) =
+      s"s$name AS (SELECT c_custkey, ${ll._1} AS lon, ${ll._2} AS lat FROM pts)"
+
+    s"""WITH pts AS (SELECT c_custkey FROM customer WHERE c_custkey <= 250),
+       ${srcCte("2154", LonLat2154)},
+       ${srcCte("25832", LonLat25832)},
+       ${srcCte("2193", LonLat2193)},
+       ${srcCte("3577", LonLat3577)},
+       ${srcCte("3395", LonLat3395)},
+       ${srcCte("3031", LonLat3031)},
+       ${srcCte("27700", LonLat27700)},
+       $lccCtes,
+       ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
+       ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
+       $albCtes,
+       $mercCtes,
+       $psCtes,
+       $bngCtes
+       SELECT p.c_custkey,
+         round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
+         round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
+         round(t2193o.x, 4) AS x2193, round(t2193o.y, 4) AS y2193,
+         round(o3577.x, 4) AS x3577, round(o3577.y, 4) AS y3577,
+         round(o3395.x, 4) AS x3395, round(o3395.y, 4) AS y3395,
+         round(o3031.x, 4) AS x3031, round(o3031.y, 4) AS y3031,
+         round(t27700o.x, 4) AS x27700, round(t27700o.y, 4) AS y27700
+       FROM pts p
+       JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
+       JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
+       JOIN o3395 USING (c_custkey) JOIN o3031 USING (c_custkey)
+       JOIN t27700o USING (c_custkey)
+       ORDER BY p.c_custkey"""
+  }
+
   private lazy val annOracle: String =
     s"$annPairsCtes SELECT id_a, id_b, cosine FROM pairs ORDER BY id_a, id_b"
 
@@ -1510,6 +1743,8 @@ object SparkEntry {
                f.geometry.coordinates,
                c -> c[1]::VARCHAR || ' ' || c[2]::VARCHAR), ', ') || ')' AS wkt
            FROM feat ORDER BY seq""",
+
+      "q_geo_transform_extended" -> transformExtendedOracle,
 
       "q_src_gpkg" ->
         """SELECT * FROM (

@@ -31,6 +31,11 @@ object Crs {
   }
   val WGS84: Ellipsoid = Ellipsoid(6378137.0, 1.0 / 298.257223563)
   val GRS80: Ellipsoid = Ellipsoid(6378137.0, 1.0 / 298.257222101)
+  // legacy national ellipsoids (datum-shifted CRSs below)
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 1.0 / 299.3249646)
+  val AiryModified: Ellipsoid = Ellipsoid(6377340.189, 1.0 / 299.3249646)
+  val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 1.0 / 299.1528128)
+  val International1924: Ellipsoid = Ellipsoid(6378388.0, 1.0 / 297.0)
 
   /** meters per US survey foot (exact: 1200/3937) */
   val FtUs: Double = 1200.0 / 3937.0
@@ -310,6 +315,135 @@ object Crs {
 
   private def atanh(v: Double): Double = 0.5 * math.log((1 + v) / (1 - v))
 
+  /** Ellipsoidal Mercator 1SP (Snyder PP 1395 eqs. 7-6..7-10) — the
+   *  projection behind EPSG:3395 (World Mercator). */
+  private final class Mercator1sp(
+      ell: Ellipsoid, lon0Deg: Double, k0: Double,
+      falseE: Double, falseN: Double) extends System {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val e = ell.e
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(latD)
+      val x = falseE + ell.a * k0 * (math.toRadians(lonD) - lon0)
+      val y = falseN + ell.a * k0 * math.log(math.tan(math.Pi / 4 + lat / 2) *
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+      (x, y)
+    }
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val t = math.exp(-(yIn - falseN) / (ell.a * k0))
+      var lat = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0; var prev = 0.0
+      do {
+        prev = lat
+        lat = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      (math.toDegrees(lon0 + (xIn - falseE) / (ell.a * k0)), math.toDegrees(lat))
+    }
+  }
+
+  /** Polar Stereographic variant B (standard parallel, Snyder PP 1395
+   *  eqs. 21-33..21-41 / EPSG guidance 7-2 §3.2.4) — EPSG:3031
+   *  (Antarctic), EPSG:3413/3995 (Arctic sea-ice grids). */
+  private final class PolarStereo(
+      ell: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) extends System {
+    private val south = latTsDeg < 0
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+    private def tOf(lat: Double): Double = // north-aspect isometric factor
+      math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+    private val ts = math.toRadians(math.abs(latTsDeg))
+    private val mc = math.cos(ts) / math.sqrt(1 - ell.e2 * math.sin(ts) * math.sin(ts))
+    private val tc = tOf(ts)
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      // south aspect = north formulas with (lat, dl) negated, (x, y) negated
+      val lat = math.toRadians(if (south) -latD else latD)
+      val dl0 = math.toRadians(lonD) - lon0
+      val dl = if (south) -dl0 else dl0
+      val rho = ell.a * mc * tOf(lat) / tc
+      val x = rho * math.sin(dl)
+      val y = -rho * math.cos(dl)
+      if (south) (falseE - x, falseN - y) else (falseE + x, falseN + y)
+    }
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val x = if (south) -(xIn - falseE) else xIn - falseE
+      val y = if (south) -(yIn - falseN) else yIn - falseN
+      val rho = math.sqrt(x * x + y * y)
+      if (rho < 1e-12) return (lon0Deg, if (south) -90.0 else 90.0)
+      val t = rho * tc / (ell.a * mc)
+      var lat = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0; var prev = 0.0
+      do {
+        prev = lat
+        lat = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      val dl = math.atan2(x, -y)
+      val (lonR, latR) = if (south) (lon0 - dl, -lat) else (lon0 + dl, lat)
+      (math.toDegrees(lonR), math.toDegrees(latR))
+    }
+  }
+
+  /**
+   * 7-parameter Helmert transformation (position-vector convention,
+   * EPSG method 9606), parameters LOCAL datum → WGS84. Rotations in
+   * arc-seconds, scale in ppm. The reverse direction negates the
+   * parameters (EPSG's documented approximation; sub-mm for the
+   * parameter magnitudes in this catalog — what PROJ does absent a
+   * grid). Geodetic↔geocentric uses h=0 and Bowring's closed-form
+   * inverse (sub-0.1 mm at surface heights), so the whole chain is a
+   * fixed arithmetic sequence replicable by the SQL oracle.
+   */
+  final case class Helmert(
+      tx: Double, ty: Double, tz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double)
+
+  private def helmertShift(
+      lonD: Double, latD: Double, from: Ellipsoid, to: Ellipsoid,
+      h: Helmert, sign: Int): (Double, Double) = {
+    val lon = math.toRadians(lonD); val lat = math.toRadians(latD)
+    // geodetic (h=0) -> geocentric on `from`
+    val sinLat = math.sin(lat); val cosLat = math.cos(lat)
+    val nu = from.a / math.sqrt(1 - from.e2 * sinLat * sinLat)
+    val x0 = nu * cosLat * math.cos(lon)
+    val y0 = nu * cosLat * math.sin(lon)
+    val z0 = nu * (1 - from.e2) * sinLat
+    // position-vector Helmert, direction via sign
+    val as = math.Pi / (180.0 * 3600.0)
+    val rx = sign * h.rxSec * as; val ry = sign * h.rySec * as; val rz = sign * h.rzSec * as
+    val m = 1 + sign * h.dsPpm * 1e-6
+    val x1 = m * (x0 - rz * y0 + ry * z0) + sign * h.tx
+    val y1 = m * (rz * x0 + y0 - rx * z0) + sign * h.ty
+    val z1 = m * (-ry * x0 + rx * y0 + z0) + sign * h.tz
+    // geocentric -> geodetic on `to` (Bowring closed form)
+    val b = to.a * (1 - to.f)
+    val ep2 = to.e2 / (1 - to.e2)
+    val p = math.sqrt(x1 * x1 + y1 * y1)
+    val theta = math.atan2(z1 * to.a, p * b)
+    val latOut = math.atan2(
+      z1 + ep2 * b * math.pow(math.sin(theta), 3),
+      p - to.e2 * to.a * math.pow(math.cos(theta), 3))
+    (math.toDegrees(math.atan2(y1, x1)), math.toDegrees(latOut))
+  }
+
+  /** A projected system on a non-WGS84 datum: geodetic coordinates
+   *  shift through the Helmert transform on the way in/out, so the
+   *  System contract (WGS84 lon/lat <-> CRS coords) is preserved. */
+  private final class DatumShifted(inner: System, ell: Ellipsoid, h: Helmert) extends System {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (llon, llat) = helmertShift(lon, lat, WGS84, ell, h, -1)
+      inner.forward(llon, llat)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (llon, llat) = inner.inverse(x, y)
+      helmertShift(llon, llat, ell, WGS84, h, +1)
+    }
+  }
+
   /** One registry row, mirroring the reference's ST_List_Proj_CRS
    *  output columns (proj/functions.cpp:380-430). */
   final case class CrsInfo(
@@ -375,7 +509,119 @@ object Crs {
       () => new Albers2sp(GRS80, 37.5, -96.0, 29.5, 45.5, 0.0, 0.0)),
     CrsInfo("EPSG", "3035", "ETRS89-extended / LAEA Europe", "projected", "Europe",
       "Lambert Azimuthal Equal Area",
-      () => new Laea(GRS80, 52.0, 10.0, 4321000.0, 3210000.0)))
+      () => new Laea(GRS80, 52.0, 10.0, 4321000.0, 3210000.0)),
+
+    // ---- top-of-the-EPSG-usage-list additions (round 4) ----------------
+    // WGS84-compatible geographic datums (ETRS89/GDA/NZGD/JGD/SIRGAS/
+    // CGCS agree with WGS84 at the sub-meter level; PROJ's grid-free
+    // default treats them as identical, and so do we)
+    CrsInfo("EPSG", "4258", "ETRS89", "geographic 2D", "Europe", "", () => Geographic),
+    CrsInfo("EPSG", "4171", "RGF93 v1", "geographic 2D", "France", "", () => Geographic),
+    CrsInfo("EPSG", "4283", "GDA94", "geographic 2D", "Australia", "", () => Geographic),
+    CrsInfo("EPSG", "7844", "GDA2020", "geographic 2D", "Australia", "", () => Geographic),
+    CrsInfo("EPSG", "4167", "NZGD2000", "geographic 2D", "New Zealand", "", () => Geographic),
+    CrsInfo("EPSG", "4619", "SWEREF99", "geographic 2D", "Sweden", "", () => Geographic),
+    CrsInfo("EPSG", "6668", "JGD2011", "geographic 2D", "Japan", "", () => Geographic),
+    CrsInfo("EPSG", "4674", "SIRGAS 2000", "geographic 2D", "Latin America", "", () => Geographic),
+    CrsInfo("EPSG", "4490", "China Geodetic Coordinate System 2000", "geographic 2D",
+      "China", "", () => Geographic),
+    // World Mercator (ellipsoidal 1SP)
+    CrsInfo("EPSG", "3395", "WGS 84 / World Mercator", "projected",
+      "World between 80°S and 84°N", "Mercator (variant A)",
+      () => new Mercator1sp(WGS84, 0.0, 1.0, 0.0, 0.0)),
+    // France: Lambert-93 (the national grid)
+    CrsInfo("EPSG", "2154", "RGF93 v1 / Lambert-93", "projected", "France",
+      "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)),
+    // Europe-wide conformal grid
+    CrsInfo("EPSG", "3034", "ETRS89-extended / LCC Europe", "projected", "Europe",
+      "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0)),
+    // Germany: national LCC
+    CrsInfo("EPSG", "5243", "ETRS89 / LCC Germany (N-E)", "projected", "Germany",
+      "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 51.0, 10.5, 48.6666666666667, 53.6666666666667, 0.0, 0.0)),
+    // Nordics / Poland / Finland national TM grids (ETRS89-family)
+    CrsInfo("EPSG", "3006", "SWEREF99 TM", "projected", "Sweden", "Transverse Mercator",
+      () => new TransMerc(GRS80, 0.0, 15.0, 0.9996, 500000.0, 0.0)),
+    CrsInfo("EPSG", "3067", "ETRS89 / TM35FIN(E,N)", "projected", "Finland",
+      "Transverse Mercator",
+      () => new TransMerc(GRS80, 0.0, 27.0, 0.9996, 500000.0, 0.0)),
+    CrsInfo("EPSG", "2180", "ETRS89 / Poland CS92", "projected", "Poland",
+      "Transverse Mercator",
+      () => new TransMerc(GRS80, 0.0, 19.0, 0.9993, 500000.0, -5300000.0)),
+    // New Zealand Transverse Mercator
+    CrsInfo("EPSG", "2193", "NZGD2000 / New Zealand Transverse Mercator 2000",
+      "projected", "New Zealand", "Transverse Mercator",
+      () => new TransMerc(GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)),
+    // Korea 2000 / Unified CS
+    CrsInfo("EPSG", "5179", "Korea 2000 / Unified CS", "projected", "Republic of Korea",
+      "Transverse Mercator",
+      () => new TransMerc(GRS80, 38.0, 127.5, 0.9996, 1000000.0, 2000000.0)),
+    // Singapore SVY21
+    CrsInfo("EPSG", "3414", "SVY21 / Singapore TM", "projected", "Singapore",
+      "Transverse Mercator",
+      () => new TransMerc(WGS84, 1.36666666666667, 103.833333333333, 1.0,
+        28001.642, 38744.572)),
+    // Ireland: ITM (ETRS89) and the legacy Irish Grid (datum-shifted)
+    CrsInfo("EPSG", "2157", "IRENET95 / Irish Transverse Mercator", "projected",
+      "Ireland", "Transverse Mercator",
+      () => new TransMerc(GRS80, 53.5, -8.0, 0.99982, 600000.0, 750000.0)),
+    CrsInfo("EPSG", "29902", "TM65 / Irish Grid", "projected", "Ireland",
+      "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(AiryModified, 53.5, -8.0, 1.000035, 200000.0, 250000.0),
+        AiryModified, Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15))),
+    CrsInfo("EPSG", "29903", "TM75 / Irish Grid", "projected", "Ireland",
+      "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(AiryModified, 53.5, -8.0, 1.000035, 200000.0, 250000.0),
+        AiryModified, Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15))),
+    // Great Britain: OSGB36 British National Grid (Airy 1830 + Helmert
+    // EPSG:1314 — the grid-free transformation PROJ also defaults to)
+    CrsInfo("EPSG", "27700", "OSGB36 / British National Grid", "projected",
+      "United Kingdom", "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+        Airy1830, Helmert(446.448, -125.157, 542.060, 0.150, 0.247, 0.842, -20.4894))),
+    // Australia: continental Albers + GDA94 national Lambert
+    CrsInfo("EPSG", "3577", "GDA94 / Australian Albers", "projected", "Australia",
+      "Albers Equal Area",
+      () => new Albers2sp(GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)),
+    CrsInfo("EPSG", "3112", "GDA94 / Geoscience Australia Lambert", "projected",
+      "Australia", "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 0.0, 134.0, -18.0, -36.0, 0.0, 0.0)),
+    // Canada: BC Albers; continent-scale ESRI Albers
+    CrsInfo("EPSG", "3005", "NAD83 / BC Albers", "projected", "Canada - British Columbia",
+      "Albers Equal Area",
+      () => new Albers2sp(GRS80, 45.0, -126.0, 50.0, 58.5, 1000000.0, 0.0)),
+    CrsInfo("ESRI", "102008", "North America Albers Equal Area Conic", "projected",
+      "North America", "Albers Equal Area",
+      () => new Albers2sp(GRS80, 40.0, -96.0, 20.0, 60.0, 0.0, 0.0)),
+    // Polar science grids (Polar Stereographic variant B)
+    CrsInfo("EPSG", "3031", "WGS 84 / Antarctic Polar Stereographic", "projected",
+      "Antarctica", "Polar Stereographic (variant B)",
+      () => new PolarStereo(WGS84, -71.0, 0.0, 0.0, 0.0)),
+    CrsInfo("EPSG", "3413", "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+      "projected", "Arctic", "Polar Stereographic (variant B)",
+      () => new PolarStereo(WGS84, 70.0, -45.0, 0.0, 0.0)),
+    CrsInfo("EPSG", "3995", "WGS 84 / Arctic Polar Stereographic", "projected",
+      "Arctic", "Polar Stereographic (variant B)",
+      () => new PolarStereo(WGS84, 71.0, 0.0, 0.0, 0.0)))
+
+  /** Datum-shifted Gauss-Krüger / ED50 UTM helpers for the parametric
+   *  ranges in [[resolve]]. */
+  private val DhdnHelmert = Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+  private val Ed50Helmert = Helmert(-87.0, -96.0, -120.0, 0.0, 0.0, 0.0, 0.0)
+
+  /** Japan plane rectangular CS zone origins (JGD2011, EPSG:6669-6687 =
+   *  zones I-XIX; published zone table, k0 = 0.9999, no false origin). */
+  private val JapanZones: Array[(Double, Double)] = Array(
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 10.0 / 60), (33.0, 133.5),
+    (36.0, 134.0 + 20.0 / 60), (36.0, 136.0), (36.0, 137.0 + 10.0 / 60),
+    (36.0, 138.5), (36.0, 139.0 + 50.0 / 60), (40.0, 140.0 + 50.0 / 60),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0), (26.0, 154.0))
 
   private val byKey: Map[String, CrsInfo] =
     registry.map(i => s"${i.authName}:${i.code}" -> i).toMap
@@ -396,7 +642,38 @@ object Crs {
       ("EPSG", s"${26900 + z}", s"NAD83 / UTM zone ${z}N", "projected", false,
         s"North America - ${z * 6 - 186}°W to ${z * 6 - 180}°W", "Transverse Mercator", "Earth")
     }
-    fixed ++ utmWgs ++ utmNad
+    val utmEtrs = (28 to 38).map { z =>
+      ("EPSG", s"${25800 + z}", s"ETRS89 / UTM zone ${z}N", "projected", false,
+        "Europe", "Transverse Mercator", "Earth")
+    }
+    val mga94 = (48 to 58).map { z =>
+      ("EPSG", s"${28300 + z}", s"GDA94 / MGA zone $z", "projected", false,
+        "Australia", "Transverse Mercator", "Earth")
+    }
+    val mga2020 = (46 to 59).map { z =>
+      ("EPSG", s"${7800 + z}", s"GDA2020 / MGA zone $z", "projected", false,
+        "Australia", "Transverse Mercator", "Earth")
+    }
+    val sirgas = (11 to 22).map { z =>
+      ("EPSG", s"${31954 + z}", s"SIRGAS 2000 / UTM zone ${z}N", "projected", false,
+        "Latin America", "Transverse Mercator", "Earth")
+    } ++ (17 to 25).map { z =>
+      ("EPSG", s"${31960 + z}", s"SIRGAS 2000 / UTM zone ${z}S", "projected", false,
+        "Latin America", "Transverse Mercator", "Earth")
+    }
+    val japan = (1 to 19).map { z =>
+      ("EPSG", s"${6668 + z}", s"JGD2011 / Japan Plane Rectangular CS $z", "projected",
+        false, "Japan", "Transverse Mercator", "Earth")
+    }
+    val gk = (2 to 5).map { z =>
+      ("EPSG", s"${31464 + z}", s"DHDN / 3-degree Gauss-Krüger zone $z", "projected",
+        false, "Germany", "Transverse Mercator", "Earth")
+    }
+    val ed50 = (28 to 38).map { z =>
+      ("EPSG", s"${23000 + z}", s"ED50 / UTM zone ${z}N", "projected", false,
+        "Europe - Mediterranean", "Transverse Mercator", "Earth")
+    }
+    fixed ++ utmWgs ++ utmNad ++ utmEtrs ++ mga94 ++ mga2020 ++ sirgas ++ japan ++ gk ++ ed50
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -420,6 +697,49 @@ object Crs {
         val code = c.substring(5).toInt
         if (code >= 26901 && code <= 26923)
           new TransMerc(GRS80, 0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:258") && c.length == 10 => // ETRS89 / UTM 28N-38N
+        val code = c.substring(5).toInt
+        if (code >= 25828 && code <= 25838)
+          new TransMerc(GRS80, 0, (code - 25800) * 6 - 183, 0.9996, 500000.0, 0.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:283") && c.length == 10 => // GDA94 / MGA 48-58
+        val code = c.substring(5).toInt
+        if (code >= 28348 && code <= 28358)
+          new TransMerc(GRS80, 0, (code - 28300) * 6 - 183, 0.9996, 500000.0, 10000000.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:78") && c.length == 9 => // GDA2020 / MGA 46-59
+        val code = c.substring(5).toInt
+        if (code >= 7846 && code <= 7859)
+          new TransMerc(GRS80, 0, (code - 7800) * 6 - 183, 0.9996, 500000.0, 10000000.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:319") && c.length == 10 => // SIRGAS 2000 / UTM
+        val code = c.substring(5).toInt
+        if (code >= 31965 && code <= 31976) // zones 11N-22N
+          new TransMerc(GRS80, 0, (code - 31954) * 6 - 183, 0.9996, 500000.0, 0.0)
+        else if (code >= 31977 && code <= 31985) // zones 17S-25S
+          new TransMerc(GRS80, 0, (code - 31960) * 6 - 183, 0.9996, 500000.0, 10000000.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:66") && c.length == 9 => // JGD2011 zones I-XIX
+        val code = c.substring(5).toInt
+        if (code >= 6669 && code <= 6687) {
+          val (lat0, lon0) = JapanZones(code - 6669)
+          new TransMerc(GRS80, lat0, lon0, 0.9999, 0.0, 0.0)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:314") && c.length == 10 => // DHDN Gauss-Krüger 2-5
+        val code = c.substring(5).toInt
+        if (code >= 31466 && code <= 31469) {
+          val zone = code - 31464 // 31466 -> zone 2
+          new DatumShifted(
+            new TransMerc(Bessel1841, 0, zone * 3, 1.0, zone * 1000000.0 + 500000.0, 0.0),
+            Bessel1841, DhdnHelmert)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:230") && c.length == 10 => // ED50 / UTM 28N-38N
+        val code = c.substring(5).toInt
+        if (code >= 23028 && code <= 23038)
+          new DatumShifted(
+            new TransMerc(International1924, 0, (code - 23000) * 6 - 183, 0.9996, 500000.0, 0.0),
+            International1924, Ed50Helmert)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case _ => throw new IllegalArgumentException(
         s"unsupported CRS: $crsIn (see st_list_proj_crs() for the supported catalog)")
@@ -459,6 +779,31 @@ object Crs {
     """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
   private val GeogEtrs89 =
     """GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+
+  private def geogcsOf(gcs: String, datum: String,
+      spheroid: String = "GRS_1980", a: Double = 6378137.0, invF: Double = 298.257222101) =
+    s"""GEOGCS["$gcs",DATUM["$datum",SPHEROID["$spheroid",$a,$invF]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+
+  private val GeogRgf93 = geogcsOf("GCS_RGF_1993", "D_RGF_1993")
+  private val GeogGda94 = geogcsOf("GCS_GDA_1994", "D_GDA_1994")
+  private val GeogGda2020 = geogcsOf("GCS_GDA2020", "D_GDA2020")
+  private val GeogNzgd2000 = geogcsOf("GCS_NZGD_2000", "D_NZGD_2000")
+  private val GeogSweref99 = geogcsOf("GCS_SWEREF99", "D_SWEREF99")
+  private val GeogJgd2011 = geogcsOf("GCS_JGD_2011", "D_JGD_2011")
+  private val GeogSirgas2000 = geogcsOf("GCS_SIRGAS_2000", "D_SIRGAS_2000")
+  private val GeogCgcs2000 = geogcsOf("GCS_China_Geodetic_Coordinate_System_2000", "D_China_2000")
+  private val GeogKorea2000 = geogcsOf("GCS_Korea_2000", "D_Korea_2000")
+  private val GeogIrenet95 = geogcsOf("GCS_IRENET95", "D_IRENET95")
+  private val GeogOsgb36 =
+    geogcsOf("GCS_OSGB_1936", "D_OSGB_1936", "Airy_1830", 6377563.396, 299.3249646)
+  private val GeogTm65 =
+    geogcsOf("GCS_TM65", "D_TM65", "Airy_Modified", 6377340.189, 299.3249646)
+  private val GeogTm75 =
+    geogcsOf("GCS_TM75", "D_TM75", "Airy_Modified", 6377340.189, 299.3249646)
+  private val GeogDhdn = geogcsOf("GCS_Deutsches_Hauptdreiecksnetz",
+    "D_Deutsches_Hauptdreiecksnetz", "Bessel_1841", 6377397.155, 299.1528128)
+  private val GeogEd50 = geogcsOf("GCS_European_1950", "D_European_1950",
+    "International_1924", 6378388.0, 297.0)
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -547,13 +892,166 @@ object Crs {
           Some(tmWkt(s"NAD_1983_UTM_Zone_${code - 26900}N", GeogNad83,
             0.0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
         else None
+      // ---- round-4 catalog additions ---------------------------------
+      case "EPSG:4258" => Some(GeogEtrs89)
+      case "EPSG:4171" => Some(GeogRgf93)
+      case "EPSG:4283" => Some(GeogGda94)
+      case "EPSG:7844" => Some(GeogGda2020)
+      case "EPSG:4167" => Some(GeogNzgd2000)
+      case "EPSG:4619" => Some(GeogSweref99)
+      case "EPSG:6668" => Some(GeogJgd2011)
+      case "EPSG:4674" => Some(GeogSirgas2000)
+      case "EPSG:4490" => Some(GeogCgcs2000)
+      case "EPSG:3395" => Some(projcs("WGS_1984_World_Mercator", GeogWgs84, "Mercator",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0,
+          "Standard_Parallel_1" -> 0.0), "Meter", 1.0))
+      case "EPSG:2154" => Some(lccWkt("RGF_1993_Lambert_93", GeogRgf93,
+        46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0, "Meter", 1.0))
+      case "EPSG:3034" => Some(lccWkt("ETRS_1989_LCC_Europe", GeogEtrs89,
+        52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0, "Meter", 1.0))
+      case "EPSG:5243" => Some(lccWkt("ETRS_1989_LCC_Germany_N_E", GeogEtrs89,
+        51.0, 10.5, 48.6666666666667, 53.6666666666667, 0.0, 0.0, "Meter", 1.0))
+      case "EPSG:3006" => Some(tmWkt("SWEREF99_TM", GeogSweref99,
+        0.0, 15.0, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:3067" => Some(tmWkt("ETRS_1989_TM35FIN", GeogEtrs89,
+        0.0, 27.0, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:2180" => Some(tmWkt("ETRS_1989_Poland_CS92", GeogEtrs89,
+        0.0, 19.0, 0.9993, 500000.0, -5300000.0, "Meter", 1.0))
+      case "EPSG:2193" => Some(tmWkt("NZGD_2000_New_Zealand_Transverse_Mercator", GeogNzgd2000,
+        0.0, 173.0, 0.9996, 1600000.0, 10000000.0, "Meter", 1.0))
+      case "EPSG:5179" => Some(tmWkt("Korea_2000_Korea_Unified_Coordinate_System", GeogKorea2000,
+        38.0, 127.5, 0.9996, 1000000.0, 2000000.0, "Meter", 1.0))
+      case "EPSG:3414" => Some(tmWkt("SVY21_Singapore_TM", GeogWgs84,
+        1.36666666666667, 103.833333333333, 1.0, 28001.642, 38744.572, "Meter", 1.0))
+      case "EPSG:2157" => Some(tmWkt("IRENET95_Irish_Transverse_Mercator", GeogIrenet95,
+        53.5, -8.0, 0.99982, 600000.0, 750000.0, "Meter", 1.0))
+      case "EPSG:29902" => Some(tmWkt("TM65_Irish_Grid", GeogTm65,
+        53.5, -8.0, 1.000035, 200000.0, 250000.0, "Meter", 1.0))
+      case "EPSG:29903" => Some(tmWkt("TM75_Irish_Grid", GeogTm75,
+        53.5, -8.0, 1.000035, 200000.0, 250000.0, "Meter", 1.0))
+      case "EPSG:27700" => Some(tmWkt("British_National_Grid", GeogOsgb36,
+        49.0, -2.0, 0.9996012717, 400000.0, -100000.0, "Meter", 1.0))
+      case "EPSG:3577" => Some(projcs("GDA_1994_Australia_Albers", GeogGda94, "Albers",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 132.0,
+          "Standard_Parallel_1" -> -18.0, "Standard_Parallel_2" -> -36.0,
+          "Latitude_Of_Origin" -> 0.0), "Meter", 1.0))
+      case "EPSG:3112" => Some(lccWkt("GDA_1994_Geoscience_Australia_Lambert", GeogGda94,
+        0.0, 134.0, -18.0, -36.0, 0.0, 0.0, "Meter", 1.0))
+      case "EPSG:3005" => Some(projcs("NAD_1983_BC_Environment_Albers", GeogNad83, "Albers",
+        Seq("False_Easting" -> 1000000.0, "False_Northing" -> 0.0, "Central_Meridian" -> -126.0,
+          "Standard_Parallel_1" -> 50.0, "Standard_Parallel_2" -> 58.5,
+          "Latitude_Of_Origin" -> 45.0), "Meter", 1.0))
+      case "ESRI:102008" => Some(projcs("North_America_Albers_Equal_Area_Conic", GeogNad83,
+        "Albers",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> -96.0,
+          "Standard_Parallel_1" -> 20.0, "Standard_Parallel_2" -> 60.0,
+          "Latitude_Of_Origin" -> 40.0), "Meter", 1.0))
+      case "EPSG:3031" => Some(projcs("WGS_1984_Antarctic_Polar_Stereographic", GeogWgs84,
+        "Stereographic_South_Pole",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0,
+          "Standard_Parallel_1" -> -71.0), "Meter", 1.0))
+      case "EPSG:3413" => Some(projcs("WGS_1984_NSIDC_Sea_Ice_Polar_Stereographic_North",
+        GeogWgs84, "Stereographic_North_Pole",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> -45.0,
+          "Standard_Parallel_1" -> 70.0), "Meter", 1.0))
+      case "EPSG:3995" => Some(projcs("WGS_1984_Arctic_Polar_Stereographic", GeogWgs84,
+        "Stereographic_North_Pole",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0,
+          "Standard_Parallel_1" -> 71.0), "Meter", 1.0))
+      case c if c.startsWith("EPSG:258") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 25828 && code <= 25838)
+          Some(tmWkt(s"ETRS_1989_UTM_Zone_${code - 25800}N", GeogEtrs89,
+            0.0, (code - 25800) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:283") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 28348 && code <= 28358)
+          Some(tmWkt(s"GDA_1994_MGA_Zone_${code - 28300}", GeogGda94,
+            0.0, (code - 28300) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:78") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 7846 && code <= 7859)
+          Some(tmWkt(s"GDA2020_MGA_Zone_${code - 7800}", GeogGda2020,
+            0.0, (code - 7800) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:319") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 31965 && code <= 31976)
+          Some(tmWkt(s"SIRGAS_2000_UTM_Zone_${code - 31954}N", GeogSirgas2000,
+            0.0, (code - 31954) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+        else if (code >= 31977 && code <= 31985)
+          Some(tmWkt(s"SIRGAS_2000_UTM_Zone_${code - 31960}S", GeogSirgas2000,
+            0.0, (code - 31960) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:66") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 6669 && code <= 6687) {
+          val (lat0, lon0) = JapanZones(code - 6669)
+          Some(tmWkt(s"JGD_2011_Japan_Zone_${code - 6668}", GeogJgd2011,
+            lat0, lon0, 0.9999, 0.0, 0.0, "Meter", 1.0))
+        } else None
+      case c if c.startsWith("EPSG:314") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 31466 && code <= 31469) {
+          val zone = code - 31464
+          Some(tmWkt(s"DHDN_3_Degree_Gauss_Zone_$zone", GeogDhdn,
+            0.0, zone * 3, 1.0, zone * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
+        } else None
+      case c if c.startsWith("EPSG:230") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 23028 && code <= 23038)
+          Some(tmWkt(s"ED_1950_UTM_Zone_${code - 23000}N", GeogEd50,
+            0.0, (code - 23000) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+        else None
       case _ => None
     }
     wkt
   }
 
+  /** Krüger-series constants for the SQL-oracle builder (SparkEntry
+   *  inlines them as numeric literals so the oracle engine can evaluate
+   *  the same forward Transverse Mercator in plain SQL): rectifying
+   *  radius AA and the forward series alpha[1..6]. Same published
+   *  formulas as [[TransMerc]]. */
+  private[graft] def tmSeries(ell: Ellipsoid): (Double, Array[Double]) = {
+    val n = ell.f / (2 - ell.f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+    val AA = ell.a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    val alpha = Array(
+      0.0,
+      n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
+      13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4 + 281.0 / 630 * n5 - 1983433.0 / 1935360 * n6,
+      61.0 / 240 * n3 - 103.0 / 140 * n4 + 15061.0 / 26880 * n5 + 167603.0 / 181440 * n6,
+      49561.0 / 161280 * n4 - 179.0 / 168 * n5 + 6601661.0 / 7257600 * n6,
+      34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
+      212378941.0 / 319334400 * n6)
+    (AA, alpha)
+  }
+
+  /** Meridian-arc northing of the natural origin for the SQL-oracle
+   *  builder (same ξ series as [[TransMerc.xiOf]]). */
+  private[graft] def tmM0(ell: Ellipsoid, lat0Deg: Double, k0: Double): Double = {
+    if (lat0Deg == 0.0) return 0.0
+    val (aa, alpha) = tmSeries(ell)
+    val lat = math.toRadians(lat0Deg)
+    val t = math.sinh(atanh(math.sin(lat)) - ell.e * atanh(ell.e * math.sin(lat)))
+    val xiP = math.atan(t)
+    var xi = xiP
+    var j = 1
+    while (j <= 6) { xi += alpha(j) * math.sin(2 * j * xiP); j += 1 }
+    k0 * aa * xi
+  }
+
   /** Test seams for the equal-area projections (Snyder's worked
    *  examples use Clarke 1866). */
+  private[graft] def tmForTest(
+      ell: Ellipsoid, lat0: Double, lon0: Double, k0: Double,
+      fe: Double, fn: Double): System = new TransMerc(ell, lat0, lon0, k0, fe, fn)
+  private[graft] def polarForTest(
+      ell: Ellipsoid, latTs: Double, lon0: Double,
+      fe: Double, fn: Double): System = new PolarStereo(ell, latTs, lon0, fe, fn)
   private[graft] def albersForTest(
       ell: Ellipsoid, lat0: Double, lon0: Double, sp1: Double, sp2: Double,
       fe: Double, fn: Double): System = new Albers2sp(ell, lat0, lon0, sp1, sp2, fe, fn)

@@ -162,6 +162,111 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(lon - -110.0) < 1e-9 && math.abs(lat - 30.0) < 1e-9)
   }
 
+  test("Transverse Mercator on Airy 1830 matches the OS worked example") {
+    // OSGB "A guide to coordinate systems in Great Britain", worked
+    // example (Caister water tower): OSGB36 geodetic
+    // φ = 52°39'27.2531"N, λ = 1°43'4.5177"E -> E 651409.903, N 313177.270
+    val sys = graft.functions.Crs.tmForTest(graft.functions.Crs.Airy1830,
+      49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    val lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (x, y) = sys.forward(lon, lat)
+    assert(math.abs(x - 651409.903) < 0.005, s"x=$x")
+    assert(math.abs(y - 313177.270) < 0.005, s"y=$y")
+    val (lonB, latB) = sys.inverse(x, y)
+    assert(math.abs(lonB - lon) < 1e-9 && math.abs(latB - lat) < 1e-9)
+  }
+
+  test("EPSG:27700 Helmert datum shift: direction and magnitude anchors") {
+    import graft.functions.Crs
+    val sys = Crs.resolve("EPSG:27700")
+    val tm = Crs.tmForTest(Crs.Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    // Anchor 1 (well-known): the OSGB36 zero meridian at Greenwich lies
+    // ~5-6 arcsec EAST of the WGS84 zero meridian (~105 m), and OSGB36
+    // latitudes are ~1.5-2 arcsec south of WGS84 at London. Project an
+    // OSGB36 geodetic point with the bare TM, then ask the full chain
+    // for its WGS84 position.
+    val (e0, n0) = tm.forward(0.0, 51.4779)
+    val (wlon, wlat) = sys.inverse(e0, n0)
+    val dLonSec = wlon * 3600
+    val dLatSec = (wlat - 51.4779) * 3600
+    assert(dLonSec > -6.5 && dLonSec < -4.5, s"greenwich lon shift $dLonSec arcsec")
+    assert(dLatSec > 1.0 && dLatSec < 2.5, s"greenwich lat shift $dLatSec arcsec")
+    // Anchor 2: the OSGB36<->WGS84 horizontal displacement over GB is
+    // famously "about 100 m"; assert 50-160 m at three spread stations
+    Seq((-4.0, 56.0), (-1.5, 52.5), (0.5, 51.3)).foreach { case (lon, lat) =>
+      val (xw, yw) = sys.forward(lon, lat)   // WGS84 in -> BNG out
+      val (xo, yo) = tm.forward(lon, lat)    // same numbers read as OSGB36
+      val d = math.hypot(xw - xo, yw - yo)
+      assert(d > 50 && d < 160, s"datum displacement at ($lon,$lat): $d m")
+    }
+    // chain invertibility (Helmert reverse = negated parameters)
+    val (lonB, latB) = sys.inverse(sys.forward(-1.5, 52.5)._1, sys.forward(-1.5, 52.5)._2)
+    assert(math.abs(lonB - -1.5) < 1e-7 && math.abs(latB - 52.5) < 1e-7)
+  }
+
+  test("Polar Stereographic variant B matches the EPSG worked example") {
+    // EPSG Guidance 7-2 §3.2.4 (Australian Antarctic): WGS84,
+    // latTs = -71°, lon0 = 70°E, FE = FN = 6000000;
+    // φ = 75°S, λ = 120°E -> E 7255380.79, N 7053389.56
+    val sys = graft.functions.Crs.polarForTest(graft.functions.Crs.WGS84,
+      -71.0, 70.0, 6000000.0, 6000000.0)
+    val (x, y) = sys.forward(120.0, -75.0)
+    assert(math.abs(x - 7255380.79) < 0.05, s"x=$x")
+    assert(math.abs(y - 7053389.56) < 0.05, s"y=$y")
+    val (lon, lat) = sys.inverse(x, y)
+    assert(math.abs(lon - 120.0) < 1e-9 && math.abs(lat - -75.0) < 1e-9)
+  }
+
+  test("round-4 CRS catalog: natural origins and landmark parity") {
+    import graft.functions.Crs
+    // natural origin maps exactly onto the false origin
+    val origins = Seq(
+      ("EPSG:2154", 3.0, 46.5, 700000.0, 6600000.0),
+      ("EPSG:2193", 173.0, 0.0, 1600000.0, 10000000.0),
+      ("EPSG:3577", 132.0, 0.0, 0.0, 0.0),
+      ("EPSG:3006", 15.0, 0.0, 500000.0, 0.0),
+      ("EPSG:3067", 27.0, 0.0, 500000.0, 0.0),
+      ("EPSG:2180", 19.0, 0.0, 500000.0, -5300000.0),
+      ("EPSG:3395", 0.0, 0.0, 0.0, 0.0),
+      ("EPSG:5179", 127.5, 38.0, 1000000.0, 2000000.0))
+    origins.foreach { case (crs, lon, lat, fe, fn) =>
+      val (x, y) = Crs.resolve(crs).forward(lon, lat)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$crs origin: ($x,$y)")
+    }
+    // Paris in Lambert-93 (IGN-published grid coords, ±1 m)
+    val (px, py) = Crs.resolve("EPSG:2154").forward(2.3522, 48.8566)
+    assert(math.abs(px - 652469.0) < 2.0 && math.abs(py - 6862035.3) < 2.0, s"paris ($px,$py)")
+  }
+
+  test("round-4 CRS catalog roundtrips inside each zone of use") {
+    import graft.functions.Crs
+    val zones = Seq(
+      ("EPSG:2154", 2.0, 47.0), ("EPSG:2193", 174.0, -40.0), ("EPSG:3577", 140.0, -25.0),
+      ("EPSG:3006", 16.0, 60.0), ("EPSG:3067", 26.0, 63.0), ("EPSG:2180", 20.0, 52.0),
+      ("EPSG:3395", 10.0, 40.0), ("EPSG:5179", 127.0, 37.0), ("EPSG:3414", 103.85, 1.35),
+      ("EPSG:2157", -7.5, 53.2), ("EPSG:29902", -7.5, 53.2), ("EPSG:29903", -7.5, 53.2),
+      ("EPSG:27700", -1.5, 52.5), ("EPSG:31467", 9.5, 48.5), ("EPSG:23031", 2.0, 41.5),
+      ("EPSG:25832", 10.0, 50.0), ("EPSG:28355", 145.0, -37.0), ("EPSG:7855", 145.0, -37.0),
+      ("EPSG:31983", -46.0, -23.0), ("EPSG:6677", 139.7, 35.7),
+      ("EPSG:3031", 120.0, -75.0), ("EPSG:3413", -40.0, 75.0), ("EPSG:3995", 10.0, 78.0),
+      ("EPSG:3034", 10.0, 50.0), ("EPSG:5243", 10.0, 51.0), ("EPSG:3112", 134.0, -25.0),
+      ("EPSG:3005", -124.0, 54.0), ("ESRI:102008", -96.0, 40.0))
+    samples(Gen.zip(Gen.chooseNum(-0.3, 0.3), Gen.chooseNum(-0.3, 0.3)), 15).foreach {
+      case (dx, dy) =>
+        zones.foreach { case (crs, lon0, lat0) =>
+          val (lon, lat) = (lon0 + dx, lat0 + dy)
+          val sys = Crs.resolve(crs)
+          val (x, y) = sys.forward(lon, lat)
+          val (lonB, latB) = sys.inverse(x, y)
+          // datum-shifted chains include the approximate Helmert reverse
+          // (negated parameters), good to ~1e-7 deg; exact chains ~1e-9
+          assert(math.abs(lonB - lon) < 1e-6 && math.abs(latB - lat) < 1e-6,
+            s"$crs roundtrip: ($lon,$lat) -> ($lonB,$latB)")
+        }
+    }
+  }
+
   test("equal-area CRSs roundtrip across their zone of use") {
     val zones = Seq(
       ("EPSG:5070", -96.0, 38.0, 20.0, 8.0), ("EPSG:6350", -96.0, 38.0, 20.0, 8.0),
