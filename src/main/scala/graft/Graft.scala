@@ -121,6 +121,7 @@ object Graft {
     // optimizer rules (spatial join rewrite + bbox data skipping); also
     // injectable via `spark.sql.extensions=graft.plans.GraftExtensions`
     spark.experimental.extraOptimizations = Seq(
+      graft.plans.NativeDispatchRule(spark),
       graft.plans.SpatialJoinRule(spark), graft.plans.SpatialFilterRule(spark))
     spark
   }

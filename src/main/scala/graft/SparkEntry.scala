@@ -309,6 +309,30 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // SQL-surface native-type overloads (SURVEY §1.4): the SAME ST_*
+    // names over struct/array native values, rewritten by
+    // NativeDispatchRule into pure codegen arithmetic — certified
+    // against the closed-form oracle like q_native_box
+    "q_native_funcs" -> q(Seq("part"),
+      """SELECT p_partkey,
+         st_area(named_struct('min_x', 0.0D, 'min_y', 0.0D,
+           'max_x', CAST(p_size % 10 + 1 AS DOUBLE), 'max_y', CAST(p_partkey % 7 + 1 AS DOUBLE))) AS barea,
+         st_perimeter(named_struct('min_x', 0.0D, 'min_y', 0.0D,
+           'max_x', CAST(p_size % 10 + 1 AS DOUBLE), 'max_y', CAST(p_partkey % 7 + 1 AS DOUBLE))) AS bperi,
+         st_x(named_struct('x', CAST(p_partkey % 12 AS DOUBLE), 'y', CAST(p_partkey % 9 AS DOUBLE))) AS px,
+         st_npoints(array(named_struct('x', 0.0D, 'y', 0.0D),
+           named_struct('x', CAST(p_size % 10 AS DOUBLE), 'y', 0.0D),
+           named_struct('x', CAST(p_size % 10 AS DOUBLE), 'y', CAST(p_partkey % 7 AS DOUBLE)))) AS lnp,
+         st_length(array(named_struct('x', 0.0D, 'y', 0.0D),
+           named_struct('x', CAST(p_size % 10 AS DOUBLE), 'y', 0.0D),
+           named_struct('x', CAST(p_size % 10 AS DOUBLE), 'y', CAST(p_partkey % 7 AS DOUBLE)))) AS llen,
+         st_distance(named_struct('x', CAST(p_partkey % 12 AS DOUBLE), 'y', CAST(p_partkey % 9 AS DOUBLE)),
+           named_struct('x', 1.0D, 'y', 2.0D)) AS pdist,
+         st_within(named_struct('x', CAST(p_partkey % 12 AS DOUBLE), 'y', CAST(p_partkey % 9 AS DOUBLE)),
+           named_struct('min_x', 0.0D, 'min_y', 0.0D,
+             'max_x', CAST(p_size % 10 + 1 AS DOUBLE), 'max_y', CAST(p_partkey % 7 + 1 AS DOUBLE))) AS inside
+         FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
+
     // no closed-form oracle → rows-only checks
     "q_geo_hilbert" -> q(Seq("customer"),
       s"""SELECT c_custkey,
@@ -1517,6 +1541,19 @@ object SparkEntry {
         """SELECT p_partkey,
            CAST(p_size % 10 + 1 AS DOUBLE) * CAST(p_partkey % 7 + 1 AS DOUBLE) AS area,
            2 * (CAST(p_size % 10 + 1 AS DOUBLE) + CAST(p_partkey % 7 + 1 AS DOUBLE)) AS peri,
+           (CAST(p_partkey % 12 AS DOUBLE) > 0 AND CAST(p_partkey % 12 AS DOUBLE) < CAST(p_size % 10 + 1 AS DOUBLE)
+            AND CAST(p_partkey % 9 AS DOUBLE) > 0 AND CAST(p_partkey % 9 AS DOUBLE) < CAST(p_partkey % 7 + 1 AS DOUBLE)) AS inside
+           FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+
+      "q_native_funcs" ->
+        """SELECT p_partkey,
+           CAST(p_size % 10 + 1 AS DOUBLE) * CAST(p_partkey % 7 + 1 AS DOUBLE) AS barea,
+           2.0 * (CAST(p_size % 10 + 1 AS DOUBLE) + CAST(p_partkey % 7 + 1 AS DOUBLE)) AS bperi,
+           CAST(p_partkey % 12 AS DOUBLE) AS px,
+           3 AS lnp,
+           CAST(p_size % 10 AS DOUBLE) + CAST(p_partkey % 7 AS DOUBLE) AS llen,
+           sqrt((CAST(p_partkey % 12 AS DOUBLE) - 1.0) * (CAST(p_partkey % 12 AS DOUBLE) - 1.0)
+              + (CAST(p_partkey % 9 AS DOUBLE) - 2.0) * (CAST(p_partkey % 9 AS DOUBLE) - 2.0)) AS pdist,
            (CAST(p_partkey % 12 AS DOUBLE) > 0 AND CAST(p_partkey % 12 AS DOUBLE) < CAST(p_size % 10 + 1 AS DOUBLE)
             AND CAST(p_partkey % 9 AS DOUBLE) > 0 AND CAST(p_partkey % 9 AS DOUBLE) < CAST(p_partkey % 7 + 1 AS DOUBLE)) AS inside
            FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",

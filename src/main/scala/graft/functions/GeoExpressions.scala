@@ -25,7 +25,10 @@ case class GeoScalar(name: String, children: Seq[Expression])
   override def dataType: DataType = op.out
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
-  override def foldable: Boolean = children.forall(_.foldable)
+  // native-typed (struct/array) children await NativeDispatchRule, which
+  // runs AFTER ConstantFolding — don't let the folder eval them as WKB
+  override def foldable: Boolean =
+    children.forall(_.foldable) && !GeoScalar.hasNativeChild(children)
   override def prettyName: String = name
 
   override def eval(input: InternalRow): Any = {
@@ -48,6 +51,14 @@ case class GeoScalar(name: String, children: Seq[Expression])
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
+}
+
+object GeoScalar {
+  private[functions] def hasNativeChild(children: Seq[Expression]): Boolean =
+    children.exists(c => c.resolved && (c.dataType match {
+      case _: StructType | _: ArrayType => true
+      case _ => false
+    }))
 }
 
 /**
@@ -98,6 +109,9 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  // see GeoScalar.foldable: native-typed operands await NativeDispatchRule
+  override def foldable: Boolean =
+    left.foldable && right.foldable && !GeoScalar.hasNativeChild(Seq(left, right))
   override def prettyName: String = name
 
   // ANCHOR_R when the right operand is constant (`geom PRED lit`, the
@@ -231,4 +245,46 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/**
+ * Segment-sum length of a native LINESTRING_2D (`array<struct<x,y>>`)
+ * — the codegen'd kernel behind [[graft.plans.NativeDispatchRule]]'s
+ * `st_length` overload (reference registers the same per-type overload,
+ * st_length.cpp LINESTRING_2D path). Same summation order as JTS
+ * `getLength`, so results match the generic WKB tier bit-for-bit.
+ */
+case class NativeLineLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_length"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NativeLineLength.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeLineLength.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): NativeLineLength =
+    copy(child = c)
+}
+
+object NativeLineLength {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var sum = 0.0
+    var i = 1
+    val n = arr.numElements()
+    while (i < n) {
+      val p = arr.getStruct(i - 1, 2)
+      val q = arr.getStruct(i, 2)
+      val dx = q.getDouble(0) - p.getDouble(0)
+      val dy = q.getDouble(1) - p.getDouble(1)
+      sum += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    sum
+  }
 }

@@ -155,6 +155,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", "st_union_agg"), exprs => StUnionAgg(exprs.head)))
     e.injectFunction((FunctionIdentifier("st_intersection_agg"),
       new ExpressionInfo("graft", "st_intersection_agg"), exprs => StIntersectionAgg(exprs.head)))
+    e.injectOptimizerRule(spark => NativeDispatchRule(spark))
     e.injectOptimizerRule(spark => SpatialJoinRule(spark))
     e.injectOptimizerRule(spark => SpatialFilterRule(spark))
   }

@@ -52,6 +52,45 @@ class NativeGeoSpec extends SparkSpec {
     assert(math.abs(ring.select(ringArea($"ring")).as[Double].collect()(0) - 1.0) < 1e-12)
   }
 
+  test("NativeDispatchRule: ST_* over native struct/array types stays columnar") {
+    // same ST_* SQL names, native operands -> rewritten to arithmetic
+    val df = spark.sql(
+      """SELECT
+         st_area(named_struct('min_x', 1.0D, 'min_y', 2.0D, 'max_x', 4.0D, 'max_y', 6.0D)) AS a,
+         st_perimeter(named_struct('min_x', 1.0D, 'min_y', 2.0D, 'max_x', 4.0D, 'max_y', 6.0D)) AS p,
+         st_x(named_struct('x', 3.5D, 'y', 7.0D)) AS x,
+         st_xmax(named_struct('min_x', 1.0D, 'min_y', 2.0D, 'max_x', 4.0D, 'max_y', 6.0D)) AS mx,
+         st_npoints(array(named_struct('x', 0.0D, 'y', 0.0D), named_struct('x', 3.0D, 'y', 4.0D))) AS np,
+         st_length(array(named_struct('x', 0.0D, 'y', 0.0D), named_struct('x', 3.0D, 'y', 4.0D))) AS len,
+         st_distance(named_struct('x', 0.0D, 'y', 0.0D), named_struct('x', 3.0D, 'y', 4.0D)) AS d,
+         st_within(named_struct('x', 2.0D, 'y', 3.0D),
+           named_struct('min_x', 1.0D, 'min_y', 2.0D, 'max_x', 4.0D, 'max_y', 6.0D)) AS w,
+         st_contains(named_struct('min_x', 1.0D, 'min_y', 2.0D, 'max_x', 4.0D, 'max_y', 6.0D),
+           named_struct('x', 1.0D, 'y', 3.0D)) AS cb,
+         st_intersects(named_struct('min_x', 0.0D, 'min_y', 0.0D, 'max_x', 2.0D, 'max_y', 2.0D),
+           named_struct('min_x', 2.0D, 'min_y', 2.0D, 'max_x', 3.0D, 'max_y', 3.0D)) AS ix""")
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 12.0 && r.getDouble(1) == 14.0 && r.getDouble(2) == 3.5)
+    assert(r.getDouble(3) == 4.0 && r.getInt(4) == 2 && r.getDouble(5) == 5.0)
+    assert(r.getDouble(6) == 5.0 && r.getBoolean(7) && !r.getBoolean(8) && r.getBoolean(9))
+    // the optimized plan must not contain the JTS-backed fallback nodes
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("GeoScalar") && !opt.contains("st_geomfromwkb"), opt.take(800))
+
+    // parity with the generic WKB tier on a column of data
+    val both = spark.range(200).selectExpr(
+      "st_area(named_struct('min_x', 0.0D, 'min_y', 0.0D, 'max_x', CAST(id % 7 + 1 AS DOUBLE), 'max_y', CAST(id % 5 + 1 AS DOUBLE))) AS native_a",
+      "st_area(st_makeenvelope(0.0D, 0.0D, CAST(id % 7 + 1 AS DOUBLE), CAST(id % 5 + 1 AS DOUBLE))) AS wkb_a",
+      "st_length(array(named_struct('x', 0.0D, 'y', 0.0D), named_struct('x', CAST(id % 9 AS DOUBLE), 'y', CAST(id % 4 AS DOUBLE)))) AS native_l",
+      "st_length(st_makeline(st_point(0.0D, 0.0D), st_point(CAST(id % 9 AS DOUBLE), CAST(id % 4 AS DOUBLE)))) AS wkb_l")
+    assert(both.filter($"native_a" =!= $"wkb_a" || $"native_l" =!= $"wkb_l").count() == 0)
+    // null inputs stay null (generic-tier parity)
+    val nulls = spark.sql(
+      """SELECT st_area(CAST(NULL AS STRUCT<min_x: DOUBLE, min_y: DOUBLE, max_x: DOUBLE, max_y: DOUBLE>)) AS a,
+                st_npoints(CAST(NULL AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)) AS np""").collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("codegen hilbert equals interpreted hilbert and stays in codegen") {
     val df = pts.withColumn("pt", point2d($"x", $"y"))
       .withColumn("h_native", hilbert($"pt", 0, 0, 100, 100))
