@@ -12,13 +12,67 @@ import org.apache.spark.sql.types._
  * iterator per partition, so per-batch setup like codec init happens
  * once per task, not per row).
  *
- * The actual codec calls are STUBBED with deterministic fakes (no
- * image/audio libraries in this container); the Spark-side contract —
- * schema, batching, partitioning, null handling — is real and tested.
- * Swap `decodeStub` for a real codec (e.g. TwelveMonkeys/JavaCV) by
- * replacing one function.
+ * Image decode and resize are REAL for the formats the JDK ships
+ * codecs for (PNG/JPEG/BMP/GIF via `javax.imageio`, no external
+ * dependencies — payloads are signature-sniffed first, so arbitrary
+ * binary never reaches the codec). Payloads that aren't a recognized
+ * image fall back to deterministic stubs standing in for the remaining
+ * codecs (audio/video — no libraries in this container); the
+ * Spark-side contract — schema, batching, partitioning, null handling
+ * — is identical on both paths. Feature extraction remains a
+ * deterministic hash stand-in for an embedding model.
  */
 object Multimodal {
+
+  /** Image format by magic bytes; None = not a JDK-decodable image. */
+  private[operators] def imageFormat(p: Array[Byte]): Option[String] = {
+    if (p == null || p.length < 8) None
+    else if ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') Some("png")
+    else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') Some("gif")
+    else if (p(0) == 'B' && p(1) == 'M') Some("bmp")
+    else None
+  }
+
+  /** Real image decode (JDK ImageIO): (format, width, height, channels,
+   *  duration_ms=0). None when the payload isn't a recognized image or
+   *  the codec rejects it. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Int, Long)] =
+    imageFormat(payload).flatMap { fmt =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else Some((fmt, img.getWidth, img.getHeight, img.getColorModel.getNumComponents, 0L))
+      } catch { case _: Exception => None }
+    }
+
+  /** Decode entry point: real codec for recognized images, stub for
+   *  everything else (same output contract). */
+  private[operators] def decode(payload: Array[Byte]): (String, Int, Int, Int, Long) =
+    decodeImage(payload).getOrElse(decodeStub(payload))
+
+  /** Real image resize via Graphics2D, re-encoded as PNG (lossless,
+   *  always writable by the JDK). None for non-image payloads. */
+  private[operators] def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    imageFormat(payload).flatMap { _ =>
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+    }
 
   /** Metadata schema carried alongside every media column. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -86,26 +140,27 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          val (fmt, w, h, c, d) = decodeStub(payload)
+          val (fmt, w, h, c, d) = decode(payload)
           Row(id, Row(fmt, w, h, c, d), featureStub(payload, featureDim).toSeq)
         }
       }(enc)
   }
 
-  /** STUB resize: real impl would transcode; the stub re-hashes bytes
-   *  to a deterministic `w*h`-proportional payload, keeping the
-   *  (binary in → binary out) contract and batch shape. */
+  /** Resize: REAL transcode for recognized images (ImageIO decode →
+   *  bilinear scale → PNG re-encode); deterministic stub bytes for
+   *  non-image payloads, keeping the (binary in → binary out) contract
+   *  and batch shape on both paths. */
   def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
     val fields = df.schema.fields.map(f => StructField(f.name, f.dataType, f.nullable))
     val enc = RowEncoder.encoderFor(StructType(fields))
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      // per-partition setup would init the transcoder here (once per task)
+      // per-partition setup would init a heavier transcoder here (once per task)
       rows.map { r =>
         val payload = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val resized =
           if (payload == null) null
-          else {
+          else resizeImage(payload, w, h).getOrElse {
             val target = math.max(16, (w * h) / 256)
             val out = new Array[Byte](target)
             var i = 0

@@ -316,4 +316,45 @@ class MultimodalSpec extends SparkSpec {
     val bytes = out.collect()(0).getAs[Array[Byte]](1)
     assert(bytes.length == math.max(16, 32 * 32 / 256))
   }
+
+  /** Real image payload in `fmt`, `w`x`h`, deterministic gradient. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 37 + y * 101) & 0xFFFFFF))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
+  test("real image decode: PNG/JPEG/BMP/GIF metadata through the operator") {
+    val df = Seq(
+      (1L, imageBytes("png", 48, 32)),
+      (2L, imageBytes("jpg", 20, 40)),
+      (3L, imageBytes("bmp", 17, 11)),
+      (4L, imageBytes("gif", 8, 9)),
+      (5L, "just some text, not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 8)
+      .orderBy("media_id")
+      .select("meta.format", "meta.width", "meta.height", "meta.channels").collect()
+    assert(rows(0).getString(0) == "png" && rows(0).getInt(1) == 48 && rows(0).getInt(2) == 32)
+    assert(rows(1).getString(0) == "jpeg" && rows(1).getInt(1) == 20 && rows(1).getInt(2) == 40)
+    assert(rows(2).getString(0) == "bmp" && rows(2).getInt(1) == 17 && rows(2).getInt(2) == 11)
+    assert(rows(3).getString(0) == "gif" && rows(3).getInt(1) == 8 && rows(3).getInt(2) == 9)
+    assert(rows(0).getInt(3) >= 3) // RGB(A)
+    // non-image payload takes the deterministic stub path, not the codec
+    assert(Set("jpeg", "png", "webp").contains(rows(4).getString(0)))
+  }
+
+  test("real image resize: transcode to target dims, PNG re-encode") {
+    val df = Seq((1L, imageBytes("png", 64, 48)), (2L, imageBytes("jpg", 100, 100)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.resize(df, "payload", 16, 12)
+    val decoded = Multimodal.decodeAndFeaturize(out, "media_id", "payload", 4)
+      .orderBy("media_id").select("meta.format", "meta.width", "meta.height").collect()
+    decoded.foreach { r =>
+      assert(r.getString(0) == "png" && r.getInt(1) == 16 && r.getInt(2) == 12, r.toString)
+    }
+  }
 }
