@@ -608,6 +608,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // transitive near-dup clusters (large-star/small-star connected
+    // components over the verified LSH pair graph) — the oracle
+    // recomputes components via a recursive CTE over exact-Jaccard pairs
+    "q_doc_dup_clusters" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Dedup.nearDupClusters(s.table("documents"), col("doc_id"), col("text"),
+          threshold = 0.7)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     "q_emb_norm" -> q(Seq("embeddings"),
       """SELECT vec_id,
          round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2
@@ -1600,6 +1612,26 @@ object SparkEntry {
              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) / length(list_distinct(list_concat(a.s, b.s))) >= 0.7)
            SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dups) ORDER BY doc_id""",
+
+      // transitive closure over the exact-Jaccard pair graph (recursive
+      // CTE; min reachable id = cluster representative). LSH recall at
+      // this threshold is certified by q_doc_minhash_dedup, so the
+      // cluster structure matches the exact graph's.
+      "q_doc_dup_clusters" ->
+        """WITH RECURSIVE sh AS (
+             SELECT doc_id, list_distinct([array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2), ' ')
+               for i in range(1, greatest(length(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1)]) AS s
+             FROM documents),
+           pairs AS (
+             SELECT a.doc_id AS u, b.doc_id AS v
+             FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             WHERE CAST(length(list_intersect(a.s, b.s)) AS DOUBLE) / length(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+           reach(id, root) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT p.u, r.root FROM pairs p JOIN reach r ON p.v = r.id)
+           SELECT id AS doc_id, min(root) AS cluster
+           FROM reach GROUP BY id ORDER BY doc_id""",
 
       "q_emb_norm" ->
         """SELECT vec_id,

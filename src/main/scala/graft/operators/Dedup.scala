@@ -167,6 +167,90 @@ object Dedup {
     df.join(dupIds, id === col("__dup_id"), "left_anti")
   }
 
+  /**
+   * Transitive duplicate clusters from a near-dup pair list, via
+   * alternating large-star / small-star connected components (Kiveris
+   * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+   * The greedy pairwise survivor rule ([[minhashDedup]]) under-merges
+   * chains (A~B, B~C but A!~C); real dedup pipelines cluster first and
+   * keep one representative per CLUSTER.
+   *
+   * Scale shape: each round is two equi-shuffles of the EDGE list
+   * (never the documents), the edge list only shrinks, and convergence
+   * takes O(log n) rounds w.h.p. — no driver-side graph; the only
+   * driver data is a one-row convergence signature per round.
+   *
+   * `nodes` = one integral-id row per document (column `id`); `pairs`
+   * = (id_a, id_b) near-dup pairs. Returns (id, cluster) where cluster
+   * is the minimum id reachable through the pair graph (singletons map
+   * to themselves).
+   */
+  def duplicateClusters(nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // The iteration runs on RDDs deliberately (the one sanctioned RDD
+    // use: iterative graph state). A DataFrame loop re-nests the
+    // Catalyst plan every round — plan size grows exponentially and
+    // planning itself OOMs by ~round 10; RDD lineage grows linearly and
+    // persist() bounds recompute.
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .filter(e => e._1 != e._2).distinct()
+      .persist(lvl)
+    // convergence signature: (edge count, order-independent hash sum)
+    def sigOf(e: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+      e.aggregate((0L, 0L))(
+        (acc, p) => (acc._1 + 1, acc._2 + (p._1 * 31 + p._2) * 2654435761L),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    var sig = sigOf(edges)
+    var round = 0
+    var converged = sig._1 == 0
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor larger than u re-points at u's min
+      val und = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val mins = und.reduceByKey(math.min) // map-side combine
+      val large = und.join(mins).flatMap { case (u, (v, mv)) =>
+        val m = math.min(mv, u)
+        if (v > u && v != m) Iterator((v, m)) else Iterator.empty
+      }.distinct()
+      // small-star: orient u > v; all small neighbors + u point at the min
+      val dir = large.map { case (u, v) => if (u > v) (u, v) else (v, u) }
+        .filter(e => e._1 != e._2)
+      val mins2 = dir.reduceByKey(math.min)
+      val small = dir.join(mins2).flatMap { case (u, (v, m)) =>
+        if (v != m) Iterator((v, m)) else Iterator.empty
+      }.union(mins2).distinct().persist(lvl)
+      val newSig = sigOf(small)
+      converged = newSig == sig
+      sig = newSig
+      edges.unpersist(blocking = false)
+      edges = small
+      round += 1
+    }
+    // converged edge set is a star forest: (node -> component min)
+    val mapping = edges
+      .flatMap { case (u, v) => Iterator((u, v), (v, v)) }
+      .reduceByKey(math.min)
+      .toDF("id", "cluster")
+      .persist(lvl) // narrow (2 longs per clustered node); freed below
+    mapping.count()
+    edges.unpersist(blocking = false)
+    nodes.select(col("id").cast("long").as("id"))
+      .join(mapping, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Near-dup clustering end-to-end: MinHash-LSH pairs (exact-Jaccard
+   *  verified) → transitive clusters. Returns (id, cluster). */
+  def nearDupClusters(
+      df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(df, id, text, threshold, numHashes, bands, shingleSize)
+    duplicateClusters(df.select(id.as("id")), pairs)
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns (exact
    *  verify step for MinHash candidates, or small-scale similarity). */
   def jaccard(textA: Column, textB: Column, n: Int = 3): Column = {

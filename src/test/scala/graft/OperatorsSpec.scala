@@ -129,6 +129,29 @@ class DedupSpec extends SparkSpec {
     val fps = df.select(Dedup.fingerprint($"t").as("fp")).as[Long].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("duplicateClusters: large-star/small-star CC equals brute-force components") {
+    import org.apache.spark.sql.functions._
+    // chain 1-2-3-4, triangle 10-11-12, pair 20-21, singletons 30, 31
+    val pairs = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L).toDF("id")
+    val got = Dedup.duplicateClusters(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 31L)
+    assert(got == want)
+    // a long path (worst case for label propagation) still converges
+    val path = (0L until 64L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val pathNodes = (0L until 64L).toDF("id")
+    val clustered = Dedup.duplicateClusters(pathNodes, path).as[(Long, Long)].collect()
+    assert(clustered.forall(_._2 == 0L), clustered.filter(_._2 != 0L).take(5).mkString(","))
+    // empty pair set -> all singletons
+    val none = Dedup.duplicateClusters(nodes, pairs.filter(lit(false)))
+      .as[(Long, Long)].collect()
+    assert(none.forall(p => p._1 == p._2))
+  }
+
 }
 
 class SimilaritySpec extends SparkSpec {
