@@ -71,6 +71,8 @@ object Graft {
     //   st_read(path)
     //   st_read(path, layer)
     //   st_read(path, 'POLYGON (...)')         -- spatial_filter (WKT)
+    //   st_read(path, 'key=value, ...')        -- named options: layer,
+    //       spatial_filter, keep_wkb, encoding, max_batch_size
     //   st_read(path, layer, 'POLYGON (...)')
     //   st_read(path, x0, y0, x1, y1)          -- spatial_filter_box
     //   st_read(path, layer, x0, y0, x1, y1)
@@ -82,6 +84,43 @@ object Graft {
         "MULTIPOLYGON", "GEOMETRYCOLLECTION").exists(t.startsWith)
       if (isGeom) Some(graft.functions.Jts.write(graft.functions.Jts.fromWkt(s))) else None
     }
+    // top-level comma split (spatial_filter WKT values contain commas
+    // inside parentheses)
+    def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.result()
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val optKeys = Set("layer", "spatial_filter", "keep_wkb", "encoding", "max_batch_size")
+    def asNamedOpts(s: String): Option[graft.sources.GeoRead.ReadOptions] = {
+      val parts = splitTop(s)
+      val ok = parts.nonEmpty && parts.forall { p =>
+        val i = p.indexOf('=')
+        i > 0 && optKeys(p.substring(0, i).trim.toLowerCase)
+      }
+      if (!ok) None
+      else {
+        val kv = parts.map { p =>
+          val i = p.indexOf('=')
+          (p.substring(0, i).trim.toLowerCase, p.substring(i + 1).trim)
+        }.toMap
+        Some(graft.sources.GeoRead.ReadOptions(
+          layer = kv.getOrElse("layer", ""),
+          spatialFilter = kv.get("spatial_filter").map(w =>
+            graft.functions.Jts.write(graft.functions.Jts.fromWkt(w))),
+          keepWkb = kv.get("keep_wkb").exists(v => v.equalsIgnoreCase("true") || v == "1"),
+          encoding = kv.getOrElse("encoding", ""),
+          maxBatchSize = kv.get("max_batch_size").map(_.toInt).getOrElse(0)))
+      }
+    }
     tfReg.createOrReplaceTempFunction("st_read",
       exprs => {
         import graft.sources.GeoRead
@@ -90,7 +129,8 @@ object Graft {
           case 0 => GeoRead.ReadOptions()
           case 1 =>
             val s = litStr(rest(0))
-            asWkt(s).map(w => GeoRead.ReadOptions(spatialFilter = Some(w)))
+            asNamedOpts(s)
+              .orElse(asWkt(s).map(w => GeoRead.ReadOptions(spatialFilter = Some(w))))
               .getOrElse(GeoRead.ReadOptions(layer = s))
           case 2 => GeoRead.ReadOptions(layer = litStr(rest(0)),
             spatialFilter = Some(asWkt(litStr(rest(1))).getOrElse(

@@ -456,14 +456,18 @@ object FlatGeobuf {
    */
   def read(
       spark: SparkSession, path: String, numPartitions: Int = 0,
-      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      maxBatchSize: Int = 0): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = hPath.getFileSystem(conf)
     val (header, featureStart) = openHeader(fs, hPath)
     val fileLen = fs.getFileStatus(hPath).getLen
     val schema = schemaOf(header)
-    val nParts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    val nParts = if (numPartitions > 0) numPartitions
+      else if (maxBatchSize > 0 && header.featuresCount > 0)
+        math.max(1, ((header.featuresCount + maxBatchSize - 1) / maxBatchSize).toInt)
+      else spark.sparkContext.defaultParallelism
     val hasIndex = header.indexNodeSize > 0 && header.featuresCount > 1
 
     // feature-aligned [start, end) ranges relative to featureStart

@@ -31,7 +31,18 @@ object GeoRead {
        *  it are returned (reference `spatial_filter`, st_read.cpp:52-62);
        *  its envelope is pushed into index-aware sources, the exact
        *  intersects stays a residual filter. */
-      spatialFilter: Option[Array[Byte]] = None)
+      spatialFilter: Option[Array[Byte]] = None,
+      /** Reference `keep_wkb` (st_read.cpp:676-695): expose the raw WKB
+       *  column under the reference's `wkb_geometry` name instead of
+       *  `geom` (our storage is already WKB, so no conversion differs —
+       *  the user-visible contract is the column name + no coercion). */
+      keepWkb: Boolean = false,
+      /** Attribute charset override (reference GDAL ENCODING open
+       *  option) — Shapefile .dbf today; empty = .cpg / format default. */
+      encoding: String = "",
+      /** Reference `max_batch_size`: cap on features per batch; the
+       *  Spark analog sets split granularity (rows per partition). */
+      maxBatchSize: Int = 0)
 
   def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
     val lower = path.toLowerCase
@@ -47,10 +58,13 @@ object GeoRead {
     val (df, geomCol): (DataFrame, Option[String]) =
       if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf"))
         (OsmPbf.read(spark, path), None) // lat/lon columns, no WKB geometry
-      else if (lower.endsWith(".shp")) (Shapefile.read(spark, path), Some("geom"))
+      else if (lower.endsWith(".shp"))
+        (Shapefile.read(spark, path, encoding = opts.encoding,
+          maxBatchSize = opts.maxBatchSize), Some("geom"))
       else if (lower.endsWith(".fgb"))
         // index pushdown: candidates by stored bbox, exact filter below
-        (FlatGeobuf.read(spark, path, bbox = pushBox), Some("geom"))
+        (FlatGeobuf.read(spark, path, bbox = pushBox,
+          maxBatchSize = opts.maxBatchSize), Some("geom"))
       else if (lower.endsWith(".gpkg")) {
         val gc = GeoPackage.layers(spark, path)
           .find(l => opts.layer.isEmpty || l._1 == opts.layer).map(_._2)
@@ -71,7 +85,7 @@ object GeoRead {
       else if (lower.endsWith(".csv")) (readCsvWkt(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
         s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
-    (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
+    val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
         df.filter(st_intersects(col(gc), st_geomfromwkb(lit(wkb))))
@@ -84,6 +98,11 @@ object GeoRead {
         throw new IllegalArgumentException(
           s"spatial_filter is not supported for $path: the source has no WKB geometry column")
       case _ => df
+    }
+    // keep_wkb: expose the WKB under the reference's column name
+    geomCol match {
+      case Some(gc) if opts.keepWkb => filtered.withColumnRenamed(gc, "wkb_geometry")
+      case _ => filtered
     }
   }
 

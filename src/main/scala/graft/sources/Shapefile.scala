@@ -110,8 +110,13 @@ object Shapefile {
   }
 
   /** Read a shapefile into a DataFrame, split into `numPartitions`
-   *  record ranges via the .shx index. */
-  def read(spark: SparkSession, path: String, numPartitions: Int = 0): DataFrame = {
+   *  record ranges via the .shx index. `encoding` overrides the .cpg
+   *  attribute charset (reference st_read `open_options` ENCODING);
+   *  `maxBatchSize` caps records per partition (reference
+   *  `max_batch_size`, st_read.cpp:676-695 — here it sets the split
+   *  granularity, the Spark analog of a per-vector row cap). */
+  def read(spark: SparkSession, path: String, numPartitions: Int = 0,
+      encoding: String = "", maxBatchSize: Int = 0): DataFrame = {
     val schema = schemaOf(path)
     val shxBytes = Files.readAllBytes(Paths.get(sibling(path, "shx")))
     val nRecords = (shxBytes.length - 100) / 8
@@ -121,6 +126,7 @@ object Shapefile {
     while (i < nRecords) { offsets(i) = shx.getInt(100 + i * 8).toLong * 2; i += 1 }
 
     val parts = if (numPartitions > 0) numPartitions
+      else if (maxBatchSize > 0) math.max(1, (nRecords + maxBatchSize - 1) / maxBatchSize)
       else math.max(1, math.min(spark.sparkContext.defaultParallelism, nRecords / 4096 + 1))
     val ranges = (0 until parts).map { p =>
       val start = p * nRecords / parts
@@ -128,7 +134,9 @@ object Shapefile {
       (start, end)
     }.filter(r => r._2 > r._1)
 
-    val charset = charsetOf(path)
+    val charset = if (encoding.nonEmpty) {
+      Charset.forName(encoding).name() // validate eagerly, driver-side
+    } else charsetOf(path)
     val shpPath = path
     val dbfPath = sibling(path, "dbf")
     val offB = spark.sparkContext.broadcast(offsets)

@@ -175,6 +175,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("st_read named options: keep_wkb, encoding, max_batch_size, layer") {
+    assume(nycShp.isDefined)
+    val shp = nycShp.get
+    // keep_wkb renames the geometry column to the reference's
+    // wkb_geometry; content is unchanged
+    val kw = spark.sql(s"SELECT * FROM st_read('$shp', 'keep_wkb=true')")
+    assert(kw.columns.contains("wkb_geometry") && !kw.columns.contains("geom"))
+    val plain = GeoRead.read(spark, shp)
+    assert(kw.count() == plain.count())
+    // encoding override parses attributes with an explicit charset
+    val enc = GeoRead.read(spark, shp, GeoRead.ReadOptions(encoding = "UTF-8"))
+    assert(enc.count() == plain.count())
+    intercept[Exception] {
+      GeoRead.read(spark, shp, GeoRead.ReadOptions(encoding = "NOT-A-CHARSET")).count()
+    }
+    // max_batch_size caps rows per partition
+    val batched = GeoRead.read(spark, shp, GeoRead.ReadOptions(maxBatchSize = 50))
+    assert(batched.rdd.getNumPartitions >= (plain.count() / 50).toInt)
+    assert(batched.count() == plain.count())
+    // named options compose: spatial filter + keep_wkb in one string
+    val filtered = spark.sql(
+      s"""SELECT count(*) AS n FROM st_read('$shp',
+          'keep_wkb=true, max_batch_size=100')""").collect()(0).getLong(0)
+    assert(filtered == plain.count())
+    // gpkg layer via named option
+    val gpkg = "/root/repo/src/test/resources/sample.gpkg"
+    val lines = spark.sql(s"SELECT count(*) AS n FROM st_read('$gpkg', 'layer=lines')")
+      .collect()(0).getLong(0)
+    assert(lines == 10)
+  }
+
   test("drivers + read_meta") {
     assert(GeoRead.drivers(spark).count() == 7)
     assume(nycShp.isDefined)
