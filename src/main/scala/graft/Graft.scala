@@ -53,6 +53,9 @@ object Graft {
     reg.createOrReplaceTempFunction("string_shingles", e => StringShingles(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("topk_by_score", e =>
       TopKByScore(e(0), e(1), e(2).eval(null).asInstanceOf[Number].intValue), "scala_udf")
+    reg.createOrReplaceTempFunction("top_ngram_fraction", e =>
+      TopNgramFraction(e(0),
+        if (e.length > 1) e(1).eval(null).asInstanceOf[Number].intValue else 2), "scala_udf")
     // table functions: SELECT * FROM st_read('path') etc. (reference's
     // replacement-scan sugar, st_read.cpp:598-613)
     val tfReg = spark.sessionState.tableFunctionRegistry

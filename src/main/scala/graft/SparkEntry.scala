@@ -620,6 +620,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition filters: duplicate-line fraction +
+    // top-n-gram fraction (single-pass expression; the oracle's
+    // list-comprehension replication is O(tokens²) but exact)
+    "q_doc_repetition" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      s.table("documents").select(col("doc_id"),
+          round(operators.TextOps.duplicateLineFraction(col("text")), 6).as("dup_line_frac"),
+          round(operators.TextOps.topNgramFraction(col("text"), 2), 6).as("top2_frac"),
+          round(operators.TextOps.topNgramFraction(col("text"), 3), 6).as("top3_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_emb_norm" -> q(Seq("embeddings"),
       """SELECT vec_id,
          round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2
@@ -1632,6 +1645,33 @@ object SparkEntry {
              SELECT p.u, r.root FROM pairs p JOIN reach r ON p.v = r.id)
            SELECT id AS doc_id, min(root) AS cluster
            FROM reach GROUP BY id ORDER BY doc_id""",
+
+      "q_doc_repetition" ->
+        """WITH t AS (
+             SELECT doc_id,
+               list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+             FROM documents),
+           f AS (
+             SELECT doc_id, lines, toks,
+               CASE WHEN length(toks) >= 2
+                 THEN [array_to_string(list_slice(toks, i, i + 1), ' ') for i in range(1, length(toks))]
+                 ELSE [] END AS ng2,
+               CASE WHEN length(toks) >= 3
+                 THEN [array_to_string(list_slice(toks, i, i + 2), ' ') for i in range(1, length(toks) - 1)]
+                 ELSE [] END AS ng3
+             FROM t)
+           SELECT doc_id,
+             round(CASE WHEN length(lines) > 0
+               THEN CAST(length(lines) - length(list_distinct(lines)) AS DOUBLE) / length(lines)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+             round(CASE WHEN length(ng2) > 0
+               THEN CAST(list_max([length(list_filter(ng2, x -> x = g)) for g in list_distinct(ng2)]) AS DOUBLE) / length(ng2)
+               ELSE 0.0 END, 6) AS top2_frac,
+             round(CASE WHEN length(ng3) > 0
+               THEN CAST(list_max([length(list_filter(ng3, x -> x = g)) for g in list_distinct(ng3)]) AS DOUBLE) / length(ng3)
+               ELSE 0.0 END, 6) AS top3_frac
+           FROM f ORDER BY doc_id""",
 
       "q_emb_norm" ->
         """SELECT vec_id,

@@ -281,3 +281,48 @@ case class Fingerprint(child: Expression, k: Int = 8)
 
   override protected def withNewChildInternal(c: Expression): Fingerprint = copy(child = c)
 }
+
+/**
+ * Fraction of a document's word n-grams taken by the single most
+ * frequent n-gram — the Gopher repetition filter family ("fraction of
+ * characters in the most common n-gram"; Rae et al. 2021, table A1),
+ * over whitespace tokens. Single pass + one hash map per row; the
+ * naive SQL formulation is O(tokens²) per document, which does not
+ * survive long documents at 100 TB.
+ */
+case class TopNgramFraction(child: Expression, n: Int = 2)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "top_ngram_fraction: n must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_ngram_fraction"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.toString.trim.toLowerCase.split("\\s+")
+    val total = toks.length - n + 1
+    if (total <= 0) 0.0
+    else {
+      val counts = new java.util.HashMap[String, Integer](total * 2)
+      var max = 0
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val k = sb.toString
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > max) max = c
+        i += 1
+      }
+      max.toDouble / total
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopNgramFraction =
+    copy(child = c)
+}

@@ -58,6 +58,23 @@ object TextOps {
     ratio(size(filter(toks, t => t.isin(enStop: _*))), size(toks))
   }
 
+  /** Fraction of non-empty lines that are duplicates of another line —
+   *  the Gopher "duplicate line fraction" repetition filter (boiler-
+   *  plate / template detection). Pure built-ins, stays in codegen. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    ratio(size(lines) - size(array_distinct(lines)), size(lines))
+  }
+
+  /** Fraction of word n-grams taken by the most frequent n-gram — the
+   *  Gopher "top n-gram fraction" repetition filter. Single-pass custom
+   *  expression ([[graft.functions.TopNgramFraction]]); the SQL-lambda
+   *  formulation is O(tokens²) per document. */
+  def topNgramFraction(text: Column, n: Int = 2): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.TopNgramFraction(
+        org.apache.spark.sql.graft.ColumnShim.expr(text), n))
+
   /**
    * Composite quality score in [0,1] (Gopher/C4-style heuristics):
    * rewards stopword presence and sane word lengths, penalizes

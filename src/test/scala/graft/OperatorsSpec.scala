@@ -302,6 +302,30 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicate line fraction + top n-gram fraction") {
+    val df = Seq(
+      (1L, "a b\na b\nc d"),                   // 3 lines, 1 dup
+      (2L, "x y x y x y"),                     // bigram 'x y' 3 of 5, 'y x' 2 of 5
+      (3L, "all words unique here now"),
+      (4L, "")).toDF("id", "text")
+    val r = df.select($"id",
+        TextOps.duplicateLineFraction($"text").as("dl"),
+        TextOps.topNgramFraction($"text", 2).as("t2"))
+      .orderBy("id").as[(Long, Double, Double)].collect()
+    assert(math.abs(r(0)._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r(1)._3 - 3.0 / 5) < 1e-12)
+    assert(r(2)._2 == 0.0 && math.abs(r(2)._3 - 0.25) < 1e-12)
+    assert(r(3)._2 == 0.0 && r(3)._3 == 0.0)
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT top_ngram_fraction('x y x y x y', 2) AS f").collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 0.6) < 1e-12)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
