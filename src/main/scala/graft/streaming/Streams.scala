@@ -27,6 +27,34 @@ object Streams {
   }
 
   /**
+   * Continuous per-window top-k over an event stream (trending items /
+   * leaderboards): watermarked tumbling window, ranked by the bounded
+   * [[graft.operators.Similarity.topKByScore]] aggregate — map-side
+   * partial top-k means state per (window, type) is O(k), never the
+   * full item list (the collect_list-then-sort formulation keeps every
+   * event in the state store and dies at scale).
+   * Input columns: ts timestamp, event_type string, item_id long,
+   * value double. Output: window, event_type, item_id, score, rank.
+   */
+  def windowedTopK(
+      events: DataFrame, k: Int = 5, watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"), col("item_id"))
+      .agg(sum(col("value")).as("score"))
+      // chained windowed aggregation (Spark 3.4+ multiple-stateful-
+      // operator support): re-windowing ON the window column is how
+      // event-time/watermark propagates into the second aggregation
+      .groupBy(window(col("window"), window_), col("event_type"))
+      .agg(graft.operators.Similarity.topKByScore(
+        col("score"), col("item_id"), k).as("__tk"))
+      .select(col("window"), col("event_type"), posexplode(col("__tk")))
+      .select(col("window"), col("event_type"), col("col.id").as("item_id"),
+        col("col.score").as("score"), (col("pos") + lit(1)).as("rank"))
+  }
+
+  /**
    * Streaming spatial enrichment: tag each event's point geometry with
    * the zone that contains it. The zone table is a static (batch) side
    * — Spark broadcasts it per micro-batch; the stream is never

@@ -43,6 +43,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k equals batch top-k (append mode, bounded state)") {
+    // chained stateful aggregations require append mode (complete mode
+    // trips Spark's global-watermark correctness guard by design), so
+    // the test drives the production shape: ingest the events, then a
+    // far-future sentinel batch that advances the watermark and flushes
+    // every real window out of the state store.
+    val inDir = "/tmp/graft-stream-topk-in"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(inDir), true)
+    val base = spark.read.parquet(eventsDir)
+    base.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(eventsSchema).parquet(inDir)
+      .withColumn("item_id", $"user_id" % 20)
+    val topk = Streams.windowedTopK(stream, k = 3, watermark = "1 hour", window_ = "1 hour")
+    val q = topk.writeStream.outputMode("append").format("memory")
+      .queryName("topk_out").start()
+    try {
+      q.processAllAvailable()
+      val maxTs = base.agg(max($"ts")).collect()(0).getTimestamp(0)
+      val sentinel = base.limit(1)
+        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)))
+        .withColumn("event_type", lit("zz_sentinel"))
+      sentinel.write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val got = spark.table("topk_out")
+        .select($"window.start".as("w"), $"event_type", $"item_id", $"rank")
+      val batch = {
+        val scored = base
+          .withColumn("item_id", $"user_id" % 20)
+          .groupBy(window($"ts", "1 hour").getField("start").as("w"),
+            $"event_type", $"item_id")
+          .agg(sum($"value").as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("w", "event_type").orderBy($"score".desc, $"item_id".asc)
+        scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+          .select($"w", $"event_type", $"item_id", $"rank")
+      }
+      assert(got.count() > 0)
+      assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming zone tagging (broadcast spatial enrich)") {
     val zones = (for (i <- 0 until 4) yield (i, i * 25.0))
       .toDF("zid", "x0")
