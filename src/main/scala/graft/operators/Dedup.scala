@@ -141,7 +141,7 @@ object Dedup {
         stringShingles(text, shingleSize).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = both.select(col("__id"), col("__sig"))
-    minhashCandidatesFromSigs(sigs, numHashes, bands)
+    val verified = minhashCandidatesFromSigs(sigs, numHashes, bands)
       .join(both.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(both.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("jaccard",
@@ -149,6 +149,10 @@ object Dedup {
           / size(array_union(col("__sha"), col("__shb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+    // same explicit-release discipline as minhashCandidates: the WIDE
+    // signature+shingle cache must not outlive pair materialization
+    // (the r3 clustered-write regression was exactly this class of leak)
+    materializeThenFree(verified, both)
   }
 
   /** Near-dedup via MinHash-LSH: drop every row whose id appears as
