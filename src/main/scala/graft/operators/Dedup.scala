@@ -255,6 +255,20 @@ object Dedup {
     duplicateClusters(df.select(id.as("id")), pairs)
   }
 
+  /** Cluster-correct near-dedup: one representative (the minimum id)
+   *  per TRANSITIVE duplicate cluster. Unlike [[minhashDedup]]'s greedy
+   *  pairwise rule — which keeps BOTH A and B when A~C and B~C but the
+   *  A~B pair itself is sub-threshold (two survivors of one transitive
+   *  cluster) — the survivor set here is exactly one row per connected
+   *  component of the near-dup graph. */
+  def clusterDedup(
+      df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val clusters = nearDupClusters(df, id, text, threshold, numHashes, bands, shingleSize)
+    df.join(clusters.filter(col("id") === col("cluster")).select(col("id").as("__keep_id")),
+      id === col("__keep_id"), "left_semi")
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns (exact
    *  verify step for MinHash candidates, or small-scale similarity). */
   def jaccard(textA: Column, textB: Column, n: Int = 3): Column = {

@@ -45,6 +45,23 @@ object GeoRead {
       maxBatchSize: Int = 0)
 
   def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
+    // a DIRECTORY of single-file containers (.shp / .fgb) reads as the
+    // union of its files — the realistic shape of a large delivered
+    // dataset (thousands of tiles); each file keeps its own parallel
+    // splitter, the union is plan-level (no data movement)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.isDirectory(hPath)) {
+      // strip the file: scheme for the local-file readers (RandomAccessFile)
+      val files = fs.listStatus(hPath).map { st =>
+        val p = st.getPath
+        if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
+      }.sorted
+      val members = files.filter(f =>
+        f.toLowerCase.endsWith(".shp") || f.toLowerCase.endsWith(".fgb"))
+      if (members.nonEmpty)
+        return members.map(f => read(spark, f, opts)).reduce(_ unionByName _)
+    }
     val lower = path.toLowerCase
     // bbox used for source-level pushdown: the explicit box, else the
     // filter geometry's envelope

@@ -130,6 +130,28 @@ class DedupSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("clusterDedup keeps exactly one representative per transitive cluster") {
+    // star: A~C and B~C but A!~B. Greedy pairwise (drop the larger id of
+    // each pair) drops only C and keeps BOTH A and B — two survivors
+    // from one transitive cluster; cluster-correct dedup keeps only A.
+    val base = (1 to 20).map(i => s"word$i").mkString(" ")
+    val a = base.replace("word1 ", "alpha ")   // differs from base in w1
+    val b = base.replace(" word20", " omega")  // differs from base in w20
+    val c = base                               // near both; a~b only 0.8
+    val df = Seq((1L, a), (2L, b), (3L, c),
+      (10L, "completely different text about nothing in particular at all")).toDF("id", "text")
+    val pairs = Dedup.nearDupPairs(df, $"id", $"text", threshold = 0.85,
+      numHashes = 64, bands = 16).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"pairs=$pairs")
+    val greedy = Dedup.minhashDedup(df, $"id", $"text", threshold = 0.85,
+      numHashes = 64, bands = 16).select("id").as[Long].collect().toSet
+    assert(greedy == Set(1L, 2L, 10L)) // two reps of one cluster
+    val kept = Dedup.clusterDedup(df, $"id", $"text", threshold = 0.85,
+      numHashes = 64, bands = 16)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L), s"kept=$kept")
+  }
+
   test("duplicateClusters: large-star/small-star CC equals brute-force components") {
     import org.apache.spark.sql.functions._
     // chain 1-2-3-4, triangle 10-11-12, pair 20-21, singletons 30, 31

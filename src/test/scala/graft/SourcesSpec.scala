@@ -175,6 +175,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("directory of single-file containers reads as the union of its files") {
+    import graft.GeoFunctions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp-dir").toString
+    def mk(name: String, n: Int, offset: Int): Unit = {
+      val df = (0 until n).map(i => (i.toLong + offset, s"f$i"))
+        .toDF("fid", "tag")
+        .withColumn("geom", st_point(col("fid").cast("double"), lit(1.0)))
+      graft.sources.Shapefile.write(df, "geom", s"$dir/$name.shp")
+    }
+    mk("tile_a", 7, 0); mk("tile_b", 5, 100)
+    val both = GeoRead.read(spark, dir)
+    assert(both.count() == 12)
+    assert(both.select("fid").as[Long].collect().toSet ==
+      ((0L until 7L) ++ (100L until 105L)).toSet)
+    // spatial filter applies across the union
+    val filtered = GeoRead.read(spark, dir,
+      GeoRead.ReadOptions(spatialFilterBox = Some((99.0, 0.0, 200.0, 2.0))))
+    assert(filtered.count() == 5)
+  }
+
   test("st_read named options: keep_wkb, encoding, max_batch_size, layer") {
     assume(nycShp.isDefined)
     val shp = nycShp.get
