@@ -62,6 +62,8 @@ object SparkEntry {
     ("(CAST(c_custkey % 360 AS DOUBLE) - 179.5)", "(-85.0 + CAST(c_custkey % 200 AS DOUBLE) / 10.0)")
   private val LonLat27700 =
     ("(-5.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)", "(50.0 + CAST(c_custkey % 80 AS DOUBLE) / 10.0)")
+  private val LonLat28992 =
+    ("(3.5 + CAST(c_custkey % 35 AS DOUBLE) / 10.0)", "(50.8 + CAST(c_custkey % 26 AS DOUBLE) / 10.0)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -247,7 +249,8 @@ object SparkEntry {
            ("EPSG:3577", "x3577", "y3577", LonLat3577),
            ("EPSG:3395", "x3395", "y3395", LonLat3395),
            ("EPSG:3031", "x3031", "y3031", LonLat3031),
-           ("EPSG:27700", "x27700", "y27700", LonLat27700)).map {
+           ("EPSG:27700", "x27700", "y27700", LonLat27700),
+           ("EPSG:28992", "x28992", "y28992", LonLat28992)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -1090,39 +1093,85 @@ object SparkEntry {
            FROM s3031)"""
     }
 
-    // British National Grid: WGS84 -> (reversed 7-param Helmert) ->
-    // Airy 1830 geodetic (Bowring) -> TM
-    val bngCtes = {
-      val h = -1 // reversed direction (WGS84 -> OSGB36)
+    // reversed 7-parameter Helmert (WGS84 -> local datum) + Bowring,
+    // emitting `s${tag}l(c_custkey, lon, lat)` in local geodetic degrees
+    def helmertCtes(tag: String, src: String, ell: Crs.Ellipsoid,
+        txF: Double, tyF: Double, tzF: Double,
+        rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double): String = {
+      val h = -1 // reversed direction
       val as = math.Pi / (180.0 * 3600.0)
-      val (tx, ty, tz) = (h * 446.448, h * -125.157, h * 542.060)
-      val (rx, ry, rz) = (h * 0.150 * as, h * 0.247 * as, h * 0.842 * as)
-      val m = 1 + h * -20.4894 * 1e-6
-      val bA = airy.a * (1 - airy.f)
-      val ep2bA = airy.e2 / (1 - airy.e2) * bA
-      val e2aA = airy.e2 * airy.a
-      s"""d27700a AS (
+      val (tx, ty, tz) = (h * txF, h * tyF, h * tzF)
+      val (rx, ry, rz) = (h * rxSec * as, h * rySec * as, h * rzSec * as)
+      val m = 1 + h * dsPpm * 1e-6
+      val bL = ell.a * (1 - ell.f)
+      val ep2bL = ell.e2 / (1 - ell.e2) * bL
+      val e2aL = ell.e2 * ell.a
+      s"""d${tag}a AS (
            SELECT c_custkey,
              (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*cos(radians(lon)) AS gx,
              (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*sin(radians(lon)) AS gy,
              (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*(1 - ${dlit(wgs.e2)})*sin(radians(lat)) AS gz
-           FROM s27700),
-         d27700b AS (
+           FROM $src),
+         d${tag}b AS (
            SELECT c_custkey,
              ${dlit(m)}*(gx - ${dlit(rz)}*gy + ${dlit(ry)}*gz) + ${dlit(tx)} AS x1,
              ${dlit(m)}*(${dlit(rz)}*gx + gy - ${dlit(rx)}*gz) + ${dlit(ty)} AS y1,
              ${dlit(m)}*(-${dlit(ry)}*gx + ${dlit(rx)}*gy + gz) + ${dlit(tz)} AS z1
-           FROM d27700a),
-         d27700c AS (
+           FROM d${tag}a),
+         d${tag}c AS (
            SELECT c_custkey, x1, y1, z1, sqrt(x1*x1 + y1*y1) AS p,
-             atan2(z1*${dlit(airy.a)}, sqrt(x1*x1 + y1*y1)*${dlit(bA)}) AS th
-           FROM d27700b),
-         s27700l AS (
+             atan2(z1*${dlit(ell.a)}, sqrt(x1*x1 + y1*y1)*${dlit(bL)}) AS th
+           FROM d${tag}b),
+         s${tag}l AS (
            SELECT c_custkey, degrees(atan2(y1, x1)) AS lon,
-             degrees(atan2(z1 + ${dlit(ep2bA)}*pow(sin(th), 3),
-                           p - ${dlit(e2aA)}*pow(cos(th), 3))) AS lat
-           FROM d27700c),
+             degrees(atan2(z1 + ${dlit(ep2bL)}*pow(sin(th), 3),
+                           p - ${dlit(e2aL)}*pow(cos(th), 3))) AS lat
+           FROM d${tag}c)"""
+    }
+
+    // British National Grid: Helmert -> Airy 1830 -> TM
+    val bngCtes =
+      s"""${helmertCtes("27700", "s27700", airy,
+             446.448, -125.157, 542.060, 0.150, 0.247, 0.842, -20.4894)},
          ${tmOracleCtes("t27700", "s27700l", airy, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)}"""
+
+    // Amersfoort / RD New: Helmert -> Bessel 1841 -> Oblique
+    // Stereographic (EPSG 9809 conformal-sphere forward, constants as
+    // in Crs.ObliqueStereo)
+    val rdCtes = {
+      val bessel = Crs.Bessel1841
+      val e = bessel.e; val e2 = bessel.e2
+      val lat0 = rad(52.1561605555556); val lon0 = rad(5.38763888888889)
+      val k0 = 0.9999079
+      val sin0 = math.sin(lat0); val cos0 = math.cos(lat0)
+      val rho0 = bessel.a * (1 - e2) / math.pow(1 - e2 * sin0 * sin0, 1.5)
+      val nu0 = bessel.a / math.sqrt(1 - e2 * sin0 * sin0)
+      val bigR = math.sqrt(rho0 * nu0)
+      val n = math.sqrt(1 + e2 * math.pow(cos0, 4) / (1 - e2))
+      val s1 = (1 + sin0) / (1 - sin0)
+      val s2 = (1 - e * sin0) / (1 + e * sin0)
+      val w1 = math.pow(s1 * math.pow(s2, e), n)
+      val sinChi0a = (w1 - 1) / (w1 + 1)
+      val cc = (n + sin0) * (1 - sinChi0a) / ((n - sin0) * (1 + sinChi0a))
+      val chi0 = math.asin((cc * w1 - 1) / (cc * w1 + 1))
+      val r2k0 = 2 * bigR * k0
+      s"""${helmertCtes("28992", "s28992", bessel,
+             565.4171, 50.3319, 465.5524, -0.398957, 0.343988, -1.87740, 4.0725)},
+         o28992a AS (
+           SELECT c_custkey,
+             ${dlit(cc)} * pow(((1 + sin(radians(lat))) / (1 - sin(radians(lat))))
+               * pow((1 - ${dlit(e)}*sin(radians(lat)))/(1 + ${dlit(e)}*sin(radians(lat))), ${dlit(e)}), ${dlit(n)}) AS w,
+             ${dlit(n)}*(radians(lon) - ${dlit(lon0)}) AS dl
+           FROM s28992l),
+         o28992b AS (
+           SELECT c_custkey, asin((w - 1)/(w + 1)) AS chi, dl FROM o28992a),
+         o28992 AS (
+           SELECT c_custkey,
+             155000.0 + ${dlit(r2k0)}*cos(chi)*sin(dl)
+               / (1 + sin(chi)*${dlit(math.sin(chi0))} + cos(chi)*${dlit(math.cos(chi0))}*cos(dl)) AS x,
+             463000.0 + ${dlit(r2k0)}*(sin(chi)*${dlit(math.cos(chi0))} - cos(chi)*${dlit(math.sin(chi0))}*cos(dl))
+               / (1 + sin(chi)*${dlit(math.sin(chi0))} + cos(chi)*${dlit(math.cos(chi0))}*cos(dl)) AS y
+           FROM o28992b)"""
     }
 
     def srcCte(name: String, ll: (String, String)) =
@@ -1136,13 +1185,15 @@ object SparkEntry {
        ${srcCte("3395", LonLat3395)},
        ${srcCte("3031", LonLat3031)},
        ${srcCte("27700", LonLat27700)},
+       ${srcCte("28992", LonLat28992)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
        $albCtes,
        $mercCtes,
        $psCtes,
-       $bngCtes
+       $bngCtes,
+       $rdCtes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -1150,12 +1201,13 @@ object SparkEntry {
          round(o3577.x, 4) AS x3577, round(o3577.y, 4) AS y3577,
          round(o3395.x, 4) AS x3395, round(o3395.y, 4) AS y3395,
          round(o3031.x, 4) AS x3031, round(o3031.y, 4) AS y3031,
-         round(t27700o.x, 4) AS x27700, round(t27700o.y, 4) AS y27700
+         round(t27700o.x, 4) AS x27700, round(t27700o.y, 4) AS y27700,
+         round(o28992.x, 4) AS x28992, round(o28992.y, 4) AS y28992
        FROM pts p
        JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
        JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
        JOIN o3395 USING (c_custkey) JOIN o3031 USING (c_custkey)
-       JOIN t27700o USING (c_custkey)
+       JOIN t27700o USING (c_custkey) JOIN o28992 USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 

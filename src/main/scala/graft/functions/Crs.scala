@@ -388,6 +388,70 @@ object Crs {
     }
   }
 
+  /** Oblique Stereographic (EPSG method 9809, Guidance 7-2 §3.2.1 —
+   *  conformal-sphere double projection). The projection behind
+   *  EPSG:28992 (Amersfoort / RD New, the Dutch national grid). */
+  private final class ObliqueStereo(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double, k0: Double,
+      falseE: Double, falseN: Double) extends System {
+    private val e = ell.e; private val e2 = ell.e2
+    private val lat0 = math.toRadians(lat0Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val sin0 = math.sin(lat0); private val cos0 = math.cos(lat0)
+    // Gaussian radius of curvature at the origin
+    private val rho0 = ell.a * (1 - e2) / math.pow(1 - e2 * sin0 * sin0, 1.5)
+    private val nu0 = ell.a / math.sqrt(1 - e2 * sin0 * sin0)
+    private val bigR = math.sqrt(rho0 * nu0)
+    private val n = math.sqrt(1 + e2 * math.pow(cos0, 4) / (1 - e2))
+    private val s1 = (1 + sin0) / (1 - sin0)
+    private val s2 = (1 - e * sin0) / (1 + e * sin0)
+    private val w1 = math.pow(s1 * math.pow(s2, e), n)
+    private val sinChi0a = (w1 - 1) / (w1 + 1)
+    private val c = (n + sin0) * (1 - sinChi0a) / ((n - sin0) * (1 + sinChi0a))
+    private val w2 = c * w1
+    private val chi0 = math.asin((w2 - 1) / (w2 + 1))
+    private val sinChi0 = math.sin(chi0); private val cosChi0 = math.cos(chi0)
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(latD)
+      val lam = n * (math.toRadians(lonD) - lon0) + lon0
+      val sa = (1 + math.sin(lat)) / (1 - math.sin(lat))
+      val sb = (1 - e * math.sin(lat)) / (1 + e * math.sin(lat))
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      val chi = math.asin((w - 1) / (w + 1))
+      val dl = lam - lon0
+      val b = 1 + math.sin(chi) * sinChi0 + math.cos(chi) * cosChi0 * math.cos(dl)
+      val x = falseE + 2 * bigR * k0 * math.cos(chi) * math.sin(dl) / b
+      val y = falseN + 2 * bigR * k0 *
+        (math.sin(chi) * cosChi0 - math.cos(chi) * sinChi0 * math.cos(dl)) / b
+      (x, y)
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val ep = xIn - falseE; val np = yIn - falseN
+      val g = 2 * bigR * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+      val h = 4 * bigR * k0 * math.tan(chi0) + g
+      val i = math.atan2(ep, h + np)
+      val j = math.atan2(ep, g - np) - i
+      val chi = chi0 + 2 * math.atan((np - ep * math.tan(j / 2)) / (2 * bigR * k0))
+      val lam = j + 2 * i + lon0
+      val lon = (lam - lon0) / n + lon0
+      // conformal -> geodetic latitude (isometric-latitude Newton steps)
+      val psi = 0.5 * math.log((1 + math.sin(chi)) / (c * (1 - math.sin(chi)))) / n
+      var lat = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+      var k = 0; var prev = 0.0
+      do {
+        prev = lat
+        val s = math.sin(lat)
+        val psiI = math.log(math.tan(lat / 2 + math.Pi / 4) *
+          math.pow((1 - e * s) / (1 + e * s), e / 2))
+        lat = lat - (psiI - psi) * math.cos(lat) * (1 - e2 * s * s) / (1 - e2)
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
   /**
    * 7-parameter Helmert transformation (position-vector convention,
    * EPSG method 9606), parameters LOCAL datum → WGS84. Rotations in
@@ -598,6 +662,15 @@ object Crs {
     CrsInfo("ESRI", "102008", "North America Albers Equal Area Conic", "projected",
       "North America", "Albers Equal Area",
       () => new Albers2sp(GRS80, 40.0, -96.0, 20.0, 60.0, 0.0, 0.0)),
+    // Netherlands: Amersfoort / RD New (Oblique Stereographic on
+    // Bessel 1841 + the published grid-free Helmert to WGS84)
+    CrsInfo("EPSG", "28992", "Amersfoort / RD New", "projected", "Netherlands",
+      "Oblique Stereographic",
+      () => new DatumShifted(
+        new ObliqueStereo(Bessel1841, 52.1561605555556, 5.38763888888889,
+          0.9999079, 155000.0, 463000.0),
+        Bessel1841,
+        Helmert(565.4171, 50.3319, 465.5524, -0.398957, 0.343988, -1.87740, 4.0725))),
     // Polar science grids (Polar Stereographic variant B)
     CrsInfo("EPSG", "3031", "WGS 84 / Antarctic Polar Stereographic", "projected",
       "Antarctica", "Polar Stereographic (variant B)",
@@ -946,6 +1019,12 @@ object Crs {
         Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> -96.0,
           "Standard_Parallel_1" -> 20.0, "Standard_Parallel_2" -> 60.0,
           "Latitude_Of_Origin" -> 40.0), "Meter", 1.0))
+      case "EPSG:28992" => Some(projcs("RD_New",
+        geogcsOf("GCS_Amersfoort", "D_Amersfoort", "Bessel_1841", 6377397.155, 299.1528128),
+        "Double_Stereographic",
+        Seq("False_Easting" -> 155000.0, "False_Northing" -> 463000.0,
+          "Central_Meridian" -> 5.38763888888889, "Scale_Factor" -> 0.9999079,
+          "Latitude_Of_Origin" -> 52.1561605555556), "Meter", 1.0))
       case "EPSG:3031" => Some(projcs("WGS_1984_Antarctic_Polar_Stereographic", GeogWgs84,
         "Stereographic_South_Pole",
         Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0,
@@ -1049,6 +1128,9 @@ object Crs {
   private[graft] def tmForTest(
       ell: Ellipsoid, lat0: Double, lon0: Double, k0: Double,
       fe: Double, fn: Double): System = new TransMerc(ell, lat0, lon0, k0, fe, fn)
+  private[graft] def obliqueStereoForTest(
+      ell: Ellipsoid, lat0: Double, lon0: Double, k0: Double,
+      fe: Double, fn: Double): System = new ObliqueStereo(ell, lat0, lon0, k0, fe, fn)
   private[graft] def polarForTest(
       ell: Ellipsoid, latTs: Double, lon0: Double,
       fe: Double, fn: Double): System = new PolarStereo(ell, latTs, lon0, fe, fn)

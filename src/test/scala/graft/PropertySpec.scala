@@ -218,6 +218,27 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(lon - 120.0) < 1e-9 && math.abs(lat - -75.0) < 1e-9)
   }
 
+  test("Oblique Stereographic matches the EPSG worked example (RD New)") {
+    // EPSG Guidance 7-2 §3.2.1 worked example (Amersfoort / RD New):
+    // Bessel 1841, lat0 = 52°09'22.178"N, lon0 = 5°23'15.500"E,
+    // k0 = 0.9999079, FE = 155000, FN = 463000;
+    // Amersfoort geodetic φ = 53°N, λ = 6°E -> E 196105.283, N 557057.739
+    val sys = graft.functions.Crs.obliqueStereoForTest(graft.functions.Crs.Bessel1841,
+      52.1561605555556, 5.38763888888889, 0.9999079, 155000.0, 463000.0)
+    val (x, y) = sys.forward(6.0, 53.0)
+    assert(math.abs(x - 196105.283) < 0.01, s"x=$x")
+    assert(math.abs(y - 557057.739) < 0.01, s"y=$y")
+    val (lon, lat) = sys.inverse(x, y)
+    assert(math.abs(lon - 6.0) < 1e-9 && math.abs(lat - 53.0) < 1e-9)
+    // full chain (WGS84 in): Amsterdam centre lands in its known RD
+    // square (~121000, 487000) and roundtrips
+    val rd = graft.functions.Crs.resolve("EPSG:28992")
+    val (ax, ay) = rd.forward(4.9041, 52.3676)
+    assert(math.abs(ax - 121000) < 1500 && math.abs(ay - 487000) < 1500, s"($ax,$ay)")
+    val (blon, blat) = rd.inverse(ax, ay)
+    assert(math.abs(blon - 4.9041) < 1e-7 && math.abs(blat - 52.3676) < 1e-7)
+  }
+
   test("round-4 CRS catalog: natural origins and landmark parity") {
     import graft.functions.Crs
     // natural origin maps exactly onto the false origin
