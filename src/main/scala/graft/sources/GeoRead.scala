@@ -57,10 +57,16 @@ object GeoRead {
         val p = st.getPath
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       }.sorted
-      val members = files.filter(f =>
-        f.toLowerCase.endsWith(".shp") || f.toLowerCase.endsWith(".fgb"))
-      if (members.nonEmpty)
+      val exts = Seq(".shp", ".fgb", ".geojson")
+      val byExt = exts.map(e => e -> files.filter(_.toLowerCase.endsWith(e)))
+        .filter(_._2.nonEmpty)
+      if (byExt.length > 1)
+        throw new IllegalArgumentException(
+          s"directory $path mixes formats (${byExt.map(_._1).mkString(", ")}); " +
+            "read each format separately")
+      byExt.headOption.foreach { case (_, members) =>
         return members.map(f => read(spark, f, opts)).reduce(_ unionByName _)
+      }
     }
     val lower = path.toLowerCase
     // bbox used for source-level pushdown: the explicit box, else the
