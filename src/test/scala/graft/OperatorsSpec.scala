@@ -130,6 +130,28 @@ class DedupSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("duplicateClusters fuzz: random graphs match a local union-find") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 60
+      val nEdges = n / 2 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // local union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.duplicateClusters(
+        (0L until n.toLong).toDF("id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: ${got.toSet -- want.toSet}")
+    }
+  }
+
   test("clusterDedup keeps exactly one representative per transitive cluster") {
     // star: A~C and B~C but A!~B. Greedy pairwise (drop the larger id of
     // each pair) drops only C and keeps BOTH A and B — two survivors
@@ -254,6 +276,29 @@ class SimilaritySpec extends SparkSpec {
          LATERAL VIEW posexplode(tk) AS pos, e""")
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(viaSql == viaWindow)
+  }
+
+  test("topk_by_score fuzz: random scores/groups/k match the window plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42L)
+    for (k <- Seq(1, 4, 17)) {
+      val rows = Seq.fill(800)((rnd.nextInt(12).toLong, rnd.nextLong().abs % 1000,
+        // heavy ties + negatives + exact duplicates
+        (rnd.nextInt(9) - 4).toDouble / (1 + rnd.nextInt(3))))
+      val df = rows.toDF("g", "id", "score")
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val viaWindow = df.dropDuplicates("g", "id")
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("g", "id", "score", "rnk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val viaAgg = df.dropDuplicates("g", "id").groupBy("g")
+        .agg(Similarity.topKByScore(col("score"), col("id"), k).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), col("col.id"), col("col.score"), (col("pos") + lit(1)).as("rnk"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaAgg == viaWindow, s"k=$k diff=${(viaAgg -- viaWindow).take(3)}")
+    }
   }
 
   test("bruteForceTopK window fallback for non-integral ids matches agg semantics") {
