@@ -17,10 +17,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // 2 task waves per shuffle: measured ~1.5x faster than 1 wave on
-      // the 10M-row workloads (stragglers overlap; AQE coalesces the
-      // small sf0.1 shuffles back down, so the tiny queries don't pay)
-      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
+      // 1 task wave per shuffle: the median-of-3 probe puts 32
+      // partitions ahead of 64 on ALL of window/agg/join at 10M rows
+      // (window 0.75 vs 1.05 s, agg 0.90 vs 1.01, join 1.10 vs 1.19 —
+      // the earlier "2 waves faster" note was single-trial noise);
+      // AQE still coalesces the small sf0.1 shuffles
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
