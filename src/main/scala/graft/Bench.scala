@@ -58,7 +58,9 @@ object Bench {
     // report the median (+min/max spread). A cold run over the 5 s budget
     // is reported as a single trial — re-running a minute-long workload
     // 3x would blow the bench wall-clock for no extra signal.
-    val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt
+    // 5 warm trials: this host shows intermittent noise bursts (PLANS.md
+    // variance note); a wider median rejects a burst spanning 1-2 trials
+    val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "5").toInt
     def medianOf(name: String, run: () => Double): Double = {
       val cold = run()
       if (cold < 0 || cold >= 5.0) { spreads(name) = (cold, cold, 1); return cold }
@@ -272,7 +274,7 @@ object Bench {
           |        return -1.0 if fired else -2.0
           |    finally:
           |        timer.cancel()
-          |TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+          |TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "5"))
           |for f in sorted(glob.glob(f"{qdir}/*.sql")):
           |    name = os.path.basename(f)[:-4]
           |    sql = open(f).read()
