@@ -56,6 +56,19 @@ object Graft {
     reg.createOrReplaceTempFunction("top_ngram_fraction", e =>
       TopNgramFraction(e(0),
         if (e.length > 1) e(1).eval(null).asInstanceOf[Number].intValue else 2), "scala_udf")
+    // native-tier ST_Transform overloads (distinct names: a post-analysis
+    // rewrite of st_transform would change output types under resolved
+    // parents — see TransformNative scaladoc)
+    def strArg(e: Expression): String = e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => String.valueOf(other)
+    }
+    def xyArg(e: Seq[Expression]): Boolean =
+      e.length <= 3 || e(3).eval(null).asInstanceOf[Boolean]
+    reg.createOrReplaceTempFunction("st_transform_point2d", e =>
+      TransformNative(e(0), strArg(e(1)), strArg(e(2)), xyArg(e), isBox = false), "scala_udf")
+    reg.createOrReplaceTempFunction("st_transform_box2d", e =>
+      TransformNative(e(0), strArg(e(1)), strArg(e(2)), xyArg(e), isBox = true), "scala_udf")
     // table functions: SELECT * FROM st_read('path') etc. (reference's
     // replacement-scan sugar, st_read.cpp:598-613)
     val tfReg = spark.sessionState.tableFunctionRegistry

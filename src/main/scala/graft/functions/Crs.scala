@@ -821,6 +821,17 @@ object Crs {
     sys
   }
 
+  /** Coordinate-pair transform with the same axis-order semantics as
+   *  [[transform]] — the kernel behind the native-tier (struct) tier,
+   *  no geometry object in the loop. */
+  def transformXY(x: Double, y: Double, s: System, d: System,
+      alwaysXy: Boolean): (Double, Double) = {
+    val (ix, iy) = if (s.geographic && !alwaysXy) (y, x) else (x, y)
+    val (lon, lat) = s.inverse(ix, iy)
+    val (ox, oy) = d.forward(lon, lat)
+    if (d.geographic && !alwaysXy) (oy, ox) else (ox, oy)
+  }
+
   def transform(g: Geometry, src: String, dst: String, alwaysXy: Boolean): Geometry = {
     val s = resolve(src); val d = resolve(dst)
     val copy = g.copy()

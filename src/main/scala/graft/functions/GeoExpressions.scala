@@ -288,3 +288,54 @@ object NativeLineLength {
     sum
   }
 }
+
+/**
+ * Native-tier ST_Transform overloads (the reference registers
+ * per-type overloads for POINT_2D and BOX_2D alongside GEOMETRY —
+ * proj/functions.cpp:488-517): struct in, struct out, no WKB/JTS in
+ * the loop. BOX_2D mirrors the reference's corner-transform semantics.
+ * SQL names are distinct (`st_transform_point2d` / `st_transform_box2d`)
+ * because a post-analysis rewrite of `st_transform` would change the
+ * expression's output type under already-resolved parents.
+ */
+case class TransformNative(
+    child: Expression, src: String, dst: String, alwaysXy: Boolean, isBox: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val s = Crs.resolve(src)
+  @transient private lazy val d = Crs.resolve(dst)
+
+  override def dataType: DataType =
+    if (isBox) StructType(Seq(
+      StructField("min_x", DoubleType), StructField("min_y", DoubleType),
+      StructField("max_x", DoubleType), StructField("max_y", DoubleType)))
+    else StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (isBox) "st_transform_box2d" else "st_transform_point2d"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = if (isBox) 4 else 2
+    child.dataType match {
+      case st: StructType if st.length == want && st.fields.forall(_.dataType == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: expected struct of $want doubles, got ${other.sql}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val r = v.asInstanceOf[InternalRow]
+    if (isBox) {
+      val (x0, y0) = Crs.transformXY(r.getDouble(0), r.getDouble(1), s, d, alwaysXy)
+      val (x1, y1) = Crs.transformXY(r.getDouble(2), r.getDouble(3), s, d, alwaysXy)
+      InternalRow(x0, y0, x1, y1)
+    } else {
+      val (x, y) = Crs.transformXY(r.getDouble(0), r.getDouble(1), s, d, alwaysXy)
+      InternalRow(x, y)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): TransformNative =
+    copy(child = c)
+}

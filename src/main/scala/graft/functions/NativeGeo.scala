@@ -68,6 +68,21 @@ object NativeGeo {
   def boxToGeometry(box: Column): Column =
     graft.GeoFunctions.st_makeenvelope(box("min_x"), box("min_y"), box("max_x"), box("max_y"))
 
+  /** Native-tier ST_Transform: POINT_2D in, POINT_2D out — no WKB/JTS
+   *  in the loop (reference registers the same per-type overload,
+   *  proj/functions.cpp:488-517). */
+  def transformPoint(pt: Column, src: String, dst: String, alwaysXy: Boolean = true): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(TransformNative(ColumnShim.expr(pt), src, dst, alwaysXy, isBox = false))
+  }
+
+  /** Native-tier ST_Transform for BOX_2D (corner transform, mirroring
+   *  the reference's BOX_2D path). */
+  def transformBox(box: Column, src: String, dst: String, alwaysXy: Boolean = true): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(TransformNative(ColumnShim.expr(box), src, dst, alwaysXy, isBox = true))
+  }
+
   /** Hilbert index of a POINT_2D over given bounds — whole-stage
    *  codegen (static call into the curve encoder). */
   def hilbert(pt: Column, minX: Double, minY: Double, maxX: Double, maxY: Double): Column = {

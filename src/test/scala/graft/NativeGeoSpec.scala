@@ -91,6 +91,34 @@ class NativeGeoSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native ST_Transform overloads match the WKB tier exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.GeoFunctions.{st_transform, st_x, st_y, st_point}
+    val df = spark.range(200).select(
+      (col("id").cast("double") / 3 - 30.0).as("lon"),
+      (col("id").cast("double") / 5 - 20.0).as("lat"))
+    val both = df.select(
+      transformPoint(point2d(col("lon"), col("lat")), "EPSG:4326", "EPSG:3857").as("np"),
+      st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("EPSG:3857"), lit(true)).as("wg"))
+    // same Crs kernel; tolerance is ULP-scale only because HotSpot may
+    // intrinsify Math.tan/log differently across call sites (the same
+    // reason the driver-oracle transform rows compare at round(4))
+    assert(both.filter(abs(col("np.x") - st_x(col("wg"))) > 1e-6 ||
+      abs(col("np.y") - st_y(col("wg"))) > 1e-6).count() == 0)
+    // box corner transform + SQL registration
+    val b = spark.sql(
+      """SELECT st_transform_box2d(named_struct('min_x', -10.0D, 'min_y', -10.0D,
+           'max_x', 10.0D, 'max_y', 10.0D), 'EPSG:4326', 'EPSG:3857') AS b,
+         st_transform_point2d(named_struct('x', 10.0D, 'y', 10.0D),
+           'EPSG:4326', 'EPSG:3857') AS p""").collect()(0)
+    val box = b.getStruct(0); val pt = b.getStruct(1)
+    assert(math.abs(box.getDouble(2) - pt.getDouble(0)) < 1e-6 &&
+      math.abs(box.getDouble(3) - pt.getDouble(1)) < 1e-6)
+    assert(math.abs(box.getDouble(0) + pt.getDouble(0)) < 1e-6 &&
+      math.abs(box.getDouble(1) + pt.getDouble(1)) < 1e-6)
+  }
+
   test("codegen hilbert equals interpreted hilbert and stays in codegen") {
     val df = pts.withColumn("pt", point2d($"x", $"y"))
       .withColumn("h_native", hilbert($"pt", 0, 0, 100, 100))
