@@ -196,11 +196,19 @@ object Bench {
       s"""SELECT count(*) AS n FROM (
            SELECT $idCol AS i, row_number() OVER (PARTITION BY $idCol % 100000 ORDER BY $idCol DESC) AS rn
            FROM range(10000000)) t WHERE rn <= 3"""
+    // string kernels (what the text-pipeline operators lean on) at the
+    // amortized scale; replace/upper/length have identical semantics in
+    // both dialects
+    def bigStringsFor(idCol: String): String =
+      s"""SELECT count(*) AS n, sum(length(replace(upper(t), 'A', ''))) AS s FROM (
+           SELECT 'doc ' || CAST($idCol % 99991 AS STRING) || ' alpha beta gamma delta epsilon' AS t
+           FROM range(10000000))"""
     val bigPairs = Seq(
       "points_envelope_10m_sql" -> (bigSqlFor("id"), bigSqlFor("range")),
       "join_10m_sql" -> (bigJoinFor("id"), bigJoinFor("range")),
       "agg_10m_sql" -> (bigAggFor("id"), bigAggFor("range")),
-      "window_10m_sql" -> (bigWindowFor("id"), bigWindowFor("range")))
+      "window_10m_sql" -> (bigWindowFor("id"), bigWindowFor("range")),
+      "strings_10m_sql" -> (bigStringsFor("id"), bigStringsFor("range")))
     val bigWorkloads = bigPairs.map { case (n, (_, duckSql)) => n -> duckSql }.toMap
     bigPairs.foreach { case (name, (sparkSql, _)) =>
       spark.sql(sparkSql).collect() // warm (codegen compile), matching the oracle's warm run
