@@ -623,6 +623,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus vocabulary: top-k tokens by count (TakeOrderedAndProject —
+    // per-partition top-k, no global sort shuffle)
+    "q_doc_top_tokens" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.topTokens(s.table("documents"), col("text"), k = 50)
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
     // Gopher-style repetition filters: duplicate-line fraction +
     // top-n-gram fraction (single-pass expression; the oracle's
     // list-comprehension replication is O(tokens²) but exact)
@@ -1697,6 +1706,15 @@ object SparkEntry {
              SELECT p.u, r.root FROM pairs p JOIN reach r ON p.v = r.id)
            SELECT id AS doc_id, min(root) AS cluster
            FROM reach GROUP BY id ORDER BY doc_id""",
+
+      "q_doc_top_tokens" ->
+        """SELECT token, cnt FROM (
+             SELECT token, count(*) AS cnt FROM (
+               SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+               FROM documents) t
+             WHERE length(token) > 0
+             GROUP BY token) c
+           ORDER BY cnt DESC, token LIMIT 50""",
 
       "q_doc_repetition" ->
         """WITH t AS (

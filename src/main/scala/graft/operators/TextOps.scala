@@ -58,6 +58,18 @@ object TextOps {
     ratio(size(filter(toks, t => t.isin(enStop: _*))), size(toks))
   }
 
+  /** Corpus vocabulary: the `k` most frequent lowercased whitespace
+   *  tokens with counts, deterministically tie-broken on the token.
+   *  Plan shape at 100 TB: explode → partial/final count aggregate →
+   *  `TakeOrderedAndProject` (each partition keeps only its top k, the
+   *  driver merges k·partitions rows — no global sort shuffle). */
+  def topTokens(df: org.apache.spark.sql.DataFrame, text: Column, k: Int = 100): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(text)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
   /** Fraction of non-empty lines that are duplicates of another line —
    *  the Gopher "duplicate line fraction" repetition filter (boiler-
    *  plate / template detection). Pure built-ins, stays in codegen. */

@@ -348,6 +348,14 @@ class TextOpsSpec extends SparkSpec {
     assert(sub(0) == 10)
   }
 
+  test("topTokens: counts, determinism, and the no-global-sort plan") {
+    val df = Seq("b a a", "c b a", "").toDF("text")
+    val top = TextOps.topTokens(df, $"text", k = 2)
+    assert(top.as[(String, Long)].collect().toSeq == Seq(("a", 3L), ("b", 2L)))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("quality + ratios") {
     val good = "the quick brown fox jumps over the lazy dog and runs for it"
     val bad = "$$$ !!! ### 12345 @@@@ %% ^^ && ** (( ))"
