@@ -645,6 +645,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // int8 embedding quantization: scale + quantized-vector digests
+    // (closed-form oracle replicates the round/clamp arithmetic)
+    "q_emb_quantize" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val sc = operators.Similarity.int8Scale(col("embedding"))
+      s.table("embeddings")
+        .withColumn("__scale", sc)
+        .withColumn("__q", operators.Similarity.quantizeInt8(col("embedding"), col("__scale")))
+        .select(col("vec_id"), round(col("__scale"), 9).as("scale"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + abs(x.cast("long"))).as("qabs"))
+        .orderBy("vec_id")
+    }),
+
     "q_emb_norm" -> q(Seq("embeddings"),
       """SELECT vec_id,
          round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2
@@ -1742,6 +1757,16 @@ object SparkEntry {
                THEN CAST(list_max([length(list_filter(ng3, x -> x = g)) for g in list_distinct(ng3)]) AS DOUBLE) / length(ng3)
                ELSE 0.0 END, 6) AS top3_frac
            FROM f ORDER BY doc_id""",
+
+      "q_emb_quantize" ->
+        """WITH s AS (
+             SELECT vec_id, embedding,
+               greatest(list_max([abs(x::DOUBLE) for x in embedding]), 1e-30) / 127.0 AS scale
+             FROM embeddings)
+           SELECT vec_id, round(scale, 9) AS scale,
+             CAST(list_sum([CAST(round((x::DOUBLE)/scale) AS BIGINT) for x in embedding]) AS BIGINT) AS qsum,
+             CAST(list_sum([abs(CAST(round((x::DOUBLE)/scale) AS BIGINT)) for x in embedding]) AS BIGINT) AS qabs
+           FROM s ORDER BY vec_id""",
 
       "q_emb_norm" ->
         """SELECT vec_id,

@@ -250,6 +250,27 @@ class SimilaritySpec extends SparkSpec {
     assert(survivors == all -- dropped)
   }
 
+  test("int8 quantization: range, roundtrip error bound, zero-vector guard") {
+    import org.apache.spark.sql.functions._
+    val df = emb.withColumn("__s", Similarity.int8Scale($"embedding"))
+      .withColumn("__q", Similarity.quantizeInt8($"embedding", $"__s"))
+      .withColumn("__d", Similarity.dequantizeInt8($"__q", $"__s"))
+    // quantized values stay in int8 range
+    assert(df.filter(exists($"__q", q => abs(q) > 127)).count() == 0)
+    // max dequantization error <= scale/2 (round-to-nearest)
+    val bad = df.withColumn("__err",
+        aggregate(zip_with($"embedding", $"__d", (a, b) => abs(a.cast("double") - b)),
+          lit(0.0), (m, e) => greatest(m, e)))
+      .filter($"__err" > $"__s" * 0.5 + lit(1e-12))
+    assert(bad.count() == 0)
+    // zero vector: guard keeps scale positive, q all zero
+    val z = Seq(Seq.fill(4)(0.0f)).toDF("embedding")
+      .withColumn("__s", Similarity.int8Scale($"embedding"))
+      .withColumn("__q", Similarity.quantizeInt8($"embedding", $"__s"))
+      .collect()(0)
+    assert(z.getDouble(1) > 0 && z.getSeq[Byte](2).forall(_ == 0))
+  }
+
   test("topk_by_score aggregate equals row_number window, ties included") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
