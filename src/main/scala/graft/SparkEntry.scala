@@ -257,6 +257,27 @@ object SparkEntry {
            }.mkString(",\n         ")}
          FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
 
+    // radius-bounded KNN join (grid dwithin blocking + bounded top-k
+    // aggregate); POI grid is deliberately degenerate (5 suppliers per
+    // point) so the deterministic tie-break is exercised
+    "q_geo_knn" -> ((s, dir) => {
+      load(s, dir, "customer", "supplier")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val cust = s.table("customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"),
+          st_point(expr("CAST(c_custkey % 100 AS DOUBLE) + 0.5"),
+            expr("CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5")).as("pt"))
+      val poi = s.table("supplier")
+        .select(col("s_suppkey"),
+          st_point(expr("CAST(s_suppkey % 20 AS DOUBLE) * 5.0 + 2.5"),
+            expr("CAST((s_suppkey * 3) % 20 AS DOUBLE) * 5.0 + 2.5")).as("pg"))
+      operators.SpatialJoin.knnJoin(cust, poi, col("c_custkey"), col("pt"),
+          col("s_suppkey"), col("pg"), k = 3, maxDist = 15.0, cellSize = 15.0)
+        .select(col("left_id"), col("right_id"), col("distance"), col("rank").as("rnk"))
+        .orderBy("left_id", "rnk")
+    }),
+
     "q_geo_haversine" -> q(Seq("customer"),
       """SELECT c_custkey,
          round(ST_Distance_Sphere(
@@ -1949,6 +1970,29 @@ object SparkEntry {
            FROM feat ORDER BY seq""",
 
       "q_geo_transform_extended" -> transformExtendedOracle,
+
+      "q_geo_knn" ->
+        """WITH l AS (
+             SELECT c_custkey AS lid,
+               CAST(c_custkey % 100 AS DOUBLE) + 0.5 AS lx,
+               CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5 AS ly
+             FROM customer WHERE c_custkey <= 300),
+           r AS (
+             SELECT s_suppkey AS rid,
+               CAST(s_suppkey % 20 AS DOUBLE) * 5.0 + 2.5 AS rx,
+               CAST((s_suppkey * 3) % 20 AS DOUBLE) * 5.0 + 2.5 AS ry
+             FROM supplier),
+           d AS (
+             SELECT lid, rid,
+               round(sqrt((lx - rx)*(lx - rx) + (ly - ry)*(ly - ry)), 6) AS dist
+             FROM l, r
+             WHERE sqrt((lx - rx)*(lx - rx) + (ly - ry)*(ly - ry)) <= 15.0),
+           rk AS (
+             SELECT lid, rid, dist,
+               row_number() OVER (PARTITION BY lid ORDER BY dist, rid) AS rnk
+             FROM d)
+           SELECT lid AS left_id, rid AS right_id, dist AS distance, rnk
+           FROM rk WHERE rnk <= 3 ORDER BY left_id, rnk""",
 
       "q_src_gpkg" ->
         """SELECT * FROM (

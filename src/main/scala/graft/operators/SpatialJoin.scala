@@ -195,4 +195,38 @@ object SpatialJoin {
    *  API only — the optimizer rule defers to [[cellSizeFrame]]). */
   def estimateCellSize(left: DataFrame, leftGeom: Column, right: DataFrame, rightGeom: Column): Double =
     cellSizeFrame(left, leftGeom, right, rightGeom).collect()(0).getDouble(0)
+
+  /**
+   * Radius-bounded KNN join: for every left row, the `k` nearest right
+   * rows within `maxDist` (nearest-POI / nearest-zone enrichment).
+   * This is THE scalable KNN formulation — the candidate set comes from
+   * the [[join]] grid dwithin blocking (never all-pairs), and ranking
+   * uses the bounded [[Similarity.topKByScore]] aggregate, so only ≤ k
+   * rows per (left row, partition) reach the exchange. Left rows with
+   * no neighbor inside `maxDist` produce no output (unbounded KNN
+   * needs an expanding-radius search, which cannot block).
+   *
+   * Ranking is deterministic: (round(distance, 6) asc, right id asc).
+   * `rightId` must be integral. Returns
+   * (left columns..., right_id, distance, rank).
+   */
+  def knnJoin(
+      left: DataFrame, right: DataFrame,
+      leftId: Column, leftGeom: Column,
+      rightId: Column, rightGeom: Column,
+      k: Int, maxDist: Double,
+      cellSize: Double = 0.0): DataFrame = {
+    import graft.GeoFunctions.st_distance
+    // plain names: join() strips its own __-prefixed internals
+    val l = left.select(leftId.as("knn_lid"), leftGeom.as("knn_lg"))
+    val r = right.select(rightId.as("knn_rid"), rightGeom.as("knn_rg"))
+    val cands = join(l, r, col("knn_lg"), col("knn_rg"), "st_dwithin",
+        cellSize = cellSize, distance = maxDist)
+      .withColumn("knn_d", round(st_distance(col("knn_lg"), col("knn_rg")), 6))
+    cands.groupBy("knn_lid")
+      .agg(Similarity.topKByScore(-col("knn_d"), col("knn_rid").cast("long"), k).as("knn_tk"))
+      .select(col("knn_lid"), posexplode(col("knn_tk")))
+      .select(col("knn_lid").as("left_id"), col("col.id").as("right_id"),
+        (-col("col.score")).as("distance"), (col("pos") + lit(1)).as("rank"))
+  }
 }

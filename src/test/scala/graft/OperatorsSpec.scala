@@ -56,6 +56,25 @@ class SpatialJoinSpec extends SparkSpec {
     assert(auto == brute && brute.nonEmpty)
   }
 
+  test("knn join equals brute-force k-nearest within radius (ties on id)") {
+    val pts = (0 until 80).map(i => (i.toLong, (i % 10) * 2.0 + 0.3, (i / 10) * 2.0 + 0.7))
+      .toDF("pid", "x", "y").withColumn("pt", st_point($"x", $"y")).select("pid", "pt")
+    val poi = (0 until 30).map(i => (i.toLong, (i % 6) * 3.5, (i / 6) * 3.5))
+      .toDF("qid", "qx", "qy").withColumn("pg", st_point($"qx", $"qy")).select("qid", "pg")
+    val got = SpatialJoin.knnJoin(pts, poi, $"pid", $"pt", $"qid", $"pg",
+        k = 3, maxDist = 5.0, cellSize = 5.0)
+      .select("left_id", "right_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = pts.crossJoin(poi)
+      .withColumn("d", round(st_distance($"pt", $"pg"), 6))
+      .filter(st_dwithin($"pt", $"pg", lit(5.0)))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy($"d".asc, $"qid".asc)))
+      .filter($"rnk" <= 3)
+      .select($"pid", $"qid", $"rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("dwithin grid join") {
     val a = (0 until 50).map(i => (i, i % 10 * 2.0, i / 10 * 2.0)).toDF("aid", "x", "y")
       .withColumn("ag", st_point($"x", $"y")).select("aid", "ag")
