@@ -34,7 +34,7 @@ object Bench {
     val headline = Seq(
       "q1_agg", "q_join_revenue", "q_window_rank", "q_events_hourly",
       "q_geo_contains", "q_geo_envelope", "q_geo_spatial_join",
-      "q_geo_hilbert", "q_geo_transform",
+      "q_geo_knn", "q_geo_hilbert", "q_geo_transform",
       "q_doc_dedup_exact", "q_doc_minhash_dedup", "q_doc_dup_clusters",
       "q_emb_topk", "q_emb_norm", "q_emb_ivf_topk")
 
