@@ -326,6 +326,9 @@ case class TransformNative(
 
   override protected def nullSafeEval(v: Any): Any = {
     val r = v.asInstanceOf[InternalRow]
+    val n = if (isBox) 4 else 2
+    var i = 0
+    while (i < n) { if (r.isNullAt(i)) return null; i += 1 } // null field -> null result
     if (isBox) {
       val (x0, y0) = Crs.transformXY(r.getDouble(0), r.getDouble(1), s, d, alwaysXy)
       val (x1, y1) = Crs.transformXY(r.getDouble(2), r.getDouble(3), s, d, alwaysXy)
