@@ -239,6 +239,42 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(blon - 4.9041) < 1e-7 && math.abs(blat - 52.3676) < 1e-7)
   }
 
+  test("round-4 conformal projections preserve angles and isotropic scale") {
+    import graft.functions.Crs
+    // conformality check: the images of two tiny orthogonal steps stay
+    // orthogonal and equal-length (the defining property of Mercator,
+    // polar stereographic, and oblique stereographic projections)
+    val systems = Seq(
+      ("EPSG:3395 (Mercator)", Crs.resolve("EPSG:3395"), Crs.WGS84, 10.0, 45.0),
+      ("polar stereo", Crs.polarForTest(Crs.WGS84, -71.0, 0.0, 0.0, 0.0),
+        Crs.WGS84, 60.0, -72.0),
+      ("oblique stereo", Crs.obliqueStereoForTest(Crs.Bessel1841,
+        52.1561605555556, 5.38763888888889, 0.9999079, 0.0, 0.0),
+        Crs.Bessel1841, 5.5, 52.2))
+    val eps = 1e-7
+    systems.foreach { case (name, sys, ell, lon, lat) =>
+      val (x0, y0) = sys.forward(lon, lat)
+      val (xe, ye) = sys.forward(lon + eps, lat)
+      val (xn, yn) = sys.forward(lon, lat + eps)
+      val (ax, ay) = (xe - x0, ye - y0)
+      val (bx, by) = (xn - x0, yn - y0)
+      val dot = ax * bx + ay * by
+      val la = math.hypot(ax, ay); val lb = math.hypot(bx, by)
+      assert(math.abs(dot) / (la * lb) < 1e-4, s"$name: not orthogonal (${dot / (la * lb)})")
+      // point scale along parallel vs meridian, in GROUND distance:
+      // parallel arc per radian = N cosφ, meridian arc = M
+      val sinLat = math.sin(math.toRadians(lat))
+      val w2 = 1 - ell.e2 * sinLat * sinLat
+      val nRad = ell.a / math.sqrt(w2)
+      val mRad = ell.a * (1 - ell.e2) / (w2 * math.sqrt(w2))
+      val dRad = math.toRadians(eps)
+      val kParallel = la / (nRad * math.cos(math.toRadians(lat)) * dRad)
+      val kMeridian = lb / (mRad * dRad)
+      assert(math.abs(kParallel - kMeridian) / kMeridian < 1e-5,
+        s"$name: anisotropic scale ($kParallel vs $kMeridian)")
+    }
+  }
+
   test("round-4 CRS catalog: natural origins and landmark parity") {
     import graft.functions.Crs
     // natural origin maps exactly onto the false origin
