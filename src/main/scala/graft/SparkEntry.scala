@@ -65,6 +65,18 @@ object SparkEntry {
   private val LonLat28992 =
     ("(3.5 + CAST(c_custkey % 35 AS DOUBLE) / 10.0)", "(50.8 + CAST(c_custkey % 26 AS DOUBLE) / 10.0)")
 
+  // round-5 certification fragments (same text in both dialects):
+  // .5-grid extents so box corners and envelope WKT format identically
+  private val extX1 = "CAST(s_suppkey % 11 AS DOUBLE) + 0.5"
+  private val extY1 = "CAST(s_suppkey % 7 AS DOUBLE) + 1.5"
+  private val extX2 = s"$extX1 + CAST(s_suppkey % 5 + 1 AS DOUBLE)"
+  private val extY2 = s"$extY1 + CAST(s_suppkey % 3 + 1 AS DOUBLE)"
+  // Z ascending, M descending between the two line vertices
+  private val zmA = "CAST(s_suppkey % 9 AS DOUBLE) + 0.25"
+  private val zmB = s"$zmA + CAST(s_suppkey % 4 + 1 AS DOUBLE)"
+  private val zmM1 = "CAST(s_suppkey % 6 AS DOUBLE) + 8.5"
+  private val zmM2 = s"$zmM1 - CAST(s_suppkey % 3 + 1 AS DOUBLE)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= relational substrate (SURVEY §2.9) ==============
@@ -824,7 +836,86 @@ object SparkEntry {
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("w"), size(col("feature")).as("fdim"))
         .orderBy("media_id")
-    })
+    }),
+
+    // ========= round-5 certification of the locally-verified tail =======
+    // st_extent (BOX_2D struct) + st_envelope over non-degenerate lines
+    // (all coords on the .5 grid so WKT formats identically)
+    "q_geo_extent" -> q(Seq("supplier"),
+      s"""SELECT s_suppkey,
+          e.min_x AS bx0, e.min_y AS by0, e.max_x AS bx1, e.max_y AS by1,
+          ST_AsText(ST_Envelope(l)) AS env_wkt
+          FROM (SELECT s_suppkey,
+              ST_Extent(ST_MakeLine(ST_Point($extX1, $extY1), ST_Point($extX2, $extY2))) AS e,
+              ST_MakeLine(ST_Point($extX1, $extY1), ST_Point($extX2, $extY2)) AS l
+            FROM supplier) ORDER BY s_suppkey"""),
+
+    // Z/M bbox accessors over 4-D lines (reversed M order exercises the
+    // min/max fold; 2-D geometry → NULL per the reference's semantics)
+    "q_geo_zm_minmax" -> q(Seq("supplier"),
+      s"""SELECT s_suppkey,
+          ST_ZMin(l) AS zmin, ST_ZMax(l) AS zmax, ST_MMin(l) AS mmin, ST_MMax(l) AS mmax,
+          ST_ZMin(ST_Point(1.5, 2.5)) AS znull, ST_MMax(ST_Point(1.5, 2.5)) AS mnull
+          FROM (SELECT s_suppkey, ST_MakeLine(
+              ST_MakePoint(0.5, 1.5, $zmA, $zmM1), ST_MakePoint(3.5, 4.5, $zmB, $zmM2)) AS l
+            FROM supplier) ORDER BY s_suppkey"""),
+
+    // native POINT_2D/3D/4D struct constructors (reference types.cpp:11-31)
+    "q_native_points" -> q(Seq("part"),
+      """SELECT p_partkey, p2.x AS p2x, p2.y AS p2y, p3.z AS p3z, p4.z AS p4z, p4.m AS p4m
+         FROM (SELECT p_partkey,
+             st_point2d(CAST(p_partkey % 12 AS DOUBLE) + 0.5, CAST(p_partkey % 9 AS DOUBLE) + 1.5) AS p2,
+             st_point3d(CAST(p_partkey % 12 AS DOUBLE) + 0.5, CAST(p_partkey % 9 AS DOUBLE) + 1.5,
+               CAST(p_partkey % 7 AS DOUBLE) + 2.5) AS p3,
+             st_point4d(CAST(p_partkey % 12 AS DOUBLE) + 0.5, CAST(p_partkey % 9 AS DOUBLE) + 1.5,
+               CAST(p_partkey % 7 AS DOUBLE) + 2.5, CAST(p_partkey % 5 AS DOUBLE) + 3.5) AS p4
+           FROM part WHERE p_partkey <= 300) ORDER BY p_partkey"""),
+
+    // ST_ReadOSM over the committed fixture (built by an independent
+    // hand-rolled protobuf encoder — src/test/scala/graft/OsmFixture.scala);
+    // the oracle is the hand-stated expected content
+    "q_src_osm" -> q(Seq(),
+      """SELECT kind, id,
+         round(coalesce(lat, -999.0), 7) AS lat7, round(coalesce(lon, -999.0), 7) AS lon7,
+         coalesce(element_at(tags, 'highway'), '') AS hw, coalesce(element_at(tags, 'name'), '') AS nm,
+         coalesce(concat_ws(',', refs), '') AS refs_csv,
+         coalesce(concat_ws('|', ref_roles), '') AS roles,
+         coalesce(concat_ws('|', ref_types), '') AS types
+         FROM st_readosm('/root/repo/src/test/resources/mini.osm.pbf')
+         ORDER BY kind, id"""),
+
+    // ST_Read_Meta over all three binary-container fixtures: the layer
+    // names / counts / geometry types / CRS codes are independently known
+    // (shp count 263 matches the from-scratch python golden of q_src_shp;
+    // gpkg layers match the fixture generator spec; fgb header values
+    // match GDAL's own export of the same file)
+    "q_read_meta" -> q(Seq(),
+      """SELECT driver_short_name AS drv, l.name AS layer, l.feature_count AS fcount,
+         l.geometry_fields[0].name AS gname, l.geometry_fields[0].type AS gtype,
+         l.geometry_fields[0].crs.auth_name AS crs_auth, l.geometry_fields[0].crs.auth_code AS crs_code,
+         size(l.fields) AS nfields
+         FROM (
+           SELECT * FROM st_read_meta('/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp')
+           UNION ALL SELECT * FROM st_read_meta('/root/repo/src/test/resources/sample.gpkg')
+           UNION ALL SELECT * FROM st_read_meta('/root/reference/test/data/amsterdam_roads.fgb')
+         ) m LATERAL VIEW explode(m.layers) t AS l
+         ORDER BY drv, layer"""),
+
+    // ST_Drivers: the honest format list (stable schema + contents)
+    "q_drivers" -> q(Seq(),
+      """SELECT short_name, long_name, can_open, can_create
+         FROM st_drivers() ORDER BY short_name"""),
+
+    // st_list_proj_crs: catalog size + spot rows for the headline CRSs
+    // (count via an unpartitioned window, not a join — the catalog is a
+    // 282-row local relation, but the plan audit bans nested-loop joins)
+    "q_list_crs" -> q(Seq(),
+      """SELECT code, auth_name, name, type, method, n_total FROM (
+           SELECT code, auth_name, name, type,
+             projection_method_name AS method, count(*) OVER () AS n_total
+           FROM st_list_proj_crs())
+         WHERE code IN ('4326', '3857', '2263', '5070', '27700')
+         ORDER BY code""")
   )
 
   // ---- DuckDB SQL fragments replicating our 64-bit hash kernels --------
@@ -2011,7 +2102,88 @@ object SparkEntry {
              npoints, xmin, ymin, xmax, ymax
            FROM read_csv('/root/repo/src/test/resources/golden/taxi_zones_golden.csv',
              header=true)
-           ORDER BY objectid"""
+           ORDER BY objectid""",
+
+      // ===== round-5 certification oracles =====
+      // closed-form box corners + JTS envelope ring order
+      // (minx miny, minx maxy, maxx maxy, maxx miny, minx miny)
+      "q_geo_extent" ->
+        s"""SELECT s_suppkey,
+            ($extX1) AS bx0, ($extY1) AS by0, ($extX2) AS bx1, ($extY2) AS by1,
+            'POLYGON ((' || ($extX1)::VARCHAR || ' ' || ($extY1)::VARCHAR || ', '
+              || ($extX1)::VARCHAR || ' ' || ($extY2)::VARCHAR || ', '
+              || ($extX2)::VARCHAR || ' ' || ($extY2)::VARCHAR || ', '
+              || ($extX2)::VARCHAR || ' ' || ($extY1)::VARCHAR || ', '
+              || ($extX1)::VARCHAR || ' ' || ($extY1)::VARCHAR || '))' AS env_wkt
+            FROM supplier ORDER BY s_suppkey""",
+
+      "q_geo_zm_minmax" ->
+        s"""SELECT s_suppkey,
+            ($zmA) AS zmin, ($zmB) AS zmax, ($zmM2) AS mmin, ($zmM1) AS mmax,
+            CAST(NULL AS DOUBLE) AS znull, CAST(NULL AS DOUBLE) AS mnull
+            FROM supplier ORDER BY s_suppkey""",
+
+      "q_native_points" ->
+        """SELECT p_partkey,
+           CAST(p_partkey % 12 AS DOUBLE) + 0.5 AS p2x, CAST(p_partkey % 9 AS DOUBLE) + 1.5 AS p2y,
+           CAST(p_partkey % 7 AS DOUBLE) + 2.5 AS p3z,
+           CAST(p_partkey % 7 AS DOUBLE) + 2.5 AS p4z, CAST(p_partkey % 5 AS DOUBLE) + 3.5 AS p4m
+           FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+
+      // hand-stated expected content of the committed fixture (the
+      // fixture bytes come from the independent encoder in
+      // src/test/scala/graft/OsmFixture.scala; schema per reference
+      // st_read_osm.cpp:39-96)
+      "q_src_osm" ->
+        """SELECT kind, CAST(id AS BIGINT) AS id,
+             CAST(lat7 AS DOUBLE) AS lat7, CAST(lon7 AS DOUBLE) AS lon7,
+             hw, nm, refs_csv, roles, types
+           FROM (VALUES
+             ('node', 101, 52.1, 4.1, '', '', '', '', ''),
+             ('node', 102, 52.2, 4.2, 'residential', '', '', '', ''),
+             ('node', 103, 52.3, 4.3, '', '', '', '', ''),
+             ('relation', 9, -999.0, -999.0, 'residential', '', '7,101', 'outer|', 'way|node'),
+             ('way', 7, -999.0, -999.0, '', 'Main St', '101,102,103', '', '')
+           ) v(kind, id, lat7, lon7, hw, nm, refs_csv, roles, types)
+           ORDER BY kind, id""",
+
+      // layer inventories independently known: shp count/fields match the
+      // from-scratch python golden (q_src_shp), gpkg layers match
+      // tools/make_gpkg_fixture.py's spec, fgb header matches GDAL's
+      // export of the same file (q_src_fgb)
+      "q_read_meta" ->
+        """SELECT drv, layer, CAST(fcount AS BIGINT) AS fcount, gname, gtype,
+             crs_auth, crs_code, nfields
+           FROM (VALUES
+             ('flatgeobuf', 'roads', 21648, 'geom', 'LineString', 'EPSG', '3857', 1),
+             ('geopackage', 'lines', 10, 'geom', 'LINESTRING', '', '4326', 2),
+             ('geopackage', 'pts', 3001, 'geom', 'POINT', '', '4326', 5),
+             ('shapefile', 'taxi_zones', 263, 'geom', 'Polygon', '', '', 6)
+           ) v(drv, layer, fcount, gname, gtype, crs_auth, crs_code, nfields)
+           ORDER BY drv, layer""",
+
+      "q_drivers" ->
+        """SELECT * FROM (VALUES
+             ('csv_wkt', 'CSV with WKT geometry column', true, true),
+             ('flatgeobuf', 'FlatGeobuf (.fgb, splittable via spatial index)', true, true),
+             ('geojson', 'GeoJSON (FeatureCollection / newline-delimited)', true, true),
+             ('geopackage', 'GeoPackage (.gpkg, SQLite container)', true, true),
+             ('osm_pbf', 'OpenStreetMap PBF (.osm.pbf)', true, false),
+             ('parquet', 'GeoParquet / Parquet with WKB', true, true),
+             ('shapefile', 'ESRI Shapefile (.shp/.shx/.dbf/.cpg)', true, true)
+           ) v(short_name, long_name, can_open, can_create)
+           ORDER BY short_name""",
+
+      "q_list_crs" ->
+        """SELECT code, auth_name, name, type, method, CAST(282 AS BIGINT) AS n_total
+           FROM (VALUES
+             ('2263', 'EPSG', 'NAD83 / New York Long Island (ftUS)', 'projected', 'Lambert Conic Conformal (2SP)'),
+             ('27700', 'EPSG', 'OSGB36 / British National Grid', 'projected', 'Transverse Mercator'),
+             ('3857', 'EPSG', 'WGS 84 / Pseudo-Mercator', 'projected', 'Popular Visualisation Pseudo Mercator'),
+             ('4326', 'EPSG', 'WGS 84', 'geographic 2D', ''),
+             ('5070', 'EPSG', 'NAD83 / Conus Albers', 'projected', 'Albers Equal Area')
+           ) v(code, auth_name, name, type, method)
+           ORDER BY code"""
     )
   }
 }
