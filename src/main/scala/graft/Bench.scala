@@ -52,7 +52,7 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int, Int)]()
     // median-of-N protocol: one cold run (pays one-time file listing /
     // codegen both engines amortize in steady state), then N warm trials,
     // report the median (+min/max spread). A cold run over the 5 s budget
@@ -63,9 +63,26 @@ object Bench {
     val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "5").toInt
     def medianOf(name: String, run: () => Double): Double = {
       val cold = run()
-      if (cold < 0 || cold >= 5.0) { spreads(name) = (cold, cold, 1); return cold }
-      val ts = Seq.fill(trials)(run()).sorted
-      spreads(name) = (ts.head, ts.last, trials)
+      if (cold < 0 || cold >= 5.0) { spreads(name) = (cold, cold, 1, 0); return cold }
+      // burst rejection: a warm trial >5x the running median is a
+      // whole-machine noise burst (the round-4 BENCH artifact had one
+      // 49.3 s trial in a 1.56 s workload), not workload signal —
+      // discard and re-run. At most `trials` discards total, so a
+      // genuinely degraded workload still reports instead of looping.
+      val kept = scala.collection.mutable.ArrayBuffer[Double]()
+      var discarded = 0
+      while (kept.length < trials) {
+        val t = run()
+        val sortedKept = kept.sorted
+        val ref = if (kept.isEmpty) cold else sortedKept(kept.length / 2)
+        if (t > ref * 5.0 && discarded < trials) {
+          discarded += 1
+          System.err.println(
+            f"[bench] $name: discarded burst trial $t%.3f s (running median $ref%.3f s)")
+        } else kept += t
+      }
+      val ts = kept.sorted
+      spreads(name) = (ts.head, ts.last, trials, discarded)
       ts(ts.length / 2)
     }
     headline.foreach { name =>
@@ -233,8 +250,8 @@ object Bench {
         "\"" + k + "\":" + f"""{"spark_s":$v%.3f,"duck_s":-1,"oracle_error":true}"""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val sp = spreads.map { case (k, (mn, mx, n)) =>
-      "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"trials":$n%d}"""
+    val sp = spreads.map { case (k, (mn, mx, n, disc)) =>
+      "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"trials":$n%d,"discarded":$disc%d}"""
     }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,"vs_oracle":$vs,"sf":"$sfDir"}""")
     spark.stop()
@@ -288,9 +305,22 @@ object Bench {
           |    sql = open(f).read()
           |    cold = timed(sql)
           |    if 0 <= cold < 5.0:
-          |        # same median-of-N warm protocol as the Spark side
-          |        warm = sorted(timed(sql) for _ in range(TRIALS))
-          |        good = [t for t in warm if t >= 0]
+          |        # same median-of-N warm protocol + burst rejection (>5x
+          |        # running median -> discard and re-run) as the Spark side
+          |        kept, discarded = [], 0
+          |        while len(kept) < TRIALS:
+          |            t = timed(sql)
+          |            if t < 0:
+          |                kept.append(t)
+          |                continue
+          |            good = sorted(x for x in kept if x >= 0)
+          |            ref = good[len(good) // 2] if good else cold
+          |            if t > ref * 5.0 and discarded < TRIALS:
+          |                discarded += 1
+          |                print(f"burst-discard {name} {t:.3f}s vs median {ref:.3f}s", file=sys.stderr)
+          |            else:
+          |                kept.append(t)
+          |        good = [t for t in kept if t >= 0]
           |        best = good[len(good) // 2] if good else cold
           |        print(f"{name}\t{best:.6f}")
           |    else:

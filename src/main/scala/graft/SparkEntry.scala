@@ -592,10 +592,15 @@ object SparkEntry {
     }),
 
     // ================= training-data pipeline ops ======================
-    "q_doc_dedup_exact" -> q(Seq("documents"),
-      """SELECT doc_id FROM (
-           SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-           FROM documents) WHERE rn = 1 ORDER BY doc_id"""),
+    // certifies operators.Dedup.exact itself (partial-agg min-id
+    // survivor + semi-join — not the hot-key-prone window the oracle
+    // runs; same result by the min-id rule)
+    "q_doc_dedup_exact" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Dedup.exact(s.table("documents"), col("doc_id"), col("text"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
 
     "q_doc_tokens" -> q(Seq("documents"),
       """SELECT doc_id,

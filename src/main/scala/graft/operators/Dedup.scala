@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{Fingerprint, SimHash}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
 
@@ -21,14 +20,19 @@ object Dedup {
 
   /**
    * Exact dedup: keep one row (lowest `id`) per identical `text`.
-   * One shuffle on the content hash; the min-id survivor rule makes
-   * the result deterministic regardless of partitioning.
+   * The survivor id comes from a partial-aggregating groupBy (NOT a
+   * window): HashAggregate's map-side combine collapses a hot content
+   * key to one row per map partition before the exchange, so a corpus
+   * that is 50% one boilerplate page shuffles ≤ numPartitions rows for
+   * that key instead of funneling half the corpus to one reducer. The
+   * final semi-join shuffles full rows by unique `id` — uniform by
+   * construction. Min-id survivor keeps the result deterministic.
    */
   def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val w = Window.partitionBy(contentKey(text)).orderBy(id.asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val keep = df.select(contentKey(text).as("__k"), id.as("__id"))
+      .groupBy("__k").agg(min("__id").as("__keep_id"))
+      .select("__keep_id")
+    df.join(keep, id === col("__keep_id"), "left_semi")
   }
 
   /** Word n-gram shingle hashes (murmur3 over sliding word n-grams,
@@ -285,22 +289,32 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs: block on the 4 16-bit quarters
    *  of the simhash (any pair within hamming distance 3 shares at
-   *  least one exact quarter — pigeonhole), verify hamming ≤ maxDist. */
+   *  least one exact quarter — pigeonhole), verify hamming ≤ maxDist.
+   *
+   *  Same ids-only discipline as the minhash path: the blocking join
+   *  carries (q, qh, id) — never the signatures — and the signatures
+   *  re-join by id onto the (small) distinct pair set for the hamming
+   *  verify. The signature frame is persisted so the text parses once,
+   *  and freed as soon as the verified pairs are materialized. */
   def simhashCandidates(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
-    val withSig = df.select(id.as("__id"), simhash(text).as("__sig"))
-    val blocked = withSig.select(col("__id"), col("__sig"),
+    val sigs = df.select(id.as("__id"), simhash(text).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = sigs.select(col("__id"),
       explode(expr("transform(sequence(0, 3), q -> named_struct(" +
         "'q', q, 'qh', shiftright(__sig, q * 16) & 65535))")).as("__b"))
-      .select(col("__id"), col("__sig"), col("__b.q"), col("__b.qh"))
-    val a = blocked.select(col("q"), col("qh"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val b = blocked.select(col("q"), col("qh"), col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    a.join(b, Seq("q", "qh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first("__sig_a").as("sa"), first("__sig_b").as("sb"))
+      .select(col("__id"), col("__b.q").as("q"), col("__b.qh").as("qh"))
+    val pairs = blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val verified = pairs
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sa")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sb")), "id_b")
       .withColumn("hamming", hammingDistance(col("sa"), col("sb")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    materializeThenFree(verified, sigs)
   }
 
   /** Rolling-hash document fingerprint column. */

@@ -99,6 +99,65 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("exact dedup survives a 50%-identical corpus without a hot reducer") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 40000L
+    // adversarial corpus: every even id is the same boilerplate page
+    val df = spark.range(n).select(col("id"),
+      when(col("id") % 2 === 0, lit("the same boilerplate page body"))
+        .otherwise(concat(lit("unique "), col("id"))).as("text"))
+    val stageReads = scala.collection.concurrent.TrieMap[(Int, Long), Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          stageReads.put((t.stageId, t.taskInfo.taskId), m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = try {
+      val o = Dedup.exact(df, col("id"), col("text"))
+      assert(o.count() == n / 2 + 1) // boilerplate survivor + all odd ids
+      assert(o.agg(min("id")).head.getLong(0) == 0L) // min-id survivor rule
+      o
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.filter(col("id") % 2 === 0 && col("id") =!= 0).count() == 0)
+    // balance: the window plan funneled all n/2 boilerplate rows into ONE
+    // reduce task; with partial aggregation the hot key reaches the
+    // exchange as ≤1 record per map partition, so within every shuffle
+    // stage the heaviest task reads <2x the stage median (+ slack for
+    // tiny stages)
+    stageReads.groupBy(_._1._1).foreach { case (stage, tasks) =>
+      val reads = tasks.values.toSeq.sorted
+      if (reads.length > 1 && reads.sum > 1000) {
+        val median = reads(reads.length / 2)
+        assert(reads.last <= median * 2 + 64,
+          s"stage $stage skewed: reads=$reads")
+      }
+    }
+  }
+
+  test("simhash blocking join carries ids only (sigs re-join after distinct)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content about spark query engines at scale")
+    ).toDF("id", "text")
+    val out = Dedup.simhashCandidates(df, $"id", $"text", maxDist = 6)
+    out.unpersist(blocking = true) // bypass the cache so the raw plan shows
+    val plan = spark.sessionState.executePlan(out.queryExecution.logical).optimizedPlan
+    val blocking = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "qh")) => j
+    }
+    assert(blocking.nonEmpty, "no quarter-blocking join in the plan")
+    blocking.foreach { j =>
+      val carried = j.children.flatMap(_.output).map(_.name)
+      assert(!carried.exists(_.contains("sig")),
+        s"blocking join shuffles signatures: $carried")
+    }
+  }
+
   test("minhash finds planted near-duplicates, not unrelated docs") {
     val base = docs.select($"doc_id", $"text").limit(40)
     // plant near-dups: copy of doc with tiny suffix change
