@@ -165,6 +165,9 @@ object Graft {
       _ => planOf(graft.sources.GeoRead.drivers(SparkSession.active)), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_read_meta",
       exprs => planOf(graft.sources.GeoRead.readMeta(SparkSession.active, litStr(exprs.head))), "scala_udf")
+    tfReg.createOrReplaceTempFunction("st_table_stats",
+      exprs => planOf(graft.sources.GeoRead.tableStats(SparkSession.active, litStr(exprs.head),
+        if (exprs.length > 1) litStr(exprs(1)) else "geom")), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_list_proj_crs",
       _ => planOf(graft.sources.GeoRead.listProjCrs(SparkSession.active)), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_readosm",

@@ -906,6 +906,20 @@ object SparkEntry {
          ) m LATERAL VIEW explode(m.layers) t AS l
          ORDER BY drv, layer"""),
 
+    // st_table_stats (rtree_index_dump analog): footer-derived per-file
+    // stats of a freshly clustered table; the ORACLE recomputes the same
+    // stats by SCANNING the same files — certifying that what the
+    // footer-only dump reports is what is actually in the data
+    "q_table_stats" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_table_stats"
+      val pts = s.table("customer").select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(pts, "geom", out, (0.0, 0.0, 100.0, 100.0), numFiles = 4)
+      s.sql(s"""SELECT substring(file_name, 1, 10) AS file_key, row_count,
+        min_x, min_y, max_x, max_y FROM st_table_stats('$out') ORDER BY file_key""")
+    }),
+
     // ST_Drivers: the honest format list (stable schema + contents)
     "q_drivers" -> q(Seq(),
       """SELECT short_name, long_name, can_open, can_create
@@ -2166,6 +2180,16 @@ object SparkEntry {
              ('shapefile', 'taxi_zones', 263, 'geom', 'Polygon', '', '', 6)
            ) v(drv, layer, fcount, gname, gtype, crs_auth, crs_code, nfields)
            ORDER BY drv, layer""",
+
+      // independent recomputation: scan the files the engine only
+      // footer-dumped, grouped per file
+      "q_table_stats" ->
+        """SELECT substring(parse_filename(filename), 1, 10) AS file_key,
+             count(*) AS row_count,
+             min(geom_bbox.min_x) AS min_x, min(geom_bbox.min_y) AS min_y,
+             max(geom_bbox.max_x) AS max_x, max(geom_bbox.max_y) AS max_y
+           FROM read_parquet('/tmp/graft_table_stats/*.parquet', filename=true)
+           GROUP BY 1 ORDER BY 1""",
 
       "q_drivers" ->
         """SELECT * FROM (VALUES

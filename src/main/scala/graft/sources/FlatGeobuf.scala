@@ -846,6 +846,7 @@ object FlatGeobuf {
    * prefer [[GeoTable.writeGeoParquet]].
    */
   def write(df: DataFrame, geomCol: String, path: String, buildIndex: Boolean = false): Unit = {
+    DriverSink.guard(df, "FlatGeobuf", "GeoTable.writeGeoParquet")
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val propFields = schema.fields.zipWithIndex.filter(_._2 != geomIdx)

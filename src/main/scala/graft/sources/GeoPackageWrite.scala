@@ -267,6 +267,7 @@ object GeoPackageWrite {
    */
   def write(df: DataFrame, geomCol: String, path: String,
       layer: String = "layer", srsId: Int = 4326): Unit = {
+    DriverSink.guard(df, "GeoPackage", "GeoTable.writeGeoParquet")
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)

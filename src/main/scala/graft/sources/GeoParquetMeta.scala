@@ -126,6 +126,65 @@ object GeoParquetMeta {
     }
   }
 
+  /** Per-file stats of a (clustered) geo table, from parquet FOOTERS
+   *  only — no data pages are read, so dumping a 100 TB table costs one
+   *  footer fetch per file. The analog of the reference's
+   *  rtree_index_dump diagnostics (rtree_index_pragmas.cpp:135-230):
+   *  where the reference dumps R-tree node bboxes, the Spark-native
+   *  index is "Hilbert-clustered files + `<geom>_bbox` column stats",
+   *  so the debuggable unit is the per-file bbox that
+   *  [[graft.plans.SpatialFilterRule]] prunes against.
+   *
+   *  Returns (fileName, rows, bytes, rowGroups, bbox) per part file;
+   *  bbox components are None when the file has no `<geom>_bbox`
+   *  statistics (not written by [[GeoTable.writeClustered]]). */
+  def tableStats(path: String, geomCol: String = "geom"):
+      Seq[(String, Long, Long, Int, Option[(Double, Double, Double, Double)])] = {
+    val bboxCol = s"${geomCol}_bbox"
+    partFiles(path).sortBy(_.getName).map { f =>
+      val raf = new RandomAccessFile(f, "r")
+      try {
+        val len = raf.length()
+        raf.seek(len - 8)
+        val footerLen = readLeInt(raf)
+        raf.seek(len - 8 - footerLen)
+        val footerBytes = new Array[Byte](footerLen)
+        raf.readFully(footerBytes)
+        val md = Util.readFileMetaData(new ByteArrayInputStream(footerBytes))
+        // fold row-group column statistics: min over min_x/min_y mins,
+        // max over max_x/max_y maxes
+        var minX, minY = Double.MaxValue
+        var maxX, maxY = Double.MinValue
+        var any = false
+        val rgs = md.getRow_groups
+        if (rgs != null) rgs.forEach { rg =>
+          rg.getColumns.forEach { cc =>
+            val cmd = cc.getMeta_data
+            if (cmd != null && cmd.getPath_in_schema != null &&
+                cmd.getPath_in_schema.size() == 2 &&
+                cmd.getPath_in_schema.get(0) == bboxCol) {
+              val st = cmd.getStatistics
+              if (st != null) {
+                def le(b: Array[Byte]): Double =
+                  java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+                (cmd.getPath_in_schema.get(1), Option(st.getMin_value), Option(st.getMax_value)) match {
+                  case ("min_x", Some(mn), _) => minX = math.min(minX, le(mn)); any = true
+                  case ("min_y", Some(mn), _) => minY = math.min(minY, le(mn)); any = true
+                  case ("max_x", _, Some(mx)) => maxX = math.max(maxX, le(mx)); any = true
+                  case ("max_y", _, Some(mx)) => maxY = math.max(maxY, le(mx)); any = true
+                  case _ =>
+                }
+              }
+            }
+          }
+        }
+        val bbox = if (any) Some((minX, minY, maxX, maxY)) else None
+        (f.getName, md.getNum_rows,
+          len, if (rgs == null) 0 else rgs.size(), bbox)
+      } finally raf.close()
+    }
+  }
+
   private def readLeInt(raf: RandomAccessFile): Int = {
     val b = new Array[Byte](4)
     raf.readFully(b)

@@ -254,6 +254,24 @@ object GeoRead {
   private def localDf(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
 
+  /** `st_table_stats(path[, geom_col])`: per-file row/byte/bbox stats
+   *  of a (Hilbert-clustered) geo table, read from parquet footers only
+   *  — the introspection analog of the reference's rtree_index_dump
+   *  (rtree_index_pragmas.cpp:135-230). Lets a user see WHY
+   *  [[graft.plans.SpatialFilterRule]] did or didn't skip files: each
+   *  row is one prunable unit with its bbox. */
+  def tableStats(spark: SparkSession, path: String, geomCol: String = "geom"): DataFrame =
+    localDf(spark, StructType(Seq(
+      StructField("file_name", StringType), StructField("row_count", LongType),
+      StructField("size_bytes", LongType), StructField("row_groups", IntegerType),
+      StructField("min_x", DoubleType), StructField("min_y", DoubleType),
+      StructField("max_x", DoubleType), StructField("max_y", DoubleType))),
+      GeoParquetMeta.tableStats(path, geomCol).map { case (name, rows, bytes, rgs, bbox) =>
+        Row(name, rows, bytes, rgs,
+          bbox.map(b => Double.box(b._1)).orNull, bbox.map(b => Double.box(b._2)).orNull,
+          bbox.map(b => Double.box(b._3)).orNull, bbox.map(b => Double.box(b._4)).orNull)
+      })
+
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
     localDf(spark, StructType(Seq(
@@ -445,6 +463,7 @@ object GeoJsonWriter {
    *  shape as the reference's GDAL COPY TO); use `write` (NDJSON) for
    *  cluster-parallel output. */
   def writeFeatureCollection(df: DataFrame, geomCol: String, path: String): Unit = {
+    DriverSink.guard(df, "FeatureCollection GeoJSON", "GeoJson NDJSON write (cluster-parallel)")
     import graft.GeoFunctions._
     val props = df.columns.filter(_ != geomCol)
     val features = df.select(concat(

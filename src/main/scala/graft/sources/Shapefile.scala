@@ -267,6 +267,7 @@ object Shapefile {
    *  WKT string (detected by the '[') written verbatim. */
   def write(df: DataFrame, geomCol: String, path: String, srs: String): Unit = {
     import org.apache.spark.sql.functions.{col, count => fcount, max => fmax, octet_length}
+    DriverSink.guard(df, "Shapefile", "GeoTable.writeGeoParquet")
     val prjWkt: Option[String] =
       if (srs == null || srs.isEmpty) None
       else if (srs.contains("[")) Some(srs)
