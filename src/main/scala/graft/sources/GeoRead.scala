@@ -45,6 +45,22 @@ object GeoRead {
       maxBatchSize: Int = 0)
 
   def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
+    // Zipped inputs (GDAL /vsizip/ parity — reference st_read open_options
+    // and test/sql/gdal vsi/zip cases): `archive.zip` sniffs the single
+    // contained dataset, `archive.zip/inner.shp` selects an entry. The
+    // archive extracts once to a mtime-keyed temp dir (zip is not
+    // splittable; sidecars — .shx/.dbf/.prj/.cpg — come along), then the
+    // normal reader runs on the extracted file. Like the single-file
+    // writers this assumes a filesystem shared with the executors; at
+    // cluster scale unzip to shared storage first.
+    {
+      val zi = path.toLowerCase.indexOf(".zip")
+      if (zi >= 0 && (path.length == zi + 4 || path.charAt(zi + 4) == '/')) {
+        val archive = path.substring(0, zi + 4)
+        val inner = if (path.length > zi + 5) path.substring(zi + 5) else ""
+        return read(spark, extractZip(archive, inner), opts)
+      }
+    }
     // a DIRECTORY of single-file containers (.shp / .fgb) reads as the
     // union of its files — the realistic shape of a large delivered
     // dataset (thousands of tiles); each file keeps its own parallel
@@ -253,6 +269,60 @@ object GeoRead {
 
   private def localDf(spark: SparkSession, schema: StructType, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  /** Dataset extensions st_read can open out of a zip (sidecar files
+   *  like .shx/.dbf are extracted but never the dataset root). */
+  private val ZipDataExts =
+    Seq(".shp", ".fgb", ".gpkg", ".geojson", ".json", ".csv", ".parquet", ".osm.pbf")
+
+  /** Extract `archive` into a temp dir keyed by (path, mtime) — repeat
+   *  reads of the same archive reuse the extraction — and return the
+   *  path of the dataset entry: `inner` when given, else the single
+   *  data-extension entry (ambiguity is an error naming the entries). */
+  private def extractZip(archive: String, inner: String): String = {
+    val zf = new java.util.zip.ZipFile(archive)
+    try {
+      val entries = {
+        val b = Seq.newBuilder[java.util.zip.ZipEntry]
+        val en = zf.entries()
+        while (en.hasMoreElements) { val e = en.nextElement(); if (!e.isDirectory) b += e }
+        b.result()
+      }
+      entries.foreach { e =>
+        require(!e.getName.split('/').contains(".."), s"$archive: unsafe entry ${e.getName}")
+      }
+      val target =
+        if (inner.nonEmpty)
+          entries.find(_.getName == inner).getOrElse(throw new IllegalArgumentException(
+            s"$archive has no entry '$inner' (entries: ${entries.map(_.getName).mkString(", ")})"))
+        else entries.filter(e => ZipDataExts.exists(e.getName.toLowerCase.endsWith)) match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"$archive contains no supported dataset (entries: ${entries.map(_.getName).mkString(", ")})")
+          case many => throw new IllegalArgumentException(
+            s"$archive contains multiple datasets (${many.map(_.getName).mkString(", ")}); " +
+              s"select one as '$archive/<entry>'")
+        }
+      val f = new java.io.File(archive)
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(f.getAbsolutePath).toLong * 31 + f.lastModified())
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-zip-$key")
+      val done = new java.io.File(dir, ".extracted")
+      if (!done.exists()) {
+        dir.mkdirs()
+        entries.foreach { e =>
+          val out = new java.io.File(dir, e.getName)
+          out.getParentFile.mkdirs()
+          val in = zf.getInputStream(e)
+          try java.nio.file.Files.copy(in, out.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+        done.createNewFile()
+      }
+      new java.io.File(dir, target.getName).getPath
+    } finally zf.close()
+  }
 
   /** `st_table_stats(path[, geom_col])`: per-file row/byte/bbox stats
    *  of a (Hilbert-clustered) geo table, read from parquet footers only

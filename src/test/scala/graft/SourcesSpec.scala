@@ -14,6 +14,55 @@ class SourcesSpec extends SparkSpec {
     Option(dir.listFiles()).flatMap(_.find(_.getName.endsWith(".shp"))).map(_.getAbsolutePath)
   }
 
+  test("st_read opens zipped shapefile / geojson (vsizip parity)") {
+    val tmp = java.nio.file.Files.createTempDirectory("zipread")
+    // zip the taxi_zones sidecar set with an independent producer (JDK zip)
+    val srcDir = new java.io.File("/root/reference/test/data/nyc_taxi/taxi_zones")
+    val members = srcDir.listFiles().filter(_.getName.startsWith("taxi_zones."))
+    val shpZip = tmp.resolve("zones.zip").toString
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(shpZip))
+    members.foreach { f =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+      java.nio.file.Files.copy(f.toPath, zout); zout.closeEntry()
+    }
+    zout.close()
+    val direct = Shapefile.read(spark, s"$srcDir/taxi_zones.shp")
+    val zipped = GeoRead.read(spark, shpZip)
+    assert(zipped.count() == direct.count())
+    assert(zipped.schema == direct.schema)
+    // SQL surface + explicit inner-entry selection both work
+    assert(spark.sql(s"SELECT * FROM st_read('$shpZip/taxi_zones.shp')").count() == direct.count())
+    // options compose with zip (bbox filter reaches the extracted source)
+    val boxed = spark.sql(
+      s"SELECT * FROM st_read('$shpZip', 930000.0, 120000.0, 1030000.0, 220000.0)")
+    assert(boxed.count() > 0 && boxed.count() < direct.count())
+    // a second read reuses the extraction (same mtime key) and agrees
+    assert(GeoRead.read(spark, shpZip).count() == direct.count())
+
+    // zipped geojson
+    val gj = tmp.resolve("pts.geojson")
+    java.nio.file.Files.writeString(gj,
+      """{"type":"Feature","properties":{"k":1},"geometry":{"type":"Point","coordinates":[1.5,2.5]}}
+        |{"type":"Feature","properties":{"k":2},"geometry":{"type":"Point","coordinates":[3.5,4.5]}}""".stripMargin)
+    val gjZip = tmp.resolve("pts.zip").toString
+    val z2 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(gjZip))
+    z2.putNextEntry(new java.util.zip.ZipEntry("pts.geojson"))
+    java.nio.file.Files.copy(gj, z2); z2.closeEntry(); z2.close()
+    assert(GeoRead.read(spark, gjZip).count() == 2)
+
+    // ambiguity: two datasets in one archive must name the entries
+    val both = tmp.resolve("both.zip").toString
+    val z3 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(both))
+    Seq("a.geojson", "b.geojson").foreach { n =>
+      z3.putNextEntry(new java.util.zip.ZipEntry(n))
+      java.nio.file.Files.copy(gj, z3); z3.closeEntry()
+    }
+    z3.close()
+    val e = intercept[IllegalArgumentException](GeoRead.read(spark, both))
+    assert(e.getMessage.contains("multiple datasets"))
+    assert(GeoRead.read(spark, s"$both/b.geojson").count() == 2)
+  }
+
   test("shapefile reader: NYC taxi zones fixture") {
     assume(nycShp.isDefined, "reference fixture not present")
     val df = Shapefile.read(spark, nycShp.get)
