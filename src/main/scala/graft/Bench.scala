@@ -144,6 +144,46 @@ object Bench {
     results("points_envelope_10m_native") = medianOf("points_envelope_10m_native",
       () => time { nativeCount(10000000L) })
 
+    // Skew-survival A/B (closes the round-4 unproven 100x-scale claim):
+    // the same 4M-point grid spatial join, uniform vs 30% of points in
+    // ONE cell. OptimizeSkewedJoin thresholds are scaled to the workload
+    // (cluster defaults assume 256MB partitions) so the hot variant
+    // exercises the same AQE split path a 1000-executor job relies on.
+    // The signal is the PAIR: hot staying in the same wall-clock regime
+    // as uniform instead of a one-straggler profile.
+    {
+      val skewKeys = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = skewKeys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+      spark.conf.set(skewKeys(0), "1.5")
+      spark.conf.set(skewKeys(1), (8L << 20).toString)
+      spark.conf.set(skewKeys(2), (4L << 20).toString)
+      spark.conf.set(skewKeys(3), "-1") // force the shuffled-join path
+      def skewPts(hot: Boolean, n: Long) = spark.range(n).select(col("id"),
+        st_point(
+          when(lit(hot) && col("id") % 10 < 3, lit(10.5))
+            .otherwise(pmod(hash(col("id") * 2), lit(1000000)).cast("double") / 10000.0),
+          when(lit(hot) && col("id") % 10 < 3, lit(10.5))
+            .otherwise(pmod(hash(col("id") * 2 + 1), lit(1000000)).cast("double") / 10000.0)).as("pt"))
+      val skewZones = spark.range(25).select(col("id").as("zid"),
+        st_makeenvelope(expr("CAST(id % 5 * 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 AS DOUBLE)"),
+          expr("CAST(id % 5 * 20 + 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 + 20 AS DOUBLE)")).as("zone"))
+      def skewJoin(hot: Boolean, n: Long): Long =
+        graft.operators.SpatialJoin.join(skewPts(hot, n), skewZones,
+            col("pt"), col("zone"), "st_within", cellSize = 20.0)
+          .groupBy("zid").count().count()
+      skewJoin(hot = false, 400000L); skewJoin(hot = true, 400000L) // warm
+      results("spatial_join_uniform_4m") = medianOf("spatial_join_uniform_4m",
+        () => time { skewJoin(hot = false, 4000000L) })
+      results("spatial_join_hot30_4m") = medianOf("spatial_join_hot30_4m",
+        () => time { skewJoin(hot = true, 4000000L) })
+      saved.foreach { case (k, v) => v match {
+        case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) } }
+    }
+
     // Bucketed-layout analog of the reference's clustered fact storage:
     // one-time write of both fact tables bucketed+sorted by orderkey,
     // then the q_join_revenue aggregation with the fact-fact shuffle

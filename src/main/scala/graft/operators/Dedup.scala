@@ -102,20 +102,39 @@ object Dedup {
 
   /** LSH band buckets of a precomputed (`__id`, `__sig`) frame:
    *  (`__id`, band, bh) — ids only, never the signature or text, so the
-   *  bucket table stays narrow at corpus scale. */
-  def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+   *  bucket table stays narrow at corpus scale.
+   *
+   *  `maxBucketSize > 0` drops buckets holding more rows than the cap
+   *  BEFORE the pair join. An over-full bucket is the quadratic
+   *  failure mode of LSH dedup (a bucket shared by b documents emits
+   *  b²/2 candidate pairs — no engine survives b in the millions): the
+   *  standard mitigation is to run EXACT dedup first (identical texts
+   *  collide in every band) and cap the residue, accepting that a true
+   *  near-dup pair lost to one over-full band still collides in the
+   *  other `bands-1` bands w.h.p. The cap costs one narrow map-side-
+   *  combined aggregate + a broadcast anti-join (over-full keys are few
+   *  by construction). Default 0 = no cap (exact oracle parity). */
+  def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    sigs.select(col("__id"),
+    val banded = sigs.select(col("__id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
         s"'band', b, 'bh', hash(slice(__sig, b * $r + 1, $r))))")).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+    if (maxBucketSize <= 0) banded
+    else {
+      val hot = banded.groupBy("band", "bh").count()
+        .filter(col("count") > maxBucketSize).select("band", "bh")
+      banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    }
   }
 
   /** Banding + pair join over a precomputed (`__id`, `__sig`) frame —
    *  lets callers derive signatures once (and persist) for reuse. */
-  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val banded = bandBuckets(sigs, numHashes, bands)
+  def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
+    val banded = bandBuckets(sigs, numHashes, bands, maxBucketSize)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__id") < col("b.__id"))
