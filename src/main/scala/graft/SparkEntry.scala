@@ -783,6 +783,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Product-quantization ADC top-k with a DETERMINISTIC codebook
+    // (every 25th vector, codes by ascending id — same convention as
+    // the IVF coarse quantizer) so the oracle replicates the whole
+    // encode + lookup-table + ADC ranking closed-form. All distances
+    // round at 1e-6 on both sides.
+    "q_emb_pq" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val cbDf = emb.filter(col("vec_id") % 25 === 0)
+      val qs = emb.filter(col("vec_id") < 20)
+      operators.Similarity.pqTopK(emb, qs, cbDf,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), m = 8, k = 5)
+        .select(col("query_id"), col("corpus_id"), col("adc"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ============== file-source certification (SURVEY §2.6) =============
     // The oracle engine has no spatial/GDAL extension in this
     // environment, so each source row compares our binary parser against
@@ -2063,6 +2081,37 @@ object SparkEntry {
               FROM cand) t
             WHERE rnk <= 5 ORDER BY query_id, rnk"""
       },
+
+      // full PQ replication: codebook (every 25th vector, codes by
+      // ascending id), per-subspace squared-L2 rounded at 1e-6, argmin
+      // with lowest-code ties, ADC = sum of the query's LUT entries at
+      // the corpus codes, top-5 by (adc, corpus_id)
+      "q_emb_pq" ->
+        """WITH cb AS (
+             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+             FROM embeddings WHERE vec_id % 25 = 0),
+           scores AS (
+             SELECT e.vec_id, s.s, c.code,
+               round(list_sum([
+                 (e.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE - c.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE)
+                 * (e.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE - c.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE)
+                 for j in range(1, 9)]), 6) AS d
+             FROM embeddings e, range(0, 8) s(s), cb c),
+           codes AS (
+             SELECT vec_id, s, code FROM (
+               SELECT vec_id, s, code,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+               FROM scores) t WHERE rn = 1),
+           adc AS (
+             SELECT sq.vec_id AS query_id, cc.vec_id AS corpus_id, round(sum(sq.d), 6) AS adc
+             FROM codes cc JOIN scores sq ON sq.s = cc.s AND sq.code = cc.code
+             WHERE sq.vec_id < 20 AND cc.vec_id <> sq.vec_id
+             GROUP BY 1, 2)
+           SELECT query_id, corpus_id, adc, rnk FROM (
+             SELECT query_id, corpus_id, adc,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rnk
+             FROM adc) t
+           WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
       // file-source certification: the oracle reconstructs the same
       // features from an INDEPENDENT producer (GDAL geojson export /

@@ -326,3 +326,114 @@ case class TopNgramFraction(child: Expression, n: Int = 2)
   override protected def withNewChildInternal(c: Expression): TopNgramFraction =
     copy(child = c)
 }
+
+/**
+ * Product-quantization encode: split the vector into `m` equal
+ * subspaces and emit, per subspace, the index of the nearest codebook
+ * centroid by squared L2 (tie → lowest code). The codebook is a
+ * driver-collected constant `[subspace][code][dim]` — tiny by
+ * construction (k·d doubles), so encoding is pure map-side work; the
+ * emitted codes are m small ints ≈ 32-64x smaller than the float
+ * vector, which is the whole point at 100 TB corpus scale.
+ *
+ * Subspace distances round to 1e-6 before the argmin (same discipline
+ * as the IVF assign stage) so code assignment is reproducible across
+ * engines and summation strategies.
+ */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebook.nonEmpty && codebook.head.nonEmpty, "empty PQ codebook")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val dsub = codebook.head.head.length
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    require(x.numElements() == m * dsub,
+      s"pq_encode: vector length ${x.numElements()} != m*dsub ${m * dsub}")
+    val isF = childIsFloat
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val xi = if (isF) x.getFloat(s * dsub + j).toDouble else x.getDouble(s * dsub + j)
+          val diff = xi - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        d = math.rint(d * 1e6) / 1e6
+        if (d < bestD) { bestD = d; best = c } // strict < keeps lowest code on ties
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/**
+ * ADC lookup table for one query: flat `array<double>` of length m·k
+ * where `lut[s*k + c]` = squared L2 between query subvector `s` and
+ * codebook centroid `(s, c)`, rounded to 1e-6. A candidate's
+ * asymmetric distance is then `sum_s lut[s*k + codes[s]]` — m array
+ * reads instead of d float ops, the classic PQ search kernel.
+ */
+case class PqAdcLut(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebook.nonEmpty && codebook.head.nonEmpty, "empty PQ codebook")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_lut"
+
+  @transient private lazy val m = codebook.length
+  @transient private lazy val k = codebook.head.length
+  @transient private lazy val dsub = codebook.head.head.length
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    require(x.numElements() == m * dsub,
+      s"pq_adc_lut: vector length ${x.numElements()} != m*dsub ${m * dsub}")
+    val isF = childIsFloat
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      var c = 0
+      while (c < k) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val xi = if (isF) x.getFloat(s * dsub + j).toDouble else x.getDouble(s * dsub + j)
+          val diff = xi - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        lut(s * k + c) = math.rint(d * 1e6) / 1e6
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcLut = copy(child = c)
+}

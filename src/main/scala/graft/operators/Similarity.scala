@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, TopKByScore}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, PqAdcLut, PqEncode, TopKByScore}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,6 +142,87 @@ object Similarity {
   /** Dequantize back to `array<double>`. */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  // ------------------------- product quantization -----------------------
+
+  /**
+   * Collect a (small) codebook frame into the constant
+   * `[subspace][code][dim]` array [[PqEncode]]/[[PqAdcLut]] embed.
+   * Codes are assigned by ascending `cbId` (deterministic). The
+   * codebook is k·d doubles — a few KB — so collecting it to the
+   * driver is the same "broadcast-able by construction" contract as
+   * [[ivfTopK]]'s centroid frame; at scale derive it from a sampled
+   * k-means, exactly like the IVF coarse quantizer.
+   */
+  def pqCodebook(codebook: DataFrame, cbId: Column, cbVec: Column, m: Int):
+      Array[Array[Array[Double]]] = {
+    val rows = codebook.select(cbId.cast("long").as("id"), cbVec.as("v"))
+      .orderBy("id").collect()
+    require(rows.nonEmpty, "empty PQ codebook frame")
+    val d = rows.head.getSeq[Any](1).length
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    Array.tabulate(m) { s =>
+      rows.map { r =>
+        val v = r.getSeq[Any](1)
+        Array.tabulate(dsub)(j => v(s * dsub + j) match {
+          case f: Float => f.toDouble
+          case x: Double => x
+        })
+      }
+    }
+  }
+
+  /** PQ-encode a corpus: one map-side scan → (id, codes array<int>).
+   *  The codes column is the compressed index payload (m ints vs d
+   *  floats — 32-64x smaller at typical settings). */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expr(vec), cb))
+
+  /** Per-query ADC lookup table (flat m·k array; see [[PqAdcLut]]). */
+  def pqAdcLut(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    ColumnShim.column(PqAdcLut(ColumnShim.expr(vec), cb))
+
+  /**
+   * PQ approximate top-k by asymmetric distance computation — the
+   * memory-bound scale path for similarity search (IVF bounds how much
+   * of the corpus a query READS; PQ bounds how many bytes each corpus
+   * row COSTS).
+   *
+   *  - encode: ONE corpus scan against the broadcast codebook constant;
+   *    only (id, m-int codes) live downstream — never the float vectors.
+   *  - search: queries build their m·k ADC lookup table map-side, the
+   *    scored cross product is query-broadcast (corpus never shuffles),
+   *    each candidate costs m array reads, and the bounded top-k
+   *    aggregate ships ≤ k rows per (query, partition).
+   *
+   * Returns (query_id, corpus_id, adc, rank) — `adc` is the rounded
+   * squared-L2 ADC estimate, rank 1 = nearest. Ties break on
+   * (adc asc, corpus_id asc); all distances round at 1e-6 so results
+   * are deterministic across engines and partitionings.
+   */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      corpusId: Column, corpusVec: Column,
+      queryId: Column, queryVec: Column,
+      cbId: Column, cbVec: Column,
+      m: Int = 8, k: Int = 10): DataFrame = {
+    val cb = pqCodebook(codebook, cbId, cbVec, m)
+    val nCodes = cb.head.length
+    val codes = corpus.select(corpusId.as("corpus_id"), pqEncode(corpusVec, cb).as("__codes"))
+    val luts = queries.select(queryId.as("query_id"), pqAdcLut(queryVec, cb).as("__lut"))
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("corpus_id") =!= col("query_id"))
+      // adc = sum_s lut[s*k + codes[s]] — m reads, pure codegen lambda
+      .withColumn("__adc", round(aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0d),
+        (acc, s) => acc + element_at(col("__lut"), (s * nCodes + element_at(col("__codes"), s + 1)) + 1)), 6))
+    val idType = corpus.select(corpusId).schema.head.dataType
+    // smallest distance first: rank on negated adc (TopKByScore orders
+    // score desc, id asc), then surface the positive distance
+    rankTopK(scored, "query_id", "corpus_id", -col("__adc"), k, idType, "__nadc", "rank")
+      .select(col("query_id"), col("corpus_id"), (-col("__nadc")).as("adc"), col("rank"))
+  }
 
   /**
    * IVF-flat approximate top-k — the inverted-file scale path for

@@ -432,6 +432,85 @@ class SimilaritySpec extends SparkSpec {
     // 3 of 20 lists probed (15% of the corpus scanned per query)
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
+
+  test("pq encode/topk: codes bounded, self-coding, exact vs independent replication") {
+    // sf0.001 has 50 vectors: %5 gives a 10-entry codebook
+    val cbDf = emb.filter($"vec_id" % 5 === 0)
+    val qs = emb.filter($"vec_id" < 10)
+    val cb = Similarity.pqCodebook(cbDf, $"vec_id", $"embedding", m = 8)
+    assert(cb.length == 8 && cb.forall(_.length == cb.head.length))
+    val nCodes = cb.head.length
+
+    val codes = emb.select($"vec_id", Similarity.pqEncode($"embedding", cb).as("c"))
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < nCodes)))
+    // a codebook member encodes to its own code in every subspace
+    val cbIds = cbDf.select($"vec_id").as[Long].collect().sorted
+    val self = codes.toMap.apply(cbIds(3))
+    assert(self.forall(_ == 3), s"codebook vector 3 encoded as $self")
+
+    def run() = Similarity.pqTopK(emb, qs, cbDf,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", $"vec_id", $"embedding",
+      m = 8, k = 5)
+    val pq = run().select("query_id", "corpus_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(pq == run().select("query_id", "corpus_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet) // deterministic
+    assert(pq.groupBy(_._1).size == 10 && pq.groupBy(_._1).values.forall(_.size == 5))
+
+    // independent replication of the whole ADC pipeline in driver-side
+    // scala over the collected vectors (same rounding contract)
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    def sub(v: Seq[Float], s: Int): Array[Double] =
+      Array.tabulate(8)(j => v(s * 8 + j).toDouble)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    def encode(v: Seq[Float]): Array[Int] = Array.tabulate(8) { s =>
+      (0 until nCodes).minBy(c => (r6(l2(sub(v, s), cb(s)(c))), c))
+    }
+    val expected = (for {
+      (qid, qv) <- vecs.toSeq if qid < 10
+    } yield {
+      val scored = vecs.toSeq.filter(_._1 != qid).map { case (cid, cv) =>
+        val cds = encode(cv)
+        val adc = r6((0 until 8).map(s => r6(l2(sub(qv, s), cb(s)(cds(s))))).sum)
+        (cid, adc)
+      }.sortBy { case (cid, adc) => (adc, cid) }.take(5)
+      scored.zipWithIndex.map { case ((cid, adc), i) => (qid, cid, adc, i + 1) }
+    }).flatten.toSet
+    assert(pq == expected,
+      s"missing=${(expected -- pq).take(5)} extra=${(pq -- expected).take(5)}")
+  }
+
+  test("pq topk recalls cluster neighbors on separable data") {
+    // 10 well-separated cluster centers, 20 members each with a small
+    // one-dim perturbation; codebook = the centers. ADC must rank a
+    // query's own cluster members first.
+    val rows = for (cl <- 0 until 10; mem <- 0 until 20) yield {
+      val base = Array.tabulate(64)(d => ((cl * 64 + d) * 2654435761L % 97).toFloat / 10.0f)
+      base(mem % 64) += 0.3f
+      (cl * 100L + mem, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centers = (0 until 10).map { cl =>
+      (cl.toLong, Array.tabulate(64)(d => ((cl * 64 + d) * 2654435761L % 97).toFloat / 10.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" % 100 === 0) // one query per cluster
+    val res = Similarity.pqTopK(df, qs, centers,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", $"vec_id", $"embedding",
+      m = 8, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    // every retrieved neighbor comes from the query's own cluster
+    val sameCluster = res.count { case (q, c) => q / 100 == c / 100 }
+    assert(sameCluster.toDouble / res.length >= 0.95,
+      s"cluster recall ${sameCluster.toDouble / res.length}")
+  }
+
 }
 
 class TextOpsSpec extends SparkSpec {
