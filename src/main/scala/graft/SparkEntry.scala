@@ -683,6 +683,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII detection + redaction over documents with deterministic PII
+    // planted (the organic corpus has none): counts per detector, the
+    // document gate, and an md5 digest of the redacted text — the
+    // oracle replays the same regex chain (patterns stay in the
+    // RE2 ∩ java.util.regex common subset)
+    "q_doc_pii" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val planted =
+        """concat(text,
+           CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING),
+             '@example.com via http://ex.org/p?id=', CAST(doc_id AS STRING)) ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+             ' host 10.0.', CAST(doc_id % 256 AS STRING), '.7') ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN ' call (555) 123-4567 now' ELSE '' END)"""
+      val df = s.table("documents").withColumn("__t", expr(planted))
+      df.select(col("doc_id"),
+          operators.TextOps.emailCount(col("__t")).as("n_email"),
+          operators.TextOps.urlCount(col("__t")).as("n_url"),
+          operators.TextOps.ssnCount(col("__t")).as("n_ssn"),
+          operators.TextOps.ipv4Count(col("__t")).as("n_ip"),
+          operators.TextOps.phoneCount(col("__t")).as("n_phone"),
+          operators.TextOps.hasPii(col("__t")).as("pii"),
+          md5(operators.TextOps.maskPii(col("__t"))).as("masked_md5"))
+        .orderBy("doc_id")
+    }),
+
     // int8 embedding quantization: scale + quantized-vector digests
     // (closed-form oracle replicates the round/clamp arithmetic)
     "q_emb_quantize" -> ((s, dir) => {
@@ -1906,6 +1933,33 @@ object SparkEntry {
                THEN CAST(list_max([length(list_filter(ng3, x -> x = g)) for g in list_distinct(ng3)]) AS DOUBLE) / length(ng3)
                ELSE 0.0 END, 6) AS top3_frac
            FROM f ORDER BY doc_id""",
+
+      "q_doc_pii" ->
+        """WITH t AS (
+             SELECT doc_id, text
+               || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR
+                    || '@example.com via http://ex.org/p?id=' || doc_id::VARCHAR ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    || ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' call (555) 123-4567 now' ELSE '' END AS t
+             FROM documents)
+           SELECT doc_id,
+             length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             length(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+             length(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+             length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+             length(regexp_extract_all(t, '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b')) AS n_phone,
+             (length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + length(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+              + length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+              + length(regexp_extract_all(t, '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b'))) > 0 AS pii,
+             md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g')) AS masked_md5
+           FROM t ORDER BY doc_id""",
 
       "q_emb_quantize" ->
         """WITH s AS (

@@ -24,6 +24,44 @@ object TextOps {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  // ---- PII detection / redaction (training-data compliance pass) -----
+  // Patterns stay in the RE2 ∩ java.util.regex common subset (no
+  // lookarounds, ASCII classes) so the same text matches identically in
+  // Spark and in external engines replaying the pipeline.
+  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // separators required: a bare 10-digit run is more often an id than a
+  // phone number in web corpora
+  private val PhoneRe = "\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b"
+
+  private def countOf(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  def urlCount(text: Column): Column = countOf(text, UrlRe)
+  def emailCount(text: Column): Column = countOf(text, EmailRe)
+  def ssnCount(text: Column): Column = countOf(text, SsnRe)
+  def ipv4Count(text: Column): Column = countOf(text, Ipv4Re)
+  def phoneCount(text: Column): Column = countOf(text, PhoneRe)
+
+  /** True when any PII detector fires — the cheap document-level gate
+   *  (route to redaction/review instead of scanning five times). */
+  def hasPii(text: Column): Column =
+    (emailCount(text) + ssnCount(text) + ipv4Count(text) + phoneCount(text)) > 0
+
+  /** Redact detected PII with typed placeholder tokens. URL masks
+   *  first (URLs may embed user@host, which the email pattern would
+   *  half-match); then email, SSN, IPv4, phone. Pure regexp_replace
+   *  chain — codegen, single pass per pattern. */
+  def maskPii(text: Column): Column = {
+    val u = regexp_replace(text, UrlRe, "<URL>")
+    val e = regexp_replace(u, EmailRe, "<EMAIL>")
+    val s = regexp_replace(e, SsnRe, "<SSN>")
+    val i = regexp_replace(s, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
   private def ratio(num: Column, den: Column): Column =
     when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
 

@@ -516,6 +516,29 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pii detection counts + typed redaction") {
+    val df = Seq(
+      ("mail me at a.b+c@test.org or admin@sub.example.co.uk thanks", 2, 0, 0, 0, 0),
+      ("see https://ex.org/p?q=1 and http://plain.net", 0, 2, 0, 0, 0),
+      ("ssn 123-45-6789 here", 0, 0, 1, 0, 0),
+      ("host 192.168.0.1 and 10.0.255.7", 0, 0, 0, 2, 0),
+      ("call (555) 123-4567 or 555.987.6543 today", 0, 0, 0, 0, 2),
+      ("clean text without identifiers", 0, 0, 0, 0, 0)
+    ).toDF("t", "e", "u", "s", "i", "p")
+    val got = df.select(
+      TextOps.emailCount($"t"), TextOps.urlCount($"t"), TextOps.ssnCount($"t"),
+      TextOps.ipv4Count($"t"), TextOps.phoneCount($"t"), TextOps.hasPii($"t"),
+      $"e", $"u", $"s", $"i", $"p").collect()
+    got.foreach { r =>
+      assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) ==
+        (r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9), r.getInt(10)), r.toString)
+      assert(r.getBoolean(5) == (r.getInt(6) + r.getInt(8) + r.getInt(9) + r.getInt(10) > 0))
+    }
+    val masked = Seq("a@b.io at https://x.io/u?e=c@d.io ssn 123-45-6789 ip 10.0.0.1 call 555-123-4567")
+      .toDF("t").select(TextOps.maskPii($"t")).as[String].collect()(0)
+    assert(masked == "<EMAIL> at <URL> ssn <SSN> ip <IP> call <PHONE>", masked)
+  }
+
   test("token + subword counts") {
     val df = Seq("hello world  foo", "a b", "").toDF("t")
     val counts = df.select(TextOps.tokenCount($"t").as("c")).as[Int].collect()
