@@ -828,6 +828,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Composed IVF-PQ: coarse routing (every 25th vector as centroid,
+    // rounded-cosine argmax) + PQ-coded ADC ranking — the full FAISS-
+    // IVFPQ shape, zero-shuffle index build. Oracle replicates routing,
+    // encoding, LUT, and ranking closed-form.
+    "q_emb_ivfpq" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val cent = emb.filter(col("vec_id") % 25 === 0)
+      val qs = emb.filter(col("vec_id") < 20)
+      operators.Similarity.ivfPqTopK(emb, qs, cent, cent,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        m = 8, k = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), col("adc"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // ============== file-source certification (SURVEY §2.6) =============
     // The oracle engine has no spatial/GDAL extension in this
     // environment, so each source row compares our binary parser against
@@ -2166,6 +2184,57 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rnk
              FROM adc) t
            WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+      // IVF routing (rounded-cosine argmax, tie lowest centroid id) +
+      // the PQ encode/LUT/ADC pipeline above, restricted to probed lists
+      "q_emb_ivfpq" -> {
+        def dCos(a: String, b: String): String =
+          s"""list_sum([($a.embedding[i]::DOUBLE) * ($b.embedding[i]::DOUBLE) for i in range(1, length($a.embedding) + 1)])
+              / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $a.embedding]))
+                 * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $b.embedding])))"""
+        s"""WITH cb AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id, embedding
+              FROM embeddings WHERE vec_id % 25 = 0),
+            pqscores AS (
+              SELECT e.vec_id, s.s, c.code,
+                round(list_sum([
+                  (e.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE - c.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE)
+                  * (e.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE - c.embedding[CAST(s.s * 8 + j AS INT)]::DOUBLE)
+                  for j in range(1, 9)]), 6) AS d
+              FROM embeddings e, range(0, 8) s(s), cb c),
+            pqcodes AS (
+              SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                  row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+                FROM pqscores) t WHERE rn = 1),
+            assign AS (
+              SELECT c.vec_id AS corpus_id, k.vec_id AS cid,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY round(${dCos("c", "k")}, 6) DESC, k.vec_id) AS rn
+              FROM embeddings c JOIN cb k ON true),
+            lists AS (SELECT corpus_id, cid FROM assign WHERE rn = 1),
+            probes AS (
+              SELECT q.vec_id AS query_id, k.vec_id AS cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(${dCos("q", "k")}, 6) DESC, k.vec_id) AS rn
+              FROM embeddings q JOIN cb k ON q.vec_id < 20),
+            cand AS (
+              SELECT p.query_id, l.corpus_id
+              FROM (SELECT query_id, cid FROM probes WHERE rn <= 3) p
+              JOIN lists l ON l.cid = p.cid
+              WHERE l.corpus_id <> p.query_id),
+            adc AS (
+              SELECT ca.query_id, ca.corpus_id, round(sum(sq.d), 6) AS adc
+              FROM cand ca
+              JOIN pqcodes cc ON cc.vec_id = ca.corpus_id
+              JOIN pqscores sq ON sq.vec_id = ca.query_id AND sq.s = cc.s AND sq.code = cc.code
+              GROUP BY 1, 2)
+            SELECT query_id, corpus_id, adc, rnk FROM (
+              SELECT query_id, corpus_id, adc,
+                row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rnk
+              FROM adc) t
+            WHERE rnk <= 5 ORDER BY query_id, rnk"""
+      },
 
       // file-source certification: the oracle reconstructs the same
       // features from an INDEPENDENT producer (GDAL geojson export /

@@ -437,3 +437,79 @@ case class PqAdcLut(child: Expression, codebook: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(c: Expression): PqAdcLut = copy(child = c)
 }
+
+/**
+ * Top-`probe` nearest centroids by cosine (rounded to 1e-6, ties →
+ * lowest centroid id), as a constant-centroid expression. With the
+ * centroid set driver-collected (broadcast-sized by the same contract
+ * as the IVF coarse quantizer), list assignment becomes a pure
+ * map-side projection: the IVF-PQ index build — (list id, PQ codes)
+ * per corpus row — runs in ONE corpus scan with NO shuffle at all.
+ * Returns `array<bigint>` of the centroid IDS (not indices), ordered
+ * best-first.
+ */
+case class NearestCentroids(
+    child: Expression, centroids: Array[Array[Double]], ids: Array[Long], probe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && centroids.length == ids.length, "bad centroid set")
+  require(probe >= 1 && probe <= centroids.length, "probe out of range")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val norms =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val isF = childIsFloat
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+      nx += xi * xi
+      i += 1
+    }
+    val xnorm = math.sqrt(nx)
+    // (score, id) candidates; selection by (score desc, id asc)
+    val bestIds = new Array[Long](probe)
+    val bestSc = new Array[Double](probe)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      require(cent.length == n, s"nearest_centroids: dim ${cent.length} != $n")
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val xj = if (isF) x.getFloat(j).toDouble else x.getDouble(j)
+        dot += xj * cent(j)
+        j += 1
+      }
+      val raw = if (xnorm == 0.0 || norms(c) == 0.0) 0.0 else dot / (xnorm * norms(c))
+      val sc = math.rint(raw * 1e6) / 1e6
+      val id = ids(c)
+      // insertion position among current best
+      var pos = filled
+      while (pos > 0 && (bestSc(pos - 1) < sc || (bestSc(pos - 1) == sc && bestIds(pos - 1) > id))) {
+        pos -= 1
+      }
+      if (pos < probe) {
+        val last = math.min(filled, probe - 1)
+        var q = last
+        while (q > pos) { bestSc(q) = bestSc(q - 1); bestIds(q) = bestIds(q - 1); q -= 1 }
+        bestSc(pos) = sc; bestIds(pos) = id
+        if (filled < probe) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestIds, filled))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, PqAdcLut, PqEncode, TopKByScore}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, NearestCentroids, PqAdcLut, PqEncode, TopKByScore}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -221,6 +221,72 @@ object Similarity {
     // smallest distance first: rank on negated adc (TopKByScore orders
     // score desc, id asc), then surface the positive distance
     rankTopK(scored, "query_id", "corpus_id", -col("__adc"), k, idType, "__nadc", "rank")
+      .select(col("query_id"), col("corpus_id"), (-col("__nadc")).as("adc"), col("rank"))
+  }
+
+  /** Collect a broadcast-sized centroid frame to (ids, vectors) for
+   *  the constant-centroid expressions. Same contract as [[pqCodebook]]. */
+  def centroidArrays(df: DataFrame, idCol: Column, vecCol: Column):
+      (Array[Long], Array[Array[Double]]) = {
+    val rows = df.select(idCol.cast("long").as("id"), vecCol.as("v")).orderBy("id").collect()
+    require(rows.nonEmpty, "empty centroid frame")
+    (rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case x: Double => x
+      }.toArray))
+  }
+
+  /** Top-`probe` nearest centroid IDS by rounded cosine (see
+   *  [[NearestCentroids]]); probe=1 → single-element array. */
+  def nearestCentroids(vec: Column, cents: Array[Array[Double]], ids: Array[Long],
+      probe: Int): Column =
+    ColumnShim.column(NearestCentroids(ColumnShim.expr(vec), cents, ids, probe))
+
+  /**
+   * Composed IVF-PQ top-k — the production ANN architecture (FAISS
+   * IVFPQ shape): coarse routing bounds how much of the corpus a query
+   * READS, PQ codes bound what each candidate COSTS.
+   *
+   * Scale shape, and why it beats both parents at 100 TB:
+   *  - index build is ONE corpus scan with NO shuffle: list assignment
+   *    ([[NearestCentroids]], constant centroids) and PQ encoding
+   *    ([[PqEncode]], constant codebook) are both map-side projections;
+   *    the stored index row is (id, list, m codes) ≈ 16+m bytes vs
+   *    4·d bytes of floats.
+   *  - search broadcasts (query, probed-list) pairs AND the per-query
+   *    ADC tables: candidate generation is a broadcast-hash join (the
+   *    corpus-sized index never shuffles), scoring is m array reads,
+   *    and the bounded top-k aggregate ships ≤ k rows per partition.
+   *
+   * Same determinism contract as [[pqTopK]]/[[ivfTopK]]: cosines and
+   * distances round at 1e-6, ties break on ids.
+   */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame,
+      corpusId: Column, corpusVec: Column,
+      queryId: Column, queryVec: Column,
+      centroidId: Column, centroidVec: Column,
+      cbId: Column, cbVec: Column,
+      m: Int = 8, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val (cids, cvecs) = centroidArrays(centroids, centroidId, centroidVec)
+    val cb = pqCodebook(codebook, cbId, cbVec, m)
+    val nCodes = cb.head.length
+    val index = corpus.select(corpusId.as("corpus_id"),
+      element_at(nearestCentroids(corpusVec, cvecs, cids, probe = 1), 1).as("__cid"),
+      pqEncode(corpusVec, cb).as("__codes"))
+    val probes = queries.select(queryId.as("query_id"),
+      explode(nearestCentroids(queryVec, cvecs, cids, probe = nprobe)).as("__cid"))
+    val luts = queries.select(queryId.as("query_id"), pqAdcLut(queryVec, cb).as("__lut"))
+    val cands = index.join(broadcast(probes), "__cid")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .join(broadcast(luts), "query_id")
+      .withColumn("__adc", round(aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0d),
+        (acc, s) => acc + element_at(col("__lut"), (s * nCodes + element_at(col("__codes"), s + 1)) + 1)), 6))
+    val idType = corpus.select(corpusId).schema.head.dataType
+    rankTopK(cands, "query_id", "corpus_id", -col("__adc"), k, idType, "__nadc", "rank")
       .select(col("query_id"), col("corpus_id"), (-col("__nadc")).as("adc"), col("rank"))
   }
 

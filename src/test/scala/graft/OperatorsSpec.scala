@@ -487,6 +487,65 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${(expected -- pq).take(5)} extra=${(pq -- expected).take(5)}")
   }
 
+  test("ivf-pq: routing containment, ADC consistency with pqTopK, deterministic") {
+    val cbDf = emb.filter($"vec_id" % 5 === 0)
+    val qs = emb.filter($"vec_id" < 10)
+    def run() = Similarity.ivfPqTopK(emb, qs, cbDf, cbDf,
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      m = 8, k = 5, nprobe = 4)
+    val got = run().select("query_id", "corpus_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.toSet == run().select("query_id", "corpus_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet) // deterministic
+    assert(got.groupBy(_._1).size == 10 && got.groupBy(_._1).values.forall(_.size == 5))
+
+    // routing containment: every retrieved corpus row's assigned list is
+    // one of its query's probed lists
+    val (cids, cvecs) = Similarity.centroidArrays(cbDf, $"vec_id", $"embedding")
+    val assigned = emb.select($"vec_id",
+      element_at(Similarity.nearestCentroids($"embedding", cvecs, cids, 1), 1).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    val probed = qs.select($"vec_id",
+      Similarity.nearestCentroids($"embedding", cvecs, cids, 4).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    got.foreach { case (q, c, _, _) =>
+      assert(probed(q).contains(assigned(c)), s"corpus $c (list ${assigned(c)}) not in probes of $q")
+    }
+
+    // ADC consistency: the same (query, corpus) pair scores identically
+    // in pqTopK (which scans the whole corpus)
+    val pqAll = Similarity.pqTopK(emb, qs, cbDf,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", $"vec_id", $"embedding",
+      m = 8, k = 499) // full corpus: every candidate pair gets an adc
+      .select("query_id", "corpus_id", "adc").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, c, adc, _) =>
+      assert(pqAll((q, c)) == adc, s"adc mismatch for ($q, $c)")
+    }
+  }
+
+  test("ivf-pq retrieves only own-cluster members on separable data with nprobe=1") {
+    val rows = for (cl <- 0 until 10; mem <- 0 until 20) yield {
+      val base = Array.tabulate(64)(d => ((cl * 64 + d) * 2654435761L % 97).toFloat / 10.0f)
+      base(mem % 64) += 0.3f
+      (cl * 100L + mem, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centers = (0 until 10).map { cl =>
+      (cl.toLong, Array.tabulate(64)(d => ((cl * 64 + d) * 2654435761L % 97).toFloat / 10.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" % 100 === 7)
+    val res = Similarity.ivfPqTopK(df, qs, centers, centers,
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      m = 8, k = 5, nprobe = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(res.nonEmpty)
+    assert(res.forall { case (q, c) => q / 100 == c / 100 },
+      s"cross-cluster retrievals: ${res.filter { case (q, c) => q / 100 != c / 100 }.take(5).toSeq}")
+  }
+
   test("pq topk recalls cluster neighbors on separable data") {
     // 10 well-separated cluster centers, 20 members each with a small
     // one-dim perturbation; codebook = the centers. ADC must rank a
