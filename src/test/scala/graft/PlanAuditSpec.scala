@@ -15,9 +15,11 @@ class PlanAuditSpec extends SparkSpec {
 
   // Brute-force similarity intentionally cross-joins the corpus with a
   // BROADCAST side that is small by construction (the query set /
-  // centroid set, Similarity.scala:29,103): the corpus never shuffles,
-  // so the plan holds at 100 TB. Everything else must stay equi-join.
-  private val intendedBroadcastCross = Set("q_emb_topk", "q_emb_ivf_topk")
+  // centroid set / per-query ADC tables): the corpus never shuffles,
+  // so the plan holds at 100 TB. Everything else must stay equi-join
+  // (q_emb_ivfpq is NOT here: its probed-list candidate join is an
+  // equi-join on the list id).
+  private val intendedBroadcastCross = Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
