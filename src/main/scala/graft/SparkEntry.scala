@@ -710,6 +710,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: every 50th document doubles as the
+    // "eval set"; overlap = shared distinct word 5-grams. The eval
+    // members themselves are fully contaminated by construction; the
+    // organic near-dup pairs in the corpus light up the rest.
+    "q_doc_contamination" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val docs = s.table("documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      operators.Dedup.contamination(docs, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), n = 5)
+        .select(col("doc_id"), col("n_overlap"),
+          concat_ws(",", col("bench_ids")).as("bench_csv"))
+        .orderBy("doc_id")
+    }),
+
     // int8 embedding quantization: scale + quantized-vector digests
     // (closed-form oracle replicates the round/clamp arithmetic)
     "q_emb_quantize" -> ((s, dir) => {
@@ -1951,6 +1967,17 @@ object SparkEntry {
                THEN CAST(list_max([length(list_filter(ng3, x -> x = g)) for g in list_distinct(ng3)]) AS DOUBLE) / length(ng3)
                ELSE 0.0 END, 6) AS top3_frac
            FROM f ORDER BY doc_id""",
+
+      "q_doc_contamination" ->
+        """WITH g AS (
+             SELECT doc_id, unnest(list_distinct([array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 4), ' ')
+               for i in range(1, greatest(length(string_split_regex(trim(lower(text)), '\s+')) - 4, 1) + 1)])) AS gm
+             FROM documents),
+           bg AS (SELECT DISTINCT doc_id AS bench_id, gm FROM g WHERE doc_id % 50 = 0),
+           hits AS (SELECT d.doc_id, d.gm, b.bench_id FROM g d JOIN bg b ON d.gm = b.gm)
+           SELECT doc_id, count(DISTINCT gm) AS n_overlap,
+             array_to_string(list_sort(list_distinct(list(bench_id))), ',') AS bench_csv
+           FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
       "q_doc_pii" ->
         """WITH t AS (

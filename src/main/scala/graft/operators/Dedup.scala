@@ -339,4 +339,53 @@ object Dedup {
   /** Rolling-hash document fingerprint column. */
   def fingerprint(text: Column, k: Int = 8): Column =
     ColumnShim.column(Fingerprint(ColumnShim.expr(text), k))
+
+  /** Distinct word n-grams as STRINGS via SQL lambdas (exact join key
+   *  for [[contamination]] — hashed shingles risk cross-corpus hash
+   *  collisions manufacturing false overlap; a doc shorter than n words
+   *  contributes its whole text as one gram). */
+  private def ngramStrings(text: Column, n: Int): Column = {
+    val t = text.toString
+    val toks = s"split(trim(lower($t)), '\\\\s+')"
+    expr(s"array_distinct(transform(sequence(1, greatest(size($toks) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice($toks, i, $n))))")
+  }
+
+  /**
+   * Benchmark decontamination: flag training documents that share any
+   * word n-gram with an evaluation corpus (the GPT-3-style 13-gram
+   * overlap rule; `n` configurable — small corpora want smaller n).
+   * Returns one row per CONTAMINATED doc: (doc_id, n_overlap,
+   * bench_ids) with the distinct overlapping-gram count and the sorted
+   * ids of the benchmark documents hit.
+   *
+   * Scale shape: the benchmark gram set is small by construction
+   * (eval suites are MBs, not TBs) and broadcasts; the training corpus
+   * explodes its grams MAP-SIDE straight into the broadcast hash join —
+   * no corpus shuffle — and only (doc_id, gram, bench_id) hit rows
+   * (rare by definition) reach the counting aggregate.
+   */
+  def contamination(
+      docs: DataFrame, docId: Column, docText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      n: Int = 13): DataFrame = {
+    val bg = bench.select(benchId.as("bench_id"),
+      explode(ngramStrings(benchText, n)).as("__g")).distinct()
+    val dg = docs.select(docId.as("doc_id"), explode(ngramStrings(docText, n)).as("__g"))
+    dg.join(broadcast(bg), "__g")
+      .groupBy("doc_id")
+      .agg(countDistinct("__g").as("n_overlap"),
+        sort_array(collect_set("bench_id")).as("bench_ids"))
+  }
+
+  /** Drop every document [[contamination]] flags (anti-join on the
+   *  flagged-id set). */
+  def decontaminate(
+      docs: DataFrame, docId: Column, docText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      n: Int = 13): DataFrame = {
+    val bad = contamination(docs, docId, docText, bench, benchId, benchText, n)
+      .select(col("doc_id").as("__bad_id"))
+    docs.join(bad, docId === col("__bad_id"), "left_anti")
+  }
 }

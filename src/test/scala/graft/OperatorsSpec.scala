@@ -195,6 +195,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("contamination flags eval-overlapping docs; decontaminate drops exactly those") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated benchmark question about nothing")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "prefix text the quick brown fox jumps over the lazy dog suffix"), // contains bench 100 grams
+      (2L, "the quick brown fox sleeps instead of jumping anywhere today"),   // shares <5-gram runs only
+      (3L, "clean document with entirely original content and words"),
+      (4L, "completely unrelated benchmark question about nothing at all")    // contains bench 101 grams
+    ).toDF("id", "text")
+    val flags = Dedup.contamination(docs, $"id", $"text", bench, $"id", $"text", n = 5)
+      .select($"doc_id", $"n_overlap", $"bench_ids").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(flags.keySet == Set(1L, 4L), flags.toString)
+    assert(flags(1L)._2 == Seq(100L) && flags(4L)._2 == Seq(101L))
+    assert(flags(1L)._1 >= 1 && flags(4L)._1 >= 1)
+    val kept = Dedup.decontaminate(docs, $"id", $"text", bench, $"id", $"text", n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // the eval members themselves are fully contaminated by construction
+    val self = Dedup.contamination(bench, $"id", $"text", bench, $"id", $"text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(self == Set(100L, 101L))
+  }
+
   test("ngram jaccard column") {
     val df = Seq(("abcdefghij", "abcdefghij"), ("abcdefghij", "zzzzzzzzzz")).toDF("a", "b")
     val sims = df.select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect()
