@@ -24,18 +24,29 @@ object GeoParquetMeta {
 
   private val Magic = "PAR1".getBytes("US-ASCII")
 
-  /** GeoParquet 1.0.0 `geo` metadata JSON for one WKB geometry column. */
+  /** GeoParquet `geo` metadata JSON for one WKB geometry column. With
+   *  `covering = true` (set when the writer emits a `<col>_bbox` struct
+   *  — GeoTable.writeClustered always does) the 1.1.0 `covering.bbox`
+   *  mapping is included, telling external readers (GDAL ≥3.9,
+   *  GeoPandas, DuckDB-spatial) which per-row struct fields carry the
+   *  bbox so THEIR row-group pruning can use the same stats ours does. */
   def geoJson(
       primaryColumn: String,
       bbox: Option[(Double, Double, Double, Double)],
-      crs: Option[String]): String = {
+      crs: Option[String],
+      covering: Boolean = false): String = {
     val bboxJson = bbox.map { case (x0, y0, x1, y1) =>
       s""","bbox":[$x0,$y0,$x1,$y1]"""
     }.getOrElse("")
     // crs omitted -> consumers default to OGC:CRS84 per spec §crs
     val crsJson = crs.map(c => s""","crs":${jsonString(c)}""").getOrElse("")
-    s"""{"version":"1.0.0","primary_column":${jsonString(primaryColumn)},""" +
-      s""""columns":{${jsonString(primaryColumn)}:{"encoding":"WKB","geometry_types":[]$bboxJson$crsJson}}}"""
+    val coveringJson = if (!covering) "" else {
+      val b = jsonString(primaryColumn + "_bbox")
+      s""","covering":{"bbox":{"xmin":[$b,"min_x"],"ymin":[$b,"min_y"],"xmax":[$b,"max_x"],"ymax":[$b,"max_y"]}}"""
+    }
+    val version = if (covering) "1.1.0" else "1.0.0"
+    s"""{"version":"$version","primary_column":${jsonString(primaryColumn)},""" +
+      s""""columns":{${jsonString(primaryColumn)}:{"encoding":"WKB","geometry_types":[]$bboxJson$crsJson$coveringJson}}}"""
   }
 
   private def jsonString(s: String): String =
@@ -52,8 +63,9 @@ object GeoParquetMeta {
       path: String,
       primaryColumn: String,
       bbox: Option[(Double, Double, Double, Double)] = None,
-      crs: Option[String] = None): Unit = {
-    val json = geoJson(primaryColumn, bbox, crs)
+      crs: Option[String] = None,
+      covering: Boolean = false): Unit = {
+    val json = geoJson(primaryColumn, bbox, crs, covering)
     partFiles(path).foreach { f =>
       tagFile(f, json)
       // Hadoop LocalFileSystem keeps a sibling checksum file; the

@@ -46,7 +46,9 @@ object GeoTable {
       .sortWithinPartitions("__hilbert")
       .drop("__hilbert")
       .write.mode("overwrite").parquet(path)
-    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent))
+    // covering=true: the table always carries <geom>_bbox, so advertise
+    // the GeoParquet 1.1 covering mapping for external readers' pruning
+    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent), covering = true)
   }
 
   /** Plain (unclustered) GeoParquet write: parquet + the standard `geo`
@@ -84,7 +86,7 @@ object GeoTable {
       .drop("__hilbert")
       .write.mode("append").parquet(path)
     // retag every part file (idempotent) so new deltas carry `geo` too
-    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent))
+    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent), covering = true)
   }
 
   /**

@@ -42,6 +42,11 @@ class GeoParquetMetaSpec extends SparkSpec {
     GeoTable.writeClustered(df, "geom", dir, (0.0, 0.0, 50.0, 20.0), numFiles = 3)
     val meta = GeoParquetMeta.readGeoMetadata(dir)
     assert(meta.exists(m => m.contains("\"bbox\":[0.0,0.0,50.0,20.0]") && m.contains("\"primary_column\":\"geom\"")))
+    // clustered tables carry <geom>_bbox → 1.1 covering mapping, so
+    // external readers can drive their own row-group pruning off it
+    assert(meta.exists(_.contains("\"version\":\"1.1.0\"")))
+    assert(meta.exists(_.contains(
+      """"covering":{"bbox":{"xmin":["geom_bbox","min_x"]""")), meta.get)
     assert(spark.read.parquet(dir).count() == 500)
   }
 }
