@@ -93,9 +93,9 @@ object BenchOne {
         }
         run(hot = false, 400000L); run(hot = true, 400000L) // warm
         Seq(false, true).foreach { hot =>
-          val trials = (1 to 3).map(_ => time { run(hot, 4000000L) })
+          val trials = (1 to 3).map(_ => time { run(hot, 2000000L) })
           val label = if (hot) "hot30" else "uniform"
-          println(f"spatial_join_${label}_4m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+          println(f"spatial_join_${label}_2m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
         }
       case other => sys.error(s"unknown workload: $other")
     }
