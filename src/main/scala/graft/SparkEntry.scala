@@ -726,6 +726,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic content-stable train/val/test split (md5-derived
+    // buckets — portable across engines, partitionings and reruns; the
+    // oracle recomputes the identical assignment)
+    "q_doc_split" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      s.table("documents").select(col("doc_id"),
+          operators.Sampling.hashBucket(col("doc_id")).as("bucket"),
+          operators.Sampling.splitTag(col("doc_id"), valPct = 10, testPct = 10).as("split"),
+          operators.Sampling.samplePredicate(col("doc_id"), 25).as("in_sample"))
+        .orderBy("doc_id")
+    }),
+
     // int8 embedding quantization: scale + quantized-vector digests
     // (closed-form oracle replicates the round/clamp arithmetic)
     "q_emb_quantize" -> ((s, dir) => {
@@ -1978,6 +1991,18 @@ object SparkEntry {
            SELECT doc_id, count(DISTINCT gm) AS n_overlap,
              array_to_string(list_sort(list_distinct(list(bench_id))), ',') AS bench_csv
            FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_doc_split" ->
+        """WITH b AS (
+             SELECT doc_id,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+             FROM documents)
+           SELECT doc_id, bucket,
+             CASE WHEN bucket < 10 THEN 'val'
+                  WHEN bucket < 20 THEN 'test'
+                  ELSE 'train' END AS split,
+             bucket < 25 AS in_sample
+           FROM b ORDER BY doc_id""",
 
       "q_doc_pii" ->
         """WITH t AS (

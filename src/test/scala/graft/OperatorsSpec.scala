@@ -597,6 +597,31 @@ class SimilaritySpec extends SparkSpec {
 
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash split: deterministic, partitioning-invariant, roughly proportional, disjoint") {
+    val n = 20000
+    val df = spark.range(n).toDF("id")
+    val tagged = df.select($"id", Sampling.splitTag($"id", 10, 10).as("s"),
+      Sampling.hashBucket($"id").as("b"))
+    val counts = tagged.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == n)
+    // ~10% each for val/test (md5 uniformity; generous 3-sigma-ish band)
+    assert(math.abs(counts("val") - n / 10.0) < n * 0.02, counts.toString)
+    assert(math.abs(counts("test") - n / 10.0) < n * 0.02, counts.toString)
+    // repartitioning must not move any row between splits
+    val again = df.repartition(13).select($"id", Sampling.splitTag($"id", 10, 10).as("s2"))
+    assert(tagged.join(again, "id").filter($"s" =!= $"s2").count() == 0)
+    // sample predicate is a superset-consistent bucket cut: 10% ⊂ 25%
+    val s10 = df.filter(Sampling.samplePredicate($"id", 10)).as[Long].collect().toSet
+    val s25 = df.filter(Sampling.samplePredicate($"id", 25)).as[Long].collect().toSet
+    assert(s10.subsetOf(s25))
+    assert(math.abs(s25.size - n / 4.0) < n * 0.02)
+  }
+}
+
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
