@@ -36,8 +36,8 @@ object Bench {
       "q_geo_contains", "q_geo_envelope", "q_geo_spatial_join",
       "q_geo_knn", "q_geo_hilbert", "q_geo_transform",
       "q_doc_dedup_exact", "q_doc_minhash_dedup", "q_doc_dup_clusters",
-      "q_doc_pii", "q_emb_topk", "q_emb_norm", "q_emb_ivf_topk",
-      "q_emb_pq", "q_emb_ivfpq")
+      "q_doc_pii", "q_doc_contamination", "q_emb_topk", "q_emb_norm",
+      "q_emb_ivf_topk", "q_emb_pq", "q_emb_ivfpq")
 
     // warmup: JIT + whole-stage-codegen compilation per plan shape on a
     // tiny slice (not timed) — measured numbers reflect steady state
