@@ -798,7 +798,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       s.table("documents")
         .select(col("doc_id"), operators.TextOps.langId(col("text")).as("lang_pred"),
-          round(operators.TextOps.qualityScore(col("text")), 4).as("quality"))
+          // +1e-9 before rounding: the 0.2/0.3/0.15 weights make exact
+          // 1e-4 midpoints (x.xxxx5) structurally common, and the two
+          // engines round such doubles in opposite directions (Spark
+          // rounds the shortest decimal repr via BigDecimal.valueOf,
+          // DuckDB the exact binary value). The epsilon pushes both
+          // across the midpoint consistently; non-midpoint values are
+          // unaffected. Applied identically in the oracle.
+          round(operators.TextOps.qualityScore(col("text")) + lit(1e-9), 4).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -1182,7 +1189,7 @@ object SparkEntry {
            + least(swr * 5.0, 1.0) * 0.3
            + greatest(1.0 - pr * 4.0, 0.0) * 0.2
            + greatest(1.0 - dr * 4.0, 0.0) * 0.15
-           + uq * 0.15, 4) AS quality
+           + uq * 0.15 + 0.000000001, 4) AS quality
        FROM q ORDER BY doc_id"""
   }
 
