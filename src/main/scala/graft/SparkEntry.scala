@@ -587,18 +587,22 @@ object SparkEntry {
         "geo footer metadata missing after writeClustered")
       s.read.parquet(out)
         .select(col("c_custkey"), hex(col("geom")).as("wkb_hex"),
-          col("geom_bbox.min_x").as("bx0"), col("geom_bbox.max_y").as("by1"))
+          col("geom_bbox.xmin").as("bx0"), col("geom_bbox.ymax").as("by1"))
         .orderBy("c_custkey")
     }),
 
     // ================= training-data pipeline ops ======================
     // certifies operators.Dedup.exact itself (partial-agg min-id
     // survivor + semi-join — not the hot-key-prone window the oracle
-    // runs; same result by the min-id rule)
+    // runs; same result by the min-id rule). broadcastKeep: at gate SF
+    // the survivor set is provably tiny, so the semi-join is
+    // exchange-free; the corpus-scale default (shuffled semi-join) is
+    // oracle-timed by the dedup_10m amortized bench row.
     "q_doc_dedup_exact" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
-      operators.Dedup.exact(s.table("documents"), col("doc_id"), col("text"))
+      operators.Dedup.exact(s.table("documents"), col("doc_id"), col("text"),
+          broadcastKeep = true)
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -928,6 +932,34 @@ object SparkEntry {
           st_npoints(col("geom")).as("npoints"),
           st_xmin(col("geom")).as("xmin"), st_ymin(col("geom")).as("ymin"),
           st_xmax(col("geom")).as("xmax"), st_ymax(col("geom")).as("ymax"))
+        .orderBy("objectid")
+    }),
+
+    // zipped st_read (GDAL /vsizip/ parity): the archive is built here
+    // from the reference shapefile's parts (sidecars included) — what's
+    // under test is the zip path (entry select + atomic extraction);
+    // the ORACLE is the same from-scratch python golden as q_src_shp,
+    // i.e. the unzipped copy read by an independent producer
+    "q_src_zip" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val zip = new java.io.File("/tmp/graft_zip_fixture.zip")
+      if (!zip.isFile) {
+        val src = new java.io.File("/root/reference/test/data/nyc_taxi/taxi_zones")
+        val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+        try Seq("taxi_zones.shp", "taxi_zones.shx", "taxi_zones.dbf", "taxi_zones.prj")
+          .foreach { n =>
+            zos.putNextEntry(new java.util.zip.ZipEntry(n))
+            java.nio.file.Files.copy(new java.io.File(src, n).toPath, zos)
+            zos.closeEntry()
+          }
+        finally zos.close()
+      }
+      sources.GeoRead.read(s, zip.getPath + "/taxi_zones.shp")
+        .select(col("OBJECTID").as("objectid"), col("zone"), col("borough"),
+          st_npoints(col("geom")).as("npoints"),
+          st_xmin(col("geom")).as("xmin"), st_ymax(col("geom")).as("ymax"))
         .orderBy("objectid")
     }),
 
@@ -2160,7 +2192,7 @@ object SparkEntry {
 
       "q_geoparquet_interop" ->
         """SELECT c_custkey, hex(geom) AS wkb_hex,
-           geom_bbox.min_x AS bx0, geom_bbox.max_y AS by1
+           geom_bbox.xmin AS bx0, geom_bbox.ymax AS by1
            FROM read_parquet('/tmp/graft_geoparquet_interop/*.parquet')
            ORDER BY c_custkey""",
 
@@ -2354,6 +2386,13 @@ object SparkEntry {
              header=true)
            ORDER BY objectid""",
 
+      // same independent golden, zipped read path on the engine side
+      "q_src_zip" ->
+        """SELECT objectid, zone, borough, npoints, xmin, ymax
+           FROM read_csv('/root/repo/src/test/resources/golden/taxi_zones_golden.csv',
+             header=true)
+           ORDER BY objectid""",
+
       // ===== round-5 certification oracles =====
       // closed-form box corners + JTS envelope ring order
       // (minx miny, minx maxy, maxx maxy, maxx miny, minx miny)
@@ -2417,8 +2456,8 @@ object SparkEntry {
       "q_table_stats" ->
         """SELECT substring(parse_filename(filename), 1, 10) AS file_key,
              count(*) AS row_count,
-             min(geom_bbox.min_x) AS min_x, min(geom_bbox.min_y) AS min_y,
-             max(geom_bbox.max_x) AS max_x, max(geom_bbox.max_y) AS max_y
+             min(geom_bbox.xmin) AS min_x, min(geom_bbox.ymin) AS min_y,
+             max(geom_bbox.xmax) AS max_x, max(geom_bbox.ymax) AS max_y
            FROM read_parquet('/tmp/graft_table_stats/*.parquet', filename=true)
            GROUP BY 1 ORDER BY 1""",
 

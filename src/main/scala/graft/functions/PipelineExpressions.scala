@@ -6,6 +6,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared rounding discipline for distance/similarity scores that feed
+ *  argmin/argmax decisions (PqEncode, PqAdcLut, NearestCentroids).
+ *  Half-AWAY-FROM-ZERO at 1e-6 in the scaled-binary domain — the same
+ *  convention as C++ `std::round(x*1e6)/1e6` (what the DuckDB oracle's
+ *  `round(x, 6)` computes) and Spark's `round()` half-up. The earlier
+ *  `math.rint` (half-to-even) diverged from both at exact midpoints —
+ *  the q_doc_langid midpoint-divergence class. */
+private[graft] object Round6 {
+  def apply(x: Double): Double =
+    (if (x >= 0) math.floor(x * 1e6 + 0.5) else math.ceil(x * 1e6 - 0.5)) / 1e6
+}
+
 /**
  * SimHash document fingerprint (Charikar 2002, the standard near-dup
  * sketch): 64-bit signature where bit b is the sign of the sum of
@@ -374,7 +386,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
           d += diff * diff
           j += 1
         }
-        d = math.rint(d * 1e6) / 1e6
+        d = Round6(d)
         if (d < bestD) { bestD = d; best = c } // strict < keeps lowest code on ties
         c += 1
       }
@@ -427,7 +439,7 @@ case class PqAdcLut(child: Expression, codebook: Array[Array[Array[Double]]])
           d += diff * diff
           j += 1
         }
-        lut(s * k + c) = math.rint(d * 1e6) / 1e6
+        lut(s * k + c) = Round6(d)
         c += 1
       }
       s += 1
@@ -490,7 +502,7 @@ case class NearestCentroids(
         j += 1
       }
       val raw = if (xnorm == 0.0 || norms(c) == 0.0) 0.0 else dot / (xnorm * norms(c))
-      val sc = math.rint(raw * 1e6) / 1e6
+      val sc = Round6(raw)
       val id = ids(c)
       // insertion position among current best
       var pos = filled

@@ -27,12 +27,23 @@ object Dedup {
    * that key instead of funneling half the corpus to one reducer. The
    * final semi-join shuffles full rows by unique `id` — uniform by
    * construction. Min-id survivor keeps the result deterministic.
+   *
+   * `broadcastKeep = true` hints the ids-only survivor frame as
+   * broadcastable, making the semi-join exchange-free (the input is
+   * scanned once, never shuffled). Right when the caller KNOWS the
+   * distinct-content count fits an executor (dedup of a bounded
+   * shard, a gate query at test SF). Leave false at corpus scale —
+   * survivors ≈ distinct documents, which can be billions; the
+   * default shuffled semi-join partitions by unique id and scales
+   * linearly (the 10M amortized bench row measures that path).
    */
-  def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def exact(df: DataFrame, id: Column, text: Column,
+      broadcastKeep: Boolean = false): DataFrame = {
     val keep = df.select(contentKey(text).as("__k"), id.as("__id"))
       .groupBy("__k").agg(min("__id").as("__keep_id"))
       .select("__keep_id")
-    df.join(keep, id === col("__keep_id"), "left_semi")
+    val keepSide = if (broadcastKeep) broadcast(keep) else keep
+    df.join(keepSide, id === col("__keep_id"), "left_semi")
   }
 
   /** Word n-gram shingle hashes (murmur3 over sliding word n-grams,

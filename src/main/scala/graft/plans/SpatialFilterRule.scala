@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.StructType
  * 33-246). Spark has no secondary indexes; the equivalent capability
  * is parquet row-group/file pruning on min/max statistics. Tables
  * written with [[graft.sources.GeoTable.withBbox]] carry a sibling
- * `<geom>_bbox` struct(min_x,min_y,max_x,max_y) column; for a filter
+ * `<geom>_bbox` struct(xmin,ymin,xmax,ymax) column (GeoParquet 1.1
+ * covering field names; legacy min_x-named tables still match); for a filter
  * `ST_Pred(geomCol, <literal geometry>)` this rule conjoins range
  * predicates on those bbox fields. Catalyst pushes them into the
  * parquet scan (nested-column pushdown), so row groups whose bbox
@@ -35,7 +36,12 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     child.output.find(a => a.name == s"${name}_bbox" && (a.dataType match {
-      case s: StructType => s.fieldNames.sameElements(Array("min_x", "min_y", "max_x", "max_y"))
+      // GeoParquet 1.1 covering names (what GeoTable.withBbox writes)
+      // or the legacy BOX_2D names (pre-conformance tables); ordinals
+      // are (minx, miny, maxx, maxy) in both conventions
+      case s: StructType =>
+        s.fieldNames.sameElements(Array("xmin", "ymin", "xmax", "ymax")) ||
+          s.fieldNames.sameElements(Array("min_x", "min_y", "max_x", "max_y"))
       case _ => false
     }))
   }
@@ -57,8 +63,9 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def skippingPredicates(pred: String, b: Attribute,
       env: (Double, Double, Double, Double), pad: Double): Seq[Expression] = {
     val (ex0, ey0, ex1, ey1) = env
-    val minX = field(b, 0, "min_x"); val minY = field(b, 1, "min_y")
-    val maxX = field(b, 2, "max_x"); val maxY = field(b, 3, "max_y")
+    val names = b.dataType.asInstanceOf[StructType].fieldNames
+    val minX = field(b, 0, names(0)); val minY = field(b, 1, names(1))
+    val maxX = field(b, 2, names(2)); val maxY = field(b, 3, names(3))
     pred match {
       case "st_within" | "st_coveredby" => Seq( // col inside lit
         GreaterThanOrEqual(minX, Literal(ex0)), LessThanOrEqual(maxX, Literal(ex1)),

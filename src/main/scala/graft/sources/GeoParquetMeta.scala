@@ -41,8 +41,12 @@ object GeoParquetMeta {
     // crs omitted -> consumers default to OGC:CRS84 per spec §crs
     val crsJson = crs.map(c => s""","crs":${jsonString(c)}""").getOrElse("")
     val coveringJson = if (!covering) "" else {
+      // GeoParquet 1.1.0 requires the covering struct fields — and the
+      // second path element — to be LITERALLY xmin/ymin/xmax/ymax
+      // (spec §covering + its JSON schema); GeoTable.withBbox writes
+      // the per-row struct with exactly those names
       val b = jsonString(primaryColumn + "_bbox")
-      s""","covering":{"bbox":{"xmin":[$b,"min_x"],"ymin":[$b,"min_y"],"xmax":[$b,"max_x"],"ymax":[$b,"max_y"]}}"""
+      s""","covering":{"bbox":{"xmin":[$b,"xmin"],"ymin":[$b,"ymin"],"xmax":[$b,"xmax"],"ymax":[$b,"ymax"]}}"""
     }
     val version = if (covering) "1.1.0" else "1.0.0"
     s"""{"version":"$version","primary_column":${jsonString(primaryColumn)},""" +
@@ -163,11 +167,15 @@ object GeoParquetMeta {
         val footerBytes = new Array[Byte](footerLen)
         raf.readFully(footerBytes)
         val md = Util.readFileMetaData(new ByteArrayInputStream(footerBytes))
-        // fold row-group column statistics: min over min_x/min_y mins,
-        // max over max_x/max_y maxes
+        // fold row-group column statistics: min over xmin/ymin mins,
+        // max over xmax/ymax maxes (legacy min_x-style names accepted).
+        // Presence is tracked PER COMPONENT: a footer carrying stats
+        // for only some components must not surface MaxValue/MinValue
+        // sentinels as real coordinates — the bbox is reported only
+        // when all four components were found.
         var minX, minY = Double.MaxValue
         var maxX, maxY = Double.MinValue
-        var any = false
+        var hasMinX, hasMinY, hasMaxX, hasMaxY = false
         val rgs = md.getRow_groups
         if (rgs != null) rgs.forEach { rg =>
           rg.getColumns.forEach { cc =>
@@ -180,17 +188,18 @@ object GeoParquetMeta {
                 def le(b: Array[Byte]): Double =
                   java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
                 (cmd.getPath_in_schema.get(1), Option(st.getMin_value), Option(st.getMax_value)) match {
-                  case ("min_x", Some(mn), _) => minX = math.min(minX, le(mn)); any = true
-                  case ("min_y", Some(mn), _) => minY = math.min(minY, le(mn)); any = true
-                  case ("max_x", _, Some(mx)) => maxX = math.max(maxX, le(mx)); any = true
-                  case ("max_y", _, Some(mx)) => maxY = math.max(maxY, le(mx)); any = true
+                  case ("xmin" | "min_x", Some(mn), _) => minX = math.min(minX, le(mn)); hasMinX = true
+                  case ("ymin" | "min_y", Some(mn), _) => minY = math.min(minY, le(mn)); hasMinY = true
+                  case ("xmax" | "max_x", _, Some(mx)) => maxX = math.max(maxX, le(mx)); hasMaxX = true
+                  case ("ymax" | "max_y", _, Some(mx)) => maxY = math.max(maxY, le(mx)); hasMaxY = true
                   case _ =>
                 }
               }
             }
           }
         }
-        val bbox = if (any) Some((minX, minY, maxX, maxY)) else None
+        val bbox = if (hasMinX && hasMinY && hasMaxX && hasMaxY)
+          Some((minX, minY, maxX, maxY)) else None
         (f.getName, md.getNum_rows,
           len, if (rgs == null) 0 else rgs.size(), bbox)
       } finally raf.close()

@@ -48,17 +48,27 @@ object GeoRead {
     // Zipped inputs (GDAL /vsizip/ parity — reference st_read open_options
     // and test/sql/gdal vsi/zip cases): `archive.zip` sniffs the single
     // contained dataset, `archive.zip/inner.shp` selects an entry. The
-    // archive extracts once to a mtime-keyed temp dir (zip is not
-    // splittable; sidecars — .shx/.dbf/.prj/.cpg — come along), then the
-    // normal reader runs on the extracted file. Like the single-file
-    // writers this assumes a filesystem shared with the executors; at
-    // cluster scale unzip to shared storage first.
+    // archive extracts once to a local temp dir (zip is not splittable;
+    // sidecars — .shx/.dbf/.prj/.cpg — come along), then the normal
+    // reader runs on the extracted file. The `.zip` segment is treated
+    // as an archive only when it IS a regular file on disk — a real
+    // DIRECTORY named `tiles.zip/` falls through to the normal path.
     {
       val zi = path.toLowerCase.indexOf(".zip")
       if (zi >= 0 && (path.length == zi + 4 || path.charAt(zi + 4) == '/')) {
         val archive = path.substring(0, zi + 4)
-        val inner = if (path.length > zi + 5) path.substring(zi + 5) else ""
-        return read(spark, extractZip(archive, inner), opts)
+        if (new java.io.File(archive).isFile) {
+          // the extraction lands on the DRIVER's local filesystem;
+          // executors on a non-local cluster cannot see it — enforce
+          // the declared limit instead of returning empty scans
+          if (!spark.sparkContext.isLocal)
+            throw new UnsupportedOperationException(
+              s"st_read('$path'): zipped inputs extract to the driver's local " +
+                "temp dir, which a non-local cluster's executors cannot read. " +
+                "Unzip to shared storage (or read the archive on a local session) first.")
+          val inner = if (path.length > zi + 5) path.substring(zi + 5) else ""
+          return read(spark, extractZip(archive, inner), opts)
+        }
       }
     }
     // a DIRECTORY of single-file containers (.shp / .fgb) reads as the
@@ -307,18 +317,32 @@ object GeoRead {
       val key = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(f.getAbsolutePath).toLong * 31 + f.lastModified())
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-zip-$key")
-      val done = new java.io.File(dir, ".extracted")
-      if (!done.exists()) {
-        dir.mkdirs()
+      if (!dir.isDirectory) {
+        // extract into a process-unique staging dir, then atomically
+        // rename into the shared (path, mtime)-keyed location: a reader
+        // either sees the complete extraction or none of it. Two
+        // concurrent sessions both extract; the rename loser just
+        // discards its staging copy — no interleaved/partial dataset.
+        val tmp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft-zip-stage-")
         entries.foreach { e =>
-          val out = new java.io.File(dir, e.getName)
+          val out = new java.io.File(tmp.toFile, e.getName)
           out.getParentFile.mkdirs()
           val in = zf.getInputStream(e)
           try java.nio.file.Files.copy(in, out.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           finally in.close()
         }
-        done.createNewFile()
+        try java.nio.file.Files.move(tmp, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // lost the race to a concurrent extractor — its complete
+            // copy is in place; drop the staging dir
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
       }
       new java.io.File(dir, target.getName).getPath
     } finally zf.close()

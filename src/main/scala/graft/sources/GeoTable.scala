@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
  */
 object GeoTable {
 
-  /** Add the bbox sibling column for `geomCol` (WKB). */
+  /** Add the bbox sibling column for `geomCol` (WKB). Field names are
+   *  the GeoParquet 1.1 covering spec's literal xmin/ymin/xmax/ymax
+   *  (not the runtime BOX_2D's min_x/…) so spec-validating external
+   *  readers (GDAL ≥3.9, GeoPandas, DuckDB-spatial) accept the
+   *  `covering.bbox` mapping [[GeoParquetMeta.geoJson]] advertises.
+   *  The struct-to-struct cast renames positionally — the extent is
+   *  computed once, not per field. */
   def withBbox(df: DataFrame, geomCol: String): DataFrame =
-    df.withColumn(s"${geomCol}_bbox", st_extent(col(geomCol)))
+    df.withColumn(s"${geomCol}_bbox", st_extent(col(geomCol))
+      .cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>"))
 
   /**
    * Write a Hilbert-clustered GeoParquet table. `extent` is the global

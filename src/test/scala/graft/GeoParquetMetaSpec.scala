@@ -46,7 +46,7 @@ class GeoParquetMetaSpec extends SparkSpec {
     // external readers can drive their own row-group pruning off it
     assert(meta.exists(_.contains("\"version\":\"1.1.0\"")))
     assert(meta.exists(_.contains(
-      """"covering":{"bbox":{"xmin":["geom_bbox","min_x"]""")), meta.get)
+      """"covering":{"bbox":{"xmin":["geom_bbox","xmin"]""")), meta.get)
     assert(spark.read.parquet(dir).count() == 500)
   }
 }

@@ -144,7 +144,7 @@ class PlanRulesSpec extends SparkSpec {
       val optimized = q.queryExecution.optimizedPlan.toString
       assert(optimized.contains("geom_bbox"), s"no bbox conjuncts:\n$optimized")
       val scan = q.queryExecution.executedPlan.toString
-      assert(scan.contains("PushedFilters") && scan.contains("min_x"),
+      assert(scan.contains("PushedFilters") && scan.contains("xmin"),
         s"bbox filters not pushed to parquet:\n${scan.take(2000)}")
       // correctness unchanged
       val expected = df.filter(st_within(col("geom"),

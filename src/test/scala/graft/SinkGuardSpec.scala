@@ -60,13 +60,13 @@ class SinkGuardSpec extends SparkSpec {
       assert(r.getDouble(6) <= 100.0 && r.getDouble(7) <= 100.0)
     }
     // hilbert clustering separates files spatially: bboxes are not all
-    // the global extent (at least two distinct min_x across files)
+    // the global extent (at least two distinct xmin across files)
     assert(stats.map(_.getDouble(4)).distinct.length >= 2)
     // cross-check one file's stats against a real scan of that file
     val f0 = stats.minBy(_.getString(0))
     val scan = spark.read.parquet(s"$out/${f0.getString(0)}")
-      .agg(count("*"), min("geom_bbox.min_x"), min("geom_bbox.min_y"),
-        max("geom_bbox.max_x"), max("geom_bbox.max_y")).head
+      .agg(count("*"), min("geom_bbox.xmin"), min("geom_bbox.ymin"),
+        max("geom_bbox.xmax"), max("geom_bbox.ymax")).head
     assert(scan.getLong(0) == f0.getLong(1))
     assert(scan.getDouble(1) == f0.getDouble(4) && scan.getDouble(2) == f0.getDouble(5))
     assert(scan.getDouble(3) == f0.getDouble(6) && scan.getDouble(4) == f0.getDouble(7))
