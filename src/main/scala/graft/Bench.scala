@@ -62,9 +62,16 @@ object Bench {
     // 5 warm trials: this host shows intermittent noise bursts (PLANS.md
     // variance note); a wider median rejects a burst spanning 1-2 trials
     val trials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "5").toInt
-    def medianOf(name: String, run: () => Double): Double = {
+    // `cutoff`/`trialsN` widen the protocol for the amortized (10M+)
+    // workloads: their cold runs exceed the 5 s micro cutoff by design,
+    // but a single cold run would let one machine noise burst own the
+    // row (the round-5 4M-pair lesson) — so they run median-of-3 with
+    // the same burst rejection up to a 60 s wall-clock bound per trial.
+    def medianOf(name: String, run: () => Double,
+        cutoff: Double = 5.0, trialsN: Int = 0): Double = {
+      val nTrials = if (trialsN > 0) trialsN else trials
       val cold = run()
-      if (cold < 0 || cold >= 5.0) { spreads(name) = (cold, cold, 1, 0); return cold }
+      if (cold < 0 || cold >= cutoff) { spreads(name) = (cold, cold, 1, 0); return cold }
       // burst rejection: a warm trial >5x the running median is a
       // whole-machine noise burst (the round-4 BENCH artifact had one
       // 49.3 s trial in a 1.56 s workload), not workload signal —
@@ -72,18 +79,18 @@ object Bench {
       // genuinely degraded workload still reports instead of looping.
       val kept = scala.collection.mutable.ArrayBuffer[Double]()
       var discarded = 0
-      while (kept.length < trials) {
+      while (kept.length < nTrials) {
         val t = run()
         val sortedKept = kept.sorted
         val ref = if (kept.isEmpty) cold else sortedKept(kept.length / 2)
-        if (t > ref * 5.0 && discarded < trials) {
+        if (t > ref * 5.0 && discarded < nTrials) {
           discarded += 1
           System.err.println(
             f"[bench] $name: discarded burst trial $t%.3f s (running median $ref%.3f s)")
         } else kept += t
       }
       val ts = kept.sorted
-      spreads(name) = (ts.head, ts.last, trials, discarded)
+      spreads(name) = (ts.head, ts.last, nTrials, discarded)
       ts(ts.length / 2)
     }
     headline.foreach { name =>
@@ -249,10 +256,11 @@ object Bench {
            FROM (SELECT $idCol % 1000000 AS k FROM range(10000000)) a
            JOIN (SELECT $idCol % 1000000 AS k FROM range(1000000)) b ON a.k = b.k
            GROUP BY a.k) t"""
-    def bigAggFor(idCol: String): String =
+    def bigAggNFor(idCol: String, n: Long): String =
       s"""SELECT count(*) AS n FROM (
            SELECT $idCol % 1000000 AS k, sum($idCol * 2654435761 % 97) AS v
-           FROM range(10000000) GROUP BY k) t"""
+           FROM range($n) GROUP BY k) t"""
+    def bigAggFor(idCol: String): String = bigAggNFor(idCol, 10000000L)
     def bigWindowFor(idCol: String): String =
       s"""SELECT count(*) AS n FROM (
            SELECT $idCol AS i, row_number() OVER (PARTITION BY $idCol % 100000 ORDER BY $idCol DESC) AS rn
@@ -260,24 +268,114 @@ object Bench {
     // string kernels (what the text-pipeline operators lean on) at the
     // amortized scale; replace/upper/length have identical semantics in
     // both dialects
-    def bigStringsFor(idCol: String): String =
+    def bigStringsNFor(idCol: String, n: Long): String =
       s"""SELECT count(*) AS n, sum(length(replace(upper(t), 'A', ''))) AS s FROM (
            SELECT 'doc ' || CAST($idCol % 99991 AS STRING) || ' alpha beta gamma delta epsilon' AS t
-           FROM range(10000000))"""
+           FROM range($n))"""
+    def bigStringsFor(idCol: String): String = bigStringsNFor(idCol, 10000000L)
     val bigPairs = Seq(
       "points_envelope_10m_sql" -> (bigSqlFor("id"), bigSqlFor("range")),
       "join_10m_sql" -> (bigJoinFor("id"), bigJoinFor("range")),
       "agg_10m_sql" -> (bigAggFor("id"), bigAggFor("range")),
       "window_10m_sql" -> (bigWindowFor("id"), bigWindowFor("range")),
-      "strings_10m_sql" -> (bigStringsFor("id"), bigStringsFor("range")))
+      "strings_10m_sql" -> (bigStringsFor("id"), bigStringsFor("range")),
+      // 10x scale-up of the two cheapest kernels: shows the 10M ratios
+      // holding as the working set outgrows any one cache tier (the
+      // median protocol is unchanged; the oracle's >5 s cold run
+      // reports single-trial per the documented rule)
+      "agg_100m_sql" -> (bigAggNFor("id", 100000000L), bigAggNFor("range", 100000000L)),
+      "strings_100m_sql" -> (bigStringsNFor("id", 100000000L), bigStringsNFor("range", 100000000L)))
     val bigWorkloads = bigPairs.map { case (n, (_, duckSql)) => n -> duckSql }.toMap
     bigPairs.foreach { case (name, (sparkSql, _)) =>
       spark.sql(sparkSql).collect() // warm (codegen compile), matching the oracle's warm run
-      results(name) = medianOf(name, () => time { spark.sql(sparkSql).collect(); 1L })
+      // 10M rows keep the round-5 protocol unchanged (artifact
+      // continuity); the 100M rows use the wide amortized protocol
+      val wide = name.endsWith("100m_sql")
+      results(name) = medianOf(name, () => time { spark.sql(sparkSql).collect(); 1L },
+        cutoff = if (wide) 30.0 else 5.0, trialsN = if (wide) 3 else 0)
     }
 
+    // ---- amortized oracle-compared operator kernels --------------------
+    // The three operators whose only oracle-compared timing was a
+    // micro row at sf0.1 (0.2-0.5 s wall, dominated by Spark's fixed
+    // scheduling floor): grid spatial join (the rides⋈zones shape of
+    // the reference's docs/example.md at 10M points), radius-bounded
+    // KNN join, and exact dedup on a 50%-duplicate corpus. Data is the
+    // shared Lehmer-LCG recipe so both engines compute over identical
+    // values; the Spark side runs the REAL operators (SpatialJoin.join
+    // / knnJoin / Dedup.exact default shuffled shape — not the
+    // broadcast micro path), the oracle runs the declaratively
+    // equivalent SQL and DuckDB plans it with its own join machinery.
+    {
+      import graft.operators.{Dedup, SpatialJoin}
+      def lcgPts(n: Long) = spark.range(n).select(col("id"),
+        st_point(expr("((id*2+1)*48271 % 2147483647)/21474836.47"),
+          expr("((id*2+7)*16807 % 2147483647)/21474836.47")).as("pt"))
+      val zones25 = spark.range(25).select(col("id").as("zid"),
+        st_makeenvelope(expr("CAST(id % 5 * 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 AS DOUBLE)"),
+          expr("CAST(id % 5 * 20 + 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 + 20 AS DOUBLE)")).as("zone"))
+      def spatialJoinN(n: Long): Long =
+        SpatialJoin.join(lcgPts(n), zones25, col("pt"), col("zone"), "st_within", cellSize = 20.0)
+          .groupBy("zid").count().agg(count(lit(1)), sum("count")).collect()(0).getLong(0)
+      def lcgQueries(n: Long) = spark.range(n).select(col("id").as("qid"),
+        st_point(expr("((id*3+11)*69621 % 2147483647)/21474836.47"),
+          expr("((id*3+17)*16807 % 2147483647)/21474836.47")).as("qpt"))
+      def knnN(nPts: Long, nQ: Long): Long =
+        SpatialJoin.knnJoin(lcgQueries(nQ), lcgPts(nPts), col("qid"), col("qpt"),
+            col("id"), col("pt"), k = 10, maxDist = 0.5, cellSize = 0.5)
+          .agg(count(lit(1)), sum("rank")).collect()(0).getLong(0)
+      def dedupN(n: Long): Long = {
+        val docs = spark.range(n).select(col("id"),
+          concat(lit("document body text "), expr(s"CAST(id % ${n / 2} AS STRING)")).as("text"))
+        Dedup.exact(docs, col("id"), col("text"))
+          .agg(count(lit(1)), sum(length(col("text")))).collect()(0).getLong(0)
+      }
+      spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L) // warm plan shapes
+      results("spatial_join_10m") = medianOf("spatial_join_10m",
+        () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
+      results("knn_join_10m") = medianOf("knn_join_10m",
+        () => time { knnN(10000000L, 1000L) }, cutoff = 30.0, trialsN = 3)
+      results("dedup_exact_10m") = medianOf("dedup_exact_10m",
+        () => time { dedupN(10000000L) }, cutoff = 30.0, trialsN = 3)
+    }
+    val operatorOracles = Map(
+      "spatial_join_10m" ->
+        """SELECT count(*) AS n, sum(cnt) AS s FROM (
+             SELECT z.zid, count(*) AS cnt
+             FROM (SELECT ((range*2+1)*48271 % 2147483647)/21474836.47 AS x,
+                          ((range*2+7)*16807 % 2147483647)/21474836.47 AS y
+                   FROM range(10000000)) p
+             JOIN (SELECT range AS zid, (range%5)*20 AS x0, (range//5)*20 AS y0 FROM range(25)) z
+               ON p.x >= z.x0 AND p.x < z.x0+20 AND p.y >= z.y0 AND p.y < z.y0+20
+             GROUP BY z.zid) t""",
+      "knn_join_10m" ->
+        """WITH pts AS (SELECT range AS pid,
+                          ((range*2+1)*48271 % 2147483647)/21474836.47 AS x,
+                          ((range*2+7)*16807 % 2147483647)/21474836.47 AS y
+                        FROM range(10000000)),
+                q AS (SELECT range AS qid,
+                          ((range*3+11)*69621 % 2147483647)/21474836.47 AS x,
+                          ((range*3+17)*16807 % 2147483647)/21474836.47 AS y
+                      FROM range(1000))
+           SELECT count(*) AS n, sum(rnk) AS s FROM (
+             SELECT q.qid, p.pid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(sqrt((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)),6), p.pid) AS rnk
+             FROM q JOIN pts p ON p.x BETWEEN q.x - 0.5 AND q.x + 0.5
+                              AND p.y BETWEEN q.y - 0.5 AND q.y + 0.5
+             WHERE sqrt((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)) <= 0.5) t
+           WHERE rnk <= 10""",
+      "dedup_exact_10m" ->
+        """WITH docs AS (SELECT range AS id,
+                           'document body text ' || (range % 5000000) AS text
+                         FROM range(10000000))
+           SELECT count(*) AS n, sum(length(text)) AS s FROM (
+             SELECT t.* FROM docs t
+             JOIN (SELECT min(id) AS keep FROM docs GROUP BY md5(text)) k ON t.id = k.keep)""")
+
     val duck = duckdbTimes(sfDir,
-      headline.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap ++ bigWorkloads)
+      headline.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap
+        ++ bigWorkloads ++ operatorOracles)
 
     val timeoutS = sys.env.getOrElse("GRAFT_ORACLE_TIMEOUT_S", "120")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

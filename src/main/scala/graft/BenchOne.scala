@@ -54,7 +54,7 @@ object BenchOne {
         val trials = (1 to 3).map(_ => time { nativeCount(10000000L) })
         println(f"points_envelope_10m_native trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
       case "skew_join" =>
-        // the Bench spatial_join_{uniform,hot30}_4m pair in isolation
+        // the Bench spatial_join_{uniform,hot30}_2m pair in isolation
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", (8L << 20).toString)
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", (4L << 20).toString)

@@ -64,6 +64,18 @@ object SparkEntry {
     ("(-5.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)", "(50.0 + CAST(c_custkey % 80 AS DOUBLE) / 10.0)")
   private val LonLat28992 =
     ("(3.5 + CAST(c_custkey % 35 AS DOUBLE) / 10.0)", "(50.8 + CAST(c_custkey % 26 AS DOUBLE) / 10.0)")
+  // round-6 adversarial widening of the datum-chain coverage: lons span
+  // BOTH sides of each central meridian out to (and onto) the zone
+  // boundaries, and ED50 UTM latitudes run to 83.9°N — the high-latitude
+  // end of the Krüger series where truncation error is largest
+  private val LonLat29902 = // Irish Grid: lon0 = -8, full island spread
+    ("(-11.0 + CAST(c_custkey % 65 AS DOUBLE) / 10.0)", "(51.2 + CAST(c_custkey % 45 AS DOUBLE) / 10.0)")
+  private val LonLat31467 = // DHDN GK zone 3: exact 7.5/10.5 zone edges included
+    ("(7.5 + CAST(c_custkey % 31 AS DOUBLE) / 10.0)", "(47.2 + CAST(c_custkey % 85 AS DOUBLE) / 10.0)")
+  private val LonLat23032 = // ED50 UTM 32N: 6.0/12.0 zone edges, lat to 83.9N
+    // (c_custkey*7) mod 480: custkey <= 250 alone never wraps 480, the
+    // *7 spread reaches residue 479 -> lat 83.9 (UTM's polar cutoff is 84)
+    ("(6.0 + CAST(c_custkey % 61 AS DOUBLE) / 10.0)", "(36.0 + CAST((c_custkey * 7) % 480 AS DOUBLE) / 10.0)")
 
   // round-5 certification fragments (same text in both dialects):
   // .5-grid extents so box corners and envelope WKT format identically
@@ -262,7 +274,10 @@ object SparkEntry {
            ("EPSG:3395", "x3395", "y3395", LonLat3395),
            ("EPSG:3031", "x3031", "y3031", LonLat3031),
            ("EPSG:27700", "x27700", "y27700", LonLat27700),
-           ("EPSG:28992", "x28992", "y28992", LonLat28992)).map {
+           ("EPSG:28992", "x28992", "y28992", LonLat28992),
+           ("EPSG:29902", "x29902", "y29902", LonLat29902),
+           ("EPSG:31467", "x31467", "y31467", LonLat31467),
+           ("EPSG:23032", "x23032", "y23032", LonLat23032)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -1260,8 +1275,12 @@ object SparkEntry {
   // shortest-roundtrip literals, so both engines agree far inside the
   // round(·, 4) grid.
   private def dlit(v: Double): String = {
-    val s = java.lang.Double.toString(v)
-    if (v < 0) s"($s)" else s
+    // normalize -0.0: it compares == 0.0 (so skips the paren branch)
+    // yet prints as "-0.0", and a template's `-${dlit(x)}` would then
+    // emit `--0.0` — an SQL line comment (the ED50 zero-rotation bug)
+    val nv = if (v == 0.0) 0.0 else v
+    val s = java.lang.Double.toString(nv)
+    if (nv < 0) s"($s)" else s
   }
 
   /** Forward Transverse Mercator (Krüger n-series) as CTEs; `src` must
@@ -1421,6 +1440,33 @@ object SparkEntry {
              446.448, -125.157, 542.060, 0.150, 0.247, 0.842, -20.4894)},
          ${tmOracleCtes("t27700", "s27700l", airy, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0)}"""
 
+    // Irish Grid: Helmert (TM65) -> Airy Modified -> TM (round-6
+    // adversarial widening; params = Crs.scala registry entry 29902)
+    val irishCtes = {
+      val airyMod = Crs.AiryModified
+      s"""${helmertCtes("29902", "s29902", airyMod,
+             482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)},
+         ${tmOracleCtes("t29902", "s29902l", airyMod, 53.5, -8.0, 1.000035, 200000.0, 250000.0)}"""
+    }
+
+    // DHDN Gauss-Krüger zone 3: Helmert -> Bessel 1841 -> TM (k0 = 1,
+    // FE = 3 500 000; params = Crs.scala parametric 314xx family)
+    val gkCtes = {
+      val bessel = Crs.Bessel1841
+      s"""${helmertCtes("31467", "s31467", bessel,
+             598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)},
+         ${tmOracleCtes("t31467", "s31467l", bessel, 0.0, 9.0, 1.0, 3500000.0, 0.0)}"""
+    }
+
+    // ED50 / UTM 32N: 3-param Helmert -> International 1924 -> TM
+    // (params = Crs.scala parametric 230xx family)
+    val ed50Ctes = {
+      val intl = Crs.International1924
+      s"""${helmertCtes("23032", "s23032", intl,
+             -87.0, -96.0, -120.0, 0.0, 0.0, 0.0, 0.0)},
+         ${tmOracleCtes("t23032", "s23032l", intl, 0.0, 9.0, 0.9996, 500000.0, 0.0)}"""
+    }
+
     // Amersfoort / RD New: Helmert -> Bessel 1841 -> Oblique
     // Stereographic (EPSG 9809 conformal-sphere forward, constants as
     // in Crs.ObliqueStereo)
@@ -1472,6 +1518,9 @@ object SparkEntry {
        ${srcCte("3031", LonLat3031)},
        ${srcCte("27700", LonLat27700)},
        ${srcCte("28992", LonLat28992)},
+       ${srcCte("29902", LonLat29902)},
+       ${srcCte("31467", LonLat31467)},
+       ${srcCte("23032", LonLat23032)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -1479,7 +1528,10 @@ object SparkEntry {
        $mercCtes,
        $psCtes,
        $bngCtes,
-       $rdCtes
+       $rdCtes,
+       $irishCtes,
+       $gkCtes,
+       $ed50Ctes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -1488,12 +1540,17 @@ object SparkEntry {
          round(o3395.x, 4) AS x3395, round(o3395.y, 4) AS y3395,
          round(o3031.x, 4) AS x3031, round(o3031.y, 4) AS y3031,
          round(t27700o.x, 4) AS x27700, round(t27700o.y, 4) AS y27700,
-         round(o28992.x, 4) AS x28992, round(o28992.y, 4) AS y28992
+         round(o28992.x, 4) AS x28992, round(o28992.y, 4) AS y28992,
+         round(t29902o.x, 4) AS x29902, round(t29902o.y, 4) AS y29902,
+         round(t31467o.x, 4) AS x31467, round(t31467o.y, 4) AS y31467,
+         round(t23032o.x, 4) AS x23032, round(t23032o.y, 4) AS y23032
        FROM pts p
        JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
        JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
        JOIN o3395 USING (c_custkey) JOIN o3031 USING (c_custkey)
        JOIN t27700o USING (c_custkey) JOIN o28992 USING (c_custkey)
+       JOIN t29902o USING (c_custkey) JOIN t31467o USING (c_custkey)
+       JOIN t23032o USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 
