@@ -978,6 +978,62 @@ object SparkEntry {
         .orderBy("objectid")
     }),
 
+    // GPX source (5-layer GDAL model): all five layers normalized to
+    // one flat union — ordinals, attributes, coordinates/bbox, point
+    // counts. The ORACLE is an independent from-scratch python parse
+    // of the same committed fixture (tools/make_gpx_golden.py,
+    // xml.etree — shares nothing with the StAX reader).
+    "q_src_gpx" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val p = "/root/repo/src/test/resources/gpx/sample.gpx"
+      def rd(layer: String) =
+        sources.GeoRead.read(s, p, sources.GeoRead.ReadOptions(layer = layer))
+      val nulD = lit(null).cast("double"); val nulS = lit(null).cast("string")
+      val wpt = rd("waypoints").select(lit("waypoints").as("layer"),
+        lit(-1).as("a"), lit(-1).as("b"), lit(-1).as("c"), col("name"),
+        col("ele"), col("time"), st_x(col("geom")).as("x"),
+        st_y(col("geom")).as("y"), lit(1).as("npts"))
+      val rte = rd("routes").select(lit("routes").as("layer"),
+        coalesce(col("number"), lit(-1)).as("a"), lit(-1).as("b"), lit(-1).as("c"),
+        col("name"), nulD.as("ele"), nulS.as("time"),
+        st_xmin(col("geom")).as("x"), st_ymax(col("geom")).as("y"),
+        st_npoints(col("geom")).as("npts"))
+      val trk = rd("tracks").select(lit("tracks").as("layer"),
+        coalesce(col("number"), lit(-1)).as("a"), lit(-1).as("b"), lit(-1).as("c"),
+        col("name"), nulD.as("ele"), nulS.as("time"),
+        st_xmin(col("geom")).as("x"), st_ymax(col("geom")).as("y"),
+        st_npoints(col("geom")).as("npts"))
+      val rpt = rd("route_points").select(lit("route_points").as("layer"),
+        col("route_fid").as("a"), col("route_point_id").as("b"), lit(-1).as("c"),
+        col("name"), col("ele"), nulS.as("time"),
+        st_x(col("geom")).as("x"), st_y(col("geom")).as("y"), lit(1).as("npts"))
+      val tpt = rd("track_points").select(lit("track_points").as("layer"),
+        col("track_fid").as("a"), col("track_seg_id").as("b"),
+        col("track_seg_point_id").as("c"), nulS.as("name"),
+        col("ele"), col("time"), st_x(col("geom")).as("x"),
+        st_y(col("geom")).as("y"), lit(1).as("npts"))
+      wpt.unionByName(rte).unionByName(trk).unionByName(rpt).unionByName(tpt)
+        .orderBy(col("layer"), col("a"), col("b"), col("c"),
+          coalesce(col("name"), lit("")))
+    }),
+
+    // KML source: placemark-per-row with folder-path layer column; the
+    // ORACLE is tools/make_kml_golden.py's independent xml.etree parse
+    "q_src_kml" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      sources.GeoRead.read(s, "/root/repo/src/test/resources/kml/sample.kml")
+        .select(col("folder"), col("name"),
+          st_geometrytype(col("geom")).as("gtype"),
+          st_npoints(col("geom")).as("npts"),
+          st_xmin(col("geom")).as("x0"), st_ymax(col("geom")).as("y1"),
+          col("ext").getItem("state").as("state"))
+        .orderBy("folder", "name")
+    }),
+
     "q_mm_decode" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -2450,6 +2506,28 @@ object SparkEntry {
              header=true)
            ORDER BY objectid""",
 
+      // independent xml.etree parse of the committed GPX fixture
+      // (tools/make_gpx_golden.py); explicit column types keep DuckDB
+      // from auto-promoting ISO timestamps/ints past the Spark schema
+      "q_src_gpx" ->
+        """SELECT layer, a, b, c, name, ele, time, x, y, npts
+           FROM read_csv('/root/repo/src/test/resources/golden/gpx_golden.csv',
+             header=true,
+             columns={'layer':'VARCHAR','a':'BIGINT','b':'BIGINT','c':'BIGINT',
+                      'name':'VARCHAR','ele':'DOUBLE','time':'VARCHAR',
+                      'x':'DOUBLE','y':'DOUBLE','npts':'BIGINT'})
+           ORDER BY layer, a, b, c, coalesce(name, '')""",
+
+      // independent xml.etree parse of the committed KML fixture
+      // (tools/make_kml_golden.py)
+      "q_src_kml" ->
+        """SELECT folder, name, gtype, npts, x0, y1, state
+           FROM read_csv('/root/repo/src/test/resources/golden/kml_golden.csv',
+             header=true,
+             columns={'folder':'VARCHAR','name':'VARCHAR','gtype':'VARCHAR',
+                      'npts':'BIGINT','x0':'DOUBLE','y1':'DOUBLE','state':'VARCHAR'})
+           ORDER BY folder, name""",
+
       // ===== round-5 certification oracles =====
       // closed-form box corners + JTS envelope ring order
       // (minx miny, minx maxy, maxx maxy, maxx miny, minx miny)
@@ -2524,6 +2602,8 @@ object SparkEntry {
              ('flatgeobuf', 'FlatGeobuf (.fgb, splittable via spatial index)', true, true),
              ('geojson', 'GeoJSON (FeatureCollection / newline-delimited)', true, true),
              ('geopackage', 'GeoPackage (.gpkg, SQLite container)', true, true),
+             ('gpx', 'GPS Exchange Format (.gpx; waypoints/routes/tracks layers)', true, false),
+             ('kml', 'Keyhole Markup Language (.kml, placemark rows)', true, false),
              ('osm_pbf', 'OpenStreetMap PBF (.osm.pbf)', true, false),
              ('parquet', 'GeoParquet / Parquet with WKB', true, true),
              ('shapefile', 'ESRI Shapefile (.shp/.shx/.dbf/.cpg)', true, true)

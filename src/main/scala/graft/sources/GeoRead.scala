@@ -83,7 +83,7 @@ object GeoRead {
         val p = st.getPath
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       }.sorted
-      val exts = Seq(".shp", ".fgb", ".geojson")
+      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml")
       val byExt = exts.map(e => e -> files.filter(_.toLowerCase.endsWith(e)))
         .filter(_._2.nonEmpty)
       if (byExt.length > 1)
@@ -132,8 +132,12 @@ object GeoRead {
             .contains(f.name.toLowerCase)).map(_.name)))
       }
       else if (lower.endsWith(".csv")) (readCsvWkt(spark, path), Some("geom"))
+      else if (lower.endsWith(".gpx"))
+        (Gpx.read(spark, path, if (opts.layer.nonEmpty) opts.layer else "waypoints"),
+          Some("geom"))
+      else if (lower.endsWith(".kml")) (Kml.read(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf, .gpx, .kml)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -378,7 +382,9 @@ object GeoRead {
         Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
         Row("geopackage", "GeoPackage (.gpkg, SQLite container)", true, true),
         Row("csv_wkt", "CSV with WKT geometry column", true, true),
-        Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false)))
+        Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false),
+        Row("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, false),
+        Row("kml", "Keyhole Markup Language (.kml, placemark rows)", true, false)))
 
   /** ST_List_Proj_CRS analog (reference proj/functions.cpp:380-430):
    *  dump of the supported CRS catalog with the reference's columns. */
@@ -490,6 +496,22 @@ object GeoRead {
         ("geojson", Seq(Row(baseName(path), -1L,
           Seq(geomField("geom", "Unknown", crsRow("WGS 84", "EPSG", "4326", ""))),
           Seq(stdField("properties", "map<string,string>")))))
+      } else if (lower.endsWith(".gpx")) {
+        // GPX is WGS84 by its schema; layer model matches GDAL's five
+        val wgs = crsRow("WGS 84", "EPSG", "4326", "")
+        val gTypes = Map("waypoints" -> "Point", "routes" -> "LineString",
+          "tracks" -> "MultiLineString", "route_points" -> "Point",
+          "track_points" -> "Point")
+        ("gpx", Gpx.layers.map { l =>
+          Row(l, -1L, Seq(geomField("geom", gTypes(l), wgs)),
+            sparkFields(Gpx.schemaOf(l), Set("geom")))
+        })
+      } else if (lower.endsWith(".kml")) {
+        // KML is WGS84 lon/lat by spec (OGC KML §9.1.2)
+        ("kml", Seq(Row(baseName(path), -1L,
+          Seq(geomField("geom", "Unknown", crsRow("WGS 84", "EPSG", "4326", ""))),
+          Seq(stdField("folder", "string"), stdField("name", "string"),
+            stdField("description", "string"), stdField("ext", "map<string,string>")))))
       } else ("unknown", Seq.empty[Row])
 
     val longName = drivers(spark).collect()
