@@ -758,6 +758,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GPT-style pack-and-cut sequence packing in deterministic seeded
+    // shuffle order: the oracle replays the concatenate-and-cut cumsum
+    // over the SAME md5 order — certifying that the distributed
+    // two-pass prefix scan (per-partition sums + broadcast offsets)
+    // equals the single global cumsum it replaces
+    "q_doc_pack" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Packing.packSequences(s.table("documents"), col("doc_id"),
+          operators.TextOps.subwordCount(col("text")), budget = 512L, seed = 42L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
     // int8 embedding quantization: scale + quantized-vector digests
     // (closed-form oracle replicates the round/clamp arithmetic)
     "q_emb_quantize" -> ((s, dir) => {
@@ -2155,6 +2169,23 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // concatenate-and-cut packing replayed as ONE global cumsum over
+      // the md5 shuffle order (the semantics the distributed prefix
+      // scan must reproduce); subword regex matches q_doc_tokens
+      "q_doc_pack" ->
+        """WITH t AS (
+             SELECT doc_id,
+               length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tok,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS ord
+             FROM documents),
+           c AS (
+             SELECT doc_id,
+               CAST(sum(tok) OVER (ORDER BY ord, CAST(doc_id AS VARCHAR)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT) AS s
+             FROM t)
+           SELECT doc_id, s // 512 AS seq_id, s % 512 AS seq_offset
+           FROM c ORDER BY doc_id""",
 
       "q_doc_pii" ->
         """WITH t AS (
