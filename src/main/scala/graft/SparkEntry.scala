@@ -758,6 +758,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // weighted corpus mixture (pretraining data mixing): two synthetic
+    // sources split from `documents` by doc_id parity, weights 2.3 and
+    // 0.5 — two full epochs + a 30% salted-md5 top-up, and a 50%
+    // down-sample; oracle replays the epoch cross-join + hash filter
+    "q_doc_mixture" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val docs = s.table("documents")
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+      operators.Sampling.mixture(
+          Seq(("web", a, 2.3), ("books", b, 0.5)), key = "doc_id")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("source", "epoch", "doc_id")
+    }),
+
     // GPT-style pack-and-cut sequence packing in deterministic seeded
     // shuffle order: the oracle replays the concatenate-and-cut cumsum
     // over the SAME md5 order — certifying that the distributed
@@ -2169,6 +2185,23 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // epoch replication via VALUES cross join; fractional top-up
+      // replays the salted md5 basis-point filter (same hex-prefix
+      // bucket recipe as q_doc_split)
+      "q_doc_mixture" ->
+        """WITH web AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+                books AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+           SELECT doc_id, source, epoch FROM (
+             SELECT w.doc_id, 'web' AS source, e.epoch
+             FROM web w CROSS JOIN (VALUES (0), (1)) e(epoch)
+             UNION ALL
+             SELECT doc_id, 'web' AS source, 2 AS epoch FROM web
+             WHERE ('0x' || substring(md5('web:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 3000
+             UNION ALL
+             SELECT doc_id, 'books' AS source, 0 AS epoch FROM books
+             WHERE ('0x' || substring(md5('books:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 5000
+           ) ORDER BY source, epoch, doc_id""",
 
       // concatenate-and-cut packing replayed as ONE global cumsum over
       // the md5 shuffle order (the semantics the distributed prefix

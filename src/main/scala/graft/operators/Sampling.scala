@@ -35,4 +35,42 @@ object Sampling {
     require(pct >= 0 && pct <= 100, "pct out of range")
     hashBucket(key, 100) < pct
   }
+
+  /**
+   * Weighted corpus mixture (pretraining data mixing): each source
+   * contributes `weight` epochs — floor(weight) FULL passes plus a
+   * deterministic fractional top-up epoch sampled at the remainder
+   * (weight 2.3 = two full copies + a 30% md5-sample), the standard
+   * up-/down-sampling recipe for combining corpora of different
+   * quality. Rows come back with `source` and `epoch` columns — epoch
+   * distinguishes the intentional copies, so a downstream
+   * [[Packing.packSequences]] keyed on (source, epoch, key) shuffles
+   * them apart.
+   *
+   * The fractional sample hashes md5("<source>:<key>") — salted per
+   * source, so top-ups across sources are decorrelated, and
+   * content-stable like every assignment here (re-runs reproduce the
+   * exact mixture; weights resolve at 1/10000 granularity). Scale
+   * shape: plan-level unions of filtered scans — no shuffle, no
+   * driver materialization; a full epoch is a column-append scan and a
+   * top-up epoch is a pushed-down filter.
+   */
+  def mixture(sources: Seq[(String, org.apache.spark.sql.DataFrame, Double)],
+      key: String): org.apache.spark.sql.DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    val parts = sources.flatMap { case (name, df, w) =>
+      require(w >= 0, s"negative weight for $name")
+      val full = w.toInt
+      val fracBp = math.round((w - full) * 10000).toInt // basis points
+      val epochs = (0 until full).map { e =>
+        df.withColumn("source", lit(name)).withColumn("epoch", lit(e))
+      }
+      val topUp = if (fracBp <= 0) Nil else Seq(
+        df.filter(hashBucket(concat_ws(":", lit(name), col(key).cast("string")),
+          10000) < fracBp)
+          .withColumn("source", lit(name)).withColumn("epoch", lit(full)))
+      epochs ++ topUp
+    }
+    parts.reduce(_ unionByName _)
+  }
 }

@@ -620,6 +620,26 @@ class SamplingSpec extends SparkSpec {
     assert(s10.subsetOf(s25))
     assert(math.abs(s25.size - n / 4.0) < n * 0.02)
   }
+
+  test("mixture: epoch replication + fractional top-up, content-stable, no shuffle") {
+    val n = 10000
+    val a = spark.range(n).toDF("id")
+    val b = spark.range(n, 2 * n).toDF("id")
+    val mixed = Sampling.mixture(Seq(("a", a, 2.3), ("b", b, 0.5)), "id")
+    val counts = mixed.groupBy("source", "epoch").count()
+      .as[(String, Int, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // two full epochs of a, one fractional ~30% epoch
+    assert(counts(("a", 0)) == n && counts(("a", 1)) == n)
+    assert(math.abs(counts(("a", 2)) - n * 0.3) < n * 0.02, counts.toString)
+    assert(math.abs(counts(("b", 0)) - n * 0.5) < n * 0.02, counts.toString)
+    assert(!counts.contains(("b", 1)))
+    // content-stable: same mixture on repartitioned input
+    val again = Sampling.mixture(
+      Seq(("a", a.repartition(7), 2.3), ("b", b.repartition(3), 0.5)), "id")
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+    // plan-level unions of scans: no exchange anywhere
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
