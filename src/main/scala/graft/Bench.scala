@@ -330,13 +330,29 @@ object Bench {
         Dedup.exact(docs, col("id"), col("text"))
           .agg(count(lit(1)), sum(length(col("text")))).collect()(0).getLong(0)
       }
-      spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L) // warm plan shapes
+      // sequence packing: the distributed two-pass prefix scan vs the
+      // oracle's single global window cumsum over the same md5 order —
+      // the workload where the scale shape (n-way parallel scan) meets
+      // an operation engines usually serialize
+      def packN(n: Long): Long = {
+        val docs = spark.range(n).select(col("id"),
+          (lit(1) + pmod(col("id") * 37, lit(100))).as("tok"))
+        val out = graft.operators.Packing.packSequences(
+          docs, col("id"), col("tok"), budget = 2048L, seed = 1L)
+        val r = out.agg(count(lit(1)), sum("seq_id"), sum("seq_offset"))
+          .collect()(0).getLong(0)
+        out.unpersist(blocking = false)
+        r
+      }
+      spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("knn_join_10m") = medianOf("knn_join_10m",
         () => time { knnN(10000000L, 1000L) }, cutoff = 30.0, trialsN = 3)
       results("dedup_exact_10m") = medianOf("dedup_exact_10m",
         () => time { dedupN(10000000L) }, cutoff = 30.0, trialsN = 3)
+      results("pack_10m") = medianOf("pack_10m",
+        () => time { packN(10000000L) }, cutoff = 30.0, trialsN = 3)
     }
     val operatorOracles = Map(
       "spatial_join_10m" ->
@@ -371,7 +387,16 @@ object Bench {
                          FROM range(10000000))
            SELECT count(*) AS n, sum(length(text)) AS s FROM (
              SELECT t.* FROM docs t
-             JOIN (SELECT min(id) AS keep FROM docs GROUP BY md5(text)) k ON t.id = k.keep)""")
+             JOIN (SELECT min(id) AS keep FROM docs GROUP BY md5(text)) k ON t.id = k.keep)""",
+      "pack_10m" ->
+        """WITH t AS (SELECT range AS id, 1 + (range*37) % 100 AS tok,
+                        md5('1:' || CAST(range AS VARCHAR)) AS ord
+                      FROM range(10000000)),
+             c AS (SELECT id,
+                     CAST(sum(tok) OVER (ORDER BY ord, CAST(id AS VARCHAR)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT) AS s
+                   FROM t)
+           SELECT count(*) AS n, sum(s // 2048) AS a, sum(s % 2048) AS b FROM c""")
 
     val duck = duckdbTimes(sfDir,
       headline.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap

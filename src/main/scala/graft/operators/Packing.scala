@@ -68,8 +68,19 @@ object Packing {
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       var acc = 0L
       val offsets = partSums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
-      val offDf = broadcast(
-        spark.createDataFrame(offsets.toSeq).toDF("__pid", "__poff"))
+      // explicit Row + schema (not tuple reflection): encoder-free, so
+      // the operator also works under REPL/driver classloaders where
+      // ScalaReflection cannot resolve product types
+      val offSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__poff",
+          org.apache.spark.sql.types.LongType)))
+      val offDf = broadcast(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(offsets.map(o =>
+            org.apache.spark.sql.Row(o._1, o._2)): _*)),
+        offSchema))
       // pass 2: per-partition running sum (parallel window — partitioned
       // by __pid, never a global single-partition frame)
       val w = Window.partitionBy("__pid").orderBy("__ord", "__key")
