@@ -41,6 +41,33 @@ object SparkEntry {
 
   // ---- shared synthetic-geometry SQL fragments (Spark dialect) ----------
   // customer point: strictly-interior coords in [0.5, 99.5]
+  // Planted multi-line corpus for the line-dedup row (Spark dialect;
+  // the oracle rebuilds the identical text with ::VARCHAR casts).
+  // Lines 1/3/5 rotate unique-vs-boilerplate; 2/4 slice the real text.
+  private val plantedLines =
+    """concat_ws(chr(10),
+       CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for daily updates.'
+            ELSE concat('Doc ', CAST(doc_id AS STRING), ' opening line.') END,
+       substring(text, 1, 80),
+       CASE WHEN doc_id % 4 = 0 THEN 'Copyright 2024 Example Corp. All rights reserved.'
+            ELSE concat('Body marker ', CAST(doc_id AS STRING)) END,
+       substring(text, 81, 80),
+       CASE WHEN doc_id % 3 = 1 THEN 'Share this article on social media!'
+            ELSE concat('Tail ', CAST(doc_id AS STRING)) END)"""
+
+  // Planted URLs for the domain rows: mixed case exercises host
+  // lowercasing, :8080 the port strip, www. the prefix strip.
+  private val plantedUrls =
+    """concat(text, ' see http://',
+       CASE doc_id % 4 WHEN 0 THEN 'www.News.example.com'
+                       WHEN 1 THEN 'blog.example.org'
+                       WHEN 2 THEN 'cdn.ads.example.io:8080'
+                       ELSE 'en.wiki.example.net' END,
+       '/p/', CAST(doc_id AS STRING),
+       CASE WHEN doc_id % 6 = 0
+            THEN concat(' and https://Tracker.ads.example.io/t?x=', CAST(doc_id AS STRING))
+            ELSE '' END)"""
+
   private val custPt = "ST_Point(CAST(c_custkey % 100 AS DOUBLE) + 0.5, CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5)"
   // same in DuckDB dialect (identical arithmetic)
   private val custPtX = "(CAST(c_custkey % 100 AS DOUBLE) + 0.5)"
@@ -606,6 +633,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Clustered-table maintenance end-to-end (the round-5 verdict's
+    // last spec-only capability): base clustered write + clustered
+    // append + recluster compaction, then the oracle rescans the
+    // final files — certifying no row was lost/duplicated across the
+    // append and the atomic-rename compaction, and that bbox sidecar
+    // columns survive re-derivation.
+    "q_clustered_maint" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_clustered_maint"
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      val base = s.table("customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(base, "geom", out, ext, numFiles = 3)
+      val more = s.table("customer")
+        .where(col("c_custkey") > 200 && col("c_custkey") <= 300)
+        .select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.appendClustered(more, "geom", out, ext, numFiles = 2)
+      sources.GeoTable.recluster(s, "geom", out, ext, numFiles = 4)
+      s.read.parquet(out)
+        .select(col("c_custkey"), hex(col("geom")).as("wkb_hex"),
+          col("geom_bbox.xmin").as("bx0"), col("geom_bbox.ymax").as("by1"))
+        .orderBy("c_custkey")
+    }),
+
     // ================= training-data pipeline ops ======================
     // certifies operators.Dedup.exact itself (partial-agg min-id
     // survivor + semi-join — not the hot-key-prone window the oracle
@@ -727,6 +779,70 @@ object SparkEntry {
           operators.TextOps.hasPii(col("__t")).as("pii"),
           md5(operators.TextOps.maskPii(col("__t"))).as("masked_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Line-level dedup (RefinedWeb boilerplate pass): the corpus is
+    // re-laid-out as 5-line pages where lines 1/3/5 rotate between
+    // per-doc unique content and planted boilerplate (newsletter /
+    // copyright / share bars), and lines 2/4 are slices of the real
+    // text (organic cross-doc duplicate slices get removed too —
+    // exactly the semantics at corpus scale).
+    "q_doc_line_dedup" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val df = s.table("documents")
+        .select(col("doc_id"), expr(plantedLines).as("__t"))
+      operators.Dedup.dedupLines(df, col("doc_id"), col("__t"),
+          minDocs = 2, minChars = 5, broadcastDups = true)
+        .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // URL domain accounting (C4 source attribution): normalized host
+    // (lowercase, www- and port-stripped) of every planted URL,
+    // aggregated to per-domain URL and document counts.
+    "q_doc_domains" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      s.table("documents")
+        .select(col("doc_id"), expr(plantedUrls).as("__t"))
+        .select(col("doc_id"),
+          explode(operators.TextOps.urlDomains(col("__t"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    // N-gram frequency LM scoring (CC-Net perplexity-filter analog):
+    // corpus bigram table pruned to cnt>=2 (broadcastable vocabulary),
+    // per-doc Σ round6(ln(p)) summed in exact 1e-6 BIGINT units so the
+    // result is aggregation-order-free on both engines.
+    "q_doc_ngram_lm" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val docs = s.table("documents")
+      val counts = operators.TextOps.ngramCounts(docs, col("text"), n = 2, minCount = 2)
+      operators.TextOps.ngramLogProb(docs, col("doc_id"), col("text"), counts,
+          n = 2, broadcastCounts = true)
+        .select(col("id").as("doc_id"), col("n_grams"), col("lp_micro"),
+          round(col("lp_micro") / col("n_grams") / 1e6, 6).as("avg_lp"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain blocklist filter (the C4 source gate): drop documents
+    // linking to blocked ad/tracker domains, checksum the survivors.
+    "q_doc_domain_filter" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val block = Seq("cdn.ads.example.io", "tracker.ads.example.io")
+      s.table("documents")
+        .select(col("doc_id"), expr(plantedUrls).as("__t"))
+        .filter(!operators.TextOps.hasBlockedDomain(col("__t"), block))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("id_min"),
+          max(col("doc_id")).as("id_max"))
     }),
 
     // Benchmark decontamination: every 50th document doubles as the
@@ -2247,6 +2363,104 @@ object SparkEntry {
                '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b', '<PHONE>', 'g')) AS masked_md5
            FROM t ORDER BY doc_id""",
 
+      "q_doc_line_dedup" ->
+        """WITH t AS (
+             SELECT doc_id, concat_ws(chr(10),
+               CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for daily updates.'
+                    ELSE concat('Doc ', doc_id::VARCHAR, ' opening line.') END,
+               substring(text, 1, 80),
+               CASE WHEN doc_id % 4 = 0 THEN 'Copyright 2024 Example Corp. All rights reserved.'
+                    ELSE concat('Body marker ', doc_id::VARCHAR) END,
+               substring(text, 81, 80),
+               CASE WHEN doc_id % 3 = 1 THEN 'Share this article on social media!'
+                    ELSE concat('Tail ', doc_id::VARCHAR) END) AS t
+             FROM documents),
+           lines AS (
+             SELECT doc_id, u.line AS line, u.i AS i FROM (
+               SELECT doc_id,
+                 unnest(list_transform(string_split(t, chr(10)),
+                   (x, i) -> {'line': x, 'i': i})) AS u
+               FROM t)),
+           dup AS (
+             SELECT trim(line) AS k FROM lines
+             WHERE length(trim(line)) >= 5
+             GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+           kept AS (
+             SELECT * FROM lines WHERE trim(line) NOT IN (SELECT k FROM dup)),
+           rebuilt AS (
+             SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS tc,
+               count(*) AS n_kept
+             FROM kept GROUP BY doc_id)
+           SELECT d.doc_id, md5(coalesce(r.tc, '')) AS clean_md5,
+             CAST(length(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+             coalesce(r.n_kept, 0) AS n_kept
+           FROM t d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""",
+
+      "q_doc_domains" ->
+        """WITH t AS (
+             SELECT doc_id, concat(text, ' see http://',
+               CASE doc_id % 4 WHEN 0 THEN 'www.News.example.com'
+                               WHEN 1 THEN 'blog.example.org'
+                               WHEN 2 THEN 'cdn.ads.example.io:8080'
+                               ELSE 'en.wiki.example.net' END,
+               '/p/', doc_id::VARCHAR,
+               CASE WHEN doc_id % 6 = 0
+                    THEN concat(' and https://Tracker.ads.example.io/t?x=', doc_id::VARCHAR)
+                    ELSE '' END) AS t
+             FROM documents),
+           u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM t),
+           d AS (SELECT doc_id,
+               regexp_replace(lower(regexp_extract(url, 'https?://([^/:?#\s]+)', 1)), '^www\.', '') AS domain
+             FROM u)
+           SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+           FROM d GROUP BY domain ORDER BY domain""",
+
+      "q_doc_domain_filter" ->
+        """WITH t AS (
+             SELECT doc_id, concat(text, ' see http://',
+               CASE doc_id % 4 WHEN 0 THEN 'www.News.example.com'
+                               WHEN 1 THEN 'blog.example.org'
+                               WHEN 2 THEN 'cdn.ads.example.io:8080'
+                               ELSE 'en.wiki.example.net' END,
+               '/p/', doc_id::VARCHAR,
+               CASE WHEN doc_id % 6 = 0
+                    THEN concat(' and https://Tracker.ads.example.io/t?x=', doc_id::VARCHAR)
+                    ELSE '' END) AS t
+             FROM documents),
+           u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM t),
+           bad AS (
+             SELECT DISTINCT doc_id FROM u
+             WHERE regexp_replace(lower(regexp_extract(url, 'https?://([^/:?#\s]+)', 1)), '^www\.', '')
+               IN ('cdn.ads.example.io', 'tracker.ads.example.io'))
+           SELECT count(*) AS n_survivors,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             min(doc_id) AS id_min, max(doc_id) AS id_max
+           FROM t WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+
+      "q_doc_ngram_lm" ->
+        """WITH toks AS (
+             SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+             FROM documents),
+           grams AS (
+             SELECT doc_id,
+               unnest([array_to_string(tk[i:i+1], ' ')
+                       for i in range(1, greatest(len(tk) - 1, 1) + 1)]) AS g
+             FROM toks),
+           counts AS (
+             SELECT g, count(*) AS cnt FROM grams GROUP BY g
+             HAVING count(*) >= 2),
+           tot AS (SELECT sum(cnt)::DOUBLE AS total FROM counts),
+           terms AS (
+             SELECT doc_id,
+               CAST(round(ln(coalesce(c.cnt, 1)::DOUBLE / t.total) * 1e6, 0) AS BIGINT) AS lp
+             FROM grams g2 LEFT JOIN counts c ON g2.g = c.g CROSS JOIN tot t),
+           agg AS (
+             SELECT doc_id, count(*) AS n_grams, CAST(sum(lp) AS BIGINT) AS lp_micro
+             FROM terms GROUP BY doc_id)
+           SELECT doc_id, n_grams, lp_micro,
+             round(lp_micro / n_grams / 1e6, 6) AS avg_lp
+           FROM agg ORDER BY doc_id""",
+
       "q_emb_quantize" ->
         """WITH s AS (
              SELECT vec_id, embedding,
@@ -2371,6 +2585,12 @@ object SparkEntry {
         """SELECT c_custkey, hex(geom) AS wkb_hex,
            geom_bbox.xmin AS bx0, geom_bbox.ymax AS by1
            FROM read_parquet('/tmp/graft_geoparquet_interop/*.parquet')
+           ORDER BY c_custkey""",
+
+      "q_clustered_maint" ->
+        """SELECT c_custkey, hex(geom) AS wkb_hex,
+           geom_bbox.xmin AS bx0, geom_bbox.ymax AS by1
+           FROM read_parquet('/tmp/graft_clustered_maint/*.parquet')
            ORDER BY c_custkey""",
 
       "q_doc_simhash" -> simhashOracle,

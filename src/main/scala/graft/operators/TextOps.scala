@@ -45,6 +45,31 @@ object TextOps {
   def ipv4Count(text: Column): Column = countOf(text, Ipv4Re)
   def phoneCount(text: Column): Column = countOf(text, PhoneRe)
 
+  // ---- URL / domain analysis (C4-style source filtering) ------------
+  // Host = everything after the scheme up to the first of /:?#, port
+  // stripped by the same class, lowercased, leading "www." dropped —
+  // the normalization C4/CC-Net use before blocklist matching so that
+  // http://WWW.Example.com:8080/x and https://example.com/y count as
+  // one source. Stays in the RE2 ∩ java.util.regex subset.
+  private val HostRe = "https?://([^/:?#\\s]+)"
+
+  /** Normalized registrable host of one URL ('' when no URL parses). */
+  def extractDomain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", "")
+
+  /** Normalized domains of every URL in a document, duplicates kept
+   *  (frequency matters for per-source accounting). */
+  def urlDomains(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+      u => extractDomain(u))
+
+  /** True when any URL in the document resolves to a blocklisted
+   *  domain — the C4 source-filter gate. The blocklist is a literal
+   *  array (broadcast with the plan; corpus-scale lists belong in a
+   *  broadcast join over [[urlDomains]] exploded). */
+  def hasBlockedDomain(text: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(urlDomains(text), array(blocklist.map(lit): _*))
+
   /** True when any PII detector fires — the cheap document-level gate
    *  (route to redaction/review instead of scanning five times). */
   def hasPii(text: Column): Column =
@@ -107,6 +132,70 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+
+  /** All word n-grams of a document in order, duplicates KEPT (unlike
+   *  the dedup shingles — frequency is the signal here); a document
+   *  with fewer than `n` tokens yields its whole token run as one
+   *  gram. */
+  def wordNgrams(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Corpus n-gram frequency table (gram, cnt), pruned to
+   *  cnt ≥ `minCount`. One explode + map-side-combined count — the
+   *  grouped key space is distinct grams, far smaller than the
+   *  exploded corpus. `minCount` > 1 is the vocabulary-pruning knob
+   *  that makes the table broadcastable for the scoring join. */
+  def ngramCounts(df: org.apache.spark.sql.DataFrame, text: Column,
+      n: Int = 2, minCount: Long = 1): org.apache.spark.sql.DataFrame =
+    df.select(explode(wordNgrams(text, n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /**
+   * N-gram frequency LM score per document — the cheap distributed
+   * analog of CC-Net's KenLM perplexity filter. Each gram scores
+   * ln(cnt/total) against the corpus table (`total` = Σcnt of the
+   * table as given); grams pruned or unseen take the floor
+   * probability 1/total. Per-gram log-probs are rounded to 6 decimals
+   * and summed as exact 1e-6-unit BIGINTs, so the per-doc sum is
+   * independent of aggregation order (a raw double sum would diverge
+   * across partitionings AND engines). Returns
+   * (id, n_grams, lp_micro); avg log-prob = lp_micro/n_grams/1e6,
+   * perplexity = exp(-avg).
+   *
+   * Scale shape: the scoring join (exploded grams ⋈ counts on the
+   * gram STRING — never a 32-bit hash, collisions would manufacture
+   * probability mass) is shuffled big-big by default; hot common
+   * grams skew the probe side and AQE splits them (same argument as
+   * the grid-join hot cells). `broadcastCounts = true` makes it
+   * exchange-free when the pruned vocabulary is bounded — with any
+   * real `minCount` the count table is millions of rows against a
+   * corpus of billions, which is exactly the broadcast case.
+   */
+  def ngramLogProb(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      counts: org.apache.spark.sql.DataFrame, n: Int = 2,
+      broadcastCounts: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    // `total` is a grouping-key-free aggregate — exactly ONE row by
+    // construction — so the broadcast cross that attaches it is O(n)
+    // and scale-safe (PlanAuditSpec whitelists this query for the same
+    // reason it whitelists the PQ query×centroid crosses). A constant-
+    // key equi-join does not avoid the BNLJ: Catalyst constant-folds
+    // the literal key out of the join condition.
+    val total = counts.agg(sum(col("cnt")).cast("double").as("__total"))
+    val grams = df.select(id.as("id"), explode(wordNgrams(text, n)).as("__g"))
+    val cSide = if (broadcastCounts) bcast(counts) else counts
+    val lp = round(log(coalesce(col("cnt").cast("double"), lit(1.0)) / col("__total")) * 1e6, 0)
+      .cast("long")
+    grams.join(cSide, col("__g") === col("gram"), "left")
+      .crossJoin(bcast(total))
+      .select(col("id"), lp.as("__lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("__lp")).as("lp_micro"))
+  }
 
   /** Fraction of non-empty lines that are duplicates of another line —
    *  the Gopher "duplicate line fraction" repetition filter (boiler-

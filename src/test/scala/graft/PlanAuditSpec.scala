@@ -18,8 +18,12 @@ class PlanAuditSpec extends SparkSpec {
   // centroid set / per-query ADC tables): the corpus never shuffles,
   // so the plan holds at 100 TB. Everything else must stay equi-join
   // (q_emb_ivfpq is NOT here: its probed-list candidate join is an
-  // equi-join on the list id).
-  private val intendedBroadcastCross = Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq")
+  // equi-join on the list id). q_doc_ngram_lm's cross attaches a
+  // grouping-key-free aggregate — exactly ONE broadcast row by
+  // construction (TextOps.ngramLogProb); its gram-scoring join is a
+  // BroadcastHashJoin on the gram string.
+  private val intendedBroadcastCross =
+    Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
