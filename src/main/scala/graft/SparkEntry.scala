@@ -23,12 +23,15 @@ object SparkEntry {
 
   private def load(s: SparkSession, dir: String, names: String*): Unit = synchronized {
     Graft.install(s)
-    // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
-    // read as raw long (we convert back to timestamp in the query)
+    // older testdata carried events.ts as TIMESTAMP(NANOS); Spark 4
+    // rejects it unless read as raw long (normalized below)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach { n =>
-      if (loaded.add((s, dir, n))) // skip re-reading footers per query
-        s.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+      if (loaded.add((s, dir, n))) { // skip re-reading footers per query
+        val df = s.read.parquet(s"$dir/$n.parquet")
+        val norm = if (n == "events") graft.streaming.Streams.eventTime(df) else df
+        norm.createOrReplaceTempView(n)
+      }
     }
   }
 
@@ -173,7 +176,7 @@ object SparkEntry {
     // to session TZ while DuckDB's is naive → the two hash differently
     // even for equal instants. Formatting on both sides sidesteps it.
     "q_events_hourly" -> q(Seq("events"),
-      """SELECT date_format(date_trunc('hour', timestamp_micros(ts DIV 1000)), 'yyyy-MM-dd HH:mm:ss') AS hour,
+      """SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
          event_type, count(*) AS n,
          sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_c
          FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),

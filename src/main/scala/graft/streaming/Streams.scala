@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Streams {
 
+  /** Normalize an event-time column to TimestampType across testdata
+   *  generations: older driver data carried TIMESTAMP(NANOS) (readable
+   *  only as a raw epoch-nanos long under
+   *  spark.sql.legacy.parquet.nanosAsLong); current data is
+   *  timestamp[us], which Spark reads as TIMESTAMP_NTZ. Session tz is
+   *  UTC, so the NTZ→TZ cast preserves the wall-clock rendering the
+   *  DuckDB oracle produces from the same naive values. */
+  def eventTime(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros((col(c) / 1000).cast("long")))
+      case _ => df.withColumn(c, col(c).cast("timestamp"))
+    }
+
   /** Watermarked tumbling-window aggregate over an event stream
    *  (columns: ts timestamp, event_type string, value double). */
   def windowedEventCounts(

@@ -14,13 +14,13 @@ class StreamsSpec extends SparkSpec {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   private def eventsDir: String = {
-    // re-write sf0.001 events as micro-batch-able parquet (ns timestamps
-    // aren't streamable in Spark 4; convert to micros once)
+    // re-write sf0.001 events as micro-batch-able parquet with a
+    // TimestampType ts column (Streams.eventTime handles both the old
+    // nanos-as-long and the current timestamp[us] testdata)
     val dir = "/tmp/graft-stream-events"
     if (!new java.io.File(dir).exists()) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      Streams.eventTime(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
         .write.mode("overwrite").parquet(dir)
     }
     dir
