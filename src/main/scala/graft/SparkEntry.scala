@@ -26,6 +26,9 @@ object SparkEntry {
     // older testdata carried events.ts as TIMESTAMP(NANOS); Spark 4
     // rejects it unless read as raw long (normalized below)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // oracle parity for NTZ->TZ casts and date/time rendering requires a
+    // UTC session regardless of what session the driver hands us
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     names.foreach { n =>
       if (loaded.add((s, dir, n))) { // skip re-reading footers per query
         val df = s.read.parquet(s"$dir/$n.parquet")

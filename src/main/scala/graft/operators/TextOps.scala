@@ -197,6 +197,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_grams"), sum(col("__lp")).as("lp_micro"))
   }
 
+  /**
+   * TF-IDF top terms per group (source/domain keyword profiles — the
+   * standard corpus-characterization pass over a crawl). Terms are
+   * lowercase alpha runs of >= 2 chars; `tf` counts occurrences within
+   * the group, `df` counts distinct documents containing the term,
+   * idf = ln((N+1)/(df+1)) with N = distinct documents. Scores are
+   * exact BIGINT micro-units (`tf * round6(idf) * 1e6`) so ranking is
+   * aggregation-order-free and replays identically in other engines.
+   *
+   * Scale shape: one explode feeds two partial-aggregating groupBys
+   * (group×term tf, term df) whose key spaces are vocabulary-sized —
+   * far smaller than the exploded corpus; the tf⋈idf join and the
+   * final per-group ranking window both run on that reduced
+   * vocabulary frame, never on corpus-cardinality data. N is a 1-row
+   * scalar stat (same contract as the other scalar stats).
+   */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, docId: Column, text: Column,
+      group: Column, k: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(docId.as("__id"), group.as("grp"),
+      explode(regexp_extract_all(lower(text), lit("[a-z]{2,}"), lit(0))).as("term"))
+    val nDocs = df.select(docId).distinct().count()
+    val tf = toks.groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("__id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idfMicro = round(log(lit(nDocs + 1.0) / (col("df") + 1.0)) * 1e6, 0).cast("long")
+    val scored = tf.join(dfreq, "term")
+      .select(col("grp"), col("term"), col("tf"), col("df"),
+        (col("tf") * idfMicro).as("score_micro"))
+    val w = Window.partitionBy("grp").orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Fraction of non-empty lines that are duplicates of another line —
    *  the Gopher "duplicate line fraction" repetition filter (boiler-
    *  plate / template detection). Pure built-ins, stays in codegen. */

@@ -25,7 +25,10 @@ object Streams {
   def eventTime(df: DataFrame, c: String = "ts"): DataFrame =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn(c, timestamp_micros((col(c) / 1000).cast("long")))
+        // exact integer division: `/` promotes to double, whose 2^53
+        // mantissa cannot represent epoch-nanos (~1.7e18, ulp ~256ns) —
+        // a boundary timestamp could land in the wrong window bucket
+        df.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
       case _ => df.withColumn(c, col(c).cast("timestamp"))
     }
 

@@ -13,16 +13,16 @@ class StreamsSpec extends SparkSpec {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventsDir: String = {
+  private lazy val eventsDir: String = {
     // re-write sf0.001 events as micro-batch-able parquet with a
     // TimestampType ts column (Streams.eventTime handles both the old
-    // nanos-as-long and the current timestamp[us] testdata)
+    // nanos-as-long and the current timestamp[us] testdata). Always
+    // overwritten (once per suite run — lazy val): an existence-keyed
+    // cache went stale across testdata-generation switches.
     val dir = "/tmp/graft-stream-events"
-    if (!new java.io.File(dir).exists()) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Streams.eventTime(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
-        .write.mode("overwrite").parquet(dir)
-    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Streams.eventTime(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .write.mode("overwrite").parquet(dir)
     dir
   }
 
