@@ -880,6 +880,67 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // stratified deterministic sampling: per-source keep rates (the
+    // corpus-rebalancing pass), salted-md5 predicate, survivors
+    // aggregated per stratum with an id checksum
+    "q_doc_stratified" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      s.table("documents")
+        .filter(operators.Sampling.stratifiedPredicate(col("doc_id"), col("source"),
+          Seq("src0" -> 100, "src1" -> 50, "src2" -> 10, "src3" -> 0), defaultPct = 25))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }),
+
+    // TF-IDF top terms per source (corpus characterization): exact
+    // BIGINT micro-unit scores, vocabulary-sized shuffles only
+    "q_doc_tfidf" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.tfIdfTopTerms(s.table("documents"), col("doc_id"), col("text"),
+          col("source"), k = 10)
+        .select(col("grp").as("source"), col("term"), col("tf"), col("df"),
+          col("score_micro"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+
+    // per-stratum length distribution (exact quantiles; binary-exact
+    // percentiles so the interpolation index is FP-identical across
+    // engines)
+    "q_doc_len_quantiles" -> q(Seq("documents"),
+      """SELECT source, count(*) AS n_docs,
+         min(length(text)) AS len_min, max(length(text)) AS len_max,
+         round(percentile(length(text), 0.25), 6) AS p25,
+         round(percentile(length(text), 0.5), 6) AS p50,
+         round(percentile(length(text), 0.75), 6) AS p75
+         FROM documents GROUP BY source ORDER BY source"""),
+
+    // batch sessionization (same semantics as the streaming operator,
+    // which StreamsSpec proves equal on closed sessions): per-user
+    // inactivity-gap sessions; deterministic columns only (sum_value
+    // stays double — FP-order-dependent — and is covered by the spec)
+    "q_events_sessions" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      graft.streaming.Streams.sessionizeBatch(s.table("events"), gapMs = 30 * 60 * 1000L)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // language × source crosstab via relational pivot (corpus
+    // composition dashboards); missing cells coalesced to 0 so both
+    // engines agree on empties
+    "q_doc_lang_pivot" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = s.table("documents").groupBy("source").pivot("lang", langs).count()
+      p.select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    }),
+
     // weighted corpus mixture (pretraining data mixing): two synthetic
     // sources split from `documents` by doc_id parity, weights 2.3 and
     // 0.5 — two full epochs + a 30% salted-md5 top-up, and a 50%
@@ -2307,6 +2368,71 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // same lag/cumsum sessionization over floor-second timestamps
+      "q_events_sessions" ->
+        """WITH e AS (
+             SELECT user_id, (epoch_ms(ts) // 1000) * 1000 AS ts_ms FROM events),
+           f AS (
+             SELECT user_id, ts_ms,
+               CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+                    THEN 1 ELSE 0 END AS ns
+             FROM e),
+           s AS (
+             SELECT user_id, ts_ms,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS idx
+             FROM f)
+           SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+             count(*) AS n_events
+           FROM s GROUP BY user_id, idx ORDER BY user_id, session_start""",
+
+      "q_doc_lang_pivot" ->
+        """SELECT source,
+             count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+             count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+             count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+             count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+             count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+           FROM documents GROUP BY source ORDER BY source""",
+
+      // salted per-stratum md5 rate filter (same hex-prefix bucket
+      // recipe as q_doc_split)
+      "q_doc_stratified" ->
+        """WITH kept AS (
+             SELECT doc_id, source FROM documents
+             WHERE ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                             WHEN 'src2' THEN 10 WHEN 'src3' THEN 0 ELSE 25 END)
+           SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM kept GROUP BY source ORDER BY source""",
+
+      // same tokenization (lowercase alpha runs >= 2 chars), same exact
+      // micro-unit scoring: tf * round6(ln((N+1)/(df+1))) * 1e6
+      "q_doc_tfidf" ->
+        """WITH toks AS (
+             SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+             FROM documents),
+           tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
+           dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+           n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           scored AS (
+             SELECT tf.source, tf.term, tf.tf, dfreq.df,
+               tf.tf * CAST(round(ln((n.n + 1.0) / (dfreq.df + 1.0)) * 1000000, 0) AS BIGINT) AS score_micro
+             FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+           SELECT source, term, tf, df, score_micro, rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY score_micro DESC, term ASC) AS rank
+             FROM scored) t
+           WHERE rank <= 10 ORDER BY source, rank""",
+
+      "q_doc_len_quantiles" ->
+        """SELECT source, count(*) AS n_docs,
+             min(length(text)) AS len_min, max(length(text)) AS len_max,
+             round(quantile_cont(length(text), 0.25), 6) AS p25,
+             round(quantile_cont(length(text), 0.5), 6) AS p50,
+             round(quantile_cont(length(text), 0.75), 6) AS p75
+           FROM documents GROUP BY source ORDER BY source""",
 
       // epoch replication via VALUES cross join; fractional top-up
       // replays the salted md5 basis-point filter (same hex-prefix

@@ -73,4 +73,24 @@ object Sampling {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /**
+   * Stratified deterministic sampling: a different sampling rate per
+   * stratum (the standard corpus-rebalancing pass — e.g. keep 100% of
+   * books, 10% of common-crawl). The predicate hashes
+   * md5("<stratum>:<key>"), salting the bucket per stratum so samples
+   * across strata are decorrelated, and content-stable like every
+   * assignment here. Unknown strata take `defaultPct`. Pure filter
+   * expression — no shuffle, pushes down to the scan.
+   */
+  def stratifiedPredicate(key: Column, stratum: Column,
+      rates: Seq[(String, Int)], defaultPct: Int = 100): Column = {
+    require(rates.forall { case (_, p) => p >= 0 && p <= 100 }, "pct out of range")
+    require(defaultPct >= 0 && defaultPct <= 100, "defaultPct out of range")
+    val b = hashBucket(concat_ws(":", stratum, key.cast("string")), 100)
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, p).otherwise(acc)
+    }
+    b < pct
+  }
 }

@@ -127,6 +127,33 @@ object Streams {
   }
 
   /**
+   * Batch sessionization with semantics identical to [[sessionize]]:
+   * per-user sessions split at inactivity gaps > `gapMs`. Declarative
+   * plan — lag-window gap flags, running-sum session index, one
+   * grouped aggregate — so Catalyst/Tungsten run it as two window
+   * passes over a single user-keyed shuffle (at 100 TB: one exchange
+   * on user_id, no state store, no driver involvement). The session
+   * index is tie-stable: equal timestamps contribute a 0 gap flag
+   * wherever the sort places them, so the assignment is deterministic
+   * even under non-deterministic tie order. Same output schema as
+   * [[sessionize]].
+   */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id").cast("long").as("user_id"),
+      (col("ts").cast("long") * 1000).as("ts_ms"), col("value").cast("double").as("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+    val flagged = e.withColumn("__new",
+      when(col("ts_ms") - lag("ts_ms", 1).over(w) > gapMs, 1).otherwise(0))
+    val idx = flagged.withColumn("__idx",
+      sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    idx.groupBy("user_id", "__idx")
+      .agg(min("ts_ms").as("session_start"), max("ts_ms").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .drop("__idx")
+  }
+
+  /**
    * Streaming exact dedup: keep the first occurrence of each key the
    * stream has ever seen within the watermark horizon — duplicates
    * with DIFFERENT event times still collapse (the key alone is the

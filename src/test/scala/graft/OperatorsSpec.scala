@@ -621,6 +621,28 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s25.size - n / 4.0) < n * 0.02)
   }
 
+  test("stratified predicate: per-stratum rates, salted, content-stable") {
+    val n = 20000
+    val df = spark.range(n).select($"id", concat(lit("s"), ($"id" % 4).cast("string")).as("src"))
+    val pred = Sampling.stratifiedPredicate($"id", $"src",
+      Seq("s0" -> 100, "s1" -> 50, "s2" -> 0), defaultPct = 25)
+    val kept = df.filter(pred)
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    val per = n / 4.0
+    assert(counts("s0") == per.toLong)                 // 100% keeps everything
+    assert(!counts.contains("s2"))                     // 0% keeps nothing
+    assert(math.abs(counts("s1") - per * 0.5) < per * 0.06, counts.toString)
+    assert(math.abs(counts("s3") - per * 0.25) < per * 0.06, counts.toString)
+    // content-stable across repartitioning
+    val again = df.repartition(13).filter(pred)
+    assert(kept.exceptAll(again).count() == 0 && again.exceptAll(kept).count() == 0)
+    // salted per stratum: the same key id sampled under different strata
+    // must not be correlated with the unsalted plain-key sample
+    val plain = df.filter(Sampling.samplePredicate($"id", 25)).select("id").as[Long].collect().toSet
+    val s3 = kept.filter($"src" === "s3").select("id").as[Long].collect().toSet
+    assert(s3 != plain.filter(_ % 4 == 3))
+  }
+
   test("mixture: epoch replication + fractional top-up, content-stable, no shuffle") {
     val n = 10000
     val a = spark.range(n).toDF("id")
@@ -704,6 +726,27 @@ class TextOpsSpec extends SparkSpec {
       "这是一个中文句子这是一个中文句子这是一个中文句子").toDF("t")
     val langs = df.select(TextOps.langId($"t").as("l")).as[String].collect()
     assert(langs.toSeq == Seq("en", "de", "es", "fr", "zh"), langs.mkString(","))
+  }
+
+  test("tfIdfTopTerms: group-distinctive terms outrank ubiquitous ones, k bound, stable") {
+    // 'common' appears in every doc (idf ~ 0); 'alpha'/'beta' are
+    // group-exclusive and must take rank 1 in their group
+    val df = Seq(
+      (1L, "g1", "common alpha alpha alpha common"),
+      (2L, "g1", "common alpha words here common"),
+      (3L, "g2", "common beta beta beta common"),
+      (4L, "g2", "common beta words here common")).toDF("id", "grp", "text")
+    val top = TextOps.tfIdfTopTerms(df, $"id", $"text", $"grp", k = 3)
+      .select("grp", "term", "rank").as[(String, String, Int)].collect()
+    assert(top.count(_._1 == "g1") <= 3 && top.count(_._2 == "g2") <= 3)
+    assert(top.contains(("g1", "alpha", 1)), top.mkString(";"))
+    assert(top.contains(("g2", "beta", 1)), top.mkString(";"))
+    // 'common' (df = all docs) scores 0 micro-units: ln(5/5)=0
+    assert(!top.exists(t => t._2 == "common" && t._3 == 1))
+    // partitioning-invariant (exact integer scoring)
+    val again = TextOps.tfIdfTopTerms(df.repartition(7), $"id", $"text", $"grp", k = 3)
+      .select("grp", "term", "rank").as[(String, String, Int)].collect()
+    assert(top.toSet == again.toSet)
   }
 }
 

@@ -160,6 +160,21 @@ class StreamsSpec extends SparkSpec {
       // counts positive
       assert(got.filter($"session_end" < $"session_start").count() == 0)
       assert(got.filter($"n_events" <= 0).count() == 0)
+      // batch ≡ streaming: the declarative sessionizeBatch must agree
+      // with the stateful streaming operator on every CLOSED session
+      // (the streaming side's state holds each user's final session
+      // open forever, so batch = streaming + exactly the last session
+      // per user)
+      val batch = Streams.sessionizeBatch(
+        spark.read.parquet(eventsDir), gapMs = 3600 * 1000L)
+      assert(got.exceptAll(batch).count() == 0,
+        "streaming emitted a session batch does not have")
+      val openOnly = batch.exceptAll(got)
+      val lastPerUser = batch.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max($"session_start").as("session_start"))
+      assert(openOnly.count() == lastPerUser.count())
+      assert(openOnly.join(lastPerUser, Seq("user_id", "session_start"), "left_anti").count() == 0,
+        "batch-minus-streaming contained a non-final session")
     } finally q.stop()
   }
 
