@@ -266,6 +266,28 @@ object SparkEntry {
            'EPSG:4326', 'EPSG:3857', true)), 4) AS my
          FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""),
 
+    // Native-tier transform overload (struct in/struct out, no WKB/JTS
+    // in the loop): same Mercator math as q_geo_transform, certified
+    // through the POINT_2D entry point + box corner semantics
+    "q_native_transform" -> q(Seq("customer"),
+      """SELECT c_custkey,
+         round(p.x, 4) AS mx, round(p.y, 4) AS my,
+         round(b.min_x, 4) AS bx0, round(b.max_y, 4) AS by1
+         FROM (
+           SELECT c_custkey,
+             st_transform_point2d(named_struct(
+               'x', CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+               'y', CAST(c_custkey % 160 AS DOUBLE) - 79.5),
+               'EPSG:4326', 'EPSG:3857', true) AS p,
+             st_transform_box2d(named_struct(
+               'min_x', CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+               'min_y', CAST(c_custkey % 160 AS DOUBLE) - 79.5,
+               'max_x', CAST(c_custkey % 360 AS DOUBLE) - 179.0,
+               'max_y', CAST(c_custkey % 160 AS DOUBLE) - 78.75),
+               'EPSG:4326', 'EPSG:3857', true) AS b
+           FROM customer WHERE c_custkey <= 300) t
+         ORDER BY c_custkey"""),
+
     // NAD83 / New York Long Island state plane (ftUS) — Lambert
     // Conformal Conic 2SP over points inside the zone of validity;
     // oracled by the closed-form Snyder formulas inlined in SQL.
@@ -2078,6 +2100,16 @@ object SparkEntry {
         """SELECT c_custkey,
            round(radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5) * 6378137.0, 4) AS mx,
            round(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 160 AS DOUBLE) - 79.5) / 2)), 4) AS my
+           FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
+
+      // native POINT_2D/BOX_2D tier: identical spherical-Mercator
+      // closed form; box row checks the corner-transform semantics
+      "q_native_transform" ->
+        """SELECT c_custkey,
+           round(radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5) * 6378137.0, 4) AS mx,
+           round(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 160 AS DOUBLE) - 79.5) / 2)), 4) AS my,
+           round(radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5) * 6378137.0, 4) AS bx0,
+           round(6378137.0 * ln(tan(pi() / 4 + radians(CAST(c_custkey % 160 AS DOUBLE) - 78.75) / 2)), 4) AS by1
            FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
 
       // Lambert Conformal Conic 2SP (Snyder PP1395) for EPSG:2263 in
