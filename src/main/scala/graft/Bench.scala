@@ -362,9 +362,23 @@ object Bench {
         out.unpersist(blocking = false)
         r
       }
-      spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L) // warm plan shapes
+      // CRS transform at amortized scale: the REAL native-tier operator
+      // (TransformNative over POINT_2D structs — the q_geo_transform
+      // kernel whose only prior oracle timing was a floor-bound micro
+      // row) vs the oracle's closed-form spherical-Mercator SQL
+      def transformN(n: Long): Long =
+        spark.range(n).selectExpr(
+            """st_transform_point2d(named_struct(
+                 'x', CAST(id % 360 AS DOUBLE) - 179.5,
+                 'y', CAST(id % 160 AS DOUBLE) - 79.5),
+               'EPSG:4326', 'EPSG:3857', true) AS p""")
+          .agg(count(lit(1)), sum(col("p.x") + col("p.y"))).collect()(0).getLong(0)
+      spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
+      transformN(1000000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
+      results("transform_10m") = medianOf("transform_10m",
+        () => time { transformN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("knn_join_10m") = medianOf("knn_join_10m",
         () => time { knnN(10000000L, 1000L) }, cutoff = 30.0, trialsN = 3)
       results("dedup_exact_10m") = medianOf("dedup_exact_10m",
@@ -406,6 +420,11 @@ object Bench {
            SELECT count(*) AS n, sum(length(text)) AS s FROM (
              SELECT t.* FROM docs t
              JOIN (SELECT min(id) AS keep FROM docs GROUP BY md5(text)) k ON t.id = k.keep)""",
+      "transform_10m" ->
+        """SELECT count(*) AS n, sum(mx + my) AS s FROM (
+             SELECT radians(CAST(range % 360 AS DOUBLE) - 179.5) * 6378137.0 AS mx,
+                    6378137.0 * ln(tan(pi() / 4 + radians(CAST(range % 160 AS DOUBLE) - 79.5) / 2)) AS my
+             FROM range(10000000))""",
       "pack_10m" ->
         """WITH t AS (SELECT range AS id, 1 + (range*37) % 100 AS tok,
                         md5('1:' || CAST(range AS VARCHAR)) AS ord
