@@ -902,6 +902,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-curation filter funnel: ordered quality-gate chain
+    // (language, token count, mean word length, digit ratio, PII) with
+    // per-prefix survivor counts in ONE scan — the report a curation
+    // run ships with. PII gate runs on the planted-PII text so it
+    // actually drops documents.
+    "q_doc_funnel" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val planted =
+        """concat(text,
+           CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING),
+             '@example.com via http://ex.org/p?id=', CAST(doc_id AS STRING)) ELSE '' END,
+           CASE WHEN doc_id % 5 = 0 THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),
+             ' host 10.0.', CAST(doc_id % 256 AS STRING), '.7') ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN ' call (555) 123-4567 now' ELSE '' END)"""
+      val df = s.table("documents").withColumn("__pt", expr(planted))
+      operators.TextOps.filterFunnel(df, Seq(
+        "n_lang" -> (operators.TextOps.langId(col("text")) === "en"),
+        "n_tok" -> operators.TextOps.tokenCount(col("text")).between(40, 2000),
+        "n_mwl" -> operators.TextOps.meanWordLength(col("text")).between(3.0, 10.0),
+        "n_digit" -> (operators.TextOps.digitRatio(col("text")) < 0.15),
+        "n_clean" -> !operators.TextOps.hasPii(col("__pt"))))
+    }),
+
     // stratified deterministic sampling: per-source keep rates (the
     // corpus-rebalancing pass), salted-md5 predicate, survivors
     // aggregated per stratum with an id checksum
@@ -1490,6 +1514,59 @@ object SparkEntry {
    *  as Spark's greatest(struct(hits, lang)) — alphabetically-last
    *  language wins ties — plus the full quality-score formula with the
    *  identical double op sequence. */
+  /** q_doc_funnel oracle: running-conjunction survivor counts over the
+   *  same gate formulas the langid/pii oracles already replicate. */
+  private lazy val funnelOracle: String = {
+    val hits = duckStops.map { case (lg, ws) =>
+      s"length(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS h_$lg"
+    }.mkString(",\n           ")
+    val piiSum =
+      """(length(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + length(regexp_extract_all(pt, '\b\d{3}-\d{2}-\d{4}\b'))
+          + length(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          + length(regexp_extract_all(pt, '\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b')))"""
+    s"""WITH t AS (
+         SELECT doc_id, text,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR
+                || '@example.com via http://ex.org/p?id=' || doc_id::VARCHAR ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                || ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' call (555) 123-4567 now' ELSE '' END AS pt
+         FROM documents),
+       base AS (
+         SELECT doc_id, text, pt,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           length(string_split_regex(trim(text), '\\s+')) AS ntok
+         FROM t),
+       h AS (
+         SELECT *, $hits,
+           length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         FROM base),
+       g AS (
+         SELECT doc_id,
+           (CASE WHEN length(text) > 0 AND CAST(cjk AS DOUBLE) / length(text) > 0.25 THEN 'zh'
+                 WHEN greatest(h_en, h_de, h_fr, h_es, h_it) > 0 THEN
+                   CASE greatest(h_en, h_de, h_fr, h_es, h_it)
+                     WHEN h_it THEN 'it' WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+                     WHEN h_en THEN 'en' ELSE 'de' END
+                 ELSE 'und' END) = 'en' AS g1,
+           ntok BETWEEN 40 AND 2000 AS g2,
+           (CASE WHEN ntok > 0 THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ntok ELSE 0.0 END)
+             BETWEEN 3.0 AND 10.0 AS g3,
+           (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)
+             < 0.15 AS g4,
+           $piiSum = 0 AS g5
+         FROM h)
+       SELECT count(*) AS n_total,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+         CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+         CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       FROM g"""
+  }
+
   private lazy val langidOracle: String = {
     val hits = duckStops.map { case (lg, ws) =>
       s"length(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS h_$lg"
@@ -2759,6 +2836,7 @@ object SparkEntry {
 
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,
+      "q_doc_funnel" -> funnelOracle,
       "q_emb_ann_pairs" -> annOracle,
       "q_emb_dedup" -> embDedupOracle,
       "q_mm_decode" -> mmDecodeOracle,

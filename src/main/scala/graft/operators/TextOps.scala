@@ -198,6 +198,27 @@ object TextOps {
   }
 
   /**
+   * Filter-funnel accounting: for an ordered chain of quality gates,
+   * how many documents survive each prefix of the chain (the report
+   * every corpus-curation run ships with). ONE scan — the running
+   * conjunctions are computed as conditional-sum aggregates, so at
+   * 100 TB this is a single pass with map-side partial aggregation and
+   * a 1-row result, instead of N filtered sub-scans (the naive
+   * formulation reads the corpus once per stage).
+   * Returns one row: n_total plus one survivor count per stage name.
+   */
+  def filterFunnel(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val running = stages.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }.tail
+    val aggs = count(lit(1)).as("n_total") +:
+      stages.zip(running).map { case ((name, _), cond) =>
+        sum(when(cond, 1L).otherwise(0L)).as(name)
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * TF-IDF top terms per group (source/domain keyword profiles — the
    * standard corpus-characterization pass over a crawl). Terms are
    * lowercase alpha runs of >= 2 chars; `tf` counts occurrences within

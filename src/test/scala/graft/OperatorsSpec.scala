@@ -728,6 +728,25 @@ class TextOpsSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "de", "es", "fr", "zh"), langs.mkString(","))
   }
 
+  test("filterFunnel: running-conjunction survivor counts in one scan") {
+    val df = Seq(
+      ("aa bb", 10, true), ("cc dd", 5, true), ("ee ff", 10, false), ("gg", 1, true)
+    ).toDF("t", "n", "ok")
+    val out = TextOps.filterFunnel(df, Seq(
+      "s1" -> ($"n" >= 5), "s2" -> $"ok", "s3" -> ($"t".contains("a"))))
+    val r = out.collect()(0)
+    assert(r.getLong(0) == 4)          // n_total
+    assert(r.getLong(1) == 3)          // n>=5
+    assert(r.getLong(2) == 2)          // and ok
+    assert(r.getLong(3) == 1)          // and contains 'a'
+    // monotone non-increasing by construction
+    val vals = (0 to 3).map(r.getLong)
+    assert(vals == vals.sorted.reverse)
+    // one scan: a single aggregate, no joins/unions in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"), plan)
+  }
+
   test("tfIdfTopTerms: group-distinctive terms outrank ubiquitous ones, k bound, stable") {
     // 'common' appears in every doc (idf ~ 0); 'alpha'/'beta' are
     // group-exclusive and must take rank 1 in their group
