@@ -902,6 +902,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // overlapping token-window chunking (RAG/embedding ingestion):
+    // 32-token windows every 24 tokens, md5 digests per chunk
+    "q_doc_chunks" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.chunkTokens(s.table("documents"), col("doc_id"), col("text"),
+          chunkSize = 32, stride = 24)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tok"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // corpus-curation filter funnel: ordered quality-gate chain
     // (language, token count, mean word length, digit ratio, PII) with
     // per-prefix survivor counts in ONE scan — the report a curation
@@ -2837,6 +2849,26 @@ object SparkEntry {
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
+
+      // same window geometry: last window = smallest k*stride reaching
+      // the tail; list_slice is 1-based inclusive like Spark's slice
+      "q_doc_chunks" ->
+        """WITH b AS (
+             SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+               length(string_split_regex(trim(text), '\s+')) AS ntok
+             FROM documents),
+           k AS (
+             SELECT doc_id, toks, ntok,
+               CASE WHEN ntok <= 32 THEN 0 ELSE (ntok - 32 + 23) // 24 END AS kk
+             FROM b),
+           c AS (
+             SELECT doc_id, toks, ntok, unnest(generate_series(0, kk)) AS chunk_idx
+             FROM k)
+           SELECT doc_id, chunk_idx,
+             least(32, ntok - chunk_idx * 24) AS n_tok,
+             md5(array_to_string(list_slice(toks, chunk_idx * 24 + 1,
+               chunk_idx * 24 + least(32, ntok - chunk_idx * 24)), ' ')) AS chunk_md5
+           FROM c ORDER BY doc_id, chunk_idx""",
       "q_emb_ann_pairs" -> annOracle,
       "q_emb_dedup" -> embDedupOracle,
       "q_mm_decode" -> mmDecodeOracle,

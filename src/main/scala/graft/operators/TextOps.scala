@@ -198,6 +198,31 @@ object TextOps {
   }
 
   /**
+   * Overlapping token-window chunking (the embedding/RAG ingestion
+   * primitive: long documents become `size`-token windows every
+   * `stride` tokens, so context survives window boundaries). Pure
+   * expression composition — split, explode over the window index
+   * range, slice — so the 100 TB shape is a narrow map with fanout
+   * ~ntok/stride and NO shuffle; each chunk row carries only its own
+   * tokens. Window k covers tokens [k*stride, k*stride+size); the last
+   * window starts at the smallest k*stride reaching the tail.
+   * Output: id, chunk_idx, n_tok, chunk_text.
+   */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      chunkSize: Int = 256, stride: Int = 192): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize, "bad chunk geometry")
+    val base = df.select(id.as("id"), split(trim(text), "\\s+").as("__toks"))
+      .withColumn("__ntok", size(col("__toks")))
+    val lastK = when(col("__ntok") <= chunkSize, lit(0))
+      .otherwise(floor((col("__ntok") - chunkSize + stride - 1) / stride).cast("int"))
+    base.withColumn("chunk_idx", explode(sequence(lit(0), lastK)))
+      .withColumn("n_tok", least(lit(chunkSize), col("__ntok") - col("chunk_idx") * stride))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("chunk_idx") * stride + 1, col("n_tok"))))
+      .select(col("id"), col("chunk_idx"), col("n_tok"), col("chunk_text"))
+  }
+
+  /**
    * Filter-funnel accounting: for an ordered chain of quality gates,
    * how many documents survive each prefix of the chain (the report
    * every corpus-curation run ships with). ONE scan — the running

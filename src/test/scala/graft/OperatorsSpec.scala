@@ -728,6 +728,27 @@ class TextOpsSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "de", "es", "fr", "zh"), langs.mkString(","))
   }
 
+  test("chunkTokens: window geometry, full coverage, overlap, no shuffle") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, (1 to 32).map(i => s"t$i").mkString(" "))).toDF("id", "t")
+    val chunks = TextOps.chunkTokens(df, $"id", $"t", chunkSize = 32, stride = 24)
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    // 100 tokens, size 32 stride 24: k = ceil(68/24) = 3 -> 4 windows
+    assert(byDoc(1L).length == 4)
+    assert(byDoc(2L).length == 1 && byDoc(2L)(0).getInt(2) == 2)
+    assert(byDoc(3L).length == 1)   // exactly chunkSize tokens -> one window
+    // windows cover every token: union of [k*24, k*24+n_tok) = [0, 100)
+    val covered = byDoc(1L).flatMap(r =>
+      (r.getInt(1) * 24) until (r.getInt(1) * 24 + r.getInt(2))).toSet
+    assert(covered == (0 until 100).toSet)
+    // consecutive windows overlap by size - stride = 8 tokens
+    val c0 = byDoc(1L).find(_.getInt(1) == 0).get.getString(3).split(" ")
+    val c1 = byDoc(1L).find(_.getInt(1) == 1).get.getString(3).split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // narrow map plan: no exchange
+    assert(!chunks.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("filterFunnel: running-conjunction survivor counts in one scan") {
     val df = Seq(
       ("aa bb", 10, true), ("cc dd", 5, true), ("ee ff", 10, false), ("gg", 1, true)
