@@ -48,6 +48,21 @@ class CoverageSpec extends SparkSpec {
       s"COVERAGE/reference functions not in the live registry: ${unregistered.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every driver-gate query is cited somewhere in COVERAGE.md") {
+    // the pipeline/extras tables cite oracle rows as (q_...) — a new
+    // SparkEntry.queries entry that never lands a COVERAGE citation is
+    // the same drift class as the round-5 missing-rows bug
+    val src = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
+    val doc = try src.mkString finally src.close()
+    val missing = SparkEntry.queries.keySet.filterNot(doc.contains)
+    // geo/native/source rows are covered per-function in the reference
+    // table; the gate here is the beyond-reference operator surface
+    val pipelineMissing = missing.filter(n =>
+      n.startsWith("q_doc_") || n.startsWith("q_emb_") || n.startsWith("q_events_"))
+    assert(pipelineMissing.isEmpty,
+      s"COVERAGE.md cites no row for: ${pipelineMissing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("row count matches the declared index size") {
     // the header states the index size; keep the literal honest
     val src = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
