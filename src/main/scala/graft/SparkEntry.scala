@@ -902,6 +902,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // link-graph quality prior (PageRank over a domain graph derived
+    // closed-form from doc ids): exact BIGINT micro-unit fixed-point
+    // iteration — hash-certifiable, unlike a double-precision PageRank
+    "q_graph_pagerank" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val edges = s.table("documents")
+        .selectExpr("doc_id % 100 AS src", "(doc_id DIV 100 * 13 + doc_id * 7 + 3) % 100 AS dst")
+      operators.LinkGraph.pageRankMicro(edges, col("src"), col("dst"),
+          iterations = 5, damping = 85)
+        .select(col("v").as("vertex"), col("rank_micro"))
+        .orderBy("vertex")
+    }),
+
     // overlapping token-window chunking (RAG/embedding ingestion):
     // 32-token windows every 24 tokens, md5 digests per chunk
     "q_doc_chunks" -> ((s, dir) => {
@@ -1526,6 +1540,33 @@ object SparkEntry {
    *  as Spark's greatest(struct(hits, lang)) — alphabetically-last
    *  language wins ties — plus the full quality-score formula with the
    *  identical double op sequence. */
+  /** q_graph_pagerank oracle: the same exact-integer power iteration
+   *  unrolled as one CTE block per iteration (recursive CTEs cannot
+   *  aggregate over the recursive term, so the unroll IS the portable
+   *  formulation). `//` = floor division on non-negative BIGINTs,
+   *  matching Spark's DIV. */
+  private lazy val pageRankOracle: String = {
+    val base = 1000000000L; val damping = 85
+    val baseTerm = base * (100 - damping) / 100
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+           SELECT v.v,
+             CAST($baseTerm + ($damping * coalesce(s.insum, 0)) // 100 AS BIGINT) AS r
+           FROM v LEFT JOIN (
+             SELECT e.dst AS v, sum(r.r // d.deg) AS insum
+             FROM r${i - 1} r JOIN deg d ON r.v = d.src JOIN e ON e.src = d.src
+             GROUP BY e.dst) s ON v.v = s.v)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (
+         SELECT DISTINCT doc_id % 100 AS src, (doc_id // 100 * 13 + doc_id * 7 + 3) % 100 AS dst
+         FROM documents WHERE doc_id % 100 <> (doc_id // 100 * 13 + doc_id * 7 + 3) % 100),
+       deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       r0 AS (SELECT v, CAST($base AS BIGINT) AS r FROM v),
+       $iters
+       SELECT v AS vertex, r AS rank_micro FROM r5 ORDER BY vertex"""
+  }
+
   /** q_doc_funnel oracle: running-conjunction survivor counts over the
    *  same gate formulas the langid/pii oracles already replicate. */
   private lazy val funnelOracle: String = {
@@ -2849,6 +2890,7 @@ object SparkEntry {
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
+      "q_graph_pagerank" -> pageRankOracle,
 
       // same window geometry: last window = smallest k*stride reaching
       // the tail; list_slice is 1-based inclusive like Spark's slice

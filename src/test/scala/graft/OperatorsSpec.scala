@@ -621,6 +621,27 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s25.size - n / 4.0) < n * 0.02)
   }
 
+  test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
+    import graft.operators.LinkGraph
+    // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
+    // b: 0.15e9 + 85*(1e9/2)/100          = 575_000_000
+    // c: 0.15e9 + 85*(1e9/2 + 1e9)/100    = 1_425_000_000
+    // a: 0.15e9 + 85*1e9/100              = 1_000_000_000
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val r1 = LinkGraph.pageRankMicro(edges, $"s", $"d", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1000000000L, 2L -> 575000000L, 3L -> 1425000000L), r1.toString)
+    // exact integers: repartitioned input yields bit-identical ranks at depth 5
+    val a = LinkGraph.pageRankMicro(edges, $"s", $"d", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val b = LinkGraph.pageRankMicro(edges.repartition(7), $"s", $"d", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // total mass is conserved up to the dangling leak (none here: every
+    // vertex has outlinks), so the sum stays near N * base
+    assert(math.abs(a.values.sum - 3000000000L) <= 3)
+  }
+
   test("stratified predicate: per-stratum rates, salted, content-stable") {
     val n = 20000
     val df = spark.range(n).select($"id", concat(lit("s"), ($"id" % 4).cast("string")).as("src"))
