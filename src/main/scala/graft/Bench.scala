@@ -373,8 +373,21 @@ object Bench {
                  'y', CAST(id % 160 AS DOUBLE) - 79.5),
                'EPSG:4326', 'EPSG:3857', true) AS p""")
           .agg(count(lit(1)), sum(col("p.x") + col("p.y"))).collect()(0).getLong(0)
+      // iterative graph workload: exact-integer PageRank, 5 power
+      // iterations over a closed-form ~10M-edge / 100k-vertex domain
+      // graph — the oracle runs the identical recurrence as 5 unrolled
+      // CTE blocks (same SQL family as the q_graph_pagerank oracle)
+      def pagerankN(n: Long, mod: Long): Long = {
+        val edges = spark.range(n).selectExpr(
+          s"id % $mod AS src", s"(id DIV $mod * 13 + id * 7 + 3) % $mod AS dst")
+        val r = graft.operators.LinkGraph.pageRankMicro(
+          edges, col("src"), col("dst"), iterations = 5)
+        val out = r.agg(count(lit(1)), sum("rank_micro")).collect()(0).getLong(0)
+        r.unpersist(blocking = false)
+        out
+      }
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
-      transformN(1000000L) // warm plan shapes
+      transformN(1000000L); pagerankN(1000000L, 10000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("transform_10m") = medianOf("transform_10m",
@@ -385,8 +398,32 @@ object Bench {
         () => time { dedupN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("pack_10m") = medianOf("pack_10m",
         () => time { packN(10000000L) }, cutoff = 30.0, trialsN = 3)
+      results("pagerank_10m") = medianOf("pagerank_10m",
+        () => time { pagerankN(10000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
+    }
+    val pagerankOracle10m: String = {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+             SELECT v.v,
+               CAST(150000000 + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS r
+             FROM v LEFT JOIN (
+               SELECT e.dst AS v, sum(r.r // d.deg) AS insum
+               FROM r${i - 1} r JOIN deg d ON r.v = d.src JOIN e ON e.src = d.src
+               GROUP BY e.dst) s ON v.v = s.v)"""
+      }.mkString(",\n           ")
+      s"""WITH e AS (
+           SELECT DISTINCT range % 100000 AS src,
+             (range // 100000 * 13 + range * 7 + 3) % 100000 AS dst
+           FROM range(10000000)
+           WHERE range % 100000 <> (range // 100000 * 13 + range * 7 + 3) % 100000),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS r FROM v),
+         $iters
+         SELECT count(*) AS n, sum(r) AS s FROM r5"""
     }
     val operatorOracles = Map(
+      "pagerank_10m" -> pagerankOracle10m,
       "spatial_join_10m" ->
         """SELECT count(*) AS n, sum(cnt) AS s FROM (
              SELECT z.zid, count(*) AS cnt
