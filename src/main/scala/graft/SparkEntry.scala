@@ -902,6 +902,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ordered event-sequence funnel (view -> click -> purchase within
+    // 24 h per hop, first-touch): per-step completing populations
+    "q_events_funnel" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      operators.EventOps.sequenceFunnel(s.table("events"),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"), withinMs = 86400L * 1000L)
+        .orderBy("step_idx")
+    }),
+
     // link-graph quality prior (PageRank over a domain graph derived
     // closed-form from doc ids): exact BIGINT micro-unit fixed-point
     // iteration — hash-certifiable, unlike a double-precision PageRank
@@ -2891,6 +2902,24 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+
+      // same chained first-touch semantics over floor-second ms times
+      "q_events_funnel" ->
+        """WITH e AS (
+             SELECT user_id AS u, (epoch_ms(ts) // 1000) * 1000 AS t, event_type AS ty
+             FROM events),
+           s1 AS (SELECT u, min(t) AS t FROM e WHERE ty = 'view' GROUP BY u),
+           s2 AS (SELECT e.u, min(e.t) AS t FROM e
+                  JOIN s1 ON e.u = s1.u AND e.t > s1.t AND e.t <= s1.t + 86400000
+                  WHERE e.ty = 'click' GROUP BY e.u),
+           s3 AS (SELECT e.u, min(e.t) AS t FROM e
+                  JOIN s2 ON e.u = s2.u AND e.t > s2.t AND e.t <= s2.t + 86400000
+                  WHERE e.ty = 'purchase' GROUP BY e.u)
+           SELECT * FROM (
+             SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+             UNION ALL SELECT 2, 'click', count(*) FROM s2
+             UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+           ORDER BY step_idx""",
 
       // same window geometry: last window = smallest k*stride reaching
       // the tail; list_slice is 1-based inclusive like Spark's slice

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over (user, timestamp, type) streams —
+ * the conversion-funnel / agent-telemetry counterpart of the document
+ * pipeline. Deterministic by construction: step times are integer-ms
+ * minima, step populations are counts, so results hash-certify across
+ * engines.
+ */
+object EventOps {
+
+  /**
+   * Ordered sequence funnel (first-touch): a user completes step k if
+   * an event of `steps(k)` occurs STRICTLY after their step-(k-1) time
+   * and within `withinMs` of it; the step time is the earliest such
+   * event. Returns (step_idx, step, n_users), one row per step.
+   *
+   * Scale shape: one narrow event scan feeds k step frames, each a
+   * user-keyed equi-join (range predicate rides the join) + min
+   * aggregate — users-cardinality frames after the first aggregate,
+   * never events-cardinality; the final counts are k tiny aggregates
+   * unioned into one plan. No windows, no state store, no driver
+   * loop over data — the k-step chain is plan composition only.
+   */
+  def sequenceFunnel(
+      events: DataFrame, user: Column, ts: Column, typ: Column,
+      steps: Seq[String], withinMs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinMs > 0, "withinMs must be positive")
+    val e = events.select(user.cast("long").as("u"),
+      (ts.cast("long") * 1000).as("t"), typ.as("ty"))
+    var cur = e.filter(col("ty") === steps.head)
+      .groupBy("u").agg(min("t").as("t"))
+    var frames = List(steps.head -> cur)
+    steps.tail.foreach { s =>
+      val prev = cur.select(col("u").as("pu"), col("t").as("pt"))
+      cur = e.filter(col("ty") === s)
+        .join(prev, col("u") === col("pu")
+          && col("t") > col("pt") && col("t") <= col("pt") + withinMs)
+        .groupBy("u").agg(min("t").as("t"))
+      frames ::= (s -> cur)
+    }
+    frames.reverse.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(name).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -621,6 +621,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s25.size - n / 4.0) < n * 0.02)
   }
 
+  test("sequenceFunnel: ordered first-touch steps, window bound, strict ordering") {
+    import graft.operators.EventOps
+    import java.sql.Timestamp
+    def ev(u: Long, s: Long, ty: String) = (u, new Timestamp(s * 1000), ty)
+    val events = Seq(
+      ev(1, 100, "view"), ev(1, 200, "click"), ev(1, 300, "purchase"), // full funnel
+      ev(2, 100, "view"), ev(2, 5000, "click"),                        // click outside window
+      ev(3, 200, "click"), ev(3, 300, "view"),                         // click BEFORE view: not step 2
+      ev(4, 100, "view"), ev(4, 100, "click")                          // same second: strict > fails
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.sequenceFunnel(events, $"user_id", $"ts", $"event_type",
+        Seq("view", "click", "purchase"), withinMs = 1000L * 1000L)
+      .orderBy("step_idx").as[(Int, String, Long)].collect()
+    assert(out.toSeq == Seq((1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L)),
+      out.mkString(";"))
+  }
+
   test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
     import graft.operators.LinkGraph
     // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
