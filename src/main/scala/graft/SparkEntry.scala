@@ -913,6 +913,16 @@ object SparkEntry {
         .orderBy("step_idx")
     }),
 
+    // weekly cohort retention (k = 0..4 periods): integer period
+    // arithmetic, hash-certifiable
+    "q_events_retention" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      operators.EventOps.retentionCohorts(s.table("events"),
+          col("user_id"), col("ts"), periodMs = 7L * 86400000L, maxPeriods = 4)
+        .orderBy("cohort_period", "period_offset")
+    }),
+
     // link-graph quality prior (PageRank over a domain graph derived
     // closed-form from doc ids): exact BIGINT micro-unit fixed-point
     // iteration — hash-certifiable, unlike a double-precision PageRank
@@ -2902,6 +2912,20 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+
+      // same absolute-period cohorting over floor-second ms times
+      "q_events_retention" ->
+        """WITH up AS (
+             SELECT DISTINCT user_id AS u,
+               ((epoch_ms(ts) // 1000) * 1000) // 604800000 AS p
+             FROM events),
+           firsts AS (SELECT u, min(p) AS c FROM up GROUP BY u)
+           SELECT f.c AS cohort_period, up.p - f.c AS period_offset,
+             count(*) AS n_users
+           FROM up JOIN firsts f ON up.u = f.u
+           WHERE up.p - f.c <= 4
+           GROUP BY f.c, up.p - f.c
+           ORDER BY cohort_period, period_offset""",
 
       // same chained first-touch semantics over floor-second ms times
       "q_events_funnel" ->

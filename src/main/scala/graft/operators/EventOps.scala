@@ -48,4 +48,32 @@ object EventOps {
         .select(lit(i + 1).as("step_idx"), lit(name).as("step"), col("n_users"))
     }.reduce(_ unionAll _)
   }
+
+  /**
+   * Cohort retention: users are cohorted by the period of their first
+   * event (absolute period index = event-ms / `periodMs`, so no global
+   * scalar is needed); retention(c, k) = how many cohort-c users have
+   * ANY event in period c+k, for k in [0, maxPeriods]. Returns
+   * (cohort_period, period_offset, n_users); k=0 is the cohort size.
+   *
+   * Scale shape: one distinct over (user, period) — the only
+   * events-cardinality shuffle, with partial aggregation — then
+   * user-keyed min + self-join on the users-cardinality frame. All
+   * integer arithmetic: hash-certifiable.
+   */
+  def retentionCohorts(
+      events: DataFrame, user: Column, ts: Column,
+      periodMs: Long, maxPeriods: Int): DataFrame = {
+    require(periodMs > 0 && maxPeriods >= 0, "bad retention params")
+    val up = events.select(user.cast("long").as("u"),
+        (ts.cast("long") * 1000).as("__tms"))
+      .select(col("u"), expr(s"__tms DIV $periodMs").as("p")) // exact integer division
+      .distinct()
+    val firsts = up.groupBy("u").agg(min("p").as("c"))
+    up.join(firsts, "u")
+      .select(col("c").as("cohort_period"), (col("p") - col("c")).as("period_offset"))
+      .filter(col("period_offset") <= maxPeriods)
+      .groupBy("cohort_period", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

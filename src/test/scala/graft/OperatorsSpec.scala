@@ -638,6 +638,24 @@ class SamplingSpec extends SparkSpec {
       out.mkString(";"))
   }
 
+  test("retentionCohorts: first-period cohorting, offset cap, churn visible") {
+    import graft.operators.EventOps
+    import java.sql.Timestamp
+    val P = 100L * 1000L // 100 s periods
+    def ev(u: Long, period: Long) = (u, new Timestamp(period * 100 * 1000), s"e")
+    val events = Seq(
+      ev(1, 0), ev(1, 1), ev(1, 2),  // cohort 0, retained through k=2
+      ev(2, 0), ev(2, 2),            // cohort 0, skips k=1
+      ev(3, 1), ev(3, 9),            // cohort 1, k=8 beyond cap
+      ev(4, 0)                       // cohort 0, churns immediately
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.retentionCohorts(events, $"user_id", $"ts", P, maxPeriods = 4)
+      .orderBy("cohort_period", "period_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 3L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)),
+      out.mkString(";"))
+  }
+
   test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
     import graft.operators.LinkGraph
     // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
