@@ -913,6 +913,19 @@ object SparkEntry {
         .orderBy("step_idx")
     }),
 
+    // tokenizer-apply: corpus-derived 200-token vocab (dense ids by
+    // frequency rank), documents to ordered id sequences, unk = 0
+    "q_doc_token_ids" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val docs = s.table("documents")
+      val vocab = operators.TextOps.buildVocab(docs, col("text"), k = 200)
+      operators.TextOps.applyVocab(docs, col("doc_id"), col("text"), vocab)
+        .select(col("id").as("doc_id"), col("n_tok"), col("n_unk"),
+          md5(concat_ws(",", col("ids"))).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     // weekly cohort retention (k = 0..4 periods): integer period
     // arithmetic, hash-certifiable
     "q_events_retention" -> ((s, dir) => {
@@ -2912,6 +2925,31 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+
+      // same rank-ordered vocab + per-position lookup; string_agg
+      // ORDER BY pos restores sequence order (1-based subscripts vs
+      // Spark's 0-based pos — ordering only, values identical)
+      "q_doc_token_ids" ->
+        """WITH tok AS (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             FROM documents),
+           vocab AS (
+             SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS tid
+             FROM (SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 0
+                   GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 200) t),
+           docs AS (
+             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+             FROM documents),
+           flat AS (
+             SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+             FROM docs),
+           j AS (
+             SELECT f.doc_id, f.pos, coalesce(v.tid, 0) AS tid
+             FROM flat f LEFT JOIN vocab v ON f.token = v.token)
+           SELECT doc_id, count(*) AS n_tok,
+             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+             md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+           FROM j GROUP BY doc_id ORDER BY doc_id""",
 
       // same absolute-period cohorting over floor-second ms times
       "q_events_retention" ->

@@ -223,6 +223,43 @@ object TextOps {
   }
 
   /**
+   * Corpus vocabulary with dense ids: top-`k` tokens by (count desc,
+   * token asc), id = 1-based rank. Deterministic across engines and
+   * reruns (exact counts, total tie order). The frame is k rows —
+   * broadcastable by construction.
+   */
+  def buildVocab(df: org.apache.spark.sql.DataFrame, text: Column,
+      k: Int = 200): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    topTokens(df, text, k)
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .select("token", "tid")
+  }
+
+  /**
+   * Vocabulary application (the tokenizer-apply step): every document
+   * becomes its ordered token-id sequence; unknown tokens map to 0.
+   * Scale shape: posexplode → broadcast hash join against the k-row
+   * vocab → one groupBy(id) that re-assembles the sequence via
+   * array_sort on (pos, tid) structs — the document's ids are the only
+   * per-doc state, order restored without a window. Returns
+   * (id, n_tok, n_unk, ids) with `ids` the ordered id array.
+   */
+  def applyVocab(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val flat = df.select(id.as("id"), posexplode(tokens(text)).as(Seq("pos", "token")))
+    flat.join(bcast(vocab), Seq("token"), "left")
+      .select(col("id"), col("pos"), coalesce(col("tid"), lit(0)).as("tid"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_unk"),
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid")).as("ids"))
+  }
+
+  /**
    * Filter-funnel accounting: for an ordered chain of quality gates,
    * how many documents survive each prefix of the chain (the report
    * every corpus-curation run ships with). ONE scan — the running

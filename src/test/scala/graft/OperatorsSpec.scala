@@ -784,6 +784,22 @@ class TextOpsSpec extends SparkSpec {
     assert(langs.toSeq == Seq("en", "de", "es", "fr", "zh"), langs.mkString(","))
   }
 
+  test("applyVocab: ordered id sequences, unk=0, broadcast join") {
+    val docs = Seq((1L, "b a c a"), (2L, "zz a"), (3L, "b b b")).toDF("id", "t")
+    val vocab = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("token", "tid")
+    val out = TextOps.applyVocab(docs, $"id", $"t", vocab)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getSeq[Int](3).toList)).toMap
+    assert(rows(1L) == ((4L, 0L, List(2, 1, 3, 1))))   // order preserved
+    assert(rows(2L) == ((2L, 1L, List(0, 1))))          // unknown -> 0
+    assert(rows(3L) == ((3L, 0L, List(2, 2, 2))))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // buildVocab: rank by (count desc, token asc), 1-based dense ids
+    val v = TextOps.buildVocab(docs, $"t", k = 3)
+      .as[(String, Int)].collect().toMap
+    assert(v == Map("b" -> 1, "a" -> 2, "c" -> 3), v.toString)
+  }
+
   test("chunkTokens: window geometry, full coverage, overlap, no shuffle") {
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "short doc"), (3L, (1 to 32).map(i => s"t$i").mkString(" "))).toDF("id", "t")
