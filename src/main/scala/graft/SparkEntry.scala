@@ -913,6 +913,17 @@ object SparkEntry {
         .orderBy("step_idx")
     }),
 
+    // balanced per-source sample: exactly 5 docs per source, selected
+    // by content-stable salted-md5 order
+    "q_doc_balanced" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Sampling.fixedSizePerGroup(
+          s.table("documents"), col("doc_id"), col("source"), n = 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+
     // tokenizer-apply: corpus-derived 200-token vocab (dense ids by
     // frequency rank), documents to ordered id sequences, unk = 0
     "q_doc_token_ids" -> ((s, dir) => {
@@ -2925,6 +2936,16 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+
+      // same salted-md5 per-group total order, rank <= 5
+      "q_doc_balanced" ->
+        """SELECT source, doc_id FROM (
+             SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)) ASC,
+                          CAST(doc_id AS VARCHAR) ASC) AS rk
+             FROM documents) t
+           WHERE rk <= 5 ORDER BY source, doc_id""",
 
       // same rank-ordered vocab + per-position lookup; string_agg
       // ORDER BY pos restores sequence order (1-based subscripts vs

@@ -75,6 +75,26 @@ object Sampling {
   }
 
   /**
+   * Fixed-size deterministic sample per group (balanced eval sets:
+   * exactly `n` rows per stratum, not a rate). Rows are ranked inside
+   * each group by md5 of the salted key — a content-stable total
+   * order, so reruns and engine replays select the SAME rows. One
+   * group-keyed window over (group, hash) — at 100 TB pre-aggregate
+   * or pre-filter the candidate set first; the window sort is per
+   * group and the output is n·groups rows.
+   */
+  def fixedSizePerGroup(df: org.apache.spark.sql.DataFrame, key: Column,
+      group: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", group, key.cast("string")))
+    val w = Window.partitionBy(group).orderBy(h.asc, key.cast("string").asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /**
    * Stratified deterministic sampling: a different sampling rate per
    * stratum (the standard corpus-rebalancing pass — e.g. keep 100% of
    * books, 10% of common-crawl). The predicate hashes

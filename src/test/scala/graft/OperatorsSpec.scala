@@ -677,6 +677,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.values.sum - 3000000000L) <= 3)
   }
 
+  test("fixedSizePerGroup: exact n per group, content-stable, salted") {
+    val df = spark.range(1000).select($"id",
+      concat(lit("g"), ($"id" % 4).cast("string")).as("grp"))
+    val s5 = Sampling.fixedSizePerGroup(df, $"id", $"grp", 5)
+    val counts = s5.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(5L) && counts.size == 4)
+    // rerun on repartitioned input selects the SAME rows
+    val again = Sampling.fixedSizePerGroup(df.repartition(13), $"id", $"grp", 5)
+    assert(s5.exceptAll(again).count() == 0 && again.exceptAll(s5).count() == 0)
+    // n larger than the group returns the whole group
+    val small = df.filter($"id" < 3)
+    assert(Sampling.fixedSizePerGroup(small, $"id", $"grp", 5).count() == 3)
+  }
+
   test("stratified predicate: per-stratum rates, salted, content-stable") {
     val n = 20000
     val df = spark.range(n).select($"id", concat(lit("s"), ($"id" % 4).cast("string")).as("src"))
