@@ -913,6 +913,17 @@ object SparkEntry {
         .orderBy("step_idx")
     }),
 
+    // per-label embedding centroids in exact 1e-6-unit BIGINT sums
+    // (k-means M-step / class-mean shape, hash-certifiable)
+    "q_emb_centroids" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.groupCentroidsMicro(
+          s.table("embeddings"), col("label"), col("embedding"))
+        .select(col("grp").as("label"), col("dim"), col("n"), col("sum_micro"))
+        .orderBy("label", "dim")
+    }),
+
     // balanced per-source sample: exactly 5 docs per source, selected
     // by content-stable salted-md5 order
     "q_doc_balanced" -> ((s, dir) => {
@@ -2936,6 +2947,17 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+
+      // same float->double->round(1e6) quantization; generate_subscripts
+      // is 1-based (Spark pos is 0-based), aligned with dim-1
+      "q_emb_centroids" ->
+        """SELECT label, dim, count(*) AS n,
+             CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_micro
+           FROM (
+             SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding)::DOUBLE AS x
+             FROM embeddings)
+           GROUP BY label, dim ORDER BY label, dim""",
 
       // same salted-md5 per-group total order, rank <= 5
       "q_doc_balanced" ->

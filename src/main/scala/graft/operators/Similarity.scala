@@ -226,6 +226,24 @@ object Similarity {
 
   /** Collect a broadcast-sized centroid frame to (ids, vectors) for
    *  the constant-centroid expressions. Same contract as [[pqCodebook]]. */
+  /**
+   * Distributed per-group centroid accumulators (the k-means M-step /
+   * per-class mean-embedding shape): dimension-wise sums in EXACT
+   * 1e-6-unit BIGINTs — both engines start from the same float bits,
+   * so the quantized sums are aggregation-order-free and
+   * hash-certifiable, unlike a double mean. Scale shape: posexplode →
+   * ONE partial-aggregating groupBy on (group, dim) — (groups·dims)
+   * result rows, never a vector-sized shuffle payload. The centroid
+   * is sum_micro / n / 1e6, computed by the caller in whatever
+   * precision it needs. Returns (grp, dim, n, sum_micro); dim is
+   * 0-based.
+   */
+  def groupCentroidsMicro(df: DataFrame, group: Column, vec: Column): DataFrame =
+    df.select(group.as("grp"), posexplode(vec).as(Seq("dim", "__x")))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__x").cast("double") * 1e6, 0).cast("long")).as("sum_micro"))
+
   def centroidArrays(df: DataFrame, idCol: Column, vecCol: Column):
       (Array[Long], Array[Array[Double]]) = {
     val rows = df.select(idCol.cast("long").as("id"), vecCol.as("v")).orderBy("id").collect()
