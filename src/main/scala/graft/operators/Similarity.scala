@@ -372,4 +372,101 @@ object Similarity {
     rankTopK(cands, "query_id", "corpus_id", round(col("__sim"), 6), k,
       corpus.select(corpusId).schema.head.dataType, "cosine", "rank")
   }
+
+  /** Vector quantized to exact 1e-6-unit BIGINTs — the shared input
+   *  representation of the k-means loop (both engines start from the
+   *  same float bits, so every downstream sum/compare is exact). */
+  def microVec(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1e6, 0).cast("long"))
+
+  /** Squared-Euclidean argmin against a literal centroid table, all in
+   *  BIGINT micro-units: 0-based cluster index, first (lowest) index
+   *  wins ties. A pure map-side projection — the centroid table is a
+   *  plan constant, so assignment adds NO shuffle and stays inside
+   *  whole-stage codegen. Magnitude contract: |x| ≤ ~1.5e3 per
+   *  dimension keeps `d · (2·1.5e9)²` under Long range; embedding
+   *  coordinates (|x| ≤ O(1)) are far inside it. */
+  def kmeansAssign(microVec: Column, cents: Array[Array[Long]]): Column = {
+    require(cents.nonEmpty, "empty centroid table")
+    val centLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(microVec, c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /**
+   * Full Lloyd's k-means over an embedding column, hash-certifiable:
+   * coordinates quantize to 1e-6-unit BIGINTs up front and every step
+   * is exact integer arithmetic — squared-Euclidean distances are
+   * BIGINT sums, centroid updates are `sum DIV n` (truncating integer
+   * division, identical to DuckDB's `//`) — so the fixed point is
+   * bit-identical across engines, partitionings and reruns, unlike
+   * any double-precision k-means.
+   *
+   * Seeding is content-stable: the k rows with the smallest ids. An
+   * emptied cluster keeps its previous centroid (standard Lloyd
+   * fallback, replayable in SQL via COALESCE).
+   *
+   * Scale shape (the only one that survives 100 TB):
+   *  - E-step: [[kmeansAssign]] against the broadcast-literal centroid
+   *    table — a narrow map, no shuffle, no vector payload movement.
+   *  - M-step: posexplode → ONE partial-aggregating groupBy on
+   *    (cluster, dim) — exactly [[groupCentroidsMicro]]'s shape; the
+   *    exchange carries ≤ k·d rows per partition and k·d result rows
+   *    reach the driver (k, d are model constants, not data-sized).
+   *  - The quantized input is persisted once and freed at the end;
+   *    per-iteration work is one scan + one bounded-key aggregate.
+   *
+   * Returns (id, cluster) for `iters` centroid updates followed by a
+   * final assignment. The companion [[kmeansCentroidsMicro]] exposes
+   * the fitted centroid table itself.
+   */
+  def kmeansMicro(df: DataFrame, id: Column, vec: Column,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val (out, _) = kmeansFit(df, id, vec, k, iters)
+    out
+  }
+
+  /** Fitted centroid table of [[kmeansMicro]] as (cluster, dim,
+   *  centroid_micro) rows — k·d rows, broadcastable by construction. */
+  def kmeansCentroidsMicro(df: DataFrame, id: Column, vec: Column,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val (assigned, cents) = kmeansFit(df, id, vec, k, iters)
+    assigned.sparkSession.createDataFrame(
+      cents.zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (x, d) => (ci, d, x) }
+      }.toIndexedSeq).toDF("cluster", "dim", "centroid_micro")
+  }
+
+  /** Shared fit loop: (final assignments (id, cluster), centroids). */
+  def kmeansFit(df: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
+    require(k >= 1 && iters >= 0, "bad kmeans geometry")
+    val base = df.select(id.cast("long").as("id"), microVec(vec).as("__mv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds: k smallest ids — content-stable, an ORDER BY id LIMIT k
+    // in any engine (k rows to the driver, model-constant-sized)
+    var cents: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"need >= $k rows to seed $k clusters")
+    for (_ <- 1 to iters) {
+      val stats = base
+        .select(kmeansAssign(col("__mv"), cents).as("c"),
+          posexplode(col("__mv")).as(Seq("d", "x")))
+        .groupBy("c", "d")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .collect() // k·d rows — model-sized, never data-sized
+      val next = cents.map(_.clone()) // emptied cluster keeps its centroid
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(3) / r.getLong(2)
+      }
+      cents = next
+    }
+    val out = base.select(col("id"), kmeansAssign(col("__mv"), cents).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before freeing the quantized input
+    base.unpersist(blocking = false)
+    (out, cents)
+  }
 }

@@ -595,6 +595,52 @@ class SimilaritySpec extends SparkSpec {
       s"cluster recall ${sameCluster.toDouble / res.length}")
   }
 
+  test("kmeans: hand-checked Lloyd run on 1-D data, exact integer fixed point") {
+    // points 0.0, 0.2, 1.0, 1.2 (micro 0, 200000, 1000000, 1200000);
+    // seeds = two smallest ids -> c0=[0], c1=[200000].
+    // iter1 assign: 0->c0; 0.2->c1; 1.0,1.2->c1.
+    //   update: c0=[0], c1=(200000+1000000+1200000)/3=[800000]
+    // iter2 assign: 0->c0, 0.2->c0 (|200000-0| < |200000-800000|),
+    //   1.0,1.2->c1; update: c0=[100000], c1=[1100000]
+    // final assign: 0,0.2 -> c0; 1.0,1.2 -> c1
+    val df = Seq((0L, Seq(0.0f)), (1L, Seq(0.2f)), (2L, Seq(1.0f)), (3L, Seq(1.2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansMicro(df, $"vec_id", $"embedding", k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1), got.toSeq.sorted)
+    val cents = Similarity.kmeansCentroidsMicro(df, $"vec_id", $"embedding", k = 2, iters = 2)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(cents == Set((0, 0, 100000L), (1, 0, 1100000L)), cents)
+  }
+
+  test("kmeans: partitioning-invariant, recovers separable blobs, empty-cluster safe") {
+    // id = mem*3 + cl so the k smallest ids (the seeds) span the blobs
+    // — deterministic smallest-id seeding is only as good as the id
+    // order, exactly like any fixed-seed k-means
+    val rows = for (cl <- 0 until 3; mem <- 0 until 30) yield {
+      val base = Array.tabulate(8)(d => ((cl * 8 + d) * 2654435761L % 97).toFloat / 100.0f)
+      base(mem % 8) += 0.01f
+      (mem * 3L + cl, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansMicro(d, $"vec_id", $"embedding", k = 3, iters = 3)
+        .as[(Long, Int)].collect().toMap
+    val a = run(df)
+    assert(a == run(df.repartition(7, $"vec_id")), "partitioning changed the fit")
+    // purity: every blob lands in exactly one cluster
+    val byBlob = a.groupBy(_._1 % 3).map { case (b, m) => b -> m.values.toSet }
+    assert(byBlob.values.forall(_.size == 1), s"impure blobs: $byBlob")
+    assert(byBlob.values.toSet.size == 3, s"merged blobs: $byBlob")
+    // duplicate seed vectors force an emptied cluster: must not throw,
+    // must keep every point assigned
+    val dup = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val d2 = Similarity.kmeansMicro(dup, $"vec_id", $"embedding", k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(d2.keySet == Set(0L, 1L, 2L) && d2.values.forall(c => c == 0 || c == 1))
+  }
+
 }
 
 class SamplingSpec extends SparkSpec {
