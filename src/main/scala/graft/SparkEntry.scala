@@ -925,6 +925,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // SemDeDup: k-means blocking, then within-cluster cosine pairs
+    // over the original embeddings (round 6) — the cluster-scoped
+    // embedding near-dup pass, certified end to end
+    "q_emb_semdedup" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.semanticPairs(s.table("embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 2, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // per-label embedding centroids in exact 1e-6-unit BIGINT sums
     // (k-means M-step / class-mean shape, hash-certifiable)
     "q_emb_centroids" -> ((s, dir) => {
@@ -2048,6 +2059,56 @@ object SparkEntry {
 
   /** q_emb_dedup oracle: survivors of the greedy min-id near-dup pass —
    *  every vector that is never the higher id of a candidate pair. */
+  /** Two unrolled Lloyd iterations in exact BIGINT micro-units (k = 8,
+   *  seeds = 8 smallest ids): ends at CTE `a3` = the final assignment.
+   *  Shared by q_emb_kmeans and q_emb_semdedup. */
+  private lazy val kmeansOracleCtes: String =
+    """WITH mv AS (
+             SELECT vec_id AS id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
+             FROM embeddings),
+           dims AS (
+             SELECT id, generate_subscripts(mv, 1) - 1 AS d, unnest(mv) AS x FROM mv),
+           seed AS (
+             SELECT row_number() OVER (ORDER BY id) - 1 AS c, mv
+             FROM (SELECT * FROM mv ORDER BY id LIMIT 8)),
+           c0 AS (
+             SELECT c, generate_subscripts(mv, 1) - 1 AS d, unnest(mv) AS cx FROM seed),
+           d1 AS (
+             SELECT dims.id, c0.c, sum((dims.x - c0.cx) * (dims.x - c0.cx)) AS dist
+             FROM dims JOIN c0 ON dims.d = c0.d GROUP BY dims.id, c0.c),
+           a1 AS (
+             SELECT id, c FROM (
+               SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
+               FROM d1) t WHERE rn = 1),
+           u1 AS (
+             SELECT a1.c, dims.d, sum(dims.x) // count(*) AS cx
+             FROM a1 JOIN dims ON a1.id = dims.id GROUP BY a1.c, dims.d),
+           c1 AS (
+             SELECT c0.c, c0.d, COALESCE(u1.cx, c0.cx) AS cx
+             FROM c0 LEFT JOIN u1 ON c0.c = u1.c AND c0.d = u1.d),
+           d2 AS (
+             SELECT dims.id, c1.c, sum((dims.x - c1.cx) * (dims.x - c1.cx)) AS dist
+             FROM dims JOIN c1 ON dims.d = c1.d GROUP BY dims.id, c1.c),
+           a2 AS (
+             SELECT id, c FROM (
+               SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
+               FROM d2) t WHERE rn = 1),
+           u2 AS (
+             SELECT a2.c, dims.d, sum(dims.x) // count(*) AS cx
+             FROM a2 JOIN dims ON a2.id = dims.id GROUP BY a2.c, dims.d),
+           c2 AS (
+             SELECT c1.c, c1.d, COALESCE(u2.cx, c1.cx) AS cx
+             FROM c1 LEFT JOIN u2 ON c1.c = u2.c AND c1.d = u2.d),
+           d3 AS (
+             SELECT dims.id, c2.c, sum((dims.x - c2.cx) * (dims.x - c2.cx)) AS dist
+             FROM dims JOIN c2 ON dims.d = c2.d GROUP BY dims.id, c2.c),
+           a3 AS (
+             SELECT id, c FROM (
+               SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
+               FROM d3) t WHERE rn = 1)"""
+
   private lazy val embDedupOracle: String =
     s"""$annPairsCtes
        SELECT e.vec_id FROM embeddings e
@@ -2966,53 +3027,23 @@ object SparkEntry {
       // trunc-toward-zero integer centroid division (DuckDB `//` ==
       // Spark/Scala Long division), same (dist, c) tie order; an
       // emptied cluster COALESCEs to its previous centroid
-      "q_emb_kmeans" ->
-        """WITH mv AS (
-             SELECT vec_id AS id,
-               list_transform(embedding,
-                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
-             FROM embeddings),
-           dims AS (
-             SELECT id, generate_subscripts(mv, 1) - 1 AS d, unnest(mv) AS x FROM mv),
-           seed AS (
-             SELECT row_number() OVER (ORDER BY id) - 1 AS c, mv
-             FROM (SELECT * FROM mv ORDER BY id LIMIT 8)),
-           c0 AS (
-             SELECT c, generate_subscripts(mv, 1) - 1 AS d, unnest(mv) AS cx FROM seed),
-           d1 AS (
-             SELECT dims.id, c0.c, sum((dims.x - c0.cx) * (dims.x - c0.cx)) AS dist
-             FROM dims JOIN c0 ON dims.d = c0.d GROUP BY dims.id, c0.c),
-           a1 AS (
-             SELECT id, c FROM (
-               SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
-               FROM d1) t WHERE rn = 1),
-           u1 AS (
-             SELECT a1.c, dims.d, sum(dims.x) // count(*) AS cx
-             FROM a1 JOIN dims ON a1.id = dims.id GROUP BY a1.c, dims.d),
-           c1 AS (
-             SELECT c0.c, c0.d, COALESCE(u1.cx, c0.cx) AS cx
-             FROM c0 LEFT JOIN u1 ON c0.c = u1.c AND c0.d = u1.d),
-           d2 AS (
-             SELECT dims.id, c1.c, sum((dims.x - c1.cx) * (dims.x - c1.cx)) AS dist
-             FROM dims JOIN c1 ON dims.d = c1.d GROUP BY dims.id, c1.c),
-           a2 AS (
-             SELECT id, c FROM (
-               SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
-               FROM d2) t WHERE rn = 1),
-           u2 AS (
-             SELECT a2.c, dims.d, sum(dims.x) // count(*) AS cx
-             FROM a2 JOIN dims ON a2.id = dims.id GROUP BY a2.c, dims.d),
-           c2 AS (
-             SELECT c1.c, c1.d, COALESCE(u2.cx, c1.cx) AS cx
-             FROM c1 LEFT JOIN u2 ON c1.c = u2.c AND c1.d = u2.d),
-           d3 AS (
-             SELECT dims.id, c2.c, sum((dims.x - c2.cx) * (dims.x - c2.cx)) AS dist
-             FROM dims JOIN c2 ON dims.d = c2.d GROUP BY dims.id, c2.c),
-           a3 AS (
-             SELECT id, c FROM (
-               SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
-               FROM d3) t WHERE rn = 1)
+      "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same clustering, then within-cluster pairwise cosine (round 6)
+      // over the ORIGINAL float embeddings
+      "q_emb_semdedup" -> s"""$kmeansOracleCtes,
+           pairs AS (
+             SELECT x.c AS cluster, x.id AS id_a, y.id AS id_b,
+               round(list_sum([(ea.embedding[i]::DOUBLE) * (eb.embedding[i]::DOUBLE) for i in range(1, length(ea.embedding) + 1)])
+               / (sqrt(list_sum([(v::DOUBLE) * (v::DOUBLE) for v in ea.embedding]))
+                  * sqrt(list_sum([(v::DOUBLE) * (v::DOUBLE) for v in eb.embedding]))), 6) AS cosine
+             FROM a3 x JOIN a3 y ON x.c = y.c AND x.id < y.id
+             JOIN embeddings ea ON ea.vec_id = x.id
+             JOIN embeddings eb ON eb.vec_id = y.id)
+           SELECT CAST(cluster AS INTEGER) AS cluster, id_a, id_b, cosine
+           FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b""",
+
 
       "q_emb_centroids" ->
         """SELECT label, dim, count(*) AS n,

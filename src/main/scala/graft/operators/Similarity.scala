@@ -124,6 +124,47 @@ object Similarity {
     df.join(dups, id === col("__dup_id"), "left_anti")
   }
 
+  /**
+   * SemDeDup-style cluster-scoped semantic near-duplicate pairs
+   * (Abbas et al. 2023): k-means-cluster the corpus ([[kmeansFit]]),
+   * then compare ONLY within-cluster pairs — the quadratic all-pairs
+   * problem becomes k independent cluster-local ones, and `k` is the
+   * explicit knob bounding pair blowup (production SemDeDup runs
+   * k ≈ n/1000, making expected cluster-local work linear in n).
+   *
+   * Scale shape mirrors [[annPairs]]: the cluster-blocked self-join
+   * carries ONLY (cluster, id) — never the embedding payload; vectors
+   * re-join by id onto the (small) pair set for the one exact-cosine
+   * verify. Cosines round at 1e-6 so the pair set is engine- and
+   * partitioning-stable. Returns (cluster, id_a, id_b, cosine) with
+   * id_a < id_b.
+   */
+  def semanticPairs(df: DataFrame, id: Column, vec: Column,
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.4): DataFrame = {
+    val (assigned, _) = kmeansFit(df, id, vec, k, iters)
+    val a = assigned.select(col("cluster"), col("id").as("id_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"))
+    val idPairs = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+    val base = df.select(id.cast("long").as("__id"), vec.as("__v"))
+    idPairs
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("cluster", "id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup removal pass: greedy min-id survivor over
+   *  [[semanticPairs]] — any row with a semantic dup of smaller id is
+   *  dropped (same policy as [[dedupByEmbedding]] and the MinHash
+   *  dedup chain, so survivors are deterministic). */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.4): DataFrame = {
+    val dups = semanticPairs(df, id, vec, k, iters, threshold)
+      .select(col("id_b").as("__dup_id")).distinct()
+    df.join(dups, id.cast("long") === col("__dup_id"), "left_anti")
+  }
+
   /** Vector L2 norm (useful for filtering degenerate embeddings). */
   def l2Norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))

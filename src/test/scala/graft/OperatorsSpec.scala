@@ -595,6 +595,33 @@ class SimilaritySpec extends SparkSpec {
       s"cluster recall ${sameCluster.toDouble / res.length}")
   }
 
+  test("semdedup: planted near-dup found within its cluster, min-id survivor kept") {
+    // 3 separable blobs (seeds span blobs via id % 3 layout) plus a
+    // planted almost-copy of id 3 (blob 0's second member) at id 90
+    // 8 members per blob, each perturbing a DISTINCT dim (mem == dim)
+    // so intra-blob cosines stay ~0.99997 — under the 0.99999 gate —
+    // while the planted copy of id 3 sits at ~1.0
+    val rows = (for (cl <- 0 until 3; mem <- 0 until 8) yield {
+      val base = Array.tabulate(8)(d => ((cl * 8 + d) * 2654435761L % 97).toFloat / 100.0f)
+      base(mem) += 0.01f
+      (mem * 3L + cl, base.toSeq)
+    }) :+ {
+      val near = Array.tabulate(8)(d => ((0 * 8 + d) * 2654435761L % 97).toFloat / 100.0f)
+      near(1) += 0.0101f // vs id 3's +0.01 in dim 1
+      (90L, near.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticPairs(df, $"vec_id", $"embedding",
+      k = 3, iters = 2, threshold = 0.99999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 90L)), s"expected exactly the planted pair: $pairs")
+    val kept = Similarity.semanticDedup(df, $"vec_id", $"embedding",
+      k = 3, iters = 2, threshold = 0.99999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(3L) && !kept.contains(90L), "min-id survivor policy violated")
+    assert(kept.size == rows.size - pairs.size, s"${kept.size} survivors for ${pairs.size} pairs")
+  }
+
   test("kmeans: hand-checked Lloyd run on 1-D data, exact integer fixed point") {
     // points 0.0, 0.2, 1.0, 1.2 (micro 0, 200000, 1000000, 1200000);
     // seeds = two smallest ids -> c0=[0], c1=[200000].
