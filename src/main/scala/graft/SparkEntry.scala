@@ -925,6 +925,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Okapi BM25 top-5 retrieval for three fixed lexical queries —
+    // exact-rational scoring (micro-unit idf, integer num/den), so the
+    // ranking is hash-certifiable
+    "q_doc_bm25" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val qs = s.createDataFrame(Seq(
+        (1L, "hash join performance"),
+        (2L, "vector scan filter"),
+        (3L, "customer order table"))).toDF("query_id", "query_text")
+      operators.TextOps.bm25TopK(s.table("documents"),
+          col("doc_id"), col("text"), qs, col("query_id"), col("query_text"), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup: k-means blocking, then within-cluster cosine pairs
     // over the original embeddings (round 6) — the cluster-scoped
     // embedding near-dup pass, certified end to end
@@ -3029,6 +3044,43 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // full BM25 replication: same tokenizer, same exact-rational
+      // term weight (idf_micro · 22·tf·T / (10·tf·T + 3·T + 9·dl·N),
+      // one double division, per-term micro rounding, order-free sum)
+      "q_doc_bm25" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+             FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           stats AS (SELECT sum(dl) AS t, count(*) AS n FROM dl),
+           dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+           qs(query_id, query_text) AS (VALUES
+             (CAST(1 AS BIGINT), 'hash join performance'),
+             (CAST(2 AS BIGINT), 'vector scan filter'),
+             (CAST(3 AS BIGINT), 'customer order table')),
+           qterms AS (
+             SELECT query_id,
+               unnest(list_distinct(regexp_extract_all(lower(query_text), '[a-z]{2,}'))) AS term
+             FROM qs),
+           qstats AS (
+             SELECT q.query_id, q.term,
+               CAST(round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000, 0) AS BIGINT) AS idf_micro
+             FROM qterms q JOIN dfreq d USING (term), stats s),
+           terms AS (
+             SELECT q2.query_id, tf.doc_id,
+               CAST(round(CAST(q2.idf_micro AS DOUBLE) * CAST(22 * tf.tf * s.t AS DOUBLE)
+                 / CAST(10 * tf.tf * s.t + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE), 0) AS BIGINT) AS ts
+             FROM tf JOIN qstats q2 USING (term) JOIN dl USING (doc_id), stats s),
+           scored AS (
+             SELECT query_id, doc_id, CAST(sum(ts) AS BIGINT) AS score_micro
+             FROM terms GROUP BY 1, 2)
+           SELECT query_id, doc_id, score_micro, CAST(rank AS INTEGER) AS rank FROM (
+             SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+             FROM scored) t
+           WHERE rank <= 5 ORDER BY query_id, rank""",
 
       // same clustering, then within-cluster pairwise cosine (round 6)
       // over the ORIGINAL float embeddings

@@ -313,6 +313,78 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Okapi BM25 top-k retrieval over a document corpus — the classic
+   * lexical search scorer (and the strong baseline every
+   * embedding-retrieval pipeline is benchmarked against). Terms are
+   * lowercase alpha runs of >= 2 chars, same tokenizer as
+   * [[tfIdfTopTerms]].
+   *
+   * k1 = 1.2 and b = 0.75 are fixed as exact rationals so the whole
+   * score is engine-replayable: with T = total corpus tokens and
+   * N = doc count, the Okapi term weight
+   * `idf · tf·(k1+1) / (tf + k1·(1-b+b·dl·N/T))` multiplies out to
+   * `idf_micro · (22·tf·T) / (10·tf·T + 3·T + 9·dl·N)` — numerator
+   * and denominator are exact BIGINTs, the single double division is
+   * IEEE-correctly rounded (identical in any engine), and each term
+   * contribution rounds to a 1e-6-unit BIGINT before the order-free
+   * per-(query, doc) sum. idf_micro = round6(ln((N-df+0.5)/(df+0.5)+1))
+   * — the RSJ+1 form, always positive. Overflow contract:
+   * 22·tf·T < 2^63 (T up to ~4e17 tokens at tf 1e3 — far beyond any
+   * single corpus).
+   *
+   * Scale shape: tokenize once; (doc, term) tf and per-doc dl are
+   * partial-aggregating groupBys; query terms and their df/idf rows
+   * broadcast onto the tf table (queries are small by construction),
+   * so candidate generation is exchange-free; the per-(query, doc)
+   * sum partial-aggregates; the final top-k is the bounded
+   * [[graft.functions.TopKByScore]] aggregate — ≤ k rows per (query,
+   * partition) reach the exchange, never the full posting list.
+   * T and N are 1-row scalar stats (same contract as the other
+   * scalar-stat operators). Output: (query_id, doc_id, score_micro,
+   * rank), rank by (score desc, doc_id asc).
+   */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, docId: Column, text: Column,
+      queries: org.apache.spark.sql.DataFrame, queryId: Column, queryText: Column,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val toks = docs.select(docId.as("doc_id"),
+      explode(regexp_extract_all(lower(text), lit("[a-z]{2,}"), lit(0))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val Array(bigT, nDocs) = dl.agg(sum(col("dl")), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(queryId.as("query_id"),
+      explode(array_distinct(
+        regexp_extract_all(lower(queryText), lit("[a-z]{2,}"), lit(0)))).as("term"))
+    // (query_id, term, idf_micro): |queries|·|query terms| rows — tiny
+    val idfMicro = round(
+      log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6, 0)
+      .cast("long")
+    val qstats = qterms.join(dfreq, "term").select(
+      col("query_id"), col("term"), idfMicro.as("idf_micro"))
+    val termScore = round(
+      col("idf_micro").cast("double") * (lit(22L) * col("tf") * lit(bigT)).cast("double")
+        / (lit(10L) * col("tf") * lit(bigT) + lit(3L) * lit(bigT)
+           + lit(9L) * col("dl") * lit(nDocs)).cast("double"), 0).cast("long")
+    val scored = tf.join(bcast(qstats), "term")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), termScore.as("__ts"))
+      .groupBy("query_id", "doc_id").agg(sum(col("__ts")).as("__sm"))
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.TopKByScore(
+          org.apache.spark.sql.graft.ColumnShim.expr(col("__sm").cast("double")),
+          org.apache.spark.sql.graft.ColumnShim.expr(col("doc_id").cast("long")),
+          k).toAggregateExpression()).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("score_micro"),
+        (col("pos") + lit(1)).as("rank"))
+  }
+
   /** Fraction of non-empty lines that are duplicates of another line —
    *  the Gopher "duplicate line fraction" repetition filter (boiler-
    *  plate / template detection). Pure built-ins, stays in codegen. */

@@ -810,6 +810,40 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25: closed-form replication, idf ordering, tf saturation, length norm") {
+    // corpus: "cat" appears in 1/4 docs (rare), "dog" in 3/4 (common)
+    val docs = Seq(
+      (1L, "cat dog bird"),          // tf(cat)=1, dl=3
+      (2L, "dog dog fish lizard"),   // tf(dog)=2, dl=4
+      (3L, "dog fish"),              // tf(dog)=1, dl=2
+      (4L, "fish fish fish fish")    // dl=4
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "cat dog")).toDF("query_id", "query_text")
+    val got = TextOps.bm25TopK(docs, $"doc_id", $"text", qs, $"query_id", $"query_text", k = 4)
+      .select("doc_id", "score_micro", "rank").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // closed-form: T=13, N=4
+    val (bigT, n) = (13L, 4L)
+    def idfM(df: Long) = math.round(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+    def ts(idf: Long, tf: Long, dl: Long) =
+      math.round(idf.toDouble * (22L * tf * bigT).toDouble /
+        (10L * tf * bigT + 3L * bigT + 9L * dl * n).toDouble)
+    val exp = Map(
+      1L -> (ts(idfM(1), 1, 3) + ts(idfM(3), 1, 3)), // cat + dog
+      2L -> ts(idfM(3), 2, 4),
+      3L -> ts(idfM(3), 1, 2),
+      4L -> 0L)
+    // doc 4 matches nothing -> absent from results
+    assert(!got.contains(4L), s"unmatched doc retrieved: $got")
+    assert(got.view.mapValues(_._1).toMap == exp.filter(_._2 > 0),
+      s"scores: got=$got exp=$exp")
+    // rare "cat" outweighs everything: doc 1 first despite tf(dog)=2 in doc 2
+    assert(got(1L)._2 == 1, s"idf ordering broken: $got")
+    // length normalization: same tf(dog)=1 would rank shorter doc 3 over doc 1's
+    // dog term alone; with saturation, doc 2 (tf=2, dl=4) vs doc 3 (tf=1, dl=2)
+    assert(got(2L)._1 > ts(idfM(3), 1, 4), "tf saturation lost the second occurrence")
+  }
+
   test("pii detection counts + typed redaction") {
     val df = Seq(
       ("mail me at a.b+c@test.org or admin@sub.example.co.uk thanks", 2, 0, 0, 0, 0),
