@@ -1400,6 +1400,23 @@ object SparkEntry {
 
     // KML source: placemark-per-row with folder-path layer column; the
     // ORACLE is tools/make_kml_golden.py's independent xml.etree parse
+    // GML source vs an independent xml.etree golden (same pattern as
+    // gpx/kml): layer/fid/props/srs plus geometry type, point count
+    // and bbox per feature member
+    "q_src_gml" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      sources.GeoRead.read(s, "/root/repo/src/test/resources/gml/sample.gml")
+        .select(col("layer"), col("fid"),
+          col("props").getItem("name").as("name"), col("srs"),
+          st_geometrytype(col("geom")).as("gtype"),
+          st_npoints(col("geom")).as("npts"),
+          st_xmin(col("geom")).as("x0"), st_ymin(col("geom")).as("y0"),
+          st_xmax(col("geom")).as("x1"), st_ymax(col("geom")).as("y1"))
+        .orderBy("layer", "fid")
+    }),
+
     "q_src_kml" -> ((s, dir) => {
       Graft.install(s)
       import org.apache.spark.sql.functions._
@@ -3477,12 +3494,22 @@ object SparkEntry {
            FROM read_parquet('/tmp/graft_table_stats/*.parquet', filename=true)
            GROUP BY 1 ORDER BY 1""",
 
+      "q_src_gml" ->
+        """SELECT layer, fid, name, srs, gtype, npts, x0, y0, x1, y1
+           FROM read_csv('/root/repo/src/test/resources/golden/gml_golden.csv',
+             header=true,
+             columns={'layer':'VARCHAR','fid':'VARCHAR','name':'VARCHAR',
+                      'srs':'VARCHAR','gtype':'VARCHAR','npts':'INTEGER',
+                      'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
+           ORDER BY layer, fid""",
+
       "q_drivers" ->
         """SELECT * FROM (VALUES
              ('csv_wkt', 'CSV with WKT geometry column', true, true),
              ('flatgeobuf', 'FlatGeobuf (.fgb, splittable via spatial index)', true, true),
              ('geojson', 'GeoJSON (FeatureCollection / newline-delimited)', true, true),
              ('geopackage', 'GeoPackage (.gpkg, SQLite container)', true, true),
+             ('gml', 'Geography Markup Language (.gml, feature-member rows)', true, false),
              ('gpx', 'GPS Exchange Format (.gpx; waypoints/routes/tracks layers)', true, false),
              ('kml', 'Keyhole Markup Language (.kml, placemark rows)', true, false),
              ('osm_pbf', 'OpenStreetMap PBF (.osm.pbf)', true, false),

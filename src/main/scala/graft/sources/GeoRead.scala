@@ -136,8 +136,9 @@ object GeoRead {
         (Gpx.read(spark, path, if (opts.layer.nonEmpty) opts.layer else "waypoints"),
           Some("geom"))
       else if (lower.endsWith(".kml")) (Kml.read(spark, path), Some("geom"))
+      else if (lower.endsWith(".gml")) (Gml.read(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf, .gpx, .kml)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -384,7 +385,8 @@ object GeoRead {
         Row("csv_wkt", "CSV with WKT geometry column", true, true),
         Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false),
         Row("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, false),
-        Row("kml", "Keyhole Markup Language (.kml, placemark rows)", true, false)))
+        Row("kml", "Keyhole Markup Language (.kml, placemark rows)", true, false),
+        Row("gml", "Geography Markup Language (.gml, feature-member rows)", true, false)))
 
   /** ST_List_Proj_CRS analog (reference proj/functions.cpp:380-430):
    *  dump of the supported CRS catalog with the reference's columns. */
@@ -512,6 +514,13 @@ object GeoRead {
           Seq(geomField("geom", "Unknown", crsRow("WGS 84", "EPSG", "4326", ""))),
           Seq(stdField("folder", "string"), stdField("name", "string"),
             stdField("description", "string"), stdField("ext", "map<string,string>")))))
+      } else if (lower.endsWith(".gml")) {
+        // GML carries per-geometry srsName; surfaced as the `srs`
+        // column rather than asserted at the layer level
+        ("gml", Seq(Row(baseName(path), -1L,
+          Seq(geomField("geom", "Unknown", crsRow("", "", "", ""))),
+          Seq(stdField("layer", "string"), stdField("fid", "string"),
+            stdField("srs", "string"), stdField("props", "map<string,string>")))))
       } else ("unknown", Seq.empty[Row])
 
     val longName = drivers(spark).collect()

@@ -98,4 +98,54 @@ class GpxKmlSpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(gpxPath), tmp.resolve("b.gpx"))
     assert(GeoRead.read(spark, tmp.toString).count() == 6) // 2x waypoints
   }
+
+  private val gmlPath = "/root/repo/src/test/resources/gml/sample.gml"
+
+  test("gml: feature members, gml2/gml3 geometry forms, srs, props, Z") {
+    import org.apache.spark.sql.functions._
+    import graft.GeoFunctions._
+    val df = GeoRead.read(spark, gmlPath)
+    assert(df.count() == 7)
+    val byFid = df.collect().map(r => r.getAs[String]("fid") -> r).toMap
+
+    // polygon with hole (GML3 exterior/interior posList)
+    val bld = df.filter(col("fid") === "bld.1")
+      .selectExpr("st_ninteriorrings(geom)", "st_npoints(geom)",
+        "srs", "props['height']")
+      .collect()(0)
+    assert(bld.get(0) == 1 && bld.get(1) == 10)
+    assert(bld.getString(2) == "EPSG:4326" && bld.getString(3) == "42.5")
+
+    // srsDimension=3 posList keeps Z
+    val road = df.filter(col("fid") === "road.7")
+      .selectExpr("st_hasz(geom)", "st_npoints(geom)").collect()(0)
+    assert(road.getBoolean(0) && road.get(1) == 3)
+
+    // Curve merges LineStringSegments, deduping the shared vertex
+    val river = df.filter(col("fid") === "rv.4")
+      .selectExpr("st_geometrytype(geom)", "st_npoints(geom)").collect()(0)
+    assert(river.getString(0) == "LINESTRING" && river.get(1) == 4)
+
+    // GML2 coordinates polygon (outerBoundaryIs, cs/ts defaults)
+    val zone = df.filter(col("fid") === "zone.3")
+      .selectExpr("st_geometrytype(geom)", "st_area(geom)").collect()(0)
+    assert(zone.getString(0) == "POLYGON" && zone.getDouble(1) == 16.0)
+
+    // MultiSurface -> MULTIPOLYGON with both members
+    val park = df.filter(col("fid") === "park.9")
+      .selectExpr("st_geometrytype(geom)", "st_ngeometries(geom)").collect()(0)
+    assert(park.getString(0) == "MULTIPOLYGON" && park.get(1) == 2)
+
+    // http-style srsName normalizes; absent srsName stays null
+    assert(byFid("st.1").getAs[String]("srs") == "EPSG:3857")
+    assert(byFid("st.2").getAs[String]("srs") == null)
+    // featureMembers (plural) yielded both stations
+    assert(df.filter(col("layer") === "Station").count() == 2)
+
+    val drivers = GeoRead.drivers(spark).collect().map(_.getString(0)).toSet
+    assert(drivers.contains("gml"))
+    val meta = GeoRead.readMeta(spark, gmlPath)
+      .selectExpr("driver_short_name").collect()(0).getString(0)
+    assert(meta == "gml")
+  }
 }
