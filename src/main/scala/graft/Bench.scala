@@ -386,8 +386,20 @@ object Bench {
         r.unpersist(blocking = false)
         out
       }
+      // iterative clustering workload: the exact-integer Lloyd fit
+      // (2 updates + final assign) over 1M closed-form 8-dim vectors —
+      // the oracle runs the identical unrolled recurrence with
+      // list-comprehension distances (its fastest formulation)
+      def kmeansN(n: Long): Long = {
+        val vecs = spark.range(n).selectExpr("id",
+          "transform(sequence(0, 7), d -> ((id*37 + d*11)*48271 % 1000003) / 1000003.0) AS v")
+        val (fit, _) = graft.operators.Similarity.kmeansFit(vecs, col("id"), col("v"), 8, 2)
+        val r = fit.agg(count(lit(1)), sum("cluster")).collect()(0).getLong(0)
+        fit.unpersist(blocking = false)
+        r
+      }
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
-      transformN(1000000L); pagerankN(1000000L, 10000L) // warm plan shapes
+      transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("transform_10m") = medianOf("transform_10m",
@@ -400,6 +412,8 @@ object Bench {
         () => time { packN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("pagerank_10m") = medianOf("pagerank_10m",
         () => time { pagerankN(10000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
+      results("kmeans_1m") = medianOf("kmeans_1m",
+        () => time { kmeansN(1000000L) }, cutoff = 30.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -457,6 +471,45 @@ object Bench {
            SELECT count(*) AS n, sum(length(text)) AS s FROM (
              SELECT t.* FROM docs t
              JOIN (SELECT min(id) AS keep FROM docs GROUP BY md5(text)) k ON t.id = k.keep)""",
+      "kmeans_1m" -> {
+        // two unrolled Lloyd iterations + final assignment, identical
+        // recurrence to Similarity.kmeansFit; distances via list
+        // comprehension (the id x dim join formulation is ~5x slower)
+        def assign(cl: String, out: String) =
+          s"""$out AS (
+               SELECT id, list_indexof(ds, list_min(ds)) - 1 AS c FROM (
+                 SELECT id,
+                   [list_sum([(mv[i] - cent[i]) * (mv[i] - cent[i]) for i in range(1, 9)]) for cent in cents] AS ds
+                 FROM mv, $cl))"""
+        def update(a: String, prevD: String, outU: String, outD: String, outL: String) =
+          s"""$outU AS (
+               SELECT c, gs - 1 AS d, sum(x) // count(*) AS cx FROM (
+                 SELECT $a.c, generate_subscripts(mv.mv, 1) AS gs, unnest(mv.mv) AS x
+                 FROM $a JOIN mv ON $a.id = mv.id) t
+               GROUP BY c, gs),
+             $outD AS (
+               SELECT $prevD.c, $prevD.d, COALESCE($outU.cx, $prevD.cx) AS cx
+               FROM $prevD LEFT JOIN $outU ON $prevD.c = $outU.c AND $prevD.d = $outU.d),
+             $outL AS (
+               SELECT list(cl ORDER BY c) AS cents FROM (
+                 SELECT c, list(cx ORDER BY d) AS cl FROM $outD GROUP BY c) g)"""
+        s"""WITH mv AS (
+             SELECT range AS id,
+               [CAST(round(((range*37 + d*11)*48271 % 1000003) / 1000003.0 * 1000000, 0) AS BIGINT) for d in range(0, 8)] AS mv
+             FROM range(1000000)),
+           c0l AS (
+             SELECT list(mv ORDER BY id) AS cents FROM (SELECT * FROM mv ORDER BY id LIMIT 8)),
+           c0d AS (
+             SELECT c, generate_subscripts(mv, 1) - 1 AS d, unnest(mv) AS cx
+             FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS c, mv
+                   FROM (SELECT * FROM mv ORDER BY id LIMIT 8)) s),
+           ${assign("c0l", "a1")},
+           ${update("a1", "c0d", "u1", "c1d", "c1l")},
+           ${assign("c1l", "a2")},
+           ${update("a2", "c1d", "u2", "c2d", "c2l")},
+           ${assign("c2l", "a3")}
+           SELECT count(*) AS n, sum(c) AS s FROM a3"""
+      },
       "transform_10m" ->
         """SELECT count(*) AS n, sum(mx + my) AS s FROM (
              SELECT radians(CAST(range % 360 AS DOUBLE) - 179.5) * 6378137.0 AS mx,

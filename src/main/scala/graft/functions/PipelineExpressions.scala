@@ -525,3 +525,45 @@ case class NearestCentroids(
   override protected def withNewChildInternal(c: Expression): NearestCentroids =
     copy(child = c)
 }
+
+/**
+ * Integer-exact k-means E-step: squared-Euclidean argmin of a
+ * 1e-6-unit BIGINT vector against a constant centroid matrix; 0-based
+ * cluster index, first (lowest) index wins ties. The tight primitive
+ * loop replaces the transform/zip_with/aggregate lambda tower (which
+ * allocates intermediate ArrayData per centroid per row) — the E-step
+ * is the per-row hot path of every Lloyd iteration. Same exactness
+ * contract as [[graft.operators.Similarity.kmeansMicro]].
+ */
+case class KmeansAssignMicro(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "empty centroid table")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kmeans_assign_micro"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      require(cent.length == n, s"kmeans_assign_micro: dim ${cent.length} != $n")
+      var d = 0L
+      var j = 0
+      while (j < n) {
+        val diff = x.getLong(j) - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): KmeansAssignMicro =
+    copy(child = c)
+}

@@ -420,21 +420,17 @@ object Similarity {
   def microVec(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1e6, 0).cast("long"))
 
-  /** Squared-Euclidean argmin against a literal centroid table, all in
-   *  BIGINT micro-units: 0-based cluster index, first (lowest) index
-   *  wins ties. A pure map-side projection — the centroid table is a
-   *  plan constant, so assignment adds NO shuffle and stays inside
-   *  whole-stage codegen. Magnitude contract: |x| ≤ ~1.5e3 per
+  /** Squared-Euclidean argmin against a constant centroid table, all
+   *  in BIGINT micro-units: 0-based cluster index, first (lowest)
+   *  index wins ties. A pure map-side projection — the centroid table
+   *  is a plan constant, so assignment adds NO shuffle; the tight-loop
+   *  [[graft.functions.KmeansAssignMicro]] expression does the argmin
+   *  without per-row allocation. Magnitude contract: |x| ≤ ~1.5e3 per
    *  dimension keeps `d · (2·1.5e9)²` under Long range; embedding
    *  coordinates (|x| ≤ O(1)) are far inside it. */
-  def kmeansAssign(microVec: Column, cents: Array[Array[Long]]): Column = {
-    require(cents.nonEmpty, "empty centroid table")
-    val centLit = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-    val dists = transform(centLit, c =>
-      aggregate(zip_with(microVec, c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  def kmeansAssign(microVec: Column, cents: Array[Array[Long]]): Column =
+    ColumnShim.column(graft.functions.KmeansAssignMicro(
+      ColumnShim.expr(microVec), cents))
 
   /**
    * Full Lloyd's k-means over an embedding column, hash-certifiable:
