@@ -925,6 +925,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // positional inverted index with both df-pruning dials active
+    // (min drops the rare tail, max drops stopword-frequency terms)
+    "q_doc_inverted" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.invertedIndex(s.table("documents"),
+          col("doc_id"), col("text"), minDf = 30, maxDf = 390)
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          concat_ws(",", col("positions")).as("positions_csv"))
+        .orderBy("term", "doc_id")
+    }),
+
     // Okapi BM25 top-5 retrieval for three fixed lexical queries —
     // exact-rational scoring (micro-unit idf, integer num/den), so the
     // ranking is hash-certifiable
@@ -3061,6 +3073,23 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same tokenizer; positions from generate_subscripts (0-based),
+      // posting rows filtered by the same df window
+      "q_doc_inverted" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) - 1 AS pos
+             FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS ts
+                   FROM documents) t),
+           post AS (
+             SELECT term, doc_id, count(*) AS tf,
+               string_agg(pos, ',' ORDER BY pos) AS positions_csv
+             FROM toks GROUP BY term, doc_id),
+           dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+           SELECT term, doc_id, tf, df, positions_csv
+           FROM post JOIN dfreq USING (term)
+           WHERE df >= 30 AND df <= 390
+           ORDER BY term, doc_id""",
 
       // full BM25 replication: same tokenizer, same exact-rational
       // term weight (idf_micro · 22·tf·T / (10·tf·T + 3·T + 9·dl·N),

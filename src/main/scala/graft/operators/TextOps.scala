@@ -314,6 +314,38 @@ object TextOps {
   }
 
   /**
+   * Positional inverted index — the search-index build pass (the
+   * artifact BM25/phrase search serve from). One row per (term,
+   * doc_id) posting: tf and the ordered 0-based token positions
+   * within the document. `minDf`/`maxDf` bound the indexed vocabulary
+   * (df < minDf drops hapax noise, df > maxDf drops stopwords — the
+   * standard index-pruning dials; 0 disables either).
+   *
+   * Scale shape: positions come from ONE posexplode of the tokenized
+   * scan; the (term, doc) groupBy partial-aggregates and its state is
+   * bounded by document length (positions stay within their own
+   * posting row — never a corpus-sized array). The df gate is a
+   * vocabulary-sized aggregate joined back onto postings; at corpus
+   * scale that frame broadcasts. Postings land sorted by nothing —
+   * write them bucketed/sorted by term for serving locality.
+   */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      minDf: Long = 0, maxDf: Long = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val toks = df.select(id.as("doc_id"),
+      posexplode(regexp_extract_all(lower(text), lit("[a-z]{2,}"), lit(0)))
+        .as(Seq("pos", "term")))
+    val postings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    if (minDf <= 0 && maxDf <= 0) return postings
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter((if (minDf > 0) col("df") >= minDf else lit(true)) &&
+              (if (maxDf > 0) col("df") <= maxDf else lit(true)))
+    postings.join(bcast(dfreq.select("term", "df")), "term")
+  }
+
+  /**
    * Okapi BM25 top-k retrieval over a document corpus — the classic
    * lexical search scorer (and the strong baseline every
    * embedding-retrieval pipeline is benchmarked against). Terms are

@@ -810,6 +810,30 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("inverted index: ordered positions, tf, df dials prune both tails") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta delta"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val full = TextOps.invertedIndex(docs, $"doc_id", $"text")
+    val a1 = full.filter($"term" === "alpha" && $"doc_id" === 1)
+      .select($"tf", $"positions").as[(Long, Seq[Int])].collect()(0)
+    assert(a1 == ((2L, Seq(0, 2))), a1)
+    assert(full.count() == 7) // alpha x2, beta x2, gamma x1, delta x2 postings
+    // df: alpha 2, beta 2, gamma 1, delta 2 — minDf drops gamma,
+    // maxDf=1 would keep only gamma
+    val pruned = TextOps.invertedIndex(docs, $"doc_id", $"text", minDf = 2, maxDf = 2)
+    assert(pruned.select("term").distinct().as[String].collect().toSet ==
+      Set("alpha", "beta", "delta"))
+    val onlyRare = TextOps.invertedIndex(docs, $"doc_id", $"text", maxDf = 1)
+    assert(onlyRare.select("term").distinct().as[String].collect().toSet == Set("gamma"))
+    // collect_list order is partitioning-dependent; sort_array must fix it
+    val re = TextOps.invertedIndex(docs.repartition(5), $"doc_id", $"text")
+      .filter($"term" === "alpha" && $"doc_id" === 1)
+      .select($"positions").as[Seq[Int]].collect()(0)
+    assert(re == Seq(0, 2))
+  }
+
   test("bm25: closed-form replication, idf ordering, tf saturation, length norm") {
     // corpus: "cat" appears in 1/4 docs (rare), "dog" in 3/4 (common)
     val docs = Seq(
