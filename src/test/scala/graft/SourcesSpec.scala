@@ -277,7 +277,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("drivers + read_meta") {
-    assert(GeoRead.drivers(spark).count() == 9)
+    assert(GeoRead.drivers(spark).count() == 10)
     assume(nycShp.isDefined)
     val meta = GeoRead.readMeta(spark, nycShp.get).collect()(0)
     assert(meta.getString(1) == "shapefile")
