@@ -925,6 +925,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // winnowing fingerprints (MOSS): per-doc selected-set digest —
+    // certifies normalization, k-gram hashing, window minima and the
+    // short-document fallback in one row
+    "q_doc_winnow" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Dedup.winnowFingerprints(s.table("documents"),
+          col("doc_id"), col("text"), k = 8, w = 4)
+        .orderBy("doc_id")
+    }),
+
     // positional inverted index with both df-pruning dials active
     // (min drops the rare tail, max drops stopword-frequency terms)
     "q_doc_inverted" -> ((s, dir) => {
@@ -3073,6 +3084,27 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same normalization, same "md5(gram):padded-pos" encoding, same
+      // window minima (lexicographic string min) and short-doc fallback
+      "q_doc_winnow" ->
+        """WITH d AS (
+             SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+             FROM documents),
+           g AS (
+             SELECT doc_id, greatest(length(norm) - 8 + 1, 0) AS ng,
+               [md5(substr(norm, i+1, 8)) || ':' || lpad(CAST(i AS VARCHAR), 7, '0')
+                for i in range(0, greatest(length(norm) - 8 + 1, 0))] AS hs
+             FROM d),
+           w AS (
+             SELECT doc_id, ng,
+               list_distinct([list_min(hs[j+1:least(j+4, ng)])
+                 for j in range(0, CASE WHEN ng = 0 THEN 0 WHEN ng < 4 THEN 1 ELSE ng - 4 + 1 END)]) AS sels
+             FROM g)
+           SELECT doc_id, CAST(ng AS INTEGER) AS n_grams,
+             CAST(len(sels) AS INTEGER) AS n_sel,
+             md5(array_to_string(list_sort(sels), ',')) AS fp_digest
+           FROM w ORDER BY doc_id""",
 
       // same tokenizer; positions from generate_subscripts (0-based),
       // posting rows filtered by the same df window

@@ -405,6 +405,89 @@ object Dedup {
   def fingerprint(text: Column, k: Int = 8): Column =
     ColumnShim.column(Fingerprint(ColumnShim.expr(text), k))
 
+  /**
+   * Winnowing fingerprint selections (Schleimer, Wilkerson, Aiken
+   * 2003 — the MOSS local fingerprinting algorithm): normalize to
+   * lowercase alphanumerics, hash every character `k`-gram, and from
+   * each window of `w` consecutive gram hashes select the minimum.
+   * Winnowing guarantees any match of length >= k + w - 1 shares a
+   * selected fingerprint, at ~2/(w+1) the density of full k-gram
+   * hashing — the right primitive for copy/plagiarism detection where
+   * MinHash's whole-document Jaccard is too coarse.
+   *
+   * Selections are "md5(gram):zero-padded-pos" strings: the
+   * lexicographic window minimum is engine-replayable (pure string
+   * compare), the position makes provenance joinable, and ties inside
+   * a window break toward the lexicographically-smaller (hash, pos).
+   * A document shorter than one full window contributes its global
+   * minimum (one window over all grams); shorter than k contributes
+   * nothing. Pure expression composition — a narrow map with NO
+   * shuffle; per-row cost is O(len·w) string compares.
+   */
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "bad winnow geometry")
+    val norm = regexp_replace(lower(text), "[^a-z0-9]", "")
+    val ng = greatest(length(norm) - k + 1, lit(0))
+    val hs = when(ng > lit(0),
+      transform(sequence(lit(0), ng - 1), i =>
+        concat(md5(norm.substr(i + 1, lit(k))), lit(":"),
+          lpad(i.cast("string"), 7, "0"))))
+      .otherwise(array().cast("array<string>"))
+    // bind the gram-hash array ONCE via a 1-element transform: naively
+    // referencing `hs` inside the window lambda inlines (and re-hashes)
+    // the whole gram array per window — O(n²) md5 calls per document
+    flatten(transform(array(hs), hsv => {
+      val n = size(hsv)
+      val nw = when(n === 0, lit(0)).when(n < w, lit(1)).otherwise(n - w + 1)
+      when(nw > lit(0),
+        array_distinct(transform(sequence(lit(0), nw - 1), j =>
+          array_min(slice(hsv, j + 1, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+    }))
+  }
+
+  /** Per-document winnowing summary: (doc_id, n_grams, n_sel,
+   *  fp_digest) with the digest over the sorted selection set —
+   *  hash-certifiable and stable across partitionings. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9]", "")
+    df.select(id.as("doc_id"),
+      greatest(length(norm) - k + 1, lit(0)).as("n_grams"),
+      winnow(text, k, w).as("__sels"))
+      .select(col("doc_id"), col("n_grams"), size(col("__sels")).as("n_sel"),
+        md5(concat_ws(",", array_sort(col("__sels")))).as("fp_digest"))
+  }
+
+  /**
+   * Cross-document winnowing matches: pairs sharing >= `minShared`
+   * selected gram hashes (position-stripped, so the same content
+   * matches at different offsets). Same ids-only blocking-join shape
+   * as [[minhashCandidates]]: only (hash, id) rows shuffle, the pair
+   * aggregate partial-aggregates, and `maxPostings` caps the
+   * quadratic blowup of a gram shared by b documents (b²/2 pairs) —
+   * boilerplate grams are exactly the hot-band failure mode of LSH
+   * and get dropped the same way.
+   */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxPostings: Int = 1000): DataFrame = {
+    val sels = df.select(id.as("__id"),
+        explode(transform(winnow(text, k, w), s => s.substr(lit(1), lit(32)))).as("__h"))
+      .distinct()
+    val capped =
+      if (maxPostings > 0)
+        sels.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+          .filter(col("__n") <= maxPostings).drop("__n")
+      else sels
+    capped.as("a").join(capped.as("b"), col("a.__h") === col("b.__h"))
+      .filter(col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Distinct word n-grams as STRINGS via SQL lambdas (exact join key
    *  for [[contamination]] — hashed shingles risk cross-corpus hash
    *  collisions manufacturing false overlap; a doc shorter than n words

@@ -301,6 +301,54 @@ class DedupSpec extends SparkSpec {
 
 }
 
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("winnow: guarantee, short-doc fallback, shift invariance, determinism") {
+    // k=8, w=4: any shared run of >= k+w-1 = 11 normalized chars must
+    // share a selected fingerprint hash
+    val shared = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"AAA $shared zebra ends here"),
+      (2L, s"completely different prefix text $shared"),
+      (3L, "unrelated content with nothing in common at all"),
+      (4L, "tiny"),            // < k normalized chars -> no grams
+      (5L, "ninechars")        // 9 chars: k <= len < k+w-1 -> 1 window
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, $"doc_id", $"text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(fp(4L)._2 == 0 && fp(4L)._3 == 0, s"short doc: ${fp(4L)}")
+    assert(fp(5L)._2 == 2 && fp(5L)._3 == 1, s"sub-window doc: ${fp(5L)}")
+    // shift invariance: the shared run is at different offsets in 1 and
+    // 2, so the match must come from position-stripped hashes
+    val pairs = Dedup.winnowPairs(docs, $"doc_id", $"text", minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+    // determinism across partitionings
+    val fp2 = Dedup.winnowFingerprints(docs.repartition(7), $"doc_id", $"text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(fp == fp2)
+  }
+
+  test("winnow: hot-gram posting cap drops boilerplate pairs") {
+    // 20 docs all sharing one boilerplate sentence plus a planted
+    // near-dup pair with unique shared content
+    val boiler = "standard legal disclaimer text appended to all documents"
+    val docs = ((1 to 20).map(i => (i.toLong, s"unique body number $i $boiler")) :+
+      (100L, "very specific shared passage alpha") :+
+      (101L, "also very specific shared passage alpha here")).toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(docs, $"doc_id", $"text",
+      minShared = 2, maxPostings = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // boilerplate grams sit in ~20 postings -> dropped by the cap;
+    // the planted pair's grams are in 2 postings -> kept
+    assert(capped.contains((100L, 101L)), s"planted pair lost: $capped")
+    assert(!capped.exists { case (a, b) => a <= 20 && b <= 20 },
+      s"boilerplate quadratic pairs survived the cap: ${capped.take(5)}")
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
