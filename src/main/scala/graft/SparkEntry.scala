@@ -925,6 +925,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // exact phrase search on the positional index: shifted-position
+    // intersection, per-doc occurrence count + first offset
+    "q_doc_phrase" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.phraseSearch(s.table("documents"),
+          col("doc_id"), col("text"), "merge join")
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprints (MOSS): per-doc selected-set digest —
     // certifies normalization, k-gram hashing, window minima and the
     // short-document fallback in one row
@@ -3084,6 +3094,21 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same tokenizer; consecutive-position join replicated as a
+      // shifted equi-join on (doc, pos)
+      "q_doc_phrase" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) - 1 AS pos
+             FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,}') AS ts
+                   FROM documents) t),
+           p1 AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
+           p2 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'join'),
+           m AS (SELECT p1.doc_id, p1.pos
+                 FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p1.pos = p2.pos)
+           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_occurrences,
+             CAST(min(pos) AS INTEGER) AS first_pos
+           FROM m GROUP BY doc_id ORDER BY doc_id""",
 
       // same normalization, same "md5(gram):padded-pos" encoding, same
       // window minima (lexicographic string min) and short-doc fallback

@@ -346,6 +346,38 @@ object TextOps {
   }
 
   /**
+   * Exact phrase search over the positional index: documents
+   * containing `phrase`'s terms at consecutive token positions, with
+   * occurrence counts. Term i's positions shift left by i and the
+   * per-document arrays intersect — an occurrence survives all m
+   * intersections iff the full phrase starts at that position.
+   *
+   * Scale shape: the posting scan filters to the phrase's m terms
+   * BEFORE any join (m is query-sized, the filter prunes the
+   * vocabulary-keyed index scan), then m-1 doc-keyed equi-joins over
+   * those sparse posting rows; position arrays stay inside their own
+   * row (intersections are per-row array ops, never an explode).
+   * Output: (doc_id, n_occurrences, first_pos).
+   */
+  def phraseSearch(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      phrase: String): org.apache.spark.sql.DataFrame = {
+    val terms = "[a-z]{2,}".r.findAllIn(phrase.toLowerCase).toSeq
+    require(terms.nonEmpty, "phrase has no indexable terms")
+    val postings = invertedIndex(df, id, text)
+    def termPos(t: String, shift: Int) =
+      postings.filter(col("term") === t)
+        .select(col("doc_id"), transform(col("positions"), p => p - shift).as("__p"))
+    val first = termPos(terms.head, 0)
+    val matched = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(termPos(t, i).withColumnRenamed("__p", "__q"), "doc_id")
+        .select(col("doc_id"), array_intersect(col("__p"), col("__q")).as("__p"))
+        .filter(size(col("__p")) > 0)
+    }
+    matched.select(col("doc_id"), size(col("__p")).as("n_occurrences"),
+      array_min(col("__p")).as("first_pos"))
+  }
+
+  /**
    * Okapi BM25 top-k retrieval over a document corpus — the classic
    * lexical search scorer (and the strong baseline every
    * embedding-retrieval pipeline is benchmarked against). Terms are

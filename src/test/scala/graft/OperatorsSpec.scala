@@ -858,6 +858,27 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("phrase search: consecutive positions, multi-occurrence, repeated terms") {
+    val docs = Seq(
+      (1L, "spark shuffle hash join beats sort merge join sometimes"),
+      (2L, "join hash is not hash join reversed"),
+      (3L, "hash hash join twice hash join again"),
+      (4L, "hashjoin as one token does not match"),
+      (5L, "tail ends with hash")).toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs, $"doc_id", $"text", "hash join")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (1, 2), 2L -> (1, 4), 3L -> (2, 1)), got)
+    // three-term phrase
+    val three = TextOps.phraseSearch(docs, $"doc_id", $"text", "sort merge join")
+      .as[(Long, Int, Int)].collect()
+    assert(three.toSeq == Seq((1L, 1, 5)), three.toSeq)
+    // repeated term in the phrase
+    val rep = TextOps.phraseSearch(docs, $"doc_id", $"text", "hash hash join")
+      .as[(Long, Int, Int)].collect()
+    assert(rep.toSeq == Seq((3L, 1, 0)), rep.toSeq)
+    assert(TextOps.phraseSearch(docs, $"doc_id", $"text", "absent phrase").count() == 0)
+  }
+
   test("inverted index: ordered positions, tf, df dials prune both tails") {
     val docs = Seq(
       (1L, "alpha beta alpha gamma"),
