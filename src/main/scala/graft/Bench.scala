@@ -278,10 +278,11 @@ object Bench {
            SELECT $idCol % 1000000 AS k, sum($idCol * 2654435761 % 97) AS v
            FROM range($n) GROUP BY k) t"""
     def bigAggFor(idCol: String): String = bigAggNFor(idCol, 10000000L)
-    def bigWindowFor(idCol: String): String =
+    def bigWindowNFor(idCol: String, n: Long): String =
       s"""SELECT count(*) AS n FROM (
            SELECT $idCol AS i, row_number() OVER (PARTITION BY $idCol % 100000 ORDER BY $idCol DESC) AS rn
-           FROM range(10000000)) t WHERE rn <= 3"""
+           FROM range($n)) t WHERE rn <= 3"""
+    def bigWindowFor(idCol: String): String = bigWindowNFor(idCol, 10000000L)
     // string kernels (what the text-pipeline operators lean on) at the
     // amortized scale; replace/upper/length have identical semantics in
     // both dialects
@@ -301,7 +302,8 @@ object Bench {
       // median protocol is unchanged; the oracle's >5 s cold run
       // reports single-trial per the documented rule)
       "agg_100m_sql" -> (bigAggNFor("id", 100000000L), bigAggNFor("range", 100000000L)),
-      "strings_100m_sql" -> (bigStringsNFor("id", 100000000L), bigStringsNFor("range", 100000000L)))
+      "strings_100m_sql" -> (bigStringsNFor("id", 100000000L), bigStringsNFor("range", 100000000L)),
+      "window_100m_sql" -> (bigWindowNFor("id", 100000000L), bigWindowNFor("range", 100000000L)))
     val bigWorkloads = bigPairs.map { case (n, (_, duckSql)) => n -> duckSql }.toMap
     bigPairs.foreach { case (name, (sparkSql, _)) =>
       spark.sql(sparkSql).collect() // warm (codegen compile), matching the oracle's warm run
