@@ -88,7 +88,8 @@ object Graft {
     //   st_read(path, layer)
     //   st_read(path, 'POLYGON (...)')         -- spatial_filter (WKT)
     //   st_read(path, 'key=value, ...')        -- named options: layer,
-    //       spatial_filter, keep_wkb, encoding, max_batch_size
+    //       spatial_filter, keep_wkb, encoding, max_batch_size,
+    //       xy (CSV point columns as "xcol:ycol")
     //   st_read(path, layer, 'POLYGON (...)')
     //   st_read(path, x0, y0, x1, y1)          -- spatial_filter_box
     //   st_read(path, layer, x0, y0, x1, y1)
@@ -115,7 +116,7 @@ object Graft {
       out += cur.result()
       out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
-    val optKeys = Set("layer", "spatial_filter", "keep_wkb", "encoding", "max_batch_size")
+    val optKeys = Set("layer", "spatial_filter", "keep_wkb", "encoding", "max_batch_size", "xy")
     def asNamedOpts(s: String): Option[graft.sources.GeoRead.ReadOptions] = {
       val parts = splitTop(s)
       val ok = parts.nonEmpty && parts.forall { p =>
@@ -134,7 +135,8 @@ object Graft {
             graft.functions.Jts.write(graft.functions.Jts.fromWkt(w))),
           keepWkb = kv.get("keep_wkb").exists(v => v.equalsIgnoreCase("true") || v == "1"),
           encoding = kv.getOrElse("encoding", ""),
-          maxBatchSize = kv.get("max_batch_size").map(_.toInt).getOrElse(0)))
+          maxBatchSize = kv.get("max_batch_size").map(_.toInt).getOrElse(0),
+          xy = kv.getOrElse("xy", "")))
       }
     }
     tfReg.createOrReplaceTempFunction("st_read",

@@ -476,9 +476,32 @@ object Similarity {
       }.toIndexedSeq).toDF("cluster", "dim", "centroid_micro")
   }
 
+  /**
+   * Lloyd's loop run to the exact fixed point: because every update is
+   * integer arithmetic, "converged" is bit-equality of consecutive
+   * centroid tables — no epsilon tuning, and the fixed point is
+   * reached in finitely many steps (the within-cluster integer SSE is
+   * non-increasing). Runs at most `maxIters` centroid updates; returns
+   * the assignments plus the number of updates that changed the
+   * centroids. Same per-iteration shapes as [[kmeansFit]].
+   */
+  def kmeansConverged(df: DataFrame, id: Column, vec: Column,
+      k: Int = 8, maxIters: Int = 20): (DataFrame, Int) = {
+    require(maxIters >= 1, "bad kmeans geometry")
+    kmeansLoop(df, id, vec, k, maxIters, stopAtFixedPoint = true)
+      match { case (out, _, used) => (out, used) }
+  }
+
   /** Shared fit loop: (final assignments (id, cluster), centroids). */
   def kmeansFit(df: DataFrame, id: Column, vec: Column,
       k: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
+    val (out, cents, _) = kmeansLoop(df, id, vec, k, iters, stopAtFixedPoint = false)
+    (out, cents)
+  }
+
+  private def kmeansLoop(df: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int, stopAtFixedPoint: Boolean):
+      (DataFrame, Array[Array[Long]], Int) = {
     require(k >= 1 && iters >= 0, "bad kmeans geometry")
     val base = df.select(id.cast("long").as("id"), microVec(vec).as("__mv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -487,7 +510,11 @@ object Similarity {
     var cents: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(cents.length == k, s"need >= $k rows to seed $k clusters")
-    for (_ <- 1 to iters) {
+    var used = 0
+    var it = 0
+    var fixed = false
+    while (it < iters && !fixed) {
+      it += 1
       val stats = base
         .select(kmeansAssign(col("__mv"), cents).as("c"),
           posexplode(col("__mv")).as(Seq("d", "x")))
@@ -498,12 +525,15 @@ object Similarity {
       stats.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getLong(3) / r.getLong(2)
       }
-      cents = next
+      if (stopAtFixedPoint && java.util.Arrays.deepEquals(
+          next.asInstanceOf[Array[AnyRef]], cents.asInstanceOf[Array[AnyRef]]))
+        fixed = true // assignments can't change either — stop
+      else { cents = next; used += 1 }
     }
     val out = base.select(col("id"), kmeansAssign(col("__mv"), cents).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize before freeing the quantized input
     base.unpersist(blocking = false)
-    (out, cents)
+    (out, cents, used)
   }
 }

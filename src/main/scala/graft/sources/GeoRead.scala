@@ -42,7 +42,11 @@ object GeoRead {
       encoding: String = "",
       /** Reference `max_batch_size`: cap on features per batch; the
        *  Spark analog sets split granularity (rows per partition). */
-      maxBatchSize: Int = 0)
+      maxBatchSize: Int = 0,
+      /** CSV point columns as "xcol:ycol" (GDAL's X_POSSIBLE_NAMES/
+       *  Y_POSSIBLE_NAMES open-option analog). Empty = WKT column, or
+       *  auto-detected lon/lat / x/y pairs when no WKT column exists. */
+      xy: String = "")
 
   def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
     // Zipped inputs (GDAL /vsizip/ parity — reference st_read open_options
@@ -131,14 +135,17 @@ object GeoRead {
           f.dataType == BinaryType && Seq("geom", "geometry", "wkb_geometry")
             .contains(f.name.toLowerCase)).map(_.name)))
       }
-      else if (lower.endsWith(".csv")) (readCsvWkt(spark, path), Some("geom"))
+      else if (lower.endsWith(".csv"))
+        (readCsvWkt(spark, path, xyColumns = opts.xy), Some("geom"))
+      else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))
+        (readGeoJson(spark, path), Some("geom"))
       else if (lower.endsWith(".gpx"))
         (Gpx.read(spark, path, if (opts.layer.nonEmpty) opts.layer else "waypoints"),
           Some("geom"))
       else if (lower.endsWith(".kml")) (Kml.read(spark, path), Some("geom"))
       else if (lower.endsWith(".gml")) (Gml.read(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -264,13 +271,33 @@ object GeoRead {
 
   /** CSV with a WKT geometry column (header required; column named
    *  `wkt`, `geom`, `geometry`, or pass explicitly). */
-  def readCsvWkt(spark: SparkSession, path: String, wktColumn: String = ""): DataFrame = {
+  def readCsvWkt(spark: SparkSession, path: String, wktColumn: String = "",
+      xyColumns: String = ""): DataFrame = {
     val raw = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-    val geomCol = if (wktColumn.nonEmpty) wktColumn
+    def lowerMap = raw.columns.map(c => c.toLowerCase -> c).toMap
+    if (xyColumns.nonEmpty) {
+      // explicit "xcol:ycol" (GDAL X_POSSIBLE_NAMES/Y_POSSIBLE_NAMES)
+      val Array(xc, yc) = xyColumns.split(":", 2).map(_.trim)
+      require(raw.columns.contains(xc) && raw.columns.contains(yc),
+        s"xy columns '$xc'/'$yc' not in ${raw.columns.mkString(",")}")
+      return raw.withColumn("geom", graft.GeoFunctions.st_point(
+        col(xc).cast("double"), col(yc).cast("double"))).drop(xc, yc)
+    }
+    val wktCol = if (wktColumn.nonEmpty) Some(wktColumn)
       else raw.columns.find(c => Seq("wkt", "geom", "geometry").contains(c.toLowerCase))
-        .getOrElse(throw new IllegalArgumentException("no WKT column found (expected wkt/geom/geometry)"))
-    raw.withColumn("geom", graft.GeoFunctions.st_geomfromtext(col(geomCol)))
-      .drop(geomCol)
+    wktCol match {
+      case Some(gc) =>
+        raw.withColumn("geom", graft.GeoFunctions.st_geomfromtext(col(gc))).drop(gc)
+      case None =>
+        // point-CSV auto-detect, GDAL-style candidate pairs
+        val pair = Seq(("lon", "lat"), ("longitude", "latitude"), ("x", "y"))
+          .collectFirst { case (x, y) if lowerMap.contains(x) && lowerMap.contains(y) =>
+            (lowerMap(x), lowerMap(y)) }
+        val (xc, yc) = pair.getOrElse(throw new IllegalArgumentException(
+          "no WKT column (wkt/geom/geometry) or point columns (lon/lat, x/y) found"))
+        raw.withColumn("geom", graft.GeoFunctions.st_point(
+          col(xc).cast("double"), col(yc).cast("double"))).drop(xc, yc)
+    }
   }
 
   /** CSV writer: geometry re-expressed as a WKT text column (named

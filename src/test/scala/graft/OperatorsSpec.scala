@@ -716,6 +716,27 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.keySet == Set(0L, 1L, 2L) && d2.values.forall(c => c == 0 || c == 1))
   }
 
+  test("kmeans: convergence variant reaches the exact integer fixed point") {
+    val rows = for (cl <- 0 until 3; mem <- 0 until 30) yield {
+      val base = Array.tabulate(8)(d => ((cl * 8 + d) * 2654435761L % 97).toFloat / 100.0f)
+      base(mem % 8) += 0.01f
+      (mem * 3L + cl, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (fit, used) = Similarity.kmeansConverged(df, $"vec_id", $"embedding",
+      k = 3, maxIters = 20)
+    assert(used < 20, s"did not converge in 20 updates")
+    val got = fit.as[(Long, Int)].collect().toMap
+    // the fixed point equals a fixed-iteration fit run for `used` steps
+    val fixedIters = Similarity.kmeansMicro(df, $"vec_id", $"embedding",
+      k = 3, iters = used).as[(Long, Int)].collect().toMap
+    assert(got == fixedIters)
+    // and one more update changes nothing
+    val more = Similarity.kmeansMicro(df, $"vec_id", $"embedding",
+      k = 3, iters = used + 3).as[(Long, Int)].collect().toMap
+    assert(got == more, "assignments moved past the claimed fixed point")
+  }
+
 }
 
 class SamplingSpec extends SparkSpec {

@@ -170,6 +170,34 @@ class SourcesSpec extends SparkSpec {
     assert(df.select(st_length($"geom")).as[Double].collect().sorted.toSeq == Seq(0.0, 5.0))
   }
 
+  test("csv point columns: explicit xy option, lon/lat auto-detect, geojsonl alias") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvxy")
+    // explicit xy= (GDAL X_POSSIBLE_NAMES analog) via the SQL option
+    val fx = tmp.resolve("px.csv")
+    java.nio.file.Files.writeString(fx, "id,easting,northing\n1,3.0,4.0\n2,6.0,8.0\n")
+    val dfx = GeoRead.read(spark, fx.toString,
+      GeoRead.ReadOptions(xy = "easting:northing"))
+    assert(dfx.columns.toSeq == Seq("id", "geom"))
+    assert(dfx.select(st_x($"geom") + st_y($"geom")).as[Double].collect().sorted.toSeq ==
+      Seq(7.0, 14.0))
+    val viaSql = spark.sql(
+      s"SELECT st_astext(geom) FROM st_read('${fx.toString}', 'xy=easting:northing')")
+    assert(viaSql.count() == 2)
+    // lon/lat auto-detect when no WKT column exists
+    val fl = tmp.resolve("ll.csv")
+    java.nio.file.Files.writeString(fl, "name,Lon,Lat\na,10.5,20.25\n")
+    val dfl = GeoRead.read(spark, fl.toString)
+    assert(dfl.select(st_x($"geom"), st_y($"geom")).as[(Double, Double)]
+      .collect().toSeq == Seq((10.5, 20.25)))
+    // .geojsonl / .ndjson extensions dispatch to the NDJSON reader
+    val fj = tmp.resolve("pts.geojsonl")
+    java.nio.file.Files.writeString(fj,
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"id":1}}
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[3.0,4.0]},"properties":{"id":2}}
+        |""".stripMargin)
+    assert(GeoRead.read(spark, fj.toString).count() == 2)
+  }
+
   test("csv+wkt writer roundtrips via GeoWrite/GeoRead dispatch") {
     val dir = java.nio.file.Files.createTempDirectory("csvw").toString + "/out.csv"
     val df = (0 until 40).map(i => (i.toLong, s"n_$i"))
