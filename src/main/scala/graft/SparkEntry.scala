@@ -984,6 +984,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // per-label first+second moments in exact units (feature scaling /
+    // whitening statistics; sumsq in 1e-12-unit DECIMAL(38,0))
+    "q_emb_moments" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.groupMomentsMicro(
+          s.table("embeddings"), col("label"), col("embedding"))
+        .select(col("grp").as("label"), col("dim"), col("n"),
+          col("sum_micro"), col("sumsq_micro2"))
+        .orderBy("label", "dim")
+    }),
+
     // per-label embedding centroids in exact 1e-6-unit BIGINT sums
     // (k-means M-step / class-mean shape, hash-certifiable)
     "q_emb_centroids" -> ((s, dir) => {
@@ -3199,6 +3211,18 @@ object SparkEntry {
            SELECT CAST(cluster AS INTEGER) AS cluster, id_a, id_b, cosine
            FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b""",
 
+
+      // same quantization; sumsq summed exactly (HUGEINT) then cast to
+      // the DECIMAL(38,0) type Spark's decimal sum lands on
+      "q_emb_moments" ->
+        """SELECT label, dim, count(*) AS n,
+             CAST(sum(xm) AS BIGINT) AS sum_micro,
+             CAST(sum(xm * xm) AS DECIMAL(38,0)) AS sumsq_micro2
+           FROM (
+             SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+             FROM embeddings) t
+           GROUP BY label, dim ORDER BY label, dim""",
 
       "q_emb_centroids" ->
         """SELECT label, dim, count(*) AS n,

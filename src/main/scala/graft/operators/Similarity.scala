@@ -285,6 +285,26 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(round(col("__x").cast("double") * 1e6, 0).cast("long")).as("sum_micro"))
 
+  /**
+   * Per-group per-dimension first AND second moments in exact units —
+   * the feature-scaling / whitening statistics pass (mean = sum/n,
+   * variance = sumsq/n - mean²; standardization divides by the
+   * resulting per-dim sigma). Extends [[groupCentroidsMicro]] with the
+   * squared accumulator: sums are 1e-6-unit BIGINTs, squared sums are
+   * 1e-12-unit DECIMAL(38,0) — exact and aggregation-order-free in
+   * both engines (a BIGINT sumsq would overflow at ~4e18, i.e. ~15k
+   * unit-norm rows per (group, dim); DECIMAL(38,0) carries ~1e38).
+   * Same scale shape: ONE partial-aggregating (group, dim) groupBy.
+   */
+  def groupMomentsMicro(df: DataFrame, group: Column, vec: Column): DataFrame = {
+    val xm = round(col("__x").cast("double") * 1e6, 0).cast("long")
+    df.select(group.as("grp"), posexplode(vec).as(Seq("dim", "__x")))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(xm).as("sum_micro"),
+        sum((xm * xm).cast("decimal(38,0)")).as("sumsq_micro2"))
+  }
+
   def centroidArrays(df: DataFrame, idCol: Column, vecCol: Column):
       (Array[Long], Array[Array[Double]]) = {
     val rows = df.select(idCol.cast("long").as("id"), vecCol.as("v")).orderBy("id").collect()

@@ -331,6 +331,24 @@ class WinnowSpec extends SparkSpec {
     assert(fp == fp2)
   }
 
+  test("winnow property: a planted common run >= k+w-1 always shares a fingerprint") {
+    // the winnowing guarantee (Schleimer et al. §2): 30 random doc
+    // pairs, each sharing one planted run of >= 11 normalized chars in
+    // otherwise-random text at random offsets
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 30).flatMap { i =>
+      val shared = randStr(11 + rnd.nextInt(20))
+      Seq((2L * i, s"${randStr(rnd.nextInt(40))} $shared ${randStr(rnd.nextInt(40))}"),
+        (2L * i + 1, s"${randStr(rnd.nextInt(40))} $shared ${randStr(rnd.nextInt(40))}"))
+    }
+    val pairs = Dedup.winnowPairs(rows.toDF("doc_id", "text"),
+      $"doc_id", $"text", minShared = 1, maxPostings = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missing = (0 until 30).map(i => (2L * i, 2L * i + 1)).filterNot(pairs.contains)
+    assert(missing.isEmpty, s"guarantee violated for planted pairs: $missing")
+  }
+
   test("winnow: hot-gram posting cap drops boilerplate pairs") {
     // 20 docs all sharing one boilerplate sentence plus a planted
     // near-dup pair with unique shared content
