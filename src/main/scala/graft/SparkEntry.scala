@@ -984,6 +984,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // standardization apply pass: global moments -> (x-mean)/sigma,
+    // certified per row via a micro-unit component digest
+    "q_emb_standardize" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val moments = operators.Similarity.groupMomentsMicro(emb, lit(0), col("embedding"))
+      val z = operators.Similarity.standardize(emb, col("embedding"), moments)
+      emb.select(col("vec_id"),
+          md5(concat_ws(",", transform(z, v =>
+            round(v * 1e6, 0).cast("long").cast("string")))).as("z_md5"))
+        .orderBy("vec_id")
+    }),
+
     // per-label first+second moments in exact units (feature scaling /
     // whitening statistics; sumsq in 1e-12-unit DECIMAL(38,0))
     "q_emb_moments" -> ((s, dir) => {
@@ -3211,6 +3225,39 @@ object SparkEntry {
            SELECT CAST(cluster AS INTEGER) AS cluster, id_a, id_b, cosine
            FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b""",
 
+
+      // identical double op order: mean = (sum_micro/1e6)/n, var =
+      // (sumsq/1e12)/n - mean^2, guard v<=0 -> sigma 0; z rounds at
+      // 1e-6 then digests as micro-unit integers
+      "q_emb_standardize" ->
+        """WITH m AS (
+             SELECT dim, count(*) AS n, CAST(sum(xm) AS BIGINT) AS s, sum(xm * xm) AS sq
+             FROM (
+               SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+               FROM embeddings) t
+             GROUP BY dim),
+           stats AS (
+             SELECT dim,
+               (CAST(s AS DOUBLE) / 1000000) / n AS mean,
+               CASE WHEN CAST(sq AS DOUBLE) / 1000000000000 / n
+                         - ((CAST(s AS DOUBLE) / 1000000) / n) * ((CAST(s AS DOUBLE) / 1000000) / n) <= 0
+                    THEN 0.0
+                    ELSE sqrt(CAST(sq AS DOUBLE) / 1000000000000 / n
+                         - ((CAST(s AS DOUBLE) / 1000000) / n) * ((CAST(s AS DOUBLE) / 1000000) / n))
+               END AS sigma
+             FROM m),
+           z AS (
+             SELECT d.vec_id, d.dim,
+               CAST(round(round(
+                 CASE WHEN st.sigma = 0 THEN 0.0
+                      ELSE (CAST(d.x AS DOUBLE) - st.mean) / st.sigma END, 6) * 1000000, 0) AS BIGINT) AS zm
+             FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS x
+                   FROM embeddings) d
+             JOIN stats st USING (dim))
+           SELECT vec_id, md5(string_agg(zm, ',' ORDER BY dim)) AS z_md5
+           FROM z GROUP BY vec_id ORDER BY vec_id""",
 
       // same quantization; sumsq summed exactly (HUGEINT) then cast to
       // the DECIMAL(38,0) type Spark's decimal sum lands on

@@ -305,6 +305,44 @@ object Similarity {
         sum((xm * xm).cast("decimal(38,0)")).as("sumsq_micro2"))
   }
 
+  /**
+   * Standardization apply pass: (x - mean) / sigma per dimension, with
+   * mean/sigma derived from a [[groupMomentsMicro]] frame (population
+   * variance). The moments frame is model-sized (dims, or groups·dims)
+   * and collects to a broadcast constant, so the apply is a narrow
+   * map over the corpus — the same constant-table shape as
+   * [[kmeansAssign]]. Output components round to 1e-6 (engine-stable:
+   * means/sigmas come from exact integer moments, and /,sqrt are
+   * IEEE-correctly rounded). A zero-variance dimension standardizes
+   * to 0 rather than dividing by zero.
+   *
+   * `moments` must be single-group (one row per dim) — compute it with
+   * a constant group for global standardization.
+   */
+  def standardize(df: DataFrame, vec: Column, moments: DataFrame): Column = {
+    val rows = moments.select(col("dim"), col("n").cast("long"),
+      col("sum_micro").cast("long"),
+      col("sumsq_micro2").cast("decimal(38,0)")).collect()
+    val dims = rows.map(_.getInt(0)).max + 1
+    val mean = new Array[Double](dims)
+    val sigma = new Array[Double](dims)
+    rows.foreach { r =>
+      val d = r.getInt(0); val n = r.getLong(1).toDouble
+      val s = r.getLong(2).toDouble / 1e6
+      val sq = r.getDecimal(3).doubleValue() / 1e12
+      mean(d) = s / n
+      val v = sq / n - (s / n) * (s / n)
+      sigma(d) = if (v > 0) math.sqrt(v) else 0.0
+    }
+    val meanLit = array(mean.map(lit(_)): _*)
+    val sigmaLit = array(sigma.map(lit(_)): _*)
+    zip_with(vec, sequence(lit(0), lit(dims - 1)), (x, d) => {
+      val m = element_at(meanLit, d + 1)
+      val sg = element_at(sigmaLit, d + 1)
+      round(when(sg === 0.0, 0.0).otherwise((x.cast("double") - m) / sg), 6)
+    })
+  }
+
   def centroidArrays(df: DataFrame, idCol: Column, vecCol: Column):
       (Array[Long], Array[Array[Double]]) = {
     val rows = df.select(idCol.cast("long").as("id"), vecCol.as("v")).orderBy("id").collect()

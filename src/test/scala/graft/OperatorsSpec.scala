@@ -734,6 +734,22 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.keySet == Set(0L, 1L, 2L) && d2.values.forall(c => c == 0 || c == 1))
   }
 
+  test("standardize: hand-computed z-scores, zero-variance dim maps to 0") {
+    // dim0: values 1,3 -> mean 2, sigma 1; dim1: constant 5 -> sigma 0
+    val df = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val moments = Similarity.groupMomentsMicro(df, lit(0), $"embedding")
+    val z = df.select($"vec_id",
+      Similarity.standardize(df, $"embedding", moments).as("z"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(z(1L) == Seq(-1.0, 0.0) && z(2L) == Seq(1.0, 0.0), z)
+    // standardized corpus has mean 0 / variance 1 per live dim
+    val zdf = df.select(Similarity.standardize(df, $"embedding", moments).as("embedding"))
+    val m2 = Similarity.groupMomentsMicro(zdf, lit(0), $"embedding")
+      .orderBy("dim").collect()
+    assert(m2(0).getLong(3) == 0L, "mean not centered") // sum_micro dim0
+  }
+
   test("kmeans: convergence variant reaches the exact integer fixed point") {
     val rows = for (cl <- 0 until 3; mem <- 0 until 30) yield {
       val base = Array.tabulate(8)(d => ((cl * 8 + d) * 2654435761L % 97).toFloat / 100.0f)
