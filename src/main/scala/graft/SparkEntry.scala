@@ -925,6 +925,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // collocation mining: top word pairs by micro-unit PMI (phrase
+    // discovery over the corpus)
+    "q_doc_collocations" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.collocations(s.table("documents"), col("text"),
+          minCount = 5, k = 50)
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+    }),
+
     // exact phrase search on the positional index: shifted-position
     // intersection, per-doc occurrence count + first offset
     "q_doc_phrase" -> ((s, dir) => {
@@ -982,6 +992,15 @@ object SparkEntry {
       operators.Similarity.semanticPairs(s.table("embeddings"),
           col("vec_id"), col("embedding"), k = 8, iters = 2, threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // covariance accumulation: exact cross-moments over all dim pairs
+    // (the PCA/whitening input), one (i, j) partial agg
+    "q_emb_cov" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.crossMomentsMicro(s.table("embeddings"), col("embedding"))
+        .orderBy("i", "j")
     }),
 
     // standardization apply pass: global moments -> (x-mean)/sigma,
@@ -3121,6 +3140,29 @@ object SparkEntry {
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
 
+      // same whitespace tokenizer, same PMI double op order; top-50 by
+      // (pmi desc, pair asc)
+      "q_doc_collocations" ->
+        """WITH toks AS (
+             SELECT string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+           uni AS (
+             SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM toks) t GROUP BY w),
+           bi AS (
+             SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS cxy FROM (
+               SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts))]) AS b
+               FROM toks WHERE len(ts) >= 2) t
+             GROUP BY 1, 2),
+           tot AS (
+             SELECT (SELECT sum(c) FROM uni) AS tu, (SELECT sum(cxy) FROM bi) AS tb)
+           SELECT w1, w2, cxy,
+             CAST(round(ln((CAST(cxy AS DOUBLE) / CAST(tb AS DOUBLE))
+               / ((CAST(u1.c AS DOUBLE) / CAST(tu AS DOUBLE))
+                  * (CAST(u2.c AS DOUBLE) / CAST(tu AS DOUBLE)))) * 1000000, 0) AS BIGINT) AS pmi_micro
+           FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, tot
+           WHERE cxy >= 5
+           ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+           LIMIT 50""",
+
       // same tokenizer; consecutive-position join replicated as a
       // shifted equi-join on (doc, pos)
       "q_doc_phrase" ->
@@ -3225,6 +3267,18 @@ object SparkEntry {
            SELECT CAST(cluster AS INTEGER) AS cluster, id_a, id_b, cosine
            FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b""",
 
+
+      // same quantization; the d^2 expansion replicated as a dims
+      // self-join on vec_id
+      "q_emb_cov" ->
+        """WITH dims AS (
+             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+             FROM embeddings)
+           SELECT a.d AS i, b.d AS j, count(*) AS n,
+             CAST(sum(a.xm * b.xm) AS DECIMAL(38,0)) AS sumxy_micro2
+           FROM dims a JOIN dims b USING (vec_id)
+           GROUP BY a.d, b.d ORDER BY i, j""",
 
       // identical double op order: mean = (sum_micro/1e6)/n, var =
       // (sumsq/1e12)/n - mean^2, guard v<=0 -> sigma 0; z rounds at

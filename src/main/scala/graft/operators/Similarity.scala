@@ -306,6 +306,30 @@ object Similarity {
   }
 
   /**
+   * Exact cross-moments — the covariance/correlation accumulation
+   * pass (PCA/whitening's input): for every dimension pair (i, j),
+   * n and Σ xᵢ·xⱼ in 1e-12-unit DECIMAL(38,0). Covariance =
+   * sumxy/n − meanᵢ·meanⱼ with means from [[groupMomentsMicro]].
+   *
+   * Scale shape: each row expands to its d² (i, j, xᵢxⱼ) products via
+   * nested index lambdas over the ONCE-BOUND quantized vector (the
+   * [[graft.operators.Dedup.winnow]] bind-once pattern — a naive
+   * nested reference re-quantizes per element), then ONE
+   * partial-aggregating (i, j) groupBy: the exchange carries ≤ d²
+   * rows per partition — model-sized, never corpus-sized. No
+   * self-join, no shuffle of vectors.
+   */
+  def crossMomentsMicro(df: DataFrame, vec: Column): DataFrame = {
+    val pairs = flatten(transform(array(microVec(vec)), mv =>
+      flatten(transform(mv, (xi, i) =>
+        transform(mv, (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).cast("decimal(38,0)").as("xy")))))))
+    df.select(explode(pairs).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sumxy_micro2"))
+  }
+
+  /**
    * Standardization apply pass: (x - mean) / sigma per dimension, with
    * mean/sigma derived from a [[groupMomentsMicro]] frame (population
    * variance). The moments frame is model-sized (dims, or groups·dims)

@@ -314,6 +314,46 @@ object TextOps {
   }
 
   /**
+   * Collocation mining by pointwise mutual information — the phrase
+   * discovery pass (which adjacent word pairs co-occur far more than
+   * chance predicts). PMI = ln((c_xy/T_bi) / ((c_x/T_uni)·(c_y/T_uni)))
+   * rounded to 1e-6-unit BIGINTs; `minCount` prunes the unstable rare
+   * tail (PMI's classic failure mode), and the result is the global
+   * top-`k` by (pmi desc, pair asc).
+   *
+   * Scale shape: unigram and bigram counts are vocabulary-sized
+   * partial-aggregating groupBys off one tokenized scan each; the
+   * unigram table joins onto the (pruned) bigram table twice —
+   * broadcastable by construction; totals are 1-row scalar stats.
+   * The final global top-k is TakeOrderedAndProject (no full sort).
+   */
+  def collocations(df: org.apache.spark.sql.DataFrame, text: Column,
+      minCount: Long = 5, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val t = tokens(text)
+    val bigrams = flatten(transform(array(t), tv =>
+      when(size(tv) >= 2, transform(sequence(lit(1), size(tv) - 1), i =>
+        struct(element_at(tv, i).as("w1"), element_at(tv, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+    val uni = df.select(explode(t).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = df.select(explode(bigrams).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    val Array(tu, tb) = Seq(uni.agg(sum(col("c"))), bi.agg(sum(col("cxy"))))
+      .map(_.collect()(0).getLong(0)).toArray
+    val pmiMicro = round(log(
+      (col("cxy").cast("double") / lit(tb.toDouble)) /
+        ((col("c1").cast("double") / lit(tu.toDouble))
+          * (col("c2").cast("double") / lit(tu.toDouble)))) * 1e6, 0).cast("long")
+    bi.filter(col("cxy") >= minCount)
+      .join(bcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(bcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .select(col("w1"), col("w2"), col("cxy"), pmiMicro.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /**
    * Positional inverted index — the search-index build pass (the
    * artifact BM25/phrase search serve from). One row per (term,
    * doc_id) posting: tf and the ordered 0-based token positions

@@ -913,6 +913,25 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("collocations: pmi ranks bound pairs over chance pairs, minCount prunes") {
+    // "new york" always co-occurs (bound); "the" pairs with everything
+    val docs = (1 to 10).flatMap(i => Seq(
+      (i.toLong * 2, s"the visit to new york was number $i"),
+      (i.toLong * 2 + 1, s"the report about new york and the city"))).toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, $"text", minCount = 3, k = 10)
+      .select("w1", "w2", "pmi_micro").as[(String, String, Long)].collect()
+    val pmiOf = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pmiOf.contains(("new", "york")), s"bound pair missing: ${got.toSeq}")
+    // bound pair outranks a function-word pair
+    val looser = pmiOf.filterKeys(p => p._1 == "the" || p._2 == "the")
+    assert(looser.values.forall(_ < pmiOf(("new", "york"))),
+      s"'new york' not on top: ${got.toSeq}")
+    // minCount prunes: a pair occurring < 3 times never appears
+    assert(!pmiOf.contains(("was", "number")) || pmiOf.size <= 10)
+    val rare = TextOps.collocations(docs, $"text", minCount = 100, k = 10)
+    assert(rare.count() == 0)
+  }
+
   test("phrase search: consecutive positions, multi-occurrence, repeated terms") {
     val docs = Seq(
       (1L, "spark shuffle hash join beats sort merge join sometimes"),
