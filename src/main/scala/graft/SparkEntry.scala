@@ -994,6 +994,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // PCA head: top principal component via 3 exact-integer power
+    // iterations over the distributed covariance accumulation
+    "q_emb_pca_power" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.topComponentMicro(s.table("embeddings"),
+          col("embedding"), iters = 3)
+        .orderBy("dim")
+    }),
+
     // covariance accumulation: exact cross-moments over all dim pairs
     // (the PCA/whitening input), one (i, j) partial agg
     "q_emb_cov" -> ((s, dir) => {
@@ -3267,6 +3277,38 @@ object SparkEntry {
            SELECT CAST(cluster AS INTEGER) AS cluster, id_a, id_b, cosine
            FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b""",
 
+
+      // identical recurrence: integer covariance (trunc div), BigInt
+      // matvec == order-free HUGEINT sums, div 1e12 rescale, exact
+      // integer norm^2, one double sqrt/divide per element, round 6
+      "q_emb_pca_power" -> {
+        def it(prev: String, k: Int) =
+          s"""w$k AS (
+               SELECT cov.i AS d, sum(cov.cij * $prev.v) // 1000000000000 AS w
+               FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY 1),
+             s$k AS (SELECT sum(w*w) AS s2 FROM w$k),
+             v$k AS (
+               SELECT d AS j, CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(s$k.s2 AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS v
+               FROM w$k, s$k)"""
+        s"""WITH dims AS (
+             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+             FROM embeddings),
+           m AS (SELECT d, count(*) AS n, sum(xm) AS s FROM dims GROUP BY d),
+           crs AS (
+             SELECT a.d AS i, b.d AS j, sum(a.xm * b.xm) AS sumxy
+             FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+           nn AS (SELECT max(n) AS n FROM m),
+           cov AS (
+             SELECT c.i, c.j, (nn.n * c.sumxy - mi.s * mj.s) // (nn.n * nn.n) AS cij
+             FROM crs c JOIN m mi ON c.i = mi.d JOIN m mj ON c.j = mj.d, nn),
+           v0 AS (SELECT d AS j, CASE WHEN d = 0 THEN 1000000::HUGEINT ELSE 0::HUGEINT END AS v
+                  FROM (SELECT DISTINCT d FROM dims) t),
+           ${it("v0", 1)},
+           ${it("v1", 2)},
+           ${it("v2", 3)}
+           SELECT j AS dim, CAST(v AS BIGINT) AS v_micro FROM v3 ORDER BY dim"""
+      },
 
       // same quantization; the d^2 expansion replicated as a dims
       // self-join on vec_id

@@ -330,6 +330,59 @@ object Similarity {
   }
 
   /**
+   * Top principal component by power iteration, hash-certifiable end
+   * to end — the PCA head at corpus scale, built the way production
+   * systems build it: the covariance accumulation is distributed
+   * ([[crossMomentsMicro]] + [[groupMomentsMicro]], the only
+   * data-sized work), the d×d solve runs driver-local on the
+   * model-sized matrix (Spark MLlib's Gramian-then-local-eigen
+   * architecture).
+   *
+   * Every step is exact or correctly-rounded in a fixed order, so the
+   * result replays bit-identically in SQL:
+   *  - covariance in 1e-12 units: c_ij = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) div n²
+   *    (BigInt, truncating division);
+   *  - matvec w = C·v in exact BigInt (order-free integer sums);
+   *  - rescale wᵢ div 1e12, then ‖w‖² as an exact integer sum;
+   *  - normalize vᵢ = round6(wᵢ / √‖w‖²) — scalar double ops only.
+   * Seed v₀ = e₀; a zero iterate keeps the previous vector (guard,
+   * same COALESCE style as the k-means empty cluster). Converges to
+   * ±(top eigenvector) like any power iteration; the sign is pinned
+   * by the deterministic seed. Returns (dim, v_micro).
+   */
+  def topComponentMicro(df: DataFrame, vec: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    val spark = df.sparkSession
+    val cross = crossMomentsMicro(df, vec).collect() // d² rows — model-sized
+    val d = cross.map(_.getInt(0)).max + 1
+    val n = BigInt(cross.head.getLong(2))
+    val moms = groupMomentsMicro(df, lit(0), vec).collect()
+    val sums = new Array[BigInt](d)
+    moms.foreach(r => sums(r.getInt(1)) = BigInt(r.getLong(3)))
+    val c = Array.ofDim[BigInt](d, d)
+    cross.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val sumxy = BigInt(r.getDecimal(3).toBigInteger)
+      c(i)(j) = (n * sumxy - sums(i) * sums(j)) / (n * n)
+    }
+    var v = Array.tabulate(d)(i => BigInt(if (i == 0) 1000000L else 0L))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(BigInt(0))((acc, j) => acc + c(i)(j) * v(j)) / BigInt("1000000000000"))
+      val s2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+      if (s2 != 0) {
+        val norm = math.sqrt(s2.toDouble)
+        // HALF_UP (away from zero) matches SQL round() on negatives,
+        // where math.round would round -2.5 toward +infinity
+        v = w.map(x => BigInt(BigDecimal(x.toDouble / norm * 1e6)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong))
+      }
+    }
+    spark.createDataFrame(v.zipWithIndex.map { case (x, i) =>
+      (i, x.toLong) }.toIndexedSeq).toDF("dim", "v_micro")
+  }
+
+  /**
    * Standardization apply pass: (x - mean) / sigma per dimension, with
    * mean/sigma derived from a [[groupMomentsMicro]] frame (population
    * variance). The moments frame is model-sized (dims, or groups·dims)

@@ -734,6 +734,29 @@ class SimilaritySpec extends SparkSpec {
     assert(d2.keySet == Set(0L, 1L, 2L) && d2.values.forall(c => c == 0 || c == 1))
   }
 
+  test("pca power iteration: recovers a planted dominant direction, unit norm") {
+    // variance concentrated along (1,1,0,...)/sqrt(2): x = t*(1,1,0..0) + noise
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val t = rnd.nextGaussian() * 2.0
+      val v = Array.tabulate(8)(d =>
+        (t * (if (d < 2) 1.0 else 0.0) + rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val comp = Similarity.topComponentMicro(df, $"embedding", iters = 5)
+      .orderBy("dim").as[(Int, Long)].collect().map(_._2 / 1e6)
+    val norm = math.sqrt(comp.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"not unit norm: $norm")
+    val target = Array.tabulate(8)(d => if (d < 2) 1.0 / math.sqrt(2) else 0.0)
+    val dot = math.abs(comp.zip(target).map { case (a, b) => a * b }.sum)
+    assert(dot > 0.99, s"planted direction not recovered: dot=$dot comp=${comp.toSeq}")
+    // partitioning invariance (integer sums are order-free)
+    val again = Similarity.topComponentMicro(df.repartition(7), $"embedding", iters = 5)
+      .orderBy("dim").as[(Int, Long)].collect().map(_._2 / 1e6)
+    assert(comp.toSeq == again.toSeq)
+  }
+
   test("standardize: hand-computed z-scores, zero-variance dim maps to 0") {
     // dim0: values 1,3 -> mean 2, sigma 1; dim1: constant 5 -> sigma 0
     val df = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)))
