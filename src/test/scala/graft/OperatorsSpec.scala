@@ -301,6 +301,41 @@ class DedupSpec extends SparkSpec {
 
 }
 
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Dedup, Similarity}
+
+  test("end-to-end dedup chain: exact -> minhash -> semantic, survivors compose") {
+    // corpus: 3 exact copies of doc A, a near-dup of doc B (shingle
+    // overlap), and two embedding near-dups; each stage must remove
+    // its own class and leave the rest
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (3L, "completely different document about database engine internals today"),
+      (4L, "completely different document about database engine internals yesterday"), // near-dup of 3
+      (5L, "unrelated third topic entirely with its own words and phrasing here")
+    ).toDF("doc_id", "text")
+    val afterExact = Dedup.exact(texts, $"doc_id", $"text")
+    assert(afterExact.select("doc_id").as[Long].collect().toSet == Set(0L, 3L, 4L, 5L))
+    val afterNear = Dedup.minhashDedup(afterExact, $"doc_id", $"text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(afterNear.select("doc_id").as[Long].collect().toSet == Set(0L, 3L, 5L))
+    // embedding stage on the survivors: 5 shares 3's embedding almost
+    // exactly (planted), 0 is far away
+    val emb = Map(
+      0L -> Array.fill(8)(0.9f).toSeq,
+      3L -> Array.tabulate(8)(d => if (d % 2 == 0) 0.8f else -0.6f).toSeq,
+      5L -> Array.tabulate(8)(d => if (d % 2 == 0) 0.8001f else -0.6002f).toSeq)
+    val withVec = afterNear.select($"doc_id").as[Long].collect().toSeq
+      .map(id => (id, emb(id))).toDF("doc_id", "embedding")
+    val afterSem = Similarity.semanticDedup(withVec, $"doc_id", $"embedding",
+      k = 2, iters = 2, threshold = 0.9999)
+    assert(afterSem.select("doc_id").as[Long].collect().toSet == Set(0L, 3L))
+  }
+}
+
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Dedup
