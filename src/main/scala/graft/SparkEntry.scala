@@ -1004,6 +1004,31 @@ object SparkEntry {
         .orderBy("dim")
     }),
 
+    // two components via exact Hotelling deflation
+    "q_emb_pca2" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.topComponentsMicro(s.table("embeddings"),
+          col("embedding"), nComponents = 2, iters = 3)
+        .orderBy("component", "dim")
+    }),
+
+    // dimensionality-reduction apply: exact integer projections onto
+    // the two fitted components
+    "q_emb_project" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val compRows = operators.Similarity.topComponentsMicro(emb,
+        col("embedding"), nComponents = 2, iters = 3).collect()
+      val p = compRows.map(_.getInt(0)).max + 1
+      val d = compRows.map(_.getInt(1)).max + 1
+      val comps = Array.ofDim[Long](p, d)
+      compRows.foreach(r => comps(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      operators.Similarity.projectMicro(emb, col("vec_id"), col("embedding"), comps)
+        .orderBy("id", "component")
+    }),
+
     // covariance accumulation: exact cross-moments over all dim pairs
     // (the PCA/whitening input), one (i, j) partial agg
     "q_emb_cov" -> ((s, dir) => {
@@ -2179,6 +2204,49 @@ object SparkEntry {
 
   /** q_emb_dedup oracle: survivors of the greedy min-id near-dup pass —
    *  every vector that is never the higher id of a candidate pair. */
+  /** Power-iteration CTE block: w/s/v for iteration `k` over matrix
+   *  `cov` starting from vector `prev`. Shared by the PCA oracles. */
+  private def pcaIterCte(cov: String, prev: String, k: Int): String =
+    s"""w$k AS (
+         SELECT $cov.i AS d, sum($cov.cij * $prev.v) // 1000000000000 AS w
+         FROM $cov JOIN $prev ON $cov.j = $prev.j GROUP BY 1),
+       s$k AS (SELECT sum(w*w) AS s2 FROM w$k),
+       v$k AS (
+         SELECT d AS j, CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(s$k.s2 AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS v
+         FROM w$k, s$k)"""
+
+  /** Full 2-component PCA recurrence: quantize, exact covariance,
+   *  3 power iterations (v3 = component 0), Hotelling deflation in
+   *  HUGEINT arithmetic, 3 more iterations (v6 = component 1). */
+  private lazy val pca2OracleCtes: String =
+    s"""WITH dims AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+         FROM embeddings),
+       m AS (SELECT d, count(*) AS n, sum(xm) AS s FROM dims GROUP BY d),
+       crs AS (
+         SELECT a.d AS i, b.d AS j, sum(a.xm * b.xm) AS sumxy
+         FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
+       nn AS (SELECT max(n) AS n FROM m),
+       cov AS (
+         SELECT c.i, c.j, (nn.n * c.sumxy - mi.s * mj.s) // (nn.n * nn.n) AS cij
+         FROM crs c JOIN m mi ON c.i = mi.d JOIN m mj ON c.j = mj.d, nn),
+       v0 AS (SELECT d AS j, CASE WHEN d = 0 THEN 1000000::HUGEINT ELSE 0::HUGEINT END AS v
+              FROM (SELECT DISTINCT d FROM dims) t),
+       ${pcaIterCte("cov", "v0", 1)},
+       ${pcaIterCte("cov", "v1", 2)},
+       ${pcaIterCte("cov", "v2", 3)},
+       ray AS (
+         SELECT sum(va.v * cov.cij * vb.v) AS num
+         FROM cov JOIN v3 va ON cov.i = va.j JOIN v3 vb ON cov.j = vb.j),
+       dn AS (SELECT sum(v * v) * 1000000000000::HUGEINT AS den FROM v3),
+       cov2 AS (
+         SELECT cov.i, cov.j, cov.cij - (ray.num * va.v * vb.v) // dn.den AS cij
+         FROM cov JOIN v3 va ON cov.i = va.j JOIN v3 vb ON cov.j = vb.j, ray, dn),
+       ${pcaIterCte("cov2", "v0", 4)},
+       ${pcaIterCte("cov2", "v4", 5)},
+       ${pcaIterCte("cov2", "v5", 6)}"""
+
   /** Two unrolled Lloyd iterations in exact BIGINT micro-units (k = 8,
    *  seeds = 8 smallest ids): ends at CTE `a3` = the final assignment.
    *  Shared by q_emb_kmeans and q_emb_semdedup. */
@@ -3281,34 +3349,27 @@ object SparkEntry {
       // identical recurrence: integer covariance (trunc div), BigInt
       // matvec == order-free HUGEINT sums, div 1e12 rescale, exact
       // integer norm^2, one double sqrt/divide per element, round 6
-      "q_emb_pca_power" -> {
-        def it(prev: String, k: Int) =
-          s"""w$k AS (
-               SELECT cov.i AS d, sum(cov.cij * $prev.v) // 1000000000000 AS w
-               FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY 1),
-             s$k AS (SELECT sum(w*w) AS s2 FROM w$k),
-             v$k AS (
-               SELECT d AS j, CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(s$k.s2 AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS v
-               FROM w$k, s$k)"""
-        s"""WITH dims AS (
-             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
-               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
-             FROM embeddings),
-           m AS (SELECT d, count(*) AS n, sum(xm) AS s FROM dims GROUP BY d),
-           crs AS (
-             SELECT a.d AS i, b.d AS j, sum(a.xm * b.xm) AS sumxy
-             FROM dims a JOIN dims b USING (vec_id) GROUP BY 1, 2),
-           nn AS (SELECT max(n) AS n FROM m),
-           cov AS (
-             SELECT c.i, c.j, (nn.n * c.sumxy - mi.s * mj.s) // (nn.n * nn.n) AS cij
-             FROM crs c JOIN m mi ON c.i = mi.d JOIN m mj ON c.j = mj.d, nn),
-           v0 AS (SELECT d AS j, CASE WHEN d = 0 THEN 1000000::HUGEINT ELSE 0::HUGEINT END AS v
-                  FROM (SELECT DISTINCT d FROM dims) t),
-           ${it("v0", 1)},
-           ${it("v1", 2)},
-           ${it("v2", 3)}
-           SELECT j AS dim, CAST(v AS BIGINT) AS v_micro FROM v3 ORDER BY dim"""
-      },
+      "q_emb_pca_power" -> s"""$pca2OracleCtes
+           SELECT j AS dim, CAST(v AS BIGINT) AS v_micro FROM v3 ORDER BY dim""",
+
+      // deflated second component: Hotelling deflation entirely in
+      // HUGEINT arithmetic, then the same 3-iteration recurrence
+      "q_emb_pca2" -> s"""$pca2OracleCtes
+           SELECT 0 AS component, j AS dim, CAST(v AS BIGINT) AS v_micro FROM v3
+           UNION ALL
+           SELECT 1 AS component, j AS dim, CAST(v AS BIGINT) AS v_micro FROM v6
+           ORDER BY component, dim""",
+
+      // projection scores: order-free integer dot products against the
+      // fitted components, div 1e6 back to micro units
+      "q_emb_project" -> s"""$pca2OracleCtes,
+           comps AS (
+             SELECT 0 AS component, j, v FROM v3
+             UNION ALL SELECT 1 AS component, j, v FROM v6)
+           SELECT dims.vec_id AS id, comps.component,
+             CAST(sum(dims.xm * comps.v) // 1000000 AS BIGINT) AS score_micro
+           FROM dims JOIN comps ON dims.d = comps.j
+           GROUP BY 1, 2 ORDER BY id, component""",
 
       // same quantization; the d^2 expansion replicated as a dims
       // self-join on vec_id

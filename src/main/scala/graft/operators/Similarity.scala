@@ -351,8 +351,51 @@ object Similarity {
    * by the deterministic seed. Returns (dim, v_micro).
    */
   def topComponentMicro(df: DataFrame, vec: Column, iters: Int = 3): DataFrame = {
-    require(iters >= 1, "need at least one power iteration")
     val spark = df.sparkSession
+    spark.createDataFrame(topComponentsArray(df, vec, 1, iters)(0)
+      .zipWithIndex.map { case (x, i) => (i, x) }.toIndexedSeq)
+      .toDF("dim", "v_micro")
+  }
+
+  /**
+   * Top `p` principal components by power iteration + Hotelling
+   * deflation, same exactness contract as [[topComponentMicro]]: after
+   * component k, the covariance deflates by its Rayleigh term —
+   * C' = C − λ·v·vᵀ with λ = (vᵀCv)/(vᵀv) — entirely in truncating
+   * BigInt arithmetic (each deflation entry is
+   * c_ij − (num·vᵢ·vⱼ) div (den·1e12), within HUGEINT range for SQL
+   * replay). Returns (component, dim, v_micro), component 0-based.
+   */
+  def topComponentsMicro(df: DataFrame, vec: Column,
+      nComponents: Int = 2, iters: Int = 3): DataFrame = {
+    val comps = topComponentsArray(df, vec, nComponents, iters)
+    df.sparkSession.createDataFrame(
+      comps.zipWithIndex.flatMap { case (v, ci) =>
+        v.zipWithIndex.map { case (x, d) => (ci, d, x) }
+      }.toIndexedSeq).toDF("component", "dim", "v_micro")
+  }
+
+  /**
+   * Exact projection scores onto micro-unit components: score =
+   * (Σ x_micro·v_micro) div 1e6 per (row, component) — order-free
+   * BIGINT sums, a narrow map against the broadcast-literal component
+   * matrix (the dimensionality-reduction apply pass).
+   */
+  def projectMicro(df: DataFrame, id: Column, vec: Column,
+      components: Array[Array[Long]]): DataFrame = {
+    require(components.nonEmpty, "no components")
+    val compLit = array(components.map(v => array(v.map(lit(_)): _*)): _*)
+    val mv = microVec(vec)
+    val scores = flatten(transform(array(mv), mvv =>
+      transform(compLit, v =>
+        (aggregate(zip_with(mvv, v, (x, c) => x * c), lit(0L), (a, x) => a + x)
+          / lit(1000000L)).cast("long"))))
+    df.select(id.as("id"), posexplode(scores).as(Seq("component", "score_micro")))
+  }
+
+  private def topComponentsArray(df: DataFrame, vec: Column,
+      nComponents: Int, iters: Int): Array[Array[Long]] = {
+    require(iters >= 1 && nComponents >= 1, "bad pca geometry")
     val cross = crossMomentsMicro(df, vec).collect() // d² rows — model-sized
     val d = cross.map(_.getInt(0)).max + 1
     val n = BigInt(cross.head.getLong(2))
@@ -365,21 +408,33 @@ object Similarity {
       val sumxy = BigInt(r.getDecimal(3).toBigInteger)
       c(i)(j) = (n * sumxy - sums(i) * sums(j)) / (n * n)
     }
-    var v = Array.tabulate(d)(i => BigInt(if (i == 0) 1000000L else 0L))
-    for (_ <- 1 to iters) {
-      val w = Array.tabulate(d)(i =>
-        (0 until d).foldLeft(BigInt(0))((acc, j) => acc + c(i)(j) * v(j)) / BigInt("1000000000000"))
-      val s2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
-      if (s2 != 0) {
-        val norm = math.sqrt(s2.toDouble)
-        // HALF_UP (away from zero) matches SQL round() on negatives,
-        // where math.round would round -2.5 toward +infinity
-        v = w.map(x => BigInt(BigDecimal(x.toDouble / norm * 1e6)
-          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong))
+    val out = Array.ofDim[Array[Long]](nComponents)
+    for (comp <- 0 until nComponents) {
+      var v = Array.tabulate(d)(i => BigInt(if (i == 0) 1000000L else 0L))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(BigInt(0))((acc, j) => acc + c(i)(j) * v(j)) / BigInt("1000000000000"))
+        val s2 = w.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+        if (s2 != 0) {
+          val norm = math.sqrt(s2.toDouble)
+          // HALF_UP (away from zero) matches SQL round() on negatives,
+          // where math.round would round -2.5 toward +infinity
+          v = w.map(x => BigInt(BigDecimal(x.toDouble / norm * 1e6)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong))
+        }
+      }
+      out(comp) = v.map(_.toLong)
+      if (comp < nComponents - 1) {
+        // Hotelling deflation in exact integers
+        val num = (0 until d).foldLeft(BigInt(0)) { (acc, i) =>
+          acc + (0 until d).foldLeft(BigInt(0))((a, j) => a + v(i) * c(i)(j) * v(j))
+        }
+        val den = v.foldLeft(BigInt(0))((a, x) => a + x * x) * BigInt("1000000000000")
+        for (i <- 0 until d; j <- 0 until d)
+          c(i)(j) = c(i)(j) - (num * v(i) * v(j)) / den
       }
     }
-    spark.createDataFrame(v.zipWithIndex.map { case (x, i) =>
-      (i, x.toLong) }.toIndexedSeq).toDF("dim", "v_micro")
+    out
   }
 
   /**

@@ -792,6 +792,38 @@ class SimilaritySpec extends SparkSpec {
     assert(comp.toSeq == again.toSeq)
   }
 
+  test("pca deflation: second component orthogonal, captures the second direction") {
+    // two planted orthogonal directions with distinct variance scales:
+    // strong along (1,1,0,...)/sqrt2, weaker along (0,0,1,1,0,...)/sqrt2
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val t1 = rnd.nextGaussian() * 3.0
+      val t2 = rnd.nextGaussian() * 1.0
+      val v = Array.tabulate(8) { d =>
+        val a = if (d < 2) t1 else 0.0
+        val b = if (d == 2 || d == 3) t2 else 0.0
+        (a + b + rnd.nextGaussian() * 0.03).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val comps = Similarity.topComponentsMicro(df, $"embedding", nComponents = 2, iters = 6)
+      .orderBy("component", "dim").as[(Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3 / 1e6)).toMap
+    val (c0, c1) = (comps(0), comps(1))
+    val ortho = math.abs(c0.zip(c1).map { case (a, b) => a * b }.sum)
+    assert(ortho < 0.02, s"components not orthogonal: $ortho")
+    val dir2 = Array.tabulate(8)(d => if (d == 2 || d == 3) 1.0 / math.sqrt(2) else 0.0)
+    val dot2 = math.abs(c1.zip(dir2).map { case (a, b) => a * b }.sum)
+    assert(dot2 > 0.98, s"second direction not recovered: dot=$dot2 c1=${c1.toSeq}")
+    // projections: component-0 scores track t1 (sign-invariant corr)
+    val compArr = Array(comps(0).map(x => math.round(x * 1e6)), comps(1).map(x => math.round(x * 1e6)))
+    val proj = Similarity.projectMicro(df, $"vec_id", $"embedding", compArr)
+      .filter($"component" === 0).select("id", "score_micro")
+      .as[(Long, Long)].collect().toMap
+    assert(proj.size == 400 && proj.values.exists(_ != 0L))
+  }
+
   test("standardize: hand-computed z-scores, zero-variance dim maps to 0") {
     // dim0: values 1,3 -> mean 2, sigma 1; dim1: constant 5 -> sigma 0
     val df = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)))
