@@ -925,6 +925,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // classifier-apply pass: hashed-bucket linear scorer with a
+    // closed-form 1024-bucket weight table, exact integer scores
+    "q_doc_classify" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val w = Array.tabulate(1024)(b =>
+        (b.toLong * 2654435761L) % 2000001L - 1000000L)
+      operators.TextOps.linearTextScore(s.table("documents"),
+          col("doc_id"), col("text"), w, biasMicro = 250000L)
+        .orderBy("id")
+    }),
+
     // collocation mining: top word pairs by micro-unit PMI (phrase
     // discovery over the corpus)
     "q_doc_collocations" -> ((s, dir) => {
@@ -3217,6 +3229,26 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same md5 bucket, same closed-form weight formula, same
+      // sigmoid op order
+      "q_doc_classify" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS t
+             FROM documents),
+           sc AS (
+             SELECT d.doc_id AS id,
+               coalesce(x.n_tok, 0) AS n_tok,
+               250000 + coalesce(x.s, 0) AS score_micro
+             FROM documents d LEFT JOIN (
+               SELECT doc_id,
+                 CAST(count(*) AS INTEGER) AS n_tok,
+                 CAST(sum((('0x' || substring(md5(t), 1, 8))::BIGINT % 1024) * 2654435761 % 2000001 - 1000000) AS BIGINT) AS s
+               FROM toks GROUP BY doc_id) x ON d.doc_id = x.doc_id)
+           SELECT id, n_tok, CAST(score_micro AS BIGINT) AS score_micro,
+             round(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE) / 1000000))), 6) AS prob,
+             score_micro >= 0 AS label
+           FROM sc ORDER BY id""",
 
       // same whitespace tokenizer, same PMI double op order; top-50 by
       // (pmi desc, pair asc)

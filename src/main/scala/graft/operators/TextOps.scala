@@ -314,6 +314,33 @@ object TextOps {
   }
 
   /**
+   * Linear text-classifier APPLY pass (the fastText-style quality/
+   * toxicity filter shape every curation pipeline runs at full corpus
+   * scale — training happens offline, scoring is the 100 TB job):
+   * tokens hash into `weights.length` buckets (same md5-derived
+   * bucketing as [[Sampling.hashBucket]] — engine-replayable), the
+   * score is bias + Σ w[bucket(token)] in exact order-free micro-unit
+   * BIGINTs, and `prob` = round6(sigmoid(score)). The weight table is
+   * a broadcast literal; the whole pass is a narrow map with NO
+   * shuffle. Output: (id, n_tok, score_micro, prob, label).
+   */
+  def linearTextScore(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      weightsMicro: Array[Long], biasMicro: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(weightsMicro.nonEmpty, "empty weight table")
+    val n = weightsMicro.length
+    val wLit = array(weightsMicro.map(lit(_)): _*)
+    val toks = regexp_extract_all(lower(text), lit("[a-z]{2,}"), lit(0))
+    val bucket = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % n
+    val score = aggregate(toks, lit(biasMicro),
+      (acc, t) => acc + element_at(wLit, (bucket(t) + 1).cast("int")))
+    df.select(id.as("id"), size(toks).as("n_tok"), score.as("score_micro"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("score_micro").cast("double") / 1e6))), 6))
+      .withColumn("label", (col("score_micro") >= 0).as("label"))
+  }
+
+  /**
    * Collocation mining by pointwise mutual information — the phrase
    * discovery pass (which adjacent word pairs co-occur far more than
    * chance predicts). PMI = ln((c_xy/T_bi) / ((c_x/T_uni)·(c_y/T_uni)))

@@ -1003,6 +1003,29 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("linear classifier apply: bucket-sum score, sigmoid, bias on empty docs") {
+    import graft.operators.Sampling
+    // weights w(b) = b so the score equals the sum of token buckets —
+    // independently recomputable via Sampling.hashBucket
+    val w = Array.tabulate(64)(_.toLong)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    val got = TextOps.linearTextScore(docs, $"doc_id", $"text", w, biasMicro = 7L)
+      .select("id", "n_tok", "score_micro", "label")
+      .as[(Long, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val bucketOf = Seq("alpha", "beta", "gamma").map { t =>
+      t -> spark.range(1).select(Sampling.hashBucket(lit(t), 64)).as[Long].collect()(0)
+    }.toMap
+    assert(got(1L)._3 == 7L + bucketOf("alpha") + bucketOf("beta") + bucketOf("gamma"))
+    assert(got(2L) == ((2L, 0, 7L, true)), s"empty doc: ${got(2L)}")
+    assert(got(3L)._3 == 7L + 2 * bucketOf("alpha"))
+    // negative score -> label false, prob < 0.5
+    val neg = TextOps.linearTextScore(docs, $"doc_id", $"text",
+      Array.fill(64)(-1000000L), biasMicro = 0L)
+      .filter($"id" === 1).select("label", "prob").as[(Boolean, Double)].collect()(0)
+    assert(!neg._1 && neg._2 < 0.5)
+  }
+
   test("collocations: pmi ranks bound pairs over chance pairs, minCount prunes") {
     // "new york" always co-occurs (bound); "the" pairs with everything
     val docs = (1 to 10).flatMap(i => Seq(
