@@ -995,6 +995,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // topic-balanced selection: kmeans clusters -> exactly 20 rows per
+    // cluster by salted-md5 order (cluster-balancing curation pass)
+    "q_emb_balanced" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Sampling.clusterBalanced(s.table("embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 2, n = 20)
+        .orderBy("cluster", "id")
+    }),
+
     // SemDeDup: k-means blocking, then within-cluster cosine pairs
     // over the original embeddings (round 6) — the cluster-scoped
     // embedding near-dup pass, certified end to end
@@ -3362,6 +3372,15 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
              FROM scored) t
            WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // same clustering, then the q_doc_balanced salted-md5 rank
+      "q_emb_balanced" -> s"""$kmeansOracleCtes
+           SELECT id, CAST(c AS INTEGER) AS cluster FROM (
+             SELECT id, c, row_number() OVER (PARTITION BY c
+               ORDER BY md5(CAST(c AS VARCHAR) || ':' || CAST(id AS VARCHAR)) ASC,
+                        CAST(id AS VARCHAR) ASC) AS rk
+             FROM a3) t
+           WHERE rk <= 20 ORDER BY cluster, id""",
 
       // same clustering, then within-cluster pairwise cosine (round 6)
       // over the ORIGINAL float embeddings

@@ -95,6 +95,22 @@ object Sampling {
   }
 
   /**
+   * Topic-balanced subset selection: k-means-cluster the embedding
+   * space ([[Similarity.kmeansMicro]] — exact-integer, content-stable
+   * seeding), then take exactly `n` rows per cluster by the salted-md5
+   * total order of [[fixedSizePerGroup]]. This is the
+   * cluster-balancing pass of curation pipelines (over-represented
+   * topics down-sample, rare topics keep everything they have) with
+   * every stage deterministic and engine-replayable. Returns
+   * (id, cluster) for the selected rows.
+   */
+  def clusterBalanced(df: org.apache.spark.sql.DataFrame, id: Column, vec: Column,
+      k: Int = 8, iters: Int = 2, n: Int = 10): org.apache.spark.sql.DataFrame = {
+    val assigned = Similarity.kmeansMicro(df, id, vec, k, iters)
+    fixedSizePerGroup(assigned, col("id"), col("cluster"), n)
+  }
+
+  /**
    * Stratified deterministic sampling: a different sampling rate per
    * stratum (the standard corpus-rebalancing pass — e.g. keep 100% of
    * books, 10% of common-crawl). The predicate hashes

@@ -866,6 +866,26 @@ class SimilaritySpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cluster-balanced selection: exactly n per big cluster, all of a small one") {
+    // 3 separable blobs sized 40/40/5 (ids laid out so seeds span blobs)
+    val rows = (for (cl <- 0 until 3; mem <- 0 until (if (cl == 2) 5 else 40)) yield {
+      val base = Array.tabulate(8)(d => ((cl * 8 + d) * 2654435761L % 97).toFloat / 100.0f)
+      base(mem % 8) += 0.01f
+      (mem * 3L + cl, base.toSeq)
+    })
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = Sampling.clusterBalanced(df, $"vec_id", $"embedding",
+      k = 3, iters = 3, n = 10)
+      .as[(Long, Int)].collect()
+    val byCluster = sel.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster.values.count(_ == 10) == 2 && byCluster.values.count(_ == 5) == 1,
+      s"cluster sizes after balancing: $byCluster")
+    // content-stable: rerun equals
+    val again = Sampling.clusterBalanced(df.repartition(5), $"vec_id", $"embedding",
+      k = 3, iters = 3, n = 10).as[(Long, Int)].collect()
+    assert(sel.toSet == again.toSet)
+  }
+
   test("hash split: deterministic, partitioning-invariant, roughly proportional, disjoint") {
     val n = 20000
     val df = spark.range(n).toDF("id")
