@@ -1134,6 +1134,17 @@ object SparkEntry {
     // link-graph quality prior (PageRank over a domain graph derived
     // closed-form from doc ids): exact BIGINT micro-unit fixed-point
     // iteration — hash-certifiable, unlike a double-precision PageRank
+    // general connected components over a pseudo-random functional
+    // graph (rho-shaped components), min-id labels
+    "q_graph_components" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val edges = s.table("documents")
+        .selectExpr("doc_id AS src", "(doc_id * 37 + 11) % 500 AS dst")
+      operators.LinkGraph.connectedComponents(edges, col("src"), col("dst"))
+        .orderBy("id")
+    }),
+
     "q_graph_pagerank" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -3230,6 +3241,18 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+
+      // min-label reachability closure over the undirected edge set
+      "q_graph_components" ->
+        """WITH RECURSIVE e AS (
+             SELECT doc_id AS u, (doc_id * 37 + 11) % 500 AS v FROM documents),
+           und AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+           nodes AS (SELECT DISTINCT u AS id FROM und),
+           reach(id, root) AS (
+             SELECT id, id FROM nodes
+             UNION
+             SELECT und.v, r.root FROM und JOIN reach r ON und.u = r.id)
+           SELECT id, min(root) AS cluster FROM reach GROUP BY id ORDER BY id""",
 
       // same float->double->round(1e6) quantization; generate_subscripts
       // is 1-based (Spark pos is 0-based), aligned with dim-1

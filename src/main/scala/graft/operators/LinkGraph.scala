@@ -70,4 +70,25 @@ object LinkGraph {
     vertices.unpersist(blocking = false)
     ranks
   }
+
+  /**
+   * Connected components over an arbitrary edge list: (id, cluster)
+   * with cluster = the smallest node id in the component. Delegates to
+   * the certified large-star/small-star loop behind the transitive
+   * dedup clustering ([[Dedup.duplicateClusters]]) — edge-list-only
+   * shuffles, map-side-combined min reductions, O(log n) rounds,
+   * per-round persist/unpersist. The general-graph entry point for
+   * everything that isn't a dup graph (host graphs, citation webs,
+   * entity resolution).
+   */
+  def connectedComponents(edges: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
+      maxRounds: Int = 25): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nodes = edges.select(src.cast("long").as("id"))
+      .unionAll(edges.select(dst.cast("long").as("id"))).distinct()
+    Dedup.duplicateClusters(nodes,
+      edges.select(src.cast("long").as("id_a"), dst.cast("long").as("id_b")),
+      maxRounds)
+  }
 }
