@@ -211,6 +211,34 @@ object Streams {
       .drop("__gate_id", "__sig")
   }
 
+  /**
+   * Watermarked stream-stream interval join (attribution shape: each
+   * left event pairs with same-key right events landing within
+   * [0, withinMs] after it). Both sides carry event-time watermarks,
+   * and the time-range predicate rides the key equi-join — exactly
+   * what Spark needs to bound the join state on BOTH sides (without
+   * the interval bound, stream-stream join state grows forever).
+   * On batch frames the watermark is a no-op and the same plan is the
+   * batch interval join, which is how the spec proves equivalence.
+   * Output: (key, left_ts, right_ts) plus the passed-through payload
+   * columns (prefixed l_/r_ when names collide is the caller's job —
+   * inputs are pre-projected).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, withinMs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("key"), col(tsCol).as("left_ts"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("__rkey"), col(tsCol).as("right_ts"))
+    l.join(r,
+      l("key") === r("__rkey") &&
+        r("right_ts") >= l("left_ts") &&
+        r("right_ts") <= l("left_ts") + expr(s"INTERVAL ${withinMs / 1000} SECOND"),
+      "inner")
+      .select(col("key"), col("left_ts"), col("right_ts"))
+  }
+
   /** Streaming wrapper for [[nearDupFilterBatch]]: apply the gate per
    *  micro-batch via foreachBatch and hand survivors to `sink`. */
   def nearDupGate(

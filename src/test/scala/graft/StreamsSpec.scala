@@ -107,6 +107,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val batch = spark.read.parquet(eventsDir)
+    val bViews = batch.filter($"event_type" === "view")
+    val bClicks = batch.filter($"event_type" === "click")
+    val expected = Streams.intervalJoin(bViews, bClicks,
+      "user_id", "ts", withinMs = 3600000L)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(expected.nonEmpty, "fixture has no view->click pairs within an hour")
+
+    val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val joined = Streams.intervalJoin(
+      stream.filter($"event_type" === "view"),
+      stream.filter($"event_type" === "click"),
+      "user_id", "ts", withinMs = 3600000L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key; minhash tags match batch") {
     // duplicate every event id twice: an exact copy AND a copy shifted
     // +1 minute — both must collapse (the key alone is the identity)
