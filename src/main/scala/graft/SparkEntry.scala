@@ -925,6 +925,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // text-cleaning pass: NFC + control strip + whitespace collapse,
+    // certified via per-doc md5 of the cleaned text
+    "q_doc_normalize" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      s.table("documents").select(col("doc_id"),
+          length(operators.TextOps.normalizeText(col("text"))).as("n_chars"),
+          md5(operators.TextOps.normalizeText(col("text"))).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // classifier-apply pass: hashed-bucket linear scorer with a
     // closed-form 1024-bucket weight table, exact integer scores
     "q_doc_classify" -> ((s, dir) => {
@@ -3262,6 +3273,20 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same NFC (nfc_normalize), same RE2-subset control/whitespace
+      // chain, same trim
+      "q_doc_normalize" ->
+        """SELECT doc_id,
+             length(n) AS n_chars, md5(n) AS norm_md5
+           FROM (
+             SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(nfc_normalize(text),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '[ \t]+', ' ', 'g')) AS n
+             FROM documents) t
+           ORDER BY doc_id""",
 
       // same md5 bucket, same closed-form weight formula, same
       // sigmoid op order

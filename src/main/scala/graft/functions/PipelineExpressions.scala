@@ -567,3 +567,27 @@ case class KmeansAssignMicro(child: Expression, centroids: Array[Array[Long]])
   override protected def withNewChildInternal(c: Expression): KmeansAssignMicro =
     copy(child = c)
 }
+
+/**
+ * Unicode NFC normalization (java.text.Normalizer — canonical
+ * composition, the form DuckDB's nfc_normalize and UTF-8 text
+ * pipelines standardize on). Null-intolerant unary string expression;
+ * ASCII input short-circuits (Normalizer.isNormalized is O(n) and
+ * almost always true for crawl text).
+ */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}

@@ -313,6 +313,28 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Unicode NFC canonical composition (matches DuckDB's
+   *  nfc_normalize; ASCII short-circuits). */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnShim.expr(text)))
+
+  /**
+   * Standard text-cleaning pass for crawl ingestion: NFC canonical
+   * composition, control characters stripped (tab/newline kept),
+   * horizontal whitespace runs collapsed, edges trimmed. The regex
+   * classes stay in the RE2 ∩ java.util.regex subset (explicit hex
+   * ranges, no Java-only class intersections) so the pass replays
+   * identically in other engines. Pure narrow map, codegen-friendly
+   * except the NFC expression (which short-circuits on ASCII).
+   */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /**
    * Linear text-classifier APPLY pass (the fastText-style quality/
    * toxicity filter shape every curation pipeline runs at full corpus

@@ -1023,6 +1023,26 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    // "e" + combining acute (U+0301) must compose to U+00E9
+    val decomposed = "caf" + "e\u0301"
+    val composed = "caf\u00e9"
+    val df = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "a\u0001b\u0007c"), // control chars strip
+      (4L, "  lots   of\t\twhitespace  "),
+      (5L, "keep\nnewlines\nintact")
+    ).toDF("id", "t")
+    val got = df.select($"id", TextOps.normalizeText($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == composed && got(1L) == got(2L),
+      s"NFC: ${got(1L).codePoints().toArray.toSeq}")
+    assert(got(3L) == "abc", got(3L))
+    assert(got(4L) == "lots of whitespace", got(4L))
+    assert(got(5L) == "keep\nnewlines\nintact", got(5L))
+  }
+
   test("linear classifier apply: bucket-sum score, sigmoid, bias on empty docs") {
     import graft.operators.Sampling
     // weights w(b) = b so the score equals the sum of token buckets —
