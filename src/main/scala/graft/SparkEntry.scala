@@ -925,6 +925,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // character-entropy quality signal in exact micro-units
+    "q_doc_entropy" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.charEntropyMicro(s.table("documents"),
+          col("doc_id"), col("text"))
+        .orderBy("id")
+    }),
+
     // text-cleaning pass: NFC + control strip + whitespace collapse,
     // certified via per-doc md5 of the cleaned text
     "q_doc_normalize" -> ((s, dir) => {
@@ -3273,6 +3282,21 @@ object SparkEntry {
       // emptied cluster COALESCEs to its previous centroid
       "q_emb_kmeans" -> s"""$kmeansOracleCtes
            SELECT id, CAST(c AS INTEGER) AS cluster FROM a3 ORDER BY id""",
+
+      // same per-char grouping, same -(p ln p) micro rounding,
+      // order-free BIGINT sum
+      "q_doc_entropy" ->
+        """WITH terms AS (
+             SELECT doc_id, ch, count(*) AS c FROM (
+               SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t
+             WHERE length(ch) > 0
+             GROUP BY doc_id, ch),
+           lens AS (SELECT doc_id, length(text) AS n_chars FROM documents)
+           SELECT l.doc_id AS id, l.n_chars,
+             CAST(coalesce(sum(CAST(round(-((CAST(c AS DOUBLE) / CAST(l.n_chars AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(l.n_chars AS DOUBLE))) * 1000000, 0) AS BIGINT)), 0) AS BIGINT) AS entropy_micro
+           FROM lens l LEFT JOIN terms ON l.doc_id = terms.doc_id
+           GROUP BY l.doc_id, l.n_chars ORDER BY id""",
 
       // same NFC (nfc_normalize), same RE2-subset control/whitespace
       // chain, same trim

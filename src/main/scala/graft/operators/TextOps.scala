@@ -313,6 +313,31 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Per-document character-level Shannon entropy in exact 1e-6-unit
+   * BIGINTs — the gibberish/degenerate-content signal (natural text
+   * sits ~3.5-4.5 bits/char in nats here; base64 blobs and repeated
+   * filler fall far outside). Each distinct character contributes
+   * round6(−(c/n)·ln(c/n)) and the per-doc sum is order-free, so the
+   * score is engine- and partitioning-stable. Scale shape: one
+   * per-char explode into a (doc, char) partial-aggregating groupBy
+   * (state bounded by alphabet size per doc), lengths join back on
+   * the doc key. Output: (id, n_chars, entropy_micro).
+   */
+  def charEntropyMicro(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val lens = df.select(id.as("id"), length(text).as("n_chars"))
+    val terms = df.select(id.as("id"), explode(split(text, "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n_chars").cast("double")
+    val term = round(-(p * log(p)) * 1e6, 0).cast("long")
+    lens.join(terms, Seq("id"), "left")
+      .select(col("id"), col("n_chars"), when(col("c").isNull, lit(0L))
+        .otherwise(term).as("__t"))
+      .groupBy("id", "n_chars").agg(sum(col("__t")).as("entropy_micro"))
+  }
+
   /** Unicode NFC canonical composition (matches DuckDB's
    *  nfc_normalize; ASCII short-circuits). */
   def nfc(text: Column): Column =

@@ -1023,6 +1023,30 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("char entropy: closed-form values, degenerate text scores low") {
+    val df = Seq(
+      (1L, "aaaa"),     // H = 0
+      (2L, "abab"),     // H = ln 2
+      (3L, "abcd"),     // H = ln 4
+      (4L, "")          // empty -> 0
+    ).toDF("id", "t")
+    val got = TextOps.charEntropyMicro(df, $"id", $"t")
+      .select("id", "entropy_micro").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L, got(1L))
+    // ln 2 = 0.693147...; each of 2 chars contributes round6(0.5*ln2)
+    val half = math.round(0.5 * math.log(2.0) * 1e6)
+    assert(got(2L) == 2 * half, s"${got(2L)} vs ${2 * half}")
+    val quarter = math.round(0.25 * math.log(4.0) * 1e6)
+    assert(got(3L) == 4 * quarter, s"${got(3L)} vs ${4 * quarter}")
+    assert(got(4L) == 0L)
+    // natural text >> repeated filler
+    val real = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")).toDF("id", "t")
+    val r = TextOps.charEntropyMicro(real, $"id", $"t")
+      .select("id", "entropy_micro").as[(Long, Long)].collect().toMap
+    assert(r(1L) > 5 * r(2L), r)
+  }
+
   test("normalizeText: NFC composition, control strip, whitespace collapse") {
     // "e" + combining acute (U+0301) must compose to U+00E9
     val decomposed = "caf" + "e\u0301"
