@@ -1261,6 +1261,49 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // as-of (temporal) join: every click picks up the user's most
+    // recent prior-or-equal purchase (floor-second time, cents-exact
+    // value). Right side pre-aggregated to unique (user, ts) so the
+    // match is tie-free; oracle is the reference engine's native
+    // ASOF LEFT JOIN on the same frames.
+    "q_events_asof" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      val ev = s.table("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("click_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("purchase_s"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id", "purchase_s").agg(max("cents").as("purchase_cents"))
+      operators.AsofJoin.asofJoin(clicks, purchases, "user_id", "click_s", "purchase_s")
+        .select(col("user_id"), col("event_id"), col("click_s"),
+          col("asof_purchase_s").as("purchase_s"), col("purchase_cents"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // interval containment join (orders falling inside synthetic
+    // ship→receipt windows) via the binned equi-join rewrite — the
+    // oracle runs the same containment as a plain inequality join,
+    // certifying the bin blocking loses / duplicates no pairs
+    "q_range_join" -> ((s, dir) => {
+      load(s, dir, "lineitem", "orders")
+      import org.apache.spark.sql.functions._
+      val iv = s.table("lineitem")
+        .filter(col("l_orderkey") % 100 === 0 && col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("start_d"))
+        .withColumn("end_d", col("start_d") + col("l_orderkey") % 20 + 5)
+      val pt = s.table("orders")
+        .select(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("od"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      operators.RangeJoin.pointInInterval(pt, iv,
+          col("od"), col("start_d"), col("end_d"), binWidth = 16L)
+        .groupBy("l_orderkey", "start_d", "end_d")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .orderBy("l_orderkey", "start_d")
+    }),
+
     // language × source crosstab via relational pivot (corpus
     // composition dashboards); missing cells coalesced to 0 so both
     // engines agree on empties
@@ -2918,6 +2961,39 @@ object SparkEntry {
            SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
              count(*) AS n_events
            FROM s GROUP BY user_id, idx ORDER BY user_id, session_start""",
+
+      // the reference engine's native ASOF LEFT JOIN over the same
+      // floor-second frames certifies the union+running-last rewrite
+      "q_events_asof" ->
+        """WITH c AS (
+             SELECT user_id, event_id, epoch_ms(ts) // 1000 AS click_s
+             FROM events WHERE event_type = 'click'),
+           p AS (
+             SELECT user_id, epoch_ms(ts) // 1000 AS purchase_s,
+               max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           SELECT c.user_id, c.event_id, c.click_s,
+             p.purchase_s, p.purchase_cents
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.user_id AND c.click_s >= p.purchase_s
+           ORDER BY c.user_id, c.event_id""",
+
+      // plain inequality containment join — the engine-native range
+      // join the binned equi-join rewrite must reproduce exactly
+      "q_range_join" ->
+        """WITH iv AS (
+             SELECT l_orderkey,
+               datediff('day', DATE '1970-01-01', l_shipdate) AS start_d,
+               datediff('day', DATE '1970-01-01', l_shipdate) + l_orderkey % 20 + 5 AS end_d
+             FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1),
+           pt AS (
+             SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS od,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders)
+           SELECT iv.l_orderkey, iv.start_d, iv.end_d,
+             count(*) AS n_orders, CAST(sum(pt.cents) AS BIGINT) AS sum_cents
+           FROM iv JOIN pt ON pt.od BETWEEN iv.start_d AND iv.end_d
+           GROUP BY 1, 2, 3 ORDER BY 1, 2""",
 
       "q_doc_lang_pivot" ->
         """SELECT source,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random fixture: 3 keys, interleaved times
+  private lazy val left = (0 until 60)
+    .map(i => (i.toLong % 3, (i * 37 + 11) % 100L, i.toLong))
+    .toDF("k", "t", "lid")
+  private lazy val right = (0 until 25)
+    .map(j => (j.toLong % 3, (j * 13 + 4) % 90L, j * 100L, s"p$j"))
+    .toDF("k", "rt", "amount", "tag")
+    .groupBy("k", "rt").agg(max("amount").as("amount"), max("tag").as("tag"))
+
+  private def brute(strict: Boolean): Set[(Long, Long, Long, Option[Long], Option[Long], Option[String])] = {
+    val r = right.as[(Long, Long, Long, String)].collect()
+    left.as[(Long, Long, Long)].collect().map { case (k, t, lid) =>
+      val cands = r.filter(x => x._1 == k && (if (strict) x._2 < t else x._2 <= t))
+      if (cands.isEmpty) (k, t, lid, None, None, None)
+      else {
+        val m = cands.maxBy(_._2)
+        (k, t, lid, Some(m._2), Some(m._3), Some(m._4))
+      }
+    }.toSet
+  }
+
+  private def run(strict: Boolean) =
+    AsofJoin.asofJoin(left, right, "k", "t", "rt", strict = strict)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[String])]
+      .collect().toSet
+
+  test("asof join == brute force (non-strict, multi-payload, left-join nulls)") {
+    val got = brute(strict = false)
+    assert(got.exists(_._4.isEmpty), "fixture should have unmatched left rows")
+    assert(run(strict = false) == got)
+  }
+
+  test("asof join == brute force (strict <)") {
+    assert(run(strict = true) == brute(strict = true))
+  }
+
+  test("equal-timestamp tie: non-strict matches the same-ts right row, strict skips it") {
+    val l = Seq((1L, 10L, 0L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 77L)).toDF("k", "rt", "amount")
+    val ns = AsofJoin.asofJoin(l, r, "k", "t", "rt").select("asof_rt", "amount")
+      .as[(Option[Long], Option[Long])].head()
+    val st = AsofJoin.asofJoin(l, r, "k", "t", "rt", strict = true).select("asof_rt", "amount")
+      .as[(Option[Long], Option[Long])].head()
+    assert(ns == ((Some(10L), Some(77L))))
+    assert(st == ((None, None)))
+  }
+
+  test("plan shape: one exchange over the union, no join node") {
+    val df = AsofJoin.asofJoin(left, right.repartition(4), "k", "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    // the union side is partitioned once by key; windows reuse that exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected at most input-repartition + one asof exchange:\n$plan")
+  }
+}
