@@ -1304,6 +1304,40 @@ object SparkEntry {
         .orderBy("l_orderkey", "start_d")
     }),
 
+    // dense hourly resample with explicit zero-filled gaps (the grid a
+    // rolling/anomaly pass needs); grid built in-plan from a 1-row
+    // min/max aggregate — no driver collect
+    "q_events_resample" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      operators.EventOps.resample(s.table("events"), col("event_type"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)"), periodMs = 3600 * 1000L)
+        .select(col("group").as("event_type"), col("period_start"),
+          col("n_events"), col("sum_micro").as("sum_cents"))
+        .orderBy("event_type", "period_start")
+    }),
+
+    // trailing 6-hour rolling stats over the dense grid (ROWS frame ==
+    // RANGE frame exactly because the resample closed the gaps); mean
+    // in exact micro-units so the head-of-series partial windows
+    // hash-certify
+    "q_events_rolling" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dense = operators.EventOps.resample(s.table("events"), col("event_type"),
+        col("ts"), expr("CAST(round(value * 100) AS BIGINT)"), periodMs = 3600 * 1000L)
+      val w = Window.partitionBy("group").orderBy("period_start").rowsBetween(-5, 0)
+      dense.select(col("group").as("event_type"), col("period_start"),
+          col("n_events"),
+          sum("n_events").over(w).as("n_6h"),
+          sum("sum_micro").over(w).as("cents_6h"),
+          count(lit(1)).over(w).as("w_rows"))
+        .withColumn("mean_micro_6h", expr("(n_6h * 1000000) DIV w_rows"))
+        .drop("w_rows")
+        .orderBy("event_type", "period_start")
+    }),
+
     // language × source crosstab via relational pivot (corpus
     // composition dashboards); missing cells coalesced to 0 so both
     // engines agree on empties
@@ -2994,6 +3028,51 @@ object SparkEntry {
              count(*) AS n_orders, CAST(sum(pt.cents) AS BIGINT) AS sum_cents
            FROM iv JOIN pt ON pt.od BETWEEN iv.start_d AND iv.end_d
            GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+
+      // same grid: generate_series over the global min/max hour crossed
+      // with the distinct groups, counts left-joined, gaps -> 0
+      "q_events_resample" ->
+        """WITH e AS (
+             SELECT event_type, epoch_ms(ts) // 3600000 AS p,
+               CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+           b AS (SELECT min(p) AS p0, max(p) AS p1 FROM e),
+           grid AS (SELECT unnest(generate_series((SELECT p0 FROM b), (SELECT p1 FROM b))) AS p),
+           g AS (SELECT DISTINCT event_type FROM e),
+           c AS (SELECT event_type, p, count(*) AS n, sum(cents) AS sc
+                 FROM e GROUP BY 1, 2)
+           SELECT g.event_type, grid.p * 3600000 AS period_start,
+             coalesce(c.n, 0) AS n_events,
+             coalesce(CAST(c.sc AS BIGINT), 0) AS sum_cents
+           FROM grid CROSS JOIN g
+           LEFT JOIN c ON c.event_type = g.event_type AND c.p = grid.p
+           ORDER BY 1, 2""",
+
+      // trailing 6-row window over the identical dense grid
+      "q_events_rolling" ->
+        """WITH e AS (
+             SELECT event_type, epoch_ms(ts) // 3600000 AS p,
+               CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+           b AS (SELECT min(p) AS p0, max(p) AS p1 FROM e),
+           grid AS (SELECT unnest(generate_series((SELECT p0 FROM b), (SELECT p1 FROM b))) AS p),
+           g AS (SELECT DISTINCT event_type FROM e),
+           c AS (SELECT event_type, p, count(*) AS n, sum(cents) AS sc
+                 FROM e GROUP BY 1, 2),
+           dense AS (
+             SELECT g.event_type, grid.p,
+               coalesce(c.n, 0) AS n_events,
+               coalesce(CAST(c.sc AS BIGINT), 0) AS sum_cents
+             FROM grid CROSS JOIN g
+             LEFT JOIN c ON c.event_type = g.event_type AND c.p = grid.p)
+           SELECT event_type, p * 3600000 AS period_start, n_events,
+             CAST(sum(n_events) OVER w AS BIGINT) AS n_6h,
+             CAST(sum(sum_cents) OVER w AS BIGINT) AS cents_6h,
+             CAST((sum(n_events) OVER w * 1000000) // (count(*) OVER w) AS BIGINT) AS mean_micro_6h
+           FROM dense
+           WINDOW w AS (PARTITION BY event_type ORDER BY p
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+           ORDER BY event_type, period_start""",
 
       "q_doc_lang_pivot" ->
         """SELECT source,

@@ -61,6 +61,42 @@ object EventOps {
    * user-keyed min + self-join on the users-cardinality frame. All
    * integer arithmetic: hash-certifiable.
    */
+  /**
+   * Dense time-series resample (gap fill): bucket events into
+   * `periodMs` periods per group, then left-join the per-group counts
+   * onto the FULL (group × period) grid spanning [min period, max
+   * period] so silent periods surface as explicit zero rows — the
+   * shape every downstream rolling/anomaly pass needs.
+   *
+   * Scale shape: one events-cardinality partial-agg groupBy; the grid
+   * is (time span / period) × |groups| rows — a function of wall-clock
+   * coverage, NOT of data volume — built from a 1-row min/max aggregate
+   * with sequence+explode (no driver collect, no literal baked at plan
+   * time) and broadcast onto the counts. At 100 TB the grid for a year
+   * of hourly periods × 1k groups is still only ~9M rows.
+   *
+   * @return (group, period_start, n_events, sum_micro) — period_start
+   *         in ms, zero-filled gaps, micro-unit sums (hash-exact)
+   */
+  def resample(
+      events: DataFrame, group: Column, ts: Column, valueMicro: Column,
+      periodMs: Long): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val e = events.select(group.as("g"),
+        (ts.cast("long") * 1000).as("__tms"), valueMicro.cast("long").as("v"))
+      .select(col("g"), expr(s"__tms DIV $periodMs").as("p"), col("v")) // exact integer division
+    val counts = e.groupBy("g", "p")
+      .agg(count(lit(1)).as("n_events"), sum("v").as("sum_micro"))
+    val grid = e.agg(min("p").as("p0"), max("p").as("p1"))
+      .select(explode(sequence(col("p0"), col("p1"))).as("p"))
+    val groups = e.select("g").distinct()
+    broadcast(grid).crossJoin(groups)
+      .join(counts, Seq("g", "p"), "left")
+      .select(col("g").as("group"), (col("p") * periodMs).as("period_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_micro"), lit(0L)).as("sum_micro"))
+  }
+
   def retentionCohorts(
       events: DataFrame, user: Column, ts: Column,
       periodMs: Long, maxPeriods: Int): DataFrame = {

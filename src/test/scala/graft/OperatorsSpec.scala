@@ -942,6 +942,32 @@ class SamplingSpec extends SparkSpec {
       out.mkString(";"))
   }
 
+  test("resample: dense grid spans min..max, gaps zero-filled, sums exact, no collect") {
+    import graft.operators.EventOps
+    import java.sql.Timestamp
+    val P = 10L * 1000L // 10 s periods
+    def ev(g: String, sec: Long, v: Long) = (g, new Timestamp(sec * 1000), v)
+    val events = Seq(
+      ev("a", 5, 100), ev("a", 7, 50), // period 0
+      ev("a", 45, 7),                  // period 4 (1..3 are gaps)
+      ev("b", 12, 9)                   // b only in period 1; 0,2,3,4 gaps
+    ).toDF("g", "ts", "v")
+    val out = EventOps.resample(events, $"g", $"ts", $"v", P)
+      .orderBy("group", "period_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val expect = Seq(
+      ("a", 0L, 2L, 150L), ("a", 10000L, 0L, 0L), ("a", 20000L, 0L, 0L),
+      ("a", 30000L, 0L, 0L), ("a", 40000L, 1L, 7L),
+      ("b", 0L, 0L, 0L), ("b", 10000L, 1L, 9L), ("b", 20000L, 0L, 0L),
+      ("b", 30000L, 0L, 0L), ("b", 40000L, 0L, 0L))
+    assert(out == expect, out.mkString(";"))
+    // grid is built in-plan (sequence over a 1-row agg), not collected:
+    // the whole thing is one DataFrame with no eager action
+    val plan = EventOps.resample(events, $"g", $"ts", $"v", P)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("sequence") || plan.contains("Sequence"), plan)
+  }
+
   test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
     import graft.operators.LinkGraph
     // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
