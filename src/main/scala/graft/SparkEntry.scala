@@ -1304,6 +1304,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "start_d")
     }),
 
+    // per-vertex triangle counts over the synthetic link graph —
+    // degree-ordered orientation so each triangle is counted once at
+    // its lowest-degree corner and hub vertices never fan out
+    "q_graph_triangles" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val d = s.table("documents")
+      val edges = d.selectExpr("doc_id % 100 AS src", "(doc_id * 7 + 13) % 100 AS dst")
+        .unionAll(d.selectExpr("doc_id % 100", "(doc_id * 37 + 11) % 100"))
+        .unionAll(d.selectExpr("(doc_id * 7 + 13) % 100", "(doc_id * 37 + 29) % 100"))
+      operators.LinkGraph.triangleCounts(edges, col("src"), col("dst"))
+        .select(col("v").as("vertex"), col("n_triangles"))
+        .orderBy("vertex")
+    }),
+
     // dense hourly resample with explicit zero-filled gaps (the grid a
     // rolling/anomaly pass needs); grid built in-plan from a 1-row
     // min/max aggregate — no driver collect
@@ -3028,6 +3043,25 @@ object SparkEntry {
              count(*) AS n_orders, CAST(sum(pt.cents) AS BIGINT) AS sum_cents
            FROM iv JOIN pt ON pt.od BETWEEN iv.start_d AND iv.end_d
            GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+
+      // canonical a<b<c triangle enumeration: each triangle appears
+      // exactly once as ((a,b),(b,c),(a,c)) over the ordered edge set
+      "q_graph_triangles" ->
+        """WITH raw AS (
+             SELECT doc_id % 100 AS a, (doc_id * 7 + 13) % 100 AS b FROM documents
+             UNION ALL SELECT doc_id % 100, (doc_id * 37 + 11) % 100 FROM documents
+             UNION ALL SELECT (doc_id * 7 + 13) % 100, (doc_id * 37 + 29) % 100 FROM documents),
+           e AS (
+             SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+             FROM raw WHERE a <> b),
+           t AS (
+             SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+           SELECT v AS vertex, count(*) AS n_triangles
+           FROM (SELECT unnest([x, y, z]) AS v FROM t)
+           GROUP BY v ORDER BY v""",
 
       // same grid: generate_series over the global min/max hour crossed
       // with the distinct groups, counts left-joined, gaps -> 0

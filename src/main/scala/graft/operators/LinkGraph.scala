@@ -72,6 +72,61 @@ object LinkGraph {
   }
 
   /**
+   * Triangle count per vertex (+ a `total` via summing / 3 on the
+   * caller side if wanted). Triangles are the standard local
+   * clustering / community-density signal over host link graphs.
+   *
+   * Scale shape — the degree-ordered orientation that bounds the
+   * quadratic: undirected edges are canonicalized and then DIRECTED
+   * from the lower-(degree, id) endpoint to the higher one, so every
+   * triangle is counted exactly once at its smallest vertex and the
+   * wedge join fans out from each vertex's FORWARD degree only —
+   * O(Σ d_fwd²) with d_fwd ≤ √(2·|E|) on any graph, instead of the
+   * hub-degree² blowup a naive neighbor join hits on power-law
+   * graphs. Two equi-joins on vertex keys (wedge build + closing-edge
+   * check), ids-only shuffles throughout.
+   *
+   * Returns (v BIGINT, n_triangles BIGINT) for every vertex incident
+   * to ≥1 triangle.
+   */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    // canonical undirected edge set, self-loops dropped
+    val und = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> w iff (d_u, u) < (d_w, w)
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val dir = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .persist()
+    // wedges u->w1, u->w2 with the pair id-ordered so the closing edge
+    // can be matched on its CANONICAL (min, max) form with a pure
+    // equi-join (an OR of orientations would plan a nested loop)
+    val e1 = dir.select(col("u"), col("w").as("w1"))
+    val e2 = dir.select(col("u"), col("w").as("w2"))
+    val wedges = e1.join(e2, "u").filter(col("w1") < col("w2"))
+    val closing = dir.select(least(col("u"), col("w")).as("w1"),
+      greatest(col("u"), col("w")).as("w2"))
+    val tris = wedges.join(closing, Seq("w1", "w2"))
+      .select(col("u"), col("w1"), col("w2"))
+    val out = tris.select(explode(array(col("u"), col("w1"), col("w2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+      .persist()
+    out.count() // materialize while dir is cached
+    dir.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * Connected components over an arbitrary edge list: (id, cluster)
    * with cluster = the smallest node id in the component. Delegates to
    * the certified large-star/small-star loop behind the transitive

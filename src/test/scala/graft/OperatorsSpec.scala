@@ -968,6 +968,31 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("sequence") || plan.contains("Sequence"), plan)
   }
 
+  test("triangleCounts: hand-checked K4+path, brute-force parity on a random graph") {
+    import graft.operators.LinkGraph
+    // K4 on {0,1,2,3} (4 triangles; every vertex in 3) + pendant path 3-4-5
+    val k4 = for (i <- 0 to 3; j <- 0 to 3 if i < j) yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("s", "d")
+    val got = LinkGraph.triangleCounts(edges, $"s", $"d")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), got.toString)
+
+    // pseudo-random multigraph with dupes/self-loops/reversed edges
+    val rnd = (0 until 400).map(i => ((i * 17 + 3) % 30L, (i * 29 + 7) % 30L)).toDF("s", "d")
+    val gotR = LinkGraph.triangleCounts(rnd, $"s", $"d")
+      .as[(Long, Long)].collect().toMap
+    val und = rnd.filter($"s" =!= $"d")
+      .select(least($"s", $"d").as("a"), greatest($"s", $"d").as("b")).distinct()
+    val e1 = und.select($"a".as("x"), $"b".as("y"))
+    val e2 = und.select($"a".as("y"), $"b".as("z"))
+    val e3 = und.select($"a".as("x"), $"b".as("z"))
+    val brute = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .select(explode(array($"x", $"y", $"z")).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(brute.nonEmpty && gotR == brute, s"got=$gotR brute=$brute")
+  }
+
   test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
     import graft.operators.LinkGraph
     // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
