@@ -1304,6 +1304,26 @@ object SparkEntry {
         .orderBy("l_orderkey", "start_d")
     }),
 
+    // edit-distance fuzzy near-dup pairs over planted title variants
+    // (append / drop+append / substitute, lev ≤ 2) — length-band
+    // blocking certified complete against the oracle's full quadratic
+    "q_doc_fuzzy" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val titled = s.table("documents").selectExpr("doc_id",
+        """CASE WHEN doc_id % 2 = 0
+                THEN substring(md5(CAST(doc_id DIV 2 AS STRING)), 1, CAST(8 + (doc_id DIV 2) % 20 AS INT))
+                WHEN (doc_id DIV 2) % 3 = 0
+                THEN concat(substring(md5(CAST(doc_id DIV 2 AS STRING)), 1, CAST(8 + (doc_id DIV 2) % 20 AS INT)), 'x')
+                WHEN (doc_id DIV 2) % 3 = 1
+                THEN concat(substring(substring(md5(CAST(doc_id DIV 2 AS STRING)), 1, CAST(8 + (doc_id DIV 2) % 20 AS INT)), 2), 'q')
+                ELSE concat('Z', substring(substring(md5(CAST(doc_id DIV 2 AS STRING)), 1, CAST(8 + (doc_id DIV 2) % 20 AS INT)), 2))
+           END AS title""")
+      operators.Dedup.fuzzyPairs(titled, col("doc_id"), col("title"),
+          maxDist = 2, bandWidth = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // per-vertex triangle counts over the synthetic link graph —
     // degree-ordered orientation so each triangle is counted once at
     // its lowest-degree corner and hub vertices never fan out
@@ -3043,6 +3063,29 @@ object SparkEntry {
              count(*) AS n_orders, CAST(sum(pt.cents) AS BIGINT) AS sum_cents
            FROM iv JOIN pt ON pt.od BETWEEN iv.start_d AND iv.end_d
            GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+
+      // full quadratic levenshtein with only the |len diff| prefilter —
+      // certifies the band blocking drops no pair
+      "q_doc_fuzzy" ->
+        """WITH s AS (
+             SELECT doc_id,
+               substring(md5(CAST(doc_id // 2 AS VARCHAR)), 1,
+                 CAST(8 + (doc_id // 2) % 20 AS INT)) AS s
+             FROM documents),
+           t AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN s
+                    WHEN (doc_id // 2) % 3 = 0 THEN s || 'x'
+                    WHEN (doc_id // 2) % 3 = 1 THEN substring(s, 2) || 'q'
+                    ELSE 'Z' || substring(s, 2) END AS title
+             FROM s)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.title, b.title) AS dist
+           FROM t a JOIN t b
+             ON a.doc_id < b.doc_id
+             AND abs(length(a.title) - length(b.title)) <= 2
+           WHERE levenshtein(a.title, b.title) <= 2
+           ORDER BY id_a, id_b""",
 
       // canonical a<b<c triangle enumeration: each triangle appears
       // exactly once as ((a,b),(b,c),(a,c)) over the ordered edge set

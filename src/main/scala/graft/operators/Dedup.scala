@@ -364,6 +364,40 @@ object Dedup {
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs with length-band
+   *  blocking — the fuzzy-key variant of the dedup family (titles,
+   *  normalized URLs, short fields). Blocking is PROVABLY complete:
+   *  d edits change length by at most d, so candidates live within
+   *  ±maxDist of each other's length; the probe side replicates to the
+   *  ≤ (2·maxDist/bandWidth)+2 covering bands while the build side
+   *  keys on its single band, so every candidate pair meets exactly
+   *  once (no post-dedup). The verify uses the THRESHOLDED levenshtein
+   *  (O(maxDist·len) banded DP, not O(len²)) and rides the hash join
+   *  as a residual filter.
+   *
+   *  Scale shape: ids+key shuffle on an integer band; within-band work
+   *  is quadratic in band population — like the LSH bucket cap, real
+   *  corpora spread lengths, and `bandWidth` dials replication vs
+   *  candidate count. Returns (id_a, id_b, dist) with id_a < id_b.
+   */
+  def fuzzyPairs(df: DataFrame, id: Column, key: Column,
+      maxDist: Int = 2, bandWidth: Int = 8): DataFrame = {
+    require(maxDist >= 0 && bandWidth > 0, "bad fuzzyPairs params")
+    val base = df.select(id.cast("long").as("__id"), key.cast("string").as("__k"))
+      .withColumn("__len", length(col("__k")))
+    val build = base.select(col("__id").as("id_b"), col("__k").as("__kb"),
+      expr(s"__len DIV $bandWidth").as("__band"))
+    val probe = base.select(col("__id").as("id_a"), col("__k").as("__ka"),
+      explode(sequence(
+        expr(s"greatest(__len - $maxDist, 0) DIV $bandWidth"),
+        expr(s"(__len + $maxDist) DIV $bandWidth"))).as("__band"))
+    probe.join(build, Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", expr(s"levenshtein(__ka, __kb, $maxDist)"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** 64-bit SimHash fingerprint column (near-dup via hamming distance). */
   def simhash(text: Column, shingleSize: Int = 4): Column =
     ColumnShim.column(SimHash(ColumnShim.expr(text), shingleSize))

@@ -99,6 +99,37 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("fuzzyPairs == brute-force levenshtein across band widths (boundary lengths)") {
+    // strings engineered to straddle band boundaries: lengths 6..9
+    // around a bandWidth-8 edge, plus planted lev-1/2 variants
+    val rows = (0 until 80).map { i =>
+      val base = ("abcdefghijklmnop" * 2).substring(0, 6 + i % 10) + (i / 4).toString
+      val s = i % 4 match {
+        case 0 => base
+        case 1 => base + "x"           // lev 1 vs case 0
+        case 2 => base.drop(1) + "qz"  // lev <= 3
+        case _ => "Q" + base.drop(1)   // lev 1
+      }
+      (i.toLong, s)
+    }
+    val df = rows.toDF("id", "k")
+    val brute = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.k"), col("b.k")).as("dist"))
+      .filter($"dist" <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty)
+    for (bw <- Seq(1, 3, 8, 64)) {
+      val got = Dedup.fuzzyPairs(df, $"id", $"k", maxDist = 2, bandWidth = bw)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute, s"bandWidth=$bw: missing=${brute -- got} extra=${got -- brute}")
+    }
+    // maxDist 0 degenerates to exact-key pairs
+    val exact0 = Dedup.fuzzyPairs(df, $"id", $"k", maxDist = 0, bandWidth = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(exact0.forall(_._3 == 0))
+  }
+
   test("exact dedup survives a 50%-identical corpus without a hot reducer") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val n = 40000L
