@@ -400,8 +400,34 @@ object Bench {
         fit.unpersist(blocking = false)
         r
       }
+      // as-of join at amortized scale: the union+running-last rewrite
+      // vs the oracle's native ASOF LEFT JOIN over identical frames
+      // (100k keys, 100 probe rows/key, 10 unique state rows/key)
+      def asofN(nL: Long, nR: Long, keys: Long): Long = {
+        val l = spark.range(nL).selectExpr("id AS lid",
+          s"id % $keys AS k", "(id * 48271 % 2147483647) % 10000 AS t")
+        val r = spark.range(nR).selectExpr(s"id % $keys AS k",
+          s"(id DIV $keys) * 1000 + (id % $keys) % 37 AS rt", "id AS amount")
+        graft.operators.AsofJoin.asofJoin(l, r, "k", "t", "rt")
+          .agg(count(lit(1)), count(col("asof_rt")),
+            sum(coalesce(col("amount"), lit(0L))))
+          .collect()(0).getLong(0)
+      }
+      // interval containment at amortized scale: the binned equi-join
+      // vs the oracle's inequality join (10M points, 10k intervals,
+      // ~6M result pairs)
+      def rangeJoinN(nP: Long, nI: Long): Long = {
+        val p = spark.range(nP).selectExpr("id AS pid",
+          "(id * 16807 % 2147483647) % 10000000 AS x")
+        val iv = spark.range(nI).selectExpr("id AS iid", "id * 9973 % 10000000 AS s")
+          .selectExpr("iid", "s", "s + 200 + iid % 800 AS e")
+        graft.operators.RangeJoin.pointInInterval(p, iv,
+            col("x"), col("s"), col("e"), binWidth = 1024L)
+          .agg(count(lit(1)), sum("x"), sum("iid")).collect()(0).getLong(0)
+      }
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
-      transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L) // warm plan shapes
+      transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L)
+      asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("transform_10m") = medianOf("transform_10m",
@@ -416,6 +442,10 @@ object Bench {
         () => time { pagerankN(10000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
       results("kmeans_1m") = medianOf("kmeans_1m",
         () => time { kmeansN(1000000L) }, cutoff = 30.0, trialsN = 3)
+      results("asof_join_10m") = medianOf("asof_join_10m",
+        () => time { asofN(10000000L, 1000000L, 100000L) }, cutoff = 30.0, trialsN = 3)
+      results("range_join_10m") = medianOf("range_join_10m",
+        () => time { rangeJoinN(10000000L, 10000L) }, cutoff = 30.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -440,6 +470,27 @@ object Bench {
     }
     val operatorOracles = Map(
       "pagerank_10m" -> pagerankOracle10m,
+      "asof_join_10m" ->
+        """WITH l AS (SELECT range AS lid, range % 100000 AS k,
+                        (range * 48271 % 2147483647) % 10000 AS t
+                      FROM range(10000000)),
+                r AS (SELECT range % 100000 AS k,
+                        (range // 100000) * 1000 + (range % 100000) % 37 AS rt,
+                        range AS amount
+                      FROM range(1000000))
+           SELECT count(*) AS n, count(r.rt) AS m,
+             CAST(sum(coalesce(r.amount, 0)) AS BIGINT) AS s
+           FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt""",
+      "range_join_10m" ->
+        """WITH p AS (SELECT range AS pid,
+                        (range * 16807 % 2147483647) % 10000000 AS x
+                      FROM range(10000000)),
+               iv AS (SELECT range AS iid, range * 9973 % 10000000 AS s
+                      FROM range(10000)),
+              iv2 AS (SELECT iid, s, s + 200 + iid % 800 AS e FROM iv)
+           SELECT count(*) AS n, CAST(sum(p.x) AS BIGINT) AS sx,
+             CAST(sum(iv2.iid) AS BIGINT) AS si
+           FROM p JOIN iv2 ON p.x BETWEEN iv2.s AND iv2.e""",
       "spatial_join_10m" ->
         """SELECT count(*) AS n, sum(cnt) AS s FROM (
              SELECT z.zid, count(*) AS cnt
