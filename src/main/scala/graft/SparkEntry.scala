@@ -166,6 +166,45 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
 
+    "q_cube" -> q(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         CAST(grouping(l_linestatus) AS INT) AS g_ls,
+         count(*) AS n,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+
+    "q_groupingsets" -> q(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+
+    // fixed-width histogram by pure integer arithmetic (identical
+    // bucketing formula on both engines; top bucket clamps the tail)
+    "q_doc_len_hist" -> q(Seq("documents"),
+      """SELECT least(length(text) DIV 200, 20) AS bucket,
+         count(*) AS n, min(length(text)) AS len_min, max(length(text)) AS len_max
+         FROM documents GROUP BY 1 ORDER BY 1"""),
+
+    // distribution window functions under a total order (unique
+    // tiebreak): ntile bucketing + exact-integer percent-rank/cume
+    "q_window_dist" -> q(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           lag(o_orderkey) OVER w AS prev_ok,
+           lead(o_orderkey) OVER w AS next_ok,
+           CASE WHEN count(*) OVER p > 1
+                THEN ((rank() OVER w - 1) * 1000000) DIV (count(*) OVER p - 1)
+                ELSE 0 END AS pr_micro,
+           (row_number() OVER w * 1000000) DIV (count(*) OVER p) AS cd_micro
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+                p AS (PARTITION BY o_custkey)
+         ORDER BY o_custkey, o_orderkey"""),
+
     "q_semi_anti" -> q(Seq("customer", "orders"),
       """SELECT
            (SELECT count(*) FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
@@ -1337,6 +1376,25 @@ object SparkEntry {
       operators.LinkGraph.triangleCounts(edges, col("src"), col("dst"))
         .select(col("v").as("vertex"), col("n_triangles"))
         .orderBy("vertex")
+    }),
+
+    // integer z-score anomaly flags over the dense hourly series:
+    // |n - mean| > 2σ decided entirely in integers via
+    // (n·N − S)² > 4·(N·Q − S²)  — no FP, hash-exact across engines
+    "q_events_anomaly" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val dense = operators.EventOps.resample(s.table("events"), col("event_type"),
+        col("ts"), expr("CAST(round(value * 100) AS BIGINT)"), periodMs = 3600 * 1000L)
+      val p = Window.partitionBy("group")
+      dense.select(col("group").as("event_type"), col("period_start"), col("n_events"),
+          sum("n_events").over(p).as("S"),
+          count(lit(1)).over(p).as("N"),
+          sum(col("n_events") * col("n_events")).over(p).as("Q"))
+        .filter(expr("(n_events * N - S) * (n_events * N - S) > 4 * (N * Q - S * S)"))
+        .select(col("event_type"), col("period_start"), col("n_events"))
+        .orderBy("event_type", "period_start")
     }),
 
     // dense hourly resample with explicit zero-filled gaps (the grid a
@@ -2632,6 +2690,67 @@ object SparkEntry {
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+           FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+      "q_groupingsets" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+      "q_doc_len_hist" ->
+        """SELECT least(length(text) // 200, 20) AS bucket,
+           count(*) AS n, min(length(text)) AS len_min, max(length(text)) AS len_max
+           FROM documents GROUP BY 1 ORDER BY 1""",
+
+      "q_window_dist" ->
+        """SELECT o_custkey, o_orderkey,
+             ntile(4) OVER w AS quartile,
+             lag(o_orderkey) OVER w AS prev_ok,
+             lead(o_orderkey) OVER w AS next_ok,
+             CASE WHEN count(*) OVER p > 1
+                  THEN CAST(((rank() OVER w - 1) * 1000000) // (count(*) OVER p - 1) AS BIGINT)
+                  ELSE 0 END AS pr_micro,
+             CAST((row_number() OVER w * 1000000) // (count(*) OVER p) AS BIGINT) AS cd_micro
+           FROM orders WHERE o_custkey < 100
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+                  p AS (PARTITION BY o_custkey)
+           ORDER BY o_custkey, o_orderkey""",
+
+      // identical integer inequality over the identical dense grid
+      "q_events_anomaly" ->
+        """WITH e AS (
+             SELECT event_type, epoch_ms(ts) // 3600000 AS p,
+               CAST(round(value * 100) AS BIGINT) AS cents
+             FROM events),
+           b AS (SELECT min(p) AS p0, max(p) AS p1 FROM e),
+           grid AS (SELECT unnest(generate_series((SELECT p0 FROM b), (SELECT p1 FROM b))) AS p),
+           g AS (SELECT DISTINCT event_type FROM e),
+           c AS (SELECT event_type, p, count(*) AS n FROM e GROUP BY 1, 2),
+           dense AS (
+             SELECT g.event_type, grid.p, coalesce(c.n, 0) AS n_events
+             FROM grid CROSS JOIN g
+             LEFT JOIN c ON c.event_type = g.event_type AND c.p = grid.p),
+           st AS (
+             SELECT event_type, p, n_events,
+               sum(n_events) OVER pt AS S,
+               count(*) OVER pt AS N,
+               sum(n_events * n_events) OVER pt AS Q
+             FROM dense
+             WINDOW pt AS (PARTITION BY event_type))
+           SELECT event_type, p * 3600000 AS period_start, n_events
+           FROM st
+           WHERE (n_events * N - S) * (n_events * N - S) > 4 * (N * Q - S * S)
+           ORDER BY event_type, period_start""",
 
       "q_semi_anti" ->
         """SELECT

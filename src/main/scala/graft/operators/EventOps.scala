@@ -87,10 +87,16 @@ object EventOps {
       .select(col("g"), expr(s"__tms DIV $periodMs").as("p"), col("v")) // exact integer division
     val counts = e.groupBy("g", "p")
       .agg(count(lit(1)).as("n_events"), sum("v").as("sum_micro"))
-    val grid = e.agg(min("p").as("p0"), max("p").as("p1"))
-      .select(explode(sequence(col("p0"), col("p1"))).as("p"))
-    val groups = e.select("g").distinct()
-    broadcast(grid).crossJoin(groups)
+    // the global bounds attach as a ONE-row broadcast (the optimizer
+    // folds any constant join key away, so this is necessarily a
+    // broadcast nested loop — over exactly one build row, the same
+    // intended-broadcast class as ngramLogProb's scalar attach); the
+    // per-group grid then comes from a NARROW sequence+explode, so the
+    // only row amplification is the explode itself
+    val bounds = e.agg(min("p").as("p0"), max("p").as("p1")).withColumn("__k", lit(0))
+    val groups = e.select("g").distinct().withColumn("__k", lit(0))
+    groups.join(broadcast(bounds), "__k")
+      .select(col("g"), explode(sequence(col("p0"), col("p1"))).as("p"))
       .join(counts, Seq("g", "p"), "left")
       .select(col("g").as("group"), (col("p") * periodMs).as("period_start"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),

@@ -22,8 +22,14 @@ class PlanAuditSpec extends SparkSpec {
   // grouping-key-free aggregate — exactly ONE broadcast row by
   // construction (TextOps.ngramLogProb); its gram-scoring join is a
   // BroadcastHashJoin on the gram string.
+  // The q_events_resample family (resample/rolling/anomaly) attaches
+  // the global min/max period bounds as a ONE-row broadcast
+  // (EventOps.resample): a constant join key would be folded away by
+  // the optimizer, so the single-row attach necessarily plans as a
+  // broadcast nested loop — same scalar-attach class as ngramLogProb.
   private val intendedBroadcastCross =
-    Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm")
+    Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm",
+      "q_events_resample", "q_events_rolling", "q_events_anomaly")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
