@@ -1156,6 +1156,18 @@ object SparkEntry {
         .orderBy("label", "dim")
     }),
 
+    // embedding-space outliers: 5 farthest vectors from their class
+    // centroid, ranked by the division-free exact integer
+    // d2 = Σ (v_micro·n − sum_micro)²
+    "q_emb_outliers" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.centroidOutliersMicro(
+          s.table("embeddings"), col("vec_id"), col("embedding"), col("label"), k = 5)
+        .select(col("grp").as("label"), col("id").as("vec_id"), col("d2"), col("rank"))
+        .orderBy("label", "rank")
+    }),
+
     // balanced per-source sample: exactly 5 docs per source, selected
     // by content-stable salted-md5 order
     "q_doc_balanced" -> ((s, dir) => {
@@ -3910,6 +3922,29 @@ object SparkEntry {
                unnest(embedding)::DOUBLE AS x
              FROM embeddings)
            GROUP BY label, dim ORDER BY label, dim""",
+
+      // same division-free scaled distance, same (d2 DESC, id) order
+      "q_emb_outliers" ->
+        """WITH e AS (
+             SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(round(unnest(embedding)::DOUBLE * 1000000, 0) AS BIGINT) AS xm
+             FROM embeddings),
+           s0 AS (SELECT label, dim, CAST(sum(xm) AS BIGINT) AS sm, count(*) AS n
+                  FROM e GROUP BY 1, 2),
+           s AS (SELECT label, max(n) AS n, list(sm ORDER BY dim) AS sums
+                 FROM s0 GROUP BY label),
+           v AS (SELECT label, vec_id, list(xm ORDER BY dim) AS vm
+                 FROM e GROUP BY label, vec_id),
+           d AS (
+             SELECT v.label, v.vec_id,
+               CAST(list_sum([(v.vm[i] * s.n - s.sums[i]) * (v.vm[i] * s.n - s.sums[i])
+                 for i in range(1, 65)]) AS BIGINT) AS d2
+             FROM v JOIN s USING (label))
+           SELECT label, vec_id, d2, rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY label
+               ORDER BY d2 DESC, vec_id) AS rank
+             FROM d) t
+           WHERE rank <= 5 ORDER BY label, rank""",
 
       // same salted-md5 per-group total order, rank <= 5
       "q_doc_balanced" ->

@@ -279,6 +279,43 @@ object Similarity {
    * precision it needs. Returns (grp, dim, n, sum_micro); dim is
    * 0-based.
    */
+  /**
+   * Distance-to-group-centroid outliers in EXACT integers — the
+   * embedding-space quality gate (mislabeled / off-distribution rows
+   * surface as the k farthest points from their class centroid).
+   *
+   * Exactness trick: instead of the centroid c = sum/n (whose floor
+   * division disagrees across engines on negative sums), rank by
+   *   d2 = Σ_dims (v_micro·n − sum_micro)²  =  n² · Σ (v − c)²
+   * — the per-group n² factor is constant, so the ORDER (and the
+   * returned d2 itself) is bit-identical everywhere with no division
+   * at all.
+   *
+   * Scale shape: one (group, dim) partial aggregate for the sums
+   * (vector payload never shuffles), sums re-attach as a
+   * groups-cardinality broadcast, distance is a narrow map, and the
+   * bounded top-k window sees ≤ k·partitions rows per group.
+   * Returns (grp, id, d2, rank) with rank ≤ k.
+   */
+  def centroidOutliersMicro(df: DataFrame, id: Column, vec: Column,
+      group: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sums = groupCentroidsMicro(df, group, vec)
+      .groupBy("grp").agg(max("n").as("n"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sum_micro")))),
+          s => s.getField("sum_micro")).as("sums"))
+    val v = df.select(group.as("grp"), id.as("__id"),
+      transform(vec, x => round(x.cast("double") * 1e6, 0).cast("long")).as("vm"))
+    val w = Window.partitionBy("grp").orderBy(col("d2").desc, col("__id"))
+    v.join(broadcast(sums), "grp")
+      .withColumn("d2", aggregate(
+        zip_with(col("vm"), col("sums"), (a, b) => (a * col("n") - b) * (a * col("n") - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("__id").as("id"), col("d2"), col("rank"))
+  }
+
   def groupCentroidsMicro(df: DataFrame, group: Column, vec: Column): DataFrame =
     df.select(group.as("grp"), posexplode(vec).as(Seq("dim", "__x")))
       .groupBy("grp", "dim")

@@ -754,6 +754,32 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.size == rows.size - pairs.size, s"${kept.size} survivors for ${pairs.size} pairs")
   }
 
+  test("centroidOutliersMicro: brute-force parity with negative coords, ranking scale-invariance") {
+    // 2 groups, negative components (the division-free d2 exists
+    // precisely because floor-div of negative sums differs per engine)
+    val rows = (0 until 40).map { i =>
+      val g = i % 2
+      val v = Array.tabulate(4)(d => ((i * 13 + d * 7) % 21 - 10) / 10.0)
+      (i.toLong, g, v.toSeq)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = Similarity.centroidOutliersMicro(df, $"id", $"v", $"g", k = 3)
+      .select("grp", "id", "rank").as[(Int, Long, Int)].collect().toSet
+    // brute force: exact rational distance ranking via scaled integers
+    val byG = rows.groupBy(_._2)
+    val expect = byG.flatMap { case (g, rs) =>
+      val n = rs.size
+      val micro = rs.map { case (id, _, v) => (id, v.map(x => math.round(x * 1e6))) }
+      val sums = micro.map(_._2).transpose.map(_.sum)
+      micro.map { case (id, vm) =>
+        val d2 = vm.zip(sums).map { case (x, s) => val t = x * n - s; t * t }.sum
+        (g, id, d2)
+      }.sortBy { case (_, id, d2) => (-d2, id) }.take(3).zipWithIndex
+        .map { case ((gg, id, _), r) => (gg, id, r + 1) }
+    }.toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("kmeans: hand-checked Lloyd run on 1-D data, exact integer fixed point") {
     // points 0.0, 0.2, 1.0, 1.2 (micro 0, 200000, 1000000, 1200000);
     // seeds = two smallest ids -> c0=[0], c1=[200000].
