@@ -205,6 +205,25 @@ object SparkEntry {
                 p AS (PARTITION BY o_custkey)
          ORDER BY o_custkey, o_orderkey"""),
 
+    // semi-structured JSON property column: typed extraction +
+    // aggregation (get_json_object pushes through codegen; no UDF)
+    "q_events_json" -> q(Seq("events"),
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_sum
+         FROM events GROUP BY 1 ORDER BY 1"""),
+
+    // date/time field extraction + arithmetic breadth over orders
+    "q_date_funcs" -> q(Seq("orders"),
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+         count(*) AS n,
+         min(month(o_orderdate)) AS m_min,
+         max(day(o_orderdate)) AS d_max,
+         min(dayofweek(o_orderdate)) AS dow_min,
+         max(dayofyear(o_orderdate)) AS doy_max,
+         count(DISTINCT last_day(o_orderdate)) AS n_month_ends,
+         min(datediff(date_add(o_orderdate, 30), o_orderdate)) AS add30
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     "q_semi_anti" -> q(Seq("customer", "orders"),
       """SELECT
            (SELECT count(*) FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
@@ -2702,6 +2721,24 @@ object SparkEntry {
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+      "q_events_json" ->
+        """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+           FROM events GROUP BY 1 ORDER BY 1""",
+
+      // dayofweek: Spark is 1..7 Sunday=1, the oracle's 0..6 Sunday=0
+      // shifts by one to agree
+      "q_date_funcs" ->
+        """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           count(*) AS n,
+           min(month(o_orderdate)) AS m_min,
+           max(day(o_orderdate)) AS d_max,
+           CAST(min(dayofweek(o_orderdate) + 1) AS INT) AS dow_min,
+           CAST(max(dayofyear(o_orderdate)) AS INT) AS doy_max,
+           count(DISTINCT last_day(o_orderdate)) AS n_month_ends,
+           CAST(min(datediff('day', o_orderdate, o_orderdate + INTERVAL 30 DAY)) AS INT) AS add30
+           FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus,
