@@ -1409,6 +1409,38 @@ object SparkEntry {
         .orderBy("vertex")
     }),
 
+    // per-user event-type transition counts (first-order Markov /
+    // session-flow mining): lag window under a total (ts, event_id)
+    // order, one user-keyed exchange, then a tiny (type, type) count
+    "q_events_markov" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.table("events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // wide→long unpivot of the per-type hourly aggregates (melt is the
+    // standard feature-table reshape before ML ingestion)
+    "q_events_unpivot" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      val wide = s.table("events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"),
+          max(expr("CAST(round(value * 100) AS BIGINT)")).as("max_cents"))
+      wide.unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("sum_cents"), col("max_cents")),
+          "metric", "v")
+        .orderBy("event_type", "metric")
+    }),
+
     // integer z-score anomaly flags over the dense hourly series:
     // |n - mean| > 2σ decided entirely in integers via
     // (n·N − S)² > 4·(N·Q − S²)  — no FP, hash-exact across engines
@@ -2774,6 +2806,29 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
                   p AS (PARTITION BY o_custkey)
            ORDER BY o_custkey, o_orderkey""",
+
+      // identical lag window under the identical total order
+      "q_events_markov" ->
+        """WITH o AS (
+             SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+             FROM events)
+           SELECT prev_type, event_type AS next_type, count(*) AS n
+           FROM o WHERE prev_type IS NOT NULL
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "q_events_unpivot" ->
+        """WITH wide AS (
+             SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+             FROM events GROUP BY 1)
+           SELECT event_type, metric, v FROM (
+             SELECT event_type, 'n_events' AS metric, n_events AS v FROM wide
+             UNION ALL SELECT event_type, 'sum_cents', sum_cents FROM wide
+             UNION ALL SELECT event_type, 'max_cents', max_cents FROM wide) u
+           ORDER BY event_type, metric""",
 
       // identical integer inequality over the identical dense grid
       "q_events_anomaly" ->
