@@ -70,6 +70,9 @@ object Bench {
     def medianOf(name: String, run: () => Double,
         cutoff: Double = 5.0, trialsN: Int = 0): Double = {
       val nTrials = if (trialsN > 0) trialsN else trials
+      // start marker on stderr: if a run dies mid-bench (OOM, kill),
+      // the log shows WHICH workload owned the final stages
+      System.err.println(s"[bench] $name: start")
       var cold = run()
       if (cold < 0) { spreads(name) = (cold, cold, 1, 0); return cold }
       if (cold >= cutoff) {

@@ -50,6 +50,9 @@ object AsofJoin {
     val payload = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
     require(!leftCols.contains(s"asof_$rightTs") && payload.forall(!leftCols.contains(_)),
       "right payload column names collide with left columns")
+    val reserved = Set("__k", "__t", "__side", "__lrow", "__rrow", "__m")
+    require((leftCols ++ right.columns).forall(!reserved.contains(_)),
+      s"column names ${reserved.mkString("/")} are reserved by asofJoin")
 
     // one struct per side so the union stays two columns wide no matter
     // how many payload columns ride along
