@@ -205,6 +205,27 @@ object SparkEntry {
                 p AS (PARTITION BY o_custkey)
          ORDER BY o_custkey, o_orderkey"""),
 
+    // ordered string aggregation (listagg / string_agg dialect pair)
+    "q_string_agg" -> q(Seq("customer"),
+      """SELECT c_nationkey, count(*) AS n,
+         listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+         FROM customer WHERE c_custkey < 200
+         GROUP BY c_nationkey ORDER BY c_nationkey"""),
+
+    // array/list function breadth over synthetic per-doc arrays:
+    // intersect/contains/position/distinct/sort+join/slice/reduce
+    "q_array_funcs" -> q(Seq("documents"),
+      """SELECT doc_id,
+         size(array_intersect(array(doc_id % 7, doc_id % 5, doc_id % 3),
+                              array(doc_id % 5, doc_id % 2 + 3))) AS n_inter,
+         array_contains(array(doc_id % 7, doc_id % 5, doc_id % 3), 2) AS has2,
+         array_position(array(doc_id % 7, doc_id % 5, doc_id % 3), doc_id % 5) AS pos5,
+         size(array_distinct(array(doc_id % 7, doc_id % 5, doc_id % 3))) AS n_dist,
+         array_join(array_sort(array(doc_id % 7, doc_id % 5, doc_id % 3)), '-') AS sorted_str,
+         aggregate(slice(array(doc_id % 7, doc_id % 5, doc_id % 3, doc_id % 11), 2, 2),
+                   0L, (acc, x) -> acc + x) AS slice_sum
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id"""),
+
     // semi-structured JSON property column: typed extraction +
     // aggregation (get_json_object pushes through codegen; no UDF)
     "q_events_json" -> q(Seq("events"),
@@ -2753,6 +2774,24 @@ object SparkEntry {
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+      "q_string_agg" ->
+        """SELECT c_nationkey, count(*) AS n,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+           FROM customer WHERE c_custkey < 200
+           GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+      // list_* dialect twins; slice is 1-based inclusive [2:3]
+      "q_array_funcs" ->
+        """SELECT doc_id,
+           CAST(len(list_intersect([doc_id % 7, doc_id % 5, doc_id % 3],
+                                   [doc_id % 5, doc_id % 2 + 3])) AS INT) AS n_inter,
+           list_contains([doc_id % 7, doc_id % 5, doc_id % 3], 2) AS has2,
+           CAST(coalesce(list_position([doc_id % 7, doc_id % 5, doc_id % 3], doc_id % 5), 0) AS BIGINT) AS pos5,
+           CAST(len(list_distinct([doc_id % 7, doc_id % 5, doc_id % 3])) AS INT) AS n_dist,
+           array_to_string(list_sort([doc_id % 7, doc_id % 5, doc_id % 3]), '-') AS sorted_str,
+           CAST(list_sum(([doc_id % 7, doc_id % 5, doc_id % 3, doc_id % 11])[2:3]) AS BIGINT) AS slice_sum
+           FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
 
       "q_events_json" ->
         """SELECT event_type, count(*) AS n,
