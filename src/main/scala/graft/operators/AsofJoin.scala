@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,5 +83,63 @@ object AsofJoin {
     val outRight = col(s"__m.`$rightTs`").as(s"asof_$rightTs") +:
       payload.map(c => col(s"__m.`$c`").as(c))
     merged.select((outLeft ++ outRight): _*)
+  }
+
+  /**
+   * Skew-resistant two-level as-of join: identical semantics to
+   * [[asofJoin]], but the window partition is (key, timeBucket)
+   * instead of key alone — a key owning 30% of all probes spreads
+   * across (time range / bucketWidth) partitions instead of one
+   * giant in-partition sort (measured 3.2× degradation for the flat
+   * operator on a 30%-hot-key 10M-row corpus; PLANS.md).
+   *
+   * Mechanics: right rows land in their own bucket; each bucket also
+   * receives ONE synthetic "carry-in" row — the latest right row from
+   * any EARLIER bucket, computed from per-bucket maxima with a
+   * running last over the (key × bucket) frame (keys·buckets rows —
+   * tiny, bounded by wall-clock range / bucketWidth). The carry keeps
+   * its original timestamp, so strict-mode semantics survive
+   * unchanged (an earlier-bucket timestamp is strictly below every
+   * timestamp in this bucket). Then the flat asof runs per
+   * (key, bucket).
+   *
+   * Same determinism contract as [[asofJoin]]; `leftTs`/`rightTs`
+   * must be integral (bucketing is exact integer floor division).
+   */
+  def asofJoinBucketed(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, bucketWidth: Long,
+      strict: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val payload = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
+    def bucketOf(c: Column): Column = ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+
+    val lb = left.withColumn("__b", bucketOf(col(leftTs)))
+    val rb = right.withColumn("__b", bucketOf(col(rightTs)))
+    // latest right row per (key, bucket), carried as one struct
+    val rStruct = struct((col(rightTs).as(rightTs) +: payload.map(col)): _*)
+    val perBucketLast = rb.groupBy(key, "__b")
+      .agg(max_by(rStruct, col(rightTs)).as("__last"))
+    // bucket universe = every (key, bucket) either side touches, so the
+    // carry propagates through right-only buckets into left-only ones
+    val univ = lb.select(key, "__b").distinct()
+      .unionByName(rb.select(key, "__b").distinct()).distinct()
+    val wCarry = Window.partitionBy(key).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryRows = univ.join(perBucketLast, Seq(key, "__b"), "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .filter(col("__carry").isNotNull)
+      .select(col(key) +: col("__b") +:
+        (col(s"__carry.`$rightTs`").as(rightTs) +:
+          payload.map(c => col(s"__carry.`$c`").as(c))): _*)
+    val rightAug = rb.select((col(key) +: col("__b") +: col(rightTs).as(rightTs) +:
+        payload.map(col)): _*)
+      .unionByName(carryRows)
+    // flat asof per (key, bucket) via a composite struct key
+    val l2 = lb.withColumn("__bk", struct(col(key), col("__b"))).drop(key, "__b")
+    val r2 = rightAug.withColumn("__bk", struct(col(key), col("__b"))).drop(key, "__b")
+    asofJoin(l2, r2, "__bk", leftTs, rightTs, strict)
+      .withColumn(key, col(s"__bk.`$key`"))
+      .drop("__bk")
   }
 }

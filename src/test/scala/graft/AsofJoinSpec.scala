@@ -53,6 +53,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(st == ((None, None)))
   }
 
+  test("bucketed asof == flat asof across bucket widths and strict modes") {
+    for (w <- Seq(1L, 7L, 64L, 1000000L); strict <- Seq(false, true)) {
+      val flat = AsofJoin.asofJoin(left, right, "k", "t", "rt", strict)
+        .select("k", "t", "lid", "asof_rt", "amount", "tag")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[String])]
+        .collect().toSet
+      val bucketed = AsofJoin.asofJoinBucketed(left, right, "k", "t", "rt", w, strict)
+        .select("k", "t", "lid", "asof_rt", "amount", "tag")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[String])]
+        .collect().toSet
+      assert(bucketed == flat, s"bucketWidth=$w strict=$strict: " +
+        s"missing=${flat -- bucketed} extra=${bucketed -- flat}")
+    }
+  }
+
+  test("bucketed asof: carry-in crosses multiple empty buckets") {
+    // right state at t=5 only; probes far in later buckets (width 10)
+    val l = Seq((1L, 95L, 0L), (1L, 4L, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 42L)).toDF("k", "rt", "amount")
+    val out = AsofJoin.asofJoinBucketed(l, r, "k", "t", "rt", bucketWidth = 10L)
+      .select("lid", "asof_rt", "amount")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(out(0L) == ((Some(5L), Some(42L))), out.toString) // 9 buckets downstream
+    assert(out(1L) == ((None, None)))                        // probe before the state
+  }
+
   test("plan shape: one exchange over the union, no join node") {
     val df = AsofJoin.asofJoin(left, right.repartition(4), "k", "t", "rt")
     val plan = df.queryExecution.executedPlan.toString
