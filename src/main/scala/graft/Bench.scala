@@ -449,6 +449,16 @@ object Bench {
         () => time { asofN(10000000L, 1000000L, 100000L) }, cutoff = 30.0, trialsN = 3)
       results("range_join_10m") = medianOf("range_join_10m",
         () => time { rangeJoinN(10000000L, 10000L) }, cutoff = 30.0, trialsN = 3)
+      // 10x scale-up of the two newest kernels (the agg/strings/window
+      // families already carry 100m rows): identical recipes, 100M
+      // probes — asof stays ONE exchange + in-partition sort (now
+      // behind the skew-sampling dispatch, which the timing includes:
+      // it's the default entry point); range join's shuffle grows
+      // linearly in points while the interval side is unchanged
+      results("asof_join_100m") = medianOf("asof_join_100m",
+        () => time { asofN(100000000L, 1000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
+      results("range_join_100m") = medianOf("range_join_100m",
+        () => time { rangeJoinN(100000000L, 10000L) }, cutoff = 60.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -484,6 +494,27 @@ object Bench {
            SELECT count(*) AS n, count(r.rt) AS m,
              CAST(sum(coalesce(r.amount, 0)) AS BIGINT) AS s
            FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt""",
+      "asof_join_100m" ->
+        """WITH l AS (SELECT range AS lid, range % 100000 AS k,
+                        (range * 48271 % 2147483647) % 10000 AS t
+                      FROM range(100000000)),
+                r AS (SELECT range % 100000 AS k,
+                        (range // 100000) * 1000 + (range % 100000) % 37 AS rt,
+                        range AS amount
+                      FROM range(1000000))
+           SELECT count(*) AS n, count(r.rt) AS m,
+             CAST(sum(coalesce(r.amount, 0)) AS BIGINT) AS s
+           FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt""",
+      "range_join_100m" ->
+        """WITH p AS (SELECT range AS pid,
+                        (range * 16807 % 2147483647) % 10000000 AS x
+                      FROM range(100000000)),
+               iv AS (SELECT range AS iid, range * 9973 % 10000000 AS s
+                      FROM range(10000)),
+              iv2 AS (SELECT iid, s, s + 200 + iid % 800 AS e FROM iv)
+           SELECT count(*) AS n, CAST(sum(p.x) AS BIGINT) AS sx,
+             CAST(sum(iv2.iid) AS BIGINT) AS si
+           FROM p JOIN iv2 ON p.x BETWEEN iv2.s AND iv2.e""",
       "range_join_10m" ->
         """WITH p AS (SELECT range AS pid,
                         (range * 16807 % 2147483647) % 10000000 AS x

@@ -1151,11 +1151,17 @@ object SparkEntry {
     }),
 
     // covariance accumulation: exact cross-moments over all dim pairs
-    // (the PCA/whitening input), one (i, j) partial agg
+    // (the PCA/whitening input), one (i, j) partial agg. The exact
+    // DECIMAL(38,0) accumulator is internal; the certified column is
+    // its decimal-string rendering — the r7 driver hash canonicalized
+    // native-decimal vs parquet-decimal differently (values proven
+    // bit-identical), so certified outputs avoid raw DECIMAL columns.
     "q_emb_cov" -> ((s, dir) => {
       load(s, dir, "embeddings")
       import org.apache.spark.sql.functions._
       operators.Similarity.crossMomentsMicro(s.table("embeddings"), col("embedding"))
+        .select(col("i"), col("j"), col("n"),
+          col("sumxy_micro2").cast("string").as("sumxy_micro2"))
         .orderBy("i", "j")
     }),
 
@@ -1174,14 +1180,16 @@ object SparkEntry {
     }),
 
     // per-label first+second moments in exact units (feature scaling /
-    // whitening statistics; sumsq in 1e-12-unit DECIMAL(38,0))
+    // whitening statistics; sumsq accumulated in 1e-12-unit
+    // DECIMAL(38,0), certified as its decimal-string rendering — see
+    // q_emb_cov note on the driver's decimal canonicalization)
     "q_emb_moments" -> ((s, dir) => {
       load(s, dir, "embeddings")
       import org.apache.spark.sql.functions._
       operators.Similarity.groupMomentsMicro(
           s.table("embeddings"), col("label"), col("embedding"))
         .select(col("grp").as("label"), col("dim"), col("n"),
-          col("sum_micro"), col("sumsq_micro2"))
+          col("sum_micro"), col("sumsq_micro2").cast("string").as("sumsq_micro2"))
         .orderBy("label", "dim")
     }),
 
@@ -1204,7 +1212,8 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       operators.Similarity.centroidOutliersMicro(
           s.table("embeddings"), col("vec_id"), col("embedding"), col("label"), k = 5)
-        .select(col("grp").as("label"), col("id").as("vec_id"), col("d2"), col("rank"))
+        .select(col("grp").as("label"), col("id").as("vec_id"),
+          col("d2").cast("string").as("d2"), col("rank"))
         .orderBy("label", "rank")
     }),
 
@@ -1853,11 +1862,25 @@ object SparkEntry {
     "q_mm_decode" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
+      import s.implicits._
       val media = s.table("documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      operators.Multimodal.decodeAndFeaturize(media, "doc_id", "payload", featureDim = 16)
+      // planted RIFF/WAVE payloads (ids offset past every doc_id):
+      // the REAL header-walk decode path, parameters swept over
+      // rate/channels/bit-depth so every fmt-chunk field is exercised
+      val wavs = s.range(40).map { i =>
+        (10000000L + i, operators.Multimodal.wavBytes(
+          sampleRate = 8000 + (i % 4).toInt * 4000,
+          channels = 1 + (i % 2).toInt,
+          bitsPerSample = 8 + 8 * (i % 2).toInt,
+          nSamples = 1000 + i.toInt * 37, seed = i))
+      }.toDF("doc_id", "payload")
+      operators.Multimodal.decodeAndFeaturize(
+          media.unionByName(wavs), "doc_id", "payload", featureDim = 16)
         .select(col("media_id"), col("meta.format").as("format"),
-          col("meta.width").as("w"), size(col("feature")).as("fdim"))
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          col("meta.channels").as("ch"), col("meta.duration_ms").as("dur_ms"),
+          size(col("feature")).as("fdim"))
         .orderBy("media_id")
     }),
 
@@ -2610,10 +2633,16 @@ object SparkEntry {
        WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
        ORDER BY vec_id"""
 
-  /** q_mm_decode oracle: the stub decode derives metadata from Java's
-   *  Arrays.hashCode over the payload bytes — h = 31^n + sum(b_i *
-   *  31^(n-1-i)) mod 2^32 signed, reproduced with a recursive
-   *  powers-of-31 CTE (payloads are ASCII so byte == codepoint). */
+  /** q_mm_decode oracle, two independent replications UNIONed:
+   *  (a) stub path — metadata derived from Java's Arrays.hashCode over
+   *  the payload bytes: h = 31^n + sum(b_i * 31^(n-1-i)) mod 2^32
+   *  signed, reproduced with a recursive powers-of-31 CTE (payloads
+   *  are ASCII so byte == codepoint); stub channels=3,
+   *  duration=payload length. (b) REAL WAV path — the planted RIFF
+   *  payloads' header math recomputed from the same id sweep:
+   *  rate = 8000+(i%4)*4000, bits = 8+8*(i%2), ch = 1+(i%2),
+   *  duration_ms = data_bytes*1000 // byte_rate = n_samples*1000 //
+   *  rate (the block-align factor cancels exactly). */
   private lazy val mmDecodeOracle: String =
     """WITH RECURSIVE pow(k, p) AS (
          SELECT 0, 1::BIGINT UNION ALL SELECT k + 1, (p * 31) % 4294967296 FROM pow WHERE k < 600),
@@ -2625,15 +2654,27 @@ object SparkEntry {
          FROM terms t JOIN documents d ON d.doc_id = t.doc_id JOIN pow p ON p.k = t.n - t.i
          GROUP BY t.doc_id, t.n),
        hraw AS (
-         SELECT s.doc_id, ((s.s + p.p) % 4294967296)::BIGINT AS hu
+         SELECT s.doc_id, s.n, ((s.s + p.p) % 4294967296)::BIGINT AS hu
          FROM sums s JOIN pow p ON p.k = s.n),
        hs AS (
-         SELECT doc_id, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h FROM hraw)
-       SELECT doc_id AS media_id,
-         ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
-         CAST(64 + (((h >> 4) % 1984) + 1984) % 1984 AS INT) AS w,
-         16 AS fdim
-       FROM hs ORDER BY media_id"""
+         SELECT doc_id, n, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h FROM hraw),
+       wav AS (SELECT unnest(range(0, 40)) AS i)
+       SELECT * FROM (
+         SELECT doc_id AS media_id,
+           ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
+           CAST(64 + (((h >> 4) % 1984) + 1984) % 1984 AS INT) AS w,
+           CAST(64 + (((h >> 8) % 1984) + 1984) % 1984 AS INT) AS h,
+           3 AS ch, CAST(n AS BIGINT) AS dur_ms, 16 AS fdim
+         FROM hs
+         UNION ALL
+         SELECT 10000000 + i AS media_id, 'wav' AS format,
+           CAST(8000 + (i % 4) * 4000 AS INT) AS w,
+           CAST(8 + 8 * (i % 2) AS INT) AS h,
+           CAST(1 + (i % 2) AS INT) AS ch,
+           CAST((1000 + i * 37) * 1000 // (8000 + (i % 4) * 4000) AS BIGINT) AS dur_ms,
+           16 AS fdim
+         FROM wav) t
+       ORDER BY media_id"""
 
   /** q_geo_spheroid golden table: (k, vincenty_m, perimeter_m,
    *  area_km2, within_205km) from an independent Python implementation
@@ -3996,7 +4037,7 @@ object SparkEntry {
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
              FROM embeddings)
            SELECT a.d AS i, b.d AS j, count(*) AS n,
-             CAST(sum(a.xm * b.xm) AS DECIMAL(38,0)) AS sumxy_micro2
+             CAST(CAST(sum(a.xm * b.xm) AS DECIMAL(38,0)) AS VARCHAR) AS sumxy_micro2
            FROM dims a JOIN dims b USING (vec_id)
            GROUP BY a.d, b.d ORDER BY i, j""",
 
@@ -4033,12 +4074,13 @@ object SparkEntry {
            SELECT vec_id, md5(string_agg(zm, ',' ORDER BY dim)) AS z_md5
            FROM z GROUP BY vec_id ORDER BY vec_id""",
 
-      // same quantization; sumsq summed exactly (HUGEINT) then cast to
-      // the DECIMAL(38,0) type Spark's decimal sum lands on
+      // same quantization; sumsq summed exactly (HUGEINT), then
+      // rendered as the decimal string (raw DECIMAL(38,0) columns
+      // canonicalize differently in the driver hash — r7 finding)
       "q_emb_moments" ->
         """SELECT label, dim, count(*) AS n,
              CAST(sum(xm) AS BIGINT) AS sum_micro,
-             CAST(sum(xm * xm) AS DECIMAL(38,0)) AS sumsq_micro2
+             CAST(CAST(sum(xm * xm) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_micro2
            FROM (
              SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
@@ -4068,10 +4110,11 @@ object SparkEntry {
                  FROM e GROUP BY label, vec_id),
            d AS (
              SELECT v.label, v.vec_id,
-               CAST(list_sum([(v.vm[i] * s.n - s.sums[i]) * (v.vm[i] * s.n - s.sums[i])
-                 for i in range(1, 65)]) AS BIGINT) AS d2
+               CAST(list_sum([CAST(v.vm[i] * s.n - s.sums[i] AS HUGEINT)
+                              * CAST(v.vm[i] * s.n - s.sums[i] AS HUGEINT)
+                 for i in range(1, 65)]) AS HUGEINT) AS d2
              FROM v JOIN s USING (label))
-           SELECT label, vec_id, d2, rank FROM (
+           SELECT label, vec_id, CAST(d2 AS VARCHAR) AS d2, rank FROM (
              SELECT *, row_number() OVER (PARTITION BY label
                ORDER BY d2 DESC, vec_id) AS rank
              FROM d) t

@@ -32,6 +32,78 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /**
+   * Skew-aware entry point: runs [[asofSkewWidth]] (one cheap
+   * counting pass) and dispatches to [[asofJoinBucketed]] when a
+   * single key dominates the corpus — the flat formulation's only
+   * scale hazard is one dominating key becoming one giant
+   * in-partition sort, which AQE cannot split (it's a window, not a
+   * join). Uniform keys take the flat path untouched. The 100 TB
+   * safety shouldn't depend on the caller knowing the trade; callers
+   * that have already measured can call [[asofJoinFlat]] /
+   * [[asofJoinBucketed]] directly and skip the sampling pass.
+   *
+   * Dispatch only applies when both ts columns are integral (bucketing
+   * is exact integer floor division); other orderable types always
+   * take the flat path.
+   */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, strict: Boolean = false): DataFrame =
+    asofSkewWidth(left, right, key, leftTs, rightTs) match {
+      case Some(width) => asofJoinBucketed(left, right, key, leftTs, rightTs, width, strict)
+      case None        => asofJoinFlat(left, right, key, leftTs, rightTs, strict)
+    }
+
+  /** Dominant-key fraction above which [[asofJoin]] switches to the
+   *  bucketed formulation. */
+  val SkewDominance = 0.2
+  /** Below this combined row count the flat sort is trivially fine and
+   *  the dispatch never fires. */
+  val SkewMinRows = 10000L
+  /** Target spread for the hottest key: derived width ≈ ts-range /
+   *  this, so one dominating key lands in ~this many window
+   *  partitions instead of one. */
+  val SkewTargetBuckets = 1024L
+
+  /**
+   * The skew decision behind [[asofJoin]]: Some(bucketWidth) when one
+   * key holds more than [[SkewDominance]] of the combined rows (and
+   * the corpus is big enough to matter), None for the flat path.
+   * Cost: ONE key-histogram aggregate over both sides collapsing to a
+   * single driver row (keys-cardinality shuffle of count/min/max
+   * triples — the same model-sized-collect discipline as
+   * SpatialJoin's cell estimator). Exposed so specs and planners can
+   * assert the dispatch without re-deriving it.
+   */
+  def asofSkewWidth(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): Option[Long] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    if (!integral.contains(left.schema(leftTs).dataType) ||
+        !integral.contains(right.schema(rightTs).dataType)) return None
+    val perKey = left.select(col(key).as("__k"), col(leftTs).cast("long").as("__t"))
+      .unionAll(right.select(col(key).as("__k"), col(rightTs).cast("long").as("__t")))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n"), min("__t").as("t0"), max("__t").as("t1"))
+    val r = perKey
+      .agg(sum("n").as("tot"), max("n").as("maxn"),
+        min("t0").as("t0"), max("t1").as("t1"))
+      .head()
+    if (r.isNullAt(0)) return None // both sides empty
+    val (tot, maxn) = (r.getLong(0), r.getLong(1))
+    if (tot < SkewMinRows || maxn.toDouble / tot <= SkewDominance) None
+    else {
+      val range = math.max(1L, r.getLong(3) - r.getLong(2) + 1L)
+      Some(math.max(1L, range / SkewTargetBuckets))
+    }
+  }
+
+  /**
+   * The flat (single-exchange) formulation — optimal whenever no one
+   * key dominates.
+   *
    * @param left     left (probe/event) frame
    * @param right    right (state/quote) frame; (key, rightTs) must be unique
    * @param key      equi-join key column present on both sides
@@ -43,7 +115,7 @@ object AsofJoin {
    *         match) + the remaining right payload columns (null when no
    *         match)
    */
-  def asofJoin(
+  def asofJoinFlat(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -112,7 +184,10 @@ object AsofJoin {
       strict: Boolean = false): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val payload = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
-    def bucketOf(c: Column): Column = ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    // integral floor division: c - pmod(c, w) is an exact multiple of
+    // w, so `div` equals floor; a double `/` would misbucket beyond 2^53
+    def bucketOf(c: Column): Column = org.apache.spark.sql.graft.ColumnShim
+      .integralDivide(c - pmod(c, lit(bucketWidth)), lit(bucketWidth)).cast("long")
 
     val lb = left.withColumn("__b", bucketOf(col(leftTs)))
     val rb = right.withColumn("__b", bucketOf(col(rightTs)))
@@ -138,7 +213,7 @@ object AsofJoin {
     // flat asof per (key, bucket) via a composite struct key
     val l2 = lb.withColumn("__bk", struct(col(key), col("__b"))).drop(key, "__b")
     val r2 = rightAug.withColumn("__bk", struct(col(key), col("__b"))).drop(key, "__b")
-    asofJoin(l2, r2, "__bk", leftTs, rightTs, strict)
+    asofJoinFlat(l2, r2, "__bk", leftTs, rightTs, strict)
       .withColumn(key, col(s"__bk.`$key`"))
       .drop("__bk")
   }

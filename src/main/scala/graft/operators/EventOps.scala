@@ -84,7 +84,7 @@ object EventOps {
     require(periodMs > 0, "periodMs must be positive")
     val e = events.select(group.as("g"),
         (ts.cast("long") * 1000).as("__tms"), valueMicro.cast("long").as("v"))
-      .select(col("g"), expr(s"__tms DIV $periodMs").as("p"), col("v")) // exact integer division
+      .select(col("g"), floorDivMs(col("__tms"), periodMs).as("p"), col("v"))
     val counts = e.groupBy("g", "p")
       .agg(count(lit(1)).as("n_events"), sum("v").as("sum_micro"))
     // the global bounds attach as a ONE-row broadcast (the optimizer
@@ -103,13 +103,21 @@ object EventOps {
         coalesce(col("sum_micro"), lit(0L)).as("sum_micro"))
   }
 
+  /** Exact FLOOR period bucketing: SQL DIV truncates toward zero, so
+   *  the period straddling epoch 0 would span two widths for pre-1970
+   *  timestamps; pmod + integral div tiles the line uniformly (and
+   *  stays integral — no double detour losing ms above 2^53). */
+  private def floorDivMs(tms: Column, periodMs: Long): Column =
+    org.apache.spark.sql.graft.ColumnShim
+      .integralDivide(tms - pmod(tms, lit(periodMs)), lit(periodMs)).cast("long")
+
   def retentionCohorts(
       events: DataFrame, user: Column, ts: Column,
       periodMs: Long, maxPeriods: Int): DataFrame = {
     require(periodMs > 0 && maxPeriods >= 0, "bad retention params")
     val up = events.select(user.cast("long").as("u"),
         (ts.cast("long") * 1000).as("__tms"))
-      .select(col("u"), expr(s"__tms DIV $periodMs").as("p")) // exact integer division
+      .select(col("u"), floorDivMs(col("__tms"), periodMs).as("p"))
       .distinct()
     val firsts = up.groupBy("u").agg(min("p").as("c"))
     up.join(firsts, "u")

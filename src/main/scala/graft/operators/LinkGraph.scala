@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
  * Scale shape per iteration: one equi-join of the rank frame onto the
  * edge list (both keyed by vertex — at 100 TB this is the standard
  * edge-partitioned power iteration), one partial-aggregating groupBy,
- * and a base-term union; ranks/edges persist across iterations and
- * the previous iteration unpersists, mirroring the connected-
- * components loop in [[Dedup]].
+ * and a base-term union. Edges/degrees/vertices persist once and are
+ * cache-shared across every iteration's references; the rank chain
+ * itself is linear, so it evaluates lazily in ONE final job (plan
+ * depth bounded by periodic localCheckpoint) instead of paying a
+ * materializing count per iteration.
  */
 object LinkGraph {
 
@@ -46,7 +48,7 @@ object LinkGraph {
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().persist()
     val baseTerm = baseMicro * (100L - damping) / 100L
-    var ranks = vertices.select(col("v"), lit(baseMicro).as("rank_micro")).persist()
+    var ranks = vertices.select(col("v"), lit(baseMicro).as("rank_micro"))
     var i = 0
     while (i < iterations) {
       val contribs = ranks
@@ -60,15 +62,22 @@ object LinkGraph {
         .select(col("v"),
           (lit(baseTerm) + expr(s"$damping * coalesce(in_sum, 0L) DIV 100"))
             .as("rank_micro"))
-        .persist()
-      next.count() // materialize before releasing the parent
-      ranks.unpersist(blocking = false)
-      ranks = next
+      // Lineage is LINEAR (each iteration feeds exactly the next), so
+      // intermediates need no per-iteration materializing count — one
+      // final action evaluates the whole chain in a single job, with
+      // e/outDeg/vertices cache-shared across the per-iteration
+      // references. Only the plan DEPTH needs bounding: truncate via an
+      // eager localCheckpoint every 8 rounds so a 25-iteration run
+      // doesn't hand Catalyst a 25-join-deep tree.
+      ranks = if ((i + 1) % 8 == 0 && i + 1 < iterations)
+        next.localCheckpoint(eager = true) else next
       i += 1
     }
+    val out = ranks.persist()
+    out.count() // single materializing job; caller unpersists when done
     e.unpersist(blocking = false); outDeg.unpersist(blocking = false)
     vertices.unpersist(blocking = false)
-    ranks
+    out
   }
 
   /**
@@ -118,10 +127,18 @@ object LinkGraph {
       greatest(col("u"), col("w")).as("w2"))
     val tris = wedges.join(closing, Seq("w1", "w2"))
       .select(col("u"), col("w1"), col("w2"))
+    // Materialize eagerly (while dir is still cached — its three
+    // references share the cache within this one job) into a LOCAL
+    // CHECKPOINT rather than a persist: checkpoint blocks are released
+    // when the frame is garbage-collected, so repeated calls (bench
+    // warmups, query reruns) don't accumulate CacheManager entries for
+    // the session lifetime. Trade-off: lineage is truncated, so an
+    // executor loss during a later read recomputes nothing — the
+    // caller must re-run the operator (acceptable for a terminal
+    // result frame that is typically written out immediately).
     val out = tris.select(explode(array(col("u"), col("w1"), col("w2"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
-      .persist()
-    out.count() // materialize while dir is cached
+      .localCheckpoint(eager = true)
     dir.unpersist(blocking = false)
     out
   }

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types._
  * Image decode and resize are REAL for the formats the JDK ships
  * codecs for (PNG/JPEG/BMP/GIF via `javax.imageio`, no external
  * dependencies — payloads are signature-sniffed first, so arbitrary
- * binary never reaches the codec). Payloads that aren't a recognized
- * image fall back to deterministic stubs standing in for the remaining
- * codecs (audio/video — no libraries in this container); the
+ * binary never reaches the codec). Audio decode is REAL for RIFF/WAVE
+ * (dependency-free little-endian header walk — channels, sample rate,
+ * bit depth, duration). Payloads that are neither fall back to
+ * deterministic stubs standing in for the remaining codecs
+ * (compressed audio/video containers — no codec libraries here); the
  * Spark-side contract — schema, batching, partitioning, null handling
- * — is identical on both paths. Feature extraction remains a
+ * — is identical on every path. Feature extraction remains a
  * deterministic hash stand-in for an embedding model.
  */
 object Multimodal {
@@ -46,10 +48,76 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-  /** Decode entry point: real codec for recognized images, stub for
-   *  everything else (same output contract). */
+  /** RIFF/WAVE signature sniff. */
+  private[operators] def isWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /**
+   * Real audio decode for RIFF/WAVE payloads — a dependency-free
+   * little-endian chunk walk (the container header is a published
+   * spec; no codec library needed for PCM metadata). Returns the
+   * generic media tuple with the audio fields mapped as:
+   * format="wav", width=sample_rate_hz, height=bits_per_sample,
+   * channels=n_channels, duration_ms = data_bytes * 1000 / byte_rate.
+   * None when the payload isn't WAV or the header is malformed —
+   * the caller falls through to the stub, never throws.
+   */
+  private[operators] def decodeWav(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (!isWav(p)) return None
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+      ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    var off = 12
+    var channels = 0; var rate = 0L; var bits = 0; var byteRate = 0L; var dataLen = -1L
+    while (off + 8 <= p.length) {
+      val isFmt = p(off) == 'f' && p(off + 1) == 'm' && p(off + 2) == 't' && p(off + 3) == ' '
+      val isData = p(off) == 'd' && p(off + 1) == 'a' && p(off + 2) == 't' && p(off + 3) == 'a'
+      val sz = u32(off + 4)
+      if (isFmt && off + 8 + 16 <= p.length) {
+        channels = u16(off + 10)
+        rate = u32(off + 12)
+        byteRate = u32(off + 16)
+        bits = u16(off + 22)
+      } else if (isData) {
+        // clamp to the bytes actually present (truncated files)
+        dataLen = math.min(sz, (p.length - off - 8).toLong)
+      }
+      if (sz > Int.MaxValue - 16) off = p.length // corrupt size: stop the walk
+      else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 ||
+        byteRate <= 0 || dataLen < 0) None
+    else Some(("wav", rate.toInt, bits, channels, dataLen * 1000L / byteRate))
+  }
+
+  /** Minimal canonical PCM WAV builder (fixture/testing aid — the
+   *  inverse of [[decodeWav]]'s header walk, byte-for-byte the
+   *  published RIFF layout). Sample content is deterministic filler. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int, seed: Long = 0L): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    val dataLen = nSamples * blockAlign
+    val out = new Array[Byte](44 + dataLen)
+    def put4(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+    def w16(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    def w32(o: Int, v: Long): Unit = { var i = 0; while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 } }
+    put4(0, "RIFF"); w32(4, 36L + dataLen); put4(8, "WAVE")
+    put4(12, "fmt "); w32(16, 16L); w16(20, 1); w16(22, channels)
+    w32(24, sampleRate.toLong); w32(28, byteRate.toLong); w16(32, blockAlign); w16(34, bitsPerSample)
+    put4(36, "data"); w32(40, dataLen.toLong)
+    var i = 0
+    while (i < dataLen) { out(44 + i) = ((i * 7 + seed) & 0xFF).toByte; i += 1 }
+    out
+  }
+
+  /** Decode entry point: real codec for recognized images, real header
+   *  parse for WAV audio, stub for everything else (same output
+   *  contract on every path). */
   private[operators] def decode(payload: Array[Byte]): (String, Int, Int, Int, Long) =
-    decodeImage(payload).getOrElse(decodeStub(payload))
+    decodeImage(payload).orElse(decodeWav(payload)).getOrElse(decodeStub(payload))
 
   /** Real image resize via Graphics2D, re-encoded as PNG (lossless,
    *  always writable by the JDK). None for non-image payloads. */

@@ -61,7 +61,11 @@ object RangeJoin {
   }
 
   /** Floor division that is exact for negative values too (SQL `div`
-   *  truncates toward zero; bins must tile the line uniformly). */
+   *  truncates toward zero; bins must tile the line uniformly). The
+   *  divide is INTEGRAL: `c - pmod(c, w)` is an exact multiple of w,
+   *  so truncating integral division equals floor — whereas a double
+   *  `/` loses integers above 2^53 and can bin a point one slot off. */
   private def floorDiv(c: Column, w: Column): Column =
-    ((c - pmod(c, w)) / w).cast("long")
+    org.apache.spark.sql.graft.ColumnShim
+      .integralDivide(c - pmod(c, w), w).cast("long")
 }

@@ -296,6 +296,13 @@ object Similarity {
    * groups-cardinality broadcast, distance is a narrow map, and the
    * bounded top-k window sees ≤ k·partitions rows per group.
    * Returns (grp, id, d2, rank) with rank ≤ k.
+   *
+   * Overflow: each term scales like (1e6·n·dev)², so a BIGINT d2
+   * silently wraps for groups beyond a few thousand rows (while the
+   * oracle engine raises). d2 therefore accumulates in DECIMAL(38,0)
+   * — exact up to ~38 digits, i.e. unit-norm groups of ~1e11 rows
+   * even after the Σ over dims; past that the non-ANSI decimal sum
+   * yields null rather than a wrong rank.
    */
   def centroidOutliersMicro(df: DataFrame, id: Column, vec: Column,
       group: Column, k: Int = 5): DataFrame = {
@@ -309,8 +316,11 @@ object Similarity {
     val w = Window.partitionBy("grp").orderBy(col("d2").desc, col("__id"))
     v.join(broadcast(sums), "grp")
       .withColumn("d2", aggregate(
-        zip_with(col("vm"), col("sums"), (a, b) => (a * col("n") - b) * (a * col("n") - b)),
-        lit(0L), (acc, x) => acc + x))
+        zip_with(col("vm"), col("sums"), (a, b) => {
+          val d = (a * col("n") - b).cast("decimal(38,0)")
+          (d * d).cast("decimal(38,0)")
+        }),
+        lit(0).cast("decimal(38,0)"), (acc, x) => (acc + x).cast("decimal(38,0)")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("grp"), col("__id").as("id"), col("d2"), col("rank"))

@@ -12,6 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  /** SQL `div` (integral division) as a Column op — exact over the
+   *  full long range, unlike `/` which detours through double and
+   *  loses integers above 2^53. */
+  def integralDivide(a: Column, b: Column): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(expr(a), expr(b)))
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

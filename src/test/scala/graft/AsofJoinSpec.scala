@@ -80,6 +80,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(1L) == ((None, None)))                        // probe before the state
   }
 
+  test("skew dispatch: fires on a 30%-hot corpus, stays flat on uniform keys") {
+    // uniform: 100 keys over 30k combined rows -> no key dominates
+    val uniL = spark.range(20000).selectExpr("id % 100 AS k", "id AS t", "id AS lid")
+    val uniR = spark.range(10000)
+      .selectExpr("id % 100 AS k", "id * 7 % 20000 AS rt", "id AS amount")
+      .groupBy("k", "rt").agg(max("amount").as("amount"))
+    assert(AsofJoin.asofSkewWidth(uniL, uniR, "k", "t", "rt").isEmpty,
+      "uniform keys must not trigger the bucketed dispatch")
+
+    // hot: key 0 owns ~30% of all rows -> dispatch fires with a
+    // width derived from the ts range
+    val hotL = spark.range(20000)
+      .selectExpr("CASE WHEN id % 10 < 3 THEN 0L ELSE id % 97 END AS k",
+        "id AS t", "id AS lid")
+    val w = AsofJoin.asofSkewWidth(hotL, uniR, "k", "t", "rt")
+    assert(w.isDefined, "30%-hot key must trigger the bucketed dispatch")
+    assert(w.get >= 1L && w.get < 20000L, s"derived width ${w.get} should spread the range")
+
+    // the auto entry point stays semantics-identical on the hot corpus
+    val auto = AsofJoin.asofJoin(hotL, uniR, "k", "t", "rt")
+      .selectExpr("sum(hash(k, t, lid, asof_rt, amount))").as[Long].head()
+    val flat = AsofJoin.asofJoinFlat(hotL, uniR, "k", "t", "rt")
+      .selectExpr("sum(hash(k, t, lid, asof_rt, amount))").as[Long].head()
+    assert(auto == flat, "auto-dispatched bucketed result must equal flat")
+  }
+
+  test("skew dispatch: non-integral ts always takes the flat path") {
+    val l = spark.range(20000).selectExpr("0L AS k", "CAST(id AS DOUBLE) AS t", "id AS lid")
+    val r = spark.range(100).selectExpr("0L AS k", "CAST(id AS DOUBLE) AS rt", "id AS amount")
+    assert(AsofJoin.asofSkewWidth(l, r, "k", "t", "rt").isEmpty)
+  }
+
   test("plan shape: one exchange over the union, no join node") {
     val df = AsofJoin.asofJoin(left, right.repartition(4), "k", "t", "rt")
     val plan = df.queryExecution.executedPlan.toString

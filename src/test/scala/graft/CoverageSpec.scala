@@ -63,6 +63,32 @@ class CoverageSpec extends SparkSpec {
       s"COVERAGE.md cites no row for: ${pipelineMissing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("a red row in the newest driver CORRECTNESS artifact cannot coexist with an unqualified COVERAGE claim") {
+    // round-7 lesson: COVERAGE said "yes (oracle)" for q_emb_moments /
+    // q_emb_cov while the driver hash was red — the drift gate only
+    // checked citation PRESENCE, not driver outcome. Parse the newest
+    // CORRECTNESS_r*.json; every query with any failed check must
+    // either be un-cited or cited on a line that acknowledges the red
+    // run ("red" / "re-certif").
+    val arts = Option(new java.io.File("/root/repo").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json")).sortBy(_.getName)
+    assume(arts.nonEmpty, "no driver CORRECTNESS artifact yet")
+    val txt = java.nio.file.Files.readString(arts.last.toPath)
+    val entry = """"(q[A-Za-z0-9_]+)":\s*\{([^}]*)\}""".r
+    val red = entry.findAllMatchIn(txt)
+      .filter(m => m.group(2).contains("false"))
+      .map(_.group(1)).toSet
+    val covSrc = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
+    val covLines = try covSrc.getLines().toVector finally covSrc.close()
+    val offending = for {
+      q <- red.toSeq.sorted
+      line <- covLines if line.contains(q)
+      if line.contains("yes (") && !line.toLowerCase.matches(".*(red|re-certif).*")
+    } yield s"$q on: ${line.take(100)}"
+    assert(offending.isEmpty,
+      s"COVERAGE.md claims 'yes' for driver-red queries (${arts.last.getName}):\n${offending.mkString("\n")}")
+  }
+
   test("row count matches the declared index size") {
     // the header states the index size; keep the literal honest
     val src = scala.io.Source.fromFile("/root/repo/COVERAGE.md")

@@ -1537,4 +1537,34 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(0) == "png" && r.getInt(1) == 16 && r.getInt(2) == 12, r.toString)
     }
   }
+
+  test("real WAV decode: header round-trip through the operator, malformed falls to stub") {
+    val wav1 = Multimodal.wavBytes(sampleRate = 16000, channels = 2,
+      bitsPerSample = 16, nSamples = 16000) // exactly 1 s stereo 16-bit
+    val wav2 = Multimodal.wavBytes(sampleRate = 8000, channels = 1,
+      bitsPerSample = 8, nSamples = 2000) // 250 ms mono 8-bit
+    val truncated = wav1.take(20) // RIFF magic but no complete fmt chunk
+    val df = Seq((1L, wav1), (2L, wav2), (3L, truncated)).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 8)
+      .orderBy("media_id")
+      .select("meta.format", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
+      .collect()
+    assert(rows(0).getString(0) == "wav" && rows(0).getInt(1) == 16000 &&
+      rows(0).getInt(2) == 16 && rows(0).getInt(3) == 2 && rows(0).getLong(4) == 1000L)
+    assert(rows(1).getString(0) == "wav" && rows(1).getInt(1) == 8000 &&
+      rows(1).getInt(2) == 8 && rows(1).getInt(3) == 1 && rows(1).getLong(4) == 250L)
+    // malformed header: deterministic stub, never a throw
+    assert(Set("jpeg", "png", "webp").contains(rows(2).getString(0)))
+  }
+
+  test("WAV decode: truncated data chunk clamps duration to bytes present") {
+    val full = Multimodal.wavBytes(16000, 1, 16, 16000) // 1 s mono
+    val cut = full.take(44 + 16000) // half the PCM data -> 500 ms
+    val r = Multimodal.decodeAndFeaturize(
+        Seq((1L, cut)).toDF("media_id", "payload"), "media_id", "payload", 4)
+      .select("meta.format", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
+      .head()
+    assert((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) ==
+      (("wav", 16000, 16, 1, 500L)), r.toString)
+  }
 }
