@@ -1234,6 +1234,31 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // exact per-group order statistics (the filter-threshold profiling
+    // pass): P1/P25/P50/P90/P99 of document length per source via the
+    // histogram-shaped quantile operator — the rank lands on a
+    // distinct-value window, never a whole-group sort
+    "q_doc_quantiles" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Stats.groupQuantilesExact(
+          s.table("documents"), col("source"), length(col("text")),
+          qsPerMille = Seq(10, 250, 500, 900, 990))
+        .select(col("grp").as("source"), col("qpm"), col("value"))
+        .orderBy("source", "qpm")
+    }),
+
+    // exact equi-width length histogram per source (distribution
+    // profiling before choosing curation cutoffs); one partial agg
+    "q_doc_len_hist" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Stats.groupHistogram(
+          s.table("documents"), col("source"), length(col("text")), width = 200L)
+        .select(col("grp").as("source"), col("bucket_start"), col("n"), col("sum_v"))
+        .orderBy("source", "bucket_start")
+    }),
+
     // tokenizer-apply: corpus-derived 200-token vocab (dense ids by
     // frequency rank), documents to ordered id sequences, unk = 0
     "q_doc_token_ids" -> ((s, dir) => {
@@ -4154,6 +4179,25 @@ object SparkEntry {
                ORDER BY d2 DESC, vec_id) AS rank
              FROM d) t
            WHERE rank <= 5 ORDER BY label, rank""",
+
+      // same ceil(q*n/1000) order statistic, replicated by row_number
+      // over the raw rows (an independent formulation: the operator
+      // never materializes per-row ranks)
+      "q_doc_quantiles" ->
+        """WITH t AS (SELECT source AS g, length(text) AS v FROM documents),
+             n AS (SELECT g, count(*) AS n FROM t GROUP BY g),
+             r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t),
+             q AS (SELECT unnest([10, 250, 500, 900, 990]) AS qpm)
+           SELECT n.g AS source, q.qpm, r.v AS value
+           FROM n CROSS JOIN q
+           JOIN r ON r.g = n.g AND r.rn = (q.qpm * n.n + 999) // 1000
+           ORDER BY source, qpm""",
+
+      // same floor-division bucketing (positive lengths, so // == floor)
+      "q_doc_len_hist" ->
+        """SELECT source, (length(text) // 200) * 200 AS bucket_start,
+             count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_v
+           FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
       // same salted-md5 per-group total order, rank <= 5
       "q_doc_balanced" ->

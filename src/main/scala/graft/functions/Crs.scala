@@ -452,6 +452,65 @@ object Crs {
     }
   }
 
+  /** Swiss Oblique Mercator ("Swiss Oblique Cylindrical", EPSG method
+   *  9814 — Rosenmund 1903, swisstopo's published rigorous formulas):
+   *  a triple projection — ellipsoid → conformal sphere at the origin
+   *  (Gaussian radius R, meridian-convergence factor α, constant K),
+   *  sphere rotation carrying the origin to the pseudo-equator, then
+   *  an equatorial spherical Mercator. The projection behind
+   *  EPSG:2056 (CH1903+ / LV95) and EPSG:21781 (CH1903 / LV03). */
+  private final class SwissOblique(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) extends System {
+    private val e = ell.e; private val e2 = ell.e2
+    private val p0 = math.toRadians(lat0Deg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val sin0 = math.sin(p0)
+    // Gaussian radius of curvature at the origin
+    private val bigR = ell.a * math.sqrt(1 - e2) / (1 - e2 * sin0 * sin0)
+    private val alpha = math.sqrt(1 + e2 / (1 - e2) * math.pow(math.cos(p0), 4))
+    private val b0 = math.asin(sin0 / alpha)
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      alpha * math.log(math.tan(math.Pi / 4 + p0 / 2)) +
+      alpha * e / 2 * math.log((1 + e * sin0) / (1 - e * sin0))
+    private val sinB0 = math.sin(b0); private val cosB0 = math.cos(b0)
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(latD)
+      // ellipsoid -> conformal sphere (S = α·ψ(φ) + K, b = gd(S))
+      val s = alpha * math.log(math.tan(math.Pi / 4 + lat / 2)) -
+        alpha * e / 2 * math.log((1 + e * math.sin(lat)) / (1 - e * math.sin(lat))) + bigK
+      val b = 2 * (math.atan(math.exp(s)) - math.Pi / 4)
+      val l = alpha * (math.toRadians(lonD) - lon0)
+      // rotate (b0, 0) to the pseudo-equator origin
+      val bBar = math.asin(cosB0 * math.sin(b) - sinB0 * math.cos(b) * math.cos(l))
+      val lBar = math.atan2(math.cos(b) * math.sin(l),
+        cosB0 * math.cos(b) * math.cos(l) + sinB0 * math.sin(b))
+      (falseE + bigR * lBar, falseN + bigR * atanh(math.sin(bBar)))
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val lBar = (xIn - falseE) / bigR
+      val bBar = 2 * math.atan(math.exp((yIn - falseN) / bigR)) - math.Pi / 2
+      // reverse rotation
+      val b = math.asin(cosB0 * math.sin(bBar) + sinB0 * math.cos(bBar) * math.cos(lBar))
+      val l = math.atan2(math.cos(bBar) * math.sin(lBar),
+        cosB0 * math.cos(bBar) * math.cos(lBar) - sinB0 * math.sin(bBar))
+      val lon = lon0 + l / alpha
+      // conformal-sphere latitude -> geodetic (isometric fixed point)
+      val psi = (math.log(math.tan(math.Pi / 4 + b / 2)) - bigK) / alpha
+      var lat = b
+      var k = 0; var prev = 0.0
+      do {
+        prev = lat
+        lat = 2 * math.atan(math.exp(psi +
+          e / 2 * math.log((1 + e * math.sin(lat)) / (1 - e * math.sin(lat))))) - math.Pi / 2
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
   /**
    * 7-parameter Helmert transformation (position-vector convention,
    * EPSG method 9606), parameters LOCAL datum → WGS84. Rotations in
@@ -680,7 +739,22 @@ object Crs {
       () => new PolarStereo(WGS84, 70.0, -45.0, 0.0, 0.0)),
     CrsInfo("EPSG", "3995", "WGS 84 / Arctic Polar Stereographic", "projected",
       "Arctic", "Polar Stereographic (variant B)",
-      () => new PolarStereo(WGS84, 71.0, 0.0, 0.0, 0.0)))
+      () => new PolarStereo(WGS84, 71.0, 0.0, 0.0, 0.0)),
+    // Switzerland: LV95/LV03 (Swiss Oblique Mercator on Bessel 1841;
+    // CH1903+ -> ETRS89 is the published translation-only Helmert
+    // EPSG:1676, CH1903 -> WGS84 the rounded EPSG:1753)
+    CrsInfo("EPSG", "2056", "CH1903+ / LV95", "projected", "Switzerland",
+      "Swiss Oblique Cylindrical",
+      () => new DatumShifted(
+        new SwissOblique(Bessel1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
+          7.0 + 26.0 / 60 + 22.5 / 3600, 2600000.0, 1200000.0),
+        Bessel1841, Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0))),
+    CrsInfo("EPSG", "21781", "CH1903 / LV03", "projected", "Switzerland",
+      "Swiss Oblique Cylindrical",
+      () => new DatumShifted(
+        new SwissOblique(Bessel1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
+          7.0 + 26.0 / 60 + 22.5 / 3600, 600000.0, 200000.0),
+        Bessel1841, Helmert(674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0))))
 
   /** Datum-shifted Gauss-Krüger / ED50 UTM helpers for the parametric
    *  ranges in [[resolve]]. */
@@ -1151,4 +1225,7 @@ object Crs {
   private[graft] def laeaForTest(
       ell: Ellipsoid, lat0: Double, lon0: Double,
       fe: Double, fn: Double): System = new Laea(ell, lat0, lon0, fe, fn)
+  private[graft] def swissForTest(
+      ell: Ellipsoid, lat0: Double, lon0: Double,
+      fe: Double, fn: Double): System = new SwissOblique(ell, lat0, lon0, fe, fn)
 }

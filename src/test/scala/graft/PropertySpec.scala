@@ -239,6 +239,46 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(blon - 4.9041) < 1e-7 && math.abs(blat - 52.3676) < 1e-7)
   }
 
+  test("Swiss Oblique Mercator: origin exactness, WGS84 anchor, roundtrip") {
+    import graft.functions.Crs
+    // projection-level: the CH1903 geodetic origin (Bern old
+    // observatory) maps exactly onto the LV03 false origin
+    val proj = Crs.swissForTest(Crs.Bessel1841,
+      46.0 + 57.0 / 60 + 8.66 / 3600, 7.0 + 26.0 / 60 + 22.5 / 3600,
+      600000.0, 200000.0)
+    val (ox, oy) = proj.forward(7.0 + 26.0 / 60 + 22.5 / 3600,
+      46.0 + 57.0 / 60 + 8.66 / 3600)
+    assert(math.abs(ox - 600000.0) < 1e-6 && math.abs(oy - 200000.0) < 1e-6, s"($ox,$oy)")
+    // full chain: the WGS84 position of the LV03 false origin is the
+    // published 46°57'03.9"N, 7°26'19.1"E — the grid-free Helmert
+    // lands within ~2 m of (600000, 200000)
+    val lv03 = Crs.resolve("EPSG:21781")
+    val (bx, by) = lv03.forward(7.0 + 26.0 / 60 + 19.1 / 3600,
+      46.0 + 57.0 / 60 + 3.9 / 3600)
+    assert(math.abs(bx - 600000.0) < 2.5 && math.abs(by - 200000.0) < 2.5, s"($bx,$by)")
+    // LV95 is the same projection with the 2.6M/1.2M false origin
+    val lv95 = Crs.resolve("EPSG:2056")
+    val (ex, ey) = lv95.forward(7.0 + 26.0 / 60 + 19.1 / 3600,
+      46.0 + 57.0 / 60 + 3.9 / 3600)
+    assert(math.abs(ex - 2600000.0) < 2.5 && math.abs(ey - 1200000.0) < 2.5, s"($ex,$ey)")
+    // roundtrip across the zone of use
+    for ((lon, lat) <- Seq((6.1, 46.2), (7.45, 46.95), (9.85, 46.5), (8.55, 47.38))) {
+      val (x, y) = lv95.forward(lon, lat)
+      val (lonB, latB) = lv95.inverse(x, y)
+      assert(math.abs(lonB - lon) < 1e-7 && math.abs(latB - lat) < 1e-7, s"($lon,$lat)")
+    }
+    // conformality at Zurich (tiny orthogonal steps stay orthogonal,
+    // isotropic scale) — the defining property the rotation+Mercator
+    // composition must preserve
+    val eps = 1e-7
+    val (x0, y0) = proj.forward(8.54, 47.37)
+    val (xe, ye) = proj.forward(8.54 + eps, 47.37)
+    val (xn, yn) = proj.forward(8.54, 47.37 + eps)
+    val (ax, ay) = (xe - x0, ye - y0); val (bx2, by2) = (xn - x0, yn - y0)
+    val cosAngle = (ax * bx2 + ay * by2) / (math.hypot(ax, ay) * math.hypot(bx2, by2))
+    assert(math.abs(cosAngle) < 1e-4, s"not conformal: $cosAngle")
+  }
+
   test("round-4 conformal projections preserve angles and isotropic scale") {
     import graft.functions.Crs
     // conformality check: the images of two tiny orthogonal steps stay
