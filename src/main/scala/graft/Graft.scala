@@ -89,7 +89,10 @@ object Graft {
     //   st_read(path, 'POLYGON (...)')         -- spatial_filter (WKT)
     //   st_read(path, 'key=value, ...')        -- named options: layer,
     //       spatial_filter, keep_wkb, encoding, max_batch_size,
-    //       xy (CSV point columns as "xcol:ycol")
+    //       xy (CSV point columns as "xcol:ycol"),
+    //       allowed_drivers (;-separated short names),
+    //       open_options (;-separated KEY=VALUE GDAL pairs),
+    //       sibling_files (;-separated), sequential_layer_scan
     //   st_read(path, layer, 'POLYGON (...)')
     //   st_read(path, x0, y0, x1, y1)          -- spatial_filter_box
     //   st_read(path, layer, x0, y0, x1, y1)
@@ -116,7 +119,12 @@ object Graft {
       out += cur.result()
       out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
-    val optKeys = Set("layer", "spatial_filter", "keep_wkb", "encoding", "max_batch_size", "xy")
+    val optKeys = Set("layer", "spatial_filter", "keep_wkb", "encoding", "max_batch_size", "xy",
+      "allowed_drivers", "open_options", "sibling_files", "sequential_layer_scan")
+    // GDAL-style list values are ;- or |-separated (a , would split at
+    // the top level); open_options pairs split on the FIRST = only
+    def splitList(v: String): Seq[String] =
+      v.split("[;|]").map(_.trim).filter(_.nonEmpty).toSeq
     def asNamedOpts(s: String): Option[graft.sources.GeoRead.ReadOptions] = {
       val parts = splitTop(s)
       val ok = parts.nonEmpty && parts.forall { p =>
@@ -136,7 +144,17 @@ object Graft {
           keepWkb = kv.get("keep_wkb").exists(v => v.equalsIgnoreCase("true") || v == "1"),
           encoding = kv.getOrElse("encoding", ""),
           maxBatchSize = kv.get("max_batch_size").map(_.toInt).getOrElse(0),
-          xy = kv.getOrElse("xy", "")))
+          xy = kv.getOrElse("xy", ""),
+          allowedDrivers = kv.get("allowed_drivers").map(splitList).getOrElse(Nil),
+          openOptions = kv.get("open_options").map(splitList(_).map { pair =>
+            val j = pair.indexOf('=')
+            if (j <= 0) throw new IllegalArgumentException(
+              s"st_read open_options: expected KEY=VALUE, got '$pair'")
+            (pair.substring(0, j).trim, pair.substring(j + 1).trim)
+          }.toMap).getOrElse(Map.empty),
+          siblingFiles = kv.get("sibling_files").map(splitList).getOrElse(Nil),
+          sequentialLayerScan = kv.get("sequential_layer_scan")
+            .exists(v => v.equalsIgnoreCase("true") || v == "1")))
       }
     }
     tfReg.createOrReplaceTempFunction("st_read",

@@ -1808,6 +1808,22 @@ object SparkEntry {
         .orderBy("objectid")
     }),
 
+    // GDAL-parity st_read named options (reference st_read.cpp:676-695):
+    // allowed_drivers gates the resolved driver, open_options carries
+    // GDAL KEY=VALUE pairs (ENCODING here), sibling_files validates the
+    // declared sidecars, sequential_layer_scan is an accepted no-op.
+    // Same independent from-scratch python golden as q_src_shp.
+    "q_src_gdal_opts" -> ((s, dir) => {
+      Graft.install(s)
+      s.sql(
+        """SELECT OBJECTID AS objectid, zone, borough,
+             st_npoints(geom) AS npoints
+           FROM st_read('/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp',
+             'allowed_drivers=shapefile;geojson, open_options=ENCODING=ISO-8859-1,
+              sibling_files=taxi_zones.shx;taxi_zones.dbf, sequential_layer_scan=true')
+           ORDER BY objectid""")
+    }),
+
     // zipped st_read (GDAL /vsizip/ parity): the archive is built here
     // from the reference shapefile's parts (sidecars included) — what's
     // under test is the zip path (entry select + atomic extraction);
@@ -2018,7 +2034,9 @@ object SparkEntry {
 
     // st_list_proj_crs: catalog size + spot rows for the headline CRSs
     // (count via an unpartitioned window, not a join — the catalog is a
-    // 282-row local relation, but the plan audit bans nested-loop joins)
+    // small local relation, but the plan audit bans nested-loop joins);
+    // the oracle's n_total is generated from Crs.listAll().size so it can
+    // never desync from the live registry
     "q_list_crs" -> q(Seq(),
       """SELECT code, auth_name, name, type, method, n_total FROM (
            SELECT code, auth_name, name, type,
@@ -4473,6 +4491,15 @@ object SparkEntry {
              header=true)
            ORDER BY objectid""",
 
+      // same independent golden, GDAL-parity named-options path on the
+      // engine side (allowed_drivers / open_options / sibling_files /
+      // sequential_layer_scan)
+      "q_src_gdal_opts" ->
+        """SELECT objectid, zone, borough, npoints
+           FROM read_csv('/root/repo/src/test/resources/golden/taxi_zones_golden.csv',
+             header=true)
+           ORDER BY objectid""",
+
       // same independent golden, zipped read path on the engine side
       "q_src_zip" ->
         """SELECT objectid, zone, borough, npoints, xmin, ymax
@@ -4594,8 +4621,11 @@ object SparkEntry {
            ) v(short_name, long_name, can_open, can_create)
            ORDER BY short_name""",
 
+      // n_total is derived from the live Crs registry at query-build time so
+      // a catalog addition can never desync the oracle from the engine
+      // (the r8 Swiss LV95/LV03 additions hash-failed a hardcoded 282 here).
       "q_list_crs" ->
-        """SELECT code, auth_name, name, type, method, CAST(282 AS BIGINT) AS n_total
+        s"""SELECT code, auth_name, name, type, method, CAST(${graft.functions.Crs.listAll().size} AS BIGINT) AS n_total
            FROM (VALUES
              ('2263', 'EPSG', 'NAD83 / New York Long Island (ftUS)', 'projected', 'Lambert Conic Conformal (2SP)'),
              ('27700', 'EPSG', 'OSGB36 / British National Grid', 'projected', 'Transverse Mercator'),

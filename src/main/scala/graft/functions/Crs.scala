@@ -962,6 +962,10 @@ object Crs {
     "D_Deutsches_Hauptdreiecksnetz", "Bessel_1841", 6377397.155, 299.1528128)
   private val GeogEd50 = geogcsOf("GCS_European_1950", "D_European_1950",
     "International_1924", 6378388.0, 297.0)
+  private val GeogCh1903Plus = geogcsOf("GCS_CH1903+", "D_CH1903+",
+    "Bessel_1841", 6377397.155, 299.1528128)
+  private val GeogCh1903 = geogcsOf("GCS_CH1903", "D_CH1903",
+    "Bessel_1841", 6377397.155, 299.1528128)
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -1169,6 +1173,21 @@ object Crs {
           Some(tmWkt(s"ED_1950_UTM_Zone_${code - 23000}N", GeogEd50,
             0.0, (code - 23000) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
         else None
+      // Swiss Oblique Mercator (ESRI models it as Hotine azimuth-center
+      // with Azimuth=90 at the Bern origin; same Bessel 1841 ellipsoid
+      // as the registry builders at lines 746-757)
+      case "EPSG:2056" => Some(projcs("CH1903+_LV95", GeogCh1903Plus,
+        "Hotine_Oblique_Mercator_Azimuth_Center",
+        Seq("False_Easting" -> 2600000.0, "False_Northing" -> 1200000.0,
+          "Scale_Factor" -> 1.0, "Azimuth" -> 90.0,
+          "Longitude_Of_Center" -> 7.43958333333333,
+          "Latitude_Of_Center" -> 46.9524055555556), "Meter", 1.0))
+      case "EPSG:21781" => Some(projcs("CH1903_LV03", GeogCh1903,
+        "Hotine_Oblique_Mercator_Azimuth_Center",
+        Seq("False_Easting" -> 600000.0, "False_Northing" -> 200000.0,
+          "Scale_Factor" -> 1.0, "Azimuth" -> 90.0,
+          "Longitude_Of_Center" -> 7.43958333333333,
+          "Latitude_Of_Center" -> 46.9524055555556), "Meter", 1.0))
       case _ => None
     }
     wkt

@@ -49,7 +49,11 @@ object AsofJoin {
   def asofJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, strict: Boolean = false): DataFrame =
-    asofSkewWidth(left, right, key, leftTs, rightTs) match {
+    // Streaming frames cannot be probed eagerly (.head() on an unstarted
+    // stream throws) — and the bucketed rewrite is batch-only anyway.
+    if (left.isStreaming || right.isStreaming)
+      asofJoinFlat(left, right, key, leftTs, rightTs, strict)
+    else asofSkewWidth(left, right, key, leftTs, rightTs) match {
       case Some(width) => asofJoinBucketed(left, right, key, leftTs, rightTs, width, strict)
       case None        => asofJoinFlat(left, right, key, leftTs, rightTs, strict)
     }
@@ -92,6 +96,10 @@ object AsofJoin {
         min("t0").as("t0"), max("t1").as("t1"))
       .head()
     if (r.isNullAt(0)) return None // both sides empty
+    // all-null ts columns: min/max are null while counts are not — the
+    // flat path's null-ordering semantics are the well-defined ones, so
+    // never dispatch to bucketing without a usable ts range
+    if (r.isNullAt(2) || r.isNullAt(3)) return None
     val (tot, maxn) = (r.getLong(0), r.getLong(1))
     if (tot < SkewMinRows || maxn.toDouble / tot <= SkewDominance) None
     else {

@@ -69,23 +69,26 @@ object Multimodal {
     def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
     def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
       ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
-    var off = 12
+    // The walk cursor is a Long: a hostile 32-bit chunk-size field near
+    // 2^31 must advance past p.length and terminate, never wrap an Int
+    // negative (which would read out of bounds and fail the whole task).
+    var off = 12L
     var channels = 0; var rate = 0L; var bits = 0; var byteRate = 0L; var dataLen = -1L
     while (off + 8 <= p.length) {
-      val isFmt = p(off) == 'f' && p(off + 1) == 'm' && p(off + 2) == 't' && p(off + 3) == ' '
-      val isData = p(off) == 'd' && p(off + 1) == 'a' && p(off + 2) == 't' && p(off + 3) == 'a'
-      val sz = u32(off + 4)
+      val o = off.toInt
+      val isFmt = p(o) == 'f' && p(o + 1) == 'm' && p(o + 2) == 't' && p(o + 3) == ' '
+      val isData = p(o) == 'd' && p(o + 1) == 'a' && p(o + 2) == 't' && p(o + 3) == 'a'
+      val sz = u32(o + 4)
       if (isFmt && off + 8 + 16 <= p.length) {
-        channels = u16(off + 10)
-        rate = u32(off + 12)
-        byteRate = u32(off + 16)
-        bits = u16(off + 22)
+        channels = u16(o + 10)
+        rate = u32(o + 12)
+        byteRate = u32(o + 16)
+        bits = u16(o + 22)
       } else if (isData) {
         // clamp to the bytes actually present (truncated files)
-        dataLen = math.min(sz, (p.length - off - 8).toLong)
+        dataLen = math.min(sz, (p.length - o - 8).toLong)
       }
-      if (sz > Int.MaxValue - 16) off = p.length // corrupt size: stop the walk
-      else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      off += 8L + sz + (sz & 1L) // chunks are word-aligned; sz < 2^32, monotone
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 ||
         byteRate <= 0 || dataLen < 0) None
@@ -117,7 +120,11 @@ object Multimodal {
    *  parse for WAV audio, stub for everything else (same output
    *  contract on every path). */
   private[operators] def decode(payload: Array[Byte]): (String, Int, Int, Int, Long) =
-    decodeImage(payload).orElse(decodeWav(payload)).getOrElse(decodeStub(payload))
+    decodeImage(payload)
+      // same catch-to-stub discipline as decodeImage: one hostile payload
+      // must degrade to the stub row, never fail the Spark task
+      .orElse(try decodeWav(payload) catch { case _: Exception => None })
+      .getOrElse(decodeStub(payload))
 
   /** Real image resize via Graphics2D, re-encoded as PNG (lossless,
    *  always writable by the JDK). None for non-image payloads. */

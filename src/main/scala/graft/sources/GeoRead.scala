@@ -46,9 +46,32 @@ object GeoRead {
       /** CSV point columns as "xcol:ycol" (GDAL's X_POSSIBLE_NAMES/
        *  Y_POSSIBLE_NAMES open-option analog). Empty = WKT column, or
        *  auto-detected lon/lat / x/y pairs when no WKT column exists. */
-      xy: String = "")
+      xy: String = "",
+      /** Reference `allowed_drivers` (st_read.cpp:676-695): restrict
+       *  which drivers may open the path. Our dispatch is by extension,
+       *  so the check is a guard — the resolved driver's short name
+       *  (see [[drivers]]) must appear in the list, else the read
+       *  errors instead of opening with an unexpected driver. */
+      allowedDrivers: Seq[String] = Nil,
+      /** Reference `open_options`: GDAL driver KEY=VALUE pairs. The
+       *  portable ones map onto our native options (ENCODING →
+       *  [[ReadOptions.encoding]], X_POSSIBLE_NAMES/Y_POSSIBLE_NAMES →
+       *  [[ReadOptions.xy]]); an unrecognized key errors clearly
+       *  rather than being silently dropped. */
+      openOptions: Map[String, String] = Map.empty,
+      /** Reference `sibling_files`: the sidecar set GDAL may consult.
+       *  Our sidecar discovery is path-derived (x.shp → x.shx/.dbf/
+       *  .cpg/.prj — never a directory scan), so the declared siblings
+       *  are validated to exist and that's the whole contract. */
+      siblingFiles: Seq[String] = Nil,
+      /** Reference `sequential_layer_scan` (OSM driver): accepted and
+       *  a no-op — our layer lookup is already direct per container. */
+      sequentialLayerScan: Boolean = false)
 
-  def read(spark: SparkSession, path: String, opts: ReadOptions): DataFrame = {
+  def read(spark: SparkSession, path: String, opts0: ReadOptions): DataFrame = {
+    // GDAL open_options fold into the native options up front (applies
+    // identically on the zip / directory recursion paths)
+    val opts = applyOpenOptions(path, opts0)
     // Zipped inputs (GDAL /vsizip/ parity — reference st_read open_options
     // and test/sql/gdal vsi/zip cases): `archive.zip` sniffs the single
     // contained dataset, `archive.zip/inner.shp` selects an entry. The
@@ -57,7 +80,9 @@ object GeoRead {
     // reader runs on the extracted file. The `.zip` segment is treated
     // as an archive only when it IS a regular file on disk — a real
     // DIRECTORY named `tiles.zip/` falls through to the normal path.
-    {
+    // (locally: a bare block after the val above would parse as a
+    // block ARGUMENT to the preceding call)
+    locally {
       val zi = path.toLowerCase.indexOf(".zip")
       if (zi >= 0 && (path.length == zi + 4 || path.charAt(zi + 4) == '/')) {
         val archive = path.substring(0, zi + 4)
@@ -99,6 +124,30 @@ object GeoRead {
       }
     }
     val lower = path.toLowerCase
+    // allowed_drivers guard: the extension-resolved driver must be on
+    // the caller's list (reference st_read.cpp:676-695 — GDAL refuses
+    // to open with a driver outside ALLOWED_DRIVERS)
+    if (opts.allowedDrivers.nonEmpty) {
+      val drv = driverOf(lower)
+      val allowed = opts.allowedDrivers.map(_.trim.toLowerCase).filter(_.nonEmpty)
+      if (!allowed.contains(drv))
+        throw new IllegalArgumentException(
+          s"st_read('$path'): resolved driver '$drv' is not in " +
+            s"allowed_drivers (${allowed.mkString(", ")})")
+    }
+    // sibling_files: our sidecar discovery is path-derived, never a
+    // directory scan, so the contract here is existence validation of
+    // the declared set (relative names resolve beside the main file)
+    if (opts.siblingFiles.nonEmpty) {
+      val parent = hPath.getParent
+      opts.siblingFiles.foreach { sib =>
+        val sp = new org.apache.hadoop.fs.Path(sib)
+        val resolved = if (sp.isAbsolute) sp else new org.apache.hadoop.fs.Path(parent, sib)
+        if (!fs.exists(resolved))
+          throw new IllegalArgumentException(
+            s"st_read('$path'): declared sibling file not found: $resolved")
+      }
+    }
     // bbox used for source-level pushdown: the explicit box, else the
     // filter geometry's envelope
     val pushBox: Option[(Double, Double, Double, Double)] =
@@ -165,6 +214,48 @@ object GeoRead {
       case Some(gc) if opts.keepWkb => filtered.withColumnRenamed(gc, "wkb_geometry")
       case _ => filtered
     }
+  }
+
+  /** Driver short name ([[drivers]] table) for a lower-cased path. */
+  private[sources] def driverOf(lower: String): String =
+    if (lower.endsWith(".osm.pbf") || lower.endsWith(".pbf")) "osm_pbf"
+    else if (lower.endsWith(".shp")) "shapefile"
+    else if (lower.endsWith(".fgb")) "flatgeobuf"
+    else if (lower.endsWith(".gpkg")) "geopackage"
+    else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
+      lower.endsWith(".geojsonl") || lower.endsWith(".ndjson")) "geojson"
+    else if (lower.endsWith(".parquet")) "parquet"
+    else if (lower.endsWith(".csv")) "csv_wkt"
+    else if (lower.endsWith(".gpx")) "gpx"
+    else if (lower.endsWith(".kml")) "kml"
+    else if (lower.endsWith(".gml")) "gml"
+    else throw new IllegalArgumentException(
+      s"unsupported format for $lower (see st_drivers() for the supported list)")
+
+  /** Fold GDAL `open_options` KEY=VALUE pairs into the native options.
+   *  Portable keys map 1:1; anything else errors (an option the engine
+   *  would silently drop is worse than a clear refusal). Idempotent —
+   *  safe on the zip/directory recursion paths. */
+  private def applyOpenOptions(path: String, opts: ReadOptions): ReadOptions = {
+    if (opts.openOptions.isEmpty) return opts
+    var o = opts
+    val norm = opts.openOptions.map { case (k, v) => (k.trim.toUpperCase, v.trim) }
+    norm.foreach { case (k, v) =>
+      k match {
+        case "ENCODING" => o = o.copy(encoding = v)
+        case "X_POSSIBLE_NAMES" | "Y_POSSIBLE_NAMES" => // paired below
+        case other => throw new IllegalArgumentException(
+          s"st_read('$path'): unsupported open_options key '$other' " +
+            "(supported: ENCODING, X_POSSIBLE_NAMES, Y_POSSIBLE_NAMES)")
+      }
+    }
+    (norm.get("X_POSSIBLE_NAMES"), norm.get("Y_POSSIBLE_NAMES")) match {
+      case (Some(x), Some(y)) => o = o.copy(xy = s"$x:$y")
+      case (None, None)       =>
+      case _ => throw new IllegalArgumentException(
+        s"st_read('$path'): X_POSSIBLE_NAMES and Y_POSSIBLE_NAMES must be given together")
+    }
+    o
   }
 
   private val geoJsonSchema = StructType(Seq(

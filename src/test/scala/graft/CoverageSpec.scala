@@ -15,6 +15,13 @@ class CoverageSpec extends SparkSpec {
   // bytes) and identical to UTF-8 on the ASCII function names we match
   private implicit val codec: scala.io.Codec = scala.io.Codec.ISO8859
 
+  // sbt runs tests with the project root as cwd; fall back to the
+  // canonical checkout path only if the doc isn't beside us
+  private val repoRoot: String = {
+    val cwd = new java.io.File(".").getCanonicalFile
+    if (new java.io.File(cwd, "COVERAGE.md").exists) cwd.getPath else "/root/repo"
+  }
+
   private def refIndex: Set[String] = {
     val src = scala.io.Source.fromFile("/root/reference/docs/functions.md")
     try {
@@ -24,7 +31,7 @@ class CoverageSpec extends SparkSpec {
   }
 
   private def coverageRows: Set[String] = {
-    val src = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
+    val src = scala.io.Source.fromFile(new java.io.File(repoRoot, "COVERAGE.md"))
     try {
       val pat = """^\| (ST_[A-Za-z0-9_]+)""".r
       src.getLines().flatMap(l => pat.findFirstMatchIn(l).map(_.group(1))).toSet
@@ -52,7 +59,7 @@ class CoverageSpec extends SparkSpec {
     // the pipeline/extras tables cite oracle rows as (q_...) — a new
     // SparkEntry.queries entry that never lands a COVERAGE citation is
     // the same drift class as the round-5 missing-rows bug
-    val src = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
+    val src = scala.io.Source.fromFile(new java.io.File(repoRoot, "COVERAGE.md"))
     val doc = try src.mkString finally src.close()
     val missing = SparkEntry.queries.keySet.filterNot(doc.contains)
     // geo/native/source rows are covered per-function in the reference
@@ -70,15 +77,18 @@ class CoverageSpec extends SparkSpec {
     // CORRECTNESS_r*.json; every query with any failed check must
     // either be un-cited or cited on a line that acknowledges the red
     // run ("red" / "re-certif").
-    val arts = Option(new java.io.File("/root/repo").listFiles()).getOrElse(Array.empty)
+    val arts = Option(new java.io.File(repoRoot).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json")).sortBy(_.getName)
     assume(arts.nonEmpty, "no driver CORRECTNESS artifact yet")
     val txt = java.nio.file.Files.readString(arts.last.toPath)
     val entry = """"(q[A-Za-z0-9_]+)":\s*\{([^}]*)\}""".r
+    // only the three gating *_match fields flag a row — an err message or
+    // an unrelated boolean containing "false" must not false-positive
+    val gating = """"(rows|schema|hash)_match":\s*false""".r
     val red = entry.findAllMatchIn(txt)
-      .filter(m => m.group(2).contains("false"))
+      .filter(m => gating.findFirstIn(m.group(2)).isDefined)
       .map(_.group(1)).toSet
-    val covSrc = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
+    val covSrc = scala.io.Source.fromFile(new java.io.File(repoRoot, "COVERAGE.md"))
     val covLines = try covSrc.getLines().toVector finally covSrc.close()
     val offending = for {
       q <- red.toSeq.sorted
@@ -91,7 +101,7 @@ class CoverageSpec extends SparkSpec {
 
   test("row count matches the declared index size") {
     // the header states the index size; keep the literal honest
-    val src = scala.io.Source.fromFile("/root/repo/COVERAGE.md")
+    val src = scala.io.Source.fromFile(new java.io.File(repoRoot, "COVERAGE.md"))
     val header = try src.getLines().take(6).mkString(" ") finally src.close()
     val declared = """(\d+) entries""".r.findFirstMatchIn(header).map(_.group(1).toInt)
     assert(declared.contains(refIndex.size),

@@ -1567,4 +1567,23 @@ class MultimodalSpec extends SparkSpec {
     assert((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) ==
       (("wav", 16000, 16, 1, 500L)), r.toString)
   }
+
+  test("WAV decode: hostile chunk sizes near 2^31 terminate the walk, fall to stub") {
+    // a crafted fmt-chunk size that would wrap an Int cursor negative
+    // (r8 ADVICE): the walk must terminate and degrade, never throw
+    def hostile(sz: Long): Array[Byte] = {
+      val b = Multimodal.wavBytes(16000, 1, 16, 8)
+      var i = 0
+      while (i < 4) { b(16 + i) = ((sz >> (8 * i)) & 0xFF).toByte; i += 1 }
+      b
+    }
+    // 0x7FFFFFEF is exactly the value the old `sz > Int.MaxValue - 16`
+    // guard let through into an Int-wrapping `off +=`
+    val payloads = Seq(0x7FFFFFEFL, 0x7FFFFFF0L, 0x7FFFFFFFL, 0xFFFFFFFFL, 0x80000000L)
+    val df = payloads.zipWithIndex.map { case (sz, i) => (i.toLong, hostile(sz)) }
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 4)
+      .select("meta.format").collect()
+    rows.foreach(r => assert(Set("jpeg", "png", "webp").contains(r.getString(0)), r.toString))
+  }
 }

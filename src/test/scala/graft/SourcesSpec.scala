@@ -304,6 +304,52 @@ class SourcesSpec extends SparkSpec {
     assert(lines == 10)
   }
 
+  test("st_read GDAL-parity options: allowed_drivers, open_options, sibling_files, sequential_layer_scan") {
+    assume(nycShp.isDefined)
+    val shp = nycShp.get
+    val plain = GeoRead.read(spark, shp)
+    // allowed_drivers: pass when the resolved driver is listed...
+    val ok = spark.sql(s"SELECT count(*) AS n FROM st_read('$shp', " +
+      "'allowed_drivers=shapefile;geojson')").collect()(0).getLong(0)
+    assert(ok == plain.count())
+    // ...refuse (not silently ignore) when it is not
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM st_read('$shp', 'allowed_drivers=geojson|parquet')").count()
+    }
+    assert(err.getMessage.contains("allowed_drivers"), err.getMessage)
+    // open_options ENCODING maps onto the native encoding option
+    val enc = GeoRead.read(spark, shp,
+      GeoRead.ReadOptions(openOptions = Map("ENCODING" -> "UTF-8")))
+    assert(enc.count() == plain.count())
+    // unknown open_options keys error clearly
+    val unk = intercept[Exception] {
+      GeoRead.read(spark, shp, GeoRead.ReadOptions(openOptions = Map("NOSUCH" -> "1")))
+    }
+    assert(unk.getMessage.contains("open_options"), unk.getMessage)
+    // X/Y_POSSIBLE_NAMES pair maps onto the CSV xy option
+    val csvDir = new java.io.File("/tmp/graft_gdal_opt_csv"); csvDir.mkdirs()
+    val csv = new java.io.File(csvDir, "pts.csv")
+    java.nio.file.Files.writeString(csv.toPath, "id,easting,northing\n1,10.0,20.0\n2,30.0,40.0\n")
+    val pts = spark.sql(s"SELECT id, st_x(geom) AS x FROM st_read('${csv.getPath}', " +
+      "'open_options=X_POSSIBLE_NAMES=easting;Y_POSSIBLE_NAMES=northing') ORDER BY id")
+      .collect()
+    assert(pts.length == 2 && pts(0).getDouble(1) == 10.0)
+    intercept[Exception] { // X without Y is a refusal, not a guess
+      GeoRead.read(spark, csv.getPath,
+        GeoRead.ReadOptions(openOptions = Map("X_POSSIBLE_NAMES" -> "easting")))
+    }
+    // sibling_files: declared sidecars are validated to exist
+    val base = new java.io.File(shp).getName.stripSuffix(".shp")
+    val sib = spark.sql(s"SELECT count(*) AS n FROM st_read('$shp', " +
+      s"'sibling_files=$base.shx;$base.dbf, sequential_layer_scan=true')")
+      .collect()(0).getLong(0)
+    assert(sib == plain.count())
+    val miss = intercept[Exception] {
+      spark.sql(s"SELECT * FROM st_read('$shp', 'sibling_files=nope.dbf')").count()
+    }
+    assert(miss.getMessage.contains("sibling"), miss.getMessage)
+  }
+
   test("drivers + read_meta") {
     assert(GeoRead.drivers(spark).count() == 10)
     assume(nycShp.isDefined)
