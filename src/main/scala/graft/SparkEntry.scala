@@ -45,6 +45,41 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_geo_spatial_join")(spark, "/root/testdata/sf0.001")
 
+  // ---- BPE certification fixtures ---------------------------------------
+  /** Fixed merge list (rank order) shared by the q_doc_bpe_encode query
+   *  and its generated oracle — common English digraphs, later merges
+   *  building on earlier ones. */
+  private[graft] val BpeCertMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("an", "d"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"))
+
+  /** DuckDB oracle for q_doc_bpe_encode, GENERATED from [[BpeCertMerges]]:
+   *  each word becomes a space-bounded char string (' h e l l o '), each
+   *  merge is one replace() in rank order — replace()'s all-occurrence
+   *  left-to-right non-overlapping behavior is exactly Bpe.encodeWord's
+   *  contract. Docs with no words keep a 0-token row via the left join. */
+  private def bpeEncodeOracle: String = {
+    val spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    val folded = BpeCertMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+    s"""WITH w AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w,
+            generate_subscripts(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'), 1) AS i
+          FROM documents),
+        enc AS (
+          SELECT doc_id, i, $folded AS e FROM w),
+        agg AS (
+          SELECT doc_id, string_split_regex(trim(string_agg(e, '' ORDER BY i)), ' +') AS toks
+          FROM enc GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(length(a.toks), 0) AS BIGINT) AS n_tokens,
+          coalesce(array_to_string(a.toks[1:12], '|'), '') AS head
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id"""
+  }
+
   // ---- shared synthetic-geometry SQL fragments (Spark dialect) ----------
   // customer point: strictly-interior coords in [0.5, 99.5]
   // Planted multi-line corpus for the line-dedup row (Spark dialect;
@@ -792,6 +827,47 @@ object SparkEntry {
          size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS n_subwords,
          length(text) AS n_chars_check
          FROM documents ORDER BY doc_id"""),
+
+    // BPE tokenizer — training INPUT stage certified hash-exact: the
+    // weighted adjacent char-pair counts over the bounded word-frequency
+    // model (exactly the statistic the first merge maximizes)
+    "q_doc_bpe_pairs" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val wf = operators.Bpe.wordFreq(s.table("documents"), col("text"), 20000)
+      operators.Bpe.pairCounts(wf)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(50)
+        .select(col("pair"), col("cnt"))
+    }),
+
+    // BPE encode certified hash-exact against a nested-replace oracle:
+    // merges apply in rank order, each replacing all non-overlapping
+    // occurrences left-to-right — byte-for-byte replace() semantics on a
+    // space-joined token string (see Bpe.scala scaladoc). The merge
+    // list is the shared BpeCertMerges literal on BOTH sides.
+    "q_doc_bpe_encode" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Bpe.encode(s.table("documents"), col("doc_id"), col("text"), BpeCertMerges)
+        .select(col("id").as("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+          concat_ws("|", slice(col("tokens"), 1, 12)).as("head"))
+        .orderBy("doc_id")
+    }),
+
+    // BPE train: driver-side merge loop over the distributed model —
+    // not SQL-expressible, so this row is rows-only (no oracleSql
+    // entry); the merge SEQUENCE is certified by BpeSpec against the
+    // hand-computed published worked example
+    "q_doc_bpe_merges" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val wf = operators.Bpe.wordFreq(s.table("documents"), col("text"), 20000)
+      val merges = operators.Bpe.train(wf, 64)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "left", "right")
+    }),
 
     "q_doc_quality" -> q(Seq("documents"),
       """SELECT doc_id,
@@ -3273,6 +3349,26 @@ object SparkEntry {
            length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
            length(text) AS n_chars_check
            FROM documents ORDER BY doc_id""",
+
+      // BPE training-input stage: same bounded word-frequency model
+      // (top-20000 by n desc, word asc) and weighted char-pair counts
+      "q_doc_bpe_pairs" ->
+        """WITH wf AS (
+             SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+               SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+               FROM documents)
+             GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20000),
+           flat AS (
+             SELECT word, n, unnest(range(1, length(word))) AS i
+             FROM wf WHERE length(word) >= 2)
+           SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM flat GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 50""",
+
+      // BPE encode: the SAME BpeCertMerges rank order as nested
+      // replace() over space-joined chars — the sql is GENERATED from
+      // the shared literal so the two sides can never desync
+      "q_doc_bpe_encode" -> bpeEncodeOracle,
 
       "q_doc_quality" ->
         """SELECT doc_id,
