@@ -1782,6 +1782,21 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // Binary-signature Hamming top-k: 63-bit sign packing (8 bytes per
+    // vector — the scan/shuffle payload at 100 TB), broadcast queries,
+    // bounded top-k aggregate; deterministic (hamming asc, id asc)
+    // ties so the oracle's row_number replication is exact
+    "q_emb_hamming" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      operators.Similarity.hammingTopK(emb, qs,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("corpus_id"), col("hamming"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // IVF-flat ANN with a DETERMINISTIC coarse quantizer (every 25th
     // vector) so the whole index+search pipeline is closed-form and the
     // oracle replicates it exactly — argmax list assignment, top-nprobe
@@ -4413,6 +4428,26 @@ object SparkEntry {
            SELECT query_id, corpus_id, round(sim, 6) AS sim, rnk FROM (
              SELECT query_id, corpus_id, sim,
                row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
+             FROM scored) t
+           WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+      // 63-bit sign signature (bit i = embedding[i+1] > 0) + popcount
+      // Hamming; ties (hamming asc, corpus_id asc) match the bounded
+      // top-k aggregate's (score desc, id asc) on the negated distance
+      "q_emb_hamming" ->
+        """WITH sig AS (
+             SELECT vec_id, CAST(list_sum([
+               CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END
+               for i in range(1, 64)]) AS BIGINT) AS s
+             FROM embeddings),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               CAST(bit_count(xor(c.s, q.s)) AS INT) AS hamming
+             FROM sig q JOIN sig c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+           SELECT query_id, corpus_id, hamming, rnk FROM (
+             SELECT query_id, corpus_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming ASC, corpus_id ASC) AS INT) AS rnk
              FROM scored) t
            WHERE rnk <= 5 ORDER BY query_id, rnk""",
 

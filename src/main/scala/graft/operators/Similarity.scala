@@ -184,6 +184,53 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  // -------------------- binary (sign-bit) signatures --------------------
+
+  /**
+   * Pack the sign bits of the first `nBits` dimensions into one BIGINT:
+   * bit i set iff `vec[i+1] > 0`. 64× smaller than the float vector —
+   * the classic binary-embedding compression: at 100 TB the signature
+   * column is the only thing a Hamming search has to scan or shuffle.
+   * Capped at 63 bits (the oracle engine's `<<` traps on 1<<63; the
+   * two's-complement top bit buys nothing for distance). Built as a
+   * high-to-low fold (`acc*2 + b`) — pure SQL lambdas, stays in
+   * whole-stage codegen.
+   */
+  def signSignature(vec: Column, nBits: Int = 63): Column = {
+    require(nBits >= 1 && nBits <= 63, s"signSignature: nBits in [1,63], got $nBits")
+    aggregate(sequence(lit(nBits - 1), lit(0), lit(-1)), lit(0L),
+      (acc, i) => acc * 2 + when(element_at(vec, i + lit(1)) > lit(0.0), 1L).otherwise(0L))
+  }
+
+  /** Hamming distance between two packed signatures. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Hamming top-k over packed sign signatures: the scale path for
+   * similarity search when even int8 vectors are too heavy — corpus
+   * scanned once producing ONLY (id, 8-byte signature), queries
+   * broadcast, bounded top-k aggregate (map-side partial, ≤ k rows per
+   * (query, partition) reach the exchange). Ties break on corpus id
+   * ascending — deterministic and oracle-replicable.
+   */
+  def hammingTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: Column, corpusVec: Column,
+      queryId: Column, queryVec: Column,
+      k: Int = 10, nBits: Int = 63): DataFrame = {
+    val idType = corpus.select(corpusId).schema.head.dataType
+    val c = corpus.select(corpusId.as("corpus_id"), signSignature(corpusVec, nBits).as("__cs"))
+    val q = queries.select(queryId.as("query_id"), signSignature(queryVec, nBits).as("__qs"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      // rank on the NEGATED distance (the top-k aggregate keeps maxima);
+      // ties on equal distance fall to id asc in both rank paths
+      .withColumn("__negh", -hammingDist(col("__cs"), col("__qs")).cast("double"))
+    rankTopK(scored, "query_id", "corpus_id", col("__negh"), k, idType, "__negh", "rank")
+      .select(col("query_id"), col("corpus_id"),
+        (-col("__negh")).cast("int").as("hamming"), col("rank"))
+  }
+
   // ------------------------- product quantization -----------------------
 
   /**

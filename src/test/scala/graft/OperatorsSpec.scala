@@ -457,6 +457,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r0.sliding(2).forall(w => w(0) >= w(1) - 1e-12))
   }
 
+  test("signSignature packs sign bits; hammingTopK ranks by distance with id tie-break") {
+    import org.apache.spark.sql.functions.col
+    // bit i = vec[i+1] > 0 (strict: 0.0 and negatives clear)
+    val one = Seq(Tuple1(Array(1.0f, -1.0f, 0.0f, 2.0f))).toDF("v")
+    val sig = one.select(Similarity.signSignature(col("v"), 4).as("s")).as[Long].head()
+    assert(sig == 9L, s"expected 0b1001, got $sig") // bits 0 and 3
+    // hand-built corpus: signatures 0b0001, 0b0011, 0b0111, 0b1111
+    def vec(bits: Int): Array[Float] =
+      Array.tabulate(4)(i => if ((bits & (1 << i)) != 0) 1.0f else -1.0f)
+    val corpus = Seq((1L, vec(1)), (3L, vec(3)), (7L, vec(7)), (15L, vec(15)))
+      .toDF("id", "v")
+    val queries = Seq((100L, vec(1))).toDF("id", "v")
+    val res = Similarity.hammingTopK(corpus, queries,
+        col("id"), col("v"), col("id"), col("v"), k = 4, nBits = 4)
+      .orderBy("rank")
+      .select("corpus_id", "hamming", "rank").as[(Long, Int, Int)].collect()
+    // distances from 0b0001: id1=0, id3=1, id7=2, id15=3
+    assert(res.toSeq == Seq((1L, 0, 1), (3L, 1, 2), (7L, 2, 3), (15L, 3, 4)), res.toSeq.toString)
+    // tie-break: two corpus rows at equal distance rank by id asc
+    val tied = Seq((20L, vec(3)), (10L, vec(3))).toDF("id", "v")
+    val t = Similarity.hammingTopK(tied, queries, col("id"), col("v"),
+        col("id"), col("v"), k = 2, nBits = 4)
+      .orderBy("rank").select("corpus_id").as[Long].collect()
+    assert(t.toSeq == Seq(10L, 20L))
+    // full-width 63-bit signature on the real embeddings: reproducible
+    val s1 = emb.select(Similarity.signSignature(col("embedding")).as("s")).as[Long].collect()
+    val s2 = emb.select(Similarity.signSignature(col("embedding")).as("s")).as[Long].collect()
+    assert(s1.toSeq == s2.toSeq && s1.exists(_ != 0L))
+  }
+
   test("ann pairs recall vs brute force at high threshold") {
     val brute = emb.as("a").crossJoin(emb.as("b"))
       .filter($"a.vec_id" < $"b.vec_id")
