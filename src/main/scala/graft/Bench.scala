@@ -428,9 +428,40 @@ object Bench {
             col("x"), col("s"), col("e"), binWidth = 1024L)
           .agg(count(lit(1)), sum("x"), sum("iid")).collect()(0).getLong(0)
       }
+      // BPE encode at amortized scale: md5-hex letter runs defeat the
+      // per-partition word memo (worst case — every word hits the merge
+      // loop) vs the oracle running the identical nested-replace
+      // formulation per row
+      def bpeEncodeN(n: Long): Long = {
+        val docs = spark.range(n).selectExpr("id",
+          "concat('the quick brown fox ', md5(CAST(id AS STRING))) AS text")
+        graft.operators.Bpe.encode(docs, col("id"), col("text"),
+          SparkEntry.BpeCertMerges)
+          .agg(count(lit(1)), sum(size(col("tokens")))).collect()(0).getLong(0)
+      }
+      // Hamming top-k at amortized scale: 10M closed-form 63-dim
+      // vectors packed to 8-byte signatures, 20 broadcast queries,
+      // bounded top-k — vs the oracle's identical comprehension +
+      // shift/xor/bit_count + row_number formulation
+      def hammingN(n: Long, nQ: Long): Long = {
+        // md5-digit generator: every modular-affine family tried first
+        // collapsed to a handful of distinct sign patterns (all bits are
+        // thresholds of ONE per-row scalar — distances all 0); hex-digit
+        // high bits are real hash bits, so signatures are fully distinct
+        // and top-k distances realistic. Identical md5 on both engines.
+        def vecs(m: Long) = spark.range(m)
+          .selectExpr("id",
+            "concat(md5(CAST(id AS STRING)), md5(concat(CAST(id AS STRING), 'x'))) AS h")
+          .selectExpr("id",
+            "transform(sequence(1, 63), j -> instr('0123456789abcdef', substring(h, j, 1)) - 8.5) AS v")
+        graft.operators.Similarity.hammingTopK(
+            vecs(n), vecs(nQ), col("id"), col("v"), col("id"), col("v"), k = 10)
+          .agg(count(lit(1)), sum("hamming"), sum("rank")).collect()(0).getLong(0)
+      }
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
       transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L)
-      asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L) // warm plan shapes
+      asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L)
+      bpeEncodeN(1000000L); hammingN(1000000L, 5L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("transform_10m") = medianOf("transform_10m",
@@ -459,6 +490,10 @@ object Bench {
         () => time { asofN(100000000L, 1000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
       results("range_join_100m") = medianOf("range_join_100m",
         () => time { rangeJoinN(100000000L, 10000L) }, cutoff = 60.0, trialsN = 3)
+      results("bpe_encode_10m") = medianOf("bpe_encode_10m",
+        () => time { bpeEncodeN(10000000L) }, cutoff = 30.0, trialsN = 3)
+      results("hamming_topk_10m") = medianOf("hamming_topk_10m",
+        () => time { hammingN(10000000L, 20L) }, cutoff = 30.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -481,8 +516,44 @@ object Bench {
          $iters
          SELECT count(*) AS n, sum(r) AS s FROM r5"""
     }
+    val bpeEncodeOracle10m: String = {
+      val spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+      val folded = SparkEntry.BpeCertMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+        s"replace($acc, ' $a $b ', ' $a$b ')"
+      }
+      s"""WITH docs AS (SELECT range AS id,
+              'the quick brown fox ' || md5(CAST(range AS VARCHAR)) AS text
+            FROM range(10000000)),
+          w AS (SELECT id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM docs),
+          enc AS (SELECT id, $folded AS e FROM w),
+          perdoc AS (SELECT id, sum(length(string_split_regex(trim(e), ' +'))) AS nt
+                     FROM enc GROUP BY id)
+          SELECT count(*) AS n, CAST(sum(nt) AS BIGINT) AS s FROM perdoc"""
+    }
     val operatorOracles = Map(
       "pagerank_10m" -> pagerankOracle10m,
+      "bpe_encode_10m" -> bpeEncodeOracle10m,
+      "hamming_topk_10m" ->
+        """WITH v AS (
+             SELECT i AS id,
+               md5(CAST(i AS VARCHAR)) || md5(CAST(i AS VARCHAR) || 'x') AS h
+             FROM range(10000000) t(i)),
+           sig AS (
+             SELECT id, CAST(list_sum([
+               CASE WHEN strpos('0123456789abcdef', substring(h, j, 1)) - 8.5 > 0
+                 THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END
+               for j in range(1, 64)]) AS BIGINT) AS s
+             FROM v),
+           q AS (SELECT id, s FROM sig WHERE id < 20),
+           scored AS (
+             SELECT q.id AS qid, c.id AS cid, bit_count(xor(c.s, q.s)) AS h
+             FROM sig c, q WHERE c.id <> q.id),
+           top AS (
+             SELECT qid, cid, h,
+               row_number() OVER (PARTITION BY qid ORDER BY h, cid) AS rnk
+             FROM scored)
+           SELECT count(*) AS n, CAST(sum(h) AS BIGINT) AS sh, CAST(sum(rnk) AS BIGINT) AS sr
+           FROM top WHERE rnk <= 10""",
       "asof_join_10m" ->
         """WITH l AS (SELECT range AS lid, range % 100000 AS k,
                         (range * 48271 % 2147483647) % 10000 AS t

@@ -49,7 +49,7 @@ object SparkEntry {
   /** Fixed merge list (rank order) shared by the q_doc_bpe_encode query
    *  and its generated oracle — common English digraphs, later merges
    *  building on earlier ones. */
-  private[graft] val BpeCertMerges: Seq[(String, String)] = Seq(
+  val BpeCertMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
     ("r", "e"), ("an", "d"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"))
 

@@ -352,6 +352,50 @@ case class TopNgramFraction(child: Expression, n: Int = 2)
  * as the IVF assign stage) so code assignment is reproducible across
  * engines and summation strategies.
  */
+/**
+ * Pack the sign bits of the first `nBits` array elements into one long
+ * (bit i = element i+1 strictly positive). A compiled primitive loop:
+ * the SQL-lambda formulation (`aggregate(sequence...)`) is interpreted
+ * AND — when the vector itself is a computed expression — CollapseProject
+ * inlines the producer into the fold so every one of the 63 steps
+ * re-materializes the whole array (O(n²) per row; measured 100×+ on the
+ * hamming bench). This expression evaluates its child ONCE and reads
+ * the array positionally. Null elements contribute a 0 bit.
+ */
+case class SignPack(child: Expression, nBits: Int = 63)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63, s"sign_pack: nBits in [1,63], got $nBits")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack"
+
+  @transient private lazy val getter: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case dt: DecimalType => (a, i) => a.getDecimal(i, dt.precision, dt.scale).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"sign_pack: unsupported element type $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val g = getter
+    val n = math.min(nBits, x.numElements())
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && g(x, i) > 0.0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignPack = copy(child = c)
+}
+
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
   require(codebook.nonEmpty && codebook.head.nonEmpty, "empty PQ codebook")

@@ -192,15 +192,13 @@ object Similarity {
    * the classic binary-embedding compression: at 100 TB the signature
    * column is the only thing a Hamming search has to scan or shuffle.
    * Capped at 63 bits (the oracle engine's `<<` traps on 1<<63; the
-   * two's-complement top bit buys nothing for distance). Built as a
-   * high-to-low fold (`acc*2 + b`) — pure SQL lambdas, stays in
-   * whole-stage codegen.
+   * two's-complement top bit buys nothing for distance). A compiled
+   * [[graft.functions.SignPack]] expression — the SQL-lambda fold was
+   * interpreted and re-materialized a computed child array per fold
+   * step (see SignPack's scaladoc).
    */
-  def signSignature(vec: Column, nBits: Int = 63): Column = {
-    require(nBits >= 1 && nBits <= 63, s"signSignature: nBits in [1,63], got $nBits")
-    aggregate(sequence(lit(nBits - 1), lit(0), lit(-1)), lit(0L),
-      (acc, i) => acc * 2 + when(element_at(vec, i + lit(1)) > lit(0.0), 1L).otherwise(0L))
-  }
+  def signSignature(vec: Column, nBits: Int = 63): Column =
+    ColumnShim.column(graft.functions.SignPack(ColumnShim.expr(vec), nBits))
 
   /** Hamming distance between two packed signatures. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
