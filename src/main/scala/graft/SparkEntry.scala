@@ -1797,6 +1797,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Multi-index-hashing Hamming near-dup pairs: pigeonhole banding
+    // (maxDist+1 disjoint bands -> 100% recall) + popcount verify.
+    // Near-dups are PLANTED (copies of the first 100 vectors with dims
+    // 1-3 sign-flipped, hamming ≤ 3) because the base corpus's min
+    // pairwise distance is 14 — the oracle ignores banding entirely and
+    // computes the exact radius join, certifying the recall guarantee
+    "q_emb_hamming_pairs" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val copies = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CASE WHEN i < 3 THEN -x ELSE x END)").as("embedding"))
+      val all = emb.select(col("vec_id"), col("embedding")).unionAll(copies)
+      operators.Similarity.hammingPairs(all, col("vec_id"), col("embedding"), maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF-flat ANN with a DETERMINISTIC coarse quantizer (every 25th
     // vector) so the whole index+search pipeline is closed-form and the
     // oracle replicates it exactly — argmax list assignment, top-nprobe
@@ -4450,6 +4468,27 @@ object SparkEntry {
                  ORDER BY hamming ASC, corpus_id ASC) AS INT) AS rnk
              FROM scored) t
            WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+      // the exact radius join the banded operator must reproduce
+      "q_emb_hamming_pairs" ->
+        """WITH copies AS (
+             SELECT vec_id + 100000 AS vec_id,
+               [CASE WHEN j <= 3 THEN -embedding[j] ELSE embedding[j] END
+                for j in range(1, length(embedding) + 1)] AS embedding
+             FROM embeddings WHERE vec_id < 100),
+           allv AS (
+             SELECT vec_id, embedding FROM embeddings
+             UNION ALL SELECT vec_id, embedding FROM copies),
+           sig AS (
+             SELECT vec_id, CAST(list_sum([
+               CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END
+               for i in range(1, 64)]) AS BIGINT) AS s
+             FROM allv)
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+           FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+           WHERE bit_count(xor(a.s, b.s)) <= 3
+           ORDER BY id_a, id_b""",
 
       "q_emb_ivf_topk" -> {
         def dCos(a: String, b: String): String =

@@ -204,6 +204,47 @@ object Similarity {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
+   * All-pairs Hamming near-dup search via multi-index hashing
+   * (Norouzi/Punjani/Fleet, "Fast Search in Hamming Space with
+   * Multi-Index Hashing"): split the signature into `maxDist + 1`
+   * disjoint bands — by pigeonhole, any pair within `maxDist` agrees
+   * EXACTLY on at least one band, so banding has 100% recall and the
+   * popcount verify removes the false candidates. Scale shape follows
+   * [[annPairs]]: the band join and pair dedup carry ONLY
+   * (band, value, id) — 8-byte signatures re-join onto the (small)
+   * candidate set for the verify; the full vectors never shuffle.
+   * Bands stay ≥ 4 bits up to maxDist 15 — beyond that the buckets
+   * collapse toward all-pairs (radius search is not the near-dup use
+   * case; use [[hammingTopK]] for broad retrieval).
+   */
+  def hammingPairs(df: DataFrame, id: Column, vec: Column,
+      maxDist: Int, nBits: Int = 63): DataFrame = {
+    require(maxDist >= 0 && maxDist < nBits, s"hammingPairs: maxDist in [0,$nBits)")
+    val bands = maxDist + 1
+    val base = df.select(id.cast("long").as("__id"), signSignature(vec, nBits).as("__s"))
+    val w = nBits / bands
+    val rem = nBits % bands
+    val banded = (0 until bands).map { b =>
+      val lo = b * w + math.min(b, rem)
+      val width = w + (if (b < rem) 1 else 0)
+      base.select(lit(b).as("__b"),
+        shiftright(col("__s"), lo).bitwiseAND(lit((1L << width) - 1)).as("__v"),
+        col("__id"))
+    }.reduce(_ unionAll _)
+    val cand = banded.select(col("__b"), col("__v"), col("__id").as("id_a"))
+      .join(banded.select(col("__b"), col("__v"), col("__id").as("id_b")), Seq("__b", "__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // collapse multi-band hits
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("hamming", hammingDist(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
    * Hamming top-k over packed sign signatures: the scale path for
    * similarity search when even int8 vectors are too heavy — corpus
    * scanned once producing ONLY (id, 8-byte signature), queries

@@ -487,6 +487,30 @@ class SimilaritySpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq && s1.exists(_ != 0L))
   }
 
+  test("hammingPairs: banded search reproduces the exact radius join (pigeonhole recall)") {
+    import org.apache.spark.sql.functions._
+    // md5-bit vectors (fully distinct signatures) + planted near-dups
+    val base = spark.range(200L)
+      .selectExpr("id", "concat(md5(CAST(id AS STRING)), md5(concat(CAST(id AS STRING), 'x'))) AS h")
+      .selectExpr("id",
+        "transform(sequence(1, 63), j -> instr('0123456789abcdef', substring(h, j, 1)) - 8.5) AS v")
+    val planted = base.filter(col("id") < 30)
+      .select((col("id") + 1000).as("id"),
+        expr("transform(v, (x, i) -> CASE WHEN i < 2 THEN -x ELSE x END)").as("v"))
+    val all = base.select("id", "v").unionAll(planted)
+    val banded = Similarity.hammingPairs(all, col("id"), col("v"), maxDist = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force over the same signatures
+    val sigs = all.select(col("id"), Similarity.signSignature(col("v")).as("s"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 4
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.size >= 30, "planted pairs must be present")
+  }
+
   test("bench workload parity pin: hamming_topk generator at 100k matches the oracle values") {
     // the bench harness compares TIMES only, so the hamming_topk_10m
     // recipe's value parity is pinned here: the DuckDB oracle
