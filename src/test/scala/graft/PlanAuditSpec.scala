@@ -27,8 +27,11 @@ class PlanAuditSpec extends SparkSpec {
   // (EventOps.resample): a constant join key would be folded away by
   // the optimizer, so the single-row attach necessarily plans as a
   // broadcast nested loop — same scalar-attach class as ngramLogProb.
+  // q_emb_hamming is the same broadcast-queries class as q_emb_topk —
+  // the corpus side carries only (id, 8-byte signature).
   private val intendedBroadcastCross =
     Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm",
+      "q_emb_hamming",
       "q_events_resample", "q_events_rolling", "q_events_anomaly")
 
   test("no query plans a cartesian or nested-loop join") {
