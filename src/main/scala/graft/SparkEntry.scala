@@ -53,6 +53,39 @@ object SparkEntry {
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
     ("r", "e"), ("an", "d"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"))
 
+  /** Shared by q_emb_ivf_topk and q_emb_ivf_indexed: the persisted
+   *  index changes the LAYOUT, not the math — both must reproduce the
+   *  same closed-form assignment/probe/verify pipeline exactly. */
+  private lazy val ivfTopkOracleSql: String = {
+        def dCos(a: String, b: String): String =
+          s"""list_sum([($a.embedding[i]::DOUBLE) * ($b.embedding[i]::DOUBLE) for i in range(1, length($a.embedding) + 1)])
+              / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $a.embedding]))
+                 * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $b.embedding])))"""
+        s"""WITH assign AS (
+              SELECT c.vec_id AS corpus_id, k.vec_id AS cid,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY round(${dCos("c", "k")}, 6) DESC, k.vec_id) AS rn
+              FROM embeddings c JOIN embeddings k ON k.vec_id % 25 = 0),
+            lists AS (SELECT cid, corpus_id FROM assign WHERE rn = 1),
+            probes AS (
+              SELECT q.vec_id AS query_id, k.vec_id AS cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(${dCos("q", "k")}, 6) DESC, k.vec_id) AS rn
+              FROM embeddings q JOIN embeddings k ON q.vec_id < 20 AND k.vec_id % 25 = 0),
+            cand AS (
+              SELECT p.query_id, l.corpus_id, ${dCos("q", "c")} AS sim
+              FROM (SELECT query_id, cid FROM probes WHERE rn <= 3) p
+              JOIN lists l ON l.cid = p.cid
+              JOIN embeddings q ON q.vec_id = p.query_id
+              JOIN embeddings c ON c.vec_id = l.corpus_id
+              WHERE l.corpus_id <> p.query_id)
+            SELECT query_id, corpus_id, round(sim, 6) AS cosine, rnk FROM (
+              SELECT query_id, corpus_id, sim,
+                row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
+              FROM cand) t
+            WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  }
+
   /** DuckDB oracle for q_doc_bpe_encode, GENERATED from [[BpeCertMerges]]:
    *  each word becomes a space-bounded char string (' h e l l o '), each
    *  merge is one replace() in rank order — replace()'s all-occurrence
@@ -1794,6 +1827,25 @@ object SparkEntry {
       operators.Similarity.hammingTopK(emb, qs,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
         .select(col("query_id"), col("corpus_id"), col("hamming"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Persisted IVF index (CREATE INDEX analog for ANN): corpus written
+    // partitioned by list id, search scans ONLY the probed lists'
+    // partitions (pruning plan-asserted in IvfIndexSpec). Same math and
+    // tie-breaks as q_emb_ivf_topk — certified by the SAME oracle SQL.
+    "q_emb_ivf_indexed" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val cent = emb.filter(col("vec_id") % 25 === 0)
+      val qs = emb.filter(col("vec_id") < 20)
+      val idx = "/tmp/graft_ivf_index_gate"
+      operators.Similarity.writeIvfIndex(emb, cent,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+      operators.Similarity.ivfTopKIndexed(s, idx, qs,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
 
@@ -4490,35 +4542,10 @@ object SparkEntry {
            WHERE bit_count(xor(a.s, b.s)) <= 3
            ORDER BY id_a, id_b""",
 
-      "q_emb_ivf_topk" -> {
-        def dCos(a: String, b: String): String =
-          s"""list_sum([($a.embedding[i]::DOUBLE) * ($b.embedding[i]::DOUBLE) for i in range(1, length($a.embedding) + 1)])
-              / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $a.embedding]))
-                 * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in $b.embedding])))"""
-        s"""WITH assign AS (
-              SELECT c.vec_id AS corpus_id, k.vec_id AS cid,
-                row_number() OVER (PARTITION BY c.vec_id
-                  ORDER BY round(${dCos("c", "k")}, 6) DESC, k.vec_id) AS rn
-              FROM embeddings c JOIN embeddings k ON k.vec_id % 25 = 0),
-            lists AS (SELECT cid, corpus_id FROM assign WHERE rn = 1),
-            probes AS (
-              SELECT q.vec_id AS query_id, k.vec_id AS cid,
-                row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY round(${dCos("q", "k")}, 6) DESC, k.vec_id) AS rn
-              FROM embeddings q JOIN embeddings k ON q.vec_id < 20 AND k.vec_id % 25 = 0),
-            cand AS (
-              SELECT p.query_id, l.corpus_id, ${dCos("q", "c")} AS sim
-              FROM (SELECT query_id, cid FROM probes WHERE rn <= 3) p
-              JOIN lists l ON l.cid = p.cid
-              JOIN embeddings q ON q.vec_id = p.query_id
-              JOIN embeddings c ON c.vec_id = l.corpus_id
-              WHERE l.corpus_id <> p.query_id)
-            SELECT query_id, corpus_id, round(sim, 6) AS cosine, rnk FROM (
-              SELECT query_id, corpus_id, sim,
-                row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, corpus_id) AS rnk
-              FROM cand) t
-            WHERE rnk <= 5 ORDER BY query_id, rnk"""
-      },
+      "q_emb_ivf_topk" -> ivfTopkOracleSql,
+
+      // identical math, partition-pruned persisted layout
+      "q_emb_ivf_indexed" -> ivfTopkOracleSql,
 
       // full PQ replication: codebook (every 25th vector, codes by
       // ascending id), per-subspace squared-L2 rounded at 1e-6, argmin

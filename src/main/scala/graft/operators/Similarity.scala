@@ -692,6 +692,78 @@ object Similarity {
    * Ranking ties break on rounded cosine then id, keeping results
    * deterministic across partitionings.
    */
+  /** [[ivfTopK]]'s list-assignment stage, shared with the persisted
+   *  index so both carry identical tie-break semantics. Only
+   *  (corpus_id, cid, rounded score) reaches the argmax shuffle — never
+   *  the embedding payload — and max_by partial-aggregates map-side.
+   *  Tie-break: highest score, then lowest centroid id. */
+  private def ivfAssignIds(c: DataFrame, cent: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cent))
+      .select(col("corpus_id"), col("__cid"),
+        round(cosine(col("__cv"), col("__centv")), 6).as("__cs"))
+      .groupBy("corpus_id")
+      .agg(max_by(col("__cid"), struct(col("__cs"), (-col("__cid")).as("__tb"))).as("__cid"))
+
+  /** [[ivfTopK]]'s probe stage (top-nprobe lists per query), shared
+   *  with the persisted index. */
+  private def ivfProbes(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__qs"), 6).desc, col("__cid").asc)
+    q.crossJoin(broadcast(cent))
+      .withColumn("__qs", cosine(col("__qv"), col("__centv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__cid"), col("query_id"))
+  }
+
+  /**
+   * Persist an IVF index: assign every corpus row to its nearest
+   * centroid (identical argmax/tie-break to [[ivfTopK]]) and write the
+   * corpus parquet PARTITIONED BY the list id, centroids alongside.
+   * This is the ANN analog of the reference's CREATE INDEX: the
+   * cluster-by-list layout turns every later search into a
+   * partition-pruned scan — [[ivfTopKIndexed]] reads ONLY the probed
+   * lists' files, which at 100 TB is the difference between scanning
+   * nprobe/nlists of the corpus and all of it.
+   */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      corpusId: Column, corpusVec: Column,
+      centroidId: Column, centroidVec: Column, path: String): Unit = {
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("__cv"))
+    val cent = centroids.select(centroidId.cast("long").as("__cid"), centroidVec.as("__centv"))
+    c.join(ivfAssignIds(c, cent), "corpus_id")
+      .select(col("corpus_id"), col("__cv"), col("__cid").as("__list"))
+      .write.mode("overwrite").partitionBy("__list").parquet(s"$path/lists")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /**
+   * Search a persisted IVF index: probe lists come from the stored
+   * centroids, then ONLY those lists' partitions are scanned (the
+   * `isin` over the probed ids lands in the scan's PartitionFilters —
+   * plan-asserted in IvfIndexSpec). The probed-id collect is
+   * (|queries| × nprobe)-bounded — model-sized under the same
+   * broadcast-queries contract as [[ivfTopK]]. Results are tie-break
+   * identical to [[ivfTopK]] over the same corpus/centroids.
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val probes = ivfProbes(q, cent, nprobe)
+    val lists = probes.select("__cid").distinct().collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(s"$path/lists")
+      .where(col("__list").isin(lists: _*))
+    val cands = probes
+      .join(corpus, probes("__cid") === corpus("__list").cast("long"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .join(broadcast(q), "query_id")
+      .withColumn("__sim", cosine(col("__qv"), col("__cv")))
+    rankTopK(cands, "query_id", "corpus_id", round(col("__sim"), 6), k,
+      LongType, "cosine", "rank")
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       corpusId: Column, corpusVec: Column,
@@ -701,25 +773,8 @@ object Similarity {
     val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
     val cent = centroids.select(centroidId.as("__cid"), centroidVec.as("__centv"))
-
-    // list assignment: corpus × broadcast(centroids) is map-side; only
-    // (corpus_id, cid, rounded score) reaches the argmax shuffle — never
-    // the embedding payload — and max_by partial-aggregates map-side,
-    // so the exchange carries ~|corpus| rows. Tie-break: highest score,
-    // then lowest centroid id (negate for max ordering).
-    val assign = c.crossJoin(broadcast(cent))
-      .select(col("corpus_id"), col("__cid"),
-        round(cosine(col("__cv"), col("__centv")), 6).as("__cs"))
-      .groupBy("corpus_id")
-      .agg(max_by(col("__cid"), struct(col("__cs"), (-col("__cid")).as("__tb"))).as("__cid"))
-
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("__qs"), 6).desc, col("__cid").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("__qs", cosine(col("__qv"), col("__centv")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("__cid"), col("query_id"))
+    val assign = ivfAssignIds(c, cent)
+    val probes = ivfProbes(q, cent, nprobe)
 
     // candidates as id pairs first; corpus vectors join in only for
     // members of probed lists, query vectors broadcast for the verify

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
   // the corpus side carries only (id, 8-byte signature).
   private val intendedBroadcastCross =
     Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm",
-      "q_emb_hamming",
+      "q_emb_hamming", "q_emb_ivf_indexed", // probe stage: queries × broadcast centroids
+
       "q_events_resample", "q_events_rolling", "q_events_anomaly")
 
   test("no query plans a cartesian or nested-loop join") {
