@@ -86,6 +86,44 @@ object SparkEntry {
             WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
+  /** DuckDB oracle for q_doc_perceptron, GENERATED as unrolled CTEs of
+   *  the identical exact-integer recurrence (the pagerank/kmeans
+   *  pattern): w0 = 0; each iteration adds the misclassified update
+   *  Σ_{pred≠y} y·x_j with pred = (w·x > 0 ? 1 : -1). All BIGINT —
+   *  order-free, so the engines cannot diverge. */
+  private lazy val perceptronOracleSql: String = {
+    val xs = Seq("1", "length(text)",
+      """length(regexp_extract_all(text, '\w+'))""",
+      """length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))""",
+      """length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))""")
+    val n = xs.length
+    val featCols = xs.zipWithIndex.map { case (x, j) => s"CAST($x AS BIGINT) AS x$j" }
+      .mkString(",\n               ")
+    def dot = (0 until n).map(j => s"p.w$j * f.x$j").mkString(" + ")
+    def iterCte(k: Int) = {
+      val ws = (0 until n).map(j =>
+        s"CAST(min(p.w$j) + coalesce(sum(CASE WHEN (CASE WHEN $dot > 0 THEN 1 ELSE -1 END) <> f.y " +
+          s"THEN f.y * f.x$j ELSE 0 END), 0) AS BIGINT) AS w$j").mkString(",\n               ")
+      s"w$k AS (\n             SELECT $ws\n             FROM feats f, w${k - 1} p)"
+    }
+    val zeroW = (0 until n).map(j => s"0::BIGINT AS w$j").mkString(", ")
+    val caseW = (0 until n).map(j => s"WHEN $j THEN p.w$j").mkString(" ")
+    s"""WITH feats AS (
+             SELECT $featCols,
+               CASE WHEN lang = 'en' THEN 1::BIGINT ELSE -1::BIGINT END AS y
+             FROM documents),
+           w0 AS (SELECT $zeroW),
+           ${(1 to 3).map(iterCte).mkString(",\n           ")},
+           errs AS (
+             SELECT CAST(coalesce(sum(CASE WHEN (CASE WHEN $dot > 0 THEN 1 ELSE -1 END) <> f.y
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS e
+             FROM feats f, w3 p)
+           SELECT j.feature_idx, CASE j.feature_idx $caseW END AS weight,
+             errs.e AS n_train_errors
+           FROM w3 p, errs, (VALUES (0), (1), (2), (3), (4)) j(feature_idx)
+           ORDER BY feature_idx"""
+  }
+
   /** DuckDB oracle for q_doc_bpe_encode, GENERATED from [[BpeCertMerges]]:
    *  each word becomes a space-bounded char string (' h e l l o '), each
    *  merge is one replace() in rank order — replace()'s all-occurrence
@@ -1149,6 +1187,26 @@ object SparkEntry {
       operators.TextOps.linearTextScore(s.table("documents"),
           col("doc_id"), col("text"), w, biasMicro = 250000L)
         .orderBy("id")
+    }),
+
+    // Linear classifier TRAINING in-engine: exact-integer batch
+    // perceptron (one partial-agg scan per iteration, driver-held
+    // model) on closed-form integer features, label = lang=='en'.
+    // The oracle replays the identical recurrence as unrolled CTEs.
+    "q_doc_perceptron" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val feats = Seq(lit(1L),
+        length(col("text")).cast("long"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long"))
+      val lbl = when(col("lang") === "en", 1L).otherwise(-1L)
+      val (w, errs) = operators.TextOps.perceptronFit(s.table("documents"), feats, lbl, iters = 3)
+      import s.implicits._
+      w.zipWithIndex.toSeq.map { case (wj, j) => (j, wj, errs) }
+        .toDF("feature_idx", "weight", "n_train_errors")
+        .orderBy("feature_idx")
     }),
 
     // collocation mining: top word pairs by micro-unit PMI (phrase
@@ -3454,6 +3512,8 @@ object SparkEntry {
       // replace() over space-joined chars — the sql is GENERATED from
       // the shared literal so the two sides can never desync
       "q_doc_bpe_encode" -> bpeEncodeOracle,
+
+      "q_doc_perceptron" -> perceptronOracleSql,
 
       "q_doc_quality" ->
         """SELECT doc_id,

@@ -388,6 +388,42 @@ object TextOps {
   }
 
   /**
+   * Linear text-classifier TRAINING pass: exact-integer batch
+   * perceptron. Each iteration is ONE partial-aggregating scan of the
+   * corpus — per feature j, the misclassified update
+   * Σ_{pred≠y} y·x_j — with the weight vector held on the driver
+   * (model-sized, same contract as kmeans centroids). Everything is
+   * BIGINT: prediction is `w·x > 0` (ties predict −1) and updates are
+   * integer sums, so the recurrence is summation-order-free and a SQL
+   * oracle replicates it bit-exactly as unrolled CTEs (the
+   * pagerank/kmeans exact-integer pattern). Labels must be ±1.
+   * Complements [[linearTextScore]] (the apply pass): train in-engine
+   * on labeled features, then score the full corpus with the result.
+   *
+   * @return (weights after `iters` iterations, training errors under
+   *         the final weights)
+   */
+  def perceptronFit(df: org.apache.spark.sql.DataFrame,
+      features: Seq[Column], label: Column, iters: Int): (Array[Long], Long) = {
+    require(features.nonEmpty && iters >= 0, "perceptronFit: features and iters >= 0")
+    val n = features.length
+    val cols = features.zipWithIndex.map { case (c, j) => c.cast("long").as(s"x$j") }
+    val feats = df.select(cols :+ label.cast("long").as("y"): _*)
+    def dot(w: Array[Long]) =
+      (0 until n).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+    def pred(w: Array[Long]) = when(dot(w) > 0, 1L).otherwise(-1L)
+    var w = Array.fill(n)(0L)
+    for (_ <- 0 until iters) {
+      val g = feats.select((0 until n).map(j =>
+        sum(when(pred(w) =!= col("y"), col("y") * col(s"x$j")).otherwise(0L)).as(s"g$j")): _*)
+        .head()
+      w = Array.tabulate(n)(j => w(j) + (if (g.isNullAt(j)) 0L else g.getLong(j)))
+    }
+    val errs = feats.agg(sum(when(pred(w) =!= col("y"), 1L).otherwise(0L))).head()
+    (w, if (errs.isNullAt(0)) 0L else errs.getLong(0))
+  }
+
+  /**
    * Collocation mining by pointwise mutual information — the phrase
    * discovery pass (which adjacent word pairs co-occur far more than
    * chance predicts). PMI = ln((c_xy/T_bi) / ((c_x/T_uni)·(c_y/T_uni)))

@@ -1504,6 +1504,46 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class PerceptronSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("exact-integer batch perceptron: hand-computed separable case") {
+    // rows (x=2, y=+1), (x=-3, y=-1) with bias feature:
+    // iter1: w=(0,0) -> dot=0 -> pred=-1 for both -> only row1 wrong
+    //        -> w = (0+1*1, 0+1*2) = (1, 2)
+    // iter2: row1 dot=1+4=5>0 pred=+1 ok; row2 dot=1-6=-5 pred=-1 ok
+    //        -> no update; final errors 0
+    val df = Seq((2L, 1L), (-3L, -1L)).toDF("x", "y")
+    val (w, errs) = TextOps.perceptronFit(df, Seq(lit(1L), col("x")), col("y"), iters = 3)
+    assert(w.toSeq == Seq(1L, 2L) && errs == 0L, s"${w.toSeq} errs=$errs")
+  }
+
+  test("perceptron: zero iterations returns zero weights; all-ties predict -1") {
+    val df = Seq((5L, 1L), (7L, -1L)).toDF("x", "y")
+    val (w0, errs0) = TextOps.perceptronFit(df, Seq(col("x")), col("y"), iters = 0)
+    // w=0 -> dot=0 -> pred=-1 everywhere -> the y=+1 row is the error
+    assert(w0.toSeq == Seq(0L) && errs0 == 1L)
+  }
+
+  test("perceptron on real documents: deterministic, and iterations actually move the model") {
+    // the lang task is NOT linearly separable in these features, so
+    // batch updates oscillate rather than monotonically improve —
+    // the operator contract is the EXACT integer recurrence (the gate
+    // row certifies it against the unrolled-CTE oracle), not accuracy
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = Seq(lit(1L), length(col("text")).cast("long"),
+      size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long"))
+    val lbl = when(col("lang") === "en", 1L).otherwise(-1L)
+    val (w3a, errsA) = TextOps.perceptronFit(d, feats, lbl, iters = 3)
+    val (w3b, errsB) = TextOps.perceptronFit(d, feats, lbl, iters = 3)
+    assert(w3a.toSeq == w3b.toSeq && errsA == errsB, "non-deterministic fit")
+    val (w1, _) = TextOps.perceptronFit(d, feats, lbl, iters = 1)
+    assert(w1.exists(_ != 0L), "first iteration must update the zero model")
+    assert(w3a.toSeq != w1.toSeq, "later iterations must keep training")
+  }
+}
+
 class RepetitionSpec extends SparkSpec {
   import spark.implicits._
 

@@ -173,6 +173,33 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("BPE encode is streaming-safe: per-batch narrow map equals batch encode") {
+    // encode is a stateless mapPartitions with broadcast merges — it
+    // must run unchanged on a stream (the ingestion-pipeline shape:
+    // tokenize documents as they land)
+    val docsDir = "/tmp/graft-stream-docs"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").write.mode("overwrite").parquet(docsDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"))
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val enc = graft.operators.Bpe.encode(stream, $"doc_id", $"text", merges)
+      .select($"id", size($"tokens").as("n_tokens"))
+    assert(enc.isStreaming, "encode must preserve the streaming plan")
+    val q = enc.writeStream.outputMode("append").format("memory")
+      .queryName("bpe_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bpe_out")
+      val batch = graft.operators.Bpe.encode(
+          spark.read.parquet(docsDir), $"doc_id", $"text", merges)
+        .select($"id", size($"tokens").as("n_tokens"))
+      assert(got.count() > 0)
+      assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("sessionization groups events by inactivity gap") {
     val stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
     val sessions = Streams.sessionize(stream, gapMs = 3600 * 1000L)
