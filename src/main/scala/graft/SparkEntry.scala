@@ -86,6 +86,33 @@ object SparkEntry {
             WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
+  /** q_emb_hamming_wide oracle: the hyperplane words replicated via the
+   *  same splitmix64-in-HUGEINT machinery as [[annPairsCtes]], then the
+   *  EXACT radius join over the projection bits (banding ignored — the
+   *  operator's pigeonhole recall must reproduce it). */
+  private def hammingWideOracleSql(words: Int, planes: Int, seed: Long, maxDist: Int): String =
+    s"""WITH dvals AS (
+         SELECT t.range AS t, p.range AS p, d.range AS d
+         FROM range(0,$words) t, range(0,$planes) p, range(0,64) d),
+       z0 AS (SELECT t, p, d, ((p * 4294967296 + xor($seed + t, d))::HUGEINT + 11400714819323198485::HUGEINT) % $M64 AS z FROM dvals),
+       ${splitmixSteps("t, p, d")},
+       signs AS (
+         SELECT t, p, list(CASE WHEN z % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS s
+         FROM z3 GROUP BY t, p),
+       dots AS (
+         SELECT e.vec_id, sg.t, sg.p,
+           list_sum([(e.embedding[i]::DOUBLE) * sg.s[i] for i in range(1, length(e.embedding) + 1)]) AS dot
+         FROM embeddings e, signs sg),
+       sigs AS (
+         SELECT vec_id, t, CAST(sum(CASE WHEN dot >= 0 THEN (2::BIGINT << p) // 2 ELSE 0 END) AS BIGINT) AS sig
+         FROM dots GROUP BY vec_id, t),
+       ham AS (
+         SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
+           CAST(sum(bit_count(xor(xa.sig, xb.sig))) AS INT) AS hamming
+         FROM sigs xa JOIN sigs xb ON xb.t = xa.t AND xa.vec_id < xb.vec_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
+
   /** DuckDB oracle for q_doc_perceptron, GENERATED as unrolled CTEs of
    *  the identical exact-integer recurrence (the pagerank/kmeans
    *  pattern): w0 = 0; each iteration adds the misclassified update
@@ -1886,6 +1913,19 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 5)
         .select(col("query_id"), col("corpus_id"), col("hamming"), col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    // Wide-signature Hamming pairs: hyperplane words (maxDist+1 of
+    // them, 6 bits each here so the oracle's splitmix64 replication
+    // stays cheap), word-aligned pigeonhole banding, verify over the
+    // full projection bits — the radius-independent-band-width scale
+    // path the 63-bit packer cannot provide
+    "q_emb_hamming_wide" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.hammingPairsWide(s.table("embeddings"),
+          col("vec_id"), col("embedding"), maxDist = 4, bitsPerWord = 6)
+        .orderBy("id_a", "id_b")
     }),
 
     // Persisted IVF index (CREATE INDEX analog for ANN): corpus written
@@ -4601,6 +4641,8 @@ object SparkEntry {
            FROM sig a JOIN sig b ON a.vec_id < b.vec_id
            WHERE bit_count(xor(a.s, b.s)) <= 3
            ORDER BY id_a, id_b""",
+
+      "q_emb_hamming_wide" -> hammingWideOracleSql(words = 5, planes = 6, seed = 42L, maxDist = 4),
 
       "q_emb_ivf_topk" -> ivfTopkOracleSql,
 

@@ -216,6 +216,14 @@ object Similarity {
    * Bands stay ≥ 4 bits up to maxDist 15 — beyond that the buckets
    * collapse toward all-pairs (radius search is not the near-dup use
    * case; use [[hammingTopK]] for broad retrieval).
+   *
+   * Sizing honesty: expected candidates per band ≈ n²/2^bandWidth, so
+   * a 63-bit signature with maxDist 3 (≈15-bit bands) is comfortable
+   * to ~1M rows; at 100 TB corpora use proportionally longer
+   * signatures (bandWidth ≳ 2·log2(n) keeps the candidate set linear —
+   * the published MIH sizing rule). The banding/verify pipeline is
+   * signature-length agnostic; only the 63-bit packer is the current
+   * single-BIGINT convenience.
    */
   def hammingPairs(df: DataFrame, id: Column, vec: Column,
       maxDist: Int, nBits: Int = 63): DataFrame = {
@@ -240,6 +248,52 @@ object Similarity {
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
       .withColumn("hamming", hammingDist(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * Wide binary signature: `numWords` independent hyperplane words
+   * (distinct seeds), each ≤ 63 Rademacher-projection bits — the
+   * instrument for [[hammingPairsWide]]'s sizing rule (band width
+   * ≳ 2·log2(n) keeps candidates linear; one BIGINT caps at 63 bits,
+   * an array of words does not).
+   */
+  def hyperplaneSignatureWide(vec: Column, numWords: Int,
+      bitsPerWord: Int = 63, seed: Long = 42L): Column = {
+    require(numWords >= 1, "hyperplaneSignatureWide: numWords >= 1")
+    array((0 until numWords).map(k => lshBucket(vec, bitsPerWord, seed + k)): _*)
+  }
+
+  /** Hamming distance between two wide signatures (same word count). */
+  def hammingDistWide(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+
+  /**
+   * [[hammingPairs]] over WIDE hyperplane signatures, bands aligned to
+   * words: numWords = maxDist + 1, so any pair within the radius
+   * agrees exactly on at least one whole word (pigeonhole) — 100%
+   * recall over the projection bits, with per-band candidate counts
+   * ≈ n²/2^bitsPerWord regardless of the radius. Distance semantics:
+   * Hamming over the (maxDist+1)·bitsPerWord hyperplane projection
+   * bits (the angular-distance sketch), not raw dimension signs.
+   */
+  def hammingPairsWide(df: DataFrame, id: Column, vec: Column,
+      maxDist: Int, bitsPerWord: Int = 63, seed: Long = 42L): DataFrame = {
+    require(maxDist >= 0, "hammingPairsWide: maxDist >= 0")
+    val base = df.select(id.cast("long").as("__id"),
+      hyperplaneSignatureWide(vec, maxDist + 1, bitsPerWord, seed).as("__sig"))
+    val banded = base.select(col("__id"), posexplode(col("__sig")).as(Seq("__w", "__v")))
+    val cand = banded.select(col("__w"), col("__v"), col("__id").as("id_a"))
+      .join(banded.select(col("__w"), col("__v"), col("__id").as("id_b")), Seq("__w", "__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+      .withColumn("hamming", hammingDistWide(col("__sa"), col("__sb")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }

@@ -511,6 +511,27 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.size >= 30, "planted pairs must be present")
   }
 
+  test("hammingPairsWide: word-aligned banding reproduces the exact radius join") {
+    import org.apache.spark.sql.functions.col
+    // plant guaranteed in-radius pairs (exact copies, distance 0) on
+    // top of whatever the natural distribution yields
+    val base0 = emb.limit(200).select(col("vec_id"), col("embedding"))
+    val sub = base0.unionAll(base0.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding")))
+    val banded = Similarity.hammingPairsWide(sub, col("vec_id"), col("embedding"),
+        maxDist = 5, bitsPerWord = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigs = sub.select(col("vec_id"),
+        Similarity.hyperplaneSignatureWide(col("embedding"), 6, 8).as("s"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum if h <= 5
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "the radius must capture some pairs for this test to mean anything")
+  }
+
   test("bench workload parity pin: hamming_topk generator at 100k matches the oracle values") {
     // the bench harness compares TIMES only, so the hamming_topk_10m
     // recipe's value parity is pinned here: the DuckDB oracle
