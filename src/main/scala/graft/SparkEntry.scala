@@ -1810,6 +1810,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // token-budget corpus subset: documents starting within the first
+    // 10k tokens of the deterministic shuffled stream (composition over
+    // the distributed two-pass prefix scan; content-stable inclusion)
+    "q_doc_budget_sample" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Packing.tokenBudgetSample(s.table("documents"), col("doc_id"),
+          operators.TextOps.subwordCount(col("text")), budget = 10000L, seed = 42L)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // deterministic weighted Bernoulli sampling: keep probability ∝
+    // clamped doc length — exact-integer md5 uniform vs micro weight
+    "q_doc_weighted" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val wMicro = least(col("n_chars"), lit(1000L)) * lit(1000L)
+      s.table("documents")
+        .where(operators.Sampling.weightedPredicate(col("doc_id"), wMicro))
+        .select(col("doc_id"), least(col("n_chars"), lit(1000L)).as("wk"))
+        .orderBy("doc_id")
+    }),
+
     // int8 embedding quantization: scale + quantized-vector digests
     // (closed-form oracle replicates the round/clamp arithmetic)
     "q_emb_quantize" -> ((s, dir) => {
@@ -3893,6 +3916,27 @@ object SparkEntry {
              FROM t)
            SELECT doc_id, s // 512 AS seq_id, s % 512 AS seq_offset
            FROM c ORDER BY doc_id""",
+
+      // same md5-order cumsum as q_doc_pack, start-offset < budget
+      "q_doc_budget_sample" ->
+        """WITH t AS (
+             SELECT doc_id,
+               length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tok,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS ord
+             FROM documents),
+           c AS (
+             SELECT doc_id,
+               CAST(sum(tok) OVER (ORDER BY ord, CAST(doc_id AS VARCHAR)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT) AS s
+             FROM t)
+           SELECT doc_id FROM c WHERE s < 10000 ORDER BY doc_id""",
+
+      // md5 micro-uniform < micro weight (exact-integer Bernoulli)
+      "q_doc_weighted" ->
+        """SELECT doc_id, least(n_chars, 1000) AS wk FROM documents
+           WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+             < least(n_chars, 1000) * 1000
+           ORDER BY doc_id""",
 
       "q_doc_pii" ->
         """WITH t AS (

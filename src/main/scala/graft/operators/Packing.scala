@@ -98,4 +98,20 @@ object Packing {
       out
     } finally sorted.unpersist(blocking = false)
   }
+
+  /**
+   * Token-budget corpus subset: the documents that START within the
+   * first `budget` tokens of the deterministic shuffled stream — "give
+   * me a fair ~N-token slice of the corpus", the standard way to carve
+   * a fixed training budget out of a larger pool. Pure composition
+   * over [[packSequences]]: a document starts inside the budget iff
+   * its global start offset < budget iff its `seq_id` is 0 at this
+   * budget — so the subset inherits the distributed two-pass prefix
+   * scan and the content-stable (cluster-size-independent) assignment.
+   */
+  def tokenBudgetSample(df: DataFrame, key: Column, tokens: Column,
+      budget: Long, seed: Long = 0L): DataFrame =
+    packSequences(df, key, tokens, budget, seed)
+      .where(col("seq_id") === 0L)
+      .drop("seq_id", "seq_offset")
 }

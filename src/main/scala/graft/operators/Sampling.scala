@@ -37,6 +37,19 @@ object Sampling {
   }
 
   /**
+   * Deterministic WEIGHTED Bernoulli keep (quality-weighted corpus
+   * sampling: keep each row with probability `weightMicro`/1e6, e.g. a
+   * quality score) — the per-row uniform is the md5 micro-bucket of
+   * the key, so the decision is content-stable and exact-integer
+   * (engine-replayable; no float thresholds). Weights clamp to
+   * [0, 1e6]: 0 never keeps, 1e6 always keeps. Narrow predicate — a
+   * pushed-down filter, no shuffle.
+   */
+  def weightedPredicate(key: Column, weightMicro: Column): Column =
+    hashBucket(key, 1000000) <
+      greatest(lit(0L), least(weightMicro.cast("long"), lit(1000000L)))
+
+  /**
    * Weighted corpus mixture (pretraining data mixing): each source
    * contributes `weight` epochs — floor(weight) FULL passes plus a
    * deterministic fractional top-up epoch sampled at the remainder

@@ -1013,6 +1013,41 @@ class SimilaritySpec extends SparkSpec {
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("weightedPredicate: exact-integer Bernoulli — 0 never, 1e6 always, rate tracks the weight") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(20000L).toDF("id")
+    assert(df.where(Sampling.weightedPredicate(col("id"), lit(0L))).count() == 0)
+    assert(df.where(Sampling.weightedPredicate(col("id"), lit(1000000L))).count() == 20000)
+    val kept = df.where(Sampling.weightedPredicate(col("id"), lit(250000L))).count()
+    assert(math.abs(kept - 5000L) < 400, s"25% of 20k -> got $kept") // md5-uniform tolerance
+    // deterministic: same key set every run
+    val a = df.where(Sampling.weightedPredicate(col("id"), lit(250000L))).as[Long].collect().toSet
+    val b = df.where(Sampling.weightedPredicate(col("id"), lit(250000L))).as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("tokenBudgetSample: start-offset cut is exact and partition-count independent") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(500L).select(col("id"),
+      (lit(1L) + pmod(col("id") * 37, lit(50))).as("tok"))
+    val out = Packing.tokenBudgetSample(docs, col("id"), col("tok"), budget = 2000L, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    // replicate with a driver-side cumsum over the same md5 order
+    val ordered = docs.select(col("id"), col("tok"),
+        md5(concat_ws(":", lit("7"), col("id").cast("string"))).as("ord"))
+      .as[(Long, Long, String)].collect().sortBy(r => (r._3, r._1.toString))
+    var acc = 0L
+    val expect = ordered.flatMap { case (id, tok, _) =>
+      val start = acc; acc += tok
+      if (start < 2000L) Some(id) else None
+    }.toSet
+    assert(out == expect, s"got ${out.size}, expected ${expect.size}")
+    // different partitioning, same inclusion (content-stability)
+    val out2 = Packing.tokenBudgetSample(docs.repartition(17), col("id"), col("tok"),
+      budget = 2000L, seed = 7L).select("id").as[Long].collect().toSet
+    assert(out2 == out)
+  }
+
   test("cluster-balanced selection: exactly n per big cluster, all of a small one") {
     // 3 separable blobs sized 40/40/5 (ids laid out so seeds span blobs)
     val rows = (for (cl <- 0 until 3; mem <- 0 until (if (cl == 2) 5 else 40)) yield {
