@@ -86,6 +86,30 @@ object SparkEntry {
             WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
+  /** q_graph_labelprop oracle: the synchronous rounds unrolled as CTEs
+   *  with the identical (count desc, label asc) argmax. */
+  private lazy val labelPropOracleSql: String = {
+    def round(k: Int) =
+      s"""l$k AS (
+           SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v
+               ORDER BY n DESC, label ASC) AS rn
+             FROM (
+               SELECT e.a AS v, l.label, count(*) AS n
+               FROM e JOIN l${k - 1} l ON l.v = e.b
+               GROUP BY e.a, l.label) g) t
+           WHERE rn = 1)"""
+    s"""WITH e0 AS (
+           SELECT doc_id % 100 AS a, (doc_id // 100 * 13 + doc_id * 7 + 3) % 100 AS b
+           FROM documents
+           WHERE doc_id % 100 <> (doc_id // 100 * 13 + doc_id * 7 + 3) % 100),
+         e AS (SELECT DISTINCT a, b FROM (
+           SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)),
+         l0 AS (SELECT DISTINCT a AS v, a AS label FROM e),
+         ${(1 to 3).map(round).mkString(",\n         ")}
+       SELECT v AS vertex, CAST(label AS BIGINT) AS label FROM l3 ORDER BY vertex"""
+  }
+
   /** q_emb_hamming_wide oracle: the hyperplane words replicated via the
    *  same splitmix64-in-HUGEINT machinery as [[annPairsCtes]], then the
    *  EXACT radius join over the projection bits (banding ignored — the
@@ -1498,6 +1522,19 @@ object SparkEntry {
       operators.LinkGraph.pageRankMicro(edges, col("src"), col("dst"),
           iterations = 5, damping = 85)
         .select(col("v").as("vertex"), col("rank_micro"))
+        .orderBy("vertex")
+    }),
+
+    // synchronous label propagation (RAK communities, deterministic
+    // batch form: most frequent neighbor label, ties to the smallest;
+    // 3 rounds) on the same closed-form domain graph as pagerank
+    "q_graph_labelprop" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val edges = s.table("documents")
+        .selectExpr("doc_id % 100 AS src", "(doc_id DIV 100 * 13 + doc_id * 7 + 3) % 100 AS dst")
+      operators.LinkGraph.labelPropagation(edges, col("src"), col("dst"), rounds = 3)
+        .select(col("v").as("vertex"), col("label"))
         .orderBy("vertex")
     }),
 
@@ -4199,6 +4236,7 @@ object SparkEntry {
       "q_doc_langid" -> langidOracle,
       "q_doc_funnel" -> funnelOracle,
       "q_graph_pagerank" -> pageRankOracle,
+      "q_graph_labelprop" -> labelPropOracleSql,
 
       // min-label reachability closure over the undirected edge set
       "q_graph_components" ->

@@ -153,6 +153,55 @@ object LinkGraph {
    * everything that isn't a dup graph (host graphs, citation webs,
    * entity resolution).
    */
+  /**
+   * Synchronous label propagation (community detection — the classic
+   * RAK algorithm in its deterministic batch form): labels start as
+   * the vertex id; each round every vertex adopts the most frequent
+   * label among its neighbors, ties to the SMALLEST label; fixed round
+   * count. All integer, all deterministic — the oracle replays the
+   * identical rounds as unrolled CTEs with the same
+   * (count desc, label asc) argmax.
+   *
+   * Scale shape mirrors [[pageRankMicro]]: the per-round work is one
+   * edge-sized equi-join carrying (vertex, label) pairs only, a
+   * (vertex, label) partial-aggregating count, and a max_by argmax per
+   * vertex — ids-only exchanges, per-round persist+count pinning (the
+   * measured 3× lazy-loop lesson at LinkGraph.scala:50-57 applies
+   * unchanged).
+   *
+   * Returns (v BIGINT, label BIGINT).
+   */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, "labelPropagation: rounds >= 0")
+    // undirected: both directions, self-loops dropped, dedup
+    val e0 = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    val vertices = e.select(col("a").as("v")).distinct().persist()
+    var labels = vertices.select(col("v"), col("v").as("label")).persist()
+    var i = 0
+    while (i < rounds) {
+      val neighborVotes = e
+        .join(labels, e("b") === labels("v"))
+        .select(e("a").as("v"), col("label"))
+        .groupBy("v", "label").agg(count(lit(1)).as("n"))
+      // argmax by (n desc, label asc): negate label inside max_by's
+      // tie struct, same idiom as Similarity's centroid assignment
+      val next = neighborVotes
+        .groupBy("v")
+        .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("tb"))).as("label"))
+        .persist()
+      next.count() // pin before releasing the parent (measured lesson)
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    e.unpersist(blocking = false); vertices.unpersist(blocking = false)
+    labels
+  }
+
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
       src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
       maxRounds: Int = 25): org.apache.spark.sql.DataFrame = {

@@ -1175,6 +1175,23 @@ class SamplingSpec extends SparkSpec {
     assert(brute.nonEmpty && gotR == brute, s"got=$gotR brute=$brute")
   }
 
+  test("labelPropagation: hand-checked synchronous rounds, triangle converges, path oscillates") {
+    import graft.operators.LinkGraph
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3 plus triangle 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("s", "d")
+    def labelsAt(r: Int) = LinkGraph.labelPropagation(edges, col("s"), col("d"), rounds = r)
+      .as[(Long, Long)].collect().toMap
+    // round 1: v2 ties {1,3} -> 1; triangle: 10<-11, 11<-10, 12<-10
+    assert(labelsAt(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 10L -> 11L, 11L -> 10L, 12L -> 10L))
+    // round 3: the triangle has converged to label 10; the 2-coloring
+    // of the path keeps oscillating (classic synchronous-LPA behavior)
+    assert(labelsAt(3) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // rounds = 0 is the identity labeling
+    assert(labelsAt(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 10L -> 10L, 11L -> 11L, 12L -> 12L))
+  }
+
   test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
     import graft.operators.LinkGraph
     // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
