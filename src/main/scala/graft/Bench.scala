@@ -428,6 +428,17 @@ object Bench {
             col("x"), col("s"), col("e"), binWidth = 1024L)
           .agg(count(lit(1)), sum("x"), sum("iid")).collect()(0).getLong(0)
       }
+      // synchronous label propagation: same closed-form domain graph as
+      // pagerank, 3 rounds — vs the oracle's identical unrolled rounds
+      def labelPropN(n: Long, mod: Long): Long = {
+        val edges = spark.range(n).selectExpr(
+          s"id % $mod AS src", s"(id DIV $mod * 13 + id * 7 + 3) % $mod AS dst")
+        val r = graft.operators.LinkGraph.labelPropagation(
+          edges, col("src"), col("dst"), rounds = 3)
+        val out = r.agg(count(lit(1)), sum("label")).collect()(0).getLong(0)
+        r.unpersist(blocking = false)
+        out
+      }
       // BPE encode at amortized scale: md5-hex letter runs defeat the
       // per-partition word memo (worst case — every word hits the merge
       // loop) vs the oracle running the identical nested-replace
@@ -461,7 +472,8 @@ object Bench {
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
       transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L)
       asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L)
-      bpeEncodeN(1000000L); hammingN(1000000L, 5L) // warm plan shapes
+      bpeEncodeN(1000000L); hammingN(1000000L, 5L)
+      labelPropN(1000000L, 10000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("transform_10m") = medianOf("transform_10m",
@@ -490,6 +502,8 @@ object Bench {
         () => time { asofN(100000000L, 1000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
       results("range_join_100m") = medianOf("range_join_100m",
         () => time { rangeJoinN(100000000L, 10000L) }, cutoff = 60.0, trialsN = 3)
+      results("labelprop_10m") = medianOf("labelprop_10m",
+        () => time { labelPropN(10000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
       results("bpe_encode_10m") = medianOf("bpe_encode_10m",
         () => time { bpeEncodeN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("hamming_topk_10m") = medianOf("hamming_topk_10m",
@@ -530,8 +544,28 @@ object Bench {
                      FROM enc GROUP BY id)
           SELECT count(*) AS n, CAST(sum(nt) AS BIGINT) AS s FROM perdoc"""
     }
+    val labelPropOracle10m: String = {
+      def round(k: Int) =
+        s"""l$k AS (
+             SELECT v, label FROM (
+               SELECT v, label, row_number() OVER (PARTITION BY v
+                 ORDER BY n DESC, label ASC) AS rn
+               FROM (SELECT e.a AS v, l.label, count(*) AS n
+                     FROM e JOIN l${k - 1} l ON l.v = e.b GROUP BY e.a, l.label) g) t
+             WHERE rn = 1)"""
+      s"""WITH e0 AS (
+             SELECT range % 100000 AS a, (range // 100000 * 13 + range * 7 + 3) % 100000 AS b
+             FROM range(10000000)
+             WHERE range % 100000 <> (range // 100000 * 13 + range * 7 + 3) % 100000),
+           e AS (SELECT DISTINCT a, b FROM (
+             SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)),
+           l0 AS (SELECT DISTINCT a AS v, a AS label FROM e),
+           ${(1 to 3).map(round).mkString(",\n           ")}
+         SELECT count(*) AS n, CAST(sum(label) AS BIGINT) AS s FROM l3"""
+    }
     val operatorOracles = Map(
       "pagerank_10m" -> pagerankOracle10m,
+      "labelprop_10m" -> labelPropOracle10m,
       "bpe_encode_10m" -> bpeEncodeOracle10m,
       "hamming_topk_10m" ->
         """WITH v AS (

@@ -41,8 +41,12 @@ object LinkGraph {
       iterations: Int = 5, damping: Int = 85,
       baseMicro: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && damping >= 0 && damping <= 100, "bad pagerank params")
+    // pre-partitioned by the per-iteration join key (see
+    // labelPropagation's note): the cached static frames satisfy the
+    // join distribution, so only the rank frame shuffles per round
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().persist()
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().persist()
@@ -177,8 +181,13 @@ object LinkGraph {
     // undirected: both directions, self-loops dropped, dedup
     val e0 = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // pre-partition the STATIC side by its per-round join key: the
+    // cached edge frame then satisfies the join's distribution every
+    // round, so only the (vertex-sized) labels frame shuffles — without
+    // this the edge-sized exchange repeats per round (measured 10.6 s →
+    // see PLANS.md round-9 iterative-join note)
     val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().repartition(col("b")).persist()
     val vertices = e.select(col("a").as("v")).distinct().persist()
     var labels = vertices.select(col("v"), col("v").as("label")).persist()
     var i = 0
