@@ -182,6 +182,44 @@ object Multimodal {
    * STUB feature extraction: `dim` floats hashed from payload content
    * (stands in for an embedding model / mel spectrogram). Deterministic.
    */
+  /** REAL image features: bilinear resize to a g×g grid
+   *  (g = floor(sqrt(dim))), per-cell grayscale mean in [0,1]
+   *  (ITU-R 601 luma weights), remaining dims zero — the classic
+   *  pooled-pixel embedding baseline. None for non-images / codec
+   *  rejects (caller falls to the stub, same contract as decode). */
+  private[operators] def imageFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    imageFormat(payload).flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+          val scaled = new java.awt.image.BufferedImage(g, g,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gr = scaled.createGraphics()
+          try {
+            gr.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gr.drawImage(img, 0, 0, g, g, null)
+          } finally gr.dispose()
+          val out = new Array[Float](dim)
+          var y = 0
+          while (y < g) {
+            var x = 0
+            while (x < g) {
+              val rgb = scaled.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              out(y * g + x) = gray / 255.0f
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        }
+      } catch { case _: Exception => None }
+    }
+
   private[operators] def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload != null && payload.nonEmpty) {
@@ -216,7 +254,9 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           val (fmt, w, h, c, d) = decode(payload)
-          Row(id, Row(fmt, w, h, c, d), featureStub(payload, featureDim).toSeq)
+          val feats = imageFeatures(payload, featureDim)
+            .getOrElse(featureStub(payload, featureDim))
+          Row(id, Row(fmt, w, h, c, d), feats.toSeq)
         }
       }(enc)
   }

@@ -1709,6 +1709,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Set("jpeg", "png", "webp").contains(rows(4).getString(0)))
   }
 
+  test("real image features: pooled grayscale grid, solid colors exact") {
+    // a solid mid-gray PNG must featurize to all cells == 128/255
+    def solid(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val df = Seq((1L, solid(0x808080, 32, 32)), (2L, solid(0x000000, 16, 8)),
+      (3L, solid(0xFFFFFF, 9, 9))).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 16)
+      .orderBy("media_id").select("feature").as[Seq[Float]].collect()
+    assert(rows(0).forall(f => math.abs(f - 128f / 255f) < 1e-6), rows(0).take(4).toString)
+    assert(rows(1).forall(_ == 0f))
+    assert(rows(2).forall(f => math.abs(f - 1f) < 1e-6))
+    // gradient image: features vary across cells (not a constant stub)
+    val grad = Multimodal.decodeAndFeaturize(
+        Seq((9L, imageBytes("png", 64, 64))).toDF("media_id", "payload"),
+        "media_id", "payload", 16)
+      .select("feature").as[Seq[Float]].head()
+    assert(grad.distinct.size > 4, grad.toString)
+  }
+
   test("real image resize: transcode to target dims, PNG re-encode") {
     val df = Seq((1L, imageBytes("png", 64, 48)), (2L, imageBytes("jpg", 100, 100)))
       .toDF("media_id", "payload")
