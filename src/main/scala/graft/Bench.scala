@@ -531,17 +531,22 @@ object Bench {
          SELECT count(*) AS n, sum(r) AS s FROM r5"""
     }
     val bpeEncodeOracle10m: String = {
-      val spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
-      val folded = SparkEntry.BpeCertMerges.foldLeft(spaced) { case (acc, (a, b)) =>
-        s"replace($acc, ' $a $b ', ' $a$b ')"
+      // replace() to fixpoint per merge, one CTE per merge (see
+      // SparkEntry.bpeEncodeOracle: a single pass skips
+      // delimiter-sharing adjacent occurrences; the binder caps
+      // expression nesting at 128)
+      val mergeCtes = SparkEntry.BpeCertMerges.zipWithIndex.map { case ((a, b), k) =>
+        val expr = (1 to 12).foldLeft("e")((s, _) => s"replace($s, ' $a $b ', ' $a$b ')")
+        s"e${k + 1} AS (SELECT id, $expr AS e FROM e$k)"
       }
       s"""WITH docs AS (SELECT range AS id,
               'the quick brown fox ' || md5(CAST(range AS VARCHAR)) AS text
             FROM range(10000000)),
           w AS (SELECT id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM docs),
-          enc AS (SELECT id, $folded AS e FROM w),
+          e0 AS (SELECT id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS e FROM w),
+          ${mergeCtes.mkString(",\n          ")},
           perdoc AS (SELECT id, sum(length(string_split_regex(trim(e), ' +'))) AS nt
-                     FROM enc GROUP BY id)
+                     FROM e${SparkEntry.BpeCertMerges.length} GROUP BY id)
           SELECT count(*) AS n, CAST(sum(nt) AS BIGINT) AS s FROM perdoc"""
     }
     val labelPropOracle10m: String = {

@@ -159,6 +159,7 @@ object SparkEntry {
     }
     val zeroW = (0 until n).map(j => s"0::BIGINT AS w$j").mkString(", ")
     val caseW = (0 until n).map(j => s"WHEN $j THEN p.w$j").mkString(" ")
+    val idxRows = (0 until n).map(j => s"($j)").mkString(", ") // generated with n, never hardcoded
     s"""WITH feats AS (
              SELECT $featCols,
                CASE WHEN lang = 'en' THEN 1::BIGINT ELSE -1::BIGINT END AS y
@@ -171,30 +172,35 @@ object SparkEntry {
              FROM feats f, w3 p)
            SELECT j.feature_idx, CASE j.feature_idx $caseW END AS weight,
              errs.e AS n_train_errors
-           FROM w3 p, errs, (VALUES (0), (1), (2), (3), (4)) j(feature_idx)
+           FROM w3 p, errs, (VALUES $idxRows) j(feature_idx)
            ORDER BY feature_idx"""
   }
 
   /** DuckDB oracle for q_doc_bpe_encode, GENERATED from [[BpeCertMerges]]:
    *  each word becomes a space-bounded char string (' h e l l o '), each
-   *  merge is one replace() in rank order — replace()'s all-occurrence
-   *  left-to-right non-overlapping behavior is exactly Bpe.encodeWord's
-   *  contract. Docs with no words keep a 0-token row via the left join. */
+   *  merge applies replace() to FIXPOINT (12 nested passes — one
+   *  replace() pass skips an occurrence whose leading delimiter space
+   *  the previous match consumed, e.g. ' i n i n ' merges only once,
+   *  where standard BPE merges both; each pass halves the surviving
+   *  run, so 12 passes are exact for words up to 4096 chars). Docs
+   *  with no words keep a 0-token row via the left join. */
   private def bpeEncodeOracle: String = {
-    val spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
-    val folded = BpeCertMerges.foldLeft(spaced) { case (acc, (a, b)) =>
-      s"replace($acc, ' $a $b ', ' $a$b ')"
+    // one CTE per merge (the oracle engine's binder caps expression
+    // nesting at 128, so the 12×12 replaces cannot be one expression)
+    val mergeCtes = BpeCertMerges.zipWithIndex.map { case ((a, b), k) =>
+      val expr = (1 to 12).foldLeft("e")((s, _) => s"replace($s, ' $a $b ', ' $a$b ')")
+      s"e${k + 1} AS (SELECT doc_id, i, $expr AS e FROM e$k)"
     }
     s"""WITH w AS (
           SELECT doc_id,
             unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w,
             generate_subscripts(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'), 1) AS i
           FROM documents),
-        enc AS (
-          SELECT doc_id, i, $folded AS e FROM w),
+        e0 AS (SELECT doc_id, i, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS e FROM w),
+        ${mergeCtes.mkString(",\n        ")},
         agg AS (
           SELECT doc_id, string_split_regex(trim(string_agg(e, '' ORDER BY i)), ' +') AS toks
-          FROM enc GROUP BY doc_id)
+          FROM e${BpeCertMerges.length} GROUP BY doc_id)
         SELECT d.doc_id,
           CAST(coalesce(length(a.toks), 0) AS BIGINT) AS n_tokens,
           coalesce(array_to_string(a.toks[1:12], '|'), '') AS head
@@ -1998,7 +2004,9 @@ object SparkEntry {
       val emb = s.table("embeddings")
       val cent = emb.filter(col("vec_id") % 25 === 0)
       val qs = emb.filter(col("vec_id") < 20)
-      val idx = "/tmp/graft_ivf_index_gate"
+      // run-scoped path: a fixed shared dir would let two concurrent
+      // sessions race overwrite-vs-scan on the list files
+      val idx = s"/tmp/graft_ivf_index_gate_${ProcessHandle.current().pid()}"
       operators.Similarity.writeIvfIndex(emb, cent,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
       operators.Similarity.ivfTopKIndexed(s, idx, qs,

@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
  *    per-partition word cache (real corpora repeat words heavily).
  *
  * Merge-application semantics — deliberately oracle-replicable: merges
- * apply IN RANK ORDER, each replacing all non-overlapping occurrences
- * left to right (the original published BPE encoder's behavior, and
- * byte-for-byte what a SQL engine's `replace()` does on a space-joined
- * token string — which is how the driver gate certifies [[encode]]
- * hash-exact).
+ * apply IN RANK ORDER, each merging all left-to-right non-overlapping
+ * occurrences in TOKEN space (standard BPE — adjacent repeats both
+ * merge: 'raining' + (i,n) → [r,a,in,in,g]). The SQL oracle replays
+ * this as `replace()` on a space-joined token string iterated to
+ * FIXPOINT per merge — a single replace() pass is NOT equivalent (it
+ * consumes the shared delimiter space between adjacent occurrences and
+ * skips the second), which is why the gate oracle nests 12 passes.
  */
 object Bpe {
 
@@ -201,12 +203,16 @@ object Bpe {
     t
   }
 
-  /** Vocabulary of a merge list: all single characters seen plus one
-   *  token per merge, ranked (chars first by codepoint, then merges in
-   *  rank order). */
+  /** Vocabulary of a merge list: the single characters appearing in
+   *  merges plus one token per DISTINCT merged string, ranked (chars
+   *  first by codepoint, then merge products by first rank — two
+   *  merges producing the same string, e.g. (a,bc) and (ab,c), share
+   *  one id rather than silently shifting every later id). Characters
+   *  never involved in any merge are not in the vocab; callers treat
+   *  any length-1 token as its codepoint (the BpeSpec contract). */
   def vocab(merges: Seq[(String, String)]): Map[String, Int] = {
     val chars = merges.flatMap { case (a, b) => (a + b).map(_.toString) }.distinct.sorted
-    val toks = chars ++ merges.map { case (a, b) => a + b }
+    val toks = (chars ++ merges.map { case (a, b) => a + b }).distinct
     toks.zipWithIndex.toMap
   }
 }

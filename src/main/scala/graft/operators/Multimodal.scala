@@ -190,35 +190,39 @@ object Multimodal {
   private[operators] def imageFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
     imageFormat(payload).flatMap { _ =>
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        if (img == null) None
-        else {
-          val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-          val scaled = new java.awt.image.BufferedImage(g, g,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val gr = scaled.createGraphics()
-          try {
-            gr.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            gr.drawImage(img, 0, 0, g, g, null)
-          } finally gr.dispose()
-          val out = new Array[Float](dim)
-          var y = 0
-          while (y < g) {
-            var x = 0
-            while (x < g) {
-              val rgb = scaled.getRGB(x, y)
-              val gray = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-                (rgb & 0xFF) * 114) / 1000
-              out(y * g + x) = gray / 255.0f
-              x += 1
-            }
-            y += 1
-          }
-          Some(out)
-        }
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          .map(poolGray(_, dim))
       } catch { case _: Exception => None }
     }
+
+  /** The pooling kernel behind [[imageFeatures]], on an already-decoded
+   *  image — [[decodeAndFeaturize]] decodes each payload ONCE and feeds
+   *  the same BufferedImage to metadata and features. */
+  private def poolGray(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val scaled = new java.awt.image.BufferedImage(g, g,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = scaled.createGraphics()
+    try {
+      gr.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gr.drawImage(img, 0, 0, g, g, null)
+    } finally gr.dispose()
+    val out = new Array[Float](dim)
+    var y = 0
+    while (y < g) {
+      var x = 0
+      while (x < g) {
+        val rgb = scaled.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        out(y * g + x) = gray / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   private[operators] def featureStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -253,9 +257,23 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          val (fmt, w, h, c, d) = decode(payload)
-          val feats = imageFeatures(payload, featureDim)
-            .getOrElse(featureStub(payload, featureDim))
+          // images decode ONCE: metadata and pooled features come from
+          // the same BufferedImage (the codec pass dominates CPU)
+          val imgOpt = imageFormat(payload).flatMap { fmt =>
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))).map(fmt -> _)
+            catch { case _: Exception => None }
+          }
+          val (meta, feats) = imgOpt match {
+            case Some((fmt, img)) =>
+              ((fmt, img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents, 0L), poolGray(img, featureDim))
+            case None =>
+              val m = (try decodeWav(payload) catch { case _: Exception => None })
+                .getOrElse(decodeStub(payload))
+              (m, featureStub(payload, featureDim))
+          }
+          val (fmt, w, h, c, d) = meta
           Row(id, Row(fmt, w, h, c, d), feats.toSeq)
         }
       }(enc)

@@ -229,27 +229,36 @@ object Similarity {
       maxDist: Int, nBits: Int = 63): DataFrame = {
     require(maxDist >= 0 && maxDist < nBits, s"hammingPairs: maxDist in [0,$nBits)")
     val bands = maxDist + 1
+    // pin the signature frame: the band union + two verify joins would
+    // otherwise re-scan df (and recompute SignPack) bands+2 times
     val base = df.select(id.cast("long").as("__id"), signSignature(vec, nBits).as("__s"))
-    val w = nBits / bands
-    val rem = nBits % bands
-    val banded = (0 until bands).map { b =>
-      val lo = b * w + math.min(b, rem)
-      val width = w + (if (b < rem) 1 else 0)
-      base.select(lit(b).as("__b"),
-        shiftright(col("__s"), lo).bitwiseAND(lit((1L << width) - 1)).as("__v"),
-        col("__id"))
-    }.reduce(_ unionAll _)
-    val cand = banded.select(col("__b"), col("__v"), col("__id").as("id_a"))
-      .join(banded.select(col("__b"), col("__v"), col("__id").as("id_b")), Seq("__b", "__v"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct() // collapse multi-band hits
-    cand
-      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
-      .withColumn("hamming", hammingDist(col("__sa"), col("__sb")))
-      .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+      .persist()
+    base.count()
+    try {
+      val w = nBits / bands
+      val rem = nBits % bands
+      val banded = (0 until bands).map { b =>
+        val lo = b * w + math.min(b, rem)
+        val width = w + (if (b < rem) 1 else 0)
+        base.select(lit(b).as("__b"),
+          shiftright(col("__s"), lo).bitwiseAND(lit((1L << width) - 1)).as("__v"),
+          col("__id"))
+      }.reduce(_ unionAll _)
+      val cand = banded.select(col("__b"), col("__v"), col("__id").as("id_a"))
+        .join(banded.select(col("__b"), col("__v"), col("__id").as("id_b")), Seq("__b", "__v"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct() // collapse multi-band hits
+      val out = cand
+        .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+        .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+        .withColumn("hamming", hammingDist(col("__sa"), col("__sb")))
+        .filter(col("hamming") <= maxDist)
+        .select("id_a", "id_b", "hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before releasing the signature frame
+      out
+    } finally base.unpersist(blocking = false)
   }
 
   /**
@@ -282,20 +291,29 @@ object Similarity {
   def hammingPairsWide(df: DataFrame, id: Column, vec: Column,
       maxDist: Int, bitsPerWord: Int = 63, seed: Long = 42L): DataFrame = {
     require(maxDist >= 0, "hammingPairsWide: maxDist >= 0")
+    // pinned like hammingPairs — the hyperplane projection is the
+    // expensive pass here (dims × bits multiplies per row)
     val base = df.select(id.cast("long").as("__id"),
       hyperplaneSignatureWide(vec, maxDist + 1, bitsPerWord, seed).as("__sig"))
-    val banded = base.select(col("__id"), posexplode(col("__sig")).as(Seq("__w", "__v")))
-    val cand = banded.select(col("__w"), col("__v"), col("__id").as("id_a"))
-      .join(banded.select(col("__w"), col("__v"), col("__id").as("id_b")), Seq("__w", "__v"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
-      .join(base.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
-      .withColumn("hamming", hammingDistWide(col("__sa"), col("__sb")))
-      .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+      .persist()
+    base.count()
+    try {
+      val banded = base.select(col("__id"), posexplode(col("__sig")).as(Seq("__w", "__v")))
+      val cand = banded.select(col("__w"), col("__v"), col("__id").as("id_a"))
+        .join(banded.select(col("__w"), col("__v"), col("__id").as("id_b")), Seq("__w", "__v"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      val out = cand
+        .join(base.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+        .join(base.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+        .withColumn("hamming", hammingDistWide(col("__sa"), col("__sb")))
+        .filter(col("hamming") <= maxDist)
+        .select("id_a", "id_b", "hamming")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally base.unpersist(blocking = false)
   }
 
   /**
@@ -783,6 +801,11 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
       corpusId: Column, corpusVec: Column,
       centroidId: Column, centroidVec: Column, path: String): Unit = {
+    // a non-integral id would cast to null and silently drop every row
+    // at the assignment join — refuse instead (ivfTopK's window path
+    // supports such ids; the persisted layout keys on longs)
+    require(isIntegral(corpus.select(corpusId).schema.head.dataType),
+      "writeIvfIndex: corpusId must be an integral type")
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("__cv"))
     val cent = centroids.select(centroidId.cast("long").as("__cid"), centroidVec.as("__centv"))
     c.join(ivfAssignIds(c, cent), "corpus_id")

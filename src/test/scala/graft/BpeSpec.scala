@@ -31,6 +31,13 @@ class BpeSpec extends SparkSpec {
     // a later merge builds on an earlier one
     assert(Bpe.encodeWord("aaaa", Array(("a", "a"), ("aa", "aa"))).toSeq == Seq("aaaa"))
     assert(Bpe.encodeWord("x", Array(("a", "a"))).toSeq == Seq("x"))
+    // adjacent repeated occurrences BOTH merge (standard BPE) — the
+    // class a single SQL replace() pass gets wrong by consuming the
+    // shared delimiter (why the oracle iterates replace to fixpoint)
+    assert(Bpe.encodeWord("raining", Array(("i", "n"))).toSeq ==
+      Seq("r", "a", "in", "in", "g"))
+    assert(Bpe.encodeWord("banana", Array(("a", "n"))).toSeq ==
+      Seq("b", "an", "an", "a"))
   }
 
   test("wordFreq: deterministic bounded top-k with (n desc, word asc) tie-break") {
