@@ -534,7 +534,10 @@ object Bench {
       // replace() to fixpoint per merge, one CTE per merge (see
       // SparkEntry.bpeEncodeOracle: a single pass skips
       // delimiter-sharing adjacent occurrences; the binder caps
-      // expression nesting at 128)
+      // expression nesting at 128; exact only for a != b merges —
+      // the shared require below enforces it)
+      require(SparkEntry.BpeCertMerges.forall { case (a, b) => a != b },
+        "bpe bench oracle: identical-symbol merges are not replace()-replicable")
       val mergeCtes = SparkEntry.BpeCertMerges.zipWithIndex.map { case ((a, b), k) =>
         val expr = (1 to 12).foldLeft("e")((s, _) => s"replace($s, ' $a $b ', ' $a$b ')")
         s"e${k + 1} AS (SELECT id, $expr AS e FROM e$k)"

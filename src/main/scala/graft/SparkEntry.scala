@@ -185,6 +185,13 @@ object SparkEntry {
    *  run, so 12 passes are exact for words up to 4096 chars). Docs
    *  with no words keep a 0-token row via the left join. */
   private def bpeEncodeOracle: String = {
+    // the fixpoint-replace formulation is exact ONLY for a != b merges:
+    // an (x,x) pattern self-overlaps in token space, and replace()'s
+    // char-level scan picks a different non-overlapping set than the
+    // operator's left-greedy token scan ('aaaaa' -> [aa,a,aa] vs
+    // [aa,aa,a]) — refuse rather than certify unsoundly
+    require(BpeCertMerges.forall { case (a, b) => a != b },
+      "bpeEncodeOracle: identical-symbol merges are not replace()-replicable")
     // one CTE per merge (the oracle engine's binder caps expression
     // nesting at 128, so the 12×12 replaces cannot be one expression)
     val mergeCtes = BpeCertMerges.zipWithIndex.map { case ((a, b), k) =>
@@ -2005,10 +2012,12 @@ object SparkEntry {
       val cent = emb.filter(col("vec_id") % 25 === 0)
       val qs = emb.filter(col("vec_id") < 20)
       // run-scoped path: a fixed shared dir would let two concurrent
-      // sessions race overwrite-vs-scan on the list files
+      // sessions race overwrite-vs-scan on the list files; within one
+      // process the build is reused (same code, same inputs)
       val idx = s"/tmp/graft_ivf_index_gate_${ProcessHandle.current().pid()}"
-      operators.Similarity.writeIvfIndex(emb, cent,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+      if (!new java.io.File(s"$idx/lists/_SUCCESS").isFile)
+        operators.Similarity.writeIvfIndex(emb, cent,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
       operators.Similarity.ivfTopKIndexed(s, idx, qs,
         col("vec_id"), col("embedding"), k = 5, nprobe = 3)
         .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").as("rnk"))

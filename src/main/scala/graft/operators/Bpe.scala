@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
  * FIXPOINT per merge — a single replace() pass is NOT equivalent (it
  * consumes the shared delimiter space between adjacent occurrences and
  * skips the second), which is why the gate oracle nests 12 passes.
+ * The fixpoint formulation is itself exact only for merges with
+ * a != b: an identical-symbol (x,x) pattern self-overlaps, and the
+ * char-level scan picks a different non-overlapping set than the
+ * token-level greedy scan — the oracle builders refuse such merge
+ * lists rather than certify unsoundly (the ENGINE handles (x,x)
+ * correctly; only the SQL replication cannot).
  */
 object Bpe {
 
@@ -159,6 +165,13 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // a non-integral id would cast to null and kill the task with an
+    // opaque encoder error — refuse clearly at plan time (null ids in
+    // an integral column still error at runtime: ids are structural)
+    val idType = df.select(id).schema.head.dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+      .contains(idType.toString),
+      s"Bpe.encode: id must be an integral type, got $idType")
     val bc = spark.sparkContext.broadcast(merges.toArray)
     val in = df.select(id.cast("long").as("id"), preTokens(text).as("words"))
       .as[(Long, Seq[String])]

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
  * deterministic stubs standing in for the remaining codecs
  * (compressed audio/video containers — no codec libraries here); the
  * Spark-side contract — schema, batching, partitioning, null handling
- * — is identical on every path. Feature extraction remains a
- * deterministic hash stand-in for an embedding model.
+ * — is identical on every path. Feature extraction is REAL for images
+ * (single-decode bilinear-pooled grayscale grid) and a deterministic
+ * hash stand-in for the rest.
  */
 object Multimodal {
 
@@ -36,16 +37,23 @@ object Multimodal {
     else None
   }
 
-  /** Real image decode (JDK ImageIO): (format, width, height, channels,
-   *  duration_ms=0). None when the payload isn't a recognized image or
-   *  the codec rejects it. */
-  private[operators] def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Int, Long)] =
+  /** Single-decode core: metadata plus (for images) the decoded
+   *  BufferedImage, so [[decodeAndFeaturize]] never pays the codec
+   *  twice. One chain of fallbacks — [[decode]] is a thin view. */
+  private def decodeFull(payload: Array[Byte]):
+      ((String, Int, Int, Int, Long), Option[java.awt.image.BufferedImage]) =
     imageFormat(payload).flatMap { fmt =>
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        if (img == null) None
-        else Some((fmt, img.getWidth, img.getHeight, img.getColorModel.getNumComponents, 0L))
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          .map(img => ((fmt, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, 0L), Option(img)))
       } catch { case _: Exception => None }
+    }.getOrElse {
+      // same catch-to-stub discipline on every path: one hostile
+      // payload must degrade to the stub row, never fail the task
+      val m = (try decodeWav(payload) catch { case _: Exception => None })
+        .getOrElse(decodeStub(payload))
+      (m, None)
     }
 
   /** RIFF/WAVE signature sniff. */
@@ -120,11 +128,7 @@ object Multimodal {
    *  parse for WAV audio, stub for everything else (same output
    *  contract on every path). */
   private[operators] def decode(payload: Array[Byte]): (String, Int, Int, Int, Long) =
-    decodeImage(payload)
-      // same catch-to-stub discipline as decodeImage: one hostile payload
-      // must degrade to the stub row, never fail the Spark task
-      .orElse(try decodeWav(payload) catch { case _: Exception => None })
-      .getOrElse(decodeStub(payload))
+    decodeFull(payload)._1
 
   /** Real image resize via Graphics2D, re-encoded as PNG (lossless,
    *  always writable by the JDK). None for non-image payloads. */
@@ -187,18 +191,11 @@ object Multimodal {
    *  (ITU-R 601 luma weights), remaining dims zero — the classic
    *  pooled-pixel embedding baseline. None for non-images / codec
    *  rejects (caller falls to the stub, same contract as decode). */
-  private[operators] def imageFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
-    imageFormat(payload).flatMap { _ =>
-      try {
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-          .map(poolGray(_, dim))
-      } catch { case _: Exception => None }
-    }
-
-  /** The pooling kernel behind [[imageFeatures]], on an already-decoded
-   *  image — [[decodeAndFeaturize]] decodes each payload ONCE and feeds
-   *  the same BufferedImage to metadata and features. */
+  /** Grayscale pooling kernel on an already-decoded image —
+   *  [[decodeAndFeaturize]] decodes each payload ONCE (via
+   *  [[decodeFull]]) and feeds the same BufferedImage here. */
   private def poolGray(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    if (dim <= 0) return new Array[Float](0) // featureStub parity
     val g = math.max(1, math.sqrt(dim.toDouble).toInt)
     val scaled = new java.awt.image.BufferedImage(g, g,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -259,20 +256,9 @@ object Multimodal {
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           // images decode ONCE: metadata and pooled features come from
           // the same BufferedImage (the codec pass dominates CPU)
-          val imgOpt = imageFormat(payload).flatMap { fmt =>
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload))).map(fmt -> _)
-            catch { case _: Exception => None }
-          }
-          val (meta, feats) = imgOpt match {
-            case Some((fmt, img)) =>
-              ((fmt, img.getWidth, img.getHeight,
-                img.getColorModel.getNumComponents, 0L), poolGray(img, featureDim))
-            case None =>
-              val m = (try decodeWav(payload) catch { case _: Exception => None })
-                .getOrElse(decodeStub(payload))
-              (m, featureStub(payload, featureDim))
-          }
+          val (meta, imgOpt) = decodeFull(payload)
+          val feats = imgOpt.map(poolGray(_, featureDim))
+            .getOrElse(featureStub(payload, featureDim))
           val (fmt, w, h, c, d) = meta
           Row(id, Row(fmt, w, h, c, d), feats.toSeq)
         }

@@ -827,9 +827,21 @@ object Similarity {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int = 10, nprobe: Int = 3): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
-    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
-    val probes = ivfProbes(q, cent, nprobe)
-    val lists = probes.select("__cid").distinct().collect().map(_.getLong(0))
+    // long ids throughout (the stored index keys on longs; the local
+    // probe relation's schema is typed LongType)
+    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("__qv"))
+    // collect the probe assignment ONCE — (|queries| × nprobe)-bounded,
+    // model-sized — and rebuild it as a local relation: computing lists
+    // and the candidate join from the same lazy frame would run the
+    // queries × centroids window twice
+    val probeRows = ivfProbes(q, cent, nprobe).collect()
+    val lists = probeRows.map(_.getLong(0)).distinct.toSeq
+    val probes = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(probeRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cid", LongType),
+        org.apache.spark.sql.types.StructField("query_id", LongType))))
     val corpus = spark.read.parquet(s"$path/lists")
       .where(col("__list").isin(lists: _*))
     val cands = probes
