@@ -88,15 +88,21 @@ class AsofJoinSpec extends SparkSpec {
       .groupBy("k", "rt").agg(max("amount").as("amount"))
     assert(AsofJoin.asofSkewWidth(uniL, uniR, "k", "t", "rt").isEmpty,
       "uniform keys must not trigger the bucketed dispatch")
+    assert(AsofJoin.asofSkewWidth(uniL, uniR, "k", "t", "rt", 1.0).isEmpty,
+      "exact probe must agree on the uniform corpus")
 
-    // hot: key 0 owns ~30% of all rows -> dispatch fires with a
-    // width derived from the ts range
+    // hot: key 0 owns half the left side (~33% of the combined corpus
+    // — decisively above the 20% threshold, so the 1%-sampled probe
+    // decides with >5 sigma of margin) -> dispatch fires with a width
+    // derived from the ts range
     val hotL = spark.range(20000)
-      .selectExpr("CASE WHEN id % 10 < 3 THEN 0L ELSE id % 97 END AS k",
+      .selectExpr("CASE WHEN id % 10 < 5 THEN 0L ELSE id % 97 END AS k",
         "id AS t", "id AS lid")
     val w = AsofJoin.asofSkewWidth(hotL, uniR, "k", "t", "rt")
-    assert(w.isDefined, "30%-hot key must trigger the bucketed dispatch")
+    assert(w.isDefined, "hot key must trigger the bucketed dispatch")
     assert(w.get >= 1L && w.get < 20000L, s"derived width ${w.get} should spread the range")
+    assert(AsofJoin.asofSkewWidth(hotL, uniR, "k", "t", "rt", 1.0).isDefined,
+      "exact probe must agree on the hot corpus")
 
     // the auto entry point stays semantics-identical on the hot corpus
     val auto = AsofJoin.asofJoin(hotL, uniR, "k", "t", "rt")

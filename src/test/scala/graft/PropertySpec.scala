@@ -279,6 +279,48 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(cosAngle) < 1e-4, s"not conformal: $cosAngle")
   }
 
+  test("Swiss Oblique inverse converges across (and beyond) the validity box") {
+    import graft.functions.Crs
+    // property: the inverse's isometric-latitude fixed-point iteration
+    // (capped at 25 steps) must converge for every point of the LV95
+    // validity box AND a margin beyond it — convergence is witnessed
+    // by the forward∘inverse roundtrip landing back within 1e-9°
+    // (~0.1 mm), far tighter than the 1e-14 rad iteration tolerance
+    // would allow if the cap were being hit before convergence.
+    val proj = Crs.swissForTest(Crs.Bessel1841,
+      46.0 + 57.0 / 60 + 8.66 / 3600, 7.0 + 26.0 / 60 + 22.5 / 3600,
+      2600000.0, 1200000.0)
+    // corners + alpine extremes: Geneva, Chancy (westmost), Val
+    // Müstair (eastmost), Chiasso (south), Bargen (north), Dufourspitze
+    val anchors = Seq((6.14, 46.2), (5.956, 46.13), (10.492, 46.61),
+      (9.02, 45.82), (8.61, 47.81), (7.87, 45.94))
+    for ((lon, lat) <- anchors; (dLon, dLat) <- Seq((0.0, 0.0), (-0.5, -0.5), (0.5, 0.5))) {
+      val (x, y) = proj.forward(lon + dLon, lat + dLat)
+      val (lonB, latB) = proj.inverse(x, y)
+      assert(math.abs(lonB - (lon + dLon)) < 1e-9 && math.abs(latB - (lat + dLat)) < 1e-9,
+        s"roundtrip diverged at (${lon + dLon},${lat + dLat}) -> ($lonB,$latB)")
+    }
+    // randomized sweep over a generous superset of the box
+    samples(Gen.zip(Gen.chooseNum(4.5, 12.0), Gen.chooseNum(44.5, 49.0)), 200).foreach {
+      case (lon, lat) =>
+        val (x, y) = proj.forward(lon, lat)
+        val (lonB, latB) = proj.inverse(x, y)
+        assert(math.abs(lonB - lon) < 1e-9 && math.abs(latB - lat) < 1e-9,
+          s"roundtrip diverged at ($lon,$lat) -> ($lonB,$latB)")
+    }
+    // full datum chains at the same anchors: Bowring's single-step
+    // geocentric->geodetic closure is exact only to ~1e-8° (≈1 mm)
+    // per direction, so the chain tolerance is 5e-8° — still sub-cm
+    for (code <- Seq("EPSG:2056", "EPSG:21781"); (lon, lat) <- anchors) {
+      val p = Jts.point(lon, lat)
+      val there = Crs.transform(p, "EPSG:4326", code, alwaysXy = true)
+      val back = Crs.transform(there, code, "EPSG:4326", alwaysXy = true)
+      val c = back.getCoordinate
+      assert(math.abs(c.x - lon) < 5e-8 && math.abs(c.y - lat) < 5e-8,
+        s"$code roundtrip: ($lon,$lat) -> (${c.x},${c.y})")
+    }
+  }
+
   test("round-4 conformal projections preserve angles and isotropic scale") {
     import graft.functions.Crs
     // conformality check: the images of two tiny orthogonal steps stay
