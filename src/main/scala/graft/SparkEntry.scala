@@ -2289,8 +2289,27 @@ object SparkEntry {
           bitsPerSample = 8 + 8 * (i % 2).toInt,
           nSamples = 1000 + i.toInt * 37, seed = i))
       }.toDF("doc_id", "payload")
+      // planted FLAC payloads: the STREAMINFO bit-unpack path, fields
+      // swept so rate/channels/bit-depth/36-bit-sample-count all vary
+      val flacs = s.range(30).map { i =>
+        (20000000L + i, operators.Multimodal.flacBytes(
+          sampleRate = 16000 + (i % 3).toInt * 16000,
+          channels = 1 + (i % 2).toInt,
+          bitsPerSample = 16 + 8 * (i % 2).toInt,
+          totalSamples = 5000L + i * 97L, fillerBytes = 64 + i.toInt, seed = i))
+      }.toDF("doc_id", "payload")
+      // planted MP3 payloads: the frame-header walk — bitrate and rate
+      // indices swept, mono/stereo alternating, odd ids carry an ID3v2
+      // tag so the syncsafe skip is exercised
+      val mp3s = s.range(30).map { i =>
+        (30000000L + i, operators.Multimodal.mp3Bytes(
+          bitrateIdx = 1 + (i % 14).toInt, rateIdx = (i % 3).toInt,
+          stereo = i % 2 == 0, nFrames = 20 + i.toInt,
+          withId3 = i % 2 == 1, id3Size = 64 + i.toInt, seed = i))
+      }.toDF("doc_id", "payload")
       operators.Multimodal.decodeAndFeaturize(
-          media.unionByName(wavs), "doc_id", "payload", featureDim = 16)
+          media.unionByName(wavs).unionByName(flacs).unionByName(mp3s),
+          "doc_id", "payload", featureDim = 16)
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("w"), col("meta.height").as("h"),
           col("meta.channels").as("ch"), col("meta.duration_ms").as("dur_ms"),
@@ -3105,7 +3124,11 @@ object SparkEntry {
    *  payloads' header math recomputed from the same id sweep:
    *  rate = 8000+(i%4)*4000, bits = 8+8*(i%2), ch = 1+(i%2),
    *  duration_ms = data_bytes*1000 // byte_rate = n_samples*1000 //
-   *  rate (the block-align factor cancels exactly). */
+   *  rate (the block-align factor cancels exactly). (c) REAL FLAC
+   *  path — STREAMINFO fields from the flacBytes sweep. (d) REAL MP3
+   *  path — MPEG1 Layer III bitrate/rate tables over the mp3Bytes
+   *  sweep, odd ids ID3v2-prefixed (the skip must not change any
+   *  field). */
   private lazy val mmDecodeOracle: String =
     """WITH RECURSIVE pow(k, p) AS (
          SELECT 0, 1::BIGINT UNION ALL SELECT k + 1, (p * 31) % 4294967296 FROM pow WHERE k < 600),
@@ -3121,7 +3144,9 @@ object SparkEntry {
          FROM sums s JOIN pow p ON p.k = s.n),
        hs AS (
          SELECT doc_id, n, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h FROM hraw),
-       wav AS (SELECT unnest(range(0, 40)) AS i)
+       wav AS (SELECT unnest(range(0, 40)) AS i),
+       flac AS (SELECT unnest(range(0, 30)) AS i),
+       mp3 AS (SELECT unnest(range(0, 30)) AS i)
        SELECT * FROM (
          SELECT doc_id AS media_id,
            ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
@@ -3136,7 +3161,28 @@ object SparkEntry {
            CAST(1 + (i % 2) AS INT) AS ch,
            CAST((1000 + i * 37) * 1000 // (8000 + (i % 4) * 4000) AS BIGINT) AS dur_ms,
            16 AS fdim
-         FROM wav) t
+         FROM wav
+         UNION ALL
+         -- REAL FLAC path: STREAMINFO fields recomputed from the same
+         -- id sweep; duration_ms = total_samples*1000 // rate
+         SELECT 20000000 + i AS media_id, 'flac' AS format,
+           CAST(16000 + (i % 3) * 16000 AS INT) AS w,
+           CAST(16 + 8 * (i % 2) AS INT) AS h,
+           CAST(1 + (i % 2) AS INT) AS ch,
+           CAST((5000 + i * 97) * 1000 // (16000 + (i % 3) * 16000) AS BIGINT) AS dur_ms,
+           16 AS fdim
+         FROM flac
+         UNION ALL
+         -- REAL MP3 path: MPEG1 Layer III tables recomputed from the
+         -- id sweep (h carries the first-frame bitrate in kbps);
+         -- duration_ms = n_frames*1152*1000 // rate
+         SELECT 30000000 + i AS media_id, 'mp3' AS format,
+           CAST(([44100, 48000, 32000])[(i % 3) + 1] AS INT) AS w,
+           CAST(([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])[(i % 14) + 1] AS INT) AS h,
+           CAST(2 - (i % 2) AS INT) AS ch,
+           CAST((20 + i) * 1152 * 1000 // ([44100, 48000, 32000])[(i % 3) + 1] AS BIGINT) AS dur_ms,
+           16 AS fdim
+         FROM mp3) t
        ORDER BY media_id"""
 
   /** q_geo_spheroid golden table: (k, vincenty_m, perimeter_m,

@@ -52,6 +52,8 @@ object Multimodal {
       // same catch-to-stub discipline on every path: one hostile
       // payload must degrade to the stub row, never fail the task
       val m = (try decodeWav(payload) catch { case _: Exception => None })
+        .orElse(try decodeFlac(payload) catch { case _: Exception => None })
+        .orElse(try decodeMp3(payload) catch { case _: Exception => None })
         .getOrElse(decodeStub(payload))
       (m, None)
     }
@@ -101,6 +103,179 @@ object Multimodal {
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 ||
         byteRate <= 0 || dataLen < 0) None
     else Some(("wav", rate.toInt, bits, channels, dataLen * 1000L / byteRate))
+  }
+
+  /**
+   * Real audio metadata for FLAC payloads — a dependency-free parse of
+   * the mandatory STREAMINFO block (the container layout is the
+   * published xiph spec; no codec needed for metadata). The spec
+   * requires STREAMINFO to be the FIRST metadata block after the
+   * "fLaC" marker, so the walk is a fixed-offset big-endian bit
+   * unpack: sample rate (20 bits), channels-1 (3), bits-per-sample-1
+   * (5), total samples (36). Field mapping mirrors [[decodeWav]]:
+   * format="flac", width=sample_rate_hz, height=bits_per_sample,
+   * channels, duration_ms = total_samples * 1000 / rate. None on
+   * non-FLAC or malformed headers — callers fall to the next sniffer.
+   */
+  private[operators] def decodeFlac(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (p == null || p.length < 42 ||
+        p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C') return None
+    if ((p(4) & 0x7F) != 0) return None // first block must be STREAMINFO
+    val blockLen = ((p(5) & 0xFF) << 16) | ((p(6) & 0xFF) << 8) | (p(7) & 0xFF)
+    if (blockLen != 34) return None
+    val rate = ((p(18) & 0xFF) << 12) | ((p(19) & 0xFF) << 4) | ((p(20) & 0xF0) >> 4)
+    val channels = ((p(20) >> 1) & 0x7) + 1
+    val bits = (((p(20) & 1) << 4) | ((p(21) & 0xF0) >> 4)) + 1
+    val totalSamples = ((p(21) & 0x0FL) << 32) |
+      ((p(22) & 0xFFL) << 24) | ((p(23) & 0xFFL) << 16) |
+      ((p(24) & 0xFFL) << 8) | (p(25) & 0xFFL)
+    if (rate <= 0) None
+    else Some(("flac", rate, bits, channels, totalSamples * 1000L / rate))
+  }
+
+  /** MPEG1/2/2.5 Layer III bitrate (kbps) and sample-rate tables
+   *  (free-format index 0 and reserved 15 excluded — the published
+   *  ISO/IEC 11172-3 header layout). */
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+
+  /** Parse one candidate MPEG Layer III frame header at `o`:
+   *  Some((sampleRate, channels, bitrateKbps, frameBytes,
+   *  samplesPerFrame)) or None when any field is reserved/invalid. */
+  private def mp3FrameAt(p: Array[Byte], o: Long): Option[(Int, Int, Int, Int, Int)] = {
+    if (o + 4 > p.length) return None
+    val i = o.toInt
+    if ((p(i) & 0xFF) != 0xFF || (p(i + 1) & 0xE0) != 0xE0) return None
+    val verBits = (p(i + 1) >> 3) & 0x3     // 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (p(i + 1) >> 1) & 0x3   // 1=Layer III
+    if (verBits == 1 || layerBits != 1) return None
+    val brIdx = (p(i + 2) >> 4) & 0xF
+    val srIdx = (p(i + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val pad = (p(i + 2) >> 1) & 0x1
+    val mode = (p(i + 3) >> 6) & 0x3
+    val v1 = verBits == 3
+    val kbps = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+    val rate = Mp3RateV1(srIdx) / (verBits match {
+      case 3 => 1; case 2 => 2; case _ => 4 // MPEG2 halves, MPEG2.5 quarters
+    })
+    val spf = if (v1) 1152 else 576
+    val frameBytes = spf / 8 * kbps * 1000 / rate + pad
+    if (frameBytes < 4) None
+    else Some((rate, if (mode == 3) 1 else 2, kbps, frameBytes, spf))
+  }
+
+  /**
+   * Real audio metadata for MPEG Layer III (mp3) payloads — a
+   * dependency-free frame-header walk (the same shape as the WAV chunk
+   * walk): skip an ID3v2 tag if present, find the first frame sync
+   * within [[Mp3SyncScanLimit]] bytes, then hop frame-to-frame via
+   * each header's computed length, accumulating samples. Two
+   * consecutive valid headers are required before classifying at all —
+   * a lone 0xFF byte in arbitrary binary must not look like audio.
+   * Mapping: format="mp3", width=sample_rate_hz,
+   * height=first_frame_bitrate_kbps (mp3 has no per-sample bit depth),
+   * channels, duration_ms = total_samples * 1000 / rate.
+   */
+  private[operators] def decodeMp3(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (p == null || p.length < 8) return None
+    // ID3v2 prefix: "ID3" vv f + 4-byte syncsafe size
+    var off: Long =
+      if (p(0) == 'I' && p(1) == 'D' && p(2) == '3' && p.length >= 10)
+        10L + (((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+          ((p(8) & 0x7F) << 7) | (p(9) & 0x7F))
+      else 0L
+    // bounded resync: real decoders re-lock within a window, and the
+    // bound keeps the sniff O(1) on arbitrary non-audio binaries
+    val scanEnd = math.min(p.length.toLong, off + Mp3SyncScanLimit)
+    var first: Option[(Int, Int, Int, Int, Int)] = None
+    while (first.isEmpty && off < scanEnd) {
+      first = mp3FrameAt(p, off).filter { case (_, _, _, fb, _) =>
+        // second witness: a valid header right after, or exact EOF
+        off + fb == p.length || mp3FrameAt(p, off + fb).isDefined
+      }
+      if (first.isEmpty) off += 1
+    }
+    first.map { case (rate, ch, kbps, _, _) =>
+      var samples = 0L
+      var cur = off
+      var ok = true
+      while (ok && cur + 4 <= p.length) {
+        mp3FrameAt(p, cur) match {
+          case Some((_, _, _, len, s)) => samples += s; cur += len
+          case None => ok = false // trailing tag/junk ends the walk
+        }
+      }
+      ("mp3", rate, kbps, ch, samples * 1000L / rate)
+    }
+  }
+
+  /** Resync window for the mp3 sniffer (bytes searched for the first
+   *  frame sync after any ID3v2 tag). */
+  val Mp3SyncScanLimit = 4096L
+
+  /** Minimal CBR MPEG1 Layer III builder (fixture/testing aid — the
+   *  inverse of [[decodeMp3]]'s frame walk, header layout from the
+   *  published ISO/IEC 11172-3 spec). `withId3` prefixes an ID3v2 tag
+   *  of `id3Size` content bytes to exercise the skip. Frame payload is
+   *  deterministic filler that can never alias a frame sync (no 0xFF). */
+  def mp3Bytes(bitrateIdx: Int, rateIdx: Int, stereo: Boolean, nFrames: Int,
+      withId3: Boolean = false, id3Size: Int = 64, seed: Long = 0L): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    val kbps = Mp3BitrateV1(bitrateIdx)
+    val rate = Mp3RateV1(rateIdx)
+    val frameBytes = 144 * kbps * 1000 / rate
+    val id3 = if (withId3) 10 + id3Size else 0
+    val out = new Array[Byte](id3 + nFrames * frameBytes)
+    if (withId3) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4; out(4) = 0; out(5) = 0
+      out(6) = ((id3Size >> 21) & 0x7F).toByte; out(7) = ((id3Size >> 14) & 0x7F).toByte
+      out(8) = ((id3Size >> 7) & 0x7F).toByte; out(9) = (id3Size & 0x7F).toByte
+      var i = 0
+      while (i < id3Size) { out(10 + i) = ((i * 3 + seed) & 0x7F).toByte; i += 1 }
+    }
+    var f = 0
+    while (f < nFrames) {
+      val o = id3 + f * frameBytes
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+      out(o + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte // padding 0
+      out(o + 3) = (if (stereo) 0x00 else 0xC0).toByte // mode: stereo / mono
+      var i = 4
+      while (i < frameBytes) { out(o + i) = ((i * 11 + f + seed) & 0x7F).toByte; i += 1 }
+      f += 1
+    }
+    out
+  }
+
+  /** Minimal FLAC container builder (fixture/testing aid): "fLaC" +
+   *  a last-flagged STREAMINFO block with the given fields packed
+   *  big-endian per the published xiph layout, followed by filler
+   *  "frame" bytes the metadata walk never reads. */
+  def flacBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, fillerBytes: Int = 256, seed: Long = 0L): Array[Byte] = {
+    val out = new Array[Byte](42 + fillerBytes)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    // min/max block size (16+16), min/max frame size (24+24): filler
+    out(8) = 0x10; out(9) = 0; out(10) = 0x10; out(11) = 0
+    val rate20 = sampleRate & 0xFFFFF
+    out(18) = ((rate20 >> 12) & 0xFF).toByte
+    out(19) = ((rate20 >> 4) & 0xFF).toByte
+    out(20) = (((rate20 & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bitsPerSample - 1) >> 4) & 0x1)).toByte
+    out(21) = ((((bitsPerSample - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF)).toInt.toByte
+    out(22) = ((totalSamples >> 24) & 0xFF).toByte
+    out(23) = ((totalSamples >> 16) & 0xFF).toByte
+    out(24) = ((totalSamples >> 8) & 0xFF).toByte
+    out(25) = (totalSamples & 0xFF).toByte
+    var i = 0
+    while (i < fillerBytes) { out(42 + i) = ((i * 5 + seed) & 0xFF).toByte; i += 1 }
+    out
   }
 
   /** Minimal canonical PCM WAV builder (fixture/testing aid — the

@@ -1792,4 +1792,54 @@ class MultimodalSpec extends SparkSpec {
       .select("meta.format").collect()
     rows.foreach(r => assert(Set("jpeg", "png", "webp").contains(r.getString(0)), r.toString))
   }
+
+  test("real FLAC decode: STREAMINFO bit-unpack, 36-bit sample counts, malformed to stub") {
+    val f1 = Multimodal.flacBytes(44100, 2, 16, 44100L) // 1 s CD stereo
+    val f2 = Multimodal.flacBytes(48000, 1, 24, 12000L) // 250 ms mono 24-bit
+    // total_samples above 2^32 exercises the 4 high bits in byte 21
+    val f3 = Multimodal.flacBytes(8000, 8, 32, (1L << 33) + 8000L)
+    val truncated = f1.take(20)
+    val df = Seq((1L, f1), (2L, f2), (3L, f3), (4L, truncated)).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 4)
+      .orderBy("media_id")
+      .select("meta.format", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
+      .collect()
+    assert(rows(0).getString(0) == "flac" && rows(0).getInt(1) == 44100 &&
+      rows(0).getInt(2) == 16 && rows(0).getInt(3) == 2 && rows(0).getLong(4) == 1000L)
+    assert(rows(1).getString(0) == "flac" && rows(1).getInt(1) == 48000 &&
+      rows(1).getInt(2) == 24 && rows(1).getInt(3) == 1 && rows(1).getLong(4) == 250L)
+    assert(rows(2).getString(0) == "flac" && rows(2).getInt(1) == 8000 &&
+      rows(2).getInt(2) == 32 && rows(2).getInt(3) == 8 &&
+      rows(2).getLong(4) == ((1L << 33) + 8000L) * 1000L / 8000L)
+    assert(Set("jpeg", "png", "webp").contains(rows(3).getString(0)))
+  }
+
+  test("real MP3 decode: frame walk, ID3v2 skip, trailing junk, lone-sync rejection") {
+    val m1 = Multimodal.mp3Bytes(9, 0, stereo = true, nFrames = 38) // 128k 44100 ~1 s
+    val m2 = Multimodal.mp3Bytes(1, 2, stereo = false, nFrames = 10,
+      withId3 = true, id3Size = 500) // 32k 32000 mono behind an ID3v2 tag
+    // trailing non-frame junk (an ID3v1-like tag) must end the walk cleanly
+    val m3 = Multimodal.mp3Bytes(14, 1, stereo = true, nFrames = 5) ++
+      Array.fill[Byte](128)(0x54)
+    // a lone sync-looking pair in otherwise random bytes: no second
+    // witness frame -> must NOT classify as mp3
+    val fake = Array.tabulate[Byte](600)(i => ((i * 31 + 5) & 0x7F).toByte)
+    fake(100) = 0xFF.toByte; fake(101) = 0xFB.toByte; fake(102) = 0x92.toByte
+    val df = Seq((1L, m1), (2L, m2), (3L, m3), (4L, fake)).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 4)
+      .orderBy("media_id")
+      .select("meta.format", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
+      .collect()
+    assert(rows(0).getString(0) == "mp3" && rows(0).getInt(1) == 44100 &&
+      rows(0).getInt(2) == 128 && rows(0).getInt(3) == 2 &&
+      rows(0).getLong(4) == 38L * 1152 * 1000 / 44100)
+    assert(rows(1).getString(0) == "mp3" && rows(1).getInt(1) == 32000 &&
+      rows(1).getInt(2) == 32 && rows(1).getInt(3) == 1 &&
+      rows(1).getLong(4) == 10L * 1152 * 1000 / 32000)
+    assert(rows(2).getString(0) == "mp3" && rows(2).getInt(1) == 48000 &&
+      rows(2).getInt(2) == 320 && rows(2).getInt(3) == 2 &&
+      rows(2).getLong(4) == 5L * 1152 * 1000 / 48000)
+    assert(Set("jpeg", "png", "webp").contains(rows(3).getString(0)),
+      s"lone sync must not classify: ${rows(3)}")
+  }
 }
