@@ -220,6 +220,31 @@ object SparkEntry {
   // Planted multi-line corpus for the line-dedup row (Spark dialect;
   // the oracle rebuilds the identical text with ::VARCHAR casts).
   // Lines 1/3/5 rotate unique-vs-boilerplate; 2/4 slice the real text.
+  /** Shared CTE block for the exact-substring (span dedup) oracles:
+   *  `rem` = removable offsets (those whose 20-gram is duplicated
+   *  corpus-wide and not the canonical lowest-(doc_id, off)
+   *  occurrence), `isl` = their consecutive-run island ids. */
+  private val substrRemCtes =
+    """WITH offs AS (
+         SELECT doc_id, CAST(unnest(range(0, length(text) - 19)) AS BIGINT) AS off, text
+         FROM documents WHERE length(text) >= 20),
+       gr AS (
+         SELECT doc_id, off, substr(text, CAST(off AS INT) + 1, 20) AS gram FROM offs),
+       rem AS (
+         SELECT doc_id, off FROM (
+           SELECT doc_id, off,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, off) AS rn
+           FROM gr) WHERE rn > 1),
+       isl0 AS (
+         SELECT doc_id, off,
+           CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) > 20
+                THEN 1 ELSE 0 END AS nw
+         FROM rem),
+       isl AS (
+         SELECT doc_id, off,
+           sum(nw) OVER (PARTITION BY doc_id ORDER BY off ROWS UNBOUNDED PRECEDING) AS grp
+         FROM isl0)"""
+
   private val plantedLines =
     """concat_ws(chr(10),
        CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for daily updates.'
@@ -1132,6 +1157,34 @@ object SparkEntry {
           minDocs = 2, minChars = 5, broadcastDups = true)
         .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_lines"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact duplicated-substring discovery (the ExactSubstr span-dedup
+    // class of Lee et al. 2022): every maximal run of character
+    // positions whose 20-gram occurs >= 2 times corpus-wide and is not
+    // the canonical (lowest doc_id, offset) occurrence. The natural
+    // word repetition of the synthetic corpus yields ~21k duplicated
+    // offsets — no planting needed.
+    "q_doc_substr_spans" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Dedup.duplicatedSpans(
+          s.table("documents"), col("doc_id"), col("text"), minLen = 20)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Span removal: cut every removable span, keep canonical
+    // occurrences (greedy one-copy-survives); certified via length +
+    // md5 of the spliced text per document.
+    "q_doc_substr_dedup" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val d = s.table("documents")
+      val spans = operators.Dedup.duplicatedSpans(d, col("doc_id"), col("text"), minLen = 20)
+      operators.Dedup.stripSpans(d, col("doc_id"), col("text"), spans)
+        .select(col("doc_id"), length(col("text_dedup")).cast("long").as("len_dedup"),
+          md5(col("text_dedup")).as("md5_dedup"))
         .orderBy("doc_id")
     }),
 
@@ -4156,6 +4209,42 @@ object SparkEntry {
              CAST(length(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
              coalesce(r.n_kept, 0) AS n_kept
            FROM t d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""",
+
+      // rn > 1 over (gram ORDER BY doc_id, off) is exactly
+      // "duplicated AND not the canonical occurrence"; islands merge
+      // removable offsets whose char ranges overlap (gap <= 20)
+      "q_doc_substr_spans" ->
+        s"""$substrRemCtes
+           SELECT doc_id, CAST(min(off) AS BIGINT) AS span_start,
+             CAST(max(off) - min(off) + 20 AS BIGINT) AS span_len
+           FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
+      "q_doc_substr_dedup" ->
+        s"""$substrRemCtes,
+           spans AS (
+             SELECT doc_id, min(off) AS s, max(off) - min(off) + 20 AS l
+             FROM isl GROUP BY doc_id, grp),
+           pre AS (
+             SELECT sp.doc_id, d.text,
+               coalesce(lag(sp.s + sp.l) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 0) AS ks,
+               sp.s AS ke
+             FROM spans sp JOIN documents d USING (doc_id)),
+           tails AS (
+             SELECT sp.doc_id,
+               substr(d.text, CAST(max(sp.s + sp.l) AS INT) + 1) AS tail
+             FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id, d.text),
+           mid AS (
+             SELECT doc_id,
+               string_agg(substr(text, CAST(ks AS INT) + 1, CAST(ke - ks AS INT)), '' ORDER BY ks) AS kept
+             FROM pre GROUP BY doc_id),
+           ded AS (
+             SELECT d.doc_id,
+               CASE WHEN m.doc_id IS NULL THEN d.text
+                    ELSE coalesce(m.kept, '') || t.tail END AS txt
+             FROM documents d LEFT JOIN mid m USING (doc_id) LEFT JOIN tails t USING (doc_id))
+           SELECT doc_id, CAST(length(txt) AS BIGINT) AS len_dedup,
+             md5(txt) AS md5_dedup
+           FROM ded ORDER BY doc_id""",
 
       "q_doc_domains" ->
         """WITH t AS (

@@ -570,4 +570,101 @@ object Dedup {
       .select(col("doc_id").as("__bad_id"))
     docs.join(bad, docId === col("__bad_id"), "left_anti")
   }
+
+  /**
+   * Exact duplicated-substring discovery — the span-level dedup class
+   * of "Deduplicating Training Data Makes Language Models Better"
+   * (Lee et al. 2022, the ExactSubstr tool), re-expressed as a
+   * distributed gram-offset pipeline instead of a single-node suffix
+   * array: a character position is *duplicated* when the `minLen`-gram
+   * starting there occurs at least twice in the corpus (other
+   * documents or elsewhere in the same one), and *removable* when it
+   * is duplicated but not the canonical (lowest (doc_id, offset))
+   * occurrence of that gram. Removable positions whose gram character
+   * ranges overlap or touch merge into maximal disjoint spans
+   * (doc_id, start, span_len).
+   *
+   * Scale shape: |text| rows of ~24 bytes per document (offset +
+   * 128-bit gram key) — linear in corpus bytes, the canonical
+   * distributed formulation (the suffix array is also O(n) but
+   * single-machine). The gram never travels: it is hashed map-side to
+   * a 2×xxhash64 composite (collision odds ~1e-11 at 1e14 grams), so
+   * the shuffle is fixed-width regardless of `minLen`; the canonical
+   * occurrence is a lexicographic struct min, no packing bounds. One
+   * aggregation keyed by gram + one shuffle-reusing self-join keyed
+   * the same way + one per-doc window. No driver materialization.
+   */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column,
+      minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2")
+    val offs = df.select(id.as("doc_id"), text.as("__t"))
+      .where(length(col("__t")) >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), length(col("__t")) - minLen)).as("off"),
+        col("__t"))
+      .select(col("doc_id"), col("off"),
+        expr(s"substring(__t, off + 1, $minLen)").as("__g"))
+      .select(col("doc_id"), col("off"),
+        xxhash64(col("__g")).as("__h1"), xxhash64(col("__g"), lit(1)).as("__h2"),
+        struct(col("doc_id"), col("off")).as("__pos"))
+    // one gram-keyed aggregate: occurrence count + canonical position
+    val gramStats = offs.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__n"), min("__pos").as("__canon"))
+      .where(col("__n") >= 2)
+    // removable = duplicated and not canonical; the join key equals the
+    // aggregation key, so AQE reuses the exchange
+    val removable = offs.join(gramStats, Seq("__h1", "__h2"))
+      .where(col("__pos") =!= col("__canon"))
+      .select("doc_id", "off")
+    // islands: removable offsets whose CHARACTER ranges [off, off+L)
+    // overlap or touch merge into one maximal span — the criterion is
+    // gap <= minLen, not consecutive offsets (a 2-offset gap still
+    // overlaps in char space for any minLen >= 3, and the published
+    // tool merges overlapping byte ranges before cutting)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("off")
+    removable
+      .withColumn("__new",
+        when(col("off") - lag("off", 1).over(w) > minLen, 1).otherwise(0))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__isl")
+      .agg(min("off").as("span_start"),
+        (max("off") - min("off") + lit(minLen)).cast("long").as("span_len"))
+      .select(col("doc_id"), col("span_start").cast("long"), col("span_len"))
+  }
+
+  /**
+   * Apply [[duplicatedSpans]]: cut every removable span out of the
+   * text, keeping canonical occurrences — the greedy one-copy-survives
+   * policy of the published tool. `spans` is the (doc_id, span_start,
+   * span_len) frame from [[duplicatedSpans]] (or a filtered subset —
+   * callers often drop spans shorter than a threshold above minLen).
+   * Shape: spans aggregate per doc (bounded: spans are disjoint so at
+   * most |text|/minLen rows), one equi-join back onto the corpus, and
+   * the splice is a codegen'd array transform — no UDF, no driver.
+   * Documents with no spans pass through unchanged.
+   */
+  def stripSpans(df: DataFrame, id: Column, text: Column,
+      spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_len").as("l")))).as("__spans"))
+    val outCols = df.columns.map(col) :+
+      coalesce(
+        when(col("__spans").isNotNull,
+          // kept segments = complement of the spans: zip each span's
+          // end with the next span's start (text length as sentinel)
+          expr("""concat(
+            concat_ws('', zip_with(
+              array_prepend(transform(__spans, x -> x.s + x.l), 0L),
+              transform(__spans, x -> x.s),
+              (e, s) -> substring(__text_in, CAST(e AS INT) + 1, CAST(s - e AS INT)))),
+            substring(__text_in,
+              CAST(element_at(__spans, -1).s + element_at(__spans, -1).l AS INT) + 1))""")),
+        col("__text_in")).as("text_dedup")
+    df.withColumn("__text_in", text)
+      .join(perDoc, id === col("__sid"), "left")
+      .select(outCols: _*)
+  }
 }

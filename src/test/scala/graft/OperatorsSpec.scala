@@ -99,6 +99,74 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("duplicatedSpans: planted shared sentence, self-repeat, canonical survives") {
+    // delimiters deliberately differ on both sides so boundary grams
+    // are unique and the span is exactly the shared sentence
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d1 = s"AA#$shared#BB"                 // canonical (lowest id)
+    val d2 = s"prefix@$shared@suffix two"     // span expected here
+    val d3 = "completely unrelated content without repeats 123456"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, $"doc_id", $"text", minLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 holds every canonical occurrence -> no spans; doc 2's span
+    // covers exactly the shared sentence (every 10-gram inside it dups)
+    assert(spans.forall(_._1 == 2L), spans.toString)
+    val start = d2.indexOf(shared).toLong
+    assert(spans == Set((2L, start, shared.length.toLong)), s"$spans vs start=$start")
+
+    // self-repeat within one doc: second copy removable, first kept
+    val rep = "0123456789" * 3 + "tail"
+    val one = Seq((7L, rep)).toDF("doc_id", "text")
+    val s2 = Dedup.duplicatedSpans(one, $"doc_id", $"text", minLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // offsets 1..20 all have duplicated 10-grams; offset 0 is canonical
+    // for "0123456789" but offsets 1..9 are canonical for their own
+    // rotations -> removable run = offsets 10..20 -> span [10, 30)
+    assert(s2 == Set((7L, 10L, 20L)), s2.toString)
+  }
+
+  test("duplicatedSpans + stripSpans == brute-force on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until 12).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val L = 12
+    // brute force: gram -> sorted occurrence list; removable = all but
+    // first; islands merged
+    val occ = scala.collection.mutable.Map[String, List[(Long, Int)]]()
+    for ((id, t) <- texts; o <- 0 to t.length - L)
+      occ(t.substring(o, o + L)) = occ.getOrElse(t.substring(o, o + L), Nil) :+ ((id, o))
+    val removable = occ.values.filter(_.size >= 2)
+      .flatMap(v => v.sorted.drop(1)).toSet
+    val expect = texts.flatMap { case (id, t) =>
+      val offs = (0 to t.length - L).filter(o => removable((id, o)))
+      // merge offsets whose char ranges overlap or touch (gap <= L)
+      offs.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, o) if o <= e + L => (s, o) :: rest
+        case (acc, o) => (o, o) :: acc
+      }.map { case (s, e) => (id, s.toLong, (e - s + L).toLong) }
+    }.toSet
+    val df = texts.toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, $"doc_id", $"text", minLen = L)
+    val got = spans.as[(Long, Long, Long)].collect().toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+
+    // strip: every doc equals its brute-force spliced text
+    val expectText = texts.map { case (id, t) =>
+      val cuts = expect.filter(_._1 == id).toSeq.sortBy(_._2)
+      val sb = new StringBuilder
+      var pos = 0
+      for ((_, s, l) <- cuts) { sb.append(t.substring(pos, s.toInt)); pos = (s + l).toInt }
+      (id, sb.append(t.substring(pos)).toString)
+    }.toMap
+    val stripped = Dedup.stripSpans(df, $"doc_id", $"text", spans)
+      .select($"doc_id", $"text_dedup").as[(Long, String)].collect().toMap
+    assert(stripped == expectText,
+      stripped.collect { case (k, v) if expectText(k) != v => (k, v, expectText(k)) }.take(3).toString)
+  }
+
   test("fuzzyPairs == brute-force levenshtein across band widths (boundary lengths)") {
     // strings engineered to straddle band boundaries: lengths 6..9
     // around a bandWidth-8 edge, plus planted lev-1/2 variants
