@@ -1592,6 +1592,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // k-core peel with a 4-round cascade: degree-1 tendrils and 2-node
+    // pairs peel first, the 60-vertex hub erodes over two more rounds
+    // (78 -> 72 -> 30 -> 18 alive), and an 18-clique (degree 17) is
+    // the surviving core — exercising multi-round cascade, total
+    // collapse of a subgraph, and a stable fixed point in one graph
+    "q_graph_kcore" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val d = s.table("documents")
+      val edges = d.selectExpr("doc_id % 60 AS src", "(doc_id * 7 + doc_id DIV 60) % 60 AS dst")
+        .unionAll(d.selectExpr("100 + doc_id AS src", "doc_id % 60 AS dst"))
+        .unionAll(d.selectExpr("1000 + doc_id AS src", "1000 + (doc_id + 250) % 500 AS dst"))
+        .unionAll(d.selectExpr("5000 + doc_id % 18 AS src",
+          "5000 + (doc_id * 5 + doc_id DIV 18) % 18 AS dst"))
+      operators.LinkGraph.kCore(edges, col("src"), col("dst"), k = 15, maxRounds = 20)
+        .orderBy("v")
+    }),
+
     "q_graph_pagerank" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -4450,6 +4468,30 @@ object SparkEntry {
       "q_graph_labelprop" -> labelPropOracleSql,
 
       // min-label reachability closure over the undirected edge set
+      // 8 unrolled synchronous peel rounds (the cascade converges in
+      // 4; extra rounds are no-ops at the fixed point, which is also
+      // why the operator's early exit is equivalent). Every CTE is
+      // MATERIALIZED: the oracle engine inlines plain CTEs, and each
+      // round references the previous one three times — un-pinned,
+      // the unroll re-scans the base relation 3^8 times.
+      "q_graph_kcore" -> {
+        val rounds = 8
+        val peels = (1 to rounds).map { i =>
+          s"""kp$i AS MATERIALIZED (SELECT a AS v FROM c${i - 1} GROUP BY a HAVING count(*) >= 15),
+             c$i AS MATERIALIZED (SELECT c.a, c.b FROM c${i - 1} c
+               JOIN kp$i p ON c.a = p.v JOIN kp$i q ON c.b = q.v)"""
+        }.mkString(",\n           ")
+        s"""WITH e0 AS MATERIALIZED (
+             SELECT doc_id % 60 AS a, (doc_id * 7 + doc_id // 60) % 60 AS b FROM documents
+             UNION ALL SELECT 100 + doc_id, doc_id % 60 FROM documents
+             UNION ALL SELECT 1000 + doc_id, 1000 + (doc_id + 250) % 500 FROM documents
+             UNION ALL SELECT 5000 + doc_id % 18, 5000 + (doc_id * 5 + doc_id // 18) % 18 FROM documents),
+           e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+           c0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (SELECT a, b FROM e1 UNION ALL SELECT b AS a, a AS b FROM e1)),
+           $peels
+           SELECT a AS v, count(*) AS deg FROM c$rounds GROUP BY a ORDER BY v"""
+      },
+
       "q_graph_components" ->
         """WITH RECURSIVE e AS (
              SELECT doc_id AS u, (doc_id * 37 + 11) % 500 AS v FROM documents),

@@ -211,6 +211,63 @@ object LinkGraph {
     labels
   }
 
+  /**
+   * k-core subgraph via synchronous peeling: each round removes every
+   * vertex whose degree in the CURRENT subgraph is below `k`, until a
+   * fixed point (the k-core — the classic link-graph quality filter:
+   * keep only densely-embedded hosts/documents). Returns the
+   * surviving vertices with their in-core degree (v BIGINT,
+   * deg BIGINT); empty when the graph has no k-core.
+   *
+   * Scale shape per round: one degree aggregate over the cached
+   * edge frame (pre-partitioned by endpoint, so the aggregate and the
+   * two semi-join filters all reuse that distribution — only the
+   * vertex-sized keep frame shuffles) and one edge filter; the edge
+   * frame only ever shrinks. The keep-count is compared round-over-
+   * round: the alive set shrinks monotonically, so an unchanged count
+   * IS the fixed point, and early exit is safe because a stable set
+   * stays stable under further peeling. `maxRounds` is a safety
+   * valve for adversarial chains (a k=2 path peels one layer per
+   * round); if it trips, the result is the `maxRounds`-step peel,
+   * a superset of the true core.
+   */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "kCore: k >= 1 and maxRounds >= 1")
+    val e0 = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().repartition(col("a")).persist()
+    e.count() // pin before the loop (same measured lesson as labelProp)
+    var rounds = 0
+    var done = false
+    var lastAlive = -1L
+    while (!done && rounds < maxRounds) {
+      val keep = e.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a").as("v")).persist()
+      val n = keep.count()
+      if (n == lastAlive) { done = true; keep.unpersist(blocking = false) }
+      else {
+        lastAlive = n
+        val next = e.join(keep, e("a") === keep("v")).drop("v")
+          .join(keep.select(col("v").as("w")), col("b") === col("w")).drop("w")
+          .repartition(col("a")).persist()
+        next.count()
+        e.unpersist(blocking = false); keep.unpersist(blocking = false)
+        e = next
+        rounds += 1
+      }
+    }
+    // localCheckpoint (not persist) so the final cached edge frame can
+    // be released here without losing the result — same cache-leak
+    // discipline as triangleCounts
+    val out = e.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+      .localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    out
+  }
+
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
       src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
       maxRounds: Int = 25): org.apache.spark.sql.DataFrame = {

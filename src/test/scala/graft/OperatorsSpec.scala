@@ -1260,6 +1260,32 @@ class SamplingSpec extends SparkSpec {
     assert(labelsAt(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 10L -> 10L, 11L -> 11L, 12L -> 12L))
   }
 
+  test("kCore: triangle+tail, path cascade, clique core, empty core") {
+    import graft.operators.LinkGraph
+    import org.apache.spark.sql.functions.col
+    // triangle 1-2-3 with a tail 3-4: 2-core = the triangle
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val c1 = LinkGraph.kCore(g1, col("s"), col("d"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(c1 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), c1.toString)
+    // path of 7: k=2 peels one endpoint layer per round (the
+    // maxRounds-is-a-cascade-depth case) and ends empty
+    val path = (1L until 7L).map(i => (i, i + 1)).toDF("s", "d")
+    assert(LinkGraph.kCore(path, col("s"), col("d"), k = 2).count() == 0L)
+    // capped rounds return the partial peel (superset of the core):
+    // endpoints 1/7 removed, degrees re-measured in what remains
+    val partial = LinkGraph.kCore(path, col("s"), col("d"), k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial == Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 1L), partial.toString)
+    // K5 with a pendant: 4-core = K5 at degree 4
+    val k5 = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)) :+ ((5L, 99L))
+    val c5 = LinkGraph.kCore(k5.toDF("s", "d"), col("s"), col("d"), k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(c5 == (1L to 5L).map(_ -> 4L).toMap, c5.toString)
+    // k above the max degree: empty
+    assert(LinkGraph.kCore(g1, col("s"), col("d"), k = 5).count() == 0L)
+  }
+
   test("pageRankMicro: exact integer iteration, hand-checked, partitioning-invariant") {
     import graft.operators.LinkGraph
     // a->b, a->c, b->c, c->a; deg(a)=2. After one iteration at d=85%:
