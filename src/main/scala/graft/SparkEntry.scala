@@ -2243,6 +2243,26 @@ object SparkEntry {
            ORDER BY objectid""")
     }),
 
+    // MapInfo MIF/MID (GDAL "MapInfo File" driver parity): every
+    // supported record kind in one fixture — point, line, pline,
+    // multi-section pline, region with hole, two-shell region, rect,
+    // NONE — plus quoted/comma attributes and skipped style clauses.
+    // Oracle = the independent python golden (type tag / point count /
+    // envelope computed from the same coordinate lists, no shared code).
+    "q_src_mif" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      sources.GeoRead.read(s, "/root/repo/src/test/resources/mif/sample.mif",
+          sources.GeoRead.ReadOptions())
+        .select(col("name"), col("pop"), col("area"), col("active"), col("born"),
+          st_geometrytype(col("geom")).as("gtype"),
+          st_npoints(col("geom")).as("npts"),
+          st_xmin(col("geom")).as("minx"), st_ymin(col("geom")).as("miny"),
+          st_xmax(col("geom")).as("maxx"), st_ymax(col("geom")).as("maxy"))
+        .orderBy("name")
+    }),
+
     // zipped st_read (GDAL /vsizip/ parity): the archive is built here
     // from the reference shapefile's parts (sidecars included) — what's
     // under test is the zip path (entry select + atomic extraction);
@@ -5134,6 +5154,15 @@ object SparkEntry {
              header=true)
            ORDER BY objectid""",
 
+      // independent python golden (tools/make_mif_golden.py): metadata
+      // recomputed from the same coordinate lists, no shared parser
+      "q_src_mif" ->
+        """SELECT name, pop, area, active, born, gtype, npts,
+             minx, miny, maxx, maxy
+           FROM read_csv('/root/repo/src/test/resources/golden/mif_golden.csv',
+             header=true, types={'born': 'VARCHAR'})
+           ORDER BY name""",
+
       // same independent golden, zipped read path on the engine side
       "q_src_zip" ->
         """SELECT objectid, zone, borough, npoints, xmin, ymax
@@ -5240,20 +5269,18 @@ object SparkEntry {
                       'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
            ORDER BY layer, fid""",
 
-      "q_drivers" ->
-        """SELECT * FROM (VALUES
-             ('csv_wkt', 'CSV with WKT geometry column', true, true),
-             ('flatgeobuf', 'FlatGeobuf (.fgb, splittable via spatial index)', true, true),
-             ('geojson', 'GeoJSON (FeatureCollection / newline-delimited)', true, true),
-             ('geopackage', 'GeoPackage (.gpkg, SQLite container)', true, true),
-             ('gml', 'Geography Markup Language (.gml, feature-member rows)', true, false),
-             ('gpx', 'GPS Exchange Format (.gpx; waypoints/routes/tracks layers)', true, false),
-             ('kml', 'Keyhole Markup Language (.kml, placemark rows)', true, false),
-             ('osm_pbf', 'OpenStreetMap PBF (.osm.pbf)', true, false),
-             ('parquet', 'GeoParquet / Parquet with WKB', true, true),
-             ('shapefile', 'ESRI Shapefile (.shp/.shx/.dbf/.cpg)', true, true)
+      // VALUES generated from GeoRead.driverRows — one registry feeds
+      // both the engine table and this oracle, so a new driver can
+      // never desync the gate (the r8 q_list_crs lesson)
+      "q_drivers" -> {
+        val vals = sources.GeoRead.driverRows.sortBy(_._1).map { case (s, l, o, c) =>
+          s"('$s', '${l.replace("'", "''")}', $o, $c)"
+        }.mkString(",\n             ")
+        s"""SELECT * FROM (VALUES
+             $vals
            ) v(short_name, long_name, can_open, can_create)
-           ORDER BY short_name""",
+           ORDER BY short_name"""
+      },
 
       // n_total is derived from the live Crs registry at query-build time so
       // a catalog addition can never desync the oracle from the engine

@@ -112,7 +112,7 @@ object GeoRead {
         val p = st.getPath
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       }.sorted
-      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml")
+      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif")
       val byExt = exts.map(e => e -> files.filter(_.toLowerCase.endsWith(e)))
         .filter(_._2.nonEmpty)
       if (byExt.length > 1)
@@ -193,8 +193,9 @@ object GeoRead {
           Some("geom"))
       else if (lower.endsWith(".kml")) (Kml.read(spark, path), Some("geom"))
       else if (lower.endsWith(".gml")) (Gml.read(spark, path), Some("geom"))
+      else if (lower.endsWith(".mif")) (MapInfoMif.read(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -229,6 +230,7 @@ object GeoRead {
     else if (lower.endsWith(".gpx")) "gpx"
     else if (lower.endsWith(".kml")) "kml"
     else if (lower.endsWith(".gml")) "gml"
+    else if (lower.endsWith(".mif")) "mapinfo_mif"
     else throw new IllegalArgumentException(
       s"unsupported format for $lower (see st_drivers() for the supported list)")
 
@@ -489,22 +491,29 @@ object GeoRead {
           bbox.map(b => Double.box(b._3)).orNull, bbox.map(b => Double.box(b._4)).orNull)
       })
 
+  /** Single source of truth for [[drivers]] AND the q_drivers oracle
+   *  (SparkEntry generates its VALUES list from this seq, so adding a
+   *  driver can never desync the gate — the r8 q_list_crs lesson
+   *  applied to this catalog). */
+  val driverRows: Seq[(String, String, Boolean, Boolean)] = Seq(
+    ("parquet", "GeoParquet / Parquet with WKB", true, true),
+    ("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
+    ("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, true),
+    ("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
+    ("geopackage", "GeoPackage (.gpkg, SQLite container)", true, true),
+    ("csv_wkt", "CSV with WKT geometry column", true, true),
+    ("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false),
+    ("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, false),
+    ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, false),
+    ("gml", "Geography Markup Language (.gml, feature-member rows)", true, false),
+    ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false))
+
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
     localDf(spark, StructType(Seq(
       StructField("short_name", StringType), StructField("long_name", StringType),
       StructField("can_open", BooleanType), StructField("can_create", BooleanType))),
-      Seq(
-        Row("parquet", "GeoParquet / Parquet with WKB", true, true),
-        Row("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
-        Row("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, true),
-        Row("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
-        Row("geopackage", "GeoPackage (.gpkg, SQLite container)", true, true),
-        Row("csv_wkt", "CSV with WKT geometry column", true, true),
-        Row("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false),
-        Row("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, false),
-        Row("kml", "Keyhole Markup Language (.kml, placemark rows)", true, false),
-        Row("gml", "Geography Markup Language (.gml, feature-member rows)", true, false)))
+      driverRows.map(t => Row(t._1, t._2, t._3, t._4)))
 
   /** ST_List_Proj_CRS analog (reference proj/functions.cpp:380-430):
    *  dump of the supported CRS catalog with the reference's columns. */

@@ -350,8 +350,44 @@ class SourcesSpec extends SparkSpec {
     assert(miss.getMessage.contains("sibling"), miss.getMessage)
   }
 
+  test("MIF/MID: geometry kinds, hole assembly, quoted MID fields, clear errors") {
+    import graft.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    val df = GeoRead.read(spark, "/root/repo/src/test/resources/mif/sample.mif",
+      GeoRead.ReadOptions())
+    assert(df.count() == 8)
+    val byName = df.select(col("name"), st_astext(col("geom")).as("wkt")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byName("alpha") == Some("POINT (10.5 20.25)"), byName("alpha"))
+    assert(byName("theta").isEmpty, "NONE record must carry a null geometry")
+    // region hole assembly: interior ring recognized, area = 100 - 4
+    val epsArea = df.filter(col("name") === "epsilon")
+      .select(st_area(col("geom"))).head().getDouble(0)
+    assert(math.abs(epsArea - 96.0) < 1e-9, epsArea.toString)
+    // two disjoint shells -> MultiPolygon of total area 25 + 6
+    val zetaArea = df.filter(col("name") === "zeta")
+      .select(st_area(col("geom"))).head().getDouble(0)
+    assert(math.abs(zetaArea - 31.0) < 1e-9, zetaArea.toString)
+    // quoted MID value with embedded delimiter survives
+    assert(byName.contains("beta quoted, comma"), byName.keys.toString)
+    // typed attributes
+    val row = df.filter(col("name") === "alpha")
+      .select("pop", "area", "active", "born").head()
+    assert(row.getInt(0) == 100 && row.getDouble(1) == 1.5 &&
+      row.getBoolean(2) && row.getString(3) == "20240101", row.toString)
+    // unsupported record kind raises with the kind named
+    val tmp = java.nio.file.Files.createTempDirectory("miferr").toFile
+    val bad = new java.io.File(tmp, "bad.mif")
+    val w = new java.io.PrintWriter(bad)
+    w.println("VERSION 300\nCOLUMNS 0\nDATA\nARC 0 0 5 5 0 90"); w.close()
+    val err = intercept[Exception] {
+      GeoRead.read(spark, bad.getPath, GeoRead.ReadOptions()).count()
+    }
+    assert(err.getMessage.contains("ARC"), err.getMessage)
+  }
+
   test("drivers + read_meta") {
-    assert(GeoRead.drivers(spark).count() == 10)
+    assert(GeoRead.drivers(spark).count() == GeoRead.driverRows.size.toLong)
     assume(nycShp.isDefined)
     val meta = GeoRead.readMeta(spark, nycShp.get).collect()(0)
     assert(meta.getString(1) == "shapefile")
