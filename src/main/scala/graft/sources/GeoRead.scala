@@ -503,8 +503,8 @@ object GeoRead {
     ("geopackage", "GeoPackage (.gpkg, SQLite container)", true, true),
     ("csv_wkt", "CSV with WKT geometry column", true, true),
     ("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false),
-    ("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, false),
-    ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, false),
+    ("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, true),
+    ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, true),
     ("gml", "Geography Markup Language (.gml, feature-member rows)", true, false),
     ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false))
 
@@ -686,8 +686,10 @@ object GeoWrite {
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
       GeoJsonWriter.write(df, geomCol, path)
     else if (lower.endsWith(".csv")) GeoRead.writeCsvWkt(df, geomCol, path)
+    else if (lower.endsWith(".kml")) GeoXmlWrite.writeKml(df, geomCol, path)
+    else if (lower.endsWith(".gpx")) GeoXmlWrite.writeGpx(df, geomCol, path)
     else throw new IllegalArgumentException(
-      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, .geojson, .geojsonl, .csv)")
+      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, .geojson, .geojsonl, .csv, .kml, .gpx)")
   }
 }
 

@@ -148,4 +148,80 @@ class GpxKmlSpec extends SparkSpec {
       .selectExpr("driver_short_name").collect()(0).getString(0)
     assert(meta == "gml")
   }
+
+  test("kml writer: placemark roundtrip through our reader (geoms, ext data, nulls)") {
+    import spark.implicits._
+    import graft.sources.GeoXmlWrite
+    val gf = graft.functions.Jts.gf
+    def wkb(g: org.locationtech.jts.geom.Geometry) = graft.functions.Jts.write(g)
+    val poly = gf.createPolygon(
+      gf.createLinearRing(Array(c(0, 0), c(10, 0), c(10, 10), c(0, 10), c(0, 0))),
+      Array(gf.createLinearRing(Array(c(4, 4), c(6, 4), c(6, 6), c(4, 6), c(4, 4)))))
+    val multi = gf.createGeometryCollection(Array(
+      graft.functions.Jts.point(1.5, 2.5),
+      gf.createLineString(Array(c(0, 0), c(3, 4)))))
+    val rows = Seq(
+      ("pt", "a <point> & co", "x1", wkb(graft.functions.Jts.point(4.25, 52.5))),
+      ("line", null, "x2", wkb(gf.createLineString(Array(c(1, 1), c(2, 3), c(5, 5))))),
+      ("poly", "with hole", null, wkb(poly)),
+      ("multi", null, "x4", wkb(multi)),
+      ("nogeo", "geometry-less", "x5", null))
+    val df = rows.toDF("name", "description", "extra", "geom")
+    val path = java.nio.file.Files.createTempDirectory("kmlw").resolve("out.kml").toString
+    graft.sources.GeoWrite.write(df, path, "geom")
+    val back = Kml.read(spark, path).collect()
+    assert(back.length == 5)
+    val byName = back.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("pt").getAs[String]("description") == "a <point> & co")
+    assert(graft.functions.Jts.read(byName("pt").getAs[Array[Byte]]("geom"))
+      .toString == "POINT (4.25 52.5)")
+    assert(byName("pt").getAs[Map[String, String]]("ext") == Map("extra" -> "x1"))
+    assert(graft.functions.Jts.read(byName("line").getAs[Array[Byte]]("geom"))
+      .getNumPoints == 3)
+    val p2 = graft.functions.Jts.read(byName("poly").getAs[Array[Byte]]("geom"))
+    assert(p2.getGeometryType == "Polygon" && math.abs(p2.getArea - 96.0) < 1e-9)
+    val m2 = graft.functions.Jts.read(byName("multi").getAs[Array[Byte]]("geom"))
+    assert(m2.getNumGeometries == 2)
+    assert(byName("nogeo").isNullAt(byName("nogeo").fieldIndex("geom")))
+  }
+
+  test("gpx writer: waypoints and tracks roundtrip through our reader") {
+    import spark.implicits._
+    val gf = graft.functions.Jts.gf
+    def wkb(g: org.locationtech.jts.geom.Geometry) = graft.functions.Jts.write(g)
+    val seg1 = gf.createLineString(Array(c(4.1, 52.1), c(4.2, 52.2)))
+    val seg2 = gf.createLineString(Array(c(5.0, 53.0), c(5.1, 53.1), c(5.2, 53.0)))
+    val rows = Seq(
+      ("wp one", Some(12.5), Some("2024-01-01T10:00:00Z"), None,
+        wkb(graft.functions.Jts.point(4.8952, 52.3702))),
+      ("trackA", None, None, Some(7),
+        wkb(gf.createMultiLineString(Array(seg1, seg2)))),
+      ("trackB", None, None, None, wkb(seg1)))
+    val df = rows.toDF("name", "ele", "time", "number", "geom")
+    val path = java.nio.file.Files.createTempDirectory("gpxw").resolve("out.gpx").toString
+    graft.sources.GeoWrite.write(df, path, "geom")
+    val wpt = Gpx.read(spark, path, "waypoints").collect()
+    assert(wpt.length == 1)
+    assert(wpt(0).getAs[String]("name") == "wp one" && wpt(0).getAs[Double]("ele") == 12.5 &&
+      wpt(0).getAs[String]("time") == "2024-01-01T10:00:00Z")
+    val wp = graft.functions.Jts.read(wpt(0).getAs[Array[Byte]]("geom"))
+    assert(wp.getCoordinate.x == 4.8952 && wp.getCoordinate.y == 52.3702)
+    val trk = Gpx.read(spark, path, "tracks").collect()
+    assert(trk.length == 2)
+    val ta = trk.find(_.getAs[String]("name") == "trackA").get
+    assert(ta.getAs[Int]("number") == 7)
+    val tag = graft.functions.Jts.read(ta.getAs[Array[Byte]]("geom"))
+    assert(tag.getGeometryType == "MultiLineString" && tag.getNumGeometries == 2 &&
+      tag.getNumPoints == 5)
+    // unsupported geometry refuses with the type named
+    val bad = Seq(("p", wkb(gf.createPolygon(gf.createLinearRing(
+      Array(c(0, 0), c(1, 0), c(1, 1), c(0, 0))))))).toDF("name", "geom")
+    val err = intercept[Exception] {
+      graft.sources.GeoWrite.write(bad, java.nio.file.Files.createTempDirectory("gpxw2")
+        .resolve("bad.gpx").toString, "geom")
+    }
+    assert(err.getMessage.contains("Polygon"), err.getMessage)
+  }
+
+  private def c(x: Double, y: Double) = new org.locationtech.jts.geom.Coordinate(x, y)
 }
