@@ -1219,6 +1219,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Stupid-backoff trigram LM (Brants et al. 2007): self-scored
+    // corpus, bi/tri pruned at cnt>=2 so all three levels and the
+    // unseen floor are exercised by the organic vocabulary.
+    "q_doc_sbo_lm" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val docs = s.table("documents")
+      operators.TextOps.stupidBackoff(docs, col("doc_id"), col("text"), docs, col("text"))
+        .select(col("id").as("doc_id"), col("n_scored"), col("sb_micro"),
+          round(col("sb_micro") / col("n_scored") / 1e6, 6).as("avg_sb"))
+        .orderBy("doc_id")
+    }),
+
     // Domain blocklist filter (the C4 source gate): drop documents
     // linking to blocked ad/tracker domains, checksum the survivors.
     "q_doc_domain_filter" -> ((s, dir) => {
@@ -4347,6 +4360,63 @@ object SparkEntry {
              FROM terms GROUP BY doc_id)
            SELECT doc_id, n_grams, lp_micro,
              round(lp_micro / n_grams / 1e6, 6) AS avg_lp
+           FROM agg ORDER BY doc_id""",
+
+      // stupid backoff: concat_ws on the oracle side mirrors Spark's
+      // null-skip key semantics for sub-trigram documents; ratios are
+      // built before the single ln() in the same operation order so
+      // the 1e-6 rounding sees bit-identical doubles
+      "q_doc_sbo_lm" ->
+        """WITH toks AS (
+             SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+             FROM documents),
+           u AS (SELECT unnest(tk) AS g FROM toks),
+           ucnt AS (SELECT g, count(*) AS c FROM u GROUP BY g),
+           b AS (
+             SELECT unnest([array_to_string(tk[i:i+1], ' ')
+                            for i in range(1, greatest(len(tk) - 1, 1) + 1)]) AS g
+             FROM toks),
+           bcnt AS (SELECT g, count(*) AS c FROM b GROUP BY g HAVING count(*) >= 2),
+           t3 AS (
+             SELECT unnest([array_to_string(tk[i:i+2], ' ')
+                            for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS g
+             FROM toks),
+           tcnt AS (SELECT g, count(*) AS c FROM t3 GROUP BY g HAVING count(*) >= 2),
+           tot AS (SELECT sum(c)::DOUBLE AS n FROM ucnt),
+           pos AS (
+             SELECT doc_id,
+               unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+                       for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS s
+             FROM toks),
+           keys AS (
+             SELECT doc_id,
+               concat_ws(' ', s.w1, s.w2, s.w3) AS kt,
+               concat_ws(' ', s.w1, s.w2) AS kbc,
+               concat_ws(' ', s.w2, s.w3) AS kb,
+               s.w2 AS kuc, s.w3 AS ku
+             FROM pos),
+           scored AS (
+             SELECT k.doc_id,
+               CASE
+                 WHEN tc.c IS NOT NULL AND bcc.c IS NOT NULL
+                   THEN ln(tc.c::DOUBLE / bcc.c::DOUBLE)
+                 WHEN bc.c IS NOT NULL AND ucc.c IS NOT NULL
+                   THEN ln(0.4 * bc.c::DOUBLE / ucc.c::DOUBLE)
+                 ELSE ln(0.16000000000000003 * coalesce(uc.c, 1)::DOUBLE / t.n)
+               END AS lp
+             FROM keys k
+             LEFT JOIN tcnt tc ON tc.g = k.kt
+             LEFT JOIN bcnt bcc ON bcc.g = k.kbc
+             LEFT JOIN bcnt bc ON bc.g = k.kb
+             LEFT JOIN ucnt ucc ON ucc.g = k.kuc
+             LEFT JOIN ucnt uc ON uc.g = k.ku
+             CROSS JOIN tot t),
+           agg AS (
+             SELECT doc_id, count(*) AS n_scored,
+               CAST(sum(CAST(round(lp * 1e6, 0) AS BIGINT)) AS BIGINT) AS sb_micro
+             FROM scored GROUP BY doc_id)
+           SELECT doc_id, n_scored, sb_micro,
+             round(sb_micro / n_scored / 1e6, 6) AS avg_sb
            FROM agg ORDER BY doc_id""",
 
       "q_emb_quantize" ->

@@ -198,6 +198,73 @@ object TextOps {
   }
 
   /**
+   * Stupid-backoff trigram LM scoring — the web-scale backoff of
+   * Brants et al. 2007 ("Large Language Models in Machine
+   * Translation"): no discounting, a fixed multiplier α per backoff
+   * level. Per scored position (every word trigram of the document):
+   *
+   *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)          when the trigram survives pruning
+   *              = α · c(w₂w₃)/c(w₂)           else, when the bigram survives
+   *              = α² · c(w₃)/N                else (unseen w₃ floors at α²·1/N)
+   *
+   * ln(S) is rounded to 1e-6 and summed as exact BIGINT micro-units
+   * per document (aggregation-order-free, hash-certifiable — the
+   * [[ngramLogProb]] discipline). Returns (id, n_scored, sb_micro);
+   * avg ln-score = sb_micro/n_scored/1e6.
+   *
+   * Scale shape: the three count tables come from one explode each
+   * with map-side combine; `minCount` pruning (on bi/tri — unigrams
+   * stay unpruned, they are the floor) bounds them to vocabulary
+   * size, which is the broadcast case (`broadcastCounts`): five
+   * broadcast hash joins on the exploded trigram stream, zero
+   * corpus shuffles before the per-doc aggregate. This is exactly
+   * why Brants replaced Kneser-Ney at web scale — backoff scoring is
+   * embarrassingly parallel over positions; discount estimation is
+   * not.
+   */
+  def stupidBackoff(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      train: org.apache.spark.sql.DataFrame, trainText: Column,
+      alpha: Double = 0.4, minCount: Long = 2,
+      broadcastCounts: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val uni = ngramCounts(train, trainText, 1, 1L)
+    val bi = ngramCounts(train, trainText, 2, minCount)
+    val tri = ngramCounts(train, trainText, 3, minCount)
+    val total = uni.agg(sum(col("cnt")).cast("double").as("__N"))
+    def side(c: org.apache.spark.sql.DataFrame, key: String, cnt: String) = {
+      val r = c.select(col("gram").as(key), col("cnt").as(cnt))
+      if (broadcastCounts) bcast(r) else r
+    }
+    val pos = df.select(id.as("id"), explode(wordNgrams(text, 3)).as("__t3"))
+      .withColumn("__p", split(col("__t3"), " "))
+      .select(col("id"), col("__t3"),
+        concat_ws(" ", col("__p")(0), col("__p")(1)).as("__bictx"),
+        concat_ws(" ", col("__p")(1), col("__p")(2)).as("__bi"),
+        col("__p")(1).as("__unictx"), col("__p")(2).as("__uni"))
+    // the score expressions keep the SAME operation order as the
+    // oracle SQL (ratio built first, single ln) so the 1e-6 rounding
+    // sees bit-identical doubles on both engines
+    val lp = when(col("__tc").isNotNull && col("__bcc").isNotNull,
+        log(col("__tc").cast("double") / col("__bcc").cast("double")))
+      .when(col("__bc").isNotNull && col("__ucc").isNotNull,
+        log(lit(alpha) * col("__bc").cast("double") / col("__ucc").cast("double")))
+      .otherwise(
+        log(lit(alpha * alpha) * coalesce(col("__uc"), lit(1L)).cast("double") / col("__N")))
+    pos
+      .join(side(tri, "__kt", "__tc"), col("__t3") === col("__kt"), "left")
+      .join(side(bi, "__kbc", "__bcc"), col("__bictx") === col("__kbc"), "left")
+      .join(side(bi, "__kb", "__bc"), col("__bi") === col("__kb"), "left")
+      .join(side(uni, "__kuc", "__ucc"), col("__unictx") === col("__kuc"), "left")
+      .join(side(uni, "__ku", "__uc"), col("__uni") === col("__ku"), "left")
+      .crossJoin(bcast(total))
+      .select(col("id"), round(lp * 1e6, 0).cast("long").as("__lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_scored"), sum(col("__lp")).as("sb_micro"))
+  }
+
+  /**
    * Overlapping token-window chunking (the embedding/RAG ingestion
    * primitive: long documents become `size`-token windows every
    * `stride` tokens, so context survives window boundaries). Pure

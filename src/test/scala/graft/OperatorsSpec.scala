@@ -1367,6 +1367,32 @@ class SamplingSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stupidBackoff: all three backoff levels hand-checked on a tiny corpus") {
+    // unigrams: x:3 y:3 z:2 q:1, N=9; surviving (cnt>=2) bigrams:
+    // "x y":3 "y z":2; surviving trigram: "x y z":2
+    val docs = Seq((1L, "x y z x y z"), (2L, "x y q")).toDF("id", "t")
+    def micro(d: Double) = math.round(d * 1e6)
+    // doc1 positions: "x y z" -> ln(2/3); "y z x" -> bigram "z x"
+    // pruned -> floor ln(a2*3/9); "z x y" -> bigram path ln(0.4*3/3);
+    // "x y z" -> ln(2/3)
+    val a2 = 0.4 * 0.4
+    val d1 = 2 * micro(math.log(2.0 / 3.0)) +
+      micro(math.log(a2 * 3.0 / 9.0)) + micro(math.log(0.4 * 3.0 / 3.0))
+    // doc2's single position "x y q": trigram and bigram "y q" pruned
+    // -> floor with uni q=1
+    val d2 = micro(math.log(a2 * 1.0 / 9.0))
+    val got = TextOps.stupidBackoff(docs, $"id", $"t", docs, $"t")
+      .select("id", "n_scored", "sb_micro").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, d1)), s"${got(1L)} vs $d1")
+    assert(got(2L) == ((1L, d2)), s"${got(2L)} vs $d2")
+    // non-broadcast path is value-identical
+    val shuffled = TextOps.stupidBackoff(docs, $"id", $"t", docs, $"t",
+        broadcastCounts = false)
+      .select("id", "sb_micro").as[(Long, Long)].collect().toMap
+    assert(shuffled == Map(1L -> d1, 2L -> d2))
+  }
+
   test("char entropy: closed-form values, degenerate text scores low") {
     val df = Seq(
       (1L, "aaaa"),     // H = 0

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSpec {
   // q_emb_hamming is the same broadcast-queries class as q_emb_topk —
   // the corpus side carries only (id, 8-byte signature).
   private val intendedBroadcastCross =
-    Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm",
+    Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm", "q_doc_sbo_lm",
       "q_emb_hamming", "q_emb_ivf_indexed", // probe stage: queries × broadcast centroids
 
       "q_events_resample", "q_events_rolling", "q_events_anomaly")
