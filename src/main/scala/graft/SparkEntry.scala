@@ -1465,6 +1465,19 @@ object SparkEntry {
         .orderBy("id", "component")
     }),
 
+    // Johnson-Lindenstrauss random projection (±1 Achlioptas matrix
+    // from splitmix64): 64 -> 8 dims, exact integer sums. The oracle
+    // inlines the identical sign matrix (Similarity.rpSign is the
+    // single source) and replicates the arithmetic in SQL.
+    "q_emb_randproj" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      operators.Similarity.randomProjectMicro(s.table("embeddings"),
+          col("vec_id"), col("embedding"), dIn = 64, dOut = 8)
+        .select(col("id").as("vec_id"), col("component"), col("score_micro"))
+        .orderBy("vec_id", "component")
+    }),
+
     // covariance accumulation: exact cross-moments over all dim pairs
     // (the PCA/whitening input), one (i, j) partial agg. The exact
     // DECIMAL(38,0) accumulator is internal; the certified column is
@@ -4796,6 +4809,24 @@ object SparkEntry {
 
       // deflated second component: Hotelling deflation entirely in
       // HUGEINT arithmetic, then the same 3-iteration recurrence
+      // the sign matrix inlines from the same rpSign the engine uses;
+      // what the oracle certifies is the projection arithmetic
+      "q_emb_randproj" -> {
+        val vals = (for (j <- 0 until 8; i <- 0 until 64)
+          yield s"($i,$j,${graft.operators.Similarity.rpSign(i, j, 8, 42L)})").mkString(",")
+        s"""WITH m(i, j, s) AS (SELECT * FROM (VALUES $vals)),
+           dims AS (
+             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+             FROM embeddings),
+           proj AS (
+             SELECT d.vec_id, m.j AS component,
+               CAST(sum(d.xm * m.s) AS BIGINT) AS score_micro
+             FROM dims d JOIN m ON d.i = m.i GROUP BY 1, 2)
+           SELECT vec_id, CAST(component AS INT) AS component, score_micro
+           FROM proj ORDER BY vec_id, component"""
+      },
+
       "q_emb_pca2" -> s"""$pca2OracleCtes
            SELECT 0 AS component, j AS dim, CAST(v AS BIGINT) AS v_micro FROM v3
            UNION ALL

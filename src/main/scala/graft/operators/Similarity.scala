@@ -586,6 +586,52 @@ object Similarity {
    * BIGINT sums, a narrow map against the broadcast-literal component
    * matrix (the dimensionality-reduction apply pass).
    */
+  /** Deterministic ±1 entry of the random-projection matrix:
+   *  splitmix64 of (seed + i·dOut + j), sign from the top bit. Public
+   *  so the oracle builder can inline the identical matrix. */
+  def rpSign(i: Int, j: Int, dOut: Int, seed: Long): Int = {
+    var z = seed + i.toLong * dOut + j + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if (z < 0) -1 else 1
+  }
+
+  /**
+   * Random projection (Johnson-Lindenstrauss with the ±1 Achlioptas
+   * matrix): project `vec` onto `dOut` pseudo-random sign vectors.
+   * Arithmetic is EXACT — inputs quantize to 1e-6 BIGINT micro-units
+   * and the matrix entries are ±1, so each output component is an
+   * integer sum, hash-certifiable and aggregation-order-free (the
+   * same discipline as [[projectMicro]]). The conventional 1/√dOut
+   * scale factor is left to the caller (it is a constant that cancels
+   * in any distance comparison).
+   *
+   * Scale shape: the matrix is dIn×dOut literals folded into the plan
+   * (model-sized, no join); the projection is a narrow per-row map —
+   * at 100 TB this is the classic shuffle-free dimensionality cut
+   * applied before ANN indexing. Output: (id, component,
+   * score_micro), one row per output dimension.
+   */
+  def randomProjectMicro(df: DataFrame, id: Column, vec: Column,
+      dIn: Int, dOut: Int, seed: Long = 42L): DataFrame = {
+    require(dIn >= 1 && dOut >= 1, "bad projection geometry")
+    val signs = Array.tabulate(dOut, dIn)((j, i) => rpSign(i, j, dOut, seed).toLong)
+    projectMicroSigns(df, id, vec, signs)
+  }
+
+  /** Shared projection kernel: rows of `mat` are ±1 (or micro-unit)
+   *  vectors; out_j = Σ_i vec_micro[i]·mat[j][i], exact BIGINT. */
+  private def projectMicroSigns(df: DataFrame, id: Column, vec: Column,
+      mat: Array[Array[Long]]): DataFrame = {
+    val matLit = array(mat.map(v => array(v.map(lit(_)): _*)): _*)
+    val mv = microVec(vec)
+    val scores = flatten(transform(array(mv), mvv =>
+      transform(matLit, v =>
+        aggregate(zip_with(mvv, v, (x, c) => x * c), lit(0L), (a, x) => a + x))))
+    df.select(id.as("id"), posexplode(scores).as(Seq("component", "score_micro")))
+  }
+
   def projectMicro(df: DataFrame, id: Column, vec: Column,
       components: Array[Array[Long]]): DataFrame = {
     require(components.nonEmpty, "no components")

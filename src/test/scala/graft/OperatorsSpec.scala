@@ -506,6 +506,45 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("randomProjectMicro: one-hot exactness, linearity, JL distance preservation") {
+    // one-hot e_i projects to exactly 1e6 * sign(i, j)
+    val oneHot = Seq((0L, Array.tabulate(16)(i => if (i == 3) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProjectMicro(oneHot, $"vec_id", $"embedding", 16, 4)
+      .select("component", "score_micro").as[(Int, Long)].collect().toMap
+    (0 until 4).foreach { j =>
+      assert(got(j) == 1000000L * Similarity.rpSign(3, j, 4, 42L), s"j=$j ${got(j)}")
+    }
+    // exact integer linearity: P(a+b) = P(a) + P(b) in micro units
+    val a = Array.tabulate(16)(i => (i % 5 - 2) * 0.25f)
+    val b = Array.tabulate(16)(i => (i % 3 - 1) * 0.125f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val three = Seq((0L, a), (1L, b), (2L, ab)).toDF("vec_id", "embedding")
+    val p = Similarity.randomProjectMicro(three, $"vec_id", $"embedding", 16, 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(p(2L) == p(0L).zip(p(1L)).map { case (x, y) => x + y },
+      s"${p(2L)} vs ${p(0L)} + ${p(1L)}")
+    // JL: on the real corpus, 64->16 projections preserve relative
+    // distances within a loose factor (sanity, not a proof)
+    val sample = emb.limit(20)
+    val proj = Similarity.randomProjectMicro(sample, $"vec_id", $"embedding", 64, 16)
+      .groupBy("id").agg(collect_list(struct($"component", $"score_micro")).as("p"))
+      .select($"id", expr("transform(array_sort(p), x -> x.score_micro)").as("pv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val orig = sample.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a1, b1) => (a1 - b1) * (a1 - b1) }.sum
+    val ids = orig.keys.toSeq.sorted.take(10)
+    for (i <- ids; j <- ids if i < j) {
+      val od = d2(orig(i).map(_.toDouble), orig(j).map(_.toDouble))
+      // scale: micro units and sqrt(dOut=16) normalization -> od * 1e12 * 16
+      val pd = d2(proj(i).map(_.toDouble), proj(j).map(_.toDouble)) / (1e12 * 16)
+      if (od > 1e-9)
+        assert(pd / od > 0.2 && pd / od < 5.0, s"JL distortion out of band: $pd / $od")
+    }
+  }
+
   test("cosine expression matches manual computation") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
       .toDF("a", "b")
