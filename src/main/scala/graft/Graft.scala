@@ -49,6 +49,8 @@ object Graft {
     reg.createOrReplaceTempFunction("simhash", e => SimHash(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint", e => Fingerprint(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_similarity", e => JaroSimilarity(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler_similarity", e => JaroWinklerSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature", e => MinHashSignature(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("string_shingles", e => StringShingles(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("topk_by_score", e =>

@@ -245,6 +245,20 @@ object SparkEntry {
            sum(nw) OVER (PARTITION BY doc_id ORDER BY off ROWS UNBOUNDED PRECEDING) AS grp
          FROM isl0)"""
 
+  /** Surname pool with planted typo variants for the Jaro-Winkler
+   *  linkage gate — plain CASE/concat so the identical SQL text
+   *  evaluates in both dialects; doc_id % 7 appends a char so
+   *  within-pool exact dupes become near-dupes too. */
+  private val jwNamePool = {
+    val pool = Seq("martinez", "marteenez", "martines", "johnson", "jonson",
+      "johnsen", "smith", "smyth", "schmidt", "fischer", "fisher",
+      "washington", "woshington")
+    val cases = pool.zipWithIndex.map { case (n, i) =>
+      s"WHEN doc_id % 13 = $i THEN '$n'"
+    }.mkString(" ")
+    s"concat(CASE $cases END, CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END)"
+  }
+
   private val plantedLines =
     """concat_ws(chr(10),
        CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for daily updates.'
@@ -1824,6 +1838,21 @@ object SparkEntry {
            END AS title""")
       operators.Dedup.fuzzyPairs(titled, col("doc_id"), col("title"),
           maxDist = 2, bandWidth = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // prefix-blocked Jaro-Winkler record linkage over a surname pool
+    // with planted typo variants; the ORACLE's jaro_winkler_similarity
+    // is the host engine's own independent implementation — a genuine
+    // cross-implementation certification of the comparator kernel
+    "q_doc_jw_pairs" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val named = s.table("documents").selectExpr("doc_id",
+        s"$jwNamePool AS nm")
+      operators.Dedup.jaroWinklerPairs(named, col("doc_id"), col("nm"),
+          minSim = 0.87, blockPrefix = 2)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw6"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -4024,6 +4053,22 @@ object SparkEntry {
              count(*) AS n_orders, CAST(sum(pt.cents) AS BIGINT) AS sum_cents
            FROM iv JOIN pt ON pt.od BETWEEN iv.start_d AND iv.end_d
            GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+
+      // the host engine's OWN jaro_winkler_similarity scores the same
+      // blocked candidate set — two independent implementations of the
+      // published comparator must agree to 6 decimals on every pair
+      "q_doc_jw_pairs" ->
+        s"""WITH named AS (
+             SELECT doc_id, $jwNamePool AS nm FROM documents),
+           blocked AS (
+             SELECT doc_id, nm, substring(nm, 1, 2) AS blk FROM named
+             WHERE length(nm) >= 2)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw6
+           FROM blocked a JOIN blocked b
+             ON a.blk = b.blk AND a.doc_id < b.doc_id
+           WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.87
+           ORDER BY id_a, id_b""",
 
       // full quadratic levenshtein with only the |len diff| prefilter —
       // certifies the band blocking drops no pair

@@ -572,6 +572,38 @@ object Dedup {
   }
 
   /**
+   * Prefix-blocked Jaro-Winkler record linkage: candidate pairs share
+   * their first `blockPrefix` characters (an equi-join — the classic
+   * blocking key for Winkler-style comparators, which up-weight
+   * shared prefixes by construction), then the exact
+   * [[graft.functions.JaroWinklerSimilarity]] kernel filters to
+   * `minSim`. Recall contract is explicit: pairs differing within the
+   * first `blockPrefix` characters are NOT candidates — callers
+   * needing typo-in-prefix recall union a second pass blocked on a
+   * different key (e.g. a reversed-prefix or phonetic key). Scale
+   * shape: one equi-shuffle on the tiny prefix key; hot prefixes are
+   * AQE-splittable; per-pair work is the O(|a|·window) kernel.
+   * Returns (id_a, id_b, jw) with id_a < id_b.
+   */
+  def jaroWinklerPairs(df: DataFrame, id: Column, key: Column,
+      minSim: Double = 0.9, blockPrefix: Int = 2): DataFrame = {
+    require(blockPrefix >= 1, "blockPrefix must be >= 1")
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim in [0,1]")
+    val s = df.select(id.as("id"), key.as("k"),
+      substring(key, 1, blockPrefix).as("__blk"))
+      .where(length(col("k")) >= blockPrefix)
+    val a = s.select(col("id").as("id_a"), col("k").as("ka"), col("__blk"))
+    val b = s.select(col("id").as("id_b"), col("k").as("kb"), col("__blk"))
+    val jw = ColumnShim.column(graft.functions.JaroWinklerSimilarity(
+      ColumnShim.expr(col("ka")), ColumnShim.expr(col("kb"))))
+    a.join(b, "__blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jw", jw)
+      .where(col("jw") >= minSim)
+      .select("id_a", "id_b", "jw")
+  }
+
+  /**
    * Exact duplicated-substring discovery — the span-level dedup class
    * of "Deduplicating Training Data Makes Language Models Better"
    * (Lee et al. 2022, the ExactSubstr tool), re-expressed as a

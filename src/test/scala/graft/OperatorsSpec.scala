@@ -99,6 +99,40 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("jaro-winkler: published worked examples, edge cases, blocked pairs") {
+    import graft.functions.{JaroSimilarity, JaroWinklerSimilarity}
+    def jw(a: String, b: String): Double =
+      JaroWinklerSimilarity(org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+        .eval(null).asInstanceOf[Double]
+    def jaro(a: String, b: String): Double =
+      JaroSimilarity(org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+        .eval(null).asInstanceOf[Double]
+    // Winkler's published examples
+    assert(math.abs(jaro("MARTHA", "MARHTA") - 0.9444444444444445) < 1e-12)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // below the 0.7 boost threshold the prefix does NOT boost
+    assert(jw("abcdefgh", "abzzzzzz") == 0.5 && jaro("abcdefgh", "abzzzzzz") == 0.5)
+    // prefix cap at 4
+    assert(math.abs(jw("abcdexxxx", "abcdeyyyy") - 0.8222222222222222) < 1e-12)
+    // empty scores 0 (the reference engine's convention), equal scores 1
+    assert(jw("", "") == 0.0 && jw("", "x") == 0.0 && jw("same", "same") == 1.0)
+    // window-0 short strings: transposed pairs don't match at all
+    assert(jaro("ab", "ba") == 0.0)
+    // odd mismatch count uses integer half-transpositions
+    assert(math.abs(jaro("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+
+    // blocked operator: brute-force parity within blocks
+    val names = Seq((1L, "martinez"), (2L, "martines"), (3L, "marteenez"),
+      (4L, "smith"), (5L, "smyth"), (6L, "zz")).toDF("id", "nm")
+    val got = Dedup.jaroWinklerPairs(names, $"id", $"nm", minSim = 0.8, blockPrefix = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), got.toString)
+  }
+
   test("duplicatedSpans: planted shared sentence, self-repeat, canonical survives") {
     // delimiters deliberately differ on both sides so boundary grams
     // are unique and the span is exactly the shared sentence
