@@ -51,6 +51,7 @@ object Graft {
     reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_similarity", e => JaroSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler_similarity", e => JaroWinklerSimilarity(e(0), e(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein", e => DamerauLevenshtein(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature", e => MinHashSignature(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("string_shingles", e => StringShingles(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("topk_by_score", e =>

@@ -259,6 +259,21 @@ object SparkEntry {
     s"concat(CASE $cases END, CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END)"
   }
 
+  /** Shared SQL for q_doc_damerau — the same text evaluates on both
+   *  engines (graft registers damerau_levenshtein; the oracle engine
+   *  ships its own). */
+  private lazy val damerauSql =
+    s"""WITH named AS (
+         SELECT doc_id, $jwNamePool AS nm FROM documents),
+       blocked AS (
+         SELECT doc_id, nm, substring(nm, 1, 2) AS blk FROM named)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(damerau_levenshtein(a.nm, b.nm) AS INT) AS dl
+       FROM blocked a JOIN blocked b
+         ON a.blk = b.blk AND a.doc_id < b.doc_id
+       WHERE damerau_levenshtein(a.nm, b.nm) <= 3
+       ORDER BY id_a, id_b"""
+
   private val plantedLines =
     """concat_ws(chr(10),
        CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for daily updates.'
@@ -1855,6 +1870,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw6"))
         .orderBy("id_a", "id_b")
     }),
+
+    // true Damerau-Levenshtein over the same blocked pool — ONE SQL
+    // text runs on both engines (our registered function vs the host
+    // engine's native damerau_levenshtein: independent DPs, integer
+    // output, zero float risk)
+    "q_doc_damerau" -> q(Seq("documents"), damerauSql),
 
     // per-vertex triangle counts over the synthetic link graph —
     // degree-ordered orientation so each triangle is counted once at
@@ -4053,6 +4074,8 @@ object SparkEntry {
              count(*) AS n_orders, CAST(sum(pt.cents) AS BIGINT) AS sum_cents
            FROM iv JOIN pt ON pt.od BETWEEN iv.start_d AND iv.end_d
            GROUP BY 1, 2, 3 ORDER BY 1, 2""",
+
+      "q_doc_damerau" -> damerauSql,
 
       // the host engine's OWN jaro_winkler_similarity scores the same
       // blocked candidate set — two independent implementations of the

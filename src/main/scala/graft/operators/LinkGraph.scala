@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
  */
 object LinkGraph {
 
+  /** Vertex-frame broadcast ceiling for the iterative loops: below
+   *  this the per-round (vertex, state) frame broadcasts (16 bytes a
+   *  row → ≤ ~160 MB) and the edge join plans exchange-free; above
+   *  it, the pre-partitioned edge cache keeps the shuffle
+   *  vertex-sized. At 1000 executors the broadcast path is exactly
+   *  the "small frontier" regime of web-graph analytics. */
+  val BroadcastMaxVertices = 10000000L
+
   /**
    * Fixed-point PageRank in micro-units. `damping` is a percentage
    * (85 = 0.85); every vertex starts at `baseMicro`; each iteration:
@@ -190,11 +198,19 @@ object LinkGraph {
       .distinct().repartition(col("b")).persist()
     val vertices = e.select(col("a").as("v")).distinct().persist()
     var labels = vertices.select(col("v"), col("v").as("label")).persist()
+    // size-based join dispatch: the labels frame is vertex-sized, and
+    // below the threshold a per-round BROADCAST deletes the join
+    // exchange entirely (the vertex count is already materialized by
+    // the pinning counts, so the probe is free). Above it, the
+    // pre-partitioned edge cache keeps the shuffle labels-only.
+    val vCount = vertices.count()
+    val bcastLabels = vCount <= BroadcastMaxVertices
     var i = 0
     while (i < rounds) {
+      val labSide = if (bcastLabels) broadcast(labels) else labels
       val neighborVotes = e
-        .join(labels, e("b") === labels("v"))
-        .select(e("a").as("v"), col("label"))
+        .join(labSide, e("b") === labSide("v"))
+        .select(e("a").as("v"), labSide("label"))
         .groupBy("v", "label").agg(count(lit(1)).as("n"))
       // argmax by (n desc, label asc): negate label inside max_by's
       // tie struct, same idiom as Similarity's centroid assignment

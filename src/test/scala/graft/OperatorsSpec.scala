@@ -133,6 +133,41 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), got.toString)
   }
 
+  test("damerau-levenshtein: true (unrestricted) variant, pinned cases, bounds") {
+    import graft.functions.DamerauLevenshtein
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def dl(a: String, b: String): Int =
+      DamerauLevenshtein(Literal(a), Literal(b)).eval(null).asInstanceOf[Int]
+    // the discriminator vs restricted OSA: edits may touch a swapped
+    // block, so ca -> ac -> abc is 2 (OSA says 3)
+    assert(dl("ca", "abc") == 2)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abcdef", "bacdfe") == 2) // two independent swaps
+    assert(dl("kitten", "sitting") == 3)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+    // randomized bounds: symmetric, 0 iff equal, never exceeds plain
+    // levenshtein, and a single adjacent swap always costs exactly 1
+    val rnd = new scala.util.Random(7)
+    def randStr() = (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (0 until 300).foreach { _ =>
+      val (x, y) = (randStr(), randStr())
+      val d = dl(x, y)
+      assert(d == dl(y, x), s"asymmetric on $x/$y")
+      assert((d == 0) == (x == y), s"$x/$y -> $d")
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(x, y)
+      assert(d <= lev, s"dl $d > lev $lev on $x/$y")
+    }
+    (0 until 100).foreach { _ =>
+      val s = randStr() + "xy" + randStr()
+      val i = s.indexOf("xy")
+      val swapped = s.substring(0, i) + "yx" + s.substring(i + 2)
+      if (s != swapped) assert(dl(s, swapped) >= 1 && dl(s, swapped) <= 1 + 0,
+        s"swap cost on $s: ${dl(s, swapped)}")
+    }
+  }
+
   test("duplicatedSpans: planted shared sentence, self-repeat, canonical survives") {
     // delimiters deliberately differ on both sides so boundary grams
     // are unique and the span is exactly the shared sentence
