@@ -26,11 +26,15 @@ object LinkGraph {
 
   /** Vertex-frame broadcast ceiling for the iterative loops: below
    *  this the per-round (vertex, state) frame broadcasts (16 bytes a
-   *  row → ≤ ~160 MB) and the edge join plans exchange-free; above
+   *  row → ≤ ~32 MB) and the edge join plans exchange-free; above
    *  it, the pre-partitioned edge cache keeps the shuffle
-   *  vertex-sized. At 1000 executors the broadcast path is exactly
-   *  the "small frontier" regime of web-graph analytics. */
-  val BroadcastMaxVertices = 10000000L
+   *  vertex-sized. A/B at 10M edges / 100k vertices (PLANS.md r9):
+   *  broadcast ≈ flat locally (13-14 s both, same session), so the
+   *  ceiling is sized for the CLUSTER tradeoff — a per-round 32 MB
+   *  ship to every executor is the accepted cost band for the
+   *  "small frontier" regime of web-graph analytics, while 160 MB ×
+   *  rounds × executors would not be. */
+  val BroadcastMaxVertices = 2000000L
 
   /**
    * Fixed-point PageRank in micro-units. `damping` is a percentage
