@@ -1292,6 +1292,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination: bitset built from the bench split's
+    // window hashes (map-side OR aggregate, model-sized driver state),
+    // probed by a pure narrow map — no join, no shuffle, no explode of
+    // the training side; the oracle recomputes the identical membership
+    // decisions (including deterministic false positives) from the
+    // position sets
+    "q_doc_bloom" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val docs = s.table("documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      operators.Bloom.contamination(docs, col("doc_id"), col("text"),
+          bench, col("text"), mBits = 1 << 17, kHashes = 5, gram = 20)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic content-stable train/val/test split (md5-derived
     // buckets — portable across engines, partitionings and reruns; the
     // oracle recomputes the identical assignment)
@@ -2652,6 +2668,40 @@ object SparkEntry {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en", "que", "no"),
     "it" -> Seq("il", "la", "di", "e", "che", "un", "per", "non", "sono", "con"))
 
+  /** q_doc_bloom oracle: replicates the Bloom membership decision
+   *  exactly — same 8-char Horner/splitmix64 window hashes as the
+   *  fingerprint oracle, then the Kirsch-Mitzenmacher double-hash
+   *  positions `(z % 2^32 + i*(2*(z // 2^32)+1)) % m`; a probe hash
+   *  "hits" iff all 5 of its positions appear in the bench corpus's
+   *  position set (LEFT JOIN + count = k — exact Bloom semantics
+   *  including any false positives, which both engines must agree on
+   *  bit-for-bit). m = 2^17 keeps the sf0.01 fill ~1% (20-char windows, ~2.6k bench grams) so membership is discriminative
+   *  is live but rare. */
+  private lazy val bloomOracle: String = {
+    val horner = (1 to 20).foldLeft("0::HUGEINT")((h, p) =>
+      s"(($h * 1000003 + ascii(substring(g,$p,1))) % $M64)")
+    val m = 131072
+    s"""WITH wins AS (
+         SELECT doc_id, unnest([substring(text, i, 20) for i in range(1, greatest(length(text) - 19, 0) + 1)]) AS g
+         FROM documents),
+       z0 AS (SELECT doc_id, ($horner + 11400714819323198485::HUGEINT) % $M64 AS z FROM wins),
+       ${splitmixSteps("doc_id")},
+       dz AS (SELECT DISTINCT doc_id, z FROM z3),
+       p AS (
+         SELECT doc_id, z, i.i,
+           CAST((z % 4294967296 + i.i * (2 * (z // 4294967296) + 1)) % $m AS BIGINT) AS pos
+         FROM dz, (SELECT unnest(range(0, 5)) AS i) i),
+       bp AS (SELECT DISTINCT pos FROM p WHERE doc_id % 50 = 0),
+       ph AS (
+         SELECT p.doc_id, p.z, count(bp.pos) = 5 AS hit
+         FROM p LEFT JOIN bp ON p.pos = bp.pos
+         GROUP BY p.doc_id, p.z)
+       SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE hit) AS n_hits,
+         count(*) FILTER (WHERE hit) > 0 AS contaminated
+       FROM ph GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** q_doc_simhash oracle: replicates both 64-bit sketches in SQL —
    *  SimHash (FNV-1a over char 4-grams + bit-majority vote) and the
    *  Rabin-Karp min-fingerprint (8-char polynomial window hash +
@@ -4001,6 +4051,8 @@ object SparkEntry {
            SELECT doc_id, count(DISTINCT gm) AS n_overlap,
              array_to_string(list_sort(list_distinct(list(bench_id))), ',') AS bench_csv
            FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+      "q_doc_bloom" -> bloomOracle,
 
       "q_doc_split" ->
         """WITH b AS (

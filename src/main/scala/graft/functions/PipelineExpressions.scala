@@ -782,3 +782,156 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
     copy(left = l, right = r)
 }
+
+/** Shared kernel for the Bloom-filter family: the k-th bit position of
+ *  a finalized 64-bit window hash, double-hashing (Kirsch-Mitzenmacher
+ *  2006) with h1 = low 32 bits, h2 = 2*(high 32) + 1 (odd, so the
+ *  probe sequence cycles the full power-of-two table). Both engines
+ *  compute the identical sequence: the oracle replicates
+ *  `(z % 2^32 + i * (2*(z // 2^32) + 1)) % mBits` on unsigned
+ *  HUGEINT, which equals this masked signed-Long form bit-for-bit. */
+private[graft] object BloomKernel {
+  def positions(z: Long, kHashes: Int, mBits: Int): Array[Int] = {
+    val h1 = z & 0xFFFFFFFFL
+    val h2 = 2L * (z >>> 32) + 1L
+    val mask = (mBits - 1).toLong
+    Array.tabulate(kHashes)(i => ((h1 + i * h2) & mask).toInt)
+  }
+  def requirePow2(mBits: Int): Unit =
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1,
+      s"mBits must be a power of two >= 64, got $mBits")
+}
+
+/**
+ * ALL rolling k-char window hashes of a string (the [[Fingerprint]]
+ * kernel — Horner base 1000003 mod 2^64, splitmix64 finalize with the
+ * golden-ratio add — but emitting every window instead of the min).
+ * Feeds the Bloom build/probe sides; one pass per row, no explode on
+ * the probe path.
+ */
+case class WindowHashes(child: Expression, k: Int = 8)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = new Array[Long](math.max(n - k + 1, 0))
+    if (out.length == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < n) {
+      h = h * B + s.charAt(i)
+      if (i >= k) h -= pow * B * s.charAt(i - k)
+      if (i >= k - 1) {
+        var z = h + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        out(i - k + 1) = z
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowHashes = copy(child = c)
+}
+
+/**
+ * Bloom-filter bitset aggregate: ORs the k bit positions of each input
+ * 64-bit hash into an mBits-wide byte array (bit p lives at byte
+ * p >>> 3, bit p & 7 — the natural little-endian layout, so the
+ * serialized buffer IS the probe-side operand). Map-side combine falls
+ * out of TypedImperativeAggregate: each task ORs locally and ships one
+ * mBits/8-byte buffer, so the exchange is O(partitions × mBits/8)
+ * regardless of input row count — the whole point of the Bloom path
+ * over a hash-set join at 100 TB.
+ */
+case class BloomBitsAgg(
+    child: Expression, mBits: Int, kHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  BloomKernel.requirePow2(mBits)
+  require(kHashes >= 1 && kHashes <= 32, s"kHashes in [1,32], got $kHashes")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](mBits >>> 3)
+
+  override def update(buf: Array[Byte],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val ps = BloomKernel.positions(v.asInstanceOf[Long], kHashes, mBits)
+      var i = 0
+      while (i < ps.length) {
+        val p = ps(i)
+        buf(p >>> 3) = (buf(p >>> 3) | (1 << (p & 7))).toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buf.length) { buf(i) = (buf(i) | other(i)).toByte; i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): BloomBitsAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomBitsAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): BloomBitsAgg = copy(child = c)
+  override def prettyName: String = "bloom_bits_agg"
+}
+
+/**
+ * Count of hashes (array<long>) whose kHashes Bloom positions are ALL
+ * set in the bitset (binary, broadcast as a literal on the probe side).
+ * mBits is derived from the bitset length, so build and probe cannot
+ * disagree on table size.
+ */
+case class BloomHits(left: Expression, right: Expression, kHashes: Int = 5)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_hits"
+
+  override def nullSafeEval(bl: Any, hs: Any): Any = {
+    val bits = bl.asInstanceOf[Array[Byte]]
+    val mBits = bits.length << 3
+    BloomKernel.requirePow2(mBits)
+    val arr = hs.asInstanceOf[ArrayData]
+    var hits = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val ps = BloomKernel.positions(arr.getLong(i), kHashes, mBits)
+      var all = true
+      var j = 0
+      while (all && j < ps.length) {
+        val p = ps(j)
+        if ((bits(p >>> 3) & (1 << (p & 7))) == 0) all = false
+        j += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomHits =
+    copy(left = l, right = r)
+}

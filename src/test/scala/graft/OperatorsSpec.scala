@@ -2071,3 +2071,69 @@ class MultimodalSpec extends SparkSpec {
       s"lone sync must not classify: ${rows(3)}")
   }
 }
+
+class BloomSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Bloom
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("window hashes: kernel identity with Fingerprint (min over windows)") {
+    import graft.functions.{Fingerprint, WindowHashes}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(11)
+    (0 until 50).foreach { _ =>
+      val s = (0 until (8 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val fp = Fingerprint(Literal(s), 8).eval(null).asInstanceOf[Long]
+      val ws = WindowHashes(Literal(s), 8).eval(null).asInstanceOf[ArrayData].toLongArray()
+      assert(ws.nonEmpty && ws.min == fp, s"kernel drift on '$s'")
+    }
+    // shorter than the window -> empty array, Fingerprint's 0 sentinel
+    val empty = WindowHashes(Literal("abc"), 8).eval(null).asInstanceOf[ArrayData]
+    assert(empty.numElements() == 0)
+  }
+
+  test("bloom: no false negatives, discriminative positives, distributed build == local build") {
+    val phrase = "the quick brown fox jumps over the lazy dog again and again"
+    val bench = docsDf(Seq(1L -> phrase, 2L -> "completely different benchmark sentence with unique words"))
+    // doc 10 shares a >=20-char span with bench doc 1; doc 11 shares nothing
+    val probe = docsDf(Seq(
+      10L -> ("prefix text then " + phrase.substring(4, 40) + " and a suffix"),
+      11L -> "zxqvw pltk mnbgh rrtyu eeiop aasdf gghjk llzxc vvbnm qqwer"))
+    val out = Bloom.contamination(probe, col("doc_id"), col("text"),
+        bench, col("text"), mBits = 1 << 22, kHashes = 5, gram = 20)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Boolean]("contaminated"), "planted overlap missed (false negative!)")
+    assert(!out(1).getAs[Boolean]("contaminated"), "clean doc flagged at 4M bits")
+    // self-probe: every bench doc's every gram must hit (Bloom guarantee)
+    val self = Bloom.contamination(bench, col("doc_id"), col("text"),
+        bench, col("text"), mBits = 1 << 22, kHashes = 5, gram = 20)
+      .collect()
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_hits") == r.getAs[Long]("n_grams"),
+        s"false negative on bench self-probe: $r")
+    }
+    // merge path: a 13-partition build must produce the identical bitset
+    val many = docsDf((0L until 200L).map(i => i -> s"document number $i with some repeated filler content block"))
+    val one = Bloom.buildBits(many.coalesce(1), col("text"), mBits = 1 << 16, kHashes = 5, gram = 20)
+    val dist = Bloom.buildBits(many.repartition(13), col("text"), mBits = 1 << 16, kHashes = 5, gram = 20)
+    assert(java.util.Arrays.equals(one, dist), "distributed OR-merge drifted from local build")
+  }
+
+  test("bloom positions: in-range, odd-stride double hashing") {
+    import graft.functions.BloomKernel
+    val rnd = new scala.util.Random(3)
+    (0 until 200).foreach { _ =>
+      val z = rnd.nextLong()
+      val ps = BloomKernel.positions(z, 5, 1 << 17)
+      assert(ps.forall(p => p >= 0 && p < (1 << 17)))
+      // odd stride => k distinct probe slots whenever k <= table size
+      assert(ps.distinct.length == ps.length, s"probe collision for z=$z: ${ps.toSeq}")
+    }
+  }
+}
