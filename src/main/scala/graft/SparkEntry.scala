@@ -1308,6 +1308,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-min sketch heavy-hitter accounting: fixed mergeable state
+    // (salted-md5 cells; width 64 here so the 31-word corpus collides
+    // and the min-over-rows actually decides) built in one pass, then
+    // every distinct word probed — estimate = min over rows, never
+    // under the exact count; the oracle rebuilds the identical matrix
+    // from the position group-by
+    "q_doc_cms" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val words = s.table("documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      operators.Sketches.cmsAccounting(words, col("w"), depth = 4, width = 64)
+        .withColumnRenamed("item", "word")
+        .orderBy("word")
+    }),
+
     // Deterministic content-stable train/val/test split (md5-derived
     // buckets — portable across engines, partitionings and reruns; the
     // oracle recomputes the identical assignment)
@@ -4053,6 +4069,26 @@ object SparkEntry {
            FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
       "q_doc_bloom" -> bloomOracle,
+
+      // count-min sketch: the oracle rebuilds the exact 4x64 cell
+      // matrix (cell = sum of exact counts of the words salted-md5-
+      // hashing there) and takes the same min-over-rows estimate
+      "q_doc_cms" ->
+        """WITH words AS (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents),
+           exact AS (SELECT w, count(*) AS n_exact FROM words GROUP BY w),
+           pos AS (
+             SELECT w, j.j,
+               ('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || w), 1, 8))::BIGINT % 64 AS pos
+             FROM exact, (SELECT unnest(range(0, 4)) AS j) j),
+           cells AS (
+             SELECT p.j, p.pos, CAST(sum(e.n_exact) AS BIGINT) AS c
+             FROM pos p JOIN exact e USING (w) GROUP BY p.j, p.pos),
+           est AS (
+             SELECT p.w, CAST(min(c.c) AS BIGINT) AS n_est
+             FROM pos p JOIN cells c ON p.j = c.j AND p.pos = c.pos GROUP BY p.w)
+           SELECT e.w AS word, e.n_exact, est.n_est
+           FROM exact e JOIN est ON e.w = est.w ORDER BY word""",
 
       "q_doc_split" ->
         """WITH b AS (

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Count-min sketch kernel shared by build and probe: row j's cell for
+ * item s is `uint32(md5("<j>:<s>")[0..3]) % width` — the same
+ * salted-md5 discipline as [[graft.operators.Sampling]] (engine-
+ * portable: the oracle recomputes `('0x' || substring(md5(j || ':' ||
+ * w), 1, 8))::BIGINT % width` and gets the identical cell).
+ */
+private[graft] object CmsKernel {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def pos(j: Int, item: String, width: Int): Int = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest((j.toString + ":" + item).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u32 = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+    (u32 % width).toInt
+  }
+  def toBytes(cells: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(cells.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(cells)
+    bb.array()
+  }
+  def cellAt(bytes: Array[Byte], idx: Int): Long =
+    java.nio.ByteBuffer.wrap(bytes, idx * 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+}
+
+/**
+ * Count-min sketch aggregate (Cormode & Muthukrishnan 2005): a
+ * depth × width matrix of counters; each input item increments one
+ * cell per row. Point-frequency estimates (via [[CountMinEstimate]])
+ * are min over rows — never under, over only on hash collisions.
+ *
+ * Scale shape: the state is FIXED-size (depth·width·8 bytes — 32 KB at
+ * the 4×1024 default) regardless of input cardinality; map-side
+ * combine ships one matrix per task and merge is elementwise add, so
+ * heavy-hitter accounting over 100 TB costs one narrow pass + an
+ * O(partitions × 32 KB) exchange instead of a full distinct-key
+ * shuffle.
+ */
+case class CountMinAgg(
+    child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+  require(width >= 2 && width <= (1 << 24), s"width in [2,2^24], got $width")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var j = 0
+      while (j < depth) { buf(j * width + CmsKernel.pos(j, s, width)) += 1L; j += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = CmsKernel.toBytes(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = CmsKernel.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): CountMinAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CountMinAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CountMinAgg = copy(child = c)
+  override def prettyName: String = "count_min_agg"
+}
+
+/** Point-frequency estimate from a [[CountMinAgg]] sketch (binary,
+ *  broadcast as a literal): min over the depth rows of the item's
+ *  cell. depth/width must match the build side; width is checked
+ *  against the buffer length. */
+case class CountMinEstimate(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "count_min_estimate"
+
+  override def nullSafeEval(sk: Any, item: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    require(bytes.length == depth * width * 8,
+      s"sketch size ${bytes.length} != depth*width*8 = ${depth * width * 8}")
+    val s = item.asInstanceOf[UTF8String].toString
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      val c = CmsKernel.cellAt(bytes, j * width + CmsKernel.pos(j, s, width))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinEstimate =
+    copy(left = l, right = r)
+}

@@ -2137,3 +2137,37 @@ class BloomSpec extends SparkSpec {
     }
   }
 }
+
+class CmsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sketches
+
+  test("count-min: kernel cell matches engine md5, estimate bounds, distributed == local") {
+    import graft.functions.CmsKernel
+    // cell position cross-check vs Spark's own md5/conv (independent path)
+    for (j <- 0 until 4; w <- Seq("the", "quick", "Fox-42", "ü")) {
+      val viaSql = sql1(s"conv(substring(md5('$j:$w'), 1, 8), 16, 10) % 64")
+        .toString.toLong.toInt
+      assert(CmsKernel.pos(j, w, 64) == viaSql, s"kernel/md5 drift on ($j,$w)")
+    }
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val items = (0 until 5000).map(_ => s"item${rnd.nextInt(80)}")
+    val df = items.toDF("w")
+    val acc = Sketches.cmsAccounting(df, col("w"), depth = 4, width = 32).collect()
+    assert(acc.length == 80)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    acc.foreach { r =>
+      val (it, ne, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(ne == exact(it))
+      assert(est >= ne, s"UNDER-estimate on $it: $est < $ne")
+    }
+    // 80 items in a 4x4096 sketch: collision-free -> estimates exact
+    val wide = Sketches.cmsAccounting(df, col("w"), depth = 4, width = 4096).collect()
+    wide.foreach(r => assert(r.getLong(2) == r.getLong(1), s"collision at width 4096: $r"))
+    // merge path: partitioned build must equal single-partition build
+    val one = Sketches.countMin(df.coalesce(1), col("w"), 4, 32)
+    val dist = Sketches.countMin(df.repartition(11), col("w"), 4, 32)
+    assert(java.util.Arrays.equals(one, dist), "distributed add-merge drifted")
+  }
+}
