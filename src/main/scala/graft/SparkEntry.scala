@@ -1324,6 +1324,18 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // Aho-Corasick blocklist accounting: ONE automaton pass per doc
+    // counts every overlapping/nested occurrence of the lexicon
+    // (the/he, order/or, ash-inside-hash are all live here); the
+    // oracle re-counts each pattern by brute-force position scan
+    "q_doc_blocklist" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.TextOps.blocklistAccounting(s.table("documents"),
+          col("doc_id"), lower(col("text")), blocklistPats)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic content-stable train/val/test split (md5-derived
     // buckets — portable across engines, partitionings and reruns; the
     // oracle recomputes the identical assignment)
@@ -2683,6 +2695,13 @@ object SparkEntry {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
     "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en", "que", "no"),
     "it" -> Seq("il", "la", "di", "e", "che", "un", "per", "non", "sono", "con"))
+
+  /** q_doc_blocklist lexicon — deliberately overlapping and nested
+   *  (the/he, hash/ash, order/or, cross-word "a t", stream/rea) so the
+   *  automaton's failure/output links are all exercised. Shared by the
+   *  engine query and the oracle generator. */
+  private val blocklistPats = Seq(
+    "the", "he", "hash", "ash", "sort", "or", "order", "a t", "stream", "rea")
 
   /** q_doc_bloom oracle: replicates the Bloom membership decision
    *  exactly — same 8-char Horner/splitmix64 window hashes as the
@@ -4069,6 +4088,23 @@ object SparkEntry {
            FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
       "q_doc_bloom" -> bloomOracle,
+
+      // Aho-Corasick blocklist: the oracle counts each pattern's
+      // overlapping occurrences by scanning every start position
+      "q_doc_blocklist" -> {
+        val vals = blocklistPats.map(p => s"('$p')").mkString(",")
+        s"""WITH pats(p) AS (SELECT * FROM (VALUES $vals)),
+           d AS (SELECT doc_id, lower(text) AS t FROM documents),
+           m AS (
+             SELECT doc_id, p,
+               len([i for i in range(1, greatest(length(t) - length(p) + 1, 0) + 1)
+                    if substring(t, i, length(p)) = p]) AS c
+             FROM d, pats)
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_matches,
+             CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_pats,
+             coalesce(array_to_string(list_sort(list(p) FILTER (WHERE c > 0)), ','), '') AS pats_csv
+           FROM m GROUP BY doc_id ORDER BY doc_id"""
+      },
 
       // count-min sketch: the oracle rebuilds the exact 4x64 cell
       // matrix (cell = sum of exact counts of the words salted-md5-

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -121,4 +122,111 @@ case class CountMinEstimate(left: Expression, right: Expression, depth: Int, wid
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMinEstimate =
     copy(left = l, right = r)
+}
+
+/**
+ * Aho-Corasick multi-pattern occurrence counts (Aho & Corasick 1975):
+ * ONE left-to-right pass over the text reports every occurrence of
+ * every pattern — overlapping and nested included — via trie + failure
+ * + output links. Returns an array of per-pattern counts aligned to
+ * the pattern-array index.
+ *
+ * Scale shape: the automaton is built once per executor from the
+ * foldable pattern array (a broadcast lexicon: blocklists/toxicity
+ * lexicons are KBs-to-MBs, model-sized) and cached; the 100 TB text
+ * side is a pure narrow map costing O(chars + matches) regardless of
+ * pattern count — vs P separate contains()/regexp scans.
+ */
+case class MultiPatternCounts(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_pattern_counts"
+
+  @transient private lazy val automaton: AhoCorasick = {
+    // checked lazily: at construction the tree may still be unresolved
+    // (Column-built arrays resolve during analysis)
+    require(right.foldable, "multi_pattern_counts: the pattern array must be foldable")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val pats = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    require(pats.nonEmpty && pats.forall(_.nonEmpty), "patterns must be non-empty strings")
+    AhoCorasick.build(pats)
+  }
+
+  override def nullSafeEval(t: Any, ps: Any): Any = {
+    val counts = automaton.countAll(t.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MultiPatternCounts =
+    copy(left = l, right = r)
+}
+
+/** Classic Aho-Corasick automaton over UTF-16 code units: dense child
+ *  maps (HashMap per node — lexicons are small), BFS failure links,
+ *  output lists collapsed onto each node (every pattern ending at or
+ *  failing into the node), per-pattern occurrence counting. */
+private[graft] final class AhoCorasick(
+    next: Array[java.util.HashMap[Character, Integer]],
+    fail: Array[Int],
+    out: Array[Array[Int]],
+    val numPatterns: Int) extends Serializable {
+
+  def countAll(text: String): Array[Long] = {
+    val counts = new Array[Long](numPatterns)
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      var s = state
+      var step = next(s).get(c)
+      while (step == null && s != 0) { s = fail(s); step = next(s).get(c) }
+      state = if (step == null) 0 else step.intValue()
+      val o = out(state)
+      var j = 0
+      while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
+  }
+}
+
+private[graft] object AhoCorasick {
+  def build(patterns: Seq[String]): AhoCorasick = {
+    val next = scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        var t = next(s).get(c)
+        if (t == null) {
+          next += new java.util.HashMap[Character, Integer]()
+          ends += Nil
+          t = next.length - 1
+          next(s).put(c, t)
+        }
+        s = t.intValue()
+      }
+      ends(s) = pi :: ends(s)
+    }
+    val n = next.length
+    val fail = new Array[Int](n)
+    val outB = Array.fill(n)(List.empty[Int])
+    (0 until n).foreach(i => outB(i) = ends(i))
+    val queue = new java.util.ArrayDeque[Integer]()
+    next(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      outB(u) = outB(u) ++ outB(fail(u))
+      next(u).forEach { (c, v) =>
+        var f = fail(u)
+        var t = next(f).get(c)
+        while (t == null && f != 0) { f = fail(f); t = next(f).get(c) }
+        fail(v) = if (t == null || t.intValue() == v.intValue()) 0 else t.intValue()
+        queue.add(v)
+      }
+    }
+    new AhoCorasick(next.toArray, fail, outB.map(_.toArray).toArray, patterns.length)
+  }
 }

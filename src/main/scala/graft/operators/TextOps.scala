@@ -714,4 +714,35 @@ object TextOps {
       .when(best.getField("hits") > 0, best.getField("lang"))
       .otherwise("und")
   }
+
+  /** Per-pattern overlapping occurrence counts via one Aho-Corasick
+   *  pass (see [[graft.functions.MultiPatternCounts]] for the scale
+   *  contract: O(chars + matches) per row regardless of lexicon size,
+   *  vs P separate contains/regexp scans). Array aligned to the
+   *  pattern order. */
+  def patternCounts(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(graft.functions.MultiPatternCounts(
+      ColumnShim.expr(text),
+      ColumnShim.expr(array(patterns.map(lit): _*))))
+  }
+
+  /**
+   * Blocklist accounting (toxicity/boilerplate lexicon gate): per row,
+   * total overlapping matches across the lexicon, the number of
+   * distinct patterns present, and the sorted CSV of those patterns.
+   * Everything downstream of the single automaton pass is codegen'd
+   * builtin array algebra — no second text scan.
+   */
+  def blocklistAccounting(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, patterns: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val pats = array(patterns.map(lit): _*)
+    df.select(id.as("doc_id"), patternCounts(text, patterns).as("__c"))
+      .select(col("doc_id"),
+        aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_matches"),
+        size(filter(col("__c"), c => c > 0)).cast("long").as("n_pats"),
+        array_join(array_sort(filter(
+          zip_with(pats, col("__c"), (p, c) => when(c > 0, p)),
+          p => p.isNotNull)), ",").as("pats_csv"))
+  }
 }

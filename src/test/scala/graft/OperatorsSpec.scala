@@ -2171,3 +2171,46 @@ class CmsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(one, dist), "distributed add-merge drifted")
   }
 }
+
+class AhoCorasickSpec extends SparkSpec {
+  import graft.functions.AhoCorasick
+
+  private def bruteCount(text: String, p: String): Long =
+    (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+
+  test("aho-corasick: textbook case, overlaps, nesting, randomized brute-force parity") {
+    // the classic Aho-Corasick 1975 example
+    val ac = AhoCorasick.build(Seq("he", "she", "his", "hers"))
+    assert(ac.countAll("ushers").toSeq == Seq(1L, 1L, 0L, 1L))
+    // overlapping self-matches and nested patterns
+    assert(AhoCorasick.build(Seq("aa")).countAll("aaaa").toSeq == Seq(3L))
+    assert(AhoCorasick.build(Seq("order", "or", "rde")).countAll("reorder order")
+      .toSeq == Seq(2L, 2L, 2L))
+    // randomized: small alphabet forces dense overlap; brute force is truth
+    val rnd = new scala.util.Random(17)
+    (0 until 40).foreach { _ =>
+      val text = (0 until (20 + rnd.nextInt(120))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val pats = (0 until (2 + rnd.nextInt(6))).map(_ =>
+        (0 until (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString).distinct
+      val got = AhoCorasick.build(pats).countAll(text)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(got(i) == bruteCount(text, p), s"pattern '$p' over '$text': ${got(i)}")
+      }
+    }
+  }
+
+  test("blocklist accounting: planted doc, empty-match doc, csv ordering") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, "the shorthand hash"), (2L, "zzz qqq")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.blocklistAccounting(
+        df, col("doc_id"), col("text"), Seq("the", "he", "hash", "ash", "or"))
+      .orderBy("doc_id").collect()
+    // "the shorthand hash": the=1, he=1(inside the), hash=1, ash=1(inside hash), or=1(shorthand)
+    assert(out(0).getAs[Long]("n_matches") == 5L, out(0).toString)
+    assert(out(0).getAs[Long]("n_pats") == 5L)
+    assert(out(0).getAs[String]("pats_csv") == "ash,hash,he,or,the")
+    assert(out(1).getAs[Long]("n_matches") == 0L)
+    assert(out(1).getAs[String]("pats_csv") == "")
+  }
+}
