@@ -1336,6 +1336,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HyperLogLog cardinality: 64 md5-derived registers (max trailing-
+    // zero rank per register — mergeable state, <= m rows shuffled per
+    // task at any input size) + the raw estimator kept entirely in
+    // integer arithmetic (rational alpha, DECIMAL(38,0) intermediates,
+    // truncating division) so both engines produce the same micro-units
+    "q_doc_hll" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val words = s.table("documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      operators.Sketches.hllAccounting(words, col("w"), b = 6)
+        .orderBy("register")
+    }),
+
     // Deterministic content-stable train/val/test split (md5-derived
     // buckets — portable across engines, partitionings and reruns; the
     // oracle recomputes the identical assignment)
@@ -4088,6 +4102,35 @@ object SparkEntry {
            FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
       "q_doc_bloom" -> bloomOracle,
+
+      // HLL: identical register/rank derivation from md5 words, the
+      // same integer-exact raw estimator (alpha=709/1000 at m=64)
+      "q_doc_hll" ->
+        """WITH words AS (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents),
+           h AS (
+             SELECT w, ('0x' || substring(md5(w), 1, 8))::BIGINT AS h1,
+                       ('0x' || substring(md5(w), 9, 8))::BIGINT AS h2
+             FROM words),
+           r AS (
+             SELECT h1 % 64 AS register,
+               CASE WHEN h2 = 0 THEN 33 ELSE bit_count((h2 & (-h2)) - 1) + 1 END AS rank
+             FROM h),
+           regs AS (
+             SELECT g.register, CAST(coalesce(max(r.rank), 0) AS INT) AS max_rank
+             FROM (SELECT unnest(range(0, 64)) AS register) g
+             LEFT JOIN r ON g.register = r.register
+             GROUP BY g.register),
+           tot AS (
+             SELECT CAST(sum((2::HUGEINT ^ (33 - max_rank))::HUGEINT) AS HUGEINT) AS n,
+               CAST(count(*) FILTER (WHERE max_rank = 0) AS BIGINT) AS n_empty
+             FROM regs),
+           ex AS (SELECT count(DISTINCT w) AS n_exact FROM words)
+           SELECT CAST(regs.register AS BIGINT) AS register, regs.max_rank,
+             tot.n_empty,
+             CAST((709::HUGEINT * 4096 * 8589934592 * 1000000) // (1000 * tot.n) AS BIGINT) AS est_micro,
+             ex.n_exact
+           FROM regs, tot, ex ORDER BY register""",
 
       // Aho-Corasick blocklist: the oracle counts each pattern's
       // overlapping occurrences by scanning every start position

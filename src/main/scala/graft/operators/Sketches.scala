@@ -51,4 +51,63 @@ object Sketches {
       .agg(count(lit(1)).as("n_exact"))
       .withColumn("n_est", cmsEstimate(sk, col("item"), depth, width))
   }
+
+  /** Rational HLL bias constant alpha_m as (num, den): the published
+   *  exact constants for m=16/32/64 and the 0.7213/(1+1.079/m) closed
+   *  form beyond — kept as integer rationals so the estimator is
+   *  engine-exact (no float in the pipeline). */
+  private[graft] def hllAlpha(m: Int): (Long, Long) = m match {
+    case 16 => (673L, 1000L)
+    case 32 => (697L, 1000L)
+    case 64 => (709L, 1000L)
+    case _  => (7213L * 1000L * m, 10000L * (1000L * m + 1079L))
+  }
+
+  /**
+   * HyperLogLog register table (Flajolet et al. 2007): 2^b registers,
+   * register = low b bits of the first md5 word, rank = trailing-zero
+   * count of the second md5 word + 1 (capped 33; the engine-portable
+   * salted-md5 discipline again). Returns ALL m rows (empty registers
+   * at 0) — the mergeable state: max per register commutes with any
+   * partitioning, and the shuffle is <= m rows per task regardless of
+   * input size.
+   */
+  def hllRegisters(df: DataFrame, item: Column, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"b in [4,16], got $b")
+    val m = 1 << b
+    val h1 = conv(substring(md5(item), 1, 8), 16, 10).cast("long")
+    val h2 = conv(substring(md5(item), 9, 8), 16, 10).cast("long")
+    val rank = when(h2 === 0, lit(33))
+      .otherwise(bit_count(h2.bitwiseAND(-h2) - 1) + 1)
+    val r = df.select((h1 % m).as("register"), rank.cast("int").as("__rank"))
+      .groupBy("register").agg(max("__rank").as("max_rank"))
+    df.sparkSession.range(m).select(col("id").as("register"))
+      .join(r, Seq("register"), "left")
+      .select(col("register"), coalesce(col("max_rank"), lit(0)).as("max_rank"))
+  }
+
+  /**
+   * HLL cardinality accounting: the m register rows plus the RAW
+   * integer-exact estimator in 1e-6 units — est = alpha_m * m^2 *
+   * 2^33 * 1e6 / (alphaDen * sum_j 2^(33 - M_j)), every factor an
+   * integer (DECIMAL(38,0) intermediate), truncating division on both
+   * engines. The small-range linear-counting correction needs ln()
+   * (float), so it is NOT applied; n_empty is emitted so callers can.
+   * n_exact (a full count-distinct) is certification ballast only.
+   */
+  def hllAccounting(df: DataFrame, item: Column, b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val (an, ad) = hllAlpha(m)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val n = sum(expr("shiftleft(1L, 33 - max_rank)")).over(w)
+    val nEmpty = sum(when(col("max_rank") === 0, 1L).otherwise(0L)).over(w)
+    val est = expr(
+      s"CAST(CAST($an AS DECIMAL(38,0)) * ${m.toLong * m} * ${1L << 33} * 1000000" +
+      s" DIV ($ad * __n) AS BIGINT)")
+    hllRegisters(df, item, b)
+      .withColumn("__n", n).withColumn("n_empty", nEmpty)
+      .withColumn("est_micro", est)
+      .crossJoin(broadcast(df.agg(countDistinct(item).as("n_exact"))))
+      .select("register", "max_rank", "n_empty", "est_micro", "n_exact")
+  }
 }

@@ -2214,3 +2214,37 @@ class AhoCorasickSpec extends SparkSpec {
     assert(out(1).getAs[String]("pats_csv") == "")
   }
 }
+
+class HllSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sketches
+
+  test("hll: estimate within theory error in the valid regime, partition-invariant registers") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => s"unique-item-$i").toDF("w")
+    val acc = Sketches.hllAccounting(df, col("w"), b = 6).collect()
+    assert(acc.length == 64)
+    val est = acc.head.getAs[Long]("est_micro") / 1e6
+    val exact = acc.head.getAs[Long]("n_exact")
+    assert(exact == 5000)
+    // sigma = 1.04/sqrt(64) = 13%; 3-sigma gate
+    assert(math.abs(est - 5000) / 5000.0 < 0.39, s"est $est vs 5000")
+    // register table is partitioning-invariant (max commutes)
+    val r1 = Sketches.hllRegisters(df.coalesce(1), col("w"), 6)
+      .orderBy("register").collect().map(_.toSeq).toSeq
+    val r2 = Sketches.hllRegisters(df.repartition(17), col("w"), 6)
+      .orderBy("register").collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+    // duplicates don't move the estimate (cardinality, not frequency)
+    val dup = df.unionAll(df).unionAll(df)
+    val acc2 = Sketches.hllAccounting(dup, col("w"), 6).collect()
+    assert(acc2.head.getAs[Long]("est_micro") == acc.head.getAs[Long]("est_micro"))
+  }
+
+  test("hll alpha: published constants and closed form stay rational") {
+    assert(Sketches.hllAlpha(64) == (709L, 1000L))
+    val (n, d) = Sketches.hllAlpha(1 << 14)
+    // 0.7213 / (1 + 1.079/16384) ~= 0.72125
+    assert(math.abs(n.toDouble / d - 0.72125) < 1e-4)
+  }
+}
