@@ -560,6 +560,53 @@ object Dedup {
         sort_array(collect_set("bench_id")).as("bench_ids"))
   }
 
+
+  /**
+   * Content-defined chunking (the rolling-hash boundary family of
+   * LBFS/FastCDC): a chunk boundary falls after every `gram`-char
+   * window whose rolling hash (the [[graft.functions.WindowHashes]]
+   * kernel) is divisible by `divisor` — so boundaries move WITH the
+   * content: an insertion early in a document shifts only the chunk it
+   * lands in, and every later chunk re-aligns and deduplicates by
+   * `chunk_md5`. Returns one row per chunk: (doc_id, chunk_idx,
+   * chunk_len, chunk_md5). Expected chunk length ~= `divisor` chars.
+   *
+   * Scale shape: a pure narrow map per document (one hash pass + one
+   * codegen'd array-algebra pass — no shuffle, no UDF); the explode
+   * emits len/divisor rows per doc, the granularity the caller asked
+   * for. Sub-document dedup then proceeds by plain group-by on
+   * chunk_md5.
+   */
+  def contentDefinedChunks(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, gram: Int = 16, divisor: Long = 64L): org.apache.spark.sql.DataFrame = {
+    require(gram >= 2 && divisor >= 2, "contentDefinedChunks: gram >= 2, divisor >= 2")
+    val hs = Bloom.windowHashes(text, gram)
+    // cut positions (1-based char index of each boundary window's last
+    // char); divisibility is sign-independent, so the signed Long
+    // hashes and the oracle's unsigned residues agree exactly
+    // sequence(1, 0) is DESCENDING in Spark, so the no-window case
+    // (doc shorter than `gram`) must be guarded, not relied on to
+    // produce an empty sequence
+    val cuts = when(size(hs) > 0,
+      filter(
+        transform(sequence(lit(1), size(hs)),
+          i => when(element_at(hs, i) % divisor === 0, i + (gram - 1))),
+        c => c.isNotNull))
+      .otherwise(expr("CAST(array() AS ARRAY<INT>)"))
+    val ends = when(element_at(cuts, -1) === length(text), cuts)
+      .otherwise(concat(cuts, array(length(text))))
+    df.select(id.as("doc_id"), text.as("__t"),
+        coalesce(when(size(cuts) > 0, ends), array(length(text))).as("__es"))
+      .select(col("doc_id"), col("__t"), col("__es"),
+        posexplode(col("__es")).as(Seq("__j", "__e")))
+      .withColumn("__s",
+        when(col("__j") === 0, lit(1))
+          .otherwise(expr("element_at(__es, __j) + 1")))
+      .select(col("doc_id"), (col("__j") + 1).as("chunk_idx"),
+        (col("__e") - col("__s") + 1).cast("long").as("chunk_len"),
+        md5(expr("substring(__t, __s, __e - __s + 1)")).as("chunk_md5"))
+  }
+
   /** Drop every document [[contamination]] flags (anti-join on the
    *  flagged-id set). */
   def decontaminate(
