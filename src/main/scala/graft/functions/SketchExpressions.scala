@@ -230,3 +230,82 @@ private[graft] object AhoCorasick {
     new AhoCorasick(next.toArray, fail, outB.map(_.toArray).toArray, patterns.length)
   }
 }
+
+/**
+ * K-minimum-values (KMV / bottom-k theta sketch) aggregate
+ * (Bar-Yossef et al. 2002; Beyer et al. 2007): keep the k smallest
+ * DISTINCT hash values seen; the cardinality estimate is
+ * (k-1) · H / h_(k) where h_(k) is the k-th smallest and H the hash
+ * range. Complements [[graft.operators.Sketches.hllAccounting]]: KMV
+ * additionally supports set operations (intersection/union estimates
+ * from merged bottom-k sets) and its state is the actual hash sample.
+ *
+ * The child is a pre-hashed LongType column (the engine-portable
+ * md5-prefix discipline lives in [[graft.operators.Sketches.kmvHash]]
+ * so the oracle can recompute identical values); this aggregate is
+ * pure order-statistics over longs.
+ *
+ * Scale shape: state is a bounded sorted set of ≤ k longs (8·k bytes —
+ * model-sized), map-side combined, so the exchange is ≤ k values per
+ * task regardless of input size; merge is a bounded set union. The
+ * dedup that a naive DISTINCT would pay a full key shuffle for happens
+ * inside the bounded buffer.
+ */
+case class KmvAgg(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+  require(k >= 2 && k <= (1 << 20), s"k in [2,2^20], got $k")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last() && !buf.contains(v)) { buf.add(v); buf.pollLast(); () }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    while (bb.hasRemaining) out.add(bb.getLong)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): KmvAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KmvAgg = copy(child = c)
+  override def prettyName: String = "kmv_agg"
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
-import graft.functions.{CountMinAgg, CountMinEstimate}
+import graft.functions.{CountMinAgg, CountMinEstimate, KmvAgg}
 
 /**
  * Mergeable sketch family for corpus-scale accounting. First member:
@@ -109,5 +109,50 @@ object Sketches {
       .withColumn("est_micro", est)
       .crossJoin(broadcast(df.agg(countDistinct(item).as("n_exact"))))
       .select("register", "max_rank", "n_empty", "est_micro", "n_exact")
+  }
+
+  /** KMV hash range: 60 bits (15 md5 hex chars) — positive in BIGINT
+   *  on both engines, uniform over [0, 2^60). */
+  val KmvRange: Long = 1L << 60
+
+  /** Engine-portable KMV hash: the first 15 hex chars of md5(item) as
+   *  a 60-bit non-negative long (the oracle recomputes
+   *  `('0x' || substring(md5(w), 1, 15))::BIGINT` identically). */
+  def kmvHash(item: Column): Column =
+    conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+
+  /**
+   * KMV (bottom-k theta sketch) distinct-count accounting: one bounded
+   * [[graft.functions.KmvAgg]] pass keeps the k smallest distinct
+   * 60-bit hashes; est = (k-1) · 2^60 / h_(k) (the unbiased KMV
+   * estimator, Beyer et al. 2007), kept fully integer-exact in 1e-6
+   * units — DECIMAL(38,0) product, truncating division, identical on
+   * both engines. When fewer than k distinct values exist the sample
+   * IS the distinct set and est = n_kept exactly.
+   *
+   * Returns one row per kept hash: (rank, h, n_kept, est_micro,
+   * n_exact) — n_exact (a full count-distinct) is certification
+   * ballast only; production flows keep only the sketch pass.
+   *
+   * Scale shape: narrow map (md5 in codegen) + one bounded aggregate
+   * shipping ≤ k longs per task; no distinct-key shuffle. The kept
+   * hash sample additionally supports set-operation estimates
+   * (union/intersection over merged bottom-k sets) downstream.
+   */
+  def kmvAccounting(df: DataFrame, item: Column, k: Int = 256): DataFrame = {
+    val agg = ColumnShim.column(
+      KmvAgg(ColumnShim.expr(kmvHash(item)), k).toAggregateExpression())
+    val est = expr(
+      s"CAST(CASE WHEN size(__ks) < $k THEN size(__ks) * 1000000L" +
+      s" ELSE CAST(CAST(${k - 1} AS DECIMAL(38,0)) * $KmvRange * 1000000" +
+      s" DIV element_at(__ks, -1) AS BIGINT) END AS BIGINT)")
+    df.select(agg.as("__ks"))
+      .select(col("__ks"), est.as("est_micro"),
+        size(col("__ks")).cast("long").as("n_kept"))
+      .select(posexplode(col("__ks")).as(Seq("__p", "h")),
+        col("n_kept"), col("est_micro"))
+      .select((col("__p") + 1).cast("long").as("rank"), col("h"),
+        col("n_kept"), col("est_micro"))
+      .crossJoin(broadcast(df.agg(countDistinct(item).as("n_exact"))))
   }
 }

@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     Set("q_emb_topk", "q_emb_ivf_topk", "q_emb_pq", "q_doc_ngram_lm", "q_doc_sbo_lm",
       "q_emb_hamming", "q_emb_ivf_indexed", // probe stage: queries × broadcast centroids
 
-      "q_events_resample", "q_events_rolling", "q_events_anomaly")
+      "q_events_resample", "q_events_rolling", "q_events_anomaly",
+      // broadcast 1-row certification ballast (count-distinct frame)
+      "q_doc_hll", "q_doc_kmv")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
