@@ -112,7 +112,7 @@ object GeoRead {
         val p = st.getPath
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       }.sorted
-      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif")
+      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif", ".dxf")
       val byExt = exts.map(e => e -> files.filter(_.toLowerCase.endsWith(e)))
         .filter(_._2.nonEmpty)
       if (byExt.length > 1)
@@ -194,8 +194,9 @@ object GeoRead {
       else if (lower.endsWith(".kml")) (Kml.read(spark, path), Some("geom"))
       else if (lower.endsWith(".gml")) (Gml.read(spark, path), Some("geom"))
       else if (lower.endsWith(".mif")) (MapInfoMif.read(spark, path), Some("geom"))
+      else if (lower.endsWith(".dxf")) (Dxf.read(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -231,6 +232,7 @@ object GeoRead {
     else if (lower.endsWith(".kml")) "kml"
     else if (lower.endsWith(".gml")) "gml"
     else if (lower.endsWith(".mif")) "mapinfo_mif"
+    else if (lower.endsWith(".dxf")) "dxf"
     else throw new IllegalArgumentException(
       s"unsupported format for $lower (see st_drivers() for the supported list)")
 
@@ -506,7 +508,8 @@ object GeoRead {
     ("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, true),
     ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, true),
     ("gml", "Geography Markup Language (.gml, feature-member rows)", true, false),
-    ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false))
+    ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false),
+    ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, false))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -648,6 +651,13 @@ object GeoRead {
           Seq(geomField("geom", "Unknown", crsRow("", "", "", ""))),
           Seq(stdField("layer", "string"), stdField("fid", "string"),
             stdField("srs", "string"), stdField("props", "map<string,string>")))))
+      } else if (lower.endsWith(".dxf")) {
+        // DXF carries no CRS (drawing units); entity count is known
+        // only after a full parse, which meta intentionally skips
+        ("dxf", Seq(Row("entities", -1L,
+          Seq(geomField("geom", "Unknown", crsRow("", "", "", ""))),
+          Seq(stdField("layer", "string"), stdField("entity_handle", "string"),
+            stdField("linetype", "string"), stdField("text", "string")))))
       } else ("unknown", Seq.empty[Row])
 
     val longName = drivers(spark).collect()
