@@ -318,6 +318,15 @@ object Bench {
         cutoff = 30.0, trialsN = if (wide) 3 else 0)
     }
 
+    // Blocklist lexicon for the amortized AC bench: every pattern's
+    // first char differs from its last, so no pattern can overlap
+    // itself and the oracle's per-pattern replace() count (the natural
+    // engine formulation, non-overlapping) equals the automaton's
+    // all-occurrences count. Mix of prefix words (hit every doc) and
+    // hex fragments (hit randomly).
+    val blocklistLex = Seq("quick", "brown", "fox", "abc", "bcd", "cde",
+      "def", "12e", "34f", "a0b", "c1d", "e2f", "01", "23", "45", "ab")
+
     // ---- amortized oracle-compared operator kernels --------------------
     // The three operators whose only oracle-compared timing was a
     // micro row at sf0.1 (0.2-0.5 s wall, dominated by Spark's fixed
@@ -469,10 +478,39 @@ object Bench {
             vecs(n), vecs(nQ), col("id"), col("v"), col("id"), col("v"), k = 10)
           .agg(count(lit(1)), sum("hamming"), sum("rank")).collect()(0).getLong(0)
       }
+      // Aho-Corasick blocklist at amortized scale: ONE automaton pass
+      // per doc over the 16-pattern lexicon vs the oracle's 16
+      // replace() scans (the natural engine formulation; the lexicon is
+      // self-overlap-free so counts agree exactly)
+      def blocklistN(n: Long): Long = {
+        val docs = spark.range(n).selectExpr("id",
+          "concat('the quick brown fox ', md5(CAST(id AS STRING))) AS text")
+        graft.operators.TextOps.blocklistAccounting(docs, col("id"), col("text"), blocklistLex)
+          .agg(count(lit(1)), sum("n_matches"), sum("n_pats")).collect()(0).getLong(0)
+      }
+      // Count-min build+probe at amortized scale: the engine streams
+      // the sketch over every OCCURRENCE (4 md5/row — the one-pass
+      // contract); the oracle is allowed the smarter pre-aggregated
+      // form (4 md5 per DISTINCT item, weighted by count)
+      def cmsN(n: Long, mod: Long): Long = {
+        val items = spark.range(n).selectExpr(s"concat('w', id % $mod) AS w")
+        graft.operators.Sketches.cmsAccounting(items, col("w"), depth = 4, width = 1024)
+          .agg(count(lit(1)), sum("n_exact"), sum("n_est")).collect()(0).getLong(0)
+      }
+      // HLL register build at amortized scale (registers only — the
+      // accounting wrapper's count-distinct is cert ballast, not the
+      // sketch workload): identical per-occurrence md5 derivation on
+      // both engines
+      def hllN(n: Long, mod: Long): Long = {
+        val items = spark.range(n).selectExpr(s"concat('u', id % $mod) AS w")
+        graft.operators.Sketches.hllRegisters(items, col("w"), b = 6)
+          .agg(count(lit(1)), sum("max_rank")).collect()(0).getLong(0)
+      }
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
       transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L)
       asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L)
       bpeEncodeN(1000000L); hammingN(1000000L, 5L)
+      blocklistN(1000000L); cmsN(1000000L, 100000L); hllN(1000000L, 100000L)
       labelPropN(1000000L, 10000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
@@ -508,6 +546,12 @@ object Bench {
         () => time { bpeEncodeN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("hamming_topk_10m") = medianOf("hamming_topk_10m",
         () => time { hammingN(10000000L, 20L) }, cutoff = 30.0, trialsN = 3)
+      results("blocklist_10m") = medianOf("blocklist_10m",
+        () => time { blocklistN(10000000L) }, cutoff = 30.0, trialsN = 3)
+      results("cms_10m") = medianOf("cms_10m",
+        () => time { cmsN(10000000L, 100000L) }, cutoff = 30.0, trialsN = 3)
+      results("hll_10m") = medianOf("hll_10m",
+        () => time { hllN(10000000L, 1000000L) }, cutoff = 30.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -572,6 +616,47 @@ object Bench {
          SELECT count(*) AS n, CAST(sum(label) AS BIGINT) AS s FROM l3"""
     }
     val operatorOracles = Map(
+      "blocklist_10m" -> {
+        val cols = blocklistLex.zipWithIndex.map { case (p, i) =>
+          s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS c$i"
+        }.mkString(", ")
+        val nm = blocklistLex.indices.map(i => s"c$i").mkString(" + ")
+        val np = blocklistLex.indices.map(i => s"CAST(c$i > 0 AS INT)").mkString(" + ")
+        s"""WITH docs AS (SELECT range AS id,
+                'the quick brown fox ' || md5(CAST(range AS VARCHAR)) AS text
+              FROM range(10000000)),
+            m AS (SELECT id, $cols FROM docs)
+            SELECT count(*) AS n, CAST(sum($nm) AS BIGINT) AS s,
+              CAST(sum($np) AS BIGINT) AS s2 FROM m"""
+      },
+      "cms_10m" ->
+        """WITH items AS (SELECT 'w' || CAST(range % 100000 AS VARCHAR) AS w FROM range(10000000)),
+           ex AS (SELECT w, count(*) AS ne FROM items GROUP BY w),
+           pos AS (
+             SELECT w, j.j AS j,
+               ('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':' || w), 1, 8))::BIGINT % 1024 AS pos
+             FROM ex, (SELECT unnest(range(0, 4)) AS j) j),
+           cells AS (
+             SELECT p.j, p.pos, CAST(sum(e.ne) AS BIGINT) AS c
+             FROM pos p JOIN ex e ON p.w = e.w GROUP BY p.j, p.pos),
+           est AS (
+             SELECT p.w, min(c.c) AS e FROM pos p
+             JOIN cells c ON p.j = c.j AND p.pos = c.pos GROUP BY p.w)
+           SELECT count(*) AS n, CAST(sum(x.ne) AS BIGINT) AS s1,
+             CAST(sum(est.e) AS BIGINT) AS s2
+           FROM ex x JOIN est ON x.w = est.w""",
+      "hll_10m" ->
+        """WITH items AS (SELECT 'u' || CAST(range % 1000000 AS VARCHAR) AS w FROM range(10000000)),
+           h AS (SELECT ('0x' || substring(md5(w), 1, 8))::BIGINT AS h1,
+                        ('0x' || substring(md5(w), 9, 8))::BIGINT AS h2 FROM items),
+           r AS (SELECT h1 % 64 AS register,
+                   CASE WHEN h2 = 0 THEN 33 ELSE bit_count((h2 & (-h2)) - 1) + 1 END AS rank
+                 FROM h),
+           regs AS (
+             SELECT g.register, coalesce(max(r.rank), 0) AS mr
+             FROM (SELECT unnest(range(0, 64)) AS register) g
+             LEFT JOIN r ON g.register = r.register GROUP BY g.register)
+           SELECT count(*) AS n, CAST(sum(mr) AS BIGINT) AS s FROM regs""",
       "pagerank_10m" -> pagerankOracle10m,
       "labelprop_10m" -> labelPropOracle10m,
       "bpe_encode_10m" -> bpeEncodeOracle10m,

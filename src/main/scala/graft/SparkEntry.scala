@@ -1350,6 +1350,31 @@ object SparkEntry {
         .orderBy("register")
     }),
 
+    // KMV / bottom-k theta sketch: k smallest distinct 60-bit hashes +
+    // the integer-exact (k-1)·2^60/h_(k) estimator — the mergeable
+    // distinct-count sample that also supports set-operation estimates
+    "q_doc_kmv" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val words = s.table("documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      operators.Sketches.kmvAccounting(words, col("w"), k = 256)
+        .orderBy("rank")
+    }),
+
+    // Content-defined chunking (LBFS/FastCDC family): boundaries where
+    // the 16-char rolling hash is divisible by 64, so chunk edges move
+    // WITH the content and sub-document dedup survives insertions;
+    // pure narrow map + array algebra, no shuffle, no UDF
+    "q_doc_cdc" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Dedup.contentDefinedChunks(s.table("documents"),
+          col("doc_id"), col("text"), gram = 16, divisor = 64L)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Deterministic content-stable train/val/test split (md5-derived
     // buckets — portable across engines, partitionings and reruns; the
     // oracle recomputes the identical assignment)
@@ -2471,6 +2496,24 @@ object SparkEntry {
     // GML source vs an independent xml.etree golden (same pattern as
     // gpx/kml): layer/fid/props/srs plus geometry type, point count
     // and bbox per feature member
+    // DXF source vs an independent python-math golden (entity kinds,
+    // layers, attributes, deterministic circle/arc approximations)
+    "q_src_dxf" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      sources.GeoRead.read(s, "/root/repo/src/test/resources/dxf/sample.dxf")
+        .select(col("entity_handle").as("handle"), col("layer"),
+          col("linetype"), col("text"),
+          st_geometrytype(col("geom")).as("gtype"),
+          st_npoints(col("geom")).as("npts"),
+          round(st_xmin(col("geom")), 4).as("x0"),
+          round(st_ymin(col("geom")), 4).as("y0"),
+          round(st_xmax(col("geom")), 4).as("x1"),
+          round(st_ymax(col("geom")), 4).as("y1"))
+        .orderBy("handle")
+    }),
+
     "q_src_gml" -> ((s, dir) => {
       Graft.install(s)
       import org.apache.spark.sql.functions._
@@ -2749,6 +2792,41 @@ object SparkEntry {
          count(*) FILTER (WHERE hit) AS n_hits,
          count(*) FILTER (WHERE hit) > 0 AS contaminated
        FROM ph GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** q_doc_cdc oracle: the same 16-char Horner/splitmix64 window
+   *  hashes (divisibility by 64 is sign-independent, so the engine's
+   *  signed Longs and these unsigned residues agree), then chunk
+   *  reconstruction from the sorted cut list per document. */
+  private lazy val cdcOracle: String = {
+    val horner = (1 to 16).foldLeft("0::HUGEINT")((h, p) =>
+      s"(($h * 1000003 + ascii(substring(g,$p,1))) % $M64)")
+    s"""WITH wins AS (
+         SELECT doc_id, unnest([{'i': i, 'g': substring(text, i, 16)}
+             for i in range(1, greatest(length(text) - 15, 0) + 1)]) AS u
+         FROM documents),
+       w2 AS (SELECT doc_id, u.i AS i, u.g AS g FROM wins),
+       z0 AS (SELECT doc_id, i, ($horner + 11400714819323198485::HUGEINT) % $M64 AS z FROM w2),
+       ${splitmixSteps("doc_id, i")},
+       b AS (SELECT doc_id, i + 15 AS cut FROM z3 WHERE z % 64 = 0),
+       cuts AS (SELECT doc_id, list_sort(list(cut)) AS cs FROM b GROUP BY doc_id),
+       wd AS (
+         SELECT d.doc_id, d.text, coalesce(c.cs, []) AS cs
+         FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id),
+       es AS (
+         SELECT doc_id, text,
+           CASE WHEN len(cs) > 0 AND cs[-1] = length(text) THEN cs
+                ELSE list_append(cs, length(text)) END AS es
+         FROM wd),
+       ch AS (
+         SELECT doc_id, text,
+           unnest([{'j': j, 's': CASE WHEN j = 1 THEN 1 ELSE es[j-1] + 1 END, 'e': es[j]}
+               for j in range(1, len(es) + 1)]) AS u
+         FROM es)
+       SELECT doc_id, CAST(u.j AS BIGINT) AS chunk_idx,
+         CAST(u.e - u.s + 1 AS BIGINT) AS chunk_len,
+         md5(substring(text, CAST(u.s AS INT), CAST(u.e - u.s + 1 AS INT))) AS chunk_md5
+       FROM ch ORDER BY doc_id, chunk_idx"""
   }
 
   /** q_doc_simhash oracle: replicates both 64-bit sketches in SQL —
@@ -4103,6 +4181,8 @@ object SparkEntry {
 
       "q_doc_bloom" -> bloomOracle,
 
+      "q_doc_cdc" -> cdcOracle,
+
       // HLL: identical register/rank derivation from md5 words, the
       // same integer-exact raw estimator (alpha=709/1000 at m=64)
       "q_doc_hll" ->
@@ -4131,6 +4211,24 @@ object SparkEntry {
              CAST((709::HUGEINT * 4096 * 8589934592 * 1000000) // (1000 * tot.n) AS BIGINT) AS est_micro,
              ex.n_exact
            FROM regs, tot, ex ORDER BY register""",
+
+      // KMV: identical 60-bit md5-prefix hashes, identical bottom-k
+      // order statistics, the same truncating-division estimator
+      "q_doc_kmv" ->
+        """WITH words AS (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents),
+           hs AS (SELECT DISTINCT ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM words),
+           k AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+           kr AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM k),
+           st AS (SELECT count(*) AS n_kept, max(h) AS kth FROM k),
+           ex AS (SELECT count(DISTINCT w) AS n_exact FROM words)
+           SELECT CAST(kr.rank AS BIGINT) AS rank, kr.h,
+             CAST(st.n_kept AS BIGINT) AS n_kept,
+             CAST(CASE WHEN st.n_kept < 256 THEN st.n_kept * 1000000
+                  ELSE (255::HUGEINT * 1152921504606846976 * 1000000) // st.kth
+                  END AS BIGINT) AS est_micro,
+             ex.n_exact
+           FROM kr, st, ex ORDER BY rank""",
 
       // Aho-Corasick blocklist: the oracle counts each pattern's
       // overlapping occurrences by scanning every start position
@@ -5498,6 +5596,17 @@ object SparkEntry {
            FROM read_csv('/root/repo/src/test/resources/golden/mif_golden.csv',
              header=true, types={'born': 'VARCHAR'})
            ORDER BY name""",
+
+      // independent python-math golden (tools/make_dxf_golden.py):
+      // empties read as NULL, matching the engine's nullable attrs
+      "q_src_dxf" ->
+        """SELECT handle, layer, linetype, text, gtype, npts, x0, y0, x1, y1
+           FROM read_csv('/root/repo/src/test/resources/golden/dxf_golden.csv',
+             header=true,
+             columns={'handle':'VARCHAR','layer':'VARCHAR','linetype':'VARCHAR',
+                      'text':'VARCHAR','gtype':'VARCHAR','npts':'INTEGER',
+                      'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
+           ORDER BY handle""",
 
       // same independent golden, zipped read path on the engine side
       "q_src_zip" ->

@@ -2248,3 +2248,142 @@ class HllSpec extends SparkSpec {
     assert(math.abs(n.toDouble / d - 0.72125) < 1e-4)
   }
 }
+
+class CdcSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Dedup
+
+  private def chunks(rows: Seq[(Long, String)]): Map[Long, Seq[(Long, String, Long)]] = {
+    import spark.implicits._
+    Dedup.contentDefinedChunks(rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        gram = 16, divisor = 32L)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("chunk_idx").toLong, r.getAs[String]("chunk_md5"), r.getAs[Long]("chunk_len"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
+  test("cdc: chunks reconstruct the document and boundaries are content-defined") {
+    val rnd = new scala.util.Random(23)
+    val body = (0 until 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val out = chunks(Seq(1L -> body))
+    val cs = out(1L)
+    assert(cs.map(_._3).sum == body.length, "chunk lengths must cover the doc exactly")
+    assert(cs.map(_._1) == (1L to cs.length), "contiguous 1-based chunk indexes")
+    assert(cs.length > 5, s"expected multiple chunks at divisor 32, got ${cs.length}")
+    // shift-invariance: prepend an insertion — all chunks strictly after
+    // the insertion point must reappear (same md5 multiset suffix)
+    val edited = "INSERTED-PREFIX-BLOCK " + body
+    val cs2 = chunks(Seq(1L -> edited))(1L)
+    val origSet = cs.map(_._2).toSet
+    val shared = cs2.map(_._2).count(origSet)
+    assert(shared >= cs.length - 2,
+      s"insertion destroyed distant chunks: only $shared of ${cs.length} survived")
+    // short doc: single chunk, whole-doc md5
+    val s = chunks(Seq(2L -> "tiny"))(2L)
+    assert(s == Seq((1L, sql1("md5('tiny')").toString, 4L)))
+  }
+}
+
+class KmvSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.operators.Sketches
+
+  test("kmv: bottom-k equals brute-force distinct order statistics, any partitioning") {
+    import spark.implicits._
+    // duplicates on purpose: every item appears 3x — the sketch must dedup
+    val items = (0 until 3).flatMap(_ => (0 until 5000).map(i => s"item-$i"))
+    val expected = (0 until 5000).map(i => s"item-$i").distinct
+      .map(w => java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16))
+      .sorted.take(64)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = items.toDF("w").repartition(parts)
+      val got = Sketches.kmvAccounting(df, col("w"), k = 64)
+        .orderBy("rank").collect()
+      assert(got.map(_.getAs[Long]("h")).toSeq == expected, s"parts=$parts")
+      assert(got.forall(_.getAs[Long]("n_kept") == 64L))
+      assert(got.forall(_.getAs[Long]("n_exact") == 5000L))
+      // estimator sanity: within ~2/sqrt(k) ≈ 25% of truth
+      val est = got.head.getAs[Long]("est_micro") / 1e6
+      assert(math.abs(est - 5000) / 5000 < 0.25, s"est=$est")
+      // integer-exact estimator recomputation
+      val kth = expected.last
+      val want = (BigInt(63) * BigInt(Sketches.KmvRange) * 1000000 / BigInt(kth)).toLong
+      assert(got.head.getAs[Long]("est_micro") == want)
+    }
+  }
+
+  test("kmv: under-k cardinality degrades to the exact distinct set") {
+    import spark.implicits._
+    val got = Sketches.kmvAccounting(Seq("a", "b", "b", "c").toDF("w"), col("w"), k = 256)
+      .orderBy("rank").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("est_micro") == 3000000L))
+    assert(got.map(_.getAs[Long]("h")).toSeq == got.map(_.getAs[Long]("h")).toSeq.sorted)
+  }
+}
+
+class DxfSpec extends SparkSpec {
+  import graft.sources.Dxf
+
+  private val fixture = "/root/repo/src/test/resources/dxf/sample.dxf"
+
+  test("dxf: entity kinds, attributes, closed-polyline and circle/arc mapping") {
+    val es = Dxf.parseEntities(fixture)
+    assert(es.length == 11)
+    val byHandle = es.map(e => e.handle -> e).toMap
+    assert(byHandle("A1").geom.get.getGeometryType == "Point")
+    assert(byHandle("A2").linetype == "DASHED")
+    assert(byHandle("B1").geom.get.getGeometryType == "LineString")
+    assert(byHandle("C1").geom.get.getNumPoints == 4)
+    // closed LWPOLYLINE -> polygon with auto-closed ring
+    assert(byHandle("C2").geom.get.getGeometryType == "Polygon")
+    assert(byHandle("C2").geom.get.getNumPoints == 5)
+    // circle: 32 segments + closing point, bbox = center ± r exactly
+    val circle = byHandle("D1").geom.get
+    assert(circle.getGeometryType == "Polygon" && circle.getNumPoints == 33)
+    val env = circle.getEnvelopeInternal
+    assert(env.getMinX == 47.5 && env.getMaxX == 52.5 && env.getMinY == 57.5 && env.getMaxY == 62.5)
+    // arc crossing 0 degrees: sweep 120 -> ceil(120/11.25)=11 segments
+    assert(byHandle("D3").geom.get.getNumPoints == 12)
+    assert(byHandle("E1").text == "Main Street")
+    assert(byHandle("E2").text == "Block 7")
+    // POLYLINE/VERTEX/SEQEND run, closed -> polygon
+    assert(byHandle("F1").geom.get.getGeometryType == "Polygon")
+    assert(byHandle("F1").layer == "parcels")
+  }
+
+  test("dxf: st_read integration + driver registry row") {
+    graft.Graft.install(spark)
+    val df = graft.sources.GeoRead.read(spark, fixture)
+    assert(df.count() == 11)
+    assert(df.columns.toSeq == Seq("layer", "entity_handle", "linetype", "text", "geom"))
+    val drivers = spark.sql("SELECT * FROM st_drivers() WHERE short_name = 'dxf'").collect()
+    assert(drivers.length == 1 && drivers(0).getBoolean(2) && !drivers(0).getBoolean(3))
+  }
+
+  test("dxf: clear errors on unsupported entities and orphan runs") {
+    def write(content: String): String = {
+      val f = java.io.File.createTempFile("graft-dxf", ".dxf")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, content)
+      f.getPath
+    }
+    def dxf(entities: String): String =
+      s"0\nSECTION\n2\nENTITIES\n${entities}0\nENDSEC\n0\nEOF\n"
+    val bad = intercept[IllegalArgumentException] {
+      Dxf.parseEntities(write(dxf("0\nSPLINE\n5\nX1\n")))
+    }
+    assert(bad.getMessage.contains("SPLINE"))
+    val orphan = intercept[IllegalArgumentException] {
+      Dxf.parseEntities(write(dxf("0\nVERTEX\n10\n1\n20\n2\n")))
+    }
+    assert(orphan.getMessage.contains("orphan"))
+    val noSeqend = intercept[IllegalArgumentException] {
+      Dxf.parseEntities(write(dxf("0\nPOLYLINE\n70\n0\n0\nVERTEX\n10\n1\n20\n2\n")))
+    }
+    assert(noSeqend.getMessage.toLowerCase.contains("seqend"))
+  }
+}
