@@ -1358,7 +1358,9 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val words = s.table("documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      operators.Sketches.kmvAccounting(words, col("w"), k = 256)
+      // k=16 < the corpus's distinct-word count, so the gate certifies
+      // the REAL bottom-k estimator path (under-k is spec-covered)
+      operators.Sketches.kmvAccounting(words, col("w"), k = 16)
         .orderBy("rank")
     }),
 
@@ -2575,8 +2577,17 @@ object SparkEntry {
           stereo = i % 2 == 0, nFrames = 20 + i.toInt,
           withId3 = i % 2 == 1, id3Size = 64 + i.toInt, seed = i))
       }.toDF("doc_id", "payload")
+      // planted ISO-BMFF payloads: the MP4 box walk — mvhd v0/v1
+      // alternating, width/height/timescale/track-count all swept
+      val mp4s = s.range(20).map { i =>
+        (40000000L + i, operators.Multimodal.mp4Bytes(
+          widthPx = 320 + (i % 4).toInt * 320, heightPx = 240 + (i % 3).toInt * 240,
+          timescale = 1000L + (i % 5) * 500L, duration = 10000L + i * 777L,
+          nTracks = 1 + (i % 3).toInt, v1 = i % 2 == 1))
+      }.toDF("doc_id", "payload")
       operators.Multimodal.decodeAndFeaturize(
-          media.unionByName(wavs).unionByName(flacs).unionByName(mp3s),
+          media.unionByName(wavs).unionByName(flacs).unionByName(mp3s)
+            .unionByName(mp4s),
           "doc_id", "payload", featureDim = 16)
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("w"), col("meta.height").as("h"),
@@ -3490,7 +3501,8 @@ object SparkEntry {
          SELECT doc_id, n, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h FROM hraw),
        wav AS (SELECT unnest(range(0, 40)) AS i),
        flac AS (SELECT unnest(range(0, 30)) AS i),
-       mp3 AS (SELECT unnest(range(0, 30)) AS i)
+       mp3 AS (SELECT unnest(range(0, 30)) AS i),
+       mp4 AS (SELECT unnest(range(0, 20)) AS i)
        SELECT * FROM (
          SELECT doc_id AS media_id,
            ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
@@ -3526,7 +3538,17 @@ object SparkEntry {
            CAST(2 - (i % 2) AS INT) AS ch,
            CAST((20 + i) * 1152 * 1000 // ([44100, 48000, 32000])[(i % 3) + 1] AS BIGINT) AS dur_ms,
            16 AS fdim
-         FROM mp3) t
+         FROM mp3
+         UNION ALL
+         -- REAL MP4 path: ISO-BMFF mvhd/tkhd fields recomputed from
+         -- the same id sweep; duration_ms = duration*1000 // timescale
+         SELECT 40000000 + i AS media_id, 'mp4' AS format,
+           CAST(320 + (i % 4) * 320 AS INT) AS w,
+           CAST(240 + (i % 3) * 240 AS INT) AS h,
+           CAST(1 + (i % 3) AS INT) AS ch,
+           CAST((10000 + i * 777) * 1000 // (1000 + (i % 5) * 500) AS BIGINT) AS dur_ms,
+           16 AS fdim
+         FROM mp4) t
        ORDER BY media_id"""
 
   /** q_geo_spheroid golden table: (k, vincenty_m, perimeter_m,
@@ -4218,14 +4240,14 @@ object SparkEntry {
         """WITH words AS (
              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents),
            hs AS (SELECT DISTINCT ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM words),
-           k AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+           k AS (SELECT h FROM hs ORDER BY h LIMIT 16),
            kr AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM k),
            st AS (SELECT count(*) AS n_kept, max(h) AS kth FROM k),
            ex AS (SELECT count(DISTINCT w) AS n_exact FROM words)
            SELECT CAST(kr.rank AS BIGINT) AS rank, kr.h,
              CAST(st.n_kept AS BIGINT) AS n_kept,
-             CAST(CASE WHEN st.n_kept < 256 THEN st.n_kept * 1000000
-                  ELSE (255::HUGEINT * 1152921504606846976 * 1000000) // st.kth
+             CAST(CASE WHEN st.n_kept < 16 THEN st.n_kept * 1000000
+                  ELSE (15::HUGEINT * 1152921504606846976 * 1000000) // st.kth
                   END AS BIGINT) AS est_micro,
              ex.n_exact
            FROM kr, st, ex ORDER BY rank""",

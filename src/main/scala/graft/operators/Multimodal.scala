@@ -54,6 +54,7 @@ object Multimodal {
       val m = (try decodeWav(payload) catch { case _: Exception => None })
         .orElse(try decodeFlac(payload) catch { case _: Exception => None })
         .orElse(try decodeMp3(payload) catch { case _: Exception => None })
+        .orElse(try decodeMp4(payload) catch { case _: Exception => None })
         .getOrElse(decodeStub(payload))
       (m, None)
     }
@@ -216,6 +217,133 @@ object Multimodal {
   /** Resync window for the mp3 sniffer (bytes searched for the first
    *  frame sync after any ID3v2 tag). */
   val Mp3SyncScanLimit = 4096L
+
+  /** ISO-BMFF (MP4/MOV/3GP) signature sniff: the first box must be
+   *  `ftyp` (ISO/IEC 14496-12 §4.3 — "shall be placed as early as
+   *  possible"; in practice first). */
+  private[operators] def isMp4(p: Array[Byte]): Boolean =
+    p != null && p.length >= 16 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xFFL) << 24) | ((p(o + 1) & 0xFFL) << 16) |
+      ((p(o + 2) & 0xFFL) << 8) | (p(o + 3) & 0xFFL)
+  private def be64(p: Array[Byte], o: Int): Long = (be32(p, o) << 32) | be32(p, o + 4)
+
+  /** [start,end) payload ranges of every child box named `typ` inside
+   *  the given range — the ISO-BMFF size/type walk with the same
+   *  Long-cursor overflow discipline as [[decodeWav]] (size==1 →
+   *  64-bit largesize, size==0 → to end-of-range). */
+  private def childBoxes(p: Array[Byte], start: Long, end: Long,
+      typ: String): Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var off = start
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val o = off.toInt
+      val sz0 = be32(p, o)
+      var hdr = 8L
+      val sz =
+        if (sz0 == 1L) { if (off + 16 > end) { ok = false; 0L } else { hdr = 16L; be64(p, o + 8) } }
+        else if (sz0 == 0L) end - off
+        else sz0
+      if (ok && sz >= hdr && off + sz <= end) {
+        if (p(o + 4) == typ(0) && p(o + 5) == typ(1) &&
+            p(o + 6) == typ(2) && p(o + 7) == typ(3))
+          out += ((off + hdr, off + sz))
+        off += sz
+      } else ok = false // malformed/truncated size ends the walk
+    }
+    out.result()
+  }
+
+  /**
+   * Real video/container metadata for ISO-BMFF (MP4) payloads — a
+   * dependency-free box walk of the published ISO/IEC 14496-12 layout
+   * (no codec needed for container metadata, the same class as the
+   * WAV/FLAC/MP3 parsers; frame DECODE stays out of scope offline).
+   * `moov/mvhd` gives timescale+duration (version 0 and 1 layouts
+   * both handled); the first `trak/tkhd` with a nonzero 16.16-fixed
+   * width supplies the presentation size. Mapping: format="mp4",
+   * width/height = presentation pixels, channels = track count,
+   * duration_ms = duration·1000/timescale. None on non-MP4 or
+   * malformed boxes — callers fall through to the stub, never throw.
+   */
+  private[graft] def decodeMp4(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (!isMp4(p)) return None
+    val moov = childBoxes(p, 0L, p.length.toLong, "moov")
+    if (moov.isEmpty) return None
+    val (ms, me) = moov.head
+    val mvhd = childBoxes(p, ms, me, "mvhd")
+    if (mvhd.isEmpty) return None
+    val (hs, he) = mvhd.head
+    val ver = p(hs.toInt) & 0xFF
+    val (timescale, duration) =
+      if (ver == 1) {
+        if (hs + 32 > he) return None
+        (be32(p, hs.toInt + 20), be64(p, hs.toInt + 24))
+      } else {
+        if (hs + 20 > he) return None
+        (be32(p, hs.toInt + 12), be32(p, hs.toInt + 16))
+      }
+    if (timescale <= 0) return None
+    val traks = childBoxes(p, ms, me, "trak")
+    // first tkhd with a nonzero fixed-point width = the video track
+    val wh = traks.iterator.flatMap { case (ts, te) =>
+      childBoxes(p, ts, te, "tkhd").headOption.flatMap { case (ks, ke) =>
+        val v = p(ks.toInt) & 0xFF
+        val wOff = ks + (if (v == 1) 88L else 76L)
+        if (wOff + 8 > ke) None
+        else {
+          val w = (be32(p, wOff.toInt) >> 16).toInt
+          val h = (be32(p, wOff.toInt + 4) >> 16).toInt
+          if (w > 0 && h > 0) Some((w, h)) else None
+        }
+      }
+    }.nextOption().getOrElse((0, 0))
+    Some(("mp4", wh._1, wh._2, traks.length, duration * 1000L / timescale))
+  }
+
+  /** Minimal ISO-BMFF builder (fixture/testing aid — the inverse of
+   *  [[decodeMp4]]'s box walk): ftyp + moov(mvhd + one tkhd-bearing
+   *  trak per track; track 0 carries the 16.16 width/height). `v1`
+   *  emits version-1 (64-bit time) mvhd/tkhd layouts. */
+  def mp4Bytes(widthPx: Int, heightPx: Int, timescale: Long, duration: Long,
+      nTracks: Int = 2, v1: Boolean = false): Array[Byte] = {
+    require(nTracks >= 1 && timescale > 0)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      val sz = out.length.toLong
+      out(0) = (sz >> 24).toByte; out(1) = (sz >> 16).toByte
+      out(2) = (sz >> 8).toByte; out(3) = sz.toByte
+      (0 until 4).foreach(i => out(4 + i) = typ(i).toByte)
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out
+    }
+    def w32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v >> 24).toByte; b(o + 1) = (v >> 16).toByte
+      b(o + 2) = (v >> 8).toByte; b(o + 3) = v.toByte
+    }
+    def w64(b: Array[Byte], o: Int, v: Long): Unit = { w32(b, o, v >>> 32); w32(b, o + 4, v) }
+    val ftyp = box("ftyp", { val b = new Array[Byte](8)
+      b(0) = 'i'; b(1) = 's'; b(2) = 'o'; b(3) = 'm'; b })
+    val mvhd = if (v1) { val b = new Array[Byte](108 + 4)
+      b(0) = 1; w32(b, 20, timescale); w64(b, 24, duration); box("mvhd", b)
+    } else { val b = new Array[Byte](96 + 4)
+      w32(b, 12, timescale); w32(b, 16, duration); box("mvhd", b) }
+    val traks = (0 until nTracks).map { t =>
+      val tkhd = if (v1) { val b = new Array[Byte](96)
+        b(0) = 1
+        if (t == 0) { w32(b, 88, widthPx.toLong << 16); w32(b, 92, heightPx.toLong << 16) }
+        box("tkhd", b)
+      } else { val b = new Array[Byte](80 + 4)
+        if (t == 0) { w32(b, 76, widthPx.toLong << 16); w32(b, 80, heightPx.toLong << 16) }
+        box("tkhd", b) }
+      box("trak", tkhd)
+    }
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    ftyp ++ moov
+  }
 
   /** Minimal CBR MPEG1 Layer III builder (fixture/testing aid — the
    *  inverse of [[decodeMp3]]'s frame walk, header layout from the

@@ -2387,3 +2387,34 @@ class DxfSpec extends SparkSpec {
     assert(noSeqend.getMessage.toLowerCase.contains("seqend"))
   }
 }
+
+class Mp4Spec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  test("mp4: box walk extracts mvhd timing, tkhd size, track count (v0 and v1)") {
+    val v0 = Multimodal.mp4Bytes(1920, 1080, timescale = 1000L, duration = 93500L, nTracks = 2)
+    assert(Multimodal.decodeMp4(v0).contains(("mp4", 1920, 1080, 2, 93500L)))
+    val v1 = Multimodal.mp4Bytes(640, 480, timescale = 90000L, duration = 9000000L,
+      nTracks = 3, v1 = true)
+    assert(Multimodal.decodeMp4(v1).contains(("mp4", 640, 480, 3, 100000L)))
+    // audio-only: no tkhd carries a size -> width/height 0, duration real
+    val audio = Multimodal.mp4Bytes(0, 0, timescale = 48000L, duration = 480000L, nTracks = 1)
+    assert(Multimodal.decodeMp4(audio).contains(("mp4", 0, 0, 1, 10000L)))
+  }
+
+  test("mp4: malformed payloads fall through, never throw") {
+    assert(Multimodal.decodeMp4(null).isEmpty)
+    assert(Multimodal.decodeMp4("RIFFxxxxWAVE".getBytes).isEmpty)
+    // ftyp but no moov
+    val noMoov = Multimodal.mp4Bytes(1, 1, 1000L, 1000L).take(16)
+    assert(Multimodal.decodeMp4(noMoov).isEmpty)
+    // hostile size field: box size 0xFFFFFFF0 would overflow an Int walk
+    val hostile = Multimodal.mp4Bytes(64, 64, 1000L, 1000L)
+    hostile(16) = 0xFF.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0xF0.toByte
+    assert(Multimodal.decodeMp4(hostile).isEmpty) // walk terminates cleanly
+    // truncated moov: declared child size exceeds the buffer
+    val trunc = Multimodal.mp4Bytes(64, 64, 1000L, 1000L).dropRight(40)
+    Multimodal.decodeMp4(trunc) // must not throw
+  }
+}
