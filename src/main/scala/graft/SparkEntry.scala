@@ -2713,9 +2713,13 @@ object SparkEntry {
   /** splitmix64 finalizer as 4 chained SELECT steps over column z. */
   private def splitmixSteps(keyCols: String): String = {
     val c1 = BigInt("bf58476d1ce4e5b9", 16); val c2 = BigInt("94d049bb133111eb", 16)
-    s"""z1 AS (SELECT $keyCols, ${mulmod(xor64("z", "z // 1073741824"), c1)} AS z FROM z0),
-       z2 AS (SELECT $keyCols, ${mulmod(xor64("z", "z // 134217728"), c2)} AS z FROM z1),
-       z3 AS (SELECT $keyCols, ${xor64("z", "z // 2147483648")} % $M64 AS z FROM z2)"""
+    // AS MATERIALIZED is load-bearing: mulmod/xor64 reference their
+    // argument several times, so DuckDB's default CTE inlining
+    // multiplies the child expression ~4x PER LEVEL (the q_doc_cdc
+    // oracle went 757s -> 5s at sf0.01 from this one change)
+    s"""z1 AS MATERIALIZED (SELECT $keyCols, ${mulmod(xor64("z", "z // 1073741824"), c1)} AS z FROM z0),
+       z2 AS MATERIALIZED (SELECT $keyCols, ${mulmod(xor64("z", "z // 134217728"), c2)} AS z FROM z1),
+       z3 AS MATERIALIZED (SELECT $keyCols, ${xor64("z", "z // 2147483648")} % $M64 AS z FROM z2)"""
   }
   /** Unsigned-64 HUGEINT → signed BIGINT (two's complement). */
   private def toSigned(x: String): String =
@@ -2812,15 +2816,15 @@ object SparkEntry {
   private lazy val cdcOracle: String = {
     val horner = (1 to 16).foldLeft("0::HUGEINT")((h, p) =>
       s"(($h * 1000003 + ascii(substring(g,$p,1))) % $M64)")
-    s"""WITH wins AS (
+    s"""WITH wins AS MATERIALIZED (
          SELECT doc_id, unnest([{'i': i, 'g': substring(text, i, 16)}
              for i in range(1, greatest(length(text) - 15, 0) + 1)]) AS u
          FROM documents),
-       w2 AS (SELECT doc_id, u.i AS i, u.g AS g FROM wins),
-       z0 AS (SELECT doc_id, i, ($horner + 11400714819323198485::HUGEINT) % $M64 AS z FROM w2),
+       w2 AS MATERIALIZED (SELECT doc_id, u.i AS i, u.g AS g FROM wins),
+       z0 AS MATERIALIZED (SELECT doc_id, i, ($horner + 11400714819323198485::HUGEINT) % $M64 AS z FROM w2),
        ${splitmixSteps("doc_id, i")},
-       b AS (SELECT doc_id, i + 15 AS cut FROM z3 WHERE z % 64 = 0),
-       cuts AS (SELECT doc_id, list_sort(list(cut)) AS cs FROM b GROUP BY doc_id),
+       b AS MATERIALIZED (SELECT doc_id, i + 15 AS cut FROM z3 WHERE z % 64 = 0),
+       cuts AS MATERIALIZED (SELECT doc_id, list_sort(list(cut)) AS cs FROM b GROUP BY doc_id),
        wd AS (
          SELECT d.doc_id, d.text, coalesce(c.cs, []) AS cs
          FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id),
