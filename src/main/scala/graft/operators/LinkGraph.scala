@@ -193,34 +193,59 @@ object LinkGraph {
     // undirected: both directions, self-loops dropped, dedup
     val e0 = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    // pre-partition the STATIC side by its per-round join key: the
-    // cached edge frame then satisfies the join's distribution every
-    // round, so only the (vertex-sized) labels frame shuffles — without
-    // this the edge-sized exchange repeats per round (measured 10.6 s →
-    // see PLANS.md round-9 iterative-join note)
-    val e = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().repartition(col("b")).persist()
-    val vertices = e.select(col("a").as("v")).distinct().persist()
+    // ONE exchange builds the cache: repartition(a) BEFORE distinct —
+    // hash(a) clustering satisfies the (a,b) dedup grouping, the
+    // vertex dedup below, and (through a broadcast join, which
+    // preserves the streamed side's partitioning) both per-round
+    // groupings ((a,label) then (a)). The previous
+    // distinct-then-repartition shape paid a second full edge-sized
+    // exchange for nothing.
+    val e1 = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).distinct().persist()
+    val vertices = e1.select(col("a").as("v")).distinct().persist()
     var labels = vertices.select(col("v"), col("v").as("label")).persist()
     // size-based join dispatch: the labels frame is vertex-sized, and
     // below the threshold a per-round BROADCAST deletes the join
     // exchange entirely (the vertex count is already materialized by
-    // the pinning counts, so the probe is free). Above it, the
-    // pre-partitioned edge cache keeps the shuffle labels-only.
+    // the pinning counts, so the probe is free) and every round runs
+    // with ZERO exchanges on the a-partitioned cache. Above it, the
+    // edge cache is re-partitioned by `b`, the per-round join key, so
+    // only the vertex-sized labels frame shuffles per round.
     val vCount = vertices.count()
     val bcastLabels = vCount <= BroadcastMaxVertices
+    val e = if (bcastLabels) e1 else {
+      val r = e1.repartition(col("b")).persist()
+      r.count() // pin before releasing the parent
+      e1.unpersist(blocking = false)
+      r
+    }
     var i = 0
     while (i < rounds) {
-      val labSide = if (bcastLabels) broadcast(labels) else labels
-      val neighborVotes = e
-        .join(labSide, e("b") === labSide("v"))
-        .select(e("a").as("v"), labSide("label"))
-        .groupBy("v", "label").agg(count(lit(1)).as("n"))
-      // argmax by (n desc, label asc): negate label inside max_by's
-      // tie struct, same idiom as Similarity's centroid assignment
+      // round 1's labels are the identity map, so the neighbor's label
+      // IS b — skip the join entirely (one broadcast + probe saved)
+      val neighborVotes = (if (i == 0)
+          e.select(col("a").as("v"), col("b").as("label"))
+        else {
+          val labSide = if (bcastLabels) broadcast(labels) else labels
+          e.join(labSide, e("b") === labSide("v"))
+            .select(e("a").as("v"), labSide("label"))
+        }).groupBy("v", "label").agg(count(lit(1)).as("n"))
+      // argmax by (n desc, label asc) as max() of ONE DECIMAL(38,0)
+      // encoding n*2^64 + (2^63-1-label): max_by over a tie struct
+      // plans a SortAggregate (a per-round sort of the edge-sized vote
+      // frame — measured ~2x the whole round's cost at 10M edges),
+      // while scalar max stays in HashAggregate. The encoding is
+      // exact for every Long label (the old -label negation also
+      // overflowed at Long.MinValue) and for counts up to 2^53.
+      val enc = expr(
+        """CAST(n AS DECIMAL(38,0)) * 18446744073709551616 +
+           (CAST(9223372036854775807 AS DECIMAL(38,0)) - CAST(label AS DECIMAL(38,0)))""")
       val next = neighborVotes
         .groupBy("v")
-        .agg(max_by(col("label"), struct(col("n"), (-col("label")).as("tb"))).as("label"))
+        .agg(max(enc).as("__enc"))
+        .select(col("v"), expr(
+          """CAST(CAST(9223372036854775807 AS DECIMAL(38,0)) -
+             (__enc % 18446744073709551616) AS BIGINT)""").as("label"))
         .persist()
       next.count() // pin before releasing the parent (measured lesson)
       labels.unpersist(blocking = false)

@@ -163,6 +163,74 @@ object Dxf {
   val CircleSegments = 32
   val ArcSegmentDeg = 11.25
 
+  /**
+   * Write a DXF ENTITIES file (GDAL's DXF driver is create-capable —
+   * reference `docs/internals.md` driver table row "DXF"). Geometry
+   * mapping is the write-side inverse of [[read]]:
+   *  - Point       → POINT
+   *  - LineString  → open LWPOLYLINE
+   *  - Polygon     → one closed LWPOLYLINE per ring (DXF has no
+   *                  polygon-with-holes entity short of HATCH, so each
+   *                  ring becomes its own entity — GDAL's behavior)
+   *  - Multi... / GeometryCollection → one entity per component
+   * A `layer` string column (when present) supplies code 8; entity
+   * handles are sequential hex. Null geometries are skipped. Like the
+   * other driver-funnel sinks this is a single-file driver-side write
+   * behind [[DriverSink.guard]]'s row cap — the cluster-parallel
+   * export path stays GeoParquet/NDJSON.
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    DriverSink.guard(df, "DXF", "GeoJSON NDJSON / GeoParquet (cluster-parallel)")
+    val gi = df.schema.fieldIndex(geomCol)
+    val li = df.columns.indexOf("layer")
+    val out = new java.io.BufferedWriter(new java.io.FileWriter(path))
+    var handle = 0L
+    try {
+      def emit(code: Int, value: String): Unit = {
+        out.write(code.toString); out.write("\n"); out.write(value); out.write("\n")
+      }
+      def fmt(d: Double): String =
+        if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      def entity(kind: String, layer: String): Unit = {
+        handle += 1
+        emit(0, kind); emit(5, handle.toHexString.toUpperCase); emit(8, layer)
+      }
+      def writeGeom(g: Geometry, layer: String): Unit = g match {
+        case p: org.locationtech.jts.geom.Point =>
+          entity("POINT", layer)
+          emit(10, fmt(p.getX)); emit(20, fmt(p.getY))
+        case l: org.locationtech.jts.geom.LineString =>
+          val cs = l.getCoordinates
+          entity("LWPOLYLINE", layer)
+          emit(90, cs.length.toString); emit(70, "0")
+          cs.foreach { c => emit(10, fmt(c.x)); emit(20, fmt(c.y)) }
+        case p: org.locationtech.jts.geom.Polygon =>
+          (Seq(p.getExteriorRing) ++
+            (0 until p.getNumInteriorRing).map(p.getInteriorRingN(_))).foreach { ring =>
+            val cs = ring.getCoordinates.dropRight(1) // closed flag re-closes
+            entity("LWPOLYLINE", layer)
+            emit(90, cs.length.toString); emit(70, "1")
+            cs.foreach { c => emit(10, fmt(c.x)); emit(20, fmt(c.y)) }
+          }
+        case m: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until m.getNumGeometries).foreach(i => writeGeom(m.getGeometryN(i), layer))
+        case other => throw new IllegalArgumentException(
+          s"DXF write: unsupported geometry ${other.getGeometryType}")
+      }
+      emit(0, "SECTION"); emit(2, "HEADER")
+      emit(9, "$ACADVER"); emit(1, "AC1015")
+      emit(0, "ENDSEC")
+      emit(0, "SECTION"); emit(2, "ENTITIES")
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val layer = if (li >= 0 && !r.isNullAt(li)) r.getString(li) else "0"
+        if (!r.isNullAt(gi)) writeGeom(Jts.read(r.getAs[Array[Byte]](gi)), layer)
+      }
+      emit(0, "ENDSEC"); emit(0, "EOF")
+    } finally out.close()
+  }
+
   /** All entities of the ENTITIES section as raw code/value groups. */
   private def rawEntities(path: String): Vector[RawEnt] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")

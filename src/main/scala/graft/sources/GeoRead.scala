@@ -509,7 +509,7 @@ object GeoRead {
     ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, true),
     ("gml", "Geography Markup Language (.gml, feature-member rows)", true, false),
     ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false),
-    ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, false))
+    ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
