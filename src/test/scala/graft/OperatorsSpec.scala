@@ -2418,3 +2418,37 @@ class Mp4Spec extends SparkSpec {
     Multimodal.decodeMp4(trunc) // must not throw
   }
 }
+
+class DxfWriteSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.GeoFunctions._
+
+  test("dxf write: roundtrip through the reader, layer column, ring split") {
+    graft.Graft.install(spark)
+    val df = spark.sql("""SELECT * FROM VALUES
+        ('sites', ST_Point(1.5, 2.25)),
+        ('roads', ST_GeomFromText('LINESTRING (0 0, 4 1, 9 -2)')),
+        ('parcels', ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')),
+        ('pts', ST_GeomFromText('MULTIPOINT (7 8, 9 10)'))
+      v(layer, geom)""")
+    val path = java.io.File.createTempFile("graft-dxf-w", ".dxf").getPath
+    graft.sources.Dxf.write(df, "geom", path)
+    val back = graft.sources.GeoRead.read(spark, path)
+      .select(col("layer"), col("entity_handle"),
+        expr("ST_GeometryType(geom)").as("gt"), expr("ST_NPoints(geom)").as("np"))
+      .orderBy("entity_handle").collect()
+    // polygon-with-hole splits into two closed LWPOLYLINE entities
+    // (DXF has no hole concept short of HATCH); multipoint into two POINTs
+    assert(back.length == 6)
+    assert(back.map(_.getString(0)).toSeq ==
+      Seq("sites", "roads", "parcels", "parcels", "pts", "pts"))
+    assert(back.map(_.getString(2)).toSeq ==
+      Seq("POINT", "LINESTRING", "POLYGON", "POLYGON", "POINT", "POINT"))
+    assert(back.map(_.getInt(3)).toSeq == Seq(1, 3, 5, 5, 1, 1))
+    // coordinates survive exactly (integers and decimals)
+    val pt = graft.sources.GeoRead.read(spark, path)
+      .filter(col("layer") === "sites")
+      .selectExpr("ST_X(geom)", "ST_Y(geom)").collect()(0)
+    assert(pt.getDouble(0) == 1.5 && pt.getDouble(1) == 2.25)
+  }
+}
