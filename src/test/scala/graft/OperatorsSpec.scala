@@ -2361,7 +2361,7 @@ class DxfSpec extends SparkSpec {
     assert(df.count() == 11)
     assert(df.columns.toSeq == Seq("layer", "entity_handle", "linetype", "text", "geom"))
     val drivers = spark.sql("SELECT * FROM st_drivers() WHERE short_name = 'dxf'").collect()
-    assert(drivers.length == 1 && drivers(0).getBoolean(2) && !drivers(0).getBoolean(3))
+    assert(drivers.length == 1 && drivers(0).getBoolean(2) && drivers(0).getBoolean(3))
   }
 
   test("dxf: clear errors on unsupported entities and orphan runs") {
