@@ -2516,6 +2516,24 @@ object SparkEntry {
         .orderBy("handle")
     }),
 
+    // GMT ASCII source vs an independent python golden (all five
+    // collection types, @P/@H ring roles, @D continuation segments)
+    "q_src_gmt" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val base = "/root/repo/src/test/resources/gmt/"
+      Seq("poly.gmt", "mpoly.gmt", "lines.gmt", "mlines.gmt", "points.gmt")
+        .map { f =>
+          sources.GeoRead.read(s, base + f)
+            .select(lit(f).as("file"), col("name"), col("id"),
+              st_geometrytype(col("geom")).as("gtype"),
+              st_npoints(col("geom")).as("npts"),
+              st_xmin(col("geom")).as("x0"), st_ymin(col("geom")).as("y0"),
+              st_xmax(col("geom")).as("x1"), st_ymax(col("geom")).as("y1"))
+        }.reduce(_.unionByName(_)).orderBy("id")
+    }),
+
     "q_src_gml" -> ((s, dir) => {
       Graft.install(s)
       import org.apache.spark.sql.functions._
@@ -5622,6 +5640,16 @@ object SparkEntry {
            FROM read_csv('/root/repo/src/test/resources/golden/mif_golden.csv',
              header=true, types={'born': 'VARCHAR'})
            ORDER BY name""",
+
+      // independent python golden (tools/make_gmt_golden.py)
+      "q_src_gmt" ->
+        """SELECT file, name, id, gtype, npts, x0, y0, x1, y1
+           FROM read_csv('/root/repo/src/test/resources/golden/gmt_golden.csv',
+             header=true,
+             columns={'file':'VARCHAR','name':'VARCHAR','id':'BIGINT',
+                      'gtype':'VARCHAR','npts':'INTEGER',
+                      'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
+           ORDER BY id""",
 
       // independent python-math golden (tools/make_dxf_golden.py):
       // empties read as NULL, matching the engine's nullable attrs

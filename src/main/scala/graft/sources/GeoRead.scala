@@ -112,7 +112,7 @@ object GeoRead {
         val p = st.getPath
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       }.sorted
-      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif", ".dxf")
+      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif", ".dxf", ".gmt")
       val byExt = exts.map(e => e -> files.filter(_.toLowerCase.endsWith(e)))
         .filter(_._2.nonEmpty)
       if (byExt.length > 1)
@@ -195,8 +195,9 @@ object GeoRead {
       else if (lower.endsWith(".gml")) (Gml.read(spark, path), Some("geom"))
       else if (lower.endsWith(".mif")) (MapInfoMif.read(spark, path), Some("geom"))
       else if (lower.endsWith(".dxf")) (Dxf.read(spark, path), Some("geom"))
+      else if (lower.endsWith(".gmt")) (Gmt.read(spark, path), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -233,6 +234,7 @@ object GeoRead {
     else if (lower.endsWith(".gml")) "gml"
     else if (lower.endsWith(".mif")) "mapinfo_mif"
     else if (lower.endsWith(".dxf")) "dxf"
+    else if (lower.endsWith(".gmt")) "ogr_gmt"
     else throw new IllegalArgumentException(
       s"unsupported format for $lower (see st_drivers() for the supported list)")
 
@@ -509,7 +511,8 @@ object GeoRead {
     ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, true),
     ("gml", "Geography Markup Language (.gml, feature-member rows)", true, false),
     ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false),
-    ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true))
+    ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
+    ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, false))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -651,6 +654,11 @@ object GeoRead {
           Seq(geomField("geom", "Unknown", crsRow("", "", "", ""))),
           Seq(stdField("layer", "string"), stdField("fid", "string"),
             stdField("srs", "string"), stdField("props", "map<string,string>")))))
+      } else if (lower.endsWith(".gmt")) {
+        val h = Gmt.readHeader(path)
+        ("ogr_gmt", Seq(Row(baseName(path), -1L,
+          Seq(geomField("geom", h.gtype.toLowerCase.capitalize, crsRow("", "", "", ""))),
+          h.fields.map { case (n, t) => stdField(n, t.capitalize) })))
       } else if (lower.endsWith(".dxf")) {
         // DXF carries no CRS (drawing units); entity count is known
         // only after a full parse, which meta intentionally skips

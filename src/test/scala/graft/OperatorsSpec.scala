@@ -2452,3 +2452,45 @@ class DxfWriteSpec extends SparkSpec {
     assert(pt.getDouble(0) == 1.5 && pt.getDouble(1) == 2.25)
   }
 }
+
+class GmtSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.sources.Gmt
+
+  test("gmt: header, @D quoting, hole assembly, continuation segments") {
+    val h = Gmt.readHeader("/root/repo/src/test/resources/gmt/mpoly.gmt")
+    assert(h.gtype == "MULTIPOLYGON" && h.fields == Seq(("name", "string"), ("id", "integer")))
+    assert(Gmt.splitD("\"a|b\"|3|\"say \"\"hi\"\"\"") == Seq("a|b", "3", "say \"hi\""))
+    graft.Graft.install(spark)
+    val df = graft.sources.GeoRead.read(spark, "/root/repo/src/test/resources/gmt/mpoly.gmt")
+    val rows = df.selectExpr("name", "id", "ST_GeometryType(geom)", "ST_NPoints(geom)",
+        "ST_Area(geom)").orderBy("id").collect()
+    assert(rows.length == 2)
+    // twin: two shells, one holed: 16 + (16 - 1) = area 4*4 + 4*4 - 1
+    assert(rows(0).getString(0) == "twin" && rows(0).getLong(1) == 7L)
+    assert(rows(0).getString(2) == "MULTIPOLYGON" && rows(0).getInt(3) == 15)
+    assert(rows(0).getDouble(4) == 16.0 + 16.0 - 1.0)
+    assert(rows(1).getString(0) == "single" && rows(1).getDouble(4) == 40.0)
+    // driver registry row
+    val d = spark.sql("SELECT can_open, can_create FROM st_drivers() WHERE short_name='ogr_gmt'").collect()
+    assert(d.length == 1 && d(0).getBoolean(0) && !d(0).getBoolean(1))
+  }
+
+  test("gmt: clear errors on malformed inputs") {
+    def write(content: String): String = {
+      val f = java.io.File.createTempFile("graft-gmt", ".gmt")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, content)
+      f.getPath
+    }
+    val noG = intercept[IllegalArgumentException] {
+      Gmt.readHeader(write("# @VGMT1.0 @Nname @Tstring\n> \n0 0\n"))
+    }
+    assert(noG.getMessage.contains("@G"))
+    val holeFirst = intercept[Exception] {
+      val p = write("# @VGMT1.0 @GPOLYGON @Nname @Tstring\n>\n# @D\"x\"\n# @H\n0 0\n1 0\n1 1\n0 0\n")
+      Gmt.parseFeatures(p, Gmt.readHeader(p)).toVector
+    }
+    assert(holeFirst.getMessage.contains("@H hole before"))
+  }
+}
