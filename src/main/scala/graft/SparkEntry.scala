@@ -215,6 +215,56 @@ object SparkEntry {
         ORDER BY d.doc_id"""
   }
 
+  /** DuckDB oracle for q_doc_bpe_merges: replays the Sennrich merge
+   *  recurrence itself (not just its input statistic) as 64 unrolled
+   *  CTE iterations over the bounded word-frequency model. Each
+   *  iteration recounts adjacent token pairs from scratch (certifying
+   *  [[operators.Bpe.trainLocal]]'s INCREMENTAL count maintenance
+   *  against a from-scratch recount), picks argmax by
+   *  (cnt desc, left asc, right asc) — trainLocal's exact tie-break —
+   *  and applies the merge with a `list_reduce` fold that replicates
+   *  the token-level left-greedy non-overlapping scan EXACTLY: the
+   *  accumulator's last token merges with the incoming token iff they
+   *  equal (a, b), and a just-merged `ab` can never left-merge again
+   *  (`ab = a` would need b empty). Unlike the fixpoint-replace()
+   *  formulation (see [[bpeEncodeOracle]]), this is exact for
+   *  identical-symbol (x,x) merges too, so no merge-list refusal is
+   *  needed — the merges here are data-driven and cannot be vetted
+   *  up front. `MATERIALIZED` on every state CTE keeps DuckDB from
+   *  inlining the doubly-referenced state chain (exponential blowup
+   *  otherwise); measured 1.8 s at sf0.01. */
+  private def bpeMergesOracle: String = {
+    val nMerges = 64
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += """s0 AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS n,
+                 array_to_string(regexp_extract_all(word, '.'), ' ') AS toks
+          FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS word
+                FROM documents)
+          GROUP BY word ORDER BY n DESC, word LIMIT 20000)"""
+    (1 to nMerges).foreach { k =>
+      val p = k - 1
+      ctes += s"""p$k AS (
+          SELECT l[i] AS a, l[i+1] AS b, sum(n) AS cnt
+          FROM (SELECT l, n, unnest(generate_series(1, len(l)-1)) AS i
+                FROM (SELECT string_split(toks, ' ') AS l, n FROM s$p
+                      WHERE instr(toks, ' ') > 0))
+          GROUP BY 1, 2)"""
+      ctes += s"""b$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)"""
+      ctes += s"""s$k AS MATERIALIZED (
+          SELECT word, n,
+            list_reduce(string_split(toks, ' '),
+              (acc, x) -> CASE WHEN x = b AND (acc = a OR ends_with(acc, ' ' || a))
+                          THEN left(acc, len(acc) - len(a)) || a || b
+                          ELSE acc || ' ' || x END) AS toks
+          FROM s$p, b$k)"""
+    }
+    val finalSel = (1 to nMerges)
+      .map(k => s"""SELECT $k AS rank, a AS "left", b AS "right" FROM b$k""")
+      .mkString("\nUNION ALL\n")
+    "WITH " + ctes.mkString(",\n") + "\nSELECT * FROM (" + finalSel + ") ORDER BY rank"
+  }
+
   // ---- shared synthetic-geometry SQL fragments (Spark dialect) ----------
   // customer point: strictly-interior coords in [0.5, 99.5]
   // Planted multi-line corpus for the line-dedup row (Spark dialect;
@@ -1055,10 +1105,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // BPE train: driver-side merge loop over the distributed model —
-    // not SQL-expressible, so this row is rows-only (no oracleSql
-    // entry); the merge SEQUENCE is certified by BpeSpec against the
-    // hand-computed published worked example
+    // BPE train: the merge SEQUENCE itself is oracle-certified — the
+    // generated bpeMergesOracle unrolls 64 recount/argmax/apply
+    // iterations over the same bounded word-freq model (list_reduce
+    // fold = exact token-greedy merge application), so trainLocal's
+    // incremental pair-count maintenance is checked against a
+    // from-scratch recount every iteration
     "q_doc_bpe_merges" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -4122,6 +4174,11 @@ object SparkEntry {
       // replace() over space-joined chars — the sql is GENERATED from
       // the shared literal so the two sides can never desync
       "q_doc_bpe_encode" -> bpeEncodeOracle,
+
+      // BPE train: generated 64-iteration unrolled merge recurrence —
+      // see bpeMergesOracle scaladoc for the list_reduce exactness
+      // argument (closes r9's single no_oracle row)
+      "q_doc_bpe_merges" -> bpeMergesOracle,
 
       "q_doc_perceptron" -> perceptronOracleSql,
 
