@@ -4450,8 +4450,7 @@ object SparkEntry {
         s"""WITH named AS (
              SELECT doc_id, $jwNamePool AS nm FROM documents),
            blocked AS (
-             SELECT doc_id, nm, substring(nm, 1, 2) AS blk FROM named
-             WHERE length(nm) >= 2)
+             SELECT doc_id, nm, substring(nm, 1, 2) AS blk FROM named)
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw6
            FROM blocked a JOIN blocked b

@@ -627,7 +627,11 @@ object Dedup {
    * `minSim`. Recall contract is explicit: pairs differing within the
    * first `blockPrefix` characters are NOT candidates — callers
    * needing typo-in-prefix recall union a second pass blocked on a
-   * different key (e.g. a reversed-prefix or phonetic key). Scale
+   * different key (e.g. a reversed-prefix or phonetic key). Keys
+   * shorter than `blockPrefix` block on the full key (substring
+   * already yields the whole string), so two identical short keys
+   * (jw = 1.0) are still candidates rather than silently dropped.
+   * Scale
    * shape: one equi-shuffle on the tiny prefix key; hot prefixes are
    * AQE-splittable; per-pair work is the O(|a|·window) kernel.
    * Returns (id_a, id_b, jw) with id_a < id_b.
@@ -638,7 +642,6 @@ object Dedup {
     require(minSim >= 0.0 && minSim <= 1.0, "minSim in [0,1]")
     val s = df.select(id.as("id"), key.as("k"),
       substring(key, 1, blockPrefix).as("__blk"))
-      .where(length(col("k")) >= blockPrefix)
     val a = s.select(col("id").as("id_a"), col("k").as("ka"), col("__blk"))
     val b = s.select(col("id").as("id_b"), col("k").as("kb"), col("__blk"))
     val jw = ColumnShim.column(graft.functions.JaroWinklerSimilarity(

@@ -183,7 +183,7 @@ object Dxf {
     DriverSink.guard(df, "DXF", "GeoJSON NDJSON / GeoParquet (cluster-parallel)")
     val gi = df.schema.fieldIndex(geomCol)
     val li = df.columns.indexOf("layer")
-    val out = new java.io.BufferedWriter(new java.io.FileWriter(path))
+    val out = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     var handle = 0L
     try {
       def emit(code: Int, value: String): Unit = {

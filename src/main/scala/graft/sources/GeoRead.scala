@@ -744,7 +744,7 @@ object GeoJsonWriter {
       lit(""","geometry":"""),
       st_asgeojson(col(geomCol)),
       lit("}")).as("value"))
-    val out = new java.io.BufferedWriter(new java.io.FileWriter(path))
+    val out = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     try {
       out.write("""{"type":"FeatureCollection","features":[""")
       val it = features.toLocalIterator()

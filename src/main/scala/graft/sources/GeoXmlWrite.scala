@@ -74,7 +74,7 @@ object GeoXmlWrite {
     val ni = cols.indexOf("name")
     val di = cols.indexOf("description")
     val extIdx = cols.indices.filter(i => i != gi && i != ni && i != di)
-    val out = new java.io.BufferedWriter(new java.io.FileWriter(path))
+    val out = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
     try {
       out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
       out.write("<kml xmlns=\"http://www.opengis.net/kml/2.2\"><Document>")
@@ -126,8 +126,8 @@ object GeoXmlWrite {
     val outFile = new java.io.File(path)
     val tmp = java.io.File.createTempFile("gpx-trk", ".part",
       Option(outFile.getParentFile).getOrElse(new java.io.File(".")))
-    val out = new java.io.BufferedWriter(new java.io.FileWriter(outFile))
-    val trkOut = new java.io.BufferedWriter(new java.io.FileWriter(tmp))
+    val out = java.nio.file.Files.newBufferedWriter(outFile.toPath, java.nio.charset.StandardCharsets.UTF_8)
+    val trkOut = java.nio.file.Files.newBufferedWriter(tmp.toPath, java.nio.charset.StandardCharsets.UTF_8)
     try {
       out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
       out.write("<gpx version=\"1.1\" creator=\"graft\" xmlns=\"http://www.topografix.com/GPX/1/1\">")
@@ -150,7 +150,7 @@ object GeoXmlWrite {
         }
       }
       trkOut.close()
-      val rd = new java.io.BufferedReader(new java.io.FileReader(tmp))
+      val rd = java.nio.file.Files.newBufferedReader(tmp.toPath, java.nio.charset.StandardCharsets.UTF_8)
       try {
         val buf = new Array[Char](65536)
         var n = rd.read(buf)

@@ -113,7 +113,8 @@ object Gmt {
 
   private def assemble(gtype: String, segs: Seq[Seg], path: String): Geometry = {
     def ring(cs: Array[Coordinate]): LinearRing = {
-      val closed = if (cs.length >= 3 && cs.head.equals2D(cs.last)) cs
+      require(cs.length >= 3, s"$path: polygon ring with ${cs.length} coordinates")
+      val closed = if (cs.head.equals2D(cs.last)) cs
         else cs :+ cs.head.copy()
       Jts.gf.createLinearRing(closed)
     }

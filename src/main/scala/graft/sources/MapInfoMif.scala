@@ -208,17 +208,23 @@ object MapInfoMif {
 
   /** MID attribute rows typed per the header's column list. Char
    *  values may be double-quoted ("" escapes a quote); the delimiter
-   *  inside quotes does not split. */
+   *  inside quotes does not split. Interior empty lines are legitimate
+   *  rows whose fields are all empty (a single Char column with an
+   *  empty value serializes as an empty line) — only a trailing run of
+   *  blank lines (file-final newline artifacts) is stripped, so
+   *  all-empty records parse instead of desyncing the geometry/row
+   *  count check. */
   private def parseMid(midPath: String, header: MifHeader): Vector[Seq[Any]] = {
     if (header.columns.isEmpty) return Vector.empty
     val src = scala.io.Source.fromFile(midPath, "UTF-8")
     try {
-      src.getLines().filter(_.nonEmpty).map { line =>
+      val lines = src.getLines().toVector.reverse.dropWhile(_.isEmpty).reverse
+      lines.map { line =>
         val fields = splitDelimited(line, header.delimiter)
         require(fields.size == header.columns.size,
           s"$midPath: row has ${fields.size} fields, expected ${header.columns.size}")
         fields.zip(header.columns).map { case (f, c) => convert(f, c.kind) }
-      }.toVector
+      }
     } finally src.close()
   }
 
