@@ -1911,6 +1911,26 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // the streaming windowedTopK's BATCH TWIN: the IDENTICAL chained
+    // windowed-aggregation pipeline (per-window/type/item sum, then
+    // the bounded topKByScore aggregate) run on the batch frame — in
+    // batch mode the watermark is a no-op and the plan is the same
+    // two-aggregation shape the stream executes incrementally.
+    // Cents-exact scores (sum of integers is exact in double) so the
+    // (score desc, item_id asc) rank is float-risk-free.
+    "q_events_topk" -> ((s, dir) => {
+      load(s, dir, "events")
+      import org.apache.spark.sql.functions._
+      val ev = s.table("events").select(col("ts"), col("event_type"),
+        col("user_id").as("item_id"),
+        expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)").as("value"))
+      graft.streaming.Streams.windowedTopK(ev, k = 5, window_ = "1 hour")
+        .select(col("window.start").cast("long").as("w_start"), col("event_type"),
+          col("item_id"), col("score").cast("long").as("score_cents"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("w_start", "event_type", "rank")
+    }),
+
     // as-of (temporal) join: every click picks up the user's most
     // recent prior-or-equal purchase (floor-second time, cents-exact
     // value). Right side pre-aggregated to unique (user, ts) so the
@@ -4397,6 +4417,25 @@ object SparkEntry {
            SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
              count(*) AS n_events
            FROM s GROUP BY user_id, idx ORDER BY user_id, session_start""",
+
+      // windowedTopK batch twin: tumbling 1-hour windows from the
+      // epoch (= date_trunc for whole-hour widths, UTC session), the
+      // same cents-exact per-item sum, row_number with the aggregate's
+      // (score desc, item_id asc) tie-break
+      "q_events_topk" ->
+        """WITH scored AS (
+             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+               event_type, user_id AS item_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score_cents
+             FROM events GROUP BY 1, 2, 3),
+           ranked AS (
+             SELECT w_start, event_type, item_id, score_cents,
+               row_number() OVER (PARTITION BY w_start, event_type
+                 ORDER BY score_cents DESC, item_id) AS rank
+             FROM scored)
+           SELECT w_start, event_type, item_id, score_cents, rank
+           FROM ranked WHERE rank <= 5
+           ORDER BY w_start, event_type, rank""",
 
       // the reference engine's native ASOF LEFT JOIN over the same
       // floor-second frames certifies the union+running-last rewrite
