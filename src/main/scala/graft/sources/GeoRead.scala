@@ -509,10 +509,10 @@ object GeoRead {
     ("osm_pbf", "OpenStreetMap PBF (.osm.pbf)", true, false),
     ("gpx", "GPS Exchange Format (.gpx; waypoints/routes/tracks layers)", true, true),
     ("kml", "Keyhole Markup Language (.kml, placemark rows)", true, true),
-    ("gml", "Geography Markup Language (.gml, feature-member rows)", true, false),
-    ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, false),
+    ("gml", "Geography Markup Language (.gml, feature-member rows)", true, true),
+    ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, true),
     ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
-    ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, false))
+    ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -706,8 +706,13 @@ object GeoWrite {
     else if (lower.endsWith(".csv")) GeoRead.writeCsvWkt(df, geomCol, path)
     else if (lower.endsWith(".kml")) GeoXmlWrite.writeKml(df, geomCol, path)
     else if (lower.endsWith(".gpx")) GeoXmlWrite.writeGpx(df, geomCol, path)
+    else if (lower.endsWith(".dxf")) Dxf.write(df, geomCol, path)
+    else if (lower.endsWith(".gml")) Gml.write(df, geomCol, path)
+    else if (lower.endsWith(".mif")) MapInfoMif.write(df, geomCol, path)
+    else if (lower.endsWith(".gmt")) Gmt.write(df, geomCol, path)
     else throw new IllegalArgumentException(
-      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, .geojson, .geojsonl, .csv, .kml, .gpx)")
+      s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, " +
+      ".geojson, .geojsonl, .csv, .kml, .gpx, .dxf, .gml, .mif, .gmt)")
   }
 }
 

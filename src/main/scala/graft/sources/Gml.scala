@@ -295,4 +295,141 @@ object Gml {
     }
     null
   }
+
+  // ---- writer ------------------------------------------------------------
+
+  /**
+   * GML writer (GDAL can_create parity for the GML driver, reference
+   * `gdal/functions/st_write.cpp:558-569`): GML3 simple features —
+   * `gml:FeatureCollection` of `gml:featureMember`-wrapped features,
+   * geometry as `gml:pos`/`gml:posList` (srsDimension=3 when Z is
+   * present). Column mapping mirrors [[read]]'s output so
+   * read→write→read is lossless: a `layer` column names the feature
+   * element (default "feature"), `fid` becomes `gml:id`, `srs` the
+   * geometry's `srsName`, a map<string,string> column (the reader's
+   * `props`) expands to one child element per entry, and every other
+   * column becomes a text child element. Single-file format — rows
+   * stream through the driver (same [[DriverSink]] contract as KML).
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    DriverSink.guard(df, "GML", "GeoJSON NDJSON / GeoParquet (cluster-parallel)")
+    val cols = df.columns
+    val gi = df.schema.fieldIndex(geomCol)
+    val li = cols.indexOf("layer")
+    val fi = cols.indexOf("fid")
+    val si = cols.indexOf("srs")
+    val mapIdx = df.schema.fields.zipWithIndex.collect {
+      case (StructField(_, MapType(StringType, StringType, _), _, _), i) if i != gi => i
+    }.toSet
+    val propIdx = cols.indices.filter(i =>
+      i != gi && i != li && i != fi && i != si && !mapIdx(i))
+    val out = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      out.write("<gml:FeatureCollection xmlns:gml=\"http://www.opengis.net/gml\">\n")
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val layer = if (li >= 0 && !row.isNullAt(li)) xmlName(row.get(li).toString) else "feature"
+        val fid = if (fi >= 0 && !row.isNullAt(fi)) row.get(fi).toString else null
+        val srs = if (si >= 0 && !row.isNullAt(si)) row.get(si).toString else null
+        out.write("<gml:featureMember><" + layer)
+        if (fid != null) out.write(" gml:id=\"" + esc(fid) + "\"")
+        out.write(">")
+        propIdx.foreach { i =>
+          if (!row.isNullAt(i)) {
+            val n = xmlName(cols(i))
+            out.write("<" + n + ">" + esc(row.get(i).toString) + "</" + n + ">")
+          }
+        }
+        mapIdx.toSeq.sorted.foreach { i =>
+          if (!row.isNullAt(i)) {
+            row.getMap[String, String](i).toSeq.sortBy(_._1).foreach { case (k, v) =>
+              val n = xmlName(k)
+              out.write("<" + n + ">" + esc(v) + "</" + n + ">")
+            }
+          }
+        }
+        if (!row.isNullAt(gi)) writeGeom(out, Jts.read(row.getAs[Array[Byte]](gi)), srs)
+        out.write("</" + layer + "></gml:featureMember>\n")
+      }
+      out.write("</gml:FeatureCollection>\n")
+    } finally out.close()
+  }
+
+  private def writeGeom(out: java.io.Writer, g: Geometry, srs: String): Unit = {
+    val srsAttr = if (srs == null) "" else " srsName=\"" + esc(srs) + "\""
+    def fmt(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def posOf(c: Coordinate): String =
+      if (java.lang.Double.isNaN(c.getZ)) fmt(c.x) + " " + fmt(c.y)
+      else fmt(c.x) + " " + fmt(c.y) + " " + fmt(c.getZ)
+    def posList(cs: Array[Coordinate]): String = {
+      val dim = if (cs.exists(c => !java.lang.Double.isNaN(c.getZ))) 3 else 2
+      val body = cs.map { c =>
+        if (dim == 3) fmt(c.x) + " " + fmt(c.y) + " " +
+          fmt(if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ)
+        else fmt(c.x) + " " + fmt(c.y)
+      }.mkString(" ")
+      "<gml:posList srsDimension=\"" + dim + "\">" + body + "</gml:posList>"
+    }
+    def ringXml(r: LineString): String =
+      "<gml:LinearRing>" + posList(r.getCoordinates) + "</gml:LinearRing>"
+    def one(g: Geometry, withSrs: Boolean): String = {
+      val a = if (withSrs) srsAttr else ""
+      g match {
+        case p: Point =>
+          "<gml:Point" + a + "><gml:pos>" + posOf(p.getCoordinate) + "</gml:pos></gml:Point>"
+        case l: LineString =>
+          "<gml:LineString" + a + ">" + posList(l.getCoordinates) + "</gml:LineString>"
+        case p: Polygon =>
+          val holes = (0 until p.getNumInteriorRing).map(i =>
+            "<gml:interior>" + ringXml(p.getInteriorRingN(i)) + "</gml:interior>").mkString
+          "<gml:Polygon" + a + "><gml:exterior>" + ringXml(p.getExteriorRing) +
+            "</gml:exterior>" + holes + "</gml:Polygon>"
+        case m: org.locationtech.jts.geom.MultiPoint =>
+          "<gml:MultiPoint" + a + ">" + (0 until m.getNumGeometries).map(i =>
+            "<gml:pointMember>" + one(m.getGeometryN(i), withSrs = false) + "</gml:pointMember>")
+            .mkString + "</gml:MultiPoint>"
+        case m: org.locationtech.jts.geom.MultiLineString =>
+          "<gml:MultiLineString" + a + ">" + (0 until m.getNumGeometries).map(i =>
+            "<gml:lineStringMember>" + one(m.getGeometryN(i), withSrs = false) +
+              "</gml:lineStringMember>").mkString + "</gml:MultiLineString>"
+        case m: org.locationtech.jts.geom.MultiPolygon =>
+          "<gml:MultiPolygon" + a + ">" + (0 until m.getNumGeometries).map(i =>
+            "<gml:polygonMember>" + one(m.getGeometryN(i), withSrs = false) +
+              "</gml:polygonMember>").mkString + "</gml:MultiPolygon>"
+        case c: org.locationtech.jts.geom.GeometryCollection =>
+          "<gml:MultiGeometry" + a + ">" + (0 until c.getNumGeometries).map(i =>
+            "<gml:geometryMember>" + one(c.getGeometryN(i), withSrs = false) +
+              "</gml:geometryMember>").mkString + "</gml:MultiGeometry>"
+        case other => throw new IllegalArgumentException(
+          s"GML writer: unsupported geometry ${other.getGeometryType}")
+      }
+    }
+    out.write(one(g, withSrs = true))
+  }
+
+  /** XML element-name guard: column names pass through only when they
+   *  are valid NCNames (no namespace-colon games); anything else maps
+   *  to an underscore-mangled safe name. */
+  private def xmlName(s: String): String = {
+    val ok = s.nonEmpty && (s.charAt(0).isLetter || s.charAt(0) == '_') &&
+      s.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
+    if (ok) s else "_" + s.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') c else '_')
+  }
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
 }

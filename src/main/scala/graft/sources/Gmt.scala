@@ -176,6 +176,127 @@ object Gmt {
     out.result()
   }
 
+  // ---- writer ------------------------------------------------------------
+
+  /**
+   * GMT ASCII writer (GDAL can_create parity for the OGR_GMT driver,
+   * reference `gdal/functions/st_write.cpp:558-569`): emits the
+   * `# @VGMT1.0 @G / @N / @T` header and `>`-separated segments this
+   * object's reader parses back. The collection `@G` type is derived
+   * from the data (one pass — rows spool to a sibling temp file while
+   * the geometry families are observed, then header + body
+   * concatenate; the GPX track writer uses the same spool pattern):
+   * a homogeneous Point/LineString/Polygon family keeps its singular
+   * type unless any row is a Multi — then the whole layer promotes to
+   * the Multi type (GDAL's promotion; a Point read back under
+   * MULTIPOINT is a 1-member MultiPoint). Mixed families are a loud
+   * error — GMT files carry ONE geometry family. Field mapping is the
+   * inverse of [[sparkType]]: string→string, int/long→integer,
+   * float/double→double, anything else→string. Single-file format —
+   * rows stream through the driver ([[DriverSink]] guard applies).
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    DriverSink.guard(df, "GMT", "GeoJSON NDJSON / GeoParquet (cluster-parallel)")
+    val gi = df.schema.fieldIndex(geomCol)
+    val attrs = df.schema.fields.zipWithIndex.filter(_._2 != gi)
+    def gmtType(dt: DataType): String = dt match {
+      case IntegerType | ShortType | ByteType | LongType => "integer"
+      case FloatType | DoubleType | _: DecimalType => "double"
+      case _ => "string"
+    }
+    def fmt(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def dField(v: Any, dt: DataType): String = (v, dt) match {
+      case (null, _) => ""
+      case (d: Double, _) => fmt(d)
+      case (f: Float, _) => fmt(f.toDouble)
+      case (d: java.math.BigDecimal, _) => fmt(d.doubleValue)
+      case (x, IntegerType | ShortType | ByteType | LongType) => x.toString
+      case (x, _) =>
+        val s = x.toString
+        if (s.contains("|") || s.contains("\"")) "\"" + s.replace("\"", "\"\"") + "\"" else s
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val outFile = new java.io.File(path)
+    val tmp = java.io.File.createTempFile("gmt-body", ".part",
+      Option(outFile.getParentFile).getOrElse(new java.io.File(".")))
+    val body = java.nio.file.Files.newBufferedWriter(tmp.toPath, utf8)
+    // geometry families seen: base name (Point/LineString/Polygon) ->
+    // whether any row was the Multi form
+    val families = scala.collection.mutable.Map.empty[String, Boolean]
+    try {
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        require(!row.isNullAt(gi),
+          s"GMT writer: null geometry (GMT has no null-geometry record)")
+        val g = Jts.read(row.getAs[Array[Byte]](gi))
+        val d = "# @D" + attrs.map { case (f, i) =>
+          dField(if (row.isNullAt(i)) null else row.get(i), f.dataType)
+        }.mkString("|")
+        def seg(cs: Array[Coordinate], header: Seq[String]): Unit = {
+          body.write(">\n")
+          header.foreach { h => body.write(h); body.write("\n") }
+          cs.foreach(c => body.write(fmt(c.x) + " " + fmt(c.y) + "\n"))
+        }
+        def notePart(base: String, isMulti: Boolean): Unit =
+          families(base) = families.getOrElse(base, false) || isMulti
+        def writePoly(p: org.locationtech.jts.geom.Polygon, first: Boolean): Unit = {
+          seg(p.getExteriorRing.getCoordinates,
+            if (first) Seq(d, "# @P") else Seq("# @P"))
+          (0 until p.getNumInteriorRing).foreach(j =>
+            seg(p.getInteriorRingN(j).getCoordinates, Seq("# @H")))
+        }
+        g match {
+          case p: org.locationtech.jts.geom.Point =>
+            notePart("Point", isMulti = false); seg(p.getCoordinates, Seq(d))
+          case m: org.locationtech.jts.geom.MultiPoint =>
+            notePart("Point", isMulti = true); seg(m.getCoordinates, Seq(d))
+          case l: org.locationtech.jts.geom.LineString =>
+            notePart("LineString", isMulti = false); seg(l.getCoordinates, Seq(d))
+          case m: org.locationtech.jts.geom.MultiLineString =>
+            notePart("LineString", isMulti = true)
+            (0 until m.getNumGeometries).foreach { i =>
+              seg(m.getGeometryN(i).getCoordinates, if (i == 0) Seq(d) else Seq.empty)
+            }
+          case p: org.locationtech.jts.geom.Polygon =>
+            notePart("Polygon", isMulti = false); writePoly(p, first = true)
+          case m: org.locationtech.jts.geom.MultiPolygon =>
+            notePart("Polygon", isMulti = true)
+            (0 until m.getNumGeometries).foreach(i =>
+              writePoly(m.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon],
+                first = i == 0))
+          case other => throw new IllegalArgumentException(
+            s"GMT writer: unsupported geometry ${other.getGeometryType}")
+        }
+      }
+      body.close()
+      require(families.size <= 1, "GMT writer: mixed geometry families " +
+        families.keys.mkString(", ") + " (GMT files carry one family)")
+      val gtype = families.headOption match {
+        case None => "POINT" // empty layer: any type reads back as 0 rows
+        case Some((base, anyMulti)) =>
+          val b = base.toUpperCase
+          if (anyMulti) "MULTI" + b else b
+      }
+      val out = java.nio.file.Files.newBufferedWriter(outFile.toPath, utf8)
+      try {
+        out.write(s"# @VGMT1.0 @G$gtype\n")
+        if (attrs.nonEmpty) {
+          out.write("# @N" + attrs.map(_._1.name).mkString("|") + "\n")
+          out.write("# @T" + attrs.map(a => gmtType(a._1.dataType)).mkString("|") + "\n")
+        }
+        out.write("# FEATURE_DATA\n")
+        val rd = java.nio.file.Files.newBufferedReader(tmp.toPath, utf8)
+        try {
+          val buf = new Array[Char](8192)
+          var n = rd.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = rd.read(buf) }
+        } finally rd.close()
+      } finally out.close()
+    } finally { body.close(); tmp.delete(); () }
+  }
+
   private def parseSegments(path: String): Vector[Seg] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try {

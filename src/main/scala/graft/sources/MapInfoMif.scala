@@ -239,6 +239,101 @@ object MapInfoMif {
     else throw new IllegalArgumentException(s"unsupported MIF column type '$kind'")
   }
 
+  // ---- writer ------------------------------------------------------------
+
+  /**
+   * MIF/MID writer (GDAL can_create parity for the "MapInfo File"
+   * driver, reference `gdal/functions/st_write.cpp:558-569`): emits
+   * the `.mif` header + DATA section and the sibling `.mid` attribute
+   * rows this object's reader parses back losslessly. Type mapping is
+   * the inverse of [[sparkType]]: string→Char(254), int/long→Integer
+   * (MIF Integer is 32-bit — larger values fail the round-trip read
+   * loudly rather than truncate), float/double→Float,
+   * boolean→Logical, date/timestamp→Char(254). Geometry records:
+   * Point→POINT, 2-point LineString→LINE, LineString→PLINE,
+   * MultiLineString→PLINE MULTIPLE, Polygon/MultiPolygon→REGION
+   * (shell then its holes, the containment order [[assembleRegion]]
+   * reassembles), null→NONE. Single-file format — rows stream through
+   * the driver (same [[DriverSink]] contract as the other text sinks).
+   */
+  def write(df: DataFrame, geomCol: String, path: String): Unit = {
+    DriverSink.guard(df, "MIF/MID", "GeoJSON NDJSON / GeoParquet (cluster-parallel)")
+    require(path.toLowerCase.endsWith(".mif"), s"MIF writer expects a .mif path, got $path")
+    val gi = df.schema.fieldIndex(geomCol)
+    val attrs = df.schema.fields.zipWithIndex.filter(_._2 != gi)
+    def mifKind(dt: DataType): String = dt match {
+      case IntegerType | ShortType | ByteType | LongType => "Integer"
+      case FloatType | DoubleType | _: DecimalType => "Float"
+      case BooleanType => "Logical"
+      case _ => "Char(254)"
+    }
+    def fmt(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val mif = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path), utf8)
+    val mid = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path.substring(0, path.length - 4) + ".mid"), utf8)
+    try {
+      mif.write("VERSION 300\n")
+      mif.write("Charset \"Neutral\"\n")
+      mif.write("DELIMITER \",\"\n")
+      mif.write(s"COLUMNS ${attrs.length}\n")
+      attrs.foreach { case (f, _) => mif.write(s"  ${f.name} ${mifKind(f.dataType)}\n") }
+      mif.write("DATA\n")
+      def writeCoords(cs: Array[Coordinate]): Unit =
+        cs.foreach(c => mif.write(fmt(c.x) + " " + fmt(c.y) + "\n"))
+      def ringCoords(r: org.locationtech.jts.geom.LineString): Array[Coordinate] =
+        r.getCoordinates
+      def writeGeom(g: Geometry): Unit = g match {
+        case null => mif.write("NONE\n")
+        case p: org.locationtech.jts.geom.Point =>
+          mif.write(s"POINT ${fmt(p.getX)} ${fmt(p.getY)}\n")
+        case l: org.locationtech.jts.geom.LineString if l.getNumPoints == 2 =>
+          val cs = l.getCoordinates
+          mif.write(s"LINE ${fmt(cs(0).x)} ${fmt(cs(0).y)} ${fmt(cs(1).x)} ${fmt(cs(1).y)}\n")
+        case l: org.locationtech.jts.geom.LineString =>
+          mif.write(s"PLINE ${l.getNumPoints}\n"); writeCoords(l.getCoordinates)
+        case m: org.locationtech.jts.geom.MultiLineString =>
+          mif.write(s"PLINE MULTIPLE ${m.getNumGeometries}\n")
+          (0 until m.getNumGeometries).foreach { i =>
+            val l = m.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.LineString]
+            mif.write(s"${l.getNumPoints}\n"); writeCoords(l.getCoordinates)
+          }
+        case p: Polygon => writeGeom(Jts.gf.createMultiPolygon(Array(p)))
+        case m: org.locationtech.jts.geom.MultiPolygon =>
+          val rings = (0 until m.getNumGeometries).flatMap { i =>
+            val p = m.getGeometryN(i).asInstanceOf[Polygon]
+            ringCoords(p.getExteriorRing) +:
+              (0 until p.getNumInteriorRing).map(j => ringCoords(p.getInteriorRingN(j)))
+          }
+          mif.write(s"REGION ${rings.length}\n")
+          rings.foreach { cs => mif.write(s"${cs.length}\n"); writeCoords(cs) }
+        case other => throw new IllegalArgumentException(
+          s"MIF writer: unsupported geometry ${other.getGeometryType} " +
+          "(supported: Point, LineString, MultiLineString, Polygon, MultiPolygon, null)")
+      }
+      def midField(v: Any, dt: DataType): String = (v, dt) match {
+        case (null, _) => ""
+        case (b: Boolean, _) => if (b) "T" else "F"
+        case (d: Double, _) => fmt(d)
+        case (f: Float, _) => fmt(f.toDouble)
+        case (d: java.math.BigDecimal, _) => fmt(d.doubleValue)
+        case (s, StringType) => "\"" + s.toString.replace("\"", "\"\"") + "\""
+        case (x, IntegerType | ShortType | ByteType | LongType) => x.toString
+        case (x, _) => "\"" + x.toString.replace("\"", "\"\"") + "\""
+      }
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        writeGeom(if (row.isNullAt(gi)) null else Jts.read(row.getAs[Array[Byte]](gi)))
+        if (attrs.nonEmpty)
+          mid.write(attrs.map { case (f, i) =>
+            midField(if (row.isNullAt(i)) null else row.get(i), f.dataType)
+          }.mkString(",") + "\n")
+      }
+    } finally { mif.close(); mid.close() }
+  }
+
   private def splitDelimited(line: String, delim: Char): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder

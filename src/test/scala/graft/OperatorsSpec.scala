@@ -2473,7 +2473,7 @@ class GmtSpec extends SparkSpec {
     assert(rows(1).getString(0) == "single" && rows(1).getDouble(4) == 40.0)
     // driver registry row
     val d = spark.sql("SELECT can_open, can_create FROM st_drivers() WHERE short_name='ogr_gmt'").collect()
-    assert(d.length == 1 && d(0).getBoolean(0) && !d(0).getBoolean(1))
+    assert(d.length == 1 && d(0).getBoolean(0) && d(0).getBoolean(1))
   }
 
   test("gmt: clear errors on malformed inputs") {
@@ -2492,5 +2492,101 @@ class GmtSpec extends SparkSpec {
       Gmt.parseFeatures(p, Gmt.readHeader(p)).toVector
     }
     assert(holeFirst.getMessage.contains("@H hole before"))
+  }
+}
+
+/** Writer parity for the r9 reader-only formats (GML / MIF / GMT) —
+  * each roundtrips through its own certified reader, the same recipe
+  * as [[DxfWriteSpec]]. */
+class TextVectorWriteSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("gml write: roundtrip layer/fid/srs/props and every geometry family") {
+    graft.Graft.install(spark)
+    val df = spark.sql("""SELECT * FROM VALUES
+        ('city', 'f1', 'EPSG:4326', 'alpha', 10, ST_Point(1.5, 2.25)),
+        ('road', 'f2', 'EPSG:4326', 'beta & <co>', 20, ST_GeomFromText('LINESTRING (0 0, 4 1, 9 -2)')),
+        ('parcel', 'f3', 'EPSG:4326', 'gamma', 30, ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')),
+        ('pts', 'f4', 'EPSG:4326', 'delta', 40, ST_GeomFromText('MULTIPOINT (7 8, 9 10)')),
+        ('lines', 'f5', 'EPSG:4326', 'eps', 50, ST_GeomFromText('MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))')),
+        ('polys', 'f6', 'EPSG:4326', 'zeta', 60, ST_GeomFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))'))
+      v(layer, fid, srs, name, pop, geom)""")
+    val path = java.io.File.createTempFile("graft-gml-w", ".gml").getPath
+    graft.sources.Gml.write(df, "geom", path)
+    val back = graft.sources.GeoRead.read(spark, path)
+      .selectExpr("layer", "fid", "srs", "props['name'] AS name",
+        "CAST(props['pop'] AS INT) AS pop", "ST_AsText(geom) AS wkt")
+      .orderBy("fid").collect()
+    assert(back.length == 6)
+    assert(back.map(_.getString(0)).toSeq ==
+      Seq("city", "road", "parcel", "pts", "lines", "polys"))
+    assert(back.map(_.getString(2)).forall(_ == "EPSG:4326"))
+    assert(back(1).getString(3) == "beta & <co>") // XML escapes roundtrip
+    assert(back.map(_.getInt(4)).toSeq == Seq(10, 20, 30, 40, 50, 60))
+    val wkts = df.selectExpr("fid", "ST_AsText(geom) AS wkt").orderBy("fid")
+      .collect().map(_.getString(1)).toSeq
+    assert(back.map(_.getString(5)).toSeq == wkts)
+  }
+
+  test("mif write: roundtrip attribute types and every record kind") {
+    graft.Graft.install(spark)
+    val df = spark.sql("""SELECT * FROM VALUES
+        ('say "hi", friend', 1, 1.5, true, ST_Point(3.25, -4.0)),
+        ('two-point line', 2, 2.5, false, ST_GeomFromText('LINESTRING (0 0, 5 5)')),
+        ('pline', 3, 3.5, true, ST_GeomFromText('LINESTRING (0 0, 4 1, 9 -2)')),
+        ('multi', 4, 4.5, false, ST_GeomFromText('MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))')),
+        ('holed', 5, 5.5, true, ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')),
+        ('nothing', 6, 6.5, false, CAST(NULL AS BINARY))
+      v(name, n, v, flag, geom)""")
+    val path = java.io.File.createTempFile("graft-mif-w", ".mif").getPath
+    graft.sources.MapInfoMif.write(df, "geom", path)
+    val back = graft.sources.GeoRead.read(spark, path)
+      .selectExpr("name", "n", "v", "flag",
+        "CASE WHEN geom IS NULL THEN 'NONE' ELSE ST_GeometryType(geom) END AS gt",
+        "CASE WHEN geom IS NULL THEN CAST(NULL AS DOUBLE) ELSE ST_Area(geom) END AS area")
+      .orderBy("n").collect()
+    assert(back.length == 6)
+    assert(back(0).getString(0) == "say \"hi\", friend") // quote+delimiter escape
+    assert(back.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4, 5, 6))
+    assert(back.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5, 3.5, 4.5, 5.5, 6.5))
+    assert(back.map(_.getBoolean(3)).toSeq ==
+      Seq(true, false, true, false, true, false))
+    assert(back.map(_.getString(4)).toSeq ==
+      Seq("POINT", "LINESTRING", "LINESTRING", "MULTILINESTRING", "POLYGON", "NONE"))
+    assert(back(4).getDouble(5) == 100.0 - 4.0) // hole survives containment assembly
+  }
+
+  test("gmt write: multipolygon promotion, holes, quoting; line + point layers") {
+    graft.Graft.install(spark)
+    val polys = spark.sql("""SELECT * FROM VALUES
+        ('plain|pipe', 1L, ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))')),
+        ('twin', 2L, ST_GeomFromText('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((5 5, 9 5, 9 9, 5 9, 5 5)))'))
+      v(name, id, geom)""")
+    val p1 = java.io.File.createTempFile("graft-gmt-w", ".gmt").getPath
+    graft.sources.Gmt.write(polys, "geom", p1)
+    assert(graft.sources.Gmt.readHeader(p1).gtype == "MULTIPOLYGON")
+    val back = graft.sources.GeoRead.read(spark, p1)
+      .selectExpr("name", "id", "ST_GeometryType(geom) AS gt", "ST_Area(geom) AS area")
+      .orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "plain|pipe") // @D pipe quoting survives
+    assert(back(0).getString(2) == "MULTIPOLYGON" && back(0).getDouble(3) == 96.0)
+    assert(back(1).getDouble(3) == 32.0)
+    val lines = spark.sql("""SELECT * FROM VALUES
+        ('a', ST_GeomFromText('LINESTRING (0 0, 4 1, 9 -2)'))
+      v(name, geom)""")
+    val p2 = java.io.File.createTempFile("graft-gmt-l", ".gmt").getPath
+    graft.sources.Gmt.write(lines, "geom", p2)
+    assert(graft.sources.Gmt.readHeader(p2).gtype == "LINESTRING")
+    val lb = graft.sources.GeoRead.read(spark, p2)
+      .selectExpr("ST_NPoints(geom)").collect()
+    assert(lb.length == 1 && lb(0).getInt(0) == 3)
+    val pts = spark.sql("SELECT 'p' AS name, ST_Point(1.5, 2.5) AS geom")
+    val p3 = java.io.File.createTempFile("graft-gmt-p", ".gmt").getPath
+    graft.sources.Gmt.write(pts, "geom", p3)
+    val pb = graft.sources.GeoRead.read(spark, p3)
+      .selectExpr("name", "ST_X(geom)", "ST_Y(geom)").collect()
+    assert(pb.length == 1 && pb(0).getString(0) == "p" &&
+      pb(0).getDouble(1) == 1.5 && pb(0).getDouble(2) == 2.5)
   }
 }
