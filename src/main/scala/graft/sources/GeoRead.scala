@@ -106,7 +106,8 @@ object GeoRead {
     // splitter, the union is plan-level (no data movement)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.isDirectory(hPath)) {
+    // a .gdb DIRECTORY is one container (OpenFileGDB), not a tile dir
+    if (fs.isDirectory(hPath) && !path.toLowerCase.stripSuffix("/").endsWith(".gdb")) {
       // strip the file: scheme for the local-file readers (RandomAccessFile)
       val files = fs.listStatus(hPath).map { st =>
         val p = st.getPath
@@ -196,8 +197,10 @@ object GeoRead {
       else if (lower.endsWith(".mif")) (MapInfoMif.read(spark, path), Some("geom"))
       else if (lower.endsWith(".dxf")) (Dxf.read(spark, path), Some("geom"))
       else if (lower.endsWith(".gmt")) (Gmt.read(spark, path), Some("geom"))
+      else if (lower.stripSuffix("/").endsWith(".gdb"))
+        (OpenFileGdb.read(spark, path.stripSuffix("/"), opts.layer), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -235,6 +238,7 @@ object GeoRead {
     else if (lower.endsWith(".mif")) "mapinfo_mif"
     else if (lower.endsWith(".dxf")) "dxf"
     else if (lower.endsWith(".gmt")) "ogr_gmt"
+    else if (lower.stripSuffix("/").endsWith(".gdb")) "openfilegdb"
     else throw new IllegalArgumentException(
       s"unsupported format for $lower (see st_drivers() for the supported list)")
 
@@ -512,7 +516,8 @@ object GeoRead {
     ("gml", "Geography Markup Language (.gml, feature-member rows)", true, true),
     ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, true),
     ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
-    ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true))
+    ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
+    ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -666,6 +671,12 @@ object GeoRead {
           Seq(geomField("geom", "Unknown", crsRow("", "", "", ""))),
           Seq(stdField("layer", "string"), stdField("entity_handle", "string"),
             stdField("linetype", "string"), stdField("text", "string")))))
+      } else if (lower.stripSuffix("/").endsWith(".gdb")) {
+        ("openfilegdb", OpenFileGdb.layerMetas(path.stripSuffix("/")).map {
+          case (name, count, gtype, wkt, fields) =>
+            Row(name, count, Seq(geomField("geom", gtype, crsRow("", "", "", wkt))),
+              fields.map { case (n, t) => stdField(n, t) })
+        })
       } else ("unknown", Seq.empty[Row])
 
     val longName = drivers(spark).collect()
