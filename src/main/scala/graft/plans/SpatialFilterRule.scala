@@ -30,12 +30,23 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def bboxAttr(child: LogicalPlan, geom: Expression): Option[Attribute] = {
+  /** Foreign GeoParquet covering mappings, cached per scan root path
+   *  (one footer read per table per session). */
+  private val coveringCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(String, String, Map[String, String])]]
+
+  /** The bbox struct column certifying `geom`, with the ordinals of
+   *  its (xmin, ymin, xmax, ymax) roles. Two discovery paths:
+   *  our own `<geom>_bbox` naming convention, and — for
+   *  externally-produced GeoParquet 1.1 — the `covering.bbox` mapping
+   *  in the file's `geo` footer metadata, which may name the covering
+   *  column anything ([[graft.sources.GeoParquetMeta.parseCovering]]). */
+  private def bboxAttr(child: LogicalPlan, geom: Expression): Option[(Attribute, Array[Int])] = {
     val name = geom match {
       case a: Attribute => a.name
       case _ => return None
     }
-    child.output.find(a => a.name == s"${name}_bbox" && (a.dataType match {
+    val byConvention = child.output.find(a => a.name == s"${name}_bbox" && (a.dataType match {
       // GeoParquet 1.1 covering names (what GeoTable.withBbox writes)
       // or the legacy BOX_2D names (pre-conformance tables); ordinals
       // are (minx, miny, maxx, maxy) in both conventions
@@ -43,7 +54,43 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s.fieldNames.sameElements(Array("xmin", "ymin", "xmax", "ymax")) ||
           s.fieldNames.sameElements(Array("min_x", "min_y", "max_x", "max_y"))
       case _ => false
-    }))
+    })).map(a => (a, Array(0, 1, 2, 3)))
+    byConvention.orElse(coveringOf(child).flatMap { case (primary, bboxCol, roles) =>
+      if (primary != name) None
+      else child.output.find(_.name == bboxCol).flatMap { a =>
+        a.dataType match {
+          case s: StructType =>
+            val idx = Array("xmin", "ymin", "xmax", "ymax").map { role =>
+              roles.get(role).map(s.fieldIndex).getOrElse(-1)
+            }
+            if (idx.contains(-1)) None else Some((a, idx))
+          case _ => None
+        }
+      }
+    })
+  }
+
+  /** covering.bbox mapping of the (single) parquet relation under
+   *  `child`, if its `geo` footer metadata declares one. Local-file
+   *  relations only — the footer read is a driver-side peek. */
+  private def coveringOf(child: LogicalPlan): Option[(String, String, Map[String, String])] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = child.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+    roots match {
+      case Seq(root) =>
+        coveringCache.getOrElseUpdate(root, {
+          val local = if (root.startsWith("file:")) new java.net.URI(root).getPath else root
+          try graft.sources.GeoParquetMeta.readGeoMetadata(local)
+            .flatMap(graft.sources.GeoParquetMeta.parseCovering)
+          catch { case _: Exception => None }
+        })
+      case _ => None // zero or multiple relations: nothing to certify
+    }
   }
 
   private def litEnvelope(e: Expression): Option[(Double, Double, Double, Double)] = {
@@ -59,13 +106,15 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def field(b: Attribute, i: Int, n: String): Expression = GetStructField(b, i, Some(n))
 
-  /** Range conjuncts implied by `pred(geomCol, lit)` on the bbox column. */
-  private def skippingPredicates(pred: String, b: Attribute,
+  /** Range conjuncts implied by `pred(geomCol, lit)` on the bbox column;
+   *  `bi` = (attribute, role ordinals for xmin/ymin/xmax/ymax). */
+  private def skippingPredicates(pred: String, bi: (Attribute, Array[Int]),
       env: (Double, Double, Double, Double), pad: Double): Seq[Expression] = {
     val (ex0, ey0, ex1, ey1) = env
+    val (b, idx) = bi
     val names = b.dataType.asInstanceOf[StructType].fieldNames
-    val minX = field(b, 0, names(0)); val minY = field(b, 1, names(1))
-    val maxX = field(b, 2, names(2)); val maxY = field(b, 3, names(3))
+    val minX = field(b, idx(0), names(idx(0))); val minY = field(b, idx(1), names(idx(1)))
+    val maxX = field(b, idx(2), names(idx(2))); val maxY = field(b, idx(3), names(idx(3)))
     pred match {
       case "st_within" | "st_coveredby" => Seq( // col inside lit
         GreaterThanOrEqual(minX, Literal(ex0)), LessThanOrEqual(maxX, Literal(ex1)),

@@ -142,6 +142,31 @@ object GeoParquetMeta {
     }
   }
 
+  /** Parse a GeoParquet 1.1 `covering.bbox` mapping out of `geo`
+   *  metadata: (primary geometry column, bbox struct column, role →
+   *  struct-field name for xmin/ymin/xmax/ymax). Foreign writers may
+   *  name the covering column anything (commonly plain "bbox"), so
+   *  [[graft.plans.SpatialFilterRule]] feeds this mapping instead of
+   *  assuming our own `<geom>_bbox` naming. Returns None unless all
+   *  four roles resolve to subfields of ONE struct column (the spec's
+   *  shape; a per-role column split has no stats-pruning story). */
+  def parseCovering(json: String): Option[(String, String, Map[String, String])] = {
+    val primary = "\"primary_column\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(json).map(_.group(1))
+    val cov = "\"covering\"\\s*:\\s*\\{\\s*\"bbox\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(json).map(_.group(1))
+    for {
+      p <- primary
+      c <- cov
+      entries = "\"(xmin|ymin|xmax|ymax)\"\\s*:\\s*\\[\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*,\\s*\"((?:[^\"\\\\]|\\\\.)*)\"\\s*\\]".r
+        .findAllMatchIn(c)
+        .map(m => m.group(1) -> ((m.group(2), m.group(3)))).toMap
+      if entries.size == 4
+      parents = entries.values.map(_._1).toSet
+      if parents.size == 1
+    } yield (p, parents.head, entries.map { case (role, (_, f)) => role -> f })
+  }
+
   /** Per-file stats of a (clustered) geo table, from parquet FOOTERS
    *  only — no data pages are read, so dumping a 100 TB table costs one
    *  footer fetch per file. The analog of the reference's

