@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GeoPredicate, GeoScalar, NativeLineLength}
+import graft.functions.{GeoPredicate, GeoScalar, NativeLineLength, WkbBound, WkbExtent}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -116,7 +116,27 @@ case class NativeDispatchRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Literal("min_x"), fld(pt, "x"), Literal("min_y"), fld(pt, "y"),
     Literal("max_x"), fld(pt, "x"), Literal("max_y"), fld(pt, "y")))
 
+  /** The `st_extent`/`st_xmin`-family over GENERIC WKB rewrites to the
+   *  compiled byte-walking kernels ([[graft.functions.WkbEnvelope]]):
+   *  identical isEmpty→NULL semantics, but no JTS materialization and
+   *  the expression stays inside whole-stage codegen — these are the
+   *  bbox residual of every grid spatial join. */
+  private def rewriteWkb(name: String, c: Expression): Option[Expression] =
+    if (!spark.conf.get("spark.graft.wkbExtentKernel.enabled", "true").toBoolean) None
+    else rewriteWkbImpl(name, c)
+
+  private def rewriteWkbImpl(name: String, c: Expression): Option[Expression] = name match {
+    case "st_xmin" => Some(WkbBound(c, 0))
+    case "st_ymin" => Some(WkbBound(c, 1))
+    case "st_xmax" => Some(WkbBound(c, 2))
+    case "st_ymax" => Some(WkbBound(c, 3))
+    case "st_extent" => Some(WkbExtent(c))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case g @ GeoScalar(name, Seq(c)) if c.resolved && c.dataType == BinaryType =>
+      rewriteWkb(name, c).getOrElse(g)
     case g @ GeoScalar(name, Seq(c)) if c.resolved && isNative(c.dataType) =>
       rewriteScalar(name, c).getOrElse(g)
     case g @ GeoScalar(name, Seq(l, r))
