@@ -391,6 +391,17 @@ object SparkEntry {
   // BOTH sides of each central meridian out to (and onto) the zone
   // boundaries, and ED50 UTM latitudes run to 83.9°N — the high-latitude
   // end of the Krüger series where truncation error is largest
+  // round-10 sweep families: UPS North (Polar Stereographic variant A —
+  // scale at the pole, new formula family), World Equidistant
+  // Cylindrical (meridian-arc northing), and one zone of the new
+  // state-plane ftUS sweep (Colorado Central: the ftUS-exact false
+  // origin variant) — full-domain spreads as the other families
+  private val LonLat32661 = // Arctic: all longitudes, lat 60.0..89.9
+    ("(CAST(c_custkey % 360 AS DOUBLE) - 179.5)", "(60.0 + CAST((c_custkey * 3) % 300 AS DOUBLE) / 10.0)")
+  private val LonLat4087 = // world grid
+    ("(CAST(c_custkey % 360 AS DOUBLE) - 179.5)", "(CAST(c_custkey % 160 AS DOUBLE) - 79.5)")
+  private val LonLat2232 = // Colorado Central validity box
+    ("(-109.0 + CAST(c_custkey % 70 AS DOUBLE) / 10.0)", "(37.9 + CAST((c_custkey * 3) % 22 AS DOUBLE) / 10.0)")
   private val LonLat29902 = // Irish Grid: lon0 = -8, full island spread
     ("(-11.0 + CAST(c_custkey % 65 AS DOUBLE) / 10.0)", "(51.2 + CAST(c_custkey % 45 AS DOUBLE) / 10.0)")
   private val LonLat31467 = // DHDN GK zone 3: exact 7.5/10.5 zone edges included
@@ -703,7 +714,10 @@ object SparkEntry {
            ("EPSG:31467", "x31467", "y31467", LonLat31467),
            ("EPSG:23032", "x23032", "y23032", LonLat23032),
            ("EPSG:2056", "x2056", "y2056", LonLat2056),
-           ("EPSG:21781", "x21781", "y21781", LonLat21781)).map {
+           ("EPSG:21781", "x21781", "y21781", LonLat21781),
+           ("EPSG:32661", "x32661", "y32661", LonLat32661),
+           ("EPSG:4087", "x4087", "y4087", LonLat4087),
+           ("EPSG:2232", "x2232", "y2232", LonLat2232)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -3424,6 +3438,66 @@ object SparkEntry {
     val lv95Ctes = swissCtes("2056", 674.374, 15.056, 405.346, 2600000.0, 1200000.0)
     val lv03Ctes = swissCtes("21781", 674.4, 15.1, 405.3, 600000.0, 200000.0)
 
+    // UPS North (Polar Stereographic variant A): scale at the pole,
+    // K = 2·a·k0 / sqrt((1+e)^(1+e)·(1-e)^(1-e)) — EPSG GN 7-2
+    val upsCtes = {
+      val e = wgs.e
+      val k = dlit(2.0 * wgs.a * 0.994 /
+        math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e)))
+      val tn = s"""(tan(pi()/4 - radians(lat)/2)
+        / pow((1 - ${dlit(e)}*sin(radians(lat)))/(1 + ${dlit(e)}*sin(radians(lat))), ${dlit(e / 2)}))"""
+      s"""o32661 AS (
+           SELECT c_custkey,
+             2000000.0 + $k*$tn*sin(radians(lon)) AS x,
+             2000000.0 - $k*$tn*cos(radians(lon)) AS y
+           FROM s32661)"""
+    }
+
+    // World Equidistant Cylindrical: x = a·λ, y = meridian arc via the
+    // same Krüger ξ-series the TM oracle uses (η = 0 on the meridian)
+    val eqcCtes = {
+      val (aa, al) = Crs.tmSeries(wgs)
+      val e = dlit(wgs.e)
+      val xiSeries = (1 to 6).map(j => s"${dlit(al(j))}*sin(2*$j*xip)").mkString(" + ")
+      s"""o4087a AS (
+           SELECT c_custkey, radians(lon) AS lr,
+             0.5*ln((1 + sin(radians(lat)))/(1 - sin(radians(lat))))
+               - $e*0.5*ln((1 + $e*sin(radians(lat)))/(1 - $e*sin(radians(lat)))) AS u
+           FROM s4087),
+         o4087b AS (
+           SELECT c_custkey, lr, atan((exp(u) - exp(-u))/2) AS xip FROM o4087a),
+         o4087 AS (
+           SELECT c_custkey, ${dlit(wgs.a)}*lr AS x,
+             ${dlit(aa)}*(xip + $xiSeries) AS y
+           FROM o4087b)"""
+    }
+
+    // Colorado Central (ftUS LCC, false origin exact in ftUS): cone
+    // constants like the Lambert-93 CTE, output re-expressed in ftUS
+    val coCtes = {
+      val e = grs.e; val e2 = grs.e2
+      def mOf(lat: Double) = math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+      def tOf(lat: Double) = math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+      val (p0, p1, p2) = (rad(37.8333333333333), rad(38.45), rad(39.75))
+      val n = (math.log(mOf(p1)) - math.log(mOf(p2))) / (math.log(tOf(p1)) - math.log(tOf(p2)))
+      val bigF = mOf(p1) / (n * math.pow(tOf(p1), n))
+      val rho0 = grs.a * bigF * math.pow(tOf(p0), n)
+      val aF = dlit(grs.a * bigF)
+      val ftUs = dlit(graft.functions.Crs.FtUs)
+      val (feM, fnM) = (3000000.0 * graft.functions.Crs.FtUs, 1000000.0 * graft.functions.Crs.FtUs)
+      s"""l2232 AS (
+           SELECT c_custkey,
+             pow(tan(pi()/4 - radians(lat)/2)
+               / pow((1 - ${dlit(e)}*sin(radians(lat)))/(1 + ${dlit(e)}*sin(radians(lat))), ${dlit(e / 2)}), ${dlit(n)}) AS tq,
+             ${dlit(n)}*(radians(lon) - ${dlit(rad(-105.5))}) AS th
+           FROM s2232),
+         o2232 AS (
+           SELECT c_custkey, (${dlit(feM)} + $aF*tq*sin(th))/$ftUs AS x,
+             (${dlit(fnM + rho0)} - $aF*tq*cos(th))/$ftUs AS y
+           FROM l2232)"""
+    }
+
     def srcCte(name: String, ll: (String, String)) =
       s"s$name AS (SELECT c_custkey, ${ll._1} AS lon, ${ll._2} AS lat FROM pts)"
 
@@ -3441,6 +3515,9 @@ object SparkEntry {
        ${srcCte("23032", LonLat23032)},
        ${srcCte("2056", LonLat2056)},
        ${srcCte("21781", LonLat21781)},
+       ${srcCte("32661", LonLat32661)},
+       ${srcCte("4087", LonLat4087)},
+       ${srcCte("2232", LonLat2232)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -3453,7 +3530,10 @@ object SparkEntry {
        $gkCtes,
        $ed50Ctes,
        $lv95Ctes,
-       $lv03Ctes
+       $lv03Ctes,
+       $upsCtes,
+       $eqcCtes,
+       $coCtes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -3467,7 +3547,10 @@ object SparkEntry {
          round(t31467o.x, 4) AS x31467, round(t31467o.y, 4) AS y31467,
          round(t23032o.x, 4) AS x23032, round(t23032o.y, 4) AS y23032,
          round(o2056.x, 4) AS x2056, round(o2056.y, 4) AS y2056,
-         round(o21781.x, 4) AS x21781, round(o21781.y, 4) AS y21781
+         round(o21781.x, 4) AS x21781, round(o21781.y, 4) AS y21781,
+         round(o32661.x, 4) AS x32661, round(o32661.y, 4) AS y32661,
+         round(o4087.x, 4) AS x4087, round(o4087.y, 4) AS y4087,
+         round(o2232.x, 4) AS x2232, round(o2232.y, 4) AS y2232
        FROM pts p
        JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
        JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
@@ -3476,6 +3559,8 @@ object SparkEntry {
        JOIN t29902o USING (c_custkey) JOIN t31467o USING (c_custkey)
        JOIN t23032o USING (c_custkey)
        JOIN o2056 USING (c_custkey) JOIN o21781 USING (c_custkey)
+       JOIN o32661 USING (c_custkey) JOIN o4087 USING (c_custkey)
+       JOIN o2232 USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 

@@ -388,6 +388,70 @@ object Crs {
     }
   }
 
+  /** Polar Stereographic variant A (EPSG method 9810): the scale
+   *  factor is given AT the pole (UPS: k0 = 0.994), so
+   *  ρ = 2·a·k0·t / √((1+e)^(1+e)·(1-e)^(1-e)) — EPSG Guidance Note 7-2
+   *  formulas; the t/iteration machinery matches [[PolarStereo]]. */
+  private final class PolarStereoA(
+      ell: Ellipsoid, k0: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double, south: Boolean) extends System {
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+    private val bigK = 2.0 * ell.a * k0 /
+      math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+    private def tOf(lat: Double): Double =
+      math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(if (south) -latD else latD)
+      val dl0 = math.toRadians(lonD) - lon0
+      val dl = if (south) -dl0 else dl0
+      val rho = bigK * tOf(lat)
+      val x = rho * math.sin(dl)
+      val y = -rho * math.cos(dl)
+      if (south) (falseE - x, falseN - y) else (falseE + x, falseN + y)
+    }
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val x = if (south) -(xIn - falseE) else xIn - falseE
+      val y = if (south) -(yIn - falseN) else yIn - falseN
+      val rho = math.sqrt(x * x + y * y)
+      if (rho < 1e-12) return (lon0Deg, if (south) -90.0 else 90.0)
+      val t = rho / bigK
+      var lat = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0; var prev = 0.0
+      do {
+        prev = lat
+        lat = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      val dl = math.atan2(x, -y)
+      val (lonR, latR) = if (south) (lon0 - dl, -lat) else (lon0 + dl, lat)
+      (math.toDegrees(lonR), math.toDegrees(latR))
+    }
+  }
+
+  /** Equidistant Cylindrical with the equator as standard parallel
+   *  (EPSG method 1028 at lat_ts = 0 — EPSG:4087's definition):
+   *  x = a·(λ-λ0), y = M(φ). The meridian arc reuses [[TransMerc]]'s
+   *  Krüger series (a k0=1 TM evaluated on the central meridian IS the
+   *  arc), so the engine has exactly one arc implementation. */
+  private final class EquidistCyl(
+      ell: Ellipsoid, lon0Deg: Double, falseE: Double, falseN: Double) extends System {
+    private val arcTm = new TransMerc(ell, 0.0, lon0Deg, 1.0, 0.0, 0.0)
+    private val lon0 = math.toRadians(lon0Deg)
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val x = falseE + ell.a * (math.toRadians(lonD) - lon0)
+      val y = falseN + arcTm.forward(lon0Deg, latD)._2
+      (x, y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lon = math.toDegrees(lon0 + (x - falseE) / ell.a)
+      val lat = arcTm.inverse(0.0, y - falseN)._2
+      (lon, lat)
+    }
+  }
+
   /** Oblique Stereographic (EPSG method 9809, Guidance 7-2 §3.2.1 —
    *  conformal-sphere double projection). The projection behind
    *  EPSG:28992 (Amersfoort / RD New, the Dutch national grid). */
@@ -754,7 +818,115 @@ object Crs {
       () => new DatumShifted(
         new SwissOblique(Bessel1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
           7.0 + 26.0 / 60 + 22.5 / 3600, 600000.0, 200000.0),
-        Bessel1841, Helmert(674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0))))
+        Bessel1841, Helmert(674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)))) ++
+    statePlaneSweep ++ worldCrsExtras
+
+  // ---- round-10 catalog sweep ---------------------------------------------
+
+  /** One NAD83 State Plane ftUS zone (published SPCS83/EPSG
+   *  definitions). `kind` T = Transverse Mercator (p1 = k0, p2
+   *  unused), L = Lambert Conformal Conic 2SP (p1/p2 = standard
+   *  parallels). False origins in METERS (EPSG states CO/NC in exact
+   *  ftUS — entered as ftUS·[[FtUs]]); `fips` names the ESRI WKT. */
+  private[functions] final case class SpZone(code: String, state: String, zone: String,
+      fips: String, kind: Char, lat0: Double, lon0: Double,
+      p1: Double, p2: Double, feM: Double, fnM: Double)
+
+  private lazy val k17 = 1.0 - 1.0 / 17000.0 // SPCS83 TM zones quoting 1:17000
+  private lazy val k30 = 1.0 - 1.0 / 30000.0
+
+  private[functions] lazy val spZones: Seq[SpZone] = Seq(
+    SpZone("2226", "California", "zone 2", "0402", 'L',
+      37.6666666666667, -122.0, 38.3333333333333, 39.8333333333333, 2000000.0, 500000.0),
+    SpZone("2227", "California", "zone 3", "0403", 'L',
+      36.5, -120.5, 37.0666666666667, 38.4333333333333, 2000000.0, 500000.0),
+    SpZone("2228", "California", "zone 4", "0404", 'L',
+      35.3333333333333, -119.0, 36.0, 37.25, 2000000.0, 500000.0),
+    SpZone("2230", "California", "zone 6", "0406", 'L',
+      32.1666666666667, -116.25, 32.7833333333333, 33.8833333333333, 2000000.0, 500000.0),
+    SpZone("2231", "Colorado", "North", "0501", 'L',
+      39.3333333333333, -105.5, 39.7166666666667, 40.7833333333333,
+      3000000.0 * FtUs, 1000000.0 * FtUs),
+    SpZone("2232", "Colorado", "Central", "0502", 'L',
+      37.8333333333333, -105.5, 38.45, 39.75, 3000000.0 * FtUs, 1000000.0 * FtUs),
+    SpZone("2233", "Colorado", "South", "0503", 'L',
+      36.6666666666667, -105.5, 37.2333333333333, 38.4333333333333,
+      3000000.0 * FtUs, 1000000.0 * FtUs),
+    SpZone("2236", "Florida", "East", "0901", 'T',
+      24.3333333333333, -81.0, k17, 0, 200000.0, 0.0),
+    SpZone("2237", "Florida", "West", "0902", 'T',
+      24.3333333333333, -82.0, k17, 0, 200000.0, 0.0),
+    SpZone("2238", "Florida", "North", "0903", 'L',
+      29.0, -84.5, 29.5833333333333, 30.75, 600000.0, 0.0),
+    SpZone("2239", "Georgia", "East", "1001", 'T',
+      30.0, -82.1666666666667, 0.9999, 0, 200000.0, 0.0),
+    SpZone("2240", "Georgia", "West", "1002", 'T',
+      30.0, -84.1666666666667, 0.9999, 0, 700000.0, 0.0),
+    SpZone("3436", "Illinois", "West", "1202", 'T',
+      36.6666666666667, -90.1666666666667, k17, 0, 700000.0, 0.0),
+    SpZone("2965", "Indiana", "East", "1301", 'T',
+      37.5, -85.6666666666667, k30, 0, 100000.0, 250000.0),
+    SpZone("2966", "Indiana", "West", "1302", 'T',
+      37.5, -87.0833333333333, k30, 0, 900000.0, 250000.0),
+    SpZone("2248", "Maryland", "", "1900", 'L',
+      37.6666666666667, -77.0, 38.3, 39.45, 400000.0, 0.0),
+    SpZone("2249", "Massachusetts", "Mainland", "2001", 'L',
+      41.0, -71.5, 41.7166666666667, 42.6833333333333, 200000.0, 750000.0),
+    SpZone("3424", "New Jersey", "", "2900", 'T',
+      38.8333333333333, -74.5, 0.9999, 0, 150000.0, 0.0),
+    SpZone("2264", "North Carolina", "", "3200", 'L',
+      33.75, -79.0, 34.3333333333333, 36.1666666666667, 2000000.0 * FtUs, 0.0),
+    SpZone("3734", "Ohio", "North", "3401", 'L',
+      39.6666666666667, -82.5, 40.4333333333333, 41.7, 600000.0, 0.0),
+    SpZone("3735", "Ohio", "South", "3402", 'L',
+      38.0, -82.5, 38.7333333333333, 40.0333333333333, 600000.0, 0.0),
+    SpZone("2271", "Pennsylvania", "North", "3701", 'L',
+      40.1666666666667, -77.75, 40.8833333333333, 41.95, 600000.0, 0.0),
+    SpZone("2276", "Texas", "North Central", "4202", 'L',
+      31.6666666666667, -98.5, 32.1333333333333, 33.9666666666667, 600000.0, 2000000.0),
+    SpZone("2278", "Texas", "South Central", "4204", 'L',
+      27.8333333333333, -99.0, 28.3833333333333, 30.2833333333333, 600000.0, 4000000.0),
+    SpZone("2283", "Virginia", "North", "4501", 'L',
+      37.6666666666667, -78.5, 38.0333333333333, 39.2, 3500000.0, 2000000.0),
+    SpZone("2284", "Virginia", "South", "4502", 'L',
+      36.3333333333333, -78.5, 36.7666666666667, 37.9666666666667, 3500000.0, 1000000.0),
+    SpZone("2285", "Washington", "North", "4601", 'L',
+      47.0, -120.833333333333, 47.5, 48.7333333333333, 500000.0, 0.0),
+    SpZone("2286", "Washington", "South", "4602", 'L',
+      45.3333333333333, -120.5, 45.8333333333333, 47.3333333333333, 500000.0, 0.0))
+
+  private lazy val statePlaneSweep: Seq[CrsInfo] = spZones.map { z =>
+    val zn = if (z.zone.isEmpty) "" else s" ${z.zone}"
+    if (z.kind == 'T')
+      tmFt(z.code, s"NAD83 / ${z.state}$zn (ftUS)", s"USA - ${z.state} -$zn",
+        z.lat0, z.lon0, z.p1, z.feM, z.fnM)
+    else
+      lccFt(z.code, s"NAD83 / ${z.state}$zn (ftUS)", s"USA - ${z.state} -$zn",
+        z.lat0, z.lon0, z.p1, z.p2, z.feM, z.fnM)
+  }
+
+  private lazy val worldCrsExtras: Seq[CrsInfo] = Seq(
+    // Canada-wide LCC (the Atlas grid; CSRS twin is grid-free identical)
+    CrsInfo("EPSG", "3978", "NAD83 / Canada Atlas Lambert", "projected", "Canada",
+      "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0)),
+    CrsInfo("EPSG", "3979", "NAD83(CSRS) / Canada Atlas Lambert", "projected", "Canada",
+      "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0)),
+    CrsInfo("EPSG", "3338", "NAD83 / Alaska Albers", "projected", "USA - Alaska",
+      "Albers Equal Area",
+      () => new Albers2sp(GRS80, 50.0, -154.0, 55.0, 65.0, 0.0, 0.0)),
+    // Universal Polar Stereographic (variant A: k0 = 0.994 at the pole)
+    CrsInfo("EPSG", "32661", "WGS 84 / UPS North (N,E)", "projected",
+      "Arctic (60°N+)", "Polar Stereographic (variant A)",
+      () => new PolarStereoA(WGS84, 0.994, 0.0, 2000000.0, 2000000.0, south = false)),
+    CrsInfo("EPSG", "32761", "WGS 84 / UPS South (N,E)", "projected",
+      "Antarctic (60°S+)", "Polar Stereographic (variant A)",
+      () => new PolarStereoA(WGS84, 0.994, 0.0, 2000000.0, 2000000.0, south = true)),
+    // world equidistant grid (global lat/lon rasters)
+    CrsInfo("EPSG", "4087", "WGS 84 / World Equidistant Cylindrical", "projected",
+      "World", "Equidistant Cylindrical",
+      () => new EquidistCyl(WGS84, 0.0, 0.0, 0.0)))
 
   /** Datum-shifted Gauss-Krüger / ED50 UTM helpers for the parametric
    *  ranges in [[resolve]]. */
@@ -986,12 +1158,59 @@ object Crs {
       Seq("False_Easting" -> feU, "False_Northing" -> fnU, "Central_Meridian" -> lon0,
         "Scale_Factor" -> k0, "Latitude_Of_Origin" -> lat0), unit, mpu)
 
+  /** WKT for the round-10 sweep codes, generated from the SAME
+   *  [[spZones]] table the registry builds from (one source of truth:
+   *  a parameter typo shows up identically in transform and WKT, and
+   *  the corner-coordinate oracle catches it). */
+  private lazy val sweepWktByCode: Map[String, String] = {
+    def fipsName(z: SpZone) = {
+      val st = z.state.replace(" ", "_")
+      val zn = if (z.zone.isEmpty) "" else "_" + z.zone.replace(" ", "_")
+      s"NAD_1983_StatePlane_$st${zn}_FIPS_${z.fips}_Feet"
+    }
+    val sp = spZones.map { z =>
+      val w =
+        if (z.kind == 'T')
+          tmWkt(fipsName(z), GeogNad83, z.lat0, z.lon0, z.p1,
+            z.feM / FtUs, z.fnM / FtUs, "Foot_US", FtUs)
+        else
+          lccWkt(fipsName(z), GeogNad83, z.lat0, z.lon0, z.p1, z.p2,
+            z.feM / FtUs, z.fnM / FtUs, "Foot_US", FtUs)
+      s"EPSG:${z.code}" -> w
+    }
+    val albersCanadaish = Seq(
+      "EPSG:3978" -> lccWkt("NAD_1983_Canada_Atlas_Lambert", GeogNad83,
+        49.0, -95.0, 49.0, 77.0, 0.0, 0.0, "Meter", 1.0),
+      "EPSG:3979" -> lccWkt("NAD_1983_CSRS_Canada_Atlas_Lambert", GeogNad83,
+        49.0, -95.0, 49.0, 77.0, 0.0, 0.0, "Meter", 1.0),
+      "EPSG:3338" -> projcs("NAD_1983_Alaska_Albers", GeogNad83, "Albers",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0,
+          "Central_Meridian" -> -154.0, "Standard_Parallel_1" -> 55.0,
+          "Standard_Parallel_2" -> 65.0, "Latitude_Of_Origin" -> 50.0), "Meter", 1.0),
+      "EPSG:32661" -> projcs("WGS_1984_UPS_North_N_E", GeogWgs84,
+        "Polar_Stereographic_Variant_A",
+        Seq("False_Easting" -> 2000000.0, "False_Northing" -> 2000000.0,
+          "Central_Meridian" -> 0.0, "Scale_Factor" -> 0.994,
+          "Latitude_Of_Origin" -> 90.0), "Meter", 1.0),
+      "EPSG:32761" -> projcs("WGS_1984_UPS_South_N_E", GeogWgs84,
+        "Polar_Stereographic_Variant_A",
+        Seq("False_Easting" -> 2000000.0, "False_Northing" -> 2000000.0,
+          "Central_Meridian" -> 0.0, "Scale_Factor" -> 0.994,
+          "Latitude_Of_Origin" -> -90.0), "Meter", 1.0),
+      "EPSG:4087" -> projcs("WGS_1984_World_Equidistant_Cylindrical", GeogWgs84,
+        "Equidistant_Cylindrical",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0,
+          "Central_Meridian" -> 0.0, "Standard_Parallel_1" -> 0.0), "Meter", 1.0))
+    (sp ++ albersCanadaish).toMap
+  }
+
   /** ESRI WKT1 for a supported CRS (what a .prj sidecar contains).
    *  Parameters restate the same published EPSG definitions the
    *  `registry` builders use; false origins appear in the map unit. */
   def esriWkt(crsIn: String): Option[String] = {
     val crs = crsIn.trim.toUpperCase
     def ftUs(m: Double) = m / FtUs
+    if (sweepWktByCode.contains(crs)) return Some(sweepWktByCode(crs))
     val wkt = crs match {
       case "EPSG:4326" | "WGS84" | "CRS84" | "OGC:CRS84" => Some(GeogWgs84)
       case "EPSG:4269" => Some(GeogNad83)
