@@ -2620,6 +2620,24 @@ object SparkEntry {
         }.reduce(_.unionByName(_)).orderBy("id")
     }),
 
+    // SpatiaLite container: the fixture is a python-sqlite3-built DB
+    // with hand-packed Gaia geometry blobs (one layer big-endian) —
+    // the golden CSV is the same builder's independent accounting
+    "q_src_spatialite" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val p = "/root/repo/src/test/resources/sample.sqlite"
+      Seq("places", "routes", "areas").map { l =>
+        sources.Spatialite.read(s, p, l)
+          .select(lit(l).as("layer"), col("pk").cast("long").as("rowid"),
+            col("name"), st_geometrytype(col("geom")).as("gtype"),
+            coalesce(st_npoints(col("geom")), lit(0)).as("npts"),
+            st_xmin(col("geom")).as("x0"), st_ymin(col("geom")).as("y0"),
+            st_xmax(col("geom")).as("x1"), st_ymax(col("geom")).as("y1"))
+      }.reduce(_.unionByName(_)).orderBy("layer", "rowid")
+    }),
+
     // OpenFileGDB container (judge r9 ask #2): the .gdb fixture is
     // authored by tools/make_gdb_fixture.py — an independent python
     // implementation of the published FGDB table spec — whose golden
@@ -5841,6 +5859,16 @@ object SparkEntry {
            ORDER BY name""",
 
       // independent python golden (tools/make_gmt_golden.py)
+      // independent python golden (tools/make_spatialite_fixture.py)
+      "q_src_spatialite" ->
+        """SELECT layer, rowid, name, gtype, npts, x0, y0, x1, y1
+           FROM read_csv('/root/repo/src/test/resources/golden/spatialite_golden.csv',
+             header=true,
+             columns={'layer':'VARCHAR','rowid':'BIGINT','name':'VARCHAR',
+                      'gtype':'VARCHAR','npts':'INTEGER',
+                      'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
+           ORDER BY layer, rowid""",
+
       // independent python golden (tools/make_gdb_fixture.py): the
       // fixture bytes and this CSV come from the same from-scratch
       // spec implementation, sharing no code with the Scala reader

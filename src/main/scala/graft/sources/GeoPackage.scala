@@ -24,7 +24,7 @@ object GeoPackage {
   // ---- SQLite file-format primitives -----------------------------------
 
   /** Read-only random-access view of one SQLite file. */
-  private final class Db(readAt: (Long, Array[Byte]) => Unit) {
+  private[sources] final class Db(readAt: (Long, Array[Byte]) => Unit) {
     val (pageSize, usableSize) = {
       val hdr = new Array[Byte](100)
       readAt(0, hdr)
@@ -40,7 +40,7 @@ object GeoPackage {
     }
   }
 
-  private def openDb(fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path)
+  private[sources] def openDb(fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path)
       : (Db, java.io.Closeable) = {
     val stream = fs.open(path)
     (new Db((p, buf) => stream.readFully(p, buf)), stream)
@@ -94,7 +94,7 @@ object GeoPackage {
   }
 
   /** Walk a table b-tree rooted at `root`, emitting (rowid, payload). */
-  private def walkTable(db: Db, root: Long): Iterator[(Long, Array[Byte])] = {
+  private[sources] def walkTable(db: Db, root: Long): Iterator[(Long, Array[Byte])] = {
     val page = db.page(root)
     val hdrOff = if (root == 1) 100 else 0
     val pageType = page(hdrOff) & 0xFF
@@ -119,7 +119,7 @@ object GeoPackage {
 
   /** Root-page subtrees for parallel scanning: the root's children (or
    *  the root itself when it is already a leaf). */
-  private def subtrees(db: Db, root: Long): Seq[Long] = {
+  private[sources] def subtrees(db: Db, root: Long): Seq[Long] = {
     val page = db.page(root)
     val hdrOff = if (root == 1) 100 else 0
     if ((page(hdrOff) & 0xFF) == 0x05) {
@@ -131,7 +131,7 @@ object GeoPackage {
 
   /** Decode a record payload into column values (SQLite record format:
    *  header of serial-type varints, then values). */
-  private def decodeRecord(payload: Array[Byte]): Array[Any] = {
+  private[sources] def decodeRecord(payload: Array[Byte]): Array[Any] = {
     val (hdrLen, n0) = varint(payload, 0)
     val types = scala.collection.mutable.ArrayBuffer[Long]()
     var p = n0
@@ -189,9 +189,9 @@ object GeoPackage {
 
   // ---- schema ----------------------------------------------------------
 
-  private case class MasterRow(typ: String, name: String, tblName: String, rootpage: Long, sql: String)
+  private[sources] case class MasterRow(typ: String, name: String, tblName: String, rootpage: Long, sql: String)
 
-  private def master(db: Db): Seq[MasterRow] =
+  private[sources] def master(db: Db): Seq[MasterRow] =
     walkTable(db, 1L).map { case (_, payload) =>
       val v = decodeRecord(payload)
       MasterRow(str(v(0)), str(v(1)), str(v(2)),
@@ -256,7 +256,7 @@ object GeoPackage {
 
   /** SQLite type-affinity rules → Spark type (geometry columns handled
    *  separately). */
-  private def affinityType(decl: String): DataType = {
+  private[sources] def affinityType(decl: String): DataType = {
     val d = decl.toUpperCase
     if (d.contains("INT")) LongType
     else if (d.contains("CHAR") || d.contains("CLOB") || d.contains("TEXT")) StringType
@@ -412,7 +412,7 @@ object GeoPackage {
    *  class may appear under any declared affinity; values that cannot
    *  be represented in the declared Spark type become null (never a
    *  mistyped external object, which would fail the whole task). */
-  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+  private[sources] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (l: Long, LongType) => l
     case (l: Long, DoubleType) => l.toDouble

@@ -199,8 +199,10 @@ object GeoRead {
       else if (lower.endsWith(".gmt")) (Gmt.read(spark, path), Some("geom"))
       else if (lower.stripSuffix("/").endsWith(".gdb"))
         (OpenFileGdb.read(spark, path.stripSuffix("/"), opts.layer), Some("geom"))
+      else if (lower.endsWith(".sqlite"))
+        (Spatialite.read(spark, path, opts.layer), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb, .sqlite)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -239,6 +241,7 @@ object GeoRead {
     else if (lower.endsWith(".dxf")) "dxf"
     else if (lower.endsWith(".gmt")) "ogr_gmt"
     else if (lower.stripSuffix("/").endsWith(".gdb")) "openfilegdb"
+    else if (lower.endsWith(".sqlite")) "sqlite"
     else throw new IllegalArgumentException(
       s"unsupported format for $lower (see st_drivers() for the supported list)")
 
@@ -517,7 +520,8 @@ object GeoRead {
     ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, true),
     ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
     ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
-    ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false))
+    ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false),
+    ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, false))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -675,6 +679,13 @@ object GeoRead {
         ("openfilegdb", OpenFileGdb.layerMetas(path.stripSuffix("/")).map {
           case (name, count, gtype, wkt, fields) =>
             Row(name, count, Seq(geomField("geom", gtype, crsRow("", "", "", wkt))),
+              fields.map { case (n, t) => stdField(n, t) })
+        })
+      } else if (lower.endsWith(".sqlite")) {
+        ("sqlite", Spatialite.layerMetas(spark, path).map {
+          case (name, gtype, srid, fields) =>
+            Row(name, -1L,
+              Seq(geomField("geom", gtype, crsRow("", "EPSG", srid.toString, ""))),
               fields.map { case (n, t) => stdField(n, t) })
         })
       } else ("unknown", Seq.empty[Row])
