@@ -2620,6 +2620,25 @@ object SparkEntry {
         }.reduce(_.unionByName(_)).orderBy("id")
     }),
 
+    // TopoJSON: shared-arc topology decode (delta-cumsum quantized
+    // arcs, ~complement reversal, junction stitching) vs the python
+    // builder's independent accounting
+    "q_src_topojson" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val base = "/root/repo/src/test/resources/topojson/"
+      Seq("quantized.topojson", "plain.topojson").map { f =>
+        sources.GeoRead.read(s, base + f)
+          .select(lit(f).as("file"), col("layer"), col("id"),
+            col("props").getItem("name").as("name"),
+            st_geometrytype(col("geom")).as("gtype"),
+            st_npoints(col("geom")).as("npts"),
+            st_xmin(col("geom")).as("x0"), st_ymin(col("geom")).as("y0"),
+            st_xmax(col("geom")).as("x1"), st_ymax(col("geom")).as("y1"))
+      }.reduce(_.unionByName(_)).orderBy("file", "layer", "id")
+    }),
+
     // SpatiaLite container: the fixture is a python-sqlite3-built DB
     // with hand-packed Gaia geometry blobs (one layer big-endian) —
     // the golden CSV is the same builder's independent accounting
@@ -5859,6 +5878,16 @@ object SparkEntry {
            ORDER BY name""",
 
       // independent python golden (tools/make_gmt_golden.py)
+      // independent python golden (tools/make_topojson_golden.py)
+      "q_src_topojson" ->
+        """SELECT file, layer, id, name, gtype, npts, x0, y0, x1, y1
+           FROM read_csv('/root/repo/src/test/resources/golden/topojson_golden.csv',
+             header=true,
+             columns={'file':'VARCHAR','layer':'VARCHAR','id':'VARCHAR',
+                      'name':'VARCHAR','gtype':'VARCHAR','npts':'INTEGER',
+                      'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
+           ORDER BY file, layer, id""",
+
       // independent python golden (tools/make_spatialite_fixture.py)
       "q_src_spatialite" ->
         """SELECT layer, rowid, name, gtype, npts, x0, y0, x1, y1

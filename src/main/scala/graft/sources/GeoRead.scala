@@ -113,7 +113,7 @@ object GeoRead {
         val p = st.getPath
         if (p.toUri.getScheme == "file") p.toUri.getPath else p.toString
       }.sorted
-      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif", ".dxf", ".gmt")
+      val exts = Seq(".shp", ".fgb", ".geojson", ".gpx", ".kml", ".mif", ".dxf", ".gmt", ".topojson")
       val byExt = exts.map(e => e -> files.filter(_.toLowerCase.endsWith(e)))
         .filter(_._2.nonEmpty)
       if (byExt.length > 1)
@@ -173,6 +173,8 @@ object GeoRead {
           .find(l => opts.layer.isEmpty || l._1 == opts.layer).map(_._2)
         (GeoPackage.read(spark, path, opts.layer), gc)
       }
+      else if (lower.endsWith(".topojson"))
+        (TopoJson.read(spark, path), Some("geom"))
       else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
         (readGeoJson(spark, path), Some("geom"))
       else if (lower.endsWith(".parquet")) {
@@ -202,7 +204,7 @@ object GeoRead {
       else if (lower.endsWith(".sqlite"))
         (Spatialite.read(spark, path, opts.layer), Some("geom"))
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb, .sqlite)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb, .sqlite, .topojson)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -230,6 +232,7 @@ object GeoRead {
     else if (lower.endsWith(".shp")) "shapefile"
     else if (lower.endsWith(".fgb")) "flatgeobuf"
     else if (lower.endsWith(".gpkg")) "geopackage"
+    else if (lower.endsWith(".topojson")) "topojson"
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") ||
       lower.endsWith(".geojsonl") || lower.endsWith(".ndjson")) "geojson"
     else if (lower.endsWith(".parquet")) "parquet"
@@ -521,7 +524,8 @@ object GeoRead {
     ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
     ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
     ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false),
-    ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, false))
+    ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, false),
+    ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, false))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -635,6 +639,13 @@ object GeoRead {
         ("parquet", Seq(Row(baseName(path), -1L,
           geomCols.toSeq.sorted.map(c => geomField(c, "Unknown", crsRow("", "", "", crsTxt))),
           sparkFields(schema, geomCols))))
+      } else if (lower.endsWith(".topojson")) {
+        // TopoJSON is lon/lat by convention (the GeoJSON lineage); the
+        // layer list requires a parse, which meta intentionally skips
+        ("topojson", Seq(Row(baseName(path), -1L,
+          Seq(geomField("geom", "Unknown", crsRow("WGS 84", "EPSG", "4326", ""))),
+          Seq(stdField("layer", "string"), stdField("id", "string"),
+            stdField("props", "map<string,string>")))))
       } else if (lower.endsWith(".geojson") || lower.endsWith(".json")) {
         // GeoJSON is WGS84 by spec (RFC 7946 §4)
         ("geojson", Seq(Row(baseName(path), -1L,
@@ -723,6 +734,8 @@ object GeoWrite {
     else if (lower.endsWith(".fgb")) FlatGeobuf.write(df, geomCol, path)
     else if (lower.endsWith(".gpkg")) GeoPackageWrite.write(df, geomCol, path)
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
+    else if (lower.endsWith(".topojson")) throw new IllegalArgumentException(
+      "TopoJSON write is unsupported (arc topology construction); write .geojson instead")
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
       GeoJsonWriter.write(df, geomCol, path)
     else if (lower.endsWith(".csv")) GeoRead.writeCsvWkt(df, geomCol, path)
