@@ -53,12 +53,14 @@ object LinkGraph {
       iterations: Int = 5, damping: Int = 85,
       baseMicro: Long = 1000000000L): DataFrame = {
     require(iterations >= 1 && damping >= 0 && damping <= 100, "bad pagerank params")
-    // pre-partitioned by the per-iteration join key (see
-    // labelPropagation's note): the cached static frames satisfy the
-    // join distribution, so only the rank frame shuffles per round
+    // ONE exchange builds the edge cache, keyed by the PER-ITERATION
+    // AGGREGATION key dst (labelPropagation's r9 lesson applied here,
+    // r10): hash(dst) also satisfies the (src,dst) distinct grouping
+    // (partition exprs ⊆ grouping is enough for Catalyst), so dedup
+    // rides the same exchange.
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .repartition(col("src")).persist()
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("dst")).distinct().persist()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().persist()
@@ -72,13 +74,21 @@ object LinkGraph {
     // One count per iteration pins each rank frame before the next
     // round reads it, so every shared frame is computed exactly once.
     var ranks = vertices.select(col("v"), lit(baseMicro).as("rank_micro")).persist()
+    // size-based dispatch, as in labelPropagation: below the threshold
+    // the per-src contribution RATE frame (vertex-sized: ranks ⋈ outDeg
+    // is a co-partitioned hash(v)=hash(src) join) broadcasts into the
+    // dst-partitioned edge scan, and the whole iteration — probe,
+    // groupBy(dst), vertices left-join — runs with ZERO edge-sized
+    // exchanges. Above it, the classic shuffled join path.
+    val bcastRates = vertices.count() <= BroadcastMaxVertices
     var i = 0
     while (i < iterations) {
-      val contribs = ranks
+      val rates = ranks
         .join(outDeg, ranks("v") === outDeg("src"))
-        .join(e, "src")
-        .select(col("dst").as("v"),
-          expr("rank_micro DIV deg").as("c"))
+        .select(col("src"), expr("rank_micro DIV deg").as("rate"))
+      val rateSide = if (bcastRates) broadcast(rates) else rates
+      val contribs = e.join(rateSide, "src")
+        .select(col("dst").as("v"), col("rate").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_sum"))
       val next = vertices
         .join(contribs, Seq("v"), "left")
