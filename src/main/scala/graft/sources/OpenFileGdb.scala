@@ -121,16 +121,38 @@ object OpenFileGdb {
 
   // ---- .gdbtable field-description parse --------------------------------
 
+  /** Header + field-description parse reads ONLY the header area (40
+   *  bytes, then the declared field-description section) — never the
+   *  row data, so schema discovery on a multi-GB table costs two small
+   *  reads. */
   private[sources] def readTableHeader(path: String): GdbTable = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val raf = new java.io.RandomAccessFile(path, "r")
+    val bytes = try {
+      val head = new Array[Byte](48)
+      raf.readFully(head)
+      val hb = new Buf(head, 32)
+      val fieldOff = hb.i64()
+      require(fieldOff >= 40 && fieldOff + 8 <= raf.length(),
+        s"$path: field description offset $fieldOff out of range")
+      raf.seek(fieldOff)
+      val lenBuf = new Array[Byte](4)
+      raf.readFully(lenBuf)
+      val sectionLen = new Buf(lenBuf, 0).i32()
+      require(sectionLen > 0 && fieldOff + 4 + sectionLen <= raf.length(),
+        s"$path: field description section overruns the file")
+      // one contiguous buffer [0, end of field section) keeps the
+      // offsets below identical to a whole-file view
+      val all = new Array[Byte]((fieldOff + 4 + sectionLen).toInt)
+      raf.seek(0)
+      raf.readFully(all)
+      all
+    } finally raf.close()
     val b = new Buf(bytes, 0)
     val magic = b.i32()
     require(magic == 3, s"$path: not a .gdbtable (magic $magic)")
     val nValid = b.i32()
     b.p = 32
     val fieldOff = b.i64()
-    require(fieldOff >= 40 && fieldOff < bytes.length,
-      s"$path: field description offset $fieldOff out of range")
     b.p = fieldOff.toInt
     val sectionLen = b.i32()
     require(sectionLen > 0 && fieldOff + 4 + sectionLen <= bytes.length,
@@ -220,15 +242,29 @@ object OpenFileGdb {
 
   // ---- row decode -------------------------------------------------------
 
-  private def decodeRows(t: GdbTable, offsets: Array[Long]): Iterator[Row] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(t.path))
+  /** Decode the rows at `offsets` (tablx positions `idxBase..`),
+   *  seek-reading each size-prefixed blob — a task touches only its
+   *  own rows' bytes, so chunked scans of a large table do not each
+   *  re-read the whole file. */
+  private def decodeRows(t: GdbTable, offsets: Array[Long], idxBase: Int = 0): Iterator[Row] = {
+    val raf = new java.io.RandomAccessFile(t.path, "r")
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+    val fileLen = raf.length()
     val nullable = t.fields.filter(f => f.nullable && f.ftype != 6)
     val bitmapBytes = (nullable.size + 7) / 8
-    offsets.iterator.zipWithIndex.filter(_._1 != 0L).map { case (off, rowIdx) =>
-      val b = new Buf(bytes, off.toInt)
-      val size = b.i32()
-      require(size >= 0 && off + 4 + size <= bytes.length,
+    val it = offsets.iterator.zipWithIndex.filter(_._1 != 0L).map { case (off, i) =>
+      val rowIdx = idxBase + i
+      raf.seek(off)
+      val size = raf.readInt() match { // big-endian read; file is LE
+        case be => java.lang.Integer.reverseBytes(be)
+      }
+      require(size >= 0 && off + 4 + size <= fileLen,
         s"${t.path}: row at $off overruns the file")
+      val blob = new Array[Byte](size)
+      raf.readFully(blob)
+      val bytes = blob
+      val b = new Buf(bytes, 0)
       val bitmap = b.bytes(bitmapBytes)
       var nullIdx = 0
       def isNull(f: GdbField): Boolean =
@@ -268,6 +304,16 @@ object OpenFileGdb {
         }
       }
       Row.fromSeq(values)
+    }
+    // close at exhaustion too: the catalog parse runs driver-side with
+    // no TaskContext to hook
+    new Iterator[Row] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) raf.close()
+        h
+      }
+      def next(): Row = it.next()
     }
   }
 
@@ -401,9 +447,20 @@ object OpenFileGdb {
     val base = tableBase(path, chosen._1)
     val t = readTableHeader(base + ".gdbtable") // driver-side: schema first
     val schema = schemaOf(t)
+    // chunked parallel scan: the .gdbtablx offset index splits into
+    // row ranges, each task seek-reads only its own rows' bytes — a
+    // big table scans with real parallelism instead of one task
+    // slurping the whole file (OID stays the tablx position via the
+    // chunk's index base)
+    val offsets = readRowOffsets(base + ".gdbtablx")
+    val chunkRows = 131072
+    val chunks = offsets.grouped(chunkRows).zipWithIndex
+      .map { case (c, i) => (i * chunkRows, c) }.toIndexedSeq
     val rows = spark.sparkContext
-      .parallelize(Seq(base), 1)
-      .flatMap(b => decodeRows(readTableHeader(b + ".gdbtable"), readRowOffsets(b + ".gdbtablx")))
+      .parallelize(chunks, math.max(1, chunks.length))
+      .flatMap { case (idxBase, offs) =>
+        decodeRows(readTableHeader(base + ".gdbtable"), offs, idxBase)
+      }
     spark.createDataFrame(rows, schema)
   }
 
