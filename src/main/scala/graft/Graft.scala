@@ -47,6 +47,14 @@ object Graft {
     reg.createOrReplaceTempFunction("st_intersection_agg", e => StIntersectionAgg(e.head), "scala_udf")
     // pipeline expressions (SQL callers)
     reg.createOrReplaceTempFunction("simhash", e => SimHash(e.head), "scala_udf")
+    // unicode cleanup (cross-certified vs the oracle engine's ICU impls)
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      e => UnicodeNormalize(e.head, "NFC"), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize", e =>
+      UnicodeNormalize(e(0),
+        e(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents", e => StripAccents(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint", e => Fingerprint(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_similarity", e => JaroSimilarity(e(0), e(1)), "scala_udf")

@@ -324,6 +324,34 @@ object SparkEntry {
        WHERE damerau_levenshtein(a.nm, b.nm) <= 3
        ORDER BY id_a, id_b"""
 
+  /** ONE SQL text for q_doc_unicode, dialect-shared. The planted pool
+   *  rotates composed (U+00E9 é), decomposed (e + U+0301 combining
+   *  acute), ring (a + U+030A), tilde (n + U+0303) and the œ ligature
+   *  (an accent-stripping NON-target); every engine-function call
+   *  (nfc_normalize / strip_accents) resolves to OUR Normalizer-backed
+   *  expression on the Spark side and ICU on the oracle side. */
+  private lazy val unicodeSql = {
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val ring = "a\u030angstro\u0308m" // a+ring, o+diaeresis (decomposed)
+    val tilde = "jalapen\u0303o \u0153uvre" // n+tilde decomposed, oe ligature
+    s"""WITH planted AS (
+         SELECT doc_id,
+           concat(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN '$composed'
+             WHEN 1 THEN '$decomposed'
+             WHEN 2 THEN '$ring'
+             ELSE '$tilde' END, ' #', CAST(doc_id AS STRING)) AS s
+         FROM documents)
+       SELECT doc_id,
+         nfc_normalize(s) AS nfc,
+         CAST(length(s) AS INT) AS n_raw,
+         CAST(length(nfc_normalize(s)) AS INT) AS n_nfc,
+         CAST(nfc_normalize('$composed') = nfc_normalize('$decomposed') AS BOOLEAN) AS comp_eq,
+         strip_accents(s) AS stripped
+       FROM planted ORDER BY doc_id"""
+  }
+
   private val plantedLines =
     """concat_ws(chr(10),
        CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for daily updates.'
@@ -1135,6 +1163,13 @@ object SparkEntry {
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
     }),
+
+    // Unicode cleanup: ONE SQL text runs on both engines — our
+    // java.text.Normalizer-backed nfc_normalize/strip_accents vs the
+    // oracle's ICU implementations (independent UAX #15 codebases, the
+    // jaro_winkler cross-certification recipe). Planted composed/
+    // decomposed/combining/ligature variants keyed off doc_id.
+    "q_doc_unicode" -> q(Seq("documents"), unicodeSql),
 
     "q_doc_quality" -> q(Seq("documents"),
       """SELECT doc_id,
@@ -4342,6 +4377,10 @@ object SparkEntry {
       "q_doc_bpe_merges" -> bpeMergesOracle,
 
       "q_doc_perceptron" -> perceptronOracleSql,
+
+      // ONE SQL text: oracle runs its ICU nfc_normalize/strip_accents,
+      // spark side runs the Normalizer-backed registered functions
+      "q_doc_unicode" -> unicodeSql,
 
       "q_doc_quality" ->
         """SELECT doc_id,

@@ -935,3 +935,60 @@ case class BloomHits(left: Expression, right: Expression, kHashes: Int = 5)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomHits =
     copy(left = l, right = r)
 }
+
+/**
+ * Unicode normalization (UAX #15) via `java.text.Normalizer` — the
+ * encoding-cleanup pass every multilingual training corpus needs
+ * before dedup/shingling (the same logical text arrives composed from
+ * one crawl and decomposed from another; fingerprints diverge unless
+ * normalized first). The oracle engine's `nfc_normalize` is
+ * ICU-backed — a genuinely independent implementation of the same
+ * published algorithm, so the gate row is a cross-implementation
+ * certification (the jaro_winkler recipe).
+ */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form.toUpperCase),
+    s"unicode_normalize: unknown form '$form'")
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"unicode_normalize_${form.toLowerCase}"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(v.asInstanceOf[UTF8String].toString, nf))
+
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}
+
+/**
+ * Accent stripping: NFD decomposition, then every combining mark
+ * (Unicode category Mn) drops — matches the oracle engine's ICU
+ * `strip_accents` on its documented domain (é→e; non-accent ligatures
+ * like œ are NOT decomposed — that is NFKC's job).
+ */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(v: Any): Any = {
+    val d = java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}

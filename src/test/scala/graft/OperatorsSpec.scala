@@ -2590,3 +2590,34 @@ class TextVectorWriteSpec extends SparkSpec {
       pb(0).getDouble(1) == 1.5 && pb(0).getDouble(2) == 2.5)
   }
 }
+
+/** Unicode cleanup expressions (cross-certified against the oracle's
+  * ICU implementations in q_doc_unicode; these pin the Java-side
+  * semantics incl. the forms the oracle engine lacks). */
+class UnicodeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("nfc/nfkc/strip_accents semantics") {
+    graft.Graft.install(spark)
+    val r = spark.sql(
+      """SELECT
+         nfc_normalize('café') AS nfc,
+         nfc_normalize('café') = nfc_normalize('café') AS eq,
+         length(nfc_normalize('café')) AS n,
+         unicode_normalize('ﬁne Ｅxam', 'NFKC') AS nfkc,
+         unicode_normalize('café', 'NFD') AS nfd,
+         strip_accents('jalapeño œuvre ångström') AS stripped,
+         nfc_normalize(CAST(NULL AS STRING)) AS nul
+         """).collect()(0)
+    assert(r.getString(0) == "café" && r.getBoolean(1) && r.getInt(2) == 4)
+    assert(r.getString(3) == "fine Exam") // ligature + fullwidth fold
+    assert(r.getString(4) == "café")     // NFD decomposes
+    // accents drop; the oe ligature is NOT an accent and survives
+    assert(r.getString(5) == "jalapeno œuvre angstrom")
+    assert(r.isNullAt(6))
+    val err = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(err.getMessage.contains("unknown form"))
+  }
+}
