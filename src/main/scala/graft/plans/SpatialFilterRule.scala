@@ -83,8 +83,13 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.flatten
     roots match {
       case Seq(root) =>
-        coveringCache.getOrElseUpdate(root, {
-          val local = if (root.startsWith("file:")) new java.net.URI(root).getPath else root
+        val local = if (root.startsWith("file:")) new java.net.URI(root).getPath else root
+        // mtime in the key: an overwrite with a DIFFERENT covering
+        // mapping (same column name, shuffled roles) must not prune
+        // through a stale cache entry
+        val key = root + "@" + (try new java.io.File(local).lastModified
+          catch { case _: Exception => 0L })
+        coveringCache.getOrElseUpdate(key, {
           try graft.sources.GeoParquetMeta.readGeoMetadata(local)
             .flatMap(graft.sources.GeoParquetMeta.parseCovering)
           catch { case _: Exception => None }
