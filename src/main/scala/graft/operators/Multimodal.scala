@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
  * once per task, not per row).
  *
  * Image decode and resize are REAL for the formats the JDK ships
- * codecs for (PNG/JPEG/BMP/GIF via `javax.imageio`, no external
+ * codecs for (PNG/JPEG/BMP/GIF/TIFF via `javax.imageio`, no external
  * dependencies — payloads are signature-sniffed first, so arbitrary
  * binary never reaches the codec). Audio decode is REAL for RIFF/WAVE
  * (dependency-free little-endian header walk — channels, sample rate,
@@ -34,6 +34,10 @@ object Multimodal {
     else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF) Some("jpeg")
     else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') Some("gif")
     else if (p(0) == 'B' && p(1) == 'M') Some("bmp")
+    // TIFF: II*\0 (little-endian) / MM\0* (big-endian); the JDK ships
+    // an ImageIO TIFF plugin since Java 9, so this is a REAL decode
+    else if (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) Some("tiff")
+    else if (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42) Some("tiff")
     else None
   }
 

@@ -1918,13 +1918,14 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
-  test("real image decode: PNG/JPEG/BMP/GIF metadata through the operator") {
+  test("real image decode: PNG/JPEG/BMP/GIF/TIFF metadata through the operator") {
     val df = Seq(
       (1L, imageBytes("png", 48, 32)),
       (2L, imageBytes("jpg", 20, 40)),
       (3L, imageBytes("bmp", 17, 11)),
       (4L, imageBytes("gif", 8, 9)),
-      (5L, "just some text, not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
+      (5L, "just some text, not an image".getBytes("UTF-8")),
+      (6L, imageBytes("tiff", 13, 7))).toDF("media_id", "payload")
     val rows = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 8)
       .orderBy("media_id")
       .select("meta.format", "meta.width", "meta.height", "meta.channels").collect()
@@ -1935,6 +1936,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getInt(3) >= 3) // RGB(A)
     // non-image payload takes the deterministic stub path, not the codec
     assert(Set("jpeg", "png", "webp").contains(rows(4).getString(0)))
+    // TIFF: JDK 9+ ships the ImageIO plugin — real decode, not a stub
+    assert(rows(5).getString(0) == "tiff" && rows(5).getInt(1) == 13 && rows(5).getInt(2) == 7)
   }
 
   test("real image features: pooled grayscale grid, solid colors exact") {
