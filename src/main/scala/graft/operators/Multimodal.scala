@@ -56,12 +56,61 @@ object Multimodal {
       // same catch-to-stub discipline on every path: one hostile
       // payload must degrade to the stub row, never fail the task
       val m = (try decodeWav(payload) catch { case _: Exception => None })
+        .orElse(try decodeWebp(payload) catch { case _: Exception => None })
         .orElse(try decodeFlac(payload) catch { case _: Exception => None })
         .orElse(try decodeMp3(payload) catch { case _: Exception => None })
         .orElse(try decodeMp4(payload) catch { case _: Exception => None })
         .getOrElse(decodeStub(payload))
       (m, None)
     }
+
+  /**
+   * Real image metadata for WebP payloads — the JDK has no WebP codec,
+   * but the container is a published RIFF layout, so dimensions and
+   * alpha come from a dependency-free chunk walk (the dominant crawl
+   * image format deserves real metadata even without pixel decode):
+   * `VP8X` extended header (24-bit canvas minus-one fields), `VP8 `
+   * lossy bitstream header (0x9D012A start code, 14-bit dims), `VP8L`
+   * lossless bitstream header (0x2F signature, packed 14-bit
+   * minus-one dims, alpha bit). None on anything malformed — callers
+   * fall through to the stub.
+   */
+  private[graft] def decodeWebp(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (p == null || p.length < 25 || // 12 RIFF + 8 chunk hdr + 5 VP8L min
+        p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        p(8) != 'W' || p(9) != 'E' || p(10) != 'B' || p(11) != 'P') return None
+    def u24(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) | ((p(o + 2) & 0xFF) << 16)
+    def u32(o: Int): Long = (u24(o) & 0xFFFFFFL) | ((p(o + 3) & 0xFFL) << 24)
+    var off = 12L
+    while (off + 8 <= p.length) {
+      val o = off.toInt
+      val sz = u32(o + 4)
+      val fourcc = new String(p, o, 4, "US-ASCII")
+      fourcc match {
+        case "VP8X" if sz >= 10 && o + 18 <= p.length =>
+          val alpha = (p(o + 8) & 0x10) != 0
+          return Some(("webp", u24(o + 12) + 1, u24(o + 15) + 1, if (alpha) 4 else 3, 0L))
+        case "VP8 " if sz >= 10 && o + 18 <= p.length =>
+          // 3-byte frame tag, then the 9D 01 2A start code, 14-bit dims
+          if ((p(o + 11) & 0xFF) != 0x9D || (p(o + 12) & 0xFF) != 0x01 ||
+              (p(o + 13) & 0xFF) != 0x2A) return None
+          val w = ((p(o + 14) & 0xFF) | ((p(o + 15) & 0xFF) << 8)) & 0x3FFF
+          val h = ((p(o + 16) & 0xFF) | ((p(o + 17) & 0xFF) << 8)) & 0x3FFF
+          return Some(("webp", w, h, 3, 0L))
+        case "VP8L" if sz >= 5 && o + 13 <= p.length =>
+          if ((p(o + 8) & 0xFF) != 0x2F) return None
+          val b1 = p(o + 9) & 0xFF; val b2 = p(o + 10) & 0xFF
+          val b3 = p(o + 11) & 0xFF; val b4 = p(o + 12) & 0xFF
+          val w = (((b2 & 0x3F) << 8) | b1) + 1
+          val h = (((b4 & 0x0F) << 10) | (b3 << 2) | (b2 >> 6)) + 1
+          val alpha = (b4 & 0x10) != 0
+          return Some(("webp", w, h, if (alpha) 4 else 3, 0L))
+        case _ =>
+      }
+      off += 8L + sz + (sz & 1L) // word-aligned chunks, monotone cursor
+    }
+    None
+  }
 
   /** RIFF/WAVE signature sniff. */
   private[operators] def isWav(p: Array[Byte]): Boolean =

@@ -2624,3 +2624,49 @@ class UnicodeSpec extends SparkSpec {
     assert(err.getMessage.contains("unknown form"))
   }
 }
+
+/** WebP container metadata walk (no JDK codec — dimensions/alpha from
+  * the published RIFF layout; payloads hand-packed here). */
+class WebpSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  private def riff(chunks: (String, Array[Byte])*): Array[Byte] = {
+    val body = chunks.flatMap { case (cc, payload) =>
+      val sz = payload.length
+      cc.getBytes("US-ASCII") ++ Array[Byte](
+        (sz & 0xFF).toByte, ((sz >> 8) & 0xFF).toByte,
+        ((sz >> 16) & 0xFF).toByte, ((sz >> 24) & 0xFF).toByte) ++
+        payload ++ (if (sz % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    }.toArray
+    val total = body.length + 4
+    "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+      (total & 0xFF).toByte, ((total >> 8) & 0xFF).toByte,
+      ((total >> 16) & 0xFF).toByte, ((total >> 24) & 0xFF).toByte) ++
+      "WEBP".getBytes("US-ASCII") ++ body
+  }
+
+  test("VP8X / VP8 lossy / VP8L lossless headers; malformed falls through") {
+    // VP8X: flags (alpha=0x10), 3 reserved, canvas 640x480 minus-one 24-bit LE
+    val vp8x = riff(("VP8X", Array[Byte](0x10, 0, 0, 0,
+      ((640 - 1) & 0xFF).toByte, (((640 - 1) >> 8) & 0xFF).toByte, 0,
+      ((480 - 1) & 0xFF).toByte, (((480 - 1) >> 8) & 0xFF).toByte, 0)))
+    assert(Multimodal.decodeWebp(vp8x).contains(("webp", 640, 480, 4, 0L)))
+    // VP8 lossy: 3-byte frame tag, start code, 14-bit 320x240
+    val vp8 = riff(("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      (320 & 0xFF).toByte, (320 >> 8).toByte, (240 & 0xFF).toByte, (240 >> 8).toByte)))
+    assert(Multimodal.decodeWebp(vp8).contains(("webp", 320, 240, 3, 0L)))
+    // VP8L lossless: 0x2F, packed 14-bit minus-one dims (100x33), no alpha
+    val w = 100 - 1; val h = 33 - 1
+    val b1 = (w & 0xFF).toByte
+    val b2 = (((w >> 8) & 0x3F) | ((h & 0x3) << 6)).toByte
+    val b3 = ((h >> 2) & 0xFF).toByte
+    val b4 = ((h >> 10) & 0x0F).toByte
+    val vp8l = riff(("VP8L", Array[Byte](0x2F, b1, b2, b3, b4)))
+    assert(Multimodal.decodeWebp(vp8l).contains(("webp", 100, 33, 3, 0L)))
+    // RIFF/WAVE is NOT webp; truncated/garbage never throws
+    assert(Multimodal.decodeWebp("RIFFxxxxWAVEdata".getBytes).isEmpty)
+    assert(Multimodal.decodeWebp(vp8x.take(20)).isEmpty)
+    val badCode = riff(("VP8 ", Array[Byte](0, 0, 0, 1, 2, 3, 4, 5, 6, 7)))
+    assert(Multimodal.decodeWebp(badCode).isEmpty)
+  }
+}
