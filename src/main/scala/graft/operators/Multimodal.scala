@@ -60,9 +60,91 @@ object Multimodal {
         .orElse(try decodeFlac(payload) catch { case _: Exception => None })
         .orElse(try decodeMp3(payload) catch { case _: Exception => None })
         .orElse(try decodeMp4(payload) catch { case _: Exception => None })
+        .orElse(try decodeMkv(payload) catch { case _: Exception => None })
         .getOrElse(decodeStub(payload))
       (m, None)
     }
+
+  /**
+   * Real video metadata for Matroska/WebM payloads — a dependency-free
+   * EBML walk (the published matroska.org element layout; no codec
+   * needed for container metadata). EBML elements are a
+   * length-marked-varint ID (marker bit KEPT) + varint size (marker
+   * bit STRIPPED) + payload; the walk descends Segment → Info
+   * (TimecodeScale ns/tick, float Duration ticks) and Segment →
+   * Tracks → TrackEntry (TrackType, Video{PixelWidth, PixelHeight}).
+   * Mapping mirrors [[decodeMp4]]: format "mkv" (or "webm" per the
+   * DocType), width/height = first video track, channels = track
+   * count, duration_ms from scale·duration. None on non-EBML or
+   * malformed payloads — callers fall to the stub.
+   */
+  private[graft] def decodeMkv(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (p == null || p.length < 8 ||
+        (p(0) & 0xFF) != 0x1A || (p(1) & 0xFF) != 0x45 ||
+        (p(2) & 0xFF) != 0xDF || (p(3) & 0xFF) != 0xA3) return None
+    // varint reads return (value, next offset); -1 offset = malformed
+    def vint(o: Long, keepMarker: Boolean): (Long, Long) = {
+      if (o >= p.length) return (0L, -1L)
+      val first = p(o.toInt) & 0xFF
+      if (first == 0) return (0L, -1L)
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (o + len > p.length) return (0L, -1L)
+      var v: Long = if (keepMarker) first else first & ((1 << (8 - len)) - 1)
+      var i = 1
+      while (i < len) { v = (v << 8) | (p((o + i).toInt) & 0xFF); i += 1 }
+      (v, o + len)
+    }
+    def uintAt(o: Long, n: Long): Long = {
+      var v = 0L; var i = 0L
+      while (i < n) { v = (v << 8) | (p((o + i).toInt) & 0xFF); i += 1 }
+      v
+    }
+    def floatAt(o: Long, n: Long): Double = n match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(o, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(o, 8))
+      case _ => 0.0
+    }
+    var docType = "mkv"
+    var timecodeScaleNs = 1000000L // spec default: 1 ms ticks
+    var durationTicks = 0.0
+    var width = 0; var height = 0
+    var nTracks = 0
+    /** Walk children of [from, to); descend into the given container IDs. */
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var o = from
+      while (o < to && depth < 8) {
+        val (id, o1) = vint(o, keepMarker = true)
+        if (o1 < 0) return
+        val (sz0, o2) = vint(o1, keepMarker = false)
+        if (o2 < 0) return
+        // all-ones size = "unknown" (streamed Segments use it): the
+        // element extends to the end of the enclosing range
+        val szLen = o2 - o1
+        val sz = if (sz0 == (1L << (7 * szLen)) - 1) to - o2 else sz0
+        if (o2 + sz > to) return
+        id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xAEL | 0xE0L =>
+            if (id == 0xAEL) nTracks += 1
+            walk(o2, o2 + sz, depth + 1) // containers we care about
+          case 0x4282L => // DocType
+            docType = new String(p, o2.toInt, sz.toInt, "US-ASCII").trim match {
+              case "webm" => "webm"
+              case _ => "mkv"
+            }
+          case 0x2AD7B1L => timecodeScaleNs = uintAt(o2, sz)
+          case 0x4489L => durationTicks = floatAt(o2, sz)
+          case 0xB0L => if (width == 0) width = uintAt(o2, sz).toInt
+          case 0xBAL => if (height == 0) height = uintAt(o2, sz).toInt
+          case _ => // skip leaf / unknown container
+        }
+        o = o2 + sz
+      }
+    }
+    walk(0L, p.length.toLong, 0)
+    if (nTracks == 0 && durationTicks == 0.0) return None // EBML but not AV
+    val durationMs = math.round(durationTicks * timecodeScaleNs / 1e6)
+    Some((docType, width, height, nTracks, durationMs))
+  }
 
   /**
    * Real image metadata for WebP payloads — the JDK has no WebP codec,

@@ -2670,3 +2670,47 @@ class WebpSpec extends SparkSpec {
     assert(Multimodal.decodeWebp(badCode).isEmpty)
   }
 }
+
+/** Matroska/WebM EBML metadata walk (published matroska.org element
+  * IDs; payloads hand-packed here incl. the unknown-size Segment). */
+class MkvSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  private def vid(id: Long): Array[Byte] = {
+    // element ID bytes as stored (marker kept)
+    val n = if (id <= 0xFF) 1 else if (id <= 0xFFFF) 2 else if (id <= 0xFFFFFF) 3 else 4
+    (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+  }
+  private def vsize(sz: Int): Array[Byte] = {
+    require(sz < 127); Array((0x80 | sz).toByte)
+  }
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    vid(id) ++ vsize(payload.length) ++ payload
+  private def uintBytes(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+
+  test("webm doc: duration, dims, track count; unknown-size segment") {
+    val ebml = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBytes(1000000L, 3)) ++ // 1 ms ticks
+      el(0x4489L, uintBytes(java.lang.Float.floatToIntBits(93500.0f) & 0xFFFFFFFFL, 4)))
+    val video = el(0xE0L, el(0xB0L, uintBytes(1920, 2)) ++ el(0xBAL, uintBytes(1080, 2)))
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0x83L, uintBytes(1, 1)) ++ video) ++
+      el(0xAEL, el(0x83L, uintBytes(2, 1))))
+    val segBody = info ++ tracks
+    // segment with UNKNOWN size (0xFF): extends to end of file
+    val seg = vid(0x18538067L) ++ Array(0xFF.toByte) ++ segBody
+    val mkv = ebml ++ seg
+    assert(Multimodal.decodeMkv(mkv).contains(("webm", 1920, 1080, 2, 93500L)))
+    // matroska doctype maps to "mkv"
+    val ebml2 = el(0x1A45DFA3L, el(0x4282L, "matroska".getBytes("US-ASCII")))
+    val mkv2 = ebml2 ++ vid(0x18538067L) ++ vsize(segBody.length) ++ segBody
+    assert(Multimodal.decodeMkv(mkv2).map(_._1).contains("mkv"))
+    // non-EBML and truncated payloads never throw
+    assert(Multimodal.decodeMkv("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeMkv(mkv.take(9)).isEmpty)
+    // EBML header alone (no AV content) stays a stub, not a 0x0 video
+    assert(Multimodal.decodeMkv(ebml).isEmpty)
+  }
+}
