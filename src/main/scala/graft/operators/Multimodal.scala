@@ -61,9 +61,58 @@ object Multimodal {
         .orElse(try decodeMp3(payload) catch { case _: Exception => None })
         .orElse(try decodeMp4(payload) catch { case _: Exception => None })
         .orElse(try decodeMkv(payload) catch { case _: Exception => None })
+        .orElse(try decodeOgg(payload) catch { case _: Exception => None })
         .getOrElse(decodeStub(payload))
       (m, None)
     }
+
+  /**
+   * Real audio metadata for Ogg Vorbis/Opus payloads — the published
+   * xiph container layout: pages start `OggS`, the first packet of the
+   * first page is the identification header (`vorbis`: version,
+   * channels, rate; `OpusHead`: version, channels, pre-skip, input
+   * rate), and the LAST page's granule position counts PCM samples —
+   * so duration is real, not estimated (Opus granules are always
+   * 48 kHz ticks per its RFC). Mapping mirrors [[decodeWav]]:
+   * format "vorbis"/"opus", width = sample rate, height = 0 (lossy —
+   * no bit depth), channels, duration_ms. None on anything
+   * malformed — callers fall to the stub.
+   */
+  private[graft] def decodeOgg(p: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    if (p == null || p.length < 58 ||
+        p(0) != 'O' || p(1) != 'g' || p(2) != 'g' || p(3) != 'S' || p(4) != 0) return None
+    def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+      ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def u64(o: Int): Long = u32(o) | (u32(o + 4) << 32)
+    val nSegs = p(26) & 0xFF
+    val body = 27 + nSegs
+    if (body + 16 > p.length) return None
+    // identification header = first packet of the first page
+    val (fmt, channels, rate) =
+      if (p(body) == 1 && p(body + 1) == 'v' && p(body + 2) == 'o' &&
+          p(body + 3) == 'r' && p(body + 4) == 'b' && p(body + 5) == 'i' &&
+          p(body + 6) == 's')
+        ("vorbis", p(body + 11) & 0xFF, u32(body + 12))
+      else if (p(body) == 'O' && p(body + 1) == 'p' && p(body + 2) == 'u' &&
+          p(body + 3) == 's' && p(body + 4) == 'H' && p(body + 5) == 'e' &&
+          p(body + 6) == 'a' && p(body + 7) == 'd')
+        ("opus", p(body + 9) & 0xFF, u32(body + 12))
+      else return None
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) return None
+    // last page's granule position: scan for the final OggS capture
+    var last = -1
+    var i = p.length - 27
+    while (last < 0 && i >= 0) {
+      if (p(i) == 'O' && p(i + 1) == 'g' && p(i + 2) == 'g' && p(i + 3) == 'S' && p(i + 4) == 0)
+        last = i
+      i -= 1
+    }
+    val granule = if (last >= 0 && last + 14 <= p.length) u64(last + 6) else 0L
+    // Opus granules tick at 48 kHz regardless of the input rate (RFC 7845)
+    val granuleRate = if (fmt == "opus") 48000L else rate
+    val durationMs = if (granule > 0) granule * 1000L / granuleRate else 0L
+    Some((fmt, rate.toInt, 0, channels, durationMs))
+  }
 
   /**
    * Real video metadata for Matroska/WebM payloads — a dependency-free

@@ -2714,3 +2714,44 @@ class MkvSpec extends SparkSpec {
     assert(Multimodal.decodeMkv(ebml).isEmpty)
   }
 }
+
+/** Ogg Vorbis/Opus identification-header + last-granule duration walk
+  * (published xiph layout; payloads hand-packed here). */
+class OggSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  private def page(granule: Long, serial: Int, seq: Int, packet: Array[Byte]): Array[Byte] = {
+    require(packet.length < 255)
+    val b = java.nio.ByteBuffer.allocate(27 + 1 + packet.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    b.putLong(granule).putInt(serial).putInt(seq).putInt(0)
+    b.put(1.toByte).put(packet.length.toByte).put(packet)
+    b.array()
+  }
+
+  test("vorbis and opus id headers; duration from the last granule") {
+    val vorbisId = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).put("vorbis".getBytes("US-ASCII"))
+      .putInt(0)          // version
+      .put(2.toByte)      // channels
+      .putInt(44100)      // rate
+      .array()
+    // 44100 samples at 44.1 kHz = exactly 1000 ms
+    val ogg = page(-1L, 7, 0, vorbisId) ++ page(44100L, 7, 1, Array[Byte](0))
+    assert(Multimodal.decodeOgg(ogg).contains(("vorbis", 44100, 0, 2, 1000L)))
+    val opusId = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("OpusHead".getBytes("US-ASCII"))
+      .put(1.toByte)      // version
+      .put(1.toByte)      // channels
+      .putShort(312)      // pre-skip
+      .putInt(16000)      // input rate
+      .array()
+    // opus granules tick at 48 kHz: 96000 ticks = 2000 ms
+    val opus = page(-1L, 9, 0, opusId) ++ page(96000L, 9, 1, Array[Byte](0))
+    assert(Multimodal.decodeOgg(opus).contains(("opus", 16000, 0, 1, 2000L)))
+    // non-ogg / truncated payloads never throw
+    assert(Multimodal.decodeOgg("OggX not really".getBytes).isEmpty)
+    assert(Multimodal.decodeOgg(ogg.take(30)).isEmpty)
+  }
+}
