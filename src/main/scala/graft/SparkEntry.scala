@@ -2780,9 +2780,32 @@ object SparkEntry {
           timescale = 1000L + (i % 5) * 500L, duration = 10000L + i * 777L,
           nTracks = 1 + (i % 3).toInt, v1 = i % 2 == 1))
       }.toDF("doc_id", "payload")
+      // planted WebP payloads: the RIFF container walk — chunk kind
+      // (VP8X/VP8/VP8L) and alpha swept with the dims
+      val webps = s.range(20).map { i =>
+        (50000000L + i, operators.Multimodal.webpBytes(
+          kind = (i % 3).toInt, w = 16 + i.toInt * 13, h = 9 + i.toInt * 7,
+          alpha = i % 2 == 1))
+      }.toDF("doc_id", "payload")
+      // planted Matroska/WebM payloads: the EBML walk — doctype, dims,
+      // track count and 1ms-tick duration swept; unknown-size Segment
+      val mkvs = s.range(20).map { i =>
+        (60000000L + i, operators.Multimodal.mkvBytes(
+          w = 320 + i.toInt * 16, h = 200 + i.toInt * 10,
+          nTracks = 1 + (i % 3).toInt, durationTicks = 5000 + i.toInt * 333,
+          webm = i % 2 == 0))
+      }.toDF("doc_id", "payload")
+      // planted Ogg payloads: vorbis/opus id headers + last-granule
+      // duration (opus granules tick at 48kHz regardless of rate)
+      val oggs = s.range(20).map { i =>
+        (70000000L + i, operators.Multimodal.oggBytes(
+          opus = i % 2 == 1, rate = 8000 + (i % 5).toInt * 8000,
+          channels = 1 + (i % 2).toInt, granule = 48000L + i * 1111L))
+      }.toDF("doc_id", "payload")
       operators.Multimodal.decodeAndFeaturize(
           media.unionByName(wavs).unionByName(flacs).unionByName(mp3s)
-            .unionByName(mp4s),
+            .unionByName(mp4s).unionByName(webps).unionByName(mkvs)
+            .unionByName(oggs),
           "doc_id", "payload", featureDim = 16)
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("w"), col("meta.height").as("h"),
@@ -3772,7 +3795,10 @@ object SparkEntry {
        wav AS (SELECT unnest(range(0, 40)) AS i),
        flac AS (SELECT unnest(range(0, 30)) AS i),
        mp3 AS (SELECT unnest(range(0, 30)) AS i),
-       mp4 AS (SELECT unnest(range(0, 20)) AS i)
+       mp4 AS (SELECT unnest(range(0, 20)) AS i),
+       webp AS (SELECT unnest(range(0, 20)) AS i),
+       mkv AS (SELECT unnest(range(0, 20)) AS i),
+       ogg AS (SELECT unnest(range(0, 20)) AS i)
        SELECT * FROM (
          SELECT doc_id AS media_id,
            ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
@@ -3818,7 +3844,38 @@ object SparkEntry {
            CAST(1 + (i % 3) AS INT) AS ch,
            CAST((10000 + i * 777) * 1000 // (1000 + (i % 5) * 500) AS BIGINT) AS dur_ms,
            16 AS fdim
-         FROM mp4) t
+         FROM mp4
+         UNION ALL
+         -- REAL WebP path: dims from the chunk kind's header fields;
+         -- alpha encodable on VP8X/VP8L only (kind i%3 = 1 is lossy VP8)
+         SELECT 50000000 + i AS media_id, 'webp' AS format,
+           CAST(16 + i * 13 AS INT) AS w,
+           CAST(9 + i * 7 AS INT) AS h,
+           CAST(CASE WHEN i % 3 = 1 THEN 3 ELSE 3 + (i % 2) END AS INT) AS ch,
+           CAST(0 AS BIGINT) AS dur_ms, 16 AS fdim
+         FROM webp
+         UNION ALL
+         -- REAL Matroska/WebM path: EBML Info/Tracks fields recomputed
+         -- from the id sweep; 1ms ticks so dur_ms = durationTicks
+         SELECT 60000000 + i AS media_id,
+           CASE WHEN i % 2 = 0 THEN 'webm' ELSE 'mkv' END AS format,
+           CAST(320 + i * 16 AS INT) AS w,
+           CAST(200 + i * 10 AS INT) AS h,
+           CAST(1 + (i % 3) AS INT) AS ch,
+           CAST(5000 + i * 333 AS BIGINT) AS dur_ms, 16 AS fdim
+         FROM mkv
+         UNION ALL
+         -- REAL Ogg path: last-granule duration; opus granules tick at
+         -- 48kHz regardless of the input rate (RFC 7845)
+         SELECT 70000000 + i AS media_id,
+           CASE WHEN i % 2 = 1 THEN 'opus' ELSE 'vorbis' END AS format,
+           CAST(8000 + (i % 5) * 8000 AS INT) AS w,
+           0 AS h,
+           CAST(1 + (i % 2) AS INT) AS ch,
+           CAST((48000 + i * 1111) * 1000
+             // (CASE WHEN i % 2 = 1 THEN 48000 ELSE 8000 + (i % 5) * 8000 END) AS BIGINT) AS dur_ms,
+           16 AS fdim
+         FROM ogg) t
        ORDER BY media_id"""
 
   /** q_geo_spheroid golden table: (k, vincenty_m, perimeter_m,

@@ -611,6 +611,91 @@ object Multimodal {
     out
   }
 
+  /** WebP payload for the gate/specs: the requested chunk kind
+   *  (0 VP8X / 1 lossy VP8 / 2 lossless VP8L) with the given dims;
+   *  alpha only encodable on VP8X/VP8L. */
+  def webpBytes(kind: Int, w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, "webpBytes: dims")
+    val payload: Array[Byte] = kind % 3 match {
+      case 0 => Array[Byte]((if (alpha) 0x10 else 0).toByte, 0, 0, 0,
+        ((w - 1) & 0xFF).toByte, (((w - 1) >> 8) & 0xFF).toByte, (((w - 1) >> 16) & 0xFF).toByte,
+        ((h - 1) & 0xFF).toByte, (((h - 1) >> 8) & 0xFF).toByte, (((h - 1) >> 16) & 0xFF).toByte)
+      case 1 => Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+        (w & 0xFF).toByte, ((w >> 8) & 0x3F).toByte,
+        (h & 0xFF).toByte, ((h >> 8) & 0x3F).toByte)
+      case _ =>
+        val wm = w - 1; val hm = h - 1
+        Array[Byte](0x2F, (wm & 0xFF).toByte,
+          (((wm >> 8) & 0x3F) | ((hm & 0x3) << 6)).toByte,
+          ((hm >> 2) & 0xFF).toByte,
+          (((hm >> 10) & 0x0F) | (if (alpha) 0x10 else 0)).toByte)
+    }
+    val cc = kind % 3 match { case 0 => "VP8X"; case 1 => "VP8 "; case _ => "VP8L" }
+    val sz = payload.length
+    val chunk = cc.getBytes("US-ASCII") ++ Array[Byte](
+      (sz & 0xFF).toByte, ((sz >> 8) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+      ((sz >> 24) & 0xFF).toByte) ++ payload ++
+      (if (sz % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val total = chunk.length + 4
+    "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+      (total & 0xFF).toByte, ((total >> 8) & 0xFF).toByte,
+      ((total >> 16) & 0xFF).toByte, ((total >> 24) & 0xFF).toByte) ++
+      "WEBP".getBytes("US-ASCII") ++ chunk
+  }
+
+  /** Matroska/WebM payload for the gate/specs: explicit-size elements,
+   *  duration in 1 ms ticks (default TimecodeScale). */
+  def mkvBytes(w: Int, h: Int, nTracks: Int, durationTicks: Int,
+      webm: Boolean): Array[Byte] = {
+    def vid(id: Long): Array[Byte] = {
+      val n = if (id <= 0xFF) 1 else if (id <= 0xFFFF) 2 else if (id <= 0xFFFFFF) 3 else 4
+      (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127, "mkvBytes: element too large for 1-byte size")
+      vid(id) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uintBytes(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+    val ebml = el(0x1A45DFA3L,
+      el(0x4282L, (if (webm) "webm" else "matroska").getBytes("US-ASCII")))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBytes(1000000L, 3)) ++
+      el(0x4489L, uintBytes(
+        java.lang.Float.floatToIntBits(durationTicks.toFloat) & 0xFFFFFFFFL, 4)))
+    val trackEntries = (0 until nTracks).map { t =>
+      el(0xAEL, el(0x83L, uintBytes(if (t == 0) 1L else 2L, 1)) ++
+        (if (t == 0)
+          el(0xE0L, el(0xB0L, uintBytes(w.toLong, 2)) ++ el(0xBAL, uintBytes(h.toLong, 2)))
+        else Array.empty[Byte]))
+    }.reduce(_ ++ _)
+    val segBody = info ++ el(0x1654AE6BL, trackEntries)
+    // unknown-size Segment: the streamed form the walker must handle
+    ebml ++ vid(0x18538067L) ++ Array(0xFF.toByte) ++ segBody
+  }
+
+  /** Ogg payload for the gate/specs: id-header page + a final page
+   *  whose granule position encodes the duration. */
+  def oggBytes(opus: Boolean, rate: Int, channels: Int, granule: Long): Array[Byte] = {
+    def page(gran: Long, seq: Int, packet: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(27 + 1 + packet.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      b.putLong(gran).putInt(7).putInt(seq).putInt(0)
+      b.put(1.toByte).put(packet.length.toByte).put(packet)
+      b.array()
+    }
+    val id = if (opus)
+      java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("OpusHead".getBytes("US-ASCII")).put(1.toByte)
+        .put(channels.toByte).putShort(312).putInt(rate).array()
+    else
+      java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put(1.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+        .put(channels.toByte).putInt(rate).array()
+    page(0L, 0, id) ++ page(granule, 1, Array[Byte](0))
+  }
+
   /** Decode entry point: real codec for recognized images, real header
    *  parse for WAV audio, stub for everything else (same output
    *  contract on every path). */
