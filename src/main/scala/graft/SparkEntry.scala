@@ -324,6 +324,22 @@ object SparkEntry {
        WHERE damerau_levenshtein(a.nm, b.nm) <= 3
        ORDER BY id_a, id_b"""
 
+  /** Planted HTML document (dialect-shared expression text): head with
+   *  style+script payloads (script body even contains a bare `<`),
+   *  comments, nested blocks, named + numeric entities, entity-encoded
+   *  angle brackets that must SURVIVE as text, and a slice of the real
+   *  document text. */
+  private val plantedHtml =
+    """concat('<!DOCTYPE html><html><head><title>Title ', CAST(doc_id AS STRING),
+       '</title><style>p { color: red; }</style>',
+       '<script type="text/javascript">var x = 1 < 2; // </script>',
+       '<!-- hidden comment -->',
+       '</head><body><h1 class="hero">Doc ', CAST(doc_id AS STRING), '</h1>',
+       '<p>Hello &amp; welcome, &lt;friends&gt; &#233;l&#xE8;ve.</p>',
+       '<div>Second   block.</div>',
+       '<ul><li>alpha</li><li>beta</li></ul>',
+       '<p>', substring(text, 1, 60), '</p><br>tail</body></html>')"""
+
   /** ONE SQL text for q_doc_unicode, dialect-shared. The planted pool
    *  rotates composed (U+00E9 é), decomposed (e + U+0301 combining
    *  acute), ring (a + U+030A), tilde (n + U+0303) and the œ ligature
@@ -1162,6 +1178,19 @@ object SparkEntry {
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
+    }),
+
+    // HTML → text extraction: the engine runs the single-pass scanner
+    // (html_to_text), the oracle replicates the pipeline as RE2
+    // regex passes over the identical planted corpus (script/style/
+    // comment drops, block-close newlines, tag strip, entity decode
+    // AFTER stripping, whitespace collapse). The corpus avoids the
+    // scanner-only cases (a '>' inside a quoted attribute) — those are
+    // certified in HtmlSpec where regex strippers genuinely tear.
+    "q_doc_html" -> ((s, dir) => {
+      load(s, dir, "documents")
+      s.sql(s"""SELECT doc_id, html_to_text($plantedHtml) AS txt
+                FROM documents ORDER BY doc_id""")
     }),
 
     // Unicode cleanup: ONE SQL text runs on both engines — our
@@ -4438,6 +4467,28 @@ object SparkEntry {
       // ONE SQL text: oracle runs its ICU nfc_normalize/strip_accents,
       // spark side runs the Normalizer-backed registered functions
       "q_doc_unicode" -> unicodeSql,
+
+      // html_to_text replicated as RE2 passes in the scanner's order
+      // (entity decode AFTER tag strip; single-level decode only — the
+      // planted corpus has no nested &amp;lt; cases, which a replace
+      // chain would double-decode where the one-pass scanner doesn't)
+      "q_doc_html" ->
+        s"""WITH h0 AS (SELECT doc_id, $plantedHtml AS s FROM documents),
+           h1 AS (SELECT doc_id, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', '', 'g') AS s FROM h0),
+           h2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', '', 'g') AS s FROM h1),
+           h3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', '', 'g') AS s FROM h2),
+           h4 AS (SELECT doc_id, regexp_replace(s,
+             '(?i)<br[^>]*>|</(p|div|li|ul|ol|table|tr|h[1-6]|section|article|blockquote|pre)>',
+             chr(10), 'g') AS s FROM h3),
+           h5 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g') AS s FROM h4),
+           h6 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(s,
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&#233;', 'é'), '&#xE8;', 'è') AS s FROM h5),
+           h7 AS (SELECT doc_id, regexp_replace(s, '[ \\t\\r]+', ' ', 'g') AS s FROM h6),
+           h8 AS (SELECT doc_id, regexp_replace(s, ' ?\\n ?', chr(10), 'g') AS s FROM h7),
+           h9 AS (SELECT doc_id, regexp_replace(s, '\\n{3,}', chr(10) || chr(10), 'g') AS s FROM h8)
+           SELECT doc_id, trim(s, ' ' || chr(10)) AS txt FROM h9 ORDER BY doc_id""",
 
       "q_doc_quality" ->
         """SELECT doc_id,

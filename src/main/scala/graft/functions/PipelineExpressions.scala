@@ -992,3 +992,105 @@ case class StripAccents(child: Expression)
   override protected def withNewChildInternal(c: Expression): StripAccents =
     copy(child = c)
 }
+
+/**
+ * HTML → text extraction (the first pass of every crawl pipeline):
+ * a single-pass state machine — NOT a regex pile — that drops
+ * script/style/comment content, turns block-level closes and `<br>`
+ * into newlines, strips remaining tags (correctly skipping `>` inside
+ * quoted attribute values, where regex strippers tear), decodes the
+ * common named entities plus decimal/hex numeric references, and
+ * collapses runs of spaces and blank lines. Entity decode happens
+ * AFTER tag stripping, so text like `&lt;div&gt;` stays literal text.
+ */
+case class HtmlToText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_to_text"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(HtmlToText.extract(v.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): HtmlToText =
+    copy(child = c)
+}
+
+object HtmlToText {
+  private val Named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "rsquo" -> "’", "lsquo" -> "‘",
+    "rdquo" -> "”", "ldquo" -> "“")
+
+  private val BlockTags = Set("p", "div", "li", "ul", "ol", "table", "tr",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "blockquote", "pre")
+
+  def extract(html: String): String = {
+    val n = html.length
+    val out = new java.lang.StringBuilder(n / 2)
+    var i = 0
+    var skipUntil: String = null // "</script" / "</style" when inside one
+    def lowerRegion(start: Int, len: Int): String =
+      html.substring(start, math.min(n, start + len)).toLowerCase
+    while (i < n) {
+      val c = html.charAt(i)
+      if (skipUntil != null) {
+        if (c == '<' && lowerRegion(i, skipUntil.length) == skipUntil) {
+          // consume through the closing '>'
+          var j = i + skipUntil.length
+          while (j < n && html.charAt(j) != '>') j += 1
+          i = j + 1
+          skipUntil = null
+        } else i += 1
+      } else if (c == '<') {
+        if (lowerRegion(i, 4) == "<!--") {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          // parse the tag name; attribute values may hold '>' in quotes
+          var j = i + 1
+          val close = j < n && html.charAt(j) == '/'
+          if (close) j += 1
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          var q: Char = 0
+          while (j < n && (q != 0 || html.charAt(j) != '>')) {
+            val ch = html.charAt(j)
+            if (q != 0) { if (ch == q) q = 0 }
+            else if (ch == '"' || ch == '\'') q = ch
+            j += 1
+          }
+          i = j + 1
+          if (!close && name == "script") skipUntil = "</script"
+          else if (!close && name == "style") skipUntil = "</style"
+          else if (name == "br" || (close && BlockTags(name))) out.append('\n')
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val decoded =
+          if (semi < 0 || semi - i > 12) null
+          else {
+            val body = html.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.substring(2), 16))))
+              catch { case _: Exception => None }
+            else if (body.startsWith("#"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.substring(1)))))
+              catch { case _: Exception => None }
+            else Named.get(body)
+          } match { case Some(s) => s; case _ => null }
+        if (decoded != null) { out.append(decoded); i = semi + 1 }
+        else { out.append('&'); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    // collapse horizontal runs, trim line edges, cap blank-line runs
+    out.toString
+      .replaceAll("[ \\t\\x0B\\f\\r]+", " ")
+      .replaceAll(" ?\\n ?", "\n")
+      .replaceAll("\\n{3,}", "\n\n")
+      .trim
+  }
+}

@@ -2755,3 +2755,34 @@ class OggSpec extends SparkSpec {
     assert(Multimodal.decodeOgg(ogg.take(30)).isEmpty)
   }
 }
+
+/** html_to_text scanner cases regex strippers tear on (the gate row
+  * q_doc_html certifies the common path vs an RE2 replication). */
+class HtmlSpec extends SparkSpec {
+  import graft.functions.HtmlToText
+
+  test("quoted '>' in attributes, hostile scripts, entities, blocks") {
+    val x = HtmlToText.extract _
+    // '>' inside a quoted attribute value must not end the tag
+    assert(x("""<a href="x?a>b" title='1>2'>link</a> ok""") == "link ok")
+    // script content with '<' and fake closers inside strings still skips
+    assert(x("""<script>if (a < b) s = "</scr" + "ipt>";</script>after""") == "after")
+    // unterminated script: rest of document is script content
+    assert(x("""before<script>var x = 1;""") == "before")
+    // entity decode AFTER strip: encoded tags stay literal text
+    assert(x("<p>&lt;div&gt; &amp; &#65;&#x42; &unknown; &amp</p>") ==
+      "<div> & AB &unknown; &amp")
+    // block closes & <br> become newlines, runs collapse
+    assert(x("<h1>T</h1><p>a</p><p>b</p><ul><li>x</li><li>y</li></ul>end<br>tail") ==
+      "T\na\nb\nx\ny\n\nend\ntail")
+    // comments vanish even with tags inside
+    assert(x("a<!-- <p>hidden</p> -->b") == "ab")
+    // hostile numeric entity (out of range) stays literal
+    assert(x("&#99999999999;z") == "&#99999999999;z")
+    assert(HtmlToText.extract("") == "")
+    // SQL surface
+    graft.Graft.install(spark)
+    val r = spark.sql("SELECT html_to_text('<p>hi &amp; bye</p>')").collect()(0)
+    assert(r.getString(0) == "hi & bye")
+  }
+}
