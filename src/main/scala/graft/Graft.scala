@@ -56,6 +56,7 @@ object Graft {
       "scala_udf")
     reg.createOrReplaceTempFunction("strip_accents", e => StripAccents(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("html_to_text", e => HtmlToText(e.head), "scala_udf")
+    reg.createOrReplaceTempFunction("url_normalize", e => UrlNormalize(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("doc_fingerprint", e => Fingerprint(e.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity", e => CosineSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_similarity", e => JaroSimilarity(e(0), e(1)), "scala_udf")

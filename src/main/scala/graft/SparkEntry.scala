@@ -324,6 +324,18 @@ object SparkEntry {
        WHERE damerau_levenshtein(a.nm, b.nm) <= 3
        ORDER BY id_a, id_b"""
 
+  /** Planted URL pool (dialect-shared expression text): case games,
+   *  default + non-default ports, userinfo, duplicate/trailing
+   *  slashes, empty path, tracking params out of order, fragments,
+   *  and one non-URL passthrough row. */
+  private val plantedUrl =
+    """CASE CAST(doc_id % 5 AS INT)
+       WHEN 0 THEN concat('HTTP://Example.COM:80//a//b/?z=', CAST(doc_id AS STRING), '&utm_source=tw&a=1#frag')
+       WHEN 1 THEN concat('https://u:p@Sub.Site.com:443/Path/Sub/?b=2&a=', CAST(doc_id AS STRING), '&fbclid=xyz&ref=feed')
+       WHEN 2 THEN concat('http://site.com:8080/Keep/Port?id=', CAST(doc_id AS STRING), '&utm_campaign=q')
+       WHEN 3 THEN 'https://example.com'
+       ELSE concat('plain text ', CAST(doc_id AS STRING)) END"""
+
   /** Planted HTML document (dialect-shared expression text): head with
    *  style+script payloads (script body even contains a bare `<`),
    *  comments, nested blocks, named + numeric entities, entity-encoded
@@ -1178,6 +1190,14 @@ object SparkEntry {
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
+    }),
+
+    // URL canonicalization: the engine expression vs the oracle's
+    // list_filter/list_sort replication of the same published steps
+    "q_doc_url" -> ((s, dir) => {
+      load(s, dir, "documents")
+      s.sql(s"""SELECT doc_id, url_normalize($plantedUrl) AS url
+                FROM documents ORDER BY doc_id""")
     }),
 
     // HTML → text extraction: the engine runs the single-pass scanner
@@ -4467,6 +4487,43 @@ object SparkEntry {
       // ONE SQL text: oracle runs its ICU nfc_normalize/strip_accents,
       // spark side runs the Normalizer-backed registered functions
       "q_doc_unicode" -> unicodeSql,
+
+      // url_normalize replicated step-by-step: regexp parse, userinfo/
+      // port/fragment drops, slash collapse, tracking-param filter +
+      // sort via list lambdas
+      "q_doc_url" ->
+        s"""WITH u AS (SELECT doc_id, $plantedUrl AS s FROM documents),
+           p AS (SELECT doc_id, s,
+             regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://') AS isurl,
+             lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_replace(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')) AS hostport,
+             regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+             regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^#?]*\\?([^#]*)', 1) AS q
+             FROM u),
+           p2 AS (SELECT doc_id, s, isurl, scheme,
+             CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN left(hostport, length(hostport) - 3)
+                  WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN left(hostport, length(hostport) - 4)
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_replace(path0, '/{2,}', '/', 'g') = '' THEN '/'
+                  WHEN length(regexp_replace(path0, '/{2,}', '/', 'g')) > 1
+                       AND regexp_replace(path0, '/{2,}', '/', 'g') LIKE '%/'
+                    THEN left(regexp_replace(path0, '/{2,}', '/', 'g'),
+                              length(regexp_replace(path0, '/{2,}', '/', 'g')) - 1)
+                  ELSE regexp_replace(path0, '/{2,}', '/', 'g') END AS path,
+             list_sort(list_filter(string_split(q, '&'), x -> x <> ''
+               AND NOT starts_with(lower(regexp_extract(x, '^([^=]*)', 1)), 'utm_')
+               AND lower(regexp_extract(x, '^([^=]*)', 1))
+                 NOT IN ('fbclid', 'gclid', 'msclkid', 'igshid', 'ref'))) AS params
+             FROM p)
+           SELECT doc_id,
+             CASE WHEN NOT isurl THEN trim(s)
+                  ELSE scheme || '://' || host || path ||
+                    CASE WHEN len(params) = 0 THEN ''
+                         ELSE '?' || array_to_string(params, '&') END
+             END AS url
+           FROM p2 ORDER BY doc_id""",
 
       // html_to_text replicated as RE2 passes in the scanner's order
       // (entity decode AFTER tag strip; single-level decode only — the

@@ -1094,3 +1094,61 @@ object HtmlToText {
       .trim
   }
 }
+
+/**
+ * URL canonicalization — the dedup key a crawl pipeline groups on
+ * (the same page arrives as `HTTP://Site.com:80/a//b/?utm_source=x&id=2#frag`
+ * and `http://site.com/a/b?id=2`): lowercase scheme and host, drop
+ * userinfo / default ports (http:80, https:443) / the fragment,
+ * collapse duplicate slashes and the trailing slash (root keeps `/`,
+ * an empty path becomes `/`), drop tracking parameters
+ * (utm_*, fbclid, gclid, msclkid, igshid, ref) and SORT the rest so
+ * parameter order stops mattering. Unparseable input returns trimmed
+ * as-is — a dedup key must never throw. Every step is deliberately
+ * SQL-replicable, so the oracle certifies the whole pipeline.
+ */
+case class UrlNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "url_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(UrlNormalize.canonical(v.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): UrlNormalize =
+    copy(child = c)
+}
+
+object UrlNormalize {
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$".r
+
+  private def tracking(param: String): Boolean = {
+    val k = param.takeWhile(_ != '=').toLowerCase
+    k.startsWith("utm_") ||
+      k == "fbclid" || k == "gclid" || k == "msclkid" || k == "igshid" || k == "ref"
+  }
+
+  def canonical(raw: String): String = {
+    val s = raw.trim
+    s match {
+      case UrlRe(scheme0, auth0, path0, query0) =>
+        val scheme = scheme0.toLowerCase
+        // drop userinfo, lowercase host, strip the scheme-default port
+        val hostPort = auth0.substring(auth0.indexOf('@') + 1).toLowerCase
+        val host =
+          if (scheme == "http" && hostPort.endsWith(":80")) hostPort.dropRight(3)
+          else if (scheme == "https" && hostPort.endsWith(":443")) hostPort.dropRight(4)
+          else hostPort
+        var path = path0.replaceAll("/{2,}", "/")
+        if (path.isEmpty) path = "/"
+        if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
+        val params = Option(query0).map(_.split("&", -1).toSeq).getOrElse(Seq.empty)
+          .filter(p => p.nonEmpty && !tracking(p)).sorted
+        scheme + "://" + host + path +
+          (if (params.isEmpty) "" else "?" + params.mkString("&"))
+      case _ => s // not a URL shape: pass through trimmed
+    }
+  }
+}

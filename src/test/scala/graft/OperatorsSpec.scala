@@ -2786,3 +2786,30 @@ class HtmlSpec extends SparkSpec {
     assert(r.getString(0) == "hi & bye")
   }
 }
+
+/** url_normalize edge semantics beyond the q_doc_url gate sweep. */
+class UrlSpec extends SparkSpec {
+  import graft.functions.UrlNormalize.canonical
+
+  test("canonicalization edges") {
+    assert(canonical("HTTP://Example.COM:80//a//b/?z=9&utm_source=tw&a=1#f") ==
+      "http://example.com/a/b?a=1&z=9")
+    assert(canonical("https://u:p@Sub.Site.com:443/Path/?b=2&a=1&fbclid=x&ref=r") ==
+      "https://sub.site.com/Path?a=1&b=2")
+    // non-default port survives; path case preserved
+    assert(canonical("http://site.com:8080/Keep/Port?id=3") ==
+      "http://site.com:8080/Keep/Port?id=3")
+    // empty path -> '/'; all-tracking query -> no '?'
+    assert(canonical("https://example.com?utm_campaign=x") == "https://example.com/")
+    // bare tracking key without '=' also drops
+    assert(canonical("http://a.com/p?ref&x=1") == "http://a.com/p?x=1")
+    // ftp default port is NOT stripped (only http/https defaults are)
+    assert(canonical("ftp://Host.com:80/f") == "ftp://host.com:80/f")
+    // non-URL passes through trimmed; never throws
+    assert(canonical("  not a url  ") == "not a url")
+    assert(canonical("") == "")
+    graft.Graft.install(spark)
+    val r = spark.sql("SELECT url_normalize('HTTP://X.com:80/#f')").collect()(0)
+    assert(r.getString(0) == "http://x.com/")
+  }
+}
