@@ -243,27 +243,58 @@ object OpenFileGdb {
   // ---- row decode -------------------------------------------------------
 
   /** Decode the rows at `offsets` (tablx positions `idxBase..`),
-   *  seek-reading each size-prefixed blob — a task touches only its
-   *  own rows' bytes, so chunked scans of a large table do not each
-   *  re-read the whole file. */
+   *  reading the chunk's contiguous byte SPAN in one gulp — rows of a
+   *  chunk are adjacent on disk, so this is one large sequential read
+   *  instead of two seek syscalls per row; a task still touches only
+   *  its own rows' bytes. Falls back to per-row seeks when the span is
+   *  pathologically sparse (heavily fragmented/updated tables). */
   private def decodeRows(t: GdbTable, offsets: Array[Long], idxBase: Int = 0): Iterator[Row] = {
     val raf = new java.io.RandomAccessFile(t.path, "r")
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
     val fileLen = raf.length()
+    val live = offsets.filter(_ != 0L)
+    val (spanStart, span): (Long, Array[Byte]) =
+      if (live.isEmpty) (0L, Array.empty[Byte])
+      else {
+        val lo = live.min
+        // the last row's extent needs its size prefix: peek 4 bytes
+        val hiOff = live.max
+        raf.seek(hiOff)
+        val hiSize = java.lang.Integer.reverseBytes(raf.readInt())
+        require(hiSize >= 0 && hiOff + 4 + hiSize <= fileLen,
+          s"${t.path}: row at $hiOff overruns the file")
+        val hi = hiOff + 4 + hiSize
+        // gulp when the span fits an array (chunks are 128k rows, so
+        // only tables with very large rows exceed it); otherwise fall
+        // back to per-row seeks
+        if (hi - lo <= fileLen && hi - lo < Int.MaxValue.toLong) {
+          val buf = new Array[Byte]((hi - lo).toInt)
+          raf.seek(lo)
+          raf.readFully(buf)
+          (lo, buf)
+        } else (0L, null)
+      }
     val nullable = t.fields.filter(f => f.nullable && f.ftype != 6)
     val bitmapBytes = (nullable.size + 7) / 8
     val it = offsets.iterator.zipWithIndex.filter(_._1 != 0L).map { case (off, i) =>
       val rowIdx = idxBase + i
-      raf.seek(off)
-      val size = raf.readInt() match { // big-endian read; file is LE
-        case be => java.lang.Integer.reverseBytes(be)
+      val bytes: Array[Byte] = if (span != null) {
+        val rel = (off - spanStart).toInt
+        val size = (span(rel) & 0xFF) | ((span(rel + 1) & 0xFF) << 8) |
+          ((span(rel + 2) & 0xFF) << 16) | ((span(rel + 3) & 0xFF) << 24)
+        require(size >= 0 && rel + 4 + size <= span.length,
+          s"${t.path}: row at $off overruns the chunk span")
+        java.util.Arrays.copyOfRange(span, rel + 4, rel + 4 + size)
+      } else {
+        raf.seek(off)
+        val size = java.lang.Integer.reverseBytes(raf.readInt())
+        require(size >= 0 && off + 4 + size <= fileLen,
+          s"${t.path}: row at $off overruns the file")
+        val blob = new Array[Byte](size)
+        raf.readFully(blob)
+        blob
       }
-      require(size >= 0 && off + 4 + size <= fileLen,
-        s"${t.path}: row at $off overruns the file")
-      val blob = new Array[Byte](size)
-      raf.readFully(blob)
-      val bytes = blob
       val b = new Buf(bytes, 0)
       val bitmap = b.bytes(bitmapBytes)
       var nullIdx = 0

@@ -58,7 +58,19 @@ object Spatialite {
         def s(i: Int) = v(i) match { case x: String => x; case x => String.valueOf(x) }
         def n(i: Int) = if (i < 0 || i >= v.length) 0 else v(i) match {
           case l: Long => l.toInt
-          case s: String => s.toDouble.toInt // legacy files store type names/strings
+          case s: String =>
+            // legacy (spatialite 2.x/3.x) files store TYPE NAMES, and
+            // some store numbers as text — map both, never throw
+            s.trim.toUpperCase match {
+              case "POINT" => 1
+              case "LINESTRING" => 2
+              case "POLYGON" => 3
+              case "MULTIPOINT" => 4
+              case "MULTILINESTRING" => 5
+              case "MULTIPOLYGON" => 6
+              case "GEOMETRYCOLLECTION" | "GEOMETRY" => 7
+              case t => try t.toDouble.toInt catch { case _: Exception => 0 }
+            }
           case _ => 0
         }
         (s(ti), s(gi),
