@@ -4515,7 +4515,7 @@ object SparkEntry {
              list_sort(list_filter(string_split(q, '&'), x -> x <> ''
                AND NOT starts_with(lower(regexp_extract(x, '^([^=]*)', 1)), 'utm_')
                AND lower(regexp_extract(x, '^([^=]*)', 1))
-                 NOT IN ('fbclid', 'gclid', 'msclkid', 'igshid', 'ref'))) AS params
+                 NOT IN ('fbclid', 'gclid', 'msclkid', 'igshid'))) AS params
              FROM p)
            SELECT doc_id,
              CASE WHEN NOT isurl THEN trim(s)

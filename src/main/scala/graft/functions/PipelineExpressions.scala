@@ -1102,7 +1102,10 @@ object HtmlToText {
  * userinfo / default ports (http:80, https:443) / the fragment,
  * collapse duplicate slashes and the trailing slash (root keeps `/`,
  * an empty path becomes `/`), drop tracking parameters
- * (utm_*, fbclid, gclid, msclkid, igshid, ref) and SORT the rest so
+ * (utm_*, fbclid, gclid, msclkid, igshid — only UNAMBIGUOUS trackers;
+ * bare `ref` is deliberately KEPT because it is commonly functional,
+ * e.g. github.com/...?ref=branch, and dropping it would collapse
+ * distinct pages into one dedup key) and SORT the rest so
  * parameter order stops mattering. Unparseable input returns trimmed
  * as-is — a dedup key must never throw. Every step is deliberately
  * SQL-replicable, so the oracle certifies the whole pipeline.
@@ -1127,7 +1130,7 @@ object UrlNormalize {
   private def tracking(param: String): Boolean = {
     val k = param.takeWhile(_ != '=').toLowerCase
     k.startsWith("utm_") ||
-      k == "fbclid" || k == "gclid" || k == "msclkid" || k == "igshid" || k == "ref"
+      k == "fbclid" || k == "gclid" || k == "msclkid" || k == "igshid"
   }
 
   def canonical(raw: String): String = {

@@ -99,15 +99,26 @@ object Multimodal {
         ("opus", p(body + 9) & 0xFF, u32(body + 12))
       else return None
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) return None
-    // last page's granule position: scan for the final OggS capture
+    // last page's granule position: scan backwards for the final OggS
+    // capture, VALIDATING each candidate — compressed packet bytes can
+    // contain "OggS\0" by chance, so require the same bitstream serial
+    // as the first page, a plausible header-type byte (only the low 3
+    // flag bits are defined), and a segment table that fits the buffer
+    val serial0 = u32(14)
+    def validPage(i: Int): Boolean =
+      i + 27 <= p.length &&
+        (p(i + 5) & 0xF8) == 0 && // header-type: continuation/BOS/EOS only
+        u32(i + 14) == serial0 &&
+        i + 27 + (p(i + 26) & 0xFF) <= p.length // segment table in range
     var last = -1
     var i = p.length - 27
     while (last < 0 && i >= 0) {
-      if (p(i) == 'O' && p(i + 1) == 'g' && p(i + 2) == 'g' && p(i + 3) == 'S' && p(i + 4) == 0)
+      if (p(i) == 'O' && p(i + 1) == 'g' && p(i + 2) == 'g' && p(i + 3) == 'S' && p(i + 4) == 0 &&
+          validPage(i))
         last = i
       i -= 1
     }
-    val granule = if (last >= 0 && last + 14 <= p.length) u64(last + 6) else 0L
+    val granule = if (last >= 0) u64(last + 6) else 0L
     // Opus granules tick at 48 kHz regardless of the input rate (RFC 7845)
     val granuleRate = if (fmt == "opus") 48000L else rate
     val durationMs = if (granule > 0) granule * 1000L / granuleRate else 0L

@@ -84,11 +84,17 @@ case class SpatialFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
     roots match {
       case Seq(root) =>
         val local = if (root.startsWith("file:")) new java.net.URI(root).getPath else root
-        // mtime in the key: an overwrite with a DIFFERENT covering
-        // mapping (same column name, shuffled roles) must not prune
-        // through a stale cache entry
-        val key = root + "@" + (try new java.io.File(local).lastModified
-          catch { case _: Exception => 0L })
+        // key on the FOOTER FILE's identity, not the root: a directory's
+        // mtime does not change when a contained part file is
+        // overwritten in place, so a table rewritten with a shuffled
+        // covering mapping must not prune through a stale entry
+        val key = try {
+          graft.sources.GeoParquetMeta.footerFile(local) match {
+            case Some(f) => s"${f.getPath}@${f.length}@${f.lastModified}"
+            case None => return None
+          }
+        } catch { case _: Exception => return None }
+        if (coveringCache.size > 1024) coveringCache.clear() // bound growth
         coveringCache.getOrElseUpdate(key, {
           try graft.sources.GeoParquetMeta.readGeoMetadata(local)
             .flatMap(graft.sources.GeoParquetMeta.parseCovering)

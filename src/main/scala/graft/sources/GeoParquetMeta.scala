@@ -117,6 +117,12 @@ object GeoParquetMeta {
     } finally raf.close()
   }
 
+  /** The file whose footer [[readGeoMetadata]] will read (first part
+   *  file of a dir, or the file itself) — callers caching parsed
+   *  metadata key on THIS file's (path, length, mtime), since a
+   *  directory's own mtime does not change on in-place overwrites. */
+  def footerFile(path: String): Option[File] = partFiles(path).headOption
+
   /** Read back the `geo` metadata JSON from the first part file. */
   def readGeoMetadata(path: String): Option[String] = {
     partFiles(path).headOption.flatMap { f =>

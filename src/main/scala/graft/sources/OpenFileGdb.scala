@@ -127,10 +127,14 @@ object OpenFileGdb {
    *  reads. */
   private[sources] def readTableHeader(path: String): GdbTable = {
     val raf = new java.io.RandomAccessFile(path, "r")
-    val bytes = try {
+    val (nValid, section) = try {
       val head = new Array[Byte](48)
       raf.readFully(head)
-      val hb = new Buf(head, 32)
+      val hb = new Buf(head, 0)
+      val magic = hb.i32()
+      require(magic == 3, s"$path: not a .gdbtable (magic $magic)")
+      val valid = hb.i32()
+      hb.p = 32
       val fieldOff = hb.i64()
       require(fieldOff >= 40 && fieldOff + 8 <= raf.length(),
         s"$path: field description offset $fieldOff out of range")
@@ -138,25 +142,20 @@ object OpenFileGdb {
       val lenBuf = new Array[Byte](4)
       raf.readFully(lenBuf)
       val sectionLen = new Buf(lenBuf, 0).i32()
-      require(sectionLen > 0 && fieldOff + 4 + sectionLen <= raf.length(),
+      // the section buffer holds ONLY [fieldOff, fieldOff+4+sectionLen):
+      // a table whose field description was relocated toward the end of
+      // a multi-GB file costs the same two small reads as any other
+      require(sectionLen > 0 && fieldOff + 4L + sectionLen <= raf.length(),
         s"$path: field description section overruns the file")
-      // one contiguous buffer [0, end of field section) keeps the
-      // offsets below identical to a whole-file view
-      val all = new Array[Byte]((fieldOff + 4 + sectionLen).toInt)
-      raf.seek(0)
-      raf.readFully(all)
-      all
+      val sec = new Array[Byte](4 + sectionLen)
+      raf.seek(fieldOff)
+      raf.readFully(sec)
+      (valid, sec)
     } finally raf.close()
-    val b = new Buf(bytes, 0)
-    val magic = b.i32()
-    require(magic == 3, s"$path: not a .gdbtable (magic $magic)")
-    val nValid = b.i32()
-    b.p = 32
-    val fieldOff = b.i64()
-    b.p = fieldOff.toInt
+    val b = new Buf(section, 0)
     val sectionLen = b.i32()
-    require(sectionLen > 0 && fieldOff + 4 + sectionLen <= bytes.length,
-      s"$path: field description section overruns the file")
+    require(sectionLen + 4 == section.length,
+      s"$path: field description section length changed underfoot")
     val version = b.i32()
     require(version == 3 || version == 4, s"$path: unsupported FGDB version $version")
     val geomTypeByte = b.u8()
@@ -265,10 +264,11 @@ object OpenFileGdb {
         require(hiSize >= 0 && hiOff + 4 + hiSize <= fileLen,
           s"${t.path}: row at $hiOff overruns the file")
         val hi = hiOff + 4 + hiSize
-        // gulp when the span fits an array (chunks are 128k rows, so
-        // only tables with very large rows exceed it); otherwise fall
-        // back to per-row seeks
-        if (hi - lo <= fileLen && hi - lo < Int.MaxValue.toLong) {
+        // gulp only when the span is sane: a fragmented/updated table
+        // can scatter a 128k-row chunk across gigabytes, and 16
+        // concurrent tasks each holding such an array would OOM the
+        // executor — cap at 256 MB and fall back to per-row seeks
+        if (hi - lo <= fileLen && hi - lo <= 256L * 1024 * 1024) {
           val buf = new Array[Byte]((hi - lo).toInt)
           raf.seek(lo)
           raf.readFully(buf)
@@ -484,7 +484,10 @@ object OpenFileGdb {
     // slurping the whole file (OID stays the tablx position via the
     // chunk's index base)
     val offsets = readRowOffsets(base + ".gdbtablx")
-    val chunkRows = 131072
+    // 128 .gdbtablx blocks (1024 rows each) per task by default;
+    // tunable so a spec can prove the multi-partition plan shape
+    val chunkRows = spark.conf.getOption("spark.graft.gdb.chunkRows")
+      .map(_.toInt).filter(_ > 0).getOrElse(131072)
     val chunks = offsets.grouped(chunkRows).zipWithIndex
       .map { case (c, i) => (i * chunkRows, c) }.toIndexedSeq
     val rows = spark.sparkContext

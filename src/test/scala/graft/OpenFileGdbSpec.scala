@@ -81,4 +81,23 @@ class OpenFileGdbSpec extends SparkSpec {
     }
     assert(notGdb.getMessage.contains("a00000001.gdbtable"))
   }
+
+  test("parallel scan: .gdbtablx chunks become real partitions") {
+    graft.Graft.install(spark)
+    // chunkRows=2 over the 5-row points table -> 3 tasks, same rows:
+    // a large single .gdbtable scans with real parallelism (the
+    // ST_ReadOSM blob-parallel recipe applied to the row-offset index)
+    val default = graft.sources.OpenFileGdb.read(spark, dir, "points")
+      .selectExpr("OBJECTID", "name", "CASE WHEN geom IS NULL THEN NULL ELSE ST_AsText(geom) END AS wkt")
+      .orderBy("OBJECTID").collect()
+    spark.conf.set("spark.graft.gdb.chunkRows", "2")
+    try {
+      val df = graft.sources.OpenFileGdb.read(spark, dir, "points")
+      assert(df.rdd.getNumPartitions == 3) // ceil(5/2) chunks, one task each
+      val chunked = df
+        .selectExpr("OBJECTID", "name", "CASE WHEN geom IS NULL THEN NULL ELSE ST_AsText(geom) END AS wkt")
+        .orderBy("OBJECTID").collect()
+      assert(chunked.toSeq == default.toSeq) // OIDs keep tablx positions across chunks
+    } finally spark.conf.unset("spark.graft.gdb.chunkRows")
+  }
 }

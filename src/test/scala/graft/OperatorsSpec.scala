@@ -2795,14 +2795,18 @@ class UrlSpec extends SparkSpec {
     assert(canonical("HTTP://Example.COM:80//a//b/?z=9&utm_source=tw&a=1#f") ==
       "http://example.com/a/b?a=1&z=9")
     assert(canonical("https://u:p@Sub.Site.com:443/Path/?b=2&a=1&fbclid=x&ref=r") ==
-      "https://sub.site.com/Path?a=1&b=2")
+      "https://sub.site.com/Path?a=1&b=2&ref=r")
+    // bare `ref` is functional on many sites (github ?ref=branch) — KEPT,
+    // so distinct pages do not collapse to one dedup key
+    assert(canonical("https://github.com/o/r/blob/f?ref=main") ==
+      "https://github.com/o/r/blob/f?ref=main")
     // non-default port survives; path case preserved
     assert(canonical("http://site.com:8080/Keep/Port?id=3") ==
       "http://site.com:8080/Keep/Port?id=3")
     // empty path -> '/'; all-tracking query -> no '?'
     assert(canonical("https://example.com?utm_campaign=x") == "https://example.com/")
     // bare tracking key without '=' also drops
-    assert(canonical("http://a.com/p?ref&x=1") == "http://a.com/p?x=1")
+    assert(canonical("http://a.com/p?gclid&x=1") == "http://a.com/p?x=1")
     // ftp default port is NOT stripped (only http/https defaults are)
     assert(canonical("ftp://Host.com:80/f") == "ftp://host.com:80/f")
     // non-URL passes through trimmed; never throws
