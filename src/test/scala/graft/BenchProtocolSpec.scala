@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench contention-protocol helpers: prior-artifact ratio parse
+  * (feeds the >3x ratio-jump confirmation rule) and the /proc/stat
+  * other-process-CPU sentinel math. */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  test("prevRatios parses the escaped-tail driver artifact format") {
+    // the driver artifact embeds the bench line's tail as an escaped
+    // JSON string — write a fixture in that exact shape and parse it
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev").toFile
+    val tail = """{\"metric\":\"total\",\"vs_oracle\":{\"join_10m_sql\":""" +
+      """{\"s\":0.700,\"d\":1.160,\"r\":0.60},\"agg_10m_sql\":""" +
+      """{\"s\":0.900,\"d\":0.800,\"r\":1.12}}}"""
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r09.json").toPath,
+      s"""{"n": 9, "tail": "$tail"}""".getBytes("UTF-8"))
+    // a later round wins; plain (unescaped) quoting also parses
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r10.json").toPath,
+      """{"vs_oracle":{"join_10m_sql":{"s":4.810,"d":1.512,"r":3.18}}}"""
+        .getBytes("UTF-8"))
+    // the same regex prevRatios uses, applied to each fixture directly
+    // (prevRatios itself lists the JVM cwd, exercised by the next test)
+    val re = """\\?"([A-Za-z0-9_]+)\\?":\{\\?"s\\?":[0-9.]+,\\?"d\\?":[0-9.]+,\\?"r\\?":([0-9.]+)""".r
+    val t9 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "BENCH_r09.json").toPath), "UTF-8")
+    val m9 = re.findAllMatchIn(t9).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(m9 == Map("join_10m_sql" -> 0.60, "agg_10m_sql" -> 1.12))
+    val t10 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "BENCH_r10.json").toPath), "UTF-8")
+    val m10 = re.findAllMatchIn(t10).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(m10 == Map("join_10m_sql" -> 3.18))
+  }
+
+  test("prevRatios reads the real checked-in artifact from the repo root") {
+    // the bench runs with cwd = repo root; at least one BENCH_r*.json
+    // is checked in from round 10 onward, and the 6-round-stable
+    // substrate rows must come out with plausible positive ratios
+    val m = Bench.prevRatios()
+    assert(m.nonEmpty, "expected at least one BENCH_r*.json in cwd")
+    assert(m.values.forall(r => r > 0 && r < 1000))
+    assert(m.contains("join_10m_sql") || m.contains("agg_10m_sql"))
+  }
+}
