@@ -417,6 +417,14 @@ object SparkEntry {
     ("(7.0 + CAST(c_custkey % 50 AS DOUBLE) / 10.0)", "(48.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)")
   private val LonLat2193 =
     ("(167.0 + CAST(c_custkey % 110 AS DOUBLE) / 10.0)", "(-46.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0)")
+  // NAD27 UTM 18N (r11 gridshift family): latitudes ABOVE the synthetic
+  // NTv2 fixture footprint (<=45N), so this row always exercises the
+  // Helmert fallback the oracle replicates, grid conf or not
+  private val LonLat26718 =
+    ("(-78.0 + CAST(c_custkey % 58 AS DOUBLE) / 10.0)", "(45.5 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)")
+  // JGD2000 zone IX (Tokyo; r11 parametric-family sweep)
+  private val LonLat2451 =
+    ("(138.8 + CAST(c_custkey % 25 AS DOUBLE) / 10.0)", "(34.8 + CAST(c_custkey % 25 AS DOUBLE) / 10.0)")
   private val LonLat3577 =
     ("(115.0 + CAST(c_custkey % 350 AS DOUBLE) / 10.0)", "(-40.0 + CAST(c_custkey % 280 AS DOUBLE) / 10.0)")
   private val LonLat3395 =
@@ -694,6 +702,44 @@ object SparkEntry {
         .orderBy("zid")
     }),
 
+    // NTv2 grid-shift transforms (reference proj/functions.cpp:488-517
+    // applies PROJ's embedded grids): the engine parses the synthetic
+    // .gsb fixture (published NRCan binary layout) and applies
+    // densest-subgrid bilinear shifts (+ the 4-round fixed-point
+    // inverse); the oracle is an INDEPENDENT python parse+apply of the
+    // same file (tools/make_gsb_fixture.py), replicated operation-for-
+    // operation so the doubles match bit-for-bit. ids 2/5 sit inside
+    // the finer subgrid, certifying subgrid selection; fwd rows go
+    // NAD27->NAD83, inv rows NAD83->NAD27 (iterative).
+    "q_geo_gridshift" -> ((s, dir) => {
+      Graft.install(s)
+      // set the grid dir ONLY for this query's evaluation: materialize
+      // eagerly, then unset, so the conf cannot leak into later
+      // queries' lazy evaluation (the Helmert-replicating transform
+      // oracles must keep seeing the no-grid fallback)
+      s.conf.set("spark.graft.crs.gridDir", "/root/repo/src/test/resources/ntv2")
+      val out = try {
+        val rows = s.sql("""SELECT id, dir, lon_in, lat_in,
+             st_x(st_transform(st_point(lon_in, lat_in), src, dst, true)) AS lon_out,
+             st_y(st_transform(st_point(lon_in, lat_in), src, dst, true)) AS lat_out
+           FROM (
+             SELECT id, dir, CAST(lon AS DOUBLE) AS lon_in, CAST(lat AS DOUBLE) AS lat_in,
+               CASE WHEN dir = 'fwd' THEN 'EPSG:4267' ELSE 'EPSG:4326' END AS src,
+               CASE WHEN dir = 'fwd' THEN 'EPSG:4326' ELSE 'EPSG:4267' END AS dst
+             FROM VALUES
+               (1, 'fwd', -75.1234, 41.2050),
+               (2, 'fwd', -73.0200, 42.5017),
+               (3, 'fwd', -71.3301, 44.8990),
+               (4, 'inv', -75.2002, 40.8003),
+               (5, 'inv', -73.5005, 42.2501) AS v(id, dir, lon, lat))
+           ORDER BY id""")
+        s.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows.collect(): _*)),
+          rows.schema)
+      } finally s.conf.unset("spark.graft.crs.gridDir")
+      out
+    }),
+
     "q_geo_transform" -> q(Seq("customer"),
       """SELECT c_custkey,
          round(ST_X(ST_Transform(ST_Point(CAST(c_custkey % 360 AS DOUBLE) - 179.5, CAST(c_custkey % 160 AS DOUBLE) - 79.5),
@@ -773,7 +819,9 @@ object SparkEntry {
            ("EPSG:21781", "x21781", "y21781", LonLat21781),
            ("EPSG:32661", "x32661", "y32661", LonLat32661),
            ("EPSG:4087", "x4087", "y4087", LonLat4087),
-           ("EPSG:2232", "x2232", "y2232", LonLat2232)).map {
+           ("EPSG:2232", "x2232", "y2232", LonLat2232),
+           ("EPSG:26718", "x26718", "y26718", LonLat26718),
+           ("EPSG:2451", "x2451", "y2451", LonLat2451)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -1211,6 +1259,18 @@ object SparkEntry {
       load(s, dir, "documents")
       s.sql(s"""SELECT doc_id, html_to_text($plantedHtml) AS txt
                 FROM documents ORDER BY doc_id""")
+    }),
+
+    // The scanner-only cases the planted corpus above deliberately
+    // avoids (quoted '>' in attributes, unterminated quotes, unclosed
+    // comments/tags, script bodies holding tag-like strings, malformed
+    // and astral entities): certified against an INDEPENDENT python
+    // state-machine golden (tools/make_html_fixture.py — the q_src_*
+    // fixture recipe), where an RE2 replication genuinely tears.
+    "q_doc_html_hostile" -> ((s, dir) => {
+      Graft.install(s)
+      s.read.parquet("/root/repo/src/test/resources/html/hostile.parquet")
+        .selectExpr("id", "html_to_text(html) AS txt").orderBy("id")
     }),
 
     // Unicode cleanup: ONE SQL text runs on both engines — our
@@ -2956,7 +3016,26 @@ object SparkEntry {
              projection_method_name AS method, count(*) OVER () AS n_total
            FROM st_list_proj_crs())
          WHERE code IN ('4326', '3857', '2263', '5070', '27700')
-         ORDER BY code""")
+         ORDER BY code"""),
+
+    // ST_GeneratePoints: the generator's integer-mixer stream is
+    // engine-independent (GeoRead.genUnit), so the oracle REPLAYS the
+    // identical 100k points from (bounds, count, seed) alone and the
+    // row certifies every coordinate via order-sensitive integer
+    // checksums (floor(coord*1e6) quantization is IEEE-exact on both
+    // engines; no float repr ever crosses the compare)
+    "q_generate" -> q(Seq(),
+      """SELECT count(*) AS n,
+           min(xq) AS min_xq, max(xq) AS max_xq,
+           min(yq) AS min_yq, max(yq) AS max_yq,
+           CAST(sum(xq) AS BIGINT) AS sxq, CAST(sum(yq) AS BIGINT) AS syq,
+           CAST(sum((id+1) * (xq % 1000003)) AS BIGINT) AS wxq,
+           CAST(sum((id+1) * (yq % 1000003)) AS BIGINT) AS wyq
+         FROM (
+           SELECT id,
+             CAST(floor(st_x(point)*1000000.0) AS BIGINT) AS xq,
+             CAST(floor(st_y(point)*1000000.0) AS BIGINT) AS yq
+           FROM st_generatepoints(0.0, 0.0, 100.0, 50.0, 100000, 7))""")
   )
 
   // ---- DuckDB SQL fragments replicating our 64-bit hash kernels --------
@@ -3582,6 +3661,20 @@ object SparkEntry {
     val lv95Ctes = swissCtes("2056", 674.374, 15.056, 405.346, 2600000.0, 1200000.0)
     val lv03Ctes = swissCtes("21781", 674.4, 15.1, 405.3, 600000.0, 200000.0)
 
+    // NAD27 / UTM 18N: translation-only Helmert -> Clarke 1866 -> TM
+    // (params = Crs.Nad27Helmert + the parametric 267xx family; sample
+    // latitudes sit above the synthetic NTv2 grid so this is always
+    // the grid-free fallback path)
+    val nad27Ctes = {
+      val clarke = Crs.Clarke1866
+      s"""${helmertCtes("26718", "s26718", clarke,
+             -8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)},
+         ${tmOracleCtes("t26718", "s26718l", clarke, 0.0, -75.0, 0.9996, 500000.0, 0.0)}"""
+    }
+    // JGD2000 zone IX: plain TM on GRS80 (JGD2000 is WGS84-compatible)
+    val jgd2000Ctes =
+      tmOracleCtes("t2451", "s2451", grs, 36.0, 139.0 + 50.0 / 60, 0.9999, 0.0, 0.0)
+
     // UPS North (Polar Stereographic variant A): scale at the pole,
     // K = 2·a·k0 / sqrt((1+e)^(1+e)·(1-e)^(1-e)) — EPSG GN 7-2
     val upsCtes = {
@@ -3662,6 +3755,8 @@ object SparkEntry {
        ${srcCte("32661", LonLat32661)},
        ${srcCte("4087", LonLat4087)},
        ${srcCte("2232", LonLat2232)},
+       ${srcCte("26718", LonLat26718)},
+       ${srcCte("2451", LonLat2451)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -3677,7 +3772,9 @@ object SparkEntry {
        $lv03Ctes,
        $upsCtes,
        $eqcCtes,
-       $coCtes
+       $coCtes,
+       $nad27Ctes,
+       $jgd2000Ctes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -3694,7 +3791,9 @@ object SparkEntry {
          round(o21781.x, 4) AS x21781, round(o21781.y, 4) AS y21781,
          round(o32661.x, 4) AS x32661, round(o32661.y, 4) AS y32661,
          round(o4087.x, 4) AS x4087, round(o4087.y, 4) AS y4087,
-         round(o2232.x, 4) AS x2232, round(o2232.y, 4) AS y2232
+         round(o2232.x, 4) AS x2232, round(o2232.y, 4) AS y2232,
+         round(t26718o.x, 4) AS x26718, round(t26718o.y, 4) AS y26718,
+         round(t2451o.x, 4) AS x2451, round(t2451o.y, 4) AS y2451
        FROM pts p
        JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
        JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
@@ -3704,7 +3803,8 @@ object SparkEntry {
        JOIN t23032o USING (c_custkey)
        JOIN o2056 USING (c_custkey) JOIN o21781 USING (c_custkey)
        JOIN o32661 USING (c_custkey) JOIN o4087 USING (c_custkey)
-       JOIN o2232 USING (c_custkey)
+       JOIN o2232 USING (c_custkey) JOIN t26718o USING (c_custkey)
+       JOIN t2451o USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 
@@ -4262,6 +4362,17 @@ object SparkEntry {
             AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) < CAST(n_nationkey // 5 * 20 + 20 AS DOUBLE)
            GROUP BY n_nationkey ORDER BY zid""",
 
+      // independent python parse+apply of the same synthetic .gsb file
+      // (tools/make_gsb_fixture.py) — op-order-replicated bilinear +
+      // 4-round inverse, so the doubles are bit-identical
+      "q_geo_gridshift" ->
+        """SELECT id, dir, lon_in, lat_in, lon_out, lat_out
+           FROM read_csv('/root/repo/src/test/resources/golden/gridshift_golden.csv',
+             header=true,
+             columns={'id':'INTEGER','dir':'VARCHAR','lon_in':'DOUBLE',
+                      'lat_in':'DOUBLE','lon_out':'DOUBLE','lat_out':'DOUBLE'})
+           ORDER BY id""",
+
       "q_geo_transform" ->
         """SELECT c_custkey,
            round(radians(CAST(c_custkey % 360 AS DOUBLE) - 179.5) * 6378137.0, 4) AS mx,
@@ -4546,6 +4657,14 @@ object SparkEntry {
            h8 AS (SELECT doc_id, regexp_replace(s, ' ?\\n ?', chr(10), 'g') AS s FROM h7),
            h9 AS (SELECT doc_id, regexp_replace(s, '\\n{3,}', chr(10) || chr(10), 'g') AS s FROM h8)
            SELECT doc_id, trim(s, ' ' || chr(10)) AS txt FROM h9 ORDER BY doc_id""",
+
+      // independent python state-machine golden over the hostile corpus
+      // (tools/make_html_fixture.py) — certifies the scanner-only cases
+      // the RE2 replication above cannot express
+      "q_doc_html_hostile" ->
+        """SELECT id, txt
+           FROM '/root/repo/src/test/resources/golden/html_hostile_golden.parquet'
+           ORDER BY id""",
 
       "q_doc_quality" ->
         """SELECT doc_id,
@@ -6265,7 +6384,41 @@ object SparkEntry {
              ('4326', 'EPSG', 'WGS 84', 'geographic 2D', ''),
              ('5070', 'EPSG', 'NAD83 / Conus Albers', 'projected', 'Albers Equal Area')
            ) v(code, auth_name, name, type, method)
-           ORDER BY code"""
+           ORDER BY code""",
+
+      // Replays GeoRead.generatePoints' integer-mixer stream (two
+      // quadratic rounds mod 2^31-1; every intermediate < 2^62 so
+      // DuckDB's checked BIGINT multiply never traps) for
+      // (0,0,100,50) x 100k points, seed 7 -> seedMix 7000021.
+      // The double arithmetic (int/2147483647.0, 0.0+span*u,
+      // floor(x*1e6)) matches the Spark expression order exactly, so
+      // the quantized checksums are bit-derived from identical IEEE
+      // doubles on both engines.
+      "q_generate" ->
+        """WITH g AS (SELECT range AS id FROM range(100000)),
+            s0 AS (SELECT id, (id*2 + 7000021) % 2147483647 AS ax,
+                          (id*2 + 1 + 7000021) % 2147483647 AS ay FROM g),
+            m1 AS (SELECT id, (ax*48271) % 2147483647 AS ax,
+                          (ay*48271) % 2147483647 AS ay FROM s0),
+            m2 AS (SELECT id, (ax*ax + 12345) % 2147483647 AS ax,
+                          (ay*ay + 12345) % 2147483647 AS ay FROM m1),
+            m3 AS (SELECT id, (ax*69621 + 7) % 2147483647 AS ax,
+                          (ay*69621 + 7) % 2147483647 AS ay FROM m2),
+            m4 AS (SELECT id, (ax*ax + 41) % 2147483647 AS ax,
+                          (ay*ay + 41) % 2147483647 AS ay FROM m3),
+            m5 AS (SELECT id, (ax*16807) % 2147483647 AS ax,
+                          (ay*16807) % 2147483647 AS ay FROM m4),
+            xy AS (SELECT id, 0.0 + 100.0 * (ax / 2147483647.0) AS x,
+                          0.0 + 50.0 * (ay / 2147483647.0) AS y FROM m5),
+            qv AS (SELECT id, CAST(floor(x*1000000.0) AS BIGINT) AS xq,
+                          CAST(floor(y*1000000.0) AS BIGINT) AS yq FROM xy)
+           SELECT count(*) AS n,
+             min(xq) AS min_xq, max(xq) AS max_xq,
+             min(yq) AS min_yq, max(yq) AS max_yq,
+             CAST(sum(xq) AS BIGINT) AS sxq, CAST(sum(yq) AS BIGINT) AS syq,
+             CAST(sum((id+1) * (xq % 1000003)) AS BIGINT) AS wxq,
+             CAST(sum((id+1) * (yq % 1000003)) AS BIGINT) AS wyq
+           FROM qv"""
     )
   }
 }

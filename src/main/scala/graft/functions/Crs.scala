@@ -36,6 +36,7 @@ object Crs {
   val AiryModified: Ellipsoid = Ellipsoid(6377340.189, 1.0 / 299.3249646)
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 1.0 / 299.1528128)
   val International1924: Ellipsoid = Ellipsoid(6378388.0, 1.0 / 297.0)
+  val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 1.0 / 294.978698213898)
 
   /** meters per US survey foot (exact: 1200/3937) */
   val FtUs: Double = 1200.0 / 3937.0
@@ -631,6 +632,46 @@ object Crs {
     }
   }
 
+  /** Datum bridge that PREFERS an NTv2 grid (when the session's
+   *  `spark.graft.crs.gridDir` holds a SYSTEM_F=`from` SYSTEM_T=`to`
+   *  file — reference proj/functions.cpp:488-517 applies PROJ's
+   *  embedded grids the same way) and falls back to the parametric
+   *  Helmert otherwise, so accuracy degrades gracefully, never
+   *  availability. Grid lookup is per-call (a cached map read) so a
+   *  conf change is honored even for cached System instances. */
+  private def bridgeToLocal(lon: Double, lat: Double,
+      ell: Ellipsoid, h: Helmert, from: String, to: String): (Double, Double) =
+    Ntv2.gridFor(from, to).flatMap(_.inverse(lon, lat))
+      .getOrElse(helmertShift(lon, lat, WGS84, ell, h, -1))
+
+  private def bridgeToWgs(lon: Double, lat: Double,
+      ell: Ellipsoid, h: Helmert, from: String, to: String): (Double, Double) =
+    Ntv2.gridFor(from, to).flatMap(_.forward(lon, lat))
+      .getOrElse(helmertShift(lon, lat, ell, WGS84, h, +1))
+
+  /** Geographic CRS on a grid-shiftable datum (e.g. EPSG:4267 NAD27). */
+  private final class GridGeographic(
+      ell: Ellipsoid, h: Helmert, from: String, to: String) extends System {
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      bridgeToLocal(lon, lat, ell, h, from, to)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      bridgeToWgs(x, y, ell, h, from, to)
+    override def geographic: Boolean = true
+  }
+
+  /** Projected CRS on a grid-shiftable datum (e.g. NAD27 UTM zones). */
+  private final class GridDatumShifted(
+      inner: System, ell: Ellipsoid, h: Helmert, from: String, to: String) extends System {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (llon, llat) = bridgeToLocal(lon, lat, ell, h, from, to)
+      inner.forward(llon, llat)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (llon, llat) = inner.inverse(x, y)
+      bridgeToWgs(llon, llat, ell, h, from, to)
+    }
+  }
+
   /** One registry row, mirroring the reference's ST_List_Proj_CRS
    *  output columns (proj/functions.cpp:380-430). */
   final case class CrsInfo(
@@ -655,6 +696,8 @@ object Crs {
   val registry: Seq[CrsInfo] = Seq(
     CrsInfo("EPSG", "4326", "WGS 84", "geographic 2D", "World", "", () => Geographic),
     CrsInfo("EPSG", "4269", "NAD83", "geographic 2D", "North America", "", () => Geographic),
+    CrsInfo("EPSG", "4267", "NAD27", "geographic 2D", "North America", "",
+      () => new GridGeographic(Clarke1866, Nad27Helmert, "NAD27", "NAD83")),
     CrsInfo("OGC", "CRS84", "WGS 84 (CRS84)", "geographic 2D", "World", "", () => Geographic),
     CrsInfo("EPSG", "3857", "WGS 84 / Pseudo-Mercator", "projected", "World between 85.06°S and 85.06°N",
       "Popular Visualisation Pseudo Mercator", () => WebMercator),
@@ -931,6 +974,9 @@ object Crs {
   /** Datum-shifted Gauss-Krüger / ED50 UTM helpers for the parametric
    *  ranges in [[resolve]]. */
   private val DhdnHelmert = Helmert(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+  // NAD27 -> NAD83/WGS84: the classic CONUS translation-only parameters
+  // (what PROJ uses absent a grid); NTv2 grids refine this when present
+  private val Nad27Helmert = Helmert(-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
   private val Ed50Helmert = Helmert(-87.0, -96.0, -120.0, 0.0, 0.0, 0.0, 0.0)
 
   /** Japan plane rectangular CS zone origins (JGD2011, EPSG:6669-6687 =
@@ -960,6 +1006,14 @@ object Crs {
     val utmNad = (1 to 23).map { z =>
       ("EPSG", s"${26900 + z}", s"NAD83 / UTM zone ${z}N", "projected", false,
         s"North America - ${z * 6 - 186}°W to ${z * 6 - 180}°W", "Transverse Mercator", "Earth")
+    }
+    val utmNad27 = (1 to 22).map { z =>
+      ("EPSG", s"${26700 + z}", s"NAD27 / UTM zone ${z}N", "projected", false,
+        s"North America - ${z * 6 - 186}°W to ${z * 6 - 180}°W", "Transverse Mercator", "Earth")
+    }
+    val jgd2000 = (1 to 19).map { z =>
+      ("EPSG", s"${2442 + z}", s"JGD2000 / Japan Plane Rectangular CS $z", "projected",
+        false, "Japan", "Transverse Mercator", "Earth")
     }
     val utmEtrs = (28 to 38).map { z =>
       ("EPSG", s"${25800 + z}", s"ETRS89 / UTM zone ${z}N", "projected", false,
@@ -992,7 +1046,8 @@ object Crs {
       ("EPSG", s"${23000 + z}", s"ED50 / UTM zone ${z}N", "projected", false,
         "Europe - Mediterranean", "Transverse Mercator", "Earth")
     }
-    fixed ++ utmWgs ++ utmNad ++ utmEtrs ++ mga94 ++ mga2020 ++ sirgas ++ japan ++ gk ++ ed50
+    fixed ++ utmWgs ++ utmNad ++ utmNad27 ++ utmEtrs ++ mga94 ++ mga2020 ++
+      sirgas ++ japan ++ jgd2000 ++ gk ++ ed50
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -1017,6 +1072,19 @@ object Crs {
         if (code >= 26901 && code <= 26923)
           new TransMerc(GRS80, 0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:267") && c.length == 10 => // EPSG:267xx NAD27 UTM
+        val code = c.substring(5).toInt
+        if (code >= 26701 && code <= 26722)
+          new GridDatumShifted(
+            new TransMerc(Clarke1866, 0, (code - 26700) * 6 - 183, 0.9996, 500000.0, 0.0),
+            Clarke1866, Nad27Helmert, "NAD27", "NAD83")
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:24") && c.length == 9 => // JGD2000 zones I-XIX
+        val code = c.substring(5).toInt
+        if (code >= 2443 && code <= 2461) {
+          val (lat0, lon0) = JapanZones(code - 2443)
+          new TransMerc(GRS80, lat0, lon0, 0.9999, 0.0, 0.0)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:258") && c.length == 10 => // ETRS89 / UTM 28N-38N
         val code = c.substring(5).toInt
         if (code >= 25828 && code <= 25838)
@@ -1120,6 +1188,9 @@ object Crs {
   private val GeogNzgd2000 = geogcsOf("GCS_NZGD_2000", "D_NZGD_2000")
   private val GeogSweref99 = geogcsOf("GCS_SWEREF99", "D_SWEREF99")
   private val GeogJgd2011 = geogcsOf("GCS_JGD_2011", "D_JGD_2011")
+  private val GeogJgd2000 = geogcsOf("GCS_JGD_2000", "D_JGD_2000")
+  private val GeogNad27 = geogcsOf("GCS_North_American_1927", "D_North_American_1927",
+    "Clarke_1866", 6378206.4, 294.978698213898)
   private val GeogSirgas2000 = geogcsOf("GCS_SIRGAS_2000", "D_SIRGAS_2000")
   private val GeogCgcs2000 = geogcsOf("GCS_China_Geodetic_Coordinate_System_2000", "D_China_2000")
   private val GeogKorea2000 = geogcsOf("GCS_Korea_2000", "D_Korea_2000")
@@ -1377,6 +1448,20 @@ object Crs {
         if (code >= 6669 && code <= 6687) {
           val (lat0, lon0) = JapanZones(code - 6669)
           Some(tmWkt(s"JGD_2011_Japan_Zone_${code - 6668}", GeogJgd2011,
+            lat0, lon0, 0.9999, 0.0, 0.0, "Meter", 1.0))
+        } else None
+      case "EPSG:4267" => Some(GeogNad27)
+      case c if c.startsWith("EPSG:267") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 26701 && code <= 26722)
+          Some(tmWkt(s"NAD_1927_UTM_Zone_${code - 26700}N", GeogNad27,
+            0.0, (code - 26700) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:24") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 2443 && code <= 2461) {
+          val (lat0, lon0) = JapanZones(code - 2443)
+          Some(tmWkt(s"JGD_2000_Japan_Zone_${code - 2442}", GeogJgd2000,
             lat0, lon0, 0.9999, 0.0, 0.0, "Meter", 1.0))
         } else None
       case c if c.startsWith("EPSG:314") && c.length == 10 =>

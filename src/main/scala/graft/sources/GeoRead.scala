@@ -710,14 +710,36 @@ object GeoRead {
    * ST_GeneratePoints analog (reference core/functions/table/
    * st_generatepoints.cpp): `count` seeded uniform points in the box,
    * distributed via spark.range (scales to any count).
+   *
+   * The per-id coordinate stream is a fixed integer mixer (two
+   * quadratic rounds mod 2^31-1) rather than an engine-owned PRNG, so
+   * any SQL engine can replay the identical points from (bounds,
+   * count, seed) alone: every intermediate stays in [0, 2^62), which
+   * both Java long and a checked 64-bit SQL BIGINT hold without
+   * overflow, and the final int->double division is IEEE-exact.
    */
+  private val GenP = 2147483647L // 2^31 - 1
+
+  /** u(id, j) in [0,1): j=0 for x, j=1 for y. `seedMix` is the
+   *  pre-folded seed residue (see generatePoints). */
+  private def genUnit(seedMix: Long, j: Int): org.apache.spark.sql.Column = {
+    val s = (col("id") * 2 + lit(j.toLong) + lit(seedMix)) % GenP
+    val h1 = (s * 48271L) % GenP
+    val h2 = (h1 * h1 + 12345L) % GenP
+    val h3 = (h2 * 69621L + 7L) % GenP
+    val h4 = (h3 * h3 + 41L) % GenP
+    val h5 = (h4 * 16807L) % GenP
+    h5.cast(org.apache.spark.sql.types.DoubleType) / GenP.toDouble
+  }
+
   def generatePoints(
       spark: SparkSession, minX: Double, minY: Double, maxX: Double, maxY: Double,
       count: Long, seed: Long = 42L): DataFrame = {
+    val seedMix = ((seed * 1000003L) % GenP + GenP) % GenP
     spark.range(count).select(col("id"),
       graft.GeoFunctions.st_point(
-        lit(minX) + (lit(maxX) - lit(minX)) * rand(seed),
-        lit(minY) + (lit(maxY) - lit(minY)) * rand(seed + 1)).as("point"))
+        lit(minX) + lit(maxX - minX) * genUnit(seedMix, 0),
+        lit(minY) + lit(maxY - minY) * genUnit(seedMix, 1)).as("point"))
   }
 }
 
