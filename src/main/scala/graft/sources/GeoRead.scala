@@ -525,7 +525,7 @@ object GeoRead {
     ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
     ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false),
     ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, false),
-    ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, false))
+    ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, true))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -756,8 +756,7 @@ object GeoWrite {
     else if (lower.endsWith(".fgb")) FlatGeobuf.write(df, geomCol, path)
     else if (lower.endsWith(".gpkg")) GeoPackageWrite.write(df, geomCol, path)
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
-    else if (lower.endsWith(".topojson")) throw new IllegalArgumentException(
-      "TopoJSON write is unsupported (arc topology construction); write .geojson instead")
+    else if (lower.endsWith(".topojson")) TopoJson.write(df, geomCol, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
       GeoJsonWriter.write(df, geomCol, path)
     else if (lower.endsWith(".csv")) GeoRead.writeCsvWkt(df, geomCol, path)

@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
-import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryCollection, LinearRing, LineString, MultiLineString, MultiPoint, MultiPolygon, Point, Polygon}
 
 import graft.functions.Jts
 
@@ -148,5 +148,249 @@ object TopoJson {
       }
     }
     out.iterator
+  }
+
+  // ---- writer ------------------------------------------------------------
+
+  /**
+   * TopoJSON writer (can_create symmetry for the reader above): real
+   * shared-arc topology construction via the published
+   * extract → cut → dedup pipeline:
+   *
+   *  1. quantize all positions onto a `quantum`-cell grid (emitted as
+   *     the `transform`), collapsing consecutive duplicates;
+   *  2. junction detection: a position is a junction when it is a line
+   *     endpoint, or appears with two DIFFERENT (prev, next) neighbor
+   *     pairs (orientation-canonicalized) across all lines/rings — so
+   *     a boundary shared wholesale by two polygons stays ONE arc;
+   *  3. cut lines at junctions; rotate rings to start at a junction
+   *     (junction-free rings stay a single closed arc);
+   *  4. dedup arcs forward AND reversed (a reversed match encodes as
+   *     the one's-complement index, per spec).
+   *
+   * Like the other single-file text containers this funnels through
+   * the driver behind [[DriverSink.guard]]; columns `layer` (object
+   * name), `id`, `props` (map) are honored when present, remaining
+   * non-geometry columns become stringified properties.
+   */
+  def write(df: DataFrame, geomCol: String, path: String, quantum: Long = 1000000L): Unit = {
+    DriverSink.guard(df, "TopoJSON", "GeoJSON NDJSON / GeoParquet (cluster-parallel)")
+    val gi = df.schema.fieldIndex(geomCol)
+    val layerIdx = df.schema.fields.indexWhere(_.name == "layer")
+    val idIdx = df.schema.fields.indexWhere(_.name == "id")
+    val propsIdx = df.schema.fields.indexWhere(f => f.name == "props" &&
+      f.dataType.isInstanceOf[MapType])
+    val attrIdxs = df.schema.fields.indices
+      .filterNot(i => i == gi || i == layerIdx || i == idIdx || i == propsIdx)
+
+    final case class Feat(layer: String, id: String, props: Seq[(String, String)],
+        geom: Geometry)
+    val feats = df.collect().map { r =>
+      val layer = if (layerIdx >= 0 && !r.isNullAt(layerIdx)) r.get(layerIdx).toString
+        else "features"
+      val id = if (idIdx >= 0 && !r.isNullAt(idIdx)) r.get(idIdx).toString else null
+      val base = if (propsIdx >= 0 && !r.isNullAt(propsIdx))
+        r.getMap[Any, Any](propsIdx).toSeq.map { case (k, v) =>
+          k.toString -> (if (v == null) null else v.toString) }
+      else Seq.empty
+      val extra = attrIdxs.flatMap { i =>
+        if (r.isNullAt(i)) None
+        else Some(df.schema.fields(i).name -> r.get(i).toString)
+      }
+      Feat(layer, id, base ++ extra, Jts.read(r.getAs[Array[Byte]](gi)))
+    }
+    require(feats.nonEmpty, s"$path: refusing to write an empty topology")
+
+    // grid transform over the collection bbox
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = -Double.MaxValue; var y1 = -Double.MaxValue
+    feats.foreach(_.geom.getCoordinates.foreach { c =>
+      if (c.x < x0) x0 = c.x; if (c.x > x1) x1 = c.x
+      if (c.y < y0) y0 = c.y; if (c.y > y1) y1 = c.y
+    })
+    val sx = if (x1 > x0) (x1 - x0) / (quantum - 1) else 1.0
+    val sy = if (y1 > y0) (y1 - y0) / (quantum - 1) else 1.0
+    type Pt = (Long, Long)
+    def q(c: Coordinate): Pt =
+      (math.round((c.x - x0) / sx), math.round((c.y - y0) / sy))
+    def collapse(cs: Array[Coordinate]): IndexedSeq[Pt] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      cs.foreach { c => val p = q(c); if (out.isEmpty || out.last != p) out += p }
+      if (out.length == 1) out += out.head // degenerate: keep 2 positions
+      out.toIndexedSeq
+    }
+
+    // pass 1: extract every line (open) and ring (cyclic, no closing dup)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    val rings = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    def extract(g: Geometry): Unit = g match {
+      case p: Polygon =>
+        (Seq(p.getExteriorRing) ++
+          (0 until p.getNumInteriorRing).map(p.getInteriorRingN)).foreach { r =>
+          val cs = collapse(r.getCoordinates)
+          rings += (if (cs.length > 1 && cs.head == cs.last) cs.init else cs)
+        }
+      case l: LineString => lines += collapse(l.getCoordinates)
+      case m: GeometryCollection =>
+        (0 until m.getNumGeometries).foreach(i => extract(m.getGeometryN(i)))
+      case _ => () // points carry no arcs
+    }
+    feats.foreach(f => extract(f.geom))
+
+    // pass 2: junctions (first-seen canonical neighbor pair per point)
+    val seen = new java.util.HashMap[Pt, (Pt, Pt)]()
+    val junctions = new java.util.HashSet[Pt]()
+    def canon(a: Pt, b: Pt): (Pt, Pt) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) (a, b) else (b, a)
+    def visit(p: Pt, prev: Pt, next: Pt): Unit = {
+      if (!junctions.contains(p)) {
+        val nb = canon(prev, next)
+        val old = seen.get(p)
+        if (old == null) seen.put(p, nb)
+        else if (old != nb) junctions.add(p)
+      }
+    }
+    lines.foreach { s =>
+      junctions.add(s.head); junctions.add(s.last)
+      var i = 1
+      while (i < s.length - 1) { visit(s(i), s(i - 1), s(i + 1)); i += 1 }
+    }
+    rings.foreach { s =>
+      val n = s.length
+      if (n >= 2) {
+        var i = 0
+        while (i < n) { visit(s(i), s((i - 1 + n) % n), s((i + 1) % n)); i += 1 }
+      }
+    }
+
+    // pass 3+4: cut at junctions, dedup forward/reversed
+    val arcs = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    val arcIdx = new java.util.HashMap[IndexedSeq[Pt], Int]()
+    def internArc(a: IndexedSeq[Pt]): Int = {
+      if (arcIdx.containsKey(a)) return arcIdx.get(a)
+      val rev = a.reverse
+      if (arcIdx.containsKey(rev)) return ~arcIdx.get(rev)
+      val idx = arcs.length
+      arcs += a; arcIdx.put(a, idx)
+      idx
+    }
+    def cutOpen(s: IndexedSeq[Pt]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var start = 0
+      var i = 1
+      while (i < s.length) {
+        if (i == s.length - 1 || junctions.contains(s(i))) {
+          out += internArc(s.slice(start, i + 1)); start = i
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    def cutRing(s: IndexedSeq[Pt]): Seq[Int] = {
+      val n = s.length
+      val jAt = (0 until n).find(i => junctions.contains(s(i)))
+      jAt match {
+        case None =>
+          // junction-free ring: one closed arc (closing dup restored)
+          Seq(internArc(s :+ s.head))
+        case Some(j) =>
+          val rot = (s.drop(j) ++ s.take(j)) :+ s(j) // rotated + closed
+          cutOpen(rot)
+      }
+    }
+
+    // JSON emission via Jackson (correct escaping)
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("type", "Topology")
+    val tr = root.putObject("transform")
+    val scArr = tr.putArray("scale"); scArr.add(sx); scArr.add(sy)
+    val tlArr = tr.putArray("translate"); tlArr.add(x0); tlArr.add(y0)
+    val objects = root.putObject("objects")
+    val layerNodes = scala.collection.mutable.LinkedHashMap.empty[String, com.fasterxml.jackson.databind.node.ArrayNode]
+    def geomNode(g: Geometry): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val node = mapper.createObjectNode()
+      def ptArr(c: Coordinate) = {
+        val (px, py) = q(c)
+        val a = mapper.createArrayNode(); a.add(px); a.add(py); a
+      }
+      def arcList(ids: Seq[Int]) = {
+        val a = mapper.createArrayNode(); ids.foreach(a.add); a
+      }
+      g match {
+        case p: Point =>
+          node.put("type", "Point"); node.set[JsonNode]("coordinates", ptArr(p.getCoordinate))
+        case mp: MultiPoint =>
+          node.put("type", "MultiPoint")
+          val a = mapper.createArrayNode()
+          (0 until mp.getNumGeometries).foreach(i =>
+            a.add(ptArr(mp.getGeometryN(i).asInstanceOf[Point].getCoordinate)))
+          node.set[JsonNode]("coordinates", a)
+        case l: LineString =>
+          node.put("type", "LineString")
+          node.set[JsonNode]("arcs", arcList(cutOpen(collapse(l.getCoordinates))))
+        case ml: MultiLineString =>
+          node.put("type", "MultiLineString")
+          val a = mapper.createArrayNode()
+          (0 until ml.getNumGeometries).foreach(i => a.add(arcList(cutOpen(
+            collapse(ml.getGeometryN(i).getCoordinates)))))
+          node.set[JsonNode]("arcs", a)
+        case p: Polygon =>
+          node.put("type", "Polygon")
+          node.set[JsonNode]("arcs", polyArcs(p))
+        case mp: MultiPolygon =>
+          node.put("type", "MultiPolygon")
+          val a = mapper.createArrayNode()
+          (0 until mp.getNumGeometries).foreach(i =>
+            a.add(polyArcs(mp.getGeometryN(i).asInstanceOf[Polygon])))
+          node.set[JsonNode]("arcs", a)
+        case other => throw new IllegalArgumentException(
+          s"TopoJSON write: unsupported geometry ${other.getGeometryType}")
+      }
+      node
+    }
+    def polyArcs(p: Polygon): com.fasterxml.jackson.databind.node.ArrayNode = {
+      val a = mapper.createArrayNode()
+      (Seq(p.getExteriorRing) ++
+        (0 until p.getNumInteriorRing).map(p.getInteriorRingN)).foreach { r =>
+        val cs = collapse(r.getCoordinates)
+        val open = if (cs.length > 1 && cs.head == cs.last) cs.init else cs
+        val ids = mapper.createArrayNode()
+        cutRing(open).foreach(ids.add)
+        a.add(ids)
+      }
+      a
+    }
+    feats.foreach { f =>
+      val node = geomNode(f.geom)
+      if (f.id != null) node.put("id", f.id)
+      if (f.props.nonEmpty) {
+        val pn = node.putObject("properties")
+        f.props.foreach { case (k, v) => pn.put(k, v) }
+      }
+      layerNodes.getOrElseUpdate(f.layer, {
+        val coll = objects.putObject(f.layer)
+        coll.put("type", "GeometryCollection")
+        coll.putArray("geometries")
+      }).add(node)
+    }
+    // delta-encoded arcs
+    val arcsOut = root.putArray("arcs")
+    arcs.foreach { a =>
+      val an = mapper.createArrayNode()
+      var px = 0L; var py = 0L
+      a.foreach { case (ax, ay) =>
+        val pn = mapper.createArrayNode()
+        pn.add(ax - px); pn.add(ay - py)
+        px = ax; py = ay
+        an.add(pn)
+      }
+      arcsOut.add(an)
+    }
+    val tmp = java.io.File.createTempFile("topojson", ".part",
+      Option(new java.io.File(path).getParentFile).getOrElse(new java.io.File(".")))
+    mapper.writeValue(tmp, root)
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(path).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
