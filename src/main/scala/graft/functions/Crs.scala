@@ -799,21 +799,24 @@ object Crs {
       () => new TransMerc(GRS80, 53.5, -8.0, 0.99982, 600000.0, 750000.0)),
     CrsInfo("EPSG", "29902", "TM65 / Irish Grid", "projected", "Ireland",
       "Transverse Mercator",
-      () => new DatumShifted(
+      () => new GridDatumShifted(
         new TransMerc(AiryModified, 53.5, -8.0, 1.000035, 200000.0, 250000.0),
-        AiryModified, Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15))),
+        AiryModified, Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+        "TM65", "ETRS89")),
     CrsInfo("EPSG", "29903", "TM75 / Irish Grid", "projected", "Ireland",
       "Transverse Mercator",
-      () => new DatumShifted(
+      () => new GridDatumShifted(
         new TransMerc(AiryModified, 53.5, -8.0, 1.000035, 200000.0, 250000.0),
-        AiryModified, Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15))),
+        AiryModified, Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15),
+        "TM75", "ETRS89")),
     // Great Britain: OSGB36 British National Grid (Airy 1830 + Helmert
     // EPSG:1314 — the grid-free transformation PROJ also defaults to)
     CrsInfo("EPSG", "27700", "OSGB36 / British National Grid", "projected",
       "United Kingdom", "Transverse Mercator",
-      () => new DatumShifted(
+      () => new GridDatumShifted(
         new TransMerc(Airy1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
-        Airy1830, Helmert(446.448, -125.157, 542.060, 0.150, 0.247, 0.842, -20.4894))),
+        Airy1830, Helmert(446.448, -125.157, 542.060, 0.150, 0.247, 0.842, -20.4894),
+        "OSGB36", "ETRS89")),
     // Australia: continental Albers + GDA94 national Lambert
     CrsInfo("EPSG", "3577", "GDA94 / Australian Albers", "projected", "Australia",
       "Albers Equal Area",
@@ -936,7 +939,32 @@ object Crs {
     SpZone("2285", "Washington", "North", "4601", 'L',
       47.0, -120.833333333333, 47.5, 48.7333333333333, 500000.0, 0.0),
     SpZone("2286", "Washington", "South", "4602", 'L',
-      45.3333333333333, -120.5, 45.8333333333333, 47.3333333333333, 500000.0, 0.0))
+      45.3333333333333, -120.5, 45.8333333333333, 47.3333333333333, 500000.0, 0.0),
+    // r11 tranche: remaining high-traffic ftUS zones (published SPCS83
+    // parameters; states on international feet — AZ/MI/MT/OR/ND —
+    // stay out of the ftUS sweep by design)
+    SpZone("2225", "California", "zone 1", "0401", 'L',
+      39.3333333333333, -122.0, 40.0, 41.6666666666667, 2000000.0, 500000.0),
+    SpZone("2246", "Kentucky", "North", "1601", 'L',
+      37.5, -84.25, 37.9666666666667, 38.9666666666667, 500000.0, 0.0),
+    SpZone("2247", "Kentucky", "South", "1602", 'L',
+      36.3333333333333, -85.75, 36.7333333333333, 37.9333333333333, 500000.0, 500000.0),
+    SpZone("2267", "Oklahoma", "North", "3501", 'L',
+      35.0, -98.0, 35.5666666666667, 36.7666666666667, 600000.0, 0.0),
+    SpZone("2268", "Oklahoma", "South", "3502", 'L',
+      33.3333333333333, -98.0, 33.9333333333333, 35.2333333333333, 600000.0, 0.0),
+    SpZone("2274", "Tennessee", "", "4100", 'L',
+      34.3333333333333, -86.0, 35.25, 36.4166666666667, 600000.0, 0.0),
+    SpZone("2275", "Texas", "North", "4201", 'L',
+      34.0, -101.5, 34.65, 36.1833333333333, 200000.0, 1000000.0),
+    SpZone("2279", "Texas", "South", "4205", 'L',
+      25.6666666666667, -98.5, 26.1666666666667, 27.8333333333333, 300000.0, 5000000.0),
+    SpZone("3421", "Nevada", "East", "2701", 'T',
+      34.75, -115.583333333333, 0.9999, 0, 200000.0, 8000000.0),
+    SpZone("3422", "Nevada", "Central", "2702", 'T',
+      34.75, -116.666666666667, 0.9999, 0, 500000.0, 6000000.0),
+    SpZone("3423", "Nevada", "West", "2703", 'T',
+      34.75, -118.583333333333, 0.9999, 0, 800000.0, 4000000.0))
 
   private lazy val statePlaneSweep: Seq[CrsInfo] = spZones.map { z =>
     val zn = if (z.zone.isEmpty) "" else s" ${z.zone}"

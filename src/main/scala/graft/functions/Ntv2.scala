@@ -210,8 +210,22 @@ object Ntv2 {
       try {
         val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.toLowerCase.endsWith(".gsb")).sortBy(_.getName)
-        files.iterator.map(f => parse(f.getPath))
+        val parsed = files.map(f => (f.getName.toUpperCase, parse(f.getPath)))
+        // primary: the file's own SYSTEM_F/SYSTEM_T header fields;
+        // fallback: filename convention (e.g. OSTN15_NTv2_OSGBtoETRS
+        // carries neither datum in its header fields consistently) —
+        // both datum tokens appearing in the name, source first
+        parsed.iterator.map(_._2)
           .find(g => g.systemF.equalsIgnoreCase(from) && g.systemT.equalsIgnoreCase(to))
+          .orElse {
+            val f = from.toUpperCase; val t = to.toUpperCase
+            parsed.iterator.collectFirst {
+              case (name, g) if {
+                val i = name.indexOf(f.take(4)); val j = name.indexOf(t.take(4))
+                i >= 0 && j > i
+              } => g
+            }
+          }
       } catch { case _: Exception => None }
     })
   }
