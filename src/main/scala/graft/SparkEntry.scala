@@ -425,6 +425,26 @@ object SparkEntry {
   // JGD2000 zone IX (Tokyo; r11 parametric-family sweep)
   private val LonLat2451 =
     ("(138.8 + CAST(c_custkey % 25 AS DOUBLE) / 10.0)", "(34.8 + CAST(c_custkey % 25 AS DOUBLE) / 10.0)")
+  // round-11 legacy-European sweep: NTF Lambert II (LCC 1SP, Paris
+  // meridian, Clarke 1880 IGN + 3-param Helmert), Belgian Lambert
+  // 72 (Intl 1924 + 7-param) and 2008 (GRS80, grid-free), Austrian
+  // MGI GK East + Lambert (Bessel + 7-param), Pulkovo 1942 GK zone 7
+  // (Krassowsky + translation), Norway NTM zone 10 — each spread over
+  // its full validity box with coprime multipliers
+  private val LonLat27572 =
+    ("(-1.0 + CAST(c_custkey % 80 AS DOUBLE) / 10.0)", "(45.0 + CAST((c_custkey * 3) % 40 AS DOUBLE) / 10.0)")
+  private val LonLat31370 =
+    ("(2.5 + CAST(c_custkey % 40 AS DOUBLE) / 10.0)", "(49.5 + CAST((c_custkey * 3) % 20 AS DOUBLE) / 10.0)")
+  private val LonLat3812 =
+    ("(2.5 + CAST((c_custkey * 7) % 40 AS DOUBLE) / 10.0)", "(49.5 + CAST(c_custkey % 20 AS DOUBLE) / 10.0)")
+  private val LonLat31287 =
+    ("(9.5 + CAST(c_custkey % 76 AS DOUBLE) / 10.0)", "(46.3 + CAST((c_custkey * 3) % 29 AS DOUBLE) / 10.0)")
+  private val LonLat31256 =
+    ("(14.0 + CAST(c_custkey % 40 AS DOUBLE) / 10.0)", "(46.3 + CAST((c_custkey * 7) % 29 AS DOUBLE) / 10.0)")
+  private val LonLat28407 =
+    ("(36.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)", "(44.0 + CAST((c_custkey * 3) % 260 AS DOUBLE) / 10.0)")
+  private val LonLat5110 =
+    ("(9.6 + CAST(c_custkey % 20 AS DOUBLE) / 10.0)", "(58.0 + CAST((c_custkey * 3) % 70 AS DOUBLE) / 10.0)")
   private val LonLat3577 =
     ("(115.0 + CAST(c_custkey % 350 AS DOUBLE) / 10.0)", "(-40.0 + CAST(c_custkey % 280 AS DOUBLE) / 10.0)")
   private val LonLat3395 =
@@ -821,7 +841,14 @@ object SparkEntry {
            ("EPSG:4087", "x4087", "y4087", LonLat4087),
            ("EPSG:2232", "x2232", "y2232", LonLat2232),
            ("EPSG:26718", "x26718", "y26718", LonLat26718),
-           ("EPSG:2451", "x2451", "y2451", LonLat2451)).map {
+           ("EPSG:2451", "x2451", "y2451", LonLat2451),
+           ("EPSG:27572", "x27572", "y27572", LonLat27572),
+           ("EPSG:31370", "x31370", "y31370", LonLat31370),
+           ("EPSG:3812", "x3812", "y3812", LonLat3812),
+           ("EPSG:31287", "x31287", "y31287", LonLat31287),
+           ("EPSG:31256", "x31256", "y31256", LonLat31256),
+           ("EPSG:28407", "x28407", "y28407", LonLat28407),
+           ("EPSG:5110", "x5110", "y5110", LonLat5110)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -3430,6 +3457,52 @@ object SparkEntry {
          FROM ${name}c)"""
   }
 
+  /** Generic LCC forward CTE pair (`l$tag`, `o$tag`) from precomputed
+   *  cone constants — shared by the 1SP (n = sin φ0, aF ×= k0) and 2SP
+   *  families; operation order mirrors Crs.Lcc1sp/Lcc2sp exactly. */
+  private def lccOracleCtes(tag: String, src: String,
+      ell: graft.functions.Crs.Ellipsoid, n: Double, aF: Double,
+      rho0: Double, lon0Deg: Double, fe: Double, fn: Double): String = {
+    val e = dlit(ell.e)
+    s"""l$tag AS (
+         SELECT c_custkey,
+           pow(tan(pi()/4 - radians(lat)/2)
+             / pow((1 - $e*sin(radians(lat)))/(1 + $e*sin(radians(lat))), ${dlit(ell.e / 2)}), ${dlit(n)}) AS tq,
+           ${dlit(n)}*(radians(lon) - ${dlit(math.toRadians(lon0Deg))}) AS th
+         FROM $src),
+       o$tag AS (
+         SELECT c_custkey, ${dlit(fe)} + ${dlit(aF)}*tq*sin(th) AS x,
+           ${dlit(fn + rho0)} - ${dlit(aF)}*tq*cos(th) AS y
+         FROM l$tag)"""
+  }
+
+  /** (n, a·F, ρ0) for LCC 2SP — same arithmetic as Crs.Lcc2sp. */
+  private def lcc2spConsts(ell: graft.functions.Crs.Ellipsoid,
+      lat0: Double, sp1: Double, sp2: Double): (Double, Double, Double) = {
+    val e = ell.e; val e2 = ell.e2
+    def mOf(lat: Double) = math.cos(lat) / math.sqrt(1 - e2 * math.sin(lat) * math.sin(lat))
+    def tOf(lat: Double) = math.tan(math.Pi / 4 - lat / 2) /
+      math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+    val (p0, p1, p2) = (math.toRadians(lat0), math.toRadians(sp1), math.toRadians(sp2))
+    val n = (math.log(mOf(p1)) - math.log(mOf(p2))) / (math.log(tOf(p1)) - math.log(tOf(p2)))
+    val bigF = mOf(p1) / (n * math.pow(tOf(p1), n))
+    (n, ell.a * bigF, ell.a * bigF * math.pow(tOf(p0), n))
+  }
+
+  /** (n, a·F·k0, ρ0) for LCC 1SP — same arithmetic as Crs.Lcc1sp. */
+  private def lcc1spConsts(ell: graft.functions.Crs.Ellipsoid,
+      lat0: Double, k0: Double): (Double, Double, Double) = {
+    val e = ell.e; val e2 = ell.e2
+    def tOf(lat: Double) = math.tan(math.Pi / 4 - lat / 2) /
+      math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+    val p0 = math.toRadians(lat0)
+    val n = math.sin(p0)
+    val m0 = math.cos(p0) / math.sqrt(1 - e2 * math.sin(p0) * math.sin(p0))
+    val bigF = m0 / (n * math.pow(tOf(p0), n))
+    val aFk = ell.a * bigF * k0
+    (n, aFk, aFk * math.pow(tOf(p0), n))
+  }
+
   private lazy val transformExtendedOracle: String = {
     import graft.functions.Crs
     val grs = Crs.GRS80; val wgs = Crs.WGS84; val airy = Crs.Airy1830
@@ -3735,6 +3808,56 @@ object SparkEntry {
            FROM l2232)"""
     }
 
+    // round-11 legacy-European families --------------------------------
+    // NTF (Paris) / Lambert zone II: 3-param Helmert -> Clarke 1880
+    // IGN -> LCC 1SP with the longitude of origin on the Paris
+    // meridian (params = Crs.europeLegacyExtras 27572)
+    val ntfCtes = {
+      val clarke = Crs.Clarke1880IGN
+      val (n, aFk, rho0) = lcc1spConsts(clarke, 46.8, 0.99987742)
+      s"""${helmertCtes("27572", "s27572", clarke, -168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)},
+         ${lccOracleCtes("27572", "s27572l", clarke, n, aFk, rho0,
+            2.0 + 20.0 / 60 + 14.025 / 3600, 600000.0, 2200000.0)}"""
+    }
+    // BD72 / Belgian Lambert 72: 7-param Helmert -> International
+    // 1924 -> LCC 2SP with the false origin at the 90° pole (t0 = 0)
+    val bl72Ctes = {
+      val intl = Crs.International1924
+      val (n, aF, rho0) = lcc2spConsts(intl, 90.0,
+        51.0 + 10.0 / 60 + 0.00204 / 3600, 49.0 + 50.0 / 60 + 0.00204 / 3600)
+      s"""${helmertCtes("31370", "s31370", intl,
+             -106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)},
+         ${lccOracleCtes("31370", "s31370l", intl, n, aF, rho0,
+            4.0 + 22.0 / 60 + 2.952 / 3600, 150000.013, 5400088.438)}"""
+    }
+    // ETRS89 / Belgian Lambert 2008: grid-free LCC 2SP on GRS80
+    val bl08Ctes = {
+      val (n, aF, rho0) = lcc2spConsts(grs, 50.0 + 47.0 / 60 + 52.134 / 3600,
+        49.0 + 50.0 / 60, 51.0 + 10.0 / 60)
+      lccOracleCtes("3812", "s3812", grs, n, aF, rho0,
+        4.0 + 21.0 / 60 + 33.177 / 3600, 649328.0, 665262.0)
+    }
+    // MGI / Austria Lambert + GK East: 7-param Helmert -> Bessel 1841
+    val mgiCtes = {
+      val bessel = Crs.Bessel1841
+      val (n, aF, rho0) = lcc2spConsts(bessel, 47.5, 49.0, 46.0)
+      s"""${helmertCtes("31287", "s31287", bessel,
+             577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)},
+         ${lccOracleCtes("31287", "s31287l", bessel, n, aF, rho0,
+            13.0 + 20.0 / 60, 400000.0, 400000.0)},
+         ${helmertCtes("31256", "s31256", bessel,
+             577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)},
+         ${tmOracleCtes("t31256", "s31256l", bessel, 0.0, 16.0 + 20.0 / 60, 1.0, 0.0, -5000000.0)}"""
+    }
+    // Pulkovo 1942 / GK zone 7: translation Helmert -> Krassowsky -> TM
+    val pulkovoCtes = {
+      val krass = Crs.Krassowsky1940
+      s"""${helmertCtes("28407", "s28407", krass, 28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)},
+         ${tmOracleCtes("t28407", "s28407l", krass, 0.0, 39.0, 1.0, 7500000.0, 0.0)}"""
+    }
+    // ETRS89 / NTM zone 10: plain TM on GRS80 (k0 = 1, CM 10°30')
+    val ntmCtes = tmOracleCtes("t5110", "s5110", grs, 58.0, 10.5, 1.0, 100000.0, 1000000.0)
+
     def srcCte(name: String, ll: (String, String)) =
       s"s$name AS (SELECT c_custkey, ${ll._1} AS lon, ${ll._2} AS lat FROM pts)"
 
@@ -3757,6 +3880,13 @@ object SparkEntry {
        ${srcCte("2232", LonLat2232)},
        ${srcCte("26718", LonLat26718)},
        ${srcCte("2451", LonLat2451)},
+       ${srcCte("27572", LonLat27572)},
+       ${srcCte("31370", LonLat31370)},
+       ${srcCte("3812", LonLat3812)},
+       ${srcCte("31287", LonLat31287)},
+       ${srcCte("31256", LonLat31256)},
+       ${srcCte("28407", LonLat28407)},
+       ${srcCte("5110", LonLat5110)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -3774,7 +3904,13 @@ object SparkEntry {
        $eqcCtes,
        $coCtes,
        $nad27Ctes,
-       $jgd2000Ctes
+       $jgd2000Ctes,
+       $ntfCtes,
+       $bl72Ctes,
+       $bl08Ctes,
+       $mgiCtes,
+       $pulkovoCtes,
+       $ntmCtes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -3793,7 +3929,14 @@ object SparkEntry {
          round(o4087.x, 4) AS x4087, round(o4087.y, 4) AS y4087,
          round(o2232.x, 4) AS x2232, round(o2232.y, 4) AS y2232,
          round(t26718o.x, 4) AS x26718, round(t26718o.y, 4) AS y26718,
-         round(t2451o.x, 4) AS x2451, round(t2451o.y, 4) AS y2451
+         round(t2451o.x, 4) AS x2451, round(t2451o.y, 4) AS y2451,
+         round(o27572.x, 4) AS x27572, round(o27572.y, 4) AS y27572,
+         round(o31370.x, 4) AS x31370, round(o31370.y, 4) AS y31370,
+         round(o3812.x, 4) AS x3812, round(o3812.y, 4) AS y3812,
+         round(o31287.x, 4) AS x31287, round(o31287.y, 4) AS y31287,
+         round(t31256o.x, 4) AS x31256, round(t31256o.y, 4) AS y31256,
+         round(t28407o.x, 4) AS x28407, round(t28407o.y, 4) AS y28407,
+         round(t5110o.x, 4) AS x5110, round(t5110o.y, 4) AS y5110
        FROM pts p
        JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
        JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
@@ -3805,6 +3948,10 @@ object SparkEntry {
        JOIN o32661 USING (c_custkey) JOIN o4087 USING (c_custkey)
        JOIN o2232 USING (c_custkey) JOIN t26718o USING (c_custkey)
        JOIN t2451o USING (c_custkey)
+       JOIN o27572 USING (c_custkey) JOIN o31370 USING (c_custkey)
+       JOIN o3812 USING (c_custkey) JOIN o31287 USING (c_custkey)
+       JOIN t31256o USING (c_custkey) JOIN t28407o USING (c_custkey)
+       JOIN t5110o USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 

@@ -37,6 +37,9 @@ object Crs {
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 1.0 / 299.1528128)
   val International1924: Ellipsoid = Ellipsoid(6378388.0, 1.0 / 297.0)
   val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 1.0 / 294.978698213898)
+  // EPSG ellipsoid 7011 (a/b defined): 1/f = a/(a-b) = 6378249.2/21734.2
+  val Clarke1880IGN: Ellipsoid = Ellipsoid(6378249.2, 21734.2 / 6378249.2)
+  val Krassowsky1940: Ellipsoid = Ellipsoid(6378245.0, 1.0 / 298.3)
 
   /** meters per US survey foot (exact: 1200/3937) */
   val FtUs: Double = 1200.0 / 3937.0
@@ -202,6 +205,52 @@ object Crs {
       val theta = math.atan2(sgn * dx, sgn * dy)
       val t = math.pow(rho / (ell.a * bigF), 1 / nCone)
       // iterate lat = pi/2 - 2*atan(t * ((1-e sin lat)/(1+e sin lat))^(e/2))
+      var lat = math.Pi / 2 - 2 * math.atan(t)
+      var k = 0
+      var prev = 0.0
+      do {
+        prev = lat
+        lat = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2))
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(lat))
+    }
+  }
+
+  /** Lambert Conic Conformal 1SP (EPSG 9801; Snyder PP 1395 with the
+   *  single standard parallel at the latitude of origin and a scale
+   *  factor): n = sin(φ0), ρ = a·F·k0·t^n. The legacy French Lambert
+   *  zones (NTF / Lambert I-IV) are the canonical users. */
+  private final class Lcc1sp(
+      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
+      k0: Double, falseE: Double, falseN: Double) extends System {
+    private val e = ell.e
+    private val lon0 = math.toRadians(lon0Deg)
+    private def tOf(lat: Double): Double =
+      math.tan(math.Pi / 4 - lat / 2) /
+        math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
+    private val p0 = math.toRadians(lat0Deg)
+    private val nCone = math.sin(p0)
+    private val m0 = math.cos(p0) / math.sqrt(1 - ell.e2 * math.sin(p0) * math.sin(p0))
+    private val bigF = m0 / (nCone * math.pow(tOf(p0), nCone))
+    private val aFk = ell.a * bigF * k0
+    private val rho0 = aFk * math.pow(tOf(p0), nCone)
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(latD)
+      val theta = nCone * (math.toRadians(lonD) - lon0)
+      val rho = aFk * math.pow(tOf(lat), nCone)
+      (falseE + rho * math.sin(theta), falseN + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val dx = xIn - falseE
+      val dy = rho0 - (yIn - falseN)
+      val sgn = if (nCone >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val t = math.pow(rho / aFk, 1 / nCone)
       var lat = math.Pi / 2 - 2 * math.atan(t)
       var k = 0
       var prev = 0.0
@@ -865,7 +914,7 @@ object Crs {
         new SwissOblique(Bessel1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
           7.0 + 26.0 / 60 + 22.5 / 3600, 600000.0, 200000.0),
         Bessel1841, Helmert(674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)))) ++
-    statePlaneSweep ++ worldCrsExtras
+    statePlaneSweep ++ worldCrsExtras ++ europeLegacyExtras
 
   // ---- round-10 catalog sweep ---------------------------------------------
 
@@ -1006,6 +1055,92 @@ object Crs {
   // (what PROJ uses absent a grid); NTv2 grids refine this when present
   private val Nad27Helmert = Helmert(-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
   private val Ed50Helmert = Helmert(-87.0, -96.0, -120.0, 0.0, 0.0, 0.0, 0.0)
+  // NTF -> WGS84/RGF93 (EPSG 1193, the grid-free default; ntf_r93.gsb
+  // upgrades it when a grid dir is configured)
+  private val NtfHelmert = Helmert(-168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)
+  // BD72 -> WGS84 (EPSG 15929 re-expressed position-vector — the
+  // +towgs84 string PROJ publishes for Belgian Lambert 72)
+  private val Bd72Helmert =
+    Helmert(-106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747)
+  // MGI -> WGS84 (EPSG 1618 position vector; AT_GIS_GRID refines it)
+  private val MgiHelmert =
+    Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+  // Pulkovo 1942 -> WGS84 (EPSG 1254, the USSR translation-only set)
+  private val PulkovoHelmert = Helmert(28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
+
+  // Paris meridian: 2°20'14.025" E of Greenwich (EPSG 8903)
+  private val ParisLon = 2.0 + 20.0 / 60 + 14.025 / 3600
+
+  /** Round-11 catalog sweep: the legacy European national systems a
+   *  migrating user hits first — French NTF Lambert zones (LCC 1SP on
+   *  Clarke 1880 IGN, longitudes of origin on the Paris meridian),
+   *  Belgian Lambert 72/2008, Austrian MGI Gauss-Krüger + Lambert. */
+  private lazy val europeLegacyExtras: Seq[CrsInfo] = {
+    def ntfLambert(code: String, name: String, lat0: Double, k0: Double,
+        fe: Double, fn: Double): CrsInfo =
+      CrsInfo("EPSG", code, name, "projected", "France",
+        "Lambert Conic Conformal (1SP)",
+        () => new GridDatumShifted(
+          new Lcc1sp(Clarke1880IGN, lat0, ParisLon, k0, fe, fn),
+          Clarke1880IGN, NtfHelmert, "NTF", "RGF93"))
+    def mgiGk(code: String, name: String, lon0: Double, fe: Double): CrsInfo =
+      CrsInfo("EPSG", code, name, "projected", "Austria", "Transverse Mercator",
+        () => new GridDatumShifted(
+          new TransMerc(Bessel1841, 0.0, lon0, 1.0, fe, -5000000.0),
+          Bessel1841, MgiHelmert, "MGI", "ETRS89"))
+    Seq(
+      CrsInfo("EPSG", "4275", "NTF", "geographic 2D", "France", "",
+        () => new GridGeographic(Clarke1880IGN, NtfHelmert, "NTF", "RGF93")),
+      CrsInfo("EPSG", "4313", "BD72", "geographic 2D", "Belgium", "",
+        () => new GridGeographic(International1924, Bd72Helmert, "BD72", "ETRS89")),
+      CrsInfo("EPSG", "4312", "MGI", "geographic 2D", "Austria", "",
+        () => new GridGeographic(Bessel1841, MgiHelmert, "MGI", "ETRS89")),
+      CrsInfo("EPSG", "4284", "Pulkovo 1942", "geographic 2D",
+        "Russia / CIS", "",
+        () => new GridGeographic(Krassowsky1940, PulkovoHelmert, "PULKOVO1942", "WGS84")),
+      // published IGN zone constants: lat0 in grads on the definition
+      // sheet (49.5/46.8/44.1/42.165 degrees), k0 per zone
+      ntfLambert("27561", "NTF (Paris) / Lambert Nord France", 49.5,
+        0.999877341, 600000.0, 200000.0),
+      ntfLambert("27562", "NTF (Paris) / Lambert Centre France", 46.8,
+        0.99987742, 600000.0, 200000.0),
+      ntfLambert("27563", "NTF (Paris) / Lambert Sud France", 44.1,
+        0.999877499, 600000.0, 200000.0),
+      ntfLambert("27564", "NTF (Paris) / Lambert Corse", 42.165,
+        0.99994471, 234.358, 185861.369),
+      ntfLambert("27571", "NTF (Paris) / Lambert zone I", 49.5,
+        0.999877341, 600000.0, 1200000.0),
+      ntfLambert("27572", "NTF (Paris) / Lambert zone II", 46.8,
+        0.99987742, 600000.0, 2200000.0),
+      ntfLambert("27573", "NTF (Paris) / Lambert zone III", 44.1,
+        0.999877499, 600000.0, 3200000.0),
+      ntfLambert("27574", "NTF (Paris) / Lambert zone IV", 42.165,
+        0.99994471, 234.358, 4185861.369),
+      CrsInfo("EPSG", "31370", "BD72 / Belgian Lambert 72", "projected",
+        "Belgium", "Lambert Conic Conformal (2SP)",
+        () => new DatumShifted(
+          new Lcc2sp(International1924, 90.0, 4.0 + 22.0 / 60 + 2.952 / 3600,
+            51.0 + 10.0 / 60 + 0.00204 / 3600, 49.0 + 50.0 / 60 + 0.00204 / 3600,
+            150000.013, 5400088.438),
+          International1924, Bd72Helmert)),
+      CrsInfo("EPSG", "3812", "ETRS89 / Belgian Lambert 2008", "projected",
+        "Belgium", "Lambert Conic Conformal (2SP)",
+        () => new Lcc2sp(GRS80, 50.0 + 47.0 / 60 + 52.134 / 3600,
+          4.0 + 21.0 / 60 + 33.177 / 3600, 49.0 + 50.0 / 60, 51.0 + 10.0 / 60,
+          649328.0, 665262.0)),
+      mgiGk("31254", "MGI / Austria GK West", 10.0 + 20.0 / 60, 0.0),
+      mgiGk("31255", "MGI / Austria GK Central", 13.0 + 20.0 / 60, 0.0),
+      mgiGk("31256", "MGI / Austria GK East", 16.0 + 20.0 / 60, 0.0),
+      mgiGk("31257", "MGI / Austria GK M28", 10.0 + 20.0 / 60, 150000.0),
+      mgiGk("31258", "MGI / Austria GK M31", 13.0 + 20.0 / 60, 450000.0),
+      mgiGk("31259", "MGI / Austria GK M34", 16.0 + 20.0 / 60, 750000.0),
+      CrsInfo("EPSG", "31287", "MGI / Austria Lambert", "projected",
+        "Austria", "Lambert Conic Conformal (2SP)",
+        () => new DatumShifted(
+          new Lcc2sp(Bessel1841, 47.5, 13.0 + 20.0 / 60, 49.0, 46.0,
+            400000.0, 400000.0),
+          Bessel1841, MgiHelmert)))
+  }
 
   /** Japan plane rectangular CS zone origins (JGD2011, EPSG:6669-6687 =
    *  zones I-XIX; published zone table, k0 = 0.9999, no false origin). */
@@ -1074,8 +1209,16 @@ object Crs {
       ("EPSG", s"${23000 + z}", s"ED50 / UTM zone ${z}N", "projected", false,
         "Europe - Mediterranean", "Transverse Mercator", "Earth")
     }
+    val pulkovo = (2 to 32).map { z =>
+      ("EPSG", s"${28400 + z}", s"Pulkovo 1942 / Gauss-Kruger zone $z", "projected",
+        false, "Russia / CIS", "Transverse Mercator", "Earth")
+    }
+    val ntm = (5 to 30).map { z =>
+      ("EPSG", s"${5100 + z}", s"ETRS89 / NTM zone $z", "projected", false,
+        "Norway", "Transverse Mercator", "Earth")
+    }
     fixed ++ utmWgs ++ utmNad ++ utmNad27 ++ utmEtrs ++ mga94 ++ mga2020 ++
-      sirgas ++ japan ++ jgd2000 ++ gk ++ ed50
+      sirgas ++ japan ++ jgd2000 ++ gk ++ ed50 ++ pulkovo ++ ntm
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -1149,6 +1292,20 @@ object Crs {
             new TransMerc(Bessel1841, 0, zone * 3, 1.0, zone * 1000000.0 + 500000.0, 0.0),
             Bessel1841, DhdnHelmert)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:284") && c.length == 10 => // Pulkovo 1942 / GK 2-32
+        val code = c.substring(5).toInt
+        if (code >= 28402 && code <= 28432) {
+          val zone = code - 28400
+          new GridDatumShifted(
+            new TransMerc(Krassowsky1940, 0, zone * 6 - 3, 1.0,
+              zone * 1000000.0 + 500000.0, 0.0),
+            Krassowsky1940, PulkovoHelmert, "PULKOVO1942", "WGS84")
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:51") && c.length == 9 => // ETRS89 / NTM 5-30
+        val code = c.substring(5).toInt
+        if (code >= 5105 && code <= 5130)
+          new TransMerc(GRS80, 58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0)
+        else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:230") && c.length == 10 => // ED50 / UTM 28N-38N
         val code = c.substring(5).toInt
         if (code >= 23028 && code <= 23038)

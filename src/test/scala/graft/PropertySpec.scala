@@ -378,6 +378,64 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(px - 652469.0) < 2.0 && math.abs(py - 6862035.3) < 2.0, s"paris ($px,$py)")
   }
 
+  test("round-11 legacy-European CRS: origins, landmarks, roundtrips") {
+    import graft.functions.Crs
+    // grid-free natural origins map exactly onto the false origin
+    val paris = 2.0 + 20.0 / 60 + 14.025 / 3600
+    val o3812 = Crs.resolve("EPSG:3812").forward(4.0 + 21.0 / 60 + 33.177 / 3600,
+      50.0 + 47.0 / 60 + 52.134 / 3600)
+    assert(math.abs(o3812._1 - 649328.0) < 1e-6 && math.abs(o3812._2 - 665262.0) < 1e-6,
+      s"3812 origin: $o3812")
+    val o5110 = Crs.resolve("EPSG:5110").forward(10.5, 58.0)
+    assert(math.abs(o5110._1 - 100000.0) < 1e-6 && math.abs(o5110._2 - 1000000.0) < 1e-6,
+      s"5110 origin: $o5110")
+    // Lambert II étendu's inner projection origin: the datum shift is
+    // bypassed by feeding the projection the NTF geodetic origin via a
+    // roundtrip anchor — forward(inverse(FE, FN)) == (FE, FN)
+    val ntf = Crs.resolve("EPSG:27572")
+    val (plon, plat) = ntf.inverse(600000.0, 2200000.0)
+    val back = ntf.forward(plon, plat)
+    assert(math.abs(back._1 - 600000.0) < 0.01 && math.abs(back._2 - 2200000.0) < 0.01)
+    assert(math.abs(plat - 46.8) < 0.01 && math.abs(plon - paris) < 0.01,
+      s"27572 anchor not near the published zone-II origin: ($plon,$plat)")
+    // city-landmark parity (public map coordinates, coarse ±1 km: a
+    // wrong datum, meridian, zone constant, or false origin throws the
+    // result off by 10^2-10^5 m; fine agreement is certified by the
+    // SQL-replicated q_geo_transform_extended oracle row)
+    val landmarks = Seq(
+      ("EPSG:27572", 2.3522, 48.8566, 601150.0, 2428700.0), // Paris
+      ("EPSG:31370", 4.3517, 50.8466, 148800.0, 170690.0),  // Brussels
+      ("EPSG:31256", 16.3731, 48.2083, 3045.0, 341100.0),   // Vienna
+      ("EPSG:31287", 14.0, 47.5, 450270.0, 400270.0),       // Austria center
+      ("EPSG:28407", 37.6173, 55.7558, 7413310.0, 6182350.0), // Moscow
+      ("EPSG:5110", 10.75, 59.91, 113990.0, 1212790.0))     // Oslo
+    landmarks.foreach { case (crs, lon, lat, ex, ey) =>
+      val (x, y) = Crs.resolve(crs).forward(lon, lat)
+      assert(math.abs(x - ex) < 1000 && math.abs(y - ey) < 1000,
+        s"$crs landmark: ($x,$y) expected ~($ex,$ey)")
+    }
+    // every new code roundtrips inside its zone of use
+    val zones = Seq(
+      ("EPSG:27561", 2.0, 49.8), ("EPSG:27562", 2.5, 46.8), ("EPSG:27563", 3.0, 44.0),
+      ("EPSG:27564", 9.0, 42.1), ("EPSG:27571", 2.0, 49.8), ("EPSG:27572", 2.5, 46.8),
+      ("EPSG:27573", 3.0, 44.0), ("EPSG:27574", 9.0, 42.1),
+      ("EPSG:4275", 2.0, 47.0), ("EPSG:4313", 4.5, 50.5), ("EPSG:4312", 14.0, 47.5),
+      ("EPSG:4284", 40.0, 55.0),
+      ("EPSG:31370", 4.5, 50.5), ("EPSG:3812", 4.5, 50.5),
+      ("EPSG:31254", 10.3, 47.2), ("EPSG:31255", 13.3, 47.5), ("EPSG:31256", 16.3, 48.0),
+      ("EPSG:31257", 10.3, 47.2), ("EPSG:31258", 13.3, 47.5), ("EPSG:31259", 16.3, 48.0),
+      ("EPSG:31287", 13.5, 47.5),
+      ("EPSG:28402", 10.0, 50.0), ("EPSG:28407", 39.5, 56.0), ("EPSG:28430", 176.5, 65.0),
+      ("EPSG:5105", 5.6, 59.0), ("EPSG:5110", 10.4, 61.0), ("EPSG:5130", 30.4, 70.0))
+    zones.foreach { case (crs, lon, lat) =>
+      val sys = Crs.resolve(crs)
+      val (x, y) = sys.forward(lon, lat)
+      val (lonB, latB) = sys.inverse(x, y)
+      assert(math.abs(lonB - lon) < 1e-7 && math.abs(latB - lat) < 1e-7,
+        s"$crs roundtrip: ($lon,$lat) -> ($x,$y) -> ($lonB,$latB)")
+    }
+  }
+
   test("round-4 CRS catalog roundtrips inside each zone of use") {
     import graft.functions.Crs
     val zones = Seq(
