@@ -445,6 +445,21 @@ object SparkEntry {
     ("(36.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)", "(44.0 + CAST((c_custkey * 3) % 260 AS DOUBLE) / 10.0)")
   private val LonLat5110 =
     ("(9.6 + CAST(c_custkey % 20 AS DOUBLE) / 10.0)", "(58.0 + CAST((c_custkey * 3) % 70 AS DOUBLE) / 10.0)")
+
+  /** The hand-written WKT1 the projstring gate feeds ST_Transform:
+   *  grads + Paris prime meridian + TOWGS84 — the hardest text-input
+   *  path (angular-unit conversion, PM offset, datum shift). Declared
+   *  BEFORE the queries map that interpolates it (object-init order). */
+  private val FrenchLambertWkt: String =
+    """PROJCS["NTF_Paris_Lambert_zone_II",GEOGCS["GCS_NTF_Paris",""" +
+    """DATUM["D_NTF",SPHEROID["Clarke_1880_IGN",6378249.2,293.466021293627],""" +
+    """TOWGS84[-168,-60,320,0,0,0,0]],PRIMEM["Paris",2.5969213],""" +
+    """UNIT["Grad",0.015707963267948967]],""" +
+    """PROJECTION["Lambert_Conformal_Conic"],""" +
+    """PARAMETER["False_Easting",600000],PARAMETER["False_Northing",2200000],""" +
+    """PARAMETER["Central_Meridian",0],PARAMETER["Standard_Parallel_1",52],""" +
+    """PARAMETER["Scale_Factor",0.99987742],PARAMETER["Latitude_Of_Origin",52],""" +
+    """UNIT["Meter",1]]"""
   private val LonLat3577 =
     ("(115.0 + CAST(c_custkey % 350 AS DOUBLE) / 10.0)", "(-40.0 + CAST(c_custkey % 280 AS DOUBLE) / 10.0)")
   private val LonLat3395 =
@@ -853,6 +868,29 @@ object SparkEntry {
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
            }.mkString(",\n         ")}
+         FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
+
+    // text-form CRS inputs (reference: ST_Transform accepts any PROJ-
+    // supported format): a proj4 string (+ellps/+zone), a hand-written
+    // French WKT1 (grads + Paris prime meridian + TOWGS84 + 1SP LCC),
+    // and a +units=us-ft proj string — oracled by the SAME closed
+    // forms that certify their EPSG twins
+    "q_geo_projstring" -> q(Seq("customer"),
+      s"""SELECT c_custkey,
+         round(ST_X(ST_Transform(ST_Point(${LonLat25832._1}, ${LonLat25832._2}),
+           'EPSG:4326', '+proj=utm +zone=32 +ellps=GRS80', true)), 4) AS ux,
+         round(ST_Y(ST_Transform(ST_Point(${LonLat25832._1}, ${LonLat25832._2}),
+           'EPSG:4326', '+proj=utm +zone=32 +ellps=GRS80', true)), 4) AS uy,
+         round(ST_X(ST_Transform(ST_Point(${LonLat27572._1}, ${LonLat27572._2}),
+           'EPSG:4326', '$FrenchLambertWkt', true)), 4) AS fx,
+         round(ST_Y(ST_Transform(ST_Point(${LonLat27572._1}, ${LonLat27572._2}),
+           'EPSG:4326', '$FrenchLambertWkt', true)), 4) AS fy,
+         round(ST_X(ST_Transform(ST_Point(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0,
+           40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0),
+           'EPSG:4326', '+proj=lcc +lat_0=40.1666666666667 +lon_0=-74 +lat_1=40.6666666666667 +lat_2=41.0333333333333 +x_0=300000 +y_0=0 +ellps=GRS80 +units=us-ft', true)), 4) AS nx,
+         round(ST_Y(ST_Transform(ST_Point(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0,
+           40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0),
+           'EPSG:4326', '+proj=lcc +lat_0=40.1666666666667 +lon_0=-74 +lat_1=40.6666666666667 +lat_2=41.0333333333333 +x_0=300000 +y_0=0 +ellps=GRS80 +units=us-ft', true)), 4) AS ny
          FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
 
     // radius-bounded KNN join (grid dwithin blocking + bounded top-k
@@ -3503,6 +3541,111 @@ object SparkEntry {
     (n, aFk, aFk * math.pow(tOf(p0), n))
   }
 
+  /** Reversed 7-parameter Helmert (WGS84 -> local datum) + Bowring,
+   *  emitting `s${tag}l(c_custkey, lon, lat)` in local geodetic
+   *  degrees — the SQL twin of graft.functions.Crs.helmertShift. */
+  private def helmertCtes(tag: String, src: String,
+      ell: graft.functions.Crs.Ellipsoid,
+      txF: Double, tyF: Double, tzF: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double): String = {
+    val wgs = graft.functions.Crs.WGS84
+    val h = -1 // reversed direction
+    val as = math.Pi / (180.0 * 3600.0)
+    val (tx, ty, tz) = (h * txF, h * tyF, h * tzF)
+    val (rx, ry, rz) = (h * rxSec * as, h * rySec * as, h * rzSec * as)
+    val m = 1 + h * dsPpm * 1e-6
+    val bL = ell.a * (1 - ell.f)
+    val ep2bL = ell.e2 / (1 - ell.e2) * bL
+    val e2aL = ell.e2 * ell.a
+    s"""d${tag}a AS (
+         SELECT c_custkey,
+           (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*cos(radians(lon)) AS gx,
+           (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*sin(radians(lon)) AS gy,
+           (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*(1 - ${dlit(wgs.e2)})*sin(radians(lat)) AS gz
+         FROM $src),
+       d${tag}b AS (
+         SELECT c_custkey,
+           ${dlit(m)}*(gx - ${dlit(rz)}*gy + ${dlit(ry)}*gz) + ${dlit(tx)} AS x1,
+           ${dlit(m)}*(${dlit(rz)}*gx + gy - ${dlit(rx)}*gz) + ${dlit(ty)} AS y1,
+           ${dlit(m)}*(-${dlit(ry)}*gx + ${dlit(rx)}*gy + gz) + ${dlit(tz)} AS z1
+         FROM d${tag}a),
+       d${tag}c AS (
+         SELECT c_custkey, x1, y1, z1, sqrt(x1*x1 + y1*y1) AS p,
+           atan2(z1*${dlit(ell.a)}, sqrt(x1*x1 + y1*y1)*${dlit(bL)}) AS th
+         FROM d${tag}b),
+       s${tag}l AS (
+         SELECT c_custkey, degrees(atan2(y1, x1)) AS lon,
+           degrees(atan2(z1 + ${dlit(ep2bL)}*pow(sin(th), 3),
+                         p - ${dlit(e2aL)}*pow(cos(th), 3))) AS lat
+         FROM d${tag}c)"""
+  }
+
+  /** q_geo_projstring oracle: the same closed forms as the EPSG twins,
+   *  with the grad/PM arithmetic replicated bit-for-bit (2.5969213
+   *  grads ≠ the 2°20'14.025" degree literal by ~0.4 mm — enough to
+   *  flip a 1e-4 rounding). */
+  private lazy val projStringOracle: String = {
+    import graft.functions.Crs
+    val grs = Crs.GRS80
+    val clarke = Crs.Clarke1880IGN
+    // exactly the parser's unit arithmetic: degPerUnit = u*180/π
+    val degPerGrad = 0.015707963267948967 * 180.0 / math.Pi
+    val parisDeg = 2.5969213 * degPerGrad
+    val lat0fr = 52 * degPerGrad
+    val (n1, aFk1, rho01) = lcc1spConsts(clarke, lat0fr, 0.99987742)
+    // ny columns: byte-for-byte the q_geo_stateplane oracle formula
+    // (green over this exact domain), with its SQL-computed cone
+    // constants — the proj-string engine path constructs the identical
+    // Lcc2sp the EPSG:2263 twin uses, so both sides reduce to the
+    // proven pair
+    s"""WITH pts AS (SELECT c_custkey FROM customer WHERE c_custkey <= 250),
+       su AS (SELECT c_custkey, ${LonLat25832._1} AS lon, ${LonLat25832._2} AS lat FROM pts),
+       ${tmOracleCtes("tu", "su", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
+       sfr AS (SELECT c_custkey, ${LonLat27572._1} AS lon, ${LonLat27572._2} AS lat FROM pts),
+       ${helmertCtes("fr", "sfr", clarke, -168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)},
+       ${lccOracleCtes("fr", "sfrl", clarke, n1, aFk1, rho01, parisDeg, 600000.0, 2200000.0)},
+       e AS (
+         SELECT 6378137.0 AS a,
+                (1.0/298.257222101) * (2.0 - 1.0/298.257222101) AS e2,
+                sqrt((1.0/298.257222101) * (2.0 - 1.0/298.257222101)) AS e,
+                radians(40.6666666666667) AS p1,
+                radians(41.0333333333333) AS p2,
+                radians(40.1666666666667) AS p0,
+                radians(-74.0) AS l0
+       ), k AS (
+         SELECT a, e2, e, l0,
+           (ln(cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1))) - ln(cos(p2)/sqrt(1 - e2*sin(p2)*sin(p2))))
+             / (ln(tan(pi()/4 - p1/2)/pow((1 - e*sin(p1))/(1 + e*sin(p1)), e/2))
+              - ln(tan(pi()/4 - p2/2)/pow((1 - e*sin(p2))/(1 + e*sin(p2)), e/2))) AS n,
+           tan(pi()/4 - p0/2)/pow((1 - e*sin(p0))/(1 + e*sin(p0)), e/2) AS t0,
+           tan(pi()/4 - p1/2)/pow((1 - e*sin(p1))/(1 + e*sin(p1)), e/2) AS t1,
+           cos(p1)/sqrt(1 - e2*sin(p1)*sin(p1)) AS m1
+         FROM e
+       ), kk AS (
+         SELECT a, e, l0, n, t0, m1/(n*pow(t1, n)) AS f FROM k
+       ), sny AS (
+         SELECT c_custkey,
+                radians(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0) AS lon,
+                radians(40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0) AS lat
+         FROM pts
+       ), ony AS (
+         SELECT c_custkey,
+           round((300000.0 + a*f*pow(tan(pi()/4 - lat/2)/pow((1 - e*sin(lat))/(1 + e*sin(lat)), e/2), n)
+             * sin(n*(lon - l0))) / (1200.0/3937.0), 4) AS nx,
+           round((a*f*pow(t0, n) - a*f*pow(tan(pi()/4 - lat/2)/pow((1 - e*sin(lat))/(1 + e*sin(lat)), e/2), n)
+             * cos(n*(lon - l0))) / (1200.0/3937.0), 4) AS ny
+         FROM sny, kk
+       )
+       SELECT p.c_custkey,
+         round(tuo.x, 4) AS ux, round(tuo.y, 4) AS uy,
+         round(ofr.x, 4) AS fx, round(ofr.y, 4) AS fy,
+         ony.nx AS nx, ony.ny AS ny
+       FROM pts p
+       JOIN tuo USING (c_custkey) JOIN ofr USING (c_custkey)
+       JOIN ony USING (c_custkey)
+       ORDER BY p.c_custkey"""
+  }
+
   private lazy val transformExtendedOracle: String = {
     import graft.functions.Crs
     val grs = Crs.GRS80; val wgs = Crs.WGS84; val airy = Crs.Airy1830
@@ -3584,42 +3727,6 @@ object SparkEntry {
              $k*$tn*sin(radians(lon)) AS x,
              $k*$tn*cos(radians(lon)) AS y
            FROM s3031)"""
-    }
-
-    // reversed 7-parameter Helmert (WGS84 -> local datum) + Bowring,
-    // emitting `s${tag}l(c_custkey, lon, lat)` in local geodetic degrees
-    def helmertCtes(tag: String, src: String, ell: Crs.Ellipsoid,
-        txF: Double, tyF: Double, tzF: Double,
-        rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double): String = {
-      val h = -1 // reversed direction
-      val as = math.Pi / (180.0 * 3600.0)
-      val (tx, ty, tz) = (h * txF, h * tyF, h * tzF)
-      val (rx, ry, rz) = (h * rxSec * as, h * rySec * as, h * rzSec * as)
-      val m = 1 + h * dsPpm * 1e-6
-      val bL = ell.a * (1 - ell.f)
-      val ep2bL = ell.e2 / (1 - ell.e2) * bL
-      val e2aL = ell.e2 * ell.a
-      s"""d${tag}a AS (
-           SELECT c_custkey,
-             (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*cos(radians(lon)) AS gx,
-             (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*cos(radians(lat))*sin(radians(lon)) AS gy,
-             (${dlit(wgs.a)}/sqrt(1 - ${dlit(wgs.e2)}*sin(radians(lat))*sin(radians(lat))))*(1 - ${dlit(wgs.e2)})*sin(radians(lat)) AS gz
-           FROM $src),
-         d${tag}b AS (
-           SELECT c_custkey,
-             ${dlit(m)}*(gx - ${dlit(rz)}*gy + ${dlit(ry)}*gz) + ${dlit(tx)} AS x1,
-             ${dlit(m)}*(${dlit(rz)}*gx + gy - ${dlit(rx)}*gz) + ${dlit(ty)} AS y1,
-             ${dlit(m)}*(-${dlit(ry)}*gx + ${dlit(rx)}*gy + gz) + ${dlit(tz)} AS z1
-           FROM d${tag}a),
-         d${tag}c AS (
-           SELECT c_custkey, x1, y1, z1, sqrt(x1*x1 + y1*y1) AS p,
-             atan2(z1*${dlit(ell.a)}, sqrt(x1*x1 + y1*y1)*${dlit(bL)}) AS th
-           FROM d${tag}b),
-         s${tag}l AS (
-           SELECT c_custkey, degrees(atan2(y1, x1)) AS lon,
-             degrees(atan2(z1 + ${dlit(ep2bL)}*pow(sin(th), 3),
-                           p - ${dlit(e2aL)}*pow(cos(th), 3))) AS lat
-           FROM d${tag}c)"""
     }
 
     // British National Grid: Helmert -> Airy 1830 -> TM
@@ -6286,6 +6393,8 @@ object SparkEntry {
            FROM feat ORDER BY seq""",
 
       "q_geo_transform_extended" -> transformExtendedOracle,
+
+      "q_geo_projstring" -> projStringOracle,
 
       "q_geo_knn" ->
         """WITH l AS (

@@ -1223,7 +1223,296 @@ object Crs {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
 
+  // ---- PROJ-string / WKT1 CRS input ---------------------------------------
+  // The reference's ST_Transform accepts "any format the PROJ library
+  // supports" (docs/functions.md:1947); the two text forms users
+  // actually paste are proj4 `+proj=...` strings and the WKT1 a .prj
+  // sidecar / st_read_meta.crs.wkt carries. Both resolve onto the same
+  // System classes as the EPSG catalog. Per PROJ semantics, CRSs built
+  // from these forms use GIS (easting/northing | lon/lat) axis order
+  // regardless of always_xy, so geographic results never swap.
+
+  /** Identity wrapper that clears the `geographic` axis-swap flag —
+   *  proj-string/WKT1 geographic CRSs are always lon/lat ordered. */
+  private final class XyOrder(inner: System) extends System {
+    def forward(lon: Double, lat: Double): (Double, Double) = inner.forward(lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = inner.inverse(x, y)
+  }
+
+  private def ellpsByName(name: String): Option[Ellipsoid] =
+    name.toLowerCase match {
+      case "wgs84" => Some(WGS84)
+      case "grs80" => Some(GRS80)
+      case "airy" => Some(Airy1830)
+      case "mod_airy" => Some(AiryModified)
+      case "bessel" => Some(Bessel1841)
+      case "intl" => Some(International1924)
+      case "clrk66" => Some(Clarke1866)
+      case "clrk80ign" => Some(Clarke1880IGN)
+      case "krass" => Some(Krassowsky1940)
+      case "sphere" => Some(Ellipsoid(6370997.0, 0.0))
+      case _ => None
+    }
+
+  /** PROJ's +datum= shorthands: ellipsoid + grid-free datum shift. */
+  private def datumByName(name: String): Option[(Ellipsoid, Option[Helmert])] =
+    name.toLowerCase match {
+      case "wgs84" => Some((WGS84, None))
+      case "nad83" => Some((GRS80, None))
+      case "nad27" => Some((Clarke1866, Some(Nad27Helmert)))
+      case "osgb36" => Some((Airy1830,
+        Some(Helmert(446.448, -125.157, 542.060, 0.150, 0.247, 0.842, -20.4894))))
+      case "potsdam" => Some((Bessel1841, Some(DhdnHelmert)))
+      case "ire65" => Some((AiryModified,
+        Some(Helmert(482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15))))
+      case "ntf" => Some((Clarke1880IGN, Some(NtfHelmert)))
+      case _ => None
+    }
+
+  private[functions] def parseProjString(str: String): System = {
+    val kv = scala.collection.mutable.LinkedHashMap[String, String]()
+    str.trim.split("\\s+").foreach { tok =>
+      if (tok.startsWith("+")) {
+        val body = tok.substring(1)
+        val i = body.indexOf('=')
+        if (i < 0) kv(body.toLowerCase) = ""
+        else kv(body.substring(0, i).toLowerCase) = body.substring(i + 1)
+      }
+    }
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported PROJ string: $msg in '$str'")
+    def num(k: String, dflt: Double): Double =
+      kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val proj = kv.getOrElse("proj", fail("missing +proj"))
+
+    // datum: +datum wins, else +ellps/+a/+b/+rf, +towgs84 adds a shift
+    val datum = kv.get("datum").map(d => datumByName(d).getOrElse(fail(s"+datum=$d")))
+    val ell: Ellipsoid = datum.map(_._1)
+      .orElse(kv.get("ellps").map(e => ellpsByName(e).getOrElse(fail(s"+ellps=$e"))))
+      .getOrElse {
+        (kv.get("a"), kv.get("b"), kv.get("rf")) match {
+          case (Some(a), Some(b), _) =>
+            val av = a.toDouble; Ellipsoid(av, (av - b.toDouble) / av)
+          case (Some(a), None, Some(rf)) =>
+            val r = rf.toDouble; Ellipsoid(a.toDouble, if (r == 0) 0.0 else 1.0 / r)
+          case (Some(a), None, None) => Ellipsoid(a.toDouble, 0.0)
+          case _ => WGS84
+        }
+      }
+    val shift: Option[Helmert] = kv.get("towgs84").map { s =>
+      val p = s.split(",").map(_.trim.toDouble)
+      if (p.length == 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
+      else if (p.length == 7) Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+      else fail("+towgs84 needs 3 or 7 parameters")
+    }.filter(h => h != Helmert(0, 0, 0, 0, 0, 0, 0)).orElse(datum.flatMap(_._2))
+
+    // prime meridian: lon_0 is relative to +pm
+    val pm = kv.get("pm").map {
+      case p if p.equalsIgnoreCase("paris") => ParisLon
+      case p if p.equalsIgnoreCase("greenwich") => 0.0
+      case p => p.toDouble
+    }.getOrElse(0.0)
+    val lon0 = pm + num("lon_0", 0.0)
+    val lat0 = num("lat_0", 0.0)
+    val k0 = kv.get("k_0").orElse(kv.get("k")).map(_.toDouble).getOrElse(1.0)
+    val x0 = num("x_0", 0.0); val y0 = num("y_0", 0.0)
+
+    val inner: System = proj.toLowerCase match {
+      case "longlat" | "latlong" | "lonlat" => Geographic
+      case "webmerc" => WebMercator
+      case "merc" =>
+        val kts = kv.get("lat_ts").map { ts =>
+          val t = math.toRadians(ts.toDouble)
+          math.cos(t) / math.sqrt(1 - ell.e2 * math.sin(t) * math.sin(t))
+        }.getOrElse(k0)
+        new Mercator1sp(ell, lon0, kts, x0, y0)
+      case "tmerc" | "etmerc" => new TransMerc(ell, lat0, lon0, k0, x0, y0)
+      case "utm" =>
+        val z = kv.getOrElse("zone", fail("+proj=utm needs +zone")).toInt
+        if (z < 1 || z > 60) fail(s"+zone=$z")
+        new TransMerc(ell, 0.0, z * 6 - 183 + pm, 0.9996,
+          500000.0, if (kv.contains("south")) 10000000.0 else 0.0)
+      case "lcc" =>
+        if (kv.contains("lat_2"))
+          new Lcc2sp(ell, lat0, lon0, num("lat_1", lat0), num("lat_2", lat0), x0, y0)
+        else new Lcc1sp(ell, num("lat_1", lat0), lon0, k0, x0, y0)
+      case "aea" =>
+        new Albers2sp(ell, lat0, lon0, num("lat_1", 0.0), num("lat_2", 0.0), x0, y0)
+      case "laea" => new Laea(ell, lat0, lon0, x0, y0)
+      case "stere" =>
+        if (math.abs(math.abs(lat0) - 90.0) > 1e-9)
+          fail("+proj=stere is supported at the poles only (use sterea obliquely)")
+        kv.get("lat_ts") match {
+          case Some(ts) => new PolarStereo(ell,
+            if (lat0 < 0) -math.abs(ts.toDouble) else math.abs(ts.toDouble),
+            lon0, x0, y0)
+          case None => new PolarStereoA(ell, k0, lon0, x0, y0, south = lat0 < 0)
+        }
+      case "sterea" => new ObliqueStereo(ell, lat0, lon0, k0, x0, y0)
+      case "somerc" => new SwissOblique(ell, lat0, lon0, x0, y0)
+      case "eqc" =>
+        if (num("lat_ts", 0.0) != 0.0) fail("+proj=eqc with a non-zero +lat_ts")
+        new EquidistCyl(ell, lon0, x0, y0)
+      case other => fail(s"+proj=$other")
+    }
+    val shifted = shift match {
+      case Some(h) if inner eq Geographic => new DatumShifted(Geographic, ell, h)
+      case Some(h) => new DatumShifted(inner, ell, h)
+      case None => inner
+    }
+    val unitScaled = kv.get("units") match {
+      case _ if inner eq Geographic => shifted
+      case Some("m") | None =>
+        kv.get("to_meter").map(m => new Scaled(shifted, m.toDouble)).getOrElse(shifted)
+      case Some("us-ft") => new Scaled(shifted, FtUs)
+      case Some("ft") => new Scaled(shifted, 0.3048)
+      case Some(u) => fail(s"+units=$u")
+    }
+    // proj-string CRSs are always xy/lon-lat ordered
+    if (unitScaled.geographic) new XyOrder(unitScaled) else unitScaled
+  }
+
+  /** Minimal WKT1 tree: `NAME["str", 1.5, CHILD[...]]`. */
+  private final case class WktNode(name: String, values: Seq[Any]) {
+    def str(i: Int): String = values(i).asInstanceOf[String]
+    def dbl(i: Int): Double = values(i).asInstanceOf[Double]
+    def children(n: String): Seq[WktNode] =
+      values.collect { case w: WktNode if w.name.equalsIgnoreCase(n) => w }
+    def child(n: String): Option[WktNode] = children(n).headOption
+  }
+
+  private def parseWktTree(s: String): WktNode = {
+    var p = 0
+    def skipWs(): Unit = while (p < s.length && s(p).isWhitespace) p += 1
+    def parseNode(): WktNode = {
+      skipWs()
+      val start = p
+      while (p < s.length && s(p) != '[' && s(p) != '(') p += 1
+      val name = s.substring(start, p).trim
+      require(p < s.length, s"WKT: missing '[' after '$name'")
+      val close = if (s(p) == '[') ']' else ')'
+      p += 1
+      val vals = scala.collection.mutable.ArrayBuffer[Any]()
+      var done = false
+      while (!done) {
+        skipWs()
+        require(p < s.length, s"WKT: unterminated $name")
+        s(p) match {
+          case '"' =>
+            p += 1; val st = p
+            while (p < s.length && s(p) != '"') p += 1
+            require(p < s.length, "WKT: unterminated string")
+            vals += s.substring(st, p); p += 1
+          case c if c == close => done = true; p += 1
+          case ',' => p += 1
+          case c if c.isLetter =>
+            vals += parseNode()
+          case _ =>
+            val st = p
+            while (p < s.length && s(p) != ',' && s(p) != close) p += 1
+            vals += s.substring(st, p).trim.toDouble
+        }
+      }
+      WktNode(name.toUpperCase, vals.toSeq)
+    }
+    parseNode()
+  }
+
+  private[functions] def parseWkt1(str: String): System = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported WKT CRS: $msg")
+    val root = parseWktTree(str)
+    // (ellipsoid, optional shift, prime meridian °, degrees-per-angular-unit)
+    def geogOf(g: WktNode): (Ellipsoid, Option[Helmert], Double, Double) = {
+      val datum = g.child("DATUM").getOrElse(fail("GEOGCS without DATUM"))
+      val sph = datum.child("SPHEROID").orElse(datum.child("ELLIPSOID"))
+        .getOrElse(fail("DATUM without SPHEROID"))
+      val a = sph.dbl(1); val rf = sph.dbl(2)
+      val ell = Ellipsoid(a, if (rf == 0) 0.0 else 1.0 / rf)
+      val shift = datum.child("TOWGS84").map { t =>
+        val p = t.values.collect { case d: Double => d }
+        if (p.length >= 7) Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+        else if (p.length >= 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
+        else fail("TOWGS84 needs 3 or 7 values")
+      }.filter(_ != Helmert(0, 0, 0, 0, 0, 0, 0))
+      // angular UNIT: radians per unit (degree ≈ 0.01745…, grad for NTF)
+      val degPerUnit = g.child("UNIT").map(_.dbl(1) * 180.0 / math.Pi).getOrElse(1.0)
+      val pm = g.child("PRIMEM").map(_.dbl(1) * degPerUnit).getOrElse(0.0)
+      (ell, shift, pm, degPerUnit)
+    }
+    if (root.name == "GEOGCS") {
+      val (ell, shift, _, _) = geogOf(root)
+      val sys = shift.map(h => new DatumShifted(Geographic, ell, h): System)
+        .getOrElse(Geographic)
+      return if (sys.geographic) new XyOrder(sys) else sys
+    }
+    if (root.name != "PROJCS") fail(s"top-level ${root.name} (PROJCS/GEOGCS only)")
+    val geog = root.child("GEOGCS").getOrElse(fail("PROJCS without GEOGCS"))
+    val (ell, shift, pm, degPerUnit) = geogOf(geog)
+    val projName = root.child("PROJECTION").map(_.str(0).toLowerCase)
+      .getOrElse(fail("PROJCS without PROJECTION"))
+    val params: Map[String, Double] = root.children("PARAMETER")
+      .map(pn => pn.str(0).toLowerCase -> pn.dbl(1)).toMap
+    def ang(d: Double, names: String*): Double =
+      names.flatMap(params.get).headOption.map(_ * degPerUnit).getOrElse(d)
+    def lin(d: Double, names: String*): Double =
+      names.flatMap(params.get).headOption.getOrElse(d)
+    // linear UNIT (meters per unit); false origins are stated in it
+    val unit = root.children("UNIT").lastOption.map(_.dbl(1)).getOrElse(1.0)
+    val lon0 = pm + ang(0, "central_meridian", "longitude_of_origin", "longitude_of_center")
+    val lat0 = ang(0, "latitude_of_origin", "latitude_of_center")
+    val sp1 = params.keySet.find(_ == "standard_parallel_1").map(_ => ang(0, "standard_parallel_1"))
+    val sp2 = params.keySet.find(_ == "standard_parallel_2").map(_ => ang(0, "standard_parallel_2"))
+    val k0 = lin(1.0, "scale_factor")
+    val x0 = lin(0, "false_easting") * unit
+    val y0 = lin(0, "false_northing") * unit
+    val inner: System = projName match {
+      case "transverse_mercator" | "gauss_kruger" =>
+        new TransMerc(ell, lat0, lon0, k0, x0, y0)
+      case "lambert_conformal_conic_2sp" =>
+        new Lcc2sp(ell, lat0, lon0, sp1.getOrElse(lat0), sp2.getOrElse(lat0), x0, y0)
+      case "lambert_conformal_conic" | "lambert_conformal_conic_1sp" =>
+        if (sp2.isDefined)
+          new Lcc2sp(ell, lat0, lon0, sp1.getOrElse(lat0), sp2.get, x0, y0)
+        else new Lcc1sp(ell, sp1.getOrElse(lat0), lon0, k0, x0, y0)
+      case "albers" | "albers_conic_equal_area" =>
+        new Albers2sp(ell, lat0, lon0, sp1.getOrElse(0), sp2.getOrElse(0), x0, y0)
+      case "lambert_azimuthal_equal_area" => new Laea(ell, lat0, lon0, x0, y0)
+      case "mercator_1sp" => new Mercator1sp(ell, lon0, k0, x0, y0)
+      case "mercator" | "mercator_2sp" =>
+        val kts = sp1.map { ts =>
+          val t = math.toRadians(ts)
+          math.cos(t) / math.sqrt(1 - ell.e2 * math.sin(t) * math.sin(t))
+        }.getOrElse(k0)
+        new Mercator1sp(ell, lon0, kts, x0, y0)
+      case "mercator_auxiliary_sphere" =>
+        if (x0 != 0 || y0 != 0) fail("Mercator_Auxiliary_Sphere with false origins")
+        WebMercator
+      case "polar_stereographic_variant_a" =>
+        new PolarStereoA(ell, k0, lon0, x0, y0, south = lat0 < 0)
+      case "polar_stereographic" | "polar_stereographic_variant_b" =>
+        if (params.contains("scale_factor") && k0 != 1.0)
+          new PolarStereoA(ell, k0, lon0, x0, y0, south = lat0 < 0)
+        else new PolarStereo(ell, sp1.getOrElse(lat0), lon0, x0, y0)
+      case "oblique_stereographic" | "double_stereographic" =>
+        new ObliqueStereo(ell, lat0, lon0, k0, x0, y0)
+      case "hotine_oblique_mercator_azimuth_center" | "swiss_oblique_cylindrical" =>
+        new SwissOblique(ell, lat0, lon0, x0, y0)
+      case "equidistant_cylindrical" | "equirectangular" | "plate_carree" =>
+        new EquidistCyl(ell, lon0, x0, y0)
+      case other => fail(s"PROJECTION '$other'")
+    }
+    val shifted = shift.map(h => new DatumShifted(inner, ell, h): System).getOrElse(inner)
+    if (unit != 1.0) new Scaled(shifted, unit) else shifted
+  }
+
   def resolve(crsIn: String): System = {
+    val trimmed = crsIn.trim
+    if (trimmed.startsWith("+"))
+      return cache.computeIfAbsent(trimmed, parseProjString(_))
+    val upHead = trimmed.take(6).toUpperCase
+    if (upHead.startsWith("PROJCS") || upHead.startsWith("GEOGCS"))
+      return cache.computeIfAbsent(trimmed, parseWkt1(_))
     val crs = crsIn.trim.toUpperCase
     val cached = cache.get(crs)
     if (cached != null) return cached

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Crs
+
+/**
+ * PROJ-string and WKT1 CRS input (reference ST_Transform accepts "any
+ * format the PROJ library supports", docs/functions.md:1947): each
+ * text form must resolve to the SAME transform as its EPSG-code twin.
+ */
+class CrsTextSpec extends AnyFunSuite {
+
+  private def parity(text: String, epsg: String,
+      pts: Seq[(Double, Double)], tolM: Double = 1e-6): Unit = {
+    val a = Crs.resolve(text); val b = Crs.resolve(epsg)
+    pts.foreach { case (lon, lat) =>
+      val (ax, ay) = a.forward(lon, lat)
+      val (bx, by) = b.forward(lon, lat)
+      assert(math.abs(ax - bx) < tolM && math.abs(ay - by) < tolM,
+        s"$epsg vs text at ($lon,$lat): ($ax,$ay) != ($bx,$by)")
+      val (alon, alat) = a.inverse(ax, ay)
+      assert(math.abs(alon - lon) < 1e-6 && math.abs(alat - lat) < 1e-6,
+        s"text roundtrip at ($lon,$lat): ($alon,$alat)")
+    }
+  }
+
+  test("proj strings match their EPSG twins") {
+    parity("+proj=utm +zone=32 +ellps=GRS80 +units=m +no_defs", "EPSG:25832",
+      Seq((9.0, 50.0), (6.5, 58.0), (11.9, 44.0)))
+    parity("+proj=utm +zone=55 +south +ellps=GRS80", "EPSG:28355",
+      Seq((147.0, -42.0), (145.2, -37.8)))
+    parity("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=44 +lat_2=49 +x_0=700000 +y_0=6600000 +ellps=GRS80",
+      "EPSG:2154", Seq((2.35, 48.85), (5.4, 43.3), (-1.55, 47.2)))
+    parity("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+      "EPSG:3035", Seq((10.0, 52.0), (2.35, 48.85), (24.9, 60.2)))
+    parity("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +ellps=GRS80",
+      "EPSG:5070", Seq((-96.0, 40.0), (-120.0, 47.0), (-75.0, 41.0)))
+    parity("+proj=webmerc +datum=WGS84", "EPSG:3857",
+      Seq((0.0, 0.0), (139.7, 35.7), (-74.0, 40.7)))
+    parity("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+      "+y_0=-100000 +ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.4894",
+      "EPSG:27700", Seq((-1.5, 52.5), (-3.2, 55.95), (0.1, 51.5)))
+    // NTF Lambert II étendu: Paris prime meridian + Clarke 1880 IGN +
+    // 3-param shift, 1SP via +lat_1 (no +lat_2)
+    parity("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 " +
+      "+x_0=600000 +y_0=2200000 +ellps=clrk80ign +pm=paris +towgs84=-168,-60,320",
+      "EPSG:27572", Seq((2.35, 48.85), (5.0, 44.0), (-1.0, 47.0)))
+    // ftUS state plane (NY Long Island LCC)
+    parity("+proj=lcc +lat_0=40.1666666666667 +lon_0=-74 +lat_1=40.6666666666667 " +
+      "+lat_2=41.0333333333333 +x_0=300000.0000000001 +y_0=0 +ellps=GRS80 +units=us-ft",
+      "EPSG:2263", Seq((-74.0, 40.7), (-73.5, 40.9)), tolM = 1e-5)
+    // polar stereographic: variant B (+lat_ts) and variant A (+k)
+    parity("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +datum=WGS84",
+      "EPSG:3031", Seq((120.0, -75.0), (-45.0, -80.0)))
+    parity("+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 +datum=WGS84",
+      "EPSG:32661", Seq((10.0, 78.0), (-120.0, 65.0)))
+    // oblique stereographic (RD New) and Swiss oblique Mercator
+    parity("+proj=sterea +lat_0=52.1561605555556 +lon_0=5.38763888888889 " +
+      "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel " +
+      "+towgs84=565.4171,50.3319,465.5524,-0.398957,0.343988,-1.8774,4.0725",
+      "EPSG:28992", Seq((5.4, 52.15), (4.9, 52.37)))
+    parity("+proj=somerc +lat_0=46.9524055555556 +lon_0=7.43958333333333 " +
+      "+x_0=2600000 +y_0=1200000 +ellps=bessel +towgs84=674.374,15.056,405.346",
+      "EPSG:2056", Seq((7.44, 46.95), (8.54, 47.38)))
+    // Pulkovo GK zone 7 via +ellps=krass + translation
+    parity("+proj=tmerc +lat_0=0 +lon_0=39 +k=1 +x_0=7500000 +y_0=0 " +
+      "+ellps=krass +towgs84=28,-130,-95", "EPSG:28407",
+      Seq((37.6, 55.75), (40.5, 52.0)))
+    parity("+proj=eqc +lon_0=0 +datum=WGS84", "EPSG:4087",
+      Seq((10.0, 45.0), (-120.0, -33.0)))
+  }
+
+  test("proj-string geographic CRSs are xy-ordered and datum-shift") {
+    val ll = Crs.resolve("+proj=longlat +datum=WGS84")
+    assert(!ll.geographic) // no axis swap, per PROJ proj-string semantics
+    assert(ll.forward(12.5, 41.9) == ((12.5, 41.9)))
+    val ntf = Crs.resolve("+proj=longlat +ellps=clrk80ign +towgs84=-168,-60,320")
+    val (nlon, nlat) = ntf.forward(2.3522, 48.8566)
+    // the NTF frame sits ~100 m from WGS84 over France
+    val dM = math.hypot((nlon - 2.3522) * 73000, (nlat - 48.8566) * 111000)
+    assert(dM > 20 && dM < 300, s"NTF shift magnitude $dM m")
+    val (blon, blat) = ntf.inverse(nlon, nlat)
+    // Helmert+Bowring inversion is closed-form-approximate: ~5e-9°
+    assert(math.abs(blon - 2.3522) < 1e-7 && math.abs(blat - 48.8566) < 1e-7)
+  }
+
+  test("generated ESRI WKT parses back to the same transform") {
+    // WGS84-frame codes: WKT1 carries no TOWGS84, so parse-back parity
+    // is exact for these (datum-shifted codes lose the shift by WKT1
+    // design — PROJ behaves the same on a TOWGS84-less WKT)
+    val codes = Seq("EPSG:2263", "EPSG:2260", "EPSG:2232", "EPSG:32118",
+      "EPSG:3978", "EPSG:3338", "EPSG:32661", "EPSG:4087", "EPSG:3435",
+      "EPSG:2272", "EPSG:2285", "EPSG:2246", "EPSG:3421")
+    val probe = Map(
+      "EPSG:2263" -> (-74.0, 40.7), "EPSG:2260" -> (-74.3, 42.0),
+      "EPSG:2232" -> (-105.5, 39.0), "EPSG:32118" -> (-74.0, 40.7),
+      "EPSG:3978" -> (-95.0, 55.0), "EPSG:3338" -> (-154.0, 62.0),
+      "EPSG:32661" -> (10.0, 78.0), "EPSG:4087" -> (30.0, -20.0),
+      "EPSG:3435" -> (-88.0, 40.0), "EPSG:2272" -> (-77.8, 40.5),
+      "EPSG:2285" -> (-120.8, 47.7), "EPSG:2246" -> (-84.3, 38.2),
+      "EPSG:3421" -> (-115.5, 36.2))
+    codes.foreach { code =>
+      val wkt = Crs.esriWkt(code).getOrElse(fail(s"no WKT for $code"))
+      val (lon, lat) = probe(code)
+      val (ax, ay) = Crs.resolve(wkt).forward(lon, lat)
+      val (bx, by) = Crs.resolve(code).forward(lon, lat)
+      assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6,
+        s"$code WKT parse-back: ($ax,$ay) != ($bx,$by)")
+    }
+  }
+
+  test("hand-written French WKT: grads, Paris prime meridian, TOWGS84") {
+    val wkt = """PROJCS["NTF_Paris_Lambert_zone_II",""" +
+      """GEOGCS["GCS_NTF_Paris",DATUM["D_NTF",""" +
+      """SPHEROID["Clarke_1880_IGN",6378249.2,293.466021293627],""" +
+      """TOWGS84[-168,-60,320,0,0,0,0]],PRIMEM["Paris",2.5969213],""" +
+      """UNIT["Grad",0.0157079632679489]],""" +
+      """PROJECTION["Lambert_Conformal_Conic"],""" +
+      """PARAMETER["False_Easting",600000],PARAMETER["False_Northing",2200000],""" +
+      """PARAMETER["Central_Meridian",0],PARAMETER["Standard_Parallel_1",52],""" +
+      """PARAMETER["Scale_Factor",0.99987742],PARAMETER["Latitude_Of_Origin",52],""" +
+      """UNIT["Meter",1]]"""
+    val a = Crs.resolve(wkt); val b = Crs.resolve("EPSG:27572")
+    Seq((2.3522, 48.8566), (5.0, 44.2), (-1.2, 47.3)).foreach { case (lon, lat) =>
+      val (ax, ay) = a.forward(lon, lat)
+      val (bx, by) = b.forward(lon, lat)
+      // grad-resolution constants (2.5969213 grads) vs the degree
+      // literal: sub-millimeter agreement expected
+      assert(math.abs(ax - bx) < 1e-3 && math.abs(ay - by) < 1e-3,
+        s"french wkt at ($lon,$lat): ($ax,$ay) != ($bx,$by)")
+    }
+  }
+
+  test("unsupported text forms raise with a clear pointer") {
+    val bad = Seq("+proj=omerc +lat_0=4 +lonc=115", "+nonsense",
+      "PROJCS[\"x\",GEOGCS[\"g\",DATUM[\"d\",SPHEROID[\"s\",6378137,298.25]],PRIMEM[\"Greenwich\",0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Robinson\"],UNIT[\"Meter\",1]]")
+    bad.foreach { t =>
+      val e = intercept[IllegalArgumentException](Crs.resolve(t))
+      assert(e.getMessage.contains("unsupported") || e.getMessage.contains("missing"),
+        s"$t: ${e.getMessage}")
+    }
+  }
+}
