@@ -1435,8 +1435,13 @@ object Crs {
         else if (p.length >= 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
         else fail("TOWGS84 needs 3 or 7 values")
       }.filter(_ != Helmert(0, 0, 0, 0, 0, 0, 0))
-      // angular UNIT: radians per unit (degree ≈ 0.01745…, grad for NTF)
-      val degPerUnit = g.child("UNIT").map(_.dbl(1) * 180.0 / math.Pi).getOrElse(1.0)
+      // angular UNIT: radians per unit (degree ≈ 0.01745…, grad for
+      // NTF); a degree unit must convert by EXACTLY 1 — the rounded
+      // 0.0174532925199433 literal times 180/π lands 1 ulp above 1.0,
+      // which pushes a 90° latitude of origin past the pole (NaN in
+      // the pole-origin Belgian Lambert)
+      val degPerUnit = g.child("UNIT").map(_.dbl(1) * 180.0 / math.Pi)
+        .map(u => if (math.abs(u - 1.0) < 1e-9) 1.0 else u).getOrElse(1.0)
       val pm = g.child("PRIMEM").map(_.dbl(1) * degPerUnit).getOrElse(0.0)
       (ell, shift, pm, degPerUnit)
     }
@@ -1683,6 +1688,18 @@ object Crs {
     "Bessel_1841", 6377397.155, 299.1528128)
   private val GeogCh1903 = geogcsOf("GCS_CH1903", "D_CH1903",
     "Bessel_1841", 6377397.155, 299.1528128)
+  private val GeogNtf = geogcsOf("GCS_NTF", "D_NTF",
+    "Clarke_1880_IGN", 6378249.2, 293.466021293627)
+  /** NTF with the Paris prime meridian (ESRI states PRIMEM in degrees
+   *  even for grad-based systems). */
+  private val GeogNtfParis =
+    s"""GEOGCS["GCS_NTF_Paris",DATUM["D_NTF",SPHEROID["Clarke_1880_IGN",6378249.2,293.466021293627]],PRIMEM["Paris",$ParisLon],UNIT["Degree",0.0174532925199433]]"""
+  private val GeogBelge72 = geogcsOf("GCS_Belge_1972", "D_Belge_1972",
+    "International_1924", 6378388.0, 297.0)
+  private val GeogMgi = geogcsOf("GCS_MGI", "D_MGI",
+    "Bessel_1841", 6377397.155, 299.1528128)
+  private val GeogPulkovo42 = geogcsOf("GCS_Pulkovo_1942", "D_Pulkovo_1942",
+    "Krasovsky_1940", 6378245.0, 298.3)
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -1966,6 +1983,67 @@ object Crs {
           "Scale_Factor" -> 1.0, "Azimuth" -> 90.0,
           "Longitude_Of_Center" -> 7.43958333333333,
           "Latitude_Of_Center" -> 46.9524055555556), "Meter", 1.0))
+      // r11 legacy-European families (ESRI dialect like the rest of
+      // this catalog: no TOWGS84 — WKT1 carries the projection, the
+      // datum bridge lives in the transform registry)
+      case "EPSG:4275" => Some(GeogNtf)
+      case "EPSG:4313" => Some(GeogBelge72)
+      case "EPSG:4312" => Some(GeogMgi)
+      case "EPSG:4284" => Some(GeogPulkovo42)
+      case "EPSG:31370" => Some(lccWkt("Belge_1972_Belgian_Lambert_72", GeogBelge72,
+        90.0, 4.0 + 22.0 / 60 + 2.952 / 3600,
+        51.0 + 10.0 / 60 + 0.00204 / 3600, 49.0 + 50.0 / 60 + 0.00204 / 3600,
+        150000.013, 5400088.438, "Meter", 1.0))
+      case "EPSG:3812" => Some(lccWkt("ETRS_1989_Belgian_Lambert_2008", GeogEtrs89,
+        50.0 + 47.0 / 60 + 52.134 / 3600, 4.0 + 21.0 / 60 + 33.177 / 3600,
+        49.0 + 50.0 / 60, 51.0 + 10.0 / 60, 649328.0, 665262.0, "Meter", 1.0))
+      case "EPSG:31287" => Some(lccWkt("MGI_Austria_Lambert", GeogMgi,
+        47.5, 13.0 + 20.0 / 60, 49.0, 46.0, 400000.0, 400000.0, "Meter", 1.0))
+      case c if c.startsWith("EPSG:275") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        val zoneIdx = if (code >= 27561 && code <= 27564) code - 27561
+          else if (code >= 27571 && code <= 27574) code - 27571 else -1
+        if (zoneIdx < 0) None
+        else {
+          val names = Array("I", "II", "III", "IV")
+          val lat0s = Array(49.5, 46.8, 44.1, 42.165)
+          val k0s = Array(0.999877341, 0.99987742, 0.999877499, 0.99994471)
+          val fes = Array(600000.0, 600000.0, 600000.0, 234.358)
+          val fnBase = Array(200000.0, 200000.0, 200000.0, 185861.369)
+          val fn = if (code >= 27571) fnBase(zoneIdx) + (zoneIdx + 1) * 1000000.0
+            else fnBase(zoneIdx)
+          Some(projcs(s"NTF_Paris_Lambert_Zone_${names(zoneIdx)}", GeogNtfParis,
+            "Lambert_Conformal_Conic",
+            Seq("False_Easting" -> fes(zoneIdx), "False_Northing" -> fn,
+              "Central_Meridian" -> 0.0,
+              "Standard_Parallel_1" -> lat0s(zoneIdx),
+              "Scale_Factor" -> k0s(zoneIdx),
+              "Latitude_Of_Origin" -> lat0s(zoneIdx)), "Meter", 1.0))
+        }
+      case c if c.startsWith("EPSG:312") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 31254 && code <= 31256)
+          Some(tmWkt(s"MGI_Austria_GK_${Seq("West", "Central", "East")(code - 31254)}",
+            GeogMgi, 0.0, (10.0 + 20.0 / 60) + (code - 31254) * 3.0, 1.0,
+            0.0, -5000000.0, "Meter", 1.0))
+        else if (code >= 31257 && code <= 31259)
+          Some(tmWkt(s"MGI_Austria_GK_M${28 + (code - 31257) * 3}",
+            GeogMgi, 0.0, (10.0 + 20.0 / 60) + (code - 31257) * 3.0, 1.0,
+            150000.0 + (code - 31257) * 300000.0, -5000000.0, "Meter", 1.0))
+        else None
+      case c if c.startsWith("EPSG:284") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 28402 && code <= 28432) {
+          val zone = code - 28400
+          Some(tmWkt(s"Pulkovo_1942_GK_Zone_$zone", GeogPulkovo42,
+            0.0, zone * 6 - 3, 1.0, zone * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
+        } else None
+      case c if c.startsWith("EPSG:51") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 5105 && code <= 5130)
+          Some(tmWkt(s"ETRS_1989_NTM_Zone_${code - 5100}", GeogEtrs89,
+            58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0, "Meter", 1.0))
+        else None
       case _ => None
     }
     wkt

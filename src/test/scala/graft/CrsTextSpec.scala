@@ -108,6 +108,22 @@ class CrsTextSpec extends AnyFunSuite {
       assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6,
         s"$code WKT parse-back: ($ax,$ay) != ($bx,$by)")
     }
+    // r11 codes: grid-free pairs are exact; datum-shifted ones agree
+    // to within the shift magnitude (their ESRI WKT has no TOWGS84)
+    Seq(("EPSG:3812", 4.5, 50.5, 1e-6), ("EPSG:5110", 10.4, 61.0, 1e-6),
+      ("EPSG:27572", 2.35, 48.85, 500.0), ("EPSG:27561", 2.0, 49.8, 500.0),
+      ("EPSG:27574", 9.0, 42.1, 500.0), ("EPSG:31370", 4.5, 50.5, 500.0),
+      ("EPSG:31287", 13.5, 47.5, 800.0), ("EPSG:31256", 16.3, 48.0, 800.0),
+      ("EPSG:31259", 16.3, 48.0, 800.0), ("EPSG:28407", 39.5, 56.0, 500.0)
+    ).foreach { case (code, lon, lat, tol) =>
+      val wkt = Crs.esriWkt(code).getOrElse(fail(s"no WKT for $code"))
+      val (ax, ay) = Crs.resolve(wkt).forward(lon, lat)
+      val (bx, by) = Crs.resolve(code).forward(lon, lat)
+      assert(math.abs(ax - bx) < tol && math.abs(ay - by) < tol,
+        s"$code WKT parse-back: ($ax,$ay) != ($bx,$by)")
+      if (tol > 1) // shifted: must differ (the WKT really has no bridge)
+        assert(math.abs(ax - bx) + math.abs(ay - by) > 1e-3, s"$code unexpectedly exact")
+    }
   }
 
   test("hand-written French WKT: grads, Paris prime meridian, TOWGS84") {
