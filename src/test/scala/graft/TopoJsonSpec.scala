@@ -33,6 +33,18 @@ class TopoJsonSpec extends SparkSpec {
     assert(e.touches(w) && e.intersection(w).getLength > 0)
   }
 
+  test("parallel decode: members become real partitions, same rows") {
+    graft.Graft.install(spark)
+    val df = graft.sources.GeoRead.read(spark, dir + "quantized.topojson")
+    // the fixture has >1 member, so the member fan-out must yield >1
+    // partition (arc table broadcast, decode task-parallel)
+    assert(df.rdd.getNumPartitions > 1, s"partitions=${df.rdd.getNumPartitions}")
+    val viaTasks = df.selectExpr("layer", "id", "ST_AsText(geom)")
+      .collect().map(_.toString).sorted
+    val local = graft.sources.TopoJson.parseFile(dir + "quantized.topojson").toList
+    assert(viaTasks.length == local.length)
+  }
+
   test("non-quantized topology and clear errors") {
     graft.Graft.install(spark)
     val plain = graft.sources.GeoRead.read(spark, dir + "plain.topojson")
