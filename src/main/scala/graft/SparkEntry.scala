@@ -445,6 +445,10 @@ object SparkEntry {
     ("(36.0 + CAST(c_custkey % 60 AS DOUBLE) / 10.0)", "(44.0 + CAST((c_custkey * 3) % 260 AS DOUBLE) / 10.0)")
   private val LonLat5110 =
     ("(9.6 + CAST(c_custkey % 20 AS DOUBLE) / 10.0)", "(58.0 + CAST((c_custkey * 3) % 70 AS DOUBLE) / 10.0)")
+  private val LonLat3946 = // RGF93 / CC46 band (45.25..46.75 + margin)
+    ("(-0.5 + CAST(c_custkey % 70 AS DOUBLE) / 10.0)", "(45.0 + CAST((c_custkey * 3) % 20 AS DOUBLE) / 10.0)")
+  private val LonLat3011 = // SWEREF99 18 00 (Stockholm band)
+    ("(16.6 + CAST(c_custkey % 28 AS DOUBLE) / 10.0)", "(58.5 + CAST((c_custkey * 3) % 24 AS DOUBLE) / 10.0)")
 
   /** The hand-written WKT1 the projstring gate feeds ST_Transform:
    *  grads + Paris prime meridian + TOWGS84 — the hardest text-input
@@ -863,7 +867,9 @@ object SparkEntry {
            ("EPSG:31287", "x31287", "y31287", LonLat31287),
            ("EPSG:31256", "x31256", "y31256", LonLat31256),
            ("EPSG:28407", "x28407", "y28407", LonLat28407),
-           ("EPSG:5110", "x5110", "y5110", LonLat5110)).map {
+           ("EPSG:5110", "x5110", "y5110", LonLat5110),
+           ("EPSG:3946", "x3946", "y3946", LonLat3946),
+           ("EPSG:3011", "x3011", "y3011", LonLat3011)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -3964,9 +3970,22 @@ object SparkEntry {
     }
     // ETRS89 / NTM zone 10: plain TM on GRS80 (k0 = 1, CM 10°30')
     val ntmCtes = tmOracleCtes("t5110", "s5110", grs, 58.0, 10.5, 1.0, 100000.0, 1000000.0)
+    // RGF93 / CC46 (grid-free LCC 2SP on GRS80, r11 parametric family)
+    val cc46Ctes = {
+      val (n, aF, rho0) = lcc2spConsts(grs, 46.0, 45.25, 46.75)
+      lccOracleCtes("3946", "s3946", grs, n, aF, rho0, 3.0, 1700000.0, 5200000.0)
+    }
+    // SWEREF99 18 00 (TM, k0 = 1, FE 150 km)
+    val swerefCtes = tmOracleCtes("t3011", "s3011", grs, 0.0, 18.0, 1.0, 150000.0, 0.0)
 
     def srcCte(name: String, ll: (String, String)) =
       s"s$name AS (SELECT c_custkey, ${ll._1} AS lon, ${ll._2} AS lat FROM pts)"
+
+    // final assembly uses LEFT JOIN: every chain is 1:1 on c_custkey so
+    // the rows are identical, but inner joins let the oracle engine's
+    // join-order DP search all 27 relations (exponential: the r11
+    // widening pushed planning past 20 minutes / 70 GB); outer joins
+    // pin the order and plan in milliseconds
 
     s"""WITH pts AS (SELECT c_custkey FROM customer WHERE c_custkey <= 250),
        ${srcCte("2154", LonLat2154)},
@@ -3994,6 +4013,8 @@ object SparkEntry {
        ${srcCte("31256", LonLat31256)},
        ${srcCte("28407", LonLat28407)},
        ${srcCte("5110", LonLat5110)},
+       ${srcCte("3946", LonLat3946)},
+       ${srcCte("3011", LonLat3011)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -4017,7 +4038,9 @@ object SparkEntry {
        $bl08Ctes,
        $mgiCtes,
        $pulkovoCtes,
-       $ntmCtes
+       $ntmCtes,
+       $cc46Ctes,
+       $swerefCtes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -4043,22 +4066,25 @@ object SparkEntry {
          round(o31287.x, 4) AS x31287, round(o31287.y, 4) AS y31287,
          round(t31256o.x, 4) AS x31256, round(t31256o.y, 4) AS y31256,
          round(t28407o.x, 4) AS x28407, round(t28407o.y, 4) AS y28407,
-         round(t5110o.x, 4) AS x5110, round(t5110o.y, 4) AS y5110
+         round(t5110o.x, 4) AS x5110, round(t5110o.y, 4) AS y5110,
+         round(o3946.x, 4) AS x3946, round(o3946.y, 4) AS y3946,
+         round(t3011o.x, 4) AS x3011, round(t3011o.y, 4) AS y3011
        FROM pts p
-       JOIN o2154 USING (c_custkey) JOIN t25832o USING (c_custkey)
-       JOIN t2193o USING (c_custkey) JOIN o3577 USING (c_custkey)
-       JOIN o3395 USING (c_custkey) JOIN o3031 USING (c_custkey)
-       JOIN t27700o USING (c_custkey) JOIN o28992 USING (c_custkey)
-       JOIN t29902o USING (c_custkey) JOIN t31467o USING (c_custkey)
-       JOIN t23032o USING (c_custkey)
-       JOIN o2056 USING (c_custkey) JOIN o21781 USING (c_custkey)
-       JOIN o32661 USING (c_custkey) JOIN o4087 USING (c_custkey)
-       JOIN o2232 USING (c_custkey) JOIN t26718o USING (c_custkey)
-       JOIN t2451o USING (c_custkey)
-       JOIN o27572 USING (c_custkey) JOIN o31370 USING (c_custkey)
-       JOIN o3812 USING (c_custkey) JOIN o31287 USING (c_custkey)
-       JOIN t31256o USING (c_custkey) JOIN t28407o USING (c_custkey)
-       JOIN t5110o USING (c_custkey)
+       LEFT JOIN o2154 USING (c_custkey) LEFT JOIN t25832o USING (c_custkey)
+       LEFT JOIN t2193o USING (c_custkey) LEFT JOIN o3577 USING (c_custkey)
+       LEFT JOIN o3395 USING (c_custkey) LEFT JOIN o3031 USING (c_custkey)
+       LEFT JOIN t27700o USING (c_custkey) LEFT JOIN o28992 USING (c_custkey)
+       LEFT JOIN t29902o USING (c_custkey) LEFT JOIN t31467o USING (c_custkey)
+       LEFT JOIN t23032o USING (c_custkey)
+       LEFT JOIN o2056 USING (c_custkey) LEFT JOIN o21781 USING (c_custkey)
+       LEFT JOIN o32661 USING (c_custkey) LEFT JOIN o4087 USING (c_custkey)
+       LEFT JOIN o2232 USING (c_custkey) LEFT JOIN t26718o USING (c_custkey)
+       LEFT JOIN t2451o USING (c_custkey)
+       LEFT JOIN o27572 USING (c_custkey) LEFT JOIN o31370 USING (c_custkey)
+       LEFT JOIN o3812 USING (c_custkey) LEFT JOIN o31287 USING (c_custkey)
+       LEFT JOIN t31256o USING (c_custkey) LEFT JOIN t28407o USING (c_custkey)
+       LEFT JOIN t5110o USING (c_custkey)
+       LEFT JOIN o3946 USING (c_custkey) LEFT JOIN t3011o USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 

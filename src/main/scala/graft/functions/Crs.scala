@@ -1071,6 +1071,19 @@ object Crs {
   // Paris meridian: 2°20'14.025" E of Greenwich (EPSG 8903)
   private val ParisLon = 2.0 + 20.0 / 60 + 14.025 / 3600
 
+  /** SWEREF99 local-zone central meridians (EPSG 3007-3018; the
+   *  published "SWEREF99 dd mm" projection set — TM, k0 = 1,
+   *  FE 150 km). Codes are not arithmetic in longitude. */
+  private val SwerefZones: Map[Int, Double] = Map(
+    3007 -> 12.0, 3008 -> 13.5, 3009 -> 15.0, 3010 -> 16.5, 3011 -> 18.0,
+    3012 -> 14.25, 3013 -> 15.75, 3014 -> 17.25, 3015 -> 18.75,
+    3016 -> 20.25, 3017 -> 21.75, 3018 -> 23.25)
+
+  private def swerefName(lon0: Double): String = {
+    val d = lon0.toInt; val m = math.round((lon0 - d) * 60).toInt
+    f"SWEREF99 $d%02d $m%02d"
+  }
+
   /** Round-11 catalog sweep: the legacy European national systems a
    *  migrating user hits first — French NTF Lambert zones (LCC 1SP on
    *  Clarke 1880 IGN, longitudes of origin on the Paris meridian),
@@ -1217,8 +1230,21 @@ object Crs {
       ("EPSG", s"${5100 + z}", s"ETRS89 / NTM zone $z", "projected", false,
         "Norway", "Transverse Mercator", "Earth")
     }
+    val frCc = (3942 to 3950).map { c =>
+      ("EPSG", s"$c", s"RGF93 v1 / CC${c - 3900}", "projected", false,
+        "France", "Lambert Conic Conformal (2SP)", "Earth")
+    }
+    val sweref = SwerefZones.toSeq.sortBy(_._1).map { case (c, lon0) =>
+      ("EPSG", s"$c", swerefName(lon0), "projected", false,
+        "Sweden", "Transverse Mercator", "Earth")
+    }
+    val finGk = (3873 to 3885).map { c =>
+      ("EPSG", s"$c", s"ETRS89 / GK${c - 3873 + 19}FIN", "projected", false,
+        "Finland", "Transverse Mercator", "Earth")
+    }
     fixed ++ utmWgs ++ utmNad ++ utmNad27 ++ utmEtrs ++ mga94 ++ mga2020 ++
-      sirgas ++ japan ++ jgd2000 ++ gk ++ ed50 ++ pulkovo ++ ntm
+      sirgas ++ japan ++ jgd2000 ++ gk ++ ed50 ++ pulkovo ++ ntm ++
+      frCc ++ sweref ++ finGk
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -1600,6 +1626,25 @@ object Crs {
         if (code >= 5105 && code <= 5130)
           new TransMerc(GRS80, 58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:39") && c.length == 9 => // RGF93 / CC42-CC50
+        val code = c.substring(5).toInt
+        if (code >= 3942 && code <= 3950) {
+          val lat0 = (code - 3900).toDouble // CC42 -> 42°N ... CC50 -> 50°N
+          new Lcc2sp(GRS80, lat0, 3.0, lat0 - 0.75, lat0 + 0.75,
+            1700000.0, 1200000.0 + (code - 3942) * 1000000.0)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:30") && c.length == 9 => // SWEREF99 local zones
+        val code = c.substring(5).toInt
+        SwerefZones.get(code) match {
+          case Some(lon0) => new TransMerc(GRS80, 0.0, lon0, 1.0, 150000.0, 0.0)
+          case None => throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+        }
+      case c if c.startsWith("EPSG:38") && c.length == 9 => // ETRS89 / GK19-31FIN
+        val code = c.substring(5).toInt
+        if (code >= 3873 && code <= 3885) {
+          val lon0 = (code - 3873 + 19).toDouble
+          new TransMerc(GRS80, 0.0, lon0, 1.0, lon0 * 1000000.0 + 500000.0, 0.0)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:230") && c.length == 10 => // ED50 / UTM 28N-38N
         val code = c.substring(5).toInt
         if (code >= 23028 && code <= 23038)
@@ -1608,7 +1653,8 @@ object Crs {
             International1924, Ed50Helmert)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case _ => throw new IllegalArgumentException(
-        s"unsupported CRS: $crsIn (see st_list_proj_crs() for the supported catalog)")
+        s"unsupported CRS: $crsIn (see st_list_proj_crs() for the supported catalog, " +
+          "or pass the definition as a PROJ '+proj=' string or WKT1 text)")
     }
     cache.put(crs, sys)
     sys
@@ -2044,6 +2090,26 @@ object Crs {
           Some(tmWkt(s"ETRS_1989_NTM_Zone_${code - 5100}", GeogEtrs89,
             58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0, "Meter", 1.0))
         else None
+      case c if c.startsWith("EPSG:39") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 3942 && code <= 3950) {
+          val lat0 = (code - 3900).toDouble
+          Some(lccWkt(s"RGF_1993_CC${code - 3900}", GeogRgf93,
+            lat0, 3.0, lat0 - 0.75, lat0 + 0.75,
+            1700000.0, 1200000.0 + (code - 3942) * 1000000.0, "Meter", 1.0))
+        } else None
+      case c if c.startsWith("EPSG:30") && c.length == 9 =>
+        SwerefZones.get(c.substring(5).toInt).map { lon0 =>
+          tmWkt(swerefName(lon0).replace(' ', '_'), GeogSweref99,
+            0.0, lon0, 1.0, 150000.0, 0.0, "Meter", 1.0)
+        }
+      case c if c.startsWith("EPSG:38") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 3873 && code <= 3885) {
+          val lon0 = (code - 3873 + 19).toDouble
+          Some(tmWkt(s"ETRS_1989_GK${code - 3873 + 19}FIN", GeogEtrs89,
+            0.0, lon0, 1.0, lon0 * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
+        } else None
       case _ => None
     }
     wkt

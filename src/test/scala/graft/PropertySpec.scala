@@ -389,6 +389,16 @@ class PropertySpec extends AnyFunSuite {
     val o5110 = Crs.resolve("EPSG:5110").forward(10.5, 58.0)
     assert(math.abs(o5110._1 - 100000.0) < 1e-6 && math.abs(o5110._2 - 1000000.0) < 1e-6,
       s"5110 origin: $o5110")
+    // parametric Nordic/French families: natural origin = false origin
+    val o3946 = Crs.resolve("EPSG:3946").forward(3.0, 46.0) // CC46
+    assert(math.abs(o3946._1 - 1700000.0) < 1e-6 && math.abs(o3946._2 - 5200000.0) < 1e-6,
+      s"3946 origin: $o3946")
+    val o3011 = Crs.resolve("EPSG:3011").forward(18.0, 0.0) // SWEREF99 18 00
+    assert(math.abs(o3011._1 - 150000.0) < 1e-6 && math.abs(o3011._2) < 1e-6,
+      s"3011 origin: $o3011")
+    val o3880 = Crs.resolve("EPSG:3880").forward(26.0, 0.0) // GK26FIN
+    assert(math.abs(o3880._1 - 26500000.0) < 1e-6 && math.abs(o3880._2) < 1e-6,
+      s"3880 origin: $o3880")
     // Lambert II étendu's inner projection origin: the datum shift is
     // bypassed by feeding the projection the NTF geodetic origin via a
     // roundtrip anchor — forward(inverse(FE, FN)) == (FE, FN)
@@ -426,7 +436,10 @@ class PropertySpec extends AnyFunSuite {
       ("EPSG:31257", 10.3, 47.2), ("EPSG:31258", 13.3, 47.5), ("EPSG:31259", 16.3, 48.0),
       ("EPSG:31287", 13.5, 47.5),
       ("EPSG:28402", 10.0, 50.0), ("EPSG:28407", 39.5, 56.0), ("EPSG:28430", 176.5, 65.0),
-      ("EPSG:5105", 5.6, 59.0), ("EPSG:5110", 10.4, 61.0), ("EPSG:5130", 30.4, 70.0))
+      ("EPSG:5105", 5.6, 59.0), ("EPSG:5110", 10.4, 61.0), ("EPSG:5130", 30.4, 70.0),
+      ("EPSG:3942", 2.0, 42.2), ("EPSG:3946", 4.5, 45.9), ("EPSG:3950", 2.5, 50.6),
+      ("EPSG:3007", 12.3, 57.7), ("EPSG:3012", 14.0, 64.0), ("EPSG:3018", 23.0, 67.8),
+      ("EPSG:3873", 19.2, 66.0), ("EPSG:3880", 26.2, 61.0), ("EPSG:3885", 31.0, 63.0))
     zones.foreach { case (crs, lon, lat) =>
       val sys = Crs.resolve(crs)
       val (x, y) = sys.forward(lon, lat)
