@@ -1067,6 +1067,10 @@ object Crs {
     Helmert(577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
   // Pulkovo 1942 -> WGS84 (EPSG 1254, the USSR translation-only set)
   private val PulkovoHelmert = Helmert(28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
+  // Monte Mario -> WGS84 (the position-vector set PROJ publishes for
+  // the Gauss-Boaga zones)
+  private val MonteMarioHelmert =
+    Helmert(-104.1, -49.1, -9.9, 0.971, -2.917, 0.714, -11.68)
 
   // Paris meridian: 2°20'14.025" E of Greenwich (EPSG 8903)
   private val ParisLon = 2.0 + 20.0 / 60 + 14.025 / 3600
@@ -1152,7 +1156,42 @@ object Crs {
         () => new DatumShifted(
           new Lcc2sp(Bessel1841, 47.5, 13.0 + 20.0 / 60, 49.0, 46.0,
             400000.0, 400000.0),
-          Bessel1841, MgiHelmert)))
+          Bessel1841, MgiHelmert)),
+      // Portugal: ETRS89 / Portugal TM06 (grid-free, natural origin at
+      // the Melriça geodetic center)
+      CrsInfo("EPSG", "3763", "ETRS89 / Portugal TM06", "projected",
+        "Portugal", "Transverse Mercator",
+        () => new TransMerc(GRS80,
+          39.0 + 40.0 / 60 + 5.73 / 3600, -(8.0 + 7.0 / 60 + 59.19 / 3600),
+          1.0, 0.0, 0.0)),
+      // Italy: Monte Mario / Italy zones 1-2 (Gauss-Boaga grid,
+      // International 1924 + the published 7-param shift)
+      CrsInfo("EPSG", "4265", "Monte Mario", "geographic 2D", "Italy", "",
+        () => new GridGeographic(International1924, MonteMarioHelmert,
+          "MONTEMARIO", "ETRS89")),
+      CrsInfo("EPSG", "3003", "Monte Mario / Italy zone 1", "projected",
+        "Italy - west", "Transverse Mercator",
+        () => new GridDatumShifted(
+          new TransMerc(International1924, 0.0, 9.0, 0.9996, 1500000.0, 0.0),
+          International1924, MonteMarioHelmert, "MONTEMARIO", "ETRS89")),
+      CrsInfo("EPSG", "3004", "Monte Mario / Italy zone 2", "projected",
+        "Italy - east", "Transverse Mercator",
+        () => new GridDatumShifted(
+          new TransMerc(International1924, 0.0, 15.0, 0.9996, 2520000.0, 0.0),
+          International1924, MonteMarioHelmert, "MONTEMARIO", "ETRS89")),
+      // Korea 2000 belts (2010 false-northing set, k0 = 1)
+      CrsInfo("EPSG", "5185", "Korea 2000 / West Belt 2010", "projected",
+        "South Korea", "Transverse Mercator",
+        () => new TransMerc(GRS80, 38.0, 125.0, 1.0, 200000.0, 600000.0)),
+      CrsInfo("EPSG", "5186", "Korea 2000 / Central Belt 2010", "projected",
+        "South Korea", "Transverse Mercator",
+        () => new TransMerc(GRS80, 38.0, 127.0, 1.0, 200000.0, 600000.0)),
+      CrsInfo("EPSG", "5187", "Korea 2000 / East Belt 2010", "projected",
+        "South Korea", "Transverse Mercator",
+        () => new TransMerc(GRS80, 38.0, 129.0, 1.0, 200000.0, 600000.0)),
+      CrsInfo("EPSG", "5188", "Korea 2000 / East Sea Belt 2010", "projected",
+        "South Korea", "Transverse Mercator",
+        () => new TransMerc(GRS80, 38.0, 131.0, 1.0, 200000.0, 600000.0)))
   }
 
   /** Japan plane rectangular CS zone origins (JGD2011, EPSG:6669-6687 =
@@ -1242,9 +1281,14 @@ object Crs {
       ("EPSG", s"$c", s"ETRS89 / GK${c - 3873 + 19}FIN", "projected", false,
         "Finland", "Transverse Mercator", "Earth")
     }
+    val posgar = Seq(("EPSG", "5340", "POSGAR 2007", "geographic 2D", false,
+      "Argentina", "", "Earth")) ++ (1 to 7).map { f =>
+      ("EPSG", s"${5343 + f}", s"POSGAR 2007 / Argentina $f", "projected",
+        false, "Argentina", "Transverse Mercator", "Earth")
+    }
     fixed ++ utmWgs ++ utmNad ++ utmNad27 ++ utmEtrs ++ mga94 ++ mga2020 ++
       sirgas ++ japan ++ jgd2000 ++ gk ++ ed50 ++ pulkovo ++ ntm ++
-      frCc ++ sweref ++ finGk
+      frCc ++ sweref ++ finGk ++ posgar
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -1626,6 +1670,17 @@ object Crs {
         if (code >= 5105 && code <= 5130)
           new TransMerc(GRS80, 58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      case c if c.startsWith("EPSG:53") && c.length == 9 => // POSGAR 2007 fajas 1-7
+        val code = c.substring(5).toInt
+        if (code == 5340) Geographic // POSGAR 2007 (SIRGAS-frame)
+        else if (code >= 5344 && code <= 5350) {
+          val faja = code - 5343
+          // Argentine Gauss-Krüger: origin at the SOUTH POLE (lat0
+          // -90° — the Krüger ξ series is exact there: atanh(±1)
+          // flows through atan to ±π/2), CM -72° + 3° per faja
+          new TransMerc(GRS80, -90.0, -72.0 + (faja - 1) * 3.0, 1.0,
+            faja * 1000000.0 + 500000.0, 0.0)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:39") && c.length == 9 => // RGF93 / CC42-CC50
         val code = c.substring(5).toInt
         if (code >= 3942 && code <= 3950) {
@@ -1746,6 +1801,9 @@ object Crs {
     "Bessel_1841", 6377397.155, 299.1528128)
   private val GeogPulkovo42 = geogcsOf("GCS_Pulkovo_1942", "D_Pulkovo_1942",
     "Krasovsky_1940", 6378245.0, 298.3)
+  private val GeogMonteMario = geogcsOf("GCS_Monte_Mario", "D_Monte_Mario",
+    "International_1924", 6378388.0, 297.0)
+  private val GeogPosgar2007 = geogcsOf("GCS_POSGAR_2007", "D_POSGAR_2007")
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -2109,6 +2167,31 @@ object Crs {
           val lon0 = (code - 3873 + 19).toDouble
           Some(tmWkt(s"ETRS_1989_GK${code - 3873 + 19}FIN", GeogEtrs89,
             0.0, lon0, 1.0, lon0 * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
+        } else None
+      case "EPSG:3763" => Some(tmWkt("ETRS_1989_Portugal_TM06", GeogEtrs89,
+        39.0 + 40.0 / 60 + 5.73 / 3600, -(8.0 + 7.0 / 60 + 59.19 / 3600),
+        1.0, 0.0, 0.0, "Meter", 1.0))
+      case "EPSG:4265" => Some(GeogMonteMario)
+      case "EPSG:3003" => Some(tmWkt("Monte_Mario_Italy_1", GeogMonteMario,
+        0.0, 9.0, 0.9996, 1500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:3004" => Some(tmWkt("Monte_Mario_Italy_2", GeogMonteMario,
+        0.0, 15.0, 0.9996, 2520000.0, 0.0, "Meter", 1.0))
+      case "EPSG:5185" => Some(tmWkt("Korea_2000_West_Belt_2010", GeogKorea2000,
+        38.0, 125.0, 1.0, 200000.0, 600000.0, "Meter", 1.0))
+      case "EPSG:5186" => Some(tmWkt("Korea_2000_Central_Belt_2010", GeogKorea2000,
+        38.0, 127.0, 1.0, 200000.0, 600000.0, "Meter", 1.0))
+      case "EPSG:5187" => Some(tmWkt("Korea_2000_East_Belt_2010", GeogKorea2000,
+        38.0, 129.0, 1.0, 200000.0, 600000.0, "Meter", 1.0))
+      case "EPSG:5188" => Some(tmWkt("Korea_2000_East_Sea_Belt_2010", GeogKorea2000,
+        38.0, 131.0, 1.0, 200000.0, 600000.0, "Meter", 1.0))
+      case "EPSG:5340" => Some(GeogPosgar2007)
+      case c if c.startsWith("EPSG:53") && c.length == 9 =>
+        val code = c.substring(5).toInt
+        if (code >= 5344 && code <= 5350) {
+          val faja = code - 5343
+          Some(tmWkt(s"POSGAR_2007_Argentina_$faja", GeogPosgar2007,
+            -90.0, -72.0 + (faja - 1) * 3.0, 1.0,
+            faja * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
         } else None
       case _ => None
     }

@@ -399,6 +399,17 @@ class PropertySpec extends AnyFunSuite {
     val o3880 = Crs.resolve("EPSG:3880").forward(26.0, 0.0) // GK26FIN
     assert(math.abs(o3880._1 - 26500000.0) < 1e-6 && math.abs(o3880._2) < 1e-6,
       s"3880 origin: $o3880")
+    val o3763 = Crs.resolve("EPSG:3763").forward(
+      -(8.0 + 7.0 / 60 + 59.19 / 3600), 39.0 + 40.0 / 60 + 5.73 / 3600)
+    assert(math.abs(o3763._1) < 1e-6 && math.abs(o3763._2) < 1e-6, s"3763 origin: $o3763")
+    val o5186 = Crs.resolve("EPSG:5186").forward(127.0, 38.0)
+    assert(math.abs(o5186._1 - 200000.0) < 1e-6 && math.abs(o5186._2 - 600000.0) < 1e-6,
+      s"5186 origin: $o5186")
+    // POSGAR faja 5: origin at the south pole — easting exactly FE on
+    // the CM, northing = the CM arc length from the pole at -34.6°
+    val o5348 = Crs.resolve("EPSG:5348").forward(-60.0, -34.6)
+    assert(math.abs(o5348._1 - 5500000.0) < 1e-6, s"5348 cm easting: $o5348")
+    assert(o5348._2 > 6.1e6 && o5348._2 < 6.2e6, s"5348 pole-arc northing: $o5348")
     // Lambert II étendu's inner projection origin: the datum shift is
     // bypassed by feeding the projection the NTF geodetic origin via a
     // roundtrip anchor — forward(inverse(FE, FN)) == (FE, FN)
@@ -418,7 +429,11 @@ class PropertySpec extends AnyFunSuite {
       ("EPSG:31256", 16.3731, 48.2083, 3045.0, 341100.0),   // Vienna
       ("EPSG:31287", 14.0, 47.5, 450270.0, 400270.0),       // Austria center
       ("EPSG:28407", 37.6173, 55.7558, 7413310.0, 6182350.0), // Moscow
-      ("EPSG:5110", 10.75, 59.91, 113990.0, 1212790.0))     // Oslo
+      ("EPSG:5110", 10.75, 59.91, 113990.0, 1212790.0),     // Oslo
+      // Rome (Termini) in Gauss-Boaga zone 2: ~2.31 ME / 4.64 MN
+      ("EPSG:3004", 12.5018, 41.9009, 2313000.0, 4642000.0),
+      // Seoul City Hall in Korea 2000 Central Belt 2010
+      ("EPSG:5186", 126.9780, 37.5665, 198060.0, 551980.0))
     landmarks.foreach { case (crs, lon, lat, ex, ey) =>
       val (x, y) = Crs.resolve(crs).forward(lon, lat)
       assert(math.abs(x - ex) < 1000 && math.abs(y - ey) < 1000,
@@ -439,7 +454,13 @@ class PropertySpec extends AnyFunSuite {
       ("EPSG:5105", 5.6, 59.0), ("EPSG:5110", 10.4, 61.0), ("EPSG:5130", 30.4, 70.0),
       ("EPSG:3942", 2.0, 42.2), ("EPSG:3946", 4.5, 45.9), ("EPSG:3950", 2.5, 50.6),
       ("EPSG:3007", 12.3, 57.7), ("EPSG:3012", 14.0, 64.0), ("EPSG:3018", 23.0, 67.8),
-      ("EPSG:3873", 19.2, 66.0), ("EPSG:3880", 26.2, 61.0), ("EPSG:3885", 31.0, 63.0))
+      ("EPSG:3873", 19.2, 66.0), ("EPSG:3880", 26.2, 61.0), ("EPSG:3885", 31.0, 63.0),
+      ("EPSG:3763", -8.5, 39.5), ("EPSG:4265", 12.5, 42.0),
+      ("EPSG:3003", 9.2, 45.5), ("EPSG:3004", 15.0, 41.9),
+      ("EPSG:5185", 126.5, 37.0), ("EPSG:5186", 127.0, 37.5),
+      ("EPSG:5187", 129.1, 35.2), ("EPSG:5188", 130.9, 37.5),
+      ("EPSG:5344", -71.5, -40.0), ("EPSG:5348", -58.4, -34.6),
+      ("EPSG:5350", -54.6, -25.7))
     zones.foreach { case (crs, lon, lat) =>
       val sys = Crs.resolve(crs)
       val (x, y) = sys.forward(lon, lat)
