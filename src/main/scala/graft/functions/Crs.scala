@@ -1179,6 +1179,17 @@ object Crs {
         () => new GridDatumShifted(
           new TransMerc(International1924, 0.0, 15.0, 0.9996, 2520000.0, 0.0),
           International1924, MonteMarioHelmert, "MONTEMARIO", "ETRS89")),
+      // zone-prefixed ETRS89 UTM variants (zE-N: FE carries the zone)
+      CrsInfo("EPSG", "4647", "ETRS89 / UTM zone 32N (zE-N)", "projected",
+        "Germany", "Transverse Mercator",
+        () => new TransMerc(GRS80, 0.0, 9.0, 0.9996, 32500000.0, 0.0)),
+      CrsInfo("EPSG", "5650", "ETRS89 / UTM zone 33N (zE-N)", "projected",
+        "Germany", "Transverse Mercator",
+        () => new TransMerc(GRS80, 0.0, 15.0, 0.9996, 33500000.0, 0.0)),
+      // Mexico: national LCC on ITRF2008
+      CrsInfo("EPSG", "6372", "Mexico ITRF2008 / LCC", "projected",
+        "Mexico", "Lambert Conic Conformal (2SP)",
+        () => new Lcc2sp(GRS80, 12.0, -102.0, 17.5, 29.5, 2500000.0, 0.0)),
       // Korea 2000 belts (2010 false-northing set, k0 = 1)
       CrsInfo("EPSG", "5185", "Korea 2000 / West Belt 2010", "projected",
         "South Korea", "Transverse Mercator",
@@ -1286,9 +1297,13 @@ object Crs {
       ("EPSG", s"${5343 + f}", s"POSGAR 2007 / Argentina $f", "projected",
         false, "Argentina", "Transverse Mercator", "Earth")
     }
+    val mtm = (1 to 17).map { z =>
+      ("EPSG", s"${32180 + z}", s"NAD83 / MTM zone $z", "projected", false,
+        "Canada", "Transverse Mercator", "Earth")
+    }
     fixed ++ utmWgs ++ utmNad ++ utmNad27 ++ utmEtrs ++ mga94 ++ mga2020 ++
       sirgas ++ japan ++ jgd2000 ++ gk ++ ed50 ++ pulkovo ++ ntm ++
-      frCc ++ sweref ++ finGk ++ posgar
+      frCc ++ sweref ++ finGk ++ posgar ++ mtm
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -1595,6 +1610,19 @@ object Crs {
       case "WGS84" | "CRS84" | "OGC:CRS84" => Geographic
       case "EPSG:900913" => WebMercator
       case c if byKey.contains(c) => byKey(c).build()
+      case c if c.startsWith("EPSG:321") && c.length == 10 => // NAD83 / MTM 1-17
+        val code = c.substring(5).toInt
+        if (code >= 32181 && code <= 32197) {
+          val zone = code - 32180
+          // Canadian Modified TM: 3° zones, k0 0.9999, FE 304 800 m;
+          // zones 1-2 sit off the 3n grid (Newfoundland)
+          val lon0 = zone match {
+            case 1 => -53.0
+            case 2 => -56.0
+            case z => -49.5 - 3.0 * z
+          }
+          new TransMerc(GRS80, 0.0, lon0, 0.9999, 304800.0, 0.0)
+        } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:32") && c.length == 10 => // EPSG:326xx / EPSG:327xx
         val code = c.substring(5).toInt
         if (code >= 32601 && code <= 32660)
@@ -1804,6 +1832,7 @@ object Crs {
   private val GeogMonteMario = geogcsOf("GCS_Monte_Mario", "D_Monte_Mario",
     "International_1924", 6378388.0, 297.0)
   private val GeogPosgar2007 = geogcsOf("GCS_POSGAR_2007", "D_POSGAR_2007")
+  private val GeogMexItrf08 = geogcsOf("GCS_Mexico_ITRF2008", "D_Mexico_ITRF2008")
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -2185,6 +2214,22 @@ object Crs {
       case "EPSG:5188" => Some(tmWkt("Korea_2000_East_Sea_Belt_2010", GeogKorea2000,
         38.0, 131.0, 1.0, 200000.0, 600000.0, "Meter", 1.0))
       case "EPSG:5340" => Some(GeogPosgar2007)
+      case "EPSG:4647" => Some(tmWkt("ETRS_1989_UTM_Zone_32N_zE-N", GeogEtrs89,
+        0.0, 9.0, 0.9996, 32500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:5650" => Some(tmWkt("ETRS_1989_UTM_Zone_33N_zE-N", GeogEtrs89,
+        0.0, 15.0, 0.9996, 33500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:6372" => Some(lccWkt("Mexico_ITRF2008_LCC", GeogMexItrf08,
+        12.0, -102.0, 17.5, 29.5, 2500000.0, 0.0, "Meter", 1.0))
+      case c if c.startsWith("EPSG:321") && c.length == 10 =>
+        val code = c.substring(5).toInt
+        if (code >= 32181 && code <= 32197) {
+          val zone = code - 32180
+          val lon0 = zone match {
+            case 1 => -53.0; case 2 => -56.0; case z => -49.5 - 3.0 * z
+          }
+          Some(tmWkt(s"NAD_1983_MTM_$zone", GeogNad83,
+            0.0, lon0, 0.9999, 304800.0, 0.0, "Meter", 1.0))
+        } else None
       case c if c.startsWith("EPSG:53") && c.length == 9 =>
         val code = c.substring(5).toInt
         if (code >= 5344 && code <= 5350) {

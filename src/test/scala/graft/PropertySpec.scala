@@ -410,6 +410,15 @@ class PropertySpec extends AnyFunSuite {
     val o5348 = Crs.resolve("EPSG:5348").forward(-60.0, -34.6)
     assert(math.abs(o5348._1 - 5500000.0) < 1e-6, s"5348 cm easting: $o5348")
     assert(o5348._2 > 6.1e6 && o5348._2 < 6.2e6, s"5348 pole-arc northing: $o5348")
+    val o4647 = Crs.resolve("EPSG:4647").forward(9.0, 0.0) // UTM 32N zE-N
+    assert(math.abs(o4647._1 - 32500000.0) < 1e-6 && math.abs(o4647._2) < 1e-6,
+      s"4647 origin: $o4647")
+    val o6372 = Crs.resolve("EPSG:6372").forward(-102.0, 12.0) // Mexico LCC
+    assert(math.abs(o6372._1 - 2500000.0) < 1e-6 && math.abs(o6372._2) < 1e-6,
+      s"6372 origin: $o6372")
+    val o32190 = Crs.resolve("EPSG:32190").forward(-79.5, 0.0) // MTM 10
+    assert(math.abs(o32190._1 - 304800.0) < 1e-6 && math.abs(o32190._2) < 1e-6,
+      s"32190 origin: $o32190")
     // Lambert II étendu's inner projection origin: the datum shift is
     // bypassed by feeding the projection the NTF geodetic origin via a
     // roundtrip anchor — forward(inverse(FE, FN)) == (FE, FN)
@@ -460,7 +469,11 @@ class PropertySpec extends AnyFunSuite {
       ("EPSG:5185", 126.5, 37.0), ("EPSG:5186", 127.0, 37.5),
       ("EPSG:5187", 129.1, 35.2), ("EPSG:5188", 130.9, 37.5),
       ("EPSG:5344", -71.5, -40.0), ("EPSG:5348", -58.4, -34.6),
-      ("EPSG:5350", -54.6, -25.7))
+      ("EPSG:5350", -54.6, -25.7),
+      ("EPSG:4647", 9.5, 50.5), ("EPSG:5650", 14.5, 52.0),
+      ("EPSG:6372", -99.1, 19.4),
+      ("EPSG:32181", -53.2, 47.5), ("EPSG:32190", -79.4, 43.7),
+      ("EPSG:32197", -101.0, 55.0))
     zones.foreach { case (crs, lon, lat) =>
       val sys = Crs.resolve(crs)
       val (x, y) = sys.forward(lon, lat)
