@@ -899,8 +899,10 @@ object Bench {
         bigWorkloads ++ operatorOracles
     // per-oracle watchdog overrides: the 100M ASOF oracle is genuinely
     // ~50-60 s on a quiet box (r9) — 120 s cuts it under load and a
-    // timed-out oracle reports no ratio for the biggest join row
-    val oracleTimeouts = Map("asof_join_100m" -> "300")
+    // timed-out oracle reports no ratio for the biggest join row.
+    // range_join_100m gets the same headroom: even pre-aggregated it
+    // brushed 120 s on the r11 box, leaving the row as an r_ub
+    val oracleTimeouts = Map("asof_join_100m" -> "300", "range_join_100m" -> "300")
     val duckFirst = duckdbTimes(sfDir, allOracles -- oracleTimeouts.keySet) ++
       (if (oracleTimeouts.isEmpty) Map.empty[String, Double]
        else duckdbTimes(sfDir, allOracles.view.filterKeys(oracleTimeouts.contains).toMap,

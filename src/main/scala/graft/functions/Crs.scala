@@ -165,7 +165,14 @@ object Crs {
         k += 1
       } while (math.abs(lat - prev) > 1e-14 && k < 25)
       val lon = lon0 + math.atan2(math.sinh(etaP), math.cos(xiP))
-      (math.toDegrees(lon), math.toDegrees(lat))
+      // normalize: zones whose CM sits past the antimeridian (Pulkovo
+      // GK 31-32, lon0 183°/189°) would otherwise return lon > 180
+      val lonDeg = math.toDegrees(lon)
+      val lonNorm =
+        if (lonDeg > 180.0) lonDeg - 360.0
+        else if (lonDeg <= -180.0) lonDeg + 360.0
+        else lonDeg
+      (lonNorm, math.toDegrees(lat))
     }
   }
 
@@ -219,23 +226,31 @@ object Crs {
   }
 
   /** Lambert Conic Conformal 1SP (EPSG 9801; Snyder PP 1395 with the
-   *  single standard parallel at the latitude of origin and a scale
-   *  factor): n = sin(φ0), ρ = a·F·k0·t^n. The legacy French Lambert
-   *  zones (NTF / Lambert I-IV) are the canonical users. */
+   *  single standard parallel and a scale factor): n = sin(φ1),
+   *  ρ = a·F·k0·t^n. The legacy French Lambert zones (NTF / Lambert
+   *  I-IV) are the canonical users. EPSG 9801 puts the latitude of
+   *  origin ON the standard parallel; PROJ's `+proj=lcc +lat_1=…
+   *  +lat_0=…` lets them differ (ρ0 is then evaluated at lat_0), so
+   *  the reference latitude is a separate parameter defaulting to the
+   *  parallel. */
   private final class Lcc1sp(
-      ell: Ellipsoid, lat0Deg: Double, lon0Deg: Double,
-      k0: Double, falseE: Double, falseN: Double) extends System {
+      ell: Ellipsoid, spDeg: Double, lon0Deg: Double,
+      k0: Double, falseE: Double, falseN: Double,
+      lat0RefDeg: Option[Double] = None) extends System {
     private val e = ell.e
     private val lon0 = math.toRadians(lon0Deg)
     private def tOf(lat: Double): Double =
       math.tan(math.Pi / 4 - lat / 2) /
         math.pow((1 - e * math.sin(lat)) / (1 + e * math.sin(lat)), e / 2)
-    private val p0 = math.toRadians(lat0Deg)
+    private val p0 = math.toRadians(spDeg)
     private val nCone = math.sin(p0)
+    require(nCone != 0.0,
+      "LCC 1SP needs a non-zero standard parallel (lat_1 / latitude of origin)")
     private val m0 = math.cos(p0) / math.sqrt(1 - ell.e2 * math.sin(p0) * math.sin(p0))
     private val bigF = m0 / (nCone * math.pow(tOf(p0), nCone))
     private val aFk = ell.a * bigF * k0
-    private val rho0 = aFk * math.pow(tOf(p0), nCone)
+    private val rho0 =
+      aFk * math.pow(tOf(math.toRadians(lat0RefDeg.getOrElse(spDeg))), nCone)
 
     def forward(lonD: Double, latD: Double): (Double, Double) = {
       val lat = math.toRadians(latD)
@@ -1420,7 +1435,12 @@ object Crs {
       case "lcc" =>
         if (kv.contains("lat_2"))
           new Lcc2sp(ell, lat0, lon0, num("lat_1", lat0), num("lat_2", lat0), x0, y0)
-        else new Lcc1sp(ell, num("lat_1", lat0), lon0, k0, x0, y0)
+        else {
+          if (!kv.contains("lat_1") && !kv.contains("lat_0"))
+            fail("+proj=lcc needs +lat_1 (and optionally +lat_0/+lat_2)")
+          // PROJ semantics: the cone follows lat_1, ρ0 follows lat_0
+          new Lcc1sp(ell, num("lat_1", lat0), lon0, k0, x0, y0, Some(lat0))
+        }
       case "aea" =>
         new Albers2sp(ell, lat0, lon0, num("lat_1", 0.0), num("lat_2", 0.0), x0, y0)
       case "laea" => new Laea(ell, lat0, lon0, x0, y0)
@@ -1441,7 +1461,6 @@ object Crs {
       case other => fail(s"+proj=$other")
     }
     val shifted = shift match {
-      case Some(h) if inner eq Geographic => new DatumShifted(Geographic, ell, h)
       case Some(h) => new DatumShifted(inner, ell, h)
       case None => inner
     }
@@ -1491,7 +1510,16 @@ object Crs {
           case c if c == close => done = true; p += 1
           case ',' => p += 1
           case c if c.isLetter =>
-            vals += parseNode()
+            // lookahead: a nested node (NAME[...]) vs a bare enum
+            // keyword (AXIS["Latitude",NORTH] — WKT1_GDAL dialect)
+            val st = p
+            while (p < s.length && (s(p).isLetterOrDigit || s(p) == '_')) p += 1
+            val word = s.substring(st, p)
+            skipWs()
+            if (p < s.length && (s(p) == '[' || s(p) == '(')) {
+              p = st // rewind: parseNode consumes the name itself
+              vals += parseNode()
+            } else vals += word
           case _ =>
             val st = p
             while (p < s.length && s(p) != ',' && s(p) != close) p += 1
@@ -1564,7 +1592,9 @@ object Crs {
       case "lambert_conformal_conic" | "lambert_conformal_conic_1sp" =>
         if (sp2.isDefined)
           new Lcc2sp(ell, lat0, lon0, sp1.getOrElse(lat0), sp2.get, x0, y0)
-        else new Lcc1sp(ell, sp1.getOrElse(lat0), lon0, k0, x0, y0)
+        else new Lcc1sp(ell, sp1.getOrElse(lat0), lon0, k0, x0, y0,
+          Some(if (params.contains("latitude_of_origin") ||
+            params.contains("latitude_of_center")) lat0 else sp1.getOrElse(lat0)))
       case "albers" | "albers_conic_equal_area" =>
         new Albers2sp(ell, lat0, lon0, sp1.getOrElse(0), sp2.getOrElse(0), x0, y0)
       case "lambert_azimuthal_equal_area" => new Laea(ell, lat0, lon0, x0, y0)
@@ -1598,6 +1628,10 @@ object Crs {
 
   def resolve(crsIn: String): System = {
     val trimmed = crsIn.trim
+    // text-form keys are arbitrary user strings (a per-row CRS column
+    // can mint unboundedly many) — bound the cache like the covering
+    // cache does
+    if (cache.size > 4096) cache.clear()
     if (trimmed.startsWith("+"))
       return cache.computeIfAbsent(trimmed, parseProjString(_))
     val upHead = trimmed.take(6).toUpperCase
@@ -1614,12 +1648,15 @@ object Crs {
         val code = c.substring(5).toInt
         if (code >= 32181 && code <= 32197) {
           val zone = code - 32180
-          // Canadian Modified TM: 3° zones, k0 0.9999, FE 304 800 m;
-          // zones 1-2 sit off the 3n grid (Newfoundland)
+          // Canadian Modified TM: 3° zones, k0 0.9999, FE 304 800 m.
+          // Newfoundland zones 1-2 sit off the grid; zones 3-11 run
+          // -58.5° .. -82.5° in 3° steps; the Ontario series 12-17
+          // restarts at -81° (published NRCan/EPSG table)
           val lon0 = zone match {
             case 1 => -53.0
             case 2 => -56.0
-            case z => -49.5 - 3.0 * z
+            case z if z <= 11 => -49.5 - 3.0 * z
+            case z => -81.0 - 3.0 * (z - 12)
           }
           new TransMerc(GRS80, 0.0, lon0, 0.9999, 304800.0, 0.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
@@ -2225,7 +2262,9 @@ object Crs {
         if (code >= 32181 && code <= 32197) {
           val zone = code - 32180
           val lon0 = zone match {
-            case 1 => -53.0; case 2 => -56.0; case z => -49.5 - 3.0 * z
+            case 1 => -53.0; case 2 => -56.0
+            case z if z <= 11 => -49.5 - 3.0 * z
+            case z => -81.0 - 3.0 * (z - 12)
           }
           Some(tmWkt(s"NAD_1983_MTM_$zone", GeogNad83,
             0.0, lon0, 0.9999, 304800.0, 0.0, "Meter", 1.0))

@@ -31,6 +31,10 @@ import graft.functions.Jts
  */
 object TopoJson {
 
+  // one mapper per JVM: readTree is thread-safe, and constructing an
+  // ObjectMapper per decoded member would dominate the per-row work
+  private val mapper = new ObjectMapper()
+
   private val schema = StructType(Seq(
     StructField("layer", StringType), StructField("id", StringType),
     StructField("props", MapType(StringType, StringType)),
@@ -62,7 +66,7 @@ object TopoJson {
   /** Driver-side parse: topology header + per-member JSON snippets
    *  (layer, memberJson) with GeometryCollections flattened. */
   private[graft] def parseTopology(path: String): (Topo, Seq[(String, String)]) = {
-    val root = new ObjectMapper().readTree(new java.io.File(path))
+    val root = mapper.readTree(new java.io.File(path))
     require(root.path("type").asText() == "Topology",
       s"$path: not a TopoJSON file (type=${root.path("type").asText()})")
     val (scale, translate) = {
@@ -106,7 +110,7 @@ object TopoJson {
    *  arc table. */
   private[graft] def decodeMember(topo: Topo, path: String,
       layer: String, json: String): Row = {
-    val m = new ObjectMapper().readTree(json)
+    val m = mapper.readTree(json)
     val helper = new Decoder(topo, path)
     Row(layer, helper.idOf(m), helper.propsOf(m), Jts.write(helper.geomOf(m)))
   }

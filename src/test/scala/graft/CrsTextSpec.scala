@@ -148,6 +148,62 @@ class CrsTextSpec extends AnyFunSuite {
     }
   }
 
+  test("LCC 1SP separates lat_0 (rho0) from lat_1 (cone), PROJ-style") {
+    // natural origin sits at lat_0: forward(lon0, lat_0) == (x_0, y_0)
+    val sys = Crs.resolve("+proj=lcc +lat_1=46.8 +lat_0=40 +lon_0=3 " +
+      "+k_0=0.99987742 +x_0=600000 +y_0=2200000 +ellps=GRS80")
+    val (x, y) = sys.forward(3.0, 40.0)
+    assert(math.abs(x - 600000.0) < 1e-6 && math.abs(y - 2200000.0) < 1e-6,
+      s"1SP origin at lat_0: ($x,$y)")
+    // and the omitted-lat_0 PROJ default (equator) differs by the arc
+    val sys0 = Crs.resolve("+proj=lcc +lat_1=46.8 +lon_0=3 +ellps=GRS80")
+    val (_, y0) = sys0.forward(3.0, 46.8)
+    assert(y0 > 5.0e6, s"rho0 at the equator => big northing at the parallel: $y0")
+    // missing parallels is a clear error, not silent NaN
+    val e = intercept[IllegalArgumentException](
+      Crs.resolve("+proj=lcc +lon_0=3 +ellps=GRS80"))
+    assert(e.getMessage.contains("lat_1"))
+  }
+
+  test("WKT1_GDAL dialect: bare AXIS keywords and AUTHORITY nodes parse") {
+    val wkt = """PROJCS["ETRS89 / UTM zone 32N",GEOGCS["ETRS89",""" +
+      """DATUM["European_Terrestrial_Reference_System_1989",""" +
+      """SPHEROID["GRS 1980",6378137,298.257222101,AUTHORITY["EPSG","7019"]],""" +
+      """AUTHORITY["EPSG","6258"]],PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],""" +
+      """UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],""" +
+      """AXIS["Latitude",NORTH],AXIS["Longitude",EAST],AUTHORITY["EPSG","4258"]],""" +
+      """PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],""" +
+      """PARAMETER["central_meridian",9],PARAMETER["scale_factor",0.9996],""" +
+      """PARAMETER["false_easting",500000],PARAMETER["false_northing",0],""" +
+      """UNIT["metre",1,AUTHORITY["EPSG","9001"]],AXIS["Easting",EAST],""" +
+      """AXIS["Northing",NORTH],AUTHORITY["EPSG","25832"]]"""
+    val a = Crs.resolve(wkt); val b = Crs.resolve("EPSG:25832")
+    Seq((9.0, 50.0), (6.5, 58.0)).foreach { case (lon, lat) =>
+      val (ax, ay) = a.forward(lon, lat); val (bx, by) = b.forward(lon, lat)
+      assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6,
+        s"gdal-dialect wkt at ($lon,$lat): ($ax,$ay) != ($bx,$by)")
+    }
+  }
+
+  test("antimeridian GK zones return normalized longitudes") {
+    val sys = Crs.resolve("EPSG:28432") // Pulkovo GK zone 32, CM 189°E
+    val (x, y) = sys.forward(-173.1, 65.0) // Chukotka, west of the CM
+    val (lon, lat) = sys.inverse(x, y)
+    assert(lon > -180 && lon <= 180, s"unnormalized lon $lon")
+    assert(math.abs(lon - (-173.1)) < 1e-6 && math.abs(lat - 65.0) < 1e-6,
+      s"roundtrip: ($lon,$lat)")
+  }
+
+  test("MTM Ontario series: zones 12-17 restart at -81") {
+    // origin identity pins the published CM table
+    Seq((12, -81.0), (13, -84.0), (17, -96.0), (11, -82.5), (10, -79.5),
+      (1, -53.0), (2, -56.0)).foreach { case (zone, cm) =>
+      val (x, y) = Crs.resolve(s"EPSG:${32180 + zone}").forward(cm, 0.0)
+      assert(math.abs(x - 304800.0) < 1e-6 && math.abs(y) < 1e-6,
+        s"MTM $zone origin at CM $cm: ($x,$y)")
+    }
+  }
+
   test("unsupported text forms raise with a clear pointer") {
     val bad = Seq("+proj=omerc +lat_0=4 +lonc=115", "+nonsense",
       "PROJCS[\"x\",GEOGCS[\"g\",DATUM[\"d\",SPHEROID[\"s\",6378137,298.25]],PRIMEM[\"Greenwich\",0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Robinson\"],UNIT[\"Meter\",1]]")
