@@ -947,8 +947,12 @@ object Bench {
     // rows were cut off in rounds 5-6
     val vs = results.collect { case (k, v) if duck.contains(k) =>
       val d = duck(k)
-      if (d > 0)
-        "\"" + k + "\":" + f"""{"s":$v%.3f,"d":$d%.3f,"r":${v / d}%.2f}"""
+      if (d > 0) {
+        // tiny ratios need more digits — a 300x win must not print 0.00
+        val r = v / d
+        val rTxt = if (r < 0.01) f"$r%.4f" else f"$r%.2f"
+        "\"" + k + "\":" + f"""{"s":$v%.3f,"d":$d%.3f,"r":$rTxt%s}"""
+      }
       else if (d == -1.0) {
         // oracle exceeded the watchdog: report the bound, not silence —
         // the engine under test finished where the oracle did not
