@@ -2208,12 +2208,13 @@ object Crs {
           Some(tmWkt(s"Pulkovo_1942_GK_Zone_$zone", GeogPulkovo42,
             0.0, zone * 6 - 3, 1.0, zone * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
         } else None
-      case c if c.startsWith("EPSG:51") && c.length == 9 =>
+      // range inside the guard: a bare EPSG:51xx prefix would swallow
+      // the Korea 2000 belt literals below
+      case c if c.startsWith("EPSG:51") && c.length == 9 && {
+          val code = c.substring(5).toInt; code >= 5105 && code <= 5130 } =>
         val code = c.substring(5).toInt
-        if (code >= 5105 && code <= 5130)
-          Some(tmWkt(s"ETRS_1989_NTM_Zone_${code - 5100}", GeogEtrs89,
-            58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0, "Meter", 1.0))
-        else None
+        Some(tmWkt(s"ETRS_1989_NTM_Zone_${code - 5100}", GeogEtrs89,
+          58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:39") && c.length == 9 =>
         val code = c.substring(5).toInt
         if (code >= 3942 && code <= 3950) {
@@ -2222,7 +2223,11 @@ object Crs {
             lat0, 3.0, lat0 - 0.75, lat0 + 0.75,
             1700000.0, 1200000.0 + (code - 3942) * 1000000.0, "Meter", 1.0))
         } else None
-      case c if c.startsWith("EPSG:30") && c.length == 9 =>
+      // guard on table membership: a bare EPSG:30xx prefix would
+      // swallow the Monte Mario literals below (match arms do not
+      // fall through when the body returns None)
+      case c if c.startsWith("EPSG:30") && c.length == 9 &&
+          SwerefZones.contains(c.substring(5).toInt) =>
         SwerefZones.get(c.substring(5).toInt).map { lon0 =>
           tmWkt(swerefName(lon0).replace(' ', '_'), GeogSweref99,
             0.0, lon0, 1.0, 150000.0, 0.0, "Meter", 1.0)
