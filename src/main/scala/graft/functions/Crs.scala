@@ -1626,6 +1626,123 @@ object Crs {
     if (unit != 1.0) new Scaled(shifted, unit) else shifted
   }
 
+  /** Derive a proj4 string from WKT1 text (the reverse of
+   *  [[parseWkt1]]'s name mapping) — what st_read_meta's `crs.proj4`
+   *  column carries (the reference fills it via GDAL's OSR export,
+   *  st_read_meta.cpp:26-56). Returns None for projections outside
+   *  the supported set; the result round-trips through
+   *  [[parseProjString]] onto the same transform. */
+  def wktToProj4(wktText: String): Option[String] = {
+    try {
+      val root = parseWktTree(wktText.trim)
+      def fmt(v: Double): String =
+        if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+      def ellpsTokens(a: Double, invF: Double): Seq[String] = {
+        val known = Seq(
+          "WGS84" -> WGS84, "GRS80" -> GRS80, "airy" -> Airy1830,
+          "mod_airy" -> AiryModified, "bessel" -> Bessel1841,
+          "intl" -> International1924, "clrk66" -> Clarke1866,
+          "clrk80ign" -> Clarke1880IGN, "krass" -> Krassowsky1940)
+        val f = if (invF == 0) 0.0 else 1.0 / invF
+        known.find { case (_, e) =>
+          math.abs(e.a - a) < 1e-4 && math.abs(e.f - f) < 1e-12
+        } match {
+          case Some((name, _)) => Seq(s"+ellps=$name")
+          case None => Seq(s"+a=${fmt(a)}", s"+rf=${fmt(invF)}")
+        }
+      }
+      def geogTokens(g: WktNode): (Seq[String], Double) = {
+        val datum = g.child("DATUM").getOrElse(return None.get)
+        val sph = datum.child("SPHEROID").orElse(datum.child("ELLIPSOID"))
+          .getOrElse(return None.get)
+        val dName = datum.str(0).toLowerCase
+        val base =
+          if (dName.contains("wgs_1984") || dName.contains("wgs84")) Seq("+datum=WGS84")
+          else if (dName.contains("north_american_1983")) Seq("+datum=NAD83")
+          else if (dName.contains("north_american_1927")) Seq("+datum=NAD27")
+          else ellpsTokens(sph.dbl(1), sph.dbl(2))
+        val tow = datum.child("TOWGS84").map { t =>
+          val p = t.values.collect { case d: Double => d }
+          s"+towgs84=${p.map(fmt).mkString(",")}"
+        }.toSeq
+        val degPerUnit = g.child("UNIT").map(_.dbl(1) * 180.0 / math.Pi)
+          .map(u => if (math.abs(u - 1.0) < 1e-9) 1.0 else u).getOrElse(1.0)
+        val pmDeg = g.child("PRIMEM").map(_.dbl(1) * degPerUnit).getOrElse(0.0)
+        val pm =
+          if (pmDeg == 0.0) Seq.empty
+          else if (math.abs(pmDeg - ParisLon) < 1e-9) Seq("+pm=paris")
+          else Seq(s"+pm=${pmDeg.toString}")
+        (base ++ tow ++ pm, degPerUnit)
+      }
+      if (root.name == "GEOGCS") {
+        val (g, _) = geogTokens(root)
+        return Some((Seq("+proj=longlat") ++ g :+ "+no_defs").mkString(" "))
+      }
+      if (root.name != "PROJCS") return None
+      val geog = root.child("GEOGCS").getOrElse(return None)
+      val (gTokens, degPerUnit) = geogTokens(geog)
+      val params: Map[String, Double] = root.children("PARAMETER")
+        .map(pn => pn.str(0).toLowerCase -> pn.dbl(1)).toMap
+      def ang(d: Double, names: String*): Double =
+        names.flatMap(params.get).headOption.map(_ * degPerUnit).getOrElse(d)
+      def lin(d: Double, names: String*): Double =
+        names.flatMap(params.get).headOption.getOrElse(d)
+      val unit = root.children("UNIT").lastOption.map(_.dbl(1)).getOrElse(1.0)
+      val lat0 = ang(0, "latitude_of_origin", "latitude_of_center")
+      val lon0 = ang(0, "central_meridian", "longitude_of_origin", "longitude_of_center")
+      val sp1 = params.keySet.find(_ == "standard_parallel_1").map(_ => ang(0, "standard_parallel_1"))
+      val sp2 = params.keySet.find(_ == "standard_parallel_2").map(_ => ang(0, "standard_parallel_2"))
+      val k0 = lin(1.0, "scale_factor")
+      val x0m = lin(0, "false_easting") * unit
+      val y0m = lin(0, "false_northing") * unit
+      val projName = root.child("PROJECTION").map(_.str(0).toLowerCase).getOrElse(return None)
+      val core: Seq[String] = projName match {
+        case "transverse_mercator" | "gauss_kruger" =>
+          Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+        case "lambert_conformal_conic_2sp" =>
+          Seq("+proj=lcc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+            s"+lat_1=${fmt(sp1.getOrElse(lat0))}", s"+lat_2=${fmt(sp2.getOrElse(lat0))}")
+        case "lambert_conformal_conic" | "lambert_conformal_conic_1sp" =>
+          if (sp2.isDefined)
+            Seq("+proj=lcc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+              s"+lat_1=${fmt(sp1.getOrElse(lat0))}", s"+lat_2=${fmt(sp2.get)}")
+          else Seq("+proj=lcc", s"+lat_1=${fmt(sp1.getOrElse(lat0))}",
+            s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}")
+        case "albers" | "albers_conic_equal_area" =>
+          Seq("+proj=aea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+            s"+lat_1=${fmt(sp1.getOrElse(0.0))}", s"+lat_2=${fmt(sp2.getOrElse(0.0))}")
+        case "lambert_azimuthal_equal_area" =>
+          Seq("+proj=laea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}")
+        case "mercator_1sp" =>
+          Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+        case "mercator" | "mercator_2sp" =>
+          Seq("+proj=merc", s"+lon_0=${fmt(lon0)}") ++
+            sp1.map(ts => s"+lat_ts=${fmt(ts)}")
+        case "mercator_auxiliary_sphere" => Seq("+proj=webmerc")
+        case "polar_stereographic_variant_a" =>
+          Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
+            s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+        case "polar_stereographic" | "polar_stereographic_variant_b" =>
+          Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
+            s"+lat_ts=${fmt(sp1.getOrElse(lat0))}", s"+lon_0=${fmt(lon0)}")
+        case "oblique_stereographic" | "double_stereographic" =>
+          Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+        case "hotine_oblique_mercator_azimuth_center" | "swiss_oblique_cylindrical" =>
+          Seq("+proj=somerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}")
+        case "equidistant_cylindrical" | "equirectangular" | "plate_carree" =>
+          Seq("+proj=eqc", s"+lon_0=${fmt(lon0)}")
+        case _ => return None
+      }
+      val units =
+        if (unit == 1.0) Seq("+units=m")
+        else if (math.abs(unit - FtUs) < 1e-9) Seq("+units=us-ft") // .prj literals truncate
+        else if (math.abs(unit - 0.3048) < 1e-9) Seq("+units=ft")
+        else Seq(s"+to_meter=${unit.toString}")
+      Some((core ++ Seq(s"+x_0=${fmt(x0m)}", s"+y_0=${fmt(y0m)}") ++
+        gTokens ++ units :+ "+no_defs").mkString(" "))
+    } catch { case _: Exception => None }
+  }
+
   def resolve(crsIn: String): System = {
     val trimmed = crsIn.trim
     // text-form keys are arbitrary user strings (a per-row CRS column

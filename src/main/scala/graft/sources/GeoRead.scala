@@ -574,8 +574,16 @@ object GeoRead {
     StructField("driver_long_name", StringType),
     StructField("layers", ArrayType(layerStruct))))
 
-  private def crsRow(name: String, auth: String, code: String, wkt: String): Row =
-    Row(name, auth, code, wkt, "", "")
+  private def crsRow(name: String, auth: String, code: String, wkt: String): Row = {
+    // proj4 derives from the WKT when the projection is in the
+    // supported set (reference fills this via GDAL OSR; ours via
+    // Crs.wktToProj4, which round-trips through the proj-string
+    // parser onto the same transform)
+    val proj4 =
+      if (wkt.trim.isEmpty) ""
+      else graft.functions.Crs.wktToProj4(wkt).getOrElse("")
+    Row(name, auth, code, wkt, proj4, "")
+  }
   private def geomField(name: String, typ: String, crs: Row): Row = Row(name, typ, true, crs)
   private def stdField(name: String, typ: String, subtype: String = "",
       width: Long = 0L, precision: Long = 0L, unique: Boolean = false): Row =

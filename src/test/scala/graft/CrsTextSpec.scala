@@ -204,6 +204,46 @@ class CrsTextSpec extends AnyFunSuite {
     }
   }
 
+  test("wktToProj4: derived strings round-trip onto the same transform") {
+    val codes = Seq("EPSG:2263", "EPSG:2232", "EPSG:3978", "EPSG:3338",
+      "EPSG:32661", "EPSG:4087", "EPSG:2154", "EPSG:25832", "EPSG:3857",
+      "EPSG:5186", "EPSG:3946", "EPSG:3011")
+    val probe = Map(
+      "EPSG:2263" -> (-74.0, 40.7), "EPSG:2232" -> (-105.5, 39.0),
+      "EPSG:3978" -> (-95.0, 55.0), "EPSG:3338" -> (-154.0, 62.0),
+      "EPSG:32661" -> (10.0, 78.0), "EPSG:4087" -> (30.0, -20.0),
+      "EPSG:2154" -> (2.35, 48.85), "EPSG:25832" -> (9.5, 50.0),
+      "EPSG:3857" -> (12.5, 41.9), "EPSG:5186" -> (127.0, 37.5),
+      "EPSG:3946" -> (4.5, 45.9), "EPSG:3011" -> (18.2, 59.3))
+    codes.foreach { code =>
+      val wkt = Crs.esriWkt(code).getOrElse(fail(s"no WKT for $code"))
+      val p4 = Crs.wktToProj4(wkt).getOrElse(fail(s"no proj4 for $code"))
+      val (lon, lat) = probe(code)
+      val (ax, ay) = Crs.resolve(p4).forward(lon, lat)
+      val (bx, by) = Crs.resolve(code).forward(lon, lat)
+      assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6,
+        s"$code via '$p4': ($ax,$ay) != ($bx,$by)")
+    }
+    // datum-shifted WKT keeps its TOWGS84 through the conversion
+    val fr = Crs.wktToProj4(Crs.esriWkt("EPSG:31370").get)
+    assert(fr.exists(_.contains("+proj=lcc")))
+  }
+
+  test("st_read_meta emits the derived proj4 for a .prj-bearing source") {
+    val spark = graft.Graft.session("local[2]", 2)
+    val meta = graft.sources.GeoRead.readMeta(spark,
+      "/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp")
+    val crs = meta.selectExpr("layers[0].geometry_fields[0].crs.proj4 AS p4",
+      "layers[0].geometry_fields[0].crs.wkt AS wkt").collect()(0)
+    val p4 = crs.getString(0)
+    assert(p4.startsWith("+proj=lcc"), s"proj4: $p4")
+    assert(p4.contains("+datum=NAD83") && p4.contains("+units=us-ft"), p4)
+    // the derived string resolves and agrees with the WKT it came from
+    val a = Crs.resolve(p4); val b = Crs.resolve(crs.getString(1))
+    val (ax, ay) = a.forward(-74.0, 40.7); val (bx, by) = b.forward(-74.0, 40.7)
+    assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6)
+  }
+
   test("unsupported text forms raise with a clear pointer") {
     val bad = Seq("+proj=omerc +lat_0=4 +lonc=115", "+nonsense",
       "PROJCS[\"x\",GEOGCS[\"g\",DATUM[\"d\",SPHEROID[\"s\",6378137,298.25]],PRIMEM[\"Greenwich\",0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Robinson\"],UNIT[\"Meter\",1]]")
