@@ -1531,217 +1531,158 @@ object Crs {
     parseNode()
   }
 
-  private[functions] def parseWkt1(str: String): System = {
+  /** WKT1 resolves by composing the two text layers: the tree maps to
+   *  a canonical proj4 string ([[wktToProj4Impl]] — ONE place decides
+   *  variant/fallback semantics), and [[parseProjString]] builds the
+   *  System from it. Double.toString round-trips bit-exactly, so the
+   *  composed transform is identical to a direct construction. */
+  private[functions] def parseWkt1(str: String): System =
+    parseProjString(wktToProj4Impl(str))
+
+  /** Derive a proj4 string from WKT1 text — what st_read_meta's
+   *  `crs.proj4` column carries (the reference fills it via GDAL's
+   *  OSR export, st_read_meta.cpp:26-56). None when the projection is
+   *  outside the supported set. */
+  def wktToProj4(wktText: String): Option[String] =
+    try Some(wktToProj4Impl(wktText)) catch { case _: Exception => None }
+
+  private def wktToProj4Impl(wktText: String): String = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"unsupported WKT CRS: $msg")
-    val root = parseWktTree(str)
-    // (ellipsoid, optional shift, prime meridian °, degrees-per-angular-unit)
-    def geogOf(g: WktNode): (Ellipsoid, Option[Helmert], Double, Double) = {
+    val root = parseWktTree(wktText.trim)
+    def fmt(v: Double): String =
+      if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+    def ellpsTokens(a: Double, invF: Double): Seq[String] = {
+      val known = Seq(
+        "WGS84" -> WGS84, "GRS80" -> GRS80, "airy" -> Airy1830,
+        "mod_airy" -> AiryModified, "bessel" -> Bessel1841,
+        "intl" -> International1924, "clrk66" -> Clarke1866,
+        "clrk80ign" -> Clarke1880IGN, "krass" -> Krassowsky1940)
+      val f = if (invF == 0) 0.0 else 1.0 / invF
+      known.find { case (_, e) =>
+        math.abs(e.a - a) < 1e-4 && math.abs(e.f - f) < 1e-12
+      } match {
+        case Some((name, _)) => Seq(s"+ellps=$name")
+        case None => Seq(s"+a=${fmt(a)}", s"+rf=${fmt(invF)}")
+      }
+    }
+    // geog tokens: datum/ellipsoid, TOWGS84 passthrough, prime
+    // meridian; the +datum shorthands are WGS84-frame no-ops ONLY —
+    // NAD27 must NOT map to +datum=NAD27 (that would inject a Helmert
+    // the TOWGS84-less source WKT does not carry)
+    def geogTokens(g: WktNode): (Seq[String], Double) = {
       val datum = g.child("DATUM").getOrElse(fail("GEOGCS without DATUM"))
       val sph = datum.child("SPHEROID").orElse(datum.child("ELLIPSOID"))
         .getOrElse(fail("DATUM without SPHEROID"))
-      val a = sph.dbl(1); val rf = sph.dbl(2)
-      val ell = Ellipsoid(a, if (rf == 0) 0.0 else 1.0 / rf)
-      val shift = datum.child("TOWGS84").map { t =>
-        val p = t.values.collect { case d: Double => d }
-        if (p.length >= 7) Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
-        else if (p.length >= 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
-        else fail("TOWGS84 needs 3 or 7 values")
-      }.filter(_ != Helmert(0, 0, 0, 0, 0, 0, 0))
-      // angular UNIT: radians per unit (degree ≈ 0.01745…, grad for
-      // NTF); a degree unit must convert by EXACTLY 1 — the rounded
-      // 0.0174532925199433 literal times 180/π lands 1 ulp above 1.0,
-      // which pushes a 90° latitude of origin past the pole (NaN in
-      // the pole-origin Belgian Lambert)
+      val dName = datum.str(0).toLowerCase
+      val base =
+        if (dName.contains("wgs_1984") || dName.contains("wgs84")) Seq("+datum=WGS84")
+        else if (dName.contains("north_american_1983")) Seq("+datum=NAD83")
+        else ellpsTokens(sph.dbl(1), sph.dbl(2))
+      val tow = datum.child("TOWGS84").map { t =>
+        val ps = t.values.collect { case d: Double => d }
+        if (ps.length != 3 && ps.length != 7) fail("TOWGS84 needs 3 or 7 values")
+        s"+towgs84=${ps.map(fmt).mkString(",")}"
+      }.toSeq
+      // degree units must convert by EXACTLY 1 (the rounded literal
+      // times 180/pi lands 1 ulp above 1.0 — pole-origin NaN)
       val degPerUnit = g.child("UNIT").map(_.dbl(1) * 180.0 / math.Pi)
         .map(u => if (math.abs(u - 1.0) < 1e-9) 1.0 else u).getOrElse(1.0)
-      val pm = g.child("PRIMEM").map(_.dbl(1) * degPerUnit).getOrElse(0.0)
-      (ell, shift, pm, degPerUnit)
+      val pmDeg = g.child("PRIMEM").map(_.dbl(1) * degPerUnit).getOrElse(0.0)
+      val pm =
+        if (pmDeg == 0.0) Seq.empty
+        else if (math.abs(pmDeg - ParisLon) < 1e-9) Seq("+pm=paris")
+        else Seq(s"+pm=${pmDeg.toString}")
+      (base ++ tow ++ pm, degPerUnit)
     }
     if (root.name == "GEOGCS") {
-      val (ell, shift, _, _) = geogOf(root)
-      val sys = shift.map(h => new DatumShifted(Geographic, ell, h): System)
-        .getOrElse(Geographic)
-      return if (sys.geographic) new XyOrder(sys) else sys
+      val (g, _) = geogTokens(root)
+      return (Seq("+proj=longlat") ++ g :+ "+no_defs").mkString(" ")
     }
     if (root.name != "PROJCS") fail(s"top-level ${root.name} (PROJCS/GEOGCS only)")
     val geog = root.child("GEOGCS").getOrElse(fail("PROJCS without GEOGCS"))
-    val (ell, shift, pm, degPerUnit) = geogOf(geog)
-    val projName = root.child("PROJECTION").map(_.str(0).toLowerCase)
-      .getOrElse(fail("PROJCS without PROJECTION"))
+    val (gTokens, degPerUnit) = geogTokens(geog)
     val params: Map[String, Double] = root.children("PARAMETER")
       .map(pn => pn.str(0).toLowerCase -> pn.dbl(1)).toMap
     def ang(d: Double, names: String*): Double =
       names.flatMap(params.get).headOption.map(_ * degPerUnit).getOrElse(d)
     def lin(d: Double, names: String*): Double =
       names.flatMap(params.get).headOption.getOrElse(d)
-    // linear UNIT (meters per unit); false origins are stated in it
+    // linear UNIT (meters per unit); false origins are stated in it,
+    // proj +x_0/+y_0 are always meters
     val unit = root.children("UNIT").lastOption.map(_.dbl(1)).getOrElse(1.0)
-    val lon0 = pm + ang(0, "central_meridian", "longitude_of_origin", "longitude_of_center")
     val lat0 = ang(0, "latitude_of_origin", "latitude_of_center")
-    val sp1 = params.keySet.find(_ == "standard_parallel_1").map(_ => ang(0, "standard_parallel_1"))
-    val sp2 = params.keySet.find(_ == "standard_parallel_2").map(_ => ang(0, "standard_parallel_2"))
+    val lon0 = ang(0, "central_meridian", "longitude_of_origin", "longitude_of_center")
+    val sp1 = params.get("standard_parallel_1").map(_ * degPerUnit)
+    val sp2 = params.get("standard_parallel_2").map(_ * degPerUnit)
     val k0 = lin(1.0, "scale_factor")
-    val x0 = lin(0, "false_easting") * unit
-    val y0 = lin(0, "false_northing") * unit
-    val inner: System = projName match {
+    val x0m = lin(0, "false_easting") * unit
+    val y0m = lin(0, "false_northing") * unit
+    val projName = root.child("PROJECTION").map(_.str(0).toLowerCase)
+      .getOrElse(fail("PROJCS without PROJECTION"))
+    val core: Seq[String] = projName match {
       case "transverse_mercator" | "gauss_kruger" =>
-        new TransMerc(ell, lat0, lon0, k0, x0, y0)
+        Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
       case "lambert_conformal_conic_2sp" =>
-        new Lcc2sp(ell, lat0, lon0, sp1.getOrElse(lat0), sp2.getOrElse(lat0), x0, y0)
+        Seq("+proj=lcc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+          s"+lat_1=${fmt(sp1.getOrElse(lat0))}", s"+lat_2=${fmt(sp2.getOrElse(lat0))}")
       case "lambert_conformal_conic" | "lambert_conformal_conic_1sp" =>
         if (sp2.isDefined)
-          new Lcc2sp(ell, lat0, lon0, sp1.getOrElse(lat0), sp2.get, x0, y0)
-        else new Lcc1sp(ell, sp1.getOrElse(lat0), lon0, k0, x0, y0,
-          Some(if (params.contains("latitude_of_origin") ||
-            params.contains("latitude_of_center")) lat0 else sp1.getOrElse(lat0)))
-      case "albers" | "albers_conic_equal_area" =>
-        new Albers2sp(ell, lat0, lon0, sp1.getOrElse(0), sp2.getOrElse(0), x0, y0)
-      case "lambert_azimuthal_equal_area" => new Laea(ell, lat0, lon0, x0, y0)
-      case "mercator_1sp" => new Mercator1sp(ell, lon0, k0, x0, y0)
-      case "mercator" | "mercator_2sp" =>
-        val kts = sp1.map { ts =>
-          val t = math.toRadians(ts)
-          math.cos(t) / math.sqrt(1 - ell.e2 * math.sin(t) * math.sin(t))
-        }.getOrElse(k0)
-        new Mercator1sp(ell, lon0, kts, x0, y0)
-      case "mercator_auxiliary_sphere" =>
-        if (x0 != 0 || y0 != 0) fail("Mercator_Auxiliary_Sphere with false origins")
-        WebMercator
-      case "polar_stereographic_variant_a" =>
-        new PolarStereoA(ell, k0, lon0, x0, y0, south = lat0 < 0)
-      case "polar_stereographic" | "polar_stereographic_variant_b" =>
-        if (params.contains("scale_factor") && k0 != 1.0)
-          new PolarStereoA(ell, k0, lon0, x0, y0, south = lat0 < 0)
-        else new PolarStereo(ell, sp1.getOrElse(lat0), lon0, x0, y0)
-      case "oblique_stereographic" | "double_stereographic" =>
-        new ObliqueStereo(ell, lat0, lon0, k0, x0, y0)
-      case "hotine_oblique_mercator_azimuth_center" | "swiss_oblique_cylindrical" =>
-        new SwissOblique(ell, lat0, lon0, x0, y0)
-      case "equidistant_cylindrical" | "equirectangular" | "plate_carree" =>
-        new EquidistCyl(ell, lon0, x0, y0)
-      case other => fail(s"PROJECTION '$other'")
-    }
-    val shifted = shift.map(h => new DatumShifted(inner, ell, h): System).getOrElse(inner)
-    if (unit != 1.0) new Scaled(shifted, unit) else shifted
-  }
-
-  /** Derive a proj4 string from WKT1 text (the reverse of
-   *  [[parseWkt1]]'s name mapping) — what st_read_meta's `crs.proj4`
-   *  column carries (the reference fills it via GDAL's OSR export,
-   *  st_read_meta.cpp:26-56). Returns None for projections outside
-   *  the supported set; the result round-trips through
-   *  [[parseProjString]] onto the same transform. */
-  def wktToProj4(wktText: String): Option[String] = {
-    try {
-      val root = parseWktTree(wktText.trim)
-      def fmt(v: Double): String =
-        if (v == v.toLong.toDouble) v.toLong.toString else v.toString
-      def ellpsTokens(a: Double, invF: Double): Seq[String] = {
-        val known = Seq(
-          "WGS84" -> WGS84, "GRS80" -> GRS80, "airy" -> Airy1830,
-          "mod_airy" -> AiryModified, "bessel" -> Bessel1841,
-          "intl" -> International1924, "clrk66" -> Clarke1866,
-          "clrk80ign" -> Clarke1880IGN, "krass" -> Krassowsky1940)
-        val f = if (invF == 0) 0.0 else 1.0 / invF
-        known.find { case (_, e) =>
-          math.abs(e.a - a) < 1e-4 && math.abs(e.f - f) < 1e-12
-        } match {
-          case Some((name, _)) => Seq(s"+ellps=$name")
-          case None => Seq(s"+a=${fmt(a)}", s"+rf=${fmt(invF)}")
-        }
-      }
-      def geogTokens(g: WktNode): (Seq[String], Double) = {
-        val datum = g.child("DATUM").getOrElse(return None.get)
-        val sph = datum.child("SPHEROID").orElse(datum.child("ELLIPSOID"))
-          .getOrElse(return None.get)
-        val dName = datum.str(0).toLowerCase
-        val base =
-          if (dName.contains("wgs_1984") || dName.contains("wgs84")) Seq("+datum=WGS84")
-          else if (dName.contains("north_american_1983")) Seq("+datum=NAD83")
-          else if (dName.contains("north_american_1927")) Seq("+datum=NAD27")
-          else ellpsTokens(sph.dbl(1), sph.dbl(2))
-        val tow = datum.child("TOWGS84").map { t =>
-          val p = t.values.collect { case d: Double => d }
-          s"+towgs84=${p.map(fmt).mkString(",")}"
-        }.toSeq
-        val degPerUnit = g.child("UNIT").map(_.dbl(1) * 180.0 / math.Pi)
-          .map(u => if (math.abs(u - 1.0) < 1e-9) 1.0 else u).getOrElse(1.0)
-        val pmDeg = g.child("PRIMEM").map(_.dbl(1) * degPerUnit).getOrElse(0.0)
-        val pm =
-          if (pmDeg == 0.0) Seq.empty
-          else if (math.abs(pmDeg - ParisLon) < 1e-9) Seq("+pm=paris")
-          else Seq(s"+pm=${pmDeg.toString}")
-        (base ++ tow ++ pm, degPerUnit)
-      }
-      if (root.name == "GEOGCS") {
-        val (g, _) = geogTokens(root)
-        return Some((Seq("+proj=longlat") ++ g :+ "+no_defs").mkString(" "))
-      }
-      if (root.name != "PROJCS") return None
-      val geog = root.child("GEOGCS").getOrElse(return None)
-      val (gTokens, degPerUnit) = geogTokens(geog)
-      val params: Map[String, Double] = root.children("PARAMETER")
-        .map(pn => pn.str(0).toLowerCase -> pn.dbl(1)).toMap
-      def ang(d: Double, names: String*): Double =
-        names.flatMap(params.get).headOption.map(_ * degPerUnit).getOrElse(d)
-      def lin(d: Double, names: String*): Double =
-        names.flatMap(params.get).headOption.getOrElse(d)
-      val unit = root.children("UNIT").lastOption.map(_.dbl(1)).getOrElse(1.0)
-      val lat0 = ang(0, "latitude_of_origin", "latitude_of_center")
-      val lon0 = ang(0, "central_meridian", "longitude_of_origin", "longitude_of_center")
-      val sp1 = params.keySet.find(_ == "standard_parallel_1").map(_ => ang(0, "standard_parallel_1"))
-      val sp2 = params.keySet.find(_ == "standard_parallel_2").map(_ => ang(0, "standard_parallel_2"))
-      val k0 = lin(1.0, "scale_factor")
-      val x0m = lin(0, "false_easting") * unit
-      val y0m = lin(0, "false_northing") * unit
-      val projName = root.child("PROJECTION").map(_.str(0).toLowerCase).getOrElse(return None)
-      val core: Seq[String] = projName match {
-        case "transverse_mercator" | "gauss_kruger" =>
-          Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
-        case "lambert_conformal_conic_2sp" =>
           Seq("+proj=lcc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
-            s"+lat_1=${fmt(sp1.getOrElse(lat0))}", s"+lat_2=${fmt(sp2.getOrElse(lat0))}")
-        case "lambert_conformal_conic" | "lambert_conformal_conic_1sp" =>
-          if (sp2.isDefined)
-            Seq("+proj=lcc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
-              s"+lat_1=${fmt(sp1.getOrElse(lat0))}", s"+lat_2=${fmt(sp2.get)}")
-          else Seq("+proj=lcc", s"+lat_1=${fmt(sp1.getOrElse(lat0))}",
-            s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}")
-        case "albers" | "albers_conic_equal_area" =>
-          Seq("+proj=aea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
-            s"+lat_1=${fmt(sp1.getOrElse(0.0))}", s"+lat_2=${fmt(sp2.getOrElse(0.0))}")
-        case "lambert_azimuthal_equal_area" =>
-          Seq("+proj=laea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}")
-        case "mercator_1sp" =>
-          Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
-        case "mercator" | "mercator_2sp" =>
-          Seq("+proj=merc", s"+lon_0=${fmt(lon0)}") ++
-            sp1.map(ts => s"+lat_ts=${fmt(ts)}")
-        case "mercator_auxiliary_sphere" => Seq("+proj=webmerc")
-        case "polar_stereographic_variant_a" =>
+            s"+lat_1=${fmt(sp1.getOrElse(lat0))}", s"+lat_2=${fmt(sp2.get)}")
+        else {
+          // 1SP: rho0 reference = latitude of origin when stated,
+          // else the standard parallel (EPSG 9801 puts them together)
+          val sp = sp1.getOrElse(lat0)
+          val lat0Ref =
+            if (params.contains("latitude_of_origin") ||
+              params.contains("latitude_of_center")) lat0 else sp
+          Seq("+proj=lcc", s"+lat_1=${fmt(sp)}", s"+lat_0=${fmt(lat0Ref)}",
+            s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}")
+        }
+      case "albers" | "albers_conic_equal_area" =>
+        Seq("+proj=aea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+          s"+lat_1=${fmt(sp1.getOrElse(0.0))}", s"+lat_2=${fmt(sp2.getOrElse(0.0))}")
+      case "lambert_azimuthal_equal_area" =>
+        Seq("+proj=laea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}")
+      case "mercator_1sp" =>
+        Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+      case "mercator" | "mercator_2sp" =>
+        // standard parallel wins; otherwise the scale factor carries
+        Seq("+proj=merc", s"+lon_0=${fmt(lon0)}") ++
+          sp1.map(ts => s"+lat_ts=${fmt(ts)}").orElse(Some(s"+k=${k0.toString}"))
+      case "mercator_auxiliary_sphere" =>
+        if (x0m != 0 || y0m != 0) fail("Mercator_Auxiliary_Sphere with false origins")
+        Seq("+proj=webmerc")
+      case "polar_stereographic_variant_a" =>
+        Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
+          s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+      case "polar_stereographic" | "polar_stereographic_variant_b" =>
+        // a stated non-unit scale factor means variant A even under
+        // the plain name (GDAL emits EPSG:5041-style WKT this way)
+        if (params.contains("scale_factor") && k0 != 1.0)
           Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
             s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
-        case "polar_stereographic" | "polar_stereographic_variant_b" =>
+        else
           Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
             s"+lat_ts=${fmt(sp1.getOrElse(lat0))}", s"+lon_0=${fmt(lon0)}")
-        case "oblique_stereographic" | "double_stereographic" =>
-          Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
-        case "hotine_oblique_mercator_azimuth_center" | "swiss_oblique_cylindrical" =>
-          Seq("+proj=somerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}")
-        case "equidistant_cylindrical" | "equirectangular" | "plate_carree" =>
-          Seq("+proj=eqc", s"+lon_0=${fmt(lon0)}")
-        case _ => return None
-      }
-      val units =
-        if (unit == 1.0) Seq("+units=m")
-        else if (math.abs(unit - FtUs) < 1e-9) Seq("+units=us-ft") // .prj literals truncate
-        else if (math.abs(unit - 0.3048) < 1e-9) Seq("+units=ft")
-        else Seq(s"+to_meter=${unit.toString}")
-      Some((core ++ Seq(s"+x_0=${fmt(x0m)}", s"+y_0=${fmt(y0m)}") ++
-        gTokens ++ units :+ "+no_defs").mkString(" "))
-    } catch { case _: Exception => None }
+      case "oblique_stereographic" | "double_stereographic" =>
+        Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}")
+      case "hotine_oblique_mercator_azimuth_center" | "swiss_oblique_cylindrical" =>
+        Seq("+proj=somerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}")
+      case "equidistant_cylindrical" | "equirectangular" | "plate_carree" =>
+        Seq("+proj=eqc", s"+lon_0=${fmt(lon0)}")
+      case other => fail(s"PROJECTION '$other'")
+    }
+    val units =
+      if (unit == 1.0) Seq("+units=m")
+      else if (math.abs(unit - FtUs) < 1e-9) Seq("+units=us-ft") // .prj literals truncate
+      else if (math.abs(unit - 0.3048) < 1e-9) Seq("+units=ft")
+      else Seq(s"+to_meter=${unit.toString}")
+    (core ++ Seq(s"+x_0=${fmt(x0m)}", s"+y_0=${fmt(y0m)}") ++
+      gTokens ++ units :+ "+no_defs").mkString(" ")
   }
+
 
   def resolve(crsIn: String): System = {
     val trimmed = crsIn.trim
@@ -2115,7 +2056,18 @@ object Crs {
         else if (code >= 32701 && code <= 32760)
           Some(tmWkt(s"WGS_1984_UTM_Zone_${code - 32700}S", GeogWgs84,
             0.0, (code - 32700) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
-        else None
+        else if (code >= 32181 && code <= 32197) {
+          // Canadian MTM — this broad UTM arm matches the 321xx codes
+          // first, so the MTM WKT lives here (listAll sweep enforces it)
+          val zone = code - 32180
+          val lon0 = zone match {
+            case 1 => -53.0; case 2 => -56.0
+            case z if z <= 11 => -49.5 - 3.0 * z
+            case z => -81.0 - 3.0 * (z - 12)
+          }
+          Some(tmWkt(s"NAD_1983_MTM_$zone", GeogNad83,
+            0.0, lon0, 0.9999, 304800.0, 0.0, "Meter", 1.0))
+        } else None
       case c if c.startsWith("EPSG:269") && c.length == 10 =>
         val code = c.substring(5).toInt
         if (code >= 26901 && code <= 26923)
@@ -2345,10 +2297,9 @@ object Crs {
       // fall through when the body returns None)
       case c if c.startsWith("EPSG:30") && c.length == 9 &&
           SwerefZones.contains(c.substring(5).toInt) =>
-        SwerefZones.get(c.substring(5).toInt).map { lon0 =>
-          tmWkt(swerefName(lon0).replace(' ', '_'), GeogSweref99,
-            0.0, lon0, 1.0, 150000.0, 0.0, "Meter", 1.0)
-        }
+        val lon0 = SwerefZones(c.substring(5).toInt)
+        Some(tmWkt(swerefName(lon0).replace(' ', '_'), GeogSweref99,
+          0.0, lon0, 1.0, 150000.0, 0.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:38") && c.length == 9 =>
         val code = c.substring(5).toInt
         if (code >= 3873 && code <= 3885) {
@@ -2379,18 +2330,6 @@ object Crs {
         0.0, 15.0, 0.9996, 33500000.0, 0.0, "Meter", 1.0))
       case "EPSG:6372" => Some(lccWkt("Mexico_ITRF2008_LCC", GeogMexItrf08,
         12.0, -102.0, 17.5, 29.5, 2500000.0, 0.0, "Meter", 1.0))
-      case c if c.startsWith("EPSG:321") && c.length == 10 =>
-        val code = c.substring(5).toInt
-        if (code >= 32181 && code <= 32197) {
-          val zone = code - 32180
-          val lon0 = zone match {
-            case 1 => -53.0; case 2 => -56.0
-            case z if z <= 11 => -49.5 - 3.0 * z
-            case z => -81.0 - 3.0 * (z - 12)
-          }
-          Some(tmWkt(s"NAD_1983_MTM_$zone", GeogNad83,
-            0.0, lon0, 0.9999, 304800.0, 0.0, "Meter", 1.0))
-        } else None
       case c if c.startsWith("EPSG:53") && c.length == 9 =>
         val code = c.substring(5).toInt
         if (code >= 5344 && code <= 5350) {

@@ -127,9 +127,13 @@ class ShapefileWriteSpec extends SparkSpec {
       assert(graft.functions.Crs.esriWkt(s"${i.authName}:${i.code}").isDefined,
         s"${i.authName}:${i.code}")
     }
-    // parametric UTM families
-    Seq("EPSG:32617", "EPSG:32733", "EPSG:26918").foreach { c =>
-      assert(graft.functions.Crs.esriWkt(c).isDefined, c)
+    // EVERY listed code, parametric families included — a prefix arm
+    // in the esriWkt match whose body returns None silently swallows
+    // later literals (the r11 Monte Mario / Korea shadowing); this
+    // sweep makes any such gap a red test, whatever the arm order
+    graft.functions.Crs.listAll().foreach { row =>
+      val code = s"${row._1}:${row._2}"
+      assert(graft.functions.Crs.esriWkt(code).isDefined, code)
     }
   }
 
