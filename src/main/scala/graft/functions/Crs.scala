@@ -1399,12 +1399,18 @@ object Crs {
           case _ => WGS84
         }
       }
-    val shift: Option[Helmert] = kv.get("towgs84").map { s =>
-      val p = s.split(",").map(_.trim.toDouble)
-      if (p.length == 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
-      else if (p.length == 7) Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
-      else fail("+towgs84 needs 3 or 7 parameters")
-    }.filter(h => h != Helmert(0, 0, 0, 0, 0, 0, 0)).orElse(datum.flatMap(_._2))
+    // An explicitly present +towgs84 is authoritative (PROJ semantics):
+    // an all-zero parameter list is still a REAL shift — the geocentric
+    // roundtrip swaps ellipsoids (tens of meters on intl vs WGS84) — and
+    // it overrides any +datum Helmert rather than falling back to it.
+    val shift: Option[Helmert] =
+      if (kv.contains("towgs84")) kv.get("towgs84").map { s =>
+        val p = s.split(",").map(_.trim.toDouble)
+        if (p.length == 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
+        else if (p.length == 7) Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+        else fail("+towgs84 needs 3 or 7 parameters")
+      }
+      else datum.flatMap(_._2)
 
     // prime meridian: lon_0 is relative to +pm
     val pm = kv.get("pm").map {
@@ -1546,26 +1552,32 @@ object Crs {
   def wktToProj4(wktText: String): Option[String] =
     try Some(wktToProj4Impl(wktText)) catch { case _: Exception => None }
 
+  private def projFmt(v: Double): String =
+    if (v == v.toLong.toDouble) v.toLong.toString else v.toString
+
+  private def ellpsTokens(a: Double, invF: Double): Seq[String] = {
+    val known = Seq(
+      "WGS84" -> WGS84, "GRS80" -> GRS80, "airy" -> Airy1830,
+      "mod_airy" -> AiryModified, "bessel" -> Bessel1841,
+      "intl" -> International1924, "clrk66" -> Clarke1866,
+      "clrk80ign" -> Clarke1880IGN, "krass" -> Krassowsky1940)
+    val f = if (invF == 0) 0.0 else 1.0 / invF
+    known.find { case (_, e) =>
+      math.abs(e.a - a) < 1e-4 && math.abs(e.f - f) < 1e-12
+    } match {
+      case Some((name, _)) => Seq(s"+ellps=$name")
+      case None => Seq(s"+a=${projFmt(a)}", s"+rf=${projFmt(invF)}")
+    }
+  }
+
   private def wktToProj4Impl(wktText: String): String = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"unsupported WKT CRS: $msg")
     val root = parseWktTree(wktText.trim)
-    def fmt(v: Double): String =
-      if (v == v.toLong.toDouble) v.toLong.toString else v.toString
-    def ellpsTokens(a: Double, invF: Double): Seq[String] = {
-      val known = Seq(
-        "WGS84" -> WGS84, "GRS80" -> GRS80, "airy" -> Airy1830,
-        "mod_airy" -> AiryModified, "bessel" -> Bessel1841,
-        "intl" -> International1924, "clrk66" -> Clarke1866,
-        "clrk80ign" -> Clarke1880IGN, "krass" -> Krassowsky1940)
-      val f = if (invF == 0) 0.0 else 1.0 / invF
-      known.find { case (_, e) =>
-        math.abs(e.a - a) < 1e-4 && math.abs(e.f - f) < 1e-12
-      } match {
-        case Some((name, _)) => Seq(s"+ellps=$name")
-        case None => Seq(s"+a=${fmt(a)}", s"+rf=${fmt(invF)}")
-      }
-    }
+    if (root.name == "PROJCRS" || root.name == "GEOGCRS" ||
+        root.name == "GEODCRS" || root.name == "BOUNDCRS")
+      return wkt2ToProj4(root)
+    def fmt(v: Double): String = projFmt(v)
     // geog tokens: datum/ellipsoid, TOWGS84 passthrough, prime
     // meridian; the +datum shorthands are WGS84-frame no-ops ONLY —
     // NAD27 must NOT map to +datum=NAD27 (that would inject a Helmert
@@ -1683,6 +1695,185 @@ object Crs {
       gTokens ++ units :+ "+no_defs").mkString(" ")
   }
 
+  /** WKT2 (ISO 19162, the PROJCRS/GEOGCRS form PROJ >= 6 and QGIS
+   *  emit) onto the same canonical proj4 string WKT1 composes through
+   *  — ONE decision point ([[parseProjString]]) still owns transform
+   *  semantics. Covers PROJCRS/GEOGCRS/GEODCRS plus BOUNDCRS (the
+   *  WKT2 carrier of the towgs84 ballpark transformation). The
+   *  reference accepts these via PROJ (proj/functions.cpp:488-517). */
+  private def wkt2ToProj4(root0: WktNode): String = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported WKT2 CRS: $msg")
+    // BOUNDCRS[SOURCECRS[crs], TARGETCRS[wgs84], ABRIDGEDTRANSFORMATION[...]]
+    val (root, boundTow) =
+      if (root0.name == "BOUNDCRS") {
+        val src = root0.child("SOURCECRS")
+          .flatMap(_.values.collectFirst { case w: WktNode => w })
+          .getOrElse(fail("BOUNDCRS without SOURCECRS"))
+        val tow = root0.child("ABRIDGEDTRANSFORMATION").map { t =>
+          val method = t.child("METHOD").map(_.str(0).toLowerCase).getOrElse("")
+          val ps = t.children("PARAMETER")
+            .map(p => p.str(0).toLowerCase -> p.dbl(1)).toMap
+          def g(n: String): Double = ps.getOrElse(n, 0.0)
+          // abridged scale difference is carried as the ratio M = 1 + dS*1e-6;
+          // coordinate-frame rotations are the position-vector negation
+          val sgn = if (method.contains("coordinate frame")) -1.0 else 1.0
+          val ds = ps.get("scale difference").map(m => (m - 1.0) * 1e6).getOrElse(0.0)
+          val seven = Seq(
+            g("x-axis translation"), g("y-axis translation"), g("z-axis translation"),
+            sgn * g("x-axis rotation"), sgn * g("y-axis rotation"),
+            sgn * g("z-axis rotation"), ds)
+          val p =
+            if (seven.drop(3).forall(_ == 0.0)) seven.take(3) else seven
+          s"+towgs84=${p.map(projFmt).mkString(",")}"
+        }.toSeq
+        (src, tow)
+      } else (root0, Seq.empty[String])
+
+    // unit factors: per-node ANGLEUNIT (radians per unit -> degrees per
+    // unit, snapped so the rounded degree literal converts by EXACTLY 1
+    // — same ulp trap as WKT1) and LENGTHUNIT (metres per unit)
+    def angFactor(n: WktNode): Double =
+      n.child("ANGLEUNIT").orElse(n.child("UNIT")).map { u =>
+        val d = u.dbl(1) * 180.0 / math.Pi
+        if (math.abs(d - 1.0) < 1e-9) 1.0 else d
+      }.getOrElse(1.0)
+    def lenFactor(n: WktNode): Double =
+      n.child("LENGTHUNIT").orElse(n.child("UNIT")).map(_.dbl(1)).getOrElse(1.0)
+
+    def geogTokens2(g: WktNode): Seq[String] = {
+      val datum = g.child("DATUM").orElse(g.child("ENSEMBLE")).orElse(g.child("TRF"))
+        .getOrElse(fail(s"${g.name} without DATUM/ENSEMBLE"))
+      val ell = datum.child("ELLIPSOID").orElse(datum.child("SPHEROID"))
+        .getOrElse(fail("DATUM without ELLIPSOID"))
+      val a = ell.dbl(1) * lenFactor(ell)
+      val invF = ell.dbl(2)
+      val dName = datum.str(0).toLowerCase
+      val base =
+        if (dName.contains("world geodetic system 1984")) Seq("+datum=WGS84")
+        else if (dName.contains("north american datum 1983")) Seq("+datum=NAD83")
+        else ellpsTokens(a, invF)
+      val pmDeg = g.child("PRIMEM").map(p => p.dbl(1) * angFactor(p)).getOrElse(0.0)
+      val pm =
+        if (pmDeg == 0.0) Seq.empty
+        else if (math.abs(pmDeg - ParisLon) < 1e-9) Seq("+pm=paris")
+        else Seq(s"+pm=${pmDeg.toString}")
+      base ++ pm
+    }
+
+    root.name match {
+      case "GEOGCRS" | "GEODCRS" =>
+        (Seq("+proj=longlat") ++ geogTokens2(root) ++ boundTow :+ "+no_defs").mkString(" ")
+      case "PROJCRS" =>
+        val baseGeog = root.child("BASEGEOGCRS").orElse(root.child("BASEGEODCRS"))
+          .getOrElse(fail("PROJCRS without BASEGEOGCRS"))
+        val conv = root.child("CONVERSION").getOrElse(fail("PROJCRS without CONVERSION"))
+        val method = conv.child("METHOD").getOrElse(fail("CONVERSION without METHOD"))
+          .str(0).toLowerCase
+        val pnodes: Map[String, WktNode] = conv.children("PARAMETER")
+          .map(p => p.str(0).toLowerCase -> p).toMap
+        def ang(dflt: Double, names: String*): Double =
+          names.flatMap(pnodes.get).headOption
+            .map(p => p.dbl(1) * angFactor(p)).getOrElse(dflt)
+        def lin(dflt: Double, names: String*): Double =
+          names.flatMap(pnodes.get).headOption
+            .map(p => p.dbl(1) * lenFactor(p)).getOrElse(dflt)
+        def sca(dflt: Double, names: String*): Double =
+          names.flatMap(pnodes.get).headOption.map(_.dbl(1)).getOrElse(dflt)
+        val lat0 = ang(0, "latitude of natural origin", "latitude of origin")
+        val lon0 = ang(0, "longitude of natural origin", "central meridian")
+        val k0 = sca(1.0, "scale factor at natural origin", "scale factor")
+        val x0 = lin(0, "false easting")
+        val y0 = lin(0, "false northing")
+        // false-origin family (lcc 2sp / albers)
+        val latF = ang(0, "latitude of false origin")
+        val lonF = ang(0, "longitude of false origin")
+        val xF = lin(0, "easting at false origin")
+        val yF = lin(0, "northing at false origin")
+        val sp1 = pnodes.get("latitude of 1st standard parallel")
+          .map(p => p.dbl(1) * angFactor(p))
+        val sp2 = pnodes.get("latitude of 2nd standard parallel")
+          .map(p => p.dbl(1) * angFactor(p))
+        def fmt(v: Double) = projFmt(v)
+        val core: Seq[String] = method match {
+          case m if m.contains("transverse mercator") && !m.contains("south") =>
+            Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+              s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("lambert conic conformal") && m.contains("2sp") =>
+            Seq("+proj=lcc", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
+              s"+lat_1=${fmt(sp1.getOrElse(latF))}", s"+lat_2=${fmt(sp2.getOrElse(latF))}",
+              s"+x_0=${fmt(xF)}", s"+y_0=${fmt(yF)}")
+          case m if m.contains("lambert conic conformal") =>
+            // 1SP: natural-origin family; cone follows the origin latitude
+            Seq("+proj=lcc", s"+lat_1=${fmt(lat0)}", s"+lat_0=${fmt(lat0)}",
+              s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("albers") =>
+            Seq("+proj=aea", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
+              s"+lat_1=${fmt(sp1.getOrElse(0.0))}", s"+lat_2=${fmt(sp2.getOrElse(0.0))}",
+              s"+x_0=${fmt(xF)}", s"+y_0=${fmt(yF)}")
+          case m if m.contains("lambert azimuthal equal area") =>
+            Seq("+proj=laea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("hotine oblique mercator (variant b)") =>
+            // Swiss/Hungarian somerc: azimuth 90 at the projection centre
+            val az = ang(0, "azimuth of initial line", "azimuth at projection centre")
+            if (math.abs(az - 90.0) > 1e-9)
+              fail(s"Hotine oblique Mercator with azimuth $az (somerc form only)")
+            val kSom = sca(1.0, "scale factor on initial line",
+              "scale factor at projection centre")
+            if (kSom != 1.0)
+              fail(s"Hotine oblique Mercator with scale $kSom (somerc form only)")
+            Seq("+proj=somerc",
+              s"+lat_0=${fmt(ang(0, "latitude of projection centre"))}",
+              s"+lon_0=${fmt(ang(0, "longitude of projection centre"))}",
+              s"+x_0=${fmt(lin(0, "easting at projection centre"))}",
+              s"+y_0=${fmt(lin(0, "northing at projection centre"))}")
+          case m if m.contains("pseudo mercator") || m.contains("pseudo-mercator") =>
+            Seq("+proj=webmerc")
+          case m if m.contains("mercator (variant a)") =>
+            Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("mercator (variant b)") =>
+            Seq("+proj=merc", s"+lon_0=${fmt(lon0)}",
+              s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("polar stereographic (variant a)") =>
+            Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
+              s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("polar stereographic") =>
+            val ts = ang(lat0, "latitude of standard parallel")
+            val lo = ang(0, "longitude of origin", "longitude of natural origin")
+            Seq("+proj=stere", s"+lat_0=${fmt(if (ts < 0) -90.0 else 90.0)}",
+              s"+lat_ts=${fmt(ts)}", s"+lon_0=${fmt(lo)}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("oblique stereographic") =>
+            Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+              s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("equidistant cylindrical") =>
+            Seq("+proj=eqc", s"+lon_0=${fmt(lon0)}",
+              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case other => fail(s"METHOD '$other'")
+        }
+        // CS unit: a PROJCRS-level LENGTHUNIT after the axes, or the
+        // first axis's own unit (GDAL emits both spellings)
+        val unit = root.child("LENGTHUNIT").map(_.dbl(1))
+          .orElse(root.children("AXIS").headOption.flatMap(a =>
+            a.child("LENGTHUNIT").map(_.dbl(1))))
+          .getOrElse(1.0)
+        val units =
+          if (unit == 1.0) Seq("+units=m")
+          else if (math.abs(unit - FtUs) < 1e-9) Seq("+units=us-ft")
+          else if (math.abs(unit - 0.3048) < 1e-9) Seq("+units=ft")
+          else Seq(s"+to_meter=${unit.toString}")
+        // false origins above are already converted to metres
+        // (lenFactor), so x_0/y_0 stay as emitted by the core arm
+        (core ++ geogTokens2(baseGeog) ++ boundTow ++ units :+ "+no_defs").mkString(" ")
+      case other => fail(s"top-level $other")
+    }
+  }
+
 
   def resolve(crsIn: String): System = {
     val trimmed = crsIn.trim
@@ -1692,8 +1883,10 @@ object Crs {
     if (cache.size > 4096) cache.clear()
     if (trimmed.startsWith("+"))
       return cache.computeIfAbsent(trimmed, parseProjString(_))
-    val upHead = trimmed.take(6).toUpperCase
-    if (upHead.startsWith("PROJCS") || upHead.startsWith("GEOGCS"))
+    val upHead = trimmed.take(8).toUpperCase
+    if (upHead.startsWith("PROJCS") || upHead.startsWith("GEOGCS") ||
+        upHead.startsWith("PROJCRS") || upHead.startsWith("GEOGCRS") ||
+        upHead.startsWith("GEODCRS") || upHead.startsWith("BOUNDCRS"))
       return cache.computeIfAbsent(trimmed, parseWkt1(_))
     val crs = crsIn.trim.toUpperCase
     val cached = cache.get(crs)

@@ -172,6 +172,10 @@ object Ntv2 {
       require(latInc > 0 && lonInc > 0, s"$path/$name: non-positive grid increment")
       val nRows = math.round((nLat - sLat) / latInc).toInt + 1
       val nCols = math.round((wLon - eLon) / lonInc).toInt + 1
+      // a 1-row/1-col subgrid parses consistently but bilinear interp
+      // would clamp to index -1 at query time — reject at parse instead
+      require(nRows >= 2 && nCols >= 2,
+        s"$path/$name: degenerate subgrid ($nRows x $nCols) — need >= 2x2 nodes")
       require(count == nRows * nCols,
         s"$path/$name: GS_COUNT $count != $nRows x $nCols")
       require(count.toLong * 16 <= buf.remaining(),

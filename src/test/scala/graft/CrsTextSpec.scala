@@ -244,6 +244,166 @@ class CrsTextSpec extends AnyFunSuite {
     assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6)
   }
 
+  // --- WKT2 (ISO 19162 / PROJ >= 6 output form) ---------------------------
+
+  private val deg = """ANGLEUNIT["degree",0.0174532925199433]"""
+  private val mtr = """LENGTHUNIT["metre",1]"""
+
+  test("WKT2 PROJCRS: UTM via Transverse Mercator + datum ensemble") {
+    val wkt = s"""PROJCRS["WGS 84 / UTM zone 33N",
+      BASEGEOGCRS["WGS 84",
+        ENSEMBLE["World Geodetic System 1984 ensemble",
+          MEMBER["World Geodetic System 1984 (Transit)"],
+          MEMBER["World Geodetic System 1984 (G2296)"],
+          ELLIPSOID["WGS 84",6378137,298.257223563,$mtr],
+          ENSEMBLEACCURACY[2.0]],
+        PRIMEM["Greenwich",0,$deg],ID["EPSG",4326]],
+      CONVERSION["UTM zone 33N",
+        METHOD["Transverse Mercator",ID["EPSG",9807]],
+        PARAMETER["Latitude of natural origin",0,$deg,ID["EPSG",8801]],
+        PARAMETER["Longitude of natural origin",15,$deg,ID["EPSG",8802]],
+        PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],
+        PARAMETER["False easting",500000,$mtr,ID["EPSG",8806]],
+        PARAMETER["False northing",0,$mtr,ID["EPSG",8807]]],
+      CS[Cartesian,2],
+        AXIS["(E)",east,ORDER[1],$mtr],
+        AXIS["(N)",north,ORDER[2],$mtr],
+      USAGE[SCOPE["Navigation."],AREA["Between 12°E and 18°E."],BBOX[0,12,84,18]],
+      ID["EPSG",32633]]"""
+    parity(wkt, "EPSG:32633", Seq((15.0, 52.0), (12.5, 41.9), (17.9, 59.3)))
+  }
+
+  test("WKT2 PROJCRS: LCC 2SP false-origin parameter family") {
+    val wkt = s"""PROJCRS["RGF93 v1 / Lambert-93",
+      BASEGEOGCRS["RGF93 v1",
+        DATUM["Reseau Geodesique Francais 1993 v1",
+          ELLIPSOID["GRS 1980",6378137,298.257222101,$mtr]],
+        PRIMEM["Greenwich",0,$deg],ID["EPSG",4171]],
+      CONVERSION["Lambert-93",
+        METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+        PARAMETER["Latitude of false origin",46.5,$deg,ID["EPSG",8821]],
+        PARAMETER["Longitude of false origin",3,$deg,ID["EPSG",8822]],
+        PARAMETER["Latitude of 1st standard parallel",49,$deg,ID["EPSG",8823]],
+        PARAMETER["Latitude of 2nd standard parallel",44,$deg,ID["EPSG",8824]],
+        PARAMETER["Easting at false origin",700000,$mtr,ID["EPSG",8826]],
+        PARAMETER["Northing at false origin",6600000,$mtr,ID["EPSG",8827]]],
+      CS[Cartesian,2],AXIS["easting (X)",east,ORDER[1],$mtr],
+        AXIS["northing (Y)",north,ORDER[2],$mtr],ID["EPSG",2154]]"""
+    parity(wkt, "EPSG:2154", Seq((2.35, 48.85), (5.4, 43.3), (-1.55, 47.2)))
+  }
+
+  test("WKT2 PROJCRS: ftUS false origins convert through LENGTHUNIT") {
+    val ftUs = """LENGTHUNIT["US survey foot",0.304800609601219]"""
+    val wkt = s"""PROJCRS["NAD83 / New York Long Island (ftUS)",
+      BASEGEOGCRS["NAD83",
+        DATUM["North American Datum 1983",
+          ELLIPSOID["GRS 1980",6378137,298.257222101,$mtr]],
+        PRIMEM["Greenwich",0,$deg],ID["EPSG",4269]],
+      CONVERSION["SPCS83 New York Long Island zone (US survey feet)",
+        METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+        PARAMETER["Latitude of false origin",40.1666666666667,$deg],
+        PARAMETER["Longitude of false origin",-74,$deg],
+        PARAMETER["Latitude of 1st standard parallel",41.0333333333333,$deg],
+        PARAMETER["Latitude of 2nd standard parallel",40.6666666666667,$deg],
+        PARAMETER["Easting at false origin",984250,$ftUs],
+        PARAMETER["Northing at false origin",0,$ftUs]],
+      CS[Cartesian,2],AXIS["easting (X)",east,ORDER[1],$ftUs],
+        AXIS["northing (Y)",north,ORDER[2],$ftUs],ID["EPSG",2263]]"""
+    parity(wkt, "EPSG:2263", Seq((-74.0, 40.7), (-73.5, 40.9)), tolM = 1e-5)
+  }
+
+  test("WKT2 PROJCRS: somerc and polar stereographic variant B") {
+    val somerc = s"""PROJCRS["CH1903+ / LV95",
+      BASEGEOGCRS["CH1903+",
+        DATUM["CH1903+",ELLIPSOID["Bessel 1841",6377397.155,299.1528128,$mtr]],
+        PRIMEM["Greenwich",0,$deg],ID["EPSG",4150]],
+      CONVERSION["Swiss Oblique Mercator 1995",
+        METHOD["Hotine Oblique Mercator (variant B)",ID["EPSG",9815]],
+        PARAMETER["Latitude of projection centre",46.9524055555556,$deg],
+        PARAMETER["Longitude of projection centre",7.43958333333333,$deg],
+        PARAMETER["Azimuth at projection centre",90,$deg],
+        PARAMETER["Angle from Rectified to Skew Grid",90,$deg],
+        PARAMETER["Scale factor at projection centre",1,SCALEUNIT["unity",1]],
+        PARAMETER["Easting at projection centre",2600000,$mtr],
+        PARAMETER["Northing at projection centre",1200000,$mtr]],
+      CS[Cartesian,2],AXIS["(E)",east,ORDER[1],$mtr],
+        AXIS["(N)",north,ORDER[2],$mtr],ID["EPSG",2056]]"""
+    // the CH1903+ WKT2 carries no ballpark shift, so compare to the
+    // grid-free proj-string twin, not the EPSG entry's towgs84 form
+    parity(somerc,
+      "+proj=somerc +lat_0=46.9524055555556 +lon_0=7.43958333333333 " +
+        "+x_0=2600000 +y_0=1200000 +ellps=bessel",
+      Seq((7.44, 46.95), (8.54, 47.38)))
+    val stere = s"""PROJCRS["WGS 84 / Antarctic Polar Stereographic",
+      BASEGEOGCRS["WGS 84",
+        ENSEMBLE["World Geodetic System 1984 ensemble",
+          MEMBER["World Geodetic System 1984 (Transit)"],
+          ELLIPSOID["WGS 84",6378137,298.257223563,$mtr],
+          ENSEMBLEACCURACY[2.0]],
+        PRIMEM["Greenwich",0,$deg],ID["EPSG",4326]],
+      CONVERSION["Antarctic Polar Stereographic",
+        METHOD["Polar Stereographic (variant B)",ID["EPSG",9829]],
+        PARAMETER["Latitude of standard parallel",-71,$deg,ID["EPSG",8832]],
+        PARAMETER["Longitude of origin",0,$deg,ID["EPSG",8833]],
+        PARAMETER["False easting",0,$mtr],
+        PARAMETER["False northing",0,$mtr]],
+      CS[Cartesian,2],AXIS["(E)",east,ORDER[1],$mtr],
+        AXIS["(N)",north,ORDER[2],$mtr],ID["EPSG",3031]]"""
+    parity(stere, "EPSG:3031", Seq((120.0, -75.0), (-45.0, -80.0)))
+  }
+
+  test("WKT2 GEOGCRS parses; BOUNDCRS carries the towgs84 bridge") {
+    val geog = s"""GEOGCRS["WGS 84",
+      ENSEMBLE["World Geodetic System 1984 ensemble",
+        MEMBER["World Geodetic System 1984 (Transit)"],
+        ELLIPSOID["WGS 84",6378137,298.257223563,$mtr],
+        ENSEMBLEACCURACY[2.0]],
+      PRIMEM["Greenwich",0,$deg],
+      CS[ellipsoidal,2],
+        AXIS["geodetic latitude (Lat)",north,ORDER[1],$deg],
+        AXIS["geodetic longitude (Lon)",east,ORDER[2],$deg],
+      ID["EPSG",4326]]"""
+    val g = Crs.resolve(geog)
+    assert(g.forward(12.5, 41.9) == ((12.5, 41.9)))
+    // BOUNDCRS: OSGB36 BNG + abridged position-vector transformation —
+    // must match the proj-string twin with the same 7 parameters
+    val bound = s"""BOUNDCRS[
+      SOURCECRS[PROJCRS["OSGB36 / British National Grid",
+        BASEGEOGCRS["OSGB36",
+          DATUM["Ordnance Survey of Great Britain 1936",
+            ELLIPSOID["Airy 1830",6377563.396,299.3249646,$mtr]],
+          PRIMEM["Greenwich",0,$deg],ID["EPSG",4277]],
+        CONVERSION["British National Grid",
+          METHOD["Transverse Mercator",ID["EPSG",9807]],
+          PARAMETER["Latitude of natural origin",49,$deg],
+          PARAMETER["Longitude of natural origin",-2,$deg],
+          PARAMETER["Scale factor at natural origin",0.9996012717,SCALEUNIT["unity",1]],
+          PARAMETER["False easting",400000,$mtr],
+          PARAMETER["False northing",-100000,$mtr]],
+        CS[Cartesian,2],AXIS["(E)",east,ORDER[1],$mtr],
+          AXIS["(N)",north,ORDER[2],$mtr],ID["EPSG",27700]]],
+      TARGETCRS[GEOGCRS["WGS 84",
+        ENSEMBLE["World Geodetic System 1984 ensemble",
+          MEMBER["World Geodetic System 1984 (Transit)"],
+          ELLIPSOID["WGS 84",6378137,298.257223563,$mtr],
+          ENSEMBLEACCURACY[2.0]],
+        PRIMEM["Greenwich",0,$deg],ID["EPSG",4326]]],
+      ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84 (9)",
+        METHOD["Position Vector transformation (geog2D domain)",ID["EPSG",9606]],
+        PARAMETER["X-axis translation",446.448,ID["EPSG",8605]],
+        PARAMETER["Y-axis translation",-125.157,ID["EPSG",8606]],
+        PARAMETER["Z-axis translation",542.06,ID["EPSG",8607]],
+        PARAMETER["X-axis rotation",0.15,ID["EPSG",8608]],
+        PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],
+        PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],
+        PARAMETER["Scale difference",0.9999795106,ID["EPSG",8611]]]]"""
+    parity(bound,
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+        "+y_0=-100000 +ellps=airy " +
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.4894",
+      Seq((-1.5, 52.5), (-3.2, 55.95), (0.1, 51.5)), tolM = 1e-3)
+  }
+
   test("unsupported text forms raise with a clear pointer") {
     val bad = Seq("+proj=omerc +lat_0=4 +lonc=115", "+nonsense",
       "PROJCS[\"x\",GEOGCS[\"g\",DATUM[\"d\",SPHEROID[\"s\",6378137,298.25]],PRIMEM[\"Greenwich\",0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Robinson\"],UNIT[\"Meter\",1]]")
