@@ -1710,6 +1710,17 @@ object Crs {
         val src = root0.child("SOURCECRS")
           .flatMap(_.values.collectFirst { case w: WktNode => w })
           .getOrElse(fail("BOUNDCRS without SOURCECRS"))
+        // the ABRIDGEDTRANSFORMATION is only a towgs84 shift when the
+        // hub really is WGS84 — a different TARGETCRS would mis-read it
+        root0.child("TARGETCRS")
+          .flatMap(_.values.collectFirst { case w: WktNode => w })
+          .foreach { tgt =>
+            val datumName = tgt.child("DATUM").orElse(tgt.child("ENSEMBLE"))
+              .map(_.str(0).toLowerCase).getOrElse("")
+            if (!datumName.contains("world geodetic system 1984") &&
+                !tgt.str(0).toLowerCase.contains("wgs 84"))
+              fail("BOUNDCRS target is not WGS84")
+          }
         val tow = root0.child("ABRIDGEDTRANSFORMATION").map { t =>
           val method = t.child("METHOD").map(_.str(0).toLowerCase).getOrElse("")
           val ps = t.children("PARAMETER")
@@ -1799,6 +1810,11 @@ object Crs {
           case m if m.contains("transverse mercator") && !m.contains("south") =>
             Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
               s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+          case m if m.contains("lambert conic conformal") &&
+              (m.contains("belgium") || m.contains("michigan")) =>
+            // EPSG 9803/1051 carry corrections plain 2SP math would
+            // silently drop — fail loudly like other unsupported methods
+            fail(s"METHOD '$m'")
           case m if m.contains("lambert conic conformal") && m.contains("2sp") =>
             Seq("+proj=lcc", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
               s"+lat_1=${fmt(sp1.getOrElse(latF))}", s"+lat_2=${fmt(sp2.getOrElse(latF))}",
@@ -1830,6 +1846,10 @@ object Crs {
               s"+x_0=${fmt(lin(0, "easting at projection centre"))}",
               s"+y_0=${fmt(lin(0, "northing at projection centre"))}")
           case m if m.contains("pseudo mercator") || m.contains("pseudo-mercator") =>
+            // mirror the WKT1 mercator_auxiliary_sphere guard: webmerc
+            // has no natural-origin/false-origin freedom here
+            if (lon0 != 0.0 || x0 != 0.0 || y0 != 0.0)
+              fail(s"Pseudo-Mercator with non-zero origin (lon_0=$lon0 x_0=$x0 y_0=$y0)")
             Seq("+proj=webmerc")
           case m if m.contains("mercator (variant a)") =>
             Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
@@ -1852,7 +1872,10 @@ object Crs {
             Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
               s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
           case m if m.contains("equidistant cylindrical") =>
-            Seq("+proj=eqc", s"+lon_0=${fmt(lon0)}",
+            // thread sp1 through so parseProjString's lat_ts guard
+            // decides (it rejects non-zero) instead of mis-projecting
+            Seq("+proj=eqc", s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
+              s"+lon_0=${fmt(lon0)}",
               s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
           case other => fail(s"METHOD '$other'")
         }

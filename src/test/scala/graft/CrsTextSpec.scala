@@ -404,6 +404,67 @@ class CrsTextSpec extends AnyFunSuite {
       Seq((-1.5, 52.5), (-3.2, 55.95), (0.1, 51.5)), tolM = 1e-3)
   }
 
+  test("WKT2 guards: Belgium/Michigan LCC, eqc lat_ts, webmerc origins, non-WGS84 BOUNDCRS") {
+    def projcrs(method: String, params: String): String =
+      s"""PROJCRS["t",BASEGEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+          ELLIPSOID["WGS 84",6378137,298.257223563,$mtr]],
+        PRIMEM["Greenwich",0,$deg]],
+      CONVERSION["c",METHOD["$method"],$params],
+      CS[Cartesian,2],AXIS["(E)",east,ORDER[1],$mtr],
+        AXIS["(N)",north,ORDER[2],$mtr]]"""
+    // EPSG 9803/1051: silently running plain 2SP math would drop the
+    // Belgium meridian correction / Michigan ellipsoid scaling
+    val belgium = projcrs("Lambert Conic Conformal (2SP Belgium)",
+      s"""PARAMETER["Latitude of false origin",90,$deg],
+        PARAMETER["Longitude of false origin",4.36,$deg],
+        PARAMETER["Latitude of 1st standard parallel",49.83,$deg],
+        PARAMETER["Latitude of 2nd standard parallel",51.17,$deg],
+        PARAMETER["Easting at false origin",150000.01,$mtr],
+        PARAMETER["Northing at false origin",5400088.44,$mtr]""")
+    val michigan = projcrs("Lambert Conic Conformal (2SP Michigan)",
+      s"""PARAMETER["Latitude of false origin",43.32,$deg],
+        PARAMETER["Latitude of 1st standard parallel",44.18,$deg],
+        PARAMETER["Ellipsoid scaling factor",1.0000382,SCALEUNIT["unity",1]]""")
+    // non-zero standard parallel scales eastings by cos(lat_ts) — must
+    // reach parseProjString's guard, not silently project with lat_ts=0
+    val eqcTs = projcrs("Equidistant Cylindrical",
+      s"""PARAMETER["Latitude of 1st standard parallel",30,$deg],
+        PARAMETER["Longitude of natural origin",0,$deg]""")
+    // webmerc has no origin freedom — dropping lon_0 would shift output
+    val webmercLon = projcrs("Popular Visualisation Pseudo Mercator",
+      s"""PARAMETER["Longitude of natural origin",15,$deg],
+        PARAMETER["False easting",0,$mtr]""")
+    val nonWgsBound = s"""BOUNDCRS[
+      SOURCECRS[GEOGCRS["OSGB36",
+        DATUM["Ordnance Survey of Great Britain 1936",
+          ELLIPSOID["Airy 1830",6377563.396,299.3249646,$mtr]],
+        PRIMEM["Greenwich",0,$deg],CS[ellipsoidal,2],
+        AXIS["(Lat)",north,ORDER[1],$deg],AXIS["(Lon)",east,ORDER[2],$deg]]],
+      TARGETCRS[GEOGCRS["ETRS89",
+        DATUM["European Terrestrial Reference System 1989",
+          ELLIPSOID["GRS 1980",6378137,298.257222101,$mtr]],
+        PRIMEM["Greenwich",0,$deg]]],
+      ABRIDGEDTRANSFORMATION["x",
+        METHOD["Geocentric translations (geog2D domain)"],
+        PARAMETER["X-axis translation",446.448]]]"""
+    Seq(belgium, michigan, eqcTs, webmercLon, nonWgsBound).foreach { t =>
+      val e = intercept[IllegalArgumentException](Crs.resolve(t))
+      assert(e.getMessage.contains("unsupported"), s"${e.getMessage}")
+    }
+    // zero-valued lat_ts / origins still pass through the same arms
+    val eqcZero = projcrs("Equidistant Cylindrical",
+      s"""PARAMETER["Latitude of 1st standard parallel",0,$deg],
+        PARAMETER["Longitude of natural origin",0,$deg]""")
+    val (ex, _) = Crs.resolve(eqcZero).forward(90.0, 0.0)
+    assert(math.abs(ex - 6378137.0 * math.Pi / 2) < 1.0, ex.toString)
+    val webmercZero = projcrs("Popular Visualisation Pseudo Mercator",
+      s"""PARAMETER["Longitude of natural origin",0,$deg],
+        PARAMETER["False easting",0,$mtr]""")
+    val (wx, _) = Crs.resolve(webmercZero).forward(90.0, 0.0)
+    assert(math.abs(wx - 6378137.0 * math.Pi / 2) < 1.0, wx.toString)
+  }
+
   test("unsupported text forms raise with a clear pointer") {
     val bad = Seq("+proj=omerc +lat_0=4 +lonc=115", "+nonsense",
       "PROJCS[\"x\",GEOGCS[\"g\",DATUM[\"d\",SPHEROID[\"s\",6378137,298.25]],PRIMEM[\"Greenwich\",0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Robinson\"],UNIT[\"Meter\",1]]")
