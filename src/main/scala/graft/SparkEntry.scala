@@ -464,6 +464,51 @@ object SparkEntry {
     """PARAMETER["Central_Meridian",0],PARAMETER["Standard_Parallel_1",52],""" +
     """PARAMETER["Scale_Factor",0.99987742],PARAMETER["Latitude_Of_Origin",52],""" +
     """UNIT["Meter",1]]"""
+  // WKT2 (ISO 19162) twins for the driver-side certification: the same
+  // Lambert-93 text CrsTextSpec proves, plus a BOUNDCRS carrying the
+  // OSGB36 abridged position-vector transformation (reference accepts
+  // both via PROJ: spatial/src/spatial/proj/functions.cpp:488-517)
+  private val Lambert93Wkt2: String =
+    """PROJCRS["RGF93 v1 / Lambert-93",BASEGEOGCRS["RGF93 v1",""" +
+    """DATUM["Reseau Geodesique Francais 1993 v1",""" +
+    """ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]],""" +
+    """PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],""" +
+    """CONVERSION["Lambert-93",METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],""" +
+    """PARAMETER["Latitude of false origin",46.5,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """PARAMETER["Longitude of false origin",3,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """PARAMETER["Latitude of 1st standard parallel",49,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """PARAMETER["Latitude of 2nd standard parallel",44,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """PARAMETER["Easting at false origin",700000,LENGTHUNIT["metre",1]],""" +
+    """PARAMETER["Northing at false origin",6600000,LENGTHUNIT["metre",1]]],""" +
+    """CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],""" +
+    """AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],ID["EPSG",2154]]"""
+  private val BngBoundWkt2: String =
+    """BOUNDCRS[SOURCECRS[PROJCRS["OSGB36 / British National Grid",""" +
+    """BASEGEOGCRS["OSGB36",DATUM["Ordnance Survey of Great Britain 1936",""" +
+    """ELLIPSOID["Airy 1830",6377563.396,299.3249646,LENGTHUNIT["metre",1]]],""" +
+    """PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],""" +
+    """CONVERSION["British National Grid",METHOD["Transverse Mercator",ID["EPSG",9807]],""" +
+    """PARAMETER["Latitude of natural origin",49,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """PARAMETER["Longitude of natural origin",-2,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """PARAMETER["Scale factor at natural origin",0.9996012717,SCALEUNIT["unity",1]],""" +
+    """PARAMETER["False easting",400000,LENGTHUNIT["metre",1]],""" +
+    """PARAMETER["False northing",-100000,LENGTHUNIT["metre",1]]],""" +
+    """CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],""" +
+    """AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],ID["EPSG",27700]]],""" +
+    """TARGETCRS[GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",""" +
+    """MEMBER["World Geodetic System 1984 (Transit)"],""" +
+    """ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],""" +
+    """ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],""" +
+    """ID["EPSG",4326]]],""" +
+    """ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84 (9)",""" +
+    """METHOD["Position Vector transformation (geog2D domain)",ID["EPSG",9606]],""" +
+    """PARAMETER["X-axis translation",446.448,ID["EPSG",8605]],""" +
+    """PARAMETER["Y-axis translation",-125.157,ID["EPSG",8606]],""" +
+    """PARAMETER["Z-axis translation",542.06,ID["EPSG",8607]],""" +
+    """PARAMETER["X-axis rotation",0.15,ID["EPSG",8608]],""" +
+    """PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],""" +
+    """PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],""" +
+    """PARAMETER["Scale difference",0.9999795106,ID["EPSG",8611]]]]"""
   private val LonLat3577 =
     ("(115.0 + CAST(c_custkey % 350 AS DOUBLE) / 10.0)", "(-40.0 + CAST(c_custkey % 280 AS DOUBLE) / 10.0)")
   private val LonLat3395 =
@@ -896,7 +941,15 @@ object SparkEntry {
            'EPSG:4326', '+proj=lcc +lat_0=40.1666666666667 +lon_0=-74 +lat_1=40.6666666666667 +lat_2=41.0333333333333 +x_0=300000 +y_0=0 +ellps=GRS80 +units=us-ft', true)), 4) AS nx,
          round(ST_Y(ST_Transform(ST_Point(-74.5 + CAST(c_custkey % 100 AS DOUBLE) / 100.0,
            40.4 + CAST(c_custkey % 70 AS DOUBLE) / 100.0),
-           'EPSG:4326', '+proj=lcc +lat_0=40.1666666666667 +lon_0=-74 +lat_1=40.6666666666667 +lat_2=41.0333333333333 +x_0=300000 +y_0=0 +ellps=GRS80 +units=us-ft', true)), 4) AS ny
+           'EPSG:4326', '+proj=lcc +lat_0=40.1666666666667 +lon_0=-74 +lat_1=40.6666666666667 +lat_2=41.0333333333333 +x_0=300000 +y_0=0 +ellps=GRS80 +units=us-ft', true)), 4) AS ny,
+         round(ST_X(ST_Transform(ST_Point(${LonLat2154._1}, ${LonLat2154._2}),
+           'EPSG:4326', '$Lambert93Wkt2', true)), 4) AS wx,
+         round(ST_Y(ST_Transform(ST_Point(${LonLat2154._1}, ${LonLat2154._2}),
+           'EPSG:4326', '$Lambert93Wkt2', true)), 4) AS wy,
+         round(ST_X(ST_Transform(ST_Point(${LonLat27700._1}, ${LonLat27700._2}),
+           'EPSG:4326', '$BngBoundWkt2', true)), 4) AS bgx,
+         round(ST_Y(ST_Transform(ST_Point(${LonLat27700._1}, ${LonLat27700._2}),
+           'EPSG:4326', '$BngBoundWkt2', true)), 4) AS bgy
          FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
 
     // radius-bounded KNN join (grid dwithin blocking + bounded top-k
@@ -3604,12 +3657,23 @@ object SparkEntry {
     // constants — the proj-string engine path constructs the identical
     // Lcc2sp the EPSG:2263 twin uses, so both sides reduce to the
     // proven pair
+    // wx/wy: the WKT2 Lambert-93 PROJCRS — the parser passes the
+    // PARAMETER order (sp1=49, sp2=44) into Lcc2sp, so the constants
+    // here use that order too (nCone is swap-exact in IEEE; bigF isn't)
+    val (nW, aFW, rho0W) = lcc2spConsts(grs, 46.5, 49.0, 44.0)
     s"""WITH pts AS (SELECT c_custkey FROM customer WHERE c_custkey <= 250),
        su AS (SELECT c_custkey, ${LonLat25832._1} AS lon, ${LonLat25832._2} AS lat FROM pts),
        ${tmOracleCtes("tu", "su", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        sfr AS (SELECT c_custkey, ${LonLat27572._1} AS lon, ${LonLat27572._2} AS lat FROM pts),
        ${helmertCtes("fr", "sfr", clarke, -168.0, -60.0, 320.0, 0.0, 0.0, 0.0, 0.0)},
        ${lccOracleCtes("fr", "sfrl", clarke, n1, aFk1, rho01, parisDeg, 600000.0, 2200000.0)},
+       sw2 AS (SELECT c_custkey, ${LonLat2154._1} AS lon, ${LonLat2154._2} AS lat FROM pts),
+       ${lccOracleCtes("w2", "sw2", grs, nW, aFW, rho0W, 3.0, 700000.0, 6600000.0)},
+       sbg AS (SELECT c_custkey, ${LonLat27700._1} AS lon, ${LonLat27700._2} AS lat FROM pts),
+       ${helmertCtes("bg", "sbg", graft.functions.Crs.Airy1830,
+           446.448, -125.157, 542.06, 0.15, 0.247, 0.842, (0.9999795106 - 1.0) * 1e6)},
+       ${tmOracleCtes("tbg", "sbgl", graft.functions.Crs.Airy1830,
+           49.0, -2.0, 0.9996012717, 400000.0, -100000.0)},
        e AS (
          SELECT 6378137.0 AS a,
                 (1.0/298.257222101) * (2.0 - 1.0/298.257222101) AS e2,
@@ -3645,10 +3709,13 @@ object SparkEntry {
        SELECT p.c_custkey,
          round(tuo.x, 4) AS ux, round(tuo.y, 4) AS uy,
          round(ofr.x, 4) AS fx, round(ofr.y, 4) AS fy,
-         ony.nx AS nx, ony.ny AS ny
+         ony.nx AS nx, ony.ny AS ny,
+         round(ow2.x, 4) AS wx, round(ow2.y, 4) AS wy,
+         round(tbgo.x, 4) AS bgx, round(tbgo.y, 4) AS bgy
        FROM pts p
        JOIN tuo USING (c_custkey) JOIN ofr USING (c_custkey)
        JOIN ony USING (c_custkey)
+       LEFT JOIN ow2 USING (c_custkey) LEFT JOIN tbgo USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 
