@@ -3102,7 +3102,9 @@ object SparkEntry {
       """SELECT driver_short_name AS drv, l.name AS layer, l.feature_count AS fcount,
          l.geometry_fields[0].name AS gname, l.geometry_fields[0].type AS gtype,
          l.geometry_fields[0].crs.auth_name AS crs_auth, l.geometry_fields[0].crs.auth_code AS crs_code,
-         size(l.fields) AS nfields
+         size(l.fields) AS nfields,
+         get_json_object(l.geometry_fields[0].crs.projjson, '$.type') AS pj_type,
+         get_json_object(l.geometry_fields[0].crs.projjson, '$.conversion.method.id.code') AS pj_method
          FROM (
            SELECT * FROM st_read_meta('/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp')
            UNION ALL SELECT * FROM st_read_meta('/root/repo/src/test/resources/sample.gpkg')
@@ -6680,13 +6682,17 @@ object SparkEntry {
       // export of the same file (q_src_fgb)
       "q_read_meta" ->
         """SELECT drv, layer, CAST(fcount AS BIGINT) AS fcount, gname, gtype,
-             crs_auth, crs_code, nfields
+             crs_auth, crs_code, nfields, pj_type, pj_method
            FROM (VALUES
-             ('flatgeobuf', 'roads', 21648, 'geom', 'LineString', 'EPSG', '3857', 1),
-             ('geopackage', 'lines', 10, 'geom', 'LINESTRING', '', '4326', 2),
-             ('geopackage', 'pts', 3001, 'geom', 'POINT', '', '4326', 5),
-             ('shapefile', 'taxi_zones', 263, 'geom', 'Polygon', '', '', 6)
-           ) v(drv, layer, fcount, gname, gtype, crs_auth, crs_code, nfields)
+             ('flatgeobuf', 'roads', 21648, 'geom', 'LineString', 'EPSG', '3857', 1,
+              'ProjectedCRS', '1024'),
+             ('geopackage', 'lines', 10, 'geom', 'LINESTRING', '', '4326', 2,
+              'GeographicCRS', CAST(NULL AS VARCHAR)),
+             ('geopackage', 'pts', 3001, 'geom', 'POINT', '', '4326', 5,
+              'GeographicCRS', CAST(NULL AS VARCHAR)),
+             ('shapefile', 'taxi_zones', 263, 'geom', 'Polygon', '', '', 6,
+              'ProjectedCRS', '9802')
+           ) v(drv, layer, fcount, gname, gtype, crs_auth, crs_code, nfields, pj_type, pj_method)
            ORDER BY drv, layer""",
 
       // independent recomputation: scan the files the engine only

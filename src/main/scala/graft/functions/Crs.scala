@@ -1552,6 +1552,194 @@ object Crs {
   def wktToProj4(wktText: String): Option[String] =
     try Some(wktToProj4Impl(wktText)) catch { case _: Exception => None }
 
+  /** PROJJSON (PROJ's JSON CRS encoding, proj.org/schemas) derived
+   *  from a proj4 string — what st_read_meta's `crs.projjson` column
+   *  carries (the reference fills it via GDAL OSR,
+   *  gdal/functions/st_read_meta.cpp:26-91). Composes through the
+   *  SAME proj-string tokens [[parseProjString]] consumes, so the
+   *  JSON can never describe a different transform than the engine
+   *  runs. None when the projection is outside the supported set. */
+  def proj4ToProjJson(proj4: String): Option[String] =
+    try Some(projJsonImpl(proj4)) catch { case _: Exception => None }
+
+  def wktToProjJson(wktText: String): Option[String] =
+    wktToProj4(wktText).flatMap(proj4ToProjJson)
+
+  private def projJsonImpl(proj4: String): String = {
+    val kv = scala.collection.mutable.LinkedHashMap[String, String]()
+    proj4.trim.split("\\s+").foreach { tok =>
+      if (tok.startsWith("+")) {
+        val body = tok.substring(1)
+        val i = body.indexOf('=')
+        if (i < 0) kv(body.toLowerCase) = ""
+        else kv(body.substring(0, i).toLowerCase) = body.substring(i + 1)
+      }
+    }
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"no PROJJSON form: $msg")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    def jnum(v: Double): String =
+      if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    def num(k: String, dflt: Double): Double =
+      kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val proj = kv.getOrElse("proj", fail("missing +proj"))
+
+    // datum/ellipsoid resolution mirrors parseProjString
+    val datum = kv.get("datum").flatMap(datumByName)
+    val ell: Ellipsoid = datum.map(_._1)
+      .orElse(kv.get("ellps").flatMap(ellpsByName))
+      .getOrElse {
+        (kv.get("a"), kv.get("b"), kv.get("rf")) match {
+          case (Some(a), Some(b), _) =>
+            val av = a.toDouble; Ellipsoid(av, (av - b.toDouble) / av)
+          case (Some(a), None, Some(rf)) =>
+            val r = rf.toDouble; Ellipsoid(a.toDouble, if (r == 0) 0.0 else 1.0 / r)
+          case (Some(a), None, None) => Ellipsoid(a.toDouble, 0.0)
+          case _ => WGS84
+        }
+      }
+    val ellName = Seq(
+      "WGS 84" -> WGS84, "GRS 1980" -> GRS80, "Airy 1830" -> Airy1830,
+      "Airy Modified 1849" -> AiryModified, "Bessel 1841" -> Bessel1841,
+      "International 1924" -> International1924, "Clarke 1866" -> Clarke1866,
+      "Clarke 1880 (IGN)" -> Clarke1880IGN, "Krassowsky 1940" -> Krassowsky1940)
+      .find { case (_, e) =>
+        math.abs(e.a - ell.a) < 1e-4 && math.abs(e.f - ell.f) < 1e-12
+      }.map(_._1).getOrElse("unknown")
+    val datumName = kv.get("datum").map(_.toLowerCase) match {
+      case Some("wgs84") => "World Geodetic System 1984"
+      case Some("nad83") => "North American Datum 1983"
+      case Some("nad27") => "North American Datum 1927"
+      case Some("osgb36") => "Ordnance Survey of Great Britain 1936"
+      case Some("potsdam") => "Deutsches Hauptdreiecksnetz"
+      case Some("ire65") => "TM65"
+      case Some("ntf") => "Nouvelle Triangulation Francaise"
+      case _ =>
+        if (ellName == "unknown") "unknown"
+        else s"Unknown based on $ellName ellipsoid"
+    }
+    val ellJson =
+      if (ell.f == 0.0)
+        s"""{"name":"${esc(ellName)}","radius":${jnum(ell.a)}}"""
+      else
+        s"""{"name":"${esc(ellName)}","semi_major_axis":${jnum(ell.a)},"inverse_flattening":${jnum(if (ell.f == 0) 0 else 1.0 / ell.f)}}"""
+    val pmDeg = kv.get("pm").map {
+      case p if p.equalsIgnoreCase("paris") => ParisLon
+      case p if p.equalsIgnoreCase("greenwich") => 0.0
+      case p => p.toDouble
+    }.getOrElse(0.0)
+    val pmJson =
+      if (pmDeg == 0.0) ""
+      else s""","prime_meridian":{"name":"${if (math.abs(pmDeg - ParisLon) < 1e-9) "Paris" else "unknown"}","longitude":${jnum(pmDeg)}}"""
+    val geogJson =
+      s"""{"type":"GeographicCRS","name":"${esc(datumName)}","datum":{"type":"GeodeticReferenceFrame","name":"${esc(datumName)}","ellipsoid":$ellJson$pmJson},"coordinate_system":{"subtype":"ellipsoidal","axis":[{"name":"Longitude","abbreviation":"lon","direction":"east","unit":"degree"},{"name":"Latitude","abbreviation":"lat","direction":"north","unit":"degree"}]}}"""
+    val schema = """"$schema":"https://proj.org/schemas/v0.7/projjson.schema.json""""
+    if (proj.toLowerCase == "longlat" || proj.toLowerCase == "latlong" ||
+        proj.toLowerCase == "lonlat")
+      return s"""{$schema,${geogJson.substring(1)}"""
+
+    // projected: method name + EPSG parameter names per family
+    val lat0 = num("lat_0", 0.0); val lon0 = num("lon_0", 0.0)
+    val k0 = kv.get("k_0").orElse(kv.get("k")).map(_.toDouble).getOrElse(1.0)
+    val x0 = num("x_0", 0.0); val y0 = num("y_0", 0.0)
+    type P = (String, Double, String) // name, value, unit
+    def nat(extra: Seq[P] = Seq.empty): Seq[P] = Seq(
+      ("Latitude of natural origin", lat0, "degree"),
+      ("Longitude of natural origin", lon0, "degree")) ++ extra ++ Seq(
+      ("False easting", x0, "metre"),
+      ("False northing", y0, "metre"))
+    val scaleP: P = ("Scale factor at natural origin", k0, "unity")
+    val (methodName, methodCode, params): (String, Int, Seq[P]) =
+      proj.toLowerCase match {
+        case "tmerc" | "etmerc" =>
+          ("Transverse Mercator", 9807, nat(Seq(scaleP)))
+        case "utm" =>
+          val z = kv.getOrElse("zone", fail("+proj=utm needs +zone")).toInt
+          ("Transverse Mercator", 9807, Seq(
+            ("Latitude of natural origin", 0.0, "degree"),
+            ("Longitude of natural origin", (z * 6 - 183).toDouble, "degree"),
+            ("Scale factor at natural origin", 0.9996, "unity"),
+            ("False easting", 500000.0, "metre"),
+            ("False northing", if (kv.contains("south")) 10000000.0 else 0.0, "metre")))
+        case "lcc" if kv.contains("lat_2") =>
+          ("Lambert Conic Conformal (2SP)", 9802, Seq(
+            ("Latitude of false origin", lat0, "degree"),
+            ("Longitude of false origin", lon0, "degree"),
+            ("Latitude of 1st standard parallel", num("lat_1", lat0), "degree"),
+            ("Latitude of 2nd standard parallel", num("lat_2", lat0), "degree"),
+            ("Easting at false origin", x0, "metre"),
+            ("Northing at false origin", y0, "metre")))
+        case "lcc" =>
+          ("Lambert Conic Conformal (1SP)", 9801, Seq(
+            ("Latitude of natural origin", num("lat_1", lat0), "degree"),
+            ("Longitude of natural origin", lon0, "degree"),
+            ("Scale factor at natural origin", k0, "unity"),
+            ("False easting", x0, "metre"),
+            ("False northing", y0, "metre")))
+        case "aea" =>
+          ("Albers Equal Area", 9822, Seq(
+            ("Latitude of false origin", lat0, "degree"),
+            ("Longitude of false origin", lon0, "degree"),
+            ("Latitude of 1st standard parallel", num("lat_1", 0.0), "degree"),
+            ("Latitude of 2nd standard parallel", num("lat_2", 0.0), "degree"),
+            ("Easting at false origin", x0, "metre"),
+            ("Northing at false origin", y0, "metre")))
+        case "laea" =>
+          ("Lambert Azimuthal Equal Area", 9820, nat())
+        case "webmerc" =>
+          ("Popular Visualisation Pseudo Mercator", 1024, nat())
+        case "merc" if kv.contains("lat_ts") =>
+          ("Mercator (variant B)", 9805, Seq(
+            ("Latitude of 1st standard parallel", num("lat_ts", 0.0), "degree"),
+            ("Longitude of natural origin", lon0, "degree"),
+            ("False easting", x0, "metre"),
+            ("False northing", y0, "metre")))
+        case "merc" =>
+          ("Mercator (variant A)", 9804, nat(Seq(scaleP)))
+        case "stere" if kv.contains("lat_ts") =>
+          ("Polar Stereographic (variant B)", 9829, Seq(
+            ("Latitude of standard parallel", num("lat_ts", 0.0), "degree"),
+            ("Longitude of origin", lon0, "degree"),
+            ("False easting", x0, "metre"),
+            ("False northing", y0, "metre")))
+        case "stere" =>
+          ("Polar Stereographic (variant A)", 9810, nat(Seq(scaleP)))
+        case "sterea" =>
+          ("Oblique Stereographic", 9809, nat(Seq(scaleP)))
+        case "somerc" =>
+          ("Hotine Oblique Mercator (variant B)", 9815, Seq(
+            ("Latitude of projection centre", lat0, "degree"),
+            ("Longitude of projection centre", lon0, "degree"),
+            ("Azimuth at projection centre", 90.0, "degree"),
+            ("Angle from Rectified to Skew Grid", 90.0, "degree"),
+            ("Scale factor at projection centre", k0, "unity"),
+            ("Easting at projection centre", x0, "metre"),
+            ("Northing at projection centre", y0, "metre")))
+        case "eqc" =>
+          ("Equidistant Cylindrical", 1028, Seq(
+            ("Latitude of 1st standard parallel", num("lat_ts", 0.0), "degree"),
+            ("Longitude of natural origin", lon0, "degree"),
+            ("False easting", x0, "metre"),
+            ("False northing", y0, "metre")))
+        case other => fail(s"+proj=$other")
+      }
+    val paramJson = params.map { case (n, v, u) =>
+      s"""{"name":"${esc(n)}","value":${jnum(v)},"unit":"$u"}"""
+    }.mkString(",")
+    // +units / +to_meter describe the CS axis unit
+    val (unitName, unitFactor) = kv.get("units").map {
+      case "m" => ("metre", 1.0)
+      case "us-ft" => ("US survey foot", FtUs)
+      case "ft" => ("foot", 0.3048)
+      case u => (u, kv.get("to_meter").map(_.toDouble).getOrElse(1.0))
+    }.getOrElse(kv.get("to_meter").map(t => ("unknown", t.toDouble)).getOrElse(("metre", 1.0)))
+    val unitJson =
+      if (unitFactor == 1.0) s""""$unitName""""
+      else s"""{"type":"LinearUnit","name":"${esc(unitName)}","conversion_factor":${jnum(unitFactor)}}"""
+    s"""{$schema,"type":"ProjectedCRS","name":"unknown","base_crs":$geogJson,"conversion":{"name":"unknown","method":{"name":"${esc(methodName)}","id":{"authority":"EPSG","code":$methodCode}},"parameters":[$paramJson]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"Easting","abbreviation":"E","direction":"east","unit":$unitJson},{"name":"Northing","abbreviation":"N","direction":"north","unit":$unitJson}]}}"""
+  }
+
   private def projFmt(v: Double): String =
     if (v == v.toLong.toDouble) v.toLong.toString else v.toString
 

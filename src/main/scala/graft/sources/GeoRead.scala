@@ -580,9 +580,18 @@ object GeoRead {
     // Crs.wktToProj4, which round-trips through the proj-string
     // parser onto the same transform)
     val proj4 =
-      if (wkt.trim.isEmpty) ""
-      else graft.functions.Crs.wktToProj4(wkt).getOrElse("")
-    Row(name, auth, code, wkt, proj4, "")
+      if (wkt.trim.nonEmpty) graft.functions.Crs.wktToProj4(wkt).getOrElse("")
+      // code-only sources (gpkg srs_id, geojson default): the canonical
+      // proj4 for the ubiquitous codes, like OSR exporting from EPSG
+      else if (code == "4326" || name == "WGS 84") "+proj=longlat +datum=WGS84 +no_defs"
+      else if (code == "3857" || code == "900913") "+proj=webmerc +datum=WGS84 +units=m +no_defs"
+      else ""
+    // projjson composes through the same proj4 the transform engine
+    // parses (reference fills both via GDAL OSR, st_read_meta.cpp:26-91)
+    val projjson =
+      if (proj4.isEmpty) ""
+      else graft.functions.Crs.proj4ToProjJson(proj4).getOrElse("")
+    Row(name, auth, code, wkt, proj4, projjson)
   }
   private def geomField(name: String, typ: String, crs: Row): Row = Row(name, typ, true, crs)
   private def stdField(name: String, typ: String, subtype: String = "",
