@@ -2971,6 +2971,23 @@ object SparkEntry {
         .orderBy("folder", "name")
     }),
 
+    // KMZ = zipped KML with a doc.kml root entry (GDAL LIBKML parity,
+    // reference st_read.cpp:668-702); the fixture carries decoy entries
+    // (an icon blob + a second .kml overlay) so the doc.kml preference
+    // is what's certified, not just the unzip
+    "q_src_kmz" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      sources.GeoRead.read(s, "/root/repo/src/test/resources/kml/sample.kmz")
+        .select(col("folder"), col("name"),
+          st_geometrytype(col("geom")).as("gtype"),
+          st_npoints(col("geom")).as("npts"),
+          st_xmin(col("geom")).as("x0"), st_ymax(col("geom")).as("y1"),
+          col("ext").getItem("state").as("state"))
+        .orderBy("folder", "name")
+    }),
+
     "q_mm_decode" -> ((s, dir) => {
       load(s, dir, "documents")
       import org.apache.spark.sql.functions._
@@ -6626,6 +6643,16 @@ object SparkEntry {
       // independent xml.etree parse of the committed KML fixture
       // (tools/make_kml_golden.py)
       "q_src_kml" ->
+        """SELECT folder, name, gtype, npts, x0, y1, state
+           FROM read_csv('/root/repo/src/test/resources/golden/kml_golden.csv',
+             header=true,
+             columns={'folder':'VARCHAR','name':'VARCHAR','gtype':'VARCHAR',
+                      'npts':'BIGINT','x0':'DOUBLE','y1':'DOUBLE','state':'VARCHAR'})
+           ORDER BY folder, name""",
+
+      // the KMZ wraps the SAME committed document the kml golden
+      // accounts for — the oracle is byte-for-byte the q_src_kml one
+      "q_src_kmz" ->
         """SELECT folder, name, gtype, npts, x0, y1, state
            FROM read_csv('/root/repo/src/test/resources/golden/kml_golden.csv',
              header=true,

@@ -83,7 +83,11 @@ object GeoRead {
     // (locally: a bare block after the val above would parse as a
     // block ARGUMENT to the preceding call)
     locally {
-      val zi = path.toLowerCase.indexOf(".zip")
+      // .kmz is a zipped KML by definition (GDAL LIBKML opens it
+      // natively — reference st_read.cpp:668-702); it rides the same
+      // extraction, with doc.kml as the conventional root entry
+      val zi = Seq(path.toLowerCase.indexOf(".zip"), path.toLowerCase.indexOf(".kmz"))
+        .filter(_ >= 0).minOption.getOrElse(-1)
       if (zi >= 0 && (path.length == zi + 4 || path.charAt(zi + 4) == '/')) {
         val archive = path.substring(0, zi + 4)
         if (new java.io.File(archive).isFile) {
@@ -422,7 +426,7 @@ object GeoRead {
   /** Dataset extensions st_read can open out of a zip (sidecar files
    *  like .shx/.dbf are extracted but never the dataset root). */
   private val ZipDataExts =
-    Seq(".shp", ".fgb", ".gpkg", ".geojson", ".json", ".csv", ".parquet", ".osm.pbf")
+    Seq(".shp", ".fgb", ".gpkg", ".geojson", ".json", ".csv", ".parquet", ".osm.pbf", ".kml")
 
   /** Extract `archive` into a temp dir keyed by (path, mtime) — repeat
    *  reads of the same archive reuse the extraction — and return the
@@ -446,6 +450,10 @@ object GeoRead {
             s"$archive has no entry '$inner' (entries: ${entries.map(_.getName).mkString(", ")})"))
         else entries.filter(e => ZipDataExts.exists(e.getName.toLowerCase.endsWith)) match {
           case Seq(one) => one
+          // LIBKML convention: a KMZ's root document is doc.kml; other
+          // .kml entries are linked overlays, not separate datasets
+          case many if many.exists(_.getName.equalsIgnoreCase("doc.kml")) =>
+            many.find(_.getName.equalsIgnoreCase("doc.kml")).get
           case Seq() => throw new IllegalArgumentException(
             s"$archive contains no supported dataset (entries: ${entries.map(_.getName).mkString(", ")})")
           case many => throw new IllegalArgumentException(

@@ -9,6 +9,21 @@ class GpxKmlSpec extends SparkSpec {
   private val gpxPath = "/root/repo/src/test/resources/gpx/sample.gpx"
   private val kmlPath = "/root/repo/src/test/resources/kml/sample.kml"
 
+  test("kmz: doc.kml is preferred over overlay entries; inner selection works") {
+    val kmzPath = "/root/repo/src/test/resources/kml/sample.kmz"
+    // root read = the doc.kml rows, identical to reading the raw kml
+    val viaKmz = GeoRead.read(spark, kmzPath)
+      .select("folder", "name").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val viaKml = GeoRead.read(spark, kmlPath)
+      .select("folder", "name").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(viaKmz.sameElements(viaKml))
+    assert(!viaKmz.exists(_._2 == "decoy-overlay"))
+    // explicit inner-entry selection reaches the overlay
+    val overlay = GeoRead.read(spark, s"$kmzPath/files/overlay.kml")
+      .select("name").collect().map(_.getString(0))
+    assert(overlay.sameElements(Array("decoy-overlay")))
+  }
+
   test("gpx: five layers with GDAL's schemas and per-file ordinals") {
     val wpt = Gpx.read(spark, gpxPath, "waypoints").collect()
     assert(wpt.length == 3)
