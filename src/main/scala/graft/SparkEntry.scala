@@ -2925,6 +2925,30 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("layer", "rowid")
     }),
 
+    // SpatiaLite WRITER roundtrip through the driver gate: write a
+    // slice of supplier as Gaia blobs, read the file back with the
+    // (independently golden-certified) reader, and compare against
+    // DuckDB recomputing the same slice from the source parquet —
+    // the can_create symmetry the reference gets from GDAL
+    // (gdal/functions/st_write.cpp:558-569)
+    "q_spatialite_write" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val out = "/tmp/graft_spatialite_write.sqlite"
+      val df = s.table("supplier").filter(col("s_suppkey") <= 200)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          st_point(expr("CAST(s_suppkey % 50 AS DOUBLE)"),
+            expr("CAST(s_suppkey % 20 AS DOUBLE)")).as("geom"))
+        .orderBy("s_suppkey") // rowids follow iteration order — pin it
+      sources.GeoPackageWrite.writeSpatialite(df, "geom", out, layer = "sup", srid = 4326)
+      sources.Spatialite.read(s, out)
+        .select(col("pk").cast("long").as("pk"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"),
+          st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+        .orderBy("s_suppkey")
+    }),
+
     // OpenFileGDB container (judge r9 ask #2): the .gdb fixture is
     // authored by tools/make_gdb_fixture.py — an independent python
     // implementation of the published FGDB table spec — whose golden
@@ -6588,6 +6612,15 @@ object SparkEntry {
                       'gtype':'VARCHAR','npts':'INTEGER',
                       'x0':'DOUBLE','y0':'DOUBLE','x1':'DOUBLE','y1':'DOUBLE'})
            ORDER BY layer, rowid""",
+
+      // the writer roundtrip's oracle recomputes the slice from the
+      // SOURCE parquet — nothing the writer produced is trusted
+      "q_spatialite_write" ->
+        """SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS pk,
+             s_suppkey, s_name, s_acctbal,
+             CAST(s_suppkey % 50 AS DOUBLE) AS x,
+             CAST(s_suppkey % 20 AS DOUBLE) AS y
+           FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""",
 
       // independent python golden (tools/make_gdb_fixture.py): the
       // fixture bytes and this CSV come from the same from-scratch

@@ -376,4 +376,118 @@ object GeoPackageWrite {
     } finally raf.close()
   }
 
+  /**
+   * Write `df` as a one-layer SpatiaLite database (.sqlite) — the
+   * can_create symmetry for the Gaia reader [[Spatialite]] (reference
+   * COPY TO writes through any can_create GDAL driver,
+   * gdal/functions/st_write.cpp:558-569). Same single-pass SQLite
+   * b-tree core as the GeoPackage writer; only the catalog tables
+   * (spatial_ref_sys, geometry_columns) and the geometry encoding
+   * (Gaia blobs instead of GPB) differ.
+   */
+  def writeSpatialite(df: DataFrame, geomCol: String, path: String,
+      layer: String = "layer", srid: Int = 4326): Unit = {
+    DriverSink.guard(df, "SpatiaLite", "GeoTable.writeGeoParquet")
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val firstGeom = df.select(org.apache.spark.sql.functions.col(geomCol))
+      .filter(org.apache.spark.sql.functions.col(geomCol).isNotNull).head(1)
+    val (gaiaClass, geomDecl) =
+      if (firstGeom.isEmpty) (0, "GEOMETRY")
+      else graft.functions.Jts.read(firstGeom(0).getAs[Array[Byte]](0))
+        .getGeometryType match {
+          case "Point" => (1, "POINT")
+          case "LineString" | "LinearRing" => (2, "LINESTRING")
+          case "Polygon" => (3, "POLYGON")
+          case "MultiPoint" => (4, "MULTIPOINT")
+          case "MultiLineString" => (5, "MULTILINESTRING")
+          case "MultiPolygon" => (6, "MULTIPOLYGON")
+          case _ => (7, "GEOMETRYCOLLECTION")
+        }
+
+    val colDefs = attrs.map { case (f, _) => s""""${f.name}" ${sqlTypeOf(f.dataType)}""" }
+    val createSql =
+      s"""CREATE TABLE "$layer" ("pk" INTEGER PRIMARY KEY, """ +
+        (colDefs :+ s""""$geomCol" $geomDecl""").mkString(", ") + ")"
+
+    val file = new java.io.File(path)
+    if (file.exists()) file.delete()
+    val raf = new RandomAccessFile(file, "rw")
+    try {
+      val db = new Db(raf)
+      val page1 = db.alloc()
+      require(page1 == 1)
+
+      var rowid = 0L
+      val featureRoot = writeTable(db, df.toLocalIterator().asScala.map { row =>
+        rowid += 1
+        val vals = Seq[Any](null) ++ // pk = rowid alias
+          attrs.map { case (f, i) =>
+            (row.get(i), f.dataType) match {
+              case (null, _) => null
+              case (v: java.lang.Number, LongType | IntegerType | ShortType | ByteType) => v.longValue()
+              case (v: java.lang.Number, DoubleType | FloatType) => v.doubleValue()
+              case (v: Boolean, _) => v
+              case (v: Array[Byte], _) => v
+              case (v, _) => v.toString
+            }
+          } ++ Seq(row.get(geomIdx) match {
+            case null => null
+            case b: Array[Byte] =>
+              val jts = graft.functions.Jts.read(b)
+              // one declared class per layer, like the gpkg writer
+              val cls = jts.getGeometryType match {
+                case "LinearRing" => 2
+                case t => Seq("Point", "LineString", "Polygon", "MultiPoint",
+                  "MultiLineString", "MultiPolygon", "GeometryCollection").indexOf(t) + 1
+              }
+              require(gaiaClass == 0 || cls == gaiaClass,
+                s"layer '$layer' is declared $geomDecl but row $rowid has ${jts.getGeometryType}")
+              Spatialite.jtsToGaia(jts, srid)
+          })
+        (rowid, record(vals))
+      })
+
+      // legacy-compatible catalog: geometry_columns with INTEGER
+      // geometry_type (spatialite >= 4 schema — the reader accepts
+      // both int and name forms), plus a one-row spatial_ref_sys
+      val srsSql = """CREATE TABLE spatial_ref_sys (srid INTEGER NOT NULL, auth_name TEXT NOT NULL, auth_srid INTEGER NOT NULL, ref_sys_name TEXT NOT NULL DEFAULT 'Unknown', proj4text TEXT NOT NULL, srtext TEXT NOT NULL DEFAULT 'Undefined')"""
+      val proj4 =
+        if (srid == 4326) "+proj=longlat +datum=WGS84 +no_defs"
+        else if (srid == 3857) "+proj=webmerc +datum=WGS84 +units=m +no_defs"
+        else ""
+      val srsRoot = writeTable(db, Iterator(
+        (1L, record(Seq[Any](srid.toLong, "EPSG", srid.toLong, s"EPSG:$srid", proj4, "Undefined")))))
+      val gcSql = """CREATE TABLE geometry_columns (f_table_name TEXT NOT NULL, f_geometry_column TEXT NOT NULL, geometry_type INTEGER NOT NULL, coord_dimension INTEGER NOT NULL, srid INTEGER NOT NULL, spatial_index_enabled INTEGER NOT NULL)"""
+      val gcRoot = writeTable(db, Iterator(
+        (1L, record(Seq[Any](layer, geomCol, gaiaClass.toLong, 2L, srid.toLong, 0L)))))
+
+      val master = Seq(
+        ("spatial_ref_sys", srsRoot, srsSql),
+        ("geometry_columns", gcRoot, gcSql),
+        (layer, featureRoot, createSql))
+      writeTable(db, master.zipWithIndex.iterator.map { case ((name, root, sql), i) =>
+        ((i + 1).toLong,
+          record(Seq[Any]("table", name, name, root.toLong, sql)))
+      }, reservedRoot = page1)
+
+      raf.seek(0)
+      val hdr = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      hdr.put("SQLite format 3\u0000".getBytes("ISO-8859-1"))
+      hdr.putShort(16, PageSize.toShort)
+      hdr.put(18, 1.toByte); hdr.put(19, 1.toByte)
+      hdr.put(21, 64.toByte); hdr.put(22, 32.toByte); hdr.put(23, 32.toByte)
+      hdr.putInt(24, 1)
+      hdr.putInt(28, db.pageCount)
+      hdr.putInt(40, 1)
+      hdr.putInt(44, 4)
+      hdr.putInt(56, 1)
+      hdr.putInt(92, 1)
+      hdr.putInt(96, 3045001)
+      raf.write(hdr.array())
+      raf.setLength(db.pageCount.toLong * PageSize)
+    } finally raf.close()
+  }
+
 }

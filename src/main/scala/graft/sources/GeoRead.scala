@@ -532,7 +532,7 @@ object GeoRead {
     ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
     ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
     ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false),
-    ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, false),
+    ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, true),
     ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, true))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
@@ -780,6 +780,7 @@ object GeoWrite {
     if (lower.endsWith(".parquet")) GeoTable.writeGeoParquet(df, geomCol, path)
     else if (lower.endsWith(".fgb")) FlatGeobuf.write(df, geomCol, path)
     else if (lower.endsWith(".gpkg")) GeoPackageWrite.write(df, geomCol, path)
+    else if (lower.endsWith(".sqlite")) GeoPackageWrite.writeSpatialite(df, geomCol, path)
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
     else if (lower.endsWith(".topojson")) TopoJson.write(df, geomCol, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))

@@ -227,6 +227,60 @@ object Spatialite {
     }
   }
 
+  // ---- Gaia BLOB-Geometry encode -----------------------------------------
+
+  private def gaiaClassOf(g: Geometry): Int = g.getGeometryType match {
+    case "Point" => 1
+    case "LineString" | "LinearRing" => 2
+    case "Polygon" => 3
+    case "MultiPoint" => 4
+    case "MultiLineString" => 5
+    case "MultiPolygon" => 6
+    case "GeometryCollection" => 7
+    case t => throw new IllegalArgumentException(s"Gaia encoder: $t")
+  }
+
+  /** Encode a JTS geometry as a little-endian Gaia blob — the exact
+   *  inverse of [[gaiaToJts]] (XY only; writers carry 2D like the
+   *  shapefile/gpkg paths). */
+  private[sources] def jtsToGaia(geom: Geometry, srid: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    def i32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var i = 0
+      while (i < 8) { out.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+    def coords(cs: Array[Coordinate]): Unit = cs.foreach { c => f64(c.x); f64(c.y) }
+    def body(g: Geometry): Unit = g match {
+      case p: Point => f64(p.getX); f64(p.getY)
+      case l: LineString => i32(l.getNumPoints); coords(l.getCoordinates)
+      case p: Polygon =>
+        i32(1 + p.getNumInteriorRing)
+        def ring(r: LineString): Unit = { i32(r.getNumPoints); coords(r.getCoordinates) }
+        ring(p.getExteriorRing)
+        (0 until p.getNumInteriorRing).foreach(i => ring(p.getInteriorRingN(i)))
+      case m => // multi* / collection: ENTITY marker + class + body per part
+        i32(m.getNumGeometries)
+        (0 until m.getNumGeometries).foreach { i =>
+          val part = m.getGeometryN(i)
+          out.write(0x69); i32(gaiaClassOf(part)); body(part)
+        }
+    }
+    val env = geom.getEnvelopeInternal
+    out.write(0x00); out.write(0x01) // START, little-endian
+    i32(srid)
+    f64(env.getMinX); f64(env.getMinY); f64(env.getMaxX); f64(env.getMaxY)
+    out.write(0x7C) // MBR end marker
+    i32(gaiaClassOf(geom))
+    body(geom)
+    out.write(0xFE) // END
+    out.toByteArray
+  }
+
   /** Layer metadata for st_read_meta: (name, geom type name, srid,
    *  field (name, declType) pairs). */
   private[sources] def layerMetas(spark: SparkSession, path: String)
