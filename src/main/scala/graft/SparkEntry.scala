@@ -1049,7 +1049,26 @@ object SparkEntry {
            named_struct('x', 1.0D, 'y', 2.0D)) AS pdist,
          st_within(named_struct('x', CAST(p_partkey % 12 AS DOUBLE), 'y', CAST(p_partkey % 9 AS DOUBLE)),
            named_struct('min_x', 0.0D, 'min_y', 0.0D,
-             'max_x', CAST(p_size % 10 + 1 AS DOUBLE), 'max_y', CAST(p_partkey % 7 + 1 AS DOUBLE))) AS inside
+             'max_x', CAST(p_size % 10 + 1 AS DOUBLE), 'max_y', CAST(p_partkey % 7 + 1 AS DOUBLE))) AS inside,
+         st_contains(array(
+             array(named_struct('x', 0.0D, 'y', 0.0D),
+                   named_struct('x', CAST(p_size % 10 + 4 AS DOUBLE), 'y', 0.0D),
+                   named_struct('x', CAST(p_size % 10 + 4 AS DOUBLE), 'y', CAST(p_partkey % 7 + 4 AS DOUBLE)),
+                   named_struct('x', 0.0D, 'y', CAST(p_partkey % 7 + 4 AS DOUBLE)),
+                   named_struct('x', 0.0D, 'y', 0.0D)),
+             array(named_struct('x', 1.0D, 'y', 1.0D), named_struct('x', 3.0D, 'y', 1.0D),
+                   named_struct('x', 3.0D, 'y', 3.0D), named_struct('x', 1.0D, 'y', 3.0D),
+                   named_struct('x', 1.0D, 'y', 1.0D))),
+           named_struct('x', CAST(p_partkey % 12 AS DOUBLE), 'y', CAST(p_partkey % 9 AS DOUBLE))) AS pgc,
+         st_area(array(
+             array(named_struct('x', 0.0D, 'y', 0.0D),
+                   named_struct('x', CAST(p_size % 10 + 4 AS DOUBLE), 'y', 0.0D),
+                   named_struct('x', CAST(p_size % 10 + 4 AS DOUBLE), 'y', CAST(p_partkey % 7 + 4 AS DOUBLE)),
+                   named_struct('x', 0.0D, 'y', CAST(p_partkey % 7 + 4 AS DOUBLE)),
+                   named_struct('x', 0.0D, 'y', 0.0D)),
+             array(named_struct('x', 1.0D, 'y', 1.0D), named_struct('x', 3.0D, 'y', 1.0D),
+                   named_struct('x', 3.0D, 'y', 3.0D), named_struct('x', 1.0D, 'y', 3.0D),
+                   named_struct('x', 1.0D, 'y', 1.0D)))) AS pga
          FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
 
     // no closed-form oracle → rows-only checks
@@ -4943,7 +4962,14 @@ object SparkEntry {
            sqrt((CAST(p_partkey % 12 AS DOUBLE) - 1.0) * (CAST(p_partkey % 12 AS DOUBLE) - 1.0)
               + (CAST(p_partkey % 9 AS DOUBLE) - 2.0) * (CAST(p_partkey % 9 AS DOUBLE) - 2.0)) AS pdist,
            (CAST(p_partkey % 12 AS DOUBLE) > 0 AND CAST(p_partkey % 12 AS DOUBLE) < CAST(p_size % 10 + 1 AS DOUBLE)
-            AND CAST(p_partkey % 9 AS DOUBLE) > 0 AND CAST(p_partkey % 9 AS DOUBLE) < CAST(p_partkey % 7 + 1 AS DOUBLE)) AS inside
+            AND CAST(p_partkey % 9 AS DOUBLE) > 0 AND CAST(p_partkey % 9 AS DOUBLE) < CAST(p_partkey % 7 + 1 AS DOUBLE)) AS inside,
+           -- shell (0,0)-(W,0)-(W,H)-(0,H) with hole [1,3]x[1,3]; integer
+           -- points: strictly inside the shell, not inside-or-on the hole
+           (CAST(p_partkey % 12 AS DOUBLE) > 0 AND CAST(p_partkey % 12 AS DOUBLE) < CAST(p_size % 10 + 4 AS DOUBLE)
+            AND CAST(p_partkey % 9 AS DOUBLE) > 0 AND CAST(p_partkey % 9 AS DOUBLE) < CAST(p_partkey % 7 + 4 AS DOUBLE)
+            AND NOT (CAST(p_partkey % 12 AS DOUBLE) >= 1 AND CAST(p_partkey % 12 AS DOUBLE) <= 3
+                     AND CAST(p_partkey % 9 AS DOUBLE) >= 1 AND CAST(p_partkey % 9 AS DOUBLE) <= 3)) AS pgc,
+           CAST(p_size % 10 + 4 AS DOUBLE) * CAST(p_partkey % 7 + 4 AS DOUBLE) - 4.0 AS pga
            FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
 
       "q_doc_dedup_exact" ->

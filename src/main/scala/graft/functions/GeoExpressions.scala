@@ -290,6 +290,155 @@ object NativeLineLength {
 }
 
 /**
+ * Native POLYGON_2D point-in-polygon: the winding-number kernel the
+ * reference vectorizes for its POLYGON_2D×POINT_2D st_contains overload
+ * (core/functions/scalar/st_contains.cpp:16-130) — codegen arithmetic
+ * over the rings array, no WKB/JTS in the loop. Semantics match JTS
+ * `contains` for valid polygons: strictly inside the shell, outside
+ * every hole, boundary points excluded.
+ */
+case class NativePolygonContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains"
+
+  override protected def nullSafeEval(poly: Any, pt: Any): Any =
+    NativePolygonContains.compute(
+      poly.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      pt.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (p, q) => s"graft.functions.NativePolygonContains.compute($p, $q)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object NativePolygonContains {
+  /** Winding number of (x, y) vs one ring; NaN-free integer arithmetic
+   *  not assumed — pure double compares. Returns Int.MinValue when the
+   *  point lies ON a ring segment (the boundary sentinel). */
+  private def winding(ring: org.apache.spark.sql.catalyst.util.ArrayData,
+      x: Double, y: Double): Int = {
+    val n = ring.numElements()
+    if (n < 2) return 0
+    var p = ring.getStruct(0, 2)
+    var x1 = p.getDouble(0); var y1 = p.getDouble(1)
+    var wn = 0
+    var i = 1
+    while (i < n) {
+      val q = ring.getStruct(i, 2)
+      val x2 = q.getDouble(0); val y2 = q.getDouble(1)
+      if (!(x1 == x2 && y1 == y2)) {
+        val yMin = math.min(y1, y2); val yMax = math.max(y1, y2)
+        if (y >= yMin && y <= yMax) {
+          val side = (x - x1) * (y2 - y1) - (x2 - x1) * (y - y1)
+          if (side == 0 &&
+              (((x1 <= x && x < x2) || (x1 >= x && x > x2)) ||
+               ((y1 <= y && y < y2) || (y1 >= y && y > y2))))
+            return Int.MinValue // on this segment
+          if (side < 0 && y1 < y && y <= y2) wn += 1
+          else if (side > 0 && y2 <= y && y < y1) wn -= 1
+        }
+        x1 = x2; y1 = y2
+      }
+      i += 1
+    }
+    wn
+  }
+
+  def compute(poly: org.apache.spark.sql.catalyst.util.ArrayData,
+      pt: InternalRow): Boolean = {
+    val x = pt.getDouble(0); val y = pt.getDouble(1)
+    val nRings = poly.numElements()
+    if (nRings == 0) return false
+    var r = 0
+    while (r < nRings) {
+      val wn = winding(poly.getArray(r), x, y)
+      if (wn == Int.MinValue) return false // boundary excluded
+      val inRing = wn != 0
+      if (r == 0) { if (!inRing) return false } // outside the shell
+      else if (inRing) return false // inside a hole
+      r += 1
+    }
+    true
+  }
+
+  /** Shoelace area: shell minus holes (matches JTS `getArea`). */
+  def area(poly: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var total = 0.0
+    var r = 0
+    val nRings = poly.numElements()
+    while (r < nRings) {
+      val ring = poly.getArray(r)
+      val n = ring.numElements()
+      var s = 0.0
+      var i = 1
+      while (i < n) {
+        val p = ring.getStruct(i - 1, 2); val q = ring.getStruct(i, 2)
+        s += p.getDouble(0) * q.getDouble(1) - q.getDouble(0) * p.getDouble(1)
+        i += 1
+      }
+      val a = math.abs(s) / 2
+      total += (if (r == 0) a else -a)
+      r += 1
+    }
+    total
+  }
+
+  /** Sum of ring lengths (JTS polygon `getLength` semantics). */
+  def perimeter(poly: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var total = 0.0
+    var r = 0
+    val nRings = poly.numElements()
+    while (r < nRings) {
+      total += NativeLineLength.compute(poly.getArray(r))
+      r += 1
+    }
+    total
+  }
+
+  def npoints(poly: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var total = 0
+    var r = 0
+    val nRings = poly.numElements()
+    while (r < nRings) { total += poly.getArray(r).numElements(); r += 1 }
+    total
+  }
+}
+
+/** Scalar companions of the polygon kernel ([[NativePolygonContains]])
+ *  for the POLYGON_2D st_area / st_perimeter / st_npoints overloads
+ *  (reference per-type overloads: st_area.cpp POLYGON_2D path). */
+case class NativePolygonScalar(child: Expression, op: String) extends UnaryExpression {
+  override def dataType: DataType = if (op == "npoints") IntegerType else DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"st_$op"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    op match {
+      case "area" => NativePolygonContains.area(a)
+      case "perimeter" => NativePolygonContains.perimeter(a)
+      case "npoints" => NativePolygonContains.npoints(a)
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativePolygonContains.$op($c)")
+
+  override protected def withNewChildInternal(c: Expression): NativePolygonScalar =
+    copy(child = c)
+}
+
+/**
  * Native-tier ST_Transform overloads (the reference registers
  * per-type overloads for POINT_2D and BOX_2D alongside GEOMETRY —
  * proj/functions.cpp:488-517): struct in, struct out, no WKB/JTS in

@@ -1,6 +1,7 @@
 package graft.plans
 
-import graft.functions.{GeoPredicate, GeoScalar, NativeLineLength, WkbBound, WkbExtent}
+import graft.functions.{GeoPredicate, GeoScalar, NativeLineLength,
+  NativePolygonContains, NativePolygonScalar, WkbBound, WkbExtent}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -37,7 +38,12 @@ case class NativeDispatchRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case ArrayType(et, _) => isPoint(et)
     case _ => false
   }
-  private def isNative(t: DataType): Boolean = isPoint(t) || isBox(t) || isLine(t)
+  private def isPolygon(t: DataType): Boolean = t match {
+    case ArrayType(et, _) => isLine(et) // rings of coords
+    case _ => false
+  }
+  private def isNative(t: DataType): Boolean =
+    isPoint(t) || isBox(t) || isLine(t) || isPolygon(t)
 
   private def fld(e: Expression, name: String): Expression = {
     val s = e.dataType.asInstanceOf[StructType]
@@ -94,6 +100,10 @@ case class NativeDispatchRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case "st_ymin" | "st_ymax" if isPoint(t) => Some(fld(c, "y"))
       case "st_npoints" | "st_numpoints" if isPoint(t) => Some(nullGate(c, Literal(1)))
       case "st_npoints" | "st_numpoints" if isLine(t) => Some(Size(c))
+      case "st_area" if isPolygon(t) => Some(NativePolygonScalar(c, "area"))
+      case "st_perimeter" if isPolygon(t) => Some(NativePolygonScalar(c, "perimeter"))
+      case "st_npoints" | "st_numpoints" if isPolygon(t) =>
+        Some(NativePolygonScalar(c, "npoints"))
       case _ => None
     }
   }
@@ -103,6 +113,10 @@ case class NativeDispatchRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ("st_distance", lt, rt) if isPoint(lt) && isPoint(rt) => Some(pointDistance(l, r))
       case ("st_contains", lt, rt) if isBox(lt) && isPoint(rt) => Some(pointInBox(r, l))
       case ("st_within", lt, rt) if isPoint(lt) && isBox(rt) => Some(pointInBox(l, r))
+      case ("st_contains", lt, rt) if isPolygon(lt) && isPoint(rt) =>
+        Some(NativePolygonContains(l, r))
+      case ("st_within", lt, rt) if isPoint(lt) && isPolygon(rt) =>
+        Some(NativePolygonContains(r, l))
       case ("st_intersects", lt, rt) if isBox(lt) && isBox(rt) => Some(boxIntersects(l, r))
       case ("st_intersects", lt, rt) if isBox(lt) && isPoint(rt) =>
         Some(boxIntersects(l, boxOf(r)))

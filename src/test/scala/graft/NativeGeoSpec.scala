@@ -91,6 +91,47 @@ class NativeGeoSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native POLYGON_2D contains/area/perimeter/npoints match the JTS tier") {
+    // random polygons-with-hole vs random points: every dispatch result
+    // must equal st_contains over the WKB twin built from the SAME rings
+    // (JTS boundary-excluded semantics = the kernel's on-edge rule)
+    val df = spark.range(4000).selectExpr(
+      "CAST(id % 13 AS DOUBLE) AS px", "CAST(id % 11 AS DOUBLE) AS py",
+      "CAST(id % 7 + 4 AS DOUBLE) AS w", "CAST(id % 5 + 4 AS DOUBLE) AS h")
+      .selectExpr("px", "py",
+        // shell (0,0)-(w,0)-(w,h)-(0,h), hole (1,1)-(3,1)-(3,3)-(1,3)
+        """array(
+             array(named_struct('x', 0.0D, 'y', 0.0D), named_struct('x', w, 'y', 0.0D),
+                   named_struct('x', w, 'y', h), named_struct('x', 0.0D, 'y', h),
+                   named_struct('x', 0.0D, 'y', 0.0D)),
+             array(named_struct('x', 1.0D, 'y', 1.0D), named_struct('x', 3.0D, 'y', 1.0D),
+                   named_struct('x', 3.0D, 'y', 3.0D), named_struct('x', 1.0D, 'y', 3.0D),
+                   named_struct('x', 1.0D, 'y', 1.0D))) AS poly""",
+        """st_makepolygon(
+             st_makeline(array(st_point(0.0D, 0.0D), st_point(w, 0.0D),
+               st_point(w, h), st_point(0.0D, h), st_point(0.0D, 0.0D))),
+             array(st_makeline(array(st_point(1.0D, 1.0D), st_point(3.0D, 1.0D),
+               st_point(3.0D, 3.0D), st_point(1.0D, 3.0D), st_point(1.0D, 1.0D))))) AS wkb""")
+    val cmp = df.selectExpr(
+      "st_contains(poly, named_struct('x', px, 'y', py)) AS nc",
+      "st_within(named_struct('x', px, 'y', py), poly) AS nw",
+      "st_contains(wkb, st_point(px, py)) AS jc",
+      "st_area(poly) AS na", "st_area(wkb) AS ja",
+      "st_perimeter(poly) AS np", "st_perimeter(wkb) AS jp",
+      "st_npoints(poly) AS nn", "st_npoints(wkb) AS jn")
+    assert(cmp.filter($"nc" =!= $"jc" || $"nw" =!= $"jc").count() == 0)
+    assert(cmp.filter($"na" =!= $"ja" || $"np" =!= $"jp" || $"nn" =!= $"jn").count() == 0)
+    // the dispatched plan stays out of the JTS fallback
+    val opt = cmp.select($"nc", $"na").queryExecution.optimizedPlan.toString
+    assert(!opt.contains("GeoPredicate") && !opt.contains("GeoScalar"), opt.take(800))
+    // nulls propagate
+    val nr = spark.sql(
+      """SELECT st_contains(CAST(NULL AS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>),
+                            named_struct('x', 1.0D, 'y', 1.0D)) AS c,
+                st_area(CAST(NULL AS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>)) AS a""").collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("native ST_Transform overloads match the WKB tier exactly") {
     import org.apache.spark.sql.functions._
     import graft.GeoFunctions.{st_transform, st_x, st_y, st_point}
