@@ -449,6 +449,17 @@ object SparkEntry {
     ("(-0.5 + CAST(c_custkey % 70 AS DOUBLE) / 10.0)", "(45.0 + CAST((c_custkey * 3) % 20 AS DOUBLE) / 10.0)")
   private val LonLat3011 = // SWEREF99 18 00 (Stockholm band)
     ("(16.6 + CAST(c_custkey % 28 AS DOUBLE) / 10.0)", "(58.5 + CAST((c_custkey * 3) % 24 AS DOUBLE) / 10.0)")
+  // round-13 sweep domains (full published validity boxes)
+  private val LonLat2039 = // Israeli TM Grid: Eilat to the Golan
+    ("(34.3 + CAST(c_custkey % 16 AS DOUBLE) / 10.0)", "(29.5 + CAST((c_custkey * 3) % 38 AS DOUBLE) / 10.0)")
+  private val LonLat2100 = // Greek Grid: Corfu to Kastellorizo
+    ("(19.6 + CAST(c_custkey % 87 AS DOUBLE) / 10.0)", "(34.9 + CAST((c_custkey * 3) % 68 AS DOUBLE) / 10.0)")
+  private val LonLat3301 = // L-EST97: Saaremaa to Narva
+    ("(21.8 + CAST(c_custkey % 64 AS DOUBLE) / 10.0)", "(57.5 + CAST((c_custkey * 3) % 22 AS DOUBLE) / 10.0)")
+  private val LonLat2326 = // Hong Kong 1980: the SAR box (finer steps)
+    ("(113.83 + CAST(c_custkey % 72 AS DOUBLE) / 100.0)", "(22.14 + CAST((c_custkey * 3) % 43 AS DOUBLE) / 100.0)")
+  private val LonLat2393 = // KKJ zone 3: Hanko to Utsjoki
+    ("(25.5 + CAST(c_custkey % 30 AS DOUBLE) / 10.0)", "(59.8 + CAST((c_custkey * 3) % 103 AS DOUBLE) / 10.0)")
 
   /** The hand-written WKT1 the projstring gate feeds ST_Transform:
    *  grads + Paris prime meridian + TOWGS84 — the hardest text-input
@@ -914,7 +925,12 @@ object SparkEntry {
            ("EPSG:28407", "x28407", "y28407", LonLat28407),
            ("EPSG:5110", "x5110", "y5110", LonLat5110),
            ("EPSG:3946", "x3946", "y3946", LonLat3946),
-           ("EPSG:3011", "x3011", "y3011", LonLat3011)).map {
+           ("EPSG:3011", "x3011", "y3011", LonLat3011),
+           ("EPSG:2039", "x2039", "y2039", LonLat2039),
+           ("EPSG:2100", "x2100", "y2100", LonLat2100),
+           ("EPSG:3301", "x3301", "y3301", LonLat3301),
+           ("EPSG:2326", "x2326", "y2326", LonLat2326),
+           ("EPSG:2393", "x2393", "y2393", LonLat2393)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -4107,6 +4123,30 @@ object SparkEntry {
     // SWEREF99 18 00 (TM, k0 = 1, FE 150 km)
     val swerefCtes = tmOracleCtes("t3011", "s3011", grs, 0.0, 18.0, 1.0, 150000.0, 0.0)
 
+    // round-13 sweep — each chain re-uses the proven Helmert+TM / LCC
+    // closed forms with the catalog's exact parameter literals
+    val intl = Crs.International1924
+    val israelCtes =
+      s"""${helmertCtes("2039", "s2039", grs, -48.0, 55.0, 52.0, 0.0, 0.0, 0.0, 0.0)},
+         ${tmOracleCtes("t2039", "s2039l", grs, 31.73439361111111, 35.20451694444445,
+             1.0000067, 219529.584, 626907.39)}"""
+    val greekCtes =
+      s"""${helmertCtes("2100", "s2100", grs, -199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)},
+         ${tmOracleCtes("t2100", "s2100l", grs, 0.0, 24.0, 0.9996, 500000.0, 0.0)}"""
+    val estCtes = {
+      val (n, aF, rho0) = lcc2spConsts(grs, 57.51755393055556, 59.33333333333334, 58.0)
+      lccOracleCtes("3301", "s3301", grs, n, aF, rho0, 24.0, 500000.0, 6375000.0)
+    }
+    val hkCtes =
+      s"""${helmertCtes("2326", "s2326", intl,
+             -162.619, -276.959, -161.764, 0.067753, -2.243649, -1.158827, -1.094246)},
+         ${tmOracleCtes("t2326", "s2326l", intl, 22.31213333333333, 114.1785555555556,
+             1.0, 836694.05, 819069.8)}"""
+    val kkjCtes =
+      s"""${helmertCtes("2393", "s2393", intl,
+             -96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496)},
+         ${tmOracleCtes("t2393", "s2393l", intl, 0.0, 27.0, 1.0, 3500000.0, 0.0)}"""
+
     def srcCte(name: String, ll: (String, String)) =
       s"s$name AS (SELECT c_custkey, ${ll._1} AS lon, ${ll._2} AS lat FROM pts)"
 
@@ -4144,6 +4184,11 @@ object SparkEntry {
        ${srcCte("5110", LonLat5110)},
        ${srcCte("3946", LonLat3946)},
        ${srcCte("3011", LonLat3011)},
+       ${srcCte("2039", LonLat2039)},
+       ${srcCte("2100", LonLat2100)},
+       ${srcCte("3301", LonLat3301)},
+       ${srcCte("2326", LonLat2326)},
+       ${srcCte("2393", LonLat2393)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -4169,7 +4214,12 @@ object SparkEntry {
        $pulkovoCtes,
        $ntmCtes,
        $cc46Ctes,
-       $swerefCtes
+       $swerefCtes,
+       $israelCtes,
+       $greekCtes,
+       $estCtes,
+       $hkCtes,
+       $kkjCtes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -4197,7 +4247,12 @@ object SparkEntry {
          round(t28407o.x, 4) AS x28407, round(t28407o.y, 4) AS y28407,
          round(t5110o.x, 4) AS x5110, round(t5110o.y, 4) AS y5110,
          round(o3946.x, 4) AS x3946, round(o3946.y, 4) AS y3946,
-         round(t3011o.x, 4) AS x3011, round(t3011o.y, 4) AS y3011
+         round(t3011o.x, 4) AS x3011, round(t3011o.y, 4) AS y3011,
+         round(t2039o.x, 4) AS x2039, round(t2039o.y, 4) AS y2039,
+         round(t2100o.x, 4) AS x2100, round(t2100o.y, 4) AS y2100,
+         round(o3301.x, 4) AS x3301, round(o3301.y, 4) AS y3301,
+         round(t2326o.x, 4) AS x2326, round(t2326o.y, 4) AS y2326,
+         round(t2393o.x, 4) AS x2393, round(t2393o.y, 4) AS y2393
        FROM pts p
        LEFT JOIN o2154 USING (c_custkey) LEFT JOIN t25832o USING (c_custkey)
        LEFT JOIN t2193o USING (c_custkey) LEFT JOIN o3577 USING (c_custkey)
@@ -4214,6 +4269,9 @@ object SparkEntry {
        LEFT JOIN t31256o USING (c_custkey) LEFT JOIN t28407o USING (c_custkey)
        LEFT JOIN t5110o USING (c_custkey)
        LEFT JOIN o3946 USING (c_custkey) LEFT JOIN t3011o USING (c_custkey)
+       LEFT JOIN t2039o USING (c_custkey) LEFT JOIN t2100o USING (c_custkey)
+       LEFT JOIN o3301 USING (c_custkey) LEFT JOIN t2326o USING (c_custkey)
+       LEFT JOIN t2393o USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 

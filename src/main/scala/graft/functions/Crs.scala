@@ -1061,7 +1061,43 @@ object Crs {
     // world equidistant grid (global lat/lon rasters)
     CrsInfo("EPSG", "4087", "WGS 84 / World Equidistant Cylindrical", "projected",
       "World", "Equidistant Cylindrical",
-      () => new EquidistCyl(WGS84, 0.0, 0.0, 0.0)))
+      () => new EquidistCyl(WGS84, 0.0, 0.0, 0.0)),
+
+    // ---- round-13 sweep: Middle East / Asia / Baltic nationals -------
+    // Israeli TM Grid (EPSG 2039): published proj parameters + the
+    // grid-free IGD-to-WGS84 translation PROJ ships as +towgs84
+    CrsInfo("EPSG", "2039", "Israel 1993 / Israeli TM Grid", "projected",
+      "Israel", "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(GRS80, 31.73439361111111, 35.20451694444445,
+          1.0000067, 219529.584, 626907.39),
+        GRS80, Helmert(-48.0, 55.0, 52.0, 0.0, 0.0, 0.0, 0.0))),
+    // GGRS87 / Greek Grid (EPSG 2100): GRS80 + translation (EPSG 1272)
+    CrsInfo("EPSG", "2100", "GGRS87 / Greek Grid", "projected",
+      "Greece", "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(GRS80, 0.0, 24.0, 0.9996, 500000.0, 0.0),
+        GRS80, Helmert(-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0))),
+    // Estonian 1997 / L-EST97 (EPSG 3301): ETRS89-family, grid-free
+    CrsInfo("EPSG", "3301", "Estonian Coordinate System of 1997", "projected",
+      "Estonia", "Lambert Conic Conformal (2SP)",
+      () => new Lcc2sp(GRS80, 57.51755393055556, 24.0,
+        59.33333333333334, 58.0, 500000.0, 6375000.0)),
+    // Hong Kong 1980 Grid (EPSG 2326): Intl 1924 + 7-param (EPSG 1825)
+    CrsInfo("EPSG", "2326", "Hong Kong 1980 Grid System", "projected",
+      "Hong Kong", "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(International1924, 22.31213333333333, 114.1785555555556,
+          1.0, 836694.05, 819069.8),
+        International1924,
+        Helmert(-162.619, -276.959, -161.764, 0.067753, -2.243649, -1.158827, -1.094246))),
+    // KKJ / Finland zone 3 (EPSG 2393): Intl 1924 + 7-param (EPSG 10098)
+    CrsInfo("EPSG", "2393", "KKJ / Finland Uniform Coordinate System", "projected",
+      "Finland", "Transverse Mercator",
+      () => new DatumShifted(
+        new TransMerc(International1924, 0.0, 27.0, 1.0, 3500000.0, 0.0),
+        International1924,
+        Helmert(-96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496))))
 
   /** Datum-shifted Gauss-Krüger / ED50 UTM helpers for the parametric
    *  ranges in [[resolve]]. */
@@ -2332,6 +2368,13 @@ object Crs {
     "International_1924", 6378388.0, 297.0)
   private val GeogPosgar2007 = geogcsOf("GCS_POSGAR_2007", "D_POSGAR_2007")
   private val GeogMexItrf08 = geogcsOf("GCS_Mexico_ITRF2008", "D_Mexico_ITRF2008")
+  private val GeogIsrael = geogcsOf("GCS_Israel", "D_Israel")
+  private val GeogGgrs87 = geogcsOf("GCS_GGRS_1987", "D_GGRS_1987")
+  private val GeogEst97 = geogcsOf("GCS_Estonia_1997", "D_Estonia_1997")
+  private val GeogHk1980 = geogcsOf("GCS_Hong_Kong_1980", "D_Hong_Kong_1980",
+    "International_1924", 6378388.0, 297.0)
+  private val GeogKkj = geogcsOf("GCS_KKJ", "D_KKJ",
+    "International_1924", 6378388.0, 297.0)
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -2626,6 +2669,20 @@ object Crs {
           "Scale_Factor" -> 1.0, "Azimuth" -> 90.0,
           "Longitude_Of_Center" -> 7.43958333333333,
           "Latitude_Of_Center" -> 46.9524055555556), "Meter", 1.0))
+      // round-13 sweep (ESRI dialect: projection only, no TOWGS84)
+      case "EPSG:2039" => Some(tmWkt("Israel_TM_Grid", GeogIsrael,
+        31.73439361111111, 35.20451694444445, 1.0000067, 219529.584, 626907.39,
+        "Meter", 1.0))
+      case "EPSG:2100" => Some(tmWkt("GGRS_1987_Greek_Grid", GeogGgrs87,
+        0.0, 24.0, 0.9996, 500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:3301" => Some(lccWkt("Estonian_Coordinate_System_of_1997", GeogEst97,
+        57.51755393055556, 24.0, 59.33333333333334, 58.0, 500000.0, 6375000.0,
+        "Meter", 1.0))
+      case "EPSG:2326" => Some(tmWkt("Hong_Kong_1980_Grid", GeogHk1980,
+        22.31213333333333, 114.1785555555556, 1.0, 836694.05, 819069.8,
+        "Meter", 1.0))
+      case "EPSG:2393" => Some(tmWkt("Finland_Zone_3", GeogKkj,
+        0.0, 27.0, 1.0, 3500000.0, 0.0, "Meter", 1.0))
       // r11 legacy-European families (ESRI dialect like the rest of
       // this catalog: no TOWGS84 — WKT1 carries the projection, the
       // datum bridge lives in the transform registry)

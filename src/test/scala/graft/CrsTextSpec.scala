@@ -204,6 +204,39 @@ class CrsTextSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 sweep: origin identity pins the published parameter tables") {
+    // projection-only twins (no +towgs84): forward(CM, lat0) == (FE, FN)
+    // — a self-consistent roundtrip can NOT catch a wrong CM/lat0, this can
+    Seq(
+      ("+proj=tmerc +lat_0=31.73439361111111 +lon_0=35.20451694444445 +k=1.0000067 +x_0=219529.584 +y_0=626907.39 +ellps=GRS80",
+        35.20451694444445, 31.73439361111111, 219529.584, 626907.39),
+      ("+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 +x_0=500000 +y_0=0 +ellps=GRS80",
+        24.0, 0.0, 500000.0, 0.0),
+      ("+proj=lcc +lat_0=57.51755393055556 +lon_0=24 +lat_1=59.33333333333334 +lat_2=58 +x_0=500000 +y_0=6375000 +ellps=GRS80",
+        24.0, 57.51755393055556, 500000.0, 6375000.0),
+      ("+proj=tmerc +lat_0=22.31213333333333 +lon_0=114.1785555555556 +k=1 +x_0=836694.05 +y_0=819069.8 +ellps=intl",
+        114.1785555555556, 22.31213333333333, 836694.05, 819069.8),
+      ("+proj=tmerc +lat_0=0 +lon_0=27 +k=1 +x_0=3500000 +y_0=0 +ellps=intl",
+        27.0, 0.0, 3500000.0, 0.0)
+    ).foreach { case (p4, lon0, lat0, fe, fn) =>
+      val (x, y) = Crs.resolve(p4).forward(lon0, lat0)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$p4: ($x,$y)")
+    }
+    // the shifted catalog entries resolve and land inside their grids
+    val (ix, iy) = Crs.resolve("EPSG:2039").forward(35.2137, 31.7683) // Jerusalem
+    assert(math.abs(ix - 220380.0) < 2000 && math.abs(iy - 630700.0) < 4000, s"($ix,$iy)")
+    val (gx, gy) = Crs.resolve("EPSG:2100").forward(23.7275, 37.9838) // Athens
+    assert(math.abs(gx - 476000.0) < 3000 && math.abs(gy - 4203000.0) < 4000, s"($gx,$gy)")
+    // HK central is ~800 m from the published origin; the 7-param shift
+    // adds a few hundred m — a 2.5 km band still catches any CM error
+    val (hx, hy) = Crs.resolve("EPSG:2326").forward(114.1694, 22.3193)
+    assert(math.abs(hx - 836694.05) < 2500 && math.abs(hy - 819069.8) < 2500, s"($hx,$hy)")
+    val (fx2, fy2) = Crs.resolve("EPSG:2393").forward(24.9384, 60.1699) // Helsinki
+    assert(math.abs(fx2 - 3385000.0) < 4000 && math.abs(fy2 - 6672000.0) < 4000, s"($fx2,$fy2)")
+    val (ex, ey) = Crs.resolve("EPSG:3301").forward(24.7536, 59.437) // Tallinn
+    assert(math.abs(ex - 542700.0) < 3000 && math.abs(ey - 6589400.0) < 3000, s"($ex,$ey)")
+  }
+
   test("wktToProj4: derived strings round-trip onto the same transform") {
     val codes = Seq("EPSG:2263", "EPSG:2232", "EPSG:3978", "EPSG:3338",
       "EPSG:32661", "EPSG:4087", "EPSG:2154", "EPSG:25832", "EPSG:3857",
