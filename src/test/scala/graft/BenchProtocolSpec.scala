@@ -42,4 +42,34 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(m.values.forall(r => r > 0 && r < 1000))
     assert(m.contains("join_10m_sql") || m.contains("agg_10m_sql"))
   }
+
+  test("retryCandidates: worst-jump-first, noise-exempt, capped, runnable-only") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "e" -> 1.0)
+    val results = Seq(
+      "a" -> 8.0,   // ratio 8x prior -> jump 8
+      "b" -> 4.0,   // jump 4
+      "c" -> 0.4,   // s+d = 0.5 < 1s -> noise-exempt despite jump 4
+      "d" -> 40.0,  // jump 40 but not runnable
+      "e" -> 2.0,   // jump 2 -> under the 3x rule
+      "f" -> 9.0)   // no prior ratio -> skipped
+    val duck = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1, "d" -> 1.0, "e" -> 1.0, "f" -> 1.0)
+    val sel = graft.Bench.retryCandidates(results, duck, prior, Set("a", "b", "c", "e", "f"), 8)
+    assert(sel.map(_._1) == Seq("a", "b"), sel.toString)
+    // the cap keeps only the worst jumps
+    val capped = graft.Bench.retryCandidates(results, duck, prior, Set("a", "b", "c", "e", "f"), 1)
+    assert(capped.map(_._1) == Seq("a"))
+    // an errored oracle (d <= 0) never qualifies
+    assert(graft.Bench.retryCandidates(Seq("a" -> 8.0), Map("a" -> -1.0),
+      prior, Set("a"), 8).isEmpty)
+  }
+
+  test("third-trial gate fires only for over-gate ratios on contended windows") {
+    import graft.Bench.needsThirdTrial
+    assert(needsThirdTrial(2.7, 5.0, 0.2))   // r12 window_10m_sql shape
+    assert(needsThirdTrial(2.1, 1.0, 1.3))   // quiet load but hot external CPU
+    assert(!needsThirdTrial(1.9, 9.0, 2.0))  // under the gate: number stands
+    assert(!needsThirdTrial(2.7, 1.0, 0.1))  // over the gate on a QUIET box:
+                                             // a third trial would just confirm
+    assert(!needsThirdTrial(2.7, -1.0, -1.0)) // no sentinel -> no evidence
+  }
 }

@@ -99,6 +99,36 @@ class CoverageSpec extends SparkSpec {
       s"COVERAGE.md claims 'yes' for driver-red queries (${arts.last.getName}):\n${offending.mkString("\n")}")
   }
 
+  test("capability notes track the code: feature markers must be documented") {
+    // the r12 lesson: WKT2 landed in Crs.scala but the ST_Transform
+    // COVERAGE row still said "proj4 strings and WKT1" — the
+    // function-name drift gates can't see capability growth INSIDE an
+    // existing row. This net ties greppable code markers to required
+    // COVERAGE keywords; adding a capability without documenting it
+    // (or documenting one that was removed) is a red test either way.
+    val cov = {
+      val src = scala.io.Source.fromFile(new java.io.File(repoRoot, "COVERAGE.md"))
+      try src.mkString finally src.close()
+    }
+    def srcHas(rel: String, marker: String): Boolean = {
+      val f = new java.io.File(repoRoot, s"src/main/scala/graft/$rel")
+      val s = scala.io.Source.fromFile(f)
+      try s.mkString.contains(marker) finally s.close()
+    }
+    val markers = Seq(
+      ("functions/Crs.scala", "wkt2ToProj4", "WKT2"),
+      ("functions/Crs.scala", "proj4ToProjJson", "projjson"),
+      ("sources/GeoPackageWrite.scala", "writeSpatialite", "writeSpatialite"),
+      ("sources/GeoRead.scala", "\".kmz\"", "kmz"),
+      ("functions/GeoExpressions.scala", "NativePolygonContains", "NativePolygonContains"),
+      ("functions/Ntv2.scala", "def parse", "NTv2"))
+    markers.foreach { case (file, marker, keyword) =>
+      assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
+        s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +
+          s"mentions '$keyword' = ${cov.toLowerCase.contains(keyword.toLowerCase)}")
+    }
+  }
+
   test("row count matches the declared index size") {
     // the header states the index size; keep the literal honest
     val src = scala.io.Source.fromFile(new java.io.File(repoRoot, "COVERAGE.md"))
