@@ -520,6 +520,12 @@ object SparkEntry {
     """PARAMETER["Y-axis rotation",0.247,ID["EPSG",8609]],""" +
     """PARAMETER["Z-axis rotation",0.842,ID["EPSG",8610]],""" +
     """PARAMETER["Scale difference",0.9999795106,ID["EPSG",8611]]]]"""
+  // PROJJSON twin of the Lambert-93 WKT2 text: emitted by the engine's
+  // own exporter, consumed back through Crs.resolve('{...}') — the gate
+  // certifies emit+parse agree with the independent closed-form oracle
+  private val Lambert93ProjJson: String =
+    graft.functions.Crs.wktToProjJson(Lambert93Wkt2).getOrElse(
+      throw new IllegalStateException("no PROJJSON for the Lambert-93 WKT2 fixture"))
   private val LonLat3577 =
     ("(115.0 + CAST(c_custkey % 350 AS DOUBLE) / 10.0)", "(-40.0 + CAST(c_custkey % 280 AS DOUBLE) / 10.0)")
   private val LonLat3395 =
@@ -965,7 +971,11 @@ object SparkEntry {
          round(ST_X(ST_Transform(ST_Point(${LonLat27700._1}, ${LonLat27700._2}),
            'EPSG:4326', '$BngBoundWkt2', true)), 4) AS bgx,
          round(ST_Y(ST_Transform(ST_Point(${LonLat27700._1}, ${LonLat27700._2}),
-           'EPSG:4326', '$BngBoundWkt2', true)), 4) AS bgy
+           'EPSG:4326', '$BngBoundWkt2', true)), 4) AS bgy,
+         round(ST_X(ST_Transform(ST_Point(${LonLat2154._1}, ${LonLat2154._2}),
+           'EPSG:4326', '$Lambert93ProjJson', true)), 4) AS jx,
+         round(ST_Y(ST_Transform(ST_Point(${LonLat2154._1}, ${LonLat2154._2}),
+           'EPSG:4326', '$Lambert93ProjJson', true)), 4) AS jy
          FROM customer WHERE c_custkey <= 250 ORDER BY c_custkey"""),
 
     // radius-bounded KNN join (grid dwithin blocking + bounded top-k
@@ -3789,7 +3799,8 @@ object SparkEntry {
          round(ofr.x, 4) AS fx, round(ofr.y, 4) AS fy,
          ony.nx AS nx, ony.ny AS ny,
          round(ow2.x, 4) AS wx, round(ow2.y, 4) AS wy,
-         round(tbgo.x, 4) AS bgx, round(tbgo.y, 4) AS bgy
+         round(tbgo.x, 4) AS bgx, round(tbgo.y, 4) AS bgy,
+         round(ow2.x, 4) AS jx, round(ow2.y, 4) AS jy
        FROM pts p
        JOIN tuo USING (c_custkey) JOIN ofr USING (c_custkey)
        JOIN ony USING (c_custkey)

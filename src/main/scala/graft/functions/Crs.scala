@@ -1601,6 +1601,172 @@ object Crs {
   def wktToProjJson(wktText: String): Option[String] =
     wktToProj4(wktText).flatMap(proj4ToProjJson)
 
+  /** PROJJSON input (the reference accepts it through proj_create,
+   *  proj/functions.cpp:488-517): map the document onto the same
+   *  canonical proj4 string every other text form composes through —
+   *  the EPSG method/parameter mapping is [[epsgMethodCore]], shared
+   *  with the WKT2 reader, so the two modern text forms can never
+   *  diverge. Covers GeographicCRS / ProjectedCRS / BoundCRS. */
+  private[functions] def projJsonToProj4(jsonText: String): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported PROJJSON CRS: $msg")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root0 =
+      try mapper.readTree(jsonText)
+      catch { case e: Exception => fail(s"malformed JSON (${e.getMessage})") }
+    def typ(n: JsonNode): String =
+      Option(n.get("type")).map(_.asText("")).getOrElse("")
+
+    // numeric value that may carry a unit object; returns (value, unit)
+    def valueUnit(p: JsonNode): (Double, JsonNode) =
+      (Option(p.get("value")).map(_.asDouble).getOrElse(fail("parameter without value")),
+        p.get("unit"))
+    def angDeg(v: Double, unit: JsonNode): Double = {
+      if (unit == null || unit.isTextual) unit match {
+        case null => v
+        case u if u.asText == "degree" => v
+        case u if u.asText == "grad" => v * 0.9
+        case u if u.asText == "radian" => math.toDegrees(v)
+        case u => fail(s"angular unit '${u.asText}'")
+      } else {
+        // {conversion_factor: radians per unit} — same ulp snap as WKT
+        val d = Option(unit.get("conversion_factor")).map(_.asDouble)
+          .getOrElse(fail("angular unit without conversion_factor")) * 180.0 / math.Pi
+        v * (if (math.abs(d - 1.0) < 1e-9) 1.0 else d)
+      }
+    }
+    def linM(v: Double, unit: JsonNode): Double = {
+      if (unit == null || unit.isTextual) unit match {
+        case null => v
+        case u if u.asText == "metre" => v
+        case u if u.asText == "US survey foot" => v * FtUs
+        case u if u.asText == "foot" => v * 0.3048
+        case u => fail(s"linear unit '${u.asText}'")
+      } else v * Option(unit.get("conversion_factor")).map(_.asDouble)
+        .getOrElse(fail("linear unit without conversion_factor"))
+    }
+
+    def geogTokens(g: JsonNode): Seq[String] = {
+      val datum = Option(g.get("datum")).orElse(Option(g.get("datum_ensemble")))
+        .getOrElse(fail(s"${typ(g)} without datum/datum_ensemble"))
+      val ell = Option(datum.get("ellipsoid")).getOrElse(fail("datum without ellipsoid"))
+      val dName = Option(datum.get("name")).map(_.asText("")).getOrElse("").toLowerCase
+      val a = Option(ell.get("semi_major_axis")).orElse(Option(ell.get("radius")))
+        .map(_.asDouble).getOrElse(fail("ellipsoid without semi_major_axis"))
+      val invF = Option(ell.get("inverse_flattening")).map(_.asDouble)
+        .orElse(Option(ell.get("semi_minor_axis")).map(b => a / (a - b.asDouble)))
+        .getOrElse(0.0)
+      val base =
+        if (dName.contains("world geodetic system 1984")) Seq("+datum=WGS84")
+        else if (dName.contains("north american datum 1983")) Seq("+datum=NAD83")
+        else ellpsTokens(a, invF)
+      val pmDeg = Option(g.get("prime_meridian"))
+        .flatMap(p => Option(p.get("longitude"))).map { lonNode =>
+          if (lonNode.isNumber) lonNode.asDouble
+          else angDeg(Option(lonNode.get("value")).map(_.asDouble)
+            .getOrElse(fail("prime_meridian longitude without value")), lonNode.get("unit"))
+        }.getOrElse(0.0)
+      val pm =
+        if (pmDeg == 0.0) Seq.empty
+        else if (math.abs(pmDeg - ParisLon) < 1e-9) Seq("+pm=paris")
+        else Seq(s"+pm=${pmDeg.toString}")
+      base ++ pm
+    }
+
+    // BoundCRS: source + a WGS84-hub transformation -> +towgs84
+    val (root, boundTow) =
+      if (typ(root0) == "BoundCRS") {
+        val src = Option(root0.get("source_crs")).getOrElse(fail("BoundCRS without source_crs"))
+        Option(root0.get("target_crs")).foreach { tgt =>
+          val tName = (Option(tgt.get("name")).map(_.asText("")).getOrElse("") + " " +
+            Option(tgt.get("datum")).orElse(Option(tgt.get("datum_ensemble")))
+              .flatMap(d => Option(d.get("name")).map(_.asText(""))).getOrElse("")).toLowerCase
+          if (!tName.contains("wgs 84") && !tName.contains("world geodetic system 1984"))
+            fail("BoundCRS target is not WGS84")
+        }
+        val tow = Option(root0.get("transformation")).map { t =>
+          val method = Option(t.get("method")).flatMap(m => Option(m.get("name")))
+            .map(_.asText("")).getOrElse("").toLowerCase
+          val sgn = if (method.contains("coordinate frame")) -1.0 else 1.0
+          val ps = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            Option(t.get("parameters")).map(_.elements()).getOrElse(fail("transformation without parameters"))
+          ).asScala.map { p =>
+            val n = Option(p.get("name")).map(_.asText("")).getOrElse("").toLowerCase
+            val (v, unit) = valueUnit(p)
+            n -> (v, Option(unit).flatMap(u => if (u.isTextual) Some(u.asText) else None).getOrElse(""))
+          }.toMap
+          def g(n: String): Double = ps.get(n).map(_._1).getOrElse(0.0)
+          def rot(n: String): Double = ps.get(n).map { case (v, u) =>
+            u match {
+              case "" | "arc-second" => v
+              case "milliarc-second" => v / 1000.0
+              case "radian" => math.toDegrees(v) * 3600.0
+              case other => fail(s"rotation unit '$other'")
+            }
+          }.getOrElse(0.0)
+          val ds = ps.get("scale difference").map { case (v, u) =>
+            // PROJJSON carries ppm explicitly; a unitless near-1 value
+            // is the abridged ratio form
+            if (u == "parts per million") v
+            else if (u.isEmpty && math.abs(v - 1.0) < 0.01) (v - 1.0) * 1e6
+            else if (u.isEmpty) v
+            else fail(s"scale-difference unit '$u'")
+          }.getOrElse(0.0)
+          val seven = Seq(
+            g("x-axis translation"), g("y-axis translation"), g("z-axis translation"),
+            sgn * rot("x-axis rotation"), sgn * rot("y-axis rotation"),
+            sgn * rot("z-axis rotation"), ds)
+          val p7 = if (seven.drop(3).forall(_ == 0.0)) seven.take(3) else seven
+          s"+towgs84=${p7.map(projFmt).mkString(",")}"
+        }.toSeq
+        (src, tow)
+      } else (root0, Seq.empty[String])
+
+    typ(root) match {
+      case "GeographicCRS" | "GeodeticCRS" =>
+        (Seq("+proj=longlat") ++ geogTokens(root) ++ boundTow :+ "+no_defs").mkString(" ")
+      case "ProjectedCRS" =>
+        val baseGeog = Option(root.get("base_crs")).getOrElse(fail("ProjectedCRS without base_crs"))
+        val conv = Option(root.get("conversion")).getOrElse(fail("ProjectedCRS without conversion"))
+        val method = Option(conv.get("method")).flatMap(m => Option(m.get("name")))
+          .map(_.asText("")).getOrElse(fail("conversion without method")).toLowerCase
+        val pmap: Map[String, (Double, JsonNode)] =
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+            Option(conv.get("parameters")).map(_.elements())
+              .getOrElse(java.util.Collections.emptyIterator[JsonNode]())
+          ).asScala.map { p =>
+            val n = Option(p.get("name")).map(_.asText("")).getOrElse("").toLowerCase
+            n -> valueUnit(p)
+          }.toMap
+        val core = epsgMethodCore(method,
+          (d, ns) => ns.collectFirst(Function.unlift(pmap.get))
+            .map { case (v, u) => angDeg(v, u) }.getOrElse(d),
+          (d, ns) => ns.collectFirst(Function.unlift(pmap.get))
+            .map { case (v, u) => linM(v, u) }.getOrElse(d),
+          (d, ns) => ns.collectFirst(Function.unlift(pmap.get)).map(_._1).getOrElse(d))
+        // CS axis unit -> +units / +to_meter
+        val unitFactor = Option(root.get("coordinate_system"))
+          .flatMap(cs => Option(cs.get("axis")))
+          .flatMap(ax => if (ax.isArray && ax.size > 0) Option(ax.get(0).get("unit")) else None)
+          .map { u =>
+            if (u.isTextual) u.asText match {
+              case "metre" => 1.0
+              case "US survey foot" => FtUs
+              case "foot" => 0.3048
+              case other => fail(s"axis unit '$other'")
+            } else Option(u.get("conversion_factor")).map(_.asDouble).getOrElse(1.0)
+          }.getOrElse(1.0)
+        val units =
+          if (unitFactor == 1.0) Seq("+units=m")
+          else if (math.abs(unitFactor - FtUs) < 1e-9) Seq("+units=us-ft")
+          else if (math.abs(unitFactor - 0.3048) < 1e-9) Seq("+units=ft")
+          else Seq(s"+to_meter=${unitFactor.toString}")
+        (core ++ geogTokens(baseGeog) ++ boundTow ++ units :+ "+no_defs").mkString(" ")
+      case other => fail(s"top-level type '$other'")
+    }
+  }
+
   private def projJsonImpl(proj4: String): String = {
     val kv = scala.collection.mutable.LinkedHashMap[String, String]()
     proj4.trim.split("\\s+").foreach { tok =>
@@ -1791,6 +1957,109 @@ object Crs {
     } match {
       case Some((name, _)) => Seq(s"+ellps=$name")
       case None => Seq(s"+a=${projFmt(a)}", s"+rf=${projFmt(invF)}")
+    }
+  }
+
+
+  /** EPSG conversion-method name -> core proj tokens — ONE decision
+   *  point shared by the WKT2 (ISO 19162) and PROJJSON readers: both
+   *  carry the same published EPSG method/parameter names, and mapping
+   *  them twice would invite semantic divergence. The accessors return
+   *  values already converted to degrees / metres / unity. */
+  private def epsgMethodCore(method: String,
+      angOf: (Double, Seq[String]) => Double,
+      linOf: (Double, Seq[String]) => Double,
+      scaOf: (Double, Seq[String]) => Double): Seq[String] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported CRS conversion: $msg")
+    def ang(dflt: Double, names: String*): Double = angOf(dflt, names)
+    def lin(dflt: Double, names: String*): Double = linOf(dflt, names)
+    def sca(dflt: Double, names: String*): Double = scaOf(dflt, names)
+    val lat0 = ang(0, "latitude of natural origin", "latitude of origin")
+    val lon0 = ang(0, "longitude of natural origin", "central meridian")
+    val k0 = sca(1.0, "scale factor at natural origin", "scale factor")
+    val x0 = lin(0, "false easting")
+    val y0 = lin(0, "false northing")
+    // false-origin family (lcc 2sp / albers)
+    val latF = ang(0, "latitude of false origin")
+    val lonF = ang(0, "longitude of false origin")
+    val xF = lin(0, "easting at false origin")
+    val yF = lin(0, "northing at false origin")
+    val sp1 = Some(ang(Double.NaN, "latitude of 1st standard parallel")).filterNot(_.isNaN)
+    val sp2 = Some(ang(Double.NaN, "latitude of 2nd standard parallel")).filterNot(_.isNaN)
+    def fmt(v: Double) = projFmt(v)
+    method match {
+      case m if m.contains("transverse mercator") && !m.contains("south") =>
+        Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+          s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("lambert conic conformal") &&
+          (m.contains("belgium") || m.contains("michigan")) =>
+        // EPSG 9803/1051 carry corrections plain 2SP math would
+        // silently drop — fail loudly like other unsupported methods
+        fail(s"METHOD '$m'")
+      case m if m.contains("lambert conic conformal") && m.contains("2sp") =>
+        Seq("+proj=lcc", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
+          s"+lat_1=${fmt(sp1.getOrElse(latF))}", s"+lat_2=${fmt(sp2.getOrElse(latF))}",
+          s"+x_0=${fmt(xF)}", s"+y_0=${fmt(yF)}")
+      case m if m.contains("lambert conic conformal") =>
+        // 1SP: natural-origin family; cone follows the origin latitude
+        Seq("+proj=lcc", s"+lat_1=${fmt(lat0)}", s"+lat_0=${fmt(lat0)}",
+          s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("albers") =>
+        Seq("+proj=aea", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
+          s"+lat_1=${fmt(sp1.getOrElse(0.0))}", s"+lat_2=${fmt(sp2.getOrElse(0.0))}",
+          s"+x_0=${fmt(xF)}", s"+y_0=${fmt(yF)}")
+      case m if m.contains("lambert azimuthal equal area") =>
+        Seq("+proj=laea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("hotine oblique mercator (variant b)") =>
+        // Swiss/Hungarian somerc: azimuth 90 at the projection centre
+        val az = ang(0, "azimuth of initial line", "azimuth at projection centre")
+        if (math.abs(az - 90.0) > 1e-9)
+          fail(s"Hotine oblique Mercator with azimuth $az (somerc form only)")
+        val kSom = sca(1.0, "scale factor on initial line",
+          "scale factor at projection centre")
+        if (kSom != 1.0)
+          fail(s"Hotine oblique Mercator with scale $kSom (somerc form only)")
+        Seq("+proj=somerc",
+          s"+lat_0=${fmt(ang(0, "latitude of projection centre"))}",
+          s"+lon_0=${fmt(ang(0, "longitude of projection centre"))}",
+          s"+x_0=${fmt(lin(0, "easting at projection centre"))}",
+          s"+y_0=${fmt(lin(0, "northing at projection centre"))}")
+      case m if m.contains("pseudo mercator") || m.contains("pseudo-mercator") =>
+        // mirror the WKT1 mercator_auxiliary_sphere guard: webmerc
+        // has no natural-origin/false-origin freedom here
+        if (lon0 != 0.0 || x0 != 0.0 || y0 != 0.0)
+          fail(s"Pseudo-Mercator with non-zero origin (lon_0=$lon0 x_0=$x0 y_0=$y0)")
+        Seq("+proj=webmerc")
+      case m if m.contains("mercator (variant a)") =>
+        Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("mercator (variant b)") =>
+        Seq("+proj=merc", s"+lon_0=${fmt(lon0)}",
+          s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("polar stereographic (variant a)") =>
+        Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
+          s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("polar stereographic") =>
+        val ts = ang(lat0, "latitude of standard parallel")
+        val lo = ang(0, "longitude of origin", "longitude of natural origin")
+        Seq("+proj=stere", s"+lat_0=${fmt(if (ts < 0) -90.0 else 90.0)}",
+          s"+lat_ts=${fmt(ts)}", s"+lon_0=${fmt(lo)}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("oblique stereographic") =>
+        Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+          s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("equidistant cylindrical") =>
+        // thread sp1 through so parseProjString's lat_ts guard
+        // decides (it rejects non-zero) instead of mis-projecting
+        Seq("+proj=eqc", s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
+          s"+lon_0=${fmt(lon0)}",
+          s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case other => fail(s"METHOD '$other'")
     }
   }
 
@@ -2015,94 +2284,8 @@ object Crs {
             .map(p => p.dbl(1) * lenFactor(p)).getOrElse(dflt)
         def sca(dflt: Double, names: String*): Double =
           names.flatMap(pnodes.get).headOption.map(_.dbl(1)).getOrElse(dflt)
-        val lat0 = ang(0, "latitude of natural origin", "latitude of origin")
-        val lon0 = ang(0, "longitude of natural origin", "central meridian")
-        val k0 = sca(1.0, "scale factor at natural origin", "scale factor")
-        val x0 = lin(0, "false easting")
-        val y0 = lin(0, "false northing")
-        // false-origin family (lcc 2sp / albers)
-        val latF = ang(0, "latitude of false origin")
-        val lonF = ang(0, "longitude of false origin")
-        val xF = lin(0, "easting at false origin")
-        val yF = lin(0, "northing at false origin")
-        val sp1 = pnodes.get("latitude of 1st standard parallel")
-          .map(p => p.dbl(1) * angFactor(p))
-        val sp2 = pnodes.get("latitude of 2nd standard parallel")
-          .map(p => p.dbl(1) * angFactor(p))
-        def fmt(v: Double) = projFmt(v)
-        val core: Seq[String] = method match {
-          case m if m.contains("transverse mercator") && !m.contains("south") =>
-            Seq("+proj=tmerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
-              s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("lambert conic conformal") &&
-              (m.contains("belgium") || m.contains("michigan")) =>
-            // EPSG 9803/1051 carry corrections plain 2SP math would
-            // silently drop — fail loudly like other unsupported methods
-            fail(s"METHOD '$m'")
-          case m if m.contains("lambert conic conformal") && m.contains("2sp") =>
-            Seq("+proj=lcc", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
-              s"+lat_1=${fmt(sp1.getOrElse(latF))}", s"+lat_2=${fmt(sp2.getOrElse(latF))}",
-              s"+x_0=${fmt(xF)}", s"+y_0=${fmt(yF)}")
-          case m if m.contains("lambert conic conformal") =>
-            // 1SP: natural-origin family; cone follows the origin latitude
-            Seq("+proj=lcc", s"+lat_1=${fmt(lat0)}", s"+lat_0=${fmt(lat0)}",
-              s"+lon_0=${fmt(lon0)}", s"+k_0=${k0.toString}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("albers") =>
-            Seq("+proj=aea", s"+lat_0=${fmt(latF)}", s"+lon_0=${fmt(lonF)}",
-              s"+lat_1=${fmt(sp1.getOrElse(0.0))}", s"+lat_2=${fmt(sp2.getOrElse(0.0))}",
-              s"+x_0=${fmt(xF)}", s"+y_0=${fmt(yF)}")
-          case m if m.contains("lambert azimuthal equal area") =>
-            Seq("+proj=laea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("hotine oblique mercator (variant b)") =>
-            // Swiss/Hungarian somerc: azimuth 90 at the projection centre
-            val az = ang(0, "azimuth of initial line", "azimuth at projection centre")
-            if (math.abs(az - 90.0) > 1e-9)
-              fail(s"Hotine oblique Mercator with azimuth $az (somerc form only)")
-            val kSom = sca(1.0, "scale factor on initial line",
-              "scale factor at projection centre")
-            if (kSom != 1.0)
-              fail(s"Hotine oblique Mercator with scale $kSom (somerc form only)")
-            Seq("+proj=somerc",
-              s"+lat_0=${fmt(ang(0, "latitude of projection centre"))}",
-              s"+lon_0=${fmt(ang(0, "longitude of projection centre"))}",
-              s"+x_0=${fmt(lin(0, "easting at projection centre"))}",
-              s"+y_0=${fmt(lin(0, "northing at projection centre"))}")
-          case m if m.contains("pseudo mercator") || m.contains("pseudo-mercator") =>
-            // mirror the WKT1 mercator_auxiliary_sphere guard: webmerc
-            // has no natural-origin/false-origin freedom here
-            if (lon0 != 0.0 || x0 != 0.0 || y0 != 0.0)
-              fail(s"Pseudo-Mercator with non-zero origin (lon_0=$lon0 x_0=$x0 y_0=$y0)")
-            Seq("+proj=webmerc")
-          case m if m.contains("mercator (variant a)") =>
-            Seq("+proj=merc", s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("mercator (variant b)") =>
-            Seq("+proj=merc", s"+lon_0=${fmt(lon0)}",
-              s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("polar stereographic (variant a)") =>
-            Seq("+proj=stere", s"+lat_0=${fmt(if (lat0 < 0) -90.0 else 90.0)}",
-              s"+lon_0=${fmt(lon0)}", s"+k=${k0.toString}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("polar stereographic") =>
-            val ts = ang(lat0, "latitude of standard parallel")
-            val lo = ang(0, "longitude of origin", "longitude of natural origin")
-            Seq("+proj=stere", s"+lat_0=${fmt(if (ts < 0) -90.0 else 90.0)}",
-              s"+lat_ts=${fmt(ts)}", s"+lon_0=${fmt(lo)}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("oblique stereographic") =>
-            Seq("+proj=sterea", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
-              s"+k=${k0.toString}", s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case m if m.contains("equidistant cylindrical") =>
-            // thread sp1 through so parseProjString's lat_ts guard
-            // decides (it rejects non-zero) instead of mis-projecting
-            Seq("+proj=eqc", s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
-              s"+lon_0=${fmt(lon0)}",
-              s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
-          case other => fail(s"METHOD '$other'")
-        }
+        val core: Seq[String] = epsgMethodCore(method,
+          (d, ns) => ang(d, ns: _*), (d, ns) => lin(d, ns: _*), (d, ns) => sca(d, ns: _*))
         // CS unit: a PROJCRS-level LENGTHUNIT after the axes, or the
         // first axis's own unit (GDAL emits both spellings)
         val unit = root.child("LENGTHUNIT").map(_.dbl(1))
@@ -2130,6 +2313,10 @@ object Crs {
     if (cache.size > 4096) cache.clear()
     if (trimmed.startsWith("+"))
       return cache.computeIfAbsent(trimmed, parseProjString(_))
+    // PROJJSON documents compose through the same proj4 path as WKT2
+    // (parseProjString already xy-orders geographic results)
+    if (trimmed.startsWith("{"))
+      return cache.computeIfAbsent(trimmed, t => parseProjString(projJsonToProj4(t)))
     val upHead = trimmed.take(8).toUpperCase
     if (upHead.startsWith("PROJCS") || upHead.startsWith("GEOGCS") ||
         upHead.startsWith("PROJCRS") || upHead.startsWith("GEOGCRS") ||

@@ -111,6 +111,52 @@ print('PJOK', 0 if fails else 1)
     assert(out.contains("PJOK 1"), out)
   }
 
+  test("PROJJSON is accepted as CRS input and round-trips onto the same transform") {
+    // emit -> parse back through Crs.resolve('{...}') -> forward parity
+    // with the original proj-string System on in-domain probe points
+    val probes = Map(
+      "somerc" -> Seq((7.44, 46.95), (8.54, 47.38)),
+      "stere" -> Seq((120.0, -75.0), (10.0, 78.0)),
+      "eqc" -> Seq((30.0, -20.0), (100.0, 5.0))).withDefaultValue(
+      Seq((5.0, 45.0), (12.0, 52.0), (-3.0, 40.0)))
+    cases.foreach { p4 =>
+      val js = Crs.proj4ToProjJson(p4).getOrElse(fail(s"no projjson for $p4"))
+      val a = Crs.resolve(p4)
+      val b = Crs.resolve(js)
+      val proj = "\\+proj=(\\w+)".r.findFirstMatchIn(p4).get.group(1)
+      val pts =
+        if (p4.contains("+south")) Seq((-69.0, -33.0), (-70.5, -20.0))
+        else if (p4.contains("lat_0=-90")) Seq((120.0, -75.0), (-45.0, -80.0))
+        else if (p4.contains("lon_0=110") || p4.contains("lon_0=100"))
+          Seq((105.0, -6.0), (112.0, 2.0))
+        else probes(proj)
+      pts.foreach { case (lon, lat) =>
+        val (ax, ay) = a.forward(lon, lat)
+        val (bx, by) = b.forward(lon, lat)
+        assert(math.abs(ax - bx) < 1e-6 && math.abs(ay - by) < 1e-6,
+          s"$p4 at ($lon,$lat): ($ax,$ay) vs ($bx,$by)")
+      }
+    }
+    // BoundCRS with a 7-param position-vector transformation (ppm form)
+    val bound = """{"type":"BoundCRS","source_crs":{"type":"ProjectedCRS","name":"OSGB36 / British National Grid","base_crs":{"type":"GeographicCRS","name":"OSGB36","datum":{"type":"GeodeticReferenceFrame","name":"Ordnance Survey of Great Britain 1936","ellipsoid":{"name":"Airy 1830","semi_major_axis":6377563.396,"inverse_flattening":299.3249646}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"conversion":{"name":"British National Grid","method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},"parameters":[{"name":"Latitude of natural origin","value":49,"unit":"degree"},{"name":"Longitude of natural origin","value":-2,"unit":"degree"},{"name":"Scale factor at natural origin","value":0.9996012717,"unit":"unity"},{"name":"False easting","value":400000,"unit":"metre"},{"name":"False northing","value":-100000,"unit":"metre"}]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"Easting","abbreviation":"E","direction":"east","unit":"metre"},{"name":"Northing","abbreviation":"N","direction":"north","unit":"metre"}]}},"target_crs":{"type":"GeographicCRS","name":"WGS 84","datum_ensemble":{"name":"World Geodetic System 1984 ensemble","members":[],"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"transformation":{"name":"OSGB36 to WGS 84 (9)","method":{"name":"Position Vector transformation (geog2D domain)","id":{"authority":"EPSG","code":9606}},"parameters":[{"name":"X-axis translation","value":446.448,"unit":"metre"},{"name":"Y-axis translation","value":-125.157,"unit":"metre"},{"name":"Z-axis translation","value":542.06,"unit":"metre"},{"name":"X-axis rotation","value":0.15,"unit":"arc-second"},{"name":"Y-axis rotation","value":0.247,"unit":"arc-second"},{"name":"Z-axis rotation","value":0.842,"unit":"arc-second"},{"name":"Scale difference","value":-20.4894,"unit":"parts per million"}]}}"""
+    val twin = Crs.resolve(
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+        "+y_0=-100000 +ellps=airy " +
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.4894")
+    val fromJson = Crs.resolve(bound)
+    Seq((-1.5, 52.5), (-3.2, 55.95)).foreach { case (lon, lat) =>
+      val (ax, ay) = twin.forward(lon, lat)
+      val (bx, by) = fromJson.forward(lon, lat)
+      assert(math.abs(ax - bx) < 1e-3 && math.abs(ay - by) < 1e-3,
+        s"bound at ($lon,$lat): ($ax,$ay) vs ($bx,$by)")
+    }
+    // a non-WGS84-hub BoundCRS is refused, like the WKT2 twin
+    val badBound = bound.replace("\"name\":\"WGS 84\"", "\"name\":\"ETRS89\"")
+      .replace("World Geodetic System 1984 ensemble", "European Terrestrial Reference System 1989")
+    val e = intercept[IllegalArgumentException](Crs.resolve(badBound))
+    assert(e.getMessage.contains("not WGS84"), e.getMessage)
+  }
+
   test("unsupported projections return None, never malformed JSON") {
     assert(Crs.proj4ToProjJson("+proj=robin +lon_0=0").isEmpty)
     assert(Crs.proj4ToProjJson("not a proj string").isEmpty)
