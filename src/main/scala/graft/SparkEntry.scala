@@ -460,6 +460,8 @@ object SparkEntry {
     ("(113.83 + CAST(c_custkey % 72 AS DOUBLE) / 100.0)", "(22.14 + CAST((c_custkey * 3) % 43 AS DOUBLE) / 100.0)")
   private val LonLat2393 = // KKJ zone 3: Hanko to Utsjoki
     ("(25.5 + CAST(c_custkey % 30 AS DOUBLE) / 10.0)", "(59.8 + CAST((c_custkey * 3) % 103 AS DOUBLE) / 10.0)")
+  private val LonLat5514 = // S-JTSK Krovak: Cheb to the Slovak east
+    ("(12.1 + CAST(c_custkey % 68 AS DOUBLE) / 10.0)", "(47.8 + CAST((c_custkey * 3) % 33 AS DOUBLE) / 10.0)")
 
   /** The hand-written WKT1 the projstring gate feeds ST_Transform:
    *  grads + Paris prime meridian + TOWGS84 — the hardest text-input
@@ -936,7 +938,8 @@ object SparkEntry {
            ("EPSG:2100", "x2100", "y2100", LonLat2100),
            ("EPSG:3301", "x3301", "y3301", LonLat3301),
            ("EPSG:2326", "x2326", "y2326", LonLat2326),
-           ("EPSG:2393", "x2393", "y2393", LonLat2393)).map {
+           ("EPSG:2393", "x2393", "y2393", LonLat2393),
+           ("EPSG:5514", "x5514", "y5514", LonLat5514)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -4157,6 +4160,41 @@ object SparkEntry {
       s"""${helmertCtes("2393", "s2393", intl,
              -96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496)},
          ${tmOracleCtes("t2393", "s2393l", intl, 0.0, 27.0, 1.0, 3500000.0, 0.0)}"""
+    // S-JTSK Krovak East-North: constants mirror Crs.Krovak exactly
+    // (same operation order, EPSG GN7-2 formulas)
+    val krovakCtes = {
+      val bes = Crs.Bessel1841
+      val e = bes.e; val e2 = bes.e2
+      val phiC = rad(49.5); val phiP = rad(78.5)
+      val alphaC = rad(30.28813972222222)
+      val bigA = bes.a * math.sqrt(1 - e2) / (1 - e2 * math.sin(phiC) * math.sin(phiC))
+      val bigB = math.sqrt(1 + e2 * math.pow(math.cos(phiC), 4) / (1 - e2))
+      val gamma0 = math.asin(math.sin(phiC) / bigB)
+      val t0k = math.tan(math.Pi / 4 + gamma0 / 2) *
+        math.pow((1 + e * math.sin(phiC)) / (1 - e * math.sin(phiC)), e * bigB / 2) /
+        math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+      val nK = math.sin(phiP)
+      val r0 = 0.9999 * bigA / math.tan(phiP)
+      val rNv = r0 * math.pow(math.tan(math.Pi / 4 + phiP / 2), nK)
+      s"""${helmertCtes("5514", "s5514", bes, 589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)},
+         k5514a AS (
+           SELECT c_custkey,
+             2*(atan(${dlit(t0k)}*pow(tan(radians(lat)/2 + pi()/4), ${dlit(bigB)})
+               / pow((1 + ${dlit(e)}*sin(radians(lat)))/(1 - ${dlit(e)}*sin(radians(lat))), ${dlit(e * bigB / 2)})) - pi()/4) AS u,
+             ${dlit(bigB)}*(${dlit(rad(24.833333333333332))} - radians(lon)) AS v
+           FROM s5514l),
+         k5514b AS (
+           SELECT c_custkey, u, v,
+             asin(${dlit(math.cos(alphaC))}*sin(u) + ${dlit(math.sin(alphaC))}*cos(u)*cos(v)) AS t
+           FROM k5514a),
+         o5514 AS (
+           SELECT c_custkey,
+             -(${dlit(rNv)}/pow(tan(t/2 + pi()/4), ${dlit(nK)}))
+               * sin(${dlit(nK)}*asin(cos(u)*sin(v)/cos(t))) AS x,
+             -(${dlit(rNv)}/pow(tan(t/2 + pi()/4), ${dlit(nK)}))
+               * cos(${dlit(nK)}*asin(cos(u)*sin(v)/cos(t))) AS y
+           FROM k5514b)"""
+    }
 
     def srcCte(name: String, ll: (String, String)) =
       s"s$name AS (SELECT c_custkey, ${ll._1} AS lon, ${ll._2} AS lat FROM pts)"
@@ -4200,6 +4238,7 @@ object SparkEntry {
        ${srcCte("3301", LonLat3301)},
        ${srcCte("2326", LonLat2326)},
        ${srcCte("2393", LonLat2393)},
+       ${srcCte("5514", LonLat5514)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
@@ -4230,7 +4269,8 @@ object SparkEntry {
        $greekCtes,
        $estCtes,
        $hkCtes,
-       $kkjCtes
+       $kkjCtes,
+       $krovakCtes
        SELECT p.c_custkey,
          round(o2154.x, 4) AS x2154, round(o2154.y, 4) AS y2154,
          round(t25832o.x, 4) AS x25832, round(t25832o.y, 4) AS y25832,
@@ -4263,7 +4303,8 @@ object SparkEntry {
          round(t2100o.x, 4) AS x2100, round(t2100o.y, 4) AS y2100,
          round(o3301.x, 4) AS x3301, round(o3301.y, 4) AS y3301,
          round(t2326o.x, 4) AS x2326, round(t2326o.y, 4) AS y2326,
-         round(t2393o.x, 4) AS x2393, round(t2393o.y, 4) AS y2393
+         round(t2393o.x, 4) AS x2393, round(t2393o.y, 4) AS y2393,
+         round(o5514.x, 4) AS x5514, round(o5514.y, 4) AS y5514
        FROM pts p
        LEFT JOIN o2154 USING (c_custkey) LEFT JOIN t25832o USING (c_custkey)
        LEFT JOIN t2193o USING (c_custkey) LEFT JOIN o3577 USING (c_custkey)
@@ -4282,7 +4323,7 @@ object SparkEntry {
        LEFT JOIN o3946 USING (c_custkey) LEFT JOIN t3011o USING (c_custkey)
        LEFT JOIN t2039o USING (c_custkey) LEFT JOIN t2100o USING (c_custkey)
        LEFT JOIN o3301 USING (c_custkey) LEFT JOIN t2326o USING (c_custkey)
-       LEFT JOIN t2393o USING (c_custkey)
+       LEFT JOIN t2393o USING (c_custkey) LEFT JOIN o5514 USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 

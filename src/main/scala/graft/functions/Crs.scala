@@ -640,6 +640,71 @@ object Crs {
     }
   }
 
+  /** Krovak oblique conformal conic (EPSG method 9819/1041; Guidance
+   *  Note 7-2 "Krovak" worked formulas) — the S-JTSK projection behind
+   *  EPSG:5514 (Czechia/Slovakia). Ellipsoid → conformal sphere via
+   *  the Gaussian B exponent, rotation to the oblique pole at azimuth
+   *  αc, then a conic at the pseudo standard parallel φp. Outputs the
+   *  East-North orientation (PROJ's `+proj=krovak`): x = −westing,
+   *  y = −southing — negative over the whole valid area. */
+  private final class Krovak(
+      ell: Ellipsoid, latCDeg: Double, lon0Deg: Double, alphaDeg: Double,
+      latPDeg: Double, k0: Double, falseE: Double, falseN: Double) extends System {
+    private val e = ell.e; private val e2 = ell.e2
+    private val phiC = math.toRadians(latCDeg)
+    private val lon0 = math.toRadians(lon0Deg)
+    private val alphaC = math.toRadians(alphaDeg)
+    private val phiP = math.toRadians(latPDeg)
+    private val bigA = ell.a * math.sqrt(1 - e2) /
+      (1 - e2 * math.sin(phiC) * math.sin(phiC))
+    private val bigB = math.sqrt(1 + e2 * math.pow(math.cos(phiC), 4) / (1 - e2))
+    private val gamma0 = math.asin(math.sin(phiC) / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * math.sin(phiC)) / (1 - e * math.sin(phiC)), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = k0 * bigA / math.tan(phiP)
+    // r(T) = rN / tan^n(T/2 + π/4) with rN = r0·tan^n(π/4 + φp/2)
+    private val rN = r0 * math.pow(math.tan(math.Pi / 4 + phiP / 2), n)
+    private val sinA = math.sin(alphaC); private val cosA = math.cos(alphaC)
+
+    def forward(lonD: Double, latD: Double): (Double, Double) = {
+      val lat = math.toRadians(latD)
+      val u = 2 * (math.atan(t0 * math.pow(math.tan(lat / 2 + math.Pi / 4), bigB) /
+        math.pow((1 + e * math.sin(lat)) / (1 - e * math.sin(lat)), e * bigB / 2)) -
+        math.Pi / 4)
+      val v = bigB * (lon0 - math.toRadians(lonD))
+      val t = math.asin(cosA * math.sin(u) + sinA * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val r = rN / math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      // southing = r cos(nD), westing = r sin(nD); East-North negates
+      (falseE - r * math.sin(n * d), falseN - r * math.cos(n * d))
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val westing = -(xIn - falseE)
+      val southing = -(yIn - falseN)
+      val r = math.sqrt(westing * westing + southing * southing)
+      val theta = math.atan2(westing, southing)
+      val d = theta / n
+      val t = 2 * (math.atan(math.pow(rN / r, 1.0 / n)) - math.Pi / 4)
+      val u = math.asin(cosA * math.sin(t) - sinA * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      // conformal latitude U -> geodetic (fixed point, EPSG iteration)
+      var lat = u
+      var k = 0; var prev = 0.0
+      do {
+        prev = lat
+        lat = 2 * (math.atan(math.pow(t0, -1.0 / bigB) *
+          math.pow(math.tan(u / 2 + math.Pi / 4), 1.0 / bigB) *
+          math.pow((1 + e * math.sin(lat)) / (1 - e * math.sin(lat)), e / 2)) -
+          math.Pi / 4)
+        k += 1
+      } while (math.abs(lat - prev) > 1e-14 && k < 25)
+      (math.toDegrees(lon0 - v / bigB), math.toDegrees(lat))
+    }
+  }
+
   /**
    * 7-parameter Helmert transformation (position-vector convention,
    * EPSG method 9606), parameters LOCAL datum → WGS84. Rotations in
@@ -1097,7 +1162,15 @@ object Crs {
       () => new DatumShifted(
         new TransMerc(International1924, 0.0, 27.0, 1.0, 3500000.0, 0.0),
         International1924,
-        Helmert(-96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496))))
+        Helmert(-96.062, -82.428, -121.753, 4.801, 0.345, -1.376, 1.496))),
+    // S-JTSK / Krovak East North (EPSG 5514): the Czech/Slovak national
+    // grid — Bessel + the grid-free translation PROJ ships as +towgs84
+    CrsInfo("EPSG", "5514", "S-JTSK / Krovak East North", "projected",
+      "Czechia; Slovakia", "Krovak (East North Orientated)",
+      () => new DatumShifted(
+        new Krovak(Bessel1841, 49.5, 24.833333333333332, 30.28813972222222,
+          78.5, 0.9999, 0.0, 0.0),
+        Bessel1841, Helmert(589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0))))
 
   /** Datum-shifted Gauss-Krüger / ED50 UTM helpers for the parametric
    *  ranges in [[resolve]]. */
@@ -1500,6 +1573,14 @@ object Crs {
       case "eqc" =>
         if (num("lat_ts", 0.0) != 0.0) fail("+proj=eqc with a non-zero +lat_ts")
         new EquidistCyl(ell, lon0, x0, y0)
+      case "krovak" =>
+        // PROJ parameter defaults ARE the S-JTSK constants
+        new Krovak(ell,
+          if (kv.contains("lat_0")) lat0 else 49.5,
+          if (kv.contains("lon_0")) lon0 else 24.833333333333332,
+          num("alpha", 30.28813972222222), 78.5,
+          if (kv.contains("k") || kv.contains("k_0")) k0 else 0.9999,
+          x0, y0)
       case other => fail(s"+proj=$other")
     }
     val shifted = shift match {
@@ -1924,6 +2005,16 @@ object Crs {
             ("Longitude of natural origin", lon0, "degree"),
             ("False easting", x0, "metre"),
             ("False northing", y0, "metre")))
+        case "krovak" =>
+          ("Krovak (East North Orientated)", 1041, Seq(
+            ("Latitude of projection centre", num("lat_0", 49.5), "degree"),
+            ("Longitude of origin", num("lon_0", 24.833333333333332), "degree"),
+            ("Co-latitude of cone axis", num("alpha", 30.28813972222222), "degree"),
+            ("Latitude of pseudo standard parallel", 78.5, "degree"),
+            ("Scale factor on pseudo standard parallel",
+              kv.get("k_0").orElse(kv.get("k")).map(_.toDouble).getOrElse(0.9999), "unity"),
+            ("False easting", x0, "metre"),
+            ("False northing", y0, "metre")))
         case other => fail(s"+proj=$other")
       }
     val paramJson = params.map { case (n, v, u) =>
@@ -2059,6 +2150,21 @@ object Crs {
         Seq("+proj=eqc", s"+lat_ts=${fmt(sp1.getOrElse(0.0))}",
           s"+lon_0=${fmt(lon0)}",
           s"+x_0=${fmt(x0)}", s"+y_0=${fmt(y0)}")
+      case m if m.contains("krovak") &&
+          (m.contains("east north") || m.contains("east-north")) =>
+        val psp = ang(78.5, "latitude of pseudo standard parallel")
+        if (math.abs(psp - 78.5) > 1e-9)
+          fail(s"Krovak pseudo standard parallel $psp (78.5 only)")
+        Seq("+proj=krovak",
+          s"+lat_0=${fmt(ang(49.5, "latitude of projection centre"))}",
+          s"+lon_0=${fmt(ang(24.833333333333332, "longitude of origin", "longitude of projection centre"))}",
+          s"+alpha=${fmt(ang(30.28813972222222, "co-latitude of cone axis", "azimuth of initial line"))}",
+          s"+k=${sca(0.9999, "scale factor on pseudo standard parallel").toString}",
+          s"+x_0=${fmt(lin(0, "false easting"))}", s"+y_0=${fmt(lin(0, "false northing"))}")
+      case m if m.contains("krovak") =>
+        // plain EPSG 9819 carries south-west axes in the CS, which this
+        // proj4 composition cannot express — fail, don't flip silently
+        fail(s"METHOD '$m' (only the East-North-orientated variant is supported)")
       case other => fail(s"METHOD '$other'")
     }
   }
@@ -2177,6 +2283,18 @@ object Crs {
         Seq("+proj=somerc", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}")
       case "equidistant_cylindrical" | "equirectangular" | "plate_carree" =>
         Seq("+proj=eqc", s"+lon_0=${fmt(lon0)}")
+      case "krovak" =>
+        // ESRI models East-North Krovak via X_Scale=-1 / Y_Scale=1 /
+        // XY_Plane_Rotation=90 — the only orientation this engine has
+        if (lin(-1.0, "x_scale") != -1.0 || lin(1.0, "y_scale") != 1.0 ||
+            lin(90.0, "xy_plane_rotation") != 90.0)
+          fail("Krovak south-west orientation (need X_Scale/Y_Scale/XY_Plane_Rotation = -1/1/90)")
+        val psp = ang(78.5, "pseudo_standard_parallel_1")
+        if (math.abs(psp - 78.5) > 1e-9)
+          fail(s"Krovak pseudo standard parallel $psp (78.5 only)")
+        Seq("+proj=krovak", s"+lat_0=${fmt(lat0)}", s"+lon_0=${fmt(lon0)}",
+          s"+alpha=${fmt(ang(30.28813972222222, "azimuth"))}",
+          s"+k=${lin(0.9999, "scale_factor").toString}")
       case other => fail(s"PROJECTION '$other'")
     }
     val units =
@@ -2562,6 +2680,8 @@ object Crs {
     "International_1924", 6378388.0, 297.0)
   private val GeogKkj = geogcsOf("GCS_KKJ", "D_KKJ",
     "International_1924", 6378388.0, 297.0)
+  private val GeogSJtsk = geogcsOf("GCS_S_JTSK", "D_S_JTSK",
+    "Bessel_1841", 6377397.155, 299.1528128)
 
   private def projcs(name: String, geogcs: String, method: String,
       params: Seq[(String, Double)], unitName: String, mpu: Double): String = {
@@ -2870,6 +2990,13 @@ object Crs {
         "Meter", 1.0))
       case "EPSG:2393" => Some(tmWkt("Finland_Zone_3", GeogKkj,
         0.0, 27.0, 1.0, 3500000.0, 0.0, "Meter", 1.0))
+      case "EPSG:5514" => Some(projcs("S-JTSK_Krovak_East_North", GeogSJtsk, "Krovak",
+        Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0,
+          "Pseudo_Standard_Parallel_1" -> 78.5, "Scale_Factor" -> 0.9999,
+          "Azimuth" -> 30.28813972222222,
+          "Longitude_Of_Center" -> 24.833333333333332,
+          "Latitude_Of_Center" -> 49.5, "X_Scale" -> -1.0, "Y_Scale" -> 1.0,
+          "XY_Plane_Rotation" -> 90.0), "Meter", 1.0))
       // r11 legacy-European families (ESRI dialect like the rest of
       // this catalog: no TOWGS84 — WKT1 carries the projection, the
       // datum bridge lives in the transform registry)

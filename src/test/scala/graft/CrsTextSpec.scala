@@ -237,6 +237,38 @@ class CrsTextSpec extends AnyFunSuite {
     assert(math.abs(ex - 542700.0) < 3000 && math.abs(ey - 6589400.0) < 3000, s"($ex,$ey)")
   }
 
+  test("Krovak matches the EPSG GN7-2 worked example and round-trips") {
+    // projection-only twin: the guidance example is stated in S-JTSK
+    // datum coordinates (50°12'32.442"N 16°50'59.179"E of Greenwich ->
+    // southing 1050538.63, westing 568991.00 => east-north negatives)
+    val k = Crs.resolve("+proj=krovak +ellps=bessel")
+    val lon = 16.0 + 50.0 / 60 + 59.179 / 3600
+    val lat = 50.0 + 12.0 / 60 + 32.442 / 3600
+    val (x, y) = k.forward(lon, lat)
+    assert(math.abs(x - (-568991.00)) < 0.05 && math.abs(y - (-1050538.63)) < 0.05,
+      s"($x,$y)")
+    val (lonB, latB) = k.inverse(x, y)
+    assert(math.abs(lonB - lon) < 1e-9 && math.abs(latB - lat) < 1e-9, s"($lonB,$latB)")
+    // explicit params == PROJ defaults
+    val kFull = Crs.resolve("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 " +
+      "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel")
+    val (x2, y2) = kFull.forward(lon, lat)
+    assert(x2 == x && y2 == y)
+    // the ESRI WKT export parses back onto the same projection (the
+    // catalog entry adds towgs84; compare against the projection twin)
+    val wkt = Crs.esriWkt("EPSG:5514").getOrElse(fail("no WKT for 5514"))
+    val (wx, wy) = Crs.resolve(wkt).forward(lon, lat)
+    assert(math.abs(wx - x) < 1e-6 && math.abs(wy - y) < 1e-6, s"($wx,$wy)")
+    // PROJJSON emit -> parse parity through the shared method core
+    val js = Crs.proj4ToProjJson("+proj=krovak +ellps=bessel").getOrElse(fail("no projjson"))
+    val (jx, jy) = Crs.resolve(js).forward(lon, lat)
+    assert(math.abs(jx - x) < 1e-9 && math.abs(jy - y) < 1e-9, s"($jx,$jy)")
+    // full 5514 pipeline lands near Prague's known grid position
+    val (px, py) = Crs.resolve("EPSG:5514").forward(14.4378, 50.0755)
+    assert(math.abs(px - (-743100.0)) < 2000 && math.abs(py - (-1043500.0)) < 2000,
+      s"($px,$py)")
+  }
+
   test("wktToProj4: derived strings round-trip onto the same transform") {
     val codes = Seq("EPSG:2263", "EPSG:2232", "EPSG:3978", "EPSG:3338",
       "EPSG:32661", "EPSG:4087", "EPSG:2154", "EPSG:25832", "EPSG:3857",

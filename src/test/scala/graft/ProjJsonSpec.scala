@@ -29,7 +29,8 @@ class ProjJsonSpec extends AnyFunSuite {
     "+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 +y_0=2000000 +ellps=WGS84 +no_defs",
     "+proj=sterea +lat_0=52.1561605555556 +lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel +no_defs",
     "+proj=somerc +lat_0=46.9524055555556 +lon_0=7.43958333333333 +x_0=2600000 +y_0=1200000 +ellps=bessel +no_defs",
-    "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs")
+    "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs",
+    "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 +alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel +no_defs")
 
   test("every supported projection family emits PROJJSON that python-validates") {
     val docs = cases.map { p4 =>
@@ -51,8 +52,8 @@ PROJ_PARAM = {  # proj token -> candidate PROJJSON parameter names
   'lat_1': ['Latitude of 1st standard parallel','Latitude of natural origin'],
   'lat_2': ['Latitude of 2nd standard parallel'],
   'lat_ts': ['Latitude of standard parallel','Latitude of 1st standard parallel'],
-  'k': ['Scale factor at natural origin','Scale factor at projection centre'],
-  'k_0': ['Scale factor at natural origin','Scale factor at projection centre'],
+  'k': ['Scale factor at natural origin','Scale factor at projection centre','Scale factor on pseudo standard parallel'],
+  'k_0': ['Scale factor at natural origin','Scale factor at projection centre','Scale factor on pseudo standard parallel'],
   'x_0': ['False easting','Easting at false origin','Easting at projection centre'],
   'y_0': ['False northing','Northing at false origin','Northing at projection centre'],
 }
@@ -117,6 +118,7 @@ print('PJOK', 0 if fails else 1)
     val probes = Map(
       "somerc" -> Seq((7.44, 46.95), (8.54, 47.38)),
       "stere" -> Seq((120.0, -75.0), (10.0, 78.0)),
+      "krovak" -> Seq((14.44, 50.08), (17.11, 48.15)),
       "eqc" -> Seq((30.0, -20.0), (100.0, 5.0))).withDefaultValue(
       Seq((5.0, 45.0), (12.0, 52.0), (-3.0, 40.0)))
     cases.foreach { p4 =>
