@@ -3187,19 +3187,33 @@ object SparkEntry {
     // (shp count 263 matches the from-scratch python golden of q_src_shp;
     // gpkg layers match the fixture generator spec; fgb header values
     // match GDAL's own export of the same file)
-    "q_read_meta" -> q(Seq(),
-      """SELECT driver_short_name AS drv, l.name AS layer, l.feature_count AS fcount,
+    "q_read_meta" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      // a GeoParquet 1.1 file whose 'geo' metadata carries the crs as a
+      // PROJJSON OBJECT (spec §crs) — written here, read back below
+      val gpq = "/tmp/graft_meta_crs.parquet"
+      val pts = s.table("supplier").filter(col("s_suppkey") <= 50)
+        .select(col("s_suppkey"),
+          st_point(expr("CAST(s_suppkey % 10 AS DOUBLE)"),
+            expr("CAST(s_suppkey % 5 AS DOUBLE)")).as("geom"))
+      sources.GeoTable.writeGeoParquet(pts, "geom", gpq, crs = Some("EPSG:2154"))
+      s.sql(
+        s"""SELECT driver_short_name AS drv, l.name AS layer, l.feature_count AS fcount,
          l.geometry_fields[0].name AS gname, l.geometry_fields[0].type AS gtype,
          l.geometry_fields[0].crs.auth_name AS crs_auth, l.geometry_fields[0].crs.auth_code AS crs_code,
          size(l.fields) AS nfields,
-         get_json_object(l.geometry_fields[0].crs.projjson, '$.type') AS pj_type,
-         get_json_object(l.geometry_fields[0].crs.projjson, '$.conversion.method.id.code') AS pj_method
+         get_json_object(l.geometry_fields[0].crs.projjson, '$$.type') AS pj_type,
+         get_json_object(l.geometry_fields[0].crs.projjson, '$$.conversion.method.id.code') AS pj_method
          FROM (
            SELECT * FROM st_read_meta('/root/reference/test/data/nyc_taxi/taxi_zones/taxi_zones.shp')
            UNION ALL SELECT * FROM st_read_meta('/root/repo/src/test/resources/sample.gpkg')
            UNION ALL SELECT * FROM st_read_meta('/root/reference/test/data/amsterdam_roads.fgb')
+           UNION ALL SELECT * FROM st_read_meta('$gpq')
          ) m LATERAL VIEW explode(m.layers) t AS l
-         ORDER BY drv, layer"""),
+         ORDER BY drv, layer""")
+    }),
 
     // st_table_stats (rtree_index_dump analog): footer-derived per-file
     // stats of a freshly clustered table; the ORACLE recomputes the same
@@ -6886,6 +6900,8 @@ object SparkEntry {
               'GeographicCRS', CAST(NULL AS VARCHAR)),
              ('geopackage', 'pts', 3001, 'geom', 'POINT', '', '4326', 5,
               'GeographicCRS', CAST(NULL AS VARCHAR)),
+             ('parquet', 'graft_meta_crs', -1, 'geom', 'Unknown', 'EPSG', '2154', 1,
+              'ProjectedCRS', '9802'),
              ('shapefile', 'taxi_zones', 263, 'geom', 'Polygon', '', '', 6,
               'ProjectedCRS', '9802')
            ) v(drv, layer, fcount, gname, gtype, crs_auth, crs_code, nfields, pj_type, pj_method)

@@ -1682,6 +1682,32 @@ object Crs {
   def wktToProjJson(wktText: String): Option[String] =
     wktToProj4(wktText).flatMap(proj4ToProjJson)
 
+  /** Total wrapper over [[projJsonToProj4]] for metadata consumers. */
+  def projJsonToProj4Opt(jsonText: String): Option[String] =
+    try Some(projJsonToProj4(jsonText)) catch { case _: Exception => None }
+
+  /** Any accepted CRS text form -> a PROJJSON document (what GeoParquet
+   *  1.1 'geo' metadata carries in its `crs` field). Catalog codes ride
+   *  the WKT exporter and keep their authority id. */
+  def anyToProjJson(text: String): Option[String] = {
+    val t = text.trim
+    if (t.isEmpty) None
+    else if (t.startsWith("{")) Some(t)
+    else if (t.startsWith("+")) proj4ToProjJson(t)
+    else {
+      val up = t.take(8).toUpperCase
+      if (up.startsWith("PROJCS") || up.startsWith("GEOGCS") ||
+          up.startsWith("PROJCRS") || up.startsWith("GEOGCRS") ||
+          up.startsWith("GEODCRS") || up.startsWith("BOUNDCRS")) wktToProjJson(t)
+      else "^(EPSG|ESRI):(\\d+)$".r.findFirstMatchIn(t.toUpperCase).flatMap { m =>
+        esriWkt(t).flatMap(wktToProjJson).map { js =>
+          js.dropRight(1) +
+            s""","id":{"authority":"${m.group(1)}","code":${m.group(2)}}}"""
+        }
+      }
+    }
+  }
+
   /** PROJJSON input (the reference accepts it through proj_create,
    *  proj/functions.cpp:488-517): map the document onto the same
    *  canonical proj4 string every other text form composes through —

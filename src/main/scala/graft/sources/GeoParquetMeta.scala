@@ -38,8 +38,13 @@ object GeoParquetMeta {
     val bboxJson = bbox.map { case (x0, y0, x1, y1) =>
       s""","bbox":[$x0,$y0,$x1,$y1]"""
     }.getOrElse("")
-    // crs omitted -> consumers default to OGC:CRS84 per spec §crs
-    val crsJson = crs.map(c => s""","crs":${jsonString(c)}""").getOrElse("")
+    // crs omitted -> consumers default to OGC:CRS84 per spec §crs.
+    // GeoParquet 1.1 carries the crs as a PROJJSON OBJECT — derive it
+    // from whatever text form the caller gave (code / proj4 / WKT);
+    // an underivable text degrades to the legacy quoted-string form
+    val crsJson = crs.map { c =>
+      s""","crs":${graft.functions.Crs.anyToProjJson(c).getOrElse(jsonString(c))}"""
+    }.getOrElse("")
     val coveringJson = if (!covering) "" else {
       // GeoParquet 1.1.0 requires the covering struct fields — and the
       // second path element — to be LITERALLY xmin/ymin/xmax/ymax

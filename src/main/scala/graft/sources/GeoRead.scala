@@ -656,13 +656,53 @@ object GeoRead {
         val geoJson = GeoParquetMeta.readGeoMetadata(path)
         val primary = geoJson.flatMap(j =>
           "\"primary_column\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(j).map(_.group(1)))
-        val crsTxt = geoJson.flatMap(j =>
-          "\"crs\"\\s*:\\s*(\\{[^}]*\\}|\"[^\"]*\")".r.findFirstMatchIn(j).map(_.group(1)))
-          .getOrElse("")
+        // GeoParquet 1.1 crs is a nested PROJJSON object — a regex over
+        // `[^}]*` truncates it at the first inner brace; walk balanced
+        val crsTxt = geoJson.flatMap { j =>
+          "\"crs\"\\s*:\\s*".r.findFirstMatchIn(j).flatMap { m =>
+            val rest = j.substring(m.end)
+            if (rest.startsWith("\""))
+              "^\"([^\"]*)\"".r.findFirstMatchIn(rest).map(_.group(1))
+            else if (rest.startsWith("{")) {
+              var depth = 0; var i = 0; var end = -1
+              var inStr = false; var esc = false
+              while (i < rest.length && end < 0) {
+                val ch = rest.charAt(i)
+                if (inStr) {
+                  if (esc) esc = false
+                  else if (ch == '\\') esc = true
+                  else if (ch == '"') inStr = false
+                } else ch match {
+                  case '"' => inStr = true
+                  case '{' => depth += 1
+                  case '}' => depth -= 1; if (depth == 0) end = i
+                  case _ =>
+                }
+                i += 1
+              }
+              if (end >= 0) Some(rest.substring(0, end + 1)) else None
+            } else None
+          }
+        }.getOrElse("")
+        val crs =
+          if (crsTxt.startsWith("{")) {
+            // PROJJSON object: fill projjson + derived proj4 + the
+            // TOP-LEVEL authority id (nested method/datum ids differ)
+            val proj4 = graft.functions.Crs.projJsonToProj4Opt(crsTxt).getOrElse("")
+            val (name, auth, code) =
+              try {
+                val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(crsTxt)
+                val id = Option(node.get("id"))
+                (Option(node.get("name")).map(_.asText("")).getOrElse(""),
+                  id.flatMap(i => Option(i.get("authority")).map(_.asText(""))).getOrElse(""),
+                  id.flatMap(i => Option(i.get("code")).map(_.asText(""))).getOrElse(""))
+              } catch { case _: Exception => ("", "", "") }
+            Row(name, auth, code, "", proj4, crsTxt)
+          } else crsRow("", "", "", crsTxt)
         val geomCols = primary.toSet ++
           schema.fields.filter(f => f.dataType == BinaryType && f.name == "geom").map(_.name)
         ("parquet", Seq(Row(baseName(path), -1L,
-          geomCols.toSeq.sorted.map(c => geomField(c, "Unknown", crsRow("", "", "", crsTxt))),
+          geomCols.toSeq.sorted.map(c => geomField(c, "Unknown", crs)),
           sparkFields(schema, geomCols))))
       } else if (lower.endsWith(".topojson")) {
         // TopoJSON is lon/lat by convention (the GeoJSON lineage); the
