@@ -613,6 +613,18 @@ object GeoRead {
   }
 
   def readMeta(spark: SparkSession, path: String): DataFrame = {
+    // zipped inputs (incl. .kmz) extract exactly like st_read's path
+    locally {
+      val zi = Seq(path.toLowerCase.indexOf(".zip"), path.toLowerCase.indexOf(".kmz"))
+        .filter(_ >= 0).minOption.getOrElse(-1)
+      if (zi >= 0 && (path.length == zi + 4 || path.charAt(zi + 4) == '/')) {
+        val archive = path.substring(0, zi + 4)
+        if (new java.io.File(archive).isFile) {
+          val inner = if (path.length > zi + 5) path.substring(zi + 5) else ""
+          return readMeta(spark, extractZip(archive, inner))
+        }
+      }
+    }
     val lower = path.toLowerCase
     def sparkFields(schema: StructType, geomCols: Set[String]): Seq[Row] =
       schema.fields.filterNot(f => geomCols(f.name))

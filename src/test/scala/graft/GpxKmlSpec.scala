@@ -22,6 +22,10 @@ class GpxKmlSpec extends SparkSpec {
     val overlay = GeoRead.read(spark, s"$kmzPath/files/overlay.kml")
       .select("name").collect().map(_.getString(0))
     assert(overlay.sameElements(Array("decoy-overlay")))
+    // st_read_meta follows the same extraction
+    val drv = GeoRead.readMeta(spark, kmzPath)
+      .select("driver_short_name").collect()(0).getString(0)
+    assert(drv == "kml", drv)
   }
 
   test("gpx: five layers with GDAL's schemas and per-file ordinals") {
