@@ -67,6 +67,34 @@ class SpatialiteWriteSpec extends SparkSpec {
     assert(backM(1)._2 == "MULTILINESTRING ((5 5, 6 6))")
   }
 
+  test("multipoints and geometry collections survive the Gaia encode/decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slw5").toString
+    val mps = Seq((1L, "MULTIPOINT ((1 2), (3 4), (5 6))"), (2L, "MULTIPOINT ((7 8))"))
+      .toDF("id", "wkt").select($"id", st_geomfromtext($"wkt").as("geom"))
+    val outMp = s"$dir/mp.sqlite"
+    GeoPackageWrite.writeSpatialite(mps, "geom", outMp, layer = "mps")
+    assert(Spatialite.layers(spark, outMp) == Seq(("mps", "geom", 4, 4326)))
+    val backMp = Spatialite.read(spark, outMp)
+      .select($"id", st_astext($"geom").as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(backMp(0)._2 == "MULTIPOINT (1 2, 3 4, 5 6)")
+    assert(backMp(1)._2 == "MULTIPOINT (7 8)")
+
+    val gcs = Seq(
+      (1L, "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"),
+      (2L, "GEOMETRYCOLLECTION (MULTIPOINT ((3 4), (5 6)))"))
+      .toDF("id", "wkt").select($"id", st_geomfromtext($"wkt").as("geom"))
+    val outGc = s"$dir/gc.sqlite"
+    GeoPackageWrite.writeSpatialite(gcs, "geom", outGc, layer = "gcs", srid = 0)
+    assert(Spatialite.layers(spark, outGc) == Seq(("gcs", "geom", 7, 0)))
+    val backGc = Spatialite.read(spark, outGc)
+      .select($"id", st_astext($"geom").as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(backGc(0)._2 ==
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))")
+    assert(backGc(1)._2 == "GEOMETRYCOLLECTION (MULTIPOINT (3 4, 5 6))")
+  }
+
   test("a mixed-class row fails loudly instead of writing a wrong declaration") {
     val df = Seq((1L, "POINT (1 2)"), (2L, "LINESTRING (0 0, 1 1)"))
       .toDF("id", "wkt").select($"id", st_geomfromtext($"wkt").as("geom"))
