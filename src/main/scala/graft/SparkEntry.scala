@@ -1347,6 +1347,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // row-level DELETE on a clustered table (R-tree CRUD analog:
+    // surgical rewrite of only the files holding matches). The oracle
+    // recomputes the EXPECTED survivor set from the SOURCE parquet —
+    // nothing the delete produced is trusted: surviving keys, their
+    // coordinates (points: bbox.xmin == x), and the deleted count all
+    // come from the independent closed form.
+    "q_clustered_delete" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_clustered_delete"
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      val base = s.table("customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(base, "geom", out, ext, numFiles = 4)
+      val ndel = sources.GeoTable.deleteWhere(s, "geom", out,
+        col("c_custkey") % 7 === 3 && graft.GeoFunctions.st_xmin(col("geom")) < lit(30.0))
+      s.read.parquet(out)
+        .select(col("c_custkey"), col("geom_bbox.xmin").as("x"),
+          col("geom_bbox.ymin").as("y"), lit(ndel).as("ndel"))
+        .orderBy("c_custkey")
+    }),
+
     // ================= training-data pipeline ops ======================
     // certifies operators.Dedup.exact itself (partial-agg min-id
     // survivor + semi-join — not the hot-key-prone window the oracle
@@ -6038,6 +6060,16 @@ object SparkEntry {
         """SELECT c_custkey, hex(geom) AS wkb_hex,
            geom_bbox.xmin AS bx0, geom_bbox.ymax AS by1
            FROM read_parquet('/tmp/graft_clustered_maint/*.parquet')
+           ORDER BY c_custkey""",
+
+      "q_clustered_delete" ->
+        s"""WITH src AS (
+             SELECT c_custkey, $custPtX AS x, $custPtY AS y
+             FROM customer WHERE c_custkey <= 300),
+           d AS (SELECT CAST(count(*) AS BIGINT) AS ndel FROM src
+                 WHERE c_custkey % 7 = 3 AND x < 30)
+           SELECT c_custkey, x, y, (SELECT ndel FROM d) AS ndel
+           FROM src WHERE NOT (c_custkey % 7 = 3 AND x < 30)
            ORDER BY c_custkey""",
 
       "q_doc_simhash" -> simhashOracle,

@@ -128,6 +128,70 @@ object GeoTable {
     fs.delete(hOld, true)
   }
 
+  /**
+   * Row-level DELETE on a clustered table — the reference's R-tree
+   * supports transactional row CRUD through its WAL (rtree_crud.test);
+   * the clustered-layout analog is SURGICAL file rewrite: only the part
+   * files that actually contain matching rows are rewritten, every
+   * other file's bytes are untouched. On a Hilbert-clustered table a
+   * spatially selective delete therefore costs one pruned scan plus a
+   * rewrite of the intersecting files — not a table rewrite — which is
+   * the shape that survives 100 TB. Within-file order is preserved
+   * (filter keeps order; no shuffle), so bbox tightness and skipping
+   * keep working; [[recluster]] restores the optimal layout after many
+   * deletes. Single-writer maintenance op like append/recluster.
+   * NULL-predicate rows are kept (SQL DELETE semantics). Returns the
+   * number of rows deleted.
+   */
+  def deleteWhere(
+      spark: SparkSession, geomCol: String, path: String,
+      predicate: Column): Long = {
+    val base = path.stripSuffix("/")
+    val hPath = new org.apache.hadoop.fs.Path(base)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = coalesce(predicate, lit(false))
+    val withFile = spark.read.parquet(base).withColumn("__file", input_file_name())
+    // candidate FILES holding at least one match: one string per part
+    // file — a file-count-sized driver list, never data-sized
+    val hits = withFile.filter(matches)
+      .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return 0L
+    val deleted = hits.map(_._2).sum
+    val hitFiles = hits.map(_._1)
+    val staging = new org.apache.hadoop.fs.Path(base + ".__del")
+    fs.delete(staging, true)
+    // survivors of ONLY the hit files; no repartition, so the Hilbert
+    // within-file order (and each new file's bbox stats) is preserved
+    spark.read.parquet(hitFiles.toIndexedSeq: _*).filter(!matches)
+      .write.mode("overwrite").parquet(staging.toString)
+    val geoJson = GeoParquetMeta.readGeoMetadata(base)
+    hitFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      fs.delete(p, false)
+      val crc = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
+    }
+    fs.listStatus(staging).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
+        if (!fs.rename(p, dst))
+          throw new java.io.IOException(s"deleteWhere: cannot move $p into $base")
+        // carry the table's geo footer metadata onto the new parts
+        geoJson.foreach { j =>
+          val local = new java.io.File(dst.toUri.getPath)
+          if (local.isFile) {
+            GeoParquetMeta.tagFile(local, j)
+            val crc = new java.io.File(local.getParentFile, "." + local.getName + ".crc")
+            if (crc.exists()) crc.delete()
+          }
+        }
+      }
+    fs.delete(staging, true)
+    deleted
+  }
+
   /** Global extent of a geometry column (one action); (0,0,0,0) when
    *  the input has no rows or only null/empty geometries. */
   def extentOf(df: DataFrame, geomCol: String): (Double, Double, Double, Double) = {

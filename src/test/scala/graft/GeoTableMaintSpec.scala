@@ -42,4 +42,48 @@ class GeoTableMaintSpec extends SparkSpec {
     assert(after.filter(st_within($"geom", env)).count() == brute)
     assert(GeoParquetMeta.readGeoMetadata(dir).isDefined)
   }
+
+  test("deleteWhere rewrites ONLY the files holding matches; others keep identical bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString + "/t"
+    GeoTable.writeClustered(pts(0 until 8000), "geom", dir, (0.0, 0.0, 100.0, 100.0),
+      numFiles = 6)
+    def fileSig(d: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = fileSig(dir)
+    // a spatially tight predicate: matches land in few Hilbert files
+    val pred = st_xmin($"geom") < 3.0 && $"id" % 2 === 0L
+    val expectDel = spark.read.parquet(dir).filter(pred).count()
+    val n = GeoTable.deleteWhere(spark, "geom", dir, pred)
+    assert(n == expectDel && n > 0, s"deleted $n expected $expectDel")
+    val afterSig = fileSig(dir)
+    // untouched files: same name, same bytes, same mtime
+    val untouched = before.keySet.intersect(afterSig.keySet)
+    assert(untouched.nonEmpty, "a tight delete must leave some files untouched")
+    untouched.foreach(k => assert(before(k) == afterSig(k), s"$k was rewritten"))
+    assert(before.keySet != afterSig.keySet, "hit files must be replaced")
+    // surviving rows are exactly the complement
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 8000 - n)
+    assert(back.filter(pred).count() == 0)
+    // NULL-predicate rows are KEPT (SQL DELETE semantics)
+    val nullPred = when($"id" < 4000L, lit(null).cast("boolean")).otherwise($"id" % 3 === 0L)
+    val n2 = GeoTable.deleteWhere(spark, "geom", dir, nullPred)
+    val back2 = spark.read.parquet(dir)
+    assert(back2.filter($"id" < 4000L).count() > 0, "NULL-predicate rows must survive")
+    assert(back2.count() == 8000 - n - n2)
+    // geo footer metadata still present on the rewritten generation
+    assert(GeoParquetMeta.readGeoMetadata(dir).isDefined)
+    // pruning still works after surgical rewrites
+    val env = st_makeenvelope(lit(50.0), lit(50.0), lit(70.0), lit(70.0))
+    val brute = back2.collect().length // force materialization sanity
+    assert(brute == 8000 - n - n2)
+    assert(back2.filter(st_within($"geom", env)).count() ==
+      back2.collect().count { r =>
+        val g = graft.functions.Jts.read(r.getAs[Array[Byte]]("geom"))
+        val c = g.getCoordinate
+        c.x > 50 && c.x < 70 && c.y > 50 && c.y < 70
+      })
+  }
 }
