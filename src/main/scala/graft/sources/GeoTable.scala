@@ -145,25 +145,63 @@ object GeoTable {
    */
   def deleteWhere(
       spark: SparkSession, geomCol: String, path: String,
-      predicate: Column): Long = {
+      predicate: Column): Long =
+    rewriteHitFiles(spark, path, predicate, (hit, matches) => hit.filter(!matches))
+
+  /**
+   * Row-level UPDATE on a clustered table (the reference R-tree's
+   * transactional UPDATE, rtree_crud.test): the same surgical rewrite
+   * as [[deleteWhere]] — only the part files holding matching rows are
+   * rewritten, with `set` column replacements applied to the matching
+   * rows and every other row copied bit-for-bit. Geometry updates that
+   * move rows far out of their file's Hilbert range degrade pruning
+   * gradually (bbox stats widen); [[recluster]] restores the layout.
+   * Returns the number of rows updated.
+   */
+  def updateWhere(
+      spark: SparkSession, geomCol: String, path: String,
+      predicate: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "updateWhere: empty SET")
+    rewriteHitFiles(spark, path, predicate, { (hit, matches) =>
+      val bboxCol = s"${geomCol}_bbox"
+      val setsGeom = set.contains(geomCol)
+      val updated = set.foldLeft(hit) { case (df, (name, value)) =>
+        df.withColumn(name, when(matches, value).otherwise(col(name)))
+      }
+      // keep the skipping sidecar consistent with a rewritten geometry
+      if (setsGeom && hit.columns.contains(bboxCol))
+        updated.withColumn(bboxCol,
+          when(matches, st_extent(col(geomCol))
+            .cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>"))
+            .otherwise(col(bboxCol)))
+      else updated
+    })
+  }
+
+  /** Shared surgical-rewrite core: find the part files holding rows
+   *  matching `predicate` (one scan; a file-count-sized driver list,
+   *  never data-sized), apply `transform(hitRows, matches)` to ONLY
+   *  those files' contents — no shuffle, so within-file Hilbert order
+   *  and per-file bbox stats survive — and swap the new parts in.
+   *  Untouched files keep identical bytes. Returns the match count. */
+  private def rewriteHitFiles(
+      spark: SparkSession, path: String, predicate: Column,
+      transform: (DataFrame, Column) => DataFrame): Long = {
     val base = path.stripSuffix("/")
     val hPath = new org.apache.hadoop.fs.Path(base)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = coalesce(predicate, lit(false))
+    spark.catalog.refreshByPath(base) // a prior rewrite may be cached
     val withFile = spark.read.parquet(base).withColumn("__file", input_file_name())
-    // candidate FILES holding at least one match: one string per part
-    // file — a file-count-sized driver list, never data-sized
     val hits = withFile.filter(matches)
       .groupBy(col("__file")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return 0L
-    val deleted = hits.map(_._2).sum
+    val matched = hits.map(_._2).sum
     val hitFiles = hits.map(_._1)
-    val staging = new org.apache.hadoop.fs.Path(base + ".__del")
+    val staging = new org.apache.hadoop.fs.Path(base + ".__rw")
     fs.delete(staging, true)
-    // survivors of ONLY the hit files; no repartition, so the Hilbert
-    // within-file order (and each new file's bbox stats) is preserved
-    spark.read.parquet(hitFiles.toIndexedSeq: _*).filter(!matches)
+    transform(spark.read.parquet(hitFiles.toIndexedSeq: _*), matches)
       .write.mode("overwrite").parquet(staging.toString)
     val geoJson = GeoParquetMeta.readGeoMetadata(base)
     hitFiles.foreach { f =>
@@ -177,7 +215,7 @@ object GeoTable {
       .foreach { p =>
         val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
         if (!fs.rename(p, dst))
-          throw new java.io.IOException(s"deleteWhere: cannot move $p into $base")
+          throw new java.io.IOException(s"rewriteHitFiles: cannot move $p into $base")
         // carry the table's geo footer metadata onto the new parts
         geoJson.foreach { j =>
           val local = new java.io.File(dst.toUri.getPath)
@@ -189,7 +227,10 @@ object GeoTable {
         }
       }
     fs.delete(staging, true)
-    deleted
+    // the swap changed the directory's file set under the session's
+    // FileStatusCache — invalidate so the next read lists fresh
+    spark.catalog.refreshByPath(base)
+    matched
   }
 
   /** Global extent of a geometry column (one action); (0,0,0,0) when

@@ -75,12 +75,33 @@ class GeoTableMaintSpec extends SparkSpec {
     assert(back2.count() == 8000 - n - n2)
     // geo footer metadata still present on the rewritten generation
     assert(GeoParquetMeta.readGeoMetadata(dir).isDefined)
-    // pruning still works after surgical rewrites
+
+    // UPDATE through the same surgical core: move matching points and
+    // keep the skipping sidecar consistent
+    val updPred = $"id" % 1000L === 7L
+    val updExpect = back2.filter(updPred).count()
+    val cntBefore = back2.count() // materialize BEFORE the file swap
+    val n3 = GeoTable.updateWhere(spark, "geom", dir, updPred,
+      Map("geom" -> st_point(lit(99.0), lit(99.0))))
+    assert(n3 == updExpect && n3 > 0, s"updated $n3 expected $updExpect")
+    val back3 = spark.read.parquet(dir)
+    assert(back3.count() == cntBefore, "update must not change cardinality")
+    val moved = back3.filter(updPred)
+      .select(st_x($"geom"), st_y($"geom"), $"geom_bbox.xmin", $"geom_bbox.ymax")
+      .collect()
+    assert(moved.length == n3)
+    moved.foreach { r =>
+      assert(r.getDouble(0) == 99.0 && r.getDouble(1) == 99.0, r.toString)
+      assert(r.getDouble(2) == 99.0 && r.getDouble(3) == 99.0, "bbox sidecar must follow the geometry")
+    }
+    assert(back3.filter(!updPred && st_x($"geom") === 99.0 && st_y($"geom") === 99.0).count() == 0)
+    // pruning still works after surgical rewrites (fresh read — the
+    // pre-update frames point at swapped-out files)
     val env = st_makeenvelope(lit(50.0), lit(50.0), lit(70.0), lit(70.0))
-    val brute = back2.collect().length // force materialization sanity
-    assert(brute == 8000 - n - n2)
-    assert(back2.filter(st_within($"geom", env)).count() ==
-      back2.collect().count { r =>
+    val rows3 = back3.collect()
+    assert(rows3.length == 8000 - n - n2)
+    assert(back3.filter(st_within($"geom", env)).count() ==
+      rows3.count { r =>
         val g = graft.functions.Jts.read(r.getAs[Array[Byte]]("geom"))
         val c = g.getCoordinate
         c.x > 50 && c.x < 70 && c.y > 50 && c.y < 70
