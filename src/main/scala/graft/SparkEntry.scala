@@ -3019,6 +3019,29 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // FileGDB WRITER roundtrip (can_create symmetry, same contract as
+    // q_spatialite_write): write a supplier slice as an FGDB layer,
+    // read it back with the golden-certified OpenFileGDB reader, and
+    // compare against DuckDB recomputing the slice from the SOURCE
+    // parquet (the grid-exact domain makes quantization a no-op)
+    "q_gdb_write" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val out = "/tmp/graft_gdb_write.gdb"
+      val df = s.table("supplier").filter(col("s_suppkey") <= 200)
+        .select(col("s_suppkey").cast("int").as("skey"), col("s_name"), col("s_acctbal"),
+          st_point(expr("CAST(s_suppkey % 50 AS DOUBLE)"),
+            expr("CAST(s_suppkey % 20 AS DOUBLE) / 2.0")).as("geom"))
+        .orderBy("skey") // OBJECTIDs follow iteration order — pin it
+      sources.GdbWrite.write(df, "geom", out, layer = "sup")
+      sources.OpenFileGdb.read(s, out, "sup")
+        .select(col("OBJECTID").cast("long").as("oid"), col("skey").cast("long").as("skey"),
+          col("s_name"), col("s_acctbal"),
+          st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+        .orderBy("skey")
+    }),
+
     // OpenFileGDB container (judge r9 ask #2): the .gdb fixture is
     // authored by tools/make_gdb_fixture.py — an independent python
     // implementation of the published FGDB table spec — whose golden
@@ -6802,6 +6825,15 @@ object SparkEntry {
              s_suppkey, s_name, s_acctbal,
              CAST(s_suppkey % 50 AS DOUBLE) AS x,
              CAST(s_suppkey % 20 AS DOUBLE) AS y
+           FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""",
+
+      // the FGDB writer roundtrip's oracle recomputes the slice from
+      // the SOURCE parquet — nothing the writer produced is trusted
+      "q_gdb_write" ->
+        """SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS oid,
+             CAST(s_suppkey AS BIGINT) AS skey, s_name, s_acctbal,
+             CAST(s_suppkey % 50 AS DOUBLE) AS x,
+             CAST(s_suppkey % 20 AS DOUBLE) / 2.0 AS y
            FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""",
 
       // independent python golden (tools/make_gdb_fixture.py): the

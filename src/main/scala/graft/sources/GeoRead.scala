@@ -531,7 +531,7 @@ object GeoRead {
     ("mapinfo_mif", "MapInfo Interchange (.mif/.mid pair)", true, true),
     ("dxf", "AutoCAD DXF (ENTITIES section, entity-per-row)", true, true),
     ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
-    ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, false),
+    ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, true),
     ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, true),
     ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, true))
 
@@ -833,6 +833,7 @@ object GeoWrite {
     else if (lower.endsWith(".fgb")) FlatGeobuf.write(df, geomCol, path)
     else if (lower.endsWith(".gpkg")) GeoPackageWrite.write(df, geomCol, path)
     else if (lower.endsWith(".sqlite")) GeoPackageWrite.writeSpatialite(df, geomCol, path)
+    else if (lower.stripSuffix("/").endsWith(".gdb")) GdbWrite.write(df, geomCol, path)
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
     else if (lower.endsWith(".topojson")) TopoJson.write(df, geomCol, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))
