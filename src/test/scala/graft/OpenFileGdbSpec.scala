@@ -71,7 +71,7 @@ class OpenFileGdbSpec extends SparkSpec {
     val drow = spark.sql(
       "SELECT can_open, can_create FROM st_drivers() WHERE short_name='openfilegdb'")
       .collect()
-    assert(drow.length == 1 && drow(0).getBoolean(0) && !drow(0).getBoolean(1))
+    assert(drow.length == 1 && drow(0).getBoolean(0) && drow(0).getBoolean(1)) // r13: GdbWrite
     val err = intercept[IllegalArgumentException] {
       graft.sources.OpenFileGdb.read(spark, dir, "nope")
     }
