@@ -121,6 +121,11 @@ class CoverageSpec extends SparkSpec {
       ("sources/GeoPackageWrite.scala", "writeSpatialite", "writeSpatialite"),
       ("sources/GeoRead.scala", "\".kmz\"", "kmz"),
       ("functions/GeoExpressions.scala", "NativePolygonContains", "NativePolygonContains"),
+      ("functions/Crs.scala", "projJsonToProj4", "PROJJSON documents accepted"),
+      ("functions/Crs.scala", "class Krovak", "Krovak"),
+      ("sources/GdbWrite.scala", "def write", "GdbWrite"),
+      ("sources/GeoTable.scala", "def deleteWhere", "deleteWhere"),
+      ("sources/GeoTable.scala", "def updateWhere", "updateWhere"),
       ("functions/Ntv2.scala", "def parse", "NTv2"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
