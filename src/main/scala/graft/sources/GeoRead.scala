@@ -444,18 +444,29 @@ object GeoRead {
       entries.foreach { e =>
         require(!e.getName.split('/').contains(".."), s"$archive: unsafe entry ${e.getName}")
       }
-      val target =
+      val targetName: String =
         if (inner.nonEmpty)
-          entries.find(_.getName == inner).getOrElse(throw new IllegalArgumentException(
-            s"$archive has no entry '$inner' (entries: ${entries.map(_.getName).mkString(", ")})"))
+          entries.find(_.getName == inner).map(_.getName)
+            .orElse( // inner may name a zipped .gdb DIRECTORY
+              entries.find(_.getName.startsWith(inner.stripSuffix("/") + "/")).map(_ => inner))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$archive has no entry '$inner' (entries: ${entries.map(_.getName).mkString(", ")})"))
         else entries.filter(e => ZipDataExts.exists(e.getName.toLowerCase.endsWith)) match {
-          case Seq(one) => one
+          case Seq(one) => one.getName
           // LIBKML convention: a KMZ's root document is doc.kml; other
           // .kml entries are linked overlays, not separate datasets
-          case many if many.exists(_.getName.equalsIgnoreCase("doc.kml")) =>
-            many.find(_.getName.equalsIgnoreCase("doc.kml")).get
-          case Seq() => throw new IllegalArgumentException(
-            s"$archive contains no supported dataset (entries: ${entries.map(_.getName).mkString(", ")})")
+          case many if many.exists(_.getName.equalsIgnoreCase("doc.kml")) => "doc.kml"
+          case Seq() =>
+            // a zipped .gdb DIRECTORY (GDAL /vsizip parity): the
+            // dataset is the unique *.gdb/ prefix, not a single entry
+            entries.map(_.getName).flatMap { n =>
+              val i = n.toLowerCase.indexOf(".gdb/")
+              if (i >= 0) Some(n.substring(0, i + 4)) else None
+            }.distinct match {
+              case Seq(one) => one
+              case _ => throw new IllegalArgumentException(
+                s"$archive contains no supported dataset (entries: ${entries.map(_.getName).mkString(", ")})")
+            }
           case many => throw new IllegalArgumentException(
             s"$archive contains multiple datasets (${many.map(_.getName).mkString(", ")}); " +
               s"select one as '$archive/<entry>'")
@@ -491,7 +502,7 @@ object GeoRead {
             org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
       }
-      new java.io.File(dir, target.getName).getPath
+      new java.io.File(dir, targetName).getPath
     } finally zf.close()
   }
 

@@ -78,6 +78,20 @@ class GdbWriteSpec extends SparkSpec {
       assert(r(i - 1).getDouble(0) == -100.0 + i && r(i - 1).getDouble(1) == -50.0 + i * 0.5,
         r(i - 1).toString)
     }
+    // a zipped .gdb directory reads through the archive path (GDAL
+    // /vsizip parity): zip the directory we just wrote, read the zip
+    val zip = dir.stripSuffix(".gdb") + "_z.zip"
+    val zout = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+    try {
+      new java.io.File(dir).listFiles().foreach { f =>
+        zout.putNextEntry(new java.util.zip.ZipEntry("t.gdb/" + f.getName))
+        java.nio.file.Files.copy(f.toPath, zout)
+        zout.closeEntry()
+      }
+    } finally zout.close()
+    assert(graft.sources.GeoRead.read(spark, zip).count() == 20)
+    assert(graft.sources.GeoRead.read(spark, s"$zip/t.gdb").count() == 20)
+
     // mixed geometry classes are refused
     val bad = Seq((1L, "POINT (1 2)"), (2L, "LINESTRING (0 0, 1 1)"))
       .toDF("id", "wkt").select($"id", st_geomfromtext($"wkt").as("geom"))
