@@ -3019,6 +3019,20 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // XLSX roundtrip (reference test/sql/gdal/st_read_xlsx.test COPY TO
+    // + st_read shape): write a slice, read back, oracle recomputes
+    // from the source parquet
+    "q_xlsx_write" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_xlsx_write.xlsx"
+      val df = s.table("supplier").filter(col("s_suppkey") <= 150)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+      sources.Xlsx.write(df, out)
+      sources.GeoRead.read(s, out).orderBy("s_suppkey")
+    }),
+
     // FileGDB WRITER roundtrip (can_create symmetry, same contract as
     // q_spatialite_write): write a supplier slice as an FGDB layer,
     // read it back with the golden-certified OpenFileGDB reader, and
@@ -6826,6 +6840,10 @@ object SparkEntry {
              CAST(s_suppkey % 50 AS DOUBLE) AS x,
              CAST(s_suppkey % 20 AS DOUBLE) AS y
            FROM supplier WHERE s_suppkey <= 200 ORDER BY s_suppkey""",
+
+      "q_xlsx_write" ->
+        """SELECT s_suppkey, s_name, s_acctbal
+           FROM supplier WHERE s_suppkey <= 150 ORDER BY s_suppkey""",
 
       // the FGDB writer roundtrip's oracle recomputes the slice from
       // the SOURCE parquet — nothing the writer produced is trusted

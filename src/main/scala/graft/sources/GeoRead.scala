@@ -207,8 +207,9 @@ object GeoRead {
         (OpenFileGdb.read(spark, path.stripSuffix("/"), opts.layer), Some("geom"))
       else if (lower.endsWith(".sqlite"))
         (Spatialite.read(spark, path, opts.layer), Some("geom"))
+      else if (lower.endsWith(".xlsx")) (Xlsx.read(spark, path), None)
       else throw new IllegalArgumentException(
-        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb, .sqlite, .topojson)")
+        s"unsupported format for $path (supported: .shp, .fgb, .gpkg, .geojson/.geojsonl/.ndjson, .parquet, .csv, .osm.pbf, .gpx, .kml, .gml, .mif, .dxf, .gmt, .gdb, .sqlite, .topojson, .xlsx)")
     val filtered = (opts.spatialFilter, opts.spatialFilterBox, geomCol) match {
       case (Some(wkb), _, Some(gc)) =>
         import graft.GeoFunctions._
@@ -249,6 +250,7 @@ object GeoRead {
     else if (lower.endsWith(".gmt")) "ogr_gmt"
     else if (lower.stripSuffix("/").endsWith(".gdb")) "openfilegdb"
     else if (lower.endsWith(".sqlite")) "sqlite"
+    else if (lower.endsWith(".xlsx")) "xlsx"
     else throw new IllegalArgumentException(
       s"unsupported format for $lower (see st_drivers() for the supported list)")
 
@@ -544,7 +546,8 @@ object GeoRead {
     ("ogr_gmt", "GMT ASCII Vectors (.gmt)", true, true),
     ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, true),
     ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, true),
-    ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, true))
+    ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, true),
+    ("xlsx", "MS Office Open XML spreadsheet (.xlsx, attribute rows)", true, true))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -845,6 +848,7 @@ object GeoWrite {
     else if (lower.endsWith(".gpkg")) GeoPackageWrite.write(df, geomCol, path)
     else if (lower.endsWith(".sqlite")) GeoPackageWrite.writeSpatialite(df, geomCol, path)
     else if (lower.stripSuffix("/").endsWith(".gdb")) GdbWrite.write(df, geomCol, path)
+    else if (lower.endsWith(".xlsx")) Xlsx.write(df, path)
     else if (lower.endsWith(".shp")) Shapefile.write(df, geomCol, path)
     else if (lower.endsWith(".topojson")) TopoJson.write(df, geomCol, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json") || lower.endsWith(".geojsonl"))

@@ -126,6 +126,7 @@ class CoverageSpec extends SparkSpec {
       ("sources/GdbWrite.scala", "def write", "GdbWrite"),
       ("sources/GeoTable.scala", "def deleteWhere", "deleteWhere"),
       ("sources/GeoTable.scala", "def updateWhere", "updateWhere"),
+      ("sources/Xlsx.scala", "def write", "xlsx"),
       ("functions/Ntv2.scala", "def parse", "NTv2"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
