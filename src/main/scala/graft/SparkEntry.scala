@@ -462,6 +462,10 @@ object SparkEntry {
     ("(25.5 + CAST(c_custkey % 30 AS DOUBLE) / 10.0)", "(59.8 + CAST((c_custkey * 3) % 103 AS DOUBLE) / 10.0)")
   private val LonLat5514 = // S-JTSK Krovak: Cheb to the Slovak east
     ("(12.1 + CAST(c_custkey % 68 AS DOUBLE) / 10.0)", "(47.8 + CAST((c_custkey * 3) % 33 AS DOUBLE) / 10.0)")
+  private val LonLat4496 = // CGCS2000 GK zone 18 (CM 105E): Yunnan to Gansu
+    ("(102.1 + CAST(c_custkey % 58 AS DOUBLE) / 10.0)", "(22.0 + CAST((c_custkey * 3) % 200 AS DOUBLE) / 10.0)")
+  private val LonLat4547 = // CGCS2000 3-degree CM 114E: Guangdong band
+    ("(112.6 + CAST(c_custkey % 28 AS DOUBLE) / 10.0)", "(21.5 + CAST((c_custkey * 3) % 46 AS DOUBLE) / 10.0)")
 
   /** The hand-written WKT1 the projstring gate feeds ST_Transform:
    *  grads + Paris prime meridian + TOWGS84 — the hardest text-input
@@ -939,7 +943,9 @@ object SparkEntry {
            ("EPSG:3301", "x3301", "y3301", LonLat3301),
            ("EPSG:2326", "x2326", "y2326", LonLat2326),
            ("EPSG:2393", "x2393", "y2393", LonLat2393),
-           ("EPSG:5514", "x5514", "y5514", LonLat5514)).map {
+           ("EPSG:5514", "x5514", "y5514", LonLat5514),
+           ("EPSG:4496", "x4496", "y4496", LonLat4496),
+           ("EPSG:4547", "x4547", "y4547", LonLat4547)).map {
              case (code, xa, ya, (lonE, latE)) =>
                s"""round(ST_X(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $xa,
                   round(ST_Y(ST_Transform(ST_Point($lonE, $latE), 'EPSG:4326', '$code', true)), 4) AS $ya"""
@@ -1366,6 +1372,33 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("c_custkey"), col("geom_bbox.xmin").as("x"),
           col("geom_bbox.ymin").as("y"), lit(ndel).as("ndel"))
+        .orderBy("c_custkey")
+    }),
+
+    // row-level UPDATE on a clustered table (the other half of the
+    // R-tree CRUD analog): moves matching points +200 in x and bumps an
+    // attribute; updateWhere must keep the geom_bbox sidecar consistent
+    // with the rewritten geometry (we read the post-update bbox as the
+    // coordinate). The oracle recomputes the expected post-update state
+    // entirely from the SOURCE parquet — nothing the update produced is
+    // trusted.
+    "q_clustered_update" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_clustered_update"
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      val base = s.table("customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_nationkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(base, "geom", out, ext, numFiles = 4)
+      val g = graft.GeoFunctions
+      val nupd = sources.GeoTable.updateWhere(s, "geom", out,
+        col("c_custkey") % 5 === 2 && g.st_xmin(col("geom")) < lit(40.0),
+        Map("geom" -> g.st_point(g.st_x(col("geom")) + lit(200.0), g.st_y(col("geom"))),
+            "c_nationkey" -> (col("c_nationkey") + lit(100))))
+      s.read.parquet(out)
+        .select(col("c_custkey"), col("geom_bbox.xmin").as("x"),
+          col("geom_bbox.ymin").as("y"),
+          col("c_nationkey").cast("long").as("nk"), lit(nupd).as("nupd"))
         .orderBy("c_custkey")
     }),
 
@@ -4312,8 +4345,12 @@ object SparkEntry {
        ${srcCte("2326", LonLat2326)},
        ${srcCte("2393", LonLat2393)},
        ${srcCte("5514", LonLat5514)},
+       ${srcCte("4496", LonLat4496)},
+       ${srcCte("4547", LonLat4547)},
        $lccCtes,
        ${tmOracleCtes("t25832", "s25832", grs, 0.0, 9.0, 0.9996, 500000.0, 0.0)},
+       ${tmOracleCtes("t4496", "s4496", grs, 0.0, 105.0, 1.0, 18500000.0, 0.0)},
+       ${tmOracleCtes("t4547", "s4547", grs, 0.0, 114.0, 1.0, 500000.0, 0.0)},
        ${tmOracleCtes("t2193", "s2193", grs, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0)},
        $albCtes,
        $mercCtes,
@@ -4377,7 +4414,9 @@ object SparkEntry {
          round(o3301.x, 4) AS x3301, round(o3301.y, 4) AS y3301,
          round(t2326o.x, 4) AS x2326, round(t2326o.y, 4) AS y2326,
          round(t2393o.x, 4) AS x2393, round(t2393o.y, 4) AS y2393,
-         round(o5514.x, 4) AS x5514, round(o5514.y, 4) AS y5514
+         round(o5514.x, 4) AS x5514, round(o5514.y, 4) AS y5514,
+         round(t4496o.x, 4) AS x4496, round(t4496o.y, 4) AS y4496,
+         round(t4547o.x, 4) AS x4547, round(t4547o.y, 4) AS y4547
        FROM pts p
        LEFT JOIN o2154 USING (c_custkey) LEFT JOIN t25832o USING (c_custkey)
        LEFT JOIN t2193o USING (c_custkey) LEFT JOIN o3577 USING (c_custkey)
@@ -4397,6 +4436,7 @@ object SparkEntry {
        LEFT JOIN t2039o USING (c_custkey) LEFT JOIN t2100o USING (c_custkey)
        LEFT JOIN o3301 USING (c_custkey) LEFT JOIN t2326o USING (c_custkey)
        LEFT JOIN t2393o USING (c_custkey) LEFT JOIN o5514 USING (c_custkey)
+       LEFT JOIN t4496o USING (c_custkey) LEFT JOIN t4547o USING (c_custkey)
        ORDER BY p.c_custkey"""
   }
 
@@ -6108,6 +6148,20 @@ object SparkEntry {
            SELECT c_custkey, x, y, (SELECT ndel FROM d) AS ndel
            FROM src WHERE NOT (c_custkey % 7 = 3 AND x < 30)
            ORDER BY c_custkey""",
+
+      "q_clustered_update" ->
+        s"""WITH src AS (
+             SELECT c_custkey, c_nationkey, $custPtX AS x, $custPtY AS y
+             FROM customer WHERE c_custkey <= 300),
+           u AS (SELECT CAST(count(*) AS BIGINT) AS nupd FROM src
+                 WHERE c_custkey % 5 = 2 AND x < 40)
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 2 AND x < 40 THEN x + 200 ELSE x END AS x,
+             y,
+             CAST(CASE WHEN c_custkey % 5 = 2 AND x < 40
+                  THEN c_nationkey + 100 ELSE c_nationkey END AS BIGINT) AS nk,
+             (SELECT nupd FROM u) AS nupd
+           FROM src ORDER BY c_custkey""",
 
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,

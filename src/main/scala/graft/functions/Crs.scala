@@ -1329,6 +1329,17 @@ object Crs {
         () => new TransMerc(GRS80, 38.0, 131.0, 1.0, 200000.0, 600000.0)))
   }
 
+  /** CGCS2000 Gauss-Kruger parameters (EPSG 4491-4554): central
+   *  meridian + false easting. 6-degree zones 13-23 (CM = 6z-3,
+   *  FE = z*1e6 + 500000) with CM-only twins 4502-4512 (75E..135E,
+   *  FE = 500000); 3-degree zones 25-45 (CM = 3z, zone-prefixed FE)
+   *  with CM-only twins 4534-4554. lat0 = 0, k0 = 1 throughout. */
+  private def cgcsGkParams(code: Int): (Double, Double) =
+    if (code <= 4501) { val z = code - 4478; (z * 6.0 - 3.0, z * 1000000.0 + 500000.0) }
+    else if (code <= 4512) (75.0 + (code - 4502) * 6.0, 500000.0)
+    else if (code <= 4533) { val z = code - 4488; (z * 3.0, z * 1000000.0 + 500000.0) }
+    else (75.0 + (code - 4534) * 3.0, 500000.0)
+
   /** Japan plane rectangular CS zone origins (JGD2011, EPSG:6669-6687 =
    *  zones I-XIX; published zone table, k0 = 0.9999, no false origin). */
   private val JapanZones: Array[(Double, Double)] = Array(
@@ -1425,9 +1436,26 @@ object Crs {
       ("EPSG", s"${32180 + z}", s"NAD83 / MTM zone $z", "projected", false,
         "Canada", "Transverse Mercator", "Earth")
     }
+    // CGCS2000 Gauss-Kruger grids (EPSG 4491-4554): 6-degree zones 13-23
+    // (zone-prefixed false easting) + CM twins, 3-degree zones 25-45 +
+    // CM twins. CGCS2000 uses the GRS80-identical ellipsoid and is
+    // WGS84-compatible grid-free (like the 4490 geographic entry).
+    val cgcsGk = (13 to 23).map { z =>
+      ("EPSG", s"${4478 + z}", s"CGCS2000 / Gauss-Kruger zone $z", "projected",
+        false, "China", "Transverse Mercator", "Earth")
+    } ++ (0 to 10).map { i =>
+      ("EPSG", s"${4502 + i}", s"CGCS2000 / Gauss-Kruger CM ${75 + 6 * i}E",
+        "projected", false, "China", "Transverse Mercator", "Earth")
+    } ++ (25 to 45).map { z =>
+      ("EPSG", s"${4488 + z}", s"CGCS2000 / 3-degree Gauss-Kruger zone $z",
+        "projected", false, "China", "Transverse Mercator", "Earth")
+    } ++ (0 to 20).map { i =>
+      ("EPSG", s"${4534 + i}", s"CGCS2000 / 3-degree Gauss-Kruger CM ${75 + 3 * i}E",
+        "projected", false, "China", "Transverse Mercator", "Earth")
+    }
     fixed ++ utmWgs ++ utmNad ++ utmNad27 ++ utmEtrs ++ mga94 ++ mga2020 ++
       sirgas ++ japan ++ jgd2000 ++ gk ++ ed50 ++ pulkovo ++ ntm ++
-      frCc ++ sweref ++ finGk ++ posgar ++ mtm
+      frCc ++ sweref ++ finGk ++ posgar ++ mtm ++ cgcsGk
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, System]()
@@ -2514,6 +2542,13 @@ object Crs {
           val (lat0, lon0) = JapanZones(code - 2443)
           new TransMerc(GRS80, lat0, lon0, 0.9999, 0.0, 0.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
+      // CGCS2000 Gauss-Kruger (grid-free WGS84-compatible, like 4490;
+      // range in the guard so the geographic 44xx/45xx literals keep
+      // matching their own arms)
+      case c if c.startsWith("EPSG:4") && c.length == 9 && {
+          val code = c.substring(5).toInt; code >= 4491 && code <= 4554 } =>
+        val (cm, fe) = cgcsGkParams(c.substring(5).toInt)
+        new TransMerc(GRS80, 0.0, cm, 1.0, fe, 0.0)
       case c if c.startsWith("EPSG:258") && c.length == 10 => // ETRS89 / UTM 28N-38N
         val code = c.substring(5).toInt
         if (code >= 25828 && code <= 25838)
@@ -2974,6 +3009,17 @@ object Crs {
           Some(tmWkt(s"JGD_2000_Japan_Zone_${code - 2442}", GeogJgd2000,
             lat0, lon0, 0.9999, 0.0, 0.0, "Meter", 1.0))
         } else None
+      // CGCS2000 Gauss-Kruger sweep (ESRI zone/CM naming)
+      case c if c.startsWith("EPSG:4") && c.length == 9 && {
+          val code = c.substring(5).toInt; code >= 4491 && code <= 4554 } =>
+        val code = c.substring(5).toInt
+        val (cm, fe) = cgcsGkParams(code)
+        val name =
+          if (code <= 4501) s"CGCS2000_GK_Zone_${code - 4478}"
+          else if (code <= 4512) s"CGCS2000_GK_CM_${cm.toInt}E"
+          else if (code <= 4533) s"CGCS2000_3_Degree_GK_Zone_${code - 4488}"
+          else s"CGCS2000_3_Degree_GK_CM_${cm.toInt}E"
+        Some(tmWkt(name, GeogCgcs2000, 0.0, cm, 1.0, fe, 0.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:314") && c.length == 10 =>
         val code = c.substring(5).toInt
         if (code >= 31466 && code <= 31469) {

@@ -165,16 +165,31 @@ object GeoTable {
     rewriteHitFiles(spark, path, predicate, { (hit, matches) =>
       val bboxCol = s"${geomCol}_bbox"
       val setsGeom = set.contains(geomCol)
-      val updated = set.foldLeft(hit) { case (df, (name, value)) =>
-        df.withColumn(name, when(matches, value).otherwise(col(name)))
+      // SQL UPDATE semantics: the WHERE and every SET expression read
+      // the PRE-update row. Stage the match flag and all SET values as
+      // extra columns first (they all see the original columns), then
+      // swap them in — a naive per-column when(predicate, value) would
+      // re-evaluate the predicate against partially-updated columns
+      // (e.g. SET geom = moved(geom) WHERE st_xmin(geom) < k flips the
+      // predicate false before the other SET columns apply).
+      val flag = "__graft_match"
+      val staged = set.toSeq.zipWithIndex.foldLeft(hit.withColumn(flag, matches)) {
+        case (df, ((_, value), i)) => df.withColumn(s"__graft_set_$i", value)
+      }
+      val applied = set.toSeq.zipWithIndex.foldLeft(staged) {
+        case (df, ((name, _), i)) =>
+          df.withColumn(name,
+            when(col(flag), col(s"__graft_set_$i")).otherwise(col(name)))
       }
       // keep the skipping sidecar consistent with a rewritten geometry
-      if (setsGeom && hit.columns.contains(bboxCol))
-        updated.withColumn(bboxCol,
-          when(matches, st_extent(col(geomCol))
-            .cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>"))
-            .otherwise(col(bboxCol)))
-      else updated
+      val bboxed =
+        if (setsGeom && hit.columns.contains(bboxCol))
+          applied.withColumn(bboxCol,
+            when(col(flag), st_extent(col(geomCol))
+              .cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>"))
+              .otherwise(col(bboxCol)))
+        else applied
+      bboxed.drop((flag +: (0 until set.size).map(i => s"__graft_set_$i")): _*)
     })
   }
 

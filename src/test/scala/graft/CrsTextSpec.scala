@@ -237,6 +237,36 @@ class CrsTextSpec extends AnyFunSuite {
     assert(math.abs(ex - 542700.0) < 3000 && math.abs(ey - 6589400.0) < 3000, s"($ex,$ey)")
   }
 
+  test("CGCS2000 Gauss-Kruger sweep: origin identity + zone/CM twins") {
+    // forward(CM, 0) == (FE, 0) at both ends of all four sub-families —
+    // pins the published CM/FE tables (roundtrips cannot catch a wrong CM)
+    Seq(4491 -> (75.0, 13500000.0), 4501 -> (135.0, 23500000.0),
+        4502 -> (75.0, 500000.0), 4512 -> (135.0, 500000.0),
+        4513 -> (75.0, 25500000.0), 4533 -> (135.0, 45500000.0),
+        4534 -> (75.0, 500000.0), 4554 -> (135.0, 500000.0)).foreach {
+      case (code, (cm, fe)) =>
+        val (x, y) = Crs.resolve(s"EPSG:$code").forward(cm, 0.0)
+        assert(math.abs(x - fe) < 1e-6 && math.abs(y) < 1e-6,
+          s"EPSG:$code origin at CM $cm: ($x,$y)")
+    }
+    // zone-prefixed (4496 = zone 18, CM 105E, FE 18.5M) and its CM twin
+    // (4507 = CM 105E, FE 500k) are the same projection up to the FE
+    val (zx, zy) = Crs.resolve("EPSG:4496").forward(106.3, 29.56) // Chongqing
+    val (cx, cy) = Crs.resolve("EPSG:4507").forward(106.3, 29.56)
+    // (1e-6 m: the FE add happens at different magnitudes, so the last
+    // ulp can differ between the twins)
+    assert(math.abs(zx - 18000000.0 - cx) < 1e-6 && zy == cy,
+      s"($zx,$zy) vs ($cx,$cy)")
+    // the ESRI WKT export parses back onto the bit-identical projection
+    val wkt = Crs.esriWkt("EPSG:4547").getOrElse(fail("no WKT for 4547"))
+    val (wx, wy) = Crs.resolve(wkt).forward(113.25, 23.13) // Guangzhou
+    val (ex, ey) = Crs.resolve("EPSG:4547").forward(113.25, 23.13)
+    assert(wx == ex && wy == ey, s"($wx,$wy) vs ($ex,$ey)")
+    // catalog twin listed + resolvable end-to-end, inverse closes
+    val (lonB, latB) = Crs.resolve("EPSG:4547").inverse(ex, ey)
+    assert(math.abs(lonB - 113.25) < 1e-9 && math.abs(latB - 23.13) < 1e-9)
+  }
+
   test("Krovak matches the EPSG GN7-2 worked example and round-trips") {
     // projection-only twin: the guidance example is stated in S-JTSK
     // datum coordinates (50°12'32.442"N 16°50'59.179"E of Greenwich ->

@@ -106,5 +106,28 @@ class GeoTableMaintSpec extends SparkSpec {
         val c = g.getCoordinate
         c.x > 50 && c.x < 70 && c.y > 50 && c.y < 70
       })
+
+    // SQL UPDATE semantics regression: the WHERE and every SET value
+    // read the PRE-update row. A geometry-moving SET whose predicate
+    // depends on the geometry must still apply the OTHER set columns
+    // and the bbox sidecar (a naive per-column when(pred, v) flips the
+    // predicate false after the geom column is rewritten).
+    val selfPred = st_x($"geom") === 99.0 && st_y($"geom") === 99.0
+    val expectSelf = spark.read.parquet(dir).filter(selfPred).count()
+    assert(expectSelf > 0, "precondition: some rows sit at (99,99)")
+    val n4 = GeoTable.updateWhere(spark, "geom", dir, selfPred,
+      Map("geom" -> st_point(st_x($"geom") + lit(100.0), st_y($"geom")),
+          "id" -> ($"id" + lit(1000000L))))
+    assert(n4 == expectSelf, s"updated $n4 expected $expectSelf")
+    val back4 = spark.read.parquet(dir)
+    val movedSelf = back4.filter($"id" >= 1000000L)
+      .select(st_x($"geom"), $"geom_bbox.xmin").collect()
+    assert(movedSelf.length == n4,
+      "every matched row must get BOTH set columns (pre-update WHERE)")
+    movedSelf.foreach { r =>
+      assert(r.getDouble(0) == 199.0, s"geom must move: $r")
+      assert(r.getDouble(1) == 199.0, s"bbox sidecar must follow: $r")
+    }
+    assert(back4.filter(selfPred).count() == 0, "no row left at (99,99)")
   }
 }
