@@ -1827,6 +1827,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    // log-likelihood ratios (target = English docs) in exact micro-nats,
+    // Gumbel top-k selection keyed by the content-stable md5 uniform.
+    // Oracle replays featurization, the single-ln ratio, and the draw.
+    "q_doc_dsir" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Sampling.dsirSelect(s.table("documents"),
+          col("doc_id"), col("text"), col("lang") === "en", k = 200, buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_feat"), col("logw_micro"),
+          col("gumbel_micro"), col("key_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+    }),
+
     // ordered event-sequence funnel (view -> click -> purchase within
     // 24 h per hop, first-touch): per-step completing populations
     "q_events_funnel" -> ((s, dir) => {
@@ -5502,6 +5516,56 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // DSIR replay: same whitespace uni+bigram comprehension as
+      // q_doc_ngram_lm, same md5 bucket, the single-ln ratio composed
+      // division-by-division in the Spark operation order before the
+      // 1e-6 rounding, exact BIGINT sums, and the same md5-uniform
+      // Gumbel top-k draw
+      "q_doc_dsir" ->
+        """WITH toks AS (
+             SELECT doc_id, lang = 'en' AS tgt,
+               string_split_regex(trim(lower(text)), '\s+') AS tk
+             FROM documents),
+           feats AS (
+             SELECT doc_id, tgt, unnest(
+               [array_to_string(tk[i:i], ' ')
+                  for i in range(1, greatest(len(tk), 1) + 1)] ||
+               [array_to_string(tk[i:i+1], ' ')
+                  for i in range(1, greatest(len(tk) - 1, 1) + 1)]) AS f
+             FROM toks),
+           fb AS (
+             SELECT doc_id, tgt,
+               ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS bucket
+             FROM feats),
+           counts AS (
+             SELECT bucket,
+               CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+             FROM fb GROUP BY bucket),
+           tot AS (
+             SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+             FROM counts),
+           ratios AS (
+             SELECT bucket,
+               CAST(round(ln(((ct + 1)::DOUBLE / (tt + 1024)) /
+                            ((cr + 1)::DOUBLE / (tr + 1024))) * 1e6, 0) AS BIGINT)
+                 AS lr_micro
+             FROM counts CROSS JOIN tot),
+           w AS (
+             SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+               CAST(coalesce(sum(r.lr_micro), 0) AS BIGINT) AS logw_micro
+             FROM fb p LEFT JOIN ratios r ON p.bucket = r.bucket
+             WHERE NOT p.tgt GROUP BY p.doc_id),
+           g AS (
+             SELECT doc_id, n_feat, logw_micro,
+               CAST(round(-ln(-ln(
+                 (((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                    )::DOUBLE + 0.5) / 1e6)) * 1e6, 0) AS BIGINT) AS gumbel_micro
+             FROM w)
+           SELECT doc_id, n_feat, logw_micro, gumbel_micro,
+             CAST(logw_micro + gumbel_micro AS BIGINT) AS key_micro
+           FROM g ORDER BY key_micro DESC, doc_id LIMIT 200""",
 
       // same lag/cumsum sessionization over floor-second timestamps
       "q_events_sessions" ->

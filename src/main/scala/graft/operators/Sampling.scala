@@ -142,4 +142,113 @@ object Sampling {
     }
     b < pct
   }
+
+  // --- DSIR: Data Selection with Importance Resampling -------------------
+  //
+  // Xie et al. 2023 ("Data Selection for Language Models via Importance
+  // Resampling", NeurIPS): model the target distribution and the raw pool
+  // as bags of HASHED word n-grams, score every pool document by the
+  // log-likelihood ratio of its features under the two models, and draw
+  // the selected subset by Gumbel top-k over those log weights. The whole
+  // pass is two corpus scans — fit (one bucket-keyed partial aggregate)
+  // and apply (one broadcast join + per-doc aggregate) — with model state
+  // bounded by the bucket count, never the corpus.
+
+  /** Hashed feature stream of a document: word unigrams + bigrams (the
+   *  DSIR paper's featurization), each md5-bucketed into [0, buckets).
+   *  Reuses [[TextOps.wordNgrams]]' whitespace tokenizer so the DuckDB
+   *  oracle replays the gram construction with the already-certified
+   *  list-comprehension form (q_doc_ngram_lm). */
+  private def dsirFeatures(text: Column, buckets: Int): Column = {
+    val grams = concat(TextOps.wordNgrams(text, 1), TextOps.wordNgrams(text, 2))
+    transform(grams, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
+  }
+
+  /**
+   * Fit pass: per-bucket smoothed log-likelihood ratios, in exact
+   * 1e-6-nat BIGINTs. For bucket f with target count ct, pool count cr,
+   * target/pool feature totals Tt/Tr and Laplace +1 smoothing:
+   *
+   *   lr_micro(f) = round(1e6 · ln( ((ct+1)/(Tt+B)) / ((cr+1)/(Tr+B)) ))
+   *
+   * The double expression is composed division-by-division in a fixed
+   * order around a SINGLE ln so a SQL oracle sees bit-identical doubles
+   * before the 1e-6 rounding (the [[TextOps.ngramLogProb]] discipline).
+   * Scale shape: one explode with map-side combine onto at most
+   * `buckets` grouped keys, then a 1-row totals broadcast — the ratio
+   * table is model-sized (≤ B rows) by construction, the broadcast case.
+   *
+   * @param isTarget rows where true define the target distribution; all
+   *                 other rows are the raw pool.
+   * @return (bucket, lr_micro) for every bucket observed in the corpus
+   */
+  def dsirLogRatios(df: org.apache.spark.sql.DataFrame, text: Column,
+      isTarget: Column, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val counts = df.select(isTarget.as("__t"),
+        explode(dsirFeatures(text, buckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
+    // grouping-key-free totals: exactly ONE row — the whitelisted
+    // broadcast-cross pattern (see ngramLogProb's rationale)
+    val totals = counts.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    val b = lit(buckets.toLong)
+    val lr = round(log(
+      ((col("__ct") + 1L).cast("double") / (col("__tt") + b)) /
+        ((col("__cr") + 1L).cast("double") / (col("__tr") + b))) * 1e6, 0).cast("long")
+    counts.crossJoin(bcast(totals)).select(col("bucket"), lr.as("lr_micro"))
+  }
+
+  /**
+   * Apply pass: per-pool-document importance log-weight
+   * logw_micro = Σ_features lr_micro(bucket(feature)) — an exact,
+   * aggregation-order-free BIGINT sum of the quantized per-bucket
+   * ratios. Only pool rows (!isTarget) are scored; documents whose
+   * feature stream is empty keep logw_micro = 0. Scale shape: explode →
+   * broadcast join on the model-sized ratio table → per-doc partial
+   * aggregate. No corpus shuffle besides the per-doc groupBy.
+   *
+   * @return (id, n_feat, logw_micro)
+   */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val ratios = dsirLogRatios(df, text, isTarget, buckets)
+    df.filter(!isTarget)
+      .select(id.as("id"), explode_outer(dsirFeatures(text, buckets)).as("__b"))
+      .join(bcast(ratios), col("__b") === col("bucket"), "left")
+      .groupBy("id")
+      .agg(count(col("__b")).as("n_feat"),
+        coalesce(sum(col("lr_micro")), lit(0L)).as("logw_micro"))
+  }
+
+  /**
+   * Selection pass: Gumbel top-k resampling over the importance
+   * log-weights — the exact scheme that makes "sample k without
+   * replacement ∝ w" a single distributed top-k: key_i = ln w_i + G_i
+   * with G_i standard Gumbel noise. The uniform behind G_i is the
+   * content-stable md5 micro-bucket of the document id ((b+0.5)/1e6 —
+   * never exactly 0 or 1), so the draw is engine-replayable like every
+   * assignment in this file; the noise is quantized to 1e-6 nats and
+   * added to logw_micro in exact BIGINT. The global top-k compiles to
+   * TakeOrderedAndProject — no full sort, no driver materialization
+   * beyond k rows.
+   *
+   * @return (id, n_feat, logw_micro, gumbel_micro, key_micro), the k
+   *         selected pool documents by (key_micro desc, id asc)
+   */
+  def dsirSelect(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      isTarget: Column, k: Int, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = dsirWeights(df, id, text, isTarget, buckets)
+    val u = (hashBucket(col("id"), 1000000).cast("double") + 0.5) / 1e6
+    val gumbel = round(-log(-log(u)) * 1e6, 0).cast("long")
+    w.withColumn("gumbel_micro", gumbel)
+      .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))
+      .orderBy(col("key_micro").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -1265,6 +1265,36 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s25.size - n / 4.0) < n * 0.02)
   }
 
+  test("dsir: target-like pool docs outweigh off-target ones; select is stable and pool-only") {
+    import org.apache.spark.sql.functions._
+    // target corpus: "alpha beta" language; pool: half target-like, half noise
+    val target = (0 until 30).map(i => (1000L + i, s"alpha beta alpha gamma beta", true))
+    val poolLike = (0 until 10).map(i => (i.toLong, s"alpha beta gamma alpha", false))
+    val poolNoise = (10 until 20).map(i => (i.toLong, s"zork$i quux$i flarn blort", false))
+    val df = (target ++ poolLike ++ poolNoise).toDF("doc_id", "text", "tgt")
+    val w = Sampling.dsirWeights(df, $"doc_id", $"text", $"tgt", buckets = 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // only pool rows scored
+    assert(w.keySet == (0L until 20L).toSet)
+    // every target-like doc outweighs every noise doc
+    val likeMin = (0L until 10L).map(w).min
+    val noiseMax = (10L until 20L).map(w).max
+    assert(likeMin > noiseMax, s"likeMin=$likeMin noiseMax=$noiseMax")
+    // ratio table is model-sized and exact-integer
+    val ratios = Sampling.dsirLogRatios(df, $"text", $"tgt", buckets = 256)
+    assert(ratios.count() <= 256)
+    // gumbel top-k: k rows, deterministic under repartitioning
+    val sel = Sampling.dsirSelect(df, $"doc_id", $"text", $"tgt", k = 8, buckets = 256)
+      .select("id", "key_micro").as[(Long, Long)].collect()
+    assert(sel.length == 8)
+    val again = Sampling.dsirSelect(df.repartition(7), $"doc_id", $"text", $"tgt",
+      k = 8, buckets = 256).select("id", "key_micro").as[(Long, Long)].collect()
+    assert(sel.toSeq == again.toSeq)
+    // selection favors the target-like half (noise logw is far below;
+    // gumbel noise spans ~17 nats so allow a minority of noise draws)
+    assert(sel.count(_._1 < 10L) >= 5, sel.mkString(","))
+  }
+
   test("sequenceFunnel: ordered first-touch steps, window bound, strict ordering") {
     import graft.operators.EventOps
     import java.sql.Timestamp
