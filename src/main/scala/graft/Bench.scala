@@ -604,6 +604,20 @@ object Bench {
         graft.operators.Sketches.hllRegisters(items, col("w"), b = 6)
           .agg(count(lit(1)), sum("max_rank")).collect()(0).getLong(0)
       }
+      // DSIR data selection at amortized scale: the REAL two-pass
+      // operator (fit bucket-agg + broadcast-apply + Gumbel top-k) on
+      // 1M synthetic docs × 11 hashed features each — both engines pay
+      // the same md5 featurization twice (fit and apply)
+      def dsirN(n: Long): Long = {
+        val docs = spark.range(n).selectExpr("id",
+          "concat('alpha w', CAST(id % 997 AS STRING), ' beta w', " +
+            "CAST((id*7+3) % 997 AS STRING), ' gamma w', " +
+            "CAST((id*13+11) % 997 AS STRING)) AS text",
+          "id % 20 = 0 AS tgt")
+        graft.operators.Sampling.dsirSelect(docs, col("id"), col("text"),
+            col("tgt"), k = 1000, buckets = 1024)
+          .agg(count(lit(1)), sum("key_micro")).collect()(0).getLong(0)
+      }
       spatialJoinN(1000000L); knnN(1000000L, 100L); dedupN(1000000L); packN(1000000L)
       transformN(1000000L); pagerankN(1000000L, 10000L); kmeansN(100000L)
       asofN(1000000L, 100000L, 10000L); rangeJoinN(1000000L, 1000L)
@@ -612,6 +626,7 @@ object Bench {
       hammingPackedN(hammingSigPath + "-warm", 5L) // warm packed-search plan
       hammingSigWrite(10000000L, hammingSigPath)   // fixture: NOT timed
       blocklistN(1000000L); cmsN(1000000L, 100000L); hllN(1000000L, 100000L)
+      dsirN(100000L) // warm the dsir plan shapes
       labelPropN(1000000L, 10000L) // warm plan shapes
       bench("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
@@ -656,6 +671,8 @@ object Bench {
         () => time { cmsN(10000000L, 100000L) }, cutoff = 30.0, trialsN = 3)
       bench("hll_10m",
         () => time { hllN(10000000L, 1000000L) }, cutoff = 30.0, trialsN = 3)
+      bench("dsir_1m",
+        () => time { dsirN(1000000L) }, cutoff = 30.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -764,6 +781,46 @@ object Bench {
       "pagerank_10m" -> pagerankOracle10m,
       "labelprop_10m" -> labelPropOracle10m,
       "bpe_encode_10m" -> bpeEncodeOracle10m,
+      // same synthetic docs, same uni+bigram md5 featurization (paid
+      // twice — fit and apply — matching the operator's two passes),
+      // same single-ln ratio and Gumbel top-k as q_doc_dsir
+      "dsir_1m" ->
+        """WITH docs AS (
+             SELECT range AS id,
+               'alpha w' || CAST(range % 997 AS VARCHAR) || ' beta w' ||
+                 CAST((range*7+3) % 997 AS VARCHAR) || ' gamma w' ||
+                 CAST((range*13+11) % 997 AS VARCHAR) AS text,
+               range % 20 = 0 AS tgt
+             FROM range(1000000)),
+           toks AS (SELECT id, tgt, string_split_regex(trim(lower(text)), '\s+') AS tk FROM docs),
+           feats AS (
+             SELECT id, tgt, unnest(
+               [array_to_string(tk[i:i], ' ') for i in range(1, greatest(len(tk), 1) + 1)] ||
+               [array_to_string(tk[i:i+1], ' ') for i in range(1, greatest(len(tk) - 1, 1) + 1)]) AS f
+             FROM toks),
+           fb AS (SELECT id, tgt, ('0x' || substring(md5(f), 1, 8))::BIGINT % 1024 AS bucket FROM feats),
+           counts AS (
+             SELECT bucket,
+               CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+             FROM fb GROUP BY bucket),
+           tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM counts),
+           ratios AS (
+             SELECT bucket,
+               CAST(round(ln(((ct + 1)::DOUBLE / (tt + 1024)) /
+                            ((cr + 1)::DOUBLE / (tr + 1024))) * 1e6, 0) AS BIGINT) AS lr_micro
+             FROM counts CROSS JOIN tot),
+           w AS (
+             SELECT p.id, CAST(coalesce(sum(r.lr_micro), 0) AS BIGINT) AS logw_micro
+             FROM fb p LEFT JOIN ratios r ON p.bucket = r.bucket
+             WHERE NOT p.tgt GROUP BY p.id),
+           g AS (
+             SELECT id, logw_micro + CAST(round(-ln(-ln(
+               ((('0x' || substring(md5(id::VARCHAR), 1, 8))::BIGINT % 1000000)::DOUBLE + 0.5)
+                 / 1e6)) * 1e6, 0) AS BIGINT) AS key_micro
+             FROM w)
+           SELECT count(*) AS n, CAST(sum(key_micro) AS BIGINT) AS s
+           FROM (SELECT key_micro FROM g ORDER BY key_micro DESC, id LIMIT 1000) t""",
       // both engines read the SAME materialized signature parquet (the
       // spark side wrote it outside the timed region); the oracle gets
       // its own bounded top-k shape (per-query LATERAL limit — its
