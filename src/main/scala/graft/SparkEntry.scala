@@ -809,6 +809,25 @@ object SparkEntry {
         .orderBy("zid")
     }),
 
+    // Distributed DBSCAN over a deterministic customer lattice: grid
+    // dwithin self-join -> core counts -> large-star/small-star
+    // components -> min-core-neighbor labels. eps=1.5 on integer
+    // coordinates keeps the boundary test exact (dist^2 in {0,1,2}
+    // vs 4); the oracle replays the taxonomy with a recursive-CTE
+    // min-label closure (the q_graph_components pattern).
+    "q_geo_dbscan" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(expr("CAST(c_custkey % 60 AS DOUBLE)"),
+          expr("CAST((c_custkey * 7) % 61 AS DOUBLE)")).as("pt"))
+      operators.SpatialCluster.dbscan(pts, col("c_custkey"), col("pt"),
+          eps = 1.5, minPts = 4)
+        .select(col("id").as("c_custkey"), col("is_core"), col("cluster"))
+        .orderBy("c_custkey")
+    }),
+
     // NTv2 grid-shift transforms (reference proj/functions.cpp:488-517
     // applies PROJ's embedded grids): the engine parses the synthetic
     // .gsb fixture (published NRCan binary layout) and applies
@@ -5007,6 +5026,37 @@ object SparkEntry {
             AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) > CAST(n_nationkey // 5 * 20 AS DOUBLE)
             AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) < CAST(n_nationkey // 5 * 20 + 20 AS DOUBLE)
            GROUP BY n_nationkey ORDER BY zid""",
+
+      // DBSCAN replay: squared-distance neighbor self-join (exact on
+      // the integer lattice), count >= minPts cores, recursive-CTE
+      // min-label closure over the core graph, min-core-neighbor
+      // border labels, NULL for noise
+      "q_geo_dbscan" ->
+        """WITH RECURSIVE p AS (
+             SELECT c_custkey AS id, CAST(c_custkey % 60 AS DOUBLE) AS x,
+               CAST((c_custkey * 7) % 61 AS DOUBLE) AS y
+             FROM customer),
+           nb AS (
+             SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b
+             ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25),
+           cnt AS (SELECT ida AS id, count(*) AS n FROM nb GROUP BY ida),
+           core AS (SELECT id FROM cnt WHERE n >= 4),
+           ce AS (
+             SELECT n.ida AS a, n.idb AS b FROM nb n
+             JOIN core c1 ON n.ida = c1.id JOIN core c2 ON n.idb = c2.id
+             WHERE n.ida <> n.idb),
+           r(id, lbl) AS (
+             SELECT id, id FROM core
+             UNION
+             SELECT ce.a, r.lbl FROM ce JOIN r ON r.id = ce.b),
+           comp AS (SELECT id, min(lbl) AS cluster FROM r GROUP BY id),
+           lbl AS (
+             SELECT n.ida AS id, min(comp.cluster) AS cluster
+             FROM nb n JOIN core c ON n.idb = c.id JOIN comp ON comp.id = n.idb
+             GROUP BY n.ida)
+           SELECT cnt.id AS c_custkey, cnt.n >= 4 AS is_core, lbl.cluster
+           FROM cnt LEFT JOIN lbl ON cnt.id = lbl.id
+           ORDER BY c_custkey""",
 
       // independent python parse+apply of the same synthetic .gsb file
       // (tools/make_gsb_fixture.py) — op-order-replicated bilinear +

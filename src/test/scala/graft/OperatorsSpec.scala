@@ -88,6 +88,71 @@ class SpatialJoinSpec extends SparkSpec {
   }
 }
 
+class SpatialClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference DBSCAN (naive all-pairs + union-find). */
+  private def bruteDbscan(pts: Seq[(Long, Double, Double)], eps: Double,
+      minPts: Int): Map[Long, (Boolean, Option[Long])] = {
+    val e2 = eps * eps
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3; dx * dx + dy * dy
+    }
+    val nbrs = pts.map(p => p._1 -> pts.filter(q => d2(p, q) <= e2).map(_._1)).toMap
+    val core = pts.map(_._1).filter(i => nbrs(i).size >= minPts).toSet
+    val parent = scala.collection.mutable.Map[Long, Long](core.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (c <- core; n <- nbrs(c) if core(n) && n != c) {
+      val (ra, rb) = (find(c), find(n))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rootOf = core.map(c => c -> find(c)).toMap
+    val minByRoot = rootOf.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    pts.map { p =>
+      val coreNbrs = nbrs(p._1).filter(core)
+      val lbl = if (coreNbrs.nonEmpty) Some(coreNbrs.map(c => minByRoot(rootOf(c))).min)
+                else None
+      p._1 -> (core(p._1), lbl)
+    }.toMap
+  }
+
+  private def run(pts: Seq[(Long, Double, Double)], eps: Double, minPts: Int,
+      cellSize: Double = 0.0, parts: Int = 0): Map[Long, (Boolean, Option[Long])] = {
+    var df = pts.toDF("id", "x", "y").withColumn("pt", st_point($"x", $"y"))
+    if (parts > 0) df = df.repartition(parts)
+    SpatialCluster.dbscan(df, $"id", $"pt", eps, minPts, cellSize)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+  }
+
+  test("dbscan: hand-checked blob/border/noise taxonomy") {
+    // 3x3 dense blob (all core at eps=1.5/minPts=4), one border point
+    // hanging off its edge, a 3-chain too sparse to seed a cluster,
+    // and an isolated far point
+    val blob = for (x <- 0 until 3; y <- 0 until 3)
+      yield ((x * 3 + y).toLong, x.toDouble, y.toDouble)
+    val pts = blob ++ Seq((9L, 3.0, 0.0), (10L, 10.0, 0.0), (11L, 11.0, 0.0),
+      (12L, 12.0, 0.0), (13L, 100.0, 100.0))
+    val got = run(pts, eps = 1.5, minPts = 4)
+    blob.foreach { case (i, _, _) => assert(got(i) == (true, Some(0L)), s"blob $i: ${got(i)}") }
+    assert(got(9L) == (false, Some(0L)), s"border: ${got(9L)}")   // border joins the blob
+    Seq(10L, 11L, 12L, 13L).foreach(i =>
+      assert(got(i) == (false, None), s"noise $i: ${got(i)}"))    // chain + isolate = noise
+  }
+
+  test("dbscan: brute-force parity on a random lattice; cell-size and partitioning invariant") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 220).map(i =>
+      (i.toLong, rnd.nextInt(24).toDouble, rnd.nextInt(24).toDouble))
+    val want = bruteDbscan(pts, eps = 1.5, minPts = 3)
+    assert(want.values.exists(_._1) && want.values.exists(v => !v._1 && v._2.isDefined) &&
+      want.values.exists(v => v._2.isEmpty), "taxonomy not exercised")
+    assert(run(pts, 1.5, 3) == want)
+    assert(run(pts, 1.5, 3, cellSize = 4.0) == want)   // cell size is a plan knob, not semantics
+    assert(run(pts, 1.5, 3, parts = 7) == want)        // partitioning-invariant
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
