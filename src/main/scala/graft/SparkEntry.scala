@@ -1846,6 +1846,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis via
+    // Gumbel keys): global k ∝ document length
+    "q_doc_wsample" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Sampling.weightedSampleK(s.table("documents"), col("doc_id"),
+          (length(col("text")) * 1000L).cast("long"), k = 150)
+        .select(col("id").as("doc_id"), col("weight_micro"), col("key_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+    }),
+
+    // per-stratum variant: n per language, weight ∝ length, salted
+    // per-group Gumbel uniforms
+    "q_doc_wsample_group" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      operators.Sampling.weightedSamplePerGroup(s.table("documents"),
+          col("doc_id"), col("lang"), (length(col("text")) * 1000L).cast("long"), n = 30)
+        .select(col("group").as("lang"), col("id").as("doc_id"),
+          col("weight_micro"), col("key_micro"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // log-likelihood ratios (target = English docs) in exact micro-nats,
     // Gumbel top-k selection keyed by the content-stable md5 uniform.
@@ -5566,6 +5589,42 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // Efraimidis-Spirakis replay: ln(w/1e6) and the md5-uniform
+      // Gumbel each rounded to micro before the exact BIGINT add
+      "q_doc_wsample" ->
+        """WITH w AS (
+             SELECT doc_id, CAST(length(text) * 1000 AS BIGINT) AS weight_micro
+             FROM documents WHERE length(text) * 1000 > 0),
+           g AS (
+             SELECT doc_id, weight_micro,
+               CAST(round(ln(weight_micro::DOUBLE / 1e6) * 1e6, 0) AS BIGINT) +
+               CAST(round(-ln(-ln(
+                 ((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)::DOUBLE
+                   + 0.5) / 1e6)) * 1e6, 0) AS BIGINT) AS key_micro
+             FROM w)
+           SELECT doc_id, weight_micro, key_micro FROM g
+           ORDER BY key_micro DESC, doc_id LIMIT 150""",
+
+      // same, salted per group ('<lang>:<doc_id>') + window rank
+      "q_doc_wsample_group" ->
+        """WITH w AS (
+             SELECT lang, doc_id, CAST(length(text) * 1000 AS BIGINT) AS weight_micro
+             FROM documents WHERE length(text) * 1000 > 0),
+           g AS (
+             SELECT lang, doc_id, weight_micro,
+               CAST(round(ln(weight_micro::DOUBLE / 1e6) * 1e6, 0) AS BIGINT) +
+               CAST(round(-ln(-ln(
+                 ((('0x' || substring(md5(lang || ':' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000000)::DOUBLE + 0.5) / 1e6)) * 1e6, 0) AS BIGINT) AS key_micro
+             FROM w),
+           r AS (
+             SELECT lang, doc_id, weight_micro, key_micro,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY key_micro DESC, doc_id ASC) AS INTEGER) AS rank
+             FROM g)
+           SELECT lang, doc_id, weight_micro, key_micro, rank
+           FROM r WHERE rank <= 30 ORDER BY lang, rank""",
 
       // DSIR replay: same whitespace uni+bigram comprehension as
       // q_doc_ngram_lm, same md5 bucket, the single-ln ratio composed

@@ -226,6 +226,64 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement — the general quality-
+   * proportional subset pass ("keep k documents ∝ score"): the
+   * Efraimidis-Spirakis scheme in log space, i.e. Gumbel top-k with
+   * key_i = ln(w_i) + G_i. The uniform behind G_i is the content-
+   * stable md5 micro-bucket of the row key, and both terms quantize
+   * to 1e-6 before the exact BIGINT add, so the draw is deterministic
+   * and engine-replayable. Rows with non-positive weight never sample
+   * (P = 0) and are filtered. Global top-k compiles to
+   * TakeOrderedAndProject — no full sort.
+   *
+   * @param weightMicro weight in 1e-6 units (1e6 = weight 1.0)
+   * @return (id, weight_micro, key_micro), the k sampled rows by
+   *         (key_micro desc, id asc)
+   */
+  def weightedSampleK(df: org.apache.spark.sql.DataFrame, id: Column,
+      weightMicro: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.filter(weightMicro > 0)
+      .select(id.as("id"), weightMicro.cast("long").as("weight_micro"))
+      .withColumn("key_micro", sampleKeyMicro(col("id"), col("weight_micro")))
+      .orderBy(col("key_micro").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /**
+   * Per-stratum weighted sampling without replacement: exactly
+   * min(n, |stratum|) rows per group, inclusion ∝ weight inside each
+   * group — the stratified variant of [[weightedSampleK]] (e.g. "keep
+   * the best 1M docs per language, quality-proportional"). The Gumbel
+   * uniform salts md5("<group>:<key>") so draws across strata are
+   * decorrelated, like [[stratifiedPredicate]]. One group-keyed window
+   * — the same scale shape (and caveat) as [[fixedSizePerGroup]].
+   *
+   * @return input group/id/weight plus key_micro and rank (1-based)
+   */
+  def weightedSamplePerGroup(df: org.apache.spark.sql.DataFrame, id: Column,
+      group: Column, weightMicro: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val salted = concat_ws(":", col("group"), col("id").cast("string"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("key_micro").desc, col("id").asc)
+    df.filter(weightMicro > 0)
+      .select(group.as("group"), id.as("id"), weightMicro.cast("long").as("weight_micro"))
+      .withColumn("key_micro", sampleKeyMicro(salted, col("weight_micro")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
+  /** Efraimidis-Spirakis key in exact micro-nats:
+   *  round(1e6·ln(w/1e6)) + round(1e6·G(md5-uniform(key))). */
+  private def sampleKeyMicro(key: Column, weightMicro: Column): Column = {
+    val u = (hashBucket(key, 1000000).cast("double") + 0.5) / 1e6
+    round(log(weightMicro.cast("double") / 1e6) * 1e6, 0).cast("long") +
+      round(-log(-log(u)) * 1e6, 0).cast("long")
+  }
+
+  /**
    * Selection pass: Gumbel top-k resampling over the importance
    * log-weights — the exact scheme that makes "sample k without
    * replacement ∝ w" a single distributed top-k: key_i = ln w_i + G_i

@@ -129,7 +129,8 @@ class CoverageSpec extends SparkSpec {
       ("sources/Xlsx.scala", "def write", "xlsx"),
       ("functions/Ntv2.scala", "def parse", "NTv2"),
       ("operators/Sampling.scala", "def dsirSelect", "DSIR"),
-      ("operators/SpatialCluster.scala", "def dbscan", "DBSCAN"))
+      ("operators/SpatialCluster.scala", "def dbscan", "DBSCAN"),
+      ("operators/Sampling.scala", "def weightedSampleK", "Efraimidis-Spirakis"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

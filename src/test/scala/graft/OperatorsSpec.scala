@@ -1330,6 +1330,39 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s25.size - n / 4.0) < n * 0.02)
   }
 
+  test("weightedSampleK: dominant weight always wins, zero never samples, draw is stable") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 500L).map(i => (i, if (i == 7L) 1000000000000000L
+      else if (i % 50 == 0) 0L else 1000000L)).toDF("id", "w")
+    val sel = Sampling.weightedSampleK(df, $"id", $"w", k = 20)
+      .select("id", "key_micro").as[(Long, Long)].collect()
+    assert(sel.length == 20)
+    // weight ratio 1e9 exceeds the bounded Gumbel spread (~17.2 nats):
+    // the dominant row is deterministically rank 1
+    assert(sel.head._1 == 7L, sel.take(3).mkString(","))
+    assert(!sel.exists(s => s._1 % 50 == 0), "zero-weight row sampled")
+    val again = Sampling.weightedSampleK(df.repartition(9), $"id", $"w", k = 20)
+      .select("id", "key_micro").as[(Long, Long)].collect()
+    assert(sel.toSeq == again.toSeq)
+  }
+
+  test("weightedSamplePerGroup: exact per-stratum counts, salted draws, rank contract") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}", 1000000L + (i % 7) * 1000L))
+      .toDF("id", "grp", "w")
+      .unionByName(Seq((999L, "tiny", 1000000L)).toDF("id", "grp", "w"))
+    val sel = Sampling.weightedSamplePerGroup(df, $"id", $"grp", $"w", n = 10)
+      .select("group", "id", "rank").as[(String, Long, Int)].collect()
+    val byG = sel.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byG.keySet == Set("g0", "g1", "g2", "tiny"))
+    Seq("g0", "g1", "g2").foreach(g => assert(byG(g) == (1 to 10), s"$g: ${byG(g)}"))
+    assert(byG("tiny") == Seq(1)) // min(n, |stratum|)
+    // salting: the same ids drawn in g0 and g1 would mean unsalted uniforms
+    val g0 = sel.filter(_._1 == "g0").map(_._2 % 100).toSet
+    val g1 = sel.filter(_._1 == "g1").map(_._2 % 100).toSet
+    assert(g0 != g1, "per-group draws are correlated — salt missing")
+  }
+
   test("dsir: target-like pool docs outweigh off-target ones; select is stable and pool-only") {
     import org.apache.spark.sql.functions._
     // target corpus: "alpha beta" language; pool: half target-like, half noise
