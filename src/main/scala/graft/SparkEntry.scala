@@ -3284,6 +3284,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL PCM feature extraction: the planted wavBytes sweep (same
+    // parameters as q_mm_decode's wav arm) through audioFrameFeatures —
+    // per-frame exact-integer energy and zero-crossings. The oracle
+    // recomputes the channel-0 sample stream closed-form from the
+    // builder's (j*7+seed)&0xFF filler — byte-level independent of the
+    // Scala parser.
+    "q_mm_audio_feats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val wavs = s.range(40).map { i =>
+        (10000000L + i, operators.Multimodal.wavBytes(
+          sampleRate = 8000 + (i % 4).toInt * 4000,
+          channels = 1 + (i % 2).toInt,
+          bitsPerSample = 8 + 8 * (i % 2).toInt,
+          nSamples = 1000 + i.toInt * 37, seed = i))
+      }.toDF("media_id", "payload")
+      operators.Multimodal.audioFrameFeatures(wavs, "media_id", "payload",
+          frameSamples = 256)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ========= round-5 certification of the locally-verified tail =======
     // st_extent (BOX_2D struct) + st_envelope over non-degenerate lines
     // (all coords on the .5 grid so WKT formats identically)
@@ -6815,6 +6836,37 @@ object SparkEntry {
       "q_emb_ann_pairs" -> annOracle,
       "q_emb_dedup" -> embDedupOracle,
       "q_mm_decode" -> mmDecodeOracle,
+
+      // channel-0 PCM stream recomputed closed-form from the wavBytes
+      // filler: byte j = (j*7+i) mod 256; 8-bit unsigned (s = b-128,
+      // blockAlign 1), 16-bit signed LE (stereo, blockAlign 4); frames
+      // of 256 with within-frame zero-cross pairs only
+      "q_mm_audio_feats" ->
+        """WITH w AS (SELECT unnest(range(0, 40)) AS i),
+           p AS (
+             SELECT i, CASE WHEN i % 2 = 0 THEN 1 ELSE 4 END AS ba,
+               CASE WHEN i % 2 = 0 THEN 8 ELSE 16 END AS bits,
+               1000 + i * 37 AS ns
+             FROM w),
+           k AS (SELECT i, ba, bits, unnest(range(0, ns)) AS k FROM p),
+           sv AS (
+             SELECT i, k,
+               CASE WHEN bits = 8 THEN ((k * ba * 7 + i) % 256) - 128
+                    ELSE CASE WHEN m >= 32768 THEN m - 65536 ELSE m END END AS s
+             FROM (
+               SELECT i, k, ba, bits,
+                 ((k * ba * 7 + i) % 256) + (((k * ba + 1) * 7 + i) % 256) * 256 AS m
+               FROM k) t),
+           fr AS (
+             SELECT i, k, s, k // 256 AS frame_idx, k % 256 AS pos,
+               lag(s) OVER (PARTITION BY i ORDER BY k) AS prev
+             FROM sv)
+           SELECT 10000000 + i AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(count(*) AS INTEGER) AS n,
+             CAST(sum(s * s) AS BIGINT) AS energy_sq,
+             CAST(sum(CASE WHEN pos > 0 AND s * prev < 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS zero_cross
+           FROM fr GROUP BY i, frame_idx ORDER BY media_id, frame_idx""",
 
       "q_emb_topk" ->
         """WITH scored AS (

@@ -874,6 +874,93 @@ object Multimodal {
     }(enc)
   }
 
+  /** PCM layout of a RIFF/WAVE payload for sample access:
+   *  (blockAlign, bitsPerSample, dataOffset, nSamples). None unless
+   *  the fmt chunk declares integer PCM (audioFormat 1) at 8 or 16
+   *  bits — the two widths the spec defines exactly (8 = unsigned,
+   *  16 = signed little-endian). */
+  private[operators] def wavPcmLayout(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (!isWav(p)) return None
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+      ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    var off = 12L
+    var fmt = 0; var channels = 0; var bits = 0
+    var dataOff = -1L; var dataLen = -1L
+    while (off + 8 <= p.length) {
+      val o = off.toInt
+      val isFmt = p(o) == 'f' && p(o + 1) == 'm' && p(o + 2) == 't' && p(o + 3) == ' '
+      val isData = p(o) == 'd' && p(o + 1) == 'a' && p(o + 2) == 't' && p(o + 3) == 'a'
+      val sz = u32(o + 4)
+      if (isFmt && off + 8 + 16 <= p.length) {
+        fmt = u16(o + 8); channels = u16(o + 10); bits = u16(o + 22)
+      } else if (isData) {
+        dataOff = off + 8
+        dataLen = math.min(sz, (p.length - o - 8).toLong)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    val ba = channels * bits / 8
+    if (fmt != 1 || channels <= 0 || (bits != 8 && bits != 16) ||
+        dataOff < 0 || dataLen < ba) None
+    else Some((ba, bits, dataOff.toInt, (dataLen / ba).toInt))
+  }
+
+  /**
+   * REAL per-frame audio feature extraction for RIFF/WAVE PCM payloads
+   * — the silence-detection / fingerprint pass of an audio curation
+   * pipeline, dependency-free (integer PCM needs no codec). Channel 0
+   * of each payload is cut into frames of `frameSamples`; per frame:
+   *   - n          samples in the frame (the tail frame may be short)
+   *   - energy_sq  Σ s² as exact BIGINT — no sqrt, so the value is
+   *                hash-certifiable (RMS = sqrt(energy_sq/n) downstream)
+   *   - zero_cross strictly sign-changing adjacent pairs WITHIN the
+   *                frame (s·prev < 0; zero samples never count)
+   * 8-bit PCM is unsigned per spec (s = b − 128), 16-bit signed LE.
+   * Non-WAV / non-integer-PCM payloads yield no rows (the decode
+   * fall-through contract). flatMap over payload rows: narrow, no
+   * shuffle, frames stream out without per-payload materialization.
+   */
+  def audioFrameFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      frameSamples: Int = 256): DataFrame = {
+    require(frameSamples >= 2, "frameSamples must be >= 2")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n", IntegerType),
+      StructField("energy_sq", LongType),
+      StructField("zero_cross", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        wavPcmLayout(payload) match {
+          case None => Iterator.empty
+          case Some((ba, bits, dataOff, nSamples)) =>
+            val id = r.getLong(0)
+            val nFrames = (nSamples + frameSamples - 1) / frameSamples
+            (0 until nFrames).iterator.map { f =>
+              val start = f * frameSamples
+              val end = math.min(start + frameSamples, nSamples)
+              var k = start; var energy = 0L; var zc = 0; var prev = 0
+              while (k < end) {
+                val o = dataOff + k * ba
+                val s =
+                  if (bits == 8) (payload(o) & 0xFF) - 128
+                  else {
+                    val v = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+                    if (v >= 32768) v - 65536 else v
+                  }
+                energy += s.toLong * s
+                if (k > start && prev * s < 0) zc += 1
+                prev = s; k += 1
+              }
+              Row(id, f, end - start, energy, zc)
+            }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th 1 KiB
    *  block becomes a "frame" row (id, frame_no, frame_bytes). Real
    *  impl: keyframe extraction. Uses flatMap — narrow, no shuffle. */

@@ -130,7 +130,8 @@ class CoverageSpec extends SparkSpec {
       ("functions/Ntv2.scala", "def parse", "NTv2"),
       ("operators/Sampling.scala", "def dsirSelect", "DSIR"),
       ("operators/SpatialCluster.scala", "def dbscan", "DBSCAN"),
-      ("operators/Sampling.scala", "def weightedSampleK", "Efraimidis-Spirakis"))
+      ("operators/Sampling.scala", "def weightedSampleK", "Efraimidis-Spirakis"),
+      ("operators/Multimodal.scala", "def audioFrameFeatures", "audioFrameFeatures"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

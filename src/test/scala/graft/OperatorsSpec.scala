@@ -2019,6 +2019,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getStruct(1).getString(0) == "empty")
   }
 
+  test("audioFrameFeatures: hand-checked PCM frames, 8/16-bit paths, non-WAV yields no rows") {
+    // crafted 16-bit mono WAV: known samples -> known energy and
+    // zero-crossings, frame boundary does NOT count the cross-pair
+    val samples = Array[Int](100, -100, 50, 0, -50, 25, 25, -25, 3)
+    val header = Multimodal.wavBytes(8000, 1, 16, samples.length, seed = 0L)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      val v = if (s < 0) s + 65536 else s
+      header(44 + 2 * k) = (v & 0xFF).toByte
+      header(44 + 2 * k + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val df = Seq((1L, header), (2L, "not audio".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val rows = Multimodal.audioFrameFeatures(df, "media_id", "payload", frameSamples = 4)
+      .orderBy("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    // frame 0: [100,-100,50,0]   e=22500 zc=2 (100/-100, -100/50; 50->0 no)
+    // frame 1: [-50,25,25,-25]   e=4375  zc=2 (cross-frame 0/-50 NOT counted)
+    // frame 2: [3]               e=9     zc=0 (tail, n=1)
+    assert(rows.toSeq == Seq((1L, 0, 4, 22500L, 2), (1L, 1, 4, 4375L, 2), (1L, 2, 1, 9L, 0)),
+      rows.mkString(","))
+    // 8-bit path: unsigned center-128; recompute from the builder's filler
+    val w8 = Multimodal.wavBytes(8000, 1, 8, 600, seed = 3L)
+    val got8 = Multimodal.audioFrameFeatures(Seq((9L, w8)).toDF("media_id", "payload"),
+      "media_id", "payload", 256).orderBy("frame_idx")
+      .collect().map(r => (r.getInt(2), r.getLong(3), r.getInt(4)))
+    val s8 = (0 until 600).map(j => ((j * 7 + 3) & 0xFF) - 128)
+    val want8 = s8.grouped(256).map { fr =>
+      val zc = fr.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0)
+      (fr.length, fr.map(s => s.toLong * s).sum, zc)
+    }.toSeq
+    assert(got8.toSeq == want8)
+  }
+
   test("sampleFrames explodes blocks with stride") {
     val payload = Array.fill[Byte](5000)(7)
     val df = Seq((10L, payload)).toDF("media_id", "payload")
