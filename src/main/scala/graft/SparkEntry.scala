@@ -1869,6 +1869,21 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // ST_ClusterWithin semantics (dwithin transitive closure = DBSCAN
+    // minPts=1): supplier lattice, dist=2.5 exact on integer coords
+    "q_geo_cluster_within" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val pts = s.table("supplier").select(col("s_suppkey"),
+        st_point(expr("CAST(s_suppkey % 17 AS DOUBLE)"),
+          expr("CAST((s_suppkey * 5) % 19 AS DOUBLE)")).as("pt"))
+      operators.SpatialCluster.clusterWithin(pts, col("s_suppkey"), col("pt"),
+          dist = 2.5)
+        .select(col("id").as("s_suppkey"), col("cluster"))
+        .orderBy("s_suppkey")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // log-likelihood ratios (target = English docs) in exact micro-nats,
     // Gumbel top-k selection keyed by the content-stable md5 uniform.
@@ -5610,6 +5625,25 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // dwithin closure replay: recursive-CTE min-label over the
+      // squared-distance adjacency (6.25 never collides with an
+      // integer lattice distance), singletons self-label
+      "q_geo_cluster_within" ->
+        """WITH RECURSIVE p AS (
+             SELECT s_suppkey AS id, CAST(s_suppkey % 17 AS DOUBLE) AS x,
+               CAST((s_suppkey * 5) % 19 AS DOUBLE) AS y
+             FROM supplier),
+           nb AS (
+             SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b
+             ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 6.25
+              AND a.id <> b.id),
+           r(id, lbl) AS (
+             SELECT id, id FROM p
+             UNION
+             SELECT nb.ida, r.lbl FROM nb JOIN r ON r.id = nb.idb)
+           SELECT id AS s_suppkey, CAST(min(lbl) AS BIGINT) AS cluster
+           FROM r GROUP BY id ORDER BY s_suppkey""",
 
       // Efraimidis-Spirakis replay: ln(w/1e6) and the md5-uniform
       // Gumbel each rounded to micro before the exact BIGINT add

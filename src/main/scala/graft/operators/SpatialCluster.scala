@@ -89,4 +89,18 @@ object SpatialCluster {
       .select(col("id"), (col("__n") >= lit(minPts.toLong)).as("is_core"),
         col("cluster"))
   }
+
+  /**
+   * Distance-based agglomeration — the PostGIS `ST_ClusterWithin`
+   * semantics: geometries whose pairwise distance chains stay within
+   * `dist` share a cluster (the transitive closure of dwithin
+   * adjacency). Exactly [[dbscan]] with minPts = 1 — every geometry is
+   * core, nothing is noise — so it inherits the same grid-join +
+   * large-star/small-star scale shape and min-id label determinism.
+   * Returns (id, cluster); singletons cluster with themselves.
+   */
+  def clusterWithin(df: DataFrame, id: Column, geom: Column, dist: Double,
+      cellSize: Double = 0.0): DataFrame =
+    dbscan(df, id, geom, eps = dist, minPts = 1, cellSize = cellSize)
+      .select(col("id"), col("cluster"))
 }

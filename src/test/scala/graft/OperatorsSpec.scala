@@ -140,6 +140,17 @@ class SpatialClusterSpec extends SparkSpec {
       assert(got(i) == (false, None), s"noise $i: ${got(i)}"))    // chain + isolate = noise
   }
 
+  test("clusterWithin: dwithin transitive closure, chains merge, singletons self-label") {
+    // chain 0-1-2 at spacing 1.0 (dist 1.5 chains them), pair 10-11,
+    // and an isolated point — ST_ClusterWithin taxonomy
+    val pts = Seq((0L, 0.0, 0.0), (1L, 1.0, 0.0), (2L, 2.0, 0.0),
+      (10L, 50.0, 0.0), (11L, 50.0, 1.0), (99L, 200.0, 200.0))
+    val df = pts.toDF("id", "x", "y").withColumn("pt", st_point($"x", $"y"))
+    val got = SpatialCluster.clusterWithin(df, $"id", $"pt", dist = 1.5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L), got)
+  }
+
   test("dbscan: brute-force parity on a random lattice; cell-size and partitioning invariant") {
     val rnd = new scala.util.Random(42)
     val pts = (0 until 220).map(i =>
