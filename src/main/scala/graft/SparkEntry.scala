@@ -1869,6 +1869,21 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // ST_ClusterKMeans semantics (deterministic): the certified
+    // exact-integer Lloyd loop over the customer lattice's (x, y)
+    "q_geo_cluster_kmeans" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val pts = s.table("customer").select(col("c_custkey"),
+        st_point(expr("CAST(c_custkey % 60 AS DOUBLE)"),
+          expr("CAST((c_custkey * 7) % 61 AS DOUBLE)")).as("pt"))
+      operators.SpatialCluster.kmeans(pts, col("c_custkey"), col("pt"),
+          k = 8, iters = 2)
+        .select(col("id").as("c_custkey"), col("cluster"))
+        .orderBy("c_custkey")
+    }),
+
     // ST_ClusterWithin semantics (dwithin transitive closure = DBSCAN
     // minPts=1): supplier lattice, dist=2.5 exact on integer coords
     "q_geo_cluster_within" -> ((s, dir) => {
@@ -4582,13 +4597,12 @@ object SparkEntry {
 
   /** Two unrolled Lloyd iterations in exact BIGINT micro-units (k = 8,
    *  seeds = 8 smallest ids): ends at CTE `a3` = the final assignment.
-   *  Shared by q_emb_kmeans and q_emb_semdedup. */
-  private lazy val kmeansOracleCtes: String =
-    """WITH mv AS (
-             SELECT vec_id AS id,
-               list_transform(embedding,
-                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
-             FROM embeddings),
+   *  Parameterized by the `mv` head CTE — (id, mv BIGINT[]) — so the
+   *  embedding gate rows and the spatial kmeans row share one
+   *  certified recurrence. */
+  private def kmeansIterCtes(mvHead: String): String =
+    s"""WITH mv AS (
+             $mvHead),
            dims AS (
              SELECT id, generate_subscripts(mv, 1) - 1 AS d, unnest(mv) AS x FROM mv),
            seed AS (
@@ -4629,6 +4643,20 @@ object SparkEntry {
              SELECT id, c FROM (
                SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist ASC, c ASC) AS rn
                FROM d3) t WHERE rn = 1)"""
+
+  private lazy val kmeansOracleCtes: String = kmeansIterCtes(
+    """SELECT vec_id AS id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
+             FROM embeddings""")
+
+  /** Spatial-kmeans oracle head: the customer lattice as 2-d micro
+   *  vectors — same recurrence as q_emb_kmeans from here on. */
+  private lazy val spatialKmeansOracleCtes: String = kmeansIterCtes(
+    """SELECT c_custkey AS id,
+               [CAST(round(CAST(c_custkey % 60 AS DOUBLE) * 1000000, 0) AS BIGINT),
+                CAST(round(CAST((c_custkey * 7) % 61 AS DOUBLE) * 1000000, 0) AS BIGINT)] AS mv
+             FROM customer""")
 
   private lazy val embDedupOracle: String =
     s"""$annPairsCtes
@@ -5625,6 +5653,12 @@ object SparkEntry {
                   ELSE 'train' END AS split,
              bucket < 25 AS in_sample
            FROM b ORDER BY doc_id""",
+
+      // same unrolled Lloyd recurrence as q_emb_kmeans over the 2-d
+      // lattice micro vectors
+      "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
+           SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
+           FROM a3 ORDER BY c_custkey""",
 
       // dwithin closure replay: recursive-CTE min-label over the
       // squared-distance adjacency (6.25 never collides with an

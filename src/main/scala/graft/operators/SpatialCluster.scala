@@ -103,4 +103,21 @@ object SpatialCluster {
       cellSize: Double = 0.0): DataFrame =
     dbscan(df, id, geom, eps = dist, minPts = 1, cellSize = cellSize)
       .select(col("id"), col("cluster"))
+
+  /**
+   * Spatial k-means — the PostGIS `ST_ClusterKMeans` shape, made
+   * deterministic: [[Similarity.kmeansMicro]]'s exact-integer Lloyd
+   * loop (content-stable k-smallest-id seeding, micro-unit centroid
+   * arithmetic, lowest-index tie-breaks) over the (x, y) coordinate
+   * pair of each geometry's point. Inherits kmeansMicro's scale shape:
+   * one scan + one k·2-key partial aggregate per iteration, centroids
+   * driver-held (model-sized). Returns (id, cluster 0..k-1).
+   */
+  def kmeans(df: DataFrame, id: Column, geom: Column, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import graft.GeoFunctions.{st_x, st_y}
+    Similarity.kmeansMicro(
+      df.select(id.as("__id"), array(st_x(geom), st_y(geom)).as("__xy")),
+      col("__id"), col("__xy"), k, iters)
+  }
 }

@@ -151,6 +151,23 @@ class SpatialClusterSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L), got)
   }
 
+  test("spatial kmeans: separable blobs recover, labels content-stable") {
+    // ids interleaved (id % 3 = blob) so the k-smallest-id seeds span
+    // the blobs — the documented contract of the deterministic seeding
+    val pts = (for (b <- 0 until 3; m <- 0 until 20)
+      yield ((m * 3 + b).toLong, b * 100.0 + (m % 5), b * 100.0 + (m / 5))).toSeq
+    val df = pts.toDF("id", "x", "y").withColumn("pt", st_point($"x", $"y"))
+    val got = SpatialCluster.kmeans(df, $"id", $"pt", k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    // each spatial blob maps to exactly one cluster id
+    val byBlob = pts.groupBy(_._1 % 3).map { case (b, ps) => b -> ps.map(p => got(p._1)).toSet }
+    assert(byBlob.values.forall(_.size == 1), byBlob.toString)
+    assert(byBlob.values.flatten.toSet.size == 3)
+    val again = SpatialCluster.kmeans(df.repartition(5), $"id", $"pt", k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == again)
+  }
+
   test("dbscan: brute-force parity on a random lattice; cell-size and partitioning invariant") {
     val rnd = new scala.util.Random(42)
     val pts = (0 until 220).map(i =>
