@@ -87,6 +87,16 @@ object GeoTable {
       .withColumn("__hilbert", st_hilbert(col(geomCol), lit(x0), lit(y0), lit(x1), lit(y1)))
     val parts = if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = path.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val logOn = fs.exists(new org.apache.hadoop.fs.Path(base)) &&
+      GeoTableLog.isEnabled(fs, base)
+    def listParts(): Set[String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(base))) Set.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(base)).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val before = if (logOn) listParts() else Set.empty[String]
     withKey
       .repartitionByRange(parts, col("__hilbert"))
       .sortWithinPartitions("__hilbert")
@@ -94,6 +104,9 @@ object GeoTable {
       .write.mode("append").parquet(path)
     // retag every part file (idempotent) so new deltas carry `geo` too
     GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent), covering = true)
+    if (logOn)
+      GeoTableLog.appendEntry(fs, base, "append",
+        add = (listParts() -- before).toSeq.sorted, remove = Nil)
   }
 
   /**
@@ -118,6 +131,7 @@ object GeoTable {
     val hOld = new org.apache.hadoop.fs.Path(base + ".__old")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hNew, true); fs.delete(hOld, true) // stale leftovers
+    val logWas = GeoTableLog.isEnabled(fs, base)
     writeClustered(df, geomCol, hNew.toString, extent, numFiles)
     if (!fs.rename(hPath, hOld))
       throw new java.io.IOException(s"recluster: cannot move $hPath aside")
@@ -126,6 +140,10 @@ object GeoTable {
       throw new java.io.IOException(s"recluster: cannot move new generation into $hPath")
     }
     fs.delete(hOld, true)
+    // checkpoint semantics with the commit log: the rebuilt layout is
+    // the new version 0 — history compacts away (VACUUM/index-rebuild
+    // analog, documented in GeoTableLog)
+    if (logWas) GeoTableLog.checkpoint(fs, base)
   }
 
   /**
@@ -146,7 +164,8 @@ object GeoTable {
   def deleteWhere(
       spark: SparkSession, geomCol: String, path: String,
       predicate: Column): Long =
-    rewriteHitFiles(spark, path, predicate, (hit, matches) => hit.filter(!matches))
+    rewriteHitFiles(spark, path, predicate, (hit, matches) => hit.filter(!matches),
+      op = "delete")
 
   /**
    * Row-level UPDATE on a clustered table (the reference R-tree's
@@ -190,7 +209,7 @@ object GeoTable {
               .otherwise(col(bboxCol)))
         else applied
       bboxed.drop((flag +: (0 until set.size).map(i => s"__graft_set_$i")): _*)
-    })
+    }, op = "update")
   }
 
   /** Shared surgical-rewrite core: find the part files holding rows
@@ -201,7 +220,7 @@ object GeoTable {
    *  Untouched files keep identical bytes. Returns the match count. */
   private def rewriteHitFiles(
       spark: SparkSession, path: String, predicate: Column,
-      transform: (DataFrame, Column) => DataFrame): Long = {
+      transform: (DataFrame, Column) => DataFrame, op: String): Long = {
     val base = path.stripSuffix("/")
     val hPath = new org.apache.hadoop.fs.Path(base)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -219,18 +238,27 @@ object GeoTable {
     transform(spark.read.parquet(hitFiles.toIndexedSeq: _*), matches)
       .write.mode("overwrite").parquet(staging.toString)
     val geoJson = GeoParquetMeta.readGeoMetadata(base)
+    // commit-log mode: superseded files are RETAINED (moved under
+    // _graft_log/retained/) so committed snapshots stay readable —
+    // the WAL/MVCC analog; without the log they are deleted as before
+    val logOn = GeoTableLog.isEnabled(fs, base)
     hitFiles.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      fs.delete(p, false)
-      val crc = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
-      if (fs.exists(crc)) fs.delete(crc, false)
+      if (logOn) GeoTableLog.retain(fs, base, p)
+      else {
+        fs.delete(p, false)
+        val crc = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
+        if (fs.exists(crc)) fs.delete(crc, false)
+      }
     }
+    val added = scala.collection.mutable.ArrayBuffer[String]()
     fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .foreach { p =>
         val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
         if (!fs.rename(p, dst))
           throw new java.io.IOException(s"rewriteHitFiles: cannot move $p into $base")
+        added += dst.getName
         // carry the table's geo footer metadata onto the new parts
         geoJson.foreach { j =>
           val local = new java.io.File(dst.toUri.getPath)
@@ -242,6 +270,12 @@ object GeoTable {
         }
       }
     fs.delete(staging, true)
+    if (logOn) {
+      val removed = hitFiles.map(f =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(f)).getName).sorted
+      GeoTableLog.appendEntry(fs, base, op, add = added.sorted.toSeq,
+        remove = removed.toIndexedSeq)
+    }
     // the swap changed the directory's file set under the session's
     // FileStatusCache — invalidate so the next read lists fresh
     spark.catalog.refreshByPath(base)

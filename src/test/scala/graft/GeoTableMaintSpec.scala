@@ -130,4 +130,57 @@ class GeoTableMaintSpec extends SparkSpec {
     }
     assert(back4.filter(selfPred).count() == 0, "no row left at (99,99)")
   }
+
+  test("commit log: snapshot reads survive delete/update/append; recluster checkpoints") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 6000), "geom", dir, extent, numFiles = 4)
+    GeoTableLog.enable(spark, dir)
+    assert(GeoTableLog.latestVersion(spark, dir) == 0)
+    val v0Rows = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+
+    // v1: delete — v0 stays readable, current read shrinks
+    val ndel = GeoTable.deleteWhere(spark, "geom", dir, $"id" % 10 === 3L)
+    assert(ndel == 600)
+    assert(GeoTableLog.latestVersion(spark, dir) == 1)
+    assert(GeoTableLog.readVersion(spark, dir, 0)
+      .select("id").as[Long].collect().toSet == v0Rows, "v0 snapshot drifted")
+    val v1Rows = GeoTableLog.readVersion(spark, dir, 1).select("id").as[Long].collect().toSet
+    assert(v1Rows == v0Rows.filterNot(_ % 10 == 3))
+    assert(spark.read.parquet(dir).count() == 5400)
+
+    // v2: update — both prior versions still byte-stable
+    val nupd = GeoTable.updateWhere(spark, "geom", dir,
+      $"id" < 100L, Map("id" -> ($"id" + 1000000L)))
+    assert(GeoTableLog.latestVersion(spark, dir) == 2)
+    assert(GeoTableLog.readVersion(spark, dir, 0)
+      .select("id").as[Long].collect().toSet == v0Rows)
+    assert(GeoTableLog.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == v1Rows)
+    val v2Rows = GeoTableLog.readVersion(spark, dir, 2).select("id").as[Long].collect().toSet
+    assert(v2Rows == v1Rows.map(i => if (i < 100) i + 1000000L else i))
+    assert(v2Rows == spark.read.parquet(dir).select("id").as[Long].collect().toSet,
+      "latest snapshot must equal the live table")
+    assert(nupd == v1Rows.count(_ < 100))
+
+    // v3: append — adds only, removes nothing
+    GeoTable.appendClustered(pts(90000 until 90500), "geom", dir, extent, numFiles = 1)
+    assert(GeoTableLog.latestVersion(spark, dir) == 3)
+    assert(GeoTableLog.readVersion(spark, dir, 3).count() == v2Rows.size + 500L)
+    assert(GeoTableLog.readVersion(spark, dir, 2)
+      .select("id").as[Long].collect().toSet == v2Rows)
+    val ops = GeoTableLog.entries(spark, dir).map(_._2)
+    assert(ops == Seq("init", "delete", "update", "append"), ops.toString)
+
+    // recluster = checkpoint: history compacts, current content survives
+    val live = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    GeoTable.recluster(spark, "geom", dir, extent, numFiles = 2)
+    assert(GeoTableLog.latestVersion(spark, dir) == 0, "recluster must re-init the log")
+    assert(GeoTableLog.readVersion(spark, dir, 0)
+      .select("id").as[Long].collect().toSet == live)
+    intercept[IllegalArgumentException] {
+      GeoTableLog.readVersion(spark, dir, 3) // compacted away
+    }
+  }
 }
