@@ -35,7 +35,12 @@ class PlanAuditSpec extends SparkSpec {
 
       "q_events_resample", "q_events_rolling", "q_events_anomaly",
       // broadcast 1-row certification ballast (count-distinct frame)
-      "q_doc_hll", "q_doc_kmv")
+      "q_doc_hll", "q_doc_kmv",
+      // DSIR fit pass: feature totals are a grouping-key-free aggregate
+      // — exactly ONE broadcast row attached to the B-bucket count
+      // table (Sampling.dsirLogRatios; the ngramLogProb scalar-attach
+      // class)
+      "q_doc_dsir")
 
   test("no query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
