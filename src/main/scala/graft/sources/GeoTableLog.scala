@@ -184,4 +184,45 @@ object GeoTableLog {
     fs.mkdirs(retainedDir(base))
     appendEntry(fs, base, "init", add = dataFiles(fs, base), remove = Nil)
   }
+
+  /**
+   * Drop history before `keepFrom`: retained files referenced ONLY by
+   * versions < keepFrom are physically deleted and the log is rebased
+   * so keepFrom becomes a fresh version-0 init of its file set (later
+   * commits are renumbered onto it unchanged). The storage-retention
+   * knob of the WAL analog — bounded history without giving up recent
+   * snapshots (recluster's checkpoint drops everything instead).
+   * Returns the number of retained files deleted. Single-writer, like
+   * every maintenance op.
+   */
+  def vacuum(spark: SparkSession, path: String, keepFrom: Int): Long = {
+    val base = path.stripSuffix("/")
+    val fs = fsOf(spark, base)
+    val es = entries(fs, base)
+    require(es.nonEmpty, s"no commit log at $base")
+    require(es.exists(_._1 == keepFrom), s"version $keepFrom not in log")
+    if (keepFrom == es.head._1) return 0L
+    // files needed by any surviving version = union of file sets at
+    // keepFrom.. latest; every other retained file goes
+    val needed = es.map(_._1).filter(_ >= keepFrom)
+      .flatMap(v => fileSetAt(fs, base, v)).toSet
+    var dropped = 0L
+    val retained = retainedDir(base)
+    if (fs.exists(retained)) fs.listStatus(retained).foreach { st =>
+      if (!needed.contains(st.getPath.getName)) {
+        fs.delete(st.getPath, false); dropped += 1
+      }
+    }
+    // rebase: version 0 = init(fileSetAt(keepFrom)), then the later
+    // entries verbatim with shifted numbers
+    val baseSet = fileSetAt(fs, base, keepFrom)
+    val tail = es.filter(_._1 > keepFrom)
+    fs.delete(logDir(base), true)
+    fs.mkdirs(retained)
+    appendEntry(fs, base, "init", add = baseSet, remove = Nil)
+    tail.foreach { case (_, op, add, remove) =>
+      appendEntry(fs, base, op, add, remove)
+    }
+    dropped
+  }
 }

@@ -173,6 +173,20 @@ class GeoTableMaintSpec extends SparkSpec {
     val ops = GeoTableLog.entries(spark, dir).map(_._2)
     assert(ops == Seq("init", "delete", "update", "append"), ops.toString)
 
+    // vacuum keepFrom=2: v0/v1 history drops (their exclusive retained
+    // files deleted), v2/v3 renumber to v0/v1 and stay byte-identical
+    val keepV2 = GeoTableLog.readVersion(spark, dir, 2).select("id").as[Long].collect().toSet
+    val keepV3 = GeoTableLog.readVersion(spark, dir, 3).select("id").as[Long].collect().toSet
+    val dropped = GeoTableLog.vacuum(spark, dir, keepFrom = 2)
+    assert(dropped > 0, "v0/v1-only retained files must be deleted")
+    assert(GeoTableLog.latestVersion(spark, dir) == 1, "rebased to v0..v1")
+    assert(GeoTableLog.readVersion(spark, dir, 0)
+      .select("id").as[Long].collect().toSet == keepV2)
+    assert(GeoTableLog.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == keepV3)
+    val opsAfter = GeoTableLog.entries(spark, dir).map(_._2)
+    assert(opsAfter == Seq("init", "append"), opsAfter.toString)
+
     // recluster = checkpoint: history compacts, current content survives
     val live = spark.read.parquet(dir).select("id").as[Long].collect().toSet
     GeoTable.recluster(spark, "geom", dir, extent, numFiles = 2)
