@@ -3245,6 +3245,28 @@ object SparkEntry {
         .orderBy("folder", "name")
     }),
 
+    // ESRI JSON FeatureSets (ArcGIS REST; GDAL's read-only ESRIJSON
+    // driver) through the content-sniffed .json path: all four
+    // geometry forms (x / points / paths / rings), ring-orientation
+    // shell/hole assembly incl. the orphan-CCW promotion, attributes
+    // as properties. ORACLE is tools/make_esrijson_golden.py's
+    // independent python-json parse of the same fixtures.
+    "q_src_esrijson" -> ((s, dir) => {
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val base = "/root/repo/src/test/resources/esri"
+      Seq("lines", "mpoints", "points", "polygons").map { layer =>
+        sources.GeoRead.read(s, s"$base/$layer.json")
+          .select(lit(layer).as("layer"),
+            col("properties").getItem("name").as("name"),
+            col("properties").getItem("val").as("val"),
+            st_geometrytype(col("geom")).as("gtype"),
+            st_npoints(col("geom")).as("npts"),
+            st_xmin(col("geom")).as("x0"), st_ymax(col("geom")).as("y1"))
+      }.reduce(_ unionByName _).orderBy("layer", "name")
+    }),
+
     // KMZ = zipped KML with a doc.kml root entry (GDAL LIBKML parity,
     // reference st_read.cpp:668-702); the fixture carries decoy entries
     // (an icon blob + a second .kml overlay) so the doc.kml preference
@@ -7302,6 +7324,16 @@ object SparkEntry {
              columns={'folder':'VARCHAR','name':'VARCHAR','gtype':'VARCHAR',
                       'npts':'BIGINT','x0':'DOUBLE','y1':'DOUBLE','state':'VARCHAR'})
            ORDER BY folder, name""",
+
+      // independent python-json parse of the committed ESRI JSON
+      // fixtures (tools/make_esrijson_golden.py)
+      "q_src_esrijson" ->
+        """SELECT layer, name, val, gtype, npts, x0, y1
+           FROM read_csv('/root/repo/src/test/resources/golden/esrijson_golden.csv',
+             header=true,
+             columns={'layer':'VARCHAR','name':'VARCHAR','val':'VARCHAR',
+                      'gtype':'VARCHAR','npts':'BIGINT','x0':'DOUBLE','y1':'DOUBLE'})
+           ORDER BY layer, name""",
 
       // the KMZ wraps the SAME committed document the kml golden
       // accounts for — the oracle is byte-for-byte the q_src_kml one

@@ -128,6 +128,98 @@ object GeoJson {
   }
 }
 
+/**
+ * ESRI JSON geometry reader — the ArcGIS REST FeatureSet geometry
+ * forms (published spec; GDAL ships this as the read-only ESRIJSON
+ * driver, which the reference reaches through ST_Read). Forms:
+ *
+ *   {"x":…,"y":…[,"z":…]}          point ("x":null → empty point)
+ *   {"points":[[x,y],…]}           multipoint
+ *   {"paths":[[[x,y],…],…]}        one path → LINESTRING, else
+ *                                  MULTILINESTRING (OGR's mapping)
+ *   {"rings":[[[x,y],…],…]}        ring soup: CLOCKWISE rings are
+ *                                  shells per the ESRI spec,
+ *                                  counter-clockwise rings are holes
+ *                                  assigned to the first shell that
+ *                                  contains them (orphan holes promote
+ *                                  to shells, OGR organizePolygons
+ *                                  fallback); one shell → POLYGON,
+ *                                  else MULTIPOLYGON
+ *
+ * No `"type"` key exists in any ESRI geometry — that is the sniff
+ * ([[looksLike]]) separating this from GeoJSON in a shared `.json`
+ * extension, the same content dispatch GDAL performs.
+ */
+object EsriJson {
+  private def pt(n: JsonNode): Coordinate =
+    new Coordinate(n.get(0).asDouble, n.get(1).asDouble)
+  private def line(n: JsonNode): Array[Coordinate] =
+    (0 until n.size()).map(i => pt(n.get(i))).toArray
+
+  def looksLike(n: JsonNode): Boolean =
+    n != null && n.isObject && !n.has("type") &&
+      (n.has("rings") || n.has("paths") || n.has("points") ||
+        // empty point is {"x": null} with or without a "y" key
+        (n.has("x") && (n.has("y") || n.get("x").isNull)))
+
+  /** Signed shoelace area: negative = clockwise (an ESRI shell). */
+  private def signedArea(cs: Array[Coordinate]): Double = {
+    var a = 0.0
+    var i = 0
+    while (i < cs.length - 1) {
+      a += cs(i).x * cs(i + 1).y - cs(i + 1).x * cs(i).y
+      i += 1
+    }
+    a / 2.0
+  }
+
+  def parse(n: JsonNode): Geometry = {
+    if (n.has("x")) {
+      val x = n.get("x")
+      if (x.isNull) Jts.gf.createPoint()
+      else Jts.gf.createPoint(new Coordinate(x.asDouble, n.get("y").asDouble))
+    } else if (n.has("points")) {
+      val ps = n.get("points")
+      Jts.gf.createMultiPoint(line(ps).map(Jts.gf.createPoint))
+    } else if (n.has("paths")) {
+      val ps = n.get("paths")
+      val lines = (0 until ps.size()).map(i => Jts.gf.createLineString(line(ps.get(i))))
+      if (lines.size == 1) lines.head else Jts.gf.createMultiLineString(lines.toArray)
+    } else if (n.has("rings")) {
+      val rs = n.get("rings")
+      val rings = (0 until rs.size()).map { i =>
+        val cs = line(rs.get(i))
+        // rings must close for JTS; the ESRI spec closes them already
+        val closed = if (cs.length >= 2 && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+        (Jts.gf.createLinearRing(closed), signedArea(closed))
+      }
+      val shells = scala.collection.mutable.ArrayBuffer[LinearRing]()
+      val holes = scala.collection.mutable.ArrayBuffer[LinearRing]()
+      rings.foreach { case (r, a) => if (a < 0) shells += r else holes += r }
+      val shellPolys = shells.map(Jts.gf.createPolygon(_))
+      val holesByShell = scala.collection.mutable.ArrayBuffer.fill(shells.length)(
+        scala.collection.mutable.ArrayBuffer[LinearRing]())
+      holes.foreach { h =>
+        val p0 = Jts.gf.createPoint(h.getCoordinateN(0))
+        shellPolys.indexWhere(_.covers(p0)) match {
+          case -1 =>
+            val rr = reverse(h)
+            shells += rr; shellPolys += Jts.gf.createPolygon(rr)
+            holesByShell += scala.collection.mutable.ArrayBuffer[LinearRing]()
+          case i => holesByShell(i) += h
+        }
+      }
+      val polys = shells.indices.map(i =>
+        Jts.gf.createPolygon(shells(i), holesByShell(i).toArray))
+      if (polys.size == 1) polys.head else Jts.gf.createMultiPolygon(polys.toArray)
+    } else throw new IllegalArgumentException(
+      s"not an ESRI JSON geometry: ${n.toString.take(80)}")
+  }
+
+  private def reverse(r: LinearRing): LinearRing =
+    Jts.gf.createLinearRing(r.getCoordinates.reverse)
+}
+
 /** Minimal SVG path writer (reference st_assvg.cpp; PostGIS-style:
  *  y axis negated, points → cx/cy, lines/polygons → path data). */
 object Svg {

@@ -357,17 +357,30 @@ object GeoRead {
   private def expandNode(
       root: com.fasterxml.jackson.databind.JsonNode,
       mapper: com.fasterxml.jackson.databind.ObjectMapper): Iterator[Row] = {
+    // ESRI JSON FeatureSet (ArcGIS REST; GDAL's read-only ESRIJSON
+    // driver shares the .json extension with GeoJSON, so dispatch is
+    // by CONTENT): no "type" key, features carry "attributes" instead
+    // of "properties", geometries are the x/points/paths/rings forms
+    val isEsri = !root.has("type") && root.has("features") &&
+      root.get("features").isArray &&
+      (root.has("geometryType") || root.has("spatialReference") ||
+        (root.get("features").size() > 0 && root.get("features").get(0).has("attributes")))
     val features: Iterator[com.fasterxml.jackson.databind.JsonNode] =
       Option(root.get("type")).map(_.asText()).getOrElse("") match {
         case "FeatureCollection" =>
           val fs = root.get("features")
           (0 until fs.size()).iterator.map(fs.get)
         case "Feature" => Iterator.single(root)
+        case _ if isEsri =>
+          val fs = root.get("features")
+          (0 until fs.size()).iterator.map(fs.get)
         case _ => Iterator.single(mapper.createObjectNode()
           .set("geometry", root).asInstanceOf[com.fasterxml.jackson.databind.JsonNode])
       }
     features.map { f =>
-      val props = Option(f.get("properties")).filterNot(_.isNull).map { p =>
+      val propNode = Option(f.get("properties")).filterNot(_.isNull)
+        .orElse(Option(f.get("attributes")).filterNot(_.isNull))
+      val props = propNode.map { p =>
         val it = p.properties().iterator()
         val m = scala.collection.mutable.LinkedHashMap[String, String]()
         while (it.hasNext) {
@@ -377,7 +390,10 @@ object GeoRead {
         m.toMap
       }.getOrElse(Map.empty[String, String])
       val geomNode = Option(f.get("geometry")).filterNot(_.isNull)
-      val wkb = geomNode.map(g => Jts.write(GeoJson.parse(g.toString))).orNull
+      val wkb = geomNode.map { g =>
+        if (graft.functions.EsriJson.looksLike(g)) Jts.write(graft.functions.EsriJson.parse(g))
+        else Jts.write(GeoJson.parse(g.toString))
+      }.orNull
       Row(props, wkb)
     }
   }
@@ -532,7 +548,7 @@ object GeoRead {
    *  applied to this catalog). */
   val driverRows: Seq[(String, String, Boolean, Boolean)] = Seq(
     ("parquet", "GeoParquet / Parquet with WKB", true, true),
-    ("geojson", "GeoJSON (FeatureCollection / newline-delimited)", true, true),
+    ("geojson", "GeoJSON (FeatureCollection / newline-delimited) + ESRI JSON FeatureSet (content-sniffed)", true, true),
     ("shapefile", "ESRI Shapefile (.shp/.shx/.dbf/.cpg)", true, true),
     ("flatgeobuf", "FlatGeobuf (.fgb, splittable via spatial index)", true, true),
     ("geopackage", "GeoPackage (.gpkg, SQLite container)", true, true),

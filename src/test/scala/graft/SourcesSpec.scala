@@ -350,6 +350,43 @@ class SourcesSpec extends SparkSpec {
     assert(miss.getMessage.contains("sibling"), miss.getMessage)
   }
 
+  test("ESRI JSON: content-sniffed forms, ring assembly, orphan promotion, empty point") {
+    import graft.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    def wkts(f: String): Map[String, String] =
+      GeoRead.read(spark, s"/root/repo/src/test/resources/esri/$f.json")
+        .select(col("properties").getItem("name"), st_astext(col("geom")))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val p = wkts("points")
+    assert(p("pa") == "POINT (1.5 2.5)")
+    assert(p("pc") == "POINT EMPTY")
+    assert(wkts("mpoints")("ma") == "MULTIPOINT (1.5 1.5, 2.5 3.5, 4.5 0.5)")
+    val l = wkts("lines")
+    assert(l("la").startsWith("LINESTRING"))
+    assert(l("lb").startsWith("MULTILINESTRING"))
+    val g = wkts("polygons")
+    assert(g("ga").startsWith("POLYGON") && !g("ga").contains("),("))
+    assert(g("gb").startsWith("POLYGON") && g("gb").contains("), ("),
+      s"shell+hole expected: ${g("gb")}") // hole attached to its shell
+    assert(g("gc").startsWith("MULTIPOLYGON"))
+    assert(g("gd").startsWith("POLYGON"), s"orphan CCW ring must promote: ${g("gd")}")
+    // promoted shell is a valid polygon covering its interior
+    val gdRow = GeoRead.read(spark, "/root/repo/src/test/resources/esri/polygons.json")
+      .filter(col("properties").getItem("name") === "gd")
+      .select(st_isvalid(col("geom")), st_area(col("geom"))).collect()(0)
+    assert(gdRow.getBoolean(0) && gdRow.getDouble(1) == 4.0)
+    // a GeoJSON document in the same .json extension still routes to
+    // the GeoJSON parser (content dispatch, not extension)
+    val tmp = java.nio.file.Files.createTempDirectory("gj").resolve("fc.json")
+    java.nio.file.Files.writeString(tmp,
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{"name":"x"},"geometry":{"type":"Point","coordinates":[7.5,8.5]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val gj = GeoRead.read(spark, tmp.toString)
+      .select(st_astext(col("geom"))).collect()(0).getString(0)
+    assert(gj == "POINT (7.5 8.5)")
+  }
+
   test("MIF/MID: geometry kinds, hole assembly, quoted MID fields, clear errors") {
     import graft.GeoFunctions._
     import org.apache.spark.sql.functions._
