@@ -107,7 +107,10 @@ object GeoJson {
   }
 
   private def node2geom(n: JsonNode): Geometry = {
-    val t = n.get("type").asText
+    val tNode = n.get("type")
+    if (tNode == null) throw new IllegalArgumentException(
+      s"geometry has no GeoJSON 'type' and no ESRI JSON form: ${n.toString.take(80)}")
+    val t = tNode.asText
     lazy val cs = n.get("coordinates")
     t match {
       case "Point" =>

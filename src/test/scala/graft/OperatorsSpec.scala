@@ -1391,6 +1391,19 @@ class SamplingSpec extends SparkSpec {
     assert(g0 != g1, "per-group draws are correlated — salt missing")
   }
 
+  test("dsir/weighted-sample edges: empty pool, all-zero weights, k > pool") {
+    import org.apache.spark.sql.functions._
+    // all rows are target -> pool is empty -> no weights, select empty
+    val allTgt = Seq((1L, "alpha beta", true), (2L, "gamma", true)).toDF("id", "t", "tgt")
+    assert(Sampling.dsirWeights(allTgt, $"id", $"t", $"tgt").count() == 0)
+    assert(Sampling.dsirSelect(allTgt, $"id", $"t", $"tgt", k = 5).count() == 0)
+    // all-zero weights -> nothing samples; k larger than pool -> all rows
+    val w0 = Seq((1L, 0L), (2L, 0L)).toDF("id", "w")
+    assert(Sampling.weightedSampleK(w0, $"id", $"w", k = 3).count() == 0)
+    val w2 = Seq((1L, 500000L), (2L, 1000000L)).toDF("id", "w")
+    assert(Sampling.weightedSampleK(w2, $"id", $"w", k = 10).count() == 2)
+  }
+
   test("dsir: target-like pool docs outweigh off-target ones; select is stable and pool-only") {
     import org.apache.spark.sql.functions._
     // target corpus: "alpha beta" language; pool: half target-like, half noise

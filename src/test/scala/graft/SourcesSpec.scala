@@ -385,6 +385,14 @@ class SourcesSpec extends SparkSpec {
     val gj = GeoRead.read(spark, tmp.toString)
       .select(st_astext(col("geom"))).collect()(0).getString(0)
     assert(gj == "POINT (7.5 8.5)")
+    // malformed esri-ish geometry errors clearly, never a crash class
+    val bad = java.nio.file.Files.createTempDirectory("gj").resolve("bad.json")
+    java.nio.file.Files.writeString(bad,
+      """{"features":[{"attributes":{"name":"x"},"geometry":{"curves":[1]}}]}""")
+    val e = intercept[org.apache.spark.SparkException] {
+      GeoRead.read(spark, bad.toString).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("MIF/MID: geometry kinds, hole assembly, quoted MID fields, clear errors") {
