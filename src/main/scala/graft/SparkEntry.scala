@@ -1394,6 +1394,33 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // PGDump writer (GDAL's write-only PGDump driver analog): dump a
+    // customer slice as a PostGIS COPY .sql, parse the COPY text block
+    // back (tab split + the independently-certified HEXEWKB reader),
+    // and compare against a pure source-parquet recompute — nothing
+    // the writer produced is trusted by the oracle.
+    "q_pgdump_write" -> ((s, dir) => {
+      load(s, dir, "customer")
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      val dirOut = new java.io.File("/tmp/graft_pgdump"); dirOut.mkdirs()
+      val out = "/tmp/graft_pgdump/cust.sql"
+      val base = s.table("customer").where(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          expr(custPt).as("geom"))
+      sources.PgDump.write(base, "geom", out, table = "cust", srid = 4326)
+      s.read.text(out)
+        .filter(!col("value").rlike("^(SET |CREATE |SELECT |COPY )") &&
+          col("value") =!= "\\.")
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("c_custkey"),
+          element_at(col("f"), 2).as("c_name"),
+          element_at(col("f"), 3).cast("double").as("c_acctbal"),
+          expr("ST_X(ST_GeomFromHEXEWKB(element_at(f, 4)))").as("x"),
+          expr("ST_Y(ST_GeomFromHEXEWKB(element_at(f, 4)))").as("y"))
+        .orderBy("c_custkey")
+    }),
+
     // commit-log time travel (the WAL/MVCC analog completed): enable
     // the log, DELETE (v1), UPDATE (v2), then snapshot-read ALL THREE
     // versions — the oracle recomputes every version's state from the
@@ -6470,6 +6497,13 @@ object SparkEntry {
                   THEN c_nationkey + 100 ELSE c_nationkey END AS BIGINT) AS nk,
              (SELECT nupd FROM u) AS nupd
            FROM src ORDER BY c_custkey""",
+
+      // pure source recompute of the dumped slice (the Spark side
+      // re-parses the file it wrote; the oracle never sees it)
+      "q_pgdump_write" ->
+        s"""SELECT c_custkey, c_name, c_acctbal,
+             $custPtX AS x, $custPtY AS y
+           FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
 
       // every version recomputed from source: v0 = base, v1 = base
       // minus the deleted keys, v2 = v1 with the update applied

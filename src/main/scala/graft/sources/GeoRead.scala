@@ -563,7 +563,8 @@ object GeoRead {
     ("openfilegdb", "ESRI File Geodatabase (.gdb directory)", true, true),
     ("sqlite", "SQLite / SpatiaLite (.sqlite, Gaia geometry blobs)", true, true),
     ("topojson", "TopoJSON (.topojson, shared-arc topology)", true, true),
-    ("xlsx", "MS Office Open XML spreadsheet (.xlsx, attribute rows)", true, true))
+    ("xlsx", "MS Office Open XML spreadsheet (.xlsx, attribute rows)", true, true),
+    ("pgdump", "PostgreSQL SQL dump (.sql, PostGIS COPY; write-only like GDAL's PGDump)", false, true))
 
   /** ST_Drivers analog: the formats this engine reads/writes. */
   def drivers(spark: SparkSession): DataFrame =
@@ -876,9 +877,10 @@ object GeoWrite {
     else if (lower.endsWith(".gml")) Gml.write(df, geomCol, path)
     else if (lower.endsWith(".mif")) MapInfoMif.write(df, geomCol, path)
     else if (lower.endsWith(".gmt")) Gmt.write(df, geomCol, path)
+    else if (lower.endsWith(".sql")) PgDump.write(df, geomCol, path)
     else throw new IllegalArgumentException(
       s"unsupported write format for $path (supported: .parquet, .fgb, .gpkg, .shp, " +
-      ".geojson, .geojsonl, .csv, .kml, .gpx, .dxf, .gml, .mif, .gmt)")
+      ".geojson, .geojsonl, .csv, .kml, .gpx, .dxf, .gml, .mif, .gmt, .sql)")
   }
 }
 

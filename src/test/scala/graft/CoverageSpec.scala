@@ -132,7 +132,8 @@ class CoverageSpec extends SparkSpec {
       ("operators/SpatialCluster.scala", "def dbscan", "DBSCAN"),
       ("operators/Sampling.scala", "def weightedSampleK", "Efraimidis-Spirakis"),
       ("operators/Multimodal.scala", "def audioFrameFeatures", "audioFrameFeatures"),
-      ("sources/GeoTableLog.scala", "def readVersion", "readVersion"))
+      ("sources/GeoTableLog.scala", "def readVersion", "readVersion"),
+      ("sources/PgDump.scala", "def write", "PGDump"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

@@ -395,6 +395,43 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("PGDump writer: COPY layout, text escaping, NULLs, hand-stated EWKB hex") {
+    import graft.GeoFunctions._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain", Some(2.5), true),
+      (2L, "tab\there\nand line", None, false),
+      (3L, null.asInstanceOf[String], Some(-1.25), true))
+      .toDF("id", "name", "score", "flag")
+      .withColumn("geom", st_point($"id".cast("double") + 0.5, lit(2.5)))
+    val out = java.nio.file.Files.createTempDirectory("pgdump").resolve("t.sql").toString
+    graft.sources.PgDump.write(df, "geom", out, table = "t", srid = 4326)
+    val lines = java.nio.file.Files.readAllLines(new java.io.File(out).toPath)
+    assert(lines.get(0) == "SET standard_conforming_strings = ON;")
+    assert(lines.get(1).startsWith("""CREATE TABLE "t" ("ogc_fid" SERIAL PRIMARY KEY, "id" BIGINT"""))
+    assert(lines.get(2) == """SELECT AddGeometryColumn('','t','geom',4326,'GEOMETRY',2);""")
+    assert(lines.get(3) == """COPY "t" ("id", "name", "score", "flag", "geom") FROM stdin;""")
+    val data = (4 until lines.size() - 1).map(lines.get)
+    assert(lines.get(lines.size() - 1) == "\\.")
+    assert(data.length == 3)
+    val r1 = data(0).split("\t", -1)
+    // hand-stated EWKB hex for SRID=4326 POINT (1.5 2.5): byte order,
+    // type|0x20000000, srid E6100000, LE doubles — independent of the
+    // engine's own hex reader
+    assert(r1.toSeq == Seq("1", "plain", "2.5", "t",
+      "0101000020E6100000000000000000F83F0000000000000440"), r1.mkString("|"))
+    val r2 = data(1).split("\t", -1)
+    assert(r2(1) == "tab\\there\\nand line" && r2(2) == "\\N" && r2(3) == "f")
+    assert(data(2).split("\t", -1)(1) == "\\N")
+    // srid=0 -> plain WKB, no SRID header
+    val out0 = java.nio.file.Files.createTempDirectory("pgdump").resolve("t0.sql").toString
+    graft.sources.PgDump.write(df.limit(1), "geom", out0, table = "t0")
+    val hex0 = java.nio.file.Files.readAllLines(new java.io.File(out0).toPath)
+      .get(4).split("\t", -1).last
+    assert(hex0 == "0101000000000000000000F83F0000000000000440", hex0)
+  }
+
   test("MIF/MID: geometry kinds, hole assembly, quoted MID fields, clear errors") {
     import graft.GeoFunctions._
     import org.apache.spark.sql.functions._
