@@ -239,6 +239,57 @@ object Streams {
       .select(col("key"), col("left_ts"), col("right_ts"))
   }
 
+  /**
+   * Streaming as-of enrichment — the streaming twin of
+   * [[graft.operators.AsofJoin.asofJoin]]'s backward/latest
+   * (non-strict) semantics: each left event joins the LATEST right
+   * row with right.ts <= left.ts seen so far on its key (the
+   * "enrich events with current reference state" shape: trades
+   * against latest quote, requests against latest config).
+   *
+   * Mechanics: both sides union into one keyed stream
+   * (`flatMapGroupsWithState`); per key the state is the single
+   * latest right (ts, value) — O(keys) state, never a row buffer.
+   * Within a micro-batch rows process in ts order with rights ahead
+   * of lefts at equal timestamps (the batch operator's non-strict tie
+   * rule). ACROSS batches, a right arriving after a left already
+   * emitted cannot retro-update it — the inherent streaming
+   * divergence; the batch operator is the exact replay, which is how
+   * the spec certifies this one (single-batch run == batch asof).
+   *
+   * Inputs: left (key long, ts long, lval double), right (key long,
+   * ts long, rval double). Output: (key, ts, lval, asof_ts, rval) —
+   * asof_ts/rval NULL when no right row has arrived yet.
+   */
+  def asofJoinStream(left: DataFrame, right: DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val tagged = left.select(col("key").cast("long"), col("ts").cast("long"),
+        lit(false).as("isRight"), col("lval").cast("double"), lit(0.0).as("rval"))
+      .unionByName(right.select(col("key").cast("long"), col("ts").cast("long"),
+        lit(true).as("isRight"), lit(0.0).as("lval"), col("rval").cast("double")))
+      .as[(Long, Long, Boolean, Double, Double)]
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double, Option[Long], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          // rights before lefts at equal ts = non-strict (<=) semantics
+          val sorted = rows.toSeq.sortBy(r => (r._2, !r._3))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double, Option[Long], Option[Double])]
+          sorted.foreach { case (_, ts, isRight, lval, rval) =>
+            if (isRight) {
+              // monotone guard: a stale right (older than the state)
+              // never regresses the latest value
+              if (cur.isEmpty || ts >= cur.get._1) cur = Some((ts, rval))
+            } else out += ((key, ts, lval, cur.map(_._1), cur.map(_._2)))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF("key", "ts", "lval", "asof_ts", "rval")
+  }
+
   /** Streaming wrapper for [[nearDupFilterBatch]]: apply the gate per
    *  micro-batch via foreachBatch and hand survivors to `sink`. */
   def nearDupGate(

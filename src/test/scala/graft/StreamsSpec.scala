@@ -132,6 +132,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: single batch equals batch asof; state carries across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Double)]
+    val rMem = MemoryStream[(Long, Long, Double)]
+    val out = Streams.asofJoinStream(
+      lMem.toDF.toDF("key", "ts", "lval"), rMem.toDF.toDF("key", "ts", "rval"))
+    // batch 0: interleaved rights/lefts, an equal-ts tie, a key with
+    // no right at all, and a stale right older than the state — data
+    // added BEFORE start so both sides land in the SAME micro-batch
+    // (the single-batch == batch-operator premise)
+    rMem.addData((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 90L, 9.0), (2L, 50L, 5.0))
+    lMem.addData((1L, 150L, 1.0), (1L, 200L, 2.0), (3L, 99L, 3.0))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("asof_out")
+        .as[(Long, Long, Double, Option[Long], Option[Double])].collect().toSet
+      val bl = Seq((1L, 150L, 1.0), (1L, 200L, 2.0), (3L, 99L, 3.0)).toDF("key", "lts", "lval")
+      val br = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 90L, 9.0), (2L, 50L, 5.0))
+        .toDF("key", "rts", "rval")
+      val expect = graft.operators.AsofJoin.asofJoin(bl, br, "key", "lts", "rts")
+        .select($"key", $"lts", $"lval", $"asof_rts", $"rval")
+        .as[(Long, Long, Double, Option[Long], Option[Double])].collect().toSet
+      assert(got1 == expect, s"missing=${expect -- got1} extra=${got1 -- expect}")
+      // non-strict tie: the left at ts=200 sees the right at ts=200
+      assert(got1.exists(r => r._2 == 200L && r._5.contains(20.0)))
+      // no-right key emits with NULLs
+      assert(got1.contains((3L, 99L, 3.0, None, None)))
+      // batch 2: left arrives in a LATER batch; the carried state joins
+      lMem.addData((2L, 60L, 4.0))
+      q.processAllAvailable()
+      val got2 = spark.table("asof_out")
+        .as[(Long, Long, Double, Option[Long], Option[Double])].collect().toSet
+      assert(got2.contains((2L, 60L, 4.0, Some(50L), Some(5.0))), got2.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key; minhash tags match batch") {
     // duplicate every event id twice: an exact copy AND a copy shifted
     // +1 minute — both must collapse (the key alone is the identity)
