@@ -1394,6 +1394,31 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // Delta consolidation (OPTIMIZE-lite): base + two appends, then
+    // compactDeltas rewrites ONLY the delta tail into one clustered
+    // file. The oracle recomputes the union from source plus the two
+    // deterministic counters (deltas consolidated, final live files).
+    "q_clustered_compact" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_clustered_compact"
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      def slice(lo: Int, hi: Int) = s.table("customer")
+        .where(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(slice(0, 300), "geom", out, ext, numFiles = 4)
+      sources.GeoTableLog.enable(s, out)
+      sources.GeoTable.appendClustered(slice(300, 400), "geom", out, ext, numFiles = 1)
+      sources.GeoTable.appendClustered(slice(400, 500), "geom", out, ext, numFiles = 1)
+      val ncomp = sources.GeoTable.compactDeltas(s, "geom", out, ext, numFiles = 1)
+      val nFiles = new java.io.File(out).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      s.read.parquet(out)
+        .select(col("c_custkey"), col("geom_bbox.xmin").as("x"),
+          lit(ncomp).as("ncomp"), lit(nFiles).cast("int").as("n_files"))
+        .orderBy("c_custkey")
+    }),
+
     // PGDump writer (GDAL's write-only PGDump driver analog): dump a
     // customer slice as a PostGIS COPY .sql, parse the COPY text block
     // back (tab split + the independently-certified HEXEWKB reader),
@@ -6497,6 +6522,14 @@ object SparkEntry {
                   THEN c_nationkey + 100 ELSE c_nationkey END AS BIGINT) AS nk,
              (SELECT nupd FROM u) AS nupd
            FROM src ORDER BY c_custkey""",
+
+      // union of base + both appended slices recomputed from source;
+      // 2 deltas consolidated; 4 base files + 1 compacted = 5 live
+      "q_clustered_compact" ->
+        s"""SELECT c_custkey, $custPtX AS x,
+             2 AS ncomp, 5 AS n_files
+           FROM customer WHERE c_custkey > 0 AND c_custkey <= 500
+           ORDER BY c_custkey""",
 
       // pure source recompute of the dumped slice (the Spark side
       // re-parses the file it wrote; the oracle never sees it)

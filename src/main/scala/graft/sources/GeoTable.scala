@@ -147,6 +147,67 @@ object GeoTable {
   }
 
   /**
+   * Incremental delta consolidation — the OPTIMIZE-lite between
+   * [[appendClustered]] and a full [[recluster]]: the files added by
+   * append commits (the deltas, whose extents overlap the base
+   * generation and each other) are re-clustered AMONG THEMSELVES into
+   * one tight generation; every base file keeps identical bytes. At
+   * 100 TB this is the maintenance shape that actually runs — a full
+   * recluster rewrites the table, consolidation rewrites only the
+   * (small) delta tail, and pruning quality degrades gradually again
+   * until the next pass. Requires the commit log (that is what knows
+   * which live files came from appends); commits op="compact"
+   * (remove = old deltas, add = the consolidated files), so snapshot
+   * reads of earlier versions keep working. Default output sizing:
+   * one file per 128 MB of delta bytes. Returns the number of delta
+   * files consolidated (0 = nothing to do).
+   */
+  def compactDeltas(
+      spark: SparkSession, geomCol: String, path: String,
+      extent: (Double, Double, Double, Double),
+      numFiles: Int = 0): Int = {
+    val base = path.stripSuffix("/")
+    val hPath = new org.apache.hadoop.fs.Path(base)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(GeoTableLog.isEnabled(fs, base),
+      s"compactDeltas requires the commit log (GeoTableLog.enable) at $base")
+    val es = GeoTableLog.entries(fs, base)
+    val removedEver = es.flatMap(_._4).toSet
+    val deltas = es.filter(_._2 == "append").flatMap(_._3)
+      .filterNot(removedEver).distinct
+    if (deltas.size <= 1) return 0
+    val deltaPaths = deltas.map(n => new org.apache.hadoop.fs.Path(hPath, n))
+    deltaPaths.foreach(p => require(fs.exists(p), s"live delta missing: $p"))
+    val bytes = deltaPaths.map(fs.getFileStatus(_).getLen).sum
+    val parts = if (numFiles > 0) numFiles
+      else math.max(1L, bytes / (128L * 1024 * 1024) + 1).toInt
+    spark.catalog.refreshByPath(base)
+    val df = spark.read.parquet(deltaPaths.map(_.toString): _*)
+      .drop(s"${geomCol}_bbox")
+    val staging = new org.apache.hadoop.fs.Path(base + ".__compact")
+    fs.delete(staging, true)
+    writeClustered(df, geomCol, staging.toString, extent, parts)
+    // same swap order as rewriteHitFiles: retire the old files first
+    // (retained — snapshots still reference them), then move the new
+    // generation in; single-writer maintenance like every op here
+    deltaPaths.foreach(p => GeoTableLog.retain(fs, base, p))
+    val added = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(staging).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
+        if (!fs.rename(p, dst))
+          throw new java.io.IOException(s"compactDeltas: cannot move $p into $base")
+        added += dst.getName
+      }
+    fs.delete(staging, true)
+    GeoTableLog.appendEntry(fs, base, "compact",
+      add = added.sorted.toSeq, remove = deltas.sorted)
+    spark.catalog.refreshByPath(base)
+    deltas.size
+  }
+
+  /**
    * Row-level DELETE on a clustered table — the reference's R-tree
    * supports transactional row CRUD through its WAL (rtree_crud.test);
    * the clustered-layout analog is SURGICAL file rewrite: only the part

@@ -214,11 +214,13 @@ object GeoTableLog {
       }
     }
     // rebase: version 0 = init(fileSetAt(keepFrom)), then the later
-    // entries verbatim with shifted numbers
+    // entries verbatim with shifted numbers. Only the entry JSONs are
+    // replaced — retained/ lives inside the log dir and must survive
+    // (the surviving snapshots still resolve files there)
     val baseSet = fileSetAt(fs, base, keepFrom)
     val tail = es.filter(_._1 > keepFrom)
-    fs.delete(logDir(base), true)
-    fs.mkdirs(retained)
+    fs.listStatus(logDir(base)).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).foreach(fs.delete(_, false))
     appendEntry(fs, base, "init", add = baseSet, remove = Nil)
     tail.foreach { case (_, op, add, remove) =>
       appendEntry(fs, base, op, add, remove)

@@ -173,19 +173,48 @@ class GeoTableMaintSpec extends SparkSpec {
     val ops = GeoTableLog.entries(spark, dir).map(_._2)
     assert(ops == Seq("init", "delete", "update", "append"), ops.toString)
 
+    // delta consolidation: two more appends, then compactDeltas must
+    // rewrite ONLY the delta tail (base files byte-identical), commit
+    // op="compact", and keep every snapshot readable
+    GeoTable.appendClustered(pts(91000 until 91300), "geom", dir, extent, numFiles = 1)
+    val sigBefore = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val deltaCountBefore = GeoTableLog.entries(spark, dir)
+      .filter(_._2 == "append").flatMap(_._3).size
+    val preCompact = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    val vPre = GeoTableLog.latestVersion(spark, dir)
+    val nCompacted = GeoTable.compactDeltas(spark, "geom", dir, extent, numFiles = 1)
+    assert(nCompacted == deltaCountBefore && nCompacted >= 2, s"compacted $nCompacted")
+    // live content unchanged; snapshot of the pre-compact version equal
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == preCompact)
+    assert(GeoTableLog.readVersion(spark, dir, vPre)
+      .select("id").as[Long].collect().toSet == preCompact)
+    // non-delta files untouched byte-for-byte
+    val sigAfter = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val survivors = sigBefore.keySet.intersect(sigAfter.keySet)
+    survivors.foreach(k => assert(sigBefore(k) == sigAfter(k), s"$k rewritten"))
+    assert(GeoTableLog.entries(spark, dir).last._2 == "compact")
+    // second compact is a no-op (one consolidated delta remains)
+    assert(GeoTable.compactDeltas(spark, "geom", dir, extent) == 0)
+
     // vacuum keepFrom=2: v0/v1 history drops (their exclusive retained
     // files deleted), v2/v3 renumber to v0/v1 and stay byte-identical
     val keepV2 = GeoTableLog.readVersion(spark, dir, 2).select("id").as[Long].collect().toSet
     val keepV3 = GeoTableLog.readVersion(spark, dir, 3).select("id").as[Long].collect().toSet
     val dropped = GeoTableLog.vacuum(spark, dir, keepFrom = 2)
     assert(dropped > 0, "v0/v1-only retained files must be deleted")
-    assert(GeoTableLog.latestVersion(spark, dir) == 1, "rebased to v0..v1")
+    // log rebases: v2 becomes the init; the append/append/compact tail
+    // renumbers onto it unchanged
+    assert(GeoTableLog.latestVersion(spark, dir) == 3, "rebased to v0..v3")
     assert(GeoTableLog.readVersion(spark, dir, 0)
       .select("id").as[Long].collect().toSet == keepV2)
     assert(GeoTableLog.readVersion(spark, dir, 1)
       .select("id").as[Long].collect().toSet == keepV3)
     val opsAfter = GeoTableLog.entries(spark, dir).map(_._2)
-    assert(opsAfter == Seq("init", "append"), opsAfter.toString)
+    assert(opsAfter == Seq("init", "append", "append", "compact"), opsAfter.toString)
 
     // recluster = checkpoint: history compacts, current content survives
     val live = spark.read.parquet(dir).select("id").as[Long].collect().toSet
