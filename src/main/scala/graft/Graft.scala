@@ -203,6 +203,20 @@ object Graft {
         if (exprs.length > 1) litStr(exprs(1)) else "geom")), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_list_proj_crs",
       _ => planOf(graft.sources.GeoRead.listProjCrs(SparkSession.active)), "scala_udf")
+    // snapshot read of a commit-logged clustered table:
+    //   st_read_version(path, version) — GeoTableLog time travel in SQL
+    tfReg.createOrReplaceTempFunction("st_read_version",
+      exprs => planOf(graft.sources.GeoTableLog.readVersion(SparkSession.active,
+        litStr(exprs.head), litNum(exprs(1)).toInt)), "scala_udf")
+    // commit history of a logged table: (version, op, n_add, n_remove)
+    tfReg.createOrReplaceTempFunction("st_table_versions",
+      exprs => planOf {
+        val s = SparkSession.active
+        import s.implicits._
+        graft.sources.GeoTableLog.entries(s, litStr(exprs.head))
+          .map { case (v, op, add, rm) => (v, op, add.size, rm.size) }
+          .toDF("version", "op", "n_add", "n_remove")
+      }, "scala_udf")
     tfReg.createOrReplaceTempFunction("st_readosm",
       exprs => planOf(graft.sources.OsmPbf.read(SparkSession.active, litStr(exprs.head))), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_generatepoints",

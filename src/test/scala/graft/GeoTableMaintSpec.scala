@@ -216,6 +216,17 @@ class GeoTableMaintSpec extends SparkSpec {
     val opsAfter = GeoTableLog.entries(spark, dir).map(_._2)
     assert(opsAfter == Seq("init", "append", "append", "compact"), opsAfter.toString)
 
+    // SQL surface: st_read_version / st_table_versions mirror the API
+    Graft.install(spark)
+    val sqlV0 = spark.sql(s"SELECT id FROM st_read_version('$dir', 0)")
+      .as[Long].collect().toSet
+    assert(sqlV0 == GeoTableLog.readVersion(spark, dir, 0)
+      .select("id").as[Long].collect().toSet)
+    val hist = spark.sql(s"SELECT version, op FROM st_table_versions('$dir') ORDER BY version")
+      .as[(Int, String)].collect()
+    assert(hist.map(_._2).toSeq ==
+      GeoTableLog.entries(spark, dir).map(_._2), hist.mkString(","))
+
     // recluster = checkpoint: history compacts, current content survives
     val live = spark.read.parquet(dir).select("id").as[Long].collect().toSet
     GeoTable.recluster(spark, "geom", dir, extent, numFiles = 2)
