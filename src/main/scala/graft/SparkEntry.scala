@@ -3445,6 +3445,28 @@ object SparkEntry {
               ST_MakeLine(ST_Point($extX1, $extY1), ST_Point($extX2, $extY2)) AS l
             FROM supplier) ORDER BY s_suppkey"""),
 
+    // Linear referencing (PostGIS-parity extras): 3-4-5 lines with
+    // power-of-two fractions so interpolate/substring/locate are
+    // EXACT double arithmetic on both engines (no rounding laundering
+    // except the one atan2)
+    "q_geo_linear_ref" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+           ST_X(ST_LineInterpolatePoint(l, f)) AS ix,
+           ST_Y(ST_LineInterpolatePoint(l, f)) AS iy,
+           ST_Length(ST_LineSubstring(l, 0.25, 0.75)) AS sublen,
+           ST_NPoints(ST_LineSubstring(l, 0.25, 0.75)) AS subnp,
+           ST_LineLocatePoint(l, ST_LineInterpolatePoint(l, f)) AS loc,
+           round(ST_Azimuth(ST_StartPoint(l), ST_EndPoint(l)), 9) AS az
+         FROM (
+           SELECT s_suppkey, CAST(s_suppkey % 5 AS DOUBLE) / 4.0 AS f,
+             ST_MakeLine(ST_Point(x0, y0), ST_Point(x0 + dx, y0 + 3.0)) AS l
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+               CAST((s_suppkey * 3) % 60 AS DOUBLE) AS y0,
+               CASE WHEN s_suppkey % 2 = 0 THEN 4.0 ELSE -4.0 END AS dx
+             FROM supplier) b) t
+         ORDER BY s_suppkey"""),
+
     // Z/M bbox accessors over 4-D lines (reversed M order exercises the
     // min/max fold; 2-D geometry → NULL per the reference's semantics)
     "q_geo_zm_minmax" -> q(Seq("supplier"),
@@ -5757,6 +5779,24 @@ object SparkEntry {
       "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
            SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
            FROM a3 ORDER BY c_custkey""",
+
+      // closed-form replay on the 3-4-5 lattice: interpolation is
+      // x0 + dx·f exactly (power-of-two fractions), substring length
+      // is half the hypotenuse, locate returns f, azimuth is the one
+      // rounded transcendental
+      "q_geo_linear_ref" ->
+        """SELECT s_suppkey,
+             x0 + dx * f AS ix, y0 + 3.0 * f AS iy,
+             CAST(2.5 AS DOUBLE) AS sublen, 2 AS subnp, f AS loc,
+             round(CASE WHEN atan2(dx, 3.0) < 0 THEN atan2(dx, 3.0) + 2 * pi()
+                   ELSE atan2(dx, 3.0) END, 9) AS az
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+               CAST((s_suppkey * 3) % 60 AS DOUBLE) AS y0,
+               CASE WHEN s_suppkey % 2 = 0 THEN 4.0 ELSE -4.0 END AS dx,
+               CAST(s_suppkey % 5 AS DOUBLE) / 4.0 AS f
+             FROM supplier) t
+           ORDER BY s_suppkey""",
 
       // dwithin closure replay: recursive-CTE min-label over the
       // squared-distance adjacency (6.25 never collides with an

@@ -458,6 +458,48 @@ object GeoOps {
     }),
     "st_makevalid" -> Op(BinaryType, a => out(Jts.makeValid(geo(a(0))))),
     "st_pointonsurface" -> Op(BinaryType, a => out(geo(a(0)).getInteriorPoint)),
+
+    // --- linear referencing (PostGIS parity; beyond the reference's
+    // function index — GPS-track / route processing primitives) ---
+    // ST_LineInterpolatePoint(line, f): the point at fraction f of the
+    // line's length (f in [0,1], ends clamp); NULL for non-lines.
+    "st_lineinterpolatepoint" -> Op(BinaryType, a => geo(a(0)) match {
+      case l: LineString if !l.isEmpty =>
+        val f = dbl(a(1))
+        require(f >= 0.0 && f <= 1.0, s"st_lineinterpolatepoint: fraction $f outside [0,1]")
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        out(Jts.gf.createPoint(ix.extractPoint(f * l.getLength)))
+      case _ => null
+    }),
+    // ST_LineSubstring(line, f0, f1): the sub-line between length
+    // fractions f0 <= f1 (a degenerate f0 == f1 yields the point as a
+    // 2-coordinate zero-length line, JTS extract semantics).
+    "st_linesubstring" -> Op(BinaryType, a => geo(a(0)) match {
+      case l: LineString if !l.isEmpty =>
+        val f0 = dbl(a(1)); val f1 = dbl(a(2))
+        require(f0 >= 0.0 && f0 <= f1 && f1 <= 1.0,
+          s"st_linesubstring: fractions ($f0, $f1) must satisfy 0 <= f0 <= f1 <= 1")
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        out(ix.extractLine(f0 * l.getLength, f1 * l.getLength))
+      case _ => null
+    }),
+    // ST_LineLocatePoint(line, point): the length fraction of the
+    // line's closest point to `point`; NULL for non-line/zero-length.
+    "st_linelocatepoint" -> Op(DoubleType, a => (geo(a(0)), geo(a(1))) match {
+      case (l: LineString, p: Point) if !l.isEmpty && !p.isEmpty && l.getLength > 0 =>
+        val ix = new org.locationtech.jts.linearref.LengthIndexedLine(l)
+        ix.project(p.getCoordinate) / l.getLength
+      case _ => null
+    }),
+    // ST_Azimuth(a, b): radians clockwise from north (atan2(dx, dy)
+    // normalized to [0, 2pi)); NULL when the points coincide.
+    "st_azimuth" -> Op(DoubleType, a => (geo(a(0)), geo(a(1))) match {
+      case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty &&
+          (p.getX != q.getX || p.getY != q.getY) =>
+        val az = math.atan2(q.getX - p.getX, q.getY - p.getY)
+        if (az < 0) az + 2 * math.Pi else az
+      case _ => null
+    }),
     "st_reduceprecision" -> Op(BinaryType, a =>
       out(GeometryPrecisionReducer.reduce(geo(a(0)), new PrecisionModel(1.0 / dbl(a(1)))))),
     "st_removerepeatedpoints" -> Op(BinaryType, a => {

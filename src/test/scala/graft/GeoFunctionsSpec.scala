@@ -213,6 +213,29 @@ class GeoFunctionsSpec extends SparkSpec {
     assertSql("ST_QuadKey(ST_Point(11.08, 49.45), 10)", "1202033313")
   }
 
+  test("linear referencing: interpolate/substring/locate/azimuth hand-checked") {
+    val line = "ST_GeomFromText('LINESTRING (0 0, 3 4, 3 10)')" // lengths 5 + 6 = 11
+    assertSql(s"ST_AsText(ST_LineInterpolatePoint($line, 0.0))", "POINT (0 0)")
+    assertSql(s"ST_AsText(ST_LineInterpolatePoint($line, 1.0))", "POINT (3 10)")
+    // fraction 5/11 lands exactly on the vertex
+    assertSql(s"ST_AsText(ST_LineInterpolatePoint($line, CAST(5.0 AS DOUBLE)/11.0))", "POINT (3 4)")
+    assertSqlApprox(s"ST_Y(ST_LineInterpolatePoint($line, CAST(8.0 AS DOUBLE)/11.0))", 7.0, 1e-9)
+    assertSqlApprox(s"ST_Length(ST_LineSubstring($line, CAST(5.0 AS DOUBLE)/11.0, 1.0))", 6.0, 1e-9)
+    assertSql(s"ST_AsText(ST_LineSubstring($line, CAST(5.0 AS DOUBLE)/11.0, 1.0))", "LINESTRING (3 4, 3 10)")
+    assertSqlApprox(s"ST_LineLocatePoint($line, ST_Point(3, 4))", 5.0 / 11.0, 1e-12)
+    // closest-point projection for an off-line point
+    assertSqlApprox(s"ST_LineLocatePoint($line, ST_Point(10, 7))", 8.0 / 11.0, 1e-12)
+    // azimuth: clockwise from north; null for coincident points
+    assertSqlApprox("ST_Azimuth(ST_Point(0, 0), ST_Point(0, 5))", 0.0, 1e-12)
+    assertSqlApprox("ST_Azimuth(ST_Point(0, 0), ST_Point(5, 0))", math.Pi / 2, 1e-12)
+    assertSqlApprox("ST_Azimuth(ST_Point(0, 0), ST_Point(0, -5))", math.Pi, 1e-12)
+    assertSqlApprox("ST_Azimuth(ST_Point(0, 0), ST_Point(-5, 0))", 3 * math.Pi / 2, 1e-12)
+    assertSql("ST_Azimuth(ST_Point(1, 1), ST_Point(1, 1))", null)
+    // non-line inputs are NULL, bad fractions fail loudly
+    assertSql("ST_LineInterpolatePoint(ST_Point(1, 1), 0.5)", null)
+    intercept[Exception] { sql1(s"ST_LineSubstring($line, 0.9, 0.1)") }
+  }
+
   test("aggregates") {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assertSql("(SELECT ST_AsText(ST_Extent_Agg(ST_Point(i, i))) FROM ten)",
