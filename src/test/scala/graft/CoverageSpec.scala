@@ -133,7 +133,11 @@ class CoverageSpec extends SparkSpec {
       ("operators/Sampling.scala", "def weightedSampleK", "Efraimidis-Spirakis"),
       ("operators/Multimodal.scala", "def audioFrameFeatures", "audioFrameFeatures"),
       ("sources/GeoTableLog.scala", "def readVersion", "readVersion"),
-      ("sources/PgDump.scala", "def write", "PGDump"))
+      ("sources/PgDump.scala", "def write", "PGDump"),
+      ("functions/GeoOps.scala", "st_lineinterpolatepoint", "Linear referencing"),
+      ("sources/GeoTable.scala", "def compactDeltas", "compactDeltas"),
+      ("functions/GeoJson.scala", "object EsriJson", "ESRI JSON"),
+      ("streaming/Streams.scala", "def asofJoinStream", "asofJoinStream"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +
