@@ -180,7 +180,12 @@ object EsriJson {
     if (n.has("x")) {
       val x = n.get("x")
       if (x.isNull) Jts.gf.createPoint()
-      else Jts.gf.createPoint(new Coordinate(x.asDouble, n.get("y").asDouble))
+      else {
+        val y = n.get("y")
+        if (y == null || y.isNull) throw new IllegalArgumentException(
+          s"ESRI JSON point with non-null x but no y: ${n.toString.take(80)}")
+        Jts.gf.createPoint(new Coordinate(x.asDouble, y.asDouble))
+      }
     } else if (n.has("points")) {
       val ps = n.get("points")
       Jts.gf.createMultiPoint(line(ps).map(Jts.gf.createPoint))
@@ -192,8 +197,12 @@ object EsriJson {
       val rs = n.get("rings")
       val rings = (0 until rs.size()).map { i =>
         val cs = line(rs.get(i))
+        if (cs.length < 3) throw new IllegalArgumentException(
+          s"ESRI JSON polygon ring $i has ${cs.length} points (need >= 3): ${n.toString.take(80)}")
         // rings must close for JTS; the ESRI spec closes them already
-        val closed = if (cs.length >= 2 && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+        val closed = if (cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+        if (closed.length < 4) throw new IllegalArgumentException(
+          s"ESRI JSON polygon ring $i degenerates to ${closed.length} closed points: ${n.toString.take(80)}")
         (Jts.gf.createLinearRing(closed), signedArea(closed))
       }
       val shells = scala.collection.mutable.ArrayBuffer[LinearRing]()
@@ -204,13 +213,16 @@ object EsriJson {
         scala.collection.mutable.ArrayBuffer[LinearRing]())
       holes.foreach { h =>
         val p0 = Jts.gf.createPoint(h.getCoordinateN(0))
-        shellPolys.indexWhere(_.covers(p0)) match {
-          case -1 =>
-            val rr = reverse(h)
-            shells += rr; shellPolys += Jts.gf.createPolygon(rr)
-            holesByShell += scala.collection.mutable.ArrayBuffer[LinearRing]()
-          case i => holesByShell(i) += h
-        }
+        // the SMALLEST containing shell owns the hole (island-in-lake:
+        // a hole inside an inner island must bind to the island, not
+        // the outer shell that also covers it — GDAL organizePolygons'
+        // innermost-enclosing rule)
+        val candidates = shellPolys.indices.filter(i => shellPolys(i).covers(p0))
+        if (candidates.isEmpty) {
+          val rr = reverse(h)
+          shells += rr; shellPolys += Jts.gf.createPolygon(rr)
+          holesByShell += scala.collection.mutable.ArrayBuffer[LinearRing]()
+        } else holesByShell(candidates.minBy(i => shellPolys(i).getArea)) += h
       }
       val polys = shells.indices.map(i =>
         Jts.gf.createPolygon(shells(i), holesByShell(i).toArray))

@@ -161,8 +161,7 @@ object Sampling {
    *  list-comprehension form (q_doc_ngram_lm). */
   private def dsirFeatures(text: Column, buckets: Int): Column = {
     val grams = concat(TextOps.wordNgrams(text, 1), TextOps.wordNgrams(text, 2))
-    transform(grams, g =>
-      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets)
+    transform(grams, g => hashBucket(g, buckets))
   }
 
   /**
@@ -275,13 +274,19 @@ object Sampling {
       .filter(col("rank") <= n)
   }
 
+  /** Micro-quantized standard Gumbel from the content-stable md5
+   *  uniform of `key` — the single source of the draw expression (the
+   *  engine/oracle bit-exactness contract forbids copies drifting). */
+  private[operators] def gumbelMicro(key: Column): Column = {
+    val u = (hashBucket(key, 1000000).cast("double") + 0.5) / 1e6
+    round(-log(-log(u)) * 1e6, 0).cast("long")
+  }
+
   /** Efraimidis-Spirakis key in exact micro-nats:
    *  round(1e6·ln(w/1e6)) + round(1e6·G(md5-uniform(key))). */
-  private def sampleKeyMicro(key: Column, weightMicro: Column): Column = {
-    val u = (hashBucket(key, 1000000).cast("double") + 0.5) / 1e6
+  private def sampleKeyMicro(key: Column, weightMicro: Column): Column =
     round(log(weightMicro.cast("double") / 1e6) * 1e6, 0).cast("long") +
-      round(-log(-log(u)) * 1e6, 0).cast("long")
-  }
+      gumbelMicro(key)
 
   /**
    * Selection pass: Gumbel top-k resampling over the importance
@@ -302,9 +307,7 @@ object Sampling {
       isTarget: Column, k: Int, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be positive")
     val w = dsirWeights(df, id, text, isTarget, buckets)
-    val u = (hashBucket(col("id"), 1000000).cast("double") + 0.5) / 1e6
-    val gumbel = round(-log(-log(u)) * 1e6, 0).cast("long")
-    w.withColumn("gumbel_micro", gumbel)
+    w.withColumn("gumbel_micro", gumbelMicro(col("id")))
       .withColumn("key_micro", col("logw_micro") + col("gumbel_micro"))
       .orderBy(col("key_micro").desc, col("id").asc)
       .limit(k)

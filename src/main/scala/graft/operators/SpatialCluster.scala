@@ -85,9 +85,19 @@ object SpatialCluster {
       .join(cores.select(col("id").as("nbr_id")), Seq("nbr_id"))
       .join(coreLabels.select(col("id").as("nbr_id"), col("cluster")), Seq("nbr_id"))
       .groupBy("id").agg(min("cluster").as("cluster"))
-    counts.join(labels, Seq("id"), "left")
+    // materialize the (id-sized) result, then free the corpus-sized
+    // intermediates — the duplicateClusters persist discipline; without
+    // this every dbscan call leaks three cached frames for the
+    // application lifetime
+    val result = counts.join(labels, Seq("id"), "left")
       .select(col("id"), (col("__n") >= lit(minPts.toLong)).as("is_core"),
         col("cluster"))
+      .persist(lvl)
+    result.count()
+    pairs.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
+    cores.unpersist(blocking = false)
+    result
   }
 
   /**

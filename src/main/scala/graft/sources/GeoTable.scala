@@ -173,8 +173,11 @@ object GeoTable {
       s"compactDeltas requires the commit log (GeoTableLog.enable) at $base")
     val es = GeoTableLog.entries(fs, base)
     val removedEver = es.flatMap(_._4).toSet
-    val deltas = es.filter(_._2 == "append").flatMap(_._3)
-      .filterNot(removedEver).distinct
+    // prior compact outputs count as deltas too — otherwise each
+    // append/compact cycle would strand one more full-extent file that
+    // only a full recluster could ever merge
+    val deltas = es.filter(e => e._2 == "append" || e._2 == "compact")
+      .flatMap(_._3).filterNot(removedEver).distinct
     if (deltas.size <= 1) return 0
     val deltaPaths = deltas.map(n => new org.apache.hadoop.fs.Path(hPath, n))
     deltaPaths.foreach(p => require(fs.exists(p), s"live delta missing: $p"))

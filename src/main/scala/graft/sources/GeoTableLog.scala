@@ -100,6 +100,14 @@ object GeoTableLog {
       Seq[(Int, String, Seq[String], Seq[String])] = {
     val dir = logDir(base.stripSuffix("/"))
     if (!fs.exists(dir)) return Nil
+    // crash recovery: a vacuum that died after dropping the old
+    // entries left its complete rebased set staged — finish the swap
+    val staged = new Path(dir, "rebase.tmp")
+    if (fs.exists(staged) &&
+        !fs.listStatus(dir).exists(s => s.getPath.getName.endsWith(".json")))
+      promoteStagedRebase(fs, base.stripSuffix("/"))
+    else if (fs.exists(staged))
+      fs.delete(staged, true) // vacuum died BEFORE the drop: old log is intact
     fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
       .sortBy(_.getName).toSeq.map { p =>
         val in = fs.open(p)
@@ -165,7 +173,11 @@ object GeoTableLog {
     val base = path.stripSuffix("/")
     val fs = fsOf(spark, base)
     val names = fileSetAt(fs, base, version)
-    if (names.isEmpty) return spark.emptyDataFrame
+    // a schema-less empty frame would fail downstream column refs with
+    // a baffling UNRESOLVED_COLUMN — fail here with the actual cause
+    if (names.isEmpty) throw new IllegalStateException(
+      s"version $version of $base has no data files (read the live table " +
+        "with spark.read.parquet for its schema)")
     val paths = names.map { n =>
       val live = new Path(base, n)
       val kept = new Path(retainedDir(base), n)
@@ -216,15 +228,46 @@ object GeoTableLog {
     // rebase: version 0 = init(fileSetAt(keepFrom)), then the later
     // entries verbatim with shifted numbers. Only the entry JSONs are
     // replaced — retained/ lives inside the log dir and must survive
-    // (the surviving snapshots still resolve files there)
+    // (the surviving snapshots still resolve files there). Crash
+    // safety: the rebased entries are STAGED under rebase.tmp first,
+    // then the old entries drop and the staged set moves in — a crash
+    // between those steps leaves a complete staged log that
+    // [[entries]] self-heals from (the recluster "never zero copies"
+    // bar applied to the log itself).
     val baseSet = fileSetAt(fs, base, keepFrom)
     val tail = es.filter(_._1 > keepFrom)
+    val tmp = new Path(logDir(base), "rebase.tmp")
+    fs.delete(tmp, true); fs.mkdirs(tmp)
+    def stage(v: Int, op: String, add: Seq[String], remove: Seq[String]): Unit = {
+      def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val out = fs.create(new Path(tmp, f"$v%010d.json"), false)
+      try out.write(
+        s"""{"version":$v,"op":"$op","add":${arr(add)},"remove":${arr(remove)}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    stage(0, "init", baseSet, Nil)
+    tail.zipWithIndex.foreach { case ((_, op, add, remove), i) =>
+      stage(i + 1, op, add, remove)
+    }
     fs.listStatus(logDir(base)).map(_.getPath)
       .filter(_.getName.endsWith(".json")).foreach(fs.delete(_, false))
-    appendEntry(fs, base, "init", add = baseSet, remove = Nil)
-    tail.foreach { case (_, op, add, remove) =>
-      appendEntry(fs, base, op, add, remove)
-    }
+    promoteStagedRebase(fs, base)
     dropped
+  }
+
+  /** Move a complete staged rebase (the .json entries under
+   *  rebase.tmp) into the log dir. Shared by [[vacuum]] and the
+   *  [[entries]] crash recovery. */
+  private def promoteStagedRebase(fs: FileSystem, base: String): Unit = {
+    val tmp = new Path(logDir(base), "rebase.tmp")
+    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".json"))
+      .foreach { p =>
+        val dst = new Path(logDir(base), p.getName)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(p, dst))
+          throw new java.io.IOException(s"vacuum: cannot promote $p")
+      }
+    fs.delete(tmp, true)
   }
 }

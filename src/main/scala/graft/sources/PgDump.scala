@@ -61,6 +61,8 @@ object PgDump {
   def write(df: DataFrame, geomCol: String, path: String,
       table: String = "layer", srid: Int = 0): Unit = {
     require(table.nonEmpty && !table.contains("\""), s"bad table name: $table")
+    df.schema.fields.foreach(f => require(!f.name.contains("\""),
+      s"""PGDump: column name contains a double quote: ${f.name}"""))
     DriverSink.guard(df, "PGDump", "GeoParquet + cluster-parallel load (pgloader/ogr2ogr)")
     val gi = df.schema.fieldIndex(geomCol)
     val attrs = df.schema.fields.zipWithIndex.filter(_._2 != gi)

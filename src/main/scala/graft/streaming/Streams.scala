@@ -283,7 +283,12 @@ object Streams {
               // monotone guard: a stale right (older than the state)
               // never regresses the latest value
               if (cur.isEmpty || ts >= cur.get._1) cur = Some((ts, rval))
-            } else out += ((key, ts, lval, cur.map(_._1), cur.map(_._2)))
+            } else {
+              // the contract is right.ts <= left.ts: a state right from
+              // the FUTURE of this (late) left must not join it
+              val m = cur.filter(_._1 <= ts)
+              out += ((key, ts, lval, m.map(_._1), m.map(_._2)))
+            }
           }
           cur.foreach(state.update)
           out.iterator

@@ -199,6 +199,11 @@ class GeoTableMaintSpec extends SparkSpec {
     assert(GeoTableLog.entries(spark, dir).last._2 == "compact")
     // second compact is a no-op (one consolidated delta remains)
     assert(GeoTable.compactDeltas(spark, "geom", dir, extent) == 0)
+    // append/compact CYCLE: the previous compact's output re-enters the
+    // next consolidation (otherwise every cycle strands one more file)
+    GeoTable.appendClustered(pts(92000 until 92100), "geom", dir, extent, numFiles = 1)
+    assert(GeoTable.compactDeltas(spark, "geom", dir, extent, numFiles = 1) == 2,
+      "prior compact output + new delta must consolidate together")
 
     // vacuum keepFrom=2: v0/v1 history drops (their exclusive retained
     // files deleted), v2/v3 renumber to v0/v1 and stay byte-identical
@@ -206,15 +211,32 @@ class GeoTableMaintSpec extends SparkSpec {
     val keepV3 = GeoTableLog.readVersion(spark, dir, 3).select("id").as[Long].collect().toSet
     val dropped = GeoTableLog.vacuum(spark, dir, keepFrom = 2)
     assert(dropped > 0, "v0/v1-only retained files must be deleted")
-    // log rebases: v2 becomes the init; the append/append/compact tail
-    // renumbers onto it unchanged
-    assert(GeoTableLog.latestVersion(spark, dir) == 3, "rebased to v0..v3")
+    // log rebases: v2 becomes the init; the maintenance tail renumbers
+    // onto it unchanged
+    assert(GeoTableLog.latestVersion(spark, dir) == 5, "rebased to v0..v5")
     assert(GeoTableLog.readVersion(spark, dir, 0)
       .select("id").as[Long].collect().toSet == keepV2)
     assert(GeoTableLog.readVersion(spark, dir, 1)
       .select("id").as[Long].collect().toSet == keepV3)
     val opsAfter = GeoTableLog.entries(spark, dir).map(_._2)
-    assert(opsAfter == Seq("init", "append", "append", "compact"), opsAfter.toString)
+    assert(opsAfter ==
+      Seq("init", "append", "append", "compact", "append", "compact"), opsAfter.toString)
+    // vacuum leaves no staged rebase behind
+    assert(!new java.io.File(dir, "_graft_log/rebase.tmp").exists())
+    // crash recovery: simulate a vacuum that died after dropping the
+    // old entries — stage a copy of the log, delete the JSONs, and the
+    // next read must self-heal from the staged set
+    val logDirF = new java.io.File(dir, "_graft_log")
+    val tmpF = new java.io.File(logDirF, "rebase.tmp"); tmpF.mkdirs()
+    val jsons = logDirF.listFiles().filter(_.getName.endsWith(".json"))
+    jsons.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(tmpF, f.getName).toPath)
+    }
+    jsons.foreach(_.delete())
+    assert(GeoTableLog.entries(spark, dir).map(_._2) == opsAfter, "self-heal failed")
+    assert(!tmpF.exists(), "staged rebase must be consumed")
+    assert(GeoTableLog.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == keepV3)
 
     // SQL surface: st_read_version / st_table_versions mirror the API
     Graft.install(spark)

@@ -393,6 +393,39 @@ class SourcesSpec extends SparkSpec {
       GeoRead.read(spark, bad.toString).collect()
     }
     assert(e.getMessage != null)
+    // island-in-lake: the inner hole binds to the ISLAND (smallest
+    // containing shell), not the outer shell that also covers it
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val nested = new ObjectMapper().readTree(
+      """{"rings": [
+           [[0,0],[0,20],[20,20],[20,0],[0,0]],
+           [[2,2],[18,2],[18,18],[2,18],[2,2]],
+           [[5,5],[5,15],[15,15],[15,5],[5,5]],
+           [[8,8],[12,8],[12,12],[8,12],[8,8]]
+         ]}""")
+    // orientations: ring0 CW (outer shell), ring1 CCW (lake hole),
+    // ring2 CW (island shell), ring3 CCW (pond hole in the island)
+    val g2 = graft.functions.EsriJson.parse(nested)
+    assert(g2.isValid, s"nested assembly must be valid: $g2")
+    // outer area 400-256=144; island 100-16=84
+    assert(math.abs(g2.getArea - 228.0) < 1e-9, s"area ${g2.getArea}")
+    // point inside the pond is OUTSIDE the multipolygon
+    assert(!g2.covers(graft.functions.Jts.gf.createPoint(
+      new org.locationtech.jts.geom.Coordinate(10, 10))))
+    // point on the island ring band is INSIDE
+    assert(g2.covers(graft.functions.Jts.gf.createPoint(
+      new org.locationtech.jts.geom.Coordinate(6, 10))))
+    // half-specified point and degenerate ring fail loudly
+    val m = new ObjectMapper()
+    intercept[IllegalArgumentException] {
+      graft.functions.EsriJson.parse(m.readTree("""{"x": 1.5, "y": null}"""))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.EsriJson.parse(m.readTree("""{"rings": [[]]}"""))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.EsriJson.parse(m.readTree("""{"rings": [[[0,0],[1,1]]]}"""))
+    }
   }
 
   test("PGDump writer: COPY layout, text escaping, NULLs, hand-stated EWKB hex") {

@@ -168,6 +168,15 @@ class StreamsSpec extends SparkSpec {
       val got2 = spark.table("asof_out")
         .as[(Long, Long, Double, Option[Long], Option[Double])].collect().toSet
       assert(got2.contains((2L, 60L, 4.0, Some(50L), Some(5.0))), got2.toString)
+      // batch 3: a LATE left older than the carried state — the
+      // right.ts <= left.ts contract means it must NOT see the future
+      // right (state for key 1 is ts=200)
+      lMem.addData((1L, 120L, 9.0))
+      q.processAllAvailable()
+      val got3 = spark.table("asof_out")
+        .as[(Long, Long, Double, Option[Long], Option[Double])].collect().toSet
+      assert(got3.contains((1L, 120L, 9.0, None, None)),
+        s"late left must not join a future right: $got3")
     } finally q.stop()
   }
 
