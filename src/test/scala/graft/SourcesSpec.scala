@@ -426,6 +426,35 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.functions.EsriJson.parse(m.readTree("""{"rings": [[[0,0],[1,1]]]}"""))
     }
+    // property fuzz: k disjoint CW rect shells, each with 0-2 CCW rect
+    // holes — assembled area must equal the closed-form sum, and the
+    // result must always be valid
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 25) {
+      val k = 1 + rnd.nextInt(4)
+      var expect = 0.0
+      val rings = scala.collection.mutable.ArrayBuffer[String]()
+      for (s <- 0 until k) {
+        val ox = s * 100.0; val oy = 0.0
+        val w = 15 + rnd.nextInt(35); val h = 10 + rnd.nextInt(40)
+        expect += w.toDouble * h
+        // CW shell (up, right, down)
+        rings += s"[[$ox,$oy],[$ox,${oy + h}],[${ox + w},${oy + h}],[${ox + w},$oy],[$ox,$oy]]"
+        for (j <- 0 until rnd.nextInt(3)) {
+          // holes in disjoint 5-wide bands so they never overlap
+          val hw = 1 + rnd.nextInt(3); val hh = 1 + rnd.nextInt(3)
+          val hx = ox + 1 + j * 5; val hy = oy + 1 + rnd.nextInt(h - hh - 2)
+          expect -= hw.toDouble * hh
+          // CCW hole (right, up, left)
+          rings += s"[[$hx,$hy],[${hx + hw},$hy],[${hx + hw},${hy + hh}],[$hx,${hy + hh}],[$hx,$hy]]"
+        }
+      }
+      val g = graft.functions.EsriJson.parse(
+        m.readTree(s"""{"rings": [${rings.mkString(",")}]}"""))
+      assert(g.isValid, s"fuzz assembly invalid: ${rings.size} rings")
+      assert(math.abs(g.getArea - expect) < 1e-9,
+        s"fuzz area ${g.getArea} != $expect (${rings.size} rings)")
+    }
   }
 
   test("PGDump writer: COPY layout, text escaping, NULLs, hand-stated EWKB hex") {
