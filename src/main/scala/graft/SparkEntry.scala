@@ -3467,6 +3467,28 @@ object SparkEntry {
              FROM supplier) b) t
          ORDER BY s_suppkey"""),
 
+    // Segmentize + offset curve on the same 3-4-5 lattice: the
+    // densified midpoint is exact (dx/2 on integer origins), the
+    // offset endpoints take the one 1e-9 rounding (unit normal has a
+    // /5 that both engines compute to sub-ulp agreement)
+    "q_geo_offset_seg" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+           ST_NPoints(ST_Segmentize(l, 2.5)) AS segn,
+           ST_X(ST_PointN(ST_Segmentize(l, 2.5), 2)) AS midx,
+           ST_Y(ST_PointN(ST_Segmentize(l, 2.5), 2)) AS midy,
+           round(ST_X(ST_StartPoint(ST_OffsetCurve(l, 1.0))), 9) AS ox,
+           round(ST_Y(ST_StartPoint(ST_OffsetCurve(l, 1.0))), 9) AS oy,
+           ST_NPoints(ST_OffsetCurve(l, 1.0)) AS offn
+         FROM (
+           SELECT s_suppkey,
+             ST_MakeLine(ST_Point(x0, y0), ST_Point(x0 + dx, y0 + 3.0)) AS l
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+               CAST((s_suppkey * 3) % 60 AS DOUBLE) AS y0,
+               CASE WHEN s_suppkey % 2 = 0 THEN 4.0 ELSE -4.0 END AS dx
+             FROM supplier) b) t
+         ORDER BY s_suppkey"""),
+
     // Z/M bbox accessors over 4-D lines (reversed M order exercises the
     // min/max fold; 2-D geometry → NULL per the reference's semantics)
     "q_geo_zm_minmax" -> q(Seq("supplier"),
@@ -5779,6 +5801,21 @@ object SparkEntry {
       "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
            SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
            FROM a3 ORDER BY c_custkey""",
+
+      // densified midpoint = origin + (dx/2, 1.5) exactly; offset
+      // start = origin + unit-left-normal(-3, dx)/5, rounded 1e-9
+      "q_geo_offset_seg" ->
+        """SELECT s_suppkey,
+             3 AS segn, x0 + dx / 2 AS midx, y0 + 1.5 AS midy,
+             round(x0 - 3.0 / 5.0, 9) AS ox,
+             round(y0 + dx / 5.0, 9) AS oy,
+             2 AS offn
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+               CAST((s_suppkey * 3) % 60 AS DOUBLE) AS y0,
+               CASE WHEN s_suppkey % 2 = 0 THEN 4.0 ELSE -4.0 END AS dx
+             FROM supplier) t
+           ORDER BY s_suppkey""",
 
       // closed-form replay on the 3-4-5 lattice: interpolation is
       // x0 + dx·f exactly (power-of-two fractions), substring length

@@ -491,6 +491,23 @@ object GeoOps {
         ix.project(p.getCoordinate) / l.getLength
       case _ => null
     }),
+    // ST_Segmentize(geom, maxLen): densify so no segment exceeds
+    // maxLen (PostGIS semantics = JTS Densifier: each segment splits
+    // into equal parts).
+    "st_segmentize" -> Op(BinaryType, a => {
+      val d = dbl(a(1))
+      require(d > 0, s"st_segmentize: max segment length must be positive, got $d")
+      out(org.locationtech.jts.densify.Densifier.densify(geo(a(0)), d))
+    }),
+    // ST_OffsetCurve(line, d): the line offset by |d| — positive d to
+    // the LEFT of the direction of travel, negative to the right
+    // (PostGIS convention, JTS OffsetCurve); NULL for non-lines.
+    "st_offsetcurve" -> Op(BinaryType, a => geo(a(0)) match {
+      case l: LineString if !l.isEmpty =>
+        out(org.locationtech.jts.operation.buffer.OffsetCurve.getCurve(l, dbl(a(1))))
+      case _ => null
+    }),
+
     // ST_Azimuth(a, b): radians clockwise from north (atan2(dx, dy)
     // normalized to [0, 2pi)); NULL when the points coincide.
     "st_azimuth" -> Op(DoubleType, a => (geo(a(0)), geo(a(1))) match {

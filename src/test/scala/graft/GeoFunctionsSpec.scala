@@ -236,6 +236,23 @@ class GeoFunctionsSpec extends SparkSpec {
     intercept[Exception] { sql1(s"ST_LineSubstring($line, 0.9, 0.1)") }
   }
 
+  test("segmentize and offset curve hand-checked") {
+    assertSql("ST_AsText(ST_Segmentize(ST_GeomFromText('LINESTRING (0 0, 3 4)'), 2.5))",
+      "LINESTRING (0 0, 1.5 2, 3 4)")
+    assertSql("ST_AsText(ST_Segmentize(ST_GeomFromText('LINESTRING (0 0, 3 4)'), 10.0))",
+      "LINESTRING (0 0, 3 4)") // already under the max: unchanged
+    assertSql("ST_NPoints(ST_Segmentize(ST_GeomFromText('LINESTRING (0 0, 0 9)'), 3.0))", 4)
+    // polygons densify too (every edge bounded)
+    assertSql("ST_NPoints(ST_Segmentize(ST_MakeEnvelope(0, 0, 4, 4), 2.0))", 9)
+    intercept[Exception] { sql1("ST_Segmentize(ST_Point(0, 0), -1.0)") }
+    // offset: positive = left of travel, negative = right
+    assertSql("ST_AsText(ST_OffsetCurve(ST_GeomFromText('LINESTRING (0 0, 10 0)'), 2.0))",
+      "LINESTRING (0 2, 10 2)")
+    assertSql("ST_AsText(ST_OffsetCurve(ST_GeomFromText('LINESTRING (0 0, 10 0)'), -2.0))",
+      "LINESTRING (0 -2, 10 -2)")
+    assertSql("ST_OffsetCurve(ST_Point(1, 1), 2.0)", null)
+  }
+
   test("aggregates") {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assertSql("(SELECT ST_AsText(ST_Extent_Agg(ST_Point(i, i))) FROM ten)",
