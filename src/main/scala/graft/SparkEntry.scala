@@ -3467,6 +3467,29 @@ object SparkEntry {
              FROM supplier) b) t
          ORDER BY s_suppkey"""),
 
+    // Affine family + bounding circle + polygonize: scale is exact
+    // integer arithmetic, rotation is the closed 2x2 matrix with one
+    // 1e-9 rounding, the minimum bounding radius of a 4x3 envelope is
+    // exactly 2.5, and polygonizing the envelope's boundary recovers
+    // the polygon
+    "q_geo_affine" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+           ST_X(ST_Scale(p, 2.0, 3.0)) AS sx, ST_Y(ST_Scale(p, 2.0, 3.0)) AS sy,
+           round(ST_X(ST_Rotate(p, 0.5)), 9) AS rx,
+           round(ST_Y(ST_Rotate(p, 0.5)), 9) AS ry,
+           ST_MinimumBoundingRadius(env) AS mbr,
+           round(ST_XMin(ST_MinimumBoundingCircle(env)), 9) AS mbcx,
+           ST_Area(ST_Polygonize(ST_Boundary(env))) AS parea,
+           ST_NGeometries(ST_Polygonize(ST_Boundary(env))) AS pn
+         FROM (
+           SELECT s_suppkey, ST_Point(x, y) AS p,
+             ST_MakeEnvelope(x, y, x + 4.0, y + 3.0) AS env
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 37 AS DOUBLE) AS x,
+               CAST((s_suppkey * 5) % 41 AS DOUBLE) AS y
+             FROM supplier) b) t
+         ORDER BY s_suppkey"""),
+
     // Segmentize + offset curve on the same 3-4-5 lattice: the
     // densified midpoint is exact (dx/2 on integer origins), the
     // offset endpoints take the one 1e-9 rounding (unit normal has a
@@ -5801,6 +5824,23 @@ object SparkEntry {
       "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
            SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
            FROM a3 ORDER BY c_custkey""",
+
+      // scale = plain products; rotation = the 2x2 matrix cos/sin form
+      // rounded 1e-9; mbr of a 4x3 box = 2.5; mbc xmin = cx - r;
+      // polygonized boundary = the 12-area envelope back
+      "q_geo_affine" ->
+        """SELECT s_suppkey,
+             x * 2.0 AS sx, y * 3.0 AS sy,
+             round(cos(0.5) * x - sin(0.5) * y, 9) AS rx,
+             round(sin(0.5) * x + cos(0.5) * y, 9) AS ry,
+             CAST(2.5 AS DOUBLE) AS mbr,
+             round(x + 2.0 - 2.5, 9) AS mbcx,
+             CAST(12.0 AS DOUBLE) AS parea, 1 AS pn
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 37 AS DOUBLE) AS x,
+               CAST((s_suppkey * 5) % 41 AS DOUBLE) AS y
+             FROM supplier) t
+           ORDER BY s_suppkey""",
 
       // densified midpoint = origin + (dx/2, 1.5) exactly; offset
       // start = origin + unit-left-normal(-3, dx)/5, rounded 1e-9

@@ -533,6 +533,32 @@ object GeoOps {
     "st_node" -> Op(BinaryType, a => out(LineDissolver.dissolve(geo(a(0))))),
     "st_translate" -> Op(BinaryType, a =>
       out(AffineTransformation.translationInstance(dbl(a(1)), dbl(a(2))).transform(geo(a(0))))),
+    // affine family (PostGIS parity): scale about the origin, rotate
+    // counter-clockwise by radians about the origin (or a given point)
+    "st_scale" -> Op(BinaryType, a =>
+      out(AffineTransformation.scaleInstance(dbl(a(1)), dbl(a(2))).transform(geo(a(0))))),
+    "st_rotate" -> Op(BinaryType, a => {
+      val t =
+        if (a.length > 3) AffineTransformation.rotationInstance(dbl(a(1)), dbl(a(2)), dbl(a(3)))
+        else AffineTransformation.rotationInstance(dbl(a(1)))
+      out(t.transform(geo(a(0))))
+    }),
+    // ST_MinimumBoundingCircle: the smallest enclosing circle as a
+    // buffer polygon; companion ST_MinimumBoundingRadius returns the
+    // exact radius (PostGIS splits these the same way)
+    "st_minimumboundingcircle" -> Op(BinaryType, a =>
+      out(new org.locationtech.jts.algorithm.MinimumBoundingCircle(geo(a(0))).getCircle)),
+    "st_minimumboundingradius" -> Op(DoubleType, a =>
+      new org.locationtech.jts.algorithm.MinimumBoundingCircle(geo(a(0))).getRadius),
+    // ST_Polygonize over a collection/array of linework: polygons
+    // formed by fully-noded edges (JTS Polygonizer); result is a
+    // GeometryCollection of the formed polygons (PostGIS shape)
+    "st_polygonize" -> Op(BinaryType, a => {
+      val pz = new org.locationtech.jts.operation.polygonize.Polygonizer()
+      pz.add(geo(a(0)))
+      val polys = pz.getPolygons.asScala.toSeq.map(_.asInstanceOf[Geometry])
+      out(Jts.gf.createGeometryCollection(polys.toArray))
+    }),
 
     // native POINT_xD struct constructors (reference types.cpp:11-31)
     "st_point2d" -> Op(StructType(Seq(

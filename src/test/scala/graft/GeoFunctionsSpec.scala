@@ -253,6 +253,22 @@ class GeoFunctionsSpec extends SparkSpec {
     assertSql("ST_OffsetCurve(ST_Point(1, 1), 2.0)", null)
   }
 
+  test("affine family, bounding circle, polygonize hand-checked") {
+    assertSql("ST_AsText(ST_Scale(ST_Point(2, 3), 2.0, 10.0))", "POINT (4 30)")
+    assertSql("ST_AsText(ST_Scale(ST_GeomFromText('LINESTRING (1 1, 2 2)'), -1.0, 1.0))",
+      "LINESTRING (-1 1, -2 2)")
+    assertSqlApprox("ST_X(ST_Rotate(ST_Point(1, 0), radians(90)))", 0.0, 1e-12)
+    assertSqlApprox("ST_Y(ST_Rotate(ST_Point(1, 0), radians(90)))", 1.0, 1e-12)
+    // rotation about an explicit origin: (2,0) about (1,0) by 180° -> (0,0)
+    assertSqlApprox("ST_X(ST_Rotate(ST_Point(2, 0), radians(180), 1.0, 0.0))", 0.0, 1e-12)
+    assertSql("ST_MinimumBoundingRadius(ST_MakeEnvelope(0, 0, 4, 3))", 2.5)
+    assertSqlApprox("ST_XMin(ST_MinimumBoundingCircle(ST_MakeEnvelope(0, 0, 4, 3)))",
+      -0.5, 1e-12)
+    assertSql("ST_Area(ST_Polygonize(ST_Boundary(ST_MakeEnvelope(0, 0, 4, 4))))", 16.0)
+    // unclosed linework forms nothing: empty collection, zero area
+    assertSql("ST_NGeometries(ST_Polygonize(ST_GeomFromText('LINESTRING (0 0, 1 0)')))", 0)
+  }
+
   test("aggregates") {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assertSql("(SELECT ST_AsText(ST_Extent_Agg(ST_Point(i, i))) FROM ten)",
