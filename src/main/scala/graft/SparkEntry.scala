@@ -3467,6 +3467,31 @@ object SparkEntry {
              FROM supplier) b) t
          ORDER BY s_suppkey"""),
 
+    // Triangulation family + snapping: Delaunay of a box's 4 corners
+    // is 2 triangles covering it exactly; Voronoi of 2 sites clipped
+    // to their 4x2 box splits it in half (all arithmetic exact on the
+    // integer lattice); snap pulls a 0.1-offset point onto the vertex
+    "q_geo_triangulate" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+           ST_NGeometries(ST_DelaunayTriangles(corners)) AS dtn,
+           ST_Area(ST_DelaunayTriangles(corners)) AS dta,
+           ST_NGeometries(ST_VoronoiPolygons(sites, 0.0, box)) AS vpn,
+           ST_Area(ST_VoronoiPolygons(sites, 0.0, box)) AS vpa,
+           ST_X(ST_Snap(ST_Point(x + 0.1, y), ST_MakeLine(ST_Point(x, y),
+             ST_Point(x + 5.0, y)), 0.2)) AS snapx
+         FROM (
+           SELECT s_suppkey, x, y,
+             ST_Collect(array(ST_Point(x, y), ST_Point(x + 4.0, y),
+               ST_Point(x + 4.0, y + 4.0), ST_Point(x, y + 4.0))) AS corners,
+             ST_Collect(array(ST_Point(x + 1.0, y + 1.0),
+               ST_Point(x + 3.0, y + 1.0))) AS sites,
+             ST_MakeEnvelope(x, y, x + 4.0, y + 2.0) AS box
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 43 AS DOUBLE) AS x,
+               CAST((s_suppkey * 7) % 47 AS DOUBLE) AS y
+             FROM supplier) b) t
+         ORDER BY s_suppkey"""),
+
     // Affine family + bounding circle + polygonize: scale is exact
     // integer arithmetic, rotation is the closed 2x2 matrix with one
     // 1e-9 rounding, the minimum bounding radius of a 4x3 envelope is
@@ -5824,6 +5849,14 @@ object SparkEntry {
       "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
            SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
            FROM a3 ORDER BY c_custkey""",
+
+      // all constants on the integer lattice: 2 triangles of total
+      // area 16, 2 half-cells of total area 8, snapx = the vertex x
+      "q_geo_triangulate" ->
+        """SELECT s_suppkey, 2 AS dtn, CAST(16.0 AS DOUBLE) AS dta,
+             2 AS vpn, CAST(8.0 AS DOUBLE) AS vpa,
+             CAST(s_suppkey % 43 AS DOUBLE) AS snapx
+           FROM supplier ORDER BY s_suppkey""",
 
       // scale = plain products; rotation = the 2x2 matrix cos/sin form
       // rounded 1e-9; mbr of a 4x3 box = 2.5; mbc xmin = cx - r;

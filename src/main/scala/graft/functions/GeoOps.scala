@@ -508,6 +508,30 @@ object GeoOps {
       case _ => null
     }),
 
+    // ST_DelaunayTriangles(geom[, tol]): Delaunay triangulation of the
+    // input's vertices as a collection of POLYGON triangles.
+    "st_delaunaytriangles" -> Op(BinaryType, a => {
+      val b = new org.locationtech.jts.triangulate.DelaunayTriangulationBuilder()
+      b.setSites(geo(a(0)))
+      if (a.length > 1) b.setTolerance(dbl(a(1)))
+      out(b.getTriangles(Jts.gf))
+    }),
+    // ST_VoronoiPolygons(geom[, tol[, extendTo]]): Voronoi cells of
+    // the input's vertices, clipped to extendTo's envelope when given
+    // (else JTS's default enlarged envelope).
+    "st_voronoipolygons" -> Op(BinaryType, a => {
+      val b = new org.locationtech.jts.triangulate.VoronoiDiagramBuilder()
+      b.setSites(geo(a(0)))
+      if (a.length > 1) b.setTolerance(dbl(a(1)))
+      if (a.length > 2) b.setClipEnvelope(geo(a(2)).getEnvelopeInternal)
+      out(b.getDiagram(Jts.gf))
+    }),
+    // ST_Snap(geom, ref, tol): vertices of geom within tol of ref's
+    // vertices/segments snap onto them (JTS GeometrySnapper).
+    "st_snap" -> Op(BinaryType, a =>
+      out(org.locationtech.jts.operation.overlay.snap.GeometrySnapper
+        .snap(geo(a(0)), geo(a(1)), dbl(a(2)))(0))),
+
     // ST_Azimuth(a, b): radians clockwise from north (atan2(dx, dy)
     // normalized to [0, 2pi)); NULL when the points coincide.
     "st_azimuth" -> Op(DoubleType, a => (geo(a(0)), geo(a(1))) match {

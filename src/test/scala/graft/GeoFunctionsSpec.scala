@@ -269,6 +269,24 @@ class GeoFunctionsSpec extends SparkSpec {
     assertSql("ST_NGeometries(ST_Polygonize(ST_GeomFromText('LINESTRING (0 0, 1 0)')))", 0)
   }
 
+  test("delaunay, voronoi, snap hand-checked") {
+    val corners = "ST_Collect(array(ST_Point(0,0), ST_Point(4,0), ST_Point(4,4), ST_Point(0,4)))"
+    assertSql(s"ST_NGeometries(ST_DelaunayTriangles($corners))", 2)
+    assertSql(s"ST_Area(ST_DelaunayTriangles($corners))", 16.0)
+    // every triangle is inside the hull
+    assertSql(s"ST_Within(ST_DelaunayTriangles($corners), ST_ConvexHull($corners))", true)
+    val sites = "ST_Collect(array(ST_Point(1,1), ST_Point(3,1)))"
+    assertSql(s"ST_NGeometries(ST_VoronoiPolygons($sites, 0.0, ST_MakeEnvelope(0,0,4,2)))", 2)
+    assertSql(s"ST_Area(ST_VoronoiPolygons($sites, 0.0, ST_MakeEnvelope(0,0,4,2)))", 8.0)
+    // each site falls inside its own cell (cells partition the box)
+    assertSql(s"ST_Intersects(ST_VoronoiPolygons($sites, 0.0, ST_MakeEnvelope(0,0,4,2)), ST_Point(1,1))", true)
+    assertSql("ST_AsText(ST_Snap(ST_Point(1.1, 0.05), ST_GeomFromText('LINESTRING (1 0, 5 0)'), 0.2))",
+      "POINT (1 0)")
+    // out of tolerance: unchanged
+    assertSql("ST_AsText(ST_Snap(ST_Point(1.5, 0.5), ST_GeomFromText('LINESTRING (1 0, 5 0)'), 0.2))",
+      "POINT (1.5 0.5)")
+  }
+
   test("aggregates") {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assertSql("(SELECT ST_AsText(ST_Extent_Agg(ST_Point(i, i))) FROM ten)",
