@@ -3467,6 +3467,22 @@ object SparkEntry {
              FROM supplier) b) t
          ORDER BY s_suppkey"""),
 
+    // GeoHash encode + decode pair over the q_geo_transform lattice;
+    // ORACLE is tools/make_geohash_golden.py's from-scratch python
+    // implementation (exact binary midpoints — no tolerance anywhere)
+    "q_geo_geohash" -> q(Seq("customer"),
+      """SELECT c_custkey,
+           ST_GeoHash(p, 8) AS gh,
+           ST_X(ST_PointFromGeoHash(ST_GeoHash(p, 8))) AS cx,
+           ST_Y(ST_PointFromGeoHash(ST_GeoHash(p, 8))) AS cy,
+           ST_Covers(ST_GeomFromGeoHash(ST_GeoHash(p, 8)), p) AS inside
+         FROM (
+           SELECT c_custkey, ST_Point(
+             CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+             CAST((c_custkey * 7) % 160 AS DOUBLE) - 79.5) AS p
+           FROM customer WHERE c_custkey >= 1 AND c_custkey <= 300) t
+         ORDER BY c_custkey"""),
+
     // Triangulation family + snapping: Delaunay of a box's 4 corners
     // is 2 triangles covering it exactly; Voronoi of 2 sites clipped
     // to their 4x2 box splits it in half (all arithmetic exact on the
@@ -5849,6 +5865,17 @@ object SparkEntry {
       "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
            SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
            FROM a3 ORDER BY c_custkey""",
+
+      // independent python geohash over the same lattice
+      // (tools/make_geohash_golden.py); coverage is true by the
+      // cell-decode construction (Covers, not Contains — lattice
+      // points can sit exactly ON a cell boundary)
+      "q_geo_geohash" ->
+        """SELECT c_custkey, gh, cx, cy, CAST(true AS BOOLEAN) AS inside
+           FROM read_csv('/root/repo/src/test/resources/golden/geohash_golden.csv',
+             header=true,
+             columns={'c_custkey':'BIGINT','gh':'VARCHAR','cx':'DOUBLE','cy':'DOUBLE'})
+           ORDER BY c_custkey""",
 
       // all constants on the integer lattice: 2 triangles of total
       // area 16, 2 half-cells of total area 8, snapx = the vertex x

@@ -131,6 +131,55 @@ object GeoOps {
     }
   }
 
+  private val GeohashB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash: interleaved lon/lat bisection, 5 bits per
+   *  base32 char. All midpoints are exact binary rationals scaled by
+   *  180/90, so any faithful implementation is bit-identical. */
+  private def geohash(lon: Double, lat: Double, prec: Int): String = {
+    require(prec >= 1 && prec <= 20, s"st_geohash: precision $prec outside [1,20]")
+    require(lon >= -180 && lon <= 180 && lat >= -90 && lat <= 90,
+      s"st_geohash: ($lon, $lat) outside lon/lat bounds")
+    var lonLo = -180.0; var lonHi = 180.0; var latLo = -90.0; var latHi = 90.0
+    val sb = new StringBuilder
+    var isLon = true; var bit = 0; var ch = 0
+    while (sb.length < prec) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch <<= 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch <<= 1; latHi = mid }
+      }
+      isLon = !isLon; bit += 1
+      if (bit == 5) { sb.append(GeohashB32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Inverse: the (lonLo, latLo, lonHi, latHi) cell of a geohash. */
+  private def geohashBox(gh: String): (Double, Double, Double, Double) = {
+    var lonLo = -180.0; var lonHi = 180.0; var latLo = -90.0; var latHi = 90.0
+    var isLon = true
+    gh.toLowerCase.foreach { c =>
+      val v = GeohashB32.indexOf(c)
+      require(v >= 0, s"invalid geohash character '$c'")
+      var b = 4
+      while (b >= 0) {
+        val on = ((v >> b) & 1) == 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (on) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (on) latLo = mid else latHi = mid
+        }
+        isLon = !isLon; b -= 1
+      }
+    }
+    (lonLo, latLo, lonHi, latHi)
+  }
+
   private def quadKey(lonIn: Double, latIn: Double, level: Int): String = {
     // Bing maps quadkey, same tile math as reference st_quadkey.cpp:16-38
     require(level >= 1 && level <= 23, "ST_QuadKey: Level must be between 1 and 23")
@@ -491,6 +540,23 @@ object GeoOps {
         ix.project(p.getCoordinate) / l.getLength
       case _ => null
     }),
+    // ST_GeoHash(point[, precision]) + the PostGIS decode pair:
+    // ST_GeomFromGeoHash -> cell box polygon, ST_PointFromGeoHash ->
+    // cell center. NULL for non-points; out-of-range/invalid fail loud.
+    "st_geohash" -> Op(StringType, a => geo(a(0)) match {
+      case p: Point if !p.isEmpty =>
+        utf8(geohash(p.getX, p.getY, if (a.length > 1) int(a(1)) else 12))
+      case _ => null
+    }),
+    "st_geomfromgeohash" -> Op(BinaryType, a => {
+      val (x0, y0, x1, y1) = geohashBox(str(a(0)))
+      out(Jts.envelope(x0, y0, x1, y1))
+    }),
+    "st_pointfromgeohash" -> Op(BinaryType, a => {
+      val (x0, y0, x1, y1) = geohashBox(str(a(0)))
+      out(Jts.point((x0 + x1) / 2, (y0 + y1) / 2))
+    }),
+
     // ST_Segmentize(geom, maxLen): densify so no segment exceeds
     // maxLen (PostGIS semantics = JTS Densifier: each segment splits
     // into equal parts).

@@ -287,6 +287,24 @@ class GeoFunctionsSpec extends SparkSpec {
       "POINT (1.5 0.5)")
   }
 
+  test("geohash encode/decode: canonical vectors, roundtrip, errors") {
+    // the canonical wikipedia vector and a well-known city
+    assertSql("ST_GeoHash(ST_Point(-5.6, 42.6), 5)", "ezs42")
+    assertSql("ST_GeoHash(ST_Point(-74.006, 40.7128), 9)", "dr5regw3p")
+    // prefix property: longer hashes extend shorter ones
+    assertSql("ST_GeoHash(ST_Point(-5.6, 42.6), 3)", "ezs")
+    // decode center of ezs42 (half-cell offsets are exact binary)
+    assertSql("ST_X(ST_PointFromGeoHash('ezs42'))", -5.60302734375)
+    assertSql("ST_Y(ST_PointFromGeoHash('ezs42'))", 42.60498046875)
+    // cell covers the encoded point at any precision
+    assertSql("ST_Covers(ST_GeomFromGeoHash(ST_GeoHash(ST_Point(11.08, 49.45), 12)), ST_Point(11.08, 49.45))", true)
+    // non-point input is NULL; bad precision / range / characters fail
+    assertSql("ST_GeoHash(ST_MakeEnvelope(0, 0, 1, 1), 5)", null)
+    intercept[Exception] { sql1("ST_GeoHash(ST_Point(200, 0), 5)") }
+    intercept[Exception] { sql1("ST_GeoHash(ST_Point(0, 0), 0)") }
+    intercept[Exception] { sql1("ST_PointFromGeoHash('ab!c')") }
+  }
+
   test("aggregates") {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assertSql("(SELECT ST_AsText(ST_Extent_Agg(ST_Point(i, i))) FROM ten)",
