@@ -137,7 +137,11 @@ class CoverageSpec extends SparkSpec {
       ("functions/GeoOps.scala", "st_lineinterpolatepoint", "Linear referencing"),
       ("sources/GeoTable.scala", "def compactDeltas", "compactDeltas"),
       ("functions/GeoJson.scala", "object EsriJson", "ESRI JSON"),
-      ("streaming/Streams.scala", "def asofJoinStream", "asofJoinStream"))
+      ("streaming/Streams.scala", "def asofJoinStream", "asofJoinStream"),
+      ("functions/GeoOps.scala", "\"st_geohash\"", "GeoHash"),
+      ("functions/GeoOps.scala", "\"st_delaunaytriangles\"", "Triangulation"),
+      ("functions/GeoOps.scala", "\"st_minimumboundingcircle\"", "bounding circle"),
+      ("functions/GeoOps.scala", "\"st_segmentize\"", "Densify"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +
