@@ -3467,6 +3467,21 @@ object SparkEntry {
              FROM supplier) b) t
          ORDER BY s_suppkey"""),
 
+    // Subdivide: a 21-vertex densified 8x2 rectangle splits into 4
+    // bounded pieces covering it exactly (integer-lattice arithmetic —
+    // areas and the 30-point total are exact constants)
+    "q_geo_subdivide" -> q(Seq("supplier"),
+      """SELECT s_suppkey,
+           ST_NGeometries(sub) AS n, ST_Area(sub) AS a, ST_NPoints(sub) AS np
+         FROM (
+           SELECT s_suppkey, ST_Subdivide(
+             ST_Segmentize(ST_MakeEnvelope(x, y, x + 8.0, y + 2.0), 1.0), 10) AS sub
+           FROM (
+             SELECT s_suppkey, CAST(s_suppkey % 29 AS DOUBLE) AS x,
+               CAST((s_suppkey * 11) % 31 AS DOUBLE) AS y
+             FROM supplier) b) t
+         ORDER BY s_suppkey"""),
+
     // GeoHash encode + decode pair over the q_geo_transform lattice;
     // ORACLE is tools/make_geohash_golden.py's from-scratch python
     // implementation (exact binary midpoints — no tolerance anywhere)
@@ -5865,6 +5880,12 @@ object SparkEntry {
       "q_geo_cluster_kmeans" -> s"""$spatialKmeansOracleCtes
            SELECT id AS c_custkey, CAST(c AS INTEGER) AS cluster
            FROM a3 ORDER BY c_custkey""",
+
+      // constants of the deterministic split: 4 pieces, exact 16 area,
+      // 30 total vertices
+      "q_geo_subdivide" ->
+        """SELECT s_suppkey, 4 AS n, CAST(16.0 AS DOUBLE) AS a, 30 AS np
+           FROM supplier ORDER BY s_suppkey""",
 
       // independent python geohash over the same lattice
       // (tools/make_geohash_golden.py); coverage is true by the

@@ -180,6 +180,36 @@ object GeoOps {
     (lonLo, latLo, lonHi, latHi)
   }
 
+  /** ST_Subdivide recursion: halve along the envelope's longer axis
+   *  until every piece has <= maxV vertices (PostGIS's join-scale
+   *  enabler — pieces index/join far better than one giant polygon).
+   *  Clipping can add crossing vertices, so a depth guard emits an
+   *  over-budget piece as-is rather than recursing forever. */
+  private def subdivide(g: Geometry, maxV: Int, depth: Int = 0): Seq[Geometry] = {
+    if (g.isEmpty) Nil
+    else if (g.getNumPoints <= maxV || depth >= 48) Seq(g)
+    else {
+      val e = g.getEnvelopeInternal
+      val (ae, be) =
+        if (e.getWidth >= e.getHeight) {
+          val mx = (e.getMinX + e.getMaxX) / 2
+          (new Envelope(e.getMinX, mx, e.getMinY, e.getMaxY),
+            new Envelope(mx, e.getMaxX, e.getMinY, e.getMaxY))
+        } else {
+          val my = (e.getMinY + e.getMaxY) / 2
+          (new Envelope(e.getMinX, e.getMaxX, e.getMinY, my),
+            new Envelope(e.getMinX, e.getMaxX, my, e.getMaxY))
+        }
+      Seq(ae, be).flatMap { half =>
+        val clip = g.intersection(Jts.gf.toGeometry(half))
+        // keep only parts of the input's dimension (clipping a polygon
+        // along the cut line can shed degenerate lines/points)
+        flatten(clip).filter(p => p.getDimension == g.getDimension && !p.isEmpty)
+          .flatMap(subdivide(_, maxV, depth + 1))
+      }
+    }
+  }
+
   private def quadKey(lonIn: Double, latIn: Double, level: Int): String = {
     // Bing maps quadkey, same tile math as reference st_quadkey.cpp:16-38
     require(level >= 1 && level <= 23, "ST_QuadKey: Level must be between 1 and 23")
@@ -540,6 +570,17 @@ object GeoOps {
         ix.project(p.getCoordinate) / l.getLength
       case _ => null
     }),
+    // ST_Subdivide(geom, maxVertices): pieces with bounded vertex
+    // counts as a GEOMETRYCOLLECTION (PostGIS returns a set; the
+    // caller explodes with ST_Dump — same contract as st_polygonize).
+    "st_subdivide" -> Op(BinaryType, a => {
+      val maxV = if (a.length > 1) int(a(1)) else 256
+      require(maxV >= 5, s"st_subdivide: maxVertices must be >= 5, got $maxV")
+      val parts = subdivide(geo(a(0)), maxV)
+      if (parts.size == 1) out(parts.head)
+      else out(Jts.gf.createGeometryCollection(parts.toArray))
+    }),
+
     // ST_GeoHash(point[, precision]) + the PostGIS decode pair:
     // ST_GeomFromGeoHash -> cell box polygon, ST_PointFromGeoHash ->
     // cell center. NULL for non-points; out-of-range/invalid fail loud.

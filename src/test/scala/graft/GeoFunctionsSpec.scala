@@ -305,6 +305,22 @@ class GeoFunctionsSpec extends SparkSpec {
     intercept[Exception] { sql1("ST_PointFromGeoHash('ab!c')") }
   }
 
+  test("subdivide: bounded pieces, exact cover, under-budget passthrough") {
+    val dense = "ST_Segmentize(ST_MakeEnvelope(0, 0, 8, 2), 1.0)"
+    assertSql(s"ST_NPoints($dense)", 21)
+    assertSql(s"ST_NGeometries(ST_Subdivide($dense, 10))", 4)
+    assertSql(s"ST_Area(ST_Subdivide($dense, 10))", 16.0)
+    // every piece stays under the budget
+    val mx = spark.sql(s"SELECT max(ST_NPoints(d.geom)) FROM " +
+      s"(SELECT explode(ST_Dump(ST_Subdivide($dense, 10))) AS d)").collect()(0).getInt(0)
+    assert(mx <= 10, s"piece over budget: $mx")
+    // pieces union back to the original (exact lattice arithmetic)
+    assertSql(s"ST_Equals(ST_Union(ST_Dump(ST_Subdivide($dense, 10)).geom), ST_MakeEnvelope(0, 0, 8, 2))", true)
+    assertSql("ST_AsText(ST_Subdivide(ST_MakeEnvelope(0, 0, 1, 1), 10))",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    intercept[Exception] { sql1("ST_Subdivide(ST_Point(0, 0), 4)") }
+  }
+
   test("aggregates") {
     spark.sql("SELECT explode(sequence(0, 9)) AS i").createOrReplaceTempView("ten")
     assertSql("(SELECT ST_AsText(ST_Extent_Agg(ST_Point(i, i))) FROM ten)",
