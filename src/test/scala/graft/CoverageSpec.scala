@@ -141,7 +141,8 @@ class CoverageSpec extends SparkSpec {
       ("functions/GeoOps.scala", "\"st_geohash\"", "GeoHash"),
       ("functions/GeoOps.scala", "\"st_delaunaytriangles\"", "Triangulation"),
       ("functions/GeoOps.scala", "\"st_minimumboundingcircle\"", "bounding circle"),
-      ("functions/GeoOps.scala", "\"st_segmentize\"", "Densify"))
+      ("functions/GeoOps.scala", "\"st_segmentize\"", "Densify"),
+      ("functions/GeoOps.scala", "\"st_subdivide\"", "Subdivide"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +
