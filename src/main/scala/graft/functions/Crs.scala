@@ -2477,6 +2477,14 @@ object Crs {
   }
 
 
+  /** Digits after the 5-char "EPSG:"/"ESRI:" prefix as an Int, or -1 when
+   *  non-numeric — pattern guards must not throw mid-match, so malformed
+   *  codes like "EPSG:4bad" fall through to the catalog-pointer error. */
+  private def epsgNum(c: String): Int = {
+    val d = c.drop(5)
+    if (d.nonEmpty && d.length <= 9 && d.forall(_.isDigit)) d.toInt else -1
+  }
+
   def resolve(crsIn: String): System = {
     val trimmed = crsIn.trim
     // text-form keys are arbitrary user strings (a per-row CRS column
@@ -2502,7 +2510,7 @@ object Crs {
       case "EPSG:900913" => WebMercator
       case c if byKey.contains(c) => byKey(c).build()
       case c if c.startsWith("EPSG:321") && c.length == 10 => // NAD83 / MTM 1-17
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 32181 && code <= 32197) {
           val zone = code - 32180
           // Canadian Modified TM: 3° zones, k0 0.9999, FE 304 800 m.
@@ -2518,26 +2526,26 @@ object Crs {
           new TransMerc(GRS80, 0.0, lon0, 0.9999, 304800.0, 0.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:32") && c.length == 10 => // EPSG:326xx / EPSG:327xx
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 32601 && code <= 32660)
           new TransMerc(WGS84, 0, (code - 32600) * 6 - 183, 0.9996, 500000.0, 0.0)
         else if (code >= 32701 && code <= 32760)
           new TransMerc(WGS84, 0, (code - 32700) * 6 - 183, 0.9996, 500000.0, 10000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:269") && c.length == 10 => // EPSG:269xx NAD83 UTM
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 26901 && code <= 26923)
           new TransMerc(GRS80, 0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:267") && c.length == 10 => // EPSG:267xx NAD27 UTM
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 26701 && code <= 26722)
           new GridDatumShifted(
             new TransMerc(Clarke1866, 0, (code - 26700) * 6 - 183, 0.9996, 500000.0, 0.0),
             Clarke1866, Nad27Helmert, "NAD27", "NAD83")
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:24") && c.length == 9 => // JGD2000 zones I-XIX
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 2443 && code <= 2461) {
           val (lat0, lon0) = JapanZones(code - 2443)
           new TransMerc(GRS80, lat0, lon0, 0.9999, 0.0, 0.0)
@@ -2546,39 +2554,39 @@ object Crs {
       // range in the guard so the geographic 44xx/45xx literals keep
       // matching their own arms)
       case c if c.startsWith("EPSG:4") && c.length == 9 && {
-          val code = c.substring(5).toInt; code >= 4491 && code <= 4554 } =>
-        val (cm, fe) = cgcsGkParams(c.substring(5).toInt)
+          val code = epsgNum(c); code >= 4491 && code <= 4554 } =>
+        val (cm, fe) = cgcsGkParams(epsgNum(c))
         new TransMerc(GRS80, 0.0, cm, 1.0, fe, 0.0)
       case c if c.startsWith("EPSG:258") && c.length == 10 => // ETRS89 / UTM 28N-38N
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 25828 && code <= 25838)
           new TransMerc(GRS80, 0, (code - 25800) * 6 - 183, 0.9996, 500000.0, 0.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:283") && c.length == 10 => // GDA94 / MGA 48-58
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 28348 && code <= 28358)
           new TransMerc(GRS80, 0, (code - 28300) * 6 - 183, 0.9996, 500000.0, 10000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:78") && c.length == 9 => // GDA2020 / MGA 46-59
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 7846 && code <= 7859)
           new TransMerc(GRS80, 0, (code - 7800) * 6 - 183, 0.9996, 500000.0, 10000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:319") && c.length == 10 => // SIRGAS 2000 / UTM
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 31965 && code <= 31976) // zones 11N-22N
           new TransMerc(GRS80, 0, (code - 31954) * 6 - 183, 0.9996, 500000.0, 0.0)
         else if (code >= 31977 && code <= 31985) // zones 17S-25S
           new TransMerc(GRS80, 0, (code - 31960) * 6 - 183, 0.9996, 500000.0, 10000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:66") && c.length == 9 => // JGD2011 zones I-XIX
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 6669 && code <= 6687) {
           val (lat0, lon0) = JapanZones(code - 6669)
           new TransMerc(GRS80, lat0, lon0, 0.9999, 0.0, 0.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:314") && c.length == 10 => // DHDN Gauss-Krüger 2-5
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 31466 && code <= 31469) {
           val zone = code - 31464 // 31466 -> zone 2
           new DatumShifted(
@@ -2586,7 +2594,7 @@ object Crs {
             Bessel1841, DhdnHelmert)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:284") && c.length == 10 => // Pulkovo 1942 / GK 2-32
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 28402 && code <= 28432) {
           val zone = code - 28400
           new GridDatumShifted(
@@ -2595,12 +2603,12 @@ object Crs {
             Krassowsky1940, PulkovoHelmert, "PULKOVO1942", "WGS84")
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:51") && c.length == 9 => // ETRS89 / NTM 5-30
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 5105 && code <= 5130)
           new TransMerc(GRS80, 58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0)
         else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:53") && c.length == 9 => // POSGAR 2007 fajas 1-7
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code == 5340) Geographic // POSGAR 2007 (SIRGAS-frame)
         else if (code >= 5344 && code <= 5350) {
           val faja = code - 5343
@@ -2611,26 +2619,26 @@ object Crs {
             faja * 1000000.0 + 500000.0, 0.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:39") && c.length == 9 => // RGF93 / CC42-CC50
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 3942 && code <= 3950) {
           val lat0 = (code - 3900).toDouble // CC42 -> 42°N ... CC50 -> 50°N
           new Lcc2sp(GRS80, lat0, 3.0, lat0 - 0.75, lat0 + 0.75,
             1700000.0, 1200000.0 + (code - 3942) * 1000000.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:30") && c.length == 9 => // SWEREF99 local zones
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         SwerefZones.get(code) match {
           case Some(lon0) => new TransMerc(GRS80, 0.0, lon0, 1.0, 150000.0, 0.0)
           case None => throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
         }
       case c if c.startsWith("EPSG:38") && c.length == 9 => // ETRS89 / GK19-31FIN
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 3873 && code <= 3885) {
           val lon0 = (code - 3873 + 19).toDouble
           new TransMerc(GRS80, 0.0, lon0, 1.0, lon0 * 1000000.0 + 500000.0, 0.0)
         } else throw new IllegalArgumentException(s"unsupported CRS: $crsIn")
       case c if c.startsWith("EPSG:230") && c.length == 10 => // ED50 / UTM 28N-38N
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 23028 && code <= 23038)
           new DatumShifted(
             new TransMerc(International1924, 0, (code - 23000) * 6 - 183, 0.9996, 500000.0, 0.0),
@@ -2864,7 +2872,7 @@ object Crs {
         Seq("False_Easting" -> 4321000.0, "False_Northing" -> 3210000.0,
           "Central_Meridian" -> 10.0, "Latitude_Of_Origin" -> 52.0), "Meter", 1.0))
       case c if c.startsWith("EPSG:32") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 32601 && code <= 32660)
           Some(tmWkt(s"WGS_1984_UTM_Zone_${code - 32600}N", GeogWgs84,
             0.0, (code - 32600) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
@@ -2884,7 +2892,7 @@ object Crs {
             0.0, lon0, 0.9999, 304800.0, 0.0, "Meter", 1.0))
         } else None
       case c if c.startsWith("EPSG:269") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 26901 && code <= 26923)
           Some(tmWkt(s"NAD_1983_UTM_Zone_${code - 26900}N", GeogNad83,
             0.0, (code - 26900) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
@@ -2962,25 +2970,25 @@ object Crs {
         Seq("False_Easting" -> 0.0, "False_Northing" -> 0.0, "Central_Meridian" -> 0.0,
           "Standard_Parallel_1" -> 71.0), "Meter", 1.0))
       case c if c.startsWith("EPSG:258") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 25828 && code <= 25838)
           Some(tmWkt(s"ETRS_1989_UTM_Zone_${code - 25800}N", GeogEtrs89,
             0.0, (code - 25800) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
         else None
       case c if c.startsWith("EPSG:283") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 28348 && code <= 28358)
           Some(tmWkt(s"GDA_1994_MGA_Zone_${code - 28300}", GeogGda94,
             0.0, (code - 28300) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
         else None
       case c if c.startsWith("EPSG:78") && c.length == 9 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 7846 && code <= 7859)
           Some(tmWkt(s"GDA2020_MGA_Zone_${code - 7800}", GeogGda2020,
             0.0, (code - 7800) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
         else None
       case c if c.startsWith("EPSG:319") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 31965 && code <= 31976)
           Some(tmWkt(s"SIRGAS_2000_UTM_Zone_${code - 31954}N", GeogSirgas2000,
             0.0, (code - 31954) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
@@ -2989,7 +2997,7 @@ object Crs {
             0.0, (code - 31960) * 6 - 183, 0.9996, 500000.0, 10000000.0, "Meter", 1.0))
         else None
       case c if c.startsWith("EPSG:66") && c.length == 9 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 6669 && code <= 6687) {
           val (lat0, lon0) = JapanZones(code - 6669)
           Some(tmWkt(s"JGD_2011_Japan_Zone_${code - 6668}", GeogJgd2011,
@@ -2997,13 +3005,13 @@ object Crs {
         } else None
       case "EPSG:4267" => Some(GeogNad27)
       case c if c.startsWith("EPSG:267") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 26701 && code <= 26722)
           Some(tmWkt(s"NAD_1927_UTM_Zone_${code - 26700}N", GeogNad27,
             0.0, (code - 26700) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
         else None
       case c if c.startsWith("EPSG:24") && c.length == 9 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 2443 && code <= 2461) {
           val (lat0, lon0) = JapanZones(code - 2443)
           Some(tmWkt(s"JGD_2000_Japan_Zone_${code - 2442}", GeogJgd2000,
@@ -3011,8 +3019,8 @@ object Crs {
         } else None
       // CGCS2000 Gauss-Kruger sweep (ESRI zone/CM naming)
       case c if c.startsWith("EPSG:4") && c.length == 9 && {
-          val code = c.substring(5).toInt; code >= 4491 && code <= 4554 } =>
-        val code = c.substring(5).toInt
+          val code = epsgNum(c); code >= 4491 && code <= 4554 } =>
+        val code = epsgNum(c)
         val (cm, fe) = cgcsGkParams(code)
         val name =
           if (code <= 4501) s"CGCS2000_GK_Zone_${code - 4478}"
@@ -3021,14 +3029,14 @@ object Crs {
           else s"CGCS2000_3_Degree_GK_CM_${cm.toInt}E"
         Some(tmWkt(name, GeogCgcs2000, 0.0, cm, 1.0, fe, 0.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:314") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 31466 && code <= 31469) {
           val zone = code - 31464
           Some(tmWkt(s"DHDN_3_Degree_Gauss_Zone_$zone", GeogDhdn,
             0.0, zone * 3, 1.0, zone * 1000000.0 + 500000.0, 0.0, "Meter", 1.0))
         } else None
       case c if c.startsWith("EPSG:230") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 23028 && code <= 23038)
           Some(tmWkt(s"ED_1950_UTM_Zone_${code - 23000}N", GeogEd50,
             0.0, (code - 23000) * 6 - 183, 0.9996, 500000.0, 0.0, "Meter", 1.0))
@@ -3086,7 +3094,7 @@ object Crs {
       case "EPSG:31287" => Some(lccWkt("MGI_Austria_Lambert", GeogMgi,
         47.5, 13.0 + 20.0 / 60, 49.0, 46.0, 400000.0, 400000.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:275") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         val zoneIdx = if (code >= 27561 && code <= 27564) code - 27561
           else if (code >= 27571 && code <= 27574) code - 27571 else -1
         if (zoneIdx < 0) None
@@ -3107,7 +3115,7 @@ object Crs {
               "Latitude_Of_Origin" -> lat0s(zoneIdx)), "Meter", 1.0))
         }
       case c if c.startsWith("EPSG:312") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 31254 && code <= 31256)
           Some(tmWkt(s"MGI_Austria_GK_${Seq("West", "Central", "East")(code - 31254)}",
             GeogMgi, 0.0, (10.0 + 20.0 / 60) + (code - 31254) * 3.0, 1.0,
@@ -3118,7 +3126,7 @@ object Crs {
             150000.0 + (code - 31257) * 300000.0, -5000000.0, "Meter", 1.0))
         else None
       case c if c.startsWith("EPSG:284") && c.length == 10 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 28402 && code <= 28432) {
           val zone = code - 28400
           Some(tmWkt(s"Pulkovo_1942_GK_Zone_$zone", GeogPulkovo42,
@@ -3127,12 +3135,12 @@ object Crs {
       // range inside the guard: a bare EPSG:51xx prefix would swallow
       // the Korea 2000 belt literals below
       case c if c.startsWith("EPSG:51") && c.length == 9 && {
-          val code = c.substring(5).toInt; code >= 5105 && code <= 5130 } =>
-        val code = c.substring(5).toInt
+          val code = epsgNum(c); code >= 5105 && code <= 5130 } =>
+        val code = epsgNum(c)
         Some(tmWkt(s"ETRS_1989_NTM_Zone_${code - 5100}", GeogEtrs89,
           58.0, (code - 5100) + 0.5, 1.0, 100000.0, 1000000.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:39") && c.length == 9 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 3942 && code <= 3950) {
           val lat0 = (code - 3900).toDouble
           Some(lccWkt(s"RGF_1993_CC${code - 3900}", GeogRgf93,
@@ -3143,12 +3151,12 @@ object Crs {
       // swallow the Monte Mario literals below (match arms do not
       // fall through when the body returns None)
       case c if c.startsWith("EPSG:30") && c.length == 9 &&
-          SwerefZones.contains(c.substring(5).toInt) =>
-        val lon0 = SwerefZones(c.substring(5).toInt)
+          SwerefZones.contains(epsgNum(c)) =>
+        val lon0 = SwerefZones(epsgNum(c))
         Some(tmWkt(swerefName(lon0).replace(' ', '_'), GeogSweref99,
           0.0, lon0, 1.0, 150000.0, 0.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:38") && c.length == 9 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 3873 && code <= 3885) {
           val lon0 = (code - 3873 + 19).toDouble
           Some(tmWkt(s"ETRS_1989_GK${code - 3873 + 19}FIN", GeogEtrs89,
@@ -3178,7 +3186,7 @@ object Crs {
       case "EPSG:6372" => Some(lccWkt("Mexico_ITRF2008_LCC", GeogMexItrf08,
         12.0, -102.0, 17.5, 29.5, 2500000.0, 0.0, "Meter", 1.0))
       case c if c.startsWith("EPSG:53") && c.length == 9 =>
-        val code = c.substring(5).toInt
+        val code = epsgNum(c)
         if (code >= 5344 && code <= 5350) {
           val faja = code - 5343
           Some(tmWkt(s"POSGAR_2007_Argentina_$faja", GeogPosgar2007,

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
  * carriage return escape; NULL is `\N`. Geometry serializes as hex
  * WKB, with the EWKB SRID header when `srid > 0` (what PostGIS's
  * binary parser ingests directly). Type mapping: string→VARCHAR,
- * int→INTEGER, long→BIGINT, float/double→FLOAT8, boolean→BOOLEAN,
- * date→DATE, timestamp→TIMESTAMP, anything else→VARCHAR via toString.
+ * int→INTEGER, long→BIGINT, float/double→FLOAT8, decimal→NUMERIC(p,s),
+ * boolean→BOOLEAN, date→DATE, timestamp→TIMESTAMP, anything
+ * else→VARCHAR via toString.
  *
  * Single-file text format — rows stream through the driver
  * ([[DriverSink]] guard applies); at scale, shard to many .sql files
@@ -34,7 +35,10 @@ object PgDump {
   private def sqlType(dt: DataType): String = dt match {
     case IntegerType | ShortType | ByteType => "INTEGER"
     case LongType => "BIGINT"
-    case FloatType | DoubleType | _: DecimalType => "FLOAT8"
+    case FloatType | DoubleType => "FLOAT8"
+    // the COPY text carries the full decimal string — declare the
+    // matching NUMERIC(p,s) so PostgreSQL keeps the precision
+    case d: DecimalType => s"NUMERIC(${d.precision}, ${d.scale})"
     case BooleanType => "BOOLEAN"
     case DateType => "DATE"
     case TimestampType => "TIMESTAMP"

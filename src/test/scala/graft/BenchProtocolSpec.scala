@@ -43,24 +43,42 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(m.contains("join_10m_sql") || m.contains("agg_10m_sql"))
   }
 
-  test("retryCandidates: worst-jump-first, noise-exempt, capped, runnable-only") {
+  test("retryCandidates: worst-first, noise-exempt, capped, runnable-only") {
     val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "e" -> 1.0)
     val results = Seq(
       "a" -> 8.0,   // ratio 8x prior -> jump 8
       "b" -> 4.0,   // jump 4
       "c" -> 0.4,   // s+d = 0.5 < 1s -> noise-exempt despite jump 4
       "d" -> 40.0,  // jump 40 but not runnable
-      "e" -> 2.0,   // jump 2 -> under the 3x rule
-      "f" -> 9.0)   // no prior ratio -> skipped
+      "e" -> 2.0,   // jump 2, ratio 2.0: under both the 3x rule and the gate
+      "f" -> 9.0)   // no prior ratio BUT ratio 9 > 2x gate -> gate-breach class
     val duck = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1, "d" -> 1.0, "e" -> 1.0, "f" -> 1.0)
     val sel = graft.Bench.retryCandidates(results, duck, prior, Set("a", "b", "c", "e", "f"), 8)
-    assert(sel.map(_._1) == Seq("a", "b"), sel.toString)
-    // the cap keeps only the worst jumps
+    assert(sel.map(_._1) == Seq("f", "a", "b"), sel.toString)
+    // the cap keeps only the worst offenders
     val capped = graft.Bench.retryCandidates(results, duck, prior, Set("a", "b", "c", "e", "f"), 1)
-    assert(capped.map(_._1) == Seq("a"))
+    assert(capped.map(_._1) == Seq("f"))
     // an errored oracle (d <= 0) never qualifies
     assert(graft.Bench.retryCandidates(Seq("a" -> 8.0), Map("a" -> -1.0),
       prior, Set("a"), 8).isEmpty)
+  }
+
+  test("retryCandidates: gate-breach class (the r13 pagerank_10m shape)") {
+    // ratio 2.17 vs prior 0.95 — only a 2.29x jump, but OVER the 2x
+    // grading gate: must be a candidate now
+    val sel = graft.Bench.retryCandidates(
+      Seq("pagerank_10m" -> 7.497), Map("pagerank_10m" -> 3.453),
+      Map("pagerank_10m" -> 0.95), Set("pagerank_10m"), 8)
+    assert(sel.map(_._1) == Seq("pagerank_10m"), sel.toString)
+    // a gate-breach row that is fixed-overhead noise (s+d < 1s) stays
+    // exempt — micro rows like q_emb_norm at 9.62x are graded by their
+    // amortized twins, not retried
+    assert(graft.Bench.retryCandidates(
+      Seq("q_emb_norm" -> 0.046), Map("q_emb_norm" -> 0.005),
+      Map.empty, Set("q_emb_norm"), 8).isEmpty)
+    // under-gate, under-jump rows still never qualify
+    assert(graft.Bench.retryCandidates(
+      Seq("t" -> 1.9), Map("t" -> 1.0), Map("t" -> 1.0), Set("t"), 8).isEmpty)
   }
 
   test("third-trial gate fires only for over-gate ratios on contended windows") {

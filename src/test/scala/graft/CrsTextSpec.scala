@@ -560,6 +560,23 @@ class CrsTextSpec extends AnyFunSuite {
     assert(math.abs(wx - 6378137.0 * math.Pi / 2) < 1.0, wx.toString)
   }
 
+  test("malformed EPSG codes fall through to the catalog error, never NFE") {
+    // every prefix family whose match arm parses the numeric tail —
+    // a non-numeric tail must reach the clear IllegalArgumentException,
+    // not throw NumberFormatException mid-pattern-match (r13 ADVICE)
+    val bad = Seq("EPSG:4bad", "EPSG:30bd", "EPSG:32abc", "EPSG:269xy",
+      "EPSG:267ab", "EPSG:24xy", "EPSG:258no", "EPSG:283pq", "EPSG:78zz",
+      "EPSG:319ab", "EPSG:66no", "EPSG:314xx", "EPSG:284yy", "EPSG:51xx",
+      "EPSG:38ab", "EPSG:230ab", "EPSG:39xx")
+    bad.foreach { c =>
+      val e = intercept[IllegalArgumentException](Crs.resolve(c))
+      assert(e.getMessage.contains("unsupported CRS"), s"$c: ${e.getMessage}")
+    }
+    // the ESRI WKT generator path takes the same guards: a malformed
+    // code yields None (no .prj), never an exception
+    bad.foreach(c => assert(Crs.esriWkt(c).isEmpty, c))
+  }
+
   test("unsupported text forms raise with a clear pointer") {
     val bad = Seq("+proj=omerc +lat_0=4 +lonc=115", "+nonsense",
       "PROJCS[\"x\",GEOGCS[\"g\",DATUM[\"d\",SPHEROID[\"s\",6378137,298.25]],PRIMEM[\"Greenwich\",0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Robinson\"],UNIT[\"Meter\",1]]")

@@ -486,6 +486,16 @@ class SourcesSpec extends SparkSpec {
     val r2 = data(1).split("\t", -1)
     assert(r2(1) == "tab\\there\\nand line" && r2(2) == "\\N" && r2(3) == "f")
     assert(data(2).split("\t", -1)(1) == "\\N")
+    // decimals declare NUMERIC(p,s) so the full-precision COPY text
+    // survives the PostgreSQL load (FLOAT8 would round it)
+    val outD = java.nio.file.Files.createTempDirectory("pgdump").resolve("td.sql").toString
+    graft.sources.PgDump.write(
+      df.withColumn("amt", lit("12345678901234.5678").cast("decimal(20,4)")),
+      "geom", outD, table = "td")
+    val dLines = java.nio.file.Files.readAllLines(new java.io.File(outD).toPath)
+    assert(dLines.get(1).contains(""""amt" NUMERIC(20, 4)"""), dLines.get(1))
+    assert(dLines.get(3).contains(""""amt""""))
+    assert(dLines.get(4).split("\t", -1)(4) == "12345678901234.5678", dLines.get(4))
     // srid=0 -> plain WKB, no SRID header
     val out0 = java.nio.file.Files.createTempDirectory("pgdump").resolve("t0.sql").toString
     graft.sources.PgDump.write(df.limit(1), "geom", out0, table = "t0")
