@@ -204,10 +204,19 @@ object Graft {
     tfReg.createOrReplaceTempFunction("st_list_proj_crs",
       _ => planOf(graft.sources.GeoRead.listProjCrs(SparkSession.active)), "scala_udf")
     // snapshot read of a commit-logged clustered table:
-    //   st_read_version(path, version) — GeoTableLog time travel in SQL
+    //   st_read_version(path, version)       — version-number time travel
+    //   st_read_version(path, 'timestamp')   — AS OF form: the latest
+    //     version committed at or before the given instant (ISO-8601 or
+    //     'yyyy-MM-dd[ HH:mm:ss]', read as UTC — the session time zone)
     tfReg.createOrReplaceTempFunction("st_read_version",
-      exprs => planOf(graft.sources.GeoTableLog.readVersion(SparkSession.active,
-        litStr(exprs.head), litNum(exprs(1)).toInt)), "scala_udf")
+      exprs => planOf {
+        val s = SparkSession.active
+        val path = litStr(exprs.head)
+        val v = scala.util.Try(litNum(exprs(1)).toInt).getOrElse(
+          graft.sources.GeoTableLog.versionAsOf(s, path,
+            graft.sources.GeoTableLog.parseTsMillis(litStr(exprs(1)))))
+        graft.sources.GeoTableLog.readVersion(s, path, v)
+      }, "scala_udf")
     // commit history of a logged table: (version, op, n_add, n_remove)
     tfReg.createOrReplaceTempFunction("st_table_versions",
       exprs => planOf {

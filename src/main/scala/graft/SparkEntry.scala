@@ -1470,6 +1470,34 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version", "c_custkey")
     }),
 
+    // AS OF timestamp time travel: the same three-version history as
+    // q_clustered_timetravel, but every snapshot is resolved through
+    // st_read_version's TIMESTAMP form (each version's own commit
+    // instant, read back from the log) — certifying version-by-time
+    // equals version-by-number against the pure source recompute.
+    "q_clustered_asof" -> ((s, dir) => {
+      load(s, dir, "customer")
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_clustered_asof"
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      val base = s.table("customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_nationkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(base, "geom", out, ext, numFiles = 4)
+      sources.GeoTableLog.enable(s, out)
+      sources.GeoTable.deleteWhere(s, "geom", out, col("c_custkey") % 7 === 2)
+      sources.GeoTable.updateWhere(s, "geom", out, col("c_custkey") % 5 === 1,
+        Map("c_nationkey" -> (col("c_nationkey") + lit(50))))
+      val times = sources.GeoTableLog.entryTimes(s, out)
+      (0 to 2).map { v =>
+        val iso = java.time.Instant.ofEpochMilli(times(v)._2).toString
+        s.sql(s"SELECT * FROM st_read_version('$out', '$iso')")
+          .select(lit(v).as("version"), col("c_custkey"),
+            col("c_nationkey").cast("long").as("nk"),
+            col("geom_bbox.xmin").as("x"))
+      }.reduce(_ unionByName _).orderBy("version", "c_custkey")
+    }),
+
     // row-level UPDATE on a clustered table (the other half of the
     // R-tree CRUD analog): moves matching points +200 in x and bumps an
     // attribute; updateWhere must keep the geom_bbox sidecar consistent
@@ -6739,6 +6767,24 @@ object SparkEntry {
       // every version recomputed from source: v0 = base, v1 = base
       // minus the deleted keys, v2 = v1 with the update applied
       "q_clustered_timetravel" ->
+        s"""WITH base AS (
+             SELECT c_custkey, c_nationkey, $custPtX AS x
+             FROM customer WHERE c_custkey <= 300),
+           v0 AS (SELECT 0 AS version, c_custkey, CAST(c_nationkey AS BIGINT) AS nk, x FROM base),
+           v1 AS (SELECT 1 AS version, c_custkey, CAST(c_nationkey AS BIGINT) AS nk, x
+                  FROM base WHERE c_custkey % 7 <> 2),
+           v2 AS (SELECT 2 AS version, c_custkey,
+                    CAST(CASE WHEN c_custkey % 5 = 1 THEN c_nationkey + 50
+                         ELSE c_nationkey END AS BIGINT) AS nk, x
+                  FROM base WHERE c_custkey % 7 <> 2)
+           SELECT version, c_custkey, nk, x
+           FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2) t
+           ORDER BY version, c_custkey""",
+
+      // identical recompute to q_clustered_timetravel: the Spark side
+      // resolves each version AS OF its own commit timestamp, which
+      // must land on exactly the same three states
+      "q_clustered_asof" ->
         s"""WITH base AS (
              SELECT c_custkey, c_nationkey, $custPtX AS x
              FROM customer WHERE c_custkey <= 300),

@@ -171,6 +171,9 @@ object GeoTable {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(GeoTableLog.isEnabled(fs, base),
       s"compactDeltas requires the commit log (GeoTableLog.enable) at $base")
+    // finish any swap a previous maintenance crash interrupted before
+    // reading the log — the invariant below is root == latest file set
+    GeoTableLog.repairRoot(fs, base)
     val es = GeoTableLog.entries(fs, base)
     val removedEver = es.flatMap(_._4).toSet
     // prior compact outputs count as deltas too — otherwise each
@@ -190,10 +193,14 @@ object GeoTable {
     val staging = new org.apache.hadoop.fs.Path(base + ".__compact")
     fs.delete(staging, true)
     writeClustered(df, geomCol, staging.toString, extent, parts)
-    // same swap order as rewriteHitFiles: retire the old files first
-    // (retained — snapshots still reference them), then move the new
-    // generation in; single-writer maintenance like every op here
-    deltaPaths.foreach(p => GeoTableLog.retain(fs, base, p))
+    // never-zero-copies swap order: the consolidated generation moves
+    // in FIRST, the commit entry lands, and the superseded deltas
+    // retire LAST. A crash anywhere in the window leaves every row
+    // present (plain reads briefly double-count, committed snapshots
+    // stay exact) and the repairRoot preamble of the next maintenance
+    // op finishes the swap — the old retire-first order instead left
+    // plain reads silently MISSING the delta rows and a re-run failing
+    // on the live-delta require.
     val added = scala.collection.mutable.ArrayBuffer[String]()
     fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -206,8 +213,20 @@ object GeoTable {
     fs.delete(staging, true)
     GeoTableLog.appendEntry(fs, base, "compact",
       add = added.sorted.toSeq, remove = deltas.sorted)
+    deltaPaths.foreach(p => GeoTableLog.retain(fs, base, p))
     spark.catalog.refreshByPath(base)
     deltas.size
+  }
+
+  /** Finish any maintenance swap a crash interrupted (see
+   *  [[GeoTableLog.repairRoot]]); safe to call anytime on a logged
+   *  table. Every maintenance op also runs this as its preamble. */
+  def repair(spark: SparkSession, path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GeoTableLog.repairRoot(fs, base)
+    spark.catalog.refreshByPath(base)
   }
 
   /**
@@ -289,6 +308,9 @@ object GeoTable {
     val hPath = new org.apache.hadoop.fs.Path(base)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matches = coalesce(predicate, lit(false))
+    // finish any swap a previous maintenance crash interrupted BEFORE
+    // scanning — a stray uncommitted file would otherwise be read
+    if (GeoTableLog.isEnabled(fs, base)) GeoTableLog.repairRoot(fs, base)
     spark.catalog.refreshByPath(base) // a prior rewrite may be cached
     val withFile = spark.read.parquet(base).withColumn("__file", input_file_name())
     val hits = withFile.filter(matches)
@@ -303,17 +325,18 @@ object GeoTable {
       .write.mode("overwrite").parquet(staging.toString)
     val geoJson = GeoParquetMeta.readGeoMetadata(base)
     // commit-log mode: superseded files are RETAINED (moved under
-    // _graft_log/retained/) so committed snapshots stay readable —
-    // the WAL/MVCC analog; without the log they are deleted as before
+    // _graft_log/retained/) so committed snapshots stay readable — the
+    // WAL/MVCC analog — and, like compactDeltas, only AFTER the new
+    // parts are in and the commit entry is written (never-zero-copies:
+    // a crash mid-swap leaves recoverable duplicates, not lost rows).
+    // Without the log the old files are deleted first, as before.
     val logOn = GeoTableLog.isEnabled(fs, base)
-    hitFiles.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      if (logOn) GeoTableLog.retain(fs, base, p)
-      else {
-        fs.delete(p, false)
-        val crc = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
-        if (fs.exists(crc)) fs.delete(crc, false)
-      }
+    val hitPaths = hitFiles.toIndexedSeq.map(f =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)))
+    if (!logOn) hitPaths.foreach { p =>
+      fs.delete(p, false)
+      val crc = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
     }
     val added = scala.collection.mutable.ArrayBuffer[String]()
     fs.listStatus(staging).map(_.getPath)
@@ -335,10 +358,9 @@ object GeoTable {
       }
     fs.delete(staging, true)
     if (logOn) {
-      val removed = hitFiles.map(f =>
-        new org.apache.hadoop.fs.Path(new java.net.URI(f)).getName).sorted
       GeoTableLog.appendEntry(fs, base, op, add = added.sorted.toSeq,
-        remove = removed.toIndexedSeq)
+        remove = hitPaths.map(_.getName).sorted)
+      hitPaths.foreach(p => GeoTableLog.retain(fs, base, p))
     }
     // the swap changed the directory's file set under the session's
     // FileStatusCache — invalidate so the next read lists fresh

@@ -65,17 +65,77 @@ object GeoTableLog {
     appendEntry(fs, base, "init", add = dataFiles(fs, base), remove = Nil)
   }
 
-  /** Append one commit entry; returns the new version number. */
-  private[sources] def appendEntry(fs: FileSystem, base: String, op: String,
+  /**
+   * Append one commit entry; returns the committed version number.
+   *
+   * Multi-writer contract (optimistic concurrency): the version slot is
+   * claimed by an atomic publish-if-absent of the entry file — exactly
+   * one concurrent committer wins version N; the loser re-reads the log
+   * and retries at N+1. Before each attempt the entry's `remove` set is
+   * validated against the then-current live file set: a file already
+   * retired by a concurrent commit makes this commit semantically stale
+   * (its rewrite read rows another writer superseded), so it fails with
+   * `ConcurrentModificationException` instead of silently double-
+   * removing. Disjoint concurrent appends (fresh UUID part names)
+   * serialize cleanly. Maintenance ops that renumber history (vacuum,
+   * recluster's checkpoint) remain single-writer, as documented on each.
+   */
+  private[graft] def appendEntry(fs: FileSystem, base: String, op: String,
       add: Seq[String], remove: Seq[String]): Int = {
-    val v = entries(fs, base).lastOption.map(_._1 + 1).getOrElse(0)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"version":$v,"op":"$op","add":${arr(add)},"remove":${arr(remove)}}"""
-    val p = new Path(logDir(base), f"$v%010d.json")
-    val out = fs.create(p, false)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    v
+    // losing a race is global progress (the winner committed and the
+    // next read computes a higher version), so retries are unbounded
+    // while the version advances; repeated CAS failure at the SAME
+    // version means the store is misbehaving — fail then.
+    var lastLost = -1
+    var stuckAt = 0
+    while (true) {
+      val es = entries(fs, base)
+      val v = es.lastOption.map(_._1 + 1).getOrElse(0)
+      if (remove.nonEmpty && es.nonEmpty) {
+        val live = fileSetFrom(es, es.last._1).toSet
+        val gone = remove.filterNot(live.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"commit conflict at $base: a concurrent commit already removed ${gone.mkString(", ")}")
+      }
+      val json = s"""{"version":$v,"ts":${System.currentTimeMillis()},"op":"$op",""" +
+        s""""add":${arr(add)},"remove":${arr(remove)}}"""
+      if (casWrite(fs, new Path(logDir(base), f"$v%010d.json"), json.getBytes("UTF-8")))
+        return v
+      stuckAt = if (v == lastLost) stuckAt + 1 else 0
+      if (stuckAt >= 5) throw new java.io.IOException(
+        s"appendEntry: CAS failed 5 times at version $v of $base with no progress")
+      lastLost = v
+    }
+    -1 // unreachable
   }
+
+  /** Atomically publish `bytes` at `dst` iff `dst` does not exist — the
+   *  version-slot CAS. file:// stages a temp file and hard-links it in
+   *  (link(2) fails with EEXIST atomically; plain rename OVERWRITES on
+   *  POSIX, so it cannot be the CAS); HDFS-like stores use
+   *  create(overwrite=false), atomic at the namenode. Returns false
+   *  when another committer won the slot. */
+  private def casWrite(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      val tmp = new Path(dst.getParent, s".${dst.getName}.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      try {
+        val out = fs.create(dst, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
 
   /** Move a data file aside instead of deleting it (commit-log mode).
    *  Part names carry write UUIDs, so collisions mean a caller bug. */
@@ -86,6 +146,37 @@ object GeoTableLog {
       throw new java.io.IOException(s"cannot retain $file")
     val crc = new Path(file.getParent, "." + file.getName + ".crc")
     if (fs.exists(crc)) fs.delete(crc, false)
+  }
+
+  /**
+   * Repair an interrupted maintenance swap so the root's data files
+   * again equal the latest committed file set: a file a committed entry
+   * removed but that was never retired is retired now (crash between
+   * the commit and the retire pass); a root file the log has never seen
+   * is deleted (crash between a staging move-in and its commit — its
+   * rows still live in the files the log references). Root mutations on
+   * a logged table must go through the maintenance API, so unknown
+   * files are by construction uncommitted leftovers. No-op when the
+   * root already matches.
+   */
+  private[sources] def repairRoot(fs: FileSystem, base0: String): Unit = {
+    val base = base0.stripSuffix("/")
+    if (!isEnabled(fs, base)) return
+    val es = entries(fs, base)
+    if (es.isEmpty) return
+    val live = fileSetFrom(es, es.last._1).toSet
+    val everLogged = es.flatMap(e => e._3 ++ e._4).toSet
+    dataFiles(fs, base).foreach { n =>
+      if (!live.contains(n)) {
+        val p = new Path(base, n)
+        if (everLogged.contains(n)) retain(fs, base, p)
+        else {
+          fs.delete(p, false)
+          val crc = new Path(p.getParent, "." + n + ".crc")
+          if (fs.exists(crc)) fs.delete(crc, false)
+        }
+      }
+    }
   }
 
   /** All committed (version, op, add, remove) entries in order. */
@@ -100,14 +191,29 @@ object GeoTableLog {
       Seq[(Int, String, Seq[String], Seq[String])] = {
     val dir = logDir(base.stripSuffix("/"))
     if (!fs.exists(dir)) return Nil
-    // crash recovery: a vacuum that died after dropping the old
-    // entries left its complete rebased set staged — finish the swap
+    // crash recovery for an interrupted vacuum. The staged rebase under
+    // rebase.tmp carries two phase markers:
+    //   COMPLETE — staging finished; the staged set is authoritative and
+    //              the old-entry drop may have begun (partially or fully)
+    //   DROPPED  — the drop finished; promotion may have begun
+    // No COMPLETE -> vacuum died mid-staging: the old log is intact,
+    // discard the stage. COMPLETE without DROPPED -> finish the drop
+    // (every .json still in the dir is an old entry — promotion never
+    // starts before DROPPED), then promote. Both markers -> any .json in
+    // the dir is already-promoted staged content: keep it, promote the
+    // rest (promoteStagedRebase is idempotent).
     val staged = new Path(dir, "rebase.tmp")
-    if (fs.exists(staged) &&
-        !fs.listStatus(dir).exists(s => s.getPath.getName.endsWith(".json")))
-      promoteStagedRebase(fs, base.stripSuffix("/"))
-    else if (fs.exists(staged))
-      fs.delete(staged, true) // vacuum died BEFORE the drop: old log is intact
+    if (fs.exists(staged)) {
+      if (!fs.exists(new Path(staged, "COMPLETE"))) fs.delete(staged, true)
+      else {
+        if (!fs.exists(new Path(staged, "DROPPED"))) {
+          fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
+            .foreach(fs.delete(_, false))
+          fs.create(new Path(staged, "DROPPED"), true).close()
+        }
+        promoteStagedRebase(fs, base.stripSuffix("/"))
+      }
+    }
     fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
       .sortBy(_.getName).toSeq.map { p =>
         val in = fs.open(p)
@@ -146,6 +252,13 @@ object GeoTableLog {
     require(es.nonEmpty, s"no commit log at $base")
     require(es.exists(_._1 == version),
       s"version $version not in log (have ${es.head._1}..${es.last._1})")
+    fileSetFrom(es, version)
+  }
+
+  /** [[fileSetAt]] over already-read entries (no re-listing — the
+   *  optimistic-commit validation runs this per attempt). */
+  private[sources] def fileSetFrom(
+      es: Seq[(Int, String, Seq[String], Seq[String])], version: Int): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet[String]()
     es.takeWhile(_._1 <= version).foreach { case (_, _, add, remove) =>
       remove.foreach(live -= _)
@@ -160,6 +273,70 @@ object GeoTableLog {
     val es = entries(fsOf(spark, base), base)
     require(es.nonEmpty, s"no commit log at $base")
     es.last._1
+  }
+
+  /** (version, commit-time millis) per entry, in version order. */
+  def entryTimes(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    val base = path.stripSuffix("/")
+    entryTimes(fsOf(spark, base), base)
+  }
+
+  /** (version, commit-time millis) per entry, in version order. Uses
+   *  the entry's "ts" field; entries written before it existed fall
+   *  back to the entry file's modification time. */
+  def entryTimes(fs: FileSystem, base: String): Seq[(Int, Long)] = {
+    val dir = logDir(base.stripSuffix("/"))
+    entries(fs, base) // run crash recovery first so the listing is clean
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName).toSeq.map { st =>
+        val in = fs.open(st.getPath)
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toString("UTF-8")
+        } finally in.close()
+        val v = { val i = text.indexOf("\"version\":")
+          text.substring(i + 10).takeWhile(_.isDigit).toInt }
+        val i = text.indexOf("\"ts\":")
+        val ts = if (i >= 0) text.substring(i + 5).takeWhile(_.isDigit).toLong
+          else st.getModificationTime
+        (v, ts)
+      }
+  }
+
+  /** The latest version committed at or before `tsMillis` — the
+   *  `AS OF <timestamp>` resolver behind st_read_version's string
+   *  overload. Commit times are non-decreasing in version order
+   *  (single-clock writer per table), so this is a prefix max. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val base = path.stripSuffix("/")
+    val times = entryTimes(fsOf(spark, base), base)
+    require(times.nonEmpty, s"no commit log at $base")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $base committed at or before $tsMillis " +
+        s"(earliest commit is version ${times.head._1} at ${times.head._2})")
+    at.map(_._1).max
+  }
+
+  /** Parse a timestamp string for the AS OF form: ISO-8601 instants
+   *  ("2026-08-16T04:00:00Z"), or a date-time without zone, read as
+   *  UTC (the engine's session time zone): "2026-08-16 04:00:00[.SSS]",
+   *  "2026-08-16T04:00", "2026-08-16". */
+  def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    try java.time.Instant.parse(t).toEpochMilli
+    catch { case _: Exception =>
+      val norm = if (t.contains("T")) t else t.replace(' ', 'T')
+      val full =
+        if (!norm.contains("T")) norm + "T00:00:00"
+        else if (norm.count(_ == ':') == 1) norm + ":00"
+        else norm
+      java.time.LocalDateTime.parse(full).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
   }
 
   /**
@@ -213,28 +390,23 @@ object GeoTableLog {
     val es = entries(fs, base)
     require(es.nonEmpty, s"no commit log at $base")
     require(es.exists(_._1 == keepFrom), s"version $keepFrom not in log")
-    if (keepFrom == es.head._1) return 0L
-    // files needed by any surviving version = union of file sets at
-    // keepFrom.. latest; every other retained file goes
-    val needed = es.map(_._1).filter(_ >= keepFrom)
-      .flatMap(v => fileSetAt(fs, base, v)).toSet
-    var dropped = 0L
-    val retained = retainedDir(base)
-    if (fs.exists(retained)) fs.listStatus(retained).foreach { st =>
-      if (!needed.contains(st.getPath.getName)) {
-        fs.delete(st.getPath, false); dropped += 1
-      }
-    }
+    if (keepFrom == es.head._1)
+      // nothing to rebase, but sweep orphans a crash between a prior
+      // vacuum's log swap and its retained-file pass left behind
+      return sweepUnneededRetained(fs, base, es)
     // rebase: version 0 = init(fileSetAt(keepFrom)), then the later
     // entries verbatim with shifted numbers. Only the entry JSONs are
     // replaced — retained/ lives inside the log dir and must survive
     // (the surviving snapshots still resolve files there). Crash
-    // safety: the rebased entries are STAGED under rebase.tmp first,
-    // then the old entries drop and the staged set moves in — a crash
-    // between those steps leaves a complete staged log that
-    // [[entries]] self-heals from (the recluster "never zero copies"
-    // bar applied to the log itself).
-    val baseSet = fileSetAt(fs, base, keepFrom)
+    // safety: the rebased entries are STAGED under rebase.tmp first
+    // with a COMPLETE marker, the old entries drop, a DROPPED marker
+    // lands, and the staged set moves in — [[entries]] self-heals from
+    // whichever phase a crash interrupts (the recluster "never zero
+    // copies" bar applied to the log itself). Retained-file deletion
+    // runs LAST, after the rebased log no longer references the files
+    // (deleting first would break surviving snapshots on a crash
+    // between the delete and the swap).
+    val baseSet = fileSetFrom(es, keepFrom)
     val tail = es.filter(_._1 > keepFrom)
     val tmp = new Path(logDir(base), "rebase.tmp")
     fs.delete(tmp, true); fs.mkdirs(tmp)
@@ -242,30 +414,50 @@ object GeoTableLog {
       def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
       val out = fs.create(new Path(tmp, f"$v%010d.json"), false)
       try out.write(
-        s"""{"version":$v,"op":"$op","add":${arr(add)},"remove":${arr(remove)}}"""
-          .getBytes("UTF-8"))
+        (s"""{"version":$v,"ts":${System.currentTimeMillis()},"op":"$op",""" +
+          s""""add":${arr(add)},"remove":${arr(remove)}}""").getBytes("UTF-8"))
       finally out.close()
     }
     stage(0, "init", baseSet, Nil)
     tail.zipWithIndex.foreach { case ((_, op, add, remove), i) =>
       stage(i + 1, op, add, remove)
     }
+    fs.create(new Path(tmp, "COMPLETE"), true).close()
     fs.listStatus(logDir(base)).map(_.getPath)
       .filter(_.getName.endsWith(".json")).foreach(fs.delete(_, false))
+    fs.create(new Path(tmp, "DROPPED"), true).close()
     promoteStagedRebase(fs, base)
+    sweepUnneededRetained(fs, base, entries(fs, base))
+  }
+
+  /** Delete retained files referenced by NO version of the (current)
+   *  log; returns the number deleted. Runs after a vacuum's log swap
+   *  and as the orphan sweep of a no-op vacuum call. */
+  private def sweepUnneededRetained(fs: FileSystem, base: String,
+      es: Seq[(Int, String, Seq[String], Seq[String])]): Long = {
+    val needed = es.map(_._1).flatMap(v => fileSetFrom(es, v)).toSet
+    var dropped = 0L
+    val retained = retainedDir(base)
+    if (fs.exists(retained)) fs.listStatus(retained).foreach { st =>
+      if (!needed.contains(st.getPath.getName)) {
+        fs.delete(st.getPath, false); dropped += 1
+      }
+    }
     dropped
   }
 
   /** Move a complete staged rebase (the .json entries under
    *  rebase.tmp) into the log dir. Shared by [[vacuum]] and the
-   *  [[entries]] crash recovery. */
+   *  [[entries]] crash recovery; idempotent — a staged name whose
+   *  destination already exists was promoted before a crash, so the
+   *  stage copy is simply dropped. */
   private def promoteStagedRebase(fs: FileSystem, base: String): Unit = {
     val tmp = new Path(logDir(base), "rebase.tmp")
     fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".json"))
       .foreach { p =>
         val dst = new Path(logDir(base), p.getName)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(p, dst))
+        if (fs.exists(dst)) fs.delete(p, false)
+        else if (!fs.rename(p, dst))
           throw new java.io.IOException(s"vacuum: cannot promote $p")
       }
     fs.delete(tmp, true)

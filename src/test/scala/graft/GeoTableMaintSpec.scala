@@ -224,14 +224,15 @@ class GeoTableMaintSpec extends SparkSpec {
     // vacuum leaves no staged rebase behind
     assert(!new java.io.File(dir, "_graft_log/rebase.tmp").exists())
     // crash recovery: simulate a vacuum that died after dropping the
-    // old entries — stage a copy of the log, delete the JSONs, and the
-    // next read must self-heal from the staged set
+    // old entries (staging COMPLETE, drop done, DROPPED not yet
+    // written) — the next read must self-heal from the staged set
     val logDirF = new java.io.File(dir, "_graft_log")
     val tmpF = new java.io.File(logDirF, "rebase.tmp"); tmpF.mkdirs()
     val jsons = logDirF.listFiles().filter(_.getName.endsWith(".json"))
     jsons.foreach { f =>
       java.nio.file.Files.copy(f.toPath, new java.io.File(tmpF, f.getName).toPath)
     }
+    new java.io.File(tmpF, "COMPLETE").createNewFile()
     jsons.foreach(_.delete())
     assert(GeoTableLog.entries(spark, dir).map(_._2) == opsAfter, "self-heal failed")
     assert(!tmpF.exists(), "staged rebase must be consumed")
@@ -258,5 +259,211 @@ class GeoTableMaintSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GeoTableLog.readVersion(spark, dir, 3) // compacted away
     }
+  }
+
+  test("vacuum crash phases: partial drop heals, pre-COMPLETE stage rolls back") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-crash").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 3000), "geom", dir, extent, numFiles = 2)
+    GeoTableLog.enable(spark, dir)
+    GeoTable.deleteWhere(spark, "geom", dir, $"id" % 10 === 3L) // v1
+    GeoTable.deleteWhere(spark, "geom", dir, $"id" % 10 === 4L) // v2
+    val ops = GeoTableLog.entries(spark, dir).map(_._2)
+    assert(ops == Seq("init", "delete", "delete"))
+    val v2Rows = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    val logDirF = new java.io.File(dir, "_graft_log")
+    def jsonFiles() = logDirF.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+
+    // phase A — died MID-STAGING (no COMPLETE marker): the stage must
+    // roll back and the old log stay authoritative
+    val tmpA = new java.io.File(logDirF, "rebase.tmp"); tmpA.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmpA, "0000000000.json").toPath,
+      """{"version":0,"op":"init","add":["bogus.parquet"],"remove":[]}""".getBytes)
+    assert(GeoTableLog.entries(spark, dir).map(_._2) == ops, "old log must survive")
+    assert(!tmpA.exists(), "incomplete stage must be discarded")
+
+    // phase B — the r13 ADVICE bug: died PARTWAY through the old-entry
+    // drop (COMPLETE written, SOME old entries already deleted, some
+    // left). The old recovery promoted only at zero remaining JSONs, so
+    // this state silently lost the log's leading versions. Now the
+    // staged set is authoritative: recovery finishes the drop and
+    // promotes a complete rebased log.
+    val keepV1 = GeoTableLog.readVersion(spark, dir, 1).select("id").as[Long].collect().toSet
+    // stage the rebase vacuum(keepFrom=1) would write: init at v1's
+    // file set, then the v2 delete renumbered to v1 (read the log
+    // BEFORE creating the stage dir — entries() rolls back a stage
+    // without COMPLETE, which is exactly what phase A just verified)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val baseSet = GeoTableLog.fileSetAt(fs, dir, 1)
+    val tail = GeoTableLog.entries(spark, dir).filter(_._1 > 1)
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val tmpB = new java.io.File(logDirF, "rebase.tmp"); tmpB.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmpB, "0000000000.json").toPath,
+      s"""{"version":0,"op":"init","add":${arr(baseSet)},"remove":[]}""".getBytes)
+    tail.zipWithIndex.foreach { case ((_, op, add, remove), i) =>
+      java.nio.file.Files.write(new java.io.File(tmpB, f"${i + 1}%010d.json").toPath,
+        s"""{"version":${i + 1},"op":"$op","add":${arr(add)},"remove":${arr(remove)}}""".getBytes)
+    }
+    new java.io.File(tmpB, "COMPLETE").createNewFile()
+    val olds = jsonFiles()
+    assert(olds.length == 3)
+    olds.head.delete() // the partial drop: 1 of 3 old entries gone
+    val healed = GeoTableLog.entries(spark, dir)
+    assert(healed.map(_._1) == Seq(0, 1), healed.toString)
+    assert(healed.map(_._2) == Seq("init", "delete"), healed.toString)
+    assert(!tmpB.exists())
+    assert(GeoTableLog.readVersion(spark, dir, 0)
+      .select("id").as[Long].collect().toSet == keepV1, "rebased init drifted")
+    assert(GeoTableLog.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == v2Rows, "rebased tail drifted")
+
+    // phase C — died MID-PROMOTE (both markers, one staged entry
+    // already moved in): recovery keeps the promoted entry and moves
+    // the rest
+    val tmpC = new java.io.File(logDirF, "rebase.tmp"); tmpC.mkdirs()
+    val cur = jsonFiles()
+    cur.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(tmpC, f.getName).toPath)
+    }
+    new java.io.File(tmpC, "COMPLETE").createNewFile()
+    cur.foreach(_.delete())
+    new java.io.File(tmpC, "DROPPED").createNewFile()
+    // simulate one entry already promoted
+    java.nio.file.Files.move(new java.io.File(tmpC, "0000000000.json").toPath,
+      new java.io.File(logDirF, "0000000000.json").toPath)
+    val healedC = GeoTableLog.entries(spark, dir)
+    assert(healedC.map(_._2) == Seq("init", "delete"), healedC.toString)
+    assert(!tmpC.exists())
+    assert(GeoTableLog.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet == v2Rows)
+  }
+
+  test("multi-writer commit log: version CAS serializes, conflicts fail loudly") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-mw").toString + "/t"
+    GeoTable.writeClustered(pts(0 until 500), "geom", dir, (0.0, 0.0, 100.0, 100.0),
+      numFiles = 1)
+    GeoTableLog.enable(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // 4 interleaved committers x 25 appends each: every commit must win
+    // a distinct version and no entry may be lost (the CAS is the only
+    // coordination — no locks)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futs = (0 until 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+        def call(): Seq[Int] = (0 until 25).map { i =>
+          GeoTableLog.appendEntry(fs, dir, "append",
+            add = Seq(f"part-w$w-$i%03d.parquet"), remove = Nil)
+        }
+      })
+    }
+    val versions = futs.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.size == 100 && versions.toSet.size == 100,
+      s"duplicate versions won: ${versions.groupBy(identity).filter(_._2.size > 1).keys}")
+    val es = GeoTableLog.entries(spark, dir)
+    assert(es.map(_._1) == (0 to 100), "log must be contiguous 0..100")
+    val live = GeoTableLog.fileSetAt(fs, dir, 100).toSet
+    for (w <- 0 until 4; i <- 0 until 25)
+      assert(live.contains(f"part-w$w-$i%03d.parquet"), s"lost commit w$w-$i")
+
+    // optimistic conflict: two committers racing to remove the SAME
+    // file — the loser must fail with ConcurrentModificationException,
+    // not silently double-remove
+    GeoTableLog.appendEntry(fs, dir, "delete", add = Nil,
+      remove = Seq("part-w0-000.parquet"))
+    intercept[java.util.ConcurrentModificationException] {
+      GeoTableLog.appendEntry(fs, dir, "delete", add = Nil,
+        remove = Seq("part-w0-000.parquet"))
+    }
+  }
+
+  test("interrupted-swap repair: committed-unretired files retire, strays drop") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-repair").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 2000), "geom", dir, extent, numFiles = 2)
+    GeoTableLog.enable(spark, dir)
+    GeoTable.appendClustered(pts(2000 until 2400), "geom", dir, extent, numFiles = 1)
+    GeoTable.appendClustered(pts(2400 until 2800), "geom", dir, extent, numFiles = 1)
+    assert(GeoTable.compactDeltas(spark, "geom", dir, extent, numFiles = 1) == 2)
+    val want = (0 until 2800).map(_.toLong).toSet
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == want)
+
+    // crash shape 1 — after the compact commit, before the retire pass:
+    // a superseded delta is still in the root (plain reads double-count)
+    val retainedF = new java.io.File(dir, "_graft_log/retained")
+    val aDelta = retainedF.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(aDelta.toPath, new java.io.File(dir, aDelta.getName).toPath)
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() > 2800, "precondition: duplicates visible")
+    GeoTable.repair(spark, dir)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == want)
+    assert(new java.io.File(retainedF, aDelta.getName).exists(), "must re-retire, not delete")
+
+    // crash shape 2 — after a staging move-in, before its commit: a
+    // part file the log has never seen must be dropped (its rows still
+    // live in the committed files)
+    val stray = new java.io.File(dir, "part-00000-stray-fake.c000.snappy.parquet")
+    val donor = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath, stray.toPath)
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() > 2800, "precondition: stray rows visible")
+    GeoTable.repair(spark, dir)
+    assert(!stray.exists(), "uncommitted stray must be deleted")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == want)
+
+    // the next maintenance op runs the same repair as its preamble —
+    // compactDeltas no longer fails on 'live delta missing' states
+    java.nio.file.Files.copy(donor.toPath, stray.toPath)
+    assert(GeoTable.compactDeltas(spark, "geom", dir, extent) == 0)
+    assert(!stray.exists(), "maintenance preamble must repair first")
+  }
+
+  test("AS OF timestamp: versionAsOf and the st_read_version string form") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-asof").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 1000), "geom", dir, extent, numFiles = 2)
+    GeoTableLog.enable(spark, dir)
+    GeoTable.deleteWhere(spark, "geom", dir, $"id" % 5 === 0L) // v1
+    GeoTable.deleteWhere(spark, "geom", dir, $"id" % 5 === 1L) // v2
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val times = GeoTableLog.entryTimes(fs, dir)
+    assert(times.map(_._1) == Seq(0, 1, 2))
+    assert(times.map(_._2) == times.map(_._2).sorted, "commit times must be non-decreasing")
+    // exact boundaries: at each commit instant, that version is current
+    times.foreach { case (v, ts) =>
+      assert(GeoTableLog.versionAsOf(spark, dir, ts) == v, s"as-of at v$v's own ts")
+    }
+    assert(GeoTableLog.versionAsOf(spark, dir, times.last._2 + 60000) == 2)
+    intercept[IllegalArgumentException] {
+      GeoTableLog.versionAsOf(spark, dir, times.head._2 - 60000)
+    }
+    // SQL surface: a timestamp string after the last commit reads the
+    // latest snapshot; a version number still works
+    Graft.install(spark)
+    val iso = java.time.Instant.ofEpochMilli(times.last._2 + 60000).toString
+    val viaTs = spark.sql(s"SELECT id FROM st_read_version('$dir', '$iso')")
+      .as[Long].collect().toSet
+    assert(viaTs == GeoTableLog.readVersion(spark, dir, 2)
+      .select("id").as[Long].collect().toSet)
+    val v1viaTs = spark.sql(
+      s"SELECT id FROM st_read_version('$dir', '${java.time.Instant.ofEpochMilli(times(1)._2).toString}')")
+      .as[Long].collect().toSet
+    assert(v1viaTs == GeoTableLog.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().toSet)
+    // parse forms: ISO instant, space-separated UTC, bare date
+    assert(GeoTableLog.parseTsMillis("2026-08-16T00:00:00Z") ==
+      GeoTableLog.parseTsMillis("2026-08-16 00:00:00"))
+    assert(GeoTableLog.parseTsMillis("2026-08-16") ==
+      GeoTableLog.parseTsMillis("2026-08-16T00:00:00Z"))
+    assert(GeoTableLog.parseTsMillis("2026-08-16 04:30") ==
+      GeoTableLog.parseTsMillis("2026-08-16T04:30:00Z"))
   }
 }
