@@ -2003,6 +2003,27 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ST_ClusterIntersecting semantics (st_intersects transitive
+    // closure): 1.2x1.2 squares on the supplier integer lattice —
+    // squares intersect iff Chebyshev center distance <= 1 (1.2 sits
+    // strictly between lattice distances 1 and 2, so the exact
+    // predicate has no boundary ties to certify away)
+    "q_geo_cluster_intersecting" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val sq = s.table("supplier").select(col("s_suppkey"),
+        st_makeenvelope(
+          expr("CAST(s_suppkey % 17 AS DOUBLE) - 0.6"),
+          expr("CAST((s_suppkey * 5) % 19 AS DOUBLE) - 0.6"),
+          expr("CAST(s_suppkey % 17 AS DOUBLE) + 0.6"),
+          expr("CAST((s_suppkey * 5) % 19 AS DOUBLE) + 0.6")).as("g"))
+      operators.SpatialCluster.clusterIntersecting(sq, col("s_suppkey"), col("g"),
+          cellSize = 2.0)
+        .select(col("id").as("s_suppkey"), col("cluster"))
+        .orderBy("s_suppkey")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // log-likelihood ratios (target = English docs) in exact micro-nats,
     // Gumbel top-k selection keyed by the content-stable md5 uniform.
@@ -5995,6 +6016,25 @@ object SparkEntry {
            nb AS (
              SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b
              ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 6.25
+              AND a.id <> b.id),
+           r(id, lbl) AS (
+             SELECT id, id FROM p
+             UNION
+             SELECT nb.ida, r.lbl FROM nb JOIN r ON r.id = nb.idb)
+           SELECT id AS s_suppkey, CAST(min(lbl) AS BIGINT) AS cluster
+           FROM r GROUP BY id ORDER BY s_suppkey""",
+
+      // intersects closure replay: squares of half-width 0.6 on the
+      // integer lattice intersect iff |dx| <= 1 AND |dy| <= 1
+      // (Chebyshev adjacency); recursive-CTE min-label closure
+      "q_geo_cluster_intersecting" ->
+        """WITH RECURSIVE p AS (
+             SELECT s_suppkey AS id, CAST(s_suppkey % 17 AS DOUBLE) AS x,
+               CAST((s_suppkey * 5) % 19 AS DOUBLE) AS y
+             FROM supplier),
+           nb AS (
+             SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b
+             ON abs(a.x - b.x) <= 1.2 AND abs(a.y - b.y) <= 1.2
               AND a.id <> b.id),
            r(id, lbl) AS (
              SELECT id, id FROM p

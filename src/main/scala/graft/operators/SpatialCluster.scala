@@ -115,6 +115,40 @@ object SpatialCluster {
       .select(col("id"), col("cluster"))
 
   /**
+   * Intersection-based agglomeration — the PostGIS
+   * `ST_ClusterIntersecting` semantics: the transitive closure of
+   * st_intersects adjacency (geometries that touch or overlap share a
+   * cluster). Not a [[clusterWithin]](0) alias: the closure runs the
+   * real prepared-geometry st_intersects predicate through the grid
+   * equi-join (envelope-overlap candidates → exact predicate), so
+   * overlapping polygons and shared-boundary touches cluster exactly
+   * as the predicate defines, with no distance computation in the hot
+   * path. Scale shape: identical to [[dbscan]] minPts=1 — one
+   * grid-cell shuffle for candidates, edge-sized large-star/small-star
+   * rounds, min-point-id deterministic labels. Returns (id, cluster);
+   * geometries intersecting nothing cluster with themselves.
+   */
+  def clusterIntersecting(df: DataFrame, id: Column, geom: Column,
+      cellSize: Double = 0.0): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = df.select(id.cast("long").as("id"), geom.as("__g"))
+    val rhs = df.select(id.cast("long").as("nbr_id"), geom.as("__ng"))
+    val edges = SpatialJoin.join(pts, rhs, col("__g"), col("__ng"), "st_intersects",
+        cellSize = cellSize)
+      .select(col("id"), col("nbr_id"))
+      .filter(col("id") =!= col("nbr_id"))
+      .persist(lvl)
+    val result = LinkGraph.connectedComponents(edges, col("id"), col("nbr_id"))
+      // singletons never appear in the edge list — self-label them
+      .unionByName(pts.select(col("id"), col("id").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+      .persist(lvl)
+    result.count() // materialize before freeing the corpus-sized edges
+    edges.unpersist(blocking = false)
+    result
+  }
+
+  /**
    * Spatial k-means — the PostGIS `ST_ClusterKMeans` shape, made
    * deterministic: [[Similarity.kmeansMicro]]'s exact-integer Lloyd
    * loop (content-stable k-smallest-id seeding, micro-unit centroid

@@ -142,7 +142,11 @@ class CoverageSpec extends SparkSpec {
       ("functions/GeoOps.scala", "\"st_delaunaytriangles\"", "Triangulation"),
       ("functions/GeoOps.scala", "\"st_minimumboundingcircle\"", "bounding circle"),
       ("functions/GeoOps.scala", "\"st_segmentize\"", "Densify"),
-      ("functions/GeoOps.scala", "\"st_subdivide\"", "Subdivide"))
+      ("functions/GeoOps.scala", "\"st_subdivide\"", "Subdivide"),
+      ("operators/SpatialCluster.scala", "def clusterIntersecting", "ClusterIntersecting"),
+      ("sources/GeoTableLog.scala", "def versionAsOf", "AS OF"),
+      ("sources/GeoTableLog.scala", "def casWrite", "optimistic concurrency"),
+      ("sources/GeoTableLog.scala", "def repairRoot", "repairRoot"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

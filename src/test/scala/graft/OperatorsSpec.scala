@@ -151,6 +151,40 @@ class SpatialClusterSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L), got)
   }
 
+  test("clusterIntersecting: brute-force closure parity on circles; touches cluster") {
+    // circles (buffered points): envelope overlap does NOT imply
+    // intersection (corner-adjacent circles miss), so this exercises
+    // the exact predicate behind the grid candidates, not just bboxes
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 150).map(i =>
+      (i.toLong, rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble))
+    val df = pts.toDF("id", "x", "y")
+      .withColumn("g", st_buffer(st_point($"x", $"y"), lit(0.8)))
+    val got = SpatialCluster.clusterIntersecting(df, $"id", $"g")
+      .as[(Long, Long)].collect().toMap
+    // driver brute force over the same JTS buffers
+    val geoms = pts.map { case (i, x, y) =>
+      i -> graft.functions.Jts.gf.createPoint(
+        new org.locationtech.jts.geom.Coordinate(x, y)).buffer(0.8)
+    }.toMap
+    val parent = scala.collection.mutable.Map(pts.map(p => p._1 -> p._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, ga) <- geoms; (b, gb) <- geoms if a < b && ga.intersects(gb)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pts.map(p => p._1 -> find(p._1)).toMap
+    assert(got == want, (got.toSet -- want.toSet).take(5).toString)
+    assert(want.values.toSet.size > 1, "closure not exercised: everything merged")
+    // shared-boundary polygons (distance 0, interiors disjoint) must
+    // cluster — the touch case dwithin-thinking gets wrong
+    val sq = Seq((0L, 0.0), (1L, 1.0), (2L, 3.0)).toDF("id", "x0")
+      .withColumn("g", st_makeenvelope($"x0", lit(0.0), $"x0" + 1.0, lit(1.0)))
+    val touch = SpatialCluster.clusterIntersecting(sq, $"id", $"g", cellSize = 1.0)
+      .as[(Long, Long)].collect().toMap
+    assert(touch == Map(0L -> 0L, 1L -> 0L, 2L -> 2L), touch.toString)
+  }
+
   test("spatial kmeans: separable blobs recover, labels content-stable") {
     // ids interleaved (id % 3 = blob) so the k-smallest-id seeds span
     // the blobs — the documented contract of the deterministic seeding
