@@ -3461,6 +3461,51 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL video frame pixel decode (r14): planted AVI '00db' DIB and
+    // MOV stsz/stsc/stco fixtures whose 4x4 frames carry the
+    // closed-form (seed*31 + k*7) mod 256 byte formula — at g=4 the
+    // pooled grid is an identity copy, so every feature cell is the
+    // exact ITU-601 integer gray the oracle recomputes byte-for-byte.
+    // An MJPEG arm (real ImageIO JPEGs in '00dc' chunks) certifies the
+    // frame slicing + real JPEG decode by count and dimensions (JPEG
+    // pixel values are codec-defined, not closed-form).
+    "q_mm_video_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val avis = s.range(5).map { i =>
+        (80000000L + i, operators.Multimodal.aviBytes(4, 4, 40000L,
+          (0 until 3).map(f => ("db", operators.Multimodal.dibBytes(4, 4, 100L + 10 * i + f)))))
+      }.toDF("media_id", "payload")
+      val movs = s.range(3).map { i =>
+        (90000000L + i, operators.Multimodal.movBytes(4, 4, 600L, 1200L,
+          (0 until 2).map(f => operators.Multimodal.bmpBytes(4, 4, 500L + 10 * i + f))))
+      }.toDF("media_id", "payload")
+      val mjpegs = s.range(2).map { i =>
+        val jpegs = (0 until 2).map { f =>
+          val img = new java.awt.image.BufferedImage(32, 24,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 24; x <- 0 until 32)
+            img.setRGB(x, y, ((x * 8 + f) << 16) | ((y * 10) << 8) | ((x + y) & 0xFF))
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpeg", bos)
+          ("dc", bos.toByteArray)
+        }
+        (95000000L + i, operators.Multimodal.aviBytes(32, 24, 33333L, jpegs))
+      }.toDF("media_id", "payload")
+      val pixelRows = operators.Multimodal.videoFrameFeatures(
+          avis.unionByName(movs), "media_id", "payload", featureDim = 16)
+        .select(col("media_id"), col("frame_idx"),
+          posexplode(col("feature")).as(Seq("pos", "f")),
+          col("width").as("w"), col("height").as("h"))
+        .select(col("media_id"), col("frame_idx"), col("pos"),
+          round(col("f") * lit(255)).cast("int").as("gray"), col("w"), col("h"))
+      val mjpegRows = operators.Multimodal.videoFrameFeatures(
+          mjpegs, "media_id", "payload", featureDim = 16)
+        .select(col("media_id"), col("frame_idx"), lit(-1).as("pos"),
+          lit(-1).as("gray"), col("width").as("w"), col("height").as("h"))
+      pixelRows.unionByName(mjpegRows).orderBy("media_id", "frame_idx", "pos")
+    }),
+
     // REAL PCM feature extraction: the planted wavBytes sweep (same
     // parameters as q_mm_decode's wav arm) through audioFrameFeatures —
     // per-frame exact-integer energy and zero-crossings. The oracle
@@ -7349,6 +7394,46 @@ object SparkEntry {
              CAST(sum(CASE WHEN pos > 0 AND s * prev < 0 THEN 1 ELSE 0 END) AS INTEGER)
                AS zero_cross
            FROM fr GROUP BY i, frame_idx ORDER BY media_id, frame_idx""",
+
+      // video frame replay: the (seed*31 + k*7) mod 256 DIB byte
+      // formula re-derived per cell — file row (3 - y), BGR order,
+      // stride 12 — then the integer ITU-601 gray; MJPEG arm by frame
+      // count and dimensions (sentinel pos/gray = -1)
+      "q_mm_video_frames" ->
+        """WITH avif AS (
+             SELECT i, f, 100 + 10 * i + f AS seed
+             FROM (SELECT unnest(range(0, 5)) AS i), (SELECT unnest(range(0, 3)) AS f)),
+           movf AS (
+             SELECT i, f, 500 + 10 * i + f AS seed
+             FROM (SELECT unnest(range(0, 3)) AS i), (SELECT unnest(range(0, 2)) AS f)),
+           allf AS (
+             SELECT 80000000 + i AS media_id, f, seed FROM avif
+             UNION ALL SELECT 90000000 + i, f, seed FROM movf),
+           cells AS (
+             SELECT x, y FROM (SELECT unnest(range(0, 4)) AS x),
+               (SELECT unnest(range(0, 4)) AS y)),
+           px AS (
+             SELECT media_id, f, x, y, (3 - y) * 12 + x * 3 AS base, seed
+             FROM allf, cells),
+           gr AS (
+             SELECT media_id, f, x, y,
+               (((seed * 31 + (base + 2) * 7) % 256) * 299 +
+                ((seed * 31 + (base + 1) * 7) % 256) * 587 +
+                ((seed * 31 + base * 7) % 256) * 114) // 1000 AS gray
+             FROM px),
+           pixel_rows AS (
+             SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(f AS INTEGER) AS frame_idx, CAST(y * 4 + x AS INTEGER) AS pos,
+               CAST(gray AS INTEGER) AS gray, 4 AS w, 4 AS h
+             FROM gr),
+           mjpeg_rows AS (
+             SELECT CAST(95000000 + i AS BIGINT) AS media_id,
+               CAST(f AS INTEGER) AS frame_idx, -1 AS pos, -1 AS gray, 32 AS w, 24 AS h
+             FROM (SELECT unnest(range(0, 2)) AS i), (SELECT unnest(range(0, 2)) AS f))
+           SELECT media_id, frame_idx, pos, gray,
+             CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h
+           FROM (SELECT * FROM pixel_rows UNION ALL SELECT * FROM mjpeg_rows) t
+           ORDER BY media_id, frame_idx, pos""",
 
       "q_emb_topk" ->
         """WITH scored AS (

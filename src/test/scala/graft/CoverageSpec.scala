@@ -146,7 +146,8 @@ class CoverageSpec extends SparkSpec {
       ("operators/SpatialCluster.scala", "def clusterIntersecting", "ClusterIntersecting"),
       ("sources/GeoTableLog.scala", "def versionAsOf", "AS OF"),
       ("sources/GeoTableLog.scala", "def casWrite", "optimistic concurrency"),
-      ("sources/GeoTableLog.scala", "def repairRoot", "repairRoot"))
+      ("sources/GeoTableLog.scala", "def repairRoot", "repairRoot"),
+      ("operators/Multimodal.scala", "def videoFrameFeatures", "videoFrameFeatures"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

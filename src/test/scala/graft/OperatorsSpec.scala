@@ -2308,6 +2308,94 @@ class MultimodalSpec extends SparkSpec {
     assert(Set("jpeg", "png", "webp").contains(rows(3).getString(0)),
       s"lone sync must not classify: ${rows(3)}")
   }
+
+  test("videoFrameFeatures: DIB-in-AVI pixels decode closed-form exact") {
+    // 4x4 24bpp DIB frames with the deterministic byte formula; the
+    // pooled grid at g=4 over a 4x4 source is an identity copy, so
+    // every feature cell is the exact ITU-601 integer gray of the
+    // formula bytes — recompute it here independently of the decoder
+    val w = 4; val h = 4
+    val avi = Multimodal.aviBytes(w, h, usPerFrame = 40000L,
+      frames = (0 until 3).map(f => ("db", Multimodal.dibBytes(w, h, seed = 100L + f))))
+    val df = Seq((7L, avi)).toDF("media_id", "payload")
+    val rows = Multimodal.videoFrameFeatures(df, "media_id", "payload", featureDim = 16)
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 3)
+    def expectGray(seed: Long, x: Int, yTop: Int): Int = {
+      val stride = (w * 3 + 3) / 4 * 4
+      def px(k: Int): Int = ((seed * 31 + k * 7) % 256).toInt
+      val base = (h - 1 - yTop) * stride + x * 3
+      val (b, g, r) = (px(base), px(base + 1), px(base + 2))
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    rows.zipWithIndex.foreach { case (row, f) =>
+      assert(row.getInt(1) == f && row.getString(2) == "bmp" &&
+        row.getInt(3) == w && row.getInt(4) == h, row.toString)
+      val feats = row.getSeq[Float](5)
+      assert(feats.length == 16)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val got = math.round(feats(y * 4 + x) * 255)
+        assert(got == expectGray(100L + f, x, y), s"frame $f cell ($x,$y)")
+      }
+    }
+    // AVI container metadata is real too (avih walk, not the stub)
+    val meta = Multimodal.decodeAndFeaturize(df, "media_id", "payload", 4)
+      .select("meta.format", "meta.width", "meta.height", "meta.channels",
+        "meta.duration_ms").collect()(0)
+    assert(meta.getString(0) == "avi" && meta.getInt(1) == 4 && meta.getInt(2) == 4 &&
+      meta.getInt(3) == 1 && meta.getLong(4) == 120L, meta.toString)
+  }
+
+  test("videoFrameFeatures: MJPEG-in-AVI and MOV sample tables decode real JPEGs") {
+    // real JPEG frames (ImageIO-encoded gradient) packed as '00dc'
+    // MJPEG chunks and as MOV stsz/stsc/stco samples: both containers
+    // must slice out byte-identical frames, and each frame's features
+    // must equal poolGray of the standalone JPEG
+    def jpegOf(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, ((x * 8 + seed) << 16) | ((y * 10) << 8) | ((x + y) & 0xFF))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val jpegs = (0 until 4).map(jpegOf)
+    val avi = Multimodal.aviBytes(32, 24, 33333L, jpegs.map(("dc", _)))
+    val mov = Multimodal.movBytes(32, 24, 600L, 2400L, jpegs)
+    val df = Seq((1L, avi), (2L, mov)).toDF("media_id", "payload")
+    val rows = Multimodal.videoFrameFeatures(df, "media_id", "payload", featureDim = 16)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(rows.length == 8, rows.length.toString)
+    // expected features: decode each standalone JPEG directly
+    val want = jpegs.map { j =>
+      Multimodal.decodeAndFeaturize(
+        Seq((0L, j)).toDF("media_id", "payload"), "media_id", "payload", 16)
+        .collect()(0).getSeq[Float](2)
+    }
+    rows.foreach { row =>
+      val f = row.getInt(1)
+      assert(row.getString(2) == "jpeg" && row.getInt(3) == 32 && row.getInt(4) == 24)
+      assert(row.getSeq[Float](5) == want(f),
+        s"media ${row.getLong(0)} frame $f drifted from the standalone decode")
+    }
+    // frameStep sampling keeps original indices
+    val sampled = Multimodal.videoFrameFeatures(df.filter($"media_id" === 1L),
+        "media_id", "payload", featureDim = 16, frameStep = 2)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(sampled.toSeq == Seq(0, 2))
+    // MOV metadata path unchanged: the mvhd/tkhd walk sees this file
+    val meta = Multimodal.decodeAndFeaturize(
+      Seq((9L, mov)).toDF("media_id", "payload"), "media_id", "payload", 4)
+      .select("meta.format", "meta.width", "meta.height", "meta.duration_ms")
+      .collect()(0)
+    assert(meta.getString(0) == "mp4" && meta.getInt(1) == 32 &&
+      meta.getInt(2) == 24 && meta.getLong(3) == 4000L, meta.toString)
+    // hostile payloads: truncated AVI / non-video bytes yield no rows
+    val hostile = Seq((5L, avi.take(40).toArray), (6L, Array.fill[Byte](64)(3)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.videoFrameFeatures(hostile, "media_id", "payload").count() == 0)
+  }
 }
 
 class BloomSpec extends SparkSpec {
