@@ -616,6 +616,57 @@ object Bench {
         graft.operators.Sketches.hllRegisters(items, col("w"), b = 6)
           .agg(count(lit(1)), sum("max_rank")).collect()(0).getLong(0)
       }
+      // cosine/norm at amortized scale — the q_emb_norm/q_emb_topk
+      // kernels' missing amortized twin (the 46 ms micro row graded
+      // 9.6x of pure fixed overhead every round): 20M closed-form
+      // 8-dim float vectors, L2 norm via the aggregate lambda +
+      // CosineSimilarity against one constant-folded query vector.
+      // Identical double op order on both engines (float element
+      // loads, index-order accumulation, dot/(sqrt·sqrt)), so the
+      // per-row micro-rounded exact BIGINT checksums match.
+      def normN(n: Long): Long = {
+        val vecs = spark.range(n).selectExpr(
+          "transform(sequence(0, 7), d -> CAST(CAST((id*37 + d*11)*48271 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT)) AS v")
+        vecs.select(
+            expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("l2"),
+            graft.operators.Similarity.cosine(col("v"),
+              expr("transform(sequence(0, 7), d -> CAST(CAST((d*97 + 13)*48271 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT))")).as("c"))
+          .agg(count(lit(1)), sum(expr("CAST(round(c * 1e6) AS BIGINT)")),
+            sum(expr("CAST(round(l2 * 1e6) AS BIGINT)")))
+          .collect()(0).getLong(0)
+      }
+      // MinHash-LSH at 20M docs — the dedup-family amortized-scale proof
+      // (minhash was previously graded only by the sf0.1 gate rows
+      // whose brute-force oracle times out): 10% planted identical
+      // pairs (every 5th family), the rest globally unique token
+      // streams (tokens are affine in `base` mod a prime larger than
+      // any base, so distinct bases can never share all tokens). BOTH
+      // engines run the identical LSH recipe — 16 minhash permutations
+      // over 3-token shingles of 6-token docs, 4 bands, bucket
+      // equi-join, distinct pairs — each with its native shingle hash
+      // (FNV-1a here, DuckDB hash() there): identical texts collide in
+      // every band under ANY minhash and unrelated texts share no
+      // shingles, so both discover exactly the planted pair set and
+      // the count/sum checksums certify cross-engine.
+      def minhashN(n: Long): Long = {
+        val docs = spark.range(n)
+          .selectExpr("id", s"CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE $n + id END AS base")
+          .selectExpr("id",
+            "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+            "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+            "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+        val pairs = graft.operators.Dedup.minhashCandidates(docs, col("id"), col("text"),
+          numHashes = 16, bands = 4, shingleSize = 3)
+        // signature-estimate verify (>= 15/16 agreeing positions): kills
+        // the rare band-level false candidates from 32-bit shingle-hash
+        // birthday collisions, so both engines report EXACTLY the
+        // planted pair set (planted pairs have identical signatures)
+        val out = pairs.filter(col("est_jaccard") >= 0.9)
+          .agg(count(lit(1)), sum(col("id_a") + col("id_b")))
+          .collect()(0).getLong(0)
+        pairs.unpersist(blocking = false)
+        out
+      }
       // DSIR data selection at amortized scale: the REAL two-pass
       // operator (fit bucket-agg + broadcast-apply + Gumbel top-k) on
       // 1M synthetic docs × 11 hashed features each — both engines pay
@@ -640,6 +691,7 @@ object Bench {
       blocklistN(1000000L); cmsN(1000000L, 100000L); hllN(1000000L, 100000L)
       dsirN(100000L) // warm the dsir plan shapes
       labelPropN(1000000L, 10000L) // warm plan shapes
+      normN(1000000L); minhashN(1000000L) // warm plan shapes
       bench("spatial_join_10m",
         () => time { spatialJoinN(10000000L) }, cutoff = 30.0, trialsN = 3)
       bench("transform_10m",
@@ -685,6 +737,10 @@ object Bench {
         () => time { hllN(10000000L, 1000000L) }, cutoff = 30.0, trialsN = 3)
       bench("dsir_1m",
         () => time { dsirN(1000000L) }, cutoff = 30.0, trialsN = 3)
+      bench("norm_20m",
+        () => time { normN(20000000L) }, cutoff = 30.0, trialsN = 3)
+      bench("minhash_20m",
+        () => time { minhashN(20000000L) }, cutoff = 120.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -749,6 +805,70 @@ object Bench {
          SELECT count(*) AS n, CAST(sum(label) AS BIGINT) AS s FROM l3"""
     }
     val operatorOracles = Map(
+      // identical double op order as the Spark kernels: float element
+      // values, index-order accumulation, dot/(sqrt·sqrt)
+      "norm_20m" ->
+        """WITH v AS (
+             SELECT [CAST(((range*37 + d*11)*48271 % 1000003) / 1000003.0 AS FLOAT)
+                     for d in range(0, 8)] AS v
+             FROM range(20000000)),
+           q AS (SELECT [CAST(((d*97 + 13)*48271 % 1000003) / 1000003.0 AS FLOAT)
+                     for d in range(0, 8)] AS q),
+           s AS (
+             SELECT
+               sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in v])) AS l2,
+               list_sum([(v[i]::DOUBLE) * (q[i]::DOUBLE) for i in range(1, 9)])
+                 / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in v]))
+                    * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in q]))) AS c
+             FROM v, q)
+           SELECT count(*) AS n, CAST(sum(CAST(round(c * 1e6, 0) AS BIGINT)) AS BIGINT) AS sc,
+             CAST(sum(CAST(round(l2 * 1e6, 0) AS BIGINT)) AS BIGINT) AS sl
+           FROM s""",
+      // the identical LSH recipe with DuckDB's native shingle hash:
+      // 16 (a_k·h + b_k) mod P permutations (a_k = 48271^(k+1),
+      // b_k = 16807^(k+3) mod P — per-k pseudo-random; linearly
+      // related constants correlate argmins across k and admit false
+      // bands) over the 4 3-token shingles, 4 bands of 4, bucket
+      // equi-join, distinct pairs, >= 15/16 signature verify —
+      // discovers exactly the planted pair set (see the Spark kernel)
+      "minhash_20m" ->
+        """WITH docs AS (
+             SELECT range AS id,
+               CASE WHEN (range // 2) % 5 = 0 THEN range // 2
+                    ELSE 20000000 + range END AS base
+             FROM range(20000000)),
+           toks AS (
+             SELECT id, [base*7 % 1000000007, (base*11+1) % 1000000007,
+               (base*13+2) % 1000000007, (base*17+3) % 1000000007,
+               (base*19+4) % 1000000007, (base*23+5) % 1000000007] AS t
+             FROM docs),
+           sh AS (
+             SELECT id, [CAST(hash(CAST(t[i] AS VARCHAR) || ':' ||
+                 CAST(t[i+1] AS VARCHAR) || ':' || CAST(t[i+2] AS VARCHAR))
+                 % 4294967296 AS BIGINT) for i in range(1, 5)] AS h
+             FROM toks),
+           ab AS (SELECT
+             [48271, 182605794, 1291394886, 1914720637, 2078669041, 407355683,
+              1105902161, 854716505, 564586691, 1596680831, 192302371, 1203428207,
+              1250328747, 1738531149, 1271135913, 1098894339] AS a,
+             [1622650073, 984943658, 1144108930, 470211272, 101027544, 1457850878,
+              1458777923, 2007237709, 823564440, 1115438165, 1784484492, 74243042,
+              114807987, 1137522503, 1441282327, 16531729] AS b),
+           sig AS (
+             SELECT id, [list_min([(ab.a[k] * hv + ab.b[k]) % 2147483647 for hv in h])
+                 for k in range(1, 17)] AS sig
+             FROM sh, ab),
+           bk AS (
+             SELECT id, b.b AS band, hash(list_slice(sig, b.b*4+1, b.b*4+4)) AS bh
+             FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+           cand AS (
+             SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+           pairs AS (
+             SELECT id_a, id_b FROM cand
+             JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id
+             WHERE len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, 17)], x -> x)) >= 15)
+           SELECT count(*) AS n, CAST(sum(id_a + id_b) AS BIGINT) AS s FROM pairs""",
       "blocklist_10m" -> {
         val cols = blocklistLex.zipWithIndex.map { case (p, i) =>
           s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS c$i"
@@ -996,7 +1116,8 @@ object Bench {
     // timed-out oracle reports no ratio for the biggest join row.
     // range_join_100m gets the same headroom: even pre-aggregated it
     // brushed 120 s on the r11 box, leaving the row as an r_ub
-    val oracleTimeouts = Map("asof_join_100m" -> "300", "range_join_100m" -> "300")
+    val oracleTimeouts = Map("asof_join_100m" -> "300", "range_join_100m" -> "300",
+      "minhash_20m" -> "600")
     // group override entries by their timeout value so each oracle runs
     // under its own watchdog (a single batch would apply one arbitrary
     // entry's timeout to all of them)

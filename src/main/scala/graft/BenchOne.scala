@@ -143,6 +143,43 @@ object BenchOne {
         rangeJoinN(1000000L, 1000L)
         val trials = (1 to 3).map(_ => time { rangeJoinN(100000000L, 10000L) })
         println(f"range_join_100m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "norm" =>
+        def normN(n: Long): Long = {
+          val vecs = spark.range(n).selectExpr(
+            "transform(sequence(0, 7), d -> CAST(CAST((id*37 + d*11)*48271 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT)) AS v")
+          val out = vecs.select(
+              expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("l2"),
+              graft.operators.Similarity.cosine(col("v"),
+                expr("transform(sequence(0, 7), d -> CAST(CAST((d*97 + 13)*48271 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT))")).as("c"))
+            .agg(count(lit(1)), sum(expr("CAST(round(c * 1e6) AS BIGINT)")),
+              sum(expr("CAST(round(l2 * 1e6) AS BIGINT)"))).collect()(0)
+          println(s"  [norm n=${out.getLong(0)} sc=${out.getLong(1)} sl=${out.getLong(2)}]")
+          out.getLong(0)
+        }
+        val nN = args.lift(1).map(_.toLong).getOrElse(20000000L)
+        normN(1000000L)
+        val trials = (1 to 3).map(_ => time { normN(nN) })
+        println(f"norm trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "minhash" =>
+        def minhashN(n: Long): Long = {
+          val docs = spark.range(n)
+            .selectExpr("id", s"CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE $n + id END AS base")
+            .selectExpr("id",
+              "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+              "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+              "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+          val pairs = graft.operators.Dedup.minhashCandidates(docs, col("id"), col("text"),
+            numHashes = 16, bands = 4, shingleSize = 3)
+          val out = pairs.filter(col("est_jaccard") >= 0.9)
+            .agg(count(lit(1)), sum(col("id_a") + col("id_b"))).collect()(0)
+          pairs.unpersist(blocking = false)
+          println(s"  [minhash n=${out.getLong(0)} s=${out.getLong(1)}]")
+          out.getLong(0)
+        }
+        val nM = args.lift(1).map(_.toLong).getOrElse(20000000L)
+        minhashN(1000000L)
+        val trials = (1 to 3).map(_ => time { minhashN(nM) })
+        println(f"minhash trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
       case other => sys.error(s"unknown workload: $other")
     }
     spark.stop()
