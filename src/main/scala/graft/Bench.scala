@@ -635,7 +635,7 @@ object Bench {
             sum(expr("CAST(round(l2 * 1e6) AS BIGINT)")))
           .collect()(0).getLong(0)
       }
-      // MinHash-LSH at 20M docs — the dedup-family amortized-scale proof
+      // MinHash-LSH at 10M docs — the dedup-family amortized-scale proof
       // (minhash was previously graded only by the sf0.1 gate rows
       // whose brute-force oracle times out): 10% planted identical
       // pairs (every 5th family), the rest globally unique token
@@ -739,8 +739,8 @@ object Bench {
         () => time { dsirN(1000000L) }, cutoff = 30.0, trialsN = 3)
       bench("norm_20m",
         () => time { normN(20000000L) }, cutoff = 30.0, trialsN = 3)
-      bench("minhash_20m",
-        () => time { minhashN(20000000L) }, cutoff = 120.0, trialsN = 3)
+      bench("minhash_10m",
+        () => time { minhashN(10000000L) }, cutoff = 120.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>
@@ -831,12 +831,12 @@ object Bench {
       // bands) over the 4 3-token shingles, 4 bands of 4, bucket
       // equi-join, distinct pairs, >= 15/16 signature verify —
       // discovers exactly the planted pair set (see the Spark kernel)
-      "minhash_20m" ->
+      "minhash_10m" ->
         """WITH docs AS (
              SELECT range AS id,
                CASE WHEN (range // 2) % 5 = 0 THEN range // 2
-                    ELSE 20000000 + range END AS base
-             FROM range(20000000)),
+                    ELSE 10000000 + range END AS base
+             FROM range(10000000)),
            toks AS (
              SELECT id, [base*7 % 1000000007, (base*11+1) % 1000000007,
                (base*13+2) % 1000000007, (base*17+3) % 1000000007,
@@ -1117,7 +1117,7 @@ object Bench {
     // range_join_100m gets the same headroom: even pre-aggregated it
     // brushed 120 s on the r11 box, leaving the row as an r_ub
     val oracleTimeouts = Map("asof_join_100m" -> "300", "range_join_100m" -> "300",
-      "minhash_20m" -> "600")
+      "minhash_10m" -> "600")
     // group override entries by their timeout value so each oracle runs
     // under its own watchdog (a single batch would apply one arbitrary
     // entry's timeout to all of them)

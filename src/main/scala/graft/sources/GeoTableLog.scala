@@ -26,12 +26,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *
  * Scale shape: the log is file-count-sized JSON (driver metadata, the
  * same order as parquet footers); retained files cost storage, never
- * read time — current-version reads list only the table root. Single
- * writer, like every maintenance op here; snapshot reads are safe
- * against concurrent maintenance because committed versions only ever
- * reference immutable files (a new commit never mutates old parts —
- * they are moved, not rewritten, and [[readVersion]] resolves either
- * location).
+ * read time — current-version reads list only the table root.
+ *
+ * Concurrency contract (r14): COMMIT APPENDS are multi-writer safe —
+ * [[appendEntry]] claims version slots through an atomic
+ * publish-if-absent CAS with optimistic remove-set validation (see its
+ * doc). MAINTENANCE ops that move data files or renumber history
+ * (vacuum, recluster's checkpoint, compactDeltas, the surgical
+ * rewrites, repairRoot) remain mutually exclusive — run one at a time
+ * per table. Snapshot READS are safe against everything: committed
+ * versions only ever reference immutable files (a new commit never
+ * mutates old parts — they are moved, not rewritten, and
+ * [[readVersion]] resolves either location), and a reader that
+ * encounters a vacuum's staged rebase ignores an in-progress stage and
+ * finishes only a provably crashed swap (phase markers).
  */
 object GeoTableLog {
 
@@ -128,13 +136,22 @@ object GeoTableLog {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // a local fs without hard links (some overlay/NFS mounts):
+          // fall back to the check-then-create primitive — weaker
+          // atomicity, same contract as the non-local branch
+          createIfAbsent(fs, dst, bytes)
       } finally fs.delete(tmp, false)
-    } else {
-      try {
-        val out = fs.create(dst, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    } else createIfAbsent(fs, dst, bytes)
+
+  private def createIfAbsent(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean =
+    try {
+      val out = fs.create(dst, false)
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(dst) => false
     }
 
   /** Move a data file aside instead of deleting it (commit-log mode).
@@ -196,23 +213,24 @@ object GeoTableLog {
     //   COMPLETE — staging finished; the staged set is authoritative and
     //              the old-entry drop may have begun (partially or fully)
     //   DROPPED  — the drop finished; promotion may have begun
-    // No COMPLETE -> vacuum died mid-staging: the old log is intact,
-    // discard the stage. COMPLETE without DROPPED -> finish the drop
-    // (every .json still in the dir is an old entry — promotion never
-    // starts before DROPPED), then promote. Both markers -> any .json in
-    // the dir is already-promoted staged content: keep it, promote the
-    // rest (promoteStagedRebase is idempotent).
+    // No COMPLETE -> either the vacuum died mid-staging (the old log is
+    // intact and the next vacuum clears the stage) or a vacuum is
+    // staging RIGHT NOW — a reader must only IGNORE the stage, never
+    // delete it (deleting would gut a live vacuum's stage and let it
+    // promote an incomplete log). COMPLETE without DROPPED -> finish
+    // the drop (every .json still in the dir is an old entry —
+    // promotion never starts before DROPPED), then promote. Both
+    // markers -> any .json in the dir is already-promoted staged
+    // content: keep it, promote the rest (promoteStagedRebase is
+    // idempotent and tolerates a concurrent recoverer).
     val staged = new Path(dir, "rebase.tmp")
-    if (fs.exists(staged)) {
-      if (!fs.exists(new Path(staged, "COMPLETE"))) fs.delete(staged, true)
-      else {
-        if (!fs.exists(new Path(staged, "DROPPED"))) {
-          fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
-            .foreach(fs.delete(_, false))
-          fs.create(new Path(staged, "DROPPED"), true).close()
-        }
-        promoteStagedRebase(fs, base.stripSuffix("/"))
+    if (fs.exists(staged) && fs.exists(new Path(staged, "COMPLETE"))) {
+      if (!fs.exists(new Path(staged, "DROPPED"))) {
+        fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
+          .foreach(fs.delete(_, false))
+        fs.create(new Path(staged, "DROPPED"), true).close()
       }
+      promoteStagedRebase(fs, base.stripSuffix("/"))
     }
     fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
       .sortBy(_.getName).toSeq.map { p =>
@@ -408,19 +426,23 @@ object GeoTableLog {
     // between the delete and the swap).
     val baseSet = fileSetFrom(es, keepFrom)
     val tail = es.filter(_._1 > keepFrom)
+    // rebased entries PRESERVE their original commit instants (the
+    // rebased init inherits keepFrom's) — vacuum reclaims storage, it
+    // must not rewrite history for AS OF <timestamp> reads
+    val times = entryTimes(fs, base).toMap
     val tmp = new Path(logDir(base), "rebase.tmp")
     fs.delete(tmp, true); fs.mkdirs(tmp)
-    def stage(v: Int, op: String, add: Seq[String], remove: Seq[String]): Unit = {
+    def stage(v: Int, ts: Long, op: String, add: Seq[String], remove: Seq[String]): Unit = {
       def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
       val out = fs.create(new Path(tmp, f"$v%010d.json"), false)
       try out.write(
-        (s"""{"version":$v,"ts":${System.currentTimeMillis()},"op":"$op",""" +
+        (s"""{"version":$v,"ts":$ts,"op":"$op",""" +
           s""""add":${arr(add)},"remove":${arr(remove)}}""").getBytes("UTF-8"))
       finally out.close()
     }
-    stage(0, "init", baseSet, Nil)
-    tail.zipWithIndex.foreach { case ((_, op, add, remove), i) =>
-      stage(i + 1, op, add, remove)
+    stage(0, times.getOrElse(keepFrom, System.currentTimeMillis()), "init", baseSet, Nil)
+    tail.zipWithIndex.foreach { case ((ov, op, add, remove), i) =>
+      stage(i + 1, times.getOrElse(ov, System.currentTimeMillis()), op, add, remove)
     }
     fs.create(new Path(tmp, "COMPLETE"), true).close()
     fs.listStatus(logDir(base)).map(_.getPath)
@@ -453,12 +475,21 @@ object GeoTableLog {
    *  stage copy is simply dropped. */
   private def promoteStagedRebase(fs: FileSystem, base: String): Unit = {
     val tmp = new Path(logDir(base), "rebase.tmp")
-    fs.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".json"))
+    if (!fs.exists(tmp)) return // a concurrent recoverer already finished
+    val staged = try fs.listStatus(tmp) catch {
+      case _: java.io.FileNotFoundException => return
+    }
+    staged.map(_.getPath).filter(_.getName.endsWith(".json"))
       .foreach { p =>
         val dst = new Path(logDir(base), p.getName)
         if (fs.exists(dst)) fs.delete(p, false)
-        else if (!fs.rename(p, dst))
-          throw new java.io.IOException(s"vacuum: cannot promote $p")
+        else if (!fs.rename(p, dst)) {
+          // a concurrent recoverer may have won the same rename — that
+          // is success, not failure; anything else is a real fault
+          if (fs.exists(dst)) fs.delete(p, false)
+          else if (fs.exists(p))
+            throw new java.io.IOException(s"vacuum: cannot promote $p")
+        }
       }
     fs.delete(tmp, true)
   }

@@ -275,13 +275,19 @@ class GeoTableMaintSpec extends SparkSpec {
     val logDirF = new java.io.File(dir, "_graft_log")
     def jsonFiles() = logDirF.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
 
-    // phase A — died MID-STAGING (no COMPLETE marker): the stage must
-    // roll back and the old log stay authoritative
+    // phase A — no COMPLETE marker (a vacuum died mid-staging OR is
+    // staging right now): readers must IGNORE the stage — never delete
+    // it (deleting would gut a LIVE vacuum's stage) — and keep reading
+    // the intact old log; the next vacuum clears an abandoned stage
     val tmpA = new java.io.File(logDirF, "rebase.tmp"); tmpA.mkdirs()
     java.nio.file.Files.write(new java.io.File(tmpA, "0000000000.json").toPath,
       """{"version":0,"op":"init","add":["bogus.parquet"],"remove":[]}""".getBytes)
     assert(GeoTableLog.entries(spark, dir).map(_._2) == ops, "old log must survive")
-    assert(!tmpA.exists(), "incomplete stage must be discarded")
+    assert(tmpA.exists(), "a reader must not touch a pre-COMPLETE stage")
+    assert(new java.io.File(tmpA, "0000000000.json").exists())
+    // clear the abandoned stage the way vacuum's preamble does
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmpA.getPath), true)
 
     // phase B — the r13 ADVICE bug: died PARTWAY through the old-entry
     // drop (COMPLETE written, SOME old entries already deleted, some
@@ -465,5 +471,13 @@ class GeoTableMaintSpec extends SparkSpec {
       GeoTableLog.parseTsMillis("2026-08-16T00:00:00Z"))
     assert(GeoTableLog.parseTsMillis("2026-08-16 04:30") ==
       GeoTableLog.parseTsMillis("2026-08-16T04:30:00Z"))
+    // vacuum PRESERVES commit instants: the rebased v0/v1 carry the
+    // original v1/v2 times, so AS OF reads see unrewritten history
+    GeoTableLog.vacuum(spark, dir, keepFrom = 1)
+    val after = GeoTableLog.entryTimes(fs, dir)
+    assert(after.map(_._1) == Seq(0, 1))
+    assert(after.map(_._2) == Seq(times(1)._2, times(2)._2),
+      s"vacuum rewrote history: $after vs $times")
+    assert(GeoTableLog.versionAsOf(spark, dir, times(2)._2) == 1)
   }
 }
