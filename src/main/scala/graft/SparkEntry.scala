@@ -2024,6 +2024,40 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // generic multi-column Z-order (the non-spatial clustering twin of
+    // the Hilbert writer): the bit-interleave kernel certified against
+    // a closed-form SQL interleave, 2- and 3-column variants
+    "q_zorder" -> ((s, dir) => {
+      load(s, dir, "supplier")
+      import org.apache.spark.sql.functions._
+      val t = s.table("supplier").select(col("s_suppkey"),
+        (col("s_suppkey") % 64).as("a"),
+        (col("s_suppkey") * 5 % 64).as("b"),
+        (col("s_suppkey") * 11 % 16).as("c"))
+      t.select(col("s_suppkey"),
+          operators.ZOrder.zOrderKey(Seq(col("a"), col("b")), 6).as("z2"),
+          operators.ZOrder.zOrderKey(Seq(col("a"), col("b"), col("c")), 6).as("z3"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Z-ordered table write/read roundtrip: documents clustered by
+    // (length bucket, id bucket); content must be EXACTLY the source
+    // (one range exchange, no row loss/dup) — the oracle recomputes
+    // the projection straight from the source parquet
+    "q_zorder_table" -> ((s, dir) => {
+      load(s, dir, "documents")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_zorder_docs"
+      val docs = s.table("documents").select(col("doc_id"),
+        least(length(col("text")) / 256, lit(31)).cast("long").as("len_b"),
+        (col("doc_id") % 8).as("id_b"), length(col("text")).as("n_chars"))
+      operators.ZOrder.writeZOrdered(docs, Seq(col("len_b"), col("id_b")), out,
+        bitsPerCol = 5, numFiles = 8)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("len_b"), col("id_b"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // log-likelihood ratios (target = English docs) in exact micro-nats,
     // Gumbel top-k selection keyed by the content-stable md5 uniform.
@@ -6087,6 +6121,28 @@ object SparkEntry {
              SELECT nb.ida, r.lbl FROM nb JOIN r ON r.id = nb.idb)
            SELECT id AS s_suppkey, CAST(min(lbl) AS BIGINT) AS cluster
            FROM r GROUP BY id ORDER BY s_suppkey""",
+
+      // closed-form bit interleave: bit j of column i lands at
+      // position j*N + i
+      "q_zorder" ->
+        """WITH t AS (
+             SELECT s_suppkey, s_suppkey % 64 AS a, s_suppkey * 5 % 64 AS b,
+               s_suppkey * 11 % 16 AS c
+             FROM supplier)
+           SELECT s_suppkey,
+             CAST(list_sum([(((a >> j) & 1) << (2*j)) + (((b >> j) & 1) << (2*j + 1))
+               for j in range(0, 6)]) AS BIGINT) AS z2,
+             CAST(list_sum([(((a >> j) & 1) << (3*j)) + (((b >> j) & 1) << (3*j + 1)) +
+               (((c >> j) & 1) << (3*j + 2)) for j in range(0, 6)]) AS BIGINT) AS z3
+           FROM t ORDER BY s_suppkey""",
+
+      // pure source recompute: the z-ordered write must preserve rows
+      // exactly
+      "q_zorder_table" ->
+        """SELECT doc_id,
+             CAST(least(length(text) // 256, 31) AS BIGINT) AS len_b,
+             doc_id % 8 AS id_b, length(text) AS n_chars
+           FROM documents ORDER BY doc_id""",
 
       // Efraimidis-Spirakis replay: ln(w/1e6) and the md5-uniform
       // Gumbel each rounded to micro before the exact BIGINT add

@@ -147,7 +147,8 @@ class CoverageSpec extends SparkSpec {
       ("sources/GeoTableLog.scala", "def versionAsOf", "AS OF"),
       ("sources/GeoTableLog.scala", "def casWrite", "optimistic concurrency"),
       ("sources/GeoTableLog.scala", "def repairRoot", "repairRoot"),
-      ("operators/Multimodal.scala", "def videoFrameFeatures", "videoFrameFeatures"))
+      ("operators/Multimodal.scala", "def videoFrameFeatures", "videoFrameFeatures"),
+      ("operators/ZOrder.scala", "def writeZOrdered", "Z-order"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +
