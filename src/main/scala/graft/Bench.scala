@@ -718,6 +718,11 @@ object Bench {
       // linearly in points while the interval side is unchanged
       bench("asof_join_100m",
         () => time { asofN(100000000L, 1000000L, 100000L) }, cutoff = 60.0, trialsN = 3)
+      // the dedup family at true 100m scale: no operator-side cache
+      // (partial-agg min-id + semi-join only), so unlike minhash this
+      // row fits the shared heap at 100M rows
+      bench("dedup_exact_100m",
+        () => time { dedupN(100000000L) }, cutoff = 120.0, trialsN = 3)
       bench("range_join_100m",
         () => time { rangeJoinN(100000000L, 10000L) }, cutoff = 60.0, trialsN = 3)
       bench("labelprop_10m",
@@ -1047,6 +1052,13 @@ object Bench {
                               AND p.y BETWEEN q.y - 0.5 AND q.y + 0.5
              WHERE sqrt((p.x-q.x)*(p.x-q.x)+(p.y-q.y)*(p.y-q.y)) <= 0.5) t
            WHERE rnk <= 10""",
+      "dedup_exact_100m" ->
+        """WITH docs AS (SELECT range AS id,
+                           'document body text ' || (range % 50000000) AS text
+                         FROM range(100000000))
+           SELECT count(*) AS n, sum(length(text)) AS s FROM (
+             SELECT t.* FROM docs t
+             JOIN (SELECT min(id) AS keep FROM docs GROUP BY md5(text)) k ON t.id = k.keep)""",
       "dedup_exact_10m" ->
         """WITH docs AS (SELECT range AS id,
                            'document body text ' || (range % 5000000) AS text
@@ -1117,7 +1129,7 @@ object Bench {
     // range_join_100m gets the same headroom: even pre-aggregated it
     // brushed 120 s on the r11 box, leaving the row as an r_ub
     val oracleTimeouts = Map("asof_join_100m" -> "300", "range_join_100m" -> "300",
-      "minhash_10m" -> "600")
+      "minhash_10m" -> "600", "dedup_exact_100m" -> "300")
     // group override entries by their timeout value so each oracle runs
     // under its own watchdog (a single batch would apply one arbitrary
     // entry's timeout to all of them)

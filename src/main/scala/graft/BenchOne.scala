@@ -143,6 +143,19 @@ object BenchOne {
         rangeJoinN(1000000L, 1000L)
         val trials = (1 to 3).map(_ => time { rangeJoinN(100000000L, 10000L) })
         println(f"range_join_100m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "dedup100m" =>
+        def dedupN(n: Long): Long = {
+          val docs = spark.range(n).selectExpr("id",
+            s"concat('document body text ', CAST(id % ${n / 2} AS STRING)) AS text")
+          val out = graft.operators.Dedup.exact(docs, col("id"), col("text"))
+            .agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+          println(s"  [dedup n=${out.getLong(0)} s=${out.getLong(1)}]")
+          out.getLong(0)
+        }
+        val nD = args.lift(1).map(_.toLong).getOrElse(100000000L)
+        dedupN(1000000L)
+        val trials = (1 to 3).map(_ => time { dedupN(nD) })
+        println(f"dedup trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
       case "norm" =>
         def normN(n: Long): Long = {
           val vecs = spark.range(n).selectExpr(

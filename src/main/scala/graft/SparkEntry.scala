@@ -3483,10 +3483,19 @@ object SparkEntry {
           opus = i % 2 == 1, rate = 8000 + (i % 5).toInt * 8000,
           channels = 1 + (i % 2).toInt, granule = 48000L + i * 1111L))
       }.toDF("doc_id", "payload")
+      // planted AVI payloads (r14): the avih main-header walk — dims,
+      // frame count and per-frame period swept so duration_ms =
+      // usPerFrame*totalFrames/1000 exercises the full field set
+      val avis = s.range(15).map { i =>
+        (85000000L + i, operators.Multimodal.aviBytes(
+          160 + i.toInt * 32, 120 + i.toInt * 24, 20000L + i * 1000L,
+          (0 until (1 + (i % 4)).toInt).map(f =>
+            ("db", operators.Multimodal.dibBytes(1, 1, f)))))
+      }.toDF("doc_id", "payload")
       operators.Multimodal.decodeAndFeaturize(
           media.unionByName(wavs).unionByName(flacs).unionByName(mp3s)
             .unionByName(mp4s).unionByName(webps).unionByName(mkvs)
-            .unionByName(oggs),
+            .unionByName(oggs).unionByName(avis),
           "doc_id", "payload", featureDim = 16)
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("w"), col("meta.height").as("h"),
@@ -5048,7 +5057,8 @@ object SparkEntry {
        mp4 AS (SELECT unnest(range(0, 20)) AS i),
        webp AS (SELECT unnest(range(0, 20)) AS i),
        mkv AS (SELECT unnest(range(0, 20)) AS i),
-       ogg AS (SELECT unnest(range(0, 20)) AS i)
+       ogg AS (SELECT unnest(range(0, 20)) AS i),
+       avi AS (SELECT unnest(range(0, 15)) AS i)
        SELECT * FROM (
          SELECT doc_id AS media_id,
            ['jpeg', 'png', 'webp'][((h % 3) + 3) % 3 + 1] AS format,
@@ -5125,7 +5135,17 @@ object SparkEntry {
            CAST((48000 + i * 1111) * 1000
              // (CASE WHEN i % 2 = 1 THEN 48000 ELSE 8000 + (i % 5) * 8000 END) AS BIGINT) AS dur_ms,
            16 AS fdim
-         FROM ogg) t
+         FROM ogg
+         UNION ALL
+         -- REAL AVI path (r14): avih fields recomputed from the sweep;
+         -- duration_ms = usPerFrame * totalFrames // 1000, one stream
+         SELECT 85000000 + i AS media_id, 'avi' AS format,
+           CAST(160 + i * 32 AS INT) AS w,
+           CAST(120 + i * 24 AS INT) AS h,
+           1 AS ch,
+           CAST((20000 + i * 1000) * (1 + (i % 4)) // 1000 AS BIGINT) AS dur_ms,
+           16 AS fdim
+         FROM avi) t
        ORDER BY media_id"""
 
   /** q_geo_spheroid golden table: (k, vincenty_m, perimeter_m,

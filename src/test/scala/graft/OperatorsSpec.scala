@@ -2396,6 +2396,51 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "payload")
     assert(Multimodal.videoFrameFeatures(hostile, "media_id", "payload").count() == 0)
   }
+
+  test("video parsers: 200-round hostile fuzz never throws, never fabricates frames") {
+    // random bytes, valid magics grafted onto garbage, and random
+    // truncations/corruptions of VALID containers — the decode
+    // fall-through contract says every path degrades to zero rows (or
+    // fewer frames), never a task failure
+    val rnd = new scala.util.Random(1234)
+    val validAvi = Multimodal.aviBytes(4, 4, 40000L,
+      (0 until 3).map(f => ("db", Multimodal.dibBytes(4, 4, f))))
+    val validMov = Multimodal.movBytes(4, 4, 600L, 1200L,
+      (0 until 2).map(f => Multimodal.bmpBytes(4, 4, f)))
+    val payloads = (0 until 200).map { i =>
+      i % 4 match {
+        case 0 => // pure noise
+          val b = new Array[Byte](rnd.nextInt(4096)); rnd.nextBytes(b); b
+        case 1 => // valid magic + noise tail
+          val b = new Array[Byte](16 + rnd.nextInt(512)); rnd.nextBytes(b)
+          val magic = if (i % 8 == 1) "RIFF????AVI " else "????ftypisom"
+          magic.zipWithIndex.foreach { case (c, j) =>
+            if (c != '?') b(j) = c.toByte }
+          b
+        case 2 => // random truncation of a valid container
+          val src = if (i % 8 == 2) validAvi else validMov
+          src.take(1 + rnd.nextInt(src.length)).toArray
+        case _ => // single-byte corruption of a valid container
+          val src = (if (i % 8 == 3) validAvi else validMov).clone()
+          src(rnd.nextInt(src.length)) = rnd.nextInt(256).toByte
+          src
+      }
+    }
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      // must not throw; frame count bounded by the valid originals'
+      val frames = Multimodal.videoFrames(p, maxFrames = 64)
+      assert(frames.length <= 3, s"fuzz $i fabricated ${frames.length} frames")
+    }
+    // the full operator paths over the whole fuzz corpus in one pass:
+    // frame features AND the metadata decode chain must both survive
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("media_id", "payload")
+    val rows = Multimodal.videoFrameFeatures(df, "media_id", "payload").collect()
+    assert(rows.forall(r => r.getInt(3) > 0 && r.getInt(4) > 0),
+      "decoded frames must carry real dimensions")
+    assert(Multimodal.decodeAndFeaturize(df, "media_id", "payload", 8)
+      .count() == payloads.length)
+  }
 }
 
 class BloomSpec extends SparkSpec {
