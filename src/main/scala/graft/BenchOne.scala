@@ -156,6 +156,31 @@ object BenchOne {
         dedupN(1000000L)
         val trials = (1 to 3).map(_ => time { dedupN(nD) })
         println(f"dedup trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "dedupnorm" =>
+        // session-interaction bisect: does a prior 100M dedup slow the
+        // norm kernel in the same JVM?
+        def dedupN(n: Long): Long = {
+          val docs = spark.range(n).selectExpr("id",
+            s"concat('document body text ', CAST(id % ${n / 2} AS STRING)) AS text")
+          graft.operators.Dedup.exact(docs, col("id"), col("text"))
+            .agg(count(lit(1)), sum(length(col("text")))).collect()(0).getLong(0)
+        }
+        def normN(n: Long): Long = {
+          val vecs = spark.range(n).selectExpr(
+            "transform(sequence(0, 7), d -> CAST(CAST((id*37 + d*11)*48271 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT)) AS v")
+          vecs.select(
+              expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("l2"),
+              graft.operators.Similarity.cosine(col("v"),
+                expr("transform(sequence(0, 7), d -> CAST(CAST((d*97 + 13)*48271 % 1000003 AS DOUBLE) / 1000003.0 AS FLOAT))")).as("c"))
+            .agg(count(lit(1)), sum(expr("CAST(round(c * 1e6) AS BIGINT)")),
+              sum(expr("CAST(round(l2 * 1e6) AS BIGINT)")))
+            .collect()(0).getLong(0)
+        }
+        normN(1000000L)
+        println(f"norm BEFORE dedup: ${time(normN(20000000L))}%.2f s")
+        println(f"dedup 100m: ${time(dedupN(100000000L))}%.2f s")
+        println(f"norm AFTER dedup: ${time(normN(20000000L))}%.2f s")
+        println(f"norm AFTER dedup 2: ${time(normN(20000000L))}%.2f s")
       case "norm" =>
         def normN(n: Long): Long = {
           val vecs = spark.range(n).selectExpr(
