@@ -36,18 +36,26 @@ object Bench {
   }
   private def loadAvg(): Double = osBean.getSystemLoadAverage
 
-  /** vs_oracle ratios from the newest BENCH_r*.json in cwd (the driver
-   *  artifact stores the line's tail as an escaped string — regex over
-   *  the raw text tolerates both plain and escaped quoting; rows cut
-   *  off by the tail truncation just carry no prior). */
-  private[graft] def prevRatios(): Map[String, Double] = try {
-    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+  /** vs_oracle ratios from the newest BENCH_r*.json in `dir` that
+   *  actually carries any (the driver artifact stores the line's tail
+   *  as an escaped string — regex over the raw text tolerates both
+   *  plain and escaped quoting; rows cut off by the tail truncation
+   *  just carry no prior). A FAILED driver run (r14: rc 124, no
+   *  vs_oracle section at all) yields an empty map for its artifact —
+   *  fall back newest -> older to the first artifact with ratios, so
+   *  one killed round cannot disarm the next round's ratio-jump
+   *  confirmation class. */
+  private[graft] def prevRatios(dir: String = "."): Map[String, Double] = try {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-    if (files.isEmpty) return Map.empty
-    val latest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-    val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+      .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt)
     val re = """\\?"([A-Za-z0-9_]+)\\?":\{\\?"s\\?":[0-9.]+,\\?"d\\?":[0-9.]+,\\?"r\\?":([0-9.]+)""".r
-    re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    files.iterator.map { f =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty[String, Double] }
+    }.find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case _: Exception => Map.empty }
 
   /** Pure selection for the confirmation pass. Two candidate classes,

@@ -31,14 +31,39 @@ class BenchProtocolSpec extends AnyFunSuite {
       new java.io.File(dir, "BENCH_r10.json").toPath), "UTF-8")
     val m10 = re.findAllMatchIn(t10).map(m => m.group(1) -> m.group(2).toDouble).toMap
     assert(m10 == Map("join_10m_sql" -> 3.18))
+    // prevRatios over the directory picks the newest artifact's ratios
+    assert(Bench.prevRatios(dir.getPath) == Map("join_10m_sql" -> 3.18))
   }
 
-  test("prevRatios reads the real checked-in artifact from the repo root") {
+  test("prevRatios skips a failed (ratio-less) newest artifact") {
+    // the r14 lesson: the driver's budget kill left BENCH_r14.json with
+    // rc 124 and NO vs_oracle section; taking strictly the newest
+    // artifact would run the next round with prior = empty and disarm
+    // the ratio-jump confirmation class. prevRatios must fall back
+    // newest -> older to the first artifact that carries ratios.
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev-failed").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r13.json").toPath,
+      """{"vs_oracle":{"join_10m_sql":{"s":0.700,"d":1.160,"r":0.60}}}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r14.json").toPath,
+      """{"n": 14, "rc": 124, "tail": "[bench] pack_10m: start\n", "parsed": null}"""
+        .getBytes("UTF-8"))
+    assert(Bench.prevRatios(dir.getPath) == Map("join_10m_sql" -> 0.60))
+    // all artifacts failed -> empty map, bench still runs (no priors)
+    val dir2 = java.nio.file.Files.createTempDirectory("bench-prev-allbad").toFile
+    java.nio.file.Files.write(new java.io.File(dir2, "BENCH_r14.json").toPath,
+      """{"rc": 124, "parsed": null}""".getBytes("UTF-8"))
+    assert(Bench.prevRatios(dir2.getPath).isEmpty)
+  }
+
+  test("prevRatios reads the real checked-in artifacts from the repo root") {
     // the bench runs with cwd = repo root; at least one BENCH_r*.json
-    // is checked in from round 10 onward, and the 6-round-stable
-    // substrate rows must come out with plausible positive ratios
+    // with ratios is checked in from round 10 onward (failed artifacts
+    // like the rc-124 r14 one are skipped by the fallback), and the
+    // 6-round-stable substrate rows must come out with plausible
+    // positive ratios
     val m = Bench.prevRatios()
-    assert(m.nonEmpty, "expected at least one BENCH_r*.json in cwd")
+    assert(m.nonEmpty, "expected at least one ratio-bearing BENCH_r*.json in cwd")
     assert(m.values.forall(r => r > 0 && r < 1000))
     assert(m.contains("join_10m_sql") || m.contains("agg_10m_sql"))
   }
