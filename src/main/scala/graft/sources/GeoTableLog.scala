@@ -28,23 +28,47 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * same order as parquet footers); retained files cost storage, never
  * read time — current-version reads list only the table root.
  *
- * Concurrency contract (r14): COMMIT APPENDS are multi-writer safe —
- * [[appendEntry]] claims version slots through an atomic
- * publish-if-absent CAS with optimistic remove-set validation (see its
- * doc). MAINTENANCE ops that move data files or renumber history
- * (vacuum, recluster's checkpoint, compactDeltas, the surgical
- * rewrites, repairRoot) remain mutually exclusive — run one at a time
- * per table. Snapshot READS are safe against everything: committed
- * versions only ever reference immutable files (a new commit never
- * mutates old parts — they are moved, not rewritten, and
- * [[readVersion]] resolves either location), and a reader that
- * encounters a vacuum's staged rebase ignores an in-progress stage and
- * finishes only a provably crashed swap (phase markers).
+ * Concurrency contract (r14, tightened r15): COMMIT APPENDS are
+ * multi-writer safe — [[appendEntry]] claims version slots through an
+ * atomic publish-if-absent CAS with optimistic remove-set validation
+ * (see its doc), and [[GeoTable.appendClustered]] stages its part
+ * files and registers them in `_graft_log/inflight/` before moving
+ * them in, so row-CRUD maintenance (deleteWhere/updateWhere/
+ * compactDeltas/repair) running CONCURRENTLY with an in-flight append
+ * cannot reap the append's not-yet-committed files ([[repairRoot]]).
+ * MAINTENANCE ops that renumber history (vacuum, recluster's
+ * checkpoint) remain mutually exclusive against everything — run one
+ * at a time per table with no concurrent commits. Snapshot READS are
+ * safe against everything: committed versions only ever reference
+ * immutable files (a new commit never mutates old parts — they are
+ * moved, not rewritten, and [[readVersion]] resolves either location),
+ * and a reader that encounters a vacuum's staged rebase ignores an
+ * in-progress stage, serves itself from a COMPLETE stage while the
+ * vacuum (or a single CAS-elected recoverer) owns the swap, and
+ * finishes only a provably abandoned swap ([[entryDir]]).
  */
 object GeoTableLog {
 
   private def logDir(base: String) = new Path(base.stripSuffix("/"), "_graft_log")
   private def retainedDir(base: String) = new Path(logDir(base), "retained")
+  private[sources] def inflightDir(base: String) = new Path(logDir(base), "inflight")
+
+  /** Age past which an in-flight append marker / a RECOVERING claim is
+   *  treated as abandoned (the writer crashed). Live writers hold these
+   *  for milliseconds-to-seconds (a metadata move-in, a log-drop), so
+   *  ten minutes of silence means death, not slowness. */
+  private[sources] val staleClaimMs = 600000L
+
+  private def readFileUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+  }
 
   private[sources] def fsOf(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -171,10 +195,20 @@ object GeoTableLog {
    * removed but that was never retired is retired now (crash between
    * the commit and the retire pass); a root file the log has never seen
    * is deleted (crash between a staging move-in and its commit — its
-   * rows still live in the files the log references). Root mutations on
-   * a logged table must go through the maintenance API, so unknown
-   * files are by construction uncommitted leftovers. No-op when the
-   * root already matches.
+   * rows still live in the files the log references) UNLESS a live
+   * in-flight append marker claims it. [[GeoTable.appendClustered]]
+   * registers the exact file set it is about to move in under
+   * `_graft_log/inflight/<uuid>` BEFORE the move and removes the marker
+   * after its commit — so a repair preamble running concurrently with
+   * an in-flight append leaves the append's files alone instead of
+   * destroying a commit-to-be (the r14 contract blesses concurrent
+   * appends; reaping their staged files would make the committed entry
+   * reference files that no longer exist — permanent row loss). A
+   * marker older than [[staleClaimMs]] means the append died: its
+   * uncommitted files and the marker itself are reaped. A marker whose
+   * files are all committed is cleanup debt from a crash between the
+   * commit and the marker delete: only the marker is removed. No-op
+   * when the root already matches.
    */
   private[sources] def repairRoot(fs: FileSystem, base0: String): Unit = {
     val base = base0.stripSuffix("/")
@@ -183,17 +217,46 @@ object GeoTableLog {
     if (es.isEmpty) return
     val live = fileSetFrom(es, es.last._1).toSet
     val everLogged = es.flatMap(e => e._3 ++ e._4).toSet
+    val now = System.currentTimeMillis()
+    var inflight = Set.empty[String]
+    val inflDir = inflightDir(base)
+    if (fs.exists(inflDir)) fs.listStatus(inflDir).foreach { st =>
+      val names = readFileUtf8(fs, st.getPath).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val uncommitted = names.filterNot(live.contains)
+      if (uncommitted.isEmpty) {
+        // append committed; the writer died before removing its marker
+        fs.delete(st.getPath, false)
+      } else if (now - st.getModificationTime > staleClaimMs) {
+        // the append died mid-flight: reap its moved-in files + marker
+        uncommitted.foreach { n =>
+          val p = new Path(base, n)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+        fs.delete(st.getPath, false)
+      } else inflight ++= uncommitted
+    }
     dataFiles(fs, base).foreach { n =>
       if (!live.contains(n)) {
         val p = new Path(base, n)
         if (everLogged.contains(n)) retain(fs, base, p)
-        else {
+        else if (!inflight.contains(n)) {
           fs.delete(p, false)
           val crc = new Path(p.getParent, "." + n + ".crc")
           if (fs.exists(crc)) fs.delete(crc, false)
         }
       }
     }
+  }
+
+  /** Register / clear an in-flight append's exact file set (see
+   *  [[repairRoot]]). The marker name is the append's own UUID, so
+   *  concurrent appends never collide. */
+  private[sources] def writeInflightMarker(
+      fs: FileSystem, base: String, id: String, names: Seq[String]): Path = {
+    val p = new Path(inflightDir(base.stripSuffix("/")), id)
+    val out = fs.create(p, false)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    p
   }
 
   /** All committed (version, op, add, remove) entries in order. */
@@ -208,42 +271,87 @@ object GeoTableLog {
       Seq[(Int, String, Seq[String], Seq[String])] = {
     val dir = logDir(base.stripSuffix("/"))
     if (!fs.exists(dir)) return Nil
-    // crash recovery for an interrupted vacuum. The staged rebase under
-    // rebase.tmp carries two phase markers:
-    //   COMPLETE — staging finished; the staged set is authoritative and
-    //              the old-entry drop may have begun (partially or fully)
-    //   DROPPED  — the drop finished; promotion may have begun
-    // No COMPLETE -> either the vacuum died mid-staging (the old log is
-    // intact and the next vacuum clears the stage) or a vacuum is
-    // staging RIGHT NOW — a reader must only IGNORE the stage, never
-    // delete it (deleting would gut a live vacuum's stage and let it
-    // promote an incomplete log). COMPLETE without DROPPED -> finish
-    // the drop (every .json still in the dir is an old entry —
-    // promotion never starts before DROPPED), then promote. Both
-    // markers -> any .json in the dir is already-promoted staged
-    // content: keep it, promote the rest (promoteStagedRebase is
-    // idempotent and tolerates a concurrent recoverer).
+    // retry loop: when the source is a live vacuum's staged rebase, the
+    // owner may promote it away (renames + dir delete) between our
+    // listing and the reads — re-resolve and read the promoted log
+    var attempt = 0
+    while (true) {
+      val src = entryDir(fs, base.stripSuffix("/"))
+      try {
+        if (!fs.exists(src)) { if (src == dir) return Nil }
+        else return fs.listStatus(src).map(_.getPath)
+          .filter(_.getName.endsWith(".json"))
+          .sortBy(_.getName).toSeq.map(p => parseEntry(readFileUtf8(fs, p)))
+      } catch { case _: java.io.FileNotFoundException => () }
+      attempt += 1
+      if (attempt >= 5) throw new java.io.IOException(
+        s"entries: log source for $base kept vanishing mid-read after $attempt attempts")
+    }
+    Nil // unreachable
+  }
+
+  /**
+   * Crash recovery for an interrupted vacuum + the authoritative entry
+   * source for readers. The staged rebase under rebase.tmp carries
+   * three phase markers:
+   *   RECOVERING — the drop phase has an owner (the live vacuum itself,
+   *                or the one CAS-elected crash recoverer); carries the
+   *                claim's wall-clock millis
+   *   COMPLETE   — staging finished; the staged set is authoritative
+   *                and the old-entry drop may have begun
+   *   DROPPED    — the drop finished; promotion may have begun
+   * No COMPLETE -> either the vacuum died mid-staging (the old log is
+   * intact and the next vacuum clears the stage) or a vacuum is
+   * staging RIGHT NOW — a reader must only IGNORE the stage, never
+   * delete it. COMPLETE without DROPPED -> the drop is in progress or
+   * was abandoned. The drop deletes every old .json in the log dir,
+   * and after DROPPED lands promotion moves the staged entries to the
+   * SAME names — so a second dropper whose delete loop runs after a
+   * first finished would destroy freshly promoted entries (the r14
+   * ADVICE race). The drop is therefore SINGLE-WINNER: whoever holds
+   * RECOVERING (published with the same CAS primitive as version
+   * slots; [[vacuum]] claims it before writing COMPLETE, so readers
+   * always lose against a live vacuum) performs it; everyone else
+   * reads the staged entries directly — the same committed state the
+   * swap will publish. A RECOVERING older than [[staleClaimMs]] means
+   * the owner died; the reader takes over best-effort (two
+   * simultaneous stale-takeovers re-open the window, but both require
+   * a drop owner that has been silent for ten minutes — a crashed
+   * process, not a slow one — and the fresh DROPPED re-check narrows
+   * the remaining exposure to the listing-to-delete interval). Both
+   * markers -> any .json in the dir is already-promoted staged
+   * content: keep it, promote the rest (promoteStagedRebase is
+   * idempotent and tolerates a concurrent recoverer).
+   *
+   * Returns the directory whose *.json files are the committed entries
+   * right now: rebase.tmp while someone else owns a COMPLETE swap, the
+   * log dir otherwise.
+   */
+  private def entryDir(fs: FileSystem, base: String): Path = {
+    val dir = logDir(base)
     val staged = new Path(dir, "rebase.tmp")
     if (fs.exists(staged) && fs.exists(new Path(staged, "COMPLETE"))) {
       if (!fs.exists(new Path(staged, "DROPPED"))) {
-        fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
-          .foreach(fs.delete(_, false))
-        fs.create(new Path(staged, "DROPPED"), true).close()
+        val marker = new Path(staged, "RECOVERING")
+        val claimed = casWrite(fs, marker,
+          System.currentTimeMillis().toString.getBytes("UTF-8"))
+        val ownerAgeMs =
+          if (claimed) 0L
+          else try System.currentTimeMillis() - readFileUtf8(fs, marker).trim.toLong
+          catch { case _: Exception => 0L } // unreadable = just created: live
+        if (!claimed && ownerAgeMs < staleClaimMs)
+          return staged // a live owner is mid-swap: the stage is the log
+        // sole claimant (or stale-owner takeover): finish the drop.
+        // Fresh re-checks: the swap may have completed since we looked.
+        if (fs.exists(staged) && !fs.exists(new Path(staged, "DROPPED"))) {
+          fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
+            .foreach(fs.delete(_, false))
+          fs.create(new Path(staged, "DROPPED"), true).close()
+        }
       }
-      promoteStagedRebase(fs, base.stripSuffix("/"))
+      promoteStagedRebase(fs, base)
     }
-    fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
-      .sortBy(_.getName).toSeq.map { p =>
-        val in = fs.open(p)
-        val text = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toString("UTF-8")
-        } finally in.close()
-        parseEntry(text)
-      }
+    dir
   }
 
   /** Minimal parser for the entry shape this object writes (basenames
@@ -301,28 +409,34 @@ object GeoTableLog {
 
   /** (version, commit-time millis) per entry, in version order. Uses
    *  the entry's "ts" field; entries written before it existed fall
-   *  back to the entry file's modification time. */
+   *  back to the entry file's modification time. Resolves the SAME
+   *  entry source as [[entries]] (the staged rebase while a live
+   *  vacuum owns the swap), so version numbers and AS OF timestamps
+   *  stay mutually consistent mid-swap. */
   def entryTimes(fs: FileSystem, base: String): Seq[(Int, Long)] = {
     val dir = logDir(base.stripSuffix("/"))
-    entries(fs, base) // run crash recovery first so the listing is clean
     if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json"))
-      .sortBy(_.getPath.getName).toSeq.map { st =>
-        val in = fs.open(st.getPath)
-        val text = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toString("UTF-8")
-        } finally in.close()
-        val v = { val i = text.indexOf("\"version\":")
-          text.substring(i + 10).takeWhile(_.isDigit).toInt }
-        val i = text.indexOf("\"ts\":")
-        val ts = if (i >= 0) text.substring(i + 5).takeWhile(_.isDigit).toLong
-          else st.getModificationTime
-        (v, ts)
-      }
+    var attempt = 0
+    while (true) {
+      val src = entryDir(fs, base.stripSuffix("/"))
+      try {
+        if (!fs.exists(src)) { if (src == dir) return Nil }
+        else return fs.listStatus(src).filter(_.getPath.getName.endsWith(".json"))
+          .sortBy(_.getPath.getName).toSeq.map { st =>
+            val text = readFileUtf8(fs, st.getPath)
+            val v = { val i = text.indexOf("\"version\":")
+              text.substring(i + 10).takeWhile(_.isDigit).toInt }
+            val i = text.indexOf("\"ts\":")
+            val ts = if (i >= 0) text.substring(i + 5).takeWhile(_.isDigit).toLong
+              else st.getModificationTime
+            (v, ts)
+          }
+      } catch { case _: java.io.FileNotFoundException => () }
+      attempt += 1
+      if (attempt >= 5) throw new java.io.IOException(
+        s"entryTimes: log source for $base kept vanishing mid-read after $attempt attempts")
+    }
+    Nil // unreachable
   }
 
   /** The latest version committed at or before `tsMillis` — the
@@ -432,6 +546,12 @@ object GeoTableLog {
     val times = entryTimes(fs, base).toMap
     val tmp = new Path(logDir(base), "rebase.tmp")
     fs.delete(tmp, true); fs.mkdirs(tmp)
+    // claim the drop phase FIRST: once COMPLETE lands, concurrent
+    // readers CAS against this marker, lose, and serve themselves from
+    // the stage while this vacuum owns the swap (see entryDir)
+    val claim = fs.create(new Path(tmp, "RECOVERING"), false)
+    try claim.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally claim.close()
     def stage(v: Int, ts: Long, op: String, add: Seq[String], remove: Seq[String]): Unit = {
       def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
       val out = fs.create(new Path(tmp, f"$v%010d.json"), false)
