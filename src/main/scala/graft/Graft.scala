@@ -212,9 +212,19 @@ object Graft {
       exprs => planOf {
         val s = SparkSession.active
         val path = litStr(exprs.head)
-        val v = scala.util.Try(litNum(exprs(1)).toInt).getOrElse(
-          graft.sources.GeoTableLog.versionAsOf(s, path,
-            graft.sources.GeoTableLog.parseTsMillis(litStr(exprs(1)))))
+        // dispatch on the literal's TYPE, not parseability: a numeric
+        // literal is a version number, a string literal is always the
+        // AS OF timestamp form — an epoch-millis string must not be
+        // .toInt-saturated into a bogus version lookup, and a string
+        // that happens to look like an integer must not silently stop
+        // being a timestamp
+        val arg = exprs(1)
+        val v = arg.dataType match {
+          case _: org.apache.spark.sql.types.StringType =>
+            graft.sources.GeoTableLog.versionAsOf(s, path,
+              graft.sources.GeoTableLog.parseTsMillis(litStr(arg)))
+          case _ => litNum(arg).toInt
+        }
         graft.sources.GeoTableLog.readVersion(s, path, v)
       }, "scala_udf")
     // commit history of a logged table: (version, op, n_add, n_remove)

@@ -34,8 +34,12 @@ object ZOrder {
    *  fit a signed long. Pure built-in ops — codegen-friendly. */
   def zOrderKey(cols: Seq[Column], bitsPerCol: Int): Column = {
     require(cols.nonEmpty, "zOrderKey: no columns")
-    require(bitsPerCol >= 1 && cols.size * bitsPerCol <= 63,
-      s"zOrderKey: ${cols.size} cols x $bitsPerCol bits exceeds a signed long")
+    // 62, not 63: inRange's upper bound is `< (1L << bitsPerCol)`, and
+    // 1L << 63 overflows to Long.MinValue — a single-column key at 63
+    // bits would fail the range guard for EVERY value, valid or not
+    require(bitsPerCol >= 1 && cols.size * bitsPerCol <= 62,
+      s"zOrderKey: ${cols.size} cols x $bitsPerCol bits exceeds the " +
+        "62-bit budget (bit 63 is the sign, and the range guard needs 2^bits to fit)")
     val n = cols.size
     val terms = for {
       (c, i) <- cols.zipWithIndex

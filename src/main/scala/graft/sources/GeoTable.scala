@@ -90,23 +90,52 @@ object GeoTable {
     val base = path.stripSuffix("/")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val logOn = fs.exists(new org.apache.hadoop.fs.Path(base)) &&
-      GeoTableLog.isEnabled(fs, base)
-    def listParts(): Set[String] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(base))) Set.empty
-      else fs.listStatus(new org.apache.hadoop.fs.Path(base)).map(_.getPath.getName)
-        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
-    val before = if (logOn) listParts() else Set.empty[String]
+    val hBase = new org.apache.hadoop.fs.Path(base)
+    val logOn = fs.exists(hBase) && GeoTableLog.isEnabled(fs, base)
+    // Stage the batch in a sibling dir, then move the EXACT file set in.
+    // Two reasons (both r14 ADVICE findings): (1) the old
+    // listing-diff add set could attribute a concurrent append's files
+    // to this commit (writer B's files landing between A's before/after
+    // listings) — the staged listing is exactly and only this write's
+    // output; (2) an inflight marker naming these files protects the
+    // move-in-to-commit window from a concurrent maintenance op's
+    // repairRoot preamble, which reaps root files the log has never
+    // seen (without the marker it would destroy this commit-to-be).
+    val appendId = java.util.UUID.randomUUID.toString
+    val staging = new org.apache.hadoop.fs.Path(base + ".__append-" + appendId)
+    // opportunistic sweep: staging dirs of appends that died mid-write
+    // (unique names, so nothing else ever cleans them)
+    val parent = staging.getParent
+    if (parent != null && fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      if (st.getPath.getName.startsWith(hBase.getName + ".__append-") &&
+          System.currentTimeMillis() - st.getModificationTime > GeoTableLog.staleClaimMs)
+        fs.delete(st.getPath, true)
+    }
     withKey
       .repartitionByRange(parts, col("__hilbert"))
       .sortWithinPartitions("__hilbert")
       .drop("__hilbert")
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(staging.toString)
+    val newParts = fs.listStatus(staging).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    if (logOn) GeoTableLog.writeInflightMarker(fs, base, appendId, newParts.map(_.getName))
+    if (!fs.exists(hBase)) fs.mkdirs(hBase)
+    newParts.foreach { p =>
+      // part names carry this write's task UUIDs — a destination
+      // collision means a broken store, not a concurrent writer
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(hBase, p.getName)))
+        throw new java.io.IOException(s"appendClustered: cannot move $p into $base")
+    }
+    fs.delete(staging, true)
     // retag every part file (idempotent) so new deltas carry `geo` too
     GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent), covering = true)
-    if (logOn)
+    if (logOn) {
       GeoTableLog.appendEntry(fs, base, "append",
-        add = (listParts() -- before).toSeq.sorted, remove = Nil)
+        add = newParts.map(_.getName), remove = Nil)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        GeoTableLog.inflightDir(base), appendId), false)
+    }
   }
 
   /**

@@ -57,7 +57,7 @@ object GeoTableLog {
    *  treated as abandoned (the writer crashed). Live writers hold these
    *  for milliseconds-to-seconds (a metadata move-in, a log-drop), so
    *  ten minutes of silence means death, not slowness. */
-  private[sources] val staleClaimMs = 600000L
+  private[graft] val staleClaimMs = 600000L
 
   private def readFileUtf8(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -251,7 +251,7 @@ object GeoTableLog {
   /** Register / clear an in-flight append's exact file set (see
    *  [[repairRoot]]). The marker name is the append's own UUID, so
    *  concurrent appends never collide. */
-  private[sources] def writeInflightMarker(
+  private[graft] def writeInflightMarker(
       fs: FileSystem, base: String, id: String, names: Seq[String]): Path = {
     val p = new Path(inflightDir(base.stripSuffix("/")), id)
     val out = fs.create(p, false)
@@ -455,11 +455,14 @@ object GeoTableLog {
   }
 
   /** Parse a timestamp string for the AS OF form: ISO-8601 instants
-   *  ("2026-08-16T04:00:00Z"), or a date-time without zone, read as
+   *  ("2026-08-16T04:00:00Z"), a date-time without zone, read as
    *  UTC (the engine's session time zone): "2026-08-16 04:00:00[.SSS]",
-   *  "2026-08-16T04:00", "2026-08-16". */
+   *  "2026-08-16T04:00", "2026-08-16" — or a bare epoch-millis digit
+   *  string (every supported calendar form contains a dash, so an
+   *  all-digit string is unambiguous). */
   def parseTsMillis(s: String): Long = {
     val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) return t.toLong
     try java.time.Instant.parse(t).toEpochMilli
     catch { case _: Exception =>
       val norm = if (t.contains("T")) t else t.replace(' ', 'T')

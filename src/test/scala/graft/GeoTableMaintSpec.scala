@@ -464,9 +464,21 @@ class GeoTableMaintSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(v1viaTs == GeoTableLog.readVersion(spark, dir, 1)
       .select("id").as[Long].collect().toSet)
-    // parse forms: ISO instant, space-separated UTC, bare date
+    // type-based dispatch (r14 ADVICE): a STRING second arg is always
+    // the AS OF form — an epoch-millis string must resolve as a
+    // timestamp, never .toInt-saturate into a bogus version lookup
+    val viaEpochStr = spark.sql(
+      s"SELECT id FROM st_read_version('$dir', '${times.last._2 + 60000}')")
+      .as[Long].collect().toSet
+    assert(viaEpochStr == viaTs, "epoch-millis string must be AS OF, not a version")
+    // a NUMERIC second arg is still a version number
+    assert(spark.sql(s"SELECT id FROM st_read_version('$dir', 1)")
+      .as[Long].collect().toSet == v1viaTs)
+    // parse forms: ISO instant, space-separated UTC, bare date,
+    // epoch-millis digits
     assert(GeoTableLog.parseTsMillis("2026-08-16T00:00:00Z") ==
       GeoTableLog.parseTsMillis("2026-08-16 00:00:00"))
+    assert(GeoTableLog.parseTsMillis("1755316800000") == 1755316800000L)
     assert(GeoTableLog.parseTsMillis("2026-08-16") ==
       GeoTableLog.parseTsMillis("2026-08-16T00:00:00Z"))
     assert(GeoTableLog.parseTsMillis("2026-08-16 04:30") ==
@@ -479,5 +491,146 @@ class GeoTableMaintSpec extends SparkSpec {
     assert(after.map(_._2) == Seq(times(1)._2, times(2)._2),
       s"vacuum rewrote history: $after vs $times")
     assert(GeoTableLog.versionAsOf(spark, dir, times(2)._2) == 1)
+  }
+
+  test("live vacuum swap: readers serve the stage; only a stale owner is taken over") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-live").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 2000), "geom", dir, extent, numFiles = 2)
+    GeoTableLog.enable(spark, dir)
+    GeoTable.deleteWhere(spark, "geom", dir, $"id" % 10 === 3L) // v1
+    GeoTable.deleteWhere(spark, "geom", dir, $"id" % 10 === 4L) // v2
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val logDirF = new java.io.File(dir, "_graft_log")
+    def jsonFiles() = logDirF.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+
+    // hand-stage the rebase vacuum(keepFrom=1) would write, with a
+    // FRESH RECOVERING claim — the state a reader sees while a live
+    // vacuum is mid-drop
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val baseSet = GeoTableLog.fileSetAt(fs, dir, 1)
+    val tail = GeoTableLog.entries(spark, dir).filter(_._1 > 1)
+    val tmp = new java.io.File(logDirF, "rebase.tmp"); tmp.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tmp, "RECOVERING").toPath,
+      System.currentTimeMillis().toString.getBytes)
+    java.nio.file.Files.write(new java.io.File(tmp, "0000000000.json").toPath,
+      s"""{"version":0,"op":"init","add":${arr(baseSet)},"remove":[]}""".getBytes)
+    tail.zipWithIndex.foreach { case ((_, op, add, remove), i) =>
+      java.nio.file.Files.write(new java.io.File(tmp, f"${i + 1}%010d.json").toPath,
+        s"""{"version":${i + 1},"op":"$op","add":${arr(add)},"remove":${arr(remove)}}""".getBytes)
+    }
+    new java.io.File(tmp, "COMPLETE").createNewFile()
+
+    // a reader must read the STAGE (the committed state the swap will
+    // publish) and must NOT delete the old entries or the stage — the
+    // r14 ADVICE race was exactly a reader's drop loop firing while a
+    // live owner raced it to promotion
+    val viaReader = GeoTableLog.entries(spark, dir)
+    assert(viaReader.map(_._1) == Seq(0, 1), viaReader.toString)
+    assert(viaReader.map(_._2) == Seq("init", "delete"), viaReader.toString)
+    assert(jsonFiles().length == 3, "reader must not drop old entries under a live owner")
+    assert(tmp.exists() && new java.io.File(tmp, "0000000000.json").exists(),
+      "reader must not consume a live owner's stage")
+    // entryTimes resolves the same source: version numbers match entries()
+    assert(GeoTableLog.entryTimes(fs, dir).map(_._1) == Seq(0, 1))
+
+    // owner goes silent past the staleness bound -> the next reader
+    // takes over: finishes the drop, promotes, heals the log
+    java.nio.file.Files.write(new java.io.File(tmp, "RECOVERING").toPath,
+      (System.currentTimeMillis() - GeoTableLog.staleClaimMs - 1000).toString.getBytes)
+    val healed = GeoTableLog.entries(spark, dir)
+    assert(healed.map(_._1) == Seq(0, 1), healed.toString)
+    assert(!tmp.exists(), "stale-owner takeover must complete the swap")
+    assert(jsonFiles().length == 2)
+  }
+
+  test("in-flight append markers shield move-ins from repairRoot; stale ones reap") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-inflight").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 1000), "geom", dir, extent, numFiles = 1)
+    GeoTableLog.enable(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val want = (0 until 1000).map(_.toLong).toSet
+
+    // simulate an in-flight append: part file moved into the root,
+    // marker registered, commit NOT yet written (the r14 ADVICE
+    // scenario — a concurrent maintenance op's repairRoot preamble
+    // used to reap exactly this file, and the append's later commit
+    // would then reference a file that no longer exists)
+    val donor = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val moving = new java.io.File(dir, "part-00000-inflight-test.c000.snappy.parquet")
+    java.nio.file.Files.copy(donor.toPath, moving.toPath)
+    GeoTableLog.writeInflightMarker(fs, dir, "test-append", Seq(moving.getName))
+    GeoTable.repair(spark, dir)
+    assert(moving.exists(), "repair must not reap a live in-flight append's file")
+
+    // the append commits; its marker is now cleanup debt — the next
+    // repair removes the marker and leaves the (now live) file alone
+    GeoTableLog.appendEntry(fs, dir, "append", add = Seq(moving.getName), remove = Nil)
+    GeoTable.repair(spark, dir)
+    assert(moving.exists())
+    val marker = new java.io.File(dir, "_graft_log/inflight/test-append")
+    assert(!marker.exists(), "committed append's marker must be cleaned up")
+
+    // a STALE marker means the append died mid-flight: its uncommitted
+    // file and the marker are both reaped
+    val dead = new java.io.File(dir, "part-00000-dead-append.c000.snappy.parquet")
+    java.nio.file.Files.copy(donor.toPath, dead.toPath)
+    val deadMarker = new java.io.File(dir, "_graft_log/inflight/dead-append")
+    GeoTableLog.writeInflightMarker(fs, dir, "dead-append", Seq(dead.getName))
+    assert(deadMarker.setLastModified(
+      System.currentTimeMillis() - GeoTableLog.staleClaimMs - 1000))
+    GeoTable.repair(spark, dir)
+    assert(!dead.exists(), "a dead append's uncommitted file must be reaped")
+    assert(!deadMarker.exists())
+    spark.catalog.refreshByPath(dir)
+    // the committed donor copy duplicates rows but not ids — the id SET
+    // is unchanged and the dead append's rows are gone
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet == want)
+  }
+
+  test("concurrent appends: exact disjoint add sets, no lost or double-attributed files") {
+    import graft.sources.GeoTableLog
+    val dir = java.nio.file.Files.createTempDirectory("geolog-capp").toString + "/t"
+    val extent = (0.0, 0.0, 100.0, 100.0)
+    GeoTable.writeClustered(pts(0 until 1000), "geom", dir, extent, numFiles = 1)
+    GeoTableLog.enable(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // 3 concurrent appends of disjoint row ranges — the r14 ADVICE
+    // finding: the old listing-diff add set could attribute one
+    // writer's files to another's commit when their windows overlap;
+    // the staged-exact capture cannot
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futs = (0 until 3).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = GeoTable.appendClustered(
+          pts(1000 + w * 500 until 1000 + (w + 1) * 500), "geom", dir, extent, numFiles = 2)
+      })
+    }
+    futs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val es = GeoTableLog.entries(fs, dir)
+    val appendAdds = es.filter(_._2 == "append").map(_._3)
+    assert(appendAdds.size == 3)
+    val all = appendAdds.flatten
+    assert(all.size == all.toSet.size, s"a file was attributed to two commits: $all")
+    assert(appendAdds.forall(_.size == 2), appendAdds.toString)
+    // the committed file set equals the physical root exactly
+    val live = GeoTableLog.fileSetAt(fs, dir, es.last._1).toSet
+    val rootFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    assert(live == rootFiles, s"live=$live root=$rootFiles")
+    // no leftover markers or staging dirs
+    val infl = new java.io.File(dir, "_graft_log/inflight")
+    assert(!infl.exists() || infl.listFiles().isEmpty)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ==
+      (0 until 2500).map(_.toLong).toSet)
   }
 }

@@ -35,6 +35,14 @@ class ZOrderSpec extends SparkSpec {
       brute(Seq(8L, 9L), 5) != brute(Seq(7L, 9L), 5))
     intercept[IllegalArgumentException](ZOrder.zOrderKey(Seq($"a"), 64))
     intercept[IllegalArgumentException](ZOrder.zOrderKey(Nil, 4))
+    // the r14 ADVICE shift-overflow: 63 bits made 1L << 63 overflow to
+    // Long.MinValue in the range guard, failing EVERY row of a
+    // single-column write — 63 now rejects loudly at key build, 62
+    // (the true budget) still works
+    intercept[IllegalArgumentException](ZOrder.zOrderKey(Seq($"a"), 63))
+    val z62 = df.limit(10).select(ZOrder.zOrderKey(Seq($"a"), 62).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z62.forall(_ >= 0L))
   }
 
   test("writeZOrdered clusters every column's per-file range; content exact") {
