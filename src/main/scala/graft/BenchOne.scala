@@ -218,6 +218,51 @@ object BenchOne {
         minhashN(1000000L)
         val trials = (1 to 3).map(_ => time { minhashN(nM) })
         println(f"minhash trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "labelprop" =>
+        // the r14 drift watch: labelprop_10m read 0.16x -> 1.02x in one
+        // round (spark 2.76 -> 4.47 s in-session). Fresh-JVM trials
+        // isolate the kernel from bench-session state.
+        def labelPropN(n: Long, mod: Long): Long = {
+          val edges = spark.range(n).selectExpr(
+            s"id % $mod AS src", s"(id DIV $mod * 13 + id * 7 + 3) % $mod AS dst")
+          val r = graft.operators.LinkGraph.labelPropagation(
+            edges, col("src"), col("dst"), rounds = 3)
+          val out = r.agg(count(lit(1)), sum("label")).collect()(0)
+          println(s"  [labelprop n=${out.getLong(0)} s=${out.getLong(1)}]")
+          r.unpersist(blocking = false)
+          out.getLong(0)
+        }
+        labelPropN(1000000L, 10000L)
+        val trials = (1 to 3).map(_ => time { labelPropN(10000000L, 100000L) })
+        println(f"labelprop_10m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "ivf" =>
+        // the Bench ivf_topk_10m kernel with its checksums printed —
+        // for cross-engine parity checks against the DuckDB oracle
+        def ivfVecSql(idExpr: String): String =
+          {
+        // w -> w*(w+13) mod P: NONLINEAR in d. A recipe linear in d makes
+        // every same-slope vector an arithmetic progression -- all
+        // cosines crowd 1.000000 and ties decide the ranking
+        def w = s"((($idExpr)*37 + d*11)*48271 % 1000003)"
+        s"transform(sequence(0, 7), d -> CAST($w * ($w + 13) % 1000003 AS DOUBLE) / 1000003.0)"
+      }
+        def ivfN(n: Long): Long = {
+          val corpus = spark.range(n).selectExpr("id", s"${ivfVecSql("id")} AS v")
+          val cents = spark.range(8L).selectExpr("id AS cid", s"${ivfVecSql("id*1237 + 101")} AS cv")
+          val qs = spark.range(8L).selectExpr("id AS qid", s"${ivfVecSql("id*7717 + 3")} AS qv")
+          val out = graft.operators.Similarity.ivfTopK(corpus, qs, cents,
+              col("id"), col("v"), col("qid"), col("qv"), col("cid"), col("cv"),
+              k = 10, nprobe = 2)
+            .agg(count(lit(1)), sum("corpus_id"),
+              sum(expr("CAST(round(cosine * 1e6, 0) AS BIGINT)")))
+            .collect()(0)
+          println(s"  [ivf n=${out.getLong(0)} s=${out.getLong(1)} cs=${out.getLong(2)}]")
+          out.getLong(0)
+        }
+        val nV = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        ivfN(1000000L)
+        val trials = (1 to 3).map(_ => time { ivfN(nV) })
+        println(f"ivf trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
       case other => sys.error(s"unknown workload: $other")
     }
     spark.stop()

@@ -152,12 +152,17 @@ case class StringShingles(child: Expression, n: Int = 3)
 /**
  * MinHash signature in one pass: tokenize → word n-gram shingles →
  * murmur-style hash → k universal-hash minima. Returns
- * array<long>[numHashes]. One tight loop per row (shingles × k
- * multiply-mods), no higher-order-function interpretation.
+ * array<int>[numHashes] — every minhash value is `(a*h+b) mod (2^31-1)`
+ * so it fits 31 bits by construction, and the int layout HALVES the
+ * persisted signature cache that dominates LSH dedup memory at corpus
+ * scale (the r14 20M-doc session OOM was exactly this cache). The
+ * permutation arithmetic itself stays in 64-bit. One tight loop per
+ * row (shingles × k multiply-mods), no higher-order-function
+ * interpretation.
  */
 case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize: Int = 3)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_signature"
 
@@ -197,7 +202,7 @@ case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize
     }
     val out = new Array[Any](numHashes)
     var k = 0
-    while (k < numHashes) { out(k) = (if (mins(k) == Long.MaxValue) 0L else mins(k)); k += 1 }
+    while (k < numHashes) { out(k) = (if (mins(k) == Long.MaxValue) 0 else mins(k).toInt); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
