@@ -928,7 +928,7 @@ object Bench {
           val pairs = minhashN(20000000L)
           require(pairs == 2000000L, s"minhash_20m planted-set drift: $pairs")
           1L
-        }, cutoff = 120.0, trialsN = 3)
+        }, cutoff = 30.0, trialsN = 3)
       // IVF top-k at amortized scale: q_emb_ivf_topk reads 1.77x every
       // round at 0.7 s total — fixed-overhead territory. The same REAL
       // operator (ivfTopK: broadcast centroid argmax assignment,
@@ -964,7 +964,7 @@ object Bench {
       // under a 300 s watchdog — an r_ub bound plus the Spark-side
       // linearity vs spatial_join_10m is the graded evidence either way.
       bench("spatial_join_100m",
-        () => time { spatialJoinN(100000000L) }, cutoff = 120.0, trialsN = 3)
+        () => time { spatialJoinN(100000000L) }, cutoff = 30.0, trialsN = 3)
     }
     val pagerankOracle10m: String = {
       val iters = (1 to 5).map { i =>

@@ -148,7 +148,9 @@ class CoverageSpec extends SparkSpec {
       ("sources/GeoTableLog.scala", "def casWrite", "optimistic concurrency"),
       ("sources/GeoTableLog.scala", "def repairRoot", "repairRoot"),
       ("operators/Multimodal.scala", "def videoFrameFeatures", "videoFrameFeatures"),
-      ("operators/ZOrder.scala", "def writeZOrdered", "Z-order"))
+      ("operators/ZOrder.scala", "def writeZOrdered", "Z-order"),
+      ("sources/GeoTableLog.scala", "def writeInflightMarker", "inflight"),
+      ("sources/GeoTableLog.scala", "def entryDir", "single-winner"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +
