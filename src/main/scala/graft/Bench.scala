@@ -443,6 +443,37 @@ object Bench {
         col("pt.y") > 450.0 && col("pt.y") < 650.0).count()
     }
     nativeCount(1000000L) // warm
+    // Z-order data-skipping A/B — the non-spatial twin of the
+    // points_envelope clustered pair (and the scale proof for the r14
+    // ZOrder writer): 10M rows with two independent hash-bucketized
+    // columns, laid out z-ordered vs plain at the SAME file count, then
+    // the same 8x8 two-column box predicate on both. The z layout puts
+    // narrow per-file min/max on BOTH columns, so parquet stats prune
+    // most files; the plain layout reads all of them. The signal is
+    // the PAIR (neither side has a DuckDB row — the generated scan
+    // substrate is already graded by points_envelope_10m_sql).
+    locally {
+      import graft.operators.ZOrder
+      def zRows(n: Long) = spark.range(n).selectExpr("id",
+        "CAST(pmod(hash(id), 1024) AS BIGINT) AS a",
+        "CAST(pmod(hash(id * 7 + 1), 1024) AS BIGINT) AS b")
+      val zDir = "/tmp/graft-bench-zorder"
+      val zPlain = "/tmp/graft-bench-zorder-plain"
+      ZOrder.writeZOrdered(zRows(500000L), Seq(col("a"), col("b")),
+        zDir + "-warm", bitsPerCol = 10, numFiles = 4) // warm writer path
+      bench("zorder_write_10m", () => time {
+        ZOrder.writeZOrdered(zRows(10000000L), Seq(col("a"), col("b")),
+          zDir, bitsPerCol = 10, numFiles = 64); 1L
+      }, cutoff = 30.0, trialsN = 3)
+      zRows(10000000L).repartition(64).write.mode("overwrite").parquet(zPlain) // fixture: NOT timed
+      def boxCount(path: String): Long =
+        spark.read.parquet(path).filter(
+          col("a").between(96L, 103L) && col("b").between(200L, 207L)).count()
+      boxCount(zDir + "-warm") // warm pruned-scan plan shape
+      bench("zorder_scan_10m", () => time { boxCount(zDir) })
+      bench("zorder_scan_10m_plain", () => time { boxCount(zPlain) })
+    }
+
     bench("points_envelope_10m_native",
       () => time { nativeCount(10000000L) })
 
