@@ -445,13 +445,18 @@ object Bench {
     nativeCount(1000000L) // warm
     // Z-order data-skipping A/B — the non-spatial twin of the
     // points_envelope clustered pair (and the scale proof for the r14
-    // ZOrder writer): 10M rows with two independent hash-bucketized
+    // ZOrder writer): 100M rows with two independent hash-bucketized
     // columns, laid out z-ordered vs plain at the SAME file count, then
     // the same 8x8 two-column box predicate on both. The z layout puts
     // narrow per-file min/max on BOTH columns, so parquet stats prune
-    // most files; the plain layout reads all of them. The signal is
-    // the PAIR (neither side has a DuckDB row — the generated scan
-    // substrate is already graded by points_envelope_10m_sql).
+    // most files; the plain layout reads all of them. Held at 10M: the
+    // 100M variant's fixtures (two 100M-row shuffled writes) left
+    // enough session allocation debt to OOM the always-tight
+    // window_100m_sql row later in the run — the same 8g-session debt
+    // class as r14's norm_20m, and a crashed artifact costs more than
+    // a bigger A/B spread is worth. The signal is the PAIR (neither
+    // side has a DuckDB row — the generated scan substrate is already
+    // graded by points_envelope_10m_sql).
     locally {
       import graft.operators.ZOrder
       def zRows(n: Long) = spark.range(n).selectExpr("id",
