@@ -1498,6 +1498,35 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version", "c_custkey")
     }),
 
+    // the r14-ADVICE dispatch shape certified in the driver gate: an
+    // epoch-millis DIGIT STRING second arg must resolve AS OF (never
+    // .toInt-saturate into a bogus version lookup), and a NUMERIC arg
+    // must still be a version number — both read states the oracle
+    // recomputes entirely from the source parquet
+    "q_clustered_asof_epoch" -> ((s, dir) => {
+      load(s, dir, "customer")
+      Graft.install(s)
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_clustered_asof_epoch"
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      val base = s.table("customer").where(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_nationkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(base, "geom", out, ext, numFiles = 4)
+      sources.GeoTableLog.enable(s, out)
+      sources.GeoTable.deleteWhere(s, "geom", out, col("c_custkey") % 7 === 2)
+      sources.GeoTable.updateWhere(s, "geom", out, col("c_custkey") % 5 === 1,
+        Map("c_nationkey" -> (col("c_nationkey") + lit(50))))
+      val times = sources.GeoTableLog.entryTimes(s, out)
+      val byEpoch = s.sql(
+          s"SELECT * FROM st_read_version('$out', '${times(1)._2}')")
+        .select(lit("epoch_v1").as("form"), col("c_custkey"),
+          col("c_nationkey").cast("long").as("nk"))
+      val byNum = s.sql(s"SELECT * FROM st_read_version('$out', 2)")
+        .select(lit("num_v2").as("form"), col("c_custkey"),
+          col("c_nationkey").cast("long").as("nk"))
+      byEpoch.unionByName(byNum).orderBy("form", "c_custkey")
+    }),
+
     // row-level UPDATE on a clustered table (the other half of the
     // R-tree CRUD analog): moves matching points +200 in x and bumps an
     // attribute; updateWhere must keep the geom_bbox sidecar consistent
@@ -6959,6 +6988,23 @@ object SparkEntry {
            SELECT version, c_custkey, nk, x
            FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2) t
            ORDER BY version, c_custkey""",
+
+      // the epoch-string AS OF form resolves v1; the numeric form v2 —
+      // same recompute-from-source states as q_clustered_asof
+      "q_clustered_asof_epoch" ->
+        """WITH base AS (
+             SELECT c_custkey, c_nationkey
+             FROM customer WHERE c_custkey <= 300),
+           v1 AS (SELECT 'epoch_v1' AS form, c_custkey,
+                    CAST(c_nationkey AS BIGINT) AS nk
+                  FROM base WHERE c_custkey % 7 <> 2),
+           v2 AS (SELECT 'num_v2' AS form, c_custkey,
+                    CAST(CASE WHEN c_custkey % 5 = 1 THEN c_nationkey + 50
+                         ELSE c_nationkey END AS BIGINT) AS nk
+                  FROM base WHERE c_custkey % 7 <> 2)
+           SELECT form, c_custkey, nk
+           FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) t
+           ORDER BY form, c_custkey""",
 
       "q_doc_simhash" -> simhashOracle,
       "q_doc_langid" -> langidOracle,
