@@ -218,6 +218,46 @@ object BenchOne {
         minhashN(1000000L)
         val trials = (1 to 3).map(_ => time { minhashN(nM) })
         println(f"minhash trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "spatialjoin" =>
+        // the Bench spatial_join_10m/_100m kernel at an arg-selected
+        // size, checksums printed (n should be 25 zones, s = points in
+        // [0,100)^2 minus boundary exclusions)
+        def spatialJoinN(n: Long): Long = {
+          import graft.operators.SpatialJoin
+          val pts = spark.range(n).select(col("id"),
+            st_point(expr("((id*2+1)*48271 % 2147483647)/21474836.47"),
+              expr("((id*2+7)*16807 % 2147483647)/21474836.47")).as("pt"))
+          val zones = spark.range(25).select(col("id").as("zid"),
+            st_makeenvelope(expr("CAST(id % 5 * 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 AS DOUBLE)"),
+              expr("CAST(id % 5 * 20 + 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 + 20 AS DOUBLE)")).as("zone"))
+          val out = SpatialJoin.join(pts, zones, col("pt"), col("zone"), "st_within", cellSize = 20.0)
+            .groupBy("zid").count().agg(count(lit(1)), sum("count")).collect()(0)
+          println(s"  [spatialjoin n=${out.getLong(0)} s=${out.getLong(1)}]")
+          out.getLong(0)
+        }
+        val nS = args.lift(1).map(_.toLong).getOrElse(100000000L)
+        spatialJoinN(1000000L)
+        val trials = (1 to 3).map(_ => time { spatialJoinN(nS) })
+        println(f"spatialjoin trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "zorder" =>
+        // the Bench z-order A/B in isolation: write + pruned vs plain scan
+        import graft.operators.ZOrder
+        def zRows(n: Long) = spark.range(n).selectExpr("id",
+          "CAST(pmod(hash(id), 1024) AS BIGINT) AS a",
+          "CAST(pmod(hash(id * 7 + 1), 1024) AS BIGINT) AS b")
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        val zDir = "/tmp/graft-benchone-zorder"
+        val zPlain = zDir + "-plain"
+        val tw = time { ZOrder.writeZOrdered(zRows(n), Seq(col("a"), col("b")),
+          zDir, bitsPerCol = 10, numFiles = 64) }
+        zRows(n).repartition(64).write.mode("overwrite").parquet(zPlain)
+        def boxCount(path: String): Long = spark.read.parquet(path).filter(
+          col("a").between(96L, 103L) && col("b").between(200L, 207L)).count()
+        boxCount(zDir); boxCount(zPlain) // warm
+        val tz = (1 to 3).map(_ => time { boxCount(zDir) })
+        val tp = (1 to 3).map(_ => time { boxCount(zPlain) })
+        println(f"zorder write $tw%.2f s; scan ${tz.map(t => f"$t%.3f").mkString(", ")} " +
+          f"vs plain ${tp.map(t => f"$t%.3f").mkString(", ")} (n=${boxCount(zDir)} rows)")
       case "labelprop" =>
         // the r14 drift watch: labelprop_10m read 0.16x -> 1.02x in one
         // round (spark 2.76 -> 4.47 s in-session). Fresh-JVM trials
