@@ -159,6 +159,15 @@ case class StringShingles(child: Expression, n: Int = 3)
  * permutation arithmetic itself stays in 64-bit. One tight loop per
  * row (shingles × k multiply-mods), no higher-order-function
  * interpretation.
+ *
+ * FORMAT BREAK (r15): the output changed from array<long> to
+ * array<int>. Band-bucket hashes are computed over the signature
+ * array, so buckets persisted from the old format do NOT match
+ * freshly computed ones — a silent admit-everything failure for the
+ * ingestion gate. Persisted bucket tables therefore carry a
+ * `__sig_v` version column and the gate validates it
+ * (graft.streaming.Streams.SigFormatVersion / requireSigFormat);
+ * rebuild pre-r16 tables with Streams.corpusBuckets.
  */
 case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize: Int = 3)
     extends UnaryExpression with CodegenFallback {

@@ -104,11 +104,31 @@ object GeoTable {
     val appendId = java.util.UUID.randomUUID.toString
     val staging = new org.apache.hadoop.fs.Path(base + ".__append-" + appendId)
     // opportunistic sweep: staging dirs of appends that died mid-write
-    // (unique names, so nothing else ever cleans them)
+    // (unique names, so nothing else ever cleans them). Staleness is the
+    // MAX MTIME ACROSS THE DIR'S RECURSIVE CONTENTS, not the top-level
+    // dir's own mtime (r15 ADVICE): during a long Spark parquet write
+    // task files accumulate under `staging/_temporary/...` without
+    // touching the top-level mtime, so a >10-min write would look dead
+    // by the old check and a concurrent append would reap a LIVE
+    // staging dir after the victim paid its full write cost. A live
+    // writer keeps producing fresh task files; a dead one's whole tree
+    // ages out together. The walk is file-count-sized (one staging
+    // batch), driver-side metadata only.
+    def maxMtime(p: org.apache.hadoop.fs.Path, own: Long): Long = {
+      val st = try fs.listStatus(p) catch {
+        // swept by a racing append mid-walk: report "fresh" so we skip it
+        case _: java.io.FileNotFoundException => return Long.MaxValue
+      }
+      st.foldLeft(own) { (m, s) =>
+        math.max(m, if (s.isDirectory) maxMtime(s.getPath, s.getModificationTime)
+                    else s.getModificationTime)
+      }
+    }
     val parent = staging.getParent
     if (parent != null && fs.exists(parent)) fs.listStatus(parent).foreach { st =>
       if (st.getPath.getName.startsWith(hBase.getName + ".__append-") &&
-          System.currentTimeMillis() - st.getModificationTime > GeoTableLog.staleClaimMs)
+          System.currentTimeMillis() - maxMtime(st.getPath, st.getModificationTime) >
+            GeoTableLog.staleClaimMs)
         fs.delete(st.getPath, true)
     }
     withKey
@@ -116,6 +136,15 @@ object GeoTable {
       .sortWithinPartitions("__hilbert")
       .drop("__hilbert")
       .write.mode("overwrite").parquet(staging.toString)
+    // tag the geo footer metadata IN STAGING, before anything is
+    // visible (r16): the old whole-directory retag after move-in
+    // rewrote footers of files concurrent readers were scanning —
+    // and of a concurrent append's freshly moved-in files — in place;
+    // identical bytes, but a reader (or the racing tagger) catching a
+    // half-extended footer fails transiently. Tagging only this
+    // write's staged files touches nothing anyone else can see.
+    GeoParquetMeta.tagDirectory(staging.toString, geomCol,
+      bbox = Some(extent), covering = true)
     val newParts = fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName).toSeq
@@ -128,8 +157,6 @@ object GeoTable {
         throw new java.io.IOException(s"appendClustered: cannot move $p into $base")
     }
     fs.delete(staging, true)
-    // retag every part file (idempotent) so new deltas carry `geo` too
-    GeoParquetMeta.tagDirectory(path, geomCol, bbox = Some(extent), covering = true)
     if (logOn) {
       GeoTableLog.appendEntry(fs, base, "append",
         add = newParts.map(_.getName), remove = Nil)
@@ -230,18 +257,30 @@ object GeoTable {
     // op finishes the swap — the old retire-first order instead left
     // plain reads silently MISSING the delta rows and a re-run failing
     // on the live-delta require.
-    val added = scala.collection.mutable.ArrayBuffer[String]()
-    fs.listStatus(staging).map(_.getPath)
+    // inflight marker around the move-in→commit window (r16,
+    // fuzz-caught): without it a CONCURRENT repairRoot sees the
+    // consolidated files as unknown root strays and reaps them before
+    // this commit lands — the commit then references deleted files and
+    // the deltas retire right after: permanent row loss. Same shield
+    // appendClustered carries, same crash story (a stale marker means
+    // this compact died; repairRoot reaps its files + marker).
+    val staged = fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .foreach { p =>
-        val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
-        if (!fs.rename(p, dst))
-          throw new java.io.IOException(s"compactDeltas: cannot move $p into $base")
-        added += dst.getName
-      }
+      .sortBy(_.getName).toSeq
+    val compactId = "compact-" + java.util.UUID.randomUUID.toString
+    GeoTableLog.writeInflightMarker(fs, base, compactId, staged.map(_.getName))
+    val added = scala.collection.mutable.ArrayBuffer[String]()
+    staged.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"compactDeltas: cannot move $p into $base")
+      added += dst.getName
+    }
     fs.delete(staging, true)
     GeoTableLog.appendEntry(fs, base, "compact",
       add = added.sorted.toSeq, remove = deltas.sorted)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      GeoTableLog.inflightDir(base), compactId), false)
     deltaPaths.foreach(p => GeoTableLog.retain(fs, base, p))
     spark.catalog.refreshByPath(base)
     deltas.size
@@ -367,28 +406,41 @@ object GeoTable {
       val crc = new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
       if (fs.exists(crc)) fs.delete(crc, false)
     }
-    val added = scala.collection.mutable.ArrayBuffer[String]()
-    fs.listStatus(staging).map(_.getPath)
+    val staged = fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .foreach { p =>
-        val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
-        if (!fs.rename(p, dst))
-          throw new java.io.IOException(s"rewriteHitFiles: cannot move $p into $base")
-        added += dst.getName
-        // carry the table's geo footer metadata onto the new parts
-        geoJson.foreach { j =>
-          val local = new java.io.File(dst.toUri.getPath)
-          if (local.isFile) {
-            GeoParquetMeta.tagFile(local, j)
-            val crc = new java.io.File(local.getParentFile, "." + local.getName + ".crc")
-            if (crc.exists()) crc.delete()
-          }
+      .sortBy(_.getName).toSeq
+    staged.foreach { p =>
+      // carry the table's geo footer metadata onto the new parts —
+      // IN STAGING, before the rename (r16): an in-place footer
+      // rewrite after the file is visible in the root races
+      // concurrent snapshot readers
+      geoJson.foreach { j =>
+        val local = new java.io.File(p.toUri.getPath)
+        if (local.isFile) {
+          GeoParquetMeta.tagFile(local, j)
+          val crc = new java.io.File(local.getParentFile, "." + local.getName + ".crc")
+          if (crc.exists()) crc.delete()
         }
       }
+    }
+    // inflight marker over the move-in→commit window, like
+    // appendClustered/compactDeltas (r16, fuzz-caught): a concurrent
+    // repairRoot must not reap the rewritten parts before the commit
+    val rwId = op + "-" + java.util.UUID.randomUUID.toString
+    if (logOn) GeoTableLog.writeInflightMarker(fs, base, rwId, staged.map(_.getName))
+    val added = scala.collection.mutable.ArrayBuffer[String]()
+    staged.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(hPath, p.getName)
+      if (!fs.rename(p, dst))
+        throw new java.io.IOException(s"rewriteHitFiles: cannot move $p into $base")
+      added += dst.getName
+    }
     fs.delete(staging, true)
     if (logOn) {
       GeoTableLog.appendEntry(fs, base, op, add = added.sorted.toSeq,
         remove = hitPaths.map(_.getName).sorted)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        GeoTableLog.inflightDir(base), rwId), false)
       hitPaths.foreach(p => GeoTableLog.retain(fs, base, p))
     }
     // the swap changed the directory's file set under the session's

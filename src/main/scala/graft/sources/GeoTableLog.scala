@@ -179,12 +179,22 @@ object GeoTableLog {
     }
 
   /** Move a data file aside instead of deleting it (commit-log mode).
-   *  Part names carry write UUIDs, so collisions mean a caller bug. */
+   *  Part names carry write UUIDs, so a collision with BOTH copies
+   *  present means a caller bug — but dst-present with src-gone is the
+   *  benign outcome of a RACING RETIRER (a repairRoot preamble retiring
+   *  a just-committed rewrite's files while the rewriter runs its own
+   *  retire pass — both move the same src to the same dst; one rename
+   *  wins, the loser must treat the move as done, r16). */
   private[sources] def retain(fs: FileSystem, base: String, file: Path): Unit = {
     val dst = new Path(retainedDir(base), file.getName)
-    require(!fs.exists(dst), s"retained name collision: ${file.getName}")
-    if (!fs.rename(file, dst))
+    if (fs.exists(dst)) {
+      if (!fs.exists(file)) return // a concurrent retirer already moved it
+      throw new IllegalStateException(s"retained name collision: ${file.getName}")
+    }
+    if (!fs.rename(file, dst)) {
+      if (fs.exists(dst) && !fs.exists(file)) return // lost the race mid-move
       throw new java.io.IOException(s"cannot retain $file")
+    }
     val crc = new Path(file.getParent, "." + file.getName + ".crc")
     if (fs.exists(crc)) fs.delete(crc, false)
   }
@@ -209,37 +219,73 @@ object GeoTableLog {
    * files are all committed is cleanup debt from a crash between the
    * commit and the marker delete: only the marker is removed. No-op
    * when the root already matches.
+   *
+   * Ordering contract (r16, closes the TOCTOU an r15 audit found): the
+   * ROOT LISTING happens FIRST, then the marker scan, then a FRESH
+   * entries read. [[GeoTable.appendClustered]] writes its marker
+   * strictly BEFORE any move-in and commits strictly BEFORE deleting
+   * the marker, so for any file visible in our root listing either its
+   * marker is visible to the (later) marker scan or its commit is
+   * visible to the (even later) entries read — a file can only be
+   * reaped when it is unknown to the fresh log AND unclaimed by the
+   * fresh marker scan, which proves its writer died before committing.
+   * The old order (entries → markers → listing) let an append that
+   * moved files in between the marker scan and the listing be reaped
+   * as "unknown root file" even though its marker (or commit) existed
+   * — permanent row loss for a concurrency pattern the contract
+   * blesses.
    */
   private[sources] def repairRoot(fs: FileSystem, base0: String): Unit = {
     val base = base0.stripSuffix("/")
     if (!isEnabled(fs, base)) return
+    // 1. root listing FIRST (see ordering contract above)
+    val rootNames = dataFiles(fs, base)
+    // 2. marker scan second: capture (markerPath, mtime, fileNames).
+    //    A marker that vanishes between the listing and the open is a
+    //    committed append that just deleted it — skip it; the fresh
+    //    entries read below sees its commit.
+    val markers: Seq[(Path, Long, Seq[String])] = {
+      val inflDir = inflightDir(base)
+      if (!fs.exists(inflDir)) Nil
+      else fs.listStatus(inflDir).toSeq
+        // dot-prefixed names are casWrite staging artifacts (.N.uuid.tmp
+        // and checksum siblings) mid-publish — not markers; touching
+        // them would crash the publishing writer's CAS (fuzz-caught)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          try {
+            val names = readFileUtf8(fs, st.getPath)
+              .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+            Some((st.getPath, st.getModificationTime, names))
+          } catch { case _: java.io.FileNotFoundException => None }
+        }
+    }
+    // 3. entries LAST — any commit that raced the scans above is in
     val es = entries(fs, base)
     if (es.isEmpty) return
     val live = fileSetFrom(es, es.last._1).toSet
     val everLogged = es.flatMap(e => e._3 ++ e._4).toSet
     val now = System.currentTimeMillis()
     var inflight = Set.empty[String]
-    val inflDir = inflightDir(base)
-    if (fs.exists(inflDir)) fs.listStatus(inflDir).foreach { st =>
-      val names = readFileUtf8(fs, st.getPath).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    markers.foreach { case (markerPath, mtime, names) =>
       val uncommitted = names.filterNot(live.contains)
       if (uncommitted.isEmpty) {
         // append committed; the writer died before removing its marker
-        fs.delete(st.getPath, false)
-      } else if (now - st.getModificationTime > staleClaimMs) {
+        fs.delete(markerPath, false)
+      } else if (now - mtime > staleClaimMs) {
         // the append died mid-flight: reap its moved-in files + marker
         uncommitted.foreach { n =>
           val p = new Path(base, n)
           if (fs.exists(p)) fs.delete(p, false)
         }
-        fs.delete(st.getPath, false)
+        fs.delete(markerPath, false)
       } else inflight ++= uncommitted
     }
-    dataFiles(fs, base).foreach { n =>
+    rootNames.foreach { n =>
       if (!live.contains(n)) {
         val p = new Path(base, n)
-        if (everLogged.contains(n)) retain(fs, base, p)
-        else if (!inflight.contains(n)) {
+        if (everLogged.contains(n)) { if (fs.exists(p)) retain(fs, base, p) }
+        else if (!inflight.contains(n) && fs.exists(p)) {
           fs.delete(p, false)
           val crc = new Path(p.getParent, "." + n + ".crc")
           if (fs.exists(crc)) fs.delete(crc, false)
@@ -250,12 +296,19 @@ object GeoTableLog {
 
   /** Register / clear an in-flight append's exact file set (see
    *  [[repairRoot]]). The marker name is the append's own UUID, so
-   *  concurrent appends never collide. */
+   *  concurrent appends never collide. Published ATOMICALLY via the
+   *  same CAS primitive as version slots (r16, fuzz-caught): a plain
+   *  create-then-write left a window where a concurrent repairRoot
+   *  read the marker EMPTY, misclassified the append as committed
+   *  cleanup debt, deleted the marker, and then reaped the append's
+   *  moved-in files — the exact row loss the marker exists to prevent. */
   private[graft] def writeInflightMarker(
       fs: FileSystem, base: String, id: String, names: Seq[String]): Path = {
-    val p = new Path(inflightDir(base.stripSuffix("/")), id)
-    val out = fs.create(p, false)
-    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    val dir = inflightDir(base.stripSuffix("/"))
+    fs.mkdirs(dir)
+    val p = new Path(dir, id)
+    if (!casWrite(fs, p, (names.mkString("\n") + "\n").getBytes("UTF-8")))
+      throw new java.io.IOException(s"inflight marker collision (broken UUID?): $p")
     p
   }
 
@@ -337,13 +390,43 @@ object GeoTableLog {
           System.currentTimeMillis().toString.getBytes("UTF-8"))
         val ownerAgeMs =
           if (claimed) 0L
-          else try System.currentTimeMillis() - readFileUtf8(fs, marker).trim.toLong
+          else try System.currentTimeMillis() -
+            readFileUtf8(fs, marker).trim.takeWhile(_.isDigit).toLong
           catch { case _: Exception => 0L } // unreadable = just created: live
         if (!claimed && ownerAgeMs < staleClaimMs)
           return staged // a live owner is mid-swap: the stage is the log
-        // sole claimant (or stale-owner takeover): finish the drop.
-        // Fresh re-checks: the swap may have completed since we looked.
-        if (fs.exists(staged) && !fs.exists(new Path(staged, "DROPPED"))) {
+        // Stale-owner takeover: RE-CLAIM the marker before dropping
+        // (r15 ADVICE) — overwrite RECOVERING with our own fresh
+        // timestamp + nonce so readers arriving after us see a LIVE
+        // owner and back off to the stage instead of all entering the
+        // drop loop at once; then re-read after a short delay — if the
+        // content is not ours, a racing taker re-stamped later and owns
+        // the drop, so we serve from the stage like any other reader.
+        // (Two takers that interleave inside the delay window remain
+        // possible — the drop loop itself tolerates a concurrent
+        // dropper — but the exposure shrinks from "every reader after
+        // 10 min" to one racing pair inside ~100 ms.)
+        if (!claimed) {
+          val stamp = s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID}"
+          try {
+            val out = fs.create(marker, true)
+            try out.write(stamp.getBytes("UTF-8")) finally out.close()
+            Thread.sleep(100)
+            if (readFileUtf8(fs, marker).trim != stamp) return staged
+          } catch { case _: java.io.FileNotFoundException =>
+            // the owner finished and promoted the stage away — fall
+            // through; the fresh re-checks below handle the gone stage
+          }
+        }
+        // sole claimant (or re-claimed stale-owner takeover): finish the
+        // drop. Fresh re-checks: the swap may have completed since. The
+        // COMPLETE re-check matters — creating our marker implicitly
+        // re-creates rebase.tmp when the owner promoted it away in the
+        // race window, and dropping against that freshly re-created
+        // empty stage would delete the JUST-PROMOTED live log; a real
+        // stage still carries COMPLETE, a re-created shell does not.
+        if (fs.exists(new Path(staged, "COMPLETE")) &&
+            !fs.exists(new Path(staged, "DROPPED"))) {
           fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
             .foreach(fs.delete(_, false))
           fs.create(new Path(staged, "DROPPED"), true).close()
@@ -606,12 +689,20 @@ object GeoTableLog {
       .foreach { p =>
         val dst = new Path(logDir(base), p.getName)
         if (fs.exists(dst)) fs.delete(p, false)
-        else if (!fs.rename(p, dst)) {
-          // a concurrent recoverer may have won the same rename — that
-          // is success, not failure; anything else is a real fault
-          if (fs.exists(dst)) fs.delete(p, false)
-          else if (fs.exists(p))
-            throw new java.io.IOException(s"vacuum: cannot promote $p")
+        else {
+          // a concurrent recoverer may win the same rename; on a local
+          // fs the loser's rename can THROW FileNotFoundException (the
+          // copy fallback stats a vanished source) rather than return
+          // false — both spellings of the same benign race (r16)
+          val renamed =
+            try fs.rename(p, dst)
+            catch { case _: java.io.FileNotFoundException => false }
+          if (!renamed) {
+            if (fs.exists(dst)) fs.delete(p, false)
+            else if (fs.exists(p))
+              throw new java.io.IOException(s"vacuum: cannot promote $p")
+            // else: the concurrent winner already promoted and cleaned it
+          }
         }
       }
     fs.delete(tmp, true)

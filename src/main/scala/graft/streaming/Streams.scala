@@ -176,10 +176,23 @@ object Streams {
     stream.withColumn("minhash_sig",
       graft.operators.Dedup.minhashSignature(textCol))
 
+  /** MinHash signature FORMAT version carried by persisted bucket
+   *  tables. v2 = `array<int>` signatures (values mod 2^31-1; since
+   *  r15); v1 was `array<long>`. Bucket hashes are `hash(slice(sig))`
+   *  over the signature array, so the SAME document buckets
+   *  DIFFERENTLY under the two formats — joining a v1 persisted table
+   *  against freshly computed v2 buckets silently matches nothing and
+   *  the ingestion gate admits every duplicate. The version column +
+   *  the checks below turn that silent failure into a loud one. */
+  val SigFormatVersion = 2
+
   /** Band-bucket table of an accepted corpus for the streaming
-   *  ingestion gate: (`__id`, band, bh) — ids only, so at corpus scale
-   *  the table is narrow; persist or write it out and reuse it across
-   *  every micro-batch / ingestion run. */
+   *  ingestion gate: (`__id`, band, bh, __sig_v) — ids only, so at
+   *  corpus scale the table is narrow; persist or write it out and
+   *  reuse it across every micro-batch / ingestion run. `__sig_v`
+   *  stamps the signature format ([[SigFormatVersion]]) so a table
+   *  persisted before a format change fails loudly at the gate
+   *  instead of silently matching nothing. */
   def corpusBuckets(
       corpus: DataFrame, id: Column, text: Column,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame =
@@ -187,6 +200,29 @@ object Streams {
       corpus.select(id.as("__id"),
         graft.operators.Dedup.minhashSignature(text, numHashes, shingleSize).as("__sig")),
       numHashes, bands)
+      .withColumn("__sig_v", lit(SigFormatVersion))
+
+  /** Assert a (possibly persisted) corpus bucket table was built with
+   *  the CURRENT signature format — one 1-row action, run once per
+   *  ingestion run (not per micro-batch). A table written before the
+   *  version column existed (pre-r16) is v1-or-v2-ambiguous: rebuild
+   *  it with [[corpusBuckets]]. */
+  def requireSigFormat(corpusBuckets: DataFrame): Unit = {
+    require(corpusBuckets.columns.contains("__sig_v"),
+      "corpus bucket table carries no __sig_v column — it predates the " +
+        s"signature format tag (current format v$SigFormatVersion, array<int> " +
+        "minhash since r15; array<long> before). Rebuild it with " +
+        "Streams.corpusBuckets so bucket hashes match freshly computed ones.")
+    val vs = corpusBuckets.select("__sig_v").limit(1).collect()
+    vs.headOption.foreach { r =>
+      val v = r.getInt(0)
+      require(v == SigFormatVersion,
+        s"corpus bucket table is signature format v$v but this engine computes " +
+          s"v$SigFormatVersion buckets — the (band, bh) join would silently match " +
+          "nothing and admit every duplicate. Rebuild the table with " +
+          "Streams.corpusBuckets.")
+    }
+  }
 
   /**
    * Ingestion-gate near-dup filter: drop batch documents that LSH-
@@ -205,6 +241,11 @@ object Streams {
         graft.operators.Dedup.minhashSignature(text, numHashes, shingleSize))
     val buckets = graft.operators.Dedup.bandBuckets(
       withSig.select(col("__gate_id").as("__id"), col("__sig")), numHashes, bands)
+    // schema-only format guard (free per batch; the 1-row value check
+    // is requireSigFormat, run once per ingestion run by nearDupGate)
+    require(corpusBuckets.columns.contains("__sig_v"),
+      "corpus bucket table carries no __sig_v format tag — rebuild it with " +
+        s"Streams.corpusBuckets (current signature format v$SigFormatVersion)")
     val dupIds = buckets.join(corpusBuckets, Seq("band", "bh"), "left_semi")
       .select(col("__id")).distinct()
     withSig.join(dupIds, withSig("__gate_id") === dupIds("__id"), "left_anti")
@@ -296,13 +337,18 @@ object Streams {
   }
 
   /** Streaming wrapper for [[nearDupFilterBatch]]: apply the gate per
-   *  micro-batch via foreachBatch and hand survivors to `sink`. */
+   *  micro-batch via foreachBatch and hand survivors to `sink`.
+   *  Validates the bucket table's signature format ONCE up front
+   *  ([[requireSigFormat]]) — a persisted table from a different
+   *  minhash format fails here, not by silently admitting every dup. */
   def nearDupGate(
       stream: DataFrame, id: Column, text: Column, corpusBuckets: DataFrame,
       sink: DataFrame => Unit,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireSigFormat(corpusBuckets)
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       sink(nearDupFilterBatch(batch, id, text, corpusBuckets, numHashes, bands, shingleSize))
     }
+  }
 }
