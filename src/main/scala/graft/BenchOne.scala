@@ -143,6 +143,24 @@ object BenchOne {
         rangeJoinN(1000000L, 1000L)
         val trials = (1 to 3).map(_ => time { rangeJoinN(100000000L, 10000L) })
         println(f"range_join_100m trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
+      case "pack" =>
+        // the Bench pack_10m kernel isolated (r16: quiet-window
+        // root-cause of the r15 inter-round slowdown)
+        def packN(n: Long): Long = {
+          val docs = spark.range(n).select(col("id"),
+            (lit(1) + pmod(col("id") * 37, lit(100))).as("tok"))
+          val out = graft.operators.Packing.packSequences(
+            docs, col("id"), col("tok"), budget = 2048L, seed = 1L)
+          val r = out.agg(count(lit(1)), sum("seq_id"), sum("seq_offset"))
+            .collect()(0)
+          println(s"  [pack n=${r.getLong(0)} s1=${r.getLong(1)} s2=${r.getLong(2)}]")
+          out.unpersist(blocking = false)
+          r.getLong(0)
+        }
+        val nP = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        packN(1000000L)
+        val trials = (1 to 3).map(_ => time { packN(nP) })
+        println(f"pack trials: ${trials.map(t => f"$t%.2f").mkString(", ")}")
       case "dedup100m" =>
         def dedupN(n: Long): Long = {
           val docs = spark.range(n).selectExpr("id",

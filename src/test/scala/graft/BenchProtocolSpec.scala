@@ -106,6 +106,48 @@ class BenchProtocolSpec extends AnyFunSuite {
       Seq("t" -> 1.9), Map("t" -> 1.0), Map("t" -> 1.0), Set("t"), 8).isEmpty)
   }
 
+  test("retryCandidates: spark-jump class (the r15 dedup/pack shape)") {
+    // Spark side 1.41x its prior time, ratio 0.63 (flat — the oracle
+    // slowed under the same contention): the r15 shape the 3x RATIO
+    // trigger missed. With priorSpark it must be a candidate now.
+    val sel = graft.Bench.retryCandidates(
+      Seq("dedup_exact_10m" -> 2.38), Map("dedup_exact_10m" -> 3.78),
+      Map("dedup_exact_10m" -> 0.60), Set("dedup_exact_10m"), 8,
+      priorSpark = Map("dedup_exact_10m" -> 1.68))
+    assert(sel.map(_._1) == Seq("dedup_exact_10m"), sel.toString)
+    // a sub-second Spark side never spark-jump-qualifies (jitter)
+    assert(graft.Bench.retryCandidates(
+      Seq("t" -> 0.9), Map("t" -> 1.5), Map("t" -> 0.6), Set("t"), 8,
+      priorSpark = Map("t" -> 0.3)).isEmpty)
+    // a <=1.35x drift on an amortized row stays exempt
+    assert(graft.Bench.retryCandidates(
+      Seq("t" -> 2.0), Map("t" -> 3.2), Map("t" -> 0.62), Set("t"), 8,
+      priorSpark = Map("t" -> 1.6)).isEmpty)
+    // no priorSpark entry -> the class is disarmed for that row
+    assert(graft.Bench.retryCandidates(
+      Seq("t" -> 5.0), Map("t" -> 8.0), Map("t" -> 0.62), Set("t"), 8).isEmpty)
+  }
+
+  test("prevSparkTimes parses spark seconds with the prevRatios fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev-s").toFile
+    val tail = """{\"vs_oracle\":{\"pack_10m\":{\"s\":5.120,\"d\":9.010,\"r\":0.57},""" +
+      """\"range_join_100m\":{\"s\":0.849,\"d\":-1,\"timeout_s\":60,\"r_ub\":0.0142}}}"""
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r14.json").toPath,
+      s"""{"n": 14, "tail": "$tail"}""".getBytes("UTF-8"))
+    // r_ub rows (d = -1) parse too: a spark-side jump matters even when
+    // the oracle timed out (the s time is the whole signal there)
+    val m = graft.Bench.prevSparkTimes(dir.getPath)
+    assert(m == Map("pack_10m" -> 5.12, "range_join_100m" -> 0.849), m.toString)
+    // ratio-less failed artifact falls back to an older one
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r15.json").toPath,
+      """{"rc": 124, "parsed": null}""".getBytes("UTF-8"))
+    assert(graft.Bench.prevSparkTimes(dir.getPath) ==
+      Map("pack_10m" -> 5.12, "range_join_100m" -> 0.849))
+    // the real checked-in artifacts yield plausible positive times
+    val real = graft.Bench.prevSparkTimes()
+    assert(real.nonEmpty && real.values.forall(s => s > 0 && s < 10000))
+  }
+
   test("third-trial gate fires only for over-gate ratios on contended windows") {
     import graft.Bench.needsThirdTrial
     assert(needsThirdTrial(2.7, 5.0, 0.2))   // r12 window_10m_sql shape
