@@ -551,6 +551,54 @@ object Bench {
       bench("zorder_scan_10m_plain", () => time { boxCount(zPlain) })
     }
 
+    // Clustered-join file-pruning A/B (r16 — the distributed analog of
+    // the reference's index-nested-loop join, rtree_index_plan_scan
+    // .cpp:33-246, at bench scale): 10M Hilbert-clustered points over
+    // [0,100]^2 joined to 100k small zones confined to [0,10]^2 (1% of
+    // the area). The clustered variant intersects the two tables'
+    // per-file footer bbox stats and scans only the point files whose
+    // extent touches the zone band; the plain variant runs the SAME
+    // grid join over the full scan. Identical results — the pair is
+    // the signal (no DuckDB row; the grid join itself is oracle-graded
+    // by spatial_join_10m/100m).
+    locally {
+      import graft.operators.SpatialJoin
+      val pDir = "/tmp/graft-bench-cljoin-pts"
+      val zDir2 = "/tmp/graft-bench-cljoin-zones"
+      def cjPts(n: Long) = spark.range(n).select(col("id"),
+        st_point(pmod(hash(col("id") * 2), lit(1000000)).cast("double") / 10000.0,
+          pmod(hash(col("id") * 2 + 1), lit(1000000)).cast("double") / 10000.0).as("geom"))
+      def cjZones(n: Long) = spark.range(n).select(col("id").as("zid"),
+        st_makeenvelope(
+          (col("id") % 316).cast("double") * 0.0316,
+          (col("id") / 316).cast("double") * 0.0316,
+          (col("id") % 316).cast("double") * 0.0316 + 0.02,
+          (col("id") / 316).cast("double") * 0.0316 + 0.02).as("geom"))
+      // fixtures: NOT timed
+      graft.sources.GeoTable.writeClustered(cjPts(10000000L), "geom", pDir,
+        (0.0, 0.0, 100.1, 100.1), numFiles = 64)
+      graft.sources.GeoTable.writeClustered(cjZones(100000L), "geom", zDir2,
+        (0.0, 0.0, 10.1, 10.1), numFiles = 4)
+      def clusteredJoinCount(): Long =
+        SpatialJoin.joinClustered(spark, pDir, zDir2,
+          leftSelect = Seq("id", "geom AS pgeom"),
+          rightSelect = Seq("zid", "geom AS zgeom"),
+          predicate = "st_intersects", cellSize = 0.1).count()
+      def plainJoinCount(): Long =
+        SpatialJoin.join(
+          spark.read.parquet(pDir).select(col("id"), col("geom").as("pgeom")),
+          spark.read.parquet(zDir2).select(col("zid"), col("geom").as("zgeom")),
+          col("pgeom"), col("zgeom"), "st_intersects", cellSize = 0.1).count()
+      val nClustered = clusteredJoinCount() // warm plan shapes + sanity
+      val nPlain = plainJoinCount()
+      require(nClustered == nPlain && nClustered > 0,
+        s"clustered-join A/B drift: clustered=$nClustered plain=$nPlain")
+      bench("spatial_join_clustered_10m",
+        () => time { clusteredJoinCount() }, cutoff = 30.0, trialsN = 3)
+      bench("spatial_join_plain_10m",
+        () => time { plainJoinCount() }, cutoff = 30.0, trialsN = 3)
+    }
+
     bench("points_envelope_10m_native",
       () => time { nativeCount(10000000L) })
 

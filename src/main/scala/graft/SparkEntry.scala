@@ -809,6 +809,40 @@ object SparkEntry {
         .orderBy("zid")
     }),
 
+    // Clustered-layout-aware spatial join (r16 — the distributed analog
+    // of the reference's index-nested-loop join plan,
+    // rtree_index_plan_scan.cpp:33-246): BOTH sides written as
+    // Hilbert-clustered GeoTables, per-file parquet-footer bbox stats
+    // prune the point table's files to the zone band before the grid
+    // shuffle. Zones cover only the y in [0,20) band, so most point
+    // files never reach the scan. The oracle recomputes the join as a
+    // closed-form range join on the SOURCE tables — nothing the
+    // clustered writes produced is trusted.
+    "q_spatial_join_clustered" -> ((s, dir) => {
+      load(s, dir, "customer", "nation")
+      import org.apache.spark.sql.functions._
+      import graft.GeoFunctions._
+      val ptsOut = "/tmp/graft_cljoin_pts"
+      val znOut = "/tmp/graft_cljoin_zones"
+      val pts = s.table("customer").select(col("c_custkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(pts, "geom", ptsOut, (0.0, 0.0, 101.0, 101.0),
+        numFiles = 8)
+      val zones = s.table("nation").where(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("zid"),
+          st_makeenvelope(expr("CAST(n_nationkey % 5 * 20 AS DOUBLE)"),
+            expr("CAST(n_nationkey DIV 5 * 20 AS DOUBLE)"),
+            expr("CAST(n_nationkey % 5 * 20 + 20 AS DOUBLE)"),
+            expr("CAST(n_nationkey DIV 5 * 20 + 20 AS DOUBLE)")).as("geom"))
+      sources.GeoTable.writeClustered(zones, "geom", znOut, (0.0, 0.0, 101.0, 21.0),
+        numFiles = 1)
+      operators.SpatialJoin.joinClustered(s, ptsOut, znOut,
+          leftSelect = Seq("c_custkey", "geom AS pgeom"),
+          rightSelect = Seq("zid", "geom AS zgeom"),
+          predicate = "st_within", cellSize = 20.0)
+        .groupBy("zid").agg(count("*").as("n_points"))
+        .orderBy("zid")
+    }),
+
     // Distributed DBSCAN over a deterministic customer lattice: grid
     // dwithin self-join -> core counts -> large-star/small-star
     // components -> min-core-neighbor labels. eps=1.5 on integer
@@ -5510,6 +5544,18 @@ object SparkEntry {
             AND (CAST(c_custkey % 100 AS DOUBLE) + 0.5) < CAST(n_nationkey % 5 * 20 + 20 AS DOUBLE)
             AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) > CAST(n_nationkey // 5 * 20 AS DOUBLE)
             AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) < CAST(n_nationkey // 5 * 20 + 20 AS DOUBLE)
+           GROUP BY n_nationkey ORDER BY zid""",
+
+      // the clustered-layout join must discover the identical point-in-
+      // zone counts, zones restricted to the first row of the grid
+      "q_spatial_join_clustered" ->
+        """SELECT n_nationkey AS zid, count(*) AS n_points
+           FROM nation JOIN customer
+             ON (CAST(c_custkey % 100 AS DOUBLE) + 0.5) > CAST(n_nationkey % 5 * 20 AS DOUBLE)
+            AND (CAST(c_custkey % 100 AS DOUBLE) + 0.5) < CAST(n_nationkey % 5 * 20 + 20 AS DOUBLE)
+            AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) > CAST(n_nationkey // 5 * 20 AS DOUBLE)
+            AND (CAST((c_custkey * 7) % 100 AS DOUBLE) + 0.5) < CAST(n_nationkey // 5 * 20 + 20 AS DOUBLE)
+           WHERE n_nationkey < 5
            GROUP BY n_nationkey ORDER BY zid""",
 
       // DBSCAN replay: squared-distance neighbor self-join (exact on

@@ -150,7 +150,9 @@ class CoverageSpec extends SparkSpec {
       ("operators/Multimodal.scala", "def videoFrameFeatures", "videoFrameFeatures"),
       ("operators/ZOrder.scala", "def writeZOrdered", "Z-order"),
       ("sources/GeoTableLog.scala", "def writeInflightMarker", "inflight"),
-      ("sources/GeoTableLog.scala", "def entryDir", "single-winner"))
+      ("sources/GeoTableLog.scala", "def entryDir", "single-winner"),
+      ("operators/SpatialJoin.scala", "def joinClustered", "joinClustered"),
+      ("streaming/Streams.scala", "def requireSigFormat", "__sig_v"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

@@ -307,5 +307,20 @@ class StreamsSpec extends SparkSpec {
       b => out ++= b.select("doc_id").as[Long].collect()).start()
     try { q.processAllAvailable() } finally q.stop()
     assert(out.toSet == ids, "stream gate disagrees with batch gate")
+
+    // signature-format guard (r16): a bucket table from a DIFFERENT
+    // minhash format must fail LOUDLY, not silently admit every dup —
+    // the r15 array<long> -> array<int> break made stale persisted
+    // tables match nothing
+    Streams.requireSigFormat(buckets) // current format passes
+    val untagged = buckets.drop("__sig_v")
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.nearDupFilterBatch(incoming, $"doc_id", $"text", untagged)
+    }
+    assert(e1.getMessage.contains("__sig_v"))
+    val wrongV = buckets.withColumn("__sig_v",
+      org.apache.spark.sql.functions.lit(1))
+    val e2 = intercept[IllegalArgumentException] { Streams.requireSigFormat(wrongV) }
+    assert(e2.getMessage.contains("signature format v1"))
   }
 }
