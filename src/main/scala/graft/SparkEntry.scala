@@ -1504,6 +1504,75 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("version", "c_custkey")
     }),
 
+    // change-data feed over the commit log (the Delta-CDF-shaped
+    // batch reader): init, append, delete, update — each commit's
+    // row-level changes reconstructed from the log's immutable
+    // add/remove file sets, never a table rescan. The oracle
+    // recomputes the ENTIRE change stream (inserts, deleted rows,
+    // update pre/post images) from the SOURCE parquet closed-form.
+    "q_geotable_changes" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_geotable_changes"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      def slice(lo: Int, hi: Int) = s.table("customer")
+        .where(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_custkey"), col("c_nationkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(slice(0, 300), "geom", out, ext, numFiles = 4)
+      sources.GeoTableLog.enable(s, out)                                  // v0 init
+      sources.GeoTable.appendClustered(slice(300, 400), "geom", out, ext,
+        numFiles = 1)                                                     // v1 append
+      sources.GeoTable.deleteWhere(s, "geom", out, col("c_custkey") % 7 === 2) // v2
+      sources.GeoTable.updateWhere(s, "geom", out, col("c_custkey") % 5 === 1,
+        Map("c_nationkey" -> (col("c_nationkey") + lit(50))))             // v3
+      sources.GeoTableChanges.readChanges(s, out, 0)
+        .select(col(sources.GeoTableChanges.ChangeTypeCol).as("ct"),
+          col(sources.GeoTableChanges.CommitVersionCol).as("v"),
+          col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          col("geom_bbox.xmin").as("x"))
+        .orderBy("v", "ct", "c_custkey")
+    }),
+
+    // the `geotable` Structured Streaming source certified through the
+    // gate: a REAL micro-batch query (memory sink, fresh checkpoint)
+    // tails the init snapshot plus two appends; the oracle recomputes
+    // the cumulative stream content AND each row's commit-version
+    // attribution from the SOURCE parquet.
+    "q_geotable_stream" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_geotable_stream"
+      val ckpt = "/tmp/graft_geotable_stream_ckpt"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      def slice(lo: Int, hi: Int) = s.table("customer")
+        .where(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_custkey"), col("c_nationkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(slice(0, 300), "geom", out, ext, numFiles = 3)
+      sources.GeoTableLog.enable(s, out)                                  // v0
+      s.catalog.dropTempView("graft_gt_stream")
+      val q = s.readStream.format("geotable").option("path", out)
+        .option("includeCommitVersion", "true").load()
+        .select(col("c_custkey"), col("c_nationkey"), col("_commit_version"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_gt_stream").option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        sources.GeoTable.appendClustered(slice(300, 350), "geom", out, ext,
+          numFiles = 1)                                                   // v1
+        q.processAllAvailable()
+        sources.GeoTable.appendClustered(slice(350, 400), "geom", out, ext,
+          numFiles = 1)                                                   // v2
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_gt_stream")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          col("_commit_version").as("v"))
+        .orderBy("v", "c_custkey")
+    }),
+
     // AS OF timestamp time travel: the same three-version history as
     // q_clustered_timetravel, but every snapshot is resolved through
     // st_read_version's TIMESTAMP form (each version's own commit
@@ -7016,6 +7085,43 @@ object SparkEntry {
            SELECT version, c_custkey, nk, x
            FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2) t
            ORDER BY version, c_custkey""",
+
+      // the full CDC stream recomputed closed-form from source:
+      // v0/v1 inserts, v2 deleted rows, v3 update pre/post images
+      "q_geotable_changes" ->
+        s"""WITH allr AS (
+             SELECT c_custkey, c_nationkey, $custPtX AS x
+             FROM customer WHERE c_custkey > 0 AND c_custkey <= 400),
+           ins0 AS (SELECT 'insert' AS ct, 0 AS v, c_custkey,
+                      CAST(c_nationkey AS BIGINT) AS nk, x
+                    FROM allr WHERE c_custkey <= 300),
+           ins1 AS (SELECT 'insert' AS ct, 1 AS v, c_custkey,
+                      CAST(c_nationkey AS BIGINT) AS nk, x
+                    FROM allr WHERE c_custkey > 300),
+           del AS (SELECT 'delete' AS ct, 2 AS v, c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS nk, x
+                   FROM allr WHERE c_custkey % 7 = 2),
+           surv AS (SELECT * FROM allr WHERE c_custkey % 7 <> 2),
+           pre AS (SELECT 'update_preimage' AS ct, 3 AS v, c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS nk, x
+                   FROM surv WHERE c_custkey % 5 = 1),
+           post AS (SELECT 'update_postimage' AS ct, 3 AS v, c_custkey,
+                      CAST(c_nationkey + 50 AS BIGINT) AS nk, x
+                    FROM surv WHERE c_custkey % 5 = 1)
+           SELECT ct, v, c_custkey, nk, x
+           FROM (SELECT * FROM ins0 UNION ALL SELECT * FROM ins1
+                 UNION ALL SELECT * FROM del UNION ALL SELECT * FROM pre
+                 UNION ALL SELECT * FROM post) t
+           ORDER BY v, ct, c_custkey""",
+
+      // cumulative stream content + per-version attribution: version 0
+      // is the init snapshot, 1 and 2 the two appended slices
+      "q_geotable_stream" ->
+        s"""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+             CASE WHEN c_custkey <= 300 THEN 0
+                  WHEN c_custkey <= 350 THEN 1 ELSE 2 END AS v
+           FROM customer WHERE c_custkey > 0 AND c_custkey <= 400
+           ORDER BY v, c_custkey""",
 
       // identical recompute to q_clustered_timetravel: the Spark side
       // resolves each version AS OF its own commit timestamp, which

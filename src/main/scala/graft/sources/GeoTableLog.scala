@@ -573,16 +573,23 @@ object GeoTableLog {
     if (names.isEmpty) throw new IllegalStateException(
       s"version $version of $base has no data files (read the live table " +
         "with spark.read.parquet for its schema)")
-    val paths = names.map { n =>
+    spark.read.parquet(resolveFiles(fs, base, names, s"version $version"): _*)
+  }
+
+  /** Resolve committed basenames to readable paths: the table root
+   *  (still live) or `_graft_log/retained/` (superseded by a later
+   *  rewrite). Files in neither place were vacuumed — fail with the
+   *  cause instead of letting the parquet reader 404. */
+  private[graft] def resolveFiles(fs: FileSystem, base: String,
+      names: Seq[String], what: String): Seq[String] =
+    names.map { n =>
       val live = new Path(base, n)
       val kept = new Path(retainedDir(base), n)
       if (fs.exists(live)) live.toString
       else if (fs.exists(kept)) kept.toString
       else throw new java.io.IOException(
-        s"version $version references vacuumed file $n (recluster checkpointed history)")
+        s"$what references vacuumed file $n (recluster checkpointed history)")
     }
-    spark.read.parquet(paths: _*)
-  }
 
   /** Checkpoint: drop all history, re-init at the current file set
    *  (called by recluster — the VACUUM/index-rebuild analog). */

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.sources.GeoTableLog
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/**
+ * Structured Streaming source that tails a GeoTable commit log: each
+ * micro-batch is a contiguous range of committed versions, and a
+ * version's rows are its immutable staged delta files — so a batch
+ * reads exactly the appended bytes, never rescans the table, and
+ * replays byte-identically on checkpoint recovery (the files of a
+ * committed version never change; offsets are version numbers).
+ *
+ * This is the streaming face of [[graft.sources.GeoTableChanges]]:
+ * where the reference's R-tree WAL replays row deltas privately for
+ * crash recovery (duckdb_spatial rtree_index.cpp,
+ * test/sql/index/rtree_persistence_wal.test), this source hands the
+ * same append stream to a Structured Streaming pipeline — the
+ * ingest-side pattern a 100 TB training corpus needs (appendClustered
+ * upstream; dedup gates / index refresh / feature extraction
+ * downstream) without per-run full scans.
+ *
+ * Usage:
+ * {{{
+ *   spark.readStream.format("geotable")
+ *     .option("path", dir)
+ *     .option("startingVersion", "0" /* or "latest" */)
+ *     .option("includeCommitVersion", "true")   // adds _commit_version
+ *     .option("skipChangeCommits", "true")      // skip delete/update rewrites
+ *     .load()
+ * }}}
+ *
+ * Semantics per commit op: `init`/`append` rows are emitted; `compact`
+ * preserves the row multiset and is silently skipped; `delete`/`update`
+ * rewrites FAIL the stream by default (an append-only reader is
+ * otherwise silently wrong) unless `skipChangeCommits=true` (Delta's
+ * option name and behavior — the rewrite's versions are skipped whole;
+ * consumers that need row-level deletes use the batch change feed).
+ * A vacuum rebase / recluster checkpoint renumbers history; a stream
+ * whose checkpoint crosses one fails with a re-sync message instead of
+ * replaying wrong data (detected by a version hole or the log's latest
+ * version falling behind the checkpointed offset — undetectable only
+ * if post-rebase commits have already re-reached the old count, which
+ * an operational rule of "no vacuum under a live stream" avoids).
+ */
+class GeoTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "geotable"
+
+  private def pathOf(parameters: Map[String, String]): String = {
+    val p = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+    require(p.nonEmpty, "geotable source requires .option(\"path\", ...) or .load(path)")
+    p.get.stripSuffix("/")
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("geotable", GeoTableSource.schemaFor(
+      sqlContext.sparkSession, pathOf(parameters), parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GeoTableSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+}
+
+object GeoTableSource {
+  val CommitVersionCol = "_commit_version"
+
+  private[streaming] def boolOpt(parameters: Map[String, String], name: String): Boolean =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The live table schema, plus `_commit_version` when requested. */
+  def schemaFor(spark: SparkSession, base: String,
+      parameters: Map[String, String]): StructType = {
+    val table = spark.read.parquet(base).schema
+    if (boolOpt(parameters, "includeCommitVersion"))
+      StructType(table.fields :+ StructField(CommitVersionCol, IntegerType, nullable = false))
+    else table
+  }
+}
+
+class GeoTableSource(spark: SparkSession, base: String,
+    parameters: Map[String, String]) extends Source with Logging {
+
+  private val fs = new org.apache.hadoop.fs.Path(base)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val includeVersion = GeoTableSource.boolOpt(parameters, "includeCommitVersion")
+  private val skipChangeCommits = GeoTableSource.boolOpt(parameters, "skipChangeCommits")
+
+  /** First version this stream emits. "latest" = only commits after
+   *  stream definition; a number = that version onward; default 0
+   *  (the full table history, starting with the init snapshot). */
+  private val startVersion: Int =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v }
+      .map(_.trim.toLowerCase) match {
+      case Some("latest") =>
+        val es = GeoTableLog.entries(fs, base)
+        es.lastOption.map(_._1 + 1).getOrElse(0)
+      case Some(n) =>
+        require(n.forall(_.isDigit), s"startingVersion must be a number or 'latest', got '$n'")
+        n.toInt
+      case None => 0
+    }
+
+  override val schema: StructType = GeoTableSource.schemaFor(spark, base, parameters)
+  private val tableSchema: StructType =
+    if (includeVersion) StructType(schema.fields.dropRight(1)) else schema
+
+  private def versionOf(o: OffsetV1): Int = o match {
+    case lo: LongOffset => lo.offset.toInt
+    case so: SerializedOffset => so.json.trim.toInt // LongOffset serializes as the bare number
+    case other => other.json.trim.toInt
+  }
+
+  /** Highest committed version, as the stream's available offset. */
+  override def getOffset: Option[OffsetV1] = {
+    val es = GeoTableLog.entries(fs, base)
+    es.lastOption.collect { case (v, _, _, _) if v >= startVersion => LongOffset(v.toLong) }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = math.max(start.map(versionOf(_) + 1).getOrElse(startVersion), startVersion)
+    val to = versionOf(end)
+    // the engine only calls getBatch with end > start; an end BEHIND the
+    // checkpointed start means the log's version numbers went backwards —
+    // a vacuum rebase / recluster checkpoint under a live checkpoint
+    if (start.exists(versionOf(_) > to))
+      throw new IllegalStateException(
+        s"geotable stream at $base: checkpointed offset ${versionOf(start.get)} is ahead " +
+          s"of the log's latest version $to — history was rebased by vacuum/recluster; " +
+          "restart the stream from a fresh checkpoint")
+    val es = GeoTableLog.entries(fs, base)
+    val inRange = es.filter { case (v, _, _, _) => v >= from && v <= to }
+    // a hole or a shrunken log under a checkpointed offset means a
+    // vacuum rebase / recluster checkpoint renumbered history
+    if (from <= to && inRange.map(_._1) != (from to to).toSeq)
+      throw new IllegalStateException(
+        s"geotable stream at $base: versions [$from, $to] no longer in the log " +
+          s"(have ${es.headOption.map(_._1)}..${es.lastOption.map(_._1)}) — history was " +
+          "rebased by vacuum/recluster; restart the stream from a fresh checkpoint")
+    val fileVersions: Seq[(Int, Seq[String])] = inRange.flatMap {
+      case (v, "init", add, _) => Some(v -> add)
+      case (v, "append", add, _) => Some(v -> add)
+      case (_, "compact", _, _) => None // row multiset preserved
+      case (v, op, _, _) if op == "delete" || op == "update" =>
+        if (skipChangeCommits) { logInfo(s"geotable stream: skipping $op commit $v"); None }
+        else throw new IllegalStateException(
+          s"geotable stream at $base: version $v is a '$op' rewrite; this source is " +
+            "append-only. Set .option(\"skipChangeCommits\", \"true\") to skip rewrite " +
+            "commits, or consume row-level changes with GeoTableChanges.readChanges")
+      case (v, op, _, _) => throw new IllegalStateException(
+        s"unknown commit op '$op' at version $v of $base")
+    }
+    val frames = fileVersions.collect { case (v, names) if names.nonEmpty =>
+      val paths = GeoTableLog.resolveFiles(fs, base, names, s"stream version $v")
+      val df = spark.read.schema(tableSchema).parquet(paths: _*)
+      if (includeVersion) df.withColumn(GeoTableSource.CommitVersionCol, lit(v)) else df
+    }
+    // getBatch must return a streaming DataFrame with exactly `schema`
+    val batch = frames.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    ColumnShim.streamingDataFrame(spark,
+      batch.queryExecution.toRdd, schema)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}

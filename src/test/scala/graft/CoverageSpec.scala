@@ -152,7 +152,9 @@ class CoverageSpec extends SparkSpec {
       ("sources/GeoTableLog.scala", "def writeInflightMarker", "inflight"),
       ("sources/GeoTableLog.scala", "def entryDir", "single-winner"),
       ("operators/SpatialJoin.scala", "def joinClustered", "joinClustered"),
-      ("streaming/Streams.scala", "def requireSigFormat", "__sig_v"))
+      ("streaming/Streams.scala", "def requireSigFormat", "__sig_v"),
+      ("sources/GeoTableChanges.scala", "def readChanges", "readChanges"),
+      ("streaming/GeoTableStream.scala", "class GeoTableSource", "skipChangeCommits"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

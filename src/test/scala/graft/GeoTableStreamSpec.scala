@@ -1,0 +1,166 @@
+package graft
+
+import graft.GeoFunctions._
+import graft.sources.{GeoTable, GeoTableLog}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import scala.collection.mutable
+
+/** The `geotable` streaming source: commit-log versions as exactly-once
+ *  micro-batches — appends tail in, compact is silent, rewrites fail
+ *  fast (or skip when opted in), checkpoint restart resumes at the
+ *  version offset. Restart tests sink via foreachBatch (the memory
+ *  sink refuses checkpoint recovery in append mode). */
+class GeoTableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ext = (0.0, 0.0, 100.0, 100.0)
+
+  private def rows(ids: Seq[Long]): DataFrame =
+    ids.toDF("id").withColumn("grp", col("id") % 10)
+      .withColumn("geom", st_point((col("id") % 97).cast("double"),
+        ((col("id") * 7) % 89).cast("double")))
+
+  private def mkTable(dir: String, n: Int): Unit = {
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+    GeoTable.writeClustered(rows(0L until n.toLong), "geom", dir, ext, numFiles = 2)
+    GeoTableLog.enable(spark, dir)
+  }
+
+  /** (id, grp, _commit_version) rows land in `buf`; exactly-once across
+   *  restarts is visible as no duplicates in a fresh buffer. */
+  private def startBufQuery(dir: String, buf: mutable.Buffer[(Long, Long, Int)],
+      checkpoint: String, opts: Map[String, String] = Map.empty) = {
+    val reader = spark.readStream.format("geotable").option("path", dir)
+      .option("includeCommitVersion", "true")
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+      .select("id", "grp", "_commit_version")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        buf.synchronized { buf ++= got }
+        ()
+      }.start()
+  }
+
+  test("appends tail in exactly once, with commit versions; compact emits nothing") {
+    val dir = "/tmp/graft-stream-table"
+    val ckpt = "/tmp/graft-stream-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 40)
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val q = startBufQuery(dir, buf, ckpt)
+    try {
+      q.processAllAvailable()
+      val snap = buf.synchronized(buf.toSeq)
+      assert(snap.map(_._1).sorted == (0L until 40L), s"init snapshot wrong: $snap")
+      assert(snap.forall(_._3 == 0))
+
+      GeoTable.appendClustered(rows(100L until 120L), "geom", dir, ext, numFiles = 1)
+      GeoTable.appendClustered(rows(200L until 210L), "geom", dir, ext, numFiles = 1)
+      q.processAllAvailable()
+      val after = buf.synchronized(buf.toSeq)
+      assert(after.size == 70, s"expected 70 rows exactly once, got ${after.size}")
+      assert(after.filter(_._3 == 1).map(_._1).sorted == (100L until 120L))
+      assert(after.filter(_._3 == 2).map(_._1).sorted == (200L until 210L))
+
+      GeoTable.compactDeltas(spark, "geom", dir, ext, numFiles = 2)
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.size) == 70, "compact must emit no rows")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at the committed version offset") {
+    val dir = "/tmp/graft-stream-table" // v0..v3 from the previous test
+    val ckpt = "/tmp/graft-stream-ckpt" // consumed through v3 already
+    GeoTable.appendClustered(rows(300L until 305L), "geom", dir, ext, numFiles = 1) // v4
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val q = startBufQuery(dir, buf, ckpt)
+    try {
+      q.processAllAvailable()
+      // a fresh buffer + the old checkpoint: only versions AFTER the
+      // checkpointed offset arrive
+      val got = buf.synchronized(buf.toSeq)
+      assert(got.map(_._1).sorted == (300L until 305L), s"resume read $got")
+      assert(got.forall(_._3 == 4))
+    } finally q.stop()
+  }
+
+  test("startingVersion latest sees only post-start appends") {
+    val dir = "/tmp/graft-stream-latest"
+    val ckpt = "/tmp/graft-stream-latest-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 25)
+    GeoTable.appendClustered(rows(50L until 60L), "geom", dir, ext, numFiles = 1)
+    val reader = spark.readStream.format("geotable").option("path", dir)
+      .option("includeCommitVersion", "true").option("startingVersion", "latest")
+    val q = reader.load()
+      .select("id", "grp", "_commit_version")
+      .writeStream.outputMode("append").format("memory").queryName("gt_latest")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gt_latest").count() == 0, "nothing before the stream started")
+      GeoTable.appendClustered(rows(70L until 76L), "geom", dir, ext, numFiles = 1)
+      q.processAllAvailable()
+      val got = spark.table("gt_latest").as[(Long, Long, Int)].collect().toSeq
+      assert(got.map(_._1).sorted == (70L until 76L))
+    } finally q.stop()
+  }
+
+  test("delete/update rewrites fail the stream unless skipChangeCommits") {
+    val dir = "/tmp/graft-stream-rewrite"
+    val ckpt = "/tmp/graft-stream-rw-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 30)
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val q = startBufQuery(dir, buf, ckpt)
+    try {
+      q.processAllAvailable()
+      GeoTable.deleteWhere(spark, "geom", dir, col("id") < 5)
+      val err = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(err.getMessage.contains("skipChangeCommits") ||
+        Option(err.getCause).exists(_.getMessage.contains("skipChangeCommits")),
+        s"unexpected failure: ${err.getMessage}")
+    } finally q.stop()
+    // restart over the SAME checkpoint with the opt-in: the rewrite is
+    // skipped and a later append still arrives
+    val buf2 = mutable.Buffer.empty[(Long, Long, Int)]
+    val q2 = startBufQuery(dir, buf2, ckpt, Map("skipChangeCommits" -> "true"))
+    try {
+      q2.processAllAvailable()
+      GeoTable.appendClustered(rows(500L until 504L), "geom", dir, ext, numFiles = 1)
+      q2.processAllAvailable()
+      val got = buf2.synchronized(buf2.toSeq)
+      assert(got.map(_._1).sorted == (500L until 504L), s"post-skip append lost: $got")
+    } finally q2.stop()
+  }
+
+  test("vacuum rebase under a live checkpoint fails with a re-sync message") {
+    val dir = "/tmp/graft-stream-vacuum"
+    val ckpt = "/tmp/graft-stream-vac-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 20)
+    GeoTable.appendClustered(rows(30L until 35L), "geom", dir, ext, numFiles = 1) // v1
+    GeoTable.appendClustered(rows(40L until 45L), "geom", dir, ext, numFiles = 1) // v2
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val q = startBufQuery(dir, buf, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.size) == 30)
+    } finally q.stop()
+    GeoTableLog.vacuum(spark, dir, keepFrom = 2) // history rebased: v2 -> v0
+    GeoTable.appendClustered(rows(60L until 62L), "geom", dir, ext, numFiles = 1) // new v1
+    val buf2 = mutable.Buffer.empty[(Long, Long, Int)]
+    val q2 = startBufQuery(dir, buf2, ckpt)
+    try {
+      val err = intercept[StreamingQueryException] { q2.processAllAvailable() }
+      val msgs = Seq(Option(err.getMessage), Option(err.getCause).map(_.getMessage))
+        .flatten.mkString(" | ")
+      assert(msgs.contains("rebased") || msgs.contains("fresh checkpoint"), msgs)
+    } finally q2.stop()
+  }
+}
