@@ -236,6 +236,17 @@ object Graft {
           .map { case (v, op, add, rm) => (v, op, add.size, rm.size) }
           .toDF("version", "op", "n_add", "n_remove")
       }, "scala_udf")
+    // row-level change feed of a logged table (Delta-CDF analog):
+    //   st_table_changes(path, from)      — changes from..latest
+    //   st_table_changes(path, from, to)  — inclusive version range
+    // rows = table columns + _change_type + _commit_version
+    tfReg.createOrReplaceTempFunction("st_table_changes",
+      exprs => planOf {
+        val s = SparkSession.active
+        val to = if (exprs.length > 2) litNum(exprs(2)).toInt else -1
+        graft.sources.GeoTableChanges.readChanges(s, litStr(exprs.head),
+          litNum(exprs(1)).toInt, to)
+      }, "scala_udf")
     tfReg.createOrReplaceTempFunction("st_readosm",
       exprs => planOf(graft.sources.OsmPbf.read(SparkSession.active, litStr(exprs.head))), "scala_udf")
     tfReg.createOrReplaceTempFunction("st_generatepoints",

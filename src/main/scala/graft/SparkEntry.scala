@@ -1573,6 +1573,47 @@ object SparkEntry {
         .orderBy("v", "c_custkey")
     }),
 
+    // the stream's change-feed mode (readChangeFeed=true): the SAME
+    // four-commit history as q_geotable_changes, but the change rows
+    // are DELIVERED by a real micro-batch query — certifying that the
+    // streaming path reconstructs and attributes every change
+    // identically to the closed-form source recompute.
+    "q_geotable_stream_cdf" -> ((s, dir) => {
+      load(s, dir, "customer")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_geotable_stream_cdf"
+      val ckpt = "/tmp/graft_geotable_stream_cdf_ckpt"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+      val ext = (0.0, 0.0, 100.0, 100.0)
+      def slice(lo: Int, hi: Int) = s.table("customer")
+        .where(col("c_custkey") > lo && col("c_custkey") <= hi)
+        .select(col("c_custkey"), col("c_nationkey"), expr(custPt).as("geom"))
+      sources.GeoTable.writeClustered(slice(0, 300), "geom", out, ext, numFiles = 4)
+      sources.GeoTableLog.enable(s, out)                                  // v0
+      s.catalog.dropTempView("graft_gt_cdf")
+      val q = s.readStream.format("geotable").option("path", out)
+        .option("readChangeFeed", "true").load()
+        .select(col("_change_type"), col("_commit_version"),
+          col("c_custkey"), col("c_nationkey"), col("geom_bbox.xmin").as("bx"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_gt_cdf").option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        sources.GeoTable.appendClustered(slice(300, 400), "geom", out, ext,
+          numFiles = 1)                                                   // v1
+        sources.GeoTable.deleteWhere(s, "geom", out, col("c_custkey") % 7 === 2) // v2
+        sources.GeoTable.updateWhere(s, "geom", out, col("c_custkey") % 5 === 1,
+          Map("c_nationkey" -> (col("c_nationkey") + lit(50))))           // v3
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_gt_cdf")
+        .select(col("_change_type").as("ct"), col("_commit_version").as("v"),
+          col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          col("bx").as("x"))
+        .orderBy("v", "ct", "c_custkey")
+    }),
+
     // AS OF timestamp time travel: the same three-version history as
     // q_clustered_timetravel, but every snapshot is resolved through
     // st_read_version's TIMESTAMP form (each version's own commit
@@ -7089,6 +7130,34 @@ object SparkEntry {
       // the full CDC stream recomputed closed-form from source:
       // v0/v1 inserts, v2 deleted rows, v3 update pre/post images
       "q_geotable_changes" ->
+        s"""WITH allr AS (
+             SELECT c_custkey, c_nationkey, $custPtX AS x
+             FROM customer WHERE c_custkey > 0 AND c_custkey <= 400),
+           ins0 AS (SELECT 'insert' AS ct, 0 AS v, c_custkey,
+                      CAST(c_nationkey AS BIGINT) AS nk, x
+                    FROM allr WHERE c_custkey <= 300),
+           ins1 AS (SELECT 'insert' AS ct, 1 AS v, c_custkey,
+                      CAST(c_nationkey AS BIGINT) AS nk, x
+                    FROM allr WHERE c_custkey > 300),
+           del AS (SELECT 'delete' AS ct, 2 AS v, c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS nk, x
+                   FROM allr WHERE c_custkey % 7 = 2),
+           surv AS (SELECT * FROM allr WHERE c_custkey % 7 <> 2),
+           pre AS (SELECT 'update_preimage' AS ct, 3 AS v, c_custkey,
+                     CAST(c_nationkey AS BIGINT) AS nk, x
+                   FROM surv WHERE c_custkey % 5 = 1),
+           post AS (SELECT 'update_postimage' AS ct, 3 AS v, c_custkey,
+                      CAST(c_nationkey + 50 AS BIGINT) AS nk, x
+                    FROM surv WHERE c_custkey % 5 = 1)
+           SELECT ct, v, c_custkey, nk, x
+           FROM (SELECT * FROM ins0 UNION ALL SELECT * FROM ins1
+                 UNION ALL SELECT * FROM del UNION ALL SELECT * FROM pre
+                 UNION ALL SELECT * FROM post) t
+           ORDER BY v, ct, c_custkey""",
+
+      // identical recompute to q_geotable_changes: the streaming
+      // change feed must deliver exactly the closed-form change stream
+      "q_geotable_stream_cdf" ->
         s"""WITH allr AS (
              SELECT c_custkey, c_nationkey, $custPtX AS x
              FROM customer WHERE c_custkey > 0 AND c_custkey <= 400),

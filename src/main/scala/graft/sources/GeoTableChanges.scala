@@ -81,8 +81,9 @@ object GeoTableChanges {
     } else parts.reduce(_ unionByName _)
   }
 
-  /** The change rows of one commit; empty for no-op commits. */
-  private def changesOf(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+  /** The change rows of one commit; empty for no-op commits. Shared
+   *  with the streaming source's change-feed mode. */
+  private[graft] def changesOf(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       base: String, v: Int, op: String,
       add: Seq[String], remove: Seq[String]): Seq[DataFrame] = {
     def read(names: Seq[String]): Option[DataFrame] =

@@ -34,6 +34,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
  *     .option("startingVersion", "0" /* or "latest" */)
  *     .option("includeCommitVersion", "true")   // adds _commit_version
  *     .option("skipChangeCommits", "true")      // skip delete/update rewrites
+ *     .option("readChangeFeed", "true")         // CDF mode: change rows
  *     .load()
  * }}}
  *
@@ -77,11 +78,22 @@ object GeoTableSource {
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
       .exists(_.trim.equalsIgnoreCase("true"))
 
-  /** The live table schema, plus `_commit_version` when requested. */
+  /** The live table schema, plus `_commit_version` when requested; in
+   *  change-feed mode (`readChangeFeed=true`) every row carries
+   *  `_change_type` AND `_commit_version` (Delta-CDF shape). */
   def schemaFor(spark: SparkSession, base: String,
       parameters: Map[String, String]): StructType = {
+    require(!(boolOpt(parameters, "readChangeFeed") &&
+        boolOpt(parameters, "skipChangeCommits")),
+      "readChangeFeed delivers delete/update rewrites as change rows; " +
+        "skipChangeCommits would silently drop them — pick one")
     val table = spark.read.parquet(base).schema
-    if (boolOpt(parameters, "includeCommitVersion"))
+    if (boolOpt(parameters, "readChangeFeed"))
+      StructType(table.fields :+
+        StructField(graft.sources.GeoTableChanges.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false) :+
+        StructField(CommitVersionCol, IntegerType, nullable = false))
+    else if (boolOpt(parameters, "includeCommitVersion"))
       StructType(table.fields :+ StructField(CommitVersionCol, IntegerType, nullable = false))
     else table
   }
@@ -94,6 +106,15 @@ class GeoTableSource(spark: SparkSession, base: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val includeVersion = GeoTableSource.boolOpt(parameters, "includeCommitVersion")
   private val skipChangeCommits = GeoTableSource.boolOpt(parameters, "skipChangeCommits")
+  /** Change-feed mode: every micro-batch row is a change row
+   *  (insert / delete / update_preimage / update_postimage) tagged
+   *  `_change_type` + `_commit_version` — the streaming face of
+   *  [[graft.sources.GeoTableChanges]]. Rewrite commits become their
+   *  row-level diffs instead of failing the stream. */
+  private val readChangeFeed = GeoTableSource.boolOpt(parameters, "readChangeFeed")
+  require(!(readChangeFeed && skipChangeCommits),
+    "readChangeFeed delivers delete/update rewrites as change rows; " +
+      "skipChangeCommits would silently drop them — pick one")
 
   /** First version this stream emits. "latest" = only commits after
    *  stream definition; a number = that version onward; default 0
@@ -112,7 +133,8 @@ class GeoTableSource(spark: SparkSession, base: String,
 
   override val schema: StructType = GeoTableSource.schemaFor(spark, base, parameters)
   private val tableSchema: StructType =
-    if (includeVersion) StructType(schema.fields.dropRight(1)) else schema
+    if (readChangeFeed) StructType(schema.fields.dropRight(2))
+    else if (includeVersion) StructType(schema.fields.dropRight(1)) else schema
 
   private def versionOf(o: OffsetV1): Int = o match {
     case lo: LongOffset => lo.offset.toInt
@@ -146,6 +168,19 @@ class GeoTableSource(spark: SparkSession, base: String,
         s"geotable stream at $base: versions [$from, $to] no longer in the log " +
           s"(have ${es.headOption.map(_._1)}..${es.lastOption.map(_._1)}) — history was " +
           "rebased by vacuum/recluster; restart the stream from a fresh checkpoint")
+    if (readChangeFeed) {
+      // change-feed mode: each version contributes its row-level
+      // change frames (cost proportional to the commit's touched
+      // files — the same reconstruction as the batch feed)
+      val frames = inRange.flatMap { case (v, op, add, remove) =>
+        graft.sources.GeoTableChanges.changesOf(spark, fs, base, v, op, add, remove)
+      }
+      val batch = frames.reduceOption(_ unionByName _)
+        .map(_.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      return ColumnShim.streamingDataFrame(spark, batch.queryExecution.toRdd, schema)
+    }
     val fileVersions: Seq[(Int, Seq[String])] = inRange.flatMap {
       case (v, "init", add, _) => Some(v -> add)
       case (v, "append", add, _) => Some(v -> add)

@@ -154,7 +154,9 @@ class CoverageSpec extends SparkSpec {
       ("operators/SpatialJoin.scala", "def joinClustered", "joinClustered"),
       ("streaming/Streams.scala", "def requireSigFormat", "__sig_v"),
       ("sources/GeoTableChanges.scala", "def readChanges", "readChanges"),
-      ("streaming/GeoTableStream.scala", "class GeoTableSource", "skipChangeCommits"))
+      ("streaming/GeoTableStream.scala", "class GeoTableSource", "skipChangeCommits"),
+      ("streaming/GeoTableStream.scala", "readChangeFeed", "readChangeFeed"),
+      ("Graft.scala", "st_table_changes", "st_table_changes"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

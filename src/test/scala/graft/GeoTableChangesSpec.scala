@@ -87,6 +87,20 @@ class GeoTableChangesSpec extends SparkSpec {
       none.columns.contains(GeoTableChanges.CommitVersionCol))
   }
 
+  test("st_table_changes SQL table function matches the Scala API") {
+    val dir = "/tmp/graft-changes-full" // history from the first test
+    Graft.install(spark)
+    val viaSql = spark.sql(
+      s"SELECT _change_type, _commit_version, id, grp FROM st_table_changes('$dir', 0)")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(viaSql == changes(dir, 0).sorted && viaSql.nonEmpty)
+    val sliced = spark.sql(
+      s"SELECT _commit_version FROM st_table_changes('$dir', 4, 4)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sliced.nonEmpty && sliced.forall(_ == 4))
+  }
+
   test("bad ranges and rebased history fail loudly") {
     val dir = "/tmp/graft-changes-rebase"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))

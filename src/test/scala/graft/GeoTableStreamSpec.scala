@@ -139,6 +139,55 @@ class GeoTableStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("readChangeFeed streams change rows: inserts, delete diffs, update images") {
+    val dir = "/tmp/graft-stream-cdf"
+    val ckpt = "/tmp/graft-stream-cdf-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 30)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("geotable").option("path", dir)
+        .option("readChangeFeed", "true").option("skipChangeCommits", "true").load()
+    }
+    val buf = mutable.Buffer.empty[(Long, Long, String, Int)]
+    val reader = spark.readStream.format("geotable").option("path", dir)
+      .option("readChangeFeed", "true")
+    val q = reader.load()
+      .select(col("id"), col("grp"), col("_change_type"), col("_commit_version"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val got = batch.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        buf.synchronized { buf ++= got }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val init = buf.synchronized(buf.toSeq)
+      assert(init.map(_._1).sorted == (0L until 30L))
+      assert(init.forall(c => c._3 == "insert" && c._4 == 0))
+
+      GeoTable.appendClustered(rows(100L until 110L), "geom", dir, ext, numFiles = 1) // v1
+      GeoTable.deleteWhere(spark, "geom", dir, col("id") % 7 === 2)                   // v2
+      GeoTable.updateWhere(spark, "geom", dir, col("id") % 5 === 1,
+        Map("grp" -> (col("grp") + lit(100))))                                        // v3
+      q.processAllAvailable()
+      val all = buf.synchronized(buf.toSeq)
+      assert(all.filter(c => c._3 == "insert" && c._4 == 1).map(_._1).sorted ==
+        (100L until 110L))
+      val allIds = (0L until 30L) ++ (100L until 110L)
+      assert(all.filter(_._3 == "delete").map(_._1).sorted ==
+        allIds.filter(_ % 7 == 2).sorted)
+      assert(all.filter(_._3 == "delete").forall(_._4 == 2))
+      val survivors = allIds.filterNot(_ % 7 == 2)
+      val pre = all.filter(_._3 == "update_preimage")
+      val post = all.filter(_._3 == "update_postimage")
+      assert(pre.map(_._1).sorted == survivors.filter(_ % 5 == 1).sorted)
+      assert(post.map(_._1).sorted == survivors.filter(_ % 5 == 1).sorted)
+      pre.foreach { case (id, grp, _, v) => assert(grp == id % 10 && v == 3) }
+      post.foreach { case (id, grp, _, v) => assert(grp == id % 10 + 100 && v == 3) }
+    } finally q.stop()
+  }
+
   test("vacuum rebase under a live checkpoint fails with a re-sync message") {
     val dir = "/tmp/graft-stream-vacuum"
     val ckpt = "/tmp/graft-stream-vac-ckpt"
