@@ -343,6 +343,52 @@ object GeoTableLog {
     Nil // unreachable
   }
 
+  /** Incremental entry reader for a long-lived log tailer (the
+   *  streaming source polls on every trigger): re-parses only entry
+   *  files not seen before, identified by (name, length, mtime) —
+   *  entry slots are immutable once CAS-published, so a matching
+   *  triple is the same committed entry. ANY prefix mismatch (a
+   *  vacuum/recluster rebase recreates the SAME slot names with
+   *  different content) drops the whole cache and re-reads from
+   *  scratch — correctness never rides on a cache hit. Cost per poll:
+   *  one listing + O(new commits) reads, instead of O(all commits). */
+  final class EntryCache {
+    private var keys: Vector[(String, Long, Long)] = Vector.empty
+    private var parsed: Vector[(Int, String, Seq[String], Seq[String])] = Vector.empty
+
+    def read(fs: FileSystem, path: String): Seq[(Int, String, Seq[String], Seq[String])] =
+      synchronized {
+        val base = path.stripSuffix("/")
+        val dir = logDir(base)
+        def reset(): Unit = { keys = Vector.empty; parsed = Vector.empty }
+        if (!fs.exists(dir)) { reset(); return Nil }
+        var attempt = 0
+        while (attempt < 5) {
+          val src = entryDir(fs, base)
+          try {
+            if (!fs.exists(src)) {
+              if (src == dir) { reset(); return Nil }
+            } else {
+              val st = fs.listStatus(src)
+                .filter(_.getPath.getName.endsWith(".json"))
+                .sortBy(_.getPath.getName).toVector
+              val ks = st.map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+              if (ks.length >= keys.length && ks.take(keys.length) == keys)
+                parsed = parsed ++ st.drop(keys.length)
+                  .map(s => parseEntry(readFileUtf8(fs, s.getPath)))
+              else
+                parsed = st.map(s => parseEntry(readFileUtf8(fs, s.getPath)))
+              keys = ks
+              return parsed
+            }
+          } catch { case _: java.io.FileNotFoundException => reset() }
+          attempt += 1
+        }
+        throw new java.io.IOException(
+          s"EntryCache: log source for $base kept vanishing mid-read after $attempt attempts")
+      }
+  }
+
   /**
    * Crash recovery for an interrupted vacuum + the authoritative entry
    * source for readers. The staged rebase under rebase.tmp carries

@@ -116,6 +116,11 @@ class GeoTableSource(spark: SparkSession, base: String,
     "readChangeFeed delivers delete/update rewrites as change rows; " +
       "skipChangeCommits would silently drop them — pick one")
 
+  /** Long-lived tailer: each trigger re-reads only NEW commits, not
+   *  the whole log (O(new) instead of O(all versions) per poll — the
+   *  difference between a fresh table and one carrying 10^5 commits). */
+  private val entryCache = new GeoTableLog.EntryCache
+
   /** First version this stream emits. "latest" = only commits after
    *  stream definition; a number = that version onward; default 0
    *  (the full table history, starting with the init snapshot). */
@@ -123,7 +128,7 @@ class GeoTableSource(spark: SparkSession, base: String,
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v }
       .map(_.trim.toLowerCase) match {
       case Some("latest") =>
-        val es = GeoTableLog.entries(fs, base)
+        val es = entryCache.read(fs, base)
         es.lastOption.map(_._1 + 1).getOrElse(0)
       case Some(n) =>
         require(n.forall(_.isDigit), s"startingVersion must be a number or 'latest', got '$n'")
@@ -144,7 +149,7 @@ class GeoTableSource(spark: SparkSession, base: String,
 
   /** Highest committed version, as the stream's available offset. */
   override def getOffset: Option[OffsetV1] = {
-    val es = GeoTableLog.entries(fs, base)
+    val es = entryCache.read(fs, base)
     es.lastOption.collect { case (v, _, _, _) if v >= startVersion => LongOffset(v.toLong) }
   }
 
@@ -159,7 +164,7 @@ class GeoTableSource(spark: SparkSession, base: String,
         s"geotable stream at $base: checkpointed offset ${versionOf(start.get)} is ahead " +
           s"of the log's latest version $to — history was rebased by vacuum/recluster; " +
           "restart the stream from a fresh checkpoint")
-    val es = GeoTableLog.entries(fs, base)
+    val es = entryCache.read(fs, base)
     val inRange = es.filter { case (v, _, _, _) => v >= from && v <= to }
     // a hole or a shrunken log under a checkpointed offset means a
     // vacuum rebase / recluster checkpoint renumbered history

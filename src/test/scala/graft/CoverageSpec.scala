@@ -156,7 +156,8 @@ class CoverageSpec extends SparkSpec {
       ("sources/GeoTableChanges.scala", "def readChanges", "readChanges"),
       ("streaming/GeoTableStream.scala", "class GeoTableSource", "skipChangeCommits"),
       ("streaming/GeoTableStream.scala", "readChangeFeed", "readChangeFeed"),
-      ("Graft.scala", "st_table_changes", "st_table_changes"))
+      ("Graft.scala", "st_table_changes", "st_table_changes"),
+      ("sources/GeoTableLog.scala", "class EntryCache", "EntryCache"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

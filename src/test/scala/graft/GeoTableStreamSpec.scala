@@ -188,6 +188,29 @@ class GeoTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EntryCache reads incrementally and invalidates across a rebase") {
+    val dir = "/tmp/graft-stream-ecache"
+    mkTable(dir, 10)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cache = new GeoTableLog.EntryCache
+    assert(cache.read(fs, dir) == GeoTableLog.entries(fs, dir))
+    GeoTable.appendClustered(rows(20L until 25L), "geom", dir, ext, numFiles = 1)
+    GeoTable.appendClustered(rows(30L until 35L), "geom", dir, ext, numFiles = 1)
+    // incremental read over the two new commits must equal a cold read
+    assert(cache.read(fs, dir) == GeoTableLog.entries(fs, dir))
+    assert(cache.read(fs, dir).map(_._1) == Seq(0, 1, 2))
+    GeoTable.deleteWhere(spark, "geom", dir, col("id") === 3)
+    assert(cache.read(fs, dir) == GeoTableLog.entries(fs, dir))
+    // vacuum rebases history: slot 0000000000.json is RECREATED with
+    // different content — the warm cache must notice (len/mtime key)
+    // and serve the rebased log, not the stale one
+    GeoTableLog.vacuum(spark, dir, keepFrom = 3)
+    assert(cache.read(fs, dir) == GeoTableLog.entries(fs, dir))
+    assert(cache.read(fs, dir).map(_._1) == Seq(0))
+    assert(cache.read(fs, dir).head._2 == "init")
+  }
+
   test("vacuum rebase under a live checkpoint fails with a re-sync message") {
     val dir = "/tmp/graft-stream-vacuum"
     val ckpt = "/tmp/graft-stream-vac-ckpt"
