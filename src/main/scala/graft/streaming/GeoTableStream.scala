@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
  *     .option("includeCommitVersion", "true")   // adds _commit_version
  *     .option("skipChangeCommits", "true")      // skip delete/update rewrites
  *     .option("readChangeFeed", "true")         // CDF mode: change rows
+ *     .option("maxVersionsPerTrigger", "8")     // bound batch size
  *     .load()
  * }}}
  *
@@ -87,6 +88,10 @@ object GeoTableSource {
         boolOpt(parameters, "skipChangeCommits")),
       "readChangeFeed delivers delete/update rewrites as change rows; " +
         "skipChangeCommits would silently drop them — pick one")
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v
+    }.foreach(v => require(v.trim.toInt > 0,
+      s"maxVersionsPerTrigger must be positive, got '$v'"))
     val table = spark.read.parquet(base).schema
     if (boolOpt(parameters, "readChangeFeed"))
       StructType(table.fields :+
@@ -147,24 +152,64 @@ class GeoTableSource(spark: SparkSession, base: String,
     case other => other.json.trim.toInt
   }
 
-  /** Highest committed version, as the stream's available offset. */
+  /** Batch-size cap: at most this many versions per micro-batch. A
+   *  fresh stream on a table carrying 10^4 commits must not get the
+   *  whole history as one giant first batch — capping keeps each
+   *  batch's file set (and its task count, shuffle, sink commit)
+   *  bounded regardless of how far behind the stream starts. */
+  private val maxVersionsPerTrigger: Int =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.trim.toInt
+    }.map { n =>
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n"); n
+    }.getOrElse(Int.MaxValue)
+
+  /** Highest version already handed out via getBatch's `end` — the cap
+   *  base for the NEXT trigger. Recovery-safe: on restart the engine
+   *  replays the checkpointed batch through getBatch, which refreshes
+   *  this before the next getOffset; capping can only slow the offset
+   *  walk, never skip or reorder versions. */
+  @volatile private var lastEmitted: Int = startVersion - 1
+
+  /** Highest committed version, capped to maxVersionsPerTrigger past
+   *  the last batch already handed out. */
   override def getOffset: Option[OffsetV1] = {
     val es = entryCache.read(fs, base)
-    es.lastOption.collect { case (v, _, _, _) if v >= startVersion => LongOffset(v.toLong) }
+    es.lastOption.collect { case (v, _, _, _) if v >= startVersion =>
+      val capped = math.min(v.toLong,
+        lastEmitted.toLong + maxVersionsPerTrigger.toLong)
+      LongOffset(capped)
+    }
   }
+
+  /** An empty micro-batch with exactly this source's schema. */
+  private def emptyBatch: DataFrame = ColumnShim.streamingDataFrame(spark,
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .queryExecution.toRdd, schema)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = math.max(start.map(versionOf(_) + 1).getOrElse(startVersion), startVersion)
     val to = versionOf(end)
-    // the engine only calls getBatch with end > start; an end BEHIND the
-    // checkpointed start means the log's version numbers went backwards —
-    // a vacuum rebase / recluster checkpoint under a live checkpoint
-    if (start.exists(versionOf(_) > to))
-      throw new IllegalStateException(
-        s"geotable stream at $base: checkpointed offset ${versionOf(start.get)} is ahead " +
-          s"of the log's latest version $to — history was rebased by vacuum/recluster; " +
-          "restart the stream from a fresh checkpoint")
+    if (to > lastEmitted) lastEmitted = to
     val es = entryCache.read(fs, base)
+    // an end BEHIND the checkpointed start has two causes: (a) a fresh
+    // restart where this source's capped getOffset answered before it
+    // saw the checkpointed offset — benign, resume capping from the
+    // checkpoint; (b) the log's version numbers actually went
+    // backwards — a vacuum rebase / recluster checkpoint under a live
+    // checkpoint, which must fail rather than replay wrong data
+    if (start.exists(versionOf(_) > to)) {
+      val st = versionOf(start.get)
+      val latestV = es.lastOption.map(_._1).getOrElse(-1)
+      if (latestV >= st) { // log still has the checkpointed version: (a)
+        lastEmitted = math.max(lastEmitted, st)
+        return emptyBatch
+      }
+      throw new IllegalStateException(
+        s"geotable stream at $base: checkpointed offset $st is ahead " +
+          s"of the log's latest version $latestV — history was rebased by " +
+          "vacuum/recluster; restart the stream from a fresh checkpoint")
+    }
     val inRange = es.filter { case (v, _, _, _) => v >= from && v <= to }
     // a hole or a shrunken log under a checkpointed offset means a
     // vacuum rebase / recluster checkpoint renumbered history

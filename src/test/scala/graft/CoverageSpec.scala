@@ -157,7 +157,8 @@ class CoverageSpec extends SparkSpec {
       ("streaming/GeoTableStream.scala", "class GeoTableSource", "skipChangeCommits"),
       ("streaming/GeoTableStream.scala", "readChangeFeed", "readChangeFeed"),
       ("Graft.scala", "st_table_changes", "st_table_changes"),
-      ("sources/GeoTableLog.scala", "class EntryCache", "EntryCache"))
+      ("sources/GeoTableLog.scala", "class EntryCache", "EntryCache"),
+      ("streaming/GeoTableStream.scala", "maxVersionsPerTrigger", "maxVersionsPerTrigger"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

@@ -188,6 +188,82 @@ class GeoTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to one version") {
+    val dir = "/tmp/graft-stream-ratelim"
+    val ckpt = "/tmp/graft-stream-ratelim-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 10)                                                          // v0
+    GeoTable.appendClustered(rows(20L until 25L), "geom", dir, ext, numFiles = 1) // v1
+    GeoTable.appendClustered(rows(30L until 35L), "geom", dir, ext, numFiles = 1) // v2
+    GeoTable.appendClustered(rows(40L until 45L), "geom", dir, ext, numFiles = 1) // v3
+    // per-batch version sets: with the cap, each batch holds ONE version
+    val batches = mutable.Buffer.empty[Set[Int]]
+    val reader = spark.readStream.format("geotable").option("path", dir)
+      .option("includeCommitVersion", "true").option("maxVersionsPerTrigger", "1")
+    val q = reader.load()
+      .select(col("id"), col("_commit_version"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val vs = batch.collect().map(_.getInt(1)).toSet
+        batches.synchronized { if (vs.nonEmpty) batches += vs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.synchronized(batches.toList)
+    assert(got == List(Set(0), Set(1), Set(2), Set(3)),
+      s"expected one version per micro-batch, got $got")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("geotable").option("path", dir)
+        .option("maxVersionsPerTrigger", "0").load()
+    }
+  }
+
+  test("restart under a version cap resumes cleanly past the checkpoint") {
+    val dir = "/tmp/graft-stream-ratelim"   // v0..v3 consumed by the previous test
+    val ckpt = "/tmp/graft-stream-ratelim-ckpt"
+    GeoTable.appendClustered(rows(50L until 55L), "geom", dir, ext, numFiles = 1) // v4
+    GeoTable.appendClustered(rows(60L until 65L), "geom", dir, ext, numFiles = 1) // v5
+    // fresh source, cold cap base, committed checkpoint at v3: the
+    // first capped getOffset may answer BEHIND the checkpoint — that
+    // must resolve as an empty batch + resumed capping, not a bogus
+    // "history rebased" failure
+    val batches = mutable.Buffer.empty[Set[Int]]
+    val reader = spark.readStream.format("geotable").option("path", dir)
+      .option("includeCommitVersion", "true").option("maxVersionsPerTrigger", "1")
+    val q = reader.load()
+      .select(col("id"), col("_commit_version"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val vs = batch.collect().map(_.getInt(1)).toSet
+        batches.synchronized { if (vs.nonEmpty) batches += vs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.synchronized(batches.toList)
+    assert(got == List(Set(4), Set(5)),
+      s"expected v4 then v5 one per batch after restart, got $got")
+  }
+
+  test("a stream started after compact reads retired delta files") {
+    val dir = "/tmp/graft-stream-retired"
+    val ckpt = "/tmp/graft-stream-retired-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 10)                                                          // v0
+    GeoTable.appendClustered(rows(20L until 25L), "geom", dir, ext, numFiles = 1) // v1
+    GeoTable.appendClustered(rows(30L until 35L), "geom", dir, ext, numFiles = 1) // v2
+    // compact retires v1/v2's delta files to _graft_log/retained/ —
+    // a stream replaying from version 0 must resolve them there
+    GeoTable.compactDeltas(spark, "geom", dir, ext, numFiles = 1)             // v3
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val q = startBufQuery(dir, buf, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = buf.synchronized(buf.toSeq)
+    assert(got.map(_._1).sorted == ((0L until 10L) ++ (20L until 25L) ++ (30L until 35L)),
+      s"retired-delta replay wrong: $got")
+    assert(got.filter(_._3 == 1).map(_._1).sorted == (20L until 25L))
+    assert(got.filter(_._3 == 2).map(_._1).sorted == (30L until 35L))
+  }
+
   test("EntryCache reads incrementally and invalidates across a rebase") {
     val dir = "/tmp/graft-stream-ecache"
     mkTable(dir, 10)
