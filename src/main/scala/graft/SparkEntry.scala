@@ -3143,6 +3143,31 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Incremental index maintenance (the index-refresh half of the
+    // ingest loop): the index is built on 2/3 of the corpus and the
+    // remaining third ARRIVES as an appendIvfIndex batch assigned
+    // against the STORED centroids — search over the incremented
+    // index must satisfy the SAME closed-form oracle as a full build
+    // (identical per-row assignment argmax; the append changes only
+    // when rows entered the layout, never where they land).
+    "q_emb_ivf_append" -> ((s, dir) => {
+      load(s, dir, "embeddings")
+      import org.apache.spark.sql.functions._
+      val emb = s.table("embeddings")
+      val cent = emb.filter(col("vec_id") % 25 === 0)
+      val qs = emb.filter(col("vec_id") < 20)
+      val idx = s"/tmp/graft_ivf_append_gate_${ProcessHandle.current().pid()}"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+      operators.Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 0), cent,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), idx)
+      operators.Similarity.appendIvfIndex(s, idx,
+        emb.filter(col("vec_id") % 3 === 0), col("vec_id"), col("embedding"))
+      operators.Similarity.ivfTopKIndexed(s, idx, qs,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Multi-index-hashing Hamming near-dup pairs: pigeonhole banding
     // (maxDist+1 disjoint bands -> 100% recall) + popcount verify.
     // Near-dups are PLANTED (copies of the first 100 vectors with dims
@@ -7838,6 +7863,7 @@ object SparkEntry {
 
       // identical math, partition-pruned persisted layout
       "q_emb_ivf_indexed" -> ivfTopkOracleSql,
+      "q_emb_ivf_append" -> ivfTopkOracleSql,
 
       // full PQ replication: codebook (every 25th vector, codes by
       // ascending id), per-subspace squared-L2 rounded at 1e-6, argmin

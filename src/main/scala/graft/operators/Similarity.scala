@@ -878,6 +878,31 @@ object Similarity {
   }
 
   /**
+   * Incrementally maintain a persisted IVF index: assign a batch of
+   * NEW corpus rows to their nearest STORED centroid (identical
+   * argmax/tie-break to the build) and append them into the
+   * partitioned list layout — the index-refresh half of the ingest
+   * loop (a geotable stream of arriving embeddings feeds this per
+   * micro-batch; [[ivfTopKIndexed]] then sees the new rows on its next
+   * partition-pruned scan, no rebuild). Centroids drift as the corpus
+   * grows — recall degrades gracefully, and a periodic
+   * [[writeIvfIndex]] rebuild re-centers (same contract as any IVF
+   * index; the reference's R-tree analogously absorbs inserts and
+   * rebuilds on VACUUM). Cost: one batch × centroids assignment +
+   * a batch-sized append — never touches existing lists.
+   */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, corpusId: Column, corpusVec: Column): Unit = {
+    require(isIntegral(batch.select(corpusId).schema.head.dataType),
+      "appendIvfIndex: corpusId must be an integral type")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val c = batch.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("__cv"))
+    c.join(ivfAssignIds(c, cent), "corpus_id")
+      .select(col("corpus_id"), col("__cv"), col("__cid").as("__list"))
+      .write.mode("append").partitionBy("__list").parquet(s"$path/lists")
+  }
+
+  /**
    * Search a persisted IVF index: probe lists come from the stored
    * centroids, then ONLY those lists' partitions are scanned (the
    * `isin` over the probed ids lands in the scan's PartitionFilters —

@@ -48,6 +48,37 @@ class IvfIndexSpec extends SparkSpec {
       s"scan reads $scanned partitions of $allLists — no pruning")
   }
 
+  test("incremental append equals a full rebuild over the same centroids") {
+    val idx2 = "/tmp/graft_ivf_index_incr"
+    val idx3 = "/tmp/graft_ivf_index_full"
+    Seq(idx2, idx3).foreach(d =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    val cent = emb.filter($"vec_id" % 25 === 0)
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    // index-refresh path: build on base, append the arriving batch
+    Similarity.writeIvfIndex(base, cent,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", idx2)
+    Similarity.appendIvfIndex(spark, idx2, delta, $"vec_id", $"embedding")
+    // the oracle: one full build over the union
+    Similarity.writeIvfIndex(emb, cent,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", idx3)
+    val qs = emb.filter($"vec_id" < 4)
+    def rows(path: String) = Similarity.ivfTopKIndexed(spark, path, qs,
+      $"vec_id", $"embedding", k = 5, nprobe = 3)
+      .select(col("query_id").cast("long"), col("corpus_id").cast("long"),
+        round(col("cosine"), 6), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(idx2) == rows(idx3),
+      "incrementally appended index diverged from the full rebuild")
+    // the appended rows landed in the same list layout (no new dirs
+    // beyond the centroid set, payloads byte-exact)
+    val back = spark.read.parquet(s"$idx2/lists")
+      .select(col("corpus_id").as("vec_id"), col("__cv").as("embedding"))
+    assert(back.exceptAll(emb.select($"vec_id", $"embedding")).count() == 0 &&
+      emb.select($"vec_id", $"embedding").exceptAll(back).count() == 0)
+  }
+
   test("index roundtrip preserves vector payloads byte-exact") {
     val back = spark.read.parquet(s"$idx/lists")
       .select(col("corpus_id").as("vec_id"), col("__cv").as("embedding"))
