@@ -70,7 +70,28 @@ object GeoTableChanges {
     require(inRange.map(_._1) == (math.max(startVersion, es.head._1) to endV),
       s"versions [$startVersion, $endV] are not contiguous in the log at $base " +
         "(history was rebased by vacuum/recluster — re-sync from a snapshot)")
-    val parts = inRange.flatMap { case (v, op, add, remove) =>
+    // plan-size discipline: a feed range can span 10^4+ commits, and
+    // the dominant op is append — ONE scan over every insert commit's
+    // files plus a broadcast (file basename -> version) map replaces a
+    // union branch per commit (part-file basenames carry a UUID, so
+    // they are unique across the table's life). Only delete/update
+    // rewrites need their per-commit before/after diff.
+    val (inserts, rewrites) = inRange.partition(e => e._2 == "init" || e._2 == "append")
+    val insertFrames: Seq[DataFrame] = {
+      val fileVers = inserts.flatMap { case (v, _, add, _) => add.map(_ -> v) }
+      if (fileVers.isEmpty) Nil
+      else {
+        val paths = GeoTableLog.resolveFiles(
+          fs, base, fileVers.map(_._1), "change feed inserts")
+        val sq = spark; import sq.implicits._
+        val nameToV = fileVers.toDF("__base", CommitVersionCol)
+        Seq(spark.read.parquet(paths: _*)
+          .withColumn("__base", element_at(split(input_file_name(), "/"), -1))
+          .join(broadcast(nameToV), "__base").drop("__base")
+          .withColumn(ChangeTypeCol, lit("insert")))
+      }
+    }
+    val parts = insertFrames ++ rewrites.flatMap { case (v, op, add, remove) =>
       changesOf(spark, fs, base, v, op, add, remove)
     }
     if (parts.isEmpty) {

@@ -244,15 +244,29 @@ class GeoTableSource(spark: SparkSession, base: String,
       case (v, op, _, _) => throw new IllegalStateException(
         s"unknown commit op '$op' at version $v of $base")
     }
-    val frames = fileVersions.collect { case (v, names) if names.nonEmpty =>
-      val paths = GeoTableLog.resolveFiles(fs, base, names, s"stream version $v")
-      val df = spark.read.schema(tableSchema).parquet(paths: _*)
-      if (includeVersion) df.withColumn(GeoTableSource.CommitVersionCol, lit(v)) else df
-    }
+    // plan-size discipline (same as the batch change feed): ONE scan
+    // over every version's files — a catch-up batch spanning many
+    // commits must not become a union branch per version. Version
+    // attribution joins a broadcast (file basename -> version) map
+    // (part-file basenames carry a UUID: unique for the table's life).
+    val fileVers = fileVersions.flatMap { case (v, names) => names.map(_ -> v) }
+    val batch =
+      if (fileVers.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else {
+        val paths = GeoTableLog.resolveFiles(
+          fs, base, fileVers.map(_._1), s"stream batch [$from, $to]")
+        val df = spark.read.schema(tableSchema).parquet(paths: _*)
+        if (includeVersion) {
+          val sq = spark; import sq.implicits._
+          df.withColumn("__base", element_at(split(input_file_name(), "/"), -1))
+            .join(broadcast(fileVers.toDF("__base", GeoTableSource.CommitVersionCol)),
+              "__base")
+            .drop("__base")
+            .select(schema.fieldNames.map(col): _*)
+        } else df
+      }
     // getBatch must return a streaming DataFrame with exactly `schema`
-    val batch = frames.reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
     ColumnShim.streamingDataFrame(spark,
       batch.queryExecution.toRdd, schema)
   }
