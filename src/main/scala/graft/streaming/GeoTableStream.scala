@@ -3,6 +3,7 @@ package graft.streaming
 import graft.sources.GeoTableLog
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.ColumnShim
@@ -105,7 +106,8 @@ object GeoTableSource {
 }
 
 class GeoTableSource(spark: SparkSession, base: String,
-    parameters: Map[String, String]) extends Source with Logging {
+    parameters: Map[String, String]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow with Logging {
 
   private val fs = new org.apache.hadoop.fs.Path(base)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -172,7 +174,9 @@ class GeoTableSource(spark: SparkSession, base: String,
   @volatile private var lastEmitted: Int = startVersion - 1
 
   /** Highest committed version, capped to maxVersionsPerTrigger past
-   *  the last batch already handed out. */
+   *  the last batch already handed out. With [[SupportsAdmissionControl]]
+   *  implemented the engine drives [[latestOffset]] instead; this stays
+   *  as the plain-Source fallback. */
   override def getOffset: Option[OffsetV1] = {
     val es = entryCache.read(fs, base)
     es.lastOption.collect { case (v, _, _, _) if v >= startVersion =>
@@ -180,6 +184,42 @@ class GeoTableSource(spark: SparkSession, base: String,
         lastEmitted.toLong + maxVersionsPerTrigger.toLong)
       LongOffset(capped)
     }
+  }
+
+  /** Trigger.AvailableNow ceiling, snapshotted at prepare time:
+   *  batches keep advancing (capped) up to the versions committed
+   *  when the run started; later commits wait for the next scheduled
+   *  run — the hourly-ingest-job shape, natively, instead of the
+   *  engine's single-offset wrapper snapshot (which would collide
+   *  with maxVersionsPerTrigger and stop after one capped batch). */
+  @volatile private var availableNowCeiling: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = entryCache.read(fs, base).lastOption.map(_._1)
+
+  /** Version capping is internal (see [[latestOffset]]); the engine's
+   *  limit vocabulary (rows/files) doesn't describe it. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def versionOfV2(o: OffsetV2): Int = o match {
+    case o1: OffsetV1 => versionOf(o1)
+    case other => other.json.trim.toInt
+  }
+
+  /** Admission-controlled offset walk: the engine hands us the PREVIOUS
+   *  end offset, so the cap base is exact even on the first call after
+   *  a checkpoint restart. Returns null when no new version is
+   *  admissible (the engine's no-new-data signal, which is also how an
+   *  AvailableNow run terminates at the prepared ceiling). */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset).map(versionOfV2).getOrElse(startVersion - 1)
+    if (start > lastEmitted) lastEmitted = start
+    val es = entryCache.read(fs, base)
+    val committed = es.lastOption.map(_._1).getOrElse(-1)
+    val target = availableNowCeiling.fold(committed)(math.min(committed, _))
+    val capped = math.min(target.toLong,
+      start.toLong + maxVersionsPerTrigger.toLong).toInt
+    if (capped <= start || capped < startVersion) null else LongOffset(capped.toLong)
   }
 
   /** An empty micro-batch with exactly this source's schema. */

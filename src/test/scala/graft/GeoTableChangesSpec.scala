@@ -101,6 +101,34 @@ class GeoTableChangesSpec extends SparkSpec {
     assert(sliced.nonEmpty && sliced.forall(_ == 4))
   }
 
+  test("a 50-commit history reads as one insert scan, not fifty") {
+    val dir = "/tmp/graft-changes-many"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
+    mkTable(dir, n = 4)                                          // v0
+    (1 to 49).foreach { v =>
+      GeoTable.appendClustered(rows(Seq(100L + v * 2, 101L + v * 2)),
+        "geom", dir, ext, numFiles = 1)
+    }
+    val feed = GeoTableChanges.readChanges(spark, dir, 0)
+    // correctness across the whole history
+    val got = feed.select(col("id"), col(GeoTableChanges.CommitVersionCol))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length == 4 + 98)
+    assert(got.filter(_._2 == 0).map(_._1).sorted.toSeq == (0L until 4L))
+    (1 to 49).foreach { v =>
+      assert(got.filter(_._2 == v).map(_._1).sorted.toSeq ==
+        Seq(100L + v * 2, 101L + v * 2), s"version $v rows wrong")
+    }
+    // plan shape: all 50 insert commits ride ONE parquet scan (plus
+    // the broadcast basename->version lookup) — not a 50-branch union
+    // sparkPlan, not executedPlan: AQE wraps the latter before
+    // execution and collect() would see zero scan nodes
+    val scans = feed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 parquet scan, got ${scans.length}")
+  }
+
   test("bad ranges and rebased history fail loudly") {
     val dir = "/tmp/graft-changes-rebase"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))

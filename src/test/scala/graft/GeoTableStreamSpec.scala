@@ -244,6 +244,34 @@ class GeoTableStreamSpec extends SparkSpec {
       s"expected v4 then v5 one per batch after restart, got $got")
   }
 
+  test("Trigger.AvailableNow catches up in capped batches then stops") {
+    val dir = "/tmp/graft-stream-avnow"
+    val ckpt = "/tmp/graft-stream-avnow-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 10)                                                          // v0
+    GeoTable.appendClustered(rows(20L until 24L), "geom", dir, ext, numFiles = 1) // v1
+    GeoTable.appendClustered(rows(30L until 34L), "geom", dir, ext, numFiles = 1) // v2
+    GeoTable.appendClustered(rows(40L until 44L), "geom", dir, ext, numFiles = 1) // v3
+    // the scheduled-ingest production shape: run until caught up, stop
+    val batches = mutable.Buffer.empty[Set[Int]]
+    val q = spark.readStream.format("geotable").option("path", dir)
+      .option("includeCommitVersion", "true").option("maxVersionsPerTrigger", "2")
+      .load()
+      .select(col("id"), col("_commit_version"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val vs = batch.collect().map(_.getInt(1)).toSet
+        batches.synchronized { if (vs.nonEmpty) batches += vs }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    val got = batches.synchronized(batches.toList)
+    assert(got.flatten.toSet == Set(0, 1, 2, 3), s"missed versions: $got")
+    assert(got.forall(_.size <= 2), s"cap violated: $got")
+    assert(got.size >= 2, s"expected capped multi-batch catch-up, got $got")
+  }
+
   test("a stream started after compact reads retired delta files") {
     val dir = "/tmp/graft-stream-retired"
     val ckpt = "/tmp/graft-stream-retired-ckpt"
