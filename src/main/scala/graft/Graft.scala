@@ -239,13 +239,28 @@ object Graft {
     // row-level change feed of a logged table (Delta-CDF analog):
     //   st_table_changes(path, from)      — changes from..latest
     //   st_table_changes(path, from, to)  — inclusive version range
-    // rows = table columns + _change_type + _commit_version
+    // rows = table columns + _change_type + _commit_version.
+    // Same literal-TYPE dispatch as st_read_version: a numeric literal
+    // is a version number; a string literal is a timestamp — `from`
+    // resolves to the first version committed AT OR AFTER it (changes
+    // since), `to` to the latest committed AT OR BEFORE it (snapshot
+    // rule) — so st_table_changes(p, '2026-08-16', '2026-08-17') is
+    // "what changed that day".
     tfReg.createOrReplaceTempFunction("st_table_changes",
       exprs => planOf {
         val s = SparkSession.active
-        val to = if (exprs.length > 2) litNum(exprs(2)).toInt else -1
-        graft.sources.GeoTableChanges.readChanges(s, litStr(exprs.head),
-          litNum(exprs(1)).toInt, to)
+        val path = litStr(exprs.head)
+        def versionArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            since: Boolean): Int = e.dataType match {
+          case _: org.apache.spark.sql.types.StringType =>
+            val ts = graft.sources.GeoTableLog.parseTsMillis(litStr(e))
+            if (since) graft.sources.GeoTableLog.versionSince(s, path, ts)
+            else graft.sources.GeoTableLog.versionAsOf(s, path, ts)
+          case _ => litNum(e).toInt
+        }
+        val from = versionArg(exprs(1), since = true)
+        val to = if (exprs.length > 2) versionArg(exprs(2), since = false) else -1
+        graft.sources.GeoTableChanges.readChanges(s, path, from, to)
       }, "scala_udf")
     tfReg.createOrReplaceTempFunction("st_readosm",
       exprs => planOf(graft.sources.OsmPbf.read(SparkSession.active, litStr(exprs.head))), "scala_udf")

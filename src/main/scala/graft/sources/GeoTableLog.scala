@@ -583,6 +583,18 @@ object GeoTableLog {
     at.map(_._1).max
   }
 
+  /** First version committed AT OR AFTER `tsMillis` — the change-feed
+   *  and stream starting-timestamp rule (Delta's semantics: "changes
+   *  since this instant"), the dual of [[versionAsOf]]'s at-or-before
+   *  snapshot rule. latest+1 when nothing is that new ("only future
+   *  commits"), which a stream treats as startingVersion=latest. */
+  def versionSince(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val base = path.stripSuffix("/")
+    val times = entryTimes(fsOf(spark, base), base)
+    require(times.nonEmpty, s"no commit log at $base")
+    times.find(_._2 >= tsMillis).map(_._1).getOrElse(times.last._1 + 1)
+  }
+
   /** Parse a timestamp string for the AS OF form: ISO-8601 instants
    *  ("2026-08-16T04:00:00Z"), a date-time without zone, read as
    *  UTC (the engine's session time zone): "2026-08-16 04:00:00[.SSS]",

@@ -93,6 +93,9 @@ object GeoTableSource {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v
     }.foreach(v => require(v.trim.toInt > 0,
       s"maxVersionsPerTrigger must be positive, got '$v'"))
+    require(!(parameters.keys.exists(_.equalsIgnoreCase("startingVersion")) &&
+        parameters.keys.exists(_.equalsIgnoreCase("startingTimestamp"))),
+      "set startingVersion OR startingTimestamp, not both")
     val table = spark.read.parquet(base).schema
     if (boolOpt(parameters, "readChangeFeed"))
       StructType(table.fields :+
@@ -128,20 +131,33 @@ class GeoTableSource(spark: SparkSession, base: String,
    *  difference between a fresh table and one carrying 10^5 commits). */
   private val entryCache = new GeoTableLog.EntryCache
 
-  /** First version this stream emits. "latest" = only commits after
-   *  stream definition; a number = that version onward; default 0
-   *  (the full table history, starting with the init snapshot). */
-  private val startVersion: Int =
-    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v }
-      .map(_.trim.toLowerCase) match {
-      case Some("latest") =>
-        val es = entryCache.read(fs, base)
-        es.lastOption.map(_._1 + 1).getOrElse(0)
-      case Some(n) =>
-        require(n.forall(_.isDigit), s"startingVersion must be a number or 'latest', got '$n'")
-        n.toInt
-      case None => 0
+  /** First version this stream emits. `startingVersion`: "latest" =
+   *  only commits after stream definition, a number = that version
+   *  onward; `startingTimestamp`: the first version committed at or
+   *  after the instant (Delta's changes-since rule); default 0 (the
+   *  full table history, starting with the init snapshot). */
+  private val startVersion: Int = {
+    val sv = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") => v }
+    val st = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingTimestamp") => v }
+    require(sv.isEmpty || st.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
+    st match {
+      case Some(ts) =>
+        GeoTableLog.versionSince(spark, base, GeoTableLog.parseTsMillis(ts))
+      case None => sv.map(_.trim.toLowerCase) match {
+        case Some("latest") =>
+          val es = entryCache.read(fs, base)
+          es.lastOption.map(_._1 + 1).getOrElse(0)
+        case Some(n) =>
+          require(n.forall(_.isDigit),
+            s"startingVersion must be a number or 'latest', got '$n'")
+          n.toInt
+        case None => 0
+      }
     }
+  }
 
   override val schema: StructType = GeoTableSource.schemaFor(spark, base, parameters)
   private val tableSchema: StructType =

@@ -101,6 +101,32 @@ class GeoTableChangesSpec extends SparkSpec {
     assert(sliced.nonEmpty && sliced.forall(_ == 4))
   }
 
+  test("st_table_changes timestamp forms: since-rule for from, as-of rule for to") {
+    val dir = "/tmp/graft-changes-full" // v0..v5 from the first test
+    Graft.install(spark)
+    val times = GeoTableLog.entryTimes(spark, dir)
+    assert(times.size == 6)
+    // from = v4's exact commit instant (>= rule picks v4), to = v5's
+    // instant (<= rule picks v5): the delete + update tail
+    val fromIso = java.time.Instant.ofEpochMilli(times(4)._2).toString
+    val toIso = java.time.Instant.ofEpochMilli(times(5)._2).toString
+    val viaTs = spark.sql(
+      s"SELECT _change_type, _commit_version, id, grp FROM st_table_changes('$dir', '$fromIso', '$toIso')")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val viaV = (changes(dir, 4, 4) ++ changes(dir, 5, 5)).sorted
+    assert(viaTs == viaV && viaTs.nonEmpty)
+    // a from-instant AFTER every commit resolves past the log end and
+    // the range check fails loudly (nothing has changed since)
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM st_table_changes('$dir', '${times.last._2 + 60000}')").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("bad change range"))), ex.toString)
+  }
+
   test("a 50-commit history reads as one insert scan, not fifty") {
     val dir = "/tmp/graft-changes-many"
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))

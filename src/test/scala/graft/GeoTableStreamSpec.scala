@@ -111,6 +111,28 @@ class GeoTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp streams from the first commit at or after the instant") {
+    val dir = "/tmp/graft-stream-sts"
+    val ckpt = "/tmp/graft-stream-sts-ckpt"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+    mkTable(dir, 10)                                                          // v0
+    GeoTable.appendClustered(rows(20L until 25L), "geom", dir, ext, numFiles = 1) // v1
+    Thread.sleep(50) // separate v1/v2 commit instants (ms granularity)
+    GeoTable.appendClustered(rows(30L until 35L), "geom", dir, ext, numFiles = 1) // v2
+    val times = GeoTableLog.entryTimes(spark, dir)
+    val iso = java.time.Instant.ofEpochMilli(times(2)._2).toString
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val q = startBufQuery(dir, buf, ckpt, Map("startingTimestamp" -> iso))
+    try q.processAllAvailable() finally q.stop()
+    val got = buf.synchronized(buf.toSeq)
+    assert(got.map(_._1).sorted == (30L until 35L), s"since-rule start wrong: $got")
+    assert(got.forall(_._3 == 2))
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("geotable").option("path", dir)
+        .option("startingVersion", "1").option("startingTimestamp", iso).load()
+    }
+  }
+
   test("delete/update rewrites fail the stream unless skipChangeCommits") {
     val dir = "/tmp/graft-stream-rewrite"
     val ckpt = "/tmp/graft-stream-rw-ckpt"
