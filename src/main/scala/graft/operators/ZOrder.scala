@@ -62,7 +62,26 @@ object ZOrder {
    * uses the session shuffle partitions.
    */
   def writeZOrdered(df: DataFrame, cols: Seq[Column], path: String,
-      bitsPerCol: Int = 16, numFiles: Int = 0): Unit = {
+      bitsPerCol: Int = 16, numFiles: Int = 0): Unit =
+    zWrite(df, cols, path, bitsPerCol, numFiles)
+
+  /**
+   * Logged delta append to a Z-ordered table — the non-spatial twin of
+   * [[graft.sources.GeoTable.appendClustered]], sharing its staged/
+   * inflight-marker/commit protocol verbatim (stagedAppend). The batch
+   * is z-sorted among itself so new files keep tight per-column
+   * min/max stats and skipping degrades only gradually as deltas
+   * accumulate; the commit log, change feed, and `geotable` streaming
+   * source work identically to the spatial table.
+   */
+  def appendZOrdered(df: DataFrame, cols: Seq[Column], path: String,
+      bitsPerCol: Int = 16, numFiles: Int = 0): Unit =
+    graft.sources.GeoTable.stagedAppend(df.sparkSession, path) { staging =>
+      zWrite(df, cols, staging, bitsPerCol, numFiles)
+    }
+
+  private def zWrite(df: DataFrame, cols: Seq[Column], path: String,
+      bitsPerCol: Int, numFiles: Int): Unit = {
     val guarded = df.withColumn("__zok", inRange(cols, bitsPerCol))
       .withColumn("__z",
         when(col("__zok"), zOrderKey(cols, bitsPerCol))

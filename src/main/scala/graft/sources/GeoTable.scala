@@ -87,9 +87,53 @@ object GeoTable {
       .withColumn("__hilbert", st_hilbert(col(geomCol), lit(x0), lit(y0), lit(x1), lit(y1)))
     val parts = if (numFiles > 0) numFiles
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    stagedAppend(df.sparkSession, path) { staging =>
+      withKey
+        .repartitionByRange(parts, col("__hilbert"))
+        .sortWithinPartitions("__hilbert")
+        .drop("__hilbert")
+        .write.mode("overwrite").parquet(staging)
+      // tag the geo footer metadata IN STAGING, before anything is
+      // visible (r16): the old whole-directory retag after move-in
+      // rewrote footers of files concurrent readers were scanning —
+      // and of a concurrent append's freshly moved-in files — in
+      // place; identical bytes, but a reader (or the racing tagger)
+      // catching a half-extended footer fails transiently. Tagging
+      // only this write's staged files touches nothing anyone can see.
+      GeoParquetMeta.tagDirectory(staging, geomCol,
+        bbox = Some(extent), covering = true)
+    }
+  }
+
+  /**
+   * Logged append for ANY layout (the non-spatial twin of
+   * [[appendClustered]]): the batch lands as plain parquet delta files
+   * with the same staged/marker/commit concurrency shield, so the
+   * commit log, change feed, and the `geotable` streaming source work
+   * identically on tables that are not Hilbert-clustered (Z-ordered
+   * via [[graft.operators.ZOrder.appendZOrdered]], or unclustered).
+   */
+  def append(df: DataFrame, path: String, numFiles: Int = 0): Unit =
+    stagedAppend(df.sparkSession, path) { staging =>
+      (if (numFiles > 0) df.repartition(numFiles) else df)
+        .write.mode("overwrite").parquet(staging)
+    }
+
+  /**
+   * The staged-append protocol shared by every logged append path
+   * (clustered, z-ordered, plain): sweep dead sibling staging dirs,
+   * run `writeStaged` into a fresh one, then inflight-marker →
+   * move-in → commit → unmark. Every concurrency property the fuzz
+   * specs pin (exact staged add sets, the marker shield over the
+   * move-in→commit window, recursive-mtime staleness for the sweep)
+   * lives HERE, once — a new layout gets them by passing a write
+   * function, not by re-implementing the dance.
+   */
+  private[graft] def stagedAppend(spark: SparkSession, path: String)
+      (writeStaged: String => Unit): Unit = {
     val base = path.stripSuffix("/")
     val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hBase = new org.apache.hadoop.fs.Path(base)
     val logOn = fs.exists(hBase) && GeoTableLog.isEnabled(fs, base)
     // Stage the batch in a sibling dir, then move the EXACT file set in.
@@ -131,20 +175,7 @@ object GeoTable {
             GeoTableLog.staleClaimMs)
         fs.delete(st.getPath, true)
     }
-    withKey
-      .repartitionByRange(parts, col("__hilbert"))
-      .sortWithinPartitions("__hilbert")
-      .drop("__hilbert")
-      .write.mode("overwrite").parquet(staging.toString)
-    // tag the geo footer metadata IN STAGING, before anything is
-    // visible (r16): the old whole-directory retag after move-in
-    // rewrote footers of files concurrent readers were scanning —
-    // and of a concurrent append's freshly moved-in files — in place;
-    // identical bytes, but a reader (or the racing tagger) catching a
-    // half-extended footer fails transiently. Tagging only this
-    // write's staged files touches nothing anyone else can see.
-    GeoParquetMeta.tagDirectory(staging.toString, geomCol,
-      bbox = Some(extent), covering = true)
+    writeStaged(staging.toString)
     val newParts = fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName).toSeq
@@ -154,7 +185,7 @@ object GeoTable {
       // part names carry this write's task UUIDs — a destination
       // collision means a broken store, not a concurrent writer
       if (!fs.rename(p, new org.apache.hadoop.fs.Path(hBase, p.getName)))
-        throw new java.io.IOException(s"appendClustered: cannot move $p into $base")
+        throw new java.io.IOException(s"stagedAppend: cannot move $p into $base")
     }
     fs.delete(staging, true)
     if (logOn) {

@@ -158,7 +158,10 @@ class CoverageSpec extends SparkSpec {
       ("streaming/GeoTableStream.scala", "readChangeFeed", "readChangeFeed"),
       ("Graft.scala", "st_table_changes", "st_table_changes"),
       ("sources/GeoTableLog.scala", "class EntryCache", "EntryCache"),
-      ("streaming/GeoTableStream.scala", "maxVersionsPerTrigger", "maxVersionsPerTrigger"))
+      ("streaming/GeoTableStream.scala", "maxVersionsPerTrigger", "maxVersionsPerTrigger"),
+      ("sources/GeoTable.scala", "def stagedAppend", "stagedAppend"),
+      ("operators/ZOrder.scala", "def appendZOrdered", "appendZOrdered"),
+      ("sources/GeoTableLog.scala", "def versionSince", "versionSince"))
     markers.foreach { case (file, marker, keyword) =>
       assert(srcHas(file, marker) == cov.toLowerCase.contains(keyword.toLowerCase),
         s"capability drift: $file has '$marker' = ${srcHas(file, marker)} but COVERAGE.md " +

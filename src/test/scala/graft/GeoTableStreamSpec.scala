@@ -314,6 +314,47 @@ class GeoTableStreamSpec extends SparkSpec {
     assert(got.filter(_._3 == 2).map(_._1).sorted == (30L until 35L))
   }
 
+  test("layout-agnostic: a z-ordered non-spatial table tails and diffs identically") {
+    val dir = "/tmp/graft-stream-zorder"
+    val ckpt = "/tmp/graft-stream-zorder-ckpt"
+    Seq(dir, ckpt).foreach(d =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    def zrows(ids: Seq[Long]) = ids.toDF("id")
+      .withColumn("a", (col("id") % 500).cast("long"))
+      .withColumn("b", ((col("id") * 7) % 500).cast("long"))
+    graft.operators.ZOrder.writeZOrdered(zrows(0L until 30L),
+      Seq(col("a"), col("b")), dir, bitsPerCol = 10, numFiles = 2)
+    GeoTableLog.enable(spark, dir)                                        // v0
+    val buf = mutable.Buffer.empty[(Long, Long, Int)]
+    val reader = spark.readStream.format("geotable").option("path", dir)
+      .option("includeCommitVersion", "true")
+    val q = reader.load()
+      .select(col("id"), col("a"), col("_commit_version"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        buf.synchronized { buf ++= got }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      graft.operators.ZOrder.appendZOrdered(zrows(100L until 110L),
+        Seq(col("a"), col("b")), dir, bitsPerCol = 10, numFiles = 1)      // v1
+      sources.GeoTable.append(zrows(200L until 205L), dir, numFiles = 1)  // v2 plain
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.synchronized(buf.toSeq)
+    assert(got.map(_._1).sorted ==
+      ((0L until 30L) ++ (100L until 110L) ++ (200L until 205L)))
+    assert(got.filter(_._3 == 1).map(_._1).sorted == (100L until 110L))
+    assert(got.filter(_._3 == 2).map(_._1).sorted == (200L until 205L))
+    // and the batch change feed reads the same non-spatial history
+    val feed = graft.sources.GeoTableChanges.readChanges(spark, dir, 1)
+      .select(col("id"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(feed.map(_._1).sorted.toSeq == ((100L until 110L) ++ (200L until 205L)))
+  }
+
   test("EntryCache reads incrementally and invalidates across a rebase") {
     val dir = "/tmp/graft-stream-ecache"
     mkTable(dir, 10)
