@@ -349,6 +349,14 @@ object GeoTable {
     rewriteHitFiles(spark, path, predicate, (hit, matches) => hit.filter(!matches),
       op = "delete")
 
+  /** Non-spatial form of [[deleteWhere]] — the surgical rewrite core
+   *  is layout-agnostic (it finds hit files by predicate, not
+   *  geometry), so z-ordered and plain logged tables get the same
+   *  row-level DELETE, commit entry included. */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long =
+    rewriteHitFiles(spark, path, predicate, (hit, matches) => hit.filter(!matches),
+      op = "delete")
+
   /**
    * Row-level UPDATE on a clustered table (the reference R-tree's
    * transactional UPDATE, rtree_crud.test): the same surgical rewrite
@@ -393,6 +401,14 @@ object GeoTable {
       bboxed.drop((flag +: (0 until set.size).map(i => s"__graft_set_$i")): _*)
     }, op = "update")
   }
+
+  /** Non-spatial form of [[updateWhere]]: identical SQL UPDATE
+   *  semantics (WHERE and SET read the pre-update row) without a
+   *  geometry/bbox sidecar — z-ordered and plain logged tables get
+   *  the same surgical row-level UPDATE, commit entry included. */
+  def updateWhere(spark: SparkSession, path: String,
+      predicate: Column, set: Map[String, Column]): Long =
+    updateWhere(spark, "__graft_no_geom", path, predicate, set)
 
   /** Shared surgical-rewrite core: find the part files holding rows
    *  matching `predicate` (one scan; a file-count-sized driver list,

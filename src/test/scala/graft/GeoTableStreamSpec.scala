@@ -353,6 +353,24 @@ class GeoTableStreamSpec extends SparkSpec {
       .select(col("id"), col("_commit_version")).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(feed.map(_._1).sorted.toSeq == ((100L until 110L) ++ (200L until 205L)))
+    // non-spatial row CRUD: the geom-free deleteWhere/updateWhere
+    // overloads commit v3/v4, and the CDF feed diffs them exactly
+    val ndel = GeoTable.deleteWhere(spark, dir, col("id") % 10 === 1)      // v3
+    assert(ndel == 5, s"deleted $ndel") // 1,11,21,101,201
+    val nupd = GeoTable.updateWhere(spark, dir, col("id") === 200L,
+      Map("a" -> (col("a") + lit(1000L))))                                 // v4
+    assert(nupd == 1)
+    val crud = graft.sources.GeoTableChanges.readChanges(spark, dir, 3)
+      .select(col("_change_type"), col("id"), col("a")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(crud.filter(_._1 == "delete").map(_._2).sorted.toSeq ==
+      Seq(1L, 11L, 21L, 101L, 201L))
+    assert(crud.filter(_._1 == "update_preimage").toSeq == Seq(("update_preimage", 200L, 200L)))
+    assert(crud.filter(_._1 == "update_postimage").toSeq == Seq(("update_postimage", 200L, 1200L)))
+    // live table reflects both
+    val live = spark.read.parquet(dir).select("id", "a").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!live.contains(1L) && live(200L) == 1200L)
   }
 
   test("EntryCache reads incrementally and invalidates across a rebase") {
