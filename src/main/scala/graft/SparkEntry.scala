@@ -1614,6 +1614,36 @@ object SparkEntry {
         .orderBy("v", "ct", "c_custkey")
     }),
 
+    // the NON-SPATIAL commit-log path certified end-to-end: a z-ordered
+    // table (no geometry anywhere) gets init/append via appendZOrdered,
+    // then the geom-free deleteWhere/updateWhere overloads, and the
+    // change feed reconstructs the full history — same closed-form
+    // oracle shape as q_geotable_changes, against orders.
+    "q_zorder_crud" -> ((s, dir) => {
+      load(s, dir, "orders")
+      import org.apache.spark.sql.functions._
+      val out = "/tmp/graft_zorder_crud"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
+      def slice(lo: Int, hi: Int) = s.table("orders")
+        .where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 500).cast("long").as("za"),
+          (col("o_custkey") % 500).cast("long").as("zb"))
+      operators.ZOrder.writeZOrdered(slice(0, 2000), Seq(col("za"), col("zb")),
+        out, bitsPerCol = 10, numFiles = 3)
+      sources.GeoTableLog.enable(s, out)                                  // v0
+      operators.ZOrder.appendZOrdered(slice(2000, 3000), Seq(col("za"), col("zb")),
+        out, bitsPerCol = 10, numFiles = 1)                               // v1
+      sources.GeoTable.deleteWhere(s, out, col("o_orderkey") % 7 === 2)   // v2
+      sources.GeoTable.updateWhere(s, out, col("o_orderkey") % 5 === 1,
+        Map("o_custkey" -> (col("o_custkey") + lit(1000))))               // v3
+      sources.GeoTableChanges.readChanges(s, out, 0)
+        .select(col(sources.GeoTableChanges.ChangeTypeCol).as("ct"),
+          col(sources.GeoTableChanges.CommitVersionCol).as("v"),
+          col("o_orderkey"), col("o_custkey").cast("long").as("ck"))
+        .orderBy("v", "ct", "o_orderkey")
+    }),
+
     // AS OF timestamp time travel: the same three-version history as
     // q_clustered_timetravel, but every snapshot is resolved through
     // st_read_version's TIMESTAMP form (each version's own commit
@@ -7207,6 +7237,34 @@ object SparkEntry {
                  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM pre
                  UNION ALL SELECT * FROM post) t
            ORDER BY v, ct, c_custkey""",
+
+      // the non-spatial (z-ordered) history recomputed closed-form —
+      // same shape as q_geotable_changes, over orders
+      "q_zorder_crud" ->
+        s"""WITH allr AS (
+             SELECT o_orderkey, o_custkey
+             FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 3000),
+           ins0 AS (SELECT 'insert' AS ct, 0 AS v, o_orderkey,
+                      CAST(o_custkey AS BIGINT) AS ck
+                    FROM allr WHERE o_orderkey <= 2000),
+           ins1 AS (SELECT 'insert' AS ct, 1 AS v, o_orderkey,
+                      CAST(o_custkey AS BIGINT) AS ck
+                    FROM allr WHERE o_orderkey > 2000),
+           del AS (SELECT 'delete' AS ct, 2 AS v, o_orderkey,
+                     CAST(o_custkey AS BIGINT) AS ck
+                   FROM allr WHERE o_orderkey % 7 = 2),
+           surv AS (SELECT * FROM allr WHERE o_orderkey % 7 <> 2),
+           pre AS (SELECT 'update_preimage' AS ct, 3 AS v, o_orderkey,
+                     CAST(o_custkey AS BIGINT) AS ck
+                   FROM surv WHERE o_orderkey % 5 = 1),
+           post AS (SELECT 'update_postimage' AS ct, 3 AS v, o_orderkey,
+                      CAST(o_custkey + 1000 AS BIGINT) AS ck
+                    FROM surv WHERE o_orderkey % 5 = 1)
+           SELECT ct, v, o_orderkey, ck
+           FROM (SELECT * FROM ins0 UNION ALL SELECT * FROM ins1
+                 UNION ALL SELECT * FROM del UNION ALL SELECT * FROM pre
+                 UNION ALL SELECT * FROM post) t
+           ORDER BY v, ct, o_orderkey""",
 
       // cumulative stream content + per-version attribution: version 0
       // is the init snapshot, 1 and 2 the two appended slices
