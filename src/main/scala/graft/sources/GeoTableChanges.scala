@@ -70,12 +70,26 @@ object GeoTableChanges {
     require(inRange.map(_._1) == (math.max(startVersion, es.head._1) to endV),
       s"versions [$startVersion, $endV] are not contiguous in the log at $base " +
         "(history was rebased by vacuum/recluster — re-sync from a snapshot)")
-    // plan-size discipline: a feed range can span 10^4+ commits, and
-    // the dominant op is append — ONE scan over every insert commit's
-    // files plus a broadcast (file basename -> version) map replaces a
-    // union branch per commit (part-file basenames carry a UUID, so
-    // they are unique across the table's life). Only delete/update
-    // rewrites need their per-commit before/after diff.
+    val parts = changeFrames(spark, fs, base, inRange)
+    if (parts.isEmpty) {
+      // shape-stable empty result: live table schema + the CDC columns
+      spark.read.parquet(base).limit(0)
+        .withColumn(ChangeTypeCol, lit(null).cast("string"))
+        .withColumn(CommitVersionCol, lit(null).cast("int"))
+    } else parts.reduce(_ unionByName _)
+  }
+
+  /** Change frames for a contiguous entry range — shared by the batch
+   *  feed and the streaming source's change-feed mode. Plan-size
+   *  discipline: a range can span 10^4+ commits and the dominant op is
+   *  append, so ALL insert commits (init/append) ride ONE parquet scan
+   *  plus a broadcast (file basename -> version) map (part-file
+   *  basenames carry a UUID, unique across the table's life) instead
+   *  of a union branch per commit; only delete/update rewrites need
+   *  their per-commit before/after diff. */
+  private[graft] def changeFrames(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: String,
+      inRange: Seq[(Int, String, Seq[String], Seq[String])]): Seq[DataFrame] = {
     val (inserts, rewrites) = inRange.partition(e => e._2 == "init" || e._2 == "append")
     val insertFrames: Seq[DataFrame] = {
       val fileVers = inserts.flatMap { case (v, _, add, _) => add.map(_ -> v) }
@@ -91,20 +105,13 @@ object GeoTableChanges {
           .withColumn(ChangeTypeCol, lit("insert")))
       }
     }
-    val parts = insertFrames ++ rewrites.flatMap { case (v, op, add, remove) =>
+    insertFrames ++ rewrites.flatMap { case (v, op, add, remove) =>
       changesOf(spark, fs, base, v, op, add, remove)
     }
-    if (parts.isEmpty) {
-      // shape-stable empty result: live table schema + the CDC columns
-      spark.read.parquet(base).limit(0)
-        .withColumn(ChangeTypeCol, lit(null).cast("string"))
-        .withColumn(CommitVersionCol, lit(null).cast("int"))
-    } else parts.reduce(_ unionByName _)
   }
 
-  /** The change rows of one commit; empty for no-op commits. Shared
-   *  with the streaming source's change-feed mode. */
-  private[graft] def changesOf(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+  /** The change rows of one commit; empty for no-op commits. */
+  private def changesOf(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       base: String, v: Int, op: String,
       add: Seq[String], remove: Seq[String]): Seq[DataFrame] = {
     def read(names: Seq[String]): Option[DataFrame] =

@@ -275,12 +275,11 @@ class GeoTableSource(spark: SparkSession, base: String,
           s"(have ${es.headOption.map(_._1)}..${es.lastOption.map(_._1)}) — history was " +
           "rebased by vacuum/recluster; restart the stream from a fresh checkpoint")
     if (readChangeFeed) {
-      // change-feed mode: each version contributes its row-level
-      // change frames (cost proportional to the commit's touched
-      // files — the same reconstruction as the batch feed)
-      val frames = inRange.flatMap { case (v, op, add, remove) =>
-        graft.sources.GeoTableChanges.changesOf(spark, fs, base, v, op, add, remove)
-      }
+      // change-feed mode: the batch feed's reconstruction verbatim —
+      // insert commits collapse into one scan, rewrites diff
+      // per-commit, cost proportional to the commits' touched files
+      val frames =
+        graft.sources.GeoTableChanges.changeFrames(spark, fs, base, inRange)
       val batch = frames.reduceOption(_ unionByName _)
         .map(_.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
         .getOrElse(spark.createDataFrame(
