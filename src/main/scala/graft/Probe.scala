@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling harness for optimization round 16 (not part of
+  * the driver contract; removed when profiling is done). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val what = args.headOption.getOrElse("minhash_phases")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.install(spark)
+    import graft.GeoFunctions._
+
+    def time(label: String)(body: => Any): Double = {
+      val t0 = System.nanoTime()
+      val r = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-40s $dt%8.3f s   ($r)")
+      dt
+    }
+
+    what match {
+      case "minhash_phases" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m)
+          .selectExpr("id", s"CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE $m + id END AS base")
+          .selectExpr("id",
+            "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+            "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+            "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+        // warm
+        locally {
+          val p = graft.operators.Dedup.minhashCandidates(docs(1000000L), col("id"), col("text"), 16, 4, 3)
+          p.filter(col("est_jaccard") >= 0.9).agg(count(lit(1))).collect()
+          p.unpersist(blocking = false)
+          ()
+        }
+        (1 to 2).foreach { trial =>
+          println(s"--- trial $trial, n=$n ---")
+          // phase 0: raw doc generation + signature compute, no persist
+          time("sig compute (no persist, agg only)") {
+            docs(n).select(graft.operators.Dedup.minhashSignature(col("text"), 16, 3).as("s"))
+              .agg(sum(element_at(col("s"), 1).cast("long"))).collect()(0).getLong(0)
+          }
+          val sigs = docs(n).select(col("id").as("__id"),
+            graft.operators.Dedup.minhashSignature(col("text"), 16, 3).as("__sig"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time("A: sigs persist+count") { sigs.count() }
+          val banded = graft.operators.Dedup.bandBuckets(sigs, 16, 4)
+          time("B0: banded count (from cache)") { banded.count() }
+          val pairs0 = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.__id") < col("b.__id"))
+            .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+          time("B1: band self-join (no distinct)") { pairs0.count() }
+          val pairs = pairs0.distinct()
+          time("B2: +distinct") { pairs.count() }
+          val full = pairs
+            .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+            .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+            .withColumn("est_jaccard",
+              expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v)) / cast(size(__sa) AS double)"))
+          time("C: sig re-join + est + agg") {
+            full.filter(col("est_jaccard") >= 0.9)
+              .agg(count(lit(1)), sum(col("id_a") + col("id_b"))).collect()(0).getLong(0)
+          }
+          sigs.unpersist(blocking = true)
+        }
+
+      case "minhash_real" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m)
+          .selectExpr("id", s"CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE $m + id END AS base")
+          .selectExpr("id",
+            "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+            "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+            "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+        def run(m: Long): Long = {
+          val pairs = graft.operators.Dedup.minhashCandidates(docs(m), col("id"), col("text"), 16, 4, 3)
+          val out = pairs.filter(col("est_jaccard") >= 0.9)
+            .agg(count(lit(1)), sum(col("id_a") + col("id_b"))).collect()(0).getLong(0)
+          pairs.unpersist(blocking = false)
+          out
+        }
+        run(1000000L)
+        (1 to 3).foreach { t => time(s"minhash_real n=$n trial $t") { run(n) } }
+
+      case "minhash_cached" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m)
+          .selectExpr("id", s"CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE $m + id END AS base")
+          .selectExpr("id",
+            "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+            "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+            "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+        def run(m: Long): Long = {
+          import graft.operators.Dedup
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val sigs = docs(m).select(col("id").as("__id"),
+            Dedup.minhashSignature(col("text"), 16, 3).as("__sig")).persist(lvl)
+          val banded = Dedup.bandBuckets(sigs, 16, 4)
+            .repartition(col("band"), col("bh")).persist(lvl)
+          val pairs = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.__id") < col("b.__id"))
+            .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+            .distinct()
+          val full = pairs.hint("shuffle_hash")
+            .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+            .hint("shuffle_hash")
+            .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+            .withColumn("est_jaccard",
+              expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v)) / cast(size(__sa) AS double)"))
+          val out = full.filter(col("est_jaccard") >= 0.9)
+            .agg(count(lit(1)), sum(col("id_a") + col("id_b"))).collect()(0).getLong(0)
+          banded.unpersist(blocking = false)
+          sigs.unpersist(blocking = false)
+          out
+        }
+        run(1000000L)
+        (1 to 3).foreach { t => time(s"minhash_cached n=$n trial $t") { run(n) } }
+
+      case "minhash_plan" =>
+        val docs = spark.range(1000000L)
+          .selectExpr("id", "CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE 1000000 + id END AS base")
+          .selectExpr("id",
+            "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+            "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+            "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+        val sigs = docs.select(col("id").as("__id"),
+          graft.operators.Dedup.minhashSignature(col("text"), 16, 3).as("__sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigs.count()
+        val out = graft.operators.Dedup.minhashCandidatesFromSigs(sigs, 16, 4)
+          .filter(col("est_jaccard") >= 0.9)
+          .agg(count(lit(1)), sum(col("id_a") + col("id_b")))
+        out.collect()
+        println(out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+      case "spatial_phases" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+        def lcgPts(m: Long) = spark.range(m).select(col("id"),
+          st_point(expr("((id*2+1)*48271 % 2147483647)/21474836.47"),
+            expr("((id*2+7)*16807 % 2147483647)/21474836.47")).as("pt"))
+        val zones25 = spark.range(25).select(col("id").as("zid"),
+          st_makeenvelope(expr("CAST(id % 5 * 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 AS DOUBLE)"),
+            expr("CAST(id % 5 * 20 + 20 AS DOUBLE)"), expr("CAST(id DIV 5 * 20 + 20 AS DOUBLE)")).as("zone"))
+        def fullJoin(m: Long): Long =
+          graft.operators.SpatialJoin.join(lcgPts(m), zones25, col("pt"), col("zone"), "st_within", cellSize = 20.0)
+            .groupBy("zid").count().agg(count(lit(1)), sum("count")).collect()(0).getLong(0)
+        fullJoin(1000000L) // warm
+        (1 to 2).foreach { trial =>
+          println(s"--- trial $trial, n=$n ---")
+          time("gen pts + count (scan floor)") { lcgPts(n).select(sum(length(col("pt")))).collect()(0).getLong(0) }
+          time("gen pts + st_extent agg") {
+            lcgPts(n).select(st_extent(col("pt")).as("b"))
+              .agg(sum(col("b.min_x") + col("b.max_y"))).collect()(0).getDouble(0).toLong
+          }
+          time("full grid join (st_within)") { fullJoin(n) }
+        }
+        println(graft.operators.SpatialJoin.join(lcgPts(1000L), zones25, col("pt"), col("zone"), "st_within", cellSize = 20.0)
+          .groupBy("zid").count().queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+      case other => sys.error(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+}

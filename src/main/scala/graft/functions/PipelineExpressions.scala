@@ -19,6 +19,63 @@ private[graft] object Round6 {
 }
 
 /**
+ * LSH band hashes of a MinHash signature: element b is
+ * murmur3(sig[b*r .. b*r+r-1], seed 42) with r = len(sig)/bands —
+ * VALUE-IDENTICAL to Spark's `hash(slice(sig, b*r+1, r))` over an
+ * `array<int>` (Murmur3Hash chains hashInt over the elements from the
+ * 42 seed), so persisted bucket tables built with either formulation
+ * keep matching. Exists because the lambda-based
+ * `transform(sequence(...), b -> hash(slice(...)))` formulation (a)
+ * allocates a slice array per band per row and (b) defeats AQE
+ * exchange reuse in the LSH self-join — lambda-variable exprIds keep
+ * the two identical banding branches from canonicalizing equal, so
+ * the banding scan+shuffle ran TWICE (measured 12 s/pass at 10M docs,
+ * the largest single slice of minhash_10m). Whole-stage-codegen via a
+ * static helper; one primitive array per row, no boxing.
+ */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+  require(bands >= 1, "bands must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "band_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    BandHashes.compute(v.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BandHashes.compute($c, $bands)")
+
+  override protected def withNewChildInternal(c: Expression): BandHashes = copy(child = c)
+}
+
+object BandHashes {
+  /** Chained Murmur3_x86_32.hashInt over each band's slice, seed 42 —
+   *  the exact recipe of Spark's Murmur3Hash over an int-array slice. */
+  def compute(arr: ArrayData, bands: Int): ArrayData = {
+    val n = arr.numElements()
+    val r = n / bands
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42
+      var j = b * r
+      val end = j + r
+      while (j < end) {
+        h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(arr.getInt(j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/**
  * SimHash document fingerprint (Charikar 2002, the standard near-dup
  * sketch): 64-bit signature where bit b is the sign of the sum of
  * (+1/-1) votes from each shingle's hash bit b. Hamming distance on

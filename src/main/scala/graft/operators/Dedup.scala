@@ -149,19 +149,32 @@ object Dedup {
     // re-parse `text` from the source (the expensive part at scale)
     val sigs = df.select(id.as("__id"), minhashSignature(text, numHashes, shingleSize).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materializeThenFree(minhashCandidatesFromSigs(sigs, numHashes, bands), sigs)
+    // banding cached on its join partitioning: the self-join's two
+    // branches never canonicalize equal (Generate + alias), so without
+    // the cache each branch re-scans the signature cache AND pays its
+    // own 4·|docs|-row exchange; cached-after-repartition, both
+    // branches read the SAME shuffled blocks and EnsureRequirements
+    // inserts no further exchange. Narrow rows (id, band, bh — 16
+    // bytes), freed with the signature cache the moment the pair frame
+    // is materialized, so the peak-footprint window is one operator
+    // call, not the session.
+    val banded = bandBuckets(sigs, numHashes, bands)
+      .repartition(col("band"), col("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeThenFree(estPairs(sigs, banded), sigs, banded)
   }
 
   /** Materialize the NARROW pair frame, then immediately free the WIDE
-   *  signature/shingle cache it was derived from. Waiting for Spark's
-   *  GC-driven ContextCleaner instead leaves dead MEMORY_AND_DISK
-   *  blocks competing with later jobs for executor memory in a
-   *  long-lived session (one dedup call at 10M rows caches GiBs of
-   *  signatures that are never read again once the pairs exist). */
-  private def materializeThenFree(pairs: DataFrame, wide: DataFrame): DataFrame = {
+   *  signature/shingle/banding caches it was derived from. Waiting for
+   *  Spark's GC-driven ContextCleaner instead leaves dead
+   *  MEMORY_AND_DISK blocks competing with later jobs for executor
+   *  memory in a long-lived session (one dedup call at 10M rows caches
+   *  GiBs of signatures that are never read again once the pairs
+   *  exist). */
+  private def materializeThenFree(pairs: DataFrame, wide: DataFrame*): DataFrame = {
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // one action: pairs now live independently of `wide`
-    wide.unpersist(blocking = false)
+    wide.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -182,11 +195,16 @@ object Dedup {
   def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
+    // BandHashes emits the same murmur3 values as the former
+    // hash(slice(__sig, b*r+1, r)) lambda formulation (so persisted
+    // bucket tables keep matching) but in one allocation-free codegen
+    // pass — and, lambda-free, the banding subplan canonicalizes
+    // equal across the LSH self-join's two branches, letting AQE
+    // reuse ONE banding exchange instead of scanning+shuffling twice.
     val banded = sigs.select(col("__id"),
-      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-        s"'band', b, 'bh', hash(slice(__sig, b * $r + 1, $r))))")).as("__b"))
-      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+      posexplode(ColumnShim.column(graft.functions.BandHashes(
+        ColumnShim.expr(col("__sig")), bands))))
+      .toDF("__id", "band", "bh")
     if (maxBucketSize <= 0) banded
     else {
       val hot = banded.groupBy("band", "bh").count()
@@ -198,15 +216,34 @@ object Dedup {
   /** Banding + pair join over a precomputed (`__id`, `__sig`) frame —
    *  lets callers derive signatures once (and persist) for reuse. */
   def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int,
-      maxBucketSize: Int = 0): DataFrame = {
-    val banded = bandBuckets(sigs, numHashes, bands, maxBucketSize)
+      maxBucketSize: Int = 0): DataFrame =
+    estPairs(sigs, bandBuckets(sigs, numHashes, bands, maxBucketSize))
+
+  /** Candidate pairs + signature-agreement estimate over a prepared
+   *  banding frame. `banded` may be the raw [[bandBuckets]] output or
+   *  a repartition(band, bh)-persisted copy ([[minhashCandidates]] /
+   *  [[nearDupPairs]] use the latter so the self-join's two branches
+   *  share one exchange). */
+  private def estPairs(sigs: DataFrame, banded: DataFrame): DataFrame = {
+    // The self-join stays sort-merge DELIBERATELY: its per-partition
+    // build side is bands·|docs|/partitions rows — a SHUFFLE_HASH hint
+    // here built a ~60 MB hash relation per task and threw
+    // "Can't acquire memory to build hash relation" at 10M docs in an
+    // 8g session (SHJ cannot spill); SMJ sorts the narrow 16-byte rows
+    // and spills gracefully. The r16 win on this join is the banding
+    // rewrite above (BandHashes), which took each branch's
+    // scan+explode from 12 s to 0.2 s at 10M docs.
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    pairs
+    // hint the PAIR side as the hash-build side of each signature
+    // re-join: candidates are far fewer than documents, and building
+    // them avoids sorting the full signature frame twice.
+    pairs.hint("shuffle_hash")
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+      .hint("shuffle_hash")
       .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
       // size() counts null slots, so filter the agreeing positions
       // explicitly — est = fraction of minhash positions that agree
@@ -229,7 +266,11 @@ object Dedup {
         stringShingles(text, shingleSize).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = both.select(col("__id"), col("__sig"))
-    val verified = minhashCandidatesFromSigs(sigs, numHashes, bands)
+    // same shared-exchange banding cache as minhashCandidates
+    val banded = bandBuckets(sigs, numHashes, bands)
+      .repartition(col("band"), col("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = estPairs(sigs, banded)
       .join(both.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(both.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("jaccard",
@@ -240,7 +281,7 @@ object Dedup {
     // same explicit-release discipline as minhashCandidates: the WIDE
     // signature+shingle cache must not outlive pair materialization
     // (the r3 clustered-write regression was exactly this class of leak)
-    materializeThenFree(verified, both)
+    materializeThenFree(verified, both, banded)
   }
 
   /** Near-dedup via MinHash-LSH: drop every row whose id appears as
