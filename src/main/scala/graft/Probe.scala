@@ -129,6 +129,23 @@ object Probe {
         run(1000000L)
         (1 to 3).foreach { t => time(s"minhash_cached n=$n trial $t") { run(n) } }
 
+      case "ivf_plan" =>
+        def ivfVecSql(idExpr: String): String = {
+          def w = s"((($idExpr)*37 + d*11)*48271 % 1000003)"
+          s"transform(sequence(0, 7), d -> CAST($w * ($w + 13) % 1000003 AS DOUBLE) / 1000003.0)"
+        }
+        val n = args.lift(1).map(_.toLong).getOrElse(100000L)
+        val corpus = spark.range(n).selectExpr("id", s"${ivfVecSql("id")} AS v")
+        val cents = spark.range(8L).selectExpr("id AS cid", s"${ivfVecSql("id*1237 + 101")} AS cv")
+        val qs = spark.range(8L).selectExpr("id AS qid", s"${ivfVecSql("id*7717 + 3")} AS qv")
+        val out = graft.operators.Similarity.ivfTopK(corpus, qs, cents,
+            col("id"), col("v"), col("qid"), col("qv"), col("cid"), col("cv"),
+            k = 10, nprobe = 2)
+          .agg(count(lit(1)), sum("corpus_id"),
+            sum(expr("CAST(round(cosine * 1e6, 0) AS BIGINT)")))
+        out.collect()
+        println(out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
       case "minhash_plan" =>
         val docs = spark.range(1000000L)
           .selectExpr("id", "CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE 1000000 + id END AS base")

@@ -180,6 +180,55 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
   // method on PreparedGeometry).
   private final val ContainsProperlyPattern = "T**FF*FF*"
 
+  // PLAIN-mode right-side value cache: in a spatial join's residual
+  // predicate neither operand is foldable, but the dim side's bytes
+  // REPEAT heavily (25 zones across 10M candidate rows in the bench
+  // grid join) — without reuse every row re-parses the right WKB and
+  // runs an unprepared JTS op (~70% of spatial_join_10m's time over
+  // the scan floor, measured r16). A tiny per-thread map keyed by
+  // VALUE (length, then Arrays.equals) parses each distinct right
+  // geometry once and promotes it to a PreparedGeometry on its second
+  // sighting (one-shot rows never pay the prepare). Bounded: at most
+  // 32 entries of at most 64 KiB WKB each per thread; bigger or
+  // colliding geometries just fall through to the plain path, so a
+  // never-repeating right side costs one length check + at most one
+  // byte compare per row.
+  private final class PrepSlot {
+    var bytes: Array[Byte] = _
+    var geom: Geometry = _
+    var prep: PreparedGeometry = _
+  }
+  private final class PlainRightCache {
+    private val slots = new Array[PrepSlot](32)
+    private var clock = 0
+    /** Returns the slot for these bytes (parsed geometry guaranteed,
+     *  prepared from the second sighting on), or null when uncacheable. */
+    def lookup(b: Array[Byte]): PrepSlot = {
+      if (b.length > 65536) return null
+      var i = 0
+      while (i < slots.length) {
+        val s = slots(i)
+        if (s != null && (s.bytes eq b)) return promote(s)
+        if (s != null && s.bytes.length == b.length &&
+            java.util.Arrays.equals(s.bytes, b)) return promote(s)
+        i += 1
+      }
+      val s = new PrepSlot
+      s.bytes = b
+      s.geom = Jts.read(b)
+      slots(clock) = s
+      clock = (clock + 1) % slots.length
+      s
+    }
+    private def promote(s: PrepSlot): PrepSlot = {
+      if (s.prep == null) s.prep = PreparedGeometryFactory.prepare(s.geom)
+      s
+    }
+  }
+  @transient private lazy val plainRight = new ThreadLocal[PlainRightCache] {
+    override def initialValue(): PlainRightCache = new PlainRightCache
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lb = l.asInstanceOf[Array[Byte]]
     val rb = r.asInstanceOf[Array[Byte]]
@@ -226,19 +275,42 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
           case other => sys.error(s"unknown predicate $other")
         }
       case _ =>
-        name match {
-          case "st_intersects" => lg.intersects(rg)
-          case "st_contains" => lg.contains(rg)
-          case "st_containsproperly" => lg.relate(rg, ContainsProperlyPattern)
-          case "st_within" => lg.within(rg)
-          case "st_covers" => lg.covers(rg)
-          case "st_coveredby" => lg.coveredBy(rg)
-          case "st_crosses" => lg.crosses(rg)
-          case "st_disjoint" => lg.disjoint(rg)
-          case "st_equals" => lg.equalsTopo(rg)
-          case "st_overlaps" => lg.overlaps(rg)
-          case "st_touches" => lg.touches(rg)
-          case other => sys.error(s"unknown predicate $other")
+        val slot = plainRight.get().lookup(rb)
+        if (slot != null && slot.prep != null) {
+          // repeated right geometry: same dispatch as ANCHOR_R
+          val p = slot.prep
+          name match {
+            case "st_intersects" => p.intersects(lg)
+            case "st_contains" => p.within(lg)
+            case "st_containsproperly" => lg.relate(p.getGeometry, ContainsProperlyPattern)
+            case "st_within" => p.contains(lg)
+            case "st_covers" => p.coveredBy(lg)
+            case "st_coveredby" => p.covers(lg)
+            case "st_crosses" => p.crosses(lg)
+            case "st_disjoint" => p.disjoint(lg)
+            case "st_equals" => p.getGeometry.equalsTopo(lg)
+            case "st_overlaps" => p.overlaps(lg)
+            case "st_touches" => p.touches(lg)
+            case other => sys.error(s"unknown predicate $other")
+          }
+        } else {
+          // first sighting (or uncacheable): plain JTS ops; reuse the
+          // cached parse when the slot holds one
+          val rgz = if (slot != null) slot.geom else rg
+          name match {
+            case "st_intersects" => lg.intersects(rgz)
+            case "st_contains" => lg.contains(rgz)
+            case "st_containsproperly" => lg.relate(rgz, ContainsProperlyPattern)
+            case "st_within" => lg.within(rgz)
+            case "st_covers" => lg.covers(rgz)
+            case "st_coveredby" => lg.coveredBy(rgz)
+            case "st_crosses" => lg.crosses(rgz)
+            case "st_disjoint" => lg.disjoint(rgz)
+            case "st_equals" => lg.equalsTopo(rgz)
+            case "st_overlaps" => lg.overlaps(rgz)
+            case "st_touches" => lg.touches(rgz)
+            case other => sys.error(s"unknown predicate $other")
+          }
         }
     }
   }

@@ -21,7 +21,29 @@ object Jts {
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(gf))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => { val r = new WKTReader(gf); r.setIsOldJtsCoordinateSyntaxAllowed(false); r })
 
-  def read(b: Array[Byte]): Geometry = wkbReader.get.read(b)
+  def read(b: Array[Byte]): Geometry = {
+    // Fast path for the hottest shape by far: a plain 2-D point (21
+    // bytes, type 1). Decoding x/y directly and building the Point via
+    // the factory skips WKBReader's stream machinery — a large share
+    // of every point-heavy GeoScalar op (st_distance, st_dwithin,
+    // accessors). NaN coordinates fall through: WKBReader maps a
+    // NaN-coordinate point to POINT EMPTY and the fast path must not
+    // change that semantic.
+    if (b.length == 21) {
+      val le = b(0) == 1
+      val t =
+        if (le) (b(1) & 0xFF) | ((b(2) & 0xFF) << 8) | ((b(3) & 0xFF) << 16) | ((b(4) & 0xFF) << 24)
+        else (b(4) & 0xFF) | ((b(3) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(1) & 0xFF) << 24)
+      if (t == 1) {
+        val bb = java.nio.ByteBuffer.wrap(b, 5, 16)
+          .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+        val x = bb.getDouble; val y = bb.getDouble
+        if (x == x && y == y) // not NaN
+          return gf.createPoint(new org.locationtech.jts.geom.Coordinate(x, y))
+      }
+    }
+    wkbReader.get.read(b)
+  }
 
   /** ISO WKB writer (little-endian, type code + 1000·Z + 2000·M).
    *  Hand-rolled because JTS's WKBWriter cannot emit M-typed WKB

@@ -76,6 +76,91 @@ object BandHashes {
 }
 
 /**
+ * Argmax-by-cosine against a CONSTANT centroid matrix: returns the
+ * 0-based index of the centroid with the highest round(cosine, 6),
+ * lowest index winning ties (callers order the matrix by ascending
+ * centroid id, making this identical to the former
+ * `max_by(cid, struct(round(cosine, 6), -cid))` aggregation — which
+ * forced a SortAggregate over the |corpus| × |centroids| crossJoin
+ * because a struct ordering cannot use the hash aggregate's
+ * fixed-width buffer; measured as the dominant cost of ivf_topk_10m).
+ * Cosine op order is EXACTLY [[CosineSimilarity]]'s (index-order
+ * double accumulation, dot/(sqrt·sqrt), 0.0 on zero norm) and the
+ * rounding is EXACTLY Spark `round(x, 6)` (BigDecimal.valueOf,
+ * HALF_UP), so the selected centroid is bit-identical to the old
+ * aggregation's.
+ */
+case class NearestCentroidIndex(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(cents.nonEmpty, "nearest_centroid_index: empty centroid matrix")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid_index"
+
+  @transient private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"nearest_centroid_index: unsupported element type $other")
+    }
+  // centroid norms are row-constant: precomputing sqrt(sum sq) yields
+  // the same double as computing it per row (deterministic op order)
+  @transient private lazy val centNorms: Array[Double] = cents.map { cv =>
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val lf = childIsFloat
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      nx += xi * xi
+      i += 1
+    }
+    val snx = math.sqrt(nx)
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      require(cv.length == n, s"vector length mismatch: $n vs ${cv.length}")
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val xi = if (lf) x.getFloat(d).toDouble else x.getDouble(d)
+        dot += xi * cv(d)
+        d += 1
+      }
+      val c =
+        if (nx == 0.0 || centNorms(j) == 0.0) 0.0
+        else dot / (snx * centNorms(j))
+      // Spark round(c, 6): NaN/Infinity pass through, else
+      // BigDecimal.valueOf + HALF_UP — identical to RoundBase
+      val cs =
+        if (c.isNaN || c.isInfinite) c
+        else java.math.BigDecimal.valueOf(c)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Spark double ordering (max_by): NaN sorts greatest
+      val greater =
+        if (cs.isNaN) !best.isNaN || bestIdx < 0
+        else !best.isNaN && cs > best
+      if (bestIdx < 0 || greater) { best = cs; bestIdx = j }
+      j += 1
+    }
+    bestIdx
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidIndex =
+    copy(child = c)
+}
+
+/**
  * SimHash document fingerprint (Charikar 2002, the standard near-dup
  * sketch): 64-bit signature where bit b is the sign of the sum of
  * (+1/-1) votes from each shingle's hash bit b. Hamming distance on

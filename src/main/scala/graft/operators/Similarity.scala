@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /**
  * Embedding similarity search over `Array[Float]` columns.
@@ -831,13 +831,64 @@ object Similarity {
    *  index so both carry identical tie-break semantics. Only
    *  (corpus_id, cid, rounded score) reaches the argmax shuffle — never
    *  the embedding payload — and max_by partial-aggregates map-side.
-   *  Tie-break: highest score, then lowest centroid id. */
+   *  Tie-break: highest score, then lowest centroid id.
+   *
+   *  Kept as the FALLBACK shape: [[centModel]]'s map-side argmax
+   *  replaces it whenever the centroid frame collects cleanly. The
+   *  max_by struct ordering cannot use the hash aggregate's
+   *  fixed-width buffer, so this shape plans a SortAggregate over the
+   *  |corpus| × |centroids| crossJoin — the dominant cost of
+   *  ivf_topk_10m before r16. */
   private def ivfAssignIds(c: DataFrame, cent: DataFrame): DataFrame =
     c.crossJoin(broadcast(cent))
       .select(col("corpus_id"), col("__cid"),
         round(cosine(col("__cv"), col("__centv")), 6).as("__cs"))
       .groupBy("corpus_id")
       .agg(max_by(col("__cid"), struct(col("__cs"), (-col("__cid")).as("__tb"))).as("__cid"))
+
+  /** Collected centroid model for the map-side assignment fast path:
+   *  (cids ascending, vectors in that order), or None when the frame
+   *  doesn't fit the fast path's preconditions (non-integral centroid
+   *  ids, null ids/vectors) — those fall back to [[ivfAssignIds]].
+   *  The collect is in-contract: every IVF path already broadcasts
+   *  this frame (centroid tables are model-sized by construction). */
+  private def centModel(cent: DataFrame): Option[(Array[Long], Array[Array[Double]])] = {
+    if (!isIntegral(cent.select(col("__cid")).schema.head.dataType)) return None
+    val elemT = cent.schema("__centv").dataType match {
+      case ArrayType(FloatType, _) => "float"
+      case ArrayType(DoubleType, _) => "double"
+      case _ => return None
+    }
+    val rows = cent.select(col("__cid").cast("long"),
+      if (elemT == "float") expr("transform(__centv, x -> CAST(x AS DOUBLE))") else col("__centv"))
+      .collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (sorted.isEmpty) return None
+    Some((sorted.map(_._1), sorted.map(_._2)))
+  }
+
+  /** Map-side centroid assignment: `__cid` computed per corpus row by
+   *  [[graft.functions.NearestCentroidIndex]] against the collected
+   *  model — no crossJoin explosion, no aggregate, no shuffle; the
+   *  selected centroid is bit-identical to [[ivfAssignIds]]'s
+   *  (same cosine op order, same round(·, 6), same tie-break). */
+  private def assignedCid(vec: Column, model: (Array[Long], Array[Array[Double]])): Column = {
+    val (cids, vecs) = model
+    val idx = ColumnShim.column(
+      graft.functions.NearestCentroidIndex(ColumnShim.expr(vec), vecs))
+    element_at(lit(cids), idx + 1)
+  }
+
+  /** Corpus rows with their assigned `__cid` (long) attached: map-side
+   *  fast path when the centroid model collects, else the fallback
+   *  aggregation + re-join. Input `c` = (corpus_id, __cv); `cent` =
+   *  (__cid integral, __centv). */
+  private def assignedAll(c: DataFrame, cent: DataFrame): DataFrame =
+    centModel(cent) match {
+      case Some(m) => c.withColumn("__cid", assignedCid(col("__cv"), m))
+      case None => c.join(ivfAssignIds(c, cent), "corpus_id")
+    }
 
   /** [[ivfTopK]]'s probe stage (top-nprobe lists per query), shared
    *  with the persisted index. */
@@ -871,7 +922,7 @@ object Similarity {
       "writeIvfIndex: corpusId must be an integral type")
     val c = corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("__cv"))
     val cent = centroids.select(centroidId.cast("long").as("__cid"), centroidVec.as("__centv"))
-    c.join(ivfAssignIds(c, cent), "corpus_id")
+    assignedAll(c, cent)
       .select(col("corpus_id"), col("__cv"), col("__cid").as("__list"))
       .write.mode("overwrite").partitionBy("__list").parquet(s"$path/lists")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
@@ -897,7 +948,7 @@ object Similarity {
       "appendIvfIndex: corpusId must be an integral type")
     val cent = spark.read.parquet(s"$path/centroids")
     val c = batch.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("__cv"))
-    c.join(ivfAssignIds(c, cent), "corpus_id")
+    assignedAll(c, cent)
       .select(col("corpus_id"), col("__cv"), col("__cid").as("__list"))
       .write.mode("append").partitionBy("__list").parquet(s"$path/lists")
   }
@@ -950,16 +1001,30 @@ object Similarity {
     val c = corpus.select(corpusId.as("corpus_id"), corpusVec.as("__cv"))
     val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
     val cent = centroids.select(centroidId.as("__cid"), centroidVec.as("__centv"))
-    val assign = ivfAssignIds(c, cent)
     val probes = ivfProbes(q, cent, nprobe)
 
-    // candidates as id pairs first; corpus vectors join in only for
-    // members of probed lists, query vectors broadcast for the verify
-    val candIds = probes.join(assign, "__cid")
-      .filter(col("corpus_id") =!= col("query_id"))
-      .select("query_id", "corpus_id")
-    val cands = candIds
-      .join(c, "corpus_id")
+    // Fast path (centroid model collects): assignment is a map-side
+    // argmax, the probe table broadcasts, and the corpus is NEVER
+    // shuffled — candidates flow with their vectors straight into the
+    // bounded top-k partial aggregate. The pre-r16 shape (fallback
+    // below) split candidates into id pairs and re-joined the corpus
+    // vectors by corpus_id: one SortAggregate over the
+    // |corpus|×|centroids| crossJoin plus a full corpus-vector
+    // exchange, together the dominant cost of ivf_topk_10m.
+    val candBase = centModel(cent) match {
+      case Some(m) =>
+        val cidT = centroids.select(centroidId).schema.head.dataType
+        c.withColumn("__cid", assignedCid(col("__cv"), m).cast(cidT))
+          .join(broadcast(probes), "__cid")
+          .filter(col("corpus_id") =!= col("query_id"))
+      case None =>
+        val assign = ivfAssignIds(c, cent)
+        probes.join(assign, "__cid")
+          .filter(col("corpus_id") =!= col("query_id"))
+          .select("query_id", "corpus_id")
+          .join(c, "corpus_id")
+    }
+    val cands = candBase
       .join(broadcast(q), "query_id")
       .withColumn("__sim", cosine(col("__qv"), col("__cv")))
     // bounded top-k aggregate instead of a row_number window: candidates
