@@ -146,6 +146,43 @@ object Probe {
         out.collect()
         println(out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
 
+      case "dedup_phases" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(100000000L)
+        def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m).select(col("id"),
+          concat(lit("document body text "), expr(s"CAST(id % ${m / 2} AS STRING)")).as("text"))
+        def dedupN(m: Long): Long =
+          graft.operators.Dedup.exact(docs(m), col("id"), col("text"))
+            .agg(count(lit(1)), sum(length(col("text")))).collect()(0).getLong(0)
+        dedupN(1000000L)
+        (1 to 2).foreach { trial =>
+          println(s"--- trial $trial, n=$n ---")
+          time("docs gen floor (sum length)") {
+            docs(n).agg(sum(length(col("text")))).collect()(0).getLong(0)
+          }
+          time("keep ids (groupBy md5 min)") {
+            docs(n).select(md5(col("text").cast("binary")).as("__k"), col("id").as("__id"))
+              .groupBy("__k").agg(min("__id").as("__keep_id"))
+              .agg(count(lit(1))).collect()(0).getLong(0)
+          }
+          time("full exact dedup") { dedupN(n) }
+        }
+        println(graft.operators.Dedup.exact(docs(1000L), col("id"), col("text"))
+          .agg(count(lit(1))).queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+      case "dsir" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m).selectExpr("id",
+          "concat('alpha w', CAST(id % 997 AS STRING), ' beta w', " +
+            "CAST((id*7+3) % 997 AS STRING), ' gamma w', " +
+            "CAST((id*13+11) % 997 AS STRING)) AS text",
+          "id % 20 = 0 AS tgt")
+        def run(m: Long): Long =
+          graft.operators.Sampling.dsirSelect(docs(m), col("id"), col("text"),
+              col("tgt"), k = 1000, buckets = 1024)
+            .agg(count(lit(1)), sum("key_micro")).collect()(0).getLong(0)
+        run(100000L)
+        (1 to 3).foreach { t => time(s"dsir n=$n trial $t") { run(n) } }
+
       case "minhash_plan" =>
         val docs = spark.range(1000000L)
           .selectExpr("id", "CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE 1000000 + id END AS base")

@@ -18,7 +18,13 @@ object Sampling {
    *  Uniform to ~2^-32 over any key distribution. */
   def hashBucket(key: Column, buckets: Int = 100): Column = {
     require(buckets >= 1 && buckets <= (1 << 30), "buckets out of range")
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    // value-identical to
+    //   conv(substring(md5(key.cast("string")), 1, 8), 16, 10) % buckets
+    // (the engine-replayable contract every oracle replicates) but
+    // computed digest-direct — see [[graft.functions.Md5Bucket]]
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.Md5Bucket(
+        org.apache.spark.sql.graft.ColumnShim.expr(key.cast("string")), buckets))
   }
 
   /** 'val' / 'test' / 'train' tag by hash-percent thresholds (val takes

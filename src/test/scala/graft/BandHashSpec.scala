@@ -37,4 +37,19 @@ class BandHashSpec extends SparkSpec {
     assert(nw.exceptAll(old).count() === 0)
     assert(old.exceptAll(nw).count() === 0)
   }
+
+  test("Md5Bucket equals conv(substring(md5(...),1,8),16,10) % buckets") {
+    val df = spark.range(2000).selectExpr(
+      "concat('key:', CAST(id AS STRING), ' tail', CAST(id % 7 AS STRING)) AS s")
+    val via = df.selectExpr("s",
+      "CAST(conv(substring(md5(CAST(s AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1024 AS b1",
+      "CAST(conv(substring(md5(CAST(s AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 AS c1")
+      .withColumn("b2", org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.Md5Bucket(org.apache.spark.sql.graft.ColumnShim.expr(
+          org.apache.spark.sql.functions.col("s")), 1024)))
+      .withColumn("c2", org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.Md5Bucket(org.apache.spark.sql.graft.ColumnShim.expr(
+          org.apache.spark.sql.functions.col("s")), 100)))
+    assert(via.filter("b1 <> b2 OR c1 <> c2").count() === 0)
+  }
 }
