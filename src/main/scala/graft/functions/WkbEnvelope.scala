@@ -128,6 +128,14 @@ object WkbEnvelope {
 case class WkbBound(child: Expression, kind: Int) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even over a non-null child (empty geometries have no
+  // bound). Without this override the expression inherits the child's
+  // non-nullability, codegen folds ev.isNull into an unassignable
+  // form, and the `isNull = true` below makes Janino REJECT the
+  // generated class ("not an rvalue") — Spark then silently runs the
+  // whole stage interpreted (observed on every clustered-write bench
+  // row, r16).
+  override def nullable: Boolean = true
   override def prettyName: String =
     Seq("st_xmin", "st_ymin", "st_xmax", "st_ymax")(kind)
 
@@ -150,6 +158,8 @@ case class WkbBound(child: Expression, kind: Int) extends UnaryExpression {
 case class WkbExtent(child: Expression) extends UnaryExpression {
   override def dataType: DataType = GeoOps.boxType
   override def nullIntolerant: Boolean = true
+  // see WkbBound.nullable — same empty-geometry null + codegen issue
+  override def nullable: Boolean = true
   override def prettyName: String = "st_extent"
 
   override protected def nullSafeEval(v: Any): Any =
