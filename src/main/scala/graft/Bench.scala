@@ -36,6 +36,25 @@ object Bench {
   }
   private def loadAvg(): Double = osBean.getSystemLoadAverage
 
+  /** Extract a flat `"name":{"k1":v1,...}` JSON object rendered by this
+   *  bench from (possibly escaped) raw artifact text: the driver stores
+   *  the stdout tail as an escaped string, so quotes may appear as
+   *  either `"` or `\"`. Returns the simple `name -> number` pairs of
+   *  the FIRST such object found. Pure text surgery by design — the
+   *  artifact is a truncated tail, not valid JSON. */
+  private[graft] def flatObject(txt: String, field: String): Map[String, Double] = try {
+    val open = ("\\\\?\"" + field + "\\\\?\":\\{").r
+    open.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        val rest = txt.substring(m.end)
+        val body = rest.substring(0, math.max(rest.indexOf('}'), 0))
+        val pair = """\\?"([A-Za-z0-9_]+)\\?":(-?[0-9.]+)""".r
+        pair.findAllMatchIn(body).flatMap(p =>
+          scala.util.Try(p.group(1) -> p.group(2).toDouble).toOption).toMap
+    }
+  } catch { case _: Exception => Map.empty }
+
   /** vs_oracle ratios from the newest BENCH_r*.json in `dir` that
    *  actually carries any (the driver artifact stores the line's tail
    *  as an escaped string — regex over the raw text tolerates both
@@ -44,7 +63,10 @@ object Bench {
    *  vs_oracle section at all) yields an empty map for its artifact —
    *  fall back newest -> older to the first artifact with ratios, so
    *  one killed round cannot disarm the next round's ratio-jump
-   *  confirmation class. */
+   *  confirmation class. r17: the graded tail now ends on the compact
+   *  grading line (no vs_oracle structs survive the truncation), so
+   *  the legacy `{"s":..,"d":..,"r":..}` parse falls back to the
+   *  grading line's flat `"amortized":{name:ratio}` map. */
   private[graft] def prevRatios(dir: String = "."): Map[String, Double] = try {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -53,7 +75,8 @@ object Bench {
     files.iterator.map { f =>
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val legacy = re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (legacy.nonEmpty) legacy else flatObject(txt, "amortized")
       } catch { case _: Exception => Map.empty[String, Double] }
     }.find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case _: Exception => Map.empty }
@@ -63,7 +86,8 @@ object Bench {
    *  confirmation class: the r15 dedup_exact_10m/pack_10m slowdowns
    *  (1.4-1.5x Spark-side, ratio still under gate because the oracle
    *  slowed too on the contended box) moved under the 3x RATIO trigger
-   *  and got no confirm — time jumps need their own trigger. */
+   *  and got no confirm — time jumps need their own trigger. r17
+   *  fallback: the grading line's flat `"queries":{name:sec}` map. */
   private[graft] def prevSparkTimes(dir: String = "."): Map[String, Double] = try {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
@@ -72,7 +96,8 @@ object Bench {
     files.iterator.map { f =>
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val legacy = re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (legacy.nonEmpty) legacy else flatObject(txt, "queries")
       } catch { case _: Exception => Map.empty[String, Double] }
     }.find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case _: Exception => Map.empty }
@@ -127,6 +152,91 @@ object Bench {
    *  two slow trials on the same busy box confirm, they don't correct. */
   private[graft] def needsThirdTrial(ratio: Double, load: Double, extCpu: Double): Boolean =
     ratio > 2.0 && (load > 3.0 || extCpu > 0.5)
+
+  /** The GRADING line body (r17). The r16 grading line restored a
+   *  parseable tail but carried only ratios — PERF_r16 ended with
+   *  per_query:{} and an empty scaling table, and the rows whose
+   *  oracle never ran were invisible ("silent-cap" verdict finding).
+   *  This body adds, inside the same single tail-window line:
+   *   - "queries": compact per-row SPARK seconds (1 decimal) for every
+   *     substantive row (the ~20 sf0.1 headline q_* micro rows are
+   *     floor-dominated and stay in the full table line above — the
+   *     tail window cannot hold all 66 names, see the guard below);
+   *   - "ungraded": oracle-backed rows that ended the run with NO
+   *     grade (oracle never launched, or errored) — never silent again;
+   *   - "skipped": Spark workloads the budget guard refused to launch.
+   *  HARD length guard: the driver keeps only the final ~2000 chars of
+   *  stdout, and the sbt epilogue eats ~80 of them. If the body would
+   *  overflow that window the CHEAPEST rows are trimmed from "queries"
+   *  first (with a "q_trimmed" count, so the trim is visible), because
+   *  a line whose head is cut is not JSON at all. */
+  private[graft] def gradingBody(
+      results: Seq[(String, Double)],
+      duck: Map[String, Double],
+      timeoutOf: String => Double,
+      oracleDefined: Set[String],
+      microRows: Set[String],
+      skipped: Seq[String],
+      partial: Boolean,
+      sfDir: String): String = {
+    val amort = results.collect {
+      case (k, v) if v >= 0 && duck.getOrElse(k, -2.0) > 0 && v + duck(k) >= 1.0 =>
+        k -> v / duck(k)
+    }.sortBy(_._1)
+    val rubs = results.collect {
+      case (k, v) if v >= 0 && duck.getOrElse(k, 0.0) == -1.0 =>
+        k -> v / timeoutOf(k)
+    }.sortBy(_._1)
+    val geomean =
+      if (amort.isEmpty) -1.0
+      else math.exp(amort.map(r => math.log(r._2)).sum / amort.size)
+    val overGate = amort.count(_._2 > 2.0)
+    // oracle-backed substantive rows that ended with NO grade at all:
+    // spark side failed (v<0), oracle never launched (no duck entry —
+    // budget skip), or oracle errored (-2). A -1 timeout is graded via
+    // r_ub; a positive d on a sub-1s pair is the documented micro
+    // exclusion, not an ungraded row.
+    val ungraded = results.collect {
+      case (k, v) if oracleDefined(k) && !microRows(k) &&
+        (v < 0 || duck.get(k).forall(_ == -2.0)) => k
+    }.sorted
+    // every char in this line competes with a row name for the tail
+    // window — strip trailing zeros ("0.30" -> "0.3", "34.0" -> "34");
+    // still plain JSON numbers
+    def strip(s: String) =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    def fmtR(r: Double) = strip(if (r < 0.01) f"$r%.4f" else f"$r%.2f")
+    val aJson = amort.map { case (k, r) => "\"" + k + "\":" + fmtR(r) }
+      .mkString("{", ",", "}")
+    val uJson = rubs.map { case (k, r) => "\"" + k + "\":" + strip(f"$r%.4f") }
+      .mkString("{", ",", "}")
+    val ugJson = ungraded.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skJson =
+      if (skipped.isEmpty) ""
+      else skipped.map("\"" + _ + "\"").mkString(""""skipped":[""", ",", "],")
+    // per-row Spark seconds, cheapest-first trim order (a 0.2s floor
+    // row's second is the least informative signal in the map)
+    val qRows = results.filter { case (k, v) => v >= 0 && !microRows(k) }
+    def assemble(rows: Seq[(String, Double)], trimmed: Int): String = {
+      val qJson = rows.map { case (k, v) => "\"" + k + "\":" + strip(f"$v%.1f") }
+        .mkString("{", ",", "}")
+      val tr = if (trimmed > 0) s""""q_trimmed":$trimmed,""" else ""
+      f""""metric":"amortized_geomean_vs_oracle","value":$geomean%.3f,"unit":"ratio","amortized":$aJson,"r_ub":$uJson,"n_amortized":${amort.size}%d,"over_gate":$overGate%d,"ungraded":$ugJson,$skJson$tr"queries":$qJson,"partial":$partial,"sf":"$sfDir""""
+    }
+    // 2000-char driver tail minus ~80 sbt epilogue minus the {"pad":".",}
+    // scaffold and a safety margin
+    val maxBody = 1870
+    var keep = qRows
+    var trimmed = 0
+    var body = assemble(keep, trimmed)
+    while (body.length > maxBody && keep.nonEmpty) {
+      val dropKey = keep.minBy(_._2)._1
+      keep = keep.filterNot(_._1 == dropKey)
+      trimmed += 1
+      body = assemble(keep, trimmed)
+    }
+    body
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,6 +299,10 @@ object Bench {
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // workloads the budget guard refused to launch
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    // names of every oracle-backed row (set once the oracle SQL map is
+    // assembled below; the grading line's "ungraded" list needs it and
+    // the emergency hook can fire before that point)
+    var allOraclesKeys: Set[String] = Set.empty
 
     // ---- wall-clock budget guard (r14 lesson) ------------------------
     // The graded r14 run was killed at the driver's wall-clock budget
@@ -234,17 +348,28 @@ object Bench {
     // r_ub 0.0022), so the extra 180 s bought nothing.
     val timeoutS = sys.env.getOrElse("GRAFT_ORACLE_TIMEOUT_S", "120")
     // permanent-timeout rows (their faithful oracles are minutes-plus
-    // slow every round: bpe's nested replace, the LSH near-dup pair,
-    // the 100M interval join) carry 60 s watchdogs — the r_ub only
-    // tightens (all are <=0.05 even at 60) and the r15 shakedown
-    // showed their 120 s watchdogs were ~240 s of pure waiting
-    val timeoutAlways = Seq("bpe_encode_10m", "q_doc_minhash_dedup",
+    // slow every round: the LSH near-dup pair, the 100M interval join)
+    // carry 60 s watchdogs — the r_ub only tightens (all are <=0.05
+    // even at 60) and the r15 shakedown showed their 120 s watchdogs
+    // were ~240 s of pure waiting. bpe_encode_10m left this list in
+    // r17: its oracle is reformulated below (distinct-word
+    // pre-aggregation, checksum-identical) from ~229 s to ~56 s, so
+    // the row grades on a REAL ratio under a 180 s watchdog.
+    val timeoutAlways = Seq("q_doc_minhash_dedup",
       "q_doc_dup_clusters", "range_join_100m").map(_ -> "60")
     // minhash_10m's oracle is a real ~36 s since the r16 scalar
-    // reformulation (was ~209 s, r_ub-only) — 120 s covers a loaded box
+    // reformulation (was ~209 s, r_ub-only) — 120 s covers a loaded
+    // box. r17 trims: asof_join_100m's oracle measures 25-45 s, its
+    // 300 s watchdog bought only worst-case wait (180 still covers a
+    // 4x-slower box); dedup_exact_100m (~60-110 s) and
+    // spatial_join_100m (~90 s local) keep 300 — both were ungraded
+    // or near the bound on the r16 driver box. ivf_topk_10m gets an
+    // explicit 180 (its r16 driver oracle errored; the reformulated
+    // one below runs ~30 s local but the driver box is slower).
     val oracleTimeouts = Map(
-      "asof_join_100m" -> "300", "dedup_exact_100m" -> "300",
-      "minhash_10m" -> "120", "spatial_join_100m" -> "300") ++ timeoutAlways
+      "asof_join_100m" -> "180", "dedup_exact_100m" -> "300",
+      "minhash_10m" -> "120", "spatial_join_100m" -> "300",
+      "ivf_topk_10m" -> "180", "bpe_encode_10m" -> "180") ++ timeoutAlways
 
     /** The one-line artifact, rendered from the CURRENT shared state —
      *  printed once at clean completion, flushed to BENCH_partial.json
@@ -295,32 +420,20 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$sp,$legend%s,"partial":$partial,"skipped":$skippedJson,"elapsed_s":$elapsedS%.1f,"vs_oracle":$vs,$cont%s,"sf":"$sfDir"}"""
     }
 
-    /** The GRADING line (r16): a compact second line printed LAST so
-     *  the driver artifact's ~2000-char stdout tail always opens on
-     *  the graded signal — amortized-row ratios, their geomean, and
-     *  the over-gate count — instead of cutting the full table
-     *  mid-row. A leading pad field absorbs the tail truncation: the
+    /** The GRADING line (r16, extended r17): a compact second line
+     *  printed LAST so the driver artifact's ~2000-char stdout tail
+     *  always opens on the graded signal — amortized-row ratios, their
+     *  geomean, the over-gate count, and (r17) per-row Spark seconds
+     *  plus the ungraded/skipped row lists (see [[Bench.gradingBody]]
+     *  for the field-by-field rationale and the tail-window length
+     *  guard). A leading pad field absorbs the tail truncation: the
      *  window lands inside the pad and every real field survives.
      *  Carries metric/value/unit so a driver that parses the last
      *  JSON line still gets a well-formed bench record. */
     def renderGrading(partial: Boolean): String = stateLock.synchronized {
-      val amort = results.toSeq.collect {
-        case (k, v) if v >= 0 && duck.getOrElse(k, -2.0) > 0 && v + duck(k) >= 1.0 =>
-          k -> v / duck(k)
-      }.sortBy(_._1)
-      val rubs = results.toSeq.collect {
-        case (k, v) if v >= 0 && duck.getOrElse(k, 0.0) == -1.0 =>
-          k -> v / oracleTimeouts.getOrElse(k, timeoutS).toDouble
-      }.sortBy(_._1)
-      val geomean =
-        if (amort.isEmpty) -1.0
-        else math.exp(amort.map(r => math.log(r._2)).sum / amort.size)
-      val overGate = amort.count(_._2 > 2.0)
-      val aJson = amort.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
-        .mkString("{", ",", "}")
-      val uJson = rubs.map { case (k, r) => "\"" + k + "\":" + f"$r%.4f" }
-        .mkString("{", ",", "}")
-      val body = f""""metric":"amortized_geomean_vs_oracle","value":$geomean%.3f,"unit":"ratio","amortized":$aJson,"r_ub":$uJson,"n_amortized":${amort.size}%d,"geomean":$geomean%.3f,"over_gate":$overGate%d,"partial":$partial,"sf":"$sfDir""""
+      val body = gradingBody(results.toSeq, duck.toMap,
+        k => oracleTimeouts.getOrElse(k, timeoutS).toDouble,
+        allOraclesKeys, headline.toSet, skipped.toSeq, partial, sfDir)
       // pad so line length + the sbt epilogue exceed the driver's tail
       // window — truncation then eats pad characters, never fields
       val pad = "." * math.max(1, 2200 - body.length - 12)
@@ -1171,22 +1284,37 @@ object Bench {
       // SparkEntry.bpeEncodeOracle: a single pass skips
       // delimiter-sharing adjacent occurrences; the binder caps
       // expression nesting at 128; exact only for a != b merges —
-      // the shared require below enforces it)
+      // the shared require below enforces it).
+      // r17 reformulation (the same move that gave minhash_10m a real
+      // ratio in r16): the merge chain runs over DISTINCT words with
+      // occurrence counts — BPE tokenization is a pure word function,
+      // and the 10M-doc corpus holds only ~209k distinct words (4
+      // fixed + the [a-f] letter runs of the md5 hex), so the
+      // quadratic replace() tail shrinks ~300x. s = sum over words of
+      // tokens(word) * occurrences(word) is term-for-term the old
+      // per-doc sum regrouped; n = count of docs with >=1 word = all
+      // docs (every text begins with the constant 4-word prefix).
+      // Checksum-pinned vs the old formulation at 100k and 10M rows:
+      // (10000000, 259997015) — the old oracle was ~229 s (r_ub-only
+      // every round); this one measures ~56 s, a REAL ratio.
       require(SparkEntry.BpeCertMerges.forall { case (a, b) => a != b },
         "bpe bench oracle: identical-symbol merges are not replace()-replicable")
       val mergeCtes = SparkEntry.BpeCertMerges.zipWithIndex.map { case ((a, b), k) =>
         val expr = (1 to 12).foldLeft("e")((s, _) => s"replace($s, ' $a $b ', ' $a$b ')")
-        s"e${k + 1} AS (SELECT id, $expr AS e FROM e$k)"
+        s"e${k + 1} AS (SELECT cnt, $expr AS e FROM e$k)"
       }
       s"""WITH docs AS (SELECT range AS id,
               'the quick brown fox ' || md5(CAST(range AS VARCHAR)) AS text
             FROM range(10000000)),
-          w AS (SELECT id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM docs),
-          e0 AS (SELECT id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS e FROM w),
+          wc AS (SELECT w, count(*) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM docs)
+            GROUP BY w),
+          e0 AS (SELECT cnt, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS e FROM wc),
           ${mergeCtes.mkString(",\n          ")},
-          perdoc AS (SELECT id, sum(length(string_split_regex(trim(e), ' +'))) AS nt
-                     FROM e${SparkEntry.BpeCertMerges.length} GROUP BY id)
-          SELECT count(*) AS n, CAST(sum(nt) AS BIGINT) AS s FROM perdoc"""
+          pertok AS (SELECT cnt, length(string_split_regex(trim(e), ' +')) AS nt
+                     FROM e${SparkEntry.BpeCertMerges.length})
+          SELECT (SELECT count(*) FROM docs) AS n,
+            CAST(sum(nt * cnt) AS BIGINT) AS s FROM pertok"""
     }
     val labelPropOracle10m: String = {
       def round(k: Int) =
@@ -1485,13 +1613,24 @@ object Bench {
           def w = s"((($idExpr)*37 + d*11)*48271 % 1000003)"
           s"[CAST($w * ($w + 13) % 1000003 AS DOUBLE)/1000003.0 for d in range(0, 8)]"
         }
+        // r17: each frame carries its L2 norm as a column, computed
+        // ONCE per row — the r16 form recomputed sqrt(list_sum(x*x))
+        // per (row, centroid) pair, 8x per corpus row in the assign
+        // cross join. Bit-identical: the same sqrt of the same
+        // index-order sum, multiplied in the same order. 41.7 -> 30.3 s
+        // local at 10M (and lower peak memory in the 80M-row assign —
+        // this row's oracle ERRORED on the r16 driver box); checksums
+        // pinned vs the r16 form at 1M and 10M
+        // (n=80, s=206872143, cs=80000000).
         def cos(a: String, b: String) =
           s"""(list_sum([($a.v[i]) * ($b.v[i]) for i in range(1, 9)])
-               / (sqrt(list_sum([(x) * (x) for x in $a.v]))
-                  * sqrt(list_sum([(x) * (x) for x in $b.v]))))"""
-        s"""WITH c AS (SELECT range AS id, ${vec("range")} AS v FROM range(10000000)),
-             cent AS (SELECT range AS cid, ${vec("range*1237 + 101")} AS v FROM range(8)),
-             q AS (SELECT range AS qid, ${vec("range*7717 + 3")} AS v FROM range(8)),
+               / ($a.nrm * $b.nrm))"""
+        s"""WITH c AS (SELECT id, v, sqrt(list_sum([(x) * (x) for x in v])) AS nrm
+                  FROM (SELECT range AS id, ${vec("range")} AS v FROM range(10000000))),
+             cent AS (SELECT cid, v, sqrt(list_sum([(x) * (x) for x in v])) AS nrm
+                  FROM (SELECT range AS cid, ${vec("range*1237 + 101")} AS v FROM range(8))),
+             q AS (SELECT qid, v, sqrt(list_sum([(x) * (x) for x in v])) AS nrm
+                  FROM (SELECT range AS qid, ${vec("range*7717 + 3")} AS v FROM range(8))),
              assign AS (
                SELECT c.id AS corpus_id,
                  arg_max(cent.cid,
@@ -1605,18 +1744,32 @@ object Bench {
     val allOracles =
       headline.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _)).toMap ++
         bigWorkloads ++ operatorOracles
+    allOraclesKeys = allOracles.keySet
 
     // ---- oracle phase: priority-ordered chunks, flushed as they land --
     // r14's kill proved the all-at-once oracle batch is a single point
     // of failure: ~1200+ s of DuckDB timing with nothing recorded until
-    // the very end. The batch now runs in chunks of 6; after each chunk
-    // the cumulative artifact is flushed, so a kill mid-phase still
-    // leaves ratios for everything already timed. Chunk ORDER is the
-    // grading priority: the judge-flagged re-land rows first, then the
-    // amortized 10m/20m/100m rows (the real performance signal), then
-    // the sub-second micro rows whose loss costs least.
-    val oraclePriority = Seq("pagerank_10m", "transform_10m", "labelprop_10m",
-      "minhash_10m", "ivf_topk_10m", "spatial_join_100m")
+    // the very end. The batch runs in chunks (of 4 since r17 — the r16
+    // driver run overshot its oracle deadline INSIDE a 6-row chunk, so
+    // the budget check between chunks needs finer grain); after each
+    // chunk the cumulative artifact is flushed, so a kill mid-phase
+    // still leaves ratios for everything already timed. Chunk ORDER is
+    // the grading priority. r17 reorders it by what the r16 driver run
+    // actually lost: the headline-optimized rows whose oracle never
+    // landed (spatial_join/ivf/knn/minhash/dsir — the rows this round
+    // is graded on) come first, then the remaining heavy amortized
+    // rows, then the alphabetical amortized tail, then the sub-second
+    // micro rows whose loss costs least.
+    val oraclePriority = Seq(
+      // r16-ungraded headline rows — must land first
+      "spatial_join_100m", "ivf_topk_10m", "minhash_10m",
+      "spatial_join_10m", "knn_join_10m", "dsir_1m", "dedup_exact_100m",
+      // judge re-land rows (graded r16; keep them early)
+      "pagerank_10m", "transform_10m", "labelprop_10m", "bpe_encode_10m",
+      // heavy amortized rows next so a budget cut eats the cheap tail
+      "asof_join_100m", "agg_100m_sql", "window_100m_sql",
+      "strings_100m_sql", "cms_20m", "hamming_topk_10m", "norm_20m",
+      "hll_10m", "dedup_exact_10m")
     val amortizedRe = ".*_(\\d+)(m|m_sql)$".r
     val orderedOracles: Seq[String] = {
       val keys = allOracles.keys.toSeq
@@ -1625,7 +1778,7 @@ object Bench {
       val rest = keys.filterNot(prio.contains).filterNot(amort.contains)
       prio ++ amort.sorted ++ rest.sorted
     }
-    for (chunk <- orderedOracles.grouped(6)) {
+    for (chunk <- orderedOracles.grouped(4)) {
       if (elapsedS > budgetS - confirmReserveS) {
         System.err.println(f"[bench] oracle chunk SKIPPED (${elapsedS}%.0f s past the ${budgetS - confirmReserveS}%.0f s oracle deadline): ${chunk.mkString(", ")}")
       } else {
@@ -1761,19 +1914,26 @@ object Bench {
           |        return -1.0 if fired else -2.0
           |    finally:
           |        timer.cancel()
-          |TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "5"))
+          |# Oracle warm trials default to 3 (not the Spark side's 5):
+          |# the r16 driver run starved the oracle phase and silently
+          |# dropped half the graded rows — two fewer warm runs per
+          |# sub-5s oracle buys coverage, and the median + burst
+          |# rejection protocol is unchanged. Env-overridable.
+          |TRIALS = int(os.environ.get("GRAFT_ORACLE_TRIALS", "3"))
           |for f in sorted(glob.glob(f"{qdir}/*.sql")):
           |    name = os.path.basename(f)[:-4]
           |    sql = open(f).read()
           |    cold = timed(sql)
-          |    if cold >= 20.0:
-          |        # very slow oracle: report the single cold run. The
-          |        # confirm re-run on >=20 s oracles was ~600 s of the
+          |    if cold >= 12.0:
+          |        # slow oracle: report the single cold run. The
+          |        # confirm re-run on slow oracles was ~600 s of the
           |        # r14 bill (minhash 2x209 s, the 100m rows 2x40-60 s)
           |        # and is redundant spend: any burst-distorted ratio
           |        # that matters (a jump or a gate breach) triggers the
           |        # in-run confirmation pass, which re-times BOTH
-          |        # engines anyway.
+          |        # engines anyway. Threshold 20 -> 12 in r17: the
+          |        # driver-box budget (item 2 of the r16 verdict) is
+          |        # worth more than a confirm on a 12-20 s oracle.
           |        print(f"{name}\t{cold:.6f}")
           |        continue
           |    if cold >= 5.0:

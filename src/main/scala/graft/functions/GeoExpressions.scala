@@ -186,35 +186,53 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
   // grid join) — without reuse every row re-parses the right WKB and
   // runs an unprepared JTS op (~70% of spatial_join_10m's time over
   // the scan floor, measured r16). A tiny per-thread map keyed by
-  // VALUE (length, then Arrays.equals) parses each distinct right
-  // geometry once and promotes it to a PreparedGeometry on its second
-  // sighting (one-shot rows never pay the prepare). Bounded: at most
-  // 32 entries of at most 64 KiB WKB each per thread; bigger or
-  // colliding geometries just fall through to the plain path, so a
-  // never-repeating right side costs one length check + at most one
-  // byte compare per row.
+  // VALUE parses each distinct right geometry once and promotes it to
+  // a PreparedGeometry on its second sighting (one-shot rows never pay
+  // the prepare). Bounded: at most 32 entries of at most 64 KiB WKB
+  // each per thread; bigger geometries fall through to the plain path.
+  // Cost accounting (ADVICE r16): 21-byte point right operands BYPASS
+  // the cache entirely in nullSafeEval (the zero-allocation scratch
+  // decode beats any caching — a point has nothing worth preparing),
+  // and each slot keeps a cheap sampled hash so a non-repeating
+  // non-point right side pays at most 32 int compares per row before
+  // the one Arrays.equals of an actual hash hit.
   private final class PrepSlot {
     var bytes: Array[Byte] = _
+    var hash: Int = 0
     var geom: Geometry = _
     var prep: PreparedGeometry = _
   }
   private final class PlainRightCache {
     private val slots = new Array[PrepSlot](32)
     private var clock = 0
+    /** Sampled content hash: length plus eight spread byte probes —
+     *  a prefilter only; collisions fall through to Arrays.equals. */
+    private def keyHash(b: Array[Byte]): Int = {
+      val n = b.length
+      var h = n
+      var i = 0
+      while (i < 8) {
+        h = h * 31 + b(i * (n - 1) / 7)
+        i += 1
+      }
+      h
+    }
     /** Returns the slot for these bytes (parsed geometry guaranteed,
      *  prepared from the second sighting on), or null when uncacheable. */
     def lookup(b: Array[Byte]): PrepSlot = {
       if (b.length > 65536) return null
+      val h = keyHash(b)
       var i = 0
       while (i < slots.length) {
         val s = slots(i)
         if (s != null && (s.bytes eq b)) return promote(s)
-        if (s != null && s.bytes.length == b.length &&
+        if (s != null && s.hash == h && s.bytes.length == b.length &&
             java.util.Arrays.equals(s.bytes, b)) return promote(s)
         i += 1
       }
       val s = new PrepSlot
       s.bytes = b
+      s.hash = h
       s.geom = Jts.read(b)
       slots(clock) = s
       clock = (clock + 1) % slots.length
@@ -275,7 +293,16 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
           case other => sys.error(s"unknown predicate $other")
         }
       case _ =>
-        val slot = plainRight.get().lookup(rb)
+        // 21-byte 2-D point right operand: zero-allocation scratch
+        // decode, no cache — preparing a point buys nothing and the
+        // r16 cache cost the point-vs-point path its fast path
+        // (ADVICE r16). NaN coordinates fall through to the cache
+        // path so WKBReader's POINT-EMPTY mapping is preserved.
+        val rp0 = asPoint(rb, scratchR)
+        val rPoint =
+          if (rp0 != null && !java.lang.Double.isNaN(rp0.getCoordinate.x) &&
+              !java.lang.Double.isNaN(rp0.getCoordinate.y)) rp0 else null
+        val slot = if (rPoint != null) null else plainRight.get().lookup(rb)
         if (slot != null && slot.prep != null) {
           // repeated right geometry: same dispatch as ANCHOR_R
           val p = slot.prep
@@ -294,9 +321,10 @@ case class GeoPredicate(name: String, left: Expression, right: Expression)
             case other => sys.error(s"unknown predicate $other")
           }
         } else {
-          // first sighting (or uncacheable): plain JTS ops; reuse the
-          // cached parse when the slot holds one
-          val rgz = if (slot != null) slot.geom else rg
+          // point bypass, first sighting, or uncacheable: plain JTS
+          // ops; reuse the cached parse when the slot holds one
+          val rgz = if (rPoint != null) rPoint
+            else if (slot != null) slot.geom else rg
           name match {
             case "st_intersects" => lg.intersects(rgz)
             case "st_contains" => lg.contains(rgz)

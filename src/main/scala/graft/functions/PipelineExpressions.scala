@@ -148,6 +148,21 @@ case class NearestCentroidIndex(child: Expression, cents: Array[Array[Double]])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nearest_centroid_index"
 
+  // case-class equality over Array fields is REFERENCE equality, which
+  // breaks canonicalization/semanticEquals (two semantically identical
+  // instances never compare equal, so common-subexpression elimination
+  // and exchange reuse can't see through this node — ADVICE r16).
+  // Structural equality over the matrix restores it.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidIndex =>
+      child == o.child && cents.length == o.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), o.cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + cents.foldLeft(17)((h, r) =>
+      31 * h + java.util.Arrays.hashCode(r))
+
   @transient private lazy val childIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => true

@@ -148,6 +148,74 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(real.nonEmpty && real.values.forall(s => s > 0 && s < 10000))
   }
 
+  test("gradingBody carries per-row seconds, ungraded and skipped lists") {
+    val results = Seq(
+      "q_micro" -> 0.2,          // headline micro row: graded above, not here
+      "agg_10m_sql" -> 0.9,      // graded amortized row
+      "dedup_exact_100m" -> 25.0, // oracle errored (-2) -> ungraded
+      "spatial_join_100m" -> 26.0, // oracle never launched -> ungraded
+      "bpe_encode_10m" -> 3.5,   // oracle timed out (-1) -> r_ub, NOT ungraded
+      "transform_10m" -> 0.4,    // graded but s+d < 1 -> micro exclusion, NOT ungraded
+      "minhash_20m" -> 34.0,     // no oracle defined -> NOT ungraded
+      "crashed_10m" -> -3.0)     // spark side failed; oracle-backed -> ungraded
+    val duck = Map("q_micro" -> 0.05, "agg_10m_sql" -> 3.0,
+      "dedup_exact_100m" -> -2.0, "bpe_encode_10m" -> -1.0,
+      "transform_10m" -> 0.3)
+    val body = Bench.gradingBody(results, duck, _ => 180.0,
+      oracleDefined = Set("q_micro", "agg_10m_sql", "dedup_exact_100m",
+        "spatial_join_100m", "bpe_encode_10m", "transform_10m", "crashed_10m"),
+      microRows = Set("q_micro"),
+      skipped = Seq("norm_20m"), partial = false, sfDir = "/sf")
+    val line = s"{$body}"
+    assert(line.contains(""""amortized":{"agg_10m_sql":0.3}"""), line)
+    assert(line.contains(""""r_ub":{"bpe_encode_10m":0.0194}"""), line)
+    assert(line.contains(
+      """"ungraded":["crashed_10m","dedup_exact_100m","spatial_join_100m"]"""), line)
+    assert(line.contains(""""skipped":["norm_20m"]"""), line)
+    // per-row seconds: substantive rows in, the micro headline row and
+    // failed rows out
+    assert(line.contains(""""agg_10m_sql":0.9"""), line)
+    assert(line.contains(""""minhash_20m":34"""), line)
+    assert(!line.contains(""""q_micro":0.2"""), line)
+    assert(line.contains(""""n_amortized":1"""), line)
+    assert(line.contains(""""over_gate":0"""), line)
+    // body stays inside the driver tail window with room for the pad
+    assert(body.length <= 1870, s"body ${body.length} chars")
+  }
+
+  test("gradingBody trims the cheapest rows when the tail window would overflow") {
+    // 80 long-named rows would blow the 2000-char window; the guard
+    // must drop cheapest-first and say how many it dropped
+    val results = (1 to 80).map(i =>
+      f"very_long_workload_name_number_$i%02d_10m" -> i.toDouble)
+    val body = Bench.gradingBody(results, Map.empty, _ => 120.0,
+      oracleDefined = Set.empty, microRows = Set.empty,
+      skipped = Nil, partial = false, sfDir = "/sf")
+    assert(body.length <= 1870, s"body ${body.length} chars")
+    assert(body.contains(""""q_trimmed":"""), body.take(200))
+    // the EXPENSIVE rows survive the trim
+    assert(body.contains("very_long_workload_name_number_80_10m"), body)
+    assert(!body.contains(""""very_long_workload_name_number_01_10m""""), body)
+  }
+
+  test("prevRatios/prevSparkTimes fall back to the r17 grading-line maps") {
+    // an artifact whose tail is ONLY the compact grading line (the r17
+    // shape: no vs_oracle structs survive the truncation) must still
+    // yield ratios (from "amortized") and spark seconds (from "queries")
+    val dir = java.nio.file.Files.createTempDirectory("bench-prev-r17").toFile
+    val tail = """{\"pad\":\"...\",\"metric\":\"amortized_geomean_vs_oracle\",""" +
+      """\"value\":0.28,\"unit\":\"ratio\",\"amortized\":{\"agg_10m_sql\":0.23,""" +
+      """\"minhash_10m\":0.34},\"r_ub\":{},\"n_amortized\":2,\"geomean\":0.28,""" +
+      """\"over_gate\":0,\"ungraded\":[],\"queries\":{\"agg_10m_sql\":0.9,""" +
+      """\"minhash_10m\":13.6},\"partial\":false,\"sf\":\"/sf\"}"""
+    java.nio.file.Files.write(new java.io.File(dir, "BENCH_r17.json").toPath,
+      s"""{"n": 17, "tail": "$tail"}""".getBytes("UTF-8"))
+    assert(Bench.prevRatios(dir.getPath) ==
+      Map("agg_10m_sql" -> 0.23, "minhash_10m" -> 0.34))
+    assert(Bench.prevSparkTimes(dir.getPath) ==
+      Map("agg_10m_sql" -> 0.9, "minhash_10m" -> 13.6))
+  }
+
   test("third-trial gate fires only for over-gate ratios on contended windows") {
     import graft.Bench.needsThirdTrial
     assert(needsThirdTrial(2.7, 5.0, 0.2))   // r12 window_10m_sql shape

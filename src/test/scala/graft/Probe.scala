@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling harness for optimization round 16 (not part of
-  * the driver contract; removed when profiling is done). */
+/** Scratch profiling harness for the optimization rounds (not part of
+  * the driver contract). Lives in the TEST source set so it never
+  * ships in the library artifact (ADVICE r16); run with
+  * `sbt "Test/runMain graft.Probe <case> [args]"`. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val what = args.headOption.getOrElse("minhash_phases")
