@@ -39,7 +39,27 @@ object Dedup {
    */
   def exact(df: DataFrame, id: Column, text: Column,
       broadcastKeep: Boolean = false): DataFrame = {
-    val keep = df.select(contentKey(text).as("__k"), id.as("__id"))
+    // the grouping key is the RAW 16-byte md5 digest, not the 32-char
+    // hex of [[contentKey]]: identical groups (unhex∘md5 is md5 with a
+    // different spelling), identical survivors, but the keep exchange
+    // carries 24 bytes/row instead of 40 and the aggregate hashes/
+    // compares half the key bytes — measured 18.4 -> 14.5 s on the
+    // keep aggregate and ~20% on the full operator at 100M rows (r17).
+    //
+    // Shapes measured and REJECTED at 100M in the 8g/32-core session:
+    //  - SHUFFLE_HASH hint on the keep side of the semi-join: fatal,
+    //    "Can't acquire 67108864 bytes memory to build hash relation"
+    //    (50M survivor ids / 32 partitions cannot build per-task hash
+    //    relations; SHJ cannot spill) — the sort-merge semi-join spills
+    //    gracefully and stays.
+    //  - repartition(__k) before the groupBy (removes the map-side
+    //    partial aggregate whose 3M-entry per-task map falls back to
+    //    sort when duplicates never co-locate): ~25% faster on THIS
+    //    corpus, but it funnels every row of a hot content key to one
+    //    reducer — the exact boilerplate-skew failure the map-side
+    //    combine exists to bound (one row per map partition per hot
+    //    key), so it loses at corpus scale where dup skew is the norm.
+    val keep = df.select(unhex(contentKey(text)).as("__k"), id.as("__id"))
       .groupBy("__k").agg(min("__id").as("__keep_id"))
       .select("__keep_id")
     val keepSide = if (broadcastKeep) broadcast(keep) else keep
@@ -149,19 +169,25 @@ object Dedup {
     // re-parse `text` from the source (the expensive part at scale)
     val sigs = df.select(id.as("__id"), minhashSignature(text, numHashes, shingleSize).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // banding cached on its join partitioning: the self-join's two
-    // branches never canonicalize equal (Generate + alias), so without
-    // the cache each branch re-scans the signature cache AND pays its
-    // own 4·|docs|-row exchange; cached-after-repartition, both
-    // branches read the SAME shuffled blocks and EnsureRequirements
-    // inserts no further exchange. Narrow rows (id, band, bh — 16
-    // bytes), freed with the signature cache the moment the pair frame
-    // is materialized, so the peak-footprint window is one operator
-    // call, not the session.
+    // banding cached on its join partitioning AND pre-sorted on the
+    // join keys: the self-join's two branches never canonicalize equal
+    // (Generate + alias), so without the cache each branch re-scans the
+    // signature cache AND pays its own 4·|docs|-row exchange;
+    // cached-after-repartition, both branches read the SAME shuffled
+    // blocks and EnsureRequirements inserts no further exchange. The
+    // sortWithinPartitions (r17) makes the cache's outputOrdering
+    // satisfy the sort-merge self-join's requirement, so BOTH SortExec
+    // nodes vanish from the pair join — the ordering is paid once at
+    // cache build instead of twice at the join. Narrow rows (id, band,
+    // bh — 16 bytes), freed with the signature cache the moment the
+    // pair frame is materialized, so the peak-footprint window is one
+    // operator call, not the session.
     val banded = bandBuckets(sigs, numHashes, bands)
       .repartition(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materializeThenFree(estPairs(sigs, banded), sigs, banded)
+    val (pairs, cand) = estPairs(sigs, banded, numHashes)
+    materializeThenFree(pairs, sigs, banded, cand)
   }
 
   /** Materialize the NARROW pair frame, then immediately free the WIDE
@@ -214,42 +240,70 @@ object Dedup {
   }
 
   /** Banding + pair join over a precomputed (`__id`, `__sig`) frame —
-   *  lets callers derive signatures once (and persist) for reuse. */
+   *  lets callers derive signatures once (and persist) for reuse.
+   *  Since r17 the returned frame is MATERIALIZED (persisted, counted)
+   *  because the pair join's strategy is chosen from the candidate
+   *  count; callers may unpersist it when done. */
   def minhashCandidatesFromSigs(sigs: DataFrame, numHashes: Int, bands: Int,
-      maxBucketSize: Int = 0): DataFrame =
-    estPairs(sigs, bandBuckets(sigs, numHashes, bands, maxBucketSize))
+      maxBucketSize: Int = 0): DataFrame = {
+    val (out, cand) = estPairs(sigs,
+      bandBuckets(sigs, numHashes, bands, maxBucketSize), numHashes)
+    materializeThenFree(out, cand)
+  }
 
   /** Candidate pairs + signature-agreement estimate over a prepared
    *  banding frame. `banded` may be the raw [[bandBuckets]] output or
-   *  a repartition(band, bh)-persisted copy ([[minhashCandidates]] /
-   *  [[nearDupPairs]] use the latter so the self-join's two branches
-   *  share one exchange). */
-  private def estPairs(sigs: DataFrame, banded: DataFrame): DataFrame = {
+   *  a repartition(band, bh)+sortWithinPartitions-persisted copy
+   *  ([[minhashCandidates]] / [[nearDupPairs]] use the latter so the
+   *  self-join's two branches share one exchange and skip both SMJ
+   *  sorts). Returns (result, candidate cache) — the DISTINCT pair
+   *  frame is materialized here to pick the signature re-join
+   *  strategy, and the caller frees it after the result exists. */
+  private def estPairs(sigs: DataFrame, banded: DataFrame,
+      numHashes: Int): (DataFrame, DataFrame) = {
     // The self-join stays sort-merge DELIBERATELY: its per-partition
     // build side is bands·|docs|/partitions rows — a SHUFFLE_HASH hint
     // here built a ~60 MB hash relation per task and threw
     // "Can't acquire memory to build hash relation" at 10M docs in an
-    // 8g session (SHJ cannot spill); SMJ sorts the narrow 16-byte rows
-    // and spills gracefully. The r16 win on this join is the banding
-    // rewrite above (BandHashes), which took each branch's
-    // scan+explode from 12 s to 0.2 s at 10M docs.
+    // 8g session (SHJ cannot spill); SMJ over the pre-sorted banding
+    // cache needs no sort at all and spills gracefully if it ever
+    // does. The r16 win on this join is the banding rewrite above
+    // (BandHashes), which took each branch's scan+explode from 12 s to
+    // 0.2 s at 10M docs.
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    // hint the PAIR side as the hash-build side of each signature
-    // re-join: candidates are far fewer than documents, and building
-    // them avoids sorting the full signature frame twice.
-    pairs.hint("shuffle_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SHUFFLE_HASH on the signature re-joins only when the PAIR-side
+    // build provably fits (ADVICE r16): on duplicate-heavy corpora
+    // candidate pairs grow quadratically per cluster — and the second
+    // join's build rows carry the full __sa signature array — so the
+    // same non-spillable-build failure documented above for the
+    // self-join would kill these joins where the planner's sort-merge
+    // join spills gracefully. The pair frame is materialized anyway
+    // (it outlives the signature cache), so the count is free; the
+    // per-task build estimate stays under
+    // spark.graft.minhash.shjBuildMb (default 32 MB — half the ~60 MB
+    // that OOMed the 8g session) or the hints are dropped.
+    val nCand = pairs.count()
+    val spark = sigs.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val maxMb = spark.conf.getOption("spark.graft.minhash.shjBuildMb")
+      .map(_.toDouble).getOrElse(32.0)
+    val buildMb = nCand.toDouble / parts * (16 + 4.0 * numHashes + 64) / (1 << 20)
+    def hinted(df: DataFrame) = if (buildMb < maxMb) df.hint("shuffle_hash") else df
+    val out = hinted(pairs)
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
-      .hint("shuffle_hash")
+    val out2 = hinted(out)
       .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
       // size() counts null slots, so filter the agreeing positions
       // explicitly — est = fraction of minhash positions that agree
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v)) / cast(size(__sa) AS double)"))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    (out2, pairs)
   }
 
   /** LSH candidates verified with exact shingle-set Jaccard (recall
@@ -266,11 +320,13 @@ object Dedup {
         stringShingles(text, shingleSize).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = both.select(col("__id"), col("__sig"))
-    // same shared-exchange banding cache as minhashCandidates
+    // same shared-exchange pre-sorted banding cache as minhashCandidates
     val banded = bandBuckets(sigs, numHashes, bands)
       .repartition(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = estPairs(sigs, banded)
+    val (estp, cand) = estPairs(sigs, banded, numHashes)
+    val verified = estp
       .join(both.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(both.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("jaccard",
@@ -281,7 +337,7 @@ object Dedup {
     // same explicit-release discipline as minhashCandidates: the WIDE
     // signature+shingle cache must not outlive pair materialization
     // (the r3 clustered-write regression was exactly this class of leak)
-    materializeThenFree(verified, both, banded)
+    materializeThenFree(verified, both, banded, cand)
   }
 
   /** Near-dedup via MinHash-LSH: drop every row whose id appears as

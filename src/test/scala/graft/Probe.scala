@@ -171,6 +171,50 @@ object Probe {
         println(graft.operators.Dedup.exact(docs(1000L), col("id"), col("text"))
           .agg(count(lit(1))).queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
 
+      case "dedup_variants" =>
+        // r17: keep-agg key width (hex vs binary md5) x semi-join
+        // strategy (planner SMJ vs keep-side SHUFFLE_HASH build)
+        val n = args.lift(1).map(_.toLong).getOrElse(100000000L)
+        def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m).select(col("id"),
+          concat(lit("document body text "), expr(s"CAST(id % ${m / 2} AS STRING)")).as("text"))
+        def exactV(df: org.apache.spark.sql.DataFrame, bin: Boolean, hint: Boolean) = {
+          val key = if (bin) unhex(md5(col("text").cast("binary"))) else md5(col("text").cast("binary"))
+          val keep = df.select(key.as("__k"), col("id").as("__id"))
+            .groupBy("__k").agg(min("__id").as("__keep_id")).select("__keep_id")
+          val ks = if (hint) keep.hint("shuffle_hash") else keep
+          df.join(ks, col("id") === col("__keep_id"), "left_semi")
+        }
+        def run(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(count(lit(1)), sum(length(col("text")))).collect()(0).getLong(0)
+        run(exactV(docs(1000000L), bin = true, hint = false)) // warm
+        time("map floor: md5-bin project+count") {
+          docs(n).select(unhex(md5(col("text").cast("binary"))).as("k"), col("id"))
+            .agg(count(col("k"))).collect()(0).getLong(0)
+        }
+        time("keep-agg bin, 32 parts") {
+          docs(n).select(unhex(md5(col("text").cast("binary"))).as("k"), col("id").as("i"))
+            .groupBy("k").agg(min("i")).agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        time("keep-agg bin, repart-first") {
+          docs(n).select(unhex(md5(col("text").cast("binary"))).as("k"), col("id").as("i"))
+            .repartition(col("k"))
+            .groupBy("k").agg(min("i")).agg(count(lit(1))).collect()(0).getLong(0)
+        }
+        // the SHJ-hint variant is MEASURED FATAL at 100M in the 8g
+        // session: "Can't acquire 67108864 bytes memory to build hash
+        // relation" (50M survivor ids / 32 partitions build ~60+ MB per
+        // task and SHJ cannot spill) — kept callable for re-checks via
+        // `dedup_variants <n> shj`, never in the default A/B
+        val withShj = args.lift(2).contains("shj")
+        (1 to 2).foreach { trial =>
+          println(s"--- trial $trial, n=$n ---")
+          time("full hex SMJ") { run(exactV(docs(n), bin = false, hint = false)) }
+          time("full bin SMJ") { run(exactV(docs(n), bin = true, hint = false)) }
+          if (withShj) time("full bin SHJ-hint") { run(exactV(docs(n), bin = true, hint = true)) }
+        }
+        println(exactV(docs(n), bin = true, hint = false)
+          .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
       case "dsir" =>
         val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
         def docs(m: Long): org.apache.spark.sql.DataFrame = spark.range(m).selectExpr("id",
@@ -201,6 +245,43 @@ object Probe {
           .agg(count(lit(1)), sum(col("id_a") + col("id_b")))
         out.collect()
         println(out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+      case "minhash_plan_r17" =>
+        // the r17 operator shape: pre-sorted banding cache + gated SHJ
+        // re-joins — prints the executed pair-join plan (the sorts
+        // above the InMemoryTableScans must be GONE)
+        val docs = spark.range(10000000L)
+          .selectExpr("id", "CASE WHEN (id DIV 2) % 5 = 0 THEN id DIV 2 ELSE 10000000 + id END AS base")
+          .selectExpr("id",
+            "concat('w', base*7 % 1000000007, ' w', (base*11+1) % 1000000007, " +
+            "' w', (base*13+2) % 1000000007, ' w', (base*17+3) % 1000000007, " +
+            "' w', (base*19+4) % 1000000007, ' w', (base*23+5) % 1000000007) AS text")
+        val sigs = docs.select(col("id").as("__id"),
+          graft.operators.Dedup.minhashSignature(col("text"), 16, 3).as("__sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigs.count()
+        val banded = graft.operators.Dedup.bandBuckets(sigs, 16, 4)
+          .repartition(col("band"), col("bh"))
+          .sortWithinPartitions(col("band"), col("bh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        banded.count()
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+          .distinct()
+        time("pair join over sorted cache") { cand.count() }
+        println(cand.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        val full = cand.hint("shuffle_hash")
+          .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+          .hint("shuffle_hash")
+          .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+          .withColumn("est_jaccard",
+            expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v)) / cast(size(__sa) AS double)"))
+          .filter(col("est_jaccard") >= 0.9)
+          .agg(count(lit(1)), sum(col("id_a") + col("id_b")))
+        time("full est pipeline") { full.collect()(0).getLong(0) }
+        println(full.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
 
       case "spatial_phases" =>
         val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
